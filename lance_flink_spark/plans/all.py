@@ -1,0 +1,7 @@
+"""Import every module that registers queries, populating the registry.
+
+Grown as operators land; __spark_entry__ and bench.py import this.
+"""
+
+import lance_flink_spark.plans.aggregates  # noqa: F401
+import lance_flink_spark.plans.tpch  # noqa: F401

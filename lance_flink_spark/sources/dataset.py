@@ -1,0 +1,191 @@
+"""Versioned columnar dataset: parquet fragments + JSON manifest.
+
+Parity with the reference's source/sink surface
+(LanceSource.java:1-410, LanceSink.java:1-345, LanceOptions.java:45-120):
+
+- parallel split scan with column projection, predicate pushdown,
+  limit pushdown, batch size,
+- append / overwrite write modes, max-rows-per-file,
+- dataset versioning (each write = new version; old fragments are kept,
+  so reads can time-travel), mirroring Lance's manifest model.
+
+Spark-first: the scan is ``spark.read.parquet`` over the fragment list
+— projection and filters are *declared* on the DataFrame and Catalyst
+pushes them into the parquet reader (visible as ``PushedFilters`` /
+``ReadSchema`` in ``.explain``). Nothing is hand-scheduled. At cluster
+scale each parquet row-group is an input split, giving the same
+split-parallelism as the reference's LanceSplit enumeration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+@dataclass
+class DatasetOptions:
+    """Mirror of the reference's LanceOptions keys (config/LanceOptions.java)."""
+
+    path: str
+    read_batch_size: int = 1024
+    read_limit: int | None = None
+    read_columns: list[str] | None = None
+    read_filter: str | None = None
+    write_batch_size: int = 1024
+    write_mode: str = "append"
+    write_max_rows_per_file: int = 1_000_000
+    extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_options(cls, opts: dict) -> "DatasetOptions":
+        """Build from a flat {'path': .., 'read.batch-size': ..} dict —
+        the same option-string surface as the reference SQL WITH(...)."""
+        cols = opts.get("read.columns")
+        return cls(
+            path=opts["path"],
+            read_batch_size=int(opts.get("read.batch-size", 1024)),
+            read_limit=int(opts["read.limit"]) if "read.limit" in opts else None,
+            read_columns=[c.strip() for c in cols.split(",")] if cols else None,
+            read_filter=opts.get("read.filter"),
+            write_batch_size=int(opts.get("write.batch-size", 1024)),
+            write_mode=opts.get("write.mode", "append"),
+            write_max_rows_per_file=int(opts.get("write.max-rows-per-file", 1_000_000)),
+            extra={k: v for k, v in opts.items() if k.startswith(("index.", "vector."))},
+        )
+
+
+class Dataset:
+    """A versioned parquet dataset rooted at ``path``.
+
+    Layout::
+
+        path/
+          _manifest.json        # {"versions": [{version, mode, fragments, ts}]}
+          data/v0001-<uuid>/    # fragment dir written by one commit
+            part-*.parquet
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ---------- manifest ----------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def _load_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path()):
+            return {"versions": []}
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _commit(self, mode: str, fragment: str) -> int:
+        man = self._load_manifest()
+        version = len(man["versions"]) + 1
+        man["versions"].append(
+            {"version": version, "mode": mode, "fragment": fragment, "ts": time.time()}
+        )
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path())  # atomic commit, like Lance's manifest swap
+        return version
+
+    def versions(self) -> list[int]:
+        return [v["version"] for v in self._load_manifest()["versions"]]
+
+    def _live_fragments(self, version: int | None = None) -> list[str]:
+        """Fragment dirs visible at ``version`` (latest if None).
+
+        Overwrite truncates visibility of earlier fragments but keeps
+        them on disk → time travel to any earlier version.
+        """
+        vs = self._load_manifest()["versions"]
+        if version is not None:
+            vs = [v for v in vs if v["version"] <= version]
+        live: list[str] = []
+        for v in vs:
+            if v["mode"] == "overwrite":
+                live = []
+            live.append(v["fragment"])
+        return [os.path.join(self.path, f) for f in live]
+
+    # ---------- write (sink parity: LanceSink.java) ----------
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        max_rows_per_file: int = 1_000_000,
+    ) -> int:
+        """Write ``df`` as a new dataset version. Returns the version.
+
+        ``max_rows_per_file`` maps to spark.sql.files.maxRecordsPerFile
+        so executors split large partitions into bounded files — the
+        same contract as the reference's write.max-rows-per-file.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"write mode must be append|overwrite, got {mode!r}")
+        frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.path, frag)
+        (
+            df.write.option("maxRecordsPerFile", max_rows_per_file)
+            .mode("errorifexists")
+            .parquet(out)
+        )
+        return self._commit(mode, frag)
+
+    # ---------- read (source parity: LanceSource.java, LanceInputFormat.java) ----------
+
+    def read(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        filter: str | None = None,  # noqa: A002 - mirrors reference option name
+        limit: int | None = None,
+        version: int | None = None,
+        batch_size: int | None = None,
+    ) -> DataFrame:
+        """Scan with projection/filter/limit declared for Catalyst pushdown."""
+        frags = self._live_fragments(version)
+        if not frags:
+            raise FileNotFoundError(f"dataset {self.path} has no data")
+        reader = spark.read
+        if batch_size:
+            # columnar batch size for the vectorized parquet reader
+            reader = reader.option("parquet.read.batch.size", batch_size)
+        df = reader.parquet(*frags)
+        if filter:
+            df = df.filter(filter)
+        if columns:
+            df = df.select(*columns)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    @classmethod
+    def open(cls, opts: DatasetOptions) -> "Dataset":
+        return cls(opts.path)
+
+    def read_with_options(self, spark: SparkSession, opts: DatasetOptions) -> DataFrame:
+        return self.read(
+            spark,
+            columns=opts.read_columns,
+            filter=opts.read_filter,
+            limit=opts.read_limit,
+            batch_size=opts.read_batch_size,
+        )
+
+    def count_rows(self, spark: SparkSession, version: int | None = None) -> int:
+        """COUNT(*) — Spark answers this from parquet footers
+        (metadata-only), matching the reference's isSimpleCountStar
+        fast path (AggregateExecutor.java:218)."""
+        return self.read(spark, version=version).count()

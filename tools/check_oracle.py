@@ -1,0 +1,93 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB at the
+given sf dir, compares row count, column names, and order-insensitive
+values. Usage: python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from lance_flink_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = normalize(fn(spark, sf_dir).toPandas())
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = normalize(con.execute(oracles[name]).df())
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+        status = []
+        if len(sdf) != len(odf):
+            status.append(f"rowcount {len(sdf)} != {len(odf)}")
+        if list(sdf.columns) != list(odf.columns):
+            status.append(f"cols {list(sdf.columns)} != {list(odf.columns)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            except AssertionError as ex:
+                status.append(f"values differ: {str(ex)[:300]}")
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'} / {len(qs) if not only else len(only)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
