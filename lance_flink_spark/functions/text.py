@@ -1,0 +1,118 @@
+"""Text-analysis column expressions for LLM-data pipelines.
+
+All pure Catalyst expressions (split/transform/filter/aggregate
+higher-order functions) — JVM-side, codegen'd, no Python in the path.
+Each has an exact DuckDB-SQL mirror used by the oracle gate, so the
+semantics are pinned cross-engine.
+
+Hash convention shared with dedup: ``md5i(s)`` = first 8 hex chars of
+md5 parsed as a bigint — reproducible in any engine with md5().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword langid heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une"),
+    "es": ("el", "los", "que", "y", "en", "un", "una"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def md5i(col: Column) -> Column:
+    """Deterministic 32-bit hash: int(md5(s)[:8], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (BPE-ish splitting belongs in a follow-up
+    regex; whitespace is the cross-engine-stable baseline)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the marker list."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax over per-language marker-hit counts; 'und' when no
+    marker hits at all. The cascade below (ties favor earlier langs in
+    en→fr→es→de order) is mirrored verbatim as a CASE in the oracle."""
+    h = {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    return (
+        F.when(
+            (h["en"] > 0) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]) & (h["en"] >= h["de"]),
+            F.lit("en"),
+        )
+        .when((h["fr"] > 0) & (h["fr"] >= h["es"]) & (h["fr"] >= h["de"]), F.lit("fr"))
+        .when((h["es"] > 0) & (h["es"] >= h["de"]), F.lit("es"))
+        .when(h["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: length saturation (40%), low punct
+    density (30%), stopword presence (30%). Same closed formula in the
+    oracle SQL."""
+    n_tok = token_count(text).cast("double")
+    n_chr = F.greatest(F.length(text), F.lit(1)).cast("double")
+    stop = marker_hits(text, STOPWORDS).cast("double")
+    return F.round(
+        F.least(F.lit(1.0), n_tok / 50.0) * 0.4
+        + (F.lit(1.0) - punct_count(text).cast("double") / n_chr) * 0.3
+        + F.least(F.lit(1.0), stop / F.greatest(n_tok, F.lit(1.0)) * 5.0) * 0.3,
+        6,
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint over normalized text — the exact-dedup key."""
+    return F.md5(normalize_text(text))
+
+
+def _shingle_range(count: Column) -> Column:
+    """sequence(1, count), or empty when count < 1 (Spark's sequence
+    would descend for 1 > stop — guard against that)."""
+    return F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as strings (1-based element_at, mirroring
+    DuckDB's 1-based list indexing)."""
+    arr = tokens(F.lower(text))
+    return F.transform(
+        _shingle_range(F.size(arr) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(n)]),
+    )
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    return F.transform(
+        _shingle_range(F.length(text) - (n - 1)),
+        lambda i: text.substr(i, F.lit(n)),
+    )

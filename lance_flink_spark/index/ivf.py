@@ -1,0 +1,267 @@
+"""IVF vector indexes: IVF_FLAT and IVF_PQ, Spark-native.
+
+Parity with LanceIndexBuilder.java:1-436 (IVF_FLAT / IVF_PQ with
+num-partitions, num-sub-vectors, num-bits) and the nprobes /
+refine-factor search surface of LanceVectorSearch.java.
+
+Spark-first mapping of the IVF idea:
+- *inverted lists* = a parquet dataset ``partitionBy("centroid_id")`` —
+  probing nprobes lists is a partition-pruned scan (Catalyst prunes
+  non-probed directories; at 100 TB only nprobes/nlist of the data is
+  read).
+- *centroid training* = Lloyd's k-means on a bounded driver-side
+  sample (≤ ``sample_size`` rows — the only collect in the pipeline,
+  same approach Lance itself takes with sampled training).
+- *assignment / PQ encoding* = Arrow-vectorized pandas UDFs over the
+  full distributed dataset (numpy matrix math per batch, no per-row
+  Python).
+- *PQ ADC search* = per-query lookup table broadcast into a pandas
+  UDF; optional exact re-scoring of ``refine_factor * k`` candidates
+  (reference's vector.refine-factor).
+
+IVF_HNSW is intentionally not a graph build (sequential, driver-bound
+— wrong shape for Spark; see SURVEY.md §6): ``build_hnsw`` raises
+NotImplementedError pointing at the IVF + refine path that serves the
+same high-recall need.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from lance_flink_spark.operators.similarity import knn as _brute_knn
+
+META = "_index_meta.json"
+
+
+# ---------- k-means (driver-side, bounded sample) ----------
+
+def _kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding for stable, well-spread centroids
+    centroids = [x[rng.randint(len(x))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((x[:, None, :] - np.stack(centroids)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        probs = d2 / max(d2.sum(), 1e-12)
+        centroids.append(x[rng.choice(len(x), p=probs)])
+    c = np.stack(centroids)
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            pts = x[assign == j]
+            if len(pts):
+                c[j] = pts.mean(0)
+    return c
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+class IVFIndex:
+    """An IVF index rooted at ``path``; see module docstring for layout."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ---------- build ----------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        vec_col: str = "embedding",
+        nlist: int = 256,
+        pq_sub_vectors: int | None = None,
+        pq_bits: int = 8,
+        sample_size: int = 262_144,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        """Build IVF_FLAT (pq_sub_vectors=None) or IVF_PQ."""
+        sample = np.stack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in df.select(vec_col).limit(sample_size).collect()
+            ]
+        )
+        dim = sample.shape[1]
+        cents = _kmeans(sample, nlist, seed=seed)
+
+        codebooks = None
+        if pq_sub_vectors is not None:
+            if dim % pq_sub_vectors:
+                raise ValueError(f"dim {dim} not divisible by m={pq_sub_vectors}")
+            sub = dim // pq_sub_vectors
+            ncodes = 2**pq_bits
+            # PQ trains on residuals to the coarse centroid (as Lance does)
+            d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            resid = sample - cents[d.argmin(1)]
+            codebooks = np.stack(
+                [
+                    _kmeans(resid[:, j * sub : (j + 1) * sub], ncodes, seed=seed + 1 + j, iters=15)
+                    for j in range(pq_sub_vectors)
+                ]
+            )  # (m, ncodes, sub)
+
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "centroids.npy"), cents)
+        if codebooks is not None:
+            np.save(os.path.join(path, "codebooks.npy"), codebooks)
+        with open(os.path.join(path, META), "w") as f:
+            json.dump(
+                {
+                    "nlist": nlist,
+                    "dim": dim,
+                    "pq_sub_vectors": pq_sub_vectors,
+                    "pq_bits": pq_bits,
+                    "vec_col": vec_col,
+                },
+                f,
+            )
+
+        # distributed assignment (+ PQ encoding): one Arrow-batched pass
+        cents_b = spark.sparkContext.broadcast(cents)
+        cb_b = spark.sparkContext.broadcast(codebooks) if codebooks is not None else None
+        m = pq_sub_vectors
+
+        @pandas_udf("int")
+        def assign_centroid(v: pd.Series) -> pd.Series:
+            x = _stack(v)
+            c = cents_b.value
+            d = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
+            return pd.Series(d.argmin(1).astype(np.int32))
+
+        out = df.withColumn("centroid_id", assign_centroid(F.col(vec_col)))
+
+        if codebooks is not None:
+
+            @pandas_udf("array<int>")
+            def pq_encode(v: pd.Series, cid: pd.Series) -> pd.Series:
+                x = _stack(v)
+                cb = cb_b.value  # (m, ncodes, sub)
+                resid = x - cents_b.value[cid.to_numpy()]
+                sub = resid.shape[1] // m
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for j in range(m):
+                    r = resid[:, j * sub : (j + 1) * sub]
+                    cbj = cb[j]
+                    d = (r * r).sum(1)[:, None] - 2 * r @ cbj.T + (cbj * cbj).sum(1)[None, :]
+                    codes[:, j] = d.argmin(1)
+                return pd.Series(list(codes))
+
+            out = out.withColumn("pq_code", pq_encode(F.col(vec_col), F.col("centroid_id")))
+
+        (
+            out.repartition("centroid_id")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "lists"))
+        )
+        return cls(path)
+
+    # ---------- search ----------
+
+    def _meta(self) -> dict:
+        with open(os.path.join(self.path, META)) as f:
+            return json.load(f)
+
+    def _probe_lists(self, spark: SparkSession, query_vec: list[float], nprobes: int) -> DataFrame:
+        cents = np.load(os.path.join(self.path, "centroids.npy"))
+        q = np.asarray(query_vec, dtype=np.float64)
+        order = (((cents - q) ** 2).sum(1)).argsort()
+        probed = [int(i) for i in order[: min(nprobes, len(cents))]]
+        lists = spark.read.parquet(os.path.join(self.path, "lists"))
+        # IN-filter on the partition column → directory-level pruning
+        return lists.filter(F.col("centroid_id").isin(probed))
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int,
+        nprobes: int = 20,
+        metric: str = "l2",
+        filter: str | None = None,  # noqa: A002
+    ) -> DataFrame:
+        """IVF_FLAT search: probe, then exact distances in the probed
+        lists only. With nprobes >= nlist this is exact brute force."""
+        meta = self._meta()
+        cand = self._probe_lists(spark, query_vec, nprobes).drop("centroid_id", "pq_code")
+        return _brute_knn(cand, query_vec, k, vec_col=meta["vec_col"], metric=metric, filter=filter)
+
+    def search_pq(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int,
+        nprobes: int = 20,
+        refine_factor: int | None = 4,
+    ) -> DataFrame:
+        """IVF_PQ search: ADC over pq codes in probed lists, then exact
+        re-scoring of refine_factor*k candidates (vector.refine-factor)."""
+        meta = self._meta()
+        if meta["pq_sub_vectors"] is None:
+            raise ValueError("index was built without PQ")
+        cents = np.load(os.path.join(self.path, "centroids.npy"))
+        cb = np.load(os.path.join(self.path, "codebooks.npy"))  # (m, ncodes, sub)
+        q = np.asarray(query_vec, dtype=np.float64)
+        m, _, sub = cb.shape
+
+        cand = self._probe_lists(spark, query_vec, nprobes)
+        cents_b = spark.sparkContext.broadcast(cents)
+        cb_b = spark.sparkContext.broadcast(cb)
+
+        @pandas_udf("double")
+        def adc(codes: pd.Series, cid: pd.Series) -> pd.Series:
+            # per-batch LUT: distance of each query sub-vector (residual
+            # per coarse centroid) to each codebook entry
+            codes_m = np.stack(codes.to_numpy())  # (n, m)
+            cids = cid.to_numpy()
+            out = np.zeros(len(codes_m))
+            for c_id in np.unique(cids):
+                mask = cids == c_id
+                resid_q = q - cents_b.value[c_id]
+                lut = np.stack(
+                    [
+                        ((cb_b.value[j] - resid_q[j * sub : (j + 1) * sub]) ** 2).sum(1)
+                        for j in range(m)
+                    ]
+                )  # (m, ncodes)
+                out[mask] = lut[np.arange(m)[None, :], codes_m[mask]].sum(1)
+            return pd.Series(np.sqrt(out))
+
+        scored = cand.withColumn("adc_distance", adc(F.col("pq_code"), F.col("centroid_id")))
+        if refine_factor:
+            short = scored.orderBy("adc_distance").limit(k * refine_factor).drop(
+                "adc_distance", "centroid_id", "pq_code"
+            )
+            return _brute_knn(short, query_vec, k, vec_col=meta["vec_col"], metric="l2")
+        out_cols = [c for c in scored.columns if c not in (meta["vec_col"], "pq_code", "centroid_id")]
+        return (
+            scored.select(*out_cols, F.round("adc_distance", 6).alias("distance"))
+            .orderBy("distance", out_cols[0])
+            .limit(k)
+        )
+
+
+def build_hnsw(*_args, **_kwargs):
+    """IVF_HNSW graph build — see SURVEY.md §6. A true HNSW build is a
+    sequential in-memory graph construction; on Spark the equivalent
+    high-recall path is IVFIndex.build + search(refine). Kept as an
+    explicit stub for API parity with LanceIndexBuilder IndexType."""
+    raise NotImplementedError(
+        "HNSW graph build is driver-sequential by nature; use IVFIndex "
+        "with higher nprobes / refine_factor for the high-recall path"
+    )

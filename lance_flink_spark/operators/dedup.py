@@ -1,0 +1,201 @@
+"""Deduplication operators for LLM-data pipelines.
+
+All are single-pass DataFrame pipelines designed so candidate
+generation is *blocked* (hash buckets / LSH bands / sign buckets) —
+never an unblocked O(n²) self-join — which is what keeps them viable
+at 100 TB:
+
+- exact: fingerprint groupBy (1 shuffle on the hash).
+- minhash LSH: K signature components via min-over-shingle-hashes;
+  candidate pairs must share a (component, value) bucket — the join
+  key is the bucket, so the shuffle carries docs-per-bucket, not
+  pairs.
+- simhash: 16-bit sign-of-weighted-sum signature; pairs compared
+  within lang blocks by hamming distance.
+- n-gram jaccard: exact set jaccard via shingle-inverted-index
+  self-join (blocked on lang).
+- embedding: cosine pairs blocked on the sign-pattern of the leading
+  dimensions (deterministic data-derived LSH — no RNG to keep the
+  DuckDB oracle bit-identical).
+
+Hashing is md5-derived (functions.text.md5i) so every engine with
+md5() reproduces the exact signatures — the oracle gate runs the same
+math in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lance_flink_spark.functions import vector as V
+from lance_flink_spark.functions.text import fingerprint, md5i, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups by content fingerprint; keeps the smallest id.
+    Returns (keep_id, n_copies)."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def _shingle_df(df: DataFrame, text_col: str, id_col: str, block_col: str | None) -> DataFrame:
+    cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    return (
+        df.select(*cols, F.explode(word_shingles(F.col(text_col))).alias("gram"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
+) -> DataFrame:
+    """(id, component i ∈ [0,k), sig) — sig_i = min over shingles of
+    md5i(i || '|' || shingle). k md5 evaluations per shingle, all
+    JVM-side; one shuffle to the (id, i) min-aggregate."""
+    grams = _shingle_df(df, text_col, id_col, None)
+    comp = grams.select(
+        id_col, "gram", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    )
+    return comp.groupBy(id_col, "i").agg(
+        F.min(md5i(F.concat_ws("|", F.col("i"), F.col("gram")))).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_matches: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs: share ≥ min_matches of k minhash
+    components (est. jaccard ≥ min_matches/k). Join key is
+    (component, signature value) — a bucket join, never all-pairs."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    a = sigs.select(F.col(id_col).alias("id_a"), "i", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "i", "sig")
+    return (
+        a.join(b, ["i", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(id, sig): bit j of sig = majority vote of bit j over shingle
+    hashes (classic simhash, 16-bit for cross-engine int safety)."""
+    grams = _shingle_df(df, text_col, id_col, None)
+    h = grams.select(id_col, md5i(F.col("gram")).alias("h"))
+    bit = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        "h",
+    ).select(
+        id_col,
+        "j",
+        # shiftright/shiftleft builtins require literal shift amounts;
+        # the SQL form accepts a column
+        (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+    )
+    votes = bit.groupBy(id_col, "j").agg(F.sum("v").alias("s"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+        ).alias("sig")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance within blocks.
+    At scale, block additionally on signature bands (sig >> 8)."""
+    sigs = simhash_signatures(df, text_col, id_col).join(
+        df.select(id_col, block_col), id_col
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), block_col)
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), block_col)
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle-set jaccard via inverted-index self-join, blocked
+    on ``block_col``. Returns (id_a, id_b, jaccard rounded 6dp)."""
+    grams = _shingle_df(df, text_col, id_col, block_col)
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), "gram")
+    inter = (
+        a.join(b, ["blk", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    # filter on the ROUNDED value so the cutoff is bit-identical across
+    # engines (the oracle applies the same rounded threshold)
+    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    sign_dims: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold among rows sharing
+    the sign pattern of the first ``sign_dims`` dimensions (a
+    deterministic, data-derived LSH bucket — high-cosine pairs almost
+    always share leading signs). Returns (id_a, id_b, cosine 6dp)."""
+    sign_bits = sum(
+        (
+            F.when(F.element_at(F.col(vec_col), j + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+            * (2**j)
+            for j in range(sign_dims)
+        ),
+        start=F.lit(0),
+    )
+    e = df.select(F.col(id_col), F.col(vec_col), sign_bits.alias("blk"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "blk")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "blk")
+    cos = F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", cos.alias("cosine"))
+    )

@@ -1,0 +1,94 @@
+"""KNN search operators — brute-force baseline + similarity join.
+
+Parity with LanceVectorSearch.java (search(query,k), search with
+filter, metrics L2/COSINE/DOT, SearchResult distance+similarity) and
+table/LanceVectorSearchFunction.java (SQL-side KNN over a set of
+query vectors).
+
+Scale design:
+- ``knn``: the query vector is a literal folded into the plan; the
+  top-k is ``orderBy(dist).limit(k)`` which Spark executes as
+  TakeOrderedAndProject — per-partition bounded heap, driver merges k
+  rows per partition. No shuffle of the corpus, ever.
+- ``knn_join``: Q queries × N corpus is a broadcast nested-loop on the
+  (small) query side followed by a per-query window top-k. The corpus
+  is never shuffled; the rank shuffle moves only Q×N scored rows — at
+  scale use ``index.ivf`` to cut the N side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lance_flink_spark.functions import vector as V
+
+
+def _query_literal(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    filter: str | None = None,  # noqa: A002 - mirrors reference API
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Top-k rows of ``df`` nearest to ``query_vec``.
+
+    Returns the input columns (minus the vector) + ``distance`` and
+    ``similarity`` (reference SearchResult contract). ``filter`` is a
+    SQL predicate applied before scoring (pushdown-eligible), matching
+    LanceVectorSearch.search(query, k, filter).
+    """
+    q = _query_literal(query_vec)
+    if filter:
+        df = df.filter(filter)
+    dist = V.distance(metric, F.col(vec_col), q)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    out_cols = [c for c in df.columns if c != vec_col]
+    scored = df.select(*out_cols, dist.alias("distance"))
+    # deterministic tie-break on the first id-like column if present
+    order = [F.asc("distance")] + [F.asc(c) for c in out_cols[:1]]
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("similarity", F.round(F.lit(1.0) - F.col("distance"), 6))
+    )
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    metric: str = "cosine",
+    round_to: int = 6,
+) -> DataFrame:
+    """For each row of ``queries_df``, the top-k nearest corpus rows.
+
+    Output: (query_id, neighbor_id, distance, rn). The query side is
+    broadcast; ranking partitions by query_id only.
+    """
+    q = queries_df.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec_col).alias("__qvec")
+    )
+    c = corpus_df.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec_col).alias("__cvec")
+    )
+    dist = F.round(V.distance(metric, F.col("__cvec"), F.col("__qvec")), round_to)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id), "neighbor_id", dist.alias("distance")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

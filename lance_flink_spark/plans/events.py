@@ -1,0 +1,134 @@
+"""Registry entries: event-time windows (batch + streaming), session
+windows, stateful streaming, JSON extraction, multimodal metadata
+(SURVEY §2 #24-29, #41)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_flink_spark.functions.multimodal import extract_metadata, to_binary_docs
+from lance_flink_spark.registry import query, table
+from lance_flink_spark.streaming.windows import sessionize, sliding_agg, tumbling_agg
+
+_TUMBLING_ORACLE = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling", oracle=_TUMBLING_ORACLE)
+def events_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time windows (batch plan, shared with the
+    streaming entry below — unified engine)."""
+    return tumbling_agg(table(spark, sf_dir, "events"), window="1 hour")
+
+
+@query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling(spark, sf_dir):
+    """The SAME tumbling aggregate run as a Structured Streaming
+    pipeline (readStream → watermark → window → availableNow → memory
+    sink). Its final state must equal the batch oracle — the
+    correctness contract Flink users expect from event-time windows."""
+    from lance_flink_spark.streaming.pipeline import streaming_tumbling_agg
+
+    return streaming_tumbling_agg(spark, sf_dir, window="1 hour")
+
+
+@query(
+    "events_sliding",
+    oracle="""
+    SELECT ws AS window_start_s, COUNT(*) AS n_events,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * i AS BIGINT) AS ws, value
+          FROM events, unnest(range(0, 2)) t(i)) w
+    GROUP BY ws
+    """,
+)
+def events_sliding(spark, sf_dir):
+    """Sliding 10min/5min windows — every event in exactly 2 windows;
+    the oracle replicates rows over the two candidate window starts."""
+    return sliding_agg(table(spark, sf_dir, "events"), window="10 minutes", slide="5 minutes")
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g),
+    ps AS (SELECT user_id, sess_id, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           MAX(n) AS max_session_events
+    FROM ps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based session windows (30 min), batch sessionization dual of
+    Flink session windows."""
+    return sessionize(table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query("streaming_stateful_counters")  # rows-only: custom stateful op
+def streaming_stateful_counters(spark, sf_dir):
+    """applyInPandasWithState running per-user counters
+    (KeyedProcessFunction parity). Rows-only in the gate;
+    tests/test_streaming.py pins the values against batch aggregation."""
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+    from lance_flink_spark.streaming.stateful import running_user_counters
+
+    events = stream_events(spark, sf_dir, watermark="1 hour")
+    out = running_user_counters(events)
+    t = run_to_memory(out, mode="update")
+    return (
+        spark.table(t)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+    )
+
+
+@query(
+    "events_json",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json(spark, sf_dir):
+    """Semi-structured props: JSON path extraction + aggregate
+    (get_json_object stays JVM-side)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 6).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Binary-column pipeline: text→bytes stand-in blobs through the
+    mapInPandas metadata extractor; byte-level metadata is the
+    oracle-checkable surface (the stub feature vector is pytest-pinned)."""
+    blobs = to_binary_docs(table(spark, sf_dir, "documents"))
+    return extract_metadata(blobs).select("doc_id", "n_bytes", "head_hex")

@@ -1,0 +1,253 @@
+"""Registry entries for text analysis + dedup (SURVEY §2 #30-40).
+
+Every oracle below re-implements the exact same math in DuckDB SQL —
+including the md5-derived hashing — so even the MinHash/SimHash
+signatures are bit-identical across engines (upgraded from the
+rows-only plan in SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_flink_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from lance_flink_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from lance_flink_spark.registry import query, table
+
+# ---------- shared DuckDB SQL fragments ----------
+
+_MD5I = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# distinct 3-word shingles per doc (1-based list indexing, as in Spark element_at)
+_GRAMS = f"""
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, {_TOKS} AS arr FROM documents) t,
+        unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+               i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(gram)
+"""
+
+
+def _hits(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS}, x -> x IN ({lst})))"
+
+
+# ---------- text analysis ----------
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """Token counting (whitespace tokenizer), per document."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+
+
+_LANGID_CASE = f"""
+    CASE WHEN h_en > 0 AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_de THEN 'en'
+         WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+         WHEN h_es > 0 AND h_es >= h_de THEN 'es'
+         WHEN h_de > 0 THEN 'de'
+         ELSE 'und' END
+"""
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT lang, pred_lang, COUNT(*) AS n FROM (
+        SELECT lang, {_LANGID_CASE} AS pred_lang FROM (
+            SELECT lang,
+                   {_hits(LANG_MARKERS['en'])} AS h_en,
+                   {_hits(LANG_MARKERS['fr'])} AS h_fr,
+                   {_hits(LANG_MARKERS['es'])} AS h_es,
+                   {_hits(LANG_MARKERS['de'])} AS h_de
+            FROM documents) h) p
+    GROUP BY lang, pred_lang
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic (stopword-marker argmax) → confusion
+    counts against the labeled lang column."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(LEAST(1.0, n_tok / 50.0) * 0.4
+                 + (1.0 - punct / GREATEST(n_chr, 1.0)) * 0.3
+                 + LEAST(1.0, stop / GREATEST(n_tok, 1.0) * 5.0) * 0.3, 6) AS quality
+    FROM (
+        SELECT doc_id,
+               (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+               length(text)::DOUBLE AS n_chr,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+               ({_hits(LANG_MARKERS['en'])})::DOUBLE AS stop
+        FROM documents) m
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality score: length saturation + punctuation density +
+    stopword presence, one closed formula (see functions.text)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized content fingerprint (md5 over lowercased,
+    punctuation-collapsed text)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------- dedup ----------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content fingerprint; one shuffle on the hash."""
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+_SIGS = f"""
+    SELECT doc_id, i,
+           MIN({_MD5I.format(x="concat(i, '|', gram)")}) AS sig
+    FROM ({_GRAMS}) g, unnest(range(0, 16)) c(i)
+    GROUP BY doc_id, i
+"""
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    SELECT id_a, id_b, n_matches FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_matches
+        FROM ({_SIGS}) a JOIN ({_SIGS}) b
+          ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) m
+    WHERE n_matches >= 8
+    """,
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 16 md5-derived signature
+    components, pairs sharing ≥ 8 (est. jaccard ≥ 0.5). Bucket join on
+    (component, value) — shuffle carries buckets, never all-pairs."""
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), k=16, min_matches=8)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_MD5I.format(x='gram')} AS h FROM ({_GRAMS}) g),
+    bits AS (
+        SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+        FROM h, unnest(range(0, 16)) t(j) GROUP BY doc_id, j),
+    sigs AS (
+        SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+        FROM bits GROUP BY doc_id),
+    sl AS (SELECT s.doc_id, s.sig, d.lang FROM sigs s JOIN documents d USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+    FROM sl a JOIN sl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash (16-bit majority-vote signature) near-dup pairs within
+    lang blocks, hamming ≤ 3."""
+    return simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (
+        SELECT DISTINCT d.doc_id, d.lang, u.gram FROM (
+            SELECT doc_id, lang, {_TOKS} AS arr FROM documents) d,
+            unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+                   i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(gram)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-word-shingle jaccard ≥ 0.3 via inverted-index self-join
+    blocked on lang."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.3)
+
+
+_SIGN_BLK = " + ".join(
+    f"(CASE WHEN embedding[{j+1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(8)
+)
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {_SIGN_BLK} AS blk
+        FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.5) blocked on the
+    deterministic sign pattern of the leading 8 dims."""
+    return embedding_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.5)

@@ -230,7 +230,7 @@ def top_parts_per_brand(spark, sf_dir):
     p = table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        p.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn"))
+        p.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= 3)
     )
 

@@ -1,0 +1,184 @@
+"""Registry entries for the vector suite (SURVEY §2 #10-16).
+
+The query vector is the embedding of vec_id=0 (fetched as a 1-row
+lookup, folded into the plan as a literal); oracles reproduce it with
+a scalar subquery so both sides score against identical bytes.
+Distances are computed in double and rounded to 6dp on both sides —
+the ordering key is the *rounded* distance + vec_id, so cross-engine
+fp noise can't reorder the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_flink_spark.index.ivf import IVFIndex
+from lance_flink_spark.operators.similarity import knn, knn_join
+from lance_flink_spark.registry import query, scratch_dir, table
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+_Q0 = "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+
+
+@query(
+    "knn_l2",
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def knn_l2(spark, sf_dir):
+    """Brute-force KNN, L2 (LanceVectorSearch MetricType.L2)."""
+    df = table(spark, sf_dir, "embeddings")
+    return knn(df, _query_vec(spark, sf_dir), k=10, metric="l2").select("vec_id", "distance")
+
+
+@query(
+    "knn_cosine",
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def knn_cosine(spark, sf_dir):
+    """Brute-force KNN, cosine distance (MetricType.COSINE)."""
+    df = table(spark, sf_dir, "embeddings")
+    return knn(df, _query_vec(spark, sf_dir), k=10, metric="cosine").select("vec_id", "distance")
+
+
+@query(
+    "knn_dot",
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(-list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def knn_dot(spark, sf_dir):
+    """Brute-force KNN, dot product (MetricType.DOT; distance = -dot,
+    matching 'higher inner product = closer')."""
+    df = table(spark, sf_dir, "embeddings")
+    return knn(df, _query_vec(spark, sf_dir), k=10, metric="dot").select("vec_id", "distance")
+
+
+@query(
+    "knn_filtered",
+    oracle=f"""
+    SELECT vec_id, label, distance FROM (
+        SELECT e.vec_id, e.label,
+               ROUND(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q
+        WHERE e.label = 2)
+    ORDER BY distance, vec_id LIMIT 5
+    """,
+)
+def knn_filtered(spark, sf_dir):
+    """KNN with SQL pre-filter (LanceVectorSearch.search(query, k,
+    filter), LanceVectorSearch.java:133). The predicate applies before
+    scoring and reaches the scan."""
+    df = table(spark, sf_dir, "embeddings")
+    return knn(
+        df, _query_vec(spark, sf_dir), k=5, metric="cosine", filter="label = 2"
+    ).select("vec_id", "label", "distance")
+
+
+@query(
+    "knn_join",
+    oracle="""
+    SELECT query_id, neighbor_id, distance, rn FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(1 - list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS distance,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(1 - list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6),
+                            c.vec_id) AS rn
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 5 AND c.vec_id >= 5) t
+    WHERE rn <= 3
+    """,
+)
+def knn_join_entry(spark, sf_dir):
+    """Batch KNN join: 5 query vectors × corpus, top-3 each
+    (table/LanceVectorSearchFunction.java SQL surface)."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return knn_join(queries, corpus, k=3, query_id="query_id")
+
+
+def _ivf_flat(spark, sf_dir) -> IVFIndex:
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = scratch_dir("ivf_flat" + tag)
+    import os
+
+    if not os.path.exists(os.path.join(path, "_index_meta.json")):
+        IVFIndex.build(
+            spark, table(spark, sf_dir, "embeddings"), path, nlist=8, sample_size=100_000
+        )
+    return IVFIndex(path)
+
+
+@query(
+    "ivf_flat_search",
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def ivf_flat_search(spark, sf_dir):
+    """IVF_FLAT build + search (LanceIndexBuilder IVF_FLAT). Probing
+    all nlist=8 lists makes the result exact, so the brute-force SQL is
+    a valid oracle; bench exercises the nprobes<nlist fast path."""
+    idx = _ivf_flat(spark, sf_dir)
+    return idx.search(
+        spark, _query_vec(spark, sf_dir), k=10, nprobes=8, metric="l2"
+    ).select("vec_id", "distance")
+
+
+@query("ivf_pq_search")  # rows-only: ADC quantization error is index-specific
+def ivf_pq_search(spark, sf_dir):
+    """IVF_PQ build + ADC search with exact refine (LanceIndexBuilder
+    IVF_PQ, vector.refine-factor). Rows-only check: PQ results are
+    approximate by construction; tests/test_index.py asserts recall
+    against brute force instead."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = scratch_dir("ivf_pq" + tag)
+    import os
+
+    if not os.path.exists(os.path.join(path, "_index_meta.json")):
+        IVFIndex.build(
+            spark,
+            table(spark, sf_dir, "embeddings"),
+            path,
+            nlist=8,
+            pq_sub_vectors=8,
+            pq_bits=4,
+            sample_size=100_000,
+        )
+    idx = IVFIndex(path)
+    return idx.search_pq(
+        spark, _query_vec(spark, sf_dir), k=10, nprobes=8, refine_factor=4
+    ).select("vec_id", "distance")

@@ -29,6 +29,18 @@ def query(name: str, oracle: str | None = None):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a benchmark table. The events table carries TIMESTAMP(NANOS)
+    which Spark refuses by default — read nanos as long (runtime conf)
+    and convert to a microsecond timestamp (exact integer div, no fp)."""
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -87,12 +87,13 @@ class Dataset:
         with open(self._manifest_path()) as f:
             return json.load(f)
 
-    def _commit(self, mode: str, fragment: str) -> int:
+    def _commit(self, mode: str, fragment: str, tag: str | None = None) -> int:
         man = self._load_manifest()
         version = len(man["versions"]) + 1
-        man["versions"].append(
-            {"version": version, "mode": mode, "fragment": fragment, "ts": time.time()}
-        )
+        entry = {"version": version, "mode": mode, "fragment": fragment, "ts": time.time()}
+        if tag is not None:
+            entry["tag"] = tag
+        man["versions"].append(entry)
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(man, f)
@@ -125,15 +126,24 @@ class Dataset:
         df: DataFrame,
         mode: str = "append",
         max_rows_per_file: int = 1_000_000,
+        tag: str | None = None,
     ) -> int:
         """Write ``df`` as a new dataset version. Returns the version.
 
         ``max_rows_per_file`` maps to spark.sql.files.maxRecordsPerFile
         so executors split large partitions into bounded files — the
         same contract as the reference's write.max-rows-per-file.
+
+        ``tag`` is an idempotency token recorded atomically with the
+        manifest commit: if a version with this tag already exists the
+        write is a no-op (exactly-once for replayed micro-batches —
+        data files written before a crash stay invisible because only
+        the manifest makes fragments live).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"write mode must be append|overwrite, got {mode!r}")
+        if tag is not None and self.find_tag(tag) is not None:
+            return self.find_tag(tag)
         frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, frag)
         (
@@ -141,7 +151,13 @@ class Dataset:
             .mode("errorifexists")
             .parquet(out)
         )
-        return self._commit(mode, frag)
+        return self._commit(mode, frag, tag=tag)
+
+    def find_tag(self, tag: str) -> int | None:
+        for v in self._load_manifest()["versions"]:
+            if v.get("tag") == tag:
+                return v["version"]
+        return None
 
     # ---------- read (source parity: LanceSource.java, LanceInputFormat.java) ----------
 

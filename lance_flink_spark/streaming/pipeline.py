@@ -1,0 +1,77 @@
+"""Structured Streaming pipelines: readStream → watermark → window →
+sink, with availableNow used to run a bounded stream to completion.
+
+Flink-parity: the reference's streaming source/sink
+(LanceSource.java streaming mode, LanceSink.java checkpointing) maps
+to readStream + checkpointed writeStream. Event-time + watermark
+replaces Flink's watermark generators; the window plans are shared
+with batch (streaming/windows.py).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lance_flink_spark.registry import scratch_dir
+from lance_flink_spark.streaming.windows import tumbling_agg
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming read of the events table (schema inferred
+    from a batch peek — file streams require an explicit schema)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import os
+
+    src = f"{sf_dir}/events.parquet"
+    # the file stream source requires a directory: stage a symlink dir
+    d = scratch_dir("stream_src" + sf_dir.rstrip("/").replace("/", "_"))
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    path = d
+    # nanos timestamps: read as long, convert to µs (see registry.table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(path)
+    if isinstance(schema[ts_col].dataType, T.LongType):
+        sdf = sdf.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    return sdf.withWatermark(ts_col, watermark)
+
+
+def run_to_memory(result: DataFrame, name: str | None = None, mode: str = "complete") -> str:
+    """Run a (bounded) streaming DataFrame to completion with the
+    availableNow trigger into an in-memory table; returns the table
+    name. Checkpointed like a production run, so restarts resume."""
+    table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(mode)
+        .option("checkpointLocation", scratch_dir("ckpt", table))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str, window: str = "1 hour") -> DataFrame:
+    """End-to-end streaming pipeline whose final state equals the batch
+    tumbling aggregate (unified-engine check: one batch oracle serves
+    both)."""
+    events = stream_events(spark, sf_dir, watermark="1 hour")
+    table = run_to_memory(tumbling_agg(events, window=window))
+    return spark.table(table)

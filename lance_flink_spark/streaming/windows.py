@@ -1,0 +1,97 @@
+"""Event-time windowing — batch and streaming share these plans.
+
+Flink-parity surface (the reference is a Flink connector; windowed
+aggregation over event streams is the core Flink capability its users
+run): tumbling, sliding (hopping), and gap-based session windows with
+event-time semantics.
+
+Batch and Structured Streaming use the *same* F.window expressions —
+the functions below take any DataFrame (static or streaming), which is
+exactly Spark's unified-engine model. Window starts are emitted as
+epoch seconds (long) so results hash identically across engines.
+
+Scale: windowed aggs pre-aggregate map-side per (key, window) before
+the shuffle; sliding windows replicate each row size/slide times —
+keep that ratio small (2 here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """COUNT + SUM(value) per (window, key). Output window_start_s as
+    epoch seconds."""
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping windows: each event lands in window/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch gap-based sessionization via window functions (the SQL
+    dual of Flink session windows / F.session_window): a session break
+    is a gap > gap_seconds; session id = running sum of breaks.
+
+    Returns per-user (n_sessions, n_events, max_session_events).
+    One shuffle on user_id serves both window functions and the final
+    aggregate (same partitioning)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    t = F.col(ts_col).cast("double")
+    brk = F.when(t - F.lag(t).over(w) > float(gap_seconds), 1).otherwise(0)
+    sess = events.select(
+        user_col,
+        F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("sess_id"),
+    )
+    per_sess = sess.groupBy(user_col, "sess_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )

@@ -1,0 +1,106 @@
+"""Dedup + text-analysis semantics on constructed corpora (the oracle
+gate checks cross-engine parity; these pin intended behavior)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lance_flink_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from lance_flink_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE, lang="en"),
+        Row(doc_id=2, text=BASE, lang="en"),  # exact dup of 1
+        Row(doc_id=3, text=BASE.replace("lazy", "sleepy"), lang="en"),  # near dup
+        Row(doc_id=4, text="completely different words entirely unrelated content here", lang="en"),
+        Row(doc_id=5, text="le chat et le chien et la maison", lang="fr"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, keeper is min id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_exact_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello,  World!"), Row(doc_id=2, text="hello world")]
+    )
+    assert exact_dedup(df).count() == 1
+
+
+def test_minhash_finds_near_dup_pair(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, min_matches=8).collect()}
+    assert (1, 2) in pairs  # identical docs share all 16 components
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_identical_have_zero_hamming(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] <= 6  # near dup → small hamming
+
+
+def test_jaccard_exact_values(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.3 < out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_token_count_and_edge_cases(spark):
+    df = spark.createDataFrame(
+        [Row(t="one two  three"), Row(t="   "), Row(t="single")]
+    )
+    got = [r["n"] for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0, 1]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog is here"),
+            Row(t="le chien et la maison de paris"),
+            Row(t="el gato y la casa que es"),
+            Row(t="der hund und die katze ist da"),
+            Row(t="xyzzy plugh qwerty"),
+        ]
+    )
+    got = [r["l"] for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "fr", "es", "de", "und"]
+
+
+def test_quality_score_ranges(spark, docs):
+    vals = [r["q"] for r in docs.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame([Row(a="Foo  Bar!", b="foo bar")])
+    r = df.select(
+        fingerprint(F.col("a")).alias("fa"), fingerprint(F.col("b")).alias("fb")
+    ).first()
+    assert r["fa"] == r["fb"]
+
+
+def test_word_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([Row(t="just two")])
+    assert df.select(word_shingles(F.col("t")).alias("s")).first()["s"] == []

@@ -1,0 +1,73 @@
+"""Streaming: windows = batch parity, exactly-once sink replay,
+stateful operator vs batch aggregate."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lance_flink_spark.registry import table
+from lance_flink_spark.sources.dataset import Dataset
+from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+from lance_flink_spark.streaming.sink import ExactlyOnceDatasetSink
+from lance_flink_spark.streaming.stateful import running_user_counters
+from lance_flink_spark.streaming.windows import sessionize, tumbling_agg
+
+from conftest import SF_DIR
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    batch = tumbling_agg(table(spark, SF_DIR, "events"))
+    t = run_to_memory(tumbling_agg(stream_events(spark, SF_DIR)))
+    stream = spark.table(t)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        Row(user_id=1, event_id=i, ts=f"2024-01-01 00:{m:02d}:00")
+        for i, m in enumerate([0, 5, 10, 50, 55])  # 30min gap after :10
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, gap_seconds=1800).first()
+    assert out["n_sessions"] == 2
+    assert out["n_events"] == 5
+    assert out["max_session_events"] == 3
+
+
+def test_exactly_once_sink_replay(spark, tmp_path_str):
+    sink = ExactlyOnceDatasetSink(tmp_path_str + "/sink")
+    df = spark.createDataFrame([Row(id=i) for i in range(10)])
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 0)  # replayed micro-batch must be a no-op
+    sink.write_batch(df, 1)
+    assert Dataset(sink.dataset.path).read(spark).count() == 20
+
+
+def test_stateful_counters_match_batch(spark):
+    events = stream_events(spark, SF_DIR)
+    t = run_to_memory(running_user_counters(events), mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 2))
+        for r in spark.table(t).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_multimodal_stub_pipeline(spark):
+    from lance_flink_spark.functions.multimodal import extract_metadata, to_binary_docs
+
+    docs = table(spark, SF_DIR, "documents").limit(20)
+    out = extract_metadata(to_binary_docs(docs))
+    rows = out.collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert len(r["feature"]) == 3 and r["feature"][0] == float(r["n_bytes"])

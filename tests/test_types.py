@@ -1,0 +1,64 @@
+"""Arrow ↔ Spark type mapping — mirrors LanceTypeConverterTest."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+
+from lance_flink_spark.sources.types import (
+    arrow_schema_to_spark,
+    arrow_type_to_spark,
+    spark_type_to_arrow,
+)
+
+
+@pytest.mark.parametrize(
+    "arrow_t,spark_t",
+    [
+        (pa.int8(), T.ByteType()),
+        (pa.int16(), T.ShortType()),
+        (pa.int32(), T.IntegerType()),
+        (pa.int64(), T.LongType()),
+        (pa.float32(), T.FloatType()),
+        (pa.float64(), T.DoubleType()),
+        (pa.string(), T.StringType()),
+        (pa.bool_(), T.BooleanType()),
+        (pa.binary(), T.BinaryType()),
+        (pa.date32(), T.DateType()),
+    ],
+)
+def test_primitives(arrow_t, spark_t):
+    assert arrow_type_to_spark(arrow_t) == spark_t
+
+
+def test_timestamp_and_decimal():
+    assert arrow_type_to_spark(pa.timestamp("us")) == T.TimestampType()
+    assert arrow_type_to_spark(pa.decimal128(10, 2)) == T.DecimalType(10, 2)
+
+
+def test_vector_column_mapping():
+    # FixedSizeList<Float> ↔ ARRAY<FLOAT> — the embedding column type
+    assert arrow_type_to_spark(pa.list_(pa.float32(), 64)) == T.ArrayType(T.FloatType())
+    assert arrow_type_to_spark(pa.list_(pa.float32())) == T.ArrayType(T.FloatType())
+
+
+def test_struct_roundtrip():
+    s = pa.schema([("id", pa.int64()), ("emb", pa.list_(pa.float32()))])
+    spark_schema = arrow_schema_to_spark(s)
+    assert spark_schema == T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+
+def test_spark_to_arrow():
+    assert spark_type_to_arrow(T.ArrayType(T.FloatType())) == pa.list_(pa.float32())
+    assert spark_type_to_arrow(T.TimestampType()) == pa.timestamp("us")
+    with pytest.raises(TypeError):
+        spark_type_to_arrow(T.NullType())
+
+
+def test_unsupported_arrow_type():
+    with pytest.raises(TypeError):
+        arrow_type_to_spark(pa.duration("s"))
