@@ -31,8 +31,8 @@ def main() -> None:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            n = df.count() if df.isStreaming is False else -1
-            _ = df.limit(10000).collect()
+            # single full materialization, no driver transfer
+            df.write.mode("overwrite").format("noop").save()
             times[name] = round(time.time() - t0, 3)
         except Exception as ex:  # noqa: BLE001
             print(f"bench error in {name}: {ex}", file=sys.stderr)

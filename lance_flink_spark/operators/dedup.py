@@ -49,18 +49,41 @@ def _shingle_df(df: DataFrame, text_col: str, id_col: str, block_col: str | None
     )
 
 
+# universal-hash family for minhash: h_i(x) = (A[i]*h + B[i]) mod P with
+# one md5-derived base hash h < 2^32. A[i] < 2^31 keeps A*h < 2^63 (no
+# overflow in either engine); P = 2^61-1. Constants are the single
+# source of truth for both the Spark plan and the DuckDB oracle.
+MINHASH_P = (1 << 61) - 1
+MINHASH_A = [(2 * i + 1) * 2654435761 % (1 << 31) for i in range(64)]
+MINHASH_B = [(i * 40503 * 65537 + 1) % (1 << 31) for i in range(64)]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
 ) -> DataFrame:
     """(id, component i ∈ [0,k), sig) — sig_i = min over shingles of
-    md5i(i || '|' || shingle). k md5 evaluations per shingle, all
-    JVM-side; one shuffle to the (id, i) min-aggregate."""
-    grams = _shingle_df(df, text_col, id_col, None)
-    comp = grams.select(
-        id_col, "gram", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    (A_i·md5i(shingle)+B_i) mod P.
+
+    One md5 per shingle; the k mins are k aggregate columns over the
+    shingle rows, so partial (map-side) aggregation collapses each
+    partition to one row per doc before the only shuffle. The k-row
+    (id, i, sig) shape is unpacked afterwards from doc-level rows.
+
+    No distinct() on shingles: min over a multiset equals min over its
+    set, so the dedup shuffle would be pure waste."""
+    grams = df.select(id_col, F.explode(word_shingles(F.col(text_col))).alias("gram"))
+    h = grams.select(id_col, md5i(F.col("gram")).alias("h"))
+    sigs_wide = h.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"s{i}")
+            for i in range(k)
+        ]
     )
-    return comp.groupBy(id_col, "i").agg(
-        F.min(md5i(F.concat_ws("|", F.col("i"), F.col("gram")))).alias("sig")
+    pairs = F.array(
+        *[F.struct(F.lit(i).alias("i"), F.col(f"s{i}").alias("sig")) for i in range(k)]
+    )
+    return sigs_wide.select(id_col, F.explode(pairs).alias("e")).select(
+        id_col, F.col("e.i").alias("i"), F.col("e.sig").alias("sig")
     )
 
 
@@ -93,23 +116,19 @@ def simhash_signatures(
     hashes (classic simhash, 16-bit for cross-engine int safety)."""
     grams = _shingle_df(df, text_col, id_col, None)
     h = grams.select(id_col, md5i(F.col("gram")).alias("h"))
-    bit = h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        "h",
-    ).select(
-        id_col,
-        "j",
-        # shiftright/shiftleft builtins require literal shift amounts;
-        # the SQL form accepts a column
-        (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+    # one aggregate column per bit → map-side partial agg collapses to
+    # one row per doc per partition; no bit-explode of the shingle rows
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(bits)
+        ]
     )
-    votes = bit.groupBy(id_col, "j").agg(F.sum("v").alias("s"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
-        ).alias("sig")
+    sig = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
+        start=F.lit(0),
     )
+    return votes.select(id_col, sig.cast("long").alias("sig"))
 
 
 def simhash_pairs(

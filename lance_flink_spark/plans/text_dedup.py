@@ -18,6 +18,9 @@ from lance_flink_spark.functions.text import (
     token_count,
 )
 from lance_flink_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -156,10 +159,14 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(table(spark, sf_dir, "documents"))
 
 
+_A16 = "[" + ", ".join(str(a) for a in MINHASH_A[:16]) + "]"
+_B16 = "[" + ", ".join(str(b) for b in MINHASH_B[:16]) + "]"
+
 _SIGS = f"""
     SELECT doc_id, i,
-           MIN({_MD5I.format(x="concat(i, '|', gram)")}) AS sig
-    FROM ({_GRAMS}) g, unnest(range(0, 16)) c(i)
+           MIN((list_extract({_A16}, i + 1) * h + list_extract({_B16}, i + 1)) % {MINHASH_P}) AS sig
+    FROM (SELECT doc_id, {_MD5I.format(x='gram')} AS h FROM ({_GRAMS}) g0) g,
+         unnest(range(0, 16)) c(i)
     GROUP BY doc_id, i
 """
 
@@ -186,12 +193,10 @@ def dedup_minhash(spark, sf_dir):
     "dedup_simhash",
     oracle=f"""
     WITH h AS (SELECT doc_id, {_MD5I.format(x='gram')} AS h FROM ({_GRAMS}) g),
-    bits AS (
-        SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
-        FROM h, unnest(range(0, 16)) t(j) GROUP BY doc_id, j),
     sigs AS (
-        SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
-        FROM bits GROUP BY doc_id),
+        SELECT doc_id,
+               {" + ".join(f"(CASE WHEN SUM(((h >> {j}) & 1) * 2 - 1) > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))} AS sig
+        FROM h GROUP BY doc_id),
     sl AS (SELECT s.doc_id, s.sig, d.lang FROM sigs s JOIN documents d USING (doc_id))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
