@@ -42,6 +42,36 @@ def token_count(text: Column) -> Column:
     )
 
 
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: words + standalone punctuation marks
+    (the regex pre-tokenization step of BPE tokenizers)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+ROLLING_M = 100_000_000_000_000_003  # < 2^63/31 so acc*31+c never overflows
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over the normalized text's code points:
+    acc = (acc*31 + code) mod M, left fold — cross-engine reproducible
+    (DuckDB: list_reduce with a prepended 0 seed)."""
+    codes = F.transform(
+        _shingle_range_1(F.length(normalize_text(text))),
+        lambda i: F.ascii(normalize_text(text).substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_M),
+    )
+
+
+def _shingle_range_1(count: Column) -> Column:
+    return F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     """Count of tokens that are in the marker list."""
     arr = F.array(*[F.lit(m) for m in markers])

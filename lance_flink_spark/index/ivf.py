@@ -177,10 +177,20 @@ class IVFIndex:
         with open(os.path.join(self.path, META)) as f:
             return json.load(f)
 
-    def _probe_lists(self, spark: SparkSession, query_vec: list[float], nprobes: int) -> DataFrame:
+    def _probe_lists(
+        self, spark: SparkSession, query_vec: list[float], nprobes: int, metric: str = "l2"
+    ) -> DataFrame:
         cents = np.load(os.path.join(self.path, "centroids.npy"))
         q = np.asarray(query_vec, dtype=np.float64)
-        order = (((cents - q) ** 2).sum(1)).argsort()
+        # rank centroids under the search metric (LanceVectorSearch
+        # supports L2/COSINE/DOT against any IVF index)
+        if metric == "cosine":
+            norms = np.linalg.norm(cents, axis=1) * max(np.linalg.norm(q), 1e-12)
+            order = (-(cents @ q) / np.maximum(norms, 1e-12)).argsort()
+        elif metric == "dot":
+            order = (-(cents @ q)).argsort()
+        else:
+            order = (((cents - q) ** 2).sum(1)).argsort()
         probed = [int(i) for i in order[: min(nprobes, len(cents))]]
         lists = spark.read.parquet(os.path.join(self.path, "lists"))
         # IN-filter on the partition column → directory-level pruning
@@ -198,7 +208,9 @@ class IVFIndex:
         """IVF_FLAT search: probe, then exact distances in the probed
         lists only. With nprobes >= nlist this is exact brute force."""
         meta = self._meta()
-        cand = self._probe_lists(spark, query_vec, nprobes).drop("centroid_id", "pq_code")
+        cand = self._probe_lists(spark, query_vec, nprobes, metric=metric).drop(
+            "centroid_id", "pq_code"
+        )
         return _brute_knn(cand, query_vec, k, vec_col=meta["vec_col"], metric=metric, filter=filter)
 
     def search_pq(

@@ -128,3 +128,34 @@ def sql_join_agg(spark, sf_dir):
         GROUP BY r_name
         """
     )
+
+
+@query(
+    "sql_ddl_pipeline",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total
+    FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+    """,
+)
+def sql_ddl_pipeline(spark, sf_dir):
+    """Flink-dialect DDL/DML end-to-end (LanceDynamicTableFactory +
+    flink-sql-demo.sql parity): CREATE TABLE WITH(...), INSERT
+    OVERWRITE ... SELECT, then a SELECT aggregate over the table."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    eng = SqlEngine(spark, Catalog(scratch_dir("warehouse_ddl")))
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_src")
+    eng.execute(
+        """CREATE TABLE cust_ddl (c_custkey BIGINT, c_acctbal DOUBLE,
+           c_mktsegment STRING)
+           WITH ('connector' = 'lance', 'path' = '',
+                 'write.max-rows-per-file' = '100000')"""
+    )
+    eng.execute(
+        "INSERT OVERWRITE cust_ddl SELECT c_custkey, c_acctbal, c_mktsegment FROM customer_src"
+    )
+    return eng.execute(
+        """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total
+           FROM cust_ddl WHERE c_acctbal > 0 GROUP BY c_mktsegment"""
+    )

@@ -78,6 +78,45 @@ def events_sessionize(spark, sf_dir):
     return sessionize(table(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+@query(
+    "streaming_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g),
+    ps AS (SELECT user_id, sess_id, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           MAX(n) AS max_session_events
+    FROM ps GROUP BY user_id
+    """,
+)
+def streaming_sessions(spark, sf_dir):
+    """Native F.session_window over a STREAM (gap 30 min), reduced to
+    per-user stats — must equal the batch window-function
+    sessionization oracle (same as events_sessionize). Flink
+    session-window parity through Structured Streaming."""
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+    from lance_flink_spark.streaming.windows import session_window_agg
+
+    events = stream_events(spark, sf_dir, watermark="1 hour")
+    t = run_to_memory(session_window_agg(events, gap="30 minutes"), mode="complete")
+    per_sess = spark.table(t)
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
 @query("streaming_stateful_counters")  # rows-only: custom stateful op
 def streaming_stateful_counters(spark, sf_dir):
     """applyInPandasWithState running per-user counters

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from lance_flink_spark.functions.text import (
     LANG_MARKERS,
+    ROLLING_M,
     fingerprint,
     lang_id,
     quality_score,
@@ -57,18 +58,47 @@ def _hits(markers: tuple[str, ...]) -> str:
     oracle=f"""
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_subtokens,
            length(text) AS n_chars_m
     FROM documents
     """,
 )
 def text_tokens(spark, sf_dir):
-    """Token counting (whitespace tokenizer), per document."""
+    """Token counting: whitespace tokens + BPE-ish regex
+    pre-tokenization count, per document."""
+    from lance_flink_spark.functions.text import subword_count
+
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
+        subword_count(F.col("text")).cast("long").alias("n_subtokens"),
         F.length("text").cast("long").alias("n_chars_m"),
     )
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(range(1, length(norm) + 1),
+                                  i -> ord(substr(norm, i, 1))::BIGINT)),
+               (a, c) -> (a * 31 + c) % {ROLLING_M}) AS rh
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+          FROM documents) n
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint over normalized
+    text (the incremental-hash family used for content-defined
+    chunking); exact cross-engine parity via mod-M left fold."""
+    from lance_flink_spark.functions.text import rolling_hash
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash(F.col("text")).alias("rh"))
 
 
 _LANGID_CASE = f"""

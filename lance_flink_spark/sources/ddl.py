@@ -1,0 +1,142 @@
+"""Flink-SQL-style DDL/DML surface over the warehouse catalog.
+
+Parity with table/LanceDynamicTableFactory.java +
+LanceDynamicTableSink.java and the reference's SQL demo
+(src/test/resources/flink-sql-demo.sql):
+
+    CREATE TABLE vectors (id BIGINT, content STRING,
+                          embedding ARRAY<FLOAT>)
+    WITH ('connector' = 'lance', 'path' = '...',
+          'write.batch-size' = '1024', 'index.type' = 'IVF_PQ', ...)
+    INSERT INTO vectors VALUES (1, 'Hello', ARRAY[0.1, 0.2]);
+    SELECT * FROM vectors WHERE id > 0;
+
+Everything after parsing is plain Spark: the table is a versioned
+Dataset, SELECTs run through spark.sql on registered views (full
+Catalyst pushdown), INSERTs append/overwrite dataset versions.
+``ARRAY[...]`` literals are rewritten to Spark's ``array(...)``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lance_flink_spark.sources.catalog import Catalog
+from lance_flink_spark.sources.dataset import Dataset, DatasetOptions
+
+_CREATE = re.compile(
+    r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"\((?P<cols>.*?)\)\s*WITH\s*\((?P<opts>.*?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP = re.compile(r"DROP\s+TABLE\s+(?P<name>[\w.]+)\s*;?\s*$", re.IGNORECASE)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """Flink `ARRAY[0.1, 0.2]` → Spark `array(0.1, 0.2)`.
+
+    Rewrites each ARRAY[ opener then flips its matching ']' via a
+    bracket-depth scan (array literals may nest)."""
+    s = re.sub(r"\bARRAY\s*\[", "array[", sql, flags=re.IGNORECASE)
+    chars = list(s)
+    stack: list[bool] = []  # True = bracket opened by an array literal
+    for i, ch in enumerate(chars):
+        if ch == "[":
+            is_array = "".join(chars[max(0, i - 5) : i]).lower() == "array"
+            if is_array:
+                chars[i] = "("
+            stack.append(is_array)
+        elif ch == "]" and stack:
+            if stack.pop():
+                chars[i] = ")"
+    return "".join(chars)
+
+
+def _strip_comments(cols: str) -> str:
+    return re.sub(r"\s+COMMENT\s+'(?:[^']|'')*'", "", cols, flags=re.IGNORECASE)
+
+
+class SqlEngine:
+    """Execute Flink-dialect DDL/DML against a Catalog + SparkSession."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, database: str = "default"):
+        self.spark = spark
+        self.catalog = catalog
+        self.database = database
+        self.options: dict[str, DatasetOptions] = {}
+
+    def _register(self, name: str) -> None:
+        self.catalog.register(self.spark, self.database, name, view=name)
+
+    def execute(self, sql: str) -> DataFrame | None:
+        sql = sql.strip().rstrip(";")
+        m = _CREATE.match(sql + ";")
+        if m:
+            return self._create(m)
+        m = _INSERT.match(sql)
+        if m:
+            return self._insert(m)
+        m = _DROP.match(sql + ";")
+        if m:
+            self.catalog.drop_table(self.database, m.group("name"))
+            self.spark.catalog.dropTempView(m.group("name"))
+            return None
+        return self.spark.sql(_rewrite_array_literals(sql))
+
+    # ---------- statements ----------
+
+    def _create(self, m: re.Match) -> None:
+        name = m.group("name")
+        if m.group(1) and self.catalog.table_exists(self.database, name):
+            return None
+        schema = T._parse_datatype_string(f"struct<{_strip_comments(m.group('cols'))}>")
+        opts = dict(
+            re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts"))
+        )
+        if opts.get("connector", "lance") != "lance":
+            raise ValueError(f"unsupported connector {opts.get('connector')!r}")
+        table_opts = {k: v for k, v in opts.items() if k != "connector"}
+        table_opts.setdefault("path", "")
+        dopts = DatasetOptions.from_options(table_opts)
+        self.options[name] = dopts
+        empty = self.spark.createDataFrame([], schema)
+        self.catalog.create_table(self.database, name, empty, mode="overwrite")
+        self._register(name)
+        return None
+
+    def _insert(self, m: re.Match) -> None:
+        name, rest = m.group("name"), m.group("rest").strip()
+        overwrite = m.group("mode").upper() == "OVERWRITE"
+        target = self.catalog.load_table(self.database, name).read(self.spark).schema
+        if rest.upper().startswith("VALUES"):
+            df = self.spark.sql(f"SELECT * FROM {_rewrite_array_literals(rest)}")
+        else:
+            df = self.spark.sql(_rewrite_array_literals(rest))
+        # align by position, cast to the table schema (Flink INSERT rules)
+        if len(df.columns) != len(target.fields):
+            raise ValueError(
+                f"INSERT arity {len(df.columns)} != table arity {len(target.fields)}"
+            )
+        aligned = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target.fields)
+            ]
+        )
+        opts = self.options.get(name)
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        ds.write(
+            aligned,
+            mode="overwrite" if overwrite else "append",
+            max_rows_per_file=opts.write_max_rows_per_file if opts else 1_000_000,
+        )
+        self._register(name)
+        return None

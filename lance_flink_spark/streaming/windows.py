@@ -66,6 +66,26 @@ def sliding_agg(
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (F.session_window — works on both batch
+    and streaming inputs; Flink session-window parity). One row per
+    (user, merged session window) with its event count."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            user_col,
+            F.col("w.start").cast("long").alias("session_start_s"),
+            "n",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,

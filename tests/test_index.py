@@ -43,6 +43,15 @@ def test_ivf_flat_recall_with_partial_probes(spark, emb, qvec, flat_idx):
     assert len(got & want) >= 6  # recall@10 ≥ 0.6 probing 3/8 lists
 
 
+def test_ivf_cosine_and_dot_exact_when_probing_all(spark, emb, qvec, flat_idx):
+    """Metric-aware probing: cosine/dot searches rank centroids under
+    the same metric, and probing all lists is exact for any metric."""
+    for metric in ("cosine", "dot"):
+        got = _ids(flat_idx.search(spark, qvec, k=10, nprobes=8, metric=metric))
+        want = _ids(knn(emb, qvec, k=10, metric=metric))
+        assert got == want, metric
+
+
 def test_ivf_search_filter(spark, emb, qvec, flat_idx):
     got = flat_idx.search(spark, qvec, k=5, nprobes=8, metric="l2", filter="label = 1")
     assert all(r["label"] == 1 for r in got.collect())

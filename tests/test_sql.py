@@ -1,0 +1,96 @@
+"""Flink-dialect SQL surface — replays the shapes of the reference's
+flink-sql-demo.sql (src/test/resources/flink-sql-demo.sql) against the
+SqlEngine + catalog."""
+
+import pytest
+
+from lance_flink_spark.sources.catalog import Catalog
+from lance_flink_spark.sources.ddl import SqlEngine, _rewrite_array_literals
+
+
+@pytest.fixture()
+def engine(spark, tmp_path_str):
+    return SqlEngine(spark, Catalog(tmp_path_str))
+
+
+def test_create_insert_select_roundtrip(engine):
+    engine.execute(
+        """
+        CREATE TABLE lance_vectors (
+            id BIGINT,
+            content STRING,
+            embedding ARRAY<FLOAT>
+        ) WITH (
+            'connector' = 'lance',
+            'path' = '/tmp/lance/vectors',
+            'write.batch-size' = '1024',
+            'write.mode' = 'overwrite'
+        )
+        """
+    )
+    engine.execute(
+        """
+        INSERT INTO lance_vectors VALUES
+            (1, 'Hello World', ARRAY[0.1, 0.2, 0.3, 0.4]),
+            (2, 'Machine Learning', ARRAY[0.2, 0.3, 0.4, 0.5]),
+            (3, 'Deep Learning', ARRAY[0.3, 0.4, 0.5, 0.6])
+        """
+    )
+    out = engine.execute("SELECT * FROM lance_vectors WHERE id > 1 ORDER BY id")
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [2, 3]
+    assert rows[0]["content"] == "Machine Learning"
+    assert len(rows[0]["embedding"]) == 4
+
+
+def test_insert_select_and_overwrite(engine):
+    engine.execute("CREATE TABLE src (id BIGINT, v DOUBLE) WITH ('connector'='lance','path'='')")
+    engine.execute("CREATE TABLE dst (id BIGINT, v DOUBLE) WITH ('connector'='lance','path'='')")
+    engine.execute("INSERT INTO src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    engine.execute("INSERT INTO dst SELECT id, v * 2 FROM src WHERE id <= 2")
+    assert engine.execute("SELECT SUM(v) AS s FROM dst").first()["s"] == 8.0
+    engine.execute("INSERT OVERWRITE dst SELECT id, v FROM src WHERE id = 3")
+    assert engine.execute("SELECT COUNT(*) AS c FROM dst").first()["c"] == 1
+
+
+def test_create_with_index_options_and_comments(engine):
+    engine.execute(
+        """
+        CREATE TABLE doc_embeddings (
+            doc_id BIGINT COMMENT 'Document ID',
+            embedding ARRAY<FLOAT> COMMENT '768-dim vector'
+        ) WITH (
+            'connector' = 'lance', 'path' = '',
+            'index.type' = 'IVF_PQ', 'index.num-partitions' = '256',
+            'vector.metric' = 'COSINE'
+        )
+        """
+    )
+    assert engine.options["doc_embeddings"].extra["index.type"] == "IVF_PQ"
+    assert engine.execute("SELECT COUNT(*) AS c FROM doc_embeddings").first()["c"] == 0
+
+
+def test_if_not_exists_and_drop(engine):
+    engine.execute("CREATE TABLE t (id BIGINT) WITH ('connector'='lance','path'='')")
+    engine.execute("CREATE TABLE IF NOT EXISTS t (id BIGINT) WITH ('connector'='lance','path'='')")
+    engine.execute("DROP TABLE t")
+    assert not engine.catalog.table_exists("default", "t")
+
+
+def test_unknown_connector_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.execute("CREATE TABLE x (id BIGINT) WITH ('connector'='kafka','path'='')")
+
+
+def test_insert_arity_mismatch(engine):
+    engine.execute("CREATE TABLE t2 (id BIGINT, v DOUBLE) WITH ('connector'='lance','path'='')")
+    with pytest.raises(ValueError):
+        engine.execute("INSERT INTO t2 VALUES (1)")
+
+
+def test_array_literal_rewrite_nested():
+    assert _rewrite_array_literals("ARRAY[1, 2]") == "array(1, 2)"
+    assert (
+        _rewrite_array_literals("SELECT a[1], ARRAY[ARRAY[1], ARRAY[2]]")
+        == "SELECT a[1], array(array(1), array(2))"
+    )
