@@ -1,0 +1,86 @@
+"""Registry entries: temporal joins (Flink parity), skew-resilient
+aggregation, approximate aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_flink_spark.operators.skew import salted_count_distinct
+from lance_flink_spark.operators.temporal import asof_join, interval_join
+from lance_flink_spark.registry import query, table
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS p_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.event_id, p.p_id, ROUND(p.value, 2) AS p_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """ASOF join (Flink temporal-join parity): each click matched to
+    the user's most recent purchase at-or-before it. Union+window
+    implementation — one shuffle on user_id, no range explosion
+    (operators/temporal.py)."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id", right_payload=["p_id", "value"])
+    return out.select("event_id", "p_id", F.round("value", 2).alias("p_value"))
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Interval join (Flink interval-join parity): click→purchase
+    conversions within 10 minutes, counted per user."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter("event_type = 'click'").select("user_id", "ts")
+    purchases = e.filter("event_type = 'purchase'").select("user_id", "ts")
+    pairs = interval_join(clicks, purchases, on="user_id", upper="10 minutes")
+    return pairs.groupBy(F.col("l.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "skew_salted_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_count_distinct(spark, sf_dir):
+    """Two-phase salted COUNT(DISTINCT) — exact result, hot keys split
+    across 16 reducers (operators/skew.py). The oracle is the plain
+    one-phase SQL: salting must not change the answer."""
+    return salted_count_distinct(
+        table(spark, sf_dir, "events"), keys=["event_type"], value_col="user_id",
+        salt=16, alias="n_users",
+    )
+
+
+@query("agg_approx")  # rows-only: approximate by construction
+def agg_approx(spark, sf_dir):
+    """Approximate aggregates (HLL++ count-distinct, quantile sketch) —
+    the sketch-based path for 100TB interactive profiling. Rows-only in
+    the gate; tests pin the error envelope vs exact values."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+    )

@@ -56,13 +56,14 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            if name not in oracles:
+                n = fn(spark, sf_dir).count()
+                print(f"ok   {name}: rows-only ({n} rows, {time.time()-t0:.1f}s)")
+                continue
             sdf = normalize(fn(spark, sf_dir).toPandas())
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
             failures += 1
-            continue
-        if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             odf = normalize(con.execute(oracles[name]).df())
