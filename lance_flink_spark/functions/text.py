@@ -126,6 +126,28 @@ def _shingle_range(count: Column) -> Column:
     )
 
 
+def chunk_tokens(text: Column, chunk_size: int = 32, overlap: int = 8) -> Column:
+    """Overlapping token chunks (the RAG/training-data chunking op):
+    array of structs (start, chunk_text, n_chunk_tokens). Stride =
+    chunk_size - overlap; chunk starts at token index 1, 1+stride, …
+
+    Row-local (no shuffle); explode downstream to one row per chunk."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    arr = tokens(text)
+    return F.transform(
+        F.when(F.size(arr) >= 1, F.sequence(F.lit(1), F.size(arr), F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(arr, s, chunk_size)).alias("chunk_text"),
+            F.size(F.slice(arr, s, chunk_size)).alias("n_chunk_tokens"),
+        ),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles as strings (1-based element_at, mirroring
     DuckDB's 1-based list indexing)."""

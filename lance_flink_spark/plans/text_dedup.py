@@ -173,6 +173,84 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+@query(
+    "text_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+           md5(array_to_string(list_slice(arr, s, s + 31), ' ')) AS chunk_fp,
+           len(list_slice(arr, s, s + 31)) AS n_chunk_tokens
+    FROM (SELECT doc_id, {_TOKS.replace("lower(text)", "text")} AS arr FROM documents) t,
+         unnest(range(1, len(arr) + 1, 24)) u(s)
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping token chunking (32-token chunks, 8-token overlap) —
+    the RAG/training chunker; one row per chunk with a content
+    fingerprint. Row-local transform + explode, no shuffle."""
+    from lance_flink_spark.functions.text import chunk_tokens
+
+    d = table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id", F.explode(chunk_tokens(F.col("text"), 32, 8)).alias("c")
+    )
+    return c.select(
+        "doc_id",
+        (((F.col("c.start") - 1) / 24).cast("long")).alias("chunk_idx"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_fp"),
+        F.col("c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "sample_split",
+    oracle="""
+    SELECT lang, split, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM (SELECT lang, n_chars,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT lang, n_chars,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                FROM documents) h) s
+    GROUP BY lang, split
+    """,
+)
+def sample_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (80/10/10) —
+    stable across runs, engines, cluster sizes; zero shuffle for the
+    split itself (operators/sampling.py)."""
+    from lance_flink_spark.operators.sampling import train_val_test_split
+
+    d = train_val_test_split(table(spark, sf_dir, "documents"), key_col="doc_id")
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "embeddings_normalize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+           ROUND(embedding[1] / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS u0
+    FROM embeddings
+    """,
+)
+def embeddings_normalize(spark, sf_dir):
+    """Unit-normalization pass (pre-req for cosine ANN at scale: store
+    unit vectors once, then cosine == dot). Emits the norm and the
+    first normalized component as the oracle-checkable scalars."""
+    from lance_flink_spark.functions import vector as V
+
+    e = table(spark, sf_dir, "embeddings")
+    n = V.norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(n, 6).alias("l2_norm"),
+        F.round(F.element_at(F.col("embedding").cast("array<double>"), 1) / n, 6).alias("u0"),
+    )
+
+
 # ---------- dedup ----------
 
 

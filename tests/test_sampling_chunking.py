@@ -1,0 +1,55 @@
+"""Deterministic sampling + chunking semantics."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lance_flink_spark.functions.text import chunk_tokens
+from lance_flink_spark.operators.sampling import (
+    deterministic_sample,
+    train_val_test_split,
+)
+from lance_flink_spark.registry import table
+
+from conftest import SF_DIR
+
+
+def test_split_is_stable_and_partitions_everything(spark):
+    d = table(spark, SF_DIR, "documents")
+    s1 = train_val_test_split(d, "doc_id").groupBy("split").count().collect()
+    s2 = train_val_test_split(d, "doc_id").groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in s1} == {r["split"]: r["count"] for r in s2}
+    assert sum(r["count"] for r in s1) == d.count()
+    counts = {r["split"]: r["count"] for r in s1}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_deterministic_sample_is_subset_monotone(spark):
+    d = table(spark, SF_DIR, "documents")
+    small = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 10).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 50).collect()}
+    assert small <= big  # buckets nest: 10% sample is inside the 50% one
+    assert 0 < len(small) < len(big) < d.count()
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    chunks = df.select(F.explode(chunk_tokens(F.col("text"), 32, 8)).alias("c")).collect()
+    # stride 24 over 80 tokens → starts 1,25,49,73
+    assert [c["c"]["start"] for c in chunks] == [1, 25, 49, 73]
+    assert chunks[0]["c"]["n_chunk_tokens"] == 32
+    assert chunks[-1]["c"]["n_chunk_tokens"] == 8  # tail chunk
+    first, second = chunks[0]["c"]["chunk_text"].split(), chunks[1]["c"]["chunk_text"].split()
+    assert first[-8:] == second[:8]  # overlap region shared
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    chunks = df.select(F.explode(chunk_tokens(F.col("text"), 32, 8)).alias("c")).collect()
+    assert len(chunks) == 1 and chunks[0]["c"]["n_chunk_tokens"] == 3
+
+
+def test_chunking_validates_overlap():
+    with pytest.raises(ValueError):
+        chunk_tokens(F.lit("x"), chunk_size=8, overlap=8)
