@@ -1,0 +1,141 @@
+"""Registry entries: semi/anti joins, rollup, pivot, and the
+end-to-end exactly-once streaming sink (SURVEY §2 #53-57)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lance_flink_spark.registry import query, scratch_dir, table
+
+
+@query(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_urgent_customers(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers with ≥1 urgent order. The
+    semi join never materializes order columns — shuffle carries only
+    the keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_inactive_parts",
+    oracle="""
+    SELECT COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 6) AS avg_price
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_shipdate >= TIMESTAMP '1998-01-01')
+    """,
+)
+def anti_join_inactive_parts(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): parts with no 1998+ shipments."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (status → priority → grand total) — subtotal
+    rows carry nulls, identical null semantics across engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation): per-user counts by event
+    type. Explicit pivot values → single-pass plan, no value-discovery
+    job."""
+    e = table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+@query(
+    "streaming_exactly_once",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_exactly_once(spark, sf_dir):
+    """Full streaming pipeline through the exactly-once sink:
+    readStream → foreachBatch → versioned Dataset (batch-id idempotency
+    tags) → batch read-back → aggregate. The read-back must equal the
+    batch aggregate over the source — duplicated/replayed batches would
+    break the oracle match (LanceSink checkpoint-commit parity)."""
+    from lance_flink_spark.sources.dataset import Dataset
+    from lance_flink_spark.streaming.pipeline import stream_events
+    from lance_flink_spark.streaming.sink import ExactlyOnceDatasetSink
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    sink_path = os.path.join(scratch_dir("eo_sink"), tag)
+    sink = ExactlyOnceDatasetSink(sink_path)
+    sdf = stream_events(spark, sf_dir, watermark="1 hour")
+    q = (
+        sink.attach(sdf, checkpoint=os.path.join(scratch_dir("eo_ckpt"), tag))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = Dataset(sink_path).read(spark)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
