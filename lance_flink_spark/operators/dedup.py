@@ -137,17 +137,71 @@ def simhash_pairs(
     id_col: str = "doc_id",
     block_col: str = "lang",
     max_hamming: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance within blocks.
-    At scale, block additionally on signature bands (sig >> 8)."""
-    sigs = simhash_signatures(df, text_col, id_col).join(
+    """Near-dup pairs by simhash hamming distance.
+
+    Candidate generation is BANDED (multi-index Hamming search): the
+    16-bit signature splits into ``bands`` equal slices; two signatures
+    within ``max_hamming`` must share at least one identical band
+    whenever max_hamming < bands (pigeonhole) — so joining on
+    (block, band_id, band_value) is EXACT, never all-pairs. The
+    candidate shuffle carries per-band buckets instead of N²/block."""
+    bits = 16
+    sigs = simhash_signatures(df, text_col, id_col, bits=bits).join(
         df.select(id_col, block_col), id_col
     )
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), block_col)
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), block_col)
+    if max_hamming >= bands:
+        # banding can't guarantee a shared band — fall back to
+        # all-pairs within blocks (exact, for loose thresholds)
+        a0 = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), block_col)
+        b0 = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), block_col)
+        return (
+            a0.join(b0, block_col)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def band_val(sig, b):
+        return F.shiftright(sig, b * width).bitwiseAND(F.lit(mask))
+
+    banded = sigs.select(
+        id_col,
+        "sig",
+        block_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_val(F.col("sig"), b).alias("bv"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select(id_col, "sig", block_col, F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), block_col, "band", "bv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), block_col, "band", "bv"
+    )
+    # first-matching-band rule: a pair is emitted only by the lowest
+    # band where its values agree — every earlier band must differ.
+    # Replaces a pair-level distinct() (an extra full shuffle) with a
+    # row-local filter.
+    earlier_bands_differ = F.lit(True)
+    for j in range(bands - 1):
+        earlier_bands_differ = earlier_bands_differ & (
+            (F.col("band") <= j)
+            | (band_val(F.col("sig_a"), j) != band_val(F.col("sig_b"), j))
+        )
     return (
-        a.join(b, block_col)
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, [block_col, "band", "bv"])
+        .filter((F.col("id_a") < F.col("id_b")) & earlier_bands_differ)
         .select(
             "id_a",
             "id_b",
