@@ -171,6 +171,53 @@ class IVFIndex:
         )
         return cls(path)
 
+    # ---------- incremental add ----------
+
+    def add(self, spark: SparkSession, df: DataFrame) -> None:
+        """Assign new vectors to the existing centroids (and PQ
+        codebooks) and append them to the inverted lists — incremental
+        index maintenance without retraining (Lance's index update
+        path). Centroid quality degrades only if the data distribution
+        drifts; rebuild then."""
+        meta = self._meta()
+        cents = np.load(os.path.join(self.path, "centroids.npy"))
+        cents_b = spark.sparkContext.broadcast(cents)
+        vec_col = meta["vec_col"]
+
+        @pandas_udf("int")
+        def assign_centroid(v: pd.Series) -> pd.Series:
+            x = _stack(v)
+            c = cents_b.value
+            d = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
+            return pd.Series(d.argmin(1).astype(np.int32))
+
+        out = df.withColumn("centroid_id", assign_centroid(F.col(vec_col)))
+        if meta["pq_sub_vectors"]:
+            cb = np.load(os.path.join(self.path, "codebooks.npy"))
+            cb_b = spark.sparkContext.broadcast(cb)
+            m = meta["pq_sub_vectors"]
+
+            @pandas_udf("array<int>")
+            def pq_encode(v: pd.Series, cid: pd.Series) -> pd.Series:
+                x = _stack(v)
+                resid = x - cents_b.value[cid.to_numpy()]
+                sub = resid.shape[1] // m
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for j in range(m):
+                    r = resid[:, j * sub : (j + 1) * sub]
+                    cbj = cb_b.value[j]
+                    d = (r * r).sum(1)[:, None] - 2 * r @ cbj.T + (cbj * cbj).sum(1)[None, :]
+                    codes[:, j] = d.argmin(1)
+                return pd.Series(list(codes))
+
+            out = out.withColumn("pq_code", pq_encode(F.col(vec_col), F.col("centroid_id")))
+        (
+            out.repartition("centroid_id")
+            .write.partitionBy("centroid_id")
+            .mode("append")
+            .parquet(os.path.join(self.path, "lists"))
+        )
+
     # ---------- search ----------
 
     def _meta(self) -> dict:

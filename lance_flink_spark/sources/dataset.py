@@ -187,6 +187,33 @@ class Dataset:
             df = df.limit(limit)
         return df
 
+    def read_stream(self, spark: SparkSession):
+        """Stream the dataset: new fragments written by appends become
+        micro-batches (the reference's streaming LanceSource). The file
+        stream watches the fragment glob; append-only by contract —
+        overwritten history can't be retracted from a stream (the same
+        constraint Flink CDC sources have without a changelog)."""
+        frags = self._live_fragments()
+        if not frags:
+            raise FileNotFoundError(f"dataset {self.path} has no data")
+        schema = spark.read.parquet(frags[0]).schema
+        return spark.readStream.schema(schema).parquet(
+            os.path.join(self.path, "data", "*")
+        )
+
+    def compact(self, spark: SparkSession, max_rows_per_file: int = 1_000_000) -> int:
+        """Rewrite the live data as one fresh overwrite version (small
+        fragments from streaming appends → right-sized files). Old
+        versions stay readable (time travel); returns the new version.
+
+        Caveat (observed in verification): an active ``read_stream``
+        tailing this dataset will see the compacted fragment as NEW
+        rows (duplicates) — same constraint as any file-stream source
+        without a changelog. Don't compact datasets being tailed, or
+        restart the stream from a fresh checkpoint after compaction."""
+        df = self.read(spark)
+        return self.write(df, mode="overwrite", max_rows_per_file=max_rows_per_file)
+
     @classmethod
     def open(cls, opts: DatasetOptions) -> "Dataset":
         return cls(opts.path)

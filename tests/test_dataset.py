@@ -91,3 +91,37 @@ def test_bad_mode_rejected(spark, tmp_path_str):
 def test_read_empty_dataset_raises(spark, tmp_path_str):
     with pytest.raises(FileNotFoundError):
         Dataset(tmp_path_str + "/nope").read(spark)
+
+
+def test_read_stream_picks_up_appends(spark, tmp_path_str):
+    """Streaming source parity: appended fragments arrive as new
+    micro-batches under one checkpoint."""
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 10))
+    sdf = ds.read_stream(spark)
+    ckpt, out = tmp_path_str + "/ckpt", tmp_path_str + "/out"
+
+    def drain():
+        q = (
+            sdf.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert drain() == 10
+    ds.write(_df(spark, 5, offset=100), mode="append")
+    # same checkpoint → only the new fragment is processed incrementally
+    assert drain() == 15
+
+
+def test_compact_preserves_data_and_history(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/ds")
+    for i in range(5):
+        ds.write(_df(spark, 10, offset=i * 10))
+    v = ds.compact(spark)
+    assert ds.read(spark).count() == 50
+    assert ds.read(spark, version=v - 1).count() == 50  # pre-compaction view intact
+    ids = {r["id"] for r in ds.read(spark).collect()}
+    assert ids == set(range(50))

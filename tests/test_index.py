@@ -77,6 +77,19 @@ def test_ivf_pq_adc_without_refine(spark, emb, qvec, tmp_path_str):
     assert "distance" in out.columns
 
 
+def test_incremental_add_is_searchable(spark, emb, qvec, tmp_path_str):
+    """Vectors appended after the build must be findable, with results
+    equal to an index built over the full data (same centroids, exact
+    search probing all lists)."""
+    first = emb.filter("vec_id < 400")
+    rest = emb.filter("vec_id >= 400")
+    idx = IVFIndex.build(spark, first, tmp_path_str + "/inc", nlist=8, sample_size=1000)
+    idx.add(spark, rest)
+    got = _ids(idx.search(spark, qvec, k=10, nprobes=8, metric="l2"))
+    want = _ids(knn(emb, qvec, k=10, metric="l2"))
+    assert got == want
+
+
 def test_kmeans_deterministic():
     from lance_flink_spark.index.ivf import _kmeans
 
