@@ -104,3 +104,26 @@ def test_fingerprint_whitespace_invariant(spark):
 def test_word_shingles_short_text_empty(spark):
     df = spark.createDataFrame([Row(t="just two")])
     assert df.select(word_shingles(F.col("t")).alias("s")).first()["s"] == []
+
+
+def test_null_text_robustness(spark):
+    """Null text must not crash any text/dedup operator; null rows
+    drop out of shingle-based ops and fingerprint to null."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None, "en"), (2, "the real text here once more", "en")], schema
+    )
+    fp = df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()
+    assert {r["doc_id"]: r["fp"] is None for r in fp} == {1: True, 2: False}
+    assert df.select(token_count(F.col("text")).alias("n")).count() == 2
+    assert exact_dedup(df).count() == 2  # null fingerprint forms its own group
+    assert minhash_lsh_pairs(df, min_matches=1).count() == 0  # no self-pairs from null
+    assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
