@@ -39,6 +39,59 @@ def decode_stub(content: bytes) -> list[float]:
     return [float(n), float(content[0] if n else 0), float(sum(content[:16]) % 997)]
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, n_bytes long, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame binary"
+
+
+def resize_stub(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: a real impl decodes with PIL and
+    re-encodes; the fake keeps a deterministic byte slice so the
+    distributed plumbing (schema, batch shape, output size bound) is
+    testable without image libs (SURVEY §6)."""
+    budget = max(width * height // 64, 1)
+    return (content * (budget // max(len(content), 1) + 1))[:budget]
+
+
+def resize_images(blobs: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas 'resize' pass: one Arrow batch in, one typed batch
+    out with bounded thumb bytes per row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "thumb": pdf["content"].map(lambda b: resize_stub(b, width, height)),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:
+    """mapInPandas 'video frame sampling' pass: emits up to max_frames
+    fixed-stride slices per blob (a real impl seeks keyframes with
+    ffmpeg). One input row fans out to multiple typed output rows —
+    the batch-shape case decode pipelines hit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for i in range(min(max_frames, max(len(content) // every_n_bytes, 1))):
+                    off = i * every_n_bytes
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame"].append(content[off : off + 32])
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
 def extract_metadata(blobs: DataFrame) -> DataFrame:
     """mapInPandas pass: per-blob byte length, head bytes (hex of the
     first 4 utf-8 characters, matching the SQL oracle), and the stub

@@ -117,11 +117,18 @@ def streaming_sessions(spark, sf_dir):
     )
 
 
-@query("streaming_stateful_counters")  # rows-only: custom stateful op
+@query(
+    "streaming_stateful_counters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def streaming_stateful_counters(spark, sf_dir):
     """applyInPandasWithState running per-user counters
-    (KeyedProcessFunction parity). Rows-only in the gate;
-    tests/test_streaming.py pins the values against batch aggregation."""
+    (KeyedProcessFunction parity). The single-file source yields one
+    micro-batch, so the update-mode output IS the final state — equal
+    to the batch aggregate (oracle)."""
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
     from lance_flink_spark.streaming.stateful import running_user_counters
 

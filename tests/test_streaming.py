@@ -71,3 +71,22 @@ def test_multimodal_stub_pipeline(spark):
     r = rows[0]
     assert r["n_bytes"] > 0
     assert len(r["feature"]) == 3 and r["feature"][0] == float(r["n_bytes"])
+
+
+def test_multimodal_resize_and_frames(spark):
+    from lance_flink_spark.functions.multimodal import (
+        resize_images,
+        sample_frames,
+        to_binary_docs,
+    )
+
+    blobs = to_binary_docs(table(spark, SF_DIR, "documents").limit(10))
+    thumbs = resize_images(blobs, 64, 64).collect()
+    assert len(thumbs) == 10
+    assert all(len(t["thumb"]) == 64 * 64 // 64 for t in thumbs)  # bounded output
+    frames = sample_frames(blobs, every_n_bytes=100, max_frames=3)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 10
+    assert all(1 <= r["count"] <= 3 for r in per_doc)
+    f = frames.filter("frame_idx = 1").first()
+    assert f["frame_offset"] == 100 and len(f["frame"]) <= 32
