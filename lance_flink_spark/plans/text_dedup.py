@@ -251,6 +251,55 @@ def embeddings_normalize(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               ROUND(LEAST(1.0, n_tok / 50.0) * 0.4
+                     + (1.0 - punct / GREATEST(n_chr, 1.0)) * 0.3
+                     + LEAST(1.0, stop / GREATEST(n_tok, 1.0) * 5.0) * 0.3, 6) AS quality,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM (
+            SELECT doc_id, lang, n_chars, text,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+                   length(text)::DOUBLE AS n_chr,
+                   (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+                   ({_hits(LANG_MARKERS['en'])})::DOUBLE AS stop
+            FROM documents) m),
+    kept AS (
+        SELECT lang, fp, MIN(doc_id) AS keep_id, MIN(n_chars) AS n_chars_kept
+        FROM scored WHERE quality >= 0.5
+        GROUP BY lang, fp)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars_kept) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Composed data-prep pipeline (the 100TB pretraining-corpus
+    shape): quality-filter → exact-dedup within language → corpus
+    stats. One declarative plan — Catalyst fuses the filter into the
+    scan and the dedup groupBy is the only shuffle."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = (
+        scored.filter(F.col("quality") >= 0.5)
+        .groupBy("lang", "fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.min("n_chars").alias("n_chars_kept"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_kept").alias("total_chars"),
+    )
+
+
 # ---------- dedup ----------
 
 

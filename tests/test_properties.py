@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) — independent implementations as
+oracles on randomized inputs."""
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from lance_flink_spark.operators.dedup import exact_dedup
+from lance_flink_spark.operators.temporal import asof_join
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from lance_flink_spark.session import get_spark
+
+        _spark = get_spark("props", shuffle_partitions=4)
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+ts_strategy = st.integers(min_value=0, max_value=10_000)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    left=st.lists(st.tuples(st.integers(1, 3), ts_strategy), min_size=1, max_size=12),
+    right=st.lists(st.tuples(st.integers(1, 3), ts_strategy), min_size=1, max_size=12),
+)
+def test_asof_join_matches_pandas_merge_asof(left, right):
+    """Our union+window asof join vs pandas.merge_asof (an entirely
+    independent implementation) on random keyed event sequences.
+    Unique timestamps per key on the right side (merge_asof picks the
+    last among right ties arbitrarily wrt a secondary payload)."""
+    right = list({(k, t): None for k, t in right})  # dedupe exact (k,t)
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "id long, k long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        [(k, t, t * 10 + k) for (k, t) in right], "k long, ts long, payload long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    got = {
+        r["id"]: r["payload"]
+        for r in asof_join(ldf, rdf, on="k", right_payload=["payload"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        {"id": range(len(left)), "k": [k for k, _ in left], "ts": [t for _, t in left]}
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {"k": [k for k, _ in right], "ts": [t for _, t in right],
+         "payload": [t * 10 + k for k, t in right]}
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        int(r.id): (None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XY.,", min_size=0, max_size=20), min_size=1, max_size=15
+    )
+)
+def test_exact_dedup_partitions_by_normalized_text(texts):
+    """exact_dedup emits one keeper per normalized-text class, keeper
+    is the min id, and copy counts sum to the input size."""
+    import re
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = exact_dedup(df).collect()
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    classes = {}
+    for i, t in enumerate(texts):
+        classes.setdefault(norm(t), []).append(i)
+    assert len(out) == len(classes)
+    got = {r["keep_id"]: r["n_copies"] for r in out}
+    want = {min(v): len(v) for v in classes.values()}
+    assert got == want
