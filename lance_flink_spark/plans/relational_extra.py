@@ -108,6 +108,62 @@ def events_pivot(spark, sf_dir):
 
 
 @query(
+    "set_ops_customers",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+         big AS (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_totalprice > 200000)
+    SELECT 'both' AS grp, COUNT(*) AS n FROM (SELECT k FROM urgent INTERSECT SELECT k FROM big) t
+    UNION ALL
+    SELECT 'urgent_only' AS grp, COUNT(*) AS n FROM (SELECT k FROM urgent EXCEPT SELECT k FROM big) t
+    UNION ALL
+    SELECT 'either' AS grp, COUNT(*) AS n FROM (SELECT k FROM urgent UNION SELECT k FROM big) t
+    """,
+)
+def set_ops_customers(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT / UNION-distinct) over
+    customer key sets."""
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter("o_orderpriority = '1-URGENT'").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    big = o.filter("o_totalprice > 200000").select(F.col("o_custkey").alias("k")).distinct()
+    rows = [
+        ("both", urgent.intersect(big)),
+        ("urgent_only", urgent.exceptAll(big).distinct()),
+        ("either", urgent.union(big).distinct()),
+    ]
+    out = None
+    for grp, df in rows:
+        part = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(grp).alias("grp"), "n")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark
+    percentile == DuckDB quantile_cont; interpolation verified
+    identical). The sketch-based approximate path is agg_approx."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@query(
     "streaming_exactly_once",
     oracle="""
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
