@@ -64,6 +64,20 @@ def _kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarra
     return c
 
 
+def _kmeans_distributed(df: DataFrame, vec_col: str, k: int, seed: int) -> np.ndarray:
+    """Distributed Lloyd via pyspark.ml over the full dataset — the
+    path for training sets beyond any single-node sample."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = MLKMeans(k=k, seed=seed, maxIter=25).fit(feats)
+    # clusterCenters() yields numpy arrays (newer pyspark) or ml Vectors
+    return np.stack(
+        [np.asarray(c if isinstance(c, np.ndarray) else c.toArray()) for c in model.clusterCenters()]
+    )
+
+
 def _stack(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype(np.float64)
 
@@ -88,16 +102,32 @@ class IVFIndex:
         pq_bits: int = 8,
         sample_size: int = 262_144,
         seed: int = 42,
+        distributed_kmeans: bool = False,
     ) -> "IVFIndex":
-        """Build IVF_FLAT (pq_sub_vectors=None) or IVF_PQ."""
-        sample = np.stack(
-            [
-                np.asarray(r[0], dtype=np.float64)
-                for r in df.select(vec_col).limit(sample_size).collect()
-            ]
-        )
+        """Build IVF_FLAT (pq_sub_vectors=None) or IVF_PQ.
+
+        ``distributed_kmeans=True`` trains centroids with pyspark.ml's
+        distributed Lloyd over the FULL dataset (no driver-sample
+        ceiling — the 100 TB path); the default trains on a bounded
+        driver-side sample like Lance does. Either way the index layout
+        and search path are identical."""
+        if distributed_kmeans:
+            cents = _kmeans_distributed(df, vec_col, nlist, seed)
+            sample = np.stack(
+                [
+                    np.asarray(r[0], dtype=np.float64)
+                    for r in df.select(vec_col).limit(min(sample_size, 65_536)).collect()
+                ]
+            )  # PQ codebooks still train on a bounded residual sample
+        else:
+            sample = np.stack(
+                [
+                    np.asarray(r[0], dtype=np.float64)
+                    for r in df.select(vec_col).limit(sample_size).collect()
+                ]
+            )
+            cents = _kmeans(sample, nlist, seed=seed)
         dim = sample.shape[1]
-        cents = _kmeans(sample, nlist, seed=seed)
 
         codebooks = None
         if pq_sub_vectors is not None:

@@ -127,6 +127,7 @@ class Dataset:
         mode: str = "append",
         max_rows_per_file: int = 1_000_000,
         tag: str | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new dataset version. Returns the version.
 
@@ -144,6 +145,13 @@ class Dataset:
             raise ValueError(f"write mode must be append|overwrite, got {mode!r}")
         if tag is not None and self.find_tag(tag) is not None:
             return self.find_tag(tag)
+        if sort_by:
+            # range-partition + sort on the clustering keys: parquet
+            # row-group min/max stats become disjoint, so range
+            # predicates on these columns skip whole files/row-groups
+            # at scan time (the file-skipping half of Lance's
+            # scalar-index story)
+            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, frag)
         (

@@ -116,6 +116,26 @@ def test_read_stream_picks_up_appends(spark, tmp_path_str):
     assert drain() == 15
 
 
+def test_sorted_write_clusters_row_groups(spark, tmp_path_str):
+    """sort_by writes produce disjoint per-file ranges → parquet
+    min/max stats can skip files for range predicates."""
+    import pyarrow.parquet as pq
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 1000), sort_by=["id"], max_rows_per_file=200)
+    files = glob.glob(os.path.join(ds.path, "data", "*", "*.parquet"))
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = [md.schema.column(i).name for i in range(md.num_columns)].index("id")
+        st = md.row_group(0).column(col).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    # disjoint, ordered ranges across files
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    assert ds.read(spark, filter="id < 50").count() == 50
+
+
 def test_compact_preserves_data_and_history(spark, tmp_path_str):
     ds = Dataset(tmp_path_str + "/ds")
     for i in range(5):

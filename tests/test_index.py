@@ -90,6 +90,17 @@ def test_incremental_add_is_searchable(spark, emb, qvec, tmp_path_str):
     assert got == want
 
 
+def test_distributed_kmeans_build_searchable(spark, emb, qvec, tmp_path_str):
+    """pyspark.ml-trained centroids: same layout, exact search when
+    probing all lists."""
+    idx = IVFIndex.build(
+        spark, emb, tmp_path_str + "/dk", nlist=8, distributed_kmeans=True
+    )
+    got = _ids(idx.search(spark, qvec, k=10, nprobes=8, metric="l2"))
+    want = _ids(knn(emb, qvec, k=10, metric="l2"))
+    assert got == want
+
+
 def test_kmeans_deterministic():
     from lance_flink_spark.index.ivf import _kmeans
 
