@@ -109,6 +109,33 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: 1 - distinct_ngrams/total_ngrams
+    over word n-grams (0 = no repetition). Degenerate docs (< n tokens)
+    score 0."""
+    grams = word_shingles(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6)
+    )
+
+
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def redact(text: Column, kinds: tuple[str, ...] = ("email", "url", "phone")) -> Column:
+    """PII/URL scrubbing: replace each matched span with <KIND>.
+    Pattern order is fixed (dict order) so output is deterministic."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, REDACT_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
 

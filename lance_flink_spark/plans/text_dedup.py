@@ -252,6 +252,29 @@ def embeddings_normalize(spark, sf_dir):
 
 
 @query(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len(grams) <= 0 THEN 0.0
+                ELSE ROUND(1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE, 6)
+           END AS rep_ratio
+    FROM (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+                              i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2])) AS grams
+        FROM (SELECT doc_id, {_TOKS} AS arr FROM documents) t) g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition signal (Gopher-style quality filter): fraction of
+    duplicated word 3-grams per document. Row-local, no shuffle."""
+    from lance_flink_spark.functions.text import repetition_ratio
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", repetition_ratio(F.col("text")).alias("rep_ratio"))
+
+
+@query(
     "pipeline_clean_corpus",
     oracle=f"""
     WITH scored AS (

@@ -106,6 +106,33 @@ def test_word_shingles_short_text_empty(spark):
     assert df.select(word_shingles(F.col("t")).alias("s")).first()["s"] == []
 
 
+def test_repetition_ratio(spark):
+    from lance_flink_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            Row(t="a b c a b c a b c"),  # heavy 3-gram repetition
+            Row(t="one two three four five six"),  # all distinct
+            Row(t="too short"),  # < 3 tokens → 0
+        ]
+    )
+    got = [r["r"] for r in df.select(repetition_ratio(F.col("t")).alias("r")).collect()]
+    assert got[0] > 0.5
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
+def test_redact_pii(spark):
+    from lance_flink_spark.functions.text import redact
+
+    df = spark.createDataFrame(
+        [Row(t="mail me at jo.doe@example.com or visit https://x.io/a?b=1 or call +1 (555) 123-4567 ok")]
+    )
+    out = df.select(redact(F.col("t")).alias("r")).first()["r"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<PHONE>" in out
+    assert "example.com" not in out and "555" not in out
+
+
 def test_null_text_robustness(spark):
     """Null text must not crash any text/dedup operator; null rows
     drop out of shingle-based ops and fingerprint to null."""
