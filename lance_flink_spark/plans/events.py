@@ -142,6 +142,71 @@ def streaming_stateful_counters(spark, sf_dir):
 
 
 @query(
+    "streaming_enrich",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT user_id, user_id % 10 AS user_seg FROM events)
+    SELECT event_type, user_seg, COUNT(*) AS n
+    FROM events JOIN dim USING (user_id)
+    GROUP BY event_type, user_seg
+    """,
+)
+def streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment join (Flink lookup/temporal-table join
+    analog): the event stream joins a broadcast dimension derived from
+    batch data; aggregate must equal the pure-batch join."""
+    from lance_flink_spark.streaming.joins import enrich_stream
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    dim = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("user_seg", (F.col("user_id") % 10).cast("long"))
+    )
+    stream = stream_events(spark, sf_dir, watermark="1 hour")
+    enriched = enrich_stream(stream, dim, on="user_id")
+    agg = enriched.groupBy("event_type", "user_seg").agg(F.count(F.lit(1)).alias("n"))
+    t = run_to_memory(agg, mode="complete")
+    return spark.table(t)
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def streaming_stream_join(spark, sf_dir):
+    """Stream-stream interval join (Flink interval join on streams):
+    two watermarked streams of the same source (clicks, purchases)
+    joined within a 10-minute bound; the joined pair counts must equal
+    the batch interval-join oracle."""
+    from lance_flink_spark.streaming.joins import stream_interval_join
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    clicks = stream_events(spark, sf_dir, watermark="1 hour").filter(
+        "event_type = 'click'"
+    )
+    purchases = stream_events(spark, sf_dir, watermark="1 hour").filter(
+        "event_type = 'purchase'"
+    )
+    joined = stream_interval_join(clicks, purchases, on="user_id", upper="10 minutes")
+    # stream-stream joins emit in append mode only; matched pairs land
+    # in the sink as they finalize, the count is a batch agg on top
+    t = run_to_memory(joined, mode="append")
+    return (
+        spark.table(t)
+        .groupBy(F.col("l_key").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
     "events_json",
     oracle="""
     SELECT event_type,

@@ -163,6 +163,29 @@ def order_value_percentiles(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@query(
+    "profile_lineitem",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               ROUND(MIN({c}), 6) AS min_v, ROUND(MAX({c}), 6) AS max_v
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_lineitem(spark, sf_dir):
+    """One-pass numeric profiling (ingest sanity check): counts, nulls,
+    distincts, ranges per column (operators/profile.py)."""
+    from lance_flink_spark.operators.profile import profile_numeric
+
+    return profile_numeric(table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
 @query(
     "streaming_exactly_once",
     oracle="""

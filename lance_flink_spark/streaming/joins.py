@@ -1,0 +1,41 @@
+"""Streaming joins — Flink-parity via Structured Streaming.
+
+- stream-static: enrich a stream with a (broadcastable) dimension
+  DataFrame; Spark re-plans the static side per micro-batch.
+- stream-stream: inner join of two watermarked streams with an
+  event-time range condition (Flink interval join on streams). State
+  for unmatched rows is bounded by the watermark + range bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream ⋈ static dim (inner). The dim side is batch; Spark
+    broadcasts it into each micro-batch when under the threshold."""
+    return stream.join(F.broadcast(dim), on)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join:
+    right_ts ∈ [left_ts, left_ts + upper] for the same key. Both
+    inputs must already carry watermarks; the range bound lets Spark
+    evict join state past watermark + upper."""
+    l = left.select(F.col(on).alias("l_key"), F.col(left_ts).alias("l_ts"))
+    r = right.select(F.col(on).alias("r_key"), F.col(right_ts).alias("r_ts"))
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond)
