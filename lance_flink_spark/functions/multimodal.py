@@ -55,6 +55,9 @@ def resize_stub(content: bytes, width: int, height: int) -> bytes:
 def resize_images(blobs: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """mapInPandas 'resize' pass: one Arrow batch in, one typed batch
     out with bounded thumb bytes per row."""
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -76,6 +79,9 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 256, max_frames: int = 
     fixed-stride slices per blob (a real impl seeks keyframes with
     ffmpeg). One input row fans out to multiple typed output rows —
     the batch-shape case decode pipelines hit."""
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -96,6 +102,9 @@ def extract_metadata(blobs: DataFrame) -> DataFrame:
     """mapInPandas pass: per-blob byte length, head bytes (hex of the
     first 4 utf-8 characters, matching the SQL oracle), and the stub
     feature vector. One Arrow round-trip, batch-at-a-time."""
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

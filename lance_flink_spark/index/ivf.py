@@ -111,6 +111,9 @@ class IVFIndex:
         ceiling — the 100 TB path); the default trains on a bounded
         driver-side sample like Lance does. Either way the index layout
         and search path are identical."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
         if distributed_kmeans:
             cents = _kmeans_distributed(df, vec_col, nlist, seed)
             sample = np.stack(
@@ -209,6 +212,9 @@ class IVFIndex:
         index maintenance without retraining (Lance's index update
         path). Centroid quality degrades only if the data distribution
         drifts; rebuild then."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
         meta = self._meta()
         cents = np.load(os.path.join(self.path, "centroids.npy"))
         cents_b = spark.sparkContext.broadcast(cents)
@@ -300,6 +306,9 @@ class IVFIndex:
     ) -> DataFrame:
         """IVF_PQ search: ADC over pq codes in probed lists, then exact
         re-scoring of refine_factor*k candidates (vector.refine-factor)."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
         meta = self._meta()
         if meta["pq_sub_vectors"] is None:
             raise ValueError("index was built without PQ")

@@ -47,6 +47,34 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``lance_flink_spark`` importable on executor Python workers.
+
+    Module-level functions referenced from pandas UDFs / mapInPandas /
+    applyInPandasWithState are pickled BY REFERENCE, so workers must
+    import this package — which fails when the driver's cwd isn't the
+    repo root (e.g. the verification harness). Zip the package once per
+    session and addPyFile it; idempotent via a session marker."""
+    sc = spark.sparkContext
+    marker = "lance_flink_spark.pkg_shipped"
+    if sc.getLocalProperty(marker):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out_dir = os.path.join(os.path.dirname(pkg_dir), ".scratch")
+    os.makedirs(out_dir, exist_ok=True)
+    zip_path = os.path.join(out_dir, "lance_flink_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    sc.addPyFile(zip_path)
+    sc.setLocalProperty(marker, "1")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict:
     """Load the benchmark tables from ``sf_dir`` and register temp views.
 

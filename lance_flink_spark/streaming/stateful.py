@@ -38,6 +38,9 @@ def _update_user_state(
 def running_user_counters(events: DataFrame) -> DataFrame:
     """Per-user running counters over a stream (grouped map with state).
     ``events`` must be a streaming DataFrame with user_id/ts/value."""
+    from lance_flink_spark.session import ship_package
+
+    ship_package(events.sparkSession)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
