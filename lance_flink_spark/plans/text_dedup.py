@@ -252,6 +252,41 @@ def embeddings_normalize(spark, sf_dir):
 
 
 @query(
+    "stratified_cap",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
+               ) AS rn
+        FROM documents) r
+    WHERE rn <= 50
+    GROUP BY lang
+    """,
+)
+def stratified_cap(spark, sf_dir):
+    """Corpus balancing: cap each language at 50 docs, selected by a
+    deterministic hash order (not arrival order — stable across runs,
+    engines, partitionings). One shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    from lance_flink_spark.functions.text import md5i
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5i(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@query(
     "text_repetition",
     oracle=f"""
     SELECT doc_id,

@@ -158,6 +158,45 @@ def ivf_flat_search(spark, sf_dir):
     ).select("vec_id", "distance")
 
 
+@query(
+    "two_stage_retrieval",
+    oracle=f"""
+    SELECT vec_id, cos_distance FROM (
+        SELECT vec_id,
+               ROUND(1 - list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_distance
+        FROM (
+            SELECT e.vec_id, e.embedding, q.qv,
+                   ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS l2d
+            FROM embeddings e, {_Q0} q
+            ORDER BY l2d, e.vec_id LIMIT 50) shortlist)
+    ORDER BY cos_distance, vec_id LIMIT 10
+    """,
+)
+def two_stage_retrieval(spark, sf_dir):
+    """Two-stage retrieval (the production ANN shape): cheap L2
+    shortlist (IVF probing all lists → exact, so the SQL shortlist is
+    identical) then exact cosine re-rank of the top-50. At scale stage
+    1 is the IVF/PQ scan and stage 2 touches only k·refine rows."""
+    from lance_flink_spark.functions import vector as V
+
+    idx = _ivf_flat(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    shortlist = idx.search(spark, qv, k=50, nprobes=8, metric="l2")
+    # re-attach embeddings for the rerank stage (search drops the vector)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        shortlist.select("vec_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            F.round(V.cosine_distance(F.col("embedding"), q), 6).alias("cos_distance"),
+        )
+        .orderBy("cos_distance", "vec_id")
+        .limit(10)
+    )
+
+
 @query("ivf_pq_search")  # rows-only: ADC quantization error is index-specific
 def ivf_pq_search(spark, sf_dir):
     """IVF_PQ build + ADC search with exact refine (LanceIndexBuilder
