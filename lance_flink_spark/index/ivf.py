@@ -287,6 +287,7 @@ class IVFIndex:
         nprobes: int = 20,
         metric: str = "l2",
         filter: str | None = None,  # noqa: A002
+        keep_vector: bool = False,
     ) -> DataFrame:
         """IVF_FLAT search: probe, then exact distances in the probed
         lists only. With nprobes >= nlist this is exact brute force."""
@@ -294,7 +295,10 @@ class IVFIndex:
         cand = self._probe_lists(spark, query_vec, nprobes, metric=metric).drop(
             "centroid_id", "pq_code"
         )
-        return _brute_knn(cand, query_vec, k, vec_col=meta["vec_col"], metric=metric, filter=filter)
+        return _brute_knn(
+            cand, query_vec, k, vec_col=meta["vec_col"], metric=metric,
+            filter=filter, keep_vector=keep_vector,
+        )
 
     def search_pq(
         self,

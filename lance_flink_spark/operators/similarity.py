@@ -36,12 +36,14 @@ def knn(
     metric: str = "cosine",
     filter: str | None = None,  # noqa: A002 - mirrors reference API
     round_to: int | None = 6,
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Top-k rows of ``df`` nearest to ``query_vec``.
 
-    Returns the input columns (minus the vector) + ``distance`` and
-    ``similarity`` (reference SearchResult contract). ``filter`` is a
-    SQL predicate applied before scoring (pushdown-eligible), matching
+    Returns the input columns (minus the vector unless ``keep_vector``
+    — rerank pipelines need it) + ``distance`` and ``similarity``
+    (reference SearchResult contract). ``filter`` is a SQL predicate
+    applied before scoring (pushdown-eligible), matching
     LanceVectorSearch.search(query, k, filter).
     """
     q = _query_literal(query_vec)
@@ -50,10 +52,11 @@ def knn(
     dist = V.distance(metric, F.col(vec_col), q)
     if round_to is not None:
         dist = F.round(dist, round_to)
-    out_cols = [c for c in df.columns if c != vec_col]
+    out_cols = [c for c in df.columns if keep_vector or c != vec_col]
     scored = df.select(*out_cols, dist.alias("distance"))
-    # deterministic tie-break on the first id-like column if present
-    order = [F.asc("distance")] + [F.asc(c) for c in out_cols[:1]]
+    # deterministic tie-break on the first non-vector (id-like) column
+    tie = [c for c in out_cols if c != vec_col][:1]
+    order = [F.asc("distance")] + [F.asc(c) for c in tie]
     return (
         scored.orderBy(*order)
         .limit(k)

@@ -181,14 +181,10 @@ def two_stage_retrieval(spark, sf_dir):
 
     idx = _ivf_flat(spark, sf_dir)
     qv = _query_vec(spark, sf_dir)
-    shortlist = idx.search(spark, qv, k=50, nprobes=8, metric="l2")
-    # re-attach embeddings for the rerank stage (search drops the vector)
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shortlist = idx.search(spark, qv, k=50, nprobes=8, metric="l2", keep_vector=True)
     q = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        shortlist.select("vec_id")
-        .join(emb, "vec_id")
-        .select(
+        shortlist.select(
             "vec_id",
             F.round(V.cosine_distance(F.col("embedding"), q), 6).alias("cos_distance"),
         )
