@@ -64,6 +64,68 @@ def test_asof_join_matches_pandas_merge_asof(left, right):
 
 @settings(max_examples=15, deadline=None)
 @given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20000)), min_size=1, max_size=25
+    )
+)
+def test_sessionize_matches_python_reference(events):
+    """Gap-based sessionization vs a direct per-user Python scan."""
+    spark = _get_spark()
+    rows = [(i, k, t) for i, (k, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    from lance_flink_spark.streaming.windows import sessionize
+
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    by_user: dict = {}
+    for i, k, t in rows:
+        by_user.setdefault(k, []).append((t, i))
+    want = {}
+    for k, ts in by_user.items():
+        ts.sort()
+        sessions, cur = [], [ts[0]]
+        for prev, nxt in zip(ts, ts[1:]):
+            if nxt[0] - prev[0] > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        want[k] = (len(sessions), len(ts), max(len(s) for s in sessions))
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    left=st.lists(st.tuples(st.integers(1, 2), st.integers(0, 5000)), min_size=1, max_size=10),
+    right=st.lists(st.tuples(st.integers(1, 2), st.integers(0, 5000)), min_size=1, max_size=10),
+)
+def test_interval_join_matches_quadratic_reference(left, right):
+    """interval_join vs brute-force pair enumeration (600s bound)."""
+    spark = _get_spark()
+    from lance_flink_spark.operators.temporal import interval_join
+
+    ldf = spark.createDataFrame(left, "k long, ts long").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    rdf = spark.createDataFrame(right, "k long, ts long").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    got = interval_join(ldf, rdf, on="k", upper="600 seconds").count()
+    want = sum(
+        1
+        for lk, lt in left
+        for rk, rt in right
+        if lk == rk and lt <= rt <= lt + 600
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
     texts=st.lists(
         st.text(alphabet="abc XY.,", min_size=0, max_size=20), min_size=1, max_size=15
     )
