@@ -396,6 +396,162 @@ def q16_supplier_variety(spark, sf_dir):
 
 
 @query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total = (SELECT MAX(total) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: scalar-subquery max against a derived revenue
+    view (the rounded total is the equality key on both sides)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total")
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total == mx.mx)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n
+    FROM lineitem l
+    JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS lim
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.pk
+    WHERE l.l_quantity < t.lim
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group average threshold,
+    decorrelated into a grouped self-join."""
+    l = table(spark, sf_dir, "lineitem")
+    lim = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("lim")
+    )
+    return (
+        l.join(lim, l.l_partkey == lim.pk)
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-branch predicates across the
+    join (tests OR-pushdown planning)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (
+        SELECT c_nationkey % 5 AS cntrycode, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')) t
+    GROUP BY cntrycode
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-average threshold + anti join (no
+    urgent orders — the plain no-orders variant is vacuously empty on
+    this data, which the gate would 'match' without testing anything)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = c.filter("c_acctbal > 0").agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+    FROM orders
+    """,
+)
+def running_revenue(spark, sf_dir):
+    """Cumulative window frame (running per-customer revenue) — the
+    ROWS UNBOUNDED PRECEDING frame; identical ordering keys make the
+    cross-engine float sums bit-stable per prefix."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_rev"),
+    )
+
+
+@query(
     "scan_pushdown",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
