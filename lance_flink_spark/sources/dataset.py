@@ -182,7 +182,10 @@ class Dataset:
         frags = self._live_fragments(version)
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
-        reader = spark.read
+        # mergeSchema: appends may evolve the schema (add columns) —
+        # older fragments surface the new columns as null, Lance's
+        # add-column semantics
+        reader = spark.read.option("mergeSchema", "true")
         if batch_size:
             # columnar batch size for the vectorized parquet reader
             reader = reader.option("parquet.read.batch.size", batch_size)

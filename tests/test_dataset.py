@@ -116,6 +116,20 @@ def test_read_stream_picks_up_appends(spark, tmp_path_str):
     assert drain() == 15
 
 
+def test_schema_evolution_on_append(spark, tmp_path_str):
+    """Appending a fragment with an extra column evolves the dataset
+    schema; old rows read the new column as null (Lance add-column)."""
+    from pyspark.sql import Row
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(spark.createDataFrame([Row(id=1, v=1.0)]))
+    ds.write(spark.createDataFrame([Row(id=2, v=2.0, extra="x")]), mode="append")
+    out = ds.read(spark)
+    assert set(out.columns) == {"id", "v", "extra"}
+    vals = {r["id"]: r["extra"] for r in out.collect()}
+    assert vals == {1: None, 2: "x"}
+
+
 def test_sorted_write_clusters_row_groups(spark, tmp_path_str):
     """sort_by writes produce disjoint per-file ranges → parquet
     min/max stats can skip files for range predicates."""
