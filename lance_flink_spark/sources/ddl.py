@@ -28,10 +28,9 @@ from pyspark.sql import types as T
 from lance_flink_spark.sources.catalog import Catalog
 from lance_flink_spark.sources.dataset import Dataset, DatasetOptions
 
-_CREATE = re.compile(
-    r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
-    r"\((?P<cols>.*?)\)\s*WITH\s*\((?P<opts>.*?)\)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_CREATE_HEAD = re.compile(
+    r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*\(",
+    re.IGNORECASE,
 )
 _INSERT = re.compile(
     r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+(?P<rest>.*)$",
@@ -64,6 +63,47 @@ def _strip_comments(cols: str) -> str:
     return re.sub(r"\s+COMMENT\s+'(?:[^']|'')*'", "", cols, flags=re.IGNORECASE)
 
 
+def _balanced(s: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at open_idx. Column
+    types carry their own parens — TIMESTAMP(3), DECIMAL(10,2) — so a
+    non-greedy regex would truncate the column list at the first ')'."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError(f"unbalanced parentheses in DDL near: {s[open_idx:open_idx+60]!r}")
+
+
+def _parse_create(sql: str):
+    """→ (name, if_not_exists, cols_str, opts_str) or None."""
+    m = _CREATE_HEAD.match(sql)
+    if not m:
+        return None
+    cols_open = m.end() - 1
+    cols_close = _balanced(sql, cols_open)
+    rest = sql[cols_close:].strip()
+    wm = re.match(r"WITH\s*\(", rest, re.IGNORECASE)
+    if not wm:
+        raise ValueError("CREATE TABLE requires a WITH (...) options clause")
+    opts_close = _balanced(rest, wm.end() - 1)
+    return (
+        m.group("name"),
+        bool(m.group("ine")),
+        sql[cols_open + 1 : cols_close - 1],
+        rest[wm.end() : opts_close - 1],
+    )
+
+
+def _spark_ddl_types(cols: str) -> str:
+    """Flink type spellings Spark's DDL parser rejects → Spark forms
+    (TIMESTAMP(3) → TIMESTAMP; the precision is a display concern)."""
+    return re.sub(r"\bTIMESTAMP\s*\(\s*\d+\s*\)", "TIMESTAMP", cols, flags=re.IGNORECASE)
+
+
 class SqlEngine:
     """Execute Flink-dialect DDL/DML against a Catalog + SparkSession."""
 
@@ -78,9 +118,9 @@ class SqlEngine:
 
     def execute(self, sql: str) -> DataFrame | None:
         sql = sql.strip().rstrip(";")
-        m = _CREATE.match(sql + ";")
-        if m:
-            return self._create(m)
+        created = _parse_create(sql)
+        if created:
+            return self._create(*created)
         m = _INSERT.match(sql)
         if m:
             return self._insert(m)
@@ -93,14 +133,13 @@ class SqlEngine:
 
     # ---------- statements ----------
 
-    def _create(self, m: re.Match) -> None:
-        name = m.group("name")
-        if m.group(1) and self.catalog.table_exists(self.database, name):
+    def _create(self, name: str, if_not_exists: bool, cols: str, opts_str: str) -> None:
+        if if_not_exists and self.catalog.table_exists(self.database, name):
             return None
-        schema = T._parse_datatype_string(f"struct<{_strip_comments(m.group('cols'))}>")
-        opts = dict(
-            re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts"))
+        schema = T._parse_datatype_string(
+            f"struct<{_spark_ddl_types(_strip_comments(cols))}>"
         )
+        opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_str))
         if opts.get("connector", "lance") != "lance":
             raise ValueError(f"unsupported connector {opts.get('connector')!r}")
         table_opts = {k: v for k, v in opts.items() if k != "connector"}

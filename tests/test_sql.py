@@ -70,6 +70,26 @@ def test_create_with_index_options_and_comments(engine):
     assert engine.execute("SELECT COUNT(*) AS c FROM doc_embeddings").first()["c"] == 0
 
 
+def test_parenthesized_types_in_ddl(engine):
+    """The reference demo DDL uses TIMESTAMP(3) and types with parens
+    — the column list must parse past inner parentheses."""
+    engine.execute(
+        """
+        CREATE TABLE doc_meta (
+            doc_id BIGINT COMMENT 'Document ID',
+            price DECIMAL(10, 2),
+            create_time TIMESTAMP(3) COMMENT 'Creation time'
+        ) WITH ('connector' = 'lance', 'path' = '')
+        """
+    )
+    engine.execute(
+        "INSERT INTO doc_meta VALUES (1, 9.99, TIMESTAMP '2024-01-01 00:00:00')"
+    )
+    row = engine.execute("SELECT * FROM doc_meta").first()
+    assert float(row["price"]) == 9.99
+    assert row["create_time"].year == 2024
+
+
 def test_if_not_exists_and_drop(engine):
     engine.execute("CREATE TABLE t (id BIGINT) WITH ('connector'='lance','path'='')")
     engine.execute("CREATE TABLE IF NOT EXISTS t (id BIGINT) WITH ('connector'='lance','path'='')")
