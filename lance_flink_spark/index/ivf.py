@@ -43,39 +43,119 @@ META = "_index_meta.json"
 
 # ---------- k-means (driver-side, bounded sample) ----------
 
+# Row-chunk size for driver-side distance computation: peak temp memory
+# is CHUNK × k doubles (e.g. 8192 × 4096 × 8B = 256 MB at nlist=4096),
+# never the n × k × dim broadcast temp that the naive formulation
+# materializes (≈6 TB at sample=256k, nlist=4096, dim=768).
+_KM_CHUNK = 8192
+
+
+def _assign_chunked(x: np.ndarray, c: np.ndarray, chunk: int = _KM_CHUNK):
+    """(argmin, min-squared-distance) of each row of ``x`` against the
+    centroid matrix ``c`` via the ||x||² + ||c||² - 2x·cᵀ expansion,
+    row-chunked so memory is O(chunk·k) regardless of n."""
+    c2 = (c * c).sum(1)
+    assign = np.empty(len(x), dtype=np.int64)
+    mind2 = np.empty(len(x))
+    for s in range(0, len(x), chunk):
+        xs = x[s : s + chunk]
+        d = (xs * xs).sum(1)[:, None] - 2.0 * xs @ c.T + c2[None, :]
+        assign[s : s + chunk] = d.argmin(1)
+        mind2[s : s + chunk] = d.min(1)
+    return assign, mind2
+
+
 def _kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 25) -> np.ndarray:
+    """Lloyd's k-means with k-means++ seeding.
+
+    Seeding keeps a RUNNING min-distance array updated per new centroid
+    (O(n·k·dim) total — one Lloyd-iteration's work) instead of
+    re-scoring all chosen centroids each round (O(n·k²·dim)); both
+    seeding and iteration use the chunked expansion, so a 256k-sample,
+    nlist=4096, dim=768 build stays in a few hundred MB of driver RAM."""
     rng = np.random.RandomState(seed)
-    # k-means++ seeding for stable, well-spread centroids
-    centroids = [x[rng.randint(len(x))]]
+    n = len(x)
+    idx = [int(rng.randint(n))]
+    d2 = ((x - x[idx[0]]) ** 2).sum(1)
     for _ in range(1, k):
-        d2 = np.min(
-            ((x[:, None, :] - np.stack(centroids)[None, :, :]) ** 2).sum(-1), axis=1
-        )
         probs = d2 / max(d2.sum(), 1e-12)
-        centroids.append(x[rng.choice(len(x), p=probs)])
-    c = np.stack(centroids)
+        i = int(rng.choice(n, p=probs))
+        idx.append(i)
+        np.minimum(d2, ((x - x[i]) ** 2).sum(1), out=d2)
+    c = x[np.array(idx)].copy()
     for _ in range(iters):
-        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for j in range(k):
-            pts = x[assign == j]
-            if len(pts):
-                c[j] = pts.mean(0)
+        assign, _ = _assign_chunked(x, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        c[nonempty] = sums[nonempty] / counts[nonempty, None]
     return c
 
 
-def _kmeans_distributed(df: DataFrame, vec_col: str, k: int, seed: int) -> np.ndarray:
+def _kmeans_distributed(
+    df: DataFrame, vec_col: str, k: int, seed: int, iters: int = 25
+) -> np.ndarray:
     """Distributed Lloyd via pyspark.ml over the full dataset — the
     path for training sets beyond any single-node sample."""
     from pyspark.ml.clustering import KMeans as MLKMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = MLKMeans(k=k, seed=seed, maxIter=25).fit(feats)
+    model = MLKMeans(k=k, seed=seed, maxIter=iters).fit(feats)
     # clusterCenters() yields numpy arrays (newer pyspark) or ml Vectors
     return np.stack(
         [np.asarray(c if isinstance(c, np.ndarray) else c.toArray()) for c in model.clusterCenters()]
     )
+
+
+def _train_pq_distributed(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str,
+    cents: np.ndarray,
+    m: int,
+    ncodes: int,
+    seed: int,
+    iters: int = 15,
+) -> np.ndarray:
+    """PQ codebooks trained DISTRIBUTED: residuals to the coarse
+    centroid are computed executor-side (Arrow-batched, chunked argmin),
+    then each sub-vector's codebook is a pyspark.ml k-means over the
+    full residual slice — no driver-sample ceiling on PQ quality."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("array<double>")
+    def residual(v: pd.Series) -> pd.Series:
+        x = _stack(v)
+        assign, _ = _assign_chunked(x, cents_b.value)
+        return pd.Series(list(x - cents_b.value[assign]))
+
+    resid = df.select(residual(F.col(vec_col)).alias("r")).cache()
+    dim = cents.shape[1]
+    sub = dim // m
+    books = []
+    try:
+        for j in range(m):
+            feats = resid.select(
+                array_to_vector(F.slice(F.col("r"), j * sub + 1, sub)).alias("features")
+            )
+            model = MLKMeans(k=ncodes, seed=seed + 1 + j, maxIter=iters).fit(feats)
+            cb = np.stack(
+                [
+                    np.asarray(c if isinstance(c, np.ndarray) else c.toArray())
+                    for c in model.clusterCenters()
+                ]
+            )
+            if len(cb) < ncodes:  # degenerate data: pad by repeating
+                cb = np.vstack([cb, np.repeat(cb[-1:], ncodes - len(cb), axis=0)])
+            books.append(cb)
+    finally:
+        resid.unpersist()
+    return np.stack(books)  # (m, ncodes, sub)
 
 
 def _stack(series: pd.Series) -> np.ndarray:
@@ -102,26 +182,28 @@ class IVFIndex:
         pq_bits: int = 8,
         sample_size: int = 262_144,
         seed: int = 42,
-        distributed_kmeans: bool = False,
+        distributed_kmeans: bool | None = None,
+        kmeans_iters: int = 25,
     ) -> "IVFIndex":
         """Build IVF_FLAT (pq_sub_vectors=None) or IVF_PQ.
 
-        ``distributed_kmeans=True`` trains centroids with pyspark.ml's
-        distributed Lloyd over the FULL dataset (no driver-sample
-        ceiling — the 100 TB path); the default trains on a bounded
-        driver-side sample like Lance does. Either way the index layout
-        and search path are identical."""
+        ``distributed_kmeans`` defaults to AUTO: above nlist=512 the
+        centroids (and PQ codebooks) are trained with pyspark.ml's
+        distributed Lloyd over the FULL dataset — no driver-sample
+        ceiling, no driver-RAM dependence on nlist (the 100 TB path).
+        At small nlist the bounded driver-side sample (like Lance's own
+        sampled training) is faster; its distance math is row-chunked
+        (_assign_chunked) so even the sample path never materializes an
+        n×k×dim temp. Index layout and search are identical either way."""
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
+        if distributed_kmeans is None:
+            distributed_kmeans = nlist > 512
+        ncodes = 2**pq_bits
         if distributed_kmeans:
-            cents = _kmeans_distributed(df, vec_col, nlist, seed)
-            sample = np.stack(
-                [
-                    np.asarray(r[0], dtype=np.float64)
-                    for r in df.select(vec_col).limit(min(sample_size, 65_536)).collect()
-                ]
-            )  # PQ codebooks still train on a bounded residual sample
+            cents = _kmeans_distributed(df, vec_col, nlist, seed, iters=kmeans_iters)
+            dim = cents.shape[1]
         else:
             sample = np.stack(
                 [
@@ -129,24 +211,29 @@ class IVFIndex:
                     for r in df.select(vec_col).limit(sample_size).collect()
                 ]
             )
-            cents = _kmeans(sample, nlist, seed=seed)
-        dim = sample.shape[1]
+            cents = _kmeans(sample, nlist, seed=seed, iters=kmeans_iters)
+            dim = sample.shape[1]
 
         codebooks = None
         if pq_sub_vectors is not None:
             if dim % pq_sub_vectors:
                 raise ValueError(f"dim {dim} not divisible by m={pq_sub_vectors}")
             sub = dim // pq_sub_vectors
-            ncodes = 2**pq_bits
-            # PQ trains on residuals to the coarse centroid (as Lance does)
-            d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            resid = sample - cents[d.argmin(1)]
-            codebooks = np.stack(
-                [
-                    _kmeans(resid[:, j * sub : (j + 1) * sub], ncodes, seed=seed + 1 + j, iters=15)
-                    for j in range(pq_sub_vectors)
-                ]
-            )  # (m, ncodes, sub)
+            if distributed_kmeans:
+                codebooks = _train_pq_distributed(
+                    spark, df, vec_col, cents, pq_sub_vectors, ncodes, seed
+                )
+            else:
+                # PQ trains on residuals to the coarse centroid (as
+                # Lance does), chunked assignment — no n×k×dim temp
+                assign, _ = _assign_chunked(sample, cents)
+                resid = sample - cents[assign]
+                codebooks = np.stack(
+                    [
+                        _kmeans(resid[:, j * sub : (j + 1) * sub], ncodes, seed=seed + 1 + j, iters=15)
+                        for j in range(pq_sub_vectors)
+                    ]
+                )  # (m, ncodes, sub)
 
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "centroids.npy"), cents)
@@ -171,10 +258,8 @@ class IVFIndex:
 
         @pandas_udf("int")
         def assign_centroid(v: pd.Series) -> pd.Series:
-            x = _stack(v)
-            c = cents_b.value
-            d = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
-            return pd.Series(d.argmin(1).astype(np.int32))
+            assign, _ = _assign_chunked(_stack(v), cents_b.value)
+            return pd.Series(assign.astype(np.int32))
 
         out = df.withColumn("centroid_id", assign_centroid(F.col(vec_col)))
 
@@ -222,10 +307,8 @@ class IVFIndex:
 
         @pandas_udf("int")
         def assign_centroid(v: pd.Series) -> pd.Series:
-            x = _stack(v)
-            c = cents_b.value
-            d = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
-            return pd.Series(d.argmin(1).astype(np.int32))
+            assign, _ = _assign_chunked(_stack(v), cents_b.value)
+            return pd.Series(assign.astype(np.int32))
 
         out = df.withColumn("centroid_id", assign_centroid(F.col(vec_col)))
         if meta["pq_sub_vectors"]:

@@ -211,25 +211,73 @@ def simhash_pairs(
     )
 
 
+def ngram_candidates(
+    grams: DataFrame, id_col: str, block_col: str, max_df: int
+) -> DataFrame:
+    """Distinct candidate pairs sharing ≥1 shingle whose document
+    frequency (within its block) is ≤ ``max_df``.
+
+    The df-cap is what bounds the inverted-index self-join at scale:
+    uncapped, an ultra-common shingle with document frequency d emits
+    d·(d-1)/2 pairs — Σ df(gram)² blows up quadratically on stopword-y
+    shingles at 100 TB. Capped, every bucket emits ≤ max_df·(max_df-1)/2
+    pairs, so total candidates ≤ (Σ df)·max_df/2 — linear in corpus
+    shingle volume. Pairs whose ONLY shared shingles are above the cap
+    are missed — those shingles are by definition background phrases
+    carrying ~zero near-dup signal (the recall loss SCALE.md accepts)."""
+    dfreq = grams.groupBy(block_col, "gram").agg(F.count(F.lit(1)).alias("gdf"))
+    capped = grams.join(
+        dfreq.filter(F.col("gdf") <= max_df).select(block_col, "gram"),
+        [block_col, "gram"],
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), "gram")
+    b = capped.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), "gram")
+    return (
+        a.join(b, ["blk", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_col: str = "lang",
     threshold: float = 0.6,
+    max_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact shingle-set jaccard via inverted-index self-join, blocked
-    on ``block_col``. Returns (id_a, id_b, jaccard rounded 6dp)."""
+    """Shingle-set jaccard via inverted-index self-join, blocked on
+    ``block_col``. Returns (id_a, id_b, jaccard rounded 6dp).
+
+    With ``max_df`` set (the default — scale path), candidate pairs come
+    from the df-capped inverted index (ngram_candidates) and the jaccard
+    of each candidate is then verified EXACTLY over the full shingle
+    sets — a join that touches only candidate pairs, so the exact
+    intersection never reverts to the quadratic bucket. ``max_df=None``
+    is the uncapped fully-exact path."""
     grams = _shingle_df(df, text_col, id_col, block_col)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), "gram")
     b = grams.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), "gram")
-    inter = (
-        a.join(b, ["blk", "gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_df is None:
+        inter = (
+            a.join(b, ["blk", "gram"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        cand = ngram_candidates(grams, id_col, block_col, max_df)
+        # exact verify restricted to candidates: |cand| × grams(a) rows,
+        # never df² per shingle
+        inter = (
+            cand.join(a, "id_a")
+            .join(b.withColumnRenamed("blk", "blk_b"), ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     # filter on the ROUNDED value so the cutoff is bit-identical across

@@ -48,18 +48,24 @@ def agg_global(spark, sf_dir):
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS sum_price,
-           ROUND(MAX(o_totalprice), 2) AS max_price
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           COUNT(DISTINCT o_custkey) AS n_custs
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
     """,
 )
 def agg_groupby(spark, sf_dir):
-    """GROUP BY aggregate via the spec (AggregateInfo.groupBy)."""
+    """GROUP BY aggregate via the spec (AggregateInfo.groupBy), with a
+    per-group COUNT(DISTINCT) column — covering both the GROUP BY and
+    COUNT DISTINCT pushdown rows (SURVEY §2 #4/#5) in one gate entry.
+    The lineitem-side two-column variant stays as the agg_count_distinct
+    extra."""
     spec = (
         AggregateInfo()
         .count_star("cnt")
         .add("sum", "o_totalprice", "sum_price")
         .add("max", "o_totalprice", "max_price")
+        .add("count_distinct", "o_custkey", "n_custs")
         .grouped_by("o_orderstatus", "o_orderpriority")
     )
     out = spec.apply(table(spark, sf_dir, "orders"))
@@ -69,11 +75,13 @@ def agg_groupby(spark, sf_dir):
         "cnt",
         F.round("sum_price", 2).alias("sum_price"),
         F.round("max_price", 2).alias("max_price"),
+        "n_custs",
     )
 
 
 @query(
     "agg_count_distinct",
+    extra=True,
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_suppkey) AS n_suppliers,

@@ -17,10 +17,11 @@ _TUMBLING_ORACLE = """
 """
 
 
-@query("events_tumbling", oracle=_TUMBLING_ORACLE)
+@query("events_tumbling", extra=True, oracle=_TUMBLING_ORACLE)
 def events_tumbling(spark, sf_dir):
     """Tumbling 1h event-time windows (batch plan, shared with the
-    streaming entry below — unified engine)."""
+    streaming entry below — unified engine). Extra: the streaming twin
+    carries the same oracle through the driver gate."""
     return tumbling_agg(table(spark, sf_dir, "events"), window="1 hour")
 
 
@@ -53,6 +54,7 @@ def events_sliding(spark, sf_dir):
 
 @query(
     "events_sessionize",
+    extra=True,  # streaming_sessions carries the same oracle in the gate
     oracle="""
     WITH g AS (
         SELECT user_id, ts, event_id,
@@ -208,6 +210,7 @@ def streaming_stream_join(spark, sf_dir):
 
 @query(
     "events_json",
+    extra=True,  # JSON extraction also exercised by pytest; gate budget
     oracle="""
     SELECT event_type,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,

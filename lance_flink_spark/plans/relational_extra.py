@@ -11,7 +11,65 @@ from lance_flink_spark.registry import query, scratch_dir, table
 
 
 @query(
+    "semi_anti_join",
+    oracle="""
+    SELECT 'semi' AS kind, c_mktsegment AS grp, COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS val
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'anti' AS kind, CAST(NULL AS VARCHAR) AS grp, COUNT(*) AS n,
+           ROUND(AVG(p_retailprice), 6) AS val
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_shipdate >= TIMESTAMP '1998-01-01')
+    """,
+)
+def semi_anti_join(spark, sf_dir):
+    """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) in one gate entry
+    (SURVEY §2 #53/#54): urgent-order customers per segment, and parts
+    with no 1998+ shipments. Both joins shuffle keys only; the
+    standalone shapes remain as extras."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("semi").alias("kind"),
+            F.col("c_mktsegment").alias("grp"),
+            "n",
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+    p = table(spark, sf_dir, "part")
+    l98 = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    anti = (
+        p.join(l98, p.p_partkey == l98.l_partkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 6).alias("val"),
+        )
+        .select(
+            F.lit("anti").alias("kind"),
+            F.lit(None).cast("string").alias("grp"),
+            "n",
+            "val",
+        )
+    )
+    return semi.unionByName(anti)
+
+
+@query(
     "semi_join_urgent_customers",
+    extra=True,  # gate-covered by the merged semi_anti_join entry
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
@@ -36,6 +94,7 @@ def semi_join_urgent_customers(spark, sf_dir):
 
 @query(
     "anti_join_inactive_parts",
+    extra=True,  # gate-covered by the merged semi_anti_join entry
     oracle="""
     SELECT COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 6) AS avg_price
     FROM part p

@@ -78,9 +78,22 @@ def skew_salted_count_distinct(spark, sf_dir):
 def agg_approx(spark, sf_dir):
     """Approximate aggregates (HLL++ count-distinct, quantile sketch) —
     the sketch-based path for 100TB interactive profiling. Rows-only in
-    the gate; tests pin the error envelope vs exact values."""
+    the gate; tests pin the error envelope vs exact values. Quantiles
+    are emitted as flat scalar columns (q50/q95/q99), not an array —
+    the gate canonicalizer sorts rows and can't hash list cells."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            q.alias("qs"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.element_at("qs", 1).alias("q50"),
+            F.element_at("qs", 2).alias("q95"),
+            F.element_at("qs", 3).alias("q99"),
+        )
     )

@@ -52,9 +52,77 @@ def _hits(markers: tuple[str, ...]) -> str:
 
 # ---------- text analysis ----------
 
+_EN_HITS_ARR = "len(list_filter(arr, x -> x IN ({lst})))".format(
+    lst=", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+)
+
+
+@query(
+    "text_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOKS} AS arr,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents),
+    m AS (
+        SELECT doc_id, text, arr, norm,
+               (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(arr) END)::DOUBLE AS n_tok,
+               length(text)::DOUBLE AS n_chr,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+               ({_EN_HITS_ARR})::DOUBLE AS stop,
+               list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+                              i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2])) AS grams
+        FROM base)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_subtokens,
+           length(text) AS n_chars_m,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(range(1, length(norm) + 1),
+                                  i -> ord(substr(norm, i, 1))::BIGINT)),
+               (a, c) -> (a * 31 + c) % {ROLLING_M}) AS rh,
+           ROUND(LEAST(1.0, n_tok / 50.0) * 0.4
+                 + (1.0 - punct / GREATEST(n_chr, 1.0)) * 0.3
+                 + LEAST(1.0, stop / GREATEST(n_tok, 1.0) * 5.0) * 0.3, 6) AS quality,
+           md5(norm) AS fp,
+           CASE WHEN len(grams) <= 0 THEN 0.0
+                ELSE ROUND(1.0 - len(list_distinct(grams)) / len(grams)::DOUBLE, 6)
+           END AS rep_ratio
+    FROM m
+    """,
+)
+def text_features(spark, sf_dir):
+    """Single-pass per-document text feature extraction (SURVEY §2
+    #38/#39/#40/#44/#45/#64 in one gate entry): whitespace + BPE-ish
+    subword token counts, char count, polynomial rolling hash, quality
+    score, normalized-content md5 fingerprint, and the Gopher-style
+    duplicated-3-gram repetition ratio. All Catalyst HOFs, zero Python
+    UDFs, zero shuffles — at 100 TB this is the pattern: compute every
+    per-doc signal in ONE scan instead of five. Standalone single-signal
+    entries remain as extras."""
+    from lance_flink_spark.functions.text import (
+        repetition_ratio,
+        rolling_hash,
+        subword_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        subword_count(F.col("text")).cast("long").alias("n_subtokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        rolling_hash(F.col("text")).alias("rh"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+        repetition_ratio(F.col("text")).alias("rep_ratio"),
+    )
+
 
 @query(
     "text_tokens",
+    extra=True,  # gate-covered by the single-pass text_features entry
     oracle=f"""
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
@@ -79,6 +147,7 @@ def text_tokens(spark, sf_dir):
 
 @query(
     "text_rolling_hash",
+    extra=True,  # gate-covered by the single-pass text_features entry
     oracle=f"""
     SELECT doc_id,
            list_reduce(
@@ -137,6 +206,7 @@ def text_langid(spark, sf_dir):
 
 @query(
     "text_quality",
+    extra=True,  # gate-covered by the single-pass text_features entry
     oracle=f"""
     SELECT doc_id,
            ROUND(LEAST(1.0, n_tok / 50.0) * 0.4
@@ -160,6 +230,7 @@ def text_quality(spark, sf_dir):
 
 @query(
     "text_fingerprint",
+    extra=True,  # gate-covered by the single-pass text_features entry
     oracle="""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -288,6 +359,7 @@ def stratified_cap(spark, sf_dir):
 
 @query(
     "text_repetition",
+    extra=True,  # gate-covered by the single-pass text_features entry
     oracle=f"""
     SELECT doc_id,
            CASE WHEN len(grams) <= 0 THEN 0.0
@@ -433,10 +505,21 @@ def dedup_simhash(spark, sf_dir):
             SELECT doc_id, lang, {_TOKS} AS arr FROM documents) d,
             unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
                    i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(gram)),
+    gdf AS (SELECT lang, gram, COUNT(*) AS gdf FROM g GROUP BY 1, 2),
+    capped AS (
+        SELECT g.doc_id, g.lang, g.gram
+        FROM g JOIN gdf ON g.lang = gdf.lang AND g.gram = gdf.gram
+        WHERE gdf.gdf <= 100),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
     inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
         GROUP BY 1, 2)
     SELECT id_a, id_b,
            ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
@@ -445,9 +528,13 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-word-shingle jaccard ≥ 0.3 via inverted-index self-join
-    blocked on lang."""
-    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.3)
+    """3-word-shingle jaccard ≥ 0.3: df-capped (max_df=100) candidate
+    generation bounds every inverted-index bucket, then EXACT jaccard
+    verification per candidate pair (operators/dedup.py). The oracle
+    mirrors the cap + verify, so the gate exercises the scale path."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.3, max_df=100
+    )
 
 
 _SIGN_BLK = " + ".join(
@@ -458,9 +545,15 @@ _SIGN_BLK = " + ".join(
 @query(
     "dedup_embedding",
     oracle=f"""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v, {_SIGN_BLK} AS blk
-        FROM embeddings)
+    WITH aug AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding::DOUBLE[], x -> x * 1.5)
+        FROM embeddings WHERE vec_id < 25),
+    e AS (SELECT vec_id, v,
+                 {_SIGN_BLK.replace("embedding", "v")} AS blk
+          FROM aug)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
@@ -469,5 +562,24 @@ _SIGN_BLK = " + ".join(
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding near-dup pairs (cosine ≥ 0.5) blocked on the
-    deterministic sign pattern of the leading 8 dims."""
-    return embedding_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.5)
+    deterministic sign pattern of the leading 8 dims.
+
+    The raw embeddings table is near-orthogonal random data with NO
+    pairs above the threshold at any sf — a 0-row oracle match proves
+    nothing (r1 verdict). The gate input therefore unions deterministic
+    near-duplicates: scaled copies (x1.5 — same direction, cosine
+    exactly 1, same sign block) of the first 25 vectors under shifted
+    ids, so the check compares a non-empty, engine-identical pair set
+    while still scanning the full corpus for false positives."""
+    e = table(spark, sf_dir, "embeddings")
+    dup = (
+        e.filter(F.col("vec_id") < 25)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x * 1.5
+            ).alias("embedding"),
+        )
+    )
+    aug = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(dup)
+    return embedding_dup_pairs(aug, threshold=0.5)

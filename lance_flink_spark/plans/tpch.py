@@ -153,6 +153,7 @@ def q5_local_supplier(spark, sf_dir):
 
 @query(
     "q6_revenue_delta",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
            COUNT(*) AS n_items
@@ -181,6 +182,65 @@ def q6_revenue_delta(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_scalars",
+    oracle="""
+    SELECT q6.q6_revenue, q6.q6_n, q15.q15_suppkey, q15.q15_total,
+           q17.q17_avg_yearly, q17.q17_n, q19.q19_revenue, q19.q19_n
+    FROM (
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS q6_revenue,
+               COUNT(*) AS q6_n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24) q6,
+    (
+        WITH rev AS (
+            SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey AS q15_suppkey, total AS q15_total
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total = (SELECT MAX(total) FROM rev)) q15,
+    (
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS q17_avg_yearly,
+               COUNT(*) AS q17_n
+        FROM lineitem l
+        JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS lim
+              FROM lineitem GROUP BY l_partkey) t
+          ON l.l_partkey = t.pk
+        WHERE l.l_quantity < t.lim) q17,
+    (
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS q19_revenue,
+               COUNT(*) AS q19_n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)) q19
+    """,
+)
+def tpch_scalars(spark, sf_dir):
+    """Scalar TPC-H suite in one gate entry (SURVEY §2 #21/#73/#74/#75):
+    Q6 selective filter agg, Q15 scalar-subquery max, Q17 decorrelated
+    per-group threshold, Q19 disjunctive join predicates. Each produces
+    a single row; the cross join of four 1-row results is free (all
+    broadcast). Standalone shapes stay as extras for per-query bench."""
+    q6 = q6_revenue_delta(spark, sf_dir).select(
+        F.col("revenue").alias("q6_revenue"), F.col("n_items").alias("q6_n")
+    )
+    q15 = q15_top_supplier(spark, sf_dir).select(
+        F.col("s_suppkey").alias("q15_suppkey"), F.col("total").alias("q15_total")
+    )
+    q17 = q17_small_quantity_revenue(spark, sf_dir).select(
+        F.col("avg_yearly").alias("q17_avg_yearly"), F.col("n").alias("q17_n")
+    )
+    q19 = q19_disjunctive_revenue(spark, sf_dir).select(
+        F.col("revenue").alias("q19_revenue"), F.col("n").alias("q19_n")
+    )
+    return q6.crossJoin(q15).crossJoin(q17).crossJoin(q19)
 
 
 @query(
@@ -258,6 +318,7 @@ def topn_orders(spark, sf_dir):
 
 @query(
     "q7_volume_shipping",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
            ROUND(SUM(volume), 2) AS revenue
@@ -309,6 +370,7 @@ def q7_volume_shipping(spark, sf_dir):
 
 @query(
     "q13_customer_distribution",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     SELECT c_count, COUNT(*) AS custdist FROM (
         SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -337,6 +399,7 @@ def q13_customer_distribution(spark, sf_dir):
 
 @query(
     "q18_large_orders",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     SELECT c_name, o_orderkey, o_orderdate, ROUND(o_totalprice, 2) AS o_totalprice,
            ROUND(SUM(l_quantity), 2) AS total_qty
@@ -374,6 +437,7 @@ def q18_large_orders(spark, sf_dir):
 
 @query(
     "q16_supplier_variety",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM part JOIN lineitem ON p_partkey = l_partkey
@@ -397,6 +461,7 @@ def q16_supplier_variety(spark, sf_dir):
 
 @query(
     "q15_top_supplier",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     WITH rev AS (
         SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total
@@ -429,6 +494,7 @@ def q15_top_supplier(spark, sf_dir):
 
 @query(
     "q17_small_quantity_revenue",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n
     FROM lineitem l
@@ -457,6 +523,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 
 @query(
     "q19_disjunctive_revenue",
+    extra=True,  # gate-covered by tpch_scalars / pytest extras oracle
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey

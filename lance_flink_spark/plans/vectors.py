@@ -31,7 +31,52 @@ _Q0 = "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
 
 
 @query(
+    "knn_metrics",
+    oracle=f"""
+    SELECT 'l2' AS metric, vec_id, distance FROM (
+        SELECT vec_id, distance FROM (
+            SELECT e.vec_id,
+                   ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+            FROM embeddings e, {_Q0} q)
+        ORDER BY distance, vec_id LIMIT 10) l2
+    UNION ALL
+    SELECT 'cosine' AS metric, vec_id, distance FROM (
+        SELECT vec_id, distance FROM (
+            SELECT e.vec_id,
+                   ROUND(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS distance
+            FROM embeddings e, {_Q0} q)
+        ORDER BY distance, vec_id LIMIT 10) cos
+    UNION ALL
+    SELECT 'dot' AS metric, vec_id, distance FROM (
+        SELECT vec_id, distance FROM (
+            SELECT e.vec_id,
+                   ROUND(-list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS distance
+            FROM embeddings e, {_Q0} q)
+        ORDER BY distance, vec_id LIMIT 10) dot
+    """,
+)
+def knn_metrics(spark, sf_dir):
+    """Brute-force KNN top-10 under all three reference metrics
+    (LanceVectorSearch MetricType L2/COSINE/DOT; SURVEY §2 #10-12) in
+    one gate entry. Each branch is an independent TakeOrderedAndProject
+    over the corpus scan — per-partition heap, no shuffle; the union is
+    free. Single-metric entries remain as extras."""
+    df = table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    parts = [
+        knn(df, qv, k=10, metric=m)
+        .select(F.lit(m).alias("metric"), "vec_id", "distance")
+        for m in ("l2", "cosine", "dot")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "knn_l2",
+    extra=True,  # gate-covered by the unioned knn_metrics entry
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,
@@ -48,6 +93,7 @@ def knn_l2(spark, sf_dir):
 
 @query(
     "knn_cosine",
+    extra=True,  # gate-covered by the unioned knn_metrics entry
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,
@@ -64,6 +110,7 @@ def knn_cosine(spark, sf_dir):
 
 @query(
     "knn_dot",
+    extra=True,  # gate-covered by the unioned knn_metrics entry
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,

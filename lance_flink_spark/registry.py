@@ -13,14 +13,25 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Secondary registry: fully-implemented queries whose oracle coverage is
+# provided by a *merged* primary entry (e.g. the knn_l2/cosine/dot trio
+# is gate-checked through ``knn_metrics``) or by pytest. The driver's
+# correctness artifact records at most 50 entries, so the primary
+# registry is kept to exactly the 50 highest-value shapes; extras stay
+# runnable and are oracle-checked in tests/test_extras_oracle.py and by
+# ``tools/check_oracle.py --extras``.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-def query(name: str, oracle: str | None = None):
+
+def query(name: str, oracle: str | None = None, extra: bool = False):
     """Register a (spark, sf_dir) -> DataFrame callable, optionally with
     an equivalent ANSI-SQL oracle for DuckDB. Rows-only checks omit the
-    oracle (non-SQL-expressible ops)."""
+    oracle (non-SQL-expressible ops). ``extra=True`` keeps the query out
+    of the driver-facing primary registry (50-entry artifact budget)
+    while remaining oracle-checked in pytest."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        (EXTRA_QUERIES if extra else QUERIES)[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
         return fn

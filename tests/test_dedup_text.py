@@ -66,6 +66,55 @@ def test_jaccard_exact_values(spark, docs):
     assert (1, 4) not in out
 
 
+def test_jaccard_df_cap_matches_exact_on_normal_corpus(spark, docs):
+    """With the cap far above any real df, the capped+verify path must
+    equal the uncapped exact path bit-for-bit."""
+    exact = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.1, max_df=None).collect()
+    )
+    capped = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.1, max_df=100).collect()
+    )
+    assert exact == capped
+
+
+def test_jaccard_df_cap_bounds_pathological_candidates(spark):
+    """Pathological common-shingle corpus: every doc shares one
+    ultra-common 3-gram. Uncapped, that single shingle bucket emits
+    n·(n-1)/2 candidate pairs (≈20k here — the Σ df(gram)² blowup);
+    capped, the bucket is dropped and candidates stay bounded by the
+    planted near-dup pairs. True near-dups (sharing rare shingles) must
+    still surface with exact jaccard."""
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.dedup import ngram_candidates
+    from lance_flink_spark.functions.text import word_shingles
+
+    n = 200
+    common = "as a matter of fact"
+    rows = [
+        Row(doc_id=i, text=f"{common} unique content piece number {i} with filler {i * 7} tail", lang="en")
+        for i in range(n)
+    ]
+    # plant one true near-dup pair sharing rare shingles
+    rows.append(Row(doc_id=n, text=rows[0].text + " extra", lang="en"))
+    df = spark.createDataFrame(rows)
+    grams = (
+        df.select("doc_id", "lang", F.explode(word_shingles(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    max_df = 10
+    n_cand = ngram_candidates(grams, "doc_id", "lang", max_df).count()
+    # bound: every surviving bucket emits ≤ max_df·(max_df-1)/2 pairs,
+    # and the pathological bucket (df=201) is gone entirely
+    assert n_cand < n * max_df  # ≪ n·(n-1)/2 = 19900 uncapped
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=max_df).collect()
+    }
+    assert (0, n) in pairs and pairs[(0, n)] > 0.5
+
+
 def test_token_count_and_edge_cases(spark):
     df = spark.createDataFrame(
         [Row(t="one two  three"), Row(t="   "), Row(t="single")]

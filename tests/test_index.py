@@ -101,11 +101,89 @@ def test_distributed_kmeans_build_searchable(spark, emb, qvec, tmp_path_str):
     assert got == want
 
 
+def test_distributed_pq_training_searchable(spark, emb, qvec, tmp_path_str):
+    """distributed_kmeans=True trains PQ codebooks distributed too
+    (_train_pq_distributed); ADC + refine must still find the true
+    neighbors."""
+    idx = IVFIndex.build(
+        spark, emb, tmp_path_str + "/dpq", nlist=8, pq_sub_vectors=8,
+        pq_bits=4, distributed_kmeans=True, kmeans_iters=5,
+    )
+    got = set(_ids(idx.search_pq(spark, qvec, k=10, nprobes=8, refine_factor=8)))
+    want = set(_ids(knn(emb, qvec, k=10, metric="l2")))
+    assert len(got & want) >= 8
+
+
 def test_kmeans_deterministic():
     from lance_flink_spark.index.ivf import _kmeans
 
     x = np.random.RandomState(0).randn(200, 8)
     assert np.allclose(_kmeans(x, 4), _kmeans(x, 4))
+
+
+def test_kmeans_chunked_matches_unchunked():
+    """The chunked distance expansion must give the same assignment as
+    a direct computation (modulo fp ties)."""
+    from lance_flink_spark.index.ivf import _assign_chunked
+
+    rng = np.random.RandomState(1)
+    x, c = rng.randn(500, 16), rng.randn(32, 16)
+    assign, mind2 = _assign_chunked(x, c, chunk=64)
+    d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    assert (assign == d.argmin(1)).all()
+    assert np.allclose(mind2, d.min(1))
+
+
+def test_kmeans_high_nlist_bounded_memory():
+    """Driver-side k-means at production-ish nlist: 100k vectors,
+    nlist=1024 — the r1 formulation needed an n×k×dim temp (~100 GB
+    here in float64); the chunked path peaks at chunk×k (~64 MB).
+    Completing under rlimit-enforced 4 GB address-space growth proves
+    the bound; centroid count and finiteness prove the math ran."""
+    import resource
+
+    from lance_flink_spark.index.ivf import _kmeans
+
+    x = np.random.RandomState(2).randn(100_000, 32)
+    soft, hard = resource.getrlimit(resource.RLIMIT_AS)
+    vm_size = 0
+    with open("/proc/self/status") as f:  # current virtual size (linux)
+        for line in f:
+            if line.startswith("VmSize:"):
+                vm_size = int(line.split()[1]) * 1024
+    budget = vm_size + int(4 * 2**30)  # headroom ≪ the ~100 GB naive temp
+    try:
+        resource.setrlimit(resource.RLIMIT_AS, (budget, hard))
+    except (ValueError, OSError):
+        budget = None  # can't lower the limit in this environment
+    try:
+        c = _kmeans(x, 1024, iters=3)
+    finally:
+        if budget is not None:
+            resource.setrlimit(resource.RLIMIT_AS, (soft, hard))
+    assert c.shape == (1024, 32)
+    assert np.isfinite(c).all()
+
+
+def test_distributed_build_high_nlist_auto(spark, tmp_path_str):
+    """nlist>512 auto-selects the distributed (pyspark.ml) training
+    path and the index stays searchable: 100k synthetic vectors,
+    nlist=1024 inverted lists, exact match vs brute force when probing
+    every list."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(100_000, 16).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(vecs)})
+    df = spark.createDataFrame(pdf).cache()
+    idx = IVFIndex.build(
+        spark, df, tmp_path_str + "/big", nlist=1024, kmeans_iters=2
+    )
+    q = [float(v) for v in vecs[123]]
+    got = _ids(idx.search(spark, q, k=5, nprobes=1024, metric="l2"))
+    want = _ids(knn(df, q, k=5, metric="l2"))
+    df.unpersist()
+    assert got == want
 
 
 def test_pq_requires_divisible_dim(spark, emb, tmp_path_str):

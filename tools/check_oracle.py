@@ -35,14 +35,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--extras"]
+    extras = "--extras" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from lance_flink_spark.session import get_spark
 
     spark = get_spark("oracle-check")
     qs, oracles = e.queries(), e.oracle_sql()
+    if extras:
+        from lance_flink_spark.registry import EXTRA_QUERIES, ORACLES
+
+        qs = dict(EXTRA_QUERIES)
+        oracles = {k: v for k, v in ORACLES.items() if k in qs}
 
     con = duckdb.connect()
     for t in TABLES:
