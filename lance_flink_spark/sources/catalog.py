@@ -11,11 +11,10 @@ against them.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lance_flink_spark.sources import fsio
 from lance_flink_spark.sources.dataset import Dataset
 
 DB_META = "_database.json"
@@ -28,7 +27,7 @@ class CatalogError(Exception):
 class Catalog:
     def __init__(self, warehouse: str, default_database: str = "default"):
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        fsio.makedirs(warehouse)
         self.default_database = default_database
         if not self.database_exists(default_database):
             self.create_database(default_database)
@@ -36,24 +35,23 @@ class Catalog:
     # ---------- databases ----------
 
     def _db_path(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        return fsio.join(self.warehouse, name)
 
     def create_database(self, name: str, ignore_if_exists: bool = False) -> None:
         p = self._db_path(name)
-        if os.path.exists(p):
+        if fsio.exists(p):
             if ignore_if_exists:
                 return
             raise CatalogError(f"database {name} already exists")
-        os.makedirs(p)
-        with open(os.path.join(p, DB_META), "w") as f:
-            json.dump({"name": name}, f)
+        fsio.makedirs(p)
+        fsio.write_text_atomic(fsio.join(p, DB_META), json.dumps({"name": name}))
 
     def database_exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._db_path(name), DB_META))
+        return fsio.exists(fsio.join(self._db_path(name), DB_META))
 
     def list_databases(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.warehouse) if self.database_exists(d)
+            d for d in fsio.listdir(self.warehouse) if self.database_exists(d)
         )
 
     def drop_database(self, name: str, cascade: bool = False) -> None:
@@ -61,21 +59,21 @@ class Catalog:
             raise CatalogError(f"database {name} does not exist")
         if self.list_tables(name) and not cascade:
             raise CatalogError(f"database {name} is not empty")
-        shutil.rmtree(self._db_path(name))
+        fsio.delete(self._db_path(name), recursive=True)
 
     # ---------- tables ----------
 
     def _table_path(self, db: str, table: str) -> str:
-        return os.path.join(self._db_path(db), table)
+        return fsio.join(self._db_path(db), table)
 
     def table_exists(self, db: str, table: str) -> bool:
-        return os.path.exists(os.path.join(self._table_path(db, table), "_manifest.json"))
+        return fsio.exists(fsio.join(self._table_path(db, table), "_manifest.json"))
 
     def list_tables(self, db: str) -> list[str]:
         if not self.database_exists(db):
             raise CatalogError(f"database {db} does not exist")
         p = self._db_path(db)
-        return sorted(t for t in os.listdir(p) if self.table_exists(db, t))
+        return sorted(t for t in fsio.listdir(p) if self.table_exists(db, t))
 
     def create_table(self, db: str, table: str, df: DataFrame, mode: str = "errorifexists") -> Dataset:
         """Create (or overwrite) a table from a DataFrame."""
@@ -96,14 +94,14 @@ class Catalog:
     def drop_table(self, db: str, table: str) -> None:
         if not self.table_exists(db, table):
             raise CatalogError(f"table {db}.{table} does not exist")
-        shutil.rmtree(self._table_path(db, table))
+        fsio.delete(self._table_path(db, table), recursive=True)
 
     def rename_table(self, db: str, old: str, new: str) -> None:
         if not self.table_exists(db, old):
             raise CatalogError(f"table {db}.{old} does not exist")
         if self.table_exists(db, new):
             raise CatalogError(f"table {db}.{new} already exists")
-        os.rename(self._table_path(db, old), self._table_path(db, new))
+        fsio.rename(self._table_path(db, old), self._table_path(db, new))
 
     # ---------- SQL surface ----------
 

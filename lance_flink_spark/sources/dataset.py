@@ -19,7 +19,6 @@ split-parallelism as the reference's LanceSplit enumeration.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import uuid
@@ -27,7 +26,26 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lance_flink_spark.sources import fsio
+
 MANIFEST = "_manifest.json"
+
+
+def _version_ge_globs(k: int, width: int = 4) -> list[str]:
+    """Digit glob patterns jointly matching every zero-padded integer
+    ≥ k (e.g. k=7 → 0007, 000[8-9], 00[1-9][0-9], 0[1-9][0-9][0-9],
+    [1-9][0-9][0-9][0-9]). Lets a file-stream source watch 'all
+    versions from the last overwrite onward' as a single Hadoop glob —
+    an open range that future appends keep matching."""
+    s = str(k).zfill(width)
+    if len(s) > width:
+        raise ValueError(f"version {k} exceeds {width}-digit manifest naming")
+    pats = [s]
+    for i in range(width):
+        d = int(s[i])
+        if d < 9:
+            pats.append(s[:i] + f"[{d + 1}-9]" + "[0-9]" * (width - i - 1))
+    return pats
 
 
 @dataclass
@@ -79,13 +97,12 @@ class Dataset:
     # ---------- manifest ----------
 
     def _manifest_path(self) -> str:
-        return os.path.join(self.path, MANIFEST)
+        return fsio.join(self.path, MANIFEST)
 
     def _load_manifest(self) -> dict:
-        if not os.path.exists(self._manifest_path()):
+        if not fsio.exists(self._manifest_path()):
             return {"versions": []}
-        with open(self._manifest_path()) as f:
-            return json.load(f)
+        return fsio.read_json(self._manifest_path())
 
     def _commit(self, mode: str, fragment: str, tag: str | None = None) -> int:
         man = self._load_manifest()
@@ -94,10 +111,9 @@ class Dataset:
         if tag is not None:
             entry["tag"] = tag
         man["versions"].append(entry)
-        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, self._manifest_path())  # atomic commit, like Lance's manifest swap
+        # tmp-write + rename commit, like Lance's manifest swap — local
+        # and any Hadoop scheme (s3a://, hdfs://) via fsio
+        fsio.write_json_atomic(self._manifest_path(), man)
         return version
 
     def versions(self) -> list[int]:
@@ -117,7 +133,7 @@ class Dataset:
             if v["mode"] == "overwrite":
                 live = []
             live.append(v["fragment"])
-        return [os.path.join(self.path, f) for f in live]
+        return [fsio.join(self.path, f) for f in live]
 
     # ---------- write (sink parity: LanceSink.java) ----------
 
@@ -153,7 +169,7 @@ class Dataset:
             # scalar-index story)
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
-        out = os.path.join(self.path, frag)
+        out = fsio.join(self.path, frag)
         (
             df.write.option("maxRecordsPerFile", max_rows_per_file)
             .mode("errorifexists")
@@ -200,17 +216,32 @@ class Dataset:
 
     def read_stream(self, spark: SparkSession):
         """Stream the dataset: new fragments written by appends become
-        micro-batches (the reference's streaming LanceSource). The file
-        stream watches the fragment glob; append-only by contract —
-        overwritten history can't be retracted from a stream (the same
-        constraint Flink CDC sources have without a changelog)."""
-        frags = self._live_fragments()
-        if not frags:
+        micro-batches (the reference's streaming LanceSource).
+
+        - Schema comes from the MERGED batch read over all live
+          fragments, not the first fragment — columns added by later
+          appends are part of the stream (older files surface null).
+        - The watched glob matches only versions at or after the last
+          overwrite, so a fresh stream does NOT replay fragments hidden
+          by overwrite history. Appends made after the stream starts
+          keep matching (the glob is an open upper range). A running
+          stream still can't retract an overwrite that happens mid-
+          stream — the changelog-less file-source constraint, same as
+          Flink CDC without a changelog; restart from a fresh
+          checkpoint after such an overwrite (see compact())."""
+        man = self._load_manifest()["versions"]
+        if not man:
             raise FileNotFoundError(f"dataset {self.path} has no data")
-        schema = spark.read.parquet(frags[0]).schema
-        return spark.readStream.schema(schema).parquet(
-            os.path.join(self.path, "data", "*")
+        schema = self.read(spark).schema
+        last_ow = max(
+            (v["version"] for v in man if v["mode"] == "overwrite"), default=1
         )
+        if last_ow <= 1:
+            glob = "data/v*"
+        else:
+            pats = _version_ge_globs(last_ow)
+            glob = "data/{" + ",".join(f"v{p}-*" for p in pats) + "}"
+        return spark.readStream.schema(schema).parquet(fsio.join(self.path, glob))
 
     def compact(self, spark: SparkSession, max_rows_per_file: int = 1_000_000) -> int:
         """Rewrite the live data as one fresh overwrite version (small

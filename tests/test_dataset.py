@@ -116,6 +116,100 @@ def test_read_stream_picks_up_appends(spark, tmp_path_str):
     assert drain() == 15
 
 
+def test_read_stream_merged_schema_after_evolution(spark, tmp_path_str):
+    """The stream schema must come from the merged read, not the first
+    fragment: columns added by later appends are part of the stream
+    (older files surface null)."""
+    from pyspark.sql import Row
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(spark.createDataFrame([Row(id=1, v=1.0)]))
+    ds.write(spark.createDataFrame([Row(id=2, v=2.0, extra="x")]), mode="append")
+    sdf = ds.read_stream(spark)
+    assert "extra" in sdf.columns
+    out = tmp_path_str + "/out"
+    q = (
+        sdf.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", tmp_path_str + "/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    vals = {r["id"]: r["extra"] for r in spark.read.parquet(out).collect()}
+    assert vals == {1: None, 2: "x"}
+
+
+def test_read_stream_skips_overwritten_history(spark, tmp_path_str):
+    """A fresh stream must not replay fragments hidden by an earlier
+    overwrite (r1 advice): v1 is dead after the v2 overwrite; only v2
+    and the later append may arrive."""
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 10))                                # v1 (dead)
+    ds.write(_df(spark, 3, offset=100), mode="overwrite")   # v2
+    ds.write(_df(spark, 2, offset=200), mode="append")      # v3
+    sdf = ds.read_stream(spark)
+    out = tmp_path_str + "/out"
+    q = (
+        sdf.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", tmp_path_str + "/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [100, 101, 102, 200, 201]
+
+
+def test_version_ge_globs():
+    import fnmatch
+
+    from lance_flink_spark.sources.dataset import _version_ge_globs
+
+    for k in (1, 7, 10, 99, 123, 1000, 9999):
+        pats = _version_ge_globs(k)
+        for n in (1, 6, 7, 8, 9, 10, 42, 99, 100, 123, 999, 1000, 5000, 9999):
+            s = str(n).zfill(4)
+            matched = any(fnmatch.fnmatch(s, p) for p in pats)
+            assert matched == (n >= k), (k, n)
+
+
+def test_dataset_on_hadoop_scheme(spark, tmp_path_str):
+    """Manifest + catalog I/O through the JVM Hadoop FileSystem: a
+    non-file: scheme (viewfs:// with a mount table onto local disk —
+    Hadoop's bundled mock-remote FS) works end-to-end — write,
+    versioned manifest, read-back, time travel. The same code path
+    serves s3a://; only the FS impl behind the scheme differs."""
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.dscluster.link./wh", "file://" + tmp_path_str
+    )
+    path = "viewfs://dscluster/wh/remote_ds"
+    ds = Dataset(path)
+    ds.write(_df(spark, 5))
+    ds.write(_df(spark, 3, offset=100), mode="append")
+    assert ds.versions() == [1, 2]
+    assert ds.read(spark).count() == 8
+    assert ds.read(spark, version=1).count() == 5
+
+
+def test_catalog_on_hadoop_scheme(spark, tmp_path_str):
+    """Catalog CRUD over a non-file: Hadoop scheme (LanceCatalogS3Test
+    parity): database + table lifecycle with metadata going through the
+    JVM FileSystem."""
+    from lance_flink_spark.sources.catalog import Catalog
+
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.catcluster.link./wh", "file://" + tmp_path_str
+    )
+    wh = "viewfs://catcluster/wh/warehouse"
+    cat = Catalog(wh)
+    assert cat.list_databases() == ["default"]
+    cat.create_table("default", "t1", _df(spark, 4))
+    assert cat.list_tables("default") == ["t1"]
+    assert cat.load_table("default", "t1").read(spark).count() == 4
+    cat.rename_table("default", "t1", "t2")
+    assert cat.list_tables("default") == ["t2"]
+    cat.drop_table("default", "t2")
+    assert cat.list_tables("default") == []
+
+
 def test_schema_evolution_on_append(spark, tmp_path_str):
     """Appending a fragment with an extra column evolves the dataset
     schema; old rows read the new column as null (Lance add-column)."""
