@@ -155,7 +155,7 @@ def sql_ddl_pipeline(spark, sf_dir):
     eng = SqlEngine(spark, Catalog(scratch_dir("warehouse_ddl")))
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer_src")
     eng.execute(
-        """CREATE TABLE cust_ddl (c_custkey BIGINT, c_acctbal DOUBLE,
+        """CREATE TABLE IF NOT EXISTS cust_ddl (c_custkey BIGINT, c_acctbal DOUBLE,
            c_mktsegment STRING)
            WITH ('connector' = 'lance', 'path' = '',
                  'write.max-rows-per-file' = '100000')"""

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lance_flink_spark.sources.catalog import Catalog
+from lance_flink_spark.sources.catalog import Catalog, CatalogError
 from lance_flink_spark.sources.dataset import Dataset, DatasetOptions
 
 _CREATE_HEAD = re.compile(
@@ -42,20 +42,43 @@ _DROP = re.compile(r"DROP\s+TABLE\s+(?P<name>[\w.]+)\s*;?\s*$", re.IGNORECASE)
 def _rewrite_array_literals(sql: str) -> str:
     """Flink `ARRAY[0.1, 0.2]` → Spark `array(0.1, 0.2)`.
 
-    Rewrites each ARRAY[ opener then flips its matching ']' via a
-    bracket-depth scan (array literals may nest)."""
-    s = re.sub(r"\bARRAY\s*\[", "array[", sql, flags=re.IGNORECASE)
-    chars = list(s)
+    Single scan tracking (a) string-literal state, so brackets inside
+    '...' are never touched and a quoted ARRAY[ never triggers, and
+    (b) a word boundary before the ARRAY keyword, so element access on
+    identifiers ending in "array" (my_array[1]) is left alone. Array
+    literals may nest; each rewritten '[' flips its matching ']'."""
+    chars = list(sql)
     stack: list[bool] = []  # True = bracket opened by an array literal
-    for i, ch in enumerate(chars):
-        if ch == "[":
-            is_array = "".join(chars[max(0, i - 5) : i]).lower() == "array"
+    in_str = False
+    i, n = 0, len(chars)
+    while i < n:
+        ch = chars[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and chars[i + 1] == "'":  # escaped ''
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "[":
+            j = i - 1
+            while j >= 0 and chars[j] in " \t\r\n":
+                j -= 1
+            word = "".join(chars[max(0, j - 4) : j + 1]).lower()
+            before = chars[j - 5] if j >= 5 else " "
+            is_array = word == "array" and not (before.isalnum() or before == "_")
             if is_array:
                 chars[i] = "("
+                for p in range(j - 4, j + 1):
+                    chars[p] = chars[p].lower()
             stack.append(is_array)
         elif ch == "]" and stack:
             if stack.pop():
                 chars[i] = ")"
+        i += 1
     return "".join(chars)
 
 
@@ -134,8 +157,12 @@ class SqlEngine:
     # ---------- statements ----------
 
     def _create(self, name: str, if_not_exists: bool, cols: str, opts_str: str) -> None:
-        if if_not_exists and self.catalog.table_exists(self.database, name):
-            return None
+        exists = self.catalog.table_exists(self.database, name)
+        if exists and not if_not_exists:
+            # Flink/reference semantics: plain CREATE TABLE on an
+            # existing table raises (TableAlreadyExistsException) —
+            # never silently replaces visible data
+            raise CatalogError(f"table {self.database}.{name} already exists")
         schema = T._parse_datatype_string(
             f"struct<{_spark_ddl_types(_strip_comments(cols))}>"
         )
@@ -146,10 +173,29 @@ class SqlEngine:
         table_opts.setdefault("path", "")
         dopts = DatasetOptions.from_options(table_opts)
         self.options[name] = dopts
+        if exists:  # IF NOT EXISTS on an existing table: keep its data
+            self._register(name)
+            return None
         empty = self.spark.createDataFrame([], schema)
-        self.catalog.create_table(self.database, name, empty, mode="overwrite")
+        self.catalog.create_table(self.database, name, empty, mode="errorifexists")
         self._register(name)
         return None
+
+    def build_index(self, name: str, path: str | None = None):
+        """Build the vector index declared by the table's WITH options
+        (index.* / vector.* — LanceOptions.java:118-238). The reference
+        builds indexes through LanceIndexBuilder using the same option
+        strings; here it is an explicit engine call so index builds are
+        scheduled deliberately (they scan the full table)."""
+        from lance_flink_spark.index.options import build_index_from_options
+        from lance_flink_spark.sources import fsio
+
+        opts = self.options.get(name)
+        if opts is None or not opts.extra:
+            raise ValueError(f"table {name} declares no index.*/vector.* options")
+        df = self.catalog.load_table(self.database, name).read(self.spark)
+        path = path or fsio.join(self.catalog._table_path(self.database, name), "_index")
+        return build_index_from_options(self.spark, df, path, opts.extra)
 
     def _insert(self, m: re.Match) -> None:
         name, rest = m.group("name"), m.group("rest").strip()

@@ -81,7 +81,15 @@ def spark_type_to_arrow(t: T.DataType) -> pa.DataType:
     if isinstance(t, T.ArrayType):
         return pa.list_(spark_type_to_arrow(t.elementType))
     if isinstance(t, T.StructType):
-        return pa.schema([(f.name, spark_type_to_arrow(f.dataType)) for f in t.fields])
+        # a real Arrow struct DataType — NOT pa.schema, which is only
+        # valid at top level (pa.list_(Schema)/pa.field(.., Schema)
+        # raise); matches LanceTypeConverter's Struct mapping
+        return pa.struct(
+            [
+                pa.field(f.name, spark_type_to_arrow(f.dataType), f.nullable)
+                for f in t.fields
+            ]
+        )
     if isinstance(t, T.MapType):
         return pa.map_(spark_type_to_arrow(t.keyType), spark_type_to_arrow(t.valueType))
     raise TypeError(f"unsupported spark type: {t}")

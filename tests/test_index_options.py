@@ -1,0 +1,79 @@
+"""Reference option-surface → IVF build/search mapping
+(LanceOptions.java:118-238; flink-sql-demo.sql IVF_HNSW demo)."""
+
+import pytest
+
+from lance_flink_spark.index.options import (
+    build_args_from_options,
+    build_index_from_options,
+    search_args_from_options,
+    search_index_with_options,
+)
+from lance_flink_spark.operators.similarity import knn
+from lance_flink_spark.registry import table
+
+from conftest import SF_DIR
+
+HNSW_DEMO = {
+    "index.type": "IVF_HNSW",
+    "index.column": "embedding",
+    "index.num-partitions": "8",  # demo uses 256; 8 fits the test corpus
+    "index.max-level": "7",
+    "index.m": "16",
+    "index.ef-construction": "100",
+    "vector.metric": "COSINE",
+}
+
+
+def test_build_args_mapping():
+    assert build_args_from_options(
+        {"index.type": "IVF_FLAT", "index.num-partitions": "32"}
+    ) == {"vec_col": "embedding", "nlist": 32}
+    pq = build_args_from_options(
+        {"index.type": "IVF_PQ", "index.num-sub-vectors": "4", "index.num-bits": "4"}
+    )
+    assert pq["pq_sub_vectors"] == 4 and pq["pq_bits"] == 4 and pq["nlist"] == 256
+    hnsw = build_args_from_options(HNSW_DEMO)
+    assert hnsw["nlist"] == 8
+    assert hnsw["kmeans_iters"] == 10  # ef-construction 100 → 10 iterations
+    with pytest.raises(ValueError):
+        build_args_from_options({"index.type": "DISKANN"})
+
+
+def test_search_args_mapping():
+    # HNSW defaults: ef=100 → nprobes=20 (the reference's own nprobes
+    # default), m=16 → refine 2
+    args = search_args_from_options(HNSW_DEMO)
+    assert args == {"metric": "cosine", "nprobes": 20, "refine_factor": 2}
+    # explicit vector.nprobes / vector.refine-factor always win
+    args = search_args_from_options(
+        {**HNSW_DEMO, "vector.nprobes": "8", "vector.refine-factor": "5"}
+    )
+    assert args["nprobes"] == 8 and args["refine_factor"] == 5
+    # wider beam → more probes
+    assert search_args_from_options({**HNSW_DEMO, "vector.ef": "200"})["nprobes"] == 40
+
+
+def test_hnsw_demo_options_recall_vs_brute_force(spark, tmp_path_str):
+    """The mapped IVF+refine path must deliver HNSW-grade recall on the
+    real embeddings table: probing all 8 lists (ef high enough) is
+    exact; the derived default (ef=100 → nprobes=20 ≥ nlist) too."""
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = build_index_from_options(spark, emb, tmp_path_str + "/hnsw", HNSW_DEMO)
+    q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").first()[0]]
+    got = [r["vec_id"] for r in search_index_with_options(spark, idx, q, 10, HNSW_DEMO).collect()]
+    want = [r["vec_id"] for r in knn(emb, q, k=10, metric="cosine").collect()]
+    assert got == want  # nprobes(=20) ≥ nlist(=8) → exact under cosine
+
+
+def test_hnsw_partial_beam_recall(spark, tmp_path_str):
+    """Narrow beam (ef=15 → nprobes=3 of 8): recall@10 must stay
+    useful, mirroring HNSW's ef/recall trade."""
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = build_index_from_options(spark, emb, tmp_path_str + "/hnsw2", HNSW_DEMO)
+    q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").first()[0]]
+    opts = {**HNSW_DEMO, "vector.ef": "15"}
+    assert search_args_from_options(opts)["nprobes"] == 3
+    got = {r["vec_id"] for r in search_index_with_options(spark, idx, q, 10, opts).collect()}
+    want = {r["vec_id"] for r in knn(emb, q, k=10, metric="cosine").collect()}
+    assert len(got & want) >= 6

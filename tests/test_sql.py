@@ -114,3 +114,65 @@ def test_array_literal_rewrite_nested():
         _rewrite_array_literals("SELECT a[1], ARRAY[ARRAY[1], ARRAY[2]]")
         == "SELECT a[1], array(array(1), array(2))"
     )
+
+
+def test_array_literal_rewrite_guards():
+    # identifiers ending in 'array' are element access, not literals
+    assert _rewrite_array_literals("SELECT my_array[1]") == "SELECT my_array[1]"
+    assert _rewrite_array_literals("SELECT xarray[1]") == "SELECT xarray[1]"
+    # brackets and ARRAY[ inside string literals are untouched
+    assert (
+        _rewrite_array_literals("SELECT 'ARRAY[1]', ARRAY[2]")
+        == "SELECT 'ARRAY[1]', array(2)"
+    )
+    assert (
+        _rewrite_array_literals("SELECT 'it''s a [test]' FROM t")
+        == "SELECT 'it''s a [test]' FROM t"
+    )
+
+
+def test_create_existing_table_raises_not_replaces(engine):
+    """Flink/reference parity: plain CREATE TABLE on an existing table
+    raises TableAlreadyExists — previously it silently overwrote the
+    table with an empty version (data-loss hazard, r1 advice)."""
+    from lance_flink_spark.sources.catalog import CatalogError
+
+    engine.execute("CREATE TABLE tt (id BIGINT) WITH ('connector'='lance','path'='')")
+    engine.execute("INSERT INTO tt VALUES (1), (2)")
+    with pytest.raises(CatalogError):
+        engine.execute("CREATE TABLE tt (id BIGINT) WITH ('connector'='lance','path'='')")
+    # data survived the rejected CREATE
+    assert engine.execute("SELECT COUNT(*) AS n FROM tt").first()["n"] == 2
+    # IF NOT EXISTS is a no-op that also keeps the data
+    engine.execute("CREATE TABLE IF NOT EXISTS tt (id BIGINT) WITH ('connector'='lance','path'='')")
+    assert engine.execute("SELECT COUNT(*) AS n FROM tt").first()["n"] == 2
+
+
+def test_ddl_hnsw_options_build_and_search(engine, spark):
+    """The reference's IVF_HNSW demo config (flink-sql-demo.sql:85-99)
+    executes end-to-end: CREATE TABLE with index.m/ef-construction/
+    max-level options, INSERT vectors, build the (IVF+refine-mapped)
+    index from the declared options, search it."""
+    engine.execute(
+        """CREATE TABLE vectors_ivf_hnsw (id BIGINT, embedding ARRAY<FLOAT>)
+           WITH ('connector' = 'lance', 'path' = '',
+                 'index.type' = 'IVF_HNSW', 'index.column' = 'embedding',
+                 'index.num-partitions' = '8', 'index.max-level' = '7',
+                 'index.m' = '16', 'index.ef-construction' = '100',
+                 'vector.metric' = 'COSINE')"""
+    )
+    values = ", ".join(
+        f"({i}, ARRAY[{(i % 7) * 0.3}, {(i % 5) * 0.7}, {(i % 3) * 1.1}, {(i + 1) * 0.01}])"
+        for i in range(60)
+    )
+    engine.execute(f"INSERT INTO vectors_ivf_hnsw VALUES {values}")
+    idx = engine.build_index("vectors_ivf_hnsw")
+    from lance_flink_spark.index.options import search_index_with_options
+
+    out = search_index_with_options(
+        spark, idx, [0.3, 0.7, 1.1, 0.05], k=5,
+        opts=engine.options["vectors_ivf_hnsw"].extra,
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["distance"] >= 0 for r in rows)

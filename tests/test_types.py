@@ -41,6 +41,33 @@ def test_vector_column_mapping():
     assert arrow_type_to_spark(pa.list_(pa.float32())) == T.ArrayType(T.FloatType())
 
 
+def test_nested_struct_maps_to_arrow_struct_type():
+    """StructType below top level must map to pa.struct (a DataType),
+    not pa.schema — pa.list_(Schema)/pa.field(name, Schema) raise
+    (LanceTypeConverter maps Struct to an Arrow Struct type)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.types import (
+        arrow_type_to_spark,
+        spark_type_to_arrow,
+    )
+
+    inner = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.StringType())]
+    )
+    at = spark_type_to_arrow(inner)
+    assert isinstance(at, pa.StructType)
+    # struct nested in array and in struct both construct cleanly
+    arr = spark_type_to_arrow(T.ArrayType(inner))
+    assert pa.types.is_list(arr) and pa.types.is_struct(arr.value_type)
+    outer = spark_type_to_arrow(
+        T.StructType([T.StructField("pt", inner), T.StructField("id", T.LongType())])
+    )
+    assert pa.types.is_struct(outer)
+    # and round-trips back to the same Spark type
+    assert arrow_type_to_spark(at) == inner
+
+
 def test_struct_roundtrip():
     s = pa.schema([("id", pa.int64()), ("emb", pa.list_(pa.float32()))])
     spark_schema = arrow_schema_to_spark(s)
