@@ -252,16 +252,26 @@ def ngram_jaccard_pairs(
     ``block_col``. Returns (id_a, id_b, jaccard rounded 6dp).
 
     With ``max_df`` set (the default — scale path), candidate pairs come
-    from the df-capped inverted index (ngram_candidates) and the jaccard
-    of each candidate is then verified EXACTLY over the full shingle
-    sets — a join that touches only candidate pairs, so the exact
-    intersection never reverts to the quadratic bucket. ``max_df=None``
-    is the uncapped fully-exact path."""
-    grams = _shingle_df(df, text_col, id_col, block_col)
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), "gram")
-    b = grams.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), "gram")
+    from the df-capped inverted index and the jaccard of each candidate
+    is then verified EXACTLY over the full shingle sets. The exact
+    intersection is assembled as capped-count + over-cap-count: the
+    capped bucket join already counts the shared ≤max_df shingles per
+    pair (no re-count), and only the shared ABOVE-cap shingles — a few
+    distinct grams, restricted to candidate pairs — are joined on top.
+    The shingle frame is computed ONCE: document frequency is a count
+    over a (block, gram) window — no separate dfreq aggregate+join —
+    and the tagged frame is persisted, so sizes, both capped join
+    sides and the over-cap slices all read the same cached scan (the
+    r2 shape recomputed the explode+distinct ~5×; at cluster scale
+    substitute a scratch dataset for the persist). ``max_df=None`` is
+    the uncapped fully-exact path."""
+    from pyspark.sql import Window
+
     if max_df is None:
+        grams = _shingle_df(df, text_col, id_col, block_col).persist()
+        sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        a = grams.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), "gram")
+        b = grams.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), "gram")
         inter = (
             a.join(b, ["blk", "gram"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -269,14 +279,52 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("inter"))
         )
     else:
-        cand = ngram_candidates(grams, id_col, block_col, max_df)
-        # exact verify restricted to candidates: |cand| × grams(a) rows,
-        # never df² per shingle
-        inter = (
-            cand.join(a, "id_a")
-            .join(b.withColumnRenamed("blk", "blk_b"), ["id_b", "gram"])
+        # one wide exchange: repartition on (block, gram) up front —
+        # hash(block, gram) co-partitions both the shingle distinct
+        # (key superset) and the document-frequency window, so neither
+        # adds its own shuffle
+        raw = df.select(
+            F.col(id_col), F.col(block_col),
+            F.explode(word_shingles(F.col(text_col))).alias("gram"),
+        ).repartition(F.col(block_col), F.col("gram"))
+        tagged = raw.distinct().withColumn(
+            "gdf", F.count(F.lit(1)).over(Window.partitionBy(block_col, "gram"))
+        ).persist()
+        sizes = tagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        capped = tagged.filter(F.col("gdf") <= max_df)
+        a = capped.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), "gram")
+        b = capped.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), "gram")
+        # candidate pairs AND their capped-shingle intersection in one
+        # bucket join — every bucket emits ≤ max_df·(max_df-1)/2 pairs
+        inter_c = (
+            a.join(b, ["blk", "gram"])
+            .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+            .agg(F.count(F.lit(1)).alias("inter_c"))
+        )
+        over_a = tagged.filter(F.col("gdf") > max_df).select(
+            F.col(id_col).alias("id_a"), "gram"
+        )
+        over_b = tagged.filter(F.col("gdf") > max_df).select(
+            F.col(id_col).alias("id_b"), "gram"
+        )
+        # shared above-cap shingles, candidate-restricted: the row count
+        # is Σ_cand |overcap grams(id_a)| — bounded because above-cap
+        # grams are few DISTINCT values per doc
+        inter_o = (
+            inter_c.select("id_a", "id_b")
+            .join(over_a, "id_a")
+            .join(over_b, ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter_o"))
+        )
+        inter = (
+            inter_c.join(inter_o, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("inter_c") + F.coalesce(F.col("inter_o"), F.lit(0))).alias("inter"),
+            )
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
