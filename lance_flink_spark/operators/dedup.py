@@ -14,9 +14,9 @@ at 100 TB:
   within lang blocks by hamming distance.
 - n-gram jaccard: exact set jaccard via shingle-inverted-index
   self-join (blocked on lang).
-- embedding: cosine pairs blocked on the sign-pattern of the leading
-  dimensions (deterministic data-derived LSH — no RNG to keep the
-  DuckDB oracle bit-identical).
+- embedding: cosine pairs blocked on an md5-seeded random-hyperplane
+  sign signature with a bucket-size cap (deterministic — no RNG state,
+  so the DuckDB oracle embeds identical hyperplane literals).
 
 Hashing is md5-derived (functions.text.md5i) so every engine with
 md5() reproduces the exact signatures — the oracle gate runs the same
@@ -25,6 +25,8 @@ math in DuckDB SQL.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from lance_flink_spark.functions import vector as V
@@ -339,26 +341,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def rademacher_planes(dim: int, nbits: int, salt: str = "rh") -> list[list[int]]:
+    """±1 hyperplane entries derived from md5(salt:plane:dim) —
+    deterministic and engine-independent, so the DuckDB oracle embeds
+    the identical literals. Rademacher entries are a standard
+    random-hyperplane family for cosine LSH (sign agreement probability
+    = 1 - angle/π, Charikar'02)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{salt}:{j}:{d}".encode()).digest()[0] & 1 else -1
+            for d in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.8,
-    sign_dims: int = 8,
+    sign_bits: int = 8,
+    dim: int = 64,
+    max_bucket: int | None = None,
+    drop_stats: dict | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold among rows sharing
-    the sign pattern of the first ``sign_dims`` dimensions (a
-    deterministic, data-derived LSH bucket — high-cosine pairs almost
-    always share leading signs). Returns (id_a, id_b, cosine 6dp)."""
-    sign_bits = sum(
-        (
-            F.when(F.element_at(F.col(vec_col), j + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
-            * (2**j)
-            for j in range(sign_dims)
-        ),
-        start=F.lit(0),
-    )
-    e = df.select(F.col(id_col), F.col(vec_col), sign_bits.alias("blk"))
+    a ``sign_bits``-bit random-hyperplane signature. Returns
+    (id_a, id_b, cosine 6dp).
+
+    Blocking uses md5-seeded Rademacher hyperplanes, NOT the raw sign
+    of leading dimensions: data-derived sign blocks collapse to a
+    single O(n²) bucket on non-centered embedding families (ReLU-style
+    all-positive dims), while random projections of any direction split
+    ~50/50 per bit. Scaled copies (the archetypal near-dup) still share
+    every bit exactly.
+
+    ``max_bucket`` caps the bucket size: buckets holding more rows are
+    dropped from pair generation entirely (mirrors the shingle df-cap —
+    a hot bucket at 100 TB means the bits carry no signal for that
+    region, and its pairs would be O(bucket²)). Pass ``drop_stats={}``
+    to eagerly count dropped rows into it (runs one small job)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    planes_m = np.array(rademacher_planes(dim, sign_bits), dtype=np.float64)
+    powers = np.array([2**j for j in range(sign_bits)], dtype=np.int64)
+
+    # Arrow-batched matmul signature: (batch × dim) @ (dim × bits) in
+    # BLAS — one UDF call per batch. A Catalyst literal expression for
+    # the same math is bits×dim leaf nodes (512 at dim=64, 6k at
+    # dim=768): per-query analysis+codegen cost dwarfs the row work.
+    # Accumulation-order float divergence vs the oracle's sequential
+    # list_inner_product only matters within ~1e-13 of a hyperplane —
+    # vanishingly unlikely and the test corpus sits nowhere near it.
+    @pandas_udf("long")
+    def rh_sig(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (x @ planes_m.T) >= 0
+        return pd.Series((bits * powers).sum(1))
+
+    # persist: the signature otherwise recomputes for the bucket-size
+    # aggregate and BOTH self-join sides
+    e = df.select(F.col(id_col), F.col(vec_col), rh_sig(F.col(vec_col)).alias("blk")).persist()
+    if max_bucket is not None:
+        bsz = e.groupBy("blk").agg(F.count(F.lit(1)).alias("bsz"))
+        if drop_stats is not None:
+            dropped = e.join(
+                F.broadcast(bsz.filter(F.col("bsz") > max_bucket)), "blk"
+            ).count()
+            drop_stats["dropped_rows"] = dropped
+        # ≤ 2^sign_bits bucket rows — always broadcastable
+        e = e.join(
+            F.broadcast(bsz.filter(F.col("bsz") <= max_bucket).select("blk")), "blk"
+        )
     a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "blk")
     b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "blk")
     cos = F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 6)

@@ -537,8 +537,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-_SIGN_BLK = " + ".join(
-    f"(CASE WHEN embedding[{j+1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(8)
+from lance_flink_spark.operators.dedup import rademacher_planes as _rh_planes
+
+_PLANES = _rh_planes(64, 8)
+_RH_BLK = " + ".join(
+    f"(CASE WHEN list_inner_product(v, [{', '.join(f'{float(x)}' for x in p)}]) >= 0"
+    f" THEN {2**j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES)
 )
 
 
@@ -551,26 +556,30 @@ _SIGN_BLK = " + ".join(
         SELECT vec_id + 100000,
                list_transform(embedding::DOUBLE[], x -> x * 1.5)
         FROM embeddings WHERE vec_id < 25),
-    e AS (SELECT vec_id, v,
-                 {_SIGN_BLK.replace("embedding", "v")} AS blk
-          FROM aug)
+    e AS (SELECT vec_id, v, {_RH_BLK} AS blk FROM aug),
+    bs AS (SELECT blk, COUNT(*) AS bsz FROM e GROUP BY blk),
+    ec AS (SELECT e.* FROM e JOIN bs USING (blk) WHERE bs.bsz <= 200)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-    FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    FROM ec a JOIN ec b ON a.blk = b.blk AND a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.5
     """,
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding near-dup pairs (cosine ≥ 0.5) blocked on the
-    deterministic sign pattern of the leading 8 dims.
+    """Embedding near-dup pairs (cosine ≥ 0.5) blocked on an 8-bit
+    md5-seeded random-hyperplane signature with a bucket-size cap of
+    200 — the scale-safe blocking (leading-dim signs collapse to one
+    bucket on all-positive embedding families; see
+    operators/dedup.py::embedding_dup_pairs).
 
     The raw embeddings table is near-orthogonal random data with NO
     pairs above the threshold at any sf — a 0-row oracle match proves
     nothing (r1 verdict). The gate input therefore unions deterministic
     near-duplicates: scaled copies (x1.5 — same direction, cosine
-    exactly 1, same sign block) of the first 25 vectors under shifted
-    ids, so the check compares a non-empty, engine-identical pair set
-    while still scanning the full corpus for false positives."""
+    exactly 1, same hyperplane signs) of the first 25 vectors under
+    shifted ids, so the check compares a non-empty, engine-identical
+    pair set while still scanning the full corpus for false
+    positives."""
     e = table(spark, sf_dir, "embeddings")
     dup = (
         e.filter(F.col("vec_id") < 25)
@@ -582,4 +591,4 @@ def dedup_embedding(spark, sf_dir):
         )
     )
     aug = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(dup)
-    return embedding_dup_pairs(aug, threshold=0.5)
+    return embedding_dup_pairs(aug, threshold=0.5, max_bucket=200)

@@ -203,3 +203,40 @@ def test_null_text_robustness(spark):
     assert exact_dedup(df).count() == 2  # null fingerprint forms its own group
     assert minhash_lsh_pairs(df, min_matches=1).count() == 0  # no self-pairs from null
     assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+
+
+def test_embedding_rh_blocking_bounded_on_relu_corpus(spark):
+    """All-positive (ReLU-style) embeddings collapse leading-dim sign
+    blocking into ONE bucket; random-hyperplane signs must still split
+    them, and the bucket cap must bound candidate pairs regardless."""
+    import numpy as np
+
+    from lance_flink_spark.operators.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(7)
+    n, dim = 400, 64
+    vecs = np.abs(rng.randn(n, dim))  # strictly non-negative dims
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    stats: dict = {}
+    out = embedding_dup_pairs(
+        df, threshold=0.99, dim=dim, max_bucket=50, drop_stats=stats
+    )
+    # hyperplanes split the all-positive corpus across many buckets:
+    # with a cap of 50 (n/8) the plan must drop few-to-no rows, and the
+    # candidate join stays far below the n^2/2 single-bucket blowup
+    assert stats["dropped_rows"] <= n * 0.3
+    planes_pairs = out.count()  # runs the capped plan end-to-end
+    assert planes_pairs < n * n / 8
+
+    # a planted scaled near-dup still lands in its twin's bucket
+    dup = spark.createDataFrame(
+        [(10_000, [float(x * 2.0) for x in vecs[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    found = embedding_dup_pairs(
+        df.unionByName(dup), threshold=0.99, dim=dim, max_bucket=60
+    ).filter("id_a = 0 and id_b = 10000")
+    assert found.count() == 1
