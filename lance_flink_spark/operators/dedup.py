@@ -95,11 +95,33 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 16,
     min_matches: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: share ≥ min_matches of k minhash
     components (est. jaccard ≥ min_matches/k). Join key is
-    (component, signature value) — a bucket join, never all-pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    (component, signature value) — a bucket join, never all-pairs.
+
+    ``max_bucket`` caps the docs per (component, sig) bucket: a corpus
+    of degenerate documents (empty/near-empty, all sharing a handful of
+    shingles) collapses every component onto one signature, making the
+    bucket join O(n²) in that bucket. Buckets above the cap are dropped
+    entirely — their members are either exact dups (cheaper via
+    exact_dedup) or signature collisions with no near-dup signal. The
+    count is a window over the same (i, sig) key the join shuffles on,
+    so capping adds no extra exchange."""
+    from pyspark.sql import Window
+
+    # persist: the signature frame (shingle explode + md5 + k-way agg)
+    # feeds both self-join sides
+    sigs = minhash_signatures(df, text_col, id_col, k).persist()
+    if max_bucket is not None:
+        sigs = (
+            sigs.withColumn(
+                "bsz", F.count(F.lit(1)).over(Window.partitionBy("i", "sig"))
+            )
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a = sigs.select(F.col(id_col).alias("id_a"), "i", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "i", "sig")
     return (

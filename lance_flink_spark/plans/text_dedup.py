@@ -461,9 +461,14 @@ _SIGS = f"""
 @query(
     "dedup_minhash",
     oracle=f"""
+    WITH capped AS (
+        SELECT doc_id, i, sig FROM (
+            SELECT doc_id, i, sig, COUNT(*) OVER (PARTITION BY i, sig) AS bsz
+            FROM ({_SIGS}) s0) s
+        WHERE bsz <= 200)
     SELECT id_a, id_b, n_matches FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_matches
-        FROM ({_SIGS}) a JOIN ({_SIGS}) b
+        FROM capped a JOIN capped b
           ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id
         GROUP BY 1, 2) m
     WHERE n_matches >= 8
@@ -472,8 +477,12 @@ _SIGS = f"""
 def dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup candidates: 16 md5-derived signature
     components, pairs sharing ≥ 8 (est. jaccard ≥ 0.5). Bucket join on
-    (component, value) — shuffle carries buckets, never all-pairs."""
-    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), k=16, min_matches=8)
+    (component, value) — shuffle carries buckets, never all-pairs —
+    with a 200-doc bucket cap bounding degenerate signature buckets
+    (operators/dedup.py::minhash_lsh_pairs)."""
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), k=16, min_matches=8, max_bucket=200
+    )
 
 
 @query(

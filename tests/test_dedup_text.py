@@ -240,3 +240,25 @@ def test_embedding_rh_blocking_bounded_on_relu_corpus(spark):
         df.unionByName(dup), threshold=0.99, dim=dim, max_bucket=60
     ).filter("id_a = 0 and id_b = 10000")
     assert found.count() == 1
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """Hundreds of near-empty docs sharing one shingle collapse every
+    minhash component onto a single signature — the cap must drop that
+    bucket instead of emitting O(n^2) pairs, while a normal near-dup
+    pair in the same corpus survives."""
+    from pyspark.sql import Row
+
+    degenerate = [Row(doc_id=i, text="tiny shared stub", lang="en") for i in range(300)]
+    normal = [
+        Row(doc_id=1000, text=BASE, lang="en"),
+        Row(doc_id=1001, text=BASE.replace("lazy", "sleepy"), lang="en"),
+    ]
+    df = spark.createDataFrame(degenerate + normal)
+    uncapped = minhash_lsh_pairs(df, min_matches=8)
+    capped = minhash_lsh_pairs(df, min_matches=8, max_bucket=100)
+    # uncapped: the degenerate bucket alone is 300*299/2 pairs
+    assert uncapped.count() >= 300 * 299 // 2
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert all(a >= 1000 for a, _ in got)  # every degenerate pair dropped
