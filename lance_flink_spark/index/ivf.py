@@ -27,8 +27,7 @@ same high-recall need.
 
 from __future__ import annotations
 
-import json
-import os
+import io
 
 import numpy as np
 import pandas as pd
@@ -37,8 +36,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from lance_flink_spark.operators.similarity import knn as _brute_knn
+from lance_flink_spark.sources import fsio
 
 META = "_index_meta.json"
+
+
+def _save_npy(path: str, arr: np.ndarray) -> None:
+    """npy bytes through fsio — index artifacts live on any Hadoop
+    scheme (s3a://, viewfs://, ...) exactly like datasets/catalogs."""
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    fsio.write_bytes_atomic(path, buf.getvalue())
+
+
+def _load_npy(path: str) -> np.ndarray:
+    return np.load(io.BytesIO(fsio.read_bytes(path)))
 
 
 # ---------- k-means (driver-side, bounded sample) ----------
@@ -235,21 +247,20 @@ class IVFIndex:
                     ]
                 )  # (m, ncodes, sub)
 
-        os.makedirs(path, exist_ok=True)
-        np.save(os.path.join(path, "centroids.npy"), cents)
+        fsio.makedirs(path)
+        _save_npy(fsio.join(path, "centroids.npy"), cents)
         if codebooks is not None:
-            np.save(os.path.join(path, "codebooks.npy"), codebooks)
-        with open(os.path.join(path, META), "w") as f:
-            json.dump(
-                {
-                    "nlist": nlist,
-                    "dim": dim,
-                    "pq_sub_vectors": pq_sub_vectors,
-                    "pq_bits": pq_bits,
-                    "vec_col": vec_col,
-                },
-                f,
-            )
+            _save_npy(fsio.join(path, "codebooks.npy"), codebooks)
+        fsio.write_json_atomic(
+            fsio.join(path, META),
+            {
+                "nlist": nlist,
+                "dim": dim,
+                "pq_sub_vectors": pq_sub_vectors,
+                "pq_bits": pq_bits,
+                "vec_col": vec_col,
+            },
+        )
 
         # distributed assignment (+ PQ encoding): one Arrow-batched pass
         cents_b = spark.sparkContext.broadcast(cents)
@@ -285,7 +296,7 @@ class IVFIndex:
             out.repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
-            .parquet(os.path.join(path, "lists"))
+            .parquet(fsio.join(path, "lists"))
         )
         return cls(path)
 
@@ -301,7 +312,7 @@ class IVFIndex:
 
         ship_package(spark)
         meta = self._meta()
-        cents = np.load(os.path.join(self.path, "centroids.npy"))
+        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
         cents_b = spark.sparkContext.broadcast(cents)
         vec_col = meta["vec_col"]
 
@@ -312,7 +323,7 @@ class IVFIndex:
 
         out = df.withColumn("centroid_id", assign_centroid(F.col(vec_col)))
         if meta["pq_sub_vectors"]:
-            cb = np.load(os.path.join(self.path, "codebooks.npy"))
+            cb = _load_npy(fsio.join(self.path, "codebooks.npy"))
             cb_b = spark.sparkContext.broadcast(cb)
             m = meta["pq_sub_vectors"]
 
@@ -334,19 +345,18 @@ class IVFIndex:
             out.repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("append")
-            .parquet(os.path.join(self.path, "lists"))
+            .parquet(fsio.join(self.path, "lists"))
         )
 
     # ---------- search ----------
 
     def _meta(self) -> dict:
-        with open(os.path.join(self.path, META)) as f:
-            return json.load(f)
+        return fsio.read_json(fsio.join(self.path, META))
 
     def _probe_lists(
         self, spark: SparkSession, query_vec: list[float], nprobes: int, metric: str = "l2"
     ) -> DataFrame:
-        cents = np.load(os.path.join(self.path, "centroids.npy"))
+        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
         q = np.asarray(query_vec, dtype=np.float64)
         # rank centroids under the search metric (LanceVectorSearch
         # supports L2/COSINE/DOT against any IVF index)
@@ -358,7 +368,7 @@ class IVFIndex:
         else:
             order = (((cents - q) ** 2).sum(1)).argsort()
         probed = [int(i) for i in order[: min(nprobes, len(cents))]]
-        lists = spark.read.parquet(os.path.join(self.path, "lists"))
+        lists = spark.read.parquet(fsio.join(self.path, "lists"))
         # IN-filter on the partition column → directory-level pruning
         return lists.filter(F.col("centroid_id").isin(probed))
 
@@ -399,8 +409,8 @@ class IVFIndex:
         meta = self._meta()
         if meta["pq_sub_vectors"] is None:
             raise ValueError("index was built without PQ")
-        cents = np.load(os.path.join(self.path, "centroids.npy"))
-        cb = np.load(os.path.join(self.path, "codebooks.npy"))  # (m, ncodes, sub)
+        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
+        cb = _load_npy(fsio.join(self.path, "codebooks.npy"))  # (m, ncodes, sub)
         q = np.asarray(query_vec, dtype=np.float64)
         m, _, sub = cb.shape
 

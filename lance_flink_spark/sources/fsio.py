@@ -12,10 +12,14 @@ Spark itself resolves for the scheme. Parity with the reference's
 object-store catalogs (test/.../LanceCatalogS3Test.java).
 
 Atomicity: local commits use write-tmp + ``os.replace`` (atomic).
-Hadoop commits use write-tmp + ``FileSystem.rename`` — atomic on HDFS
-and posix-backed FS; on S3-like stores rename is copy+delete, the same
-manifest-swap caveat Lance/Iceberg document (single-writer or an
-external lock service for concurrent committers).
+Hadoop commits use write-tmp + ``FileContext.rename(OVERWRITE)`` —
+atomic overwrite on HDFS (plain ``FileSystem.rename`` can't replace an
+existing file, and delete-then-rename opens a window where the
+manifest does not exist). Filesystems without an AbstractFileSystem
+binding fall back to delete+rename; on S3-like stores rename is
+copy+delete anyway — the same manifest-swap caveat Lance/Iceberg
+document (single-writer or an external lock service for concurrent
+committers).
 """
 
 from __future__ import annotations
@@ -55,9 +59,9 @@ def exists(path: str) -> bool:
     return fs.exists(p)
 
 
-def read_text(path: str) -> str:
+def read_bytes(path: str) -> bytes:
     if not is_remote(path):
-        with open(path) as f:
+        with open(path, "rb") as f:
             return f.read()
     fs, p, jvm = _jfs(path)
     stream = fs.open(p)
@@ -65,30 +69,63 @@ def read_text(path: str) -> str:
         data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
     finally:
         stream.close()
-    return bytes(data).decode("utf-8")
+    return bytes(data)
 
 
-def write_text_atomic(path: str, text: str) -> None:
-    """Commit ``text`` to ``path`` via tmp-file + rename (see module
+def read_text(path: str) -> str:
+    return read_bytes(path).decode("utf-8")
+
+
+def _overwrite_rename(jvm, fs, tmp, p, path: str) -> None:
+    """Swap ``tmp`` into place over a possibly-existing ``p``.
+
+    FileContext.rename with Options.Rename.OVERWRITE is the atomic
+    overwrite primitive on HDFS-like filesystems. Schemes without an
+    AbstractFileSystem binding (raw s3a without fs.AbstractFileSystem
+    config) fall back to delete+rename — a non-atomic window that
+    matches those stores' native rename semantics anyway."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    try:
+        gw = spark.sparkContext._gateway
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, p, opts)
+        return
+    except Exception:  # noqa: BLE001 - no AbstractFileSystem for scheme
+        pass
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise OSError(f"rename {tmp} -> {path} failed")
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    """Commit ``data`` to ``path`` via tmp-file + rename (see module
     docstring for the per-FS atomicity contract)."""
     if not is_remote(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(text)
+        with open(tmp, "wb") as f:
+            f.write(data)
         os.replace(tmp, path)
         return
     fs, p, jvm = _jfs(path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp.{uuid.uuid4().hex}")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(text.encode("utf-8")))
+        out.write(bytearray(data))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    if not fs.rename(tmp, p):
-        raise OSError(f"rename {tmp} -> {path} failed")
+    _overwrite_rename(jvm, fs, tmp, p, path)
+
+
+def write_text_atomic(path: str, text: str) -> None:
+    write_bytes_atomic(path, text.encode("utf-8"))
 
 
 def read_json(path: str) -> dict:

@@ -194,3 +194,25 @@ def test_pq_requires_divisible_dim(spark, emb, tmp_path_str):
 def test_hnsw_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         build_hnsw()
+
+
+def test_index_on_hadoop_scheme(spark, emb, qvec, tmp_path_str):
+    """Index artifacts (centroids/codebooks/meta npy+json) round-trip
+    through the JVM Hadoop FileSystem: build + incremental add + search
+    entirely under a viewfs:// root, like datasets and catalogs
+    (mirrors test_dataset.py::test_dataset_on_hadoop_scheme)."""
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.idxcluster.link./idx", "file://" + tmp_path_str
+    )
+    p = "viewfs://idxcluster/idx/flat_remote"
+    idx = IVFIndex.build(spark, emb, p, nlist=8, sample_size=1000)
+    got = _ids(idx.search(spark, qvec, k=10, nprobes=8, metric="l2"))
+    want = _ids(knn(emb, qvec, k=10, metric="l2"))
+    assert got == want
+
+    pq = IVFIndex.build(
+        spark, emb, "viewfs://idxcluster/idx/pq_remote",
+        nlist=8, pq_sub_vectors=8, sample_size=1000,
+    )
+    top = _ids(pq.search_pq(spark, qvec, k=5, nprobes=8, refine_factor=8))
+    assert qvec is not None and len(top) == 5
