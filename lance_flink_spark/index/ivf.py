@@ -400,49 +400,81 @@ class IVFIndex:
         k: int,
         nprobes: int = 20,
         refine_factor: int | None = 4,
+        metric: str = "l2",
     ) -> DataFrame:
         """IVF_PQ search: ADC over pq codes in probed lists, then exact
-        re-scoring of refine_factor*k candidates (vector.refine-factor)."""
+        re-scoring of refine_factor*k candidates (vector.refine-factor).
+
+        Metric-aware like the reference's IVF_PQ search: L2 uses the
+        squared-residual LUT; DOT reconstructs q·(centroid + residual)
+        from a per-sub-vector inner-product LUT; COSINE additionally
+        reconstructs the candidate norm from a ``||c_j + cb_j||²`` LUT.
+        All three emit ``adc_distance`` in the ascending = closer
+        convention (dot negated, cosine as 1 - cos), and the refine
+        step re-scores exactly under the same metric."""
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
         meta = self._meta()
         if meta["pq_sub_vectors"] is None:
             raise ValueError("index was built without PQ")
+        if metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"unsupported metric {metric!r}")
         cents = _load_npy(fsio.join(self.path, "centroids.npy"))
         cb = _load_npy(fsio.join(self.path, "codebooks.npy"))  # (m, ncodes, sub)
         q = np.asarray(query_vec, dtype=np.float64)
         m, _, sub = cb.shape
+        qn = max(float(np.linalg.norm(q)), 1e-12)
 
-        cand = self._probe_lists(spark, query_vec, nprobes)
+        cand = self._probe_lists(spark, query_vec, nprobes, metric=metric)
         cents_b = spark.sparkContext.broadcast(cents)
         cb_b = spark.sparkContext.broadcast(cb)
 
         @pandas_udf("double")
         def adc(codes: pd.Series, cid: pd.Series) -> pd.Series:
-            # per-batch LUT: distance of each query sub-vector (residual
-            # per coarse centroid) to each codebook entry
+            # per-batch LUTs, computed once per coarse centroid present
+            # in the batch, then gathered per code
             codes_m = np.stack(codes.to_numpy())  # (n, m)
             cids = cid.to_numpy()
             out = np.zeros(len(codes_m))
+            jj = np.arange(m)[None, :]
             for c_id in np.unique(cids):
                 mask = cids == c_id
-                resid_q = q - cents_b.value[c_id]
-                lut = np.stack(
-                    [
-                        ((cb_b.value[j] - resid_q[j * sub : (j + 1) * sub]) ** 2).sum(1)
-                        for j in range(m)
-                    ]
-                )  # (m, ncodes)
-                out[mask] = lut[np.arange(m)[None, :], codes_m[mask]].sum(1)
-            return pd.Series(np.sqrt(out))
+                c = cents_b.value[c_id]
+                if metric == "l2":
+                    resid_q = q - c
+                    lut = np.stack(
+                        [
+                            ((cb_b.value[j] - resid_q[j * sub : (j + 1) * sub]) ** 2).sum(1)
+                            for j in range(m)
+                        ]
+                    )  # (m, ncodes)
+                    out[mask] = np.sqrt(lut[jj, codes_m[mask]].sum(1))
+                    continue
+                # inner product q·(c + resid) decomposes per sub-vector
+                lut_ip = np.stack(
+                    [cb_b.value[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+                )
+                ip = float(q @ c) + lut_ip[jj, codes_m[mask]].sum(1)
+                if metric == "dot":
+                    out[mask] = -ip
+                else:  # cosine: reconstructed norm² is also separable
+                    lut_n2 = np.stack(
+                        [
+                            ((cb_b.value[j] + c[j * sub : (j + 1) * sub]) ** 2).sum(1)
+                            for j in range(m)
+                        ]
+                    )
+                    norm = np.sqrt(np.maximum(lut_n2[jj, codes_m[mask]].sum(1), 1e-24))
+                    out[mask] = 1.0 - ip / (norm * qn)
+            return pd.Series(out)
 
         scored = cand.withColumn("adc_distance", adc(F.col("pq_code"), F.col("centroid_id")))
         if refine_factor:
             short = scored.orderBy("adc_distance").limit(k * refine_factor).drop(
                 "adc_distance", "centroid_id", "pq_code"
             )
-            return _brute_knn(short, query_vec, k, vec_col=meta["vec_col"], metric="l2")
+            return _brute_knn(short, query_vec, k, vec_col=meta["vec_col"], metric=metric)
         out_cols = [c for c in scored.columns if c not in (meta["vec_col"], "pq_code", "centroid_id")]
         return (
             scored.select(*out_cols, F.round("adc_distance", 6).alias("distance"))

@@ -107,6 +107,7 @@ def search_index_with_options(
             spark, query_vec, k,
             nprobes=args["nprobes"],
             refine_factor=args.get("refine_factor", 4),
+            metric=args["metric"],
         )
     return idx.search(
         spark, query_vec, k, nprobes=args["nprobes"], metric=args["metric"]

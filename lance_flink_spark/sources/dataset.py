@@ -36,7 +36,13 @@ def _version_ge_globs(k: int, width: int = 4) -> list[str]:
     ≥ k (e.g. k=7 → 0007, 000[8-9], 00[1-9][0-9], 0[1-9][0-9][0-9],
     [1-9][0-9][0-9][0-9]). Lets a file-stream source watch 'all
     versions from the last overwrite onward' as a single Hadoop glob —
-    an open range that future appends keep matching."""
+    an open range that future appends keep matching.
+
+    Versions past 10^width - 1 overflow the zero-pad and get longer
+    names (v10000-...): the final width+1-digit prefix pattern catches
+    all of them (its trailing ``*`` only ever extends digits — a
+    width+1-digit prefix can't match a shorter zero-padded name, since
+    position width would have to match the ``-`` separator)."""
     s = str(k).zfill(width)
     if len(s) > width:
         raise ValueError(f"version {k} exceeds {width}-digit manifest naming")
@@ -45,6 +51,7 @@ def _version_ge_globs(k: int, width: int = 4) -> list[str]:
         d = int(s[i])
         if d < 9:
             pats.append(s[:i] + f"[{d + 1}-9]" + "[0-9]" * (width - i - 1))
+    pats.append("[1-9]" + "[0-9]" * width + "*")
     return pats
 
 

@@ -165,10 +165,17 @@ def test_version_ge_globs():
 
     for k in (1, 7, 10, 99, 123, 1000, 9999):
         pats = _version_ge_globs(k)
-        for n in (1, 6, 7, 8, 9, 10, 42, 99, 100, 123, 999, 1000, 5000, 9999):
+        for n in (1, 6, 7, 8, 9, 10, 42, 99, 100, 123, 999, 1000, 5000, 9999,
+                  10000, 12345, 100000, 7654321):
             s = str(n).zfill(4)
             matched = any(fnmatch.fnmatch(s, p) for p in pats)
             assert matched == (n >= k), (k, n)
+    # overflow names include the fragment suffix: the width+1 prefix
+    # pattern must match them and must NOT match 4-digit names
+    pats = [f"v{p}-*" for p in _version_ge_globs(2)]
+    assert any(fnmatch.fnmatch("v10000-abcd1234", p) for p in pats)
+    assert any(fnmatch.fnmatch("v123456-abcd1234", p) for p in pats)
+    assert not any(fnmatch.fnmatch("v0001-abcd1234", p) for p in pats)
 
 
 def test_dataset_on_hadoop_scheme(spark, tmp_path_str):

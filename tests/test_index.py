@@ -216,3 +216,28 @@ def test_index_on_hadoop_scheme(spark, emb, qvec, tmp_path_str):
     )
     top = _ids(pq.search_pq(spark, qvec, k=5, nprobes=8, refine_factor=8))
     assert qvec is not None and len(top) == 5
+
+
+def test_ivf_pq_metric_aware_search(spark, emb, qvec, tmp_path_str):
+    """IVF_PQ honors vector.metric: cosine/dot ADC + refine recover
+    most of the brute-force top-k under the SAME metric, and the three
+    metrics rank differently on this corpus (so the plumbing is not a
+    silent L2 fallback)."""
+    idx = IVFIndex.build(
+        spark, emb, tmp_path_str + "/pqm", nlist=8, pq_sub_vectors=8, pq_bits=4,
+        sample_size=1000,
+    )
+    for metric in ("cosine", "dot"):
+        got = set(_ids(idx.search_pq(spark, qvec, k=10, nprobes=8,
+                                     refine_factor=4, metric=metric)))
+        want = set(_ids(knn(emb, qvec, k=10, metric=metric)))
+        assert len(got & want) >= 7, metric
+
+    from lance_flink_spark.index.options import search_index_with_options
+
+    via_opts = _ids(search_index_with_options(
+        spark, idx, qvec, 10,
+        {"index.type": "IVF_PQ", "vector.metric": "cosine", "vector.nprobes": "8"},
+    ))
+    direct = _ids(idx.search_pq(spark, qvec, k=10, nprobes=8, metric="cosine"))
+    assert via_opts == direct
