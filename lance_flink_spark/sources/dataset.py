@@ -221,9 +221,24 @@ class Dataset:
             df = df.limit(limit)
         return df
 
-    def read_stream(self, spark: SparkSession):
+    def read_stream(
+        self,
+        spark: SparkSession,
+        max_files_per_trigger: int | None = None,
+        max_bytes_per_trigger: int | None = None,
+    ) -> DataFrame:
         """Stream the dataset: new fragments written by appends become
         micro-batches (the reference's streaming LanceSource).
+
+        ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound each
+        micro-batch (Spark file-source admission control): a large
+        append — one fragment, many parquet part-files via
+        write.max-rows-per-file — is consumed across several
+        micro-batches instead of one giant one, and a restart resumes
+        from the checkpointed file offset mid-fragment. This is the
+        Spark analogue of the reference's sub-fragment checkpointed
+        resume (LanceSource offsets); granularity is the part-file, so
+        size files accordingly at write time.
 
         - Schema comes from the MERGED batch read over all live
           fragments, not the first fragment — columns added by later
@@ -248,7 +263,12 @@ class Dataset:
         else:
             pats = _version_ge_globs(last_ow)
             glob = "data/{" + ",".join(f"v{p}-*" for p in pats) + "}"
-        return spark.readStream.schema(schema).parquet(fsio.join(self.path, glob))
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        if max_bytes_per_trigger is not None:
+            reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+        return reader.parquet(fsio.join(self.path, glob))
 
     def compact(self, spark: SparkSession, max_rows_per_file: int = 1_000_000) -> int:
         """Rewrite the live data as one fresh overwrite version (small

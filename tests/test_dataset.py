@@ -260,3 +260,27 @@ def test_compact_preserves_data_and_history(spark, tmp_path_str):
     assert ds.read(spark, version=v - 1).count() == 50  # pre-compaction view intact
     ids = {r["id"] for r in ds.read(spark).collect()}
     assert ids == set(range(50))
+
+
+def test_read_stream_max_files_per_trigger_splits_batches(spark, tmp_path_str):
+    """A large append written as many small part-files is consumed
+    across >= 2 micro-batches under maxFilesPerTrigger, with
+    exactly-once totals (sub-fragment admission control — the Spark
+    analogue of the reference's checkpointed mid-fragment resume)."""
+    ds = Dataset(tmp_path_str + "/ds")
+    # 40 rows, <=5 rows per file -> >= 8 part-files in one fragment
+    ds.write(_df(spark, 40).repartition(1), max_rows_per_file=5)
+    sdf = ds.read_stream(spark, max_files_per_trigger=2)
+    batch_sizes = []
+
+    def sink(batch_df, batch_id):
+        batch_sizes.append(batch_df.count())
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tmp_path_str + "/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert len(batch_sizes) >= 2          # split, not one giant batch
+    assert sum(batch_sizes) == 40         # exactly-once totals
