@@ -53,6 +53,20 @@ def _load_npy(path: str) -> np.ndarray:
     return np.load(io.BytesIO(fsio.read_bytes(path)))
 
 
+def _opq_rotation(dim: int, seed: int) -> np.ndarray:
+    """Deterministic orthogonal rotation (OPQ-style, md5-seeded): QR of
+    a seeded Gaussian, columns sign-fixed so the result is unique. A
+    random rotation spreads residual energy evenly across sub-vectors —
+    the cheap, training-free variant of OPQ (Ge et al. CVPR'13; the
+    full method alternates rotation and codebook optimization)."""
+    import hashlib
+
+    s = int.from_bytes(hashlib.md5(f"opq:{seed}".encode()).digest()[:4], "big")
+    g = np.random.RandomState(s).randn(dim, dim)
+    qm, r = np.linalg.qr(g)
+    return qm * np.sign(np.diag(r))[None, :]
+
+
 # ---------- k-means (driver-side, bounded sample) ----------
 
 # Row-chunk size for driver-side distance computation: peak temp memory
@@ -130,6 +144,7 @@ def _train_pq_distributed(
     ncodes: int,
     seed: int,
     iters: int = 15,
+    rot: np.ndarray | None = None,
 ) -> np.ndarray:
     """PQ codebooks trained DISTRIBUTED: residuals to the coarse
     centroid are computed executor-side (Arrow-batched, chunked argmin),
@@ -139,12 +154,16 @@ def _train_pq_distributed(
     from pyspark.ml.functions import array_to_vector
 
     cents_b = spark.sparkContext.broadcast(cents)
+    rot_b = spark.sparkContext.broadcast(rot)
 
     @pandas_udf("array<double>")
     def residual(v: pd.Series) -> pd.Series:
         x = _stack(v)
         assign, _ = _assign_chunked(x, cents_b.value)
-        return pd.Series(list(x - cents_b.value[assign]))
+        r = x - cents_b.value[assign]
+        if rot_b.value is not None:
+            r = r @ rot_b.value.T
+        return pd.Series(list(r))
 
     resid = df.select(residual(F.col(vec_col)).alias("r")).cache()
     dim = cents.shape[1]
@@ -196,6 +215,7 @@ class IVFIndex:
         seed: int = 42,
         distributed_kmeans: bool | None = None,
         kmeans_iters: int = 25,
+        opq: bool = False,
     ) -> "IVFIndex":
         """Build IVF_FLAT (pq_sub_vectors=None) or IVF_PQ.
 
@@ -206,7 +226,13 @@ class IVFIndex:
         At small nlist the bounded driver-side sample (like Lance's own
         sampled training) is faster; its distance math is row-chunked
         (_assign_chunked) so even the sample path never materializes an
-        n×k×dim temp. Index layout and search are identical either way."""
+        n×k×dim temp. Index layout and search are identical either way.
+
+        ``opq`` applies a deterministic orthogonal rotation to the
+        residuals before the sub-vector split (OPQ-lite): codebooks
+        quantize R·(x - c) and search rotates the query side, so all
+        distances are preserved exactly while per-sub-vector variance
+        evens out."""
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
@@ -227,19 +253,22 @@ class IVFIndex:
             dim = sample.shape[1]
 
         codebooks = None
+        rot = _opq_rotation(dim, seed) if (opq and pq_sub_vectors) else None
         if pq_sub_vectors is not None:
             if dim % pq_sub_vectors:
                 raise ValueError(f"dim {dim} not divisible by m={pq_sub_vectors}")
             sub = dim // pq_sub_vectors
             if distributed_kmeans:
                 codebooks = _train_pq_distributed(
-                    spark, df, vec_col, cents, pq_sub_vectors, ncodes, seed
+                    spark, df, vec_col, cents, pq_sub_vectors, ncodes, seed, rot=rot
                 )
             else:
                 # PQ trains on residuals to the coarse centroid (as
                 # Lance does), chunked assignment — no n×k×dim temp
                 assign, _ = _assign_chunked(sample, cents)
                 resid = sample - cents[assign]
+                if rot is not None:
+                    resid = resid @ rot.T
                 codebooks = np.stack(
                     [
                         _kmeans(resid[:, j * sub : (j + 1) * sub], ncodes, seed=seed + 1 + j, iters=15)
@@ -251,6 +280,8 @@ class IVFIndex:
         _save_npy(fsio.join(path, "centroids.npy"), cents)
         if codebooks is not None:
             _save_npy(fsio.join(path, "codebooks.npy"), codebooks)
+        if rot is not None:
+            _save_npy(fsio.join(path, "rotation.npy"), rot)
         fsio.write_json_atomic(
             fsio.join(path, META),
             {
@@ -259,12 +290,14 @@ class IVFIndex:
                 "pq_sub_vectors": pq_sub_vectors,
                 "pq_bits": pq_bits,
                 "vec_col": vec_col,
+                "opq": rot is not None,
             },
         )
 
         # distributed assignment (+ PQ encoding): one Arrow-batched pass
         cents_b = spark.sparkContext.broadcast(cents)
         cb_b = spark.sparkContext.broadcast(codebooks) if codebooks is not None else None
+        rot_b = spark.sparkContext.broadcast(rot)
         m = pq_sub_vectors
 
         @pandas_udf("int")
@@ -281,6 +314,8 @@ class IVFIndex:
                 x = _stack(v)
                 cb = cb_b.value  # (m, ncodes, sub)
                 resid = x - cents_b.value[cid.to_numpy()]
+                if rot_b.value is not None:
+                    resid = resid @ rot_b.value.T
                 sub = resid.shape[1] // m
                 codes = np.empty((len(x), m), dtype=np.int32)
                 for j in range(m):
@@ -325,12 +360,15 @@ class IVFIndex:
         if meta["pq_sub_vectors"]:
             cb = _load_npy(fsio.join(self.path, "codebooks.npy"))
             cb_b = spark.sparkContext.broadcast(cb)
+            rot_b = spark.sparkContext.broadcast(self._rotation(meta))
             m = meta["pq_sub_vectors"]
 
             @pandas_udf("array<int>")
             def pq_encode(v: pd.Series, cid: pd.Series) -> pd.Series:
                 x = _stack(v)
                 resid = x - cents_b.value[cid.to_numpy()]
+                if rot_b.value is not None:
+                    resid = resid @ rot_b.value.T
                 sub = resid.shape[1] // m
                 codes = np.empty((len(x), m), dtype=np.int32)
                 for j in range(m):
@@ -352,6 +390,11 @@ class IVFIndex:
 
     def _meta(self) -> dict:
         return fsio.read_json(fsio.join(self.path, META))
+
+    def _rotation(self, meta: dict) -> np.ndarray | None:
+        if not meta.get("opq"):
+            return None
+        return _load_npy(fsio.join(self.path, "rotation.npy"))
 
     def _probe_lists(
         self, spark: SparkSession, query_vec: list[float], nprobes: int, metric: str = "l2"
@@ -422,13 +465,20 @@ class IVFIndex:
             raise ValueError(f"unsupported metric {metric!r}")
         cents = _load_npy(fsio.join(self.path, "centroids.npy"))
         cb = _load_npy(fsio.join(self.path, "codebooks.npy"))  # (m, ncodes, sub)
+        rot = self._rotation(meta)
         q = np.asarray(query_vec, dtype=np.float64)
         m, _, sub = cb.shape
         qn = max(float(np.linalg.norm(q)), 1e-12)
+        # with OPQ, codebooks live in rotated residual space; rotating
+        # the query side preserves every distance exactly:
+        #   ||q - (c + Rᵀr̂)|| = ||R(q-c) - r̂||,  q·Rᵀr̂ = (Rq)·r̂,
+        #   ||c + Rᵀr̂||² = ||Rc + r̂||²
+        q_r = q if rot is None else rot @ q
 
         cand = self._probe_lists(spark, query_vec, nprobes, metric=metric)
         cents_b = spark.sparkContext.broadcast(cents)
         cb_b = spark.sparkContext.broadcast(cb)
+        rot_b = spark.sparkContext.broadcast(rot)
 
         @pandas_udf("double")
         def adc(codes: pd.Series, cid: pd.Series) -> pd.Series:
@@ -443,6 +493,8 @@ class IVFIndex:
                 c = cents_b.value[c_id]
                 if metric == "l2":
                     resid_q = q - c
+                    if rot_b.value is not None:
+                        resid_q = rot_b.value @ resid_q
                     lut = np.stack(
                         [
                             ((cb_b.value[j] - resid_q[j * sub : (j + 1) * sub]) ** 2).sum(1)
@@ -453,15 +505,16 @@ class IVFIndex:
                     continue
                 # inner product q·(c + resid) decomposes per sub-vector
                 lut_ip = np.stack(
-                    [cb_b.value[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+                    [cb_b.value[j] @ q_r[j * sub : (j + 1) * sub] for j in range(m)]
                 )
                 ip = float(q @ c) + lut_ip[jj, codes_m[mask]].sum(1)
                 if metric == "dot":
                     out[mask] = -ip
                 else:  # cosine: reconstructed norm² is also separable
+                    c_r = c if rot_b.value is None else rot_b.value @ c
                     lut_n2 = np.stack(
                         [
-                            ((cb_b.value[j] + c[j * sub : (j + 1) * sub]) ** 2).sum(1)
+                            ((cb_b.value[j] + c_r[j * sub : (j + 1) * sub]) ** 2).sum(1)
                             for j in range(m)
                         ]
                     )

@@ -54,6 +54,10 @@ def build_args_from_options(opts: dict) -> dict:
     if itype == "IVF_PQ":
         args["pq_sub_vectors"] = _geti(opts, "index.num-sub-vectors", 16)
         args["pq_bits"] = _geti(opts, "index.num-bits", 8)
+        # extension key (not in LanceOptions): deterministic OPQ-style
+        # residual rotation before the sub-vector split
+        if str(opts.get("index.opq", "false")).lower() in ("true", "1"):
+            args["opq"] = True
     if itype == "IVF_HNSW":
         ef_c = _geti(opts, "index.ef-construction", 100)
         args["kmeans_iters"] = max(10, ef_c // 10)

@@ -241,3 +241,86 @@ def test_ivf_pq_metric_aware_search(spark, emb, qvec, tmp_path_str):
     ))
     direct = _ids(idx.search_pq(spark, qvec, k=10, nprobes=8, metric="cosine"))
     assert via_opts == direct
+
+
+@pytest.fixture(scope="module")
+def recall_corpus(spark):
+    """Fixed-seed clustered corpus (mixture of 64 Gaussians in 64-d,
+    the shape real embedding families have) + 8 held-out queries."""
+    rng = np.random.RandomState(0)
+    centers = rng.randn(64, 64) * 2.0
+    assign = rng.randint(0, 64, size=2000)
+    x = centers[assign] + rng.randn(2000, 64) * 0.35
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(2000)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(4).cache()
+    df.count()
+    queries = [
+        [float(v) for v in (centers[j] + rng.randn(64) * 0.35)] for j in range(8)
+    ]
+    return df, queries
+
+
+def _recall_at10(spark, corpus, queries, search_fn):
+    hits = total = 0
+    for qv in queries:
+        want = set(_ids(knn(corpus, qv, k=10, metric="l2")))
+        got = set(_ids(search_fn(qv)))
+        hits += len(want & got)
+        total += 10
+    return hits / total
+
+
+def test_recall_gate_ivf_flat(spark, recall_corpus, tmp_path_str):
+    """Quantified recall gate: IVF_FLAT at nprobes=20/nlist=256 must
+    reach recall@10 >= 0.9 vs brute force on the fixed-seed corpus."""
+    corpus, queries = recall_corpus
+    idx = IVFIndex.build(
+        spark, corpus, tmp_path_str + "/flat256", nlist=256, sample_size=2000,
+        distributed_kmeans=False,
+    )
+    r = _recall_at10(
+        spark, corpus, queries,
+        lambda qv: idx.search(spark, qv, k=10, nprobes=20, metric="l2"),
+    )
+    assert r >= 0.9, f"IVF_FLAT recall@10 {r:.3f} < 0.9"
+
+
+def test_recall_gate_ivf_pq_and_opq(spark, recall_corpus, tmp_path_str):
+    """Quantified recall gate: IVF_PQ (+ exact refine) must reach
+    recall@10 >= 0.8; the OPQ-rotated build must be no worse than
+    plain PQ minus noise (the knob is neutral-or-better)."""
+    corpus, queries = recall_corpus
+    plain = IVFIndex.build(
+        spark, corpus, tmp_path_str + "/pq256", nlist=64, pq_sub_vectors=8,
+        pq_bits=4, sample_size=2000, distributed_kmeans=False,
+    )
+    opq = IVFIndex.build(
+        spark, corpus, tmp_path_str + "/opq256", nlist=64, pq_sub_vectors=8,
+        pq_bits=4, sample_size=2000, distributed_kmeans=False, opq=True,
+    )
+    r_plain = _recall_at10(
+        spark, corpus, queries,
+        lambda qv: plain.search_pq(spark, qv, k=10, nprobes=16, refine_factor=4),
+    )
+    r_opq = _recall_at10(
+        spark, corpus, queries,
+        lambda qv: opq.search_pq(spark, qv, k=10, nprobes=16, refine_factor=4),
+    )
+    assert r_plain >= 0.8, f"IVF_PQ recall@10 {r_plain:.3f} < 0.8"
+    assert r_opq >= 0.8, f"IVF_PQ+OPQ recall@10 {r_opq:.3f} < 0.8"
+    assert r_opq >= r_plain - 0.05, (r_opq, r_plain)
+    # ADC-only (no exact refine) exposes raw code quality — the
+    # sensitive measurement for the rotation knob
+    a_plain = _recall_at10(
+        spark, corpus, queries,
+        lambda qv: plain.search_pq(spark, qv, k=10, nprobes=16, refine_factor=None),
+    )
+    a_opq = _recall_at10(
+        spark, corpus, queries,
+        lambda qv: opq.search_pq(spark, qv, k=10, nprobes=16, refine_factor=None),
+    )
+    assert a_opq >= a_plain - 0.1, (a_opq, a_plain)
+    print(f"recall@10 refine: pq={r_plain:.3f} opq={r_opq:.3f}; "
+          f"adc-only: pq={a_plain:.3f} opq={a_opq:.3f}")
