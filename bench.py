@@ -38,17 +38,44 @@ def main() -> None:
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             times[name] = -1.0
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(t for t in times.values() if t > 0), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(t for t in times.values() if t > 0), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev = _load_prev_bench(out["sf"])
+    if prev:
+        rnd, pq = prev
+        out["deltas_vs_prev"] = {
+            n: round(t - pq[n], 3) for n, t in times.items() if n in pq and t > 0
+        }
+        out["prev_round"] = rnd
+    print(json.dumps(out))
+
+
+def _load_prev_bench(sf):
+    """(round, per-query times) from the newest same-sf BENCH_r*.json
+    artifact, so every bench run surfaces its own per-query
+    regressions (cross-sf deltas would be noise)."""
+    import glob
+    import re
+
+    best = None
+    for f in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if not m:
+            continue
+        try:
+            d = json.load(open(f))
+            parsed = d.get("parsed", d)
+            q = parsed.get("queries")
+        except Exception:  # noqa: BLE001
+            continue
+        if q and parsed.get("sf") == sf and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), q)
+    return best
 
 
 if __name__ == "__main__":
