@@ -106,22 +106,23 @@ def minhash_lsh_pairs(
     shingles) collapses every component onto one signature, making the
     bucket join O(n²) in that bucket. Buckets above the cap are dropped
     entirely — their members are either exact dups (cheaper via
-    exact_dedup) or signature collisions with no near-dup signal. The
-    count is a window over the same (i, sig) key the join shuffles on,
-    so capping adds no extra exchange."""
-    from pyspark.sql import Window
-
+    exact_dedup) or signature collisions with no near-dup signal. Hot
+    keys are found with a partially-aggregated groupBy (map-side
+    combine collapses each partition to one row per key) and removed
+    with a broadcast anti-join — by construction there are at most
+    n·k/max_bucket hot keys, so the broadcast side stays tiny no matter
+    how skewed the corpus is, and no window sort is paid."""
     # persist: the signature frame (shingle explode + md5 + k-way agg)
-    # feeds both self-join sides
+    # feeds the hot-key aggregate and both self-join sides
     sigs = minhash_signatures(df, text_col, id_col, k).persist()
     if max_bucket is not None:
-        sigs = (
-            sigs.withColumn(
-                "bsz", F.count(F.lit(1)).over(Window.partitionBy("i", "sig"))
-            )
-            .filter(F.col("bsz") <= max_bucket)
-            .drop("bsz")
+        hot = (
+            sigs.groupBy("i", "sig")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket)
+            .select("i", "sig")
         )
+        sigs = sigs.join(F.broadcast(hot), ["i", "sig"], "left_anti")
     a = sigs.select(F.col(id_col).alias("id_a"), "i", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "i", "sig")
     return (
