@@ -1,0 +1,335 @@
+"""Distributed IVF_HNSW: a real HNSW graph per IVF list.
+
+Parity: LanceIndexBuilder.java:141-186 (IVF_HNSW with ``index.m`` /
+``index.ef-construction``) and LanceVectorSearch's ``vector.ef`` beam.
+
+The reference's IVF_HNSW is IVF coarse partitioning with an HNSW graph
+built over each inverted list. That decomposition is exactly what makes
+HNSW Spark-shaped: a single *global* graph build is inherently
+sequential (every insert navigates the graph built so far), but the
+per-list graphs are independent — one ``applyInPandas`` task per
+centroid list, executor-parallel, no driver loop. This is the same
+segment model Lucene/Elasticsearch use (one HNSW per segment, merged at
+query time).
+
+Layout (beside the IVF artifacts under the index root):
+    graphs/            parquet: (centroid_id, n, graph binary)
+                       one row per list; ``graph`` is an npz blob with
+                       ids, levels, CSR adjacency, float32 vectors
+
+Search = partition-pruned read of the probed lists' graph rows →
+``mapInPandas`` beam search (ef candidates per list, exact re-scoring
+under the requested metric from the blob's own vectors) → global
+TakeOrderedAndProject top-k. At 100 TB each graph blob is a few MB
+(a list), tasks stream one blob at a time, and only nprobes/nlist of
+the blobs are read.
+
+Graph navigation uses L2; the ef-candidate beam is exactly re-scored
+under the requested metric (l2/cosine/dot) before the global top-k, so
+metric mismatch only costs recall (gated in tests), never wrong
+distances on returned rows.
+
+Determinism: node levels come from md5(vec_id), insertion order is
+vec_id order, and all ties break on id — two builds over the same list
+produce byte-identical blobs (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+import io
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_flink_spark.index.ivf import META, IVFIndex, _load_npy, _stack
+from lance_flink_spark.sources import fsio
+
+
+def _node_level(vid: int, m_l: float) -> int:
+    """Geometric level from md5(vec_id) — the paper's floor(-ln(U)·mL)
+    with a deterministic, engine-independent U."""
+    h = int.from_bytes(hashlib.md5(f"hnsw:{vid}".encode()).digest()[:8], "big")
+    u = (h + 1) / float(1 << 64)  # (0, 1]
+    return int(-math.log(u) * m_l)
+
+
+class _Graph:
+    """In-memory per-list HNSW: float32 vectors + per-level adjacency."""
+
+    __slots__ = ("ids", "x", "levels", "nbrs", "entry", "max_level")
+
+    def __init__(self, ids, x, levels, nbrs, entry, max_level):
+        self.ids = ids          # (n,) int64 original vec_ids
+        self.x = x              # (n, dim) float32
+        self.levels = levels    # (n,) int16
+        self.nbrs = nbrs        # list[node] -> list[level] -> list[int]
+        self.entry = entry      # int node index
+        self.max_level = max_level
+
+
+def _search_layer(x, nbrs, q, eps, ef, level, dists):
+    """Best-first beam on one layer (HNSW SEARCH-LAYER). ``dists`` is a
+    node->distance memo reused across layers; neighbor distances are
+    computed with one vectorized numpy gather per expansion."""
+    visited = set(eps)
+    cand = []   # min-heap (dist, node)
+    top = []    # max-heap (-dist, node), size <= ef
+    for p in eps:
+        if p not in dists:
+            d = q - x[p]
+            dists[p] = float(d @ d)
+        heapq.heappush(cand, (dists[p], p))
+        heapq.heappush(top, (-dists[p], p))
+    while cand:
+        dc, c = heapq.heappop(cand)
+        if dc > -top[0][0] and len(top) >= ef:
+            break
+        nb = [e for e in nbrs[c][level] if e not in visited]
+        if not nb:
+            continue
+        visited.update(nb)
+        diff = x[nb] - q
+        nd = (diff * diff).sum(1)
+        for e, de in zip(nb, nd.tolist()):
+            dists[e] = de
+            if len(top) < ef or de < -top[0][0]:
+                heapq.heappush(cand, (de, e))
+                heapq.heappush(top, (-de, e))
+                if len(top) > ef:
+                    heapq.heappop(top)
+    out = [(-nd, e) for nd, e in top]
+    out.sort(key=lambda t: (t[0], t[1]))
+    return out  # ascending (dist, node)
+
+
+def _select_neighbors(cands, m):
+    """Closest-first truncation (the paper's simple selection); ties on
+    node id for determinism. ``cands`` is ascending (dist, node)."""
+    return [e for _, e in cands[:m]]
+
+
+def build_graph(ids: np.ndarray, x: np.ndarray, m: int = 16, ef_construction: int = 64) -> _Graph:
+    """Sequential HNSW build over ONE list (runs inside one executor
+    task; the distribution is across lists, not within one)."""
+    n = len(ids)
+    m_l = 1.0 / math.log(max(m, 2))
+    order = np.argsort(ids, kind="stable")  # deterministic insertion order
+    levels = np.array([_node_level(int(ids[i]), m_l) for i in range(n)], dtype=np.int16)
+    nbrs = [[[] for _ in range(int(levels[i]) + 1)] for i in range(n)]
+    xf = x.astype(np.float64)
+    entry, max_level = -1, -1
+    for i in order.tolist():
+        li = int(levels[i])
+        if entry < 0:
+            entry, max_level = i, li
+            continue
+        q = xf[i]
+        dists: dict[int, float] = {}
+        eps = [entry]
+        for lc in range(max_level, li, -1):
+            eps = [_search_layer(xf, nbrs, q, eps, 1, lc, dists)[0][1]]
+        for lc in range(min(li, max_level), -1, -1):
+            w = _search_layer(xf, nbrs, q, eps, ef_construction, lc, dists)
+            mmax = m * 2 if lc == 0 else m
+            sel = _select_neighbors(w, m)
+            nbrs[i][lc] = list(sel)
+            for e in sel:
+                ne = nbrs[e][lc]
+                ne.append(i)
+                if len(ne) > mmax:
+                    # shrink: keep the mmax closest to e (ties on id)
+                    diff = xf[ne] - xf[e]
+                    dd = (diff * diff).sum(1)
+                    keep = sorted(zip(dd.tolist(), ne))[:mmax]
+                    nbrs[e][lc] = [v for _, v in keep]
+            eps = [nd for _, nd in w]
+        if li > max_level:
+            entry, max_level = i, li
+    return _Graph(ids.astype(np.int64), x.astype(np.float32), levels, nbrs, entry, max_level)
+
+
+def serialize_graph(g: _Graph) -> bytes:
+    """CSR-flattened npz blob (no pickle: stable across Python builds)."""
+    counts, flat = [], []
+    for i in range(len(g.ids)):
+        for lc in range(int(g.levels[i]) + 1):
+            counts.append(len(g.nbrs[i][lc]))
+            flat.extend(g.nbrs[i][lc])
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        ids=g.ids,
+        x=g.x,
+        levels=g.levels,
+        counts=np.array(counts, dtype=np.int32),
+        flat=np.array(flat, dtype=np.int32),
+        entry=np.array([g.entry, g.max_level], dtype=np.int32),
+    )
+    return buf.getvalue()
+
+
+def deserialize_graph(blob: bytes) -> _Graph:
+    z = np.load(io.BytesIO(blob))
+    ids, x, levels = z["ids"], z["x"], z["levels"]
+    counts, flat = z["counts"], z["flat"]
+    entry, max_level = int(z["entry"][0]), int(z["entry"][1])
+    nbrs, ci, fi = [], 0, 0
+    for i in range(len(ids)):
+        per = []
+        for _ in range(int(levels[i]) + 1):
+            c = int(counts[ci]); ci += 1
+            per.append(flat[fi : fi + c].tolist()); fi += c
+        nbrs.append(per)
+    return _Graph(ids, x, levels, nbrs, entry, max_level)
+
+
+def search_graph(g: _Graph, q: np.ndarray, ef: int) -> list[tuple[float, int]]:
+    """Beam search one graph: greedy descent to layer 1, ef-beam at
+    layer 0. Returns ascending (l2², node-index) for the ef beam."""
+    if g.entry < 0 or len(g.ids) == 0:
+        return []
+    xf = g.x.astype(np.float64)
+    dists: dict[int, float] = {}
+    eps = [g.entry]
+    for lc in range(g.max_level, 0, -1):
+        eps = [_search_layer(xf, g.nbrs, q, eps, 1, lc, dists)[0][1]]
+    return _search_layer(xf, g.nbrs, q, eps, ef, 0, dists)
+
+
+GRAPH_SCHEMA = "centroid_id int, n long, graph binary"
+
+
+class HNSWIndex:
+    """IVF_HNSW over an IVFIndex layout + per-list graph blobs."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.ivf = IVFIndex(path)
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        vec_col: str = "embedding",
+        nlist: int = 16,
+        m: int = 16,
+        ef_construction: int = 64,
+        id_col: str | None = None,
+        **ivf_kwargs,
+    ) -> "HNSWIndex":
+        """IVF coarse build, then one HNSW graph per inverted list via
+        applyInPandas — each list's build is a single executor task, so
+        graph construction parallelism = nlist (the 100 TB path: lists
+        are bounded by write-time sizing, tasks stay uniform).
+
+        ``id_col`` names the integer row-id column embedded in the
+        blobs; default: ``vec_id`` if present, else the first integer
+        column that isn't the vector."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        if id_col is None:
+            ints = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("long", "integer") and f.name != vec_col
+            ]
+            id_col = "vec_id" if "vec_id" in ints else ints[0]
+        IVFIndex.build(spark, df, path, vec_col=vec_col, nlist=nlist, **ivf_kwargs)
+        lists = spark.read.parquet(fsio.join(path, "lists"))
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, kind="stable")
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = _stack(pdf[vec_col])
+            g = build_graph(ids, x.astype(np.float32), m=m, ef_construction=ef_construction)
+            return pd.DataFrame(
+                {
+                    "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                    "n": [len(ids)],
+                    "graph": [serialize_graph(g)],
+                }
+            )
+
+        (
+            lists.groupBy("centroid_id")
+            .applyInPandas(_build, GRAPH_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(fsio.join(path, "graphs"))
+        )
+        meta = fsio.read_json(fsio.join(path, META))
+        meta.update(
+            {"hnsw_m": m, "hnsw_ef_construction": ef_construction, "hnsw_id_col": id_col}
+        )
+        fsio.write_json_atomic(fsio.join(path, META), meta)
+        return cls(path)
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int,
+        nprobes: int = 4,
+        ef: int = 64,
+        metric: str = "l2",
+    ) -> DataFrame:
+        """Probe nprobes lists' graphs (partition-pruned parquet read of
+        the blob rows), beam-search each in mapInPandas, exact-rescore
+        the per-list ef beams under ``metric``, global top-k."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        if metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        id_col = fsio.read_json(fsio.join(self.path, META)).get("hnsw_id_col", "vec_id")
+        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
+        q = np.asarray(query_vec, dtype=np.float64)
+        if metric == "cosine":
+            norms = np.linalg.norm(cents, axis=1) * max(np.linalg.norm(q), 1e-12)
+            order = (-(cents @ q) / np.maximum(norms, 1e-12)).argsort()
+        elif metric == "dot":
+            order = (-(cents @ q)).argsort()
+        else:
+            order = (((cents - q) ** 2).sum(1)).argsort()
+        probed = [int(i) for i in order[: min(nprobes, len(cents))]]
+        graphs = spark.read.parquet(fsio.join(self.path, "graphs")).filter(
+            F.col("centroid_id").isin(probed)
+        )
+        ef_eff = max(ef, k)
+        qv = q.copy()
+
+        def _probe(batches):
+            for pdf in batches:
+                out_ids: list[int] = []
+                out_d: list[float] = []
+                for blob in pdf["graph"]:
+                    g = deserialize_graph(bytes(blob))
+                    beam = search_graph(g, qv, ef_eff)
+                    if not beam:
+                        continue
+                    nodes = np.array([nd for _, nd in beam], dtype=np.int64)
+                    vx = g.x[nodes].astype(np.float64)
+                    if metric == "l2":
+                        d = np.sqrt(((vx - qv) ** 2).sum(1))
+                    elif metric == "cosine":
+                        nv = np.linalg.norm(vx, axis=1) * max(np.linalg.norm(qv), 1e-12)
+                        d = 1.0 - (vx @ qv) / np.maximum(nv, 1e-12)
+                    else:  # dot: ascending = closer convention
+                        d = -(vx @ qv)
+                    out_ids.extend(g.ids[nodes].tolist())
+                    out_d.extend(d.tolist())
+                yield pd.DataFrame({id_col: out_ids, "distance": out_d})
+
+        out = graphs.mapInPandas(_probe, f"{id_col} long, distance double")
+        return (
+            out.select(id_col, F.round("distance", 6).alias("distance"))
+            .orderBy("distance", id_col)
+            .limit(k)
+        )

@@ -19,10 +19,11 @@ Spark-first mapping of the IVF idea:
   UDF; optional exact re-scoring of ``refine_factor * k`` candidates
   (reference's vector.refine-factor).
 
-IVF_HNSW is intentionally not a graph build (sequential, driver-bound
-— wrong shape for Spark; see SURVEY.md §6): ``build_hnsw`` raises
-NotImplementedError pointing at the IVF + refine path that serves the
-same high-recall need.
+IVF_HNSW lives in index/hnsw.py: a single GLOBAL graph build is
+sequential and driver-bound, but the reference's IVF_HNSW is an HNSW
+per inverted list — per-list builds are independent executor tasks
+(the Lucene/ES segment model), so the graph variant is Spark-shaped
+after all. ``build_hnsw`` here delegates for API parity.
 """
 
 from __future__ import annotations
@@ -536,12 +537,11 @@ class IVFIndex:
         )
 
 
-def build_hnsw(*_args, **_kwargs):
-    """IVF_HNSW graph build — see SURVEY.md §6. A true HNSW build is a
-    sequential in-memory graph construction; on Spark the equivalent
-    high-recall path is IVFIndex.build + search(refine). Kept as an
-    explicit stub for API parity with LanceIndexBuilder IndexType."""
-    raise NotImplementedError(
-        "HNSW graph build is driver-sequential by nature; use IVFIndex "
-        "with higher nprobes / refine_factor for the high-recall path"
-    )
+def build_hnsw(spark, df, path, **kwargs):
+    """IVF_HNSW build (LanceIndexBuilder.java:141-186): IVF coarse
+    partitioning with a real HNSW graph per inverted list — see
+    index/hnsw.py. Kept here for API parity with LanceIndexBuilder
+    IndexType; delegates to HNSWIndex.build."""
+    from lance_flink_spark.index.hnsw import HNSWIndex
+
+    return HNSWIndex.build(spark, df, path, **kwargs)

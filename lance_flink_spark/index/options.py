@@ -1,4 +1,4 @@
-"""Reference index/search option surface → IVF build/search arguments.
+"""Reference index/search option surface → index build/search arguments.
 
 Parity with LanceOptions.java:118-238 (index.type / index.column /
 index.num-partitions / index.num-sub-vectors / index.num-bits /
@@ -7,24 +7,17 @@ vector.nprobes / vector.ef / vector.refine-factor) so every WITH(...)
 config from the reference's SQL demos (flink-sql-demo.sql:85-99)
 executes here.
 
-IVF_HNSW mapping (documented; SURVEY §6): a true HNSW graph build is
-driver-sequential — the wrong shape for Spark — so the HNSW quality
-knobs translate onto the IVF + exact-refine path that serves the same
-high-recall need:
+IVF_HNSW routes to a REAL per-list HNSW graph (index/hnsw.py — the
+reference's own decomposition: IVF coarse partitioning, an HNSW per
+inverted list):
 
-- ``vector.ef`` (search beam width, default 100) → ``nprobes``:
-  ef/5, so the reference defaults (ef=100) land on the reference's own
-  default nprobes=20. Wider beam == more probed lists — both parameters
-  trade latency for candidate coverage linearly.
-- ``index.m`` (graph degree, default 16) → ``refine_factor``: m/8.
-  Higher degree == more edges to exact-score per hop in HNSW; here,
-  more shortlisted candidates re-scored exactly.
-- ``index.ef-construction`` / ``index.max-level`` govern build-time
-  graph quality; the IVF analog is centroid quality, so ef-construction
-  scales the k-means iteration budget (ef_c/10, min 10).
-
-An explicit ``vector.nprobes`` / ``vector.refine-factor`` always wins
-over the derived values.
+- ``index.m`` → graph degree, ``index.ef-construction`` → build beam.
+- ``vector.ef`` (default 100) → search beam width at layer 0.
+- ``vector.nprobes`` → probed lists (default 20, the reference's own
+  nprobes default; values above nlist probe everything).
+- ``index.max-level`` is accepted but unused: levels derive from
+  md5(vec_id) geometrically (1/ln(m) scale), which self-limits to
+  ~log_m(list size) — a cap would never bind on bounded lists.
 """
 
 from __future__ import annotations
@@ -41,7 +34,7 @@ def _geti(opts: dict, key: str, default: int | None) -> int | None:
 
 
 def build_args_from_options(opts: dict) -> dict:
-    """WITH(...)-style option strings → IVFIndex.build kwargs."""
+    """WITH(...)-style option strings → IVFIndex/HNSWIndex.build kwargs."""
     itype = opts.get("index.type", "IVF_PQ").upper()
     if itype not in _INDEX_TYPES:
         raise ValueError(
@@ -59,54 +52,64 @@ def build_args_from_options(opts: dict) -> dict:
         if str(opts.get("index.opq", "false")).lower() in ("true", "1"):
             args["opq"] = True
     if itype == "IVF_HNSW":
-        ef_c = _geti(opts, "index.ef-construction", 100)
-        args["kmeans_iters"] = max(10, ef_c // 10)
+        args["m"] = _geti(opts, "index.m", 16)
+        args["ef_construction"] = _geti(opts, "index.ef-construction", 100)
     return args
 
 
 def search_args_from_options(opts: dict) -> dict:
-    """WITH(...)-style option strings → IVFIndex.search kwargs
-    (metric, nprobes, refine factor where the index type uses one)."""
+    """WITH(...)-style option strings → search kwargs (metric, nprobes,
+    plus ef for HNSW / refine factor for PQ)."""
     itype = opts.get("index.type", "IVF_PQ").upper()
     metric = opts.get("vector.metric", "L2").lower()
     if metric not in ("l2", "cosine", "dot"):
         raise ValueError(f"unsupported vector.metric {metric!r}")
-    ef = _geti(opts, "vector.ef", 100)
-    m = _geti(opts, "index.m", 16)
-    nprobes = _geti(opts, "vector.nprobes", None)
-    if nprobes is None:
-        # HNSW beam width → probed lists; reference defaults align
-        # (ef=100 → nprobes=20, LanceOptions' own nprobes default)
-        nprobes = max(1, ef // 5) if itype == "IVF_HNSW" else 20
+    out = {"metric": metric, "nprobes": _geti(opts, "vector.nprobes", 20)}
+    if itype == "IVF_HNSW":
+        out["ef"] = _geti(opts, "vector.ef", 100)
     refine = _geti(opts, "vector.refine-factor", None)
-    if refine is None and itype == "IVF_HNSW":
-        refine = max(2, m // 8)
-    out = {"metric": metric, "nprobes": nprobes}
     if refine is not None:
         out["refine_factor"] = refine
     return out
 
 
-def build_index_from_options(
-    spark: SparkSession, df: DataFrame, path: str, opts: dict
-) -> IVFIndex:
-    """Build an index from the reference's option-string surface."""
-    return IVFIndex.build(spark, df, path, **build_args_from_options(opts))
+def build_index_from_options(spark: SparkSession, df: DataFrame, path: str, opts: dict):
+    """Build an index from the reference's option-string surface:
+    IVF_HNSW → HNSWIndex (per-list graphs), else IVFIndex."""
+    args = build_args_from_options(opts)
+    if opts.get("index.type", "IVF_PQ").upper() == "IVF_HNSW":
+        from lance_flink_spark.index.hnsw import HNSWIndex
+
+        return HNSWIndex.build(spark, df, path, **args)
+    return IVFIndex.build(spark, df, path, **args)
 
 
 def search_index_with_options(
     spark: SparkSession,
-    idx: IVFIndex,
+    idx,
     query_vec: list[float],
     k: int,
     opts: dict,
 ) -> DataFrame:
-    """Search under the reference's option surface: PQ indexes go
-    through ADC + refine (vector.refine-factor / derived from index.m);
-    flat indexes through metric-aware probing (vector.metric,
-    nprobes derived from vector.ef for IVF_HNSW configs)."""
+    """Search under the reference's option surface. Dispatch follows
+    the index's OWN metadata (not the caller's option dict): HNSW
+    graphs → beam search with vector.ef; PQ codes → ADC + refine;
+    flat → metric-aware probing."""
+    from lance_flink_spark.index.hnsw import HNSWIndex
+
     args = search_args_from_options(opts)
-    if idx._meta()["pq_sub_vectors"]:
+    if isinstance(idx, str):
+        idx = HNSWIndex(idx)
+    meta = idx._meta() if isinstance(idx, IVFIndex) else idx.ivf._meta()
+    if "hnsw_m" in meta:
+        hidx = idx if isinstance(idx, HNSWIndex) else HNSWIndex(idx.path)
+        return hidx.search(
+            spark, query_vec, k,
+            nprobes=args["nprobes"],
+            ef=args.get("ef", 100),
+            metric=args["metric"],
+        )
+    if meta["pq_sub_vectors"]:
         return idx.search_pq(
             spark, query_vec, k,
             nprobes=args["nprobes"],

@@ -264,3 +264,32 @@ def ivf_pq_search(spark, sf_dir):
     return idx.search_pq(
         spark, _query_vec(spark, sf_dir), k=10, nprobes=8, refine_factor=4
     ).select("vec_id", "distance")
+
+
+@query("ivf_hnsw_search")  # rows-only: graph navigation is approximate
+def ivf_hnsw_search(spark, sf_dir):
+    """IVF_HNSW build + beam search (LanceIndexBuilder.java:141-186):
+    a real HNSW graph per IVF list built distributed (applyInPandas,
+    one task per list), searched via partition-pruned blob scan +
+    mapInPandas beam + global top-k. Rows-only check: graph search is
+    approximate by construction; tests/test_hnsw.py gates recall >= 0.9
+    against brute force and pins build determinism."""
+    from lance_flink_spark.index.hnsw import HNSWIndex
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = scratch_dir("ivf_hnsw" + tag)
+    import os
+
+    if not os.path.exists(os.path.join(path, "graphs", "_SUCCESS")):
+        HNSWIndex.build(
+            spark,
+            table(spark, sf_dir, "embeddings"),
+            path,
+            nlist=8,
+            m=16,
+            ef_construction=64,
+            sample_size=100_000,
+        )
+    return HNSWIndex(path).search(
+        spark, _query_vec(spark, sf_dir), k=10, nprobes=8, ef=64
+    )

@@ -191,9 +191,9 @@ def test_pq_requires_divisible_dim(spark, emb, tmp_path_str):
         IVFIndex.build(spark, emb, tmp_path_str + "/bad", nlist=4, pq_sub_vectors=7)
 
 
-def test_hnsw_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        build_hnsw()
+def test_build_hnsw_delegates_to_graph_index(spark, emb, qvec, tmp_path_str):
+    idx = build_hnsw(spark, emb, tmp_path_str + "/h", nlist=4, m=8, sample_size=1000)
+    assert idx.search(spark, qvec, k=5, nprobes=4, ef=32).count() == 5
 
 
 def test_index_on_hadoop_scheme(spark, emb, qvec, tmp_path_str):

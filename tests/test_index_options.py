@@ -1,4 +1,4 @@
-"""Reference option-surface → IVF build/search mapping
+"""Reference option-surface → index build/search mapping
 (LanceOptions.java:118-238; flink-sql-demo.sql IVF_HNSW demo)."""
 
 import pytest
@@ -35,45 +35,46 @@ def test_build_args_mapping():
     assert pq["pq_sub_vectors"] == 4 and pq["pq_bits"] == 4 and pq["nlist"] == 256
     hnsw = build_args_from_options(HNSW_DEMO)
     assert hnsw["nlist"] == 8
-    assert hnsw["kmeans_iters"] == 10  # ef-construction 100 → 10 iterations
+    assert hnsw["m"] == 16 and hnsw["ef_construction"] == 100  # real graph knobs
     with pytest.raises(ValueError):
         build_args_from_options({"index.type": "DISKANN"})
 
 
 def test_search_args_mapping():
-    # HNSW defaults: ef=100 → nprobes=20 (the reference's own nprobes
-    # default), m=16 → refine 2
+    # HNSW: vector.ef drives the layer-0 beam; nprobes defaults to the
+    # reference's own 20 (>= nlist probes everything)
     args = search_args_from_options(HNSW_DEMO)
-    assert args == {"metric": "cosine", "nprobes": 20, "refine_factor": 2}
-    # explicit vector.nprobes / vector.refine-factor always win
+    assert args == {"metric": "cosine", "nprobes": 20, "ef": 100}
+    # explicit vector.nprobes / vector.ef / vector.refine-factor win
     args = search_args_from_options(
-        {**HNSW_DEMO, "vector.nprobes": "8", "vector.refine-factor": "5"}
+        {**HNSW_DEMO, "vector.nprobes": "8", "vector.ef": "64"}
     )
-    assert args["nprobes"] == 8 and args["refine_factor"] == 5
-    # wider beam → more probes
-    assert search_args_from_options({**HNSW_DEMO, "vector.ef": "200"})["nprobes"] == 40
+    assert args["nprobes"] == 8 and args["ef"] == 64
+    args = search_args_from_options(
+        {"index.type": "IVF_PQ", "vector.refine-factor": "5"}
+    )
+    assert args["refine_factor"] == 5 and "ef" not in args
 
 
 def test_hnsw_demo_options_recall_vs_brute_force(spark, tmp_path_str):
-    """The mapped IVF+refine path must deliver HNSW-grade recall on the
-    real embeddings table: probing all 8 lists (ef high enough) is
-    exact; the derived default (ef=100 → nprobes=20 ≥ nlist) too."""
+    """The demo config builds REAL per-list graphs; with nprobes(=20)
+    >= nlist(=8) and a wide beam, recall@10 under cosine >= 0.9 on the
+    real embeddings table."""
     emb = table(spark, SF_DIR, "embeddings")
     idx = build_index_from_options(spark, emb, tmp_path_str + "/hnsw", HNSW_DEMO)
     q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").first()[0]]
     got = [r["vec_id"] for r in search_index_with_options(spark, idx, q, 10, HNSW_DEMO).collect()]
     want = [r["vec_id"] for r in knn(emb, q, k=10, metric="cosine").collect()]
-    assert got == want  # nprobes(=20) ≥ nlist(=8) → exact under cosine
+    assert len(set(got) & set(want)) >= 9
 
 
 def test_hnsw_partial_beam_recall(spark, tmp_path_str):
-    """Narrow beam (ef=15 → nprobes=3 of 8): recall@10 must stay
+    """Narrow search (nprobes=3 of 8, ef=32): recall@10 must stay
     useful, mirroring HNSW's ef/recall trade."""
     emb = table(spark, SF_DIR, "embeddings")
     idx = build_index_from_options(spark, emb, tmp_path_str + "/hnsw2", HNSW_DEMO)
     q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").first()[0]]
-    opts = {**HNSW_DEMO, "vector.ef": "15"}
-    assert search_args_from_options(opts)["nprobes"] == 3
+    opts = {**HNSW_DEMO, "vector.nprobes": "3", "vector.ef": "32"}
     got = {r["vec_id"] for r in search_index_with_options(spark, idx, q, 10, opts).collect()}
     want = {r["vec_id"] for r in knn(emb, q, k=10, metric="cosine").collect()}
     assert len(got & want) >= 6
