@@ -110,7 +110,9 @@ def streaming_sessions(spark, sf_dir):
     from lance_flink_spark.streaming.windows import session_window_agg
 
     events = stream_events(spark, sf_dir, watermark="1 hour")
-    t = run_to_memory(session_window_agg(events, gap="30 minutes"), mode="complete")
+    t = run_to_memory(
+        session_window_agg(events, gap="30 minutes"), mode="complete", state_partitions=8
+    )
     per_sess = spark.table(t)
     return per_sess.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -136,7 +138,7 @@ def streaming_stateful_counters(spark, sf_dir):
 
     events = stream_events(spark, sf_dir, watermark="1 hour")
     out = running_user_counters(events)
-    t = run_to_memory(out, mode="update")
+    t = run_to_memory(out, mode="update", state_partitions=8)
     return (
         spark.table(t)
         .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
@@ -168,7 +170,7 @@ def streaming_enrich(spark, sf_dir):
     stream = stream_events(spark, sf_dir, watermark="1 hour")
     enriched = enrich_stream(stream, dim, on="user_id")
     agg = enriched.groupBy("event_type", "user_seg").agg(F.count(F.lit(1)).alias("n"))
-    t = run_to_memory(agg, mode="complete")
+    t = run_to_memory(agg, mode="complete", state_partitions=8)
     return spark.table(t)
 
 
@@ -200,7 +202,7 @@ def streaming_stream_join(spark, sf_dir):
     joined = stream_interval_join(clicks, purchases, on="user_id", upper="10 minutes")
     # stream-stream joins emit in append mode only; matched pairs land
     # in the sink as they finalize, the count is a batch agg on top
-    t = run_to_memory(joined, mode="append")
+    t = run_to_memory(joined, mode="append", state_partitions=8)
     return (
         spark.table(t)
         .groupBy(F.col("l_key").alias("user_id"))

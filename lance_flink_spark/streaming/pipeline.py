@@ -51,20 +51,42 @@ def stream_events(
     return sdf.withWatermark(ts_col, watermark)
 
 
-def run_to_memory(result: DataFrame, name: str | None = None, mode: str = "complete") -> str:
+def run_to_memory(
+    result: DataFrame,
+    name: str | None = None,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+) -> str:
     """Run a (bounded) streaming DataFrame to completion with the
     availableNow trigger into an in-memory table; returns the table
-    name. Checkpointed like a production run, so restarts resume."""
+    name. Checkpointed like a production run, so restarts resume.
+
+    ``state_partitions`` sizes the stateful-operator shard count (the
+    Flink operator-parallelism knob): every micro-batch commits one
+    state-store delta per shard per stateful operator, so shards should
+    track key cardinality / throughput, NOT inherit the batch shuffle
+    default — a stream-stream join at 32 shards pays 4×32 store commits
+    per batch even for a handful of keys. The count is pinned into the
+    checkpoint at first run; at 100 TB you raise it and start a fresh
+    checkpoint, exactly like re-scaling a Flink job."""
     table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(mode)
-        .option("checkpointLocation", scratch_dir("ckpt", table))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = result.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(mode)
+            .option("checkpointLocation", scratch_dir("ckpt", table))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return table
 
 
@@ -73,5 +95,5 @@ def streaming_tumbling_agg(spark: SparkSession, sf_dir: str, window: str = "1 ho
     tumbling aggregate (unified-engine check: one batch oracle serves
     both)."""
     events = stream_events(spark, sf_dir, watermark="1 hour")
-    table = run_to_memory(tumbling_agg(events, window=window))
+    table = run_to_memory(tumbling_agg(events, window=window), state_partitions=8)
     return spark.table(table)
