@@ -451,3 +451,36 @@ def embedding_dup_pairs(
         .filter(cos >= threshold)
         .select("id_a", "id_b", cos.alias("cosine"))
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline hygiene step
+    (published practice: GPT-3 paper appendix C, Llama pretraining):
+    flag corpus documents sharing at least one word n-gram with an
+    evaluation set. Returns (id, n_hits) with n_hits = count of
+    DISTINCT shared n-grams; consumers anti-join to drop, or threshold
+    on n_hits.
+
+    Scale shape: the eval side reduces to DISTINCT n-grams of a
+    benchmark — tiny next to a 100 TB corpus — so it broadcasts. The
+    corpus side is ONE scan + explode with a map-side broadcast
+    semi-join; the only corpus shuffle is the final per-doc count,
+    which partial-aggregates. Never a corpus×corpus join."""
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    cg = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        cg.join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

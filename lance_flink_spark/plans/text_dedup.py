@@ -601,3 +601,31 @@ def dedup_embedding(spark, sf_dir):
     )
     aug = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(dup)
     return embedding_dup_pairs(aug, threshold=0.5, max_bucket=200)
+
+
+@query(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH ev AS (
+        SELECT DISTINCT gram FROM (
+            SELECT {_TOKS} AS arr FROM documents WHERE doc_id % 97 = 0) d,
+            unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+                   i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(gram)),
+    cg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, {_TOKS} AS arr FROM documents WHERE doc_id % 97 <> 0) d,
+            unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+                   i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(gram))
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM cg JOIN ev USING (gram) GROUP BY doc_id
+    """,
+)
+def decontaminate_corpus(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py::decontaminate):
+    the ~1% doc_id % 97 == 0 slice stands in for an eval benchmark; the
+    rest of the corpus is flagged by shared DISTINCT 3-grams via a
+    broadcast semi-join (one corpus scan, no corpus-side self-join)."""
+    from lance_flink_spark.operators.dedup import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    return decontaminate(d.filter("doc_id % 97 <> 0"), d.filter("doc_id % 97 = 0"))

@@ -262,3 +262,27 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (1000, 1001) in got
     assert all(a >= 1000 for a, _ in got)  # every degenerate pair dropped
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc embedding an eval sentence verbatim is flagged with
+    the exact shared-3-gram count; disjoint docs are absent; and the
+    eval side reaches the corpus scan as a broadcast join (no
+    corpus-side shuffle for the semi-join)."""
+    from lance_flink_spark.operators.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [Row(doc_id=1, text="the capital of france is paris")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "capital of france", "of france is", ... 4 shared 3-grams
+            Row(doc_id=10, text="quiz says the capital of france is paris indeed"),
+            Row(doc_id=11, text="completely unrelated text about gardening tools"),
+            Row(doc_id=12, text="of france is"),  # exactly one shared 3-gram
+        ]
+    )
+    out = decontaminate(corpus, ev)
+    got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert got == {10: 4, 12: 1}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
