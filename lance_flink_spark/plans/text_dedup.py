@@ -629,3 +629,33 @@ def decontaminate_corpus(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return decontaminate(d.filter("doc_id % 97 <> 0"), d.filter("doc_id % 97 = 0"))
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS}) END AS n_tokens
+        FROM documents),
+    pos AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM toks)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(start / 512) AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS seq_offset
+    FROM pos
+    """,
+)
+def pack_sequences_entry(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.py): concatenate
+    each language's docs in id order, chop every 512 tokens; placement
+    is a windowed prefix-sum — one shuffle on the packing partition,
+    fully parallel across partitions."""
+    from lance_flink_spark.operators.packing import pack_sequences
+
+    return pack_sequences(table(spark, sf_dir, "documents"), budget=512)

@@ -286,3 +286,27 @@ def test_decontaminate_flags_planted_overlap(spark):
     got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
     assert got == {10: 4, 12: 1}
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_sequences_prefix_sum_semantics(spark):
+    """Hand-checked packing: 3 docs of 300/300/300 tokens at budget 512
+    pack to seq starts 0/0/1 with offsets 0/300/88; a second partition
+    packs independently from zero."""
+    from lance_flink_spark.operators.packing import pack_sequences
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=words(300, "a"), lang="en"),
+            Row(doc_id=2, text=words(300, "b"), lang="en"),
+            Row(doc_id=3, text=words(300, "c"), lang="en"),
+            Row(doc_id=4, text=words(5, "d"), lang="fr"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=512).collect()}
+    assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 300)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 600 - 512)
+    assert (out[4]["seq_id"], out[4]["seq_offset"]) == (0, 0)  # fresh partition
