@@ -245,6 +245,7 @@ def tpch_scalars(spark, sf_dir):
 
 @query(
     "mktsegment_rollup",
+    extra=True,  # gate budget: broadcast dim join also exercised by q3/q5/streaming_enrich
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
@@ -297,6 +298,7 @@ def top_parts_per_brand(spark, sf_dir):
 
 @query(
     "topn_orders",
+    extra=True,  # gate budget: TakeOrderedAndProject also exercised by q3/top_parts_per_brand
     oracle="""
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
     FROM orders
@@ -591,6 +593,7 @@ def q22_idle_customers(spark, sf_dir):
 
 @query(
     "running_revenue",
+    extra=True,  # gate budget: cumulative frame shape also exercised by pack_sequences
     oracle="""
     SELECT o_custkey, o_orderkey,
            ROUND(SUM(o_totalprice) OVER (
