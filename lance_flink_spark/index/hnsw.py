@@ -204,6 +204,26 @@ def search_graph(g: _Graph, q: np.ndarray, ef: int) -> list[tuple[float, int]]:
 GRAPH_SCHEMA = "centroid_id int, n long, graph binary"
 
 
+def _graph_builder(vec_col: str, id_col: str, m: int, ef_construction: int):
+    """applyInPandas body shared by build() and add(): one list in →
+    one serialized graph row out."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        x = _stack(pdf[vec_col])
+        g = build_graph(ids, x.astype(np.float32), m=m, ef_construction=ef_construction)
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "n": [len(ids)],
+                "graph": [serialize_graph(g)],
+            }
+        )
+
+    return _build
+
+
 class HNSWIndex:
     """IVF_HNSW over an IVFIndex layout + per-list graph blobs."""
 
@@ -244,24 +264,11 @@ class HNSWIndex:
             id_col = "vec_id" if "vec_id" in ints else ints[0]
         IVFIndex.build(spark, df, path, vec_col=vec_col, nlist=nlist, **ivf_kwargs)
         lists = spark.read.parquet(fsio.join(path, "lists"))
-
-        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(id_col, kind="stable")
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            x = _stack(pdf[vec_col])
-            g = build_graph(ids, x.astype(np.float32), m=m, ef_construction=ef_construction)
-            return pd.DataFrame(
-                {
-                    "centroid_id": [int(pdf["centroid_id"].iloc[0])],
-                    "n": [len(ids)],
-                    "graph": [serialize_graph(g)],
-                }
-            )
-
         (
             lists.groupBy("centroid_id")
-            .applyInPandas(_build, GRAPH_SCHEMA)
-            .write.mode("overwrite")
+            .applyInPandas(_graph_builder(vec_col, id_col, m, ef_construction), GRAPH_SCHEMA)
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
             .parquet(fsio.join(path, "graphs"))
         )
         meta = fsio.read_json(fsio.join(path, META))
@@ -270,6 +277,58 @@ class HNSWIndex:
         )
         fsio.write_json_atomic(fsio.join(path, META), meta)
         return cls(path)
+
+    def add(self, spark: SparkSession, df: DataFrame) -> int:
+        """Incremental insert (Lance's index-update path): assign +
+        append through the IVF layer, then rebuild graphs ONLY for the
+        lists that received vectors — per-list graphs are independent,
+        so the rebuild is a dynamic partition overwrite of the touched
+        ``centroid_id`` partitions of graphs/. Cost ∝ touched lists,
+        not index size. Returns the number of rebuilt lists."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        meta = fsio.read_json(fsio.join(self.path, META))
+        vec_col, id_col = meta["vec_col"], meta.get("hnsw_id_col", "vec_id")
+        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
+        cents_b = spark.sparkContext.broadcast(cents)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def assign_centroid(v: pd.Series) -> pd.Series:
+            from lance_flink_spark.index.ivf import _assign_chunked
+
+            assign, _ = _assign_chunked(_stack(v), cents_b.value)
+            return pd.Series(assign.astype(np.int32))
+
+        affected = sorted(
+            r[0]
+            for r in df.select(assign_centroid(F.col(vec_col)).alias("c"))
+            .distinct()
+            .collect()
+        )
+        self.ivf.add(spark, df)
+        lists = spark.read.parquet(fsio.join(self.path, "lists")).filter(
+            F.col("centroid_id").isin(affected)
+        )
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                lists.groupBy("centroid_id")
+                .applyInPandas(
+                    _graph_builder(
+                        vec_col, id_col, meta["hnsw_m"], meta["hnsw_ef_construction"]
+                    ),
+                    GRAPH_SCHEMA,
+                )
+                .write.partitionBy("centroid_id")
+                .mode("overwrite")
+                .parquet(fsio.join(self.path, "graphs"))
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        return len(affected)
 
     def search(
         self,

@@ -121,3 +121,32 @@ def test_hnsw_via_options_surface(spark, emb, qvec, tmp_path_str):
         )
     )
     assert _recall(got, true) >= 0.9
+
+
+def test_hnsw_incremental_add_rebuilds_only_touched_lists(spark, emb, qvec, tmp_path_str):
+    """Vectors added after build are findable; only their lists'
+    graph partitions are rewritten (untouched blob files survive)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = tmp_path_str + "/inc"
+    base = emb.filter("vec_id < 400")
+    idx = HNSWIndex.build(spark, base, path, nlist=4, m=8, ef_construction=32, sample_size=1000)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(path + "/graphs/centroid_id=*/*.parquet")
+    }
+    newbies = emb.filter("vec_id >= 400").withColumn(
+        "embedding", F.col("embedding")
+    )
+    n_rebuilt = idx.add(spark, newbies)
+    assert 1 <= n_rebuilt <= 4
+    # a newly added vector's exact-match query returns it at distance 0
+    nv = [float(x) for x in emb.filter("vec_id = 450").select("embedding").first()[0]]
+    top = idx.search(spark, nv, k=1, nprobes=4, ef=32).collect()[0]
+    assert top["vec_id"] == 450 and top["distance"] < 1e-6
+    if n_rebuilt < 4:
+        untouched = [p for p in before if os.path.exists(p)]
+        assert untouched  # dynamic overwrite left other partitions alone
