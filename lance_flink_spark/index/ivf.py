@@ -387,6 +387,91 @@ class IVFIndex:
             .parquet(fsio.join(self.path, "lists"))
         )
 
+    # ---------- batch ANN join ----------
+
+    def knn_join(
+        self,
+        spark: SparkSession,
+        queries_df: DataFrame,
+        k: int,
+        nprobes: int = 8,
+        query_id: str = "query_id",
+        query_vec_col: str = "embedding",
+        corpus_id: str = "vec_id",
+        metric: str = "l2",
+        round_to: int = 6,
+    ) -> DataFrame:
+        """Batch ANN join THROUGH the index — the scale path for
+        "top-k neighbors for every row of a query table"
+        (table/LanceVectorSearchFunction.java used as a lookup join).
+
+        Each query is assigned its ``nprobes`` nearest centroids in one
+        Arrow-batched pass (centroids broadcast), exploded to
+        (query, centroid_id) rows, then hash-joined to the inverted
+        lists ON centroid_id — both sides co-partition on the join key,
+        so the shuffle carries queries·nprobes + probed-list rows,
+        never a queries×corpus cross product. Distances are Catalyst
+        HOFs on the two vector columns (JVM-side); per-query top-k via
+        window. Scored rows ≈ |Q|·(nprobes/nlist)·|corpus| vs brute
+        knn_join's |Q|·|corpus|; nprobes = nlist is exact."""
+        from lance_flink_spark.functions import vector as V
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        meta = self._meta()
+        vec_col = meta["vec_col"]
+        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
+        cents_b = spark.sparkContext.broadcast(cents)
+        np_ = min(nprobes, len(cents))
+        if metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"unsupported metric {metric!r}")
+
+        @pandas_udf("array<int>")
+        def probe_cents(v: pd.Series) -> pd.Series:
+            x = _stack(v)  # (batch, dim)
+            c = cents_b.value
+            s = x @ c.T  # (batch, nlist)
+            if metric == "l2":
+                rank = (c * c).sum(1)[None, :] - 2 * s
+            elif metric == "cosine":
+                norms = np.linalg.norm(x, axis=1)[:, None] * np.maximum(
+                    np.linalg.norm(c, axis=1)[None, :], 1e-12
+                )
+                rank = -s / np.maximum(norms, 1e-12)
+            else:
+                rank = -s
+            idx = np.argsort(rank, axis=1, kind="stable")[:, :np_]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        q = queries_df.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec_col).alias("__qvec"),
+            F.explode(probe_cents(F.col(query_vec_col))).alias("centroid_id"),
+        )
+        lists = spark.read.parquet(fsio.join(self.path, "lists")).select(
+            F.col("centroid_id"),
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+        )
+        dist = F.round(
+            V.distance(
+                metric,
+                F.col("__cvec").cast("array<double>"),
+                F.col("__qvec").cast("array<double>"),
+            ),
+            round_to,
+        )
+        from pyspark.sql import Window
+
+        scored = q.join(lists, "centroid_id").select(
+            F.col("__qid").alias(query_id), "neighbor_id", dist.alias("distance")
+        )
+        w = Window.partitionBy(query_id).orderBy(F.asc("distance"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= k)
+        )
+
     # ---------- search ----------
 
     def _meta(self) -> dict:

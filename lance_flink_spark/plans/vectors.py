@@ -293,3 +293,33 @@ def ivf_hnsw_search(spark, sf_dir):
     return HNSWIndex(path).search(
         spark, _query_vec(spark, sf_dir), k=10, nprobes=8, ef=64
     )
+
+
+@query(
+    "ivf_knn_join",
+    extra=True,  # gate budget; exact at nprobes=nlist so full oracle
+    oracle="""
+    SELECT query_id, neighbor_id, distance, rn FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_distance(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS distance,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_distance(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6),
+                            c.vec_id) AS rn
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 5) t
+    WHERE rn <= 3
+    """,
+)
+def ivf_knn_join(spark, sf_dir):
+    """Batch ANN join THROUGH the IVF index (IVFIndex.knn_join): the
+    scale path for per-row top-k — queries explode to their nprobes
+    nearest centroids and hash-join the inverted lists on centroid_id
+    (co-partitioned, never queries×corpus). Probing all nlist=8 lists
+    makes it exact, so the brute-force SQL is a valid oracle; at scale
+    nprobes/nlist bounds the scored fraction."""
+    idx = _ivf_flat(spark, sf_dir)
+    queries = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return idx.knn_join(spark, queries, k=3, nprobes=8, metric="l2")

@@ -324,3 +324,41 @@ def test_recall_gate_ivf_pq_and_opq(spark, recall_corpus, tmp_path_str):
     assert a_opq >= a_plain - 0.1, (a_opq, a_plain)
     print(f"recall@10 refine: pq={r_plain:.3f} opq={r_opq:.3f}; "
           f"adc-only: pq={a_plain:.3f} opq={a_opq:.3f}")
+
+
+def test_ivf_knn_join_exact_at_full_probes_and_never_cross(spark, emb, qvec, flat_idx):
+    """Index-routed batch KNN join: exact vs brute knn_join at
+    nprobes=nlist, and the plan is a hash join on centroid_id — no
+    BroadcastNestedLoop/cartesian over the corpus."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.operators.similarity import knn_join
+
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = flat_idx.knn_join(spark, queries, k=3, nprobes=8, metric="l2")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    brute = knn_join(queries, emb, k=3, metric="l2")
+    g = {(r["query_id"], r["rn"]): r["neighbor_id"] for r in got.collect()}
+    b = {(r["query_id"], r["rn"]): r["neighbor_id"] for r in brute.collect()}
+    assert g == b
+
+
+def test_ivf_knn_join_partial_probes_recall(spark, emb, flat_idx):
+    """nprobes=4 of 8: each query still gets k rows and most true
+    neighbors (the query's own list holds its nearest vectors)."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.operators.similarity import knn_join
+
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = flat_idx.knn_join(spark, queries, k=3, nprobes=4, metric="l2")
+    assert got.groupBy("query_id").count().filter("count = 3").count() == 20
+    brute = knn_join(queries, emb, k=3, metric="l2")
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    assert len(g & b) / len(b) >= 0.8
