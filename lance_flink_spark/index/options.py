@@ -99,7 +99,8 @@ def search_index_with_options(
 
     args = search_args_from_options(opts)
     if isinstance(idx, str):
-        idx = HNSWIndex(idx)
+        meta = IVFIndex(idx)._meta()
+        idx = HNSWIndex(idx) if "hnsw_m" in meta else IVFIndex(idx)
     meta = idx._meta() if isinstance(idx, IVFIndex) else idx.ivf._meta()
     if "hnsw_m" in meta:
         hidx = idx if isinstance(idx, HNSWIndex) else HNSWIndex(idx.path)

@@ -78,3 +78,20 @@ def test_hnsw_partial_beam_recall(spark, tmp_path_str):
     got = {r["vec_id"] for r in search_index_with_options(spark, idx, q, 10, opts).collect()}
     want = {r["vec_id"] for r in knn(emb, q, k=10, metric="cosine").collect()}
     assert len(got & want) >= 6
+
+
+def test_search_options_accepts_path_for_flat_index(spark, tmp_path_str):
+    """A string index path dispatches on the index's OWN metadata:
+    flat/PQ paths must not be wrapped as HNSW."""
+    emb = table(spark, SF_DIR, "embeddings")
+    opts = {"index.type": "IVF_FLAT", "index.num-partitions": "8"}
+    build_index_from_options(spark, emb, tmp_path_str + "/flat", opts)
+    q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").first()[0]]
+    got = [
+        r["vec_id"]
+        for r in search_index_with_options(
+            spark, tmp_path_str + "/flat", q, 10, {**opts, "vector.nprobes": "8"}
+        ).collect()
+    ]
+    want = [r["vec_id"] for r in knn(emb, q, k=10, metric="l2").collect()]
+    assert got == want
