@@ -48,3 +48,57 @@ def pack_sequences(
         F.floor(start / budget).cast("long").alias("seq_id"),
         (start % budget).cast("long").alias("seq_offset"),
     )
+
+
+def pack_spans(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "lang",
+) -> DataFrame:
+    """The loader-facing packing output: one row per (document ×
+    training sequence it touches), with the doc-relative token slice
+    [tok_from, tok_to) that lands in that sequence. A doc longer than
+    ``budget`` or straddling a boundary yields several rows (GPT-style
+    concat-and-chop never discards tokens).
+
+    Still a pure window + HOF plan: the prefix-sum start position plus
+    an exploded sequence(first_seq, last_seq) per doc — no UDFs, no
+    driver loop; row amplification is exactly (total_tokens / budget)
+    extra rows. Returns (id, part, seq_id, tok_from, tok_to)."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = token_count(F.col(text_col)).cast("long")
+    start = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    base = df.select(
+        F.col(id_col),
+        F.col(part_col),
+        toks.alias("__n"),
+        start.alias("__start"),
+    )
+    first = F.floor(F.col("__start") / budget)
+    last = F.floor((F.col("__start") + F.col("__n") - 1) / budget)
+    spans = F.when(F.col("__n") > 0, F.sequence(first, last)).otherwise(
+        F.expr("array()").cast("array<bigint>")
+    )
+    out = base.select(
+        id_col, part_col, "__n", "__start", F.explode(spans).alias("seq_id")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col("seq_id").cast("long"),
+        (F.greatest(F.col("__start"), F.col("seq_id") * budget) - F.col("__start"))
+        .cast("long")
+        .alias("tok_from"),
+        (
+            F.least(F.col("__start") + F.col("__n"), (F.col("seq_id") + 1) * budget)
+            - F.col("__start")
+        )
+        .cast("long")
+        .alias("tok_to"),
+    )

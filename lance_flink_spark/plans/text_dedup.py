@@ -659,3 +659,39 @@ def pack_sequences_entry(spark, sf_dir):
     from lance_flink_spark.operators.packing import pack_sequences
 
     return pack_sequences(table(spark, sf_dir, "documents"), budget=512)
+
+
+@query(
+    "pack_spans",
+    extra=True,  # gate budget; pack_sequences is the primary row
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS}) END AS n_tokens
+        FROM documents),
+    pos AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM toks WHERE n_tokens > 0),
+    spans AS (
+        SELECT doc_id, lang, n_tokens, start, u.seq_id
+        FROM pos, unnest(generate_series(
+            CAST(FLOOR(start / 512) AS BIGINT),
+            CAST(FLOOR((start + n_tokens - 1) / 512) AS BIGINT))) AS u(seq_id))
+    SELECT doc_id, lang, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(GREATEST(start, seq_id * 512) - start AS BIGINT) AS tok_from,
+           CAST(LEAST(start + n_tokens, (seq_id + 1) * 512) - start AS BIGINT) AS tok_to
+    FROM spans
+    """,
+)
+def pack_spans_entry(spark, sf_dir):
+    """Loader-facing packing spans (operators/packing.py::pack_spans):
+    each (doc × sequence) row carries the doc-relative token slice that
+    lands in that fixed-512-token sequence — boundary-straddling docs
+    split across rows, nothing discarded."""
+    from lance_flink_spark.operators.packing import pack_spans
+
+    return pack_spans(table(spark, sf_dir, "documents"), budget=512)

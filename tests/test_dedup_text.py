@@ -310,3 +310,35 @@ def test_pack_sequences_prefix_sum_semantics(spark):
     assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 300)
     assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 600 - 512)
     assert (out[4]["seq_id"], out[4]["seq_offset"]) == (0, 0)  # fresh partition
+
+
+def test_pack_spans_cover_sequences_exactly(spark):
+    """Span rows reassemble every sequence to exactly `budget` tokens
+    (except the final partial per partition), with no token lost or
+    duplicated and per-doc spans contiguous."""
+    from lance_flink_spark.operators.packing import pack_sequences, pack_spans
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=words(700, "a"), lang="en"),   # longer than budget
+            Row(doc_id=2, text=words(300, "b"), lang="en"),   # straddles
+            Row(doc_id=3, text=words(24, "c"), lang="en"),
+            Row(doc_id=4, text="", lang="en"),                # empty: no rows
+        ]
+    )
+    spans = pack_spans(df, budget=512).collect()
+    assert not [r for r in spans if r["doc_id"] == 4]
+    total = sum(r["tok_to"] - r["tok_from"] for r in spans)
+    assert total == 700 + 300 + 24
+    per_seq = {}
+    for r in spans:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + (r["tok_to"] - r["tok_from"])
+    last = max(per_seq)
+    assert all(v == 512 for s, v in per_seq.items() if s != last)
+    assert per_seq[last] == 1024 - 512 * (len(per_seq) - 1) == (1024 % 512 or 512)
+    # doc 1 splits 0..512 then 512..700; doc 2 covers seq 1 then 2
+    d1 = sorted((r["seq_id"], r["tok_from"], r["tok_to"]) for r in spans if r["doc_id"] == 1)
+    assert d1 == [(0, 0, 512), (1, 512, 700)]
