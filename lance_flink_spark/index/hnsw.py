@@ -204,14 +204,20 @@ def search_graph(g: _Graph, q: np.ndarray, ef: int) -> list[tuple[float, int]]:
 GRAPH_SCHEMA = "centroid_id int, n long, graph binary"
 
 
-def _graph_builder(vec_col: str, id_col: str, m: int, ef_construction: int):
+def _graph_builder(
+    vec_col: str, id_col: str, m: int, ef_construction: int, normalize: bool = False
+):
     """applyInPandas body shared by build() and add(): one list in →
-    one serialized graph row out."""
+    one serialized graph row out. ``normalize`` stores L2-normalized
+    vectors so the l2 navigation order coincides with cosine order
+    (unit sphere: l2² = 2 − 2·cos)."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="stable")
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         x = _stack(pdf[vec_col])
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         g = build_graph(ids, x.astype(np.float32), m=m, ef_construction=ef_construction)
         return pd.DataFrame(
             {
@@ -242,6 +248,7 @@ class HNSWIndex:
         m: int = 16,
         ef_construction: int = 64,
         id_col: str | None = None,
+        metric: str = "l2",
         **ivf_kwargs,
     ) -> "HNSWIndex":
         """IVF coarse build, then one HNSW graph per inverted list via
@@ -251,10 +258,18 @@ class HNSWIndex:
 
         ``id_col`` names the integer row-id column embedded in the
         blobs; default: ``vec_id`` if present, else the first integer
-        column that isn't the vector."""
+        column that isn't the vector.
+
+        ``metric``: ``l2`` builds over raw vectors (cosine/dot searches
+        re-score the beam — recall-only cost); ``cosine`` stores
+        L2-normalized vectors so navigation order IS cosine order
+        (unit sphere: l2² = 2 − 2·cos) — a cosine-built index serves
+        cosine searches only."""
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"hnsw build metric must be l2 or cosine, got {metric!r}")
         if id_col is None:
             ints = [
                 f.name
@@ -266,14 +281,24 @@ class HNSWIndex:
         lists = spark.read.parquet(fsio.join(path, "lists"))
         (
             lists.groupBy("centroid_id")
-            .applyInPandas(_graph_builder(vec_col, id_col, m, ef_construction), GRAPH_SCHEMA)
+            .applyInPandas(
+                _graph_builder(
+                    vec_col, id_col, m, ef_construction, normalize=metric == "cosine"
+                ),
+                GRAPH_SCHEMA,
+            )
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(fsio.join(path, "graphs"))
         )
         meta = fsio.read_json(fsio.join(path, META))
         meta.update(
-            {"hnsw_m": m, "hnsw_ef_construction": ef_construction, "hnsw_id_col": id_col}
+            {
+                "hnsw_m": m,
+                "hnsw_ef_construction": ef_construction,
+                "hnsw_id_col": id_col,
+                "hnsw_metric": metric,
+            }
         )
         fsio.write_json_atomic(fsio.join(path, META), meta)
         return cls(path)
@@ -318,7 +343,11 @@ class HNSWIndex:
                 lists.groupBy("centroid_id")
                 .applyInPandas(
                     _graph_builder(
-                        vec_col, id_col, meta["hnsw_m"], meta["hnsw_ef_construction"]
+                        vec_col,
+                        id_col,
+                        meta["hnsw_m"],
+                        meta["hnsw_ef_construction"],
+                        normalize=meta.get("hnsw_metric", "l2") == "cosine",
                     ),
                     GRAPH_SCHEMA,
                 )
@@ -347,7 +376,15 @@ class HNSWIndex:
         ship_package(spark)
         if metric not in ("l2", "cosine", "dot"):
             raise ValueError(f"unsupported metric {metric!r}")
-        id_col = fsio.read_json(fsio.join(self.path, META)).get("hnsw_id_col", "vec_id")
+        meta = fsio.read_json(fsio.join(self.path, META))
+        id_col = meta.get("hnsw_id_col", "vec_id")
+        built = meta.get("hnsw_metric", "l2")
+        if built == "cosine" and metric != "cosine":
+            raise ValueError(
+                "index was built with metric=cosine (normalized vectors); "
+                f"{metric!r} distances would be wrong — build with metric=l2 "
+                "for l2/dot searches"
+            )
         cents = _load_npy(fsio.join(self.path, "centroids.npy"))
         q = np.asarray(query_vec, dtype=np.float64)
         if metric == "cosine":

@@ -54,6 +54,11 @@ def build_args_from_options(opts: dict) -> dict:
     if itype == "IVF_HNSW":
         args["m"] = _geti(opts, "index.m", 16)
         args["ef_construction"] = _geti(opts, "index.ef-construction", 100)
+        # cosine configs get the cosine-NATIVE graph (normalized
+        # vectors: navigation order == cosine order); l2/dot navigate
+        # raw vectors and re-score the beam
+        if opts.get("vector.metric", "L2").lower() == "cosine":
+            args["metric"] = "cosine"
     return args
 
 
