@@ -447,11 +447,21 @@ class IVFIndex:
             F.col(query_id).alias("__qid"),
             F.col(query_vec_col).alias("__qvec"),
             F.explode(probe_cents(F.col(query_vec_col))).alias("centroid_id"),
-        )
-        lists = spark.read.parquet(fsio.join(self.path, "lists")).select(
-            F.col("centroid_id"),
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec"),
+        ).persist()
+        # union of probed lists across all queries (≤ nlist values — a
+        # tiny job) → directory-level pruning: unprobed lists are never
+        # read, let alone shuffled. For clustered query batches this is
+        # the difference between scanning nprobes-covered lists and the
+        # whole corpus.
+        probed = [int(r[0]) for r in q.select("centroid_id").distinct().collect()]
+        lists = (
+            spark.read.parquet(fsio.join(self.path, "lists"))
+            .filter(F.col("centroid_id").isin(probed))
+            .select(
+                F.col("centroid_id"),
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            )
         )
         dist = F.round(
             V.distance(
