@@ -151,3 +151,75 @@ def test_exact_dedup_partitions_by_normalized_text(texts):
     got = {r["keep_id"]: r["n_copies"] for r in out}
     want = {min(v): len(v) for v in classes.values()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40)),  # (partition, n_tokens)
+        min_size=1,
+        max_size=15,
+    ),
+    budget=st.integers(3, 17),
+)
+def test_pack_spans_matches_python_packer(docs, budget):
+    """pack_spans (window prefix-sum + sequence explode) vs a direct
+    sequential concat-and-chop packer on random corpora: identical
+    (doc, seq, slice) rows — every token placed exactly once, in
+    order."""
+    spark = _get_spark()
+    from lance_flink_spark.operators.packing import pack_spans
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), f"p{p}")
+        for i, (p, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["doc_id"], r["lang"], r["seq_id"], r["tok_from"], r["tok_to"])
+        for r in pack_spans(df, budget=budget).collect()
+    }
+    want = set()
+    for part in sorted({f"p{p}" for p, _ in docs}):
+        pos = 0
+        for i, (p, n) in enumerate(docs):
+            if f"p{p}" != part or n == 0:
+                continue
+            start, end = pos, pos + n
+            for s in range(start // budget, (end - 1) // budget + 1):
+                want.add(
+                    (i, part, s, max(start, s * budget) - start, min(end, (s + 1) * budget) - start)
+                )
+            pos = end
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpus=st.lists(st.lists(st.integers(0, 5), min_size=0, max_size=8), min_size=1, max_size=8),
+    evals=st.lists(st.lists(st.integers(0, 5), min_size=0, max_size=8), min_size=1, max_size=4),
+)
+def test_decontaminate_matches_python_sets(corpus, evals):
+    """decontaminate vs brute-force Python 3-gram set intersection on
+    random token sequences."""
+    spark = _get_spark()
+    from lance_flink_spark.operators.dedup import decontaminate
+
+    def text(toks):
+        return " ".join(f"t{x}" for x in toks)
+
+    def grams(toks):
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    cdf = spark.createDataFrame(
+        [(i, text(t)) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(1000 + i, text(t)) for i, t in enumerate(evals)], "doc_id long, text string"
+    )
+    ev = set().union(*(grams(t) for t in evals)) if evals else set()
+    want = {
+        i: len(grams(t) & ev) for i, t in enumerate(corpus) if len(grams(t) & ev) > 0
+    }
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(cdf, edf).collect()}
+    assert got == want
