@@ -276,7 +276,15 @@ class HNSWIndex:
                 for f in df.schema.fields
                 if f.dataType.typeName() in ("long", "integer") and f.name != vec_col
             ]
-            id_col = "vec_id" if "vec_id" in ints else ints[0]
+            if "vec_id" in ints:
+                id_col = "vec_id"
+            elif len(ints) == 1:
+                id_col = ints[0]
+            else:
+                raise ValueError(
+                    "cannot infer the row-id column: pass id_col= explicitly "
+                    f"(integer candidates: {ints or 'none'})"
+                )
         IVFIndex.build(spark, df, path, vec_col=vec_col, nlist=nlist, **ivf_kwargs)
         lists = spark.read.parquet(fsio.join(path, "lists"))
         (
@@ -315,24 +323,10 @@ class HNSWIndex:
         ship_package(spark)
         meta = fsio.read_json(fsio.join(self.path, META))
         vec_col, id_col = meta["vec_col"], meta.get("hnsw_id_col", "vec_id")
-        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
-        cents_b = spark.sparkContext.broadcast(cents)
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("int")
-        def assign_centroid(v: pd.Series) -> pd.Series:
-            from lance_flink_spark.index.ivf import _assign_chunked
-
-            assign, _ = _assign_chunked(_stack(v), cents_b.value)
-            return pd.Series(assign.astype(np.int32))
-
-        affected = sorted(
-            r[0]
-            for r in df.select(assign_centroid(F.col(vec_col)).alias("c"))
-            .distinct()
-            .collect()
-        )
-        self.ivf.add(spark, df)
+        # the IVF append assigns ONCE (materialized) and reports which
+        # lists actually received rows — a non-deterministic input
+        # frame cannot leave a list updated but its graph stale
+        affected = self.ivf.add(spark, df)
         lists = spark.read.parquet(fsio.join(self.path, "lists")).filter(
             F.col("centroid_id").isin(affected)
         )

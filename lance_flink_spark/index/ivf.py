@@ -338,12 +338,17 @@ class IVFIndex:
 
     # ---------- incremental add ----------
 
-    def add(self, spark: SparkSession, df: DataFrame) -> None:
+    def add(self, spark: SparkSession, df: DataFrame) -> list[int]:
         """Assign new vectors to the existing centroids (and PQ
         codebooks) and append them to the inverted lists — incremental
         index maintenance without retraining (Lance's index update
         path). Centroid quality degrades only if the data distribution
-        drifts; rebuild then."""
+        drifts; rebuild then.
+
+        Returns the sorted centroid ids that received rows, computed
+        from the SAME materialized assignment that was appended — a
+        non-deterministic input frame cannot desync consumers (e.g.
+        HNSW graph rebuilds) from what actually landed on disk."""
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
@@ -380,12 +385,19 @@ class IVFIndex:
                 return pd.Series(list(codes))
 
             out = out.withColumn("pq_code", pq_encode(F.col(vec_col), F.col("centroid_id")))
-        (
-            out.repartition("centroid_id")
-            .write.partitionBy("centroid_id")
-            .mode("append")
-            .parquet(fsio.join(self.path, "lists"))
-        )
+        out = out.persist()
+        try:
+            (
+                out.repartition("centroid_id")
+                .write.partitionBy("centroid_id")
+                .mode("append")
+                .parquet(fsio.join(self.path, "lists"))
+            )
+            return sorted(
+                int(r[0]) for r in out.select("centroid_id").distinct().collect()
+            )
+        finally:
+            out.unpersist()
 
     # ---------- batch ANN join ----------
 
@@ -471,16 +483,12 @@ class IVFIndex:
             ),
             round_to,
         )
-        from pyspark.sql import Window
+        from lance_flink_spark.operators.similarity import rank_top_k
 
         scored = q.join(lists, "centroid_id").select(
             F.col("__qid").alias(query_id), "neighbor_id", dist.alias("distance")
         )
-        w = Window.partitionBy(query_id).orderBy(F.asc("distance"), F.asc("neighbor_id"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w).cast("long"))
-            .filter(F.col("rn") <= k)
-        )
+        return rank_top_k(scored, k, query_id=query_id)
 
     # ---------- search ----------
 

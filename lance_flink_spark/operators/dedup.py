@@ -387,7 +387,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.8,
     sign_bits: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     max_bucket: int | None = None,
     drop_stats: dict | None = None,
 ) -> DataFrame:
@@ -412,7 +412,13 @@ def embedding_dup_pairs(
     from lance_flink_spark.session import ship_package
 
     ship_package(df.sparkSession)
-    planes_m = np.array(rademacher_planes(dim, sign_bits), dtype=np.float64)
+    # planes are derived per observed batch dimension when dim is not
+    # given (the hash is deterministic per (salt, plane, d), so every
+    # executor derives identical planes for the same width); passing an
+    # explicit dim just pins the expectation with a clear error
+    planes_cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        planes_cache[dim] = np.array(rademacher_planes(dim, sign_bits), dtype=np.float64)
     powers = np.array([2**j for j in range(sign_bits)], dtype=np.int64)
 
     # Arrow-batched matmul signature: (batch × dim) @ (dim × bits) in
@@ -425,7 +431,14 @@ def embedding_dup_pairs(
     @pandas_udf("long")
     def rh_sig(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (x @ planes_m.T) >= 0
+        d = x.shape[1]
+        if dim is not None and d != dim:
+            raise ValueError(f"embedding dim {d} != declared dim {dim}")
+        if d not in planes_cache:
+            planes_cache[d] = np.array(
+                rademacher_planes(d, sign_bits), dtype=np.float64
+            )
+        bits = (x @ planes_cache[d].T) >= 0
         return pd.Series((bits * powers).sum(1))
 
     # persist: the signature otherwise recomputes for the bucket-size
@@ -478,9 +491,14 @@ def decontaminate(
     )
     cg = corpus.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    )
+    # broadcast semi-join FIRST (map-side, no corpus shuffle), then
+    # dedupe only the matched rows — counting distinct shared grams is
+    # identical whether the dedup runs before or after the filter, but
+    # the shuffle shrinks from the whole exploded corpus to the matches
     return (
         cg.join(F.broadcast(ev), "gram")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

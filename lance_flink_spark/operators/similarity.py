@@ -90,6 +90,14 @@ def knn_join(
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col("__qid").alias(query_id), "neighbor_id", dist.alias("distance")
     )
+    return rank_top_k(scored, k, query_id=query_id)
+
+
+def rank_top_k(scored: DataFrame, k: int, query_id: str = "query_id") -> DataFrame:
+    """Per-query top-k ranking tail shared by the brute and the
+    index-routed (IVFIndex.knn_join) KNN joins: the (distance,
+    neighbor_id) tie-break contract lives in exactly one place so the
+    two paths cannot drift apart."""
     w = Window.partitionBy(query_id).orderBy(F.asc("distance"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))

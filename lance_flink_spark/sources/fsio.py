@@ -80,13 +80,19 @@ def _overwrite_rename(jvm, fs, tmp, p, path: str) -> None:
     """Swap ``tmp`` into place over a possibly-existing ``p``.
 
     FileContext.rename with Options.Rename.OVERWRITE is the atomic
-    overwrite primitive on HDFS-like filesystems. Schemes without an
-    AbstractFileSystem binding (raw s3a without fs.AbstractFileSystem
-    config) fall back to delete+rename — a non-atomic window that
-    matches those stores' native rename semantics anyway."""
+    overwrite primitive on HDFS-like filesystems. ONLY schemes without
+    an AbstractFileSystem binding (raw s3a without fs.AbstractFileSystem
+    config — UnsupportedFileSystemException) fall back to
+    delete+rename, a non-atomic window matching those stores' native
+    rename semantics anyway. Every other failure (safemode, lease,
+    network) re-raises: falling back there would delete the live file
+    and risk losing it to the same transient fault."""
+    from py4j.protocol import Py4JJavaError
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("fsio requires an active SparkSession for remote paths")
     try:
         gw = spark.sparkContext._gateway
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
@@ -96,8 +102,9 @@ def _overwrite_rename(jvm, fs, tmp, p, path: str) -> None:
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, p, opts)
         return
-    except Exception:  # noqa: BLE001 - no AbstractFileSystem for scheme
-        pass
+    except Py4JJavaError as ex:
+        if "UnsupportedFileSystemException" not in str(ex.java_exception):
+            raise  # transient HDFS fault: do NOT delete the live file
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):
