@@ -695,3 +695,27 @@ def pack_spans_entry(spark, sf_dir):
     from lance_flink_spark.operators.packing import pack_spans
 
     return pack_spans(table(spark, sf_dir, "documents"), budget=512)
+
+
+@query(
+    "text_redact",
+    extra=True,  # gate budget; promotes §2 #65 from pytest-only to oracle-checked
+    oracle=r"""
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^\s]+', '<URL>', 'g'),
+        '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS red
+    FROM documents
+    """,
+)
+def text_redact(spark, sf_dir):
+    """PII/URL redaction (functions/text.py::redact): email → URL →
+    phone regexp_replace chain, fixed order; both engines run identical
+    patterns so the output text is hash-compared verbatim."""
+    from lance_flink_spark.functions.text import redact
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", redact(F.col("text")).alias("red"))
