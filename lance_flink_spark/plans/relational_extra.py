@@ -277,3 +277,61 @@ def streaming_exactly_once(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "dataset_roundtrip",
+    extra=True,  # gate budget; oracle-checks the sink write/read path
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def dataset_roundtrip(spark, sf_dir):
+    """Sink parity end-to-end (LanceSink append/overwrite +
+    write.max-rows-per-file): overwrite nation into a Dataset with
+    2-row files, append nothing else, read it back — the oracle is the
+    source table itself, so any row lost/duplicated/mangled by the
+    write-manifest-read cycle breaks the hash."""
+    from lance_flink_spark.registry import scratch_dir, table
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(scratch_dir("ds_roundtrip" + sf_dir.rstrip("/").replace("/", "_")))
+    src = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ds.write(src, mode="overwrite", max_rows_per_file=2)
+    return ds.read(spark).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "dataset_stream_agg",
+    extra=True,  # gate budget; oracle-checks the streaming source over Dataset
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def dataset_stream_agg(spark, sf_dir):
+    """Streaming source over a Dataset (LanceSource streaming mode):
+    customer lands in a Dataset as multiple part-files, Dataset
+    .read_stream consumes them with availableNow into a memory sink,
+    and the streamed aggregate must equal the batch oracle."""
+    import uuid
+
+    from lance_flink_spark.registry import scratch_dir, table
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(scratch_dir("ds_streamagg" + sf_dir.rstrip("/").replace("/", "_")))
+    src = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ds.write(src, mode="overwrite", max_rows_per_file=500)
+    sdf = ds.read_stream(spark, max_files_per_trigger=4)
+    agg = sdf.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    name = f"ds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", scratch_dir("ckpt", name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
