@@ -502,3 +502,71 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, keep_id):
+    every doc that appears in a pair is labeled with the MINIMUM doc id
+    reachable through the pair graph, i.e. the canonical survivor of
+    its duplicate cluster (keep-one-per-cluster, the step that turns
+    pairwise dedup output into an actual drop list).
+
+    Iterative min-label propagation: l(v) ← min(l(v), min over
+    neighbors l(u)); converges in O(component diameter) rounds.
+    Near-dup clusters are shallow (copies of a common original), so a
+    handful of rounds suffices in practice; ``max_iters`` bounds
+    pathological chains, and convergence is detected exactly (a round
+    that changes no label terminates the loop). Each round is one
+    shuffle of the label frame — the same per-round cost profile as
+    the published MapReduce CC algorithms (large-star/small-star,
+    Kiveris et al. 2014), which are the contraction-style alternative
+    when diameters are unbounded."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # each round references the previous labels frame TWICE (join +
+    # fallback), so carrying lineage doubles the logical plan per round
+    # — exponential analysis cost by ~10 iterations. localCheckpoint
+    # (eager) materializes the round AND truncates lineage: plan size
+    # stays constant, blocks are cleaned by the ContextCleaner. On a
+    # cluster, swap for checkpoint() on a reliable dir if executor loss
+    # during the (short) loop matters.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_full = (
+                labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                    (F.col("nbr_label") < F.col("label")).alias("__chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_full.filter("__chg").count()
+            labels = new_full.select("id", "label")
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("keep_id")
+        )
+    finally:
+        edges.unpersist()

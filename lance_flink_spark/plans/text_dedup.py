@@ -719,3 +719,45 @@ def text_redact(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", redact(F.col("text")).alias("red"))
+
+
+@query(
+    "dedup_clusters",
+    extra=True,  # gate budget; iterative CC vs a recursive-CTE oracle
+    oracle=f"""
+    WITH RECURSIVE capped AS (
+        SELECT doc_id, i, sig FROM (
+            SELECT doc_id, i, sig, COUNT(*) OVER (PARTITION BY i, sig) AS bsz
+            FROM ({_SIGS}) s0) s
+        WHERE bsz <= 200),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_matches
+            FROM capped a JOIN capped b
+              ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) m
+        WHERE n_matches >= 8),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+    SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution (operators/dedup.py::
+    resolve_duplicate_clusters): connected components over the minhash
+    near-dup pairs → (doc_id, keep_id = min id in cluster), the actual
+    keep-one-per-cluster drop list. Spark side is iterative min-label
+    propagation (O(diameter) rounds, one shuffle per round); the oracle
+    is DuckDB's recursive-CTE transitive closure over the identical
+    pair set."""
+    from lance_flink_spark.operators.dedup import resolve_duplicate_clusters
+
+    pairs = minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), k=16, min_matches=8, max_bucket=200
+    ).select("id_a", "id_b")
+    return resolve_duplicate_clusters(pairs)

@@ -342,3 +342,31 @@ def test_pack_spans_cover_sequences_exactly(spark):
     # doc 1 splits 0..512 then 512..700; doc 2 covers seq 1 then 2
     d1 = sorted((r["seq_id"], r["tok_from"], r["tok_to"]) for r in spans if r["doc_id"] == 1)
     assert d1 == [(0, 0, 512), (1, 512, 700)]
+
+
+def test_resolve_duplicate_clusters_matches_union_find(spark):
+    """Min-label propagation vs a plain union-find on a graph with a
+    long chain (diameter 9 — forces multiple propagation rounds), a
+    separate triangle, and an isolated pair."""
+    from lance_flink_spark.operators.dedup import resolve_duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(10, 19)]           # 10-…-19
+    tri = [(100, 101), (101, 102), (100, 102)]
+    iso = [(7, 3)]
+    pairs = spark.createDataFrame(chain + tri + iso, "id_a long, id_b long")
+    got = {r["doc_id"]: r["keep_id"] for r in resolve_duplicate_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in chain + tri + iso:
+        parent[find(a)] = find(b)
+    want = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+    assert got == want
+    assert got[19] == 10 and got[102] == 100 and got[7] == 3 and got[3] == 3
