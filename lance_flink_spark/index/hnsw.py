@@ -353,6 +353,112 @@ class HNSWIndex:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
         return len(affected)
 
+    def knn_join(
+        self,
+        spark: SparkSession,
+        queries_df: DataFrame,
+        k: int,
+        nprobes: int = 4,
+        ef: int = 64,
+        query_id: str = "query_id",
+        query_vec_col: str = "embedding",
+        metric: str = "l2",
+        round_to: int = 6,
+    ) -> DataFrame:
+        """Batch ANN join through the graphs — the high-recall analogue
+        of IVFIndex.knn_join: queries are assigned their nprobes
+        nearest centroids (one Arrow pass), then COGROUPED with the
+        graph blobs on centroid_id; each task beam-searches one list's
+        graph for all queries routed to it (per-list graph loaded once
+        per task, not once per query). Output ranks through the same
+        rank_top_k contract as the brute join."""
+        from lance_flink_spark.operators.similarity import rank_top_k
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        meta = fsio.read_json(fsio.join(self.path, META))
+        built = meta.get("hnsw_metric", "l2")
+        if metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        if built == "cosine" and metric != "cosine":
+            raise ValueError(
+                "index was built with metric=cosine; only cosine searches are valid"
+            )
+        cents = _load_npy(fsio.join(self.path, "centroids.npy"))
+        cents_b = spark.sparkContext.broadcast(cents)
+        np_ = min(nprobes, len(cents))
+        ef_eff = max(ef, k)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def probe_cents(v: pd.Series) -> pd.Series:
+            x = _stack(v)
+            c = cents_b.value
+            s = x @ c.T
+            if metric == "l2":
+                rank = (c * c).sum(1)[None, :] - 2 * s
+            elif metric == "cosine":
+                norms = np.linalg.norm(x, axis=1)[:, None] * np.maximum(
+                    np.linalg.norm(c, axis=1)[None, :], 1e-12
+                )
+                rank = -s / np.maximum(norms, 1e-12)
+            else:
+                rank = -s
+            idx = np.argsort(rank, axis=1, kind="stable")[:, :np_]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        q = queries_df.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec_col).alias("__qvec"),
+            F.explode(probe_cents(F.col(query_vec_col))).alias("centroid_id"),
+        ).persist()
+        probed = [int(r[0]) for r in q.select("centroid_id").distinct().collect()]
+        graphs = spark.read.parquet(fsio.join(self.path, "graphs")).filter(
+            F.col("centroid_id").isin(probed)
+        )
+
+        def _join(qpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
+            if gpdf.empty or qpdf.empty:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"),
+                     "neighbor_id": pd.Series(dtype="int64"),
+                     "distance": pd.Series(dtype="float64")}
+                )
+            g = deserialize_graph(bytes(gpdf["graph"].iloc[0]))
+            out_q, out_n, out_d = [], [], []
+            for qid, qv in zip(qpdf["__qid"], qpdf["__qvec"]):
+                qa = np.asarray(qv, dtype=np.float64)
+                beam = search_graph(g, qa, ef_eff)
+                if not beam:
+                    continue
+                nodes = np.array([nd for _, nd in beam], dtype=np.int64)
+                vx = g.x[nodes].astype(np.float64)
+                if metric == "l2":
+                    d = np.sqrt(((vx - qa) ** 2).sum(1))
+                elif metric == "cosine":
+                    nv = np.linalg.norm(vx, axis=1) * max(np.linalg.norm(qa), 1e-12)
+                    d = 1.0 - (vx @ qa) / np.maximum(nv, 1e-12)
+                else:
+                    d = -(vx @ qa)
+                out_q.extend([qid] * len(nodes))
+                out_n.extend(g.ids[nodes].tolist())
+                out_d.extend(d.tolist())
+            return pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "distance": out_d}
+            )
+
+        scored = (
+            q.groupBy("centroid_id")
+            .cogroup(graphs.groupBy("centroid_id"))
+            .applyInPandas(_join, "query_id long, neighbor_id long, distance double")
+            .select(
+                F.col("query_id").alias(query_id),
+                "neighbor_id",
+                F.round("distance", round_to).alias("distance"),
+            )
+        )
+        return rank_top_k(scored, k, query_id=query_id)
+
     def search(
         self,
         spark: SparkSession,

@@ -335,3 +335,25 @@ def dataset_stream_agg(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "dataset_time_travel",
+    extra=True,  # gate budget; oracle-checks version isolation
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def dataset_time_travel(spark, sf_dir):
+    """Version time travel (Lance dataset versioning): write nation as
+    v1, append it AGAIN (v2 doubles every row), then read version=1 —
+    the oracle is the clean source table, so any leakage from v2 (or a
+    manifest that lost v1) breaks the row count and hash."""
+    from lance_flink_spark.registry import scratch_dir, table
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(scratch_dir("ds_tt" + sf_dir.rstrip("/").replace("/", "_")))
+    src = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v1 = ds.write(src, mode="overwrite")
+    ds.write(src, mode="append")
+    return ds.read(spark, version=v1).select("n_nationkey", "n_name")
