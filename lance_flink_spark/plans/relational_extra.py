@@ -357,3 +357,67 @@ def dataset_time_travel(spark, sf_dir):
     v1 = ds.write(src, mode="overwrite")
     ds.write(src, mode="append")
     return ds.read(spark, version=v1).select("n_nationkey", "n_name")
+
+
+@query(
+    "dataset_compact",
+    extra=True,  # gate budget; oracle-checks compaction data preservation
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def dataset_compact(spark, sf_dir):
+    """Compaction parity: region lands as one-row fragments across 5
+    appends, compact() rewrites them as one right-sized version, and
+    the compacted read must equal the clean source (nothing lost,
+    nothing duplicated, old versions still time-travelable)."""
+    from lance_flink_spark.registry import scratch_dir, table
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(scratch_dir("ds_compact" + sf_dir.rstrip("/").replace("/", "_")))
+    src = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    first = True
+    for r in src.collect():
+        one = spark.createDataFrame([r], src.schema)
+        ds.write(one, mode="overwrite" if first else "append")
+        first = False
+    ds.compact(spark)
+    return ds.read(spark).select("r_regionkey", "r_name")
+
+
+@query(
+    "ivf_add_search",
+    extra=True,  # gate budget; incremental add must stay exact at full probes
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def ivf_add_search(spark, sf_dir):
+    """Incremental index maintenance (Lance index update path): build
+    IVF_FLAT over the first half of the corpus, add() the second half,
+    then search probing every list — exactness over the FULL corpus is
+    the oracle, so a vector lost or mis-assigned by add() surfaces as a
+    hash mismatch."""
+    import os
+
+    from lance_flink_spark.index.ivf import IVFIndex
+    from lance_flink_spark.registry import scratch_dir, table
+
+    emb = table(spark, sf_dir, "embeddings")
+    half = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+    path = scratch_dir("ivf_add" + sf_dir.rstrip("/").replace("/", "_"))
+    if not os.path.exists(os.path.join(path, "_index_meta.json")):
+        IVFIndex.build(
+            spark, emb.filter(F.col("vec_id") < half), path, nlist=8, sample_size=100_000
+        )
+        IVFIndex(path).add(spark, emb.filter(F.col("vec_id") >= half))
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    return (
+        IVFIndex(path)
+        .search(spark, qv, k=10, nprobes=8, metric="l2")
+        .select("vec_id", "distance")
+    )
