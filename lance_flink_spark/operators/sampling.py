@@ -41,3 +41,26 @@ def train_val_test_split(
 def deterministic_sample(df: DataFrame, key_col: str, pct: int) -> DataFrame:
     """Stable pct% sample (same rows every run/engine)."""
     return df.filter(hash_bucket(F.col(key_col)) < pct)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Data mixing (the training-mix step: per-source sampling rates à
+    la published pretraining mixtures): keep ``rates[source]`` percent
+    of each source's rows, deterministically by key hash — the same
+    rows survive on every run, engine, and cluster size, so a mixture
+    is reproducible end-to-end. Sources absent from ``rates`` keep
+    ``default_pct`` percent.
+
+    Row-local predicate (hash + CASE): no shuffle, evaluated at scan
+    time, and at 100 TB the dropped rows never leave the scan."""
+    b = hash_bucket(F.col(key_col).cast("string"))
+    pct = F.lit(default_pct)
+    for src, p in sorted(rates.items()):
+        pct = F.when(F.col(source_col) == src, F.lit(p)).otherwise(pct)
+    return df.filter(b < pct)

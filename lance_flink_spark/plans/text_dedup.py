@@ -761,3 +761,31 @@ def dedup_clusters(spark, sf_dir):
         table(spark, sf_dir, "documents"), k=16, min_matches=8, max_bucket=200
     ).select("id_a", "id_b")
     return resolve_duplicate_clusters(pairs)
+
+
+@query(
+    "corpus_mixture",
+    extra=True,  # gate budget; data-mixing rates per source
+    oracle="""
+    SELECT source, COUNT(*) AS n
+    FROM (SELECT source,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+          FROM documents) h
+    WHERE b < (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                           WHEN 'src2' THEN 20 ELSE 10 END)
+    GROUP BY source
+    """,
+)
+def corpus_mixture(spark, sf_dir):
+    """Training-mix sampling (operators/sampling.py::mixture_sample):
+    per-source keep rates (src0 80%, src1 50%, src2 20%, rest 10%)
+    applied as a deterministic hash predicate — row-local, zero
+    shuffle, identical surviving rows in both engines."""
+    from lance_flink_spark.operators.sampling import mixture_sample
+
+    d = mixture_sample(
+        table(spark, sf_dir, "documents"),
+        rates={"src0": 80, "src1": 50, "src2": 20},
+        default_pct=10,
+    )
+    return d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
