@@ -90,3 +90,29 @@ def test_multimodal_resize_and_frames(spark):
     assert all(1 <= r["count"] <= 3 for r in per_doc)
     f = frames.filter("frame_idx = 1").first()
     assert f["frame_offset"] == 100 and len(f["frame"]) <= 32
+
+
+def test_state_partitions_pins_shard_count_and_restores_conf(spark, tmp_path_str):
+    """run_to_memory(state_partitions=N) must (a) create exactly N
+    state-store shards in the checkpoint and (b) restore the session's
+    shuffle partitions afterwards."""
+    import glob
+    import os
+
+    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+    from lance_flink_spark.streaming.windows import tumbling_agg
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    t = run_to_memory(
+        tumbling_agg(stream_events(spark, SF_DIR)),
+        name="state_parts_probe",
+        state_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.table(t).count() > 0
+    shard_dirs = glob.glob(
+        os.path.join(scratch_dir("ckpt", "state_parts_probe"), "state", "0", "*")
+    )
+    shards = [d for d in shard_dirs if os.path.basename(d).isdigit()]
+    assert len(shards) == 4
