@@ -98,11 +98,15 @@ def test_state_partitions_pins_shard_count_and_restores_conf(spark, tmp_path_str
     shuffle partitions afterwards."""
     import glob
     import os
+    import shutil
 
     from lance_flink_spark.registry import scratch_dir
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
     from lance_flink_spark.streaming.windows import tumbling_agg
 
+    # fixed checkpoint name: clear any previous pytest session's state
+    # or the resumed (fully-consumed) stream would emit no batch
+    shutil.rmtree(scratch_dir("ckpt", "state_parts_probe"), ignore_errors=True)
     before = spark.conf.get("spark.sql.shuffle.partitions")
     t = run_to_memory(
         tumbling_agg(stream_events(spark, SF_DIR)),
