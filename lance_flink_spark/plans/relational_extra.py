@@ -421,3 +421,44 @@ def ivf_add_search(spark, sf_dir):
         .search(spark, qv, k=10, nprobes=8, metric="l2")
         .select("vec_id", "distance")
     )
+
+
+@query(
+    "catalog_crud",
+    extra=True,  # gate budget; CRUD end-state as a deterministic relation
+    oracle="""
+    SELECT * FROM (VALUES
+        ('analytics', 'facts', 5),
+        ('analytics', 'renamed_dims', 25),
+        ('default', 'kept', 5)) AS t(database, tbl, n_rows)
+    """,
+)
+def catalog_crud(spark, sf_dir):
+    """Catalog CRUD end-to-end (LanceCatalog parity): create databases
+    and tables, rename one, drop one — then enumerate every surviving
+    (database, table) with its row count. The end state is a
+    deterministic relation, so the whole CRUD sequence is
+    value-hash-checked, not just 'did not throw'."""
+    from lance_flink_spark.registry import scratch_dir, table
+    from lance_flink_spark.sources.catalog import Catalog
+
+    import shutil
+
+    wh = scratch_dir("wh_crud" + sf_dir.rstrip("/").replace("/", "_"))
+    shutil.rmtree(wh, ignore_errors=True)  # deterministic end state per run
+    cat = Catalog(wh)
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cat.create_database("analytics")
+    cat.create_table("analytics", "facts", region.select("r_regionkey"))
+    cat.create_table("analytics", "dims", nation.select("n_nationkey"))
+    cat.create_table("default", "kept", region.select("r_name"))
+    cat.create_table("default", "scrap", region.select("r_name"))
+    cat.rename_table("analytics", "dims", "renamed_dims")
+    cat.drop_table("default", "scrap")
+    rows = []
+    for db in sorted(cat.list_databases()):
+        for t in sorted(cat.list_tables(db)):
+            n = cat.load_table(db, t).read(spark).count()
+            rows.append((db, t, n))
+    return spark.createDataFrame(rows, "database string, tbl string, n_rows int")
