@@ -570,3 +570,102 @@ def resolve_duplicate_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def resolve_duplicate_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 16,
+) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    contraction-style alternative to ``resolve_duplicate_clusters``:
+    round count is O(log n) INDEPENDENT of component diameter, so this
+    is the scale-safe choice when the pair graph can contain long
+    chains (chained near-duplicates a≈b≈c≈… where each hop passes the
+    similarity threshold but the endpoints do not).
+
+    Per round, two edge-list transforms of one groupBy shuffle each:
+
+    - large-star: every node links its strictly-LARGER neighbors to
+      m(u) = min(Γ(u) ∪ {u}).
+    - small-star: edges oriented toward the larger endpoint; every
+      node links its smaller neighbors (and itself) to m(u).
+
+    Both preserve connectivity (Kiveris Lemma 1-2); the fixed point is
+    a star forest child→component-minimum. Fixed point is detected via
+    count + order-insensitive xxhash64 bit_xor over the canonical edge set
+    — one scalar agg per round, the same bounded driver check the
+    label-propagation variant uses. Each round localCheckpoints so the
+    logical plan stays constant size (see resolve_duplicate_clusters).
+
+    Returns (doc_id, keep_id) for every node of the pair graph,
+    keep_id = minimum id in the node's component — identical output to
+    resolve_duplicate_clusters.
+    """
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    # canonical (larger, smaller) edges, deduped
+    edges = (
+        raw.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        # ---- large-star: group the symmetric view by u ----
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        # emit (v, m(u)) for neighbors v > u; v > u >= m, so the pair
+        # is already (larger, smaller)-oriented and never a self-loop
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: ls is (larger, smaller), so grouping by u
+        # already sees exactly the smaller neighborhood ----
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = ss
+        # bit_xor, not sum: order-insensitive over the distinct edge
+        # set and immune to ANSI-mode long overflow
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    # at the fixed point each non-root appears once in edges; the
+    # groupBy-min also makes a max_iters cutoff safe (never duplicates)
+    return (
+        nodes.join(edges.withColumnRenamed("u", "id"), "id", "left")
+        .groupBy("id")
+        .agg(F.min(F.coalesce(F.col("v"), F.col("id"))).alias("keep_id"))
+        .select(F.col("id").alias("doc_id"), "keep_id")
+    )

@@ -370,3 +370,44 @@ def test_resolve_duplicate_clusters_matches_union_find(spark):
     want = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
     assert got == want
     assert got[19] == 10 and got[102] == 100 and got[7] == 3 and got[3] == 3
+
+
+def test_resolve_duplicate_clusters_star_matches_union_find(spark):
+    """Large-star/small-star CC vs plain union-find on a diameter-40
+    chain (the case min-label propagation needs 40 rounds for — the
+    star variant must finish inside its 16-round O(log n) budget),
+    plus a triangle, an isolated pair, and a deterministic random
+    graph with duplicate + reversed edges."""
+    from lance_flink_spark.operators.dedup import resolve_duplicate_clusters_star
+
+    chain = [(i, i + 1) for i in range(10, 50)]           # diameter 40
+    tri = [(100, 101), (101, 102), (100, 102)]
+    iso = [(7, 3)]
+    # md5-free determinism: congruential walk, includes dup/reversed edges
+    rnd = []
+    x = 1
+    for _ in range(120):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a, b = 200 + x % 60, 200 + (x // 7) % 60
+        if a != b:
+            rnd.append((a, b))
+    pairs = spark.createDataFrame(chain + tri + iso + rnd, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["keep_id"]
+        for r in resolve_duplicate_clusters_star(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in chain + tri + iso + rnd:
+        parent[find(a)] = find(b)
+    want = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
+    assert got == want
+    assert got[49] == 10 and got[102] == 100 and got[7] == 3 and got[3] == 3
