@@ -353,6 +353,14 @@ class HNSWIndex:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
         return len(affected)
 
+    def compact(self, spark: SparkSession, min_files: int = 2) -> list[int]:
+        """Compact list partitions fragmented by incremental ``add``
+        (delegates to IVFIndex.compact_lists). The graph side never
+        fragments: each rebuild dynamically OVERWRITES the touched
+        ``graphs/`` partitions with a single one-row-per-list file, so
+        only the appended ``lists/`` side accumulates small files."""
+        return self.ivf.compact_lists(spark, min_files=min_files)
+
     def knn_join(
         self,
         spark: SparkSession,

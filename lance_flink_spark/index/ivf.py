@@ -399,6 +399,49 @@ class IVFIndex:
         finally:
             out.unpersist()
 
+    def compact_lists(self, spark: SparkSession, min_files: int = 2) -> list[int]:
+        """Compact fragmented inverted-list partitions (Lance's
+        index-optimize step after incremental updates): every ``add``
+        appends one parquet file per touched list, so a frequently
+        updated list accumulates small files and the probe scan pays
+        a per-file open + footer read each probe. Rewrites only the
+        partitions holding ≥ ``min_files`` data files — a
+        partition-pruned scan + dynamic partition overwrite, one file
+        per list after ``repartition("centroid_id")`` — so cost ∝
+        fragmented lists, not index size. Untouched lists keep their
+        files byte-identical. Returns the sorted compacted list ids.
+
+        Works on any fsio scheme (the listing walks the same
+        filesystem the dataset lives on). Like Dataset.compact, don't
+        run it concurrently with an ``add`` to the same lists."""
+        base = fsio.join(self.path, "lists")
+        frag = []
+        for d in fsio.listdir(base):
+            if not d.startswith("centroid_id="):
+                continue
+            n = sum(
+                1
+                for f in fsio.listdir(fsio.join(base, d))
+                if f.endswith(".parquet")
+            )
+            if n >= min_files:
+                frag.append(int(d.split("=", 1)[1]))
+        if not frag:
+            return []
+        lists = spark.read.parquet(base).filter(F.col("centroid_id").isin(frag))
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                lists.repartition("centroid_id")
+                .write.partitionBy("centroid_id")
+                .mode("overwrite")
+                .parquet(base)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        return sorted(frag)
+
     # ---------- batch ANN join ----------
 
     def knn_join(

@@ -191,3 +191,17 @@ def test_hnsw_knn_join_recall_vs_brute(spark, emb, hnsw_idx):
     hits = set(g) & set(b)
     assert len(hits) / len(b) >= 0.9
     assert all(abs(g[key] - b[key]) < 1e-5 for key in hits)
+
+
+def test_hnsw_compact_after_adds_search_unchanged(spark, emb, qvec, tmp_path_str):
+    """HNSWIndex.compact defrags the IVF lists side; graph blobs are
+    untouched and search returns identical results before/after."""
+    path = tmp_path_str + "/cmp"
+    idx = HNSWIndex.build(
+        spark, emb.filter("vec_id < 400"), path, nlist=4, m=8,
+        ef_construction=32, sample_size=1000,
+    )
+    idx.add(spark, emb.filter("vec_id >= 400"))
+    before = _ids(idx.search(spark, qvec, k=10, nprobes=4, ef=64))
+    assert idx.compact(spark)  # the added lists were fragmented
+    assert _ids(idx.search(spark, qvec, k=10, nprobes=4, ef=64)) == before

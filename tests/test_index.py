@@ -362,3 +362,49 @@ def test_ivf_knn_join_partial_probes_recall(spark, emb, flat_idx):
     g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
     b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     assert len(g & b) / len(b) >= 0.8
+
+
+def test_compact_lists_after_incremental_adds(spark, emb, qvec, tmp_path_str):
+    """Two adds fragment the touched list partitions (one appended
+    file each); compact_lists rewrites exactly those down to one file
+    per partition, leaves un-fragmented lists alone, preserves every
+    row, and search results are unchanged."""
+    import glob
+    import os
+
+    from lance_flink_spark.sources import fsio
+
+    p = tmp_path_str + "/cmp"
+    idx = IVFIndex.build(
+        spark, emb.filter("vec_id < 300"), p, nlist=8, sample_size=1000
+    )
+    idx.add(spark, emb.filter("vec_id >= 300 and vec_id < 400"))
+    idx.add(spark, emb.filter("vec_id >= 400"))
+
+    def files_per_part():
+        out = {}
+        for d in fsio.listdir(p + "/lists"):
+            if d.startswith("centroid_id="):
+                out[d] = len(glob.glob(os.path.join(p, "lists", d, "*.parquet")))
+        return out
+
+    before = files_per_part()
+    assert max(before.values()) >= 3  # build + 2 adds hit some list
+    rows_before = spark.read.parquet(p + "/lists").count()
+
+    compacted = idx.compact_lists(spark)
+    assert compacted == sorted(
+        int(d.split("=")[1]) for d, n in before.items() if n >= 2
+    )
+    after = files_per_part()
+    for d, n in after.items():
+        if int(d.split("=")[1]) in compacted:
+            assert n == 1
+        else:
+            assert n == before[d]
+    assert spark.read.parquet(p + "/lists").count() == rows_before
+    got = _ids(idx.search(spark, qvec, k=10, nprobes=8, metric="l2"))
+    want = _ids(knn(emb, qvec, k=10, metric="l2"))
+    assert got == want
+    # idempotent: nothing left above the threshold
+    assert idx.compact_lists(spark) == []
