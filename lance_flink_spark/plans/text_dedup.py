@@ -721,10 +721,7 @@ def text_redact(spark, sf_dir):
     return d.select("doc_id", redact(F.col("text")).alias("red"))
 
 
-@query(
-    "dedup_clusters",
-    extra=True,  # gate budget; iterative CC vs a recursive-CTE oracle
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE capped AS (
         SELECT doc_id, i, sig FROM (
             SELECT doc_id, i, sig, COUNT(*) OVER (PARTITION BY i, sig) AS bsz
@@ -745,7 +742,13 @@ def text_redact(spark, sf_dir):
         UNION
         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
     SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a
-    """,
+    """
+
+
+@query(
+    "dedup_clusters",
+    extra=True,  # gate budget; iterative CC vs a recursive-CTE oracle
+    oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution (operators/dedup.py::
@@ -761,6 +764,25 @@ def dedup_clusters(spark, sf_dir):
         table(spark, sf_dir, "documents"), k=16, min_matches=8, max_bucket=200
     ).select("id_a", "id_b")
     return resolve_duplicate_clusters(pairs)
+
+
+@query(
+    "dedup_clusters_star",
+    extra=True,  # same clusters, contraction-style CC — same oracle
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same duplicate-cluster resolution computed with the large-star/
+    small-star contraction variant (operators/dedup.py::
+    resolve_duplicate_clusters_star) — O(log n) rounds independent of
+    pair-graph diameter, the scale path for chained near-duplicates.
+    Output contract and oracle are identical to dedup_clusters."""
+    from lance_flink_spark.operators.dedup import resolve_duplicate_clusters_star
+
+    pairs = minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), k=16, min_matches=8, max_bucket=200
+    ).select("id_a", "id_b")
+    return resolve_duplicate_clusters_star(pairs)
 
 
 @query(
