@@ -51,11 +51,18 @@ def stream_events(
     return sdf.withWatermark(ts_col, watermark)
 
 
+STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
+
 def run_to_memory(
     result: DataFrame,
     name: str | None = None,
     mode: str = "complete",
     state_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> str:
     """Run a (bounded) streaming DataFrame to completion with the
     availableNow trigger into an in-memory table; returns the table
@@ -68,12 +75,30 @@ def run_to_memory(
     default — a stream-stream join at 32 shards pays 4×32 store commits
     per batch even for a handful of keys. The count is pinned into the
     checkpoint at first run; at 100 TB you raise it and start a fresh
-    checkpoint, exactly like re-scaling a Flink job."""
+    checkpoint, exactly like re-scaling a Flink job.
+
+    ``state_store`` selects the state backend, mirroring Flink's
+    heap-vs-RocksDB choice: the default (None) keeps Spark's
+    HDFS-backed in-memory provider — right for windowed aggs whose
+    state fits the executor heap — while ``"rocksdb"`` spills state to
+    local RocksDB with changelog (incremental) checkpointing, the
+    large-state path for stream-stream joins / wide dedup state that
+    would otherwise OOM an executor. The provider is pinned into the
+    query at start; like the shard count, changing it means a fresh
+    checkpoint."""
     table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
     spark = result.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    chlog_key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    old_prov = spark.conf.get(prov_key, None)
+    old_chlog = spark.conf.get(chlog_key, None)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store is not None:
+        spark.conf.set(prov_key, STATE_STORE_PROVIDERS[state_store])
+        if state_store == "rocksdb":
+            spark.conf.set(chlog_key, "true")
     try:
         q = (
             result.writeStream.format("memory")
@@ -87,6 +112,12 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+        if state_store is not None:
+            for k, v in ((prov_key, old_prov), (chlog_key, old_chlog)):
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
     return table
 
 
