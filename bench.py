@@ -46,28 +46,37 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Per-query deltas vs the previous round go to a SIDE file, not the
+    # stdout line: the driver captures only the tail of stdout and parses
+    # the final JSON line, so an oversized line (r3: +deltas_vs_prev ->
+    # ~3.6 KB) gets truncated and recorded as parsed:null. Keep stdout
+    # to the contract fields only.
     prev = _load_prev_bench(out["sf"])
     if prev:
         rnd, pq = prev
-        out["deltas_vs_prev"] = {
+        deltas = {
             n: round(t - pq[n], 3) for n, t in times.items() if n in pq and t > 0
         }
-        out["prev_round"] = rnd
-    print(json.dumps(out))
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DELTAS.json"),
+                "w",
+            ) as f:
+                json.dump({"prev_round": rnd, "sf": out["sf"], "deltas_vs_prev": deltas}, f, indent=1)
+        except Exception:  # noqa: BLE001 - deltas are diagnostics, never fail the bench
+            pass
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 def _drop_persisted(spark) -> None:
-    """Async-unpersist RDDs pinned by queries that persist() lazy
+    """Release blocks pinned by queries that persist() lazy
     intermediates (dedup signatures/shingles): they cannot unpersist
     inside the query (the returned frame is lazy), and left alone they
-    accumulate across the 50-query run. unpersist(blocking=False) costs
-    ~nothing, unlike catalog.clearCache() (~0.3s/query measured)."""
-    try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
-    except Exception:  # noqa: BLE001 - cleanup is best-effort
-        pass
+    accumulate across the 50-query run."""
+    from lance_flink_spark.session import unpersist_all
+
+    unpersist_all(spark)
 
 
 def _load_prev_bench(sf):

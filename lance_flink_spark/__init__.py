@@ -8,7 +8,7 @@ side, and vectorized (Arrow/pandas-UDF) paths only where built-in
 functions can't express the semantics.
 """
 
-from lance_flink_spark.session import get_spark
+from lance_flink_spark.session import get_spark, unpersist_all
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "unpersist_all"]
 __version__ = "0.1.0"

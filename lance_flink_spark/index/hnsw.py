@@ -317,18 +317,35 @@ class HNSWIndex:
         lists that received vectors — per-list graphs are independent,
         so the rebuild is a dynamic partition overwrite of the touched
         ``centroid_id`` partitions of graphs/. Cost ∝ touched lists,
-        not index size. Returns the number of rebuilt lists."""
+        not index size. Returns the number of rebuilt lists.
+
+        Crash safety: a ``hnsw_graphs_pending`` marker is committed to
+        the index META *before* the list append. A crash between the
+        append and the graph rebuild would otherwise leave graphs/
+        silently stale (search reads only graphs/, so appended vectors
+        would be invisible); with the marker, search/knn_join refuse to
+        serve until :meth:`repair` reconciles graphs with lists."""
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
         meta = fsio.read_json(fsio.join(self.path, META))
-        vec_col, id_col = meta["vec_col"], meta.get("hnsw_id_col", "vec_id")
+        meta["hnsw_graphs_pending"] = True
+        fsio.write_json_atomic(fsio.join(self.path, META), meta)
         # the IVF append assigns ONCE (materialized) and reports which
         # lists actually received rows — a non-deterministic input
         # frame cannot leave a list updated but its graph stale
         affected = self.ivf.add(spark, df)
+        self._rebuild_graphs(spark, meta, affected)
+        meta.pop("hnsw_graphs_pending", None)
+        fsio.write_json_atomic(fsio.join(self.path, META), meta)
+        return len(affected)
+
+    def _rebuild_graphs(self, spark: SparkSession, meta: dict, centroid_ids) -> None:
+        """Dynamic partition overwrite of the given graphs/ partitions
+        from the current lists/ contents (shared by add and repair)."""
+        vec_col, id_col = meta["vec_col"], meta.get("hnsw_id_col", "vec_id")
         lists = spark.read.parquet(fsio.join(self.path, "lists")).filter(
-            F.col("centroid_id").isin(affected)
+            F.col("centroid_id").isin(list(centroid_ids))
         )
         old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -351,7 +368,48 @@ class HNSWIndex:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
-        return len(affected)
+
+    def repair(self, spark: SparkSession) -> list[int]:
+        """Reconcile graphs/ with lists/ after an interrupted add:
+        compares per-list row counts in lists/ against the ``n``
+        recorded in each graph row (column-pruned — blobs aren't read)
+        and rebuilds every missing or count-drifted graph, then clears
+        the ``hnsw_graphs_pending`` marker. Returns rebuilt list ids.
+        Idempotent; cost ∝ drifted lists."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        meta = fsio.read_json(fsio.join(self.path, META))
+        lc = (
+            spark.read.parquet(fsio.join(self.path, "lists"))
+            .groupBy("centroid_id")
+            .count()
+        )
+        gc = spark.read.parquet(fsio.join(self.path, "graphs")).select(
+            "centroid_id", "n"
+        )
+        stale = sorted(
+            int(r["centroid_id"])
+            for r in lc.join(gc, "centroid_id", "left")
+            .where(F.col("n").isNull() | (F.col("n") != F.col("count")))
+            .select("centroid_id")
+            .collect()
+        )
+        if stale:
+            self._rebuild_graphs(spark, meta, stale)
+        meta.pop("hnsw_graphs_pending", None)
+        fsio.write_json_atomic(fsio.join(self.path, META), meta)
+        return stale
+
+    @staticmethod
+    def _check_not_pending(meta: dict) -> None:
+        if meta.get("hnsw_graphs_pending"):
+            raise RuntimeError(
+                "index has a pending graph rebuild (an add() was interrupted "
+                "between the list append and the graph rebuild); appended "
+                "vectors are invisible to graph search until repaired — call "
+                "HNSWIndex.repair(spark) to reconcile graphs with lists"
+            )
 
     def compact(self, spark: SparkSession, min_files: int = 2) -> list[int]:
         """Compact list partitions fragmented by incremental ``add``
@@ -385,6 +443,7 @@ class HNSWIndex:
 
         ship_package(spark)
         meta = fsio.read_json(fsio.join(self.path, META))
+        self._check_not_pending(meta)
         built = meta.get("hnsw_metric", "l2")
         if metric not in ("l2", "cosine", "dot"):
             raise ValueError(f"unsupported metric {metric!r}")
@@ -485,6 +544,7 @@ class HNSWIndex:
         if metric not in ("l2", "cosine", "dot"):
             raise ValueError(f"unsupported metric {metric!r}")
         meta = fsio.read_json(fsio.join(self.path, META))
+        self._check_not_pending(meta)
         id_col = meta.get("hnsw_id_col", "vec_id")
         built = meta.get("hnsw_metric", "l2")
         if built == "cosine" and metric != "cosine":

@@ -413,8 +413,17 @@ class IVFIndex:
 
         Works on any fsio scheme (the listing walks the same
         filesystem the dataset lives on). Like Dataset.compact, don't
-        run it concurrently with an ``add`` to the same lists."""
+        run it concurrently with an ``add`` to the same lists.
+
+        Crash safety: the compacted partitions are STAGED to a sibling
+        directory first, then swapped into ``lists/`` one partition at
+        a time via backup-rename — never a dynamic overwrite of a path
+        the job is also reading (version-sensitive, and a failed commit
+        can drop the only copy of a partition). At every instant each
+        list has a complete copy on disk (live, hidden backup, or
+        stage); an interrupted swap is self-healed on the next call."""
         base = fsio.join(self.path, "lists")
+        self._heal_interrupted_compact(base)
         frag = []
         for d in fsio.listdir(base):
             if not d.startswith("centroid_id="):
@@ -429,18 +438,42 @@ class IVFIndex:
         if not frag:
             return []
         lists = spark.read.parquet(base).filter(F.col("centroid_id").isin(frag))
-        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                lists.repartition("centroid_id")
-                .write.partitionBy("centroid_id")
-                .mode("overwrite")
-                .parquet(base)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        stage = fsio.join(self.path, "lists_compacting")
+        fsio.delete(stage)  # leftovers from a previous failed run
+        (
+            lists.repartition("centroid_id")
+            .write.partitionBy("centroid_id")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        # swap: live -> hidden backup, staged -> live, drop backup.
+        # Hidden (dot-prefixed) dirs are invisible to Spark's file
+        # listing, so readers never see a half-renamed partition twice.
+        for cid in frag:
+            part = f"centroid_id={cid}"
+            live = fsio.join(base, part)
+            backup = fsio.join(base, f".compact-old-{part}")
+            fsio.delete(backup)
+            fsio.rename(live, backup)
+            fsio.rename(fsio.join(stage, part), live)
+            fsio.delete(backup)
+        fsio.delete(stage)
         return sorted(frag)
+
+    @staticmethod
+    def _heal_interrupted_compact(base: str) -> None:
+        """Recover from a compact_lists crash between the two swap
+        renames: a ``.compact-old-centroid_id=N`` backup with no live
+        partition is restored; one WITH a live partition means the
+        staged copy already landed, so the backup is dropped."""
+        for d in fsio.listdir(base):
+            if not d.startswith(".compact-old-centroid_id="):
+                continue
+            live = fsio.join(base, d[len(".compact-old-") :])
+            if fsio.exists(live):
+                fsio.delete(fsio.join(base, d))
+            else:
+                fsio.rename(fsio.join(base, d), live)
 
     # ---------- batch ANN join ----------
 

@@ -25,6 +25,8 @@ math in DuckDB SQL.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -111,7 +113,11 @@ def minhash_lsh_pairs(
     combine collapses each partition to one row per key) and removed
     with a broadcast anti-join — by construction there are at most
     n·k/max_bucket hot keys, so the broadcast side stays tiny no matter
-    how skewed the corpus is, and no window sort is paid."""
+    how skewed the corpus is, and no window sort is paid.
+
+    Storage lifetime: the signature frame stays persisted because the
+    returned lazy frame references it; after materializing results,
+    call ``lance_flink_spark.unpersist_all(spark)`` to release it."""
     # persist: the signature frame (shingle explode + md5 + k-way agg)
     # feeds the hot-key aggregate and both self-join sides
     sigs = minhash_signatures(df, text_col, id_col, k).persist()
@@ -289,7 +295,9 @@ def ngram_jaccard_pairs(
     sides and the over-cap slices all read the same cached scan (the
     r2 shape recomputed the explode+distinct ~5×; at cluster scale
     substitute a scratch dataset for the persist). ``max_df=None`` is
-    the uncapped fully-exact path."""
+    the uncapped fully-exact path. The persisted shingle frame is
+    released by ``lance_flink_spark.unpersist_all(spark)`` once the
+    caller has materialized the results."""
     from pyspark.sql import Window
 
     if max_df is None:
@@ -544,6 +552,7 @@ def resolve_duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     try:
+        converged = False
         for _ in range(max_iters):
             nbr_min = (
                 edges.join(labels, edges["src"] == labels["id"])
@@ -564,7 +573,17 @@ def resolve_duplicate_clusters(
             changed = new_full.filter("__chg").count()
             labels = new_full.select("id", "label")
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            warnings.warn(
+                f"resolve_duplicate_clusters hit max_iters={max_iters} with labels "
+                "still changing; keep_id may not be the component minimum on "
+                "long-chain graphs. Raise max_iters or use "
+                "resolve_duplicate_clusters_star (O(log n) rounds).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return labels.select(
             F.col("id").alias("doc_id"), F.col("label").alias("keep_id")
         )
@@ -614,6 +633,7 @@ def resolve_duplicate_clusters_star(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         # ---- large-star: group the symmetric view by u ----
         sym = edges.unionByName(
@@ -654,8 +674,22 @@ def resolve_duplicate_clusters_star(
         ).first()
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # exiting on the iteration budget means the star forest may not
+        # have contracted fully: keep_id can be a LOCAL minimum, not the
+        # true component minimum. The groupBy-min below still never
+        # duplicates a doc, but callers deserve a signal.
+        warnings.warn(
+            f"resolve_duplicate_clusters_star hit max_iters={max_iters} before "
+            "the edge-set fixed point; keep_id may not be the component minimum "
+            "for components still contracting. Raise max_iters "
+            "(rounds needed ~ O(log n)).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     nodes = (
         raw.select(F.col("u").alias("id"))
         .unionByName(raw.select(F.col("v").alias("id")))

@@ -75,6 +75,28 @@ def ship_package(spark: SparkSession) -> None:
     sc.setLocalProperty(marker, "1")
 
 
+def unpersist_all(spark: SparkSession, blocking: bool = False) -> int:
+    """Drop every persisted RDD/DataFrame block in the session.
+
+    Several operators (MinHash/ngram/embedding dedup, index knn_join)
+    persist() an intermediate that the RETURNED lazy frame still
+    references, so they cannot unpersist it themselves — the caller
+    owns the lifetime. In a long-lived session interleaving many such
+    calls, invoke this between pipelines (after the results are
+    materialized) to release executor storage memory. Returns the
+    number of RDDs dropped. Async by default: unpersist(blocking=False)
+    is near-free, vs catalog.clearCache() (~0.3 s/call measured)."""
+    n = 0
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(blocking)
+            n += 1
+    except Exception:  # noqa: BLE001 - cleanup is best-effort
+        pass
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict:
     """Load the benchmark tables from ``sf_dir`` and register temp views.
 

@@ -96,6 +96,11 @@ def run_to_memory(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     if state_store is not None:
+        if state_store not in STATE_STORE_PROVIDERS:
+            raise ValueError(
+                f"unknown state_store {state_store!r}; "
+                f"valid backends: {sorted(STATE_STORE_PROVIDERS)}"
+            )
         spark.conf.set(prov_key, STATE_STORE_PROVIDERS[state_store])
         if state_store == "rocksdb":
             spark.conf.set(chlog_key, "true")

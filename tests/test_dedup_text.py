@@ -411,3 +411,28 @@ def test_resolve_duplicate_clusters_star_matches_union_find(spark):
     want = {x: min(y for y in parent if find(y) == find(x)) for x in parent}
     assert got == want
     assert got[49] == 10 and got[102] == 100 and got[7] == 3 and got[3] == 3
+
+
+def test_cc_iteration_budget_warns(spark):
+    """Exiting either CC variant on max_iters (not the fixed point)
+    must warn — a long chain with a budget of 1 cannot converge."""
+    import warnings as w
+
+    from lance_flink_spark.operators.dedup import (
+        resolve_duplicate_clusters,
+        resolve_duplicate_clusters_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    for fn in (resolve_duplicate_clusters, resolve_duplicate_clusters_star):
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            fn(chain, max_iters=1).collect()
+        assert any("max_iters" in str(r.message) for r in rec), fn.__name__
+    # and a converging run stays silent
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        resolve_duplicate_clusters_star(chain, max_iters=16).collect()
+    assert not [r for r in rec if issubclass(r.category, RuntimeWarning)]

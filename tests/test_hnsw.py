@@ -205,3 +205,38 @@ def test_hnsw_compact_after_adds_search_unchanged(spark, emb, qvec, tmp_path_str
     before = _ids(idx.search(spark, qvec, k=10, nprobes=4, ef=64))
     assert idx.compact(spark)  # the added lists were fragmented
     assert _ids(idx.search(spark, qvec, k=10, nprobes=4, ef=64)) == before
+
+
+def test_hnsw_pending_marker_blocks_search_until_repair(spark, emb, qvec, tmp_path_str):
+    """An add() interrupted between the list append and the graph
+    rebuild leaves graphs/ stale. The pending marker makes search
+    refuse (instead of silently missing the appended vectors), and
+    repair() rebuilds exactly the drifted lists and clears the marker."""
+    import pytest
+
+    from lance_flink_spark.index.ivf import META
+    from lance_flink_spark.sources import fsio
+
+    path = tmp_path_str + "/pend"
+    idx = HNSWIndex.build(
+        spark, emb.filter("vec_id < 400"), path, nlist=4, m=8,
+        ef_construction=32, sample_size=1000,
+    )
+    # simulate the crash: marker committed + lists appended, graphs stale
+    meta = fsio.read_json(fsio.join(path, META))
+    meta["hnsw_graphs_pending"] = True
+    fsio.write_json_atomic(fsio.join(path, META), meta)
+    touched = idx.ivf.add(spark, emb.filter("vec_id >= 400"))
+
+    with pytest.raises(RuntimeError, match="repair"):
+        idx.search(spark, qvec, k=5)
+    with pytest.raises(RuntimeError, match="repair"):
+        idx.knn_join(spark, emb.limit(2).selectExpr("vec_id as query_id", "embedding"), k=2)
+
+    rebuilt = idx.repair(spark)
+    assert rebuilt == sorted(touched)  # only the drifted lists
+    # marker cleared, appended vector now visible at distance 0
+    nv = [float(x) for x in emb.filter("vec_id = 450").select("embedding").first()[0]]
+    top = idx.search(spark, nv, k=1, nprobes=4, ef=32).collect()[0]
+    assert top["vec_id"] == 450 and top["distance"] < 1e-6
+    assert idx.repair(spark) == []  # idempotent: nothing left to fix

@@ -408,3 +408,32 @@ def test_compact_lists_after_incremental_adds(spark, emb, qvec, tmp_path_str):
     assert got == want
     # idempotent: nothing left above the threshold
     assert idx.compact_lists(spark) == []
+
+
+def test_compact_heals_interrupted_swap(spark, emb, qvec, tmp_path_str):
+    """Crash-recovery contract of the staged compact swap: a hidden
+    .compact-old backup with no live partition (crash between the two
+    renames) is restored on the next compact_lists call; one WITH a
+    live partition (crash before the backup drop) is discarded."""
+    from lance_flink_spark.sources import fsio
+
+    p = tmp_path_str + "/heal"
+    idx = IVFIndex.build(spark, emb, p, nlist=8, sample_size=1000)
+    base = p + "/lists"
+    parts = sorted(d for d in fsio.listdir(base) if d.startswith("centroid_id="))
+    rows_before = spark.read.parquet(base).count()
+
+    # crash case 1: live renamed to backup, staged copy never landed
+    fsio.rename(fsio.join(base, parts[0]), fsio.join(base, ".compact-old-" + parts[0]))
+    # crash case 2: staged copy landed, backup not yet dropped
+    fsio.makedirs(fsio.join(base, ".compact-old-" + parts[1]))
+
+    assert spark.read.parquet(base).count() < rows_before  # partition invisible
+    idx.compact_lists(spark)  # heal runs first
+    assert sorted(
+        d for d in fsio.listdir(base) if d.startswith("centroid_id=")
+    ) == parts
+    assert not any(d.startswith(".compact-old-") for d in fsio.listdir(base))
+    assert spark.read.parquet(base).count() == rows_before
+    got = _ids(idx.search(spark, qvec, k=10, nprobes=8, metric="l2"))
+    assert got == _ids(knn(emb, qvec, k=10, metric="l2"))

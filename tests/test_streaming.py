@@ -161,3 +161,11 @@ def test_rocksdb_state_store_matches_default_provider(spark):
     assert glob.glob(os.path.join(ck, "state", "0", "*", "*.zip")) or glob.glob(
         os.path.join(ck, "state", "0", "*", "*.changelog")
     )
+
+
+def test_state_store_unknown_backend_rejected(spark):
+    import pytest
+
+    events = stream_events(spark, SF_DIR, watermark="1 hour")
+    with pytest.raises(ValueError, match="rocksdb"):
+        run_to_memory(tumbling_agg(events), state_store="rocks")
