@@ -51,6 +51,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # parquet timestamp[us] without tz → Spark 4 infers NTZ, which
+            # watermarks/windows reject; interpret the wall clock as UTC
+            # (session-tz independent, matches the DuckDB oracle's epoch())
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -48,6 +48,10 @@ def stream_events(
     sdf = reader.parquet(path)
     if isinstance(schema[ts_col].dataType, T.LongType):
         sdf = sdf.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    elif isinstance(schema[ts_col].dataType, T.TimestampNTZType):
+        # NTZ (parquet timestamp[us] w/o tz) is rejected by withWatermark;
+        # interpret wall clock as UTC — session-tz independent (registry.table)
+        sdf = sdf.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     return sdf.withWatermark(ts_col, watermark)
 
 
