@@ -512,6 +512,42 @@ def decontaminate(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup — the production ingest flow (reference
+    analogue: LanceSink.java append mode feeding a growing dataset):
+    admit only new-batch documents whose normalized content fingerprint
+    (a) does not already exist in the corpus and (b) is the first
+    occurrence within the batch itself (smallest id wins). Returns
+    (doc_id, fp, n_batch_copies).
+
+    Scale shape: the corpus side reduces to DISTINCT fingerprints of
+    ONE projected column (parquet reads just `text`), then a left-anti
+    join on `fp` — AQE picks broadcast when the fingerprint set is
+    small and a shuffled-hash anti join when it is not; the batch is
+    never joined against corpus rows, only against fingerprints. The
+    batch-internal first-wins pass is one partial-aggregated groupBy
+    on the same `fp` key, so the anti-join's partitioning is reused
+    (no second exchange). Never a corpus×corpus or batch×batch join."""
+    bfp = batch.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    cfp = corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    return (
+        bfp.join(cfp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+        .select(id_col, "fp", "n_batch_copies")
+    )
+
+
 def resolve_duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

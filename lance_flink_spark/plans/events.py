@@ -248,3 +248,74 @@ def multimodal_meta(spark, sf_dir):
     oracle-checkable surface (the stub feature vector is pytest-pinned)."""
     blobs = to_binary_docs(table(spark, sf_dir, "documents"))
     return extract_metadata(blobs).select("doc_id", "n_bytes", "head_hex")
+
+
+@query(
+    "funnel_conversion",
+    extra=True,  # gate budget; ordered-funnel shape over event time
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM w1),
+    per AS (
+        SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                        THEN ts END) AS t_purchase
+        FROM w2 GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked_after_view,
+           COUNT(t_purchase) AS n_purchased_funnel
+    FROM per
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (view → click after first view →
+    purchase after first qualifying click), the product-analytics shape
+    Flink jobs express with CEP / MATCH_RECOGNIZE. First event-time per
+    stage is a conditional MIN over the user partition; stage counts
+    aggregate per-user nullability.
+
+    Scale shape: one shuffle on user_id — both window frames and the
+    per-user groupBy reuse the same hash partitioning (Catalyst elides
+    the repeat exchanges) — then a partial-aggregated global rollup of
+    four counters."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    e2 = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e3 = e2.withColumn("t_click", t_click)
+    per = e3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_funnel"),
+    )

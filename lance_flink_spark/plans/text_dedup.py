@@ -785,6 +785,96 @@ def dedup_clusters_star(spark, sf_dir):
     return resolve_duplicate_clusters_star(pairs)
 
 
+_FP = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@query(
+    "dedup_incremental",
+    extra=True,  # gate budget; oracle-checks the ingest anti-join path
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 7 = 3),
+    bfp AS (SELECT doc_id, {_FP} AS fp FROM batch),
+    cfp AS (SELECT DISTINCT {_FP} AS fp FROM corpus)
+    SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS n_batch_copies
+    FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)
+    GROUP BY fp
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup.py::incremental_dedup):
+    corpus = 90% of documents; the incoming batch unions (a) the held-out
+    10% under their own ids — genuinely new, kept, (b) the same docs
+    again under shifted ids — batch-internal dups, first id wins with
+    n_batch_copies = 2, and (c) re-submissions of existing corpus docs —
+    dropped by the fingerprint anti-join. Non-vacuous in both
+    directions: the result is exactly the held-out slice, one row per
+    fingerprint."""
+    from lance_flink_spark.operators.dedup import incremental_dedup
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter("doc_id % 10 <> 0")
+    held = d.filter("doc_id % 10 = 0").select("doc_id", "text")
+    batch = (
+        held
+        .unionByName(held.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+        .unionByName(
+            corpus.filter("doc_id % 7 = 3")
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+    )
+    return incremental_dedup(batch, corpus)
+
+
+@query(
+    "vocab_topk",
+    extra=True,  # gate budget; oracle-checks the vocab-building shape
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.token FROM (
+            SELECT doc_id, {_TOKS} AS arr FROM documents) t,
+            unnest(arr) AS u(token)
+        WHERE u.token <> '')
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf
+    FROM tok GROUP BY token
+    ORDER BY df DESC, token ASC LIMIT 100
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Vocabulary building — top-100 tokens by document frequency (ties
+    broken on the token itself, a total order). The tokenizer-prep /
+    corpus-stats op every training pipeline runs first.
+
+    Scale shape: explode is row-local; the groupBy partial-aggregates
+    map-side (token cardinality << token occurrences), and the top-100
+    is TakeOrderedAndProject — per-partition heap + driver merge, no
+    full sort shuffle."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(100)
+    )
+
+
 @query(
     "corpus_mixture",
     extra=True,  # gate budget; data-mixing rates per source
