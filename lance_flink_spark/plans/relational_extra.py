@@ -386,6 +386,61 @@ def dataset_compact(spark, sf_dir):
 
 
 @query(
+    "dataset_mutations",
+    extra=True,  # gate budget; oracle-checks row-level mutation end state
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM customer),
+    updated AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 1 THEN c_name || '!' ELSE c_name END AS c_name,
+               acctbal
+        FROM base),
+    after_del AS (SELECT * FROM updated WHERE c_custkey % 10 <> 3),
+    src AS (
+        SELECT c_custkey, c_name, -1.0 AS acctbal FROM updated WHERE c_custkey % 10 = 5
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, 999.0 FROM updated WHERE c_custkey % 10 = 7)
+    SELECT * FROM after_del WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    UNION ALL
+    SELECT * FROM src
+    """,
+)
+def dataset_mutations(spark, sf_dir):
+    """Row-level mutation chain (Lance delete/merge_insert parity,
+    sources/dataset.py): customer lands across many small files, then
+    UPDATE (suffix names of the %10=1 slice), DELETE (%10=3), and
+    MERGE INSERT (replace %10=5 at acctbal=-1, insert shifted %10=7
+    keys at 999). The oracle replays the same chain relationally — any
+    row lost, duplicated, or mutated in the wrong file breaks the
+    hash, and the fragment-pruned rewrite path is what produced the
+    Spark side."""
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(scratch_dir("ds_mut" + sf_dir.rstrip("/").replace("/", "_")))
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    ds.write(src, mode="overwrite", max_rows_per_file=200)
+    ds.update_where(spark, "c_custkey % 10 = 1", {"c_name": "c_name || '!'"})
+    ds.delete_where(spark, "c_custkey % 10 = 3")
+    cur = ds.read(spark)
+    merge_src = (
+        cur.filter("c_custkey % 10 = 5")
+        .select("c_custkey", "c_name", F.lit(-1.0).alias("acctbal"))
+        .unionByName(
+            cur.filter("c_custkey % 10 = 7").select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                F.lit(999.0).alias("acctbal"),
+            )
+        )
+    )
+    ds.merge_insert(spark, merge_src, on="c_custkey")
+    return ds.read(spark)
+
+
+@query(
     "ivf_add_search",
     extra=True,  # gate budget; incremental add must stay exact at full probes
     oracle=f"""

@@ -111,12 +111,20 @@ class Dataset:
             return {"versions": []}
         return fsio.read_json(self._manifest_path())
 
-    def _commit(self, mode: str, fragment: str, tag: str | None = None) -> int:
+    def _commit(
+        self,
+        mode: str,
+        fragment: str,
+        tag: str | None = None,
+        removed_files: list[str] | None = None,
+    ) -> int:
         man = self._load_manifest()
         version = len(man["versions"]) + 1
         entry = {"version": version, "mode": mode, "fragment": fragment, "ts": time.time()}
         if tag is not None:
             entry["tag"] = tag
+        if removed_files:
+            entry["removed_files"] = sorted(removed_files)
         man["versions"].append(entry)
         # tmp-write + rename commit, like Lance's manifest swap — local
         # and any Hadoop scheme (s3a://, hdfs://) via fsio
@@ -126,21 +134,61 @@ class Dataset:
     def versions(self) -> list[int]:
         return [v["version"] for v in self._load_manifest()["versions"]]
 
+    def _live_state(
+        self, version: int | None = None
+    ) -> tuple[list[str], set[str]]:
+        """(fragment dirs, removed data files) visible at ``version``
+        (latest if None). Row-level mutations (delete_where /
+        update_where / merge_insert) commit a rewritten fragment plus
+        the set of superseded files; overwrite resets both."""
+        vs = self._load_manifest()["versions"]
+        if version is not None:
+            vs = [v for v in vs if v["version"] <= version]
+        live: list[str] = []
+        removed: set[str] = set()
+        for v in vs:
+            if v["mode"] == "overwrite":
+                live = []
+                removed = set()
+            live.append(v["fragment"])
+            removed.update(v.get("removed_files", ()))
+        return [fsio.join(self.path, f) for f in live], removed
+
     def _live_fragments(self, version: int | None = None) -> list[str]:
         """Fragment dirs visible at ``version`` (latest if None).
 
         Overwrite truncates visibility of earlier fragments but keeps
         them on disk → time travel to any earlier version.
         """
-        vs = self._load_manifest()["versions"]
-        if version is not None:
-            vs = [v for v in vs if v["version"] <= version]
-        live: list[str] = []
-        for v in vs:
-            if v["mode"] == "overwrite":
-                live = []
-            live.append(v["fragment"])
-        return [fsio.join(self.path, f) for f in live]
+        return self._live_state(version)[0]
+
+    def _live_paths(self, version: int | None = None) -> list[str]:
+        """Scan roots at ``version``: whole fragment dirs when no
+        mutation has removed files (the common fast path — no listing
+        round-trips), else the surviving per-file list."""
+        frags, removed = self._live_state(version)
+        if not removed:
+            return frags
+        paths: list[str] = []
+        for frag in frags:
+            for name in fsio.listdir(frag):
+                if not name.endswith(".parquet"):
+                    continue
+                if self._relpath(fsio.join(frag, name)) in removed:
+                    continue
+                paths.append(fsio.join(frag, name))
+        return paths
+
+    @staticmethod
+    def _relpath(file_path: str) -> str:
+        """Manifest-stable identity of a data file: its path from the
+        ``data/`` root (scheme/authority-independent, so manifests stay
+        valid if the dataset is relocated or read via another URI)."""
+        if "/data/" not in file_path:
+            raise ValueError(f"not a dataset data file: {file_path}")
+        # rsplit: the dataset root itself may live under a /data/ dir;
+        # the fragment level is always the LAST /data/ component
+        return "data/" + file_path.rsplit("/data/", 1)[1]
 
     # ---------- write (sink parity: LanceSink.java) ----------
 
@@ -202,7 +250,7 @@ class Dataset:
         batch_size: int | None = None,
     ) -> DataFrame:
         """Scan with projection/filter/limit declared for Catalyst pushdown."""
-        frags = self._live_fragments(version)
+        frags = self._live_paths(version)
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
         # mergeSchema: appends may evolve the schema (add columns) —
@@ -254,6 +302,12 @@ class Dataset:
         man = self._load_manifest()["versions"]
         if not man:
             raise FileNotFoundError(f"dataset {self.path} has no data")
+        if self._live_state()[1]:
+            raise ValueError(
+                "dataset has live row-level mutations (delete/update/"
+                "merge); a file-stream glob cannot express file-level "
+                "supersession — compact() first, then start the stream"
+            )
         schema = self.read(spark).schema
         last_ow = max(
             (v["version"] for v in man if v["mode"] == "overwrite"), default=1
@@ -282,6 +336,128 @@ class Dataset:
         restart the stream from a fresh checkpoint after compaction."""
         df = self.read(spark)
         return self.write(df, mode="overwrite", max_rows_per_file=max_rows_per_file)
+
+    # ---------- row-level mutations (Lance delete / merge_insert parity) ----------
+    #
+    # Lance datasets support predicate deletes and key-based merge-insert
+    # (upsert) as new manifest versions that rewrite only the fragments
+    # holding affected rows. Same model here, at parquet-file
+    # granularity: ONE pruned scan finds the files that actually contain
+    # affected rows (the predicate pushes into the parquet reader, so
+    # row-group stats skip clean files before they are ever read), only
+    # those files are rewritten into a fresh fragment, and the commit
+    # records them as superseded. Untouched files — at 100 TB, almost
+    # all of them — are never read or rewritten, and time travel to any
+    # pre-mutation version still sees them.
+
+    def _tagged_scan(self, spark: SparkSession) -> DataFrame:
+        """The live scan with a ``_file`` provenance column. The column
+        must be computed IN the scan stage — input_file_name() is empty
+        once rows cross an exchange — so it is attached before any
+        filter/join a caller adds."""
+        from pyspark.sql import functions as F
+
+        return self.read(spark).withColumn("_file", F.input_file_name())
+
+    def _affected_files(self, tagged_matches: DataFrame) -> list[str]:
+        """Distinct data files containing the matched rows. The
+        collect() is bounded by the FILE count (the same magnitude as
+        Spark's own driver-side file index), never the row count."""
+        rows = tagged_matches.select("_file").distinct().collect()
+        return [self._relpath(r["_file"]) for r in rows]
+
+    def _mutate_commit(
+        self, survivors: DataFrame, affected: list[str], mode: str
+    ) -> int:
+        frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
+        out = fsio.join(self.path, frag)
+        survivors.write.mode("errorifexists").parquet(out)
+        return self._commit(mode, frag, removed_files=affected)
+
+    def delete_where(self, spark: SparkSession, predicate: str) -> int | None:
+        """Delete rows matching ``predicate``; returns the new version,
+        or None if nothing matched (no commit — idempotent no-op).
+
+        An active ``read_stream`` cannot observe a delete (file sources
+        have no changelog — same caveat as compact()); restart streams
+        after mutations."""
+        affected = self._affected_files(
+            self._tagged_scan(spark).filter(predicate)
+        )
+        if not affected:
+            return None
+        # coalesce: a row where the predicate evaluates NULL is NOT
+        # matched and must survive (NOT(NULL) is NULL, which filter
+        # would drop — the classic SQL delete footgun)
+        keep = self._read_files(spark, affected).filter(
+            f"NOT coalesce(({predicate}), false)"
+        )
+        return self._mutate_commit(keep, affected, "delete")
+
+    def update_where(
+        self, spark: SparkSession, predicate: str, assignments: dict[str, str]
+    ) -> int | None:
+        """UPDATE ... SET col = expr WHERE predicate. Returns the new
+        version, or None if nothing matched. ``assignments`` maps
+        column name → SQL expression (evaluated on the matched row)."""
+        from pyspark.sql import functions as F
+
+        scan = self.read(spark)
+        for col in assignments:
+            if col not in scan.columns:
+                raise ValueError(f"unknown column {col!r}")
+        affected = self._affected_files(
+            self._tagged_scan(spark).filter(predicate)
+        )
+        if not affected:
+            return None
+        df = self._read_files(spark, affected)
+        cond = F.expr(predicate)
+        updated = df.select(
+            *[
+                (
+                    F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
+        return self._mutate_commit(updated, affected, "update")
+
+    def merge_insert(
+        self, spark: SparkSession, source: DataFrame, on: str
+    ) -> int:
+        """Upsert (Lance merge_insert: when-matched-update-all +
+        when-not-matched-insert-all, keyed on ``on``): source rows
+        replace same-key rows; new keys append. Returns the new version.
+
+        Only files that actually hold a matched key are rewritten — the
+        key probe is a semi-join against the source's distinct keys
+        (broadcast when small), pruned the same way as delete_where.
+        Never a full-dataset rewrite, and the source is scanned twice at
+        most (keys + payload)."""
+        scan = self.read(spark)
+        if set(source.columns) != set(scan.columns):
+            raise ValueError(
+                f"merge source schema {sorted(source.columns)} != "
+                f"dataset schema {sorted(scan.columns)}"
+            )
+        keys = source.select(on).distinct()
+        affected = self._affected_files(
+            self._tagged_scan(spark).join(keys, on, "left_semi")
+        )
+        if affected:
+            keep = self._read_files(spark, affected).join(keys, on, "left_anti")
+            merged = keep.unionByName(source)
+            return self._mutate_commit(merged, affected, "merge")
+        # no matched keys anywhere: pure insert — a plain append version
+        return self.write(source, mode="append")
+
+    def _read_files(self, spark: SparkSession, rel_files: list[str]) -> DataFrame:
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[fsio.join(self.path, f) for f in rel_files]
+        )
 
     @classmethod
     def open(cls, opts: DatasetOptions) -> "Dataset":

@@ -1,0 +1,130 @@
+"""Row-level mutations on Dataset: delete_where / update_where /
+merge_insert (Lance delete + merge_insert parity). The key property
+under test besides correctness is FRAGMENT PRUNING: files with no
+affected rows must be neither rewritten nor superseded."""
+
+import pytest
+from pyspark.sql import Row
+
+from lance_flink_spark.sources.dataset import Dataset
+
+
+def _df(spark, lo, hi, val=1.0):
+    return spark.createDataFrame(
+        [Row(id=i, val=float(val), name=f"row-{i}") for i in range(lo, hi)]
+    )
+
+
+@pytest.fixture()
+def ds2(spark, tmp_path_str):
+    """Two append fragments with disjoint id ranges (0-99, 100-199)."""
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 0, 100))
+    ds.write(_df(spark, 100, 200), mode="append")
+    return ds
+
+
+def _removed(ds):
+    out = set()
+    for v in ds._load_manifest()["versions"]:
+        out.update(v.get("removed_files", ()))
+    return out
+
+
+def test_delete_where_basic_and_time_travel(spark, ds2):
+    v = ds2.delete_where(spark, "id >= 150")
+    assert v == 3
+    out = ds2.read(spark)
+    assert out.count() == 150
+    assert out.agg({"id": "max"}).first()[0] == 149
+    # pre-delete version still sees everything (Lance time travel)
+    assert ds2.read(spark, version=2).count() == 200
+    # only fragment 2 held affected rows -> fragment 1 never superseded
+    assert all(f.startswith("data/v0002") for f in _removed(ds2))
+
+
+def test_delete_where_no_match_is_noop(spark, ds2):
+    assert ds2.delete_where(spark, "id > 10000") is None
+    assert ds2.versions() == [1, 2]
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(
+        spark.createDataFrame(
+            [Row(id=0, val=None), Row(id=1, val=5.0), Row(id=2, val=50.0)],
+            "id bigint, val double",
+        )
+    )
+    ds.delete_where(spark, "val > 10")
+    ids = sorted(r["id"] for r in ds.read(spark).select("id").collect())
+    # NULL val: predicate is NULL -> not matched -> must survive
+    assert ids == [0, 1]
+
+
+def test_update_where(spark, ds2):
+    v = ds2.update_where(spark, "id < 10", {"val": "val + 100", "name": "'touched'"})
+    assert v == 3
+    out = ds2.read(spark)
+    assert out.count() == 200
+    touched = out.filter("id < 10").collect()
+    assert all(r["val"] == 101.0 and r["name"] == "touched" for r in touched)
+    # rows in the rewritten file but not matched stay unchanged
+    same_file = out.filter("id >= 10 AND id < 100").collect()
+    assert all(r["name"] == f"row-{r['id']}" for r in same_file)
+    # fragment 2 untouched
+    assert all(f.startswith("data/v0001") for f in _removed(ds2))
+    assert ds2.update_where(spark, "id < 0", {"val": "0"}) is None
+    with pytest.raises(ValueError, match="unknown column"):
+        ds2.update_where(spark, "id < 5", {"nope": "1"})
+
+
+def test_merge_insert_upsert_and_pure_insert(spark, ds2):
+    src = spark.createDataFrame(
+        [Row(id=i, val=9.0, name=f"new-{i}") for i in (5, 150, 300, 301)]
+    )
+    v = ds2.merge_insert(spark, src, on="id")
+    assert v == 3
+    out = ds2.read(spark)
+    assert out.count() == 202  # 200 - 2 replaced + 4 source
+    got = {r["id"]: r["name"] for r in out.filter("id in (5,150,300,301)").collect()}
+    assert got == {5: "new-5", 150: "new-150", 300: "new-300", 301: "new-301"}
+    # both fragments held a matched key -> both may be superseded; the
+    # untouched rows of each must survive the rewrite
+    assert out.filter("id = 6").first()["name"] == "row-6"
+    # pure insert: no key overlap -> plain append version, nothing removed
+    before = _removed(ds2)
+    src2 = spark.createDataFrame([Row(id=900, val=1.0, name="ins")])
+    assert ds2.merge_insert(spark, src2, on="id") == 4
+    assert _removed(ds2) == before
+    assert ds2.read(spark).count() == 203
+    with pytest.raises(ValueError, match="schema"):
+        ds2.merge_insert(spark, src2.drop("name"), on="id")
+
+
+def test_merge_insert_prunes_unmatched_fragment(spark, ds2):
+    src = spark.createDataFrame([Row(id=5, val=9.0, name="new-5")])
+    ds2.merge_insert(spark, src, on="id")
+    assert all(f.startswith("data/v0001") for f in _removed(ds2))
+
+
+def test_stream_refuses_mutated_state_until_compact(spark, ds2):
+    ds2.delete_where(spark, "id >= 150")
+    with pytest.raises(ValueError, match="compact"):
+        ds2.read_stream(spark)
+    ds2.compact(spark)
+    assert ds2.read(spark).count() == 150
+    sdf = ds2.read_stream(spark)
+    assert sdf.isStreaming
+
+
+def test_mutation_then_compact_resets_supersession(spark, ds2):
+    ds2.delete_where(spark, "id % 2 = 0")
+    assert ds2.read(spark).count() == 100
+    ds2.compact(spark)
+    frags, removed = ds2._live_state()
+    assert removed == set()
+    assert len(frags) == 1
+    assert ds2.read(spark).count() == 100
+    # time travel across the whole history still works
+    assert ds2.read(spark, version=2).count() == 200
