@@ -37,6 +37,14 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP = re.compile(r"DROP\s+TABLE\s+(?P<name>[\w.]+)\s*;?\s*$", re.IGNORECASE)
+_DELETE = re.compile(
+    r"DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    r"UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _rewrite_array_literals(sql: str) -> str:
@@ -80,6 +88,37 @@ def _rewrite_array_literals(sql: str) -> str:
                 chars[i] = ")"
         i += 1
     return "".join(chars)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren-depth 0 outside string literals —
+    SET clauses like ``name = concat(a, ','), val = 2`` must not split
+    inside the call or the literal."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    start = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p for p in (x.strip() for x in parts) if p]
 
 
 def _strip_comments(cols: str) -> str:
@@ -152,6 +191,12 @@ class SqlEngine:
             self.catalog.drop_table(self.database, m.group("name"))
             self.spark.catalog.dropTempView(m.group("name"))
             return None
+        m = _DELETE.match(sql)
+        if m:
+            return self._delete(m)
+        m = _UPDATE.match(sql)
+        if m:
+            return self._update(m)
         return self.spark.sql(_rewrite_array_literals(sql))
 
     # ---------- statements ----------
@@ -196,6 +241,39 @@ class SqlEngine:
         df = self.catalog.load_table(self.database, name).read(self.spark)
         path = path or fsio.join(self.catalog._table_path(self.database, name), "_index")
         return build_index_from_options(self.spark, df, path, opts.extra)
+
+    def _delete(self, m: re.Match) -> None:
+        """Flink 1.17 batch DELETE parity: ``DELETE FROM t [WHERE p]``.
+        Routed to Dataset.delete_where — a fragment-pruned rewrite
+        committing a new version (old versions stay time-travelable)."""
+        name = m.group("name")
+        pred = m.group("pred")
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        ds.delete_where(
+            self.spark, _rewrite_array_literals(pred) if pred else "true"
+        )
+        self._register(name)
+        return None
+
+    def _update(self, m: re.Match) -> None:
+        """Flink 1.17 batch UPDATE parity:
+        ``UPDATE t SET c = expr [, ...] [WHERE p]``."""
+        name = m.group("name")
+        pred = m.group("pred")
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(m.group("sets")):
+            col, eq, expr = part.partition("=")
+            if not eq or not col.strip().isidentifier():
+                raise ValueError(f"malformed SET clause near {part!r}")
+            assignments[col.strip()] = _rewrite_array_literals(expr.strip())
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        ds.update_where(
+            self.spark,
+            _rewrite_array_literals(pred) if pred else "true",
+            assignments,
+        )
+        self._register(name)
+        return None
 
     def _insert(self, m: re.Match) -> None:
         name, rest = m.group("name"), m.group("rest").strip()

@@ -176,3 +176,37 @@ def test_ddl_hnsw_options_build_and_search(engine, spark):
     rows = out.collect()
     assert len(rows) == 5
     assert all(r["distance"] >= 0 for r in rows)
+
+
+def test_sql_delete_and_update(engine):
+    engine.execute(
+        """
+        CREATE TABLE kv (id BIGINT, name STRING, val DOUBLE)
+        WITH ('connector' = 'lance')
+        """
+    )
+    engine.execute(
+        "INSERT INTO kv VALUES (1, 'a', 1.0), (2, 'b', 2.0), "
+        "(3, 'c', 3.0), (4, 'd', 4.0)"
+    )
+    engine.execute("DELETE FROM kv WHERE id = 3")
+    assert engine.execute("SELECT count(*) AS n FROM kv").first()["n"] == 3
+    engine.execute("UPDATE kv SET val = val * 10, name = concat(name, ',x') WHERE id <= 2")
+    rows = {r["id"]: (r["name"], r["val"]) for r in engine.execute("SELECT * FROM kv").collect()}
+    assert rows == {1: ("a,x", 10.0), 2: ("b,x", 20.0), 4: ("d", 4.0)}
+    # unconditional forms
+    engine.execute("UPDATE kv SET val = 0")
+    assert engine.execute("SELECT sum(val) AS s FROM kv").first()["s"] == 0.0
+    engine.execute("DELETE FROM kv")
+    assert engine.execute("SELECT count(*) AS n FROM kv").first()["n"] == 0
+
+
+def test_sql_update_malformed_set(engine):
+    engine.execute(
+        "CREATE TABLE kv2 (id BIGINT, val DOUBLE) WITH ('connector' = 'lance')"
+    )
+    engine.execute("INSERT INTO kv2 VALUES (1, 1.0)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SET"):
+        engine.execute("UPDATE kv2 SET novalue WHERE id = 1")
