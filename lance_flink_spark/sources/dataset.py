@@ -250,6 +250,12 @@ class Dataset:
         batch_size: int | None = None,
     ) -> DataFrame:
         """Scan with projection/filter/limit declared for Catalyst pushdown."""
+        if version is not None:
+            for v in self._load_manifest()["versions"]:
+                if v["version"] == version and v.get("expired"):
+                    raise ValueError(
+                        f"version {version} was expired by vacuum()"
+                    )
         frags = self._live_paths(version)
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
@@ -458,6 +464,60 @@ class Dataset:
         return spark.read.option("mergeSchema", "true").parquet(
             *[fsio.join(self.path, f) for f in rel_files]
         )
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Lance cleanup_old_versions parity: physically delete data
+        files unreachable from every one of the newest
+        ``keep_versions`` versions, and mark older versions expired
+        (their manifest entries STAY — later versions' live sets are
+        replayed through them — but time travel to them now raises).
+        Returns the deleted file paths.
+
+        A file survives if ANY retained version can still read it —
+        including files of an old fragment that a retained append
+        chain carries forward, minus files a retained mutation has
+        superseded in all retained states. O(#fragments) driver-side
+        metadata work plus one delete per dead file; no Spark job."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        man = self._load_manifest()
+        vs = man["versions"]
+        cut = len(vs) - keep_versions
+        if cut <= 0:
+            return []
+        keep_files: set[str] = set()
+        for v in vs[cut:]:
+            frags, removed = self._live_state(v["version"])
+            for frag in frags:
+                for name in fsio.listdir(frag):
+                    rel = self._relpath(fsio.join(frag, name))
+                    if name.endswith(".parquet") and rel in removed:
+                        continue
+                    keep_files.add(rel)
+        deleted: list[str] = []
+        for v in vs:
+            frag = v["fragment"]
+            frag_path = fsio.join(self.path, frag)
+            if not fsio.exists(frag_path):
+                continue
+            names = fsio.listdir(frag_path)
+            dead = [
+                n
+                for n in names
+                if self._relpath(fsio.join(frag_path, n)) not in keep_files
+            ]
+            if len(dead) == len(names):
+                fsio.delete(frag_path)
+                deleted.extend(fsio.join(frag, n) for n in dead)
+            else:
+                for n in dead:
+                    if n.endswith(".parquet"):
+                        fsio.delete(fsio.join(frag_path, n))
+                        deleted.append(fsio.join(frag, n))
+        for v in vs[:cut]:
+            v["expired"] = True
+        fsio.write_json_atomic(self._manifest_path(), man)
+        return deleted
 
     @classmethod
     def open(cls, opts: DatasetOptions) -> "Dataset":

@@ -128,3 +128,40 @@ def test_mutation_then_compact_resets_supersession(spark, ds2):
     assert ds2.read(spark).count() == 100
     # time travel across the whole history still works
     assert ds2.read(spark, version=2).count() == 200
+
+
+def test_vacuum_reclaims_overwritten_fragments(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 0, 50))
+    ds.write(_df(spark, 0, 30), mode="overwrite")
+    ds.write(_df(spark, 100, 120), mode="append")
+    deleted = ds.vacuum(keep_versions=2)
+    # v1's fragment is unreachable from v2/v3 (hidden by the overwrite)
+    assert deleted and all(f.startswith("data/v0001") for f in deleted)
+    assert ds.read(spark).count() == 50
+    assert ds.read(spark, version=2).count() == 30
+    with pytest.raises(ValueError, match="expired"):
+        ds.read(spark, version=1)
+
+
+def test_vacuum_keeps_append_chain(spark, ds2):
+    # both fragments reachable from the latest version: nothing to delete
+    assert ds2.vacuum(keep_versions=1) == []
+    assert ds2.read(spark).count() == 200
+
+
+def test_vacuum_reclaims_superseded_mutation_files(spark, ds2):
+    ds2.delete_where(spark, "id >= 150")  # supersedes files of fragment 2
+    deleted = ds2.vacuum(keep_versions=1)
+    # the superseded originals are unreachable from the latest version
+    assert deleted and all(f.startswith("data/v0002") for f in deleted)
+    out = ds2.read(spark)
+    assert out.count() == 150
+    with pytest.raises(ValueError, match="expired"):
+        ds2.read(spark, version=2)
+
+
+def test_vacuum_noop_when_keeping_all(spark, ds2):
+    assert ds2.vacuum(keep_versions=5) == []
+    with pytest.raises(ValueError):
+        ds2.vacuum(keep_versions=0)
