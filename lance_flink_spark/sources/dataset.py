@@ -461,9 +461,21 @@ class Dataset:
         return self.write(source, mode="append")
 
     def _read_files(self, spark: SparkSession, rel_files: list[str]) -> DataFrame:
-        return spark.read.option("mergeSchema", "true").parquet(
+        """Read specific data files, conformed to the dataset's FULL
+        merged schema: files written before a schema-evolving append
+        lack the newer columns, and a mutation rewrite that read only
+        old files would otherwise silently drop assignments to (or
+        values of) those columns."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.option("mergeSchema", "true").parquet(
             *[fsio.join(self.path, f) for f in rel_files]
         )
+        target = self.read(spark).schema
+        for f in target.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*[f.name for f in target.fields])
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Lance cleanup_old_versions parity: physically delete data

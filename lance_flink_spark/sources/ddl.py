@@ -37,6 +37,15 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP = re.compile(r"DROP\s+TABLE\s+(?P<name>[\w.]+)\s*;?\s*$", re.IGNORECASE)
+_ALTER_RENAME = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+(?P<new>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+(?:COLUMNS?\s+)?"
+    r"\(?(?P<cols>[^()]+?)\)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE = re.compile(
     r"DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -191,6 +200,17 @@ class SqlEngine:
             self.catalog.drop_table(self.database, m.group("name"))
             self.spark.catalog.dropTempView(m.group("name"))
             return None
+        m = _ALTER_RENAME.match(sql)
+        if m:
+            self.catalog.rename_table(self.database, m.group("name"), m.group("new"))
+            self.spark.catalog.dropTempView(m.group("name"))
+            if m.group("name") in self.options:
+                self.options[m.group("new")] = self.options.pop(m.group("name"))
+            self._register(m.group("new"))
+            return None
+        m = _ALTER_ADD.match(sql)
+        if m:
+            return self._alter_add(m)
         m = _DELETE.match(sql)
         if m:
             return self._delete(m)
@@ -241,6 +261,25 @@ class SqlEngine:
         df = self.catalog.load_table(self.database, name).read(self.spark)
         path = path or fsio.join(self.catalog._table_path(self.database, name), "_index")
         return build_index_from_options(self.spark, df, path, opts.extra)
+
+    def _alter_add(self, m: re.Match) -> None:
+        """Flink ALTER TABLE ... ADD (col type, ...) — Lance add-column
+        semantics: commit an empty fragment carrying the widened schema;
+        mergeSchema reads surface the new columns as NULL on all
+        existing rows. Metadata-cost only (no data rewritten)."""
+        name = m.group("name")
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        old = ds.read(self.spark).schema
+        added = T._parse_datatype_string(
+            f"struct<{_spark_ddl_types(_strip_comments(m.group('cols')))}>"
+        )
+        for f in added.fields:
+            if f.name in old.names:
+                raise CatalogError(f"column {f.name!r} already exists in {name}")
+        widened = T.StructType(old.fields + added.fields)
+        ds.write(self.spark.createDataFrame([], widened), mode="append")
+        self._register(name)
+        return None
 
     def _delete(self, m: re.Match) -> None:
         """Flink 1.17 batch DELETE parity: ``DELETE FROM t [WHERE p]``.

@@ -210,3 +210,27 @@ def test_sql_update_malformed_set(engine):
 
     with _pytest.raises(ValueError, match="SET"):
         engine.execute("UPDATE kv2 SET novalue WHERE id = 1")
+
+
+def test_sql_alter_table_add_and_rename(engine):
+    engine.execute(
+        "CREATE TABLE evo (id BIGINT, name STRING) WITH ('connector' = 'lance')"
+    )
+    engine.execute("INSERT INTO evo VALUES (1, 'a'), (2, 'b')")
+    engine.execute("ALTER TABLE evo ADD (score DOUBLE, tag STRING)")
+    out = engine.execute("SELECT * FROM evo ORDER BY id")
+    assert set(out.columns) == {"id", "name", "score", "tag"}
+    rows = out.collect()
+    assert all(r["score"] is None and r["tag"] is None for r in rows)
+    # new column usable in DML immediately
+    engine.execute("UPDATE evo SET score = 1.5 WHERE id = 1")
+    assert engine.execute(
+        "SELECT score FROM evo WHERE id = 1"
+    ).first()["score"] == 1.5
+    import pytest as _pytest
+    from lance_flink_spark.sources.catalog import CatalogError
+
+    with _pytest.raises(CatalogError, match="already exists"):
+        engine.execute("ALTER TABLE evo ADD (name STRING)")
+    engine.execute("ALTER TABLE evo RENAME TO evo2")
+    assert engine.execute("SELECT count(*) AS n FROM evo2").first()["n"] == 2
