@@ -50,6 +50,10 @@ _DELETE = re.compile(
     r"DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE = re.compile(
+    r"MERGE\s+INTO\s+(?P<name>[\w.]+)\s+USING\s+\((?P<src>.+)\)\s+ON\s+(?P<on>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _UPDATE = re.compile(
     r"UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -217,6 +221,9 @@ class SqlEngine:
         m = _UPDATE.match(sql)
         if m:
             return self._update(m)
+        m = _MERGE.match(sql)
+        if m:
+            return self._merge(m)
         return self.spark.sql(_rewrite_array_literals(sql))
 
     # ---------- statements ----------
@@ -311,6 +318,30 @@ class SqlEngine:
             _rewrite_array_literals(pred) if pred else "true",
             assignments,
         )
+        self._register(name)
+        return None
+
+    def _merge(self, m: re.Match) -> None:
+        """``MERGE INTO t USING (<query>) ON key`` — the
+        when-matched-update-all / when-not-matched-insert-all upsert
+        (Lance merge_insert; Delta/Iceberg MERGE with implicit
+        clauses). The source query's columns align to the table schema
+        by position, like INSERT."""
+        name = m.group("name")
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        target = ds.read(self.spark).schema
+        df = self.spark.sql(_rewrite_array_literals(m.group("src")))
+        if len(df.columns) != len(target.fields):
+            raise ValueError(
+                f"MERGE arity {len(df.columns)} != table arity {len(target.fields)}"
+            )
+        aligned = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target.fields)
+            ]
+        )
+        ds.merge_insert(self.spark, aligned, on=m.group("on"))
         self._register(name)
         return None
 

@@ -234,3 +234,18 @@ def test_sql_alter_table_add_and_rename(engine):
         engine.execute("ALTER TABLE evo ADD (name STRING)")
     engine.execute("ALTER TABLE evo RENAME TO evo2")
     assert engine.execute("SELECT count(*) AS n FROM evo2").first()["n"] == 2
+
+
+def test_sql_merge_into(engine):
+    engine.execute(
+        "CREATE TABLE mt (id BIGINT, name STRING, val DOUBLE) "
+        "WITH ('connector' = 'lance')"
+    )
+    engine.execute("INSERT INTO mt VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    engine.execute(
+        "MERGE INTO mt USING "
+        "(SELECT 2 AS id, 'b2' AS name, 20.0 AS val "
+        " UNION ALL SELECT 3, 'c', 3.0) ON id"
+    )
+    rows = {r["id"]: (r["name"], r["val"]) for r in engine.execute("SELECT * FROM mt").collect()}
+    assert rows == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0)}
