@@ -55,6 +55,56 @@ def _version_ge_globs(k: int, width: int = 4) -> list[str]:
     return pats
 
 
+_Z_BITS = 6  # 64 equi-depth buckets per dimension
+
+
+def _zorder(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cluster rows on a Z-order (Morton) curve over ``cols`` so
+    parquet row-group min/max stats stay tight on EVERY listed column
+    simultaneously — linear sort_by only skips on the leading column
+    (the Delta OPTIMIZE ZORDER BY story, here at write time).
+
+    Per column: 63 approxQuantile split points (driver-side, one pass,
+    bounded — the same contract as the IVF training sample) map values
+    to 64 equi-depth buckets via a JVM-side filter-count over the
+    broadcast splits array; NULLs sort first as bucket 0. The 6-bit
+    bucket ids are bit-interleaved into one Z value, and the frame is
+    range-partitioned + sorted on it. Equi-depth (rank-space) buckets
+    make the curve robust to skewed value distributions."""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("zorder_by needs >= 2 columns (use sort_by for 1)")
+    nb = 1 << _Z_BITS
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder_by columns not in frame: {missing}")
+    splits = {
+        c: df.approxQuantile(c, [i / nb for i in range(1, nb)], 0.001)
+        for c in cols
+    }
+    bucket_cols = []
+    for c in cols:
+        arr = F.array(*[F.lit(float(s)) for s in splits[c]])
+        bucket = F.when(
+            F.col(c).isNull(), F.lit(0)
+        ).otherwise(
+            F.size(F.filter(arr, lambda s: s <= F.col(c).cast("double")))
+        )
+        bucket_cols.append(bucket)
+    z = F.lit(0).cast("long")
+    for b in range(_Z_BITS):
+        for i, bucket in enumerate(bucket_cols):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, b * len(cols) + i)
+    tagged = df.withColumn("__z", z)
+    return (
+        tagged.repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 @dataclass
 class DatasetOptions:
     """Mirror of the reference's LanceOptions keys (config/LanceOptions.java)."""
@@ -199,6 +249,7 @@ class Dataset:
         max_rows_per_file: int = 1_000_000,
         tag: str | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new dataset version. Returns the version.
 
@@ -216,6 +267,10 @@ class Dataset:
             raise ValueError(f"write mode must be append|overwrite, got {mode!r}")
         if tag is not None and self.find_tag(tag) is not None:
             return self.find_tag(tag)
+        if zorder_by:
+            if sort_by:
+                raise ValueError("sort_by and zorder_by are mutually exclusive")
+            df = _zorder(df, zorder_by)
         if sort_by:
             # range-partition + sort on the clustering keys: parquet
             # row-group min/max stats become disjoint, so range

@@ -284,3 +284,57 @@ def test_read_stream_max_files_per_trigger_splits_batches(spark, tmp_path_str):
     q.awaitTermination()
     assert len(batch_sizes) >= 2          # split, not one giant batch
     assert sum(batch_sizes) == 40         # exactly-once totals
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path_str):
+    """Z-order clustering must keep parquet file min/max stats tight on
+    BOTH columns; a linear sort only bounds the leading one. Coverage =
+    mean over files of (max-min)/global_range per column."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 141).cast("double").alias("x"),
+            ((F.col("id") * 2654435761) % 139).cast("double").alias("y"),
+        )
+    )
+
+    def coverage(root, col):
+        fracs = []
+        for p in glob.glob(os.path.join(root, "data", "v0001-*", "*.parquet")):
+            md = pq.read_metadata(p)
+            names = md.schema.names
+            ci = names.index(col)
+            mins = [md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups)]
+            maxs = [md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups)]
+            fracs.append((max(maxs) - min(mins)))
+        rng = 141.0 if col == "x" else 139.0
+        return sum(fracs) / len(fracs) / rng
+
+    zds = Dataset(tmp_path_str + "/zds")
+    zds.write(df, zorder_by=["x", "y"], max_rows_per_file=1250)
+    lds = Dataset(tmp_path_str + "/lds")
+    lds.write(df.repartitionByRange(16, "x").sortWithinPartitions("x"), max_rows_per_file=1250)
+
+    zx, zy = coverage(tmp_path_str + "/zds", "x"), coverage(tmp_path_str + "/zds", "y")
+    lx, ly = coverage(tmp_path_str + "/lds", "x"), coverage(tmp_path_str + "/lds", "y")
+    # linear sort: x tight, y spans ~everything
+    assert lx < 0.35 and ly > 0.8
+    # z-order: BOTH dimensions bounded well below the linear sort's y
+    assert zx < 0.6 and zy < 0.6, (zx, zy, lx, ly)
+    # data preserved
+    assert zds.read(spark).count() == n
+
+
+def test_zorder_write_validation(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/ds")
+    df = _df(spark, 10)
+    with pytest.raises(ValueError, match=">= 2"):
+        ds.write(df, zorder_by=["id"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ds.write(df, zorder_by=["id", "val"], sort_by=["id"])
+    with pytest.raises(ValueError, match="not in frame"):
+        ds.write(df, zorder_by=["id", "nope"])
