@@ -55,7 +55,9 @@ def main() -> None:
     if prev:
         rnd, pq = prev
         deltas = {
-            n: round(t - pq[n], 3) for n, t in times.items() if n in pq and t > 0
+            n: round(t - pq[n], 3)
+            for n, t in times.items()
+            if n in pq and t > 0 and pq[n] > 0  # skip failed (-1) sides
         }
         try:
             with open(

@@ -504,6 +504,20 @@ class Dataset:
                 f"merge source schema {sorted(source.columns)} != "
                 f"dataset schema {sorted(scan.columns)}"
             )
+        from pyspark.sql import functions as F
+
+        dup = (
+            source.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter("n > 1")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source has multiple rows for key {dup[0][0]!r} — "
+                "deduplicate the source first (ambiguous when-matched row)"
+            )
         keys = source.select(on).distinct()
         affected = self._affected_files(
             self._tagged_scan(spark).join(keys, on, "left_semi")

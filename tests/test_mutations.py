@@ -165,3 +165,11 @@ def test_vacuum_noop_when_keeping_all(spark, ds2):
     assert ds2.vacuum(keep_versions=5) == []
     with pytest.raises(ValueError):
         ds2.vacuum(keep_versions=0)
+
+
+def test_merge_insert_rejects_duplicate_source_keys(spark, ds2):
+    src = spark.createDataFrame(
+        [Row(id=5, val=1.0, name="x"), Row(id=5, val=2.0, name="y")]
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        ds2.merge_insert(spark, src, on="id")
