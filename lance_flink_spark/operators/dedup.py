@@ -512,6 +512,46 @@ def decontaminate(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    max_sources_per_gram: int | None = None,
+) -> DataFrame:
+    """Pairwise cross-source content overlap — the corpus-analytics
+    signal behind training-mix design (which sources re-publish each
+    other's text): count of DISTINCT word n-grams shared by each
+    source pair. Returns (source_a, source_b, n_shared_grams) with
+    source_a < source_b.
+
+    Scale shape: one scan + explode to DISTINCT (gram, source) — the
+    shuffle key is the gram, and the per-gram pair fan-out is bounded
+    by the SOURCE count (tiny), never the document count. With
+    thousands of sources set ``max_sources_per_gram`` to drop
+    ubiquitous grams (stopword phrases) — the same df-cap idea as
+    ngram_jaccard_pairs; a gram in nearly every source carries no
+    mix-design information anyway."""
+    gs = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    if max_sources_per_gram is not None:
+        from pyspark.sql import Window
+
+        gs = gs.withColumn(
+            "sdf", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        ).filter(F.col("sdf") <= max_sources_per_gram).drop("sdf")
+    a = gs.select(F.col("src").alias("source_a"), "gram")
+    b = gs.select(F.col("src").alias("source_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,

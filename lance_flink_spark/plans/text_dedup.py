@@ -789,6 +789,31 @@ _FP = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
 
 
 @query(
+    "source_overlap",
+    extra=True,  # gate budget; oracle-checks the overlap-matrix shape
+    oracle=f"""
+    WITH gs AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT source, {_TOKS} AS arr FROM documents) t,
+            unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+                   i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(gram))
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_grams
+    FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap(spark, sf_dir):
+    """Pairwise cross-source n-gram overlap matrix
+    (operators/dedup.py::source_overlap): per-gram fan-out is bounded
+    by the source count, so the matrix costs one distinct + one
+    gram-keyed join regardless of corpus size."""
+    from lance_flink_spark.operators.dedup import source_overlap as op
+
+    return op(table(spark, sf_dir, "documents"))
+
+
+@query(
     "dedup_incremental",
     extra=True,  # gate budget; oracle-checks the ingest anti-join path
     oracle=f"""

@@ -436,3 +436,24 @@ def test_cc_iteration_budget_warns(spark):
         w.simplefilter("always")
         resolve_duplicate_clusters_star(chain, max_iters=16).collect()
     assert not [r for r in rec if issubclass(r.category, RuntimeWarning)]
+
+
+def test_source_overlap_cap_drops_ubiquitous_grams(spark):
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.dedup import source_overlap
+
+    # "common phrase here" appears in every source; "rare gram x/y" in two
+    rows = [Row(doc_id=i, source=f"s{i}", text="common phrase here") for i in range(4)]
+    rows += [
+        Row(doc_id=10, source="s0", text="rare gram shared x"),
+        Row(doc_id=11, source="s1", text="rare gram shared x"),
+    ]
+    df = spark.createDataFrame(rows)
+    full = source_overlap(df).collect()
+    # every pair shares the common phrase
+    assert len(full) == 6 + 0  # 4 sources -> 6 pairs; s0-s1 row covers both grams
+    capped = source_overlap(df, max_sources_per_gram=2).collect()
+    # ubiquitous gram dropped: only the rare 2-source grams remain
+    assert {(r["source_a"], r["source_b"]) for r in capped} == {("s0", "s1")}
+    assert capped[0]["n_shared_grams"] == 2  # "rare gram shared", "gram shared x"
