@@ -323,3 +323,69 @@ def ivf_knn_join(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return idx.knn_join(spark, queries, k=3, nprobes=8, metric="l2")
+
+
+@query(
+    "label_centroids",
+    extra=True,  # gate budget; oracle-checks the class-statistics shape
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT label, o.ord, v[o.ord] AS val
+           FROM e, unnest(range(1, len(v) + 1)) AS o(ord)),
+    cent AS (
+        SELECT label, list(a ORDER BY ord) AS centroid
+        FROM (SELECT label, ord, ROUND(AVG(val), 6) AS a
+              FROM ex GROUP BY label, ord) GROUP BY label),
+    st AS (
+        SELECT label, COUNT(*) AS n,
+               ROUND(AVG(sqrt(list_aggregate(
+                   list_transform(v, x -> x * x), 'sum'))), 6) AS mean_norm
+        FROM e GROUP BY label)
+    SELECT st.label, n, mean_norm,
+           ROUND(sqrt(list_aggregate(
+               list_transform(centroid, x -> x * x), 'sum')), 6) AS centroid_norm,
+           ROUND(centroid[1], 6) AS c0
+    FROM st JOIN cent USING (label)
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding class statistics (count, mean L2 norm,
+    element-wise centroid) — the embedding-space monitoring pass run
+    over training corpora (class drift, collapsed clusters).
+
+    Scale shape: the centroid is a posexplode + (label, dim) partial
+    aggregate — shuffle rows = labels x dims, independent of corpus
+    size — reassembled with an ordered collect per label; the scalar
+    stats branch aggregates the same scan without the explode and
+    broadcast-joins back (labels are tiny)."""
+    from lance_flink_spark.functions.vector import norm
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("a"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))),
+                lambda s: s["a"],
+            ).alias("centroid")
+        )
+    )
+    st = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm(F.col("v"))), 6).alias("mean_norm"),
+    )
+    # the full centroid array is the operator's product; the gate
+    # compares scalar projections of it (array columns are unhashable
+    # in the driver's sort-and-hash compare)
+    return st.join(F.broadcast(cent), "label").select(
+        "label",
+        "n",
+        "mean_norm",
+        F.round(norm(F.col("centroid")), 6).alias("centroid_norm"),
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+    )
