@@ -50,6 +50,17 @@ _DELETE = re.compile(
     r"DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_SHOW_TABLES = re.compile(
+    r"SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+(?P<db>[\w.]+))?\s*$", re.IGNORECASE
+)
+_SHOW_DBS = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
+_CREATE_DB = re.compile(
+    r"CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE = re.compile(
+    r"(?:DESCRIBE|DESC)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
 _MERGE = re.compile(
     r"MERGE\s+INTO\s+(?P<name>[\w.]+)\s+USING\s+\((?P<src>.+)\)\s+ON\s+(?P<on>\w+)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -224,6 +235,33 @@ class SqlEngine:
         m = _MERGE.match(sql)
         if m:
             return self._merge(m)
+        m = _SHOW_TABLES.match(sql)
+        if m:
+            rows = [
+                (t,)
+                for t in sorted(self.catalog.list_tables(m.group("db") or self.database))
+            ]
+            return self.spark.createDataFrame(rows or [], "table_name string")
+        if _SHOW_DBS.match(sql):
+            rows = [(d,) for d in sorted(self.catalog.list_databases())]
+            return self.spark.createDataFrame(rows or [], "database_name string")
+        m = _CREATE_DB.match(sql)
+        if m:
+            self.catalog.create_database(
+                m.group("name"), ignore_if_exists=bool(m.group("ine"))
+            )
+            return None
+        m = _DESCRIBE.match(sql)
+        if m:
+            schema = (
+                self.catalog.load_table(self.database, m.group("name"))
+                .read(self.spark)
+                .schema
+            )
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), f.nullable) for f in schema.fields],
+                "col_name string, data_type string, nullable boolean",
+            )
         return self.spark.sql(_rewrite_array_literals(sql))
 
     # ---------- statements ----------

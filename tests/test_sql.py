@@ -249,3 +249,19 @@ def test_sql_merge_into(engine):
     )
     rows = {r["id"]: (r["name"], r["val"]) for r in engine.execute("SELECT * FROM mt").collect()}
     assert rows == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0)}
+
+
+def test_sql_show_and_describe(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS default")
+    engine.execute(
+        "CREATE TABLE st1 (id BIGINT, v DOUBLE) WITH ('connector' = 'lance')"
+    )
+    engine.execute(
+        "CREATE TABLE st2 (id BIGINT) WITH ('connector' = 'lance')"
+    )
+    tables = {r["table_name"] for r in engine.execute("SHOW TABLES").collect()}
+    assert {"st1", "st2"} <= tables
+    dbs = {r["database_name"] for r in engine.execute("SHOW DATABASES").collect()}
+    assert "default" in dbs
+    desc = {r["col_name"]: r["data_type"] for r in engine.execute("DESCRIBE st1").collect()}
+    assert desc == {"id": "bigint", "v": "double"}
