@@ -173,3 +173,37 @@ def test_merge_insert_rejects_duplicate_source_keys(spark, ds2):
     )
     with pytest.raises(ValueError, match="multiple rows"):
         ds2.merge_insert(spark, src, on="id")
+
+
+def test_read_changes_across_mutation_history(spark, ds2):
+    ds2.update_where(spark, "id = 5", {"val": "42.0"})        # v3: 1 update
+    ds2.delete_where(spark, "id >= 190")                      # v4: 10 deletes
+    src = spark.createDataFrame(
+        [Row(id=7, val=9.0, name="up-7"), Row(id=500, val=1.0, name="new-500")]
+    )
+    ds2.merge_insert(spark, src, on="id")                     # v5: 1 update + 1 insert
+
+    ch = ds2.read_changes(spark, key="id", since_version=2).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r["_version"], r["_change_type"]), set()).add(r["id"])
+    assert by[(3, "update")] == {5}
+    assert (3, "delete") not in by and (3, "insert") not in by
+    assert by[(4, "delete")] == set(range(190, 200))
+    assert by[(5, "update")] == {7}
+    assert by[(5, "insert")] == {500}
+    # delete pre-image carries the old payload
+    pre = [r for r in ch if r["_change_type"] == "delete" and r["id"] == 190][0]
+    assert pre["name"] == "row-190"
+
+
+def test_read_changes_appends_are_inserts(spark, ds2):
+    ch = ds2.read_changes(spark, key="id", since_version=1)
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+    assert ch.count() == 100  # only v2's fragment
+
+
+def test_read_changes_refuses_overwrite_range(spark, ds2):
+    ds2.write(_df(spark, 0, 10), mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        ds2.read_changes(spark, key="id", since_version=1)
