@@ -223,3 +223,58 @@ def test_decontaminate_matches_python_sets(corpus, evals):
     }
     got = {r["doc_id"]: r["n_hits"] for r in decontaminate(cdf, edf).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("delete"), st.integers(0, 100)),
+            st.tuples(st.just("update"), st.integers(0, 100)),
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(st.integers(0, 40), st.integers(200, 300)),
+                    min_size=1, max_size=5, unique_by=lambda t: t[0],
+                ),
+            ),
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_mutation_sequence_matches_pandas_model(tmp_path_factory, base, ops):
+    """Random delete/update/merge sequences on a Dataset vs a plain
+    pandas model of the same semantics."""
+    from lance_flink_spark.sources.dataset import Dataset
+
+    spark = _get_spark()
+    root = str(tmp_path_factory.mktemp("mutprop")) + "/ds"
+    ds = Dataset(root)
+    ds.write(
+        spark.createDataFrame(base, "id long, val long"), max_rows_per_file=5
+    )
+    model = pd.DataFrame(base, columns=["id", "val"])
+    for op in ops:
+        if op[0] == "delete":
+            thr = op[1]
+            ds.delete_where(spark, f"val > {thr}")
+            model = model[~(model["val"] > thr)]
+        elif op[0] == "update":
+            thr = op[1]
+            ds.update_where(spark, f"val <= {thr}", {"val": "val + 1000"})
+            model.loc[model["val"] <= thr, "val"] += 1000
+        else:
+            rows = op[1]
+            src = spark.createDataFrame(rows, "id long, val long")
+            ds.merge_insert(spark, src, on="id")
+            srcdf = pd.DataFrame(rows, columns=["id", "val"])
+            model = pd.concat(
+                [model[~model["id"].isin(srcdf["id"])], srcdf]
+            )
+    got = sorted(map(tuple, ds.read(spark).select("id", "val").collect()))
+    want = sorted(map(tuple, model.itertuples(index=False)))
+    assert got == want
