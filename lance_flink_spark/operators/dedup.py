@@ -552,6 +552,50 @@ def source_overlap(
     )
 
 
+def incremental_near_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_matches: int = 8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate incremental ingest: (batch_id, corpus_id,
+    n_matches) for batch documents sharing ≥ ``min_matches`` of k
+    minhash components with an EXISTING corpus document (est. jaccard
+    ≥ min_matches/k). Consumers anti-join the batch on batch_id to
+    admit only novel documents. Same signature math as
+    minhash_lsh_pairs, so a stored corpus-signature table is reusable
+    across ingests.
+
+    Scale shape: a batch×corpus bucket join on (component, sig) —
+    never batch×corpus rows. The corpus side is the expensive scan; in
+    production persist its signature frame once (it is append-only —
+    new admissions just add signature rows). ``max_bucket`` caps
+    per-bucket corpus docs exactly as in minhash_lsh_pairs (hot keys
+    are broadcast anti-joined away from BOTH sides)."""
+    bs = minhash_signatures(batch, text_col, id_col, k)
+    cs = minhash_signatures(corpus, text_col, id_col, k)
+    if max_bucket is not None:
+        hot = (
+            cs.groupBy("i", "sig")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket)
+            .select("i", "sig")
+        )
+        cs = cs.join(F.broadcast(hot), ["i", "sig"], "left_anti")
+        bs = bs.join(F.broadcast(hot), ["i", "sig"], "left_anti")
+    a = bs.select(F.col(id_col).alias("batch_id"), "i", "sig")
+    b = cs.select(F.col(id_col).alias("corpus_id"), "i", "sig")
+    return (
+        a.join(b, ["i", "sig"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,

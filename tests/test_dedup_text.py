@@ -457,3 +457,48 @@ def test_source_overlap_cap_drops_ubiquitous_grams(spark):
     # ubiquitous gram dropped: only the rare 2-source grams remain
     assert {(r["source_a"], r["source_b"]) for r in capped} == {("s0", "s1")}
     assert capped[0]["n_shared_grams"] == 2  # "rare gram shared", "gram shared x"
+
+
+def test_incremental_near_dedup_flags_near_copies(spark):
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.dedup import incremental_near_dedup
+
+    # per-doc disjoint vocabularies: doc i's tokens are c{i}_0..c{i}_39,
+    # so the ONLY near-dup signal is the planted one
+    words = lambda pre, n: " ".join(f"{pre}_{j}" for j in range(n))
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=words(f"c{i}", 40)) for i in range(20)]
+    )
+    # batch: 100-104 near-copies of corpus docs (1-word change);
+    # 200-204 fresh (disjoint vocabulary -> no shared shingles)
+    near = [
+        Row(doc_id=100 + i, text=words(f"c{i}", 40).replace(f"c{i}_7 ", "zz ", 1))
+        for i in range(5)
+    ]
+    fresh = [Row(doc_id=200 + i, text=words(f"f{i}", 40)) for i in range(5)]
+    batch = spark.createDataFrame(near + fresh)
+    # 1-word edit over ~38 shingles -> jaccard ~0.85; k=16 minhash is
+    # noisy at that set size, so threshold low — fresh docs share ZERO
+    # shingles and stay at 0 matches regardless
+    hits = incremental_near_dedup(batch, corpus, min_matches=5).collect()
+    flagged = {r["batch_id"] for r in hits}
+    assert {100, 101, 102, 103, 104} <= flagged
+    assert flagged.isdisjoint({200, 201, 202, 203, 204})
+    # every flagged pair points at its true source doc
+    assert all(r["corpus_id"] == r["batch_id"] - 100 for r in hits)
+
+
+def test_incremental_near_dedup_bucket_cap_bounds_degenerate_corpus(spark):
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.dedup import incremental_near_dedup
+
+    # degenerate corpus: every doc identical -> all signatures collide
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text="same same same same") for i in range(50)]
+    )
+    batch = spark.createDataFrame([Row(doc_id=999, text="same same same same")])
+    out = incremental_near_dedup(batch, corpus, max_bucket=10)
+    # hot buckets dropped from both sides -> bounded result, no blowup
+    assert out.count() == 0
