@@ -79,6 +79,19 @@ def _zorder(df: DataFrame, cols: list[str]) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"zorder_by columns not in frame: {missing}")
+    from pyspark.sql import types as T
+
+    non_numeric = [
+        c
+        for c in cols
+        if not isinstance(df.schema[c].dataType, T.NumericType)
+    ]
+    if non_numeric:
+        raise ValueError(
+            f"zorder_by requires numeric columns (approxQuantile bucket "
+            f"boundaries); non-numeric: {non_numeric}. Hash or dictionary-"
+            "encode strings first."
+        )
     splits = {
         c: df.approxQuantile(c, [i / nb for i in range(1, nb)], 0.001)
         for c in cols
@@ -385,9 +398,15 @@ class Dataset:
             reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
         return reader.parquet(fsio.join(self.path, glob))
 
-    def compact(self, spark: SparkSession, max_rows_per_file: int = 1_000_000) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        max_rows_per_file: int = 1_000_000,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the live data as one fresh overwrite version (small
-        fragments from streaming appends → right-sized files). Old
+        fragments from streaming appends → right-sized files),
+        optionally Z-order-clustered (Delta OPTIMIZE ZORDER BY). Old
         versions stay readable (time travel); returns the new version.
 
         Caveat (observed in verification): an active ``read_stream``
@@ -396,7 +415,12 @@ class Dataset:
         without a changelog. Don't compact datasets being tailed, or
         restart the stream from a fresh checkpoint after compaction."""
         df = self.read(spark)
-        return self.write(df, mode="overwrite", max_rows_per_file=max_rows_per_file)
+        return self.write(
+            df,
+            mode="overwrite",
+            max_rows_per_file=max_rows_per_file,
+            zorder_by=zorder_by,
+        )
 
     # ---------- row-level mutations (Lance delete / merge_insert parity) ----------
     #

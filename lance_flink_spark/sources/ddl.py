@@ -61,6 +61,17 @@ _CREATE_DB = re.compile(
 _DESCRIBE = re.compile(
     r"(?:DESCRIBE|DESC)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
+_OPTIMIZE = re.compile(
+    r"OPTIMIZE\s+(?P<name>[\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[^)]+)\))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    r"VACUUM\s+(?P<name>[\w.]+)(?:\s+KEEP\s+(?P<keep>\d+))?\s*$", re.IGNORECASE
+)
+_SHOW_VERSIONS = re.compile(
+    r"SHOW\s+VERSIONS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
 _MERGE = re.compile(
     r"MERGE\s+INTO\s+(?P<name>[\w.]+)\s+USING\s+\((?P<src>.+)\)\s+ON\s+(?P<on>\w+)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -261,6 +272,35 @@ class SqlEngine:
             return self.spark.createDataFrame(
                 [(f.name, f.dataType.simpleString(), f.nullable) for f in schema.fields],
                 "col_name string, data_type string, nullable boolean",
+            )
+        m = _OPTIMIZE.match(sql)
+        if m:
+            ds = self.catalog.load_table(self.database, m.group("name"))
+            cols = m.group("cols")
+            ds.compact(
+                self.spark,
+                zorder_by=[c.strip() for c in cols.split(",")] if cols else None,
+            )
+            self._register(m.group("name"))
+            return None
+        m = _VACUUM.match(sql)
+        if m:
+            ds = self.catalog.load_table(self.database, m.group("name"))
+            deleted = ds.vacuum(keep_versions=int(m.group("keep") or 1))
+            return self.spark.createDataFrame(
+                [(f,) for f in deleted] or [], "deleted_file string"
+            )
+        m = _SHOW_VERSIONS.match(sql)
+        if m:
+            vs = self.catalog.load_table(self.database, m.group("name"))._load_manifest()[
+                "versions"
+            ]
+            return self.spark.createDataFrame(
+                [
+                    (v["version"], v["mode"], float(v["ts"]), bool(v.get("expired")))
+                    for v in vs
+                ],
+                "version long, mode string, ts double, expired boolean",
             )
         return self.spark.sql(_rewrite_array_literals(sql))
 

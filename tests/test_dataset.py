@@ -338,3 +338,9 @@ def test_zorder_write_validation(spark, tmp_path_str):
         ds.write(df, zorder_by=["id", "val"], sort_by=["id"])
     with pytest.raises(ValueError, match="not in frame"):
         ds.write(df, zorder_by=["id", "nope"])
+
+
+def test_zorder_rejects_non_numeric(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/ds")
+    with pytest.raises(ValueError, match="numeric"):
+        ds.write(_df(spark, 10), zorder_by=["id", "name"])

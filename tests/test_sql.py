@@ -265,3 +265,22 @@ def test_sql_show_and_describe(engine):
     assert "default" in dbs
     desc = {r["col_name"]: r["data_type"] for r in engine.execute("DESCRIBE st1").collect()}
     assert desc == {"id": "bigint", "v": "double"}
+
+
+def test_sql_optimize_vacuum_show_versions(engine):
+    engine.execute(
+        "CREATE TABLE mv (id BIGINT, x DOUBLE, y DOUBLE) WITH ('connector' = 'lance')"
+    )
+    for i in range(3):
+        engine.execute(
+            f"INSERT INTO mv VALUES ({i}, {i}.0, {i * 2}.0), ({i + 10}, {i}.5, {i}.0)"
+        )
+    engine.execute("OPTIMIZE mv ZORDER BY (x, y)")
+    vs = engine.execute("SHOW VERSIONS FROM mv").collect()
+    assert [r["version"] for r in vs] == [1, 2, 3, 4, 5]
+    assert vs[-1]["mode"] == "overwrite"
+    deleted = engine.execute("VACUUM mv KEEP 1").collect()
+    assert len(deleted) > 0  # pre-compaction fragments reclaimed
+    vs2 = engine.execute("SHOW VERSIONS FROM mv").collect()
+    assert all(r["expired"] for r in vs2[:-1]) and not vs2[-1]["expired"]
+    assert engine.execute("SELECT count(*) AS n FROM mv").first()["n"] == 6
