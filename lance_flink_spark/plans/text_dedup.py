@@ -901,6 +901,56 @@ def vocab_topk(spark, sf_dir):
 
 
 @query(
+    "text_unigram_logprob",
+    extra=True,  # gate budget; oracle-checks the LM-score shape
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.token FROM (
+            SELECT doc_id, {_TOKS} AS arr FROM documents) t,
+            unnest(arr) AS u(token)
+        WHERE u.token <> ''),
+    tf AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS s FROM tf)
+    SELECT doc_id,
+           ROUND(AVG(ln(c / s)), 6) AS avg_logp,
+           COUNT(*) AS n_toks
+    FROM tok JOIN tf USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score (the KenLM-perplexity
+    stand-in every corpus-filter pipeline runs): per-doc mean log
+    probability under the corpus's own unigram distribution — low
+    scores flag gibberish/rare-token documents, high scores flag
+    boilerplate.
+
+    Scale shape: token frequencies partial-aggregate to vocab size and
+    BROADCAST back onto the exploded token stream (vocab << corpus),
+    so the only corpus-sized shuffle is the per-doc average — and the
+    frequency table is reusable across scoring runs."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("s"))
+    return (
+        tok.join(F.broadcast(tf), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("s"))), 6).alias("avg_logp"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+
+
+@query(
     "corpus_mixture",
     extra=True,  # gate budget; data-mixing rates per source
     oracle="""
