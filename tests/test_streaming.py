@@ -1,6 +1,8 @@
 """Streaming: windows = batch parity, exactly-once sink replay,
 stateful operator vs batch aggregate."""
 
+import os
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -169,3 +171,52 @@ def test_state_store_unknown_backend_rejected(spark):
     events = stream_events(spark, SF_DIR, watermark="1 hour")
     with pytest.raises(ValueError, match="rocksdb"):
         run_to_memory(tumbling_agg(events), state_store="rocks")
+
+
+def test_stream_dedup_drops_in_window_duplicates(spark, tmp_path_str):
+    """Flink-SQL-dedup parity: duplicates of a key arriving within the
+    watermark window collapse to the first row, including across
+    micro-batches under one checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lance_flink_spark.streaming.dedup import stream_dedup
+
+    src = tmp_path_str + "/src"
+    os.makedirs(src)
+    base = 1_700_000_000
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + r[1] for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "v": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, f"{src}/{name}.parquet")
+
+    write_batch("b0", [(1, 0, 10), (1, 5, 11), (2, 0, 20)])  # dup k=1 in-batch
+    sink = tmp_path_str + "/sink"
+
+    def drain():
+        s2 = spark.readStream.schema(
+            "k long, ts timestamp, v long"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_dedup(s2, ["k"], watermark="10 minutes")
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", tmp_path_str + "/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # cross-micro-batch duplicate (same checkpoint, second drain)
+    write_batch("b1", [(1, 60, 12), (3, 60, 30)])
+    drain()
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(sink).collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}  # k=1 kept its FIRST value only
