@@ -654,6 +654,75 @@ class Dataset:
             out = out.unionByName(p)
         return out
 
+    # ---------- scalar index (Lance BTREE/BITMAP scalar-index analogue) ----------
+
+    def build_scalar_index(self, spark: SparkSession, col: str) -> int:
+        """Build a value → data-file inverted index for ``col`` (the
+        Lance scalar-index story at file granularity): equality lookups
+        then scan ONLY the files containing the value, regardless of
+        how the data is clustered — the complement of zone maps, which
+        need the data sorted on the column.
+
+        The sidecar is one small parquet (distinct (value, file) pairs
+        — bounded by files × per-file distinct values) written under
+        ``_scalar_index/<col>/`` with the dataset version it indexed;
+        lookups on a moved-on dataset raise until rebuilt. Returns the
+        indexed version."""
+        from pyspark.sql import functions as F
+
+        if col not in self.read(spark).columns:
+            raise ValueError(f"unknown column {col!r}")
+        version = self.versions()[-1]
+        pairs = (
+            self._tagged_scan(spark)
+            .select(F.col(col).alias("value"), "_file")
+            .distinct()
+        )
+        out = fsio.join(self.path, "_scalar_index", col, f"v{version:04d}")
+        pairs.write.mode("overwrite").parquet(out)
+        fsio.write_json_atomic(
+            fsio.join(self.path, "_scalar_index", col, "META.json"),
+            {"version": version, "col": col},
+        )
+        return version
+
+    def read_eq(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Equality lookup through the scalar index: prune to the files
+        containing ``value``, scan those, filter. The index probe is
+        one tiny parquet read with the value pushed down; the collect
+        is bounded by the FILE count for that value."""
+        from pyspark.sql import functions as F
+
+        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
+        if not fsio.exists(meta_path):
+            raise ValueError(f"no scalar index on {col!r} — build_scalar_index first")
+        meta = fsio.read_json(meta_path)
+        current = self.versions()[-1]
+        if meta["version"] != current:
+            raise ValueError(
+                f"scalar index on {col!r} is stale (indexed v{meta['version']}, "
+                f"dataset at v{current}) — rebuild"
+            )
+        idx = spark.read.parquet(
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+        )
+        files = [
+            r["_file"]
+            for r in idx.filter(F.col("value") == F.lit(value)).select("_file").distinct().collect()
+        ]
+        if not files:
+            return self.read(spark).filter(F.col(col) == F.lit(value)).limit(0)
+        df = self._read_files(spark, [self._relpath(f) for f in files]).filter(
+            F.col(col) == F.lit(value)
+        )
+        return df.select(*columns) if columns else df
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Lance cleanup_old_versions parity: physically delete data
         files unreachable from every one of the newest

@@ -344,3 +344,37 @@ def test_zorder_rejects_non_numeric(spark, tmp_path_str):
     ds = Dataset(tmp_path_str + "/ds")
     with pytest.raises(ValueError, match="numeric"):
         ds.write(_df(spark, 10), zorder_by=["id", "name"])
+
+
+def test_scalar_index_prunes_files_on_equality(spark, tmp_path_str):
+    """Equality lookups through the scalar index must scan only the
+    files containing the value — observable via inputFiles()."""
+    from pyspark.sql import functions as F
+
+    ds = Dataset(tmp_path_str + "/ds")
+    # 10 files, category c0..c9 each confined to one file
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.concat(F.lit("c"), (F.col("id") % 10)).alias("cat"),
+    ).repartition(10, "cat")
+    ds.write(df, max_rows_per_file=200)
+    total_files = len(ds.read(spark).inputFiles())
+    assert total_files >= 5
+    ds.build_scalar_index(spark, "cat")
+    hit = ds.read_eq(spark, "cat", "c3")
+    assert len(hit.inputFiles()) < total_files
+    assert hit.count() == 100
+    assert {r["cat"] for r in hit.collect()} == {"c3"}
+    # missing value -> empty, no scan
+    assert ds.read_eq(spark, "cat", "zzz").count() == 0
+    # staleness: any write invalidates
+    extra = spark.createDataFrame([(9999, "c3")], "id long, cat string")
+    ds.write(extra, mode="append")
+    with pytest.raises(ValueError, match="stale"):
+        ds.read_eq(spark, "cat", "c3")
+    ds.build_scalar_index(spark, "cat")
+    assert ds.read_eq(spark, "cat", "c3").count() == 101
+    with pytest.raises(ValueError, match="unknown column"):
+        ds.build_scalar_index(spark, "nope")
+    with pytest.raises(ValueError, match="no scalar index"):
+        ds.read_eq(spark, "id", 5)
