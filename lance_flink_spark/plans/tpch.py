@@ -638,3 +638,99 @@ def scan_pushdown(spark, sf_dir):
         l.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "q4_order_priority",
+    extra=True,  # gate budget; EXISTS-semi-join shape with correlated condition
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """Q4 shape: per-priority count of orders with at least one line
+    shipped after the order date (the commit/receipt condition adapted
+    to the slimmed schema). LEFT SEMI join with the correlated
+    l_shipdate > o_orderdate condition INSIDE the join predicate —
+    one shuffle on orderkey, then a tiny 5-key aggregate."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_by_returnflag",
+    extra=True,  # gate budget; dual conditional-agg (CASE-sum) shape
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark, sf_dir):
+    """Q12 shape (shipmode → returnflag on the slimmed schema): one
+    fact-fact join on orderkey, then CASE-sum conditional counters —
+    both counters partial-aggregate in the same map-side pass."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    extra=True,  # gate budget; conditional-ratio global agg shape
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """Q14 shape: promo revenue share over a date window. part
+    broadcasts (dim-sized), lineitem's date filter pushes to the
+    parquet scan, and the ratio is one global conditional aggregate."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = table(spark, sf_dir, "lineitem").filter(  # noqa: E741
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
