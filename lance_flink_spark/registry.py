@@ -31,6 +31,11 @@ def query(name: str, oracle: str | None = None, extra: bool = False):
     while remaining oracle-checked in pytest."""
 
     def deco(fn):
+        if name in QUERIES or name in EXTRA_QUERIES:
+            # silent last-wins would swap a query out from under its
+            # oracle (a duplicate q18 registration once did exactly
+            # that) — fail loudly at import time instead
+            raise ValueError(f"duplicate registry entry {name!r}")
         (EXTRA_QUERIES if extra else QUERIES)[name] = fn
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
