@@ -334,6 +334,15 @@ class Dataset:
         if batch_size:
             # columnar batch size for the vectorized parquet reader
             reader = reader.option("parquet.read.batch.size", batch_size)
+        # simple-equality filters route through a FRESH scalar index
+        # when one exists: same declared-filter surface (reference's
+        # read.filter), strictly fewer files scanned. Any other shape,
+        # stale index, or time travel falls through to the plain scan
+        # (the filter is still applied below either way).
+        if filter and version is None:
+            routed = self._try_index_prune(spark, filter)
+            if routed is not None:
+                frags = routed
         df = reader.parquet(*frags)
         if filter:
             df = df.filter(filter)
@@ -685,6 +694,79 @@ class Dataset:
             {"version": version, "col": col},
         )
         return version
+
+    def _try_index_prune(self, spark: SparkSession, filter: str) -> list[str] | None:
+        """File list for a simple ``col = literal`` filter via a fresh
+        scalar index, else None. Never raises — declarative reads must
+        not start failing because an index went stale."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*(\w+)\s*(?:=|==)\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$", filter
+        )
+        if not m:
+            return None
+        col, raw, s = m.group(1), m.group(2), m.group(3)
+        value = s if s is not None else (float(raw) if "." in raw else int(raw))
+        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
+        try:
+            if not fsio.exists(meta_path):
+                return None
+            meta = fsio.read_json(meta_path)
+            if meta["version"] != self.versions()[-1]:
+                return None
+            from pyspark.sql import functions as F
+
+            idx = spark.read.parquet(
+                fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+            )
+            return [
+                fsio.join(self.path, self._relpath(r["_file"]))
+                for r in idx.filter(F.col("value") == F.lit(value))
+                .select("_file")
+                .distinct()
+                .collect()
+            ] or None  # empty: let the plain scan return the empty result
+        except Exception:  # noqa: BLE001 - index is an optimization, never a failure
+            return None
+
+    def read_in(
+        self,
+        spark: SparkSession,
+        col: str,
+        values: list,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """IN-list lookup through the scalar index (bitmap-index union):
+        prune to the files containing ANY of ``values``, scan, filter."""
+        from pyspark.sql import functions as F
+
+        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
+        if not fsio.exists(meta_path):
+            raise ValueError(f"no scalar index on {col!r} — build_scalar_index first")
+        meta = fsio.read_json(meta_path)
+        current = self.versions()[-1]
+        if meta["version"] != current:
+            raise ValueError(
+                f"scalar index on {col!r} is stale (indexed v{meta['version']}, "
+                f"dataset at v{current}) — rebuild"
+            )
+        idx = spark.read.parquet(
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+        )
+        files = [
+            r["_file"]
+            for r in idx.filter(F.col("value").isin(values))
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        if not files:
+            return self.read(spark).filter(F.col(col).isin(values)).limit(0)
+        df = self._read_files(spark, [self._relpath(f) for f in files]).filter(
+            F.col(col).isin(values)
+        )
+        return df.select(*columns) if columns else df
 
     def read_eq(
         self,

@@ -378,3 +378,29 @@ def test_scalar_index_prunes_files_on_equality(spark, tmp_path_str):
         ds.build_scalar_index(spark, "nope")
     with pytest.raises(ValueError, match="no scalar index"):
         ds.read_eq(spark, "id", 5)
+
+
+def test_scalar_index_routes_declared_filters_and_in_lists(spark, tmp_path_str):
+    from pyspark.sql import functions as F
+
+    ds = Dataset(tmp_path_str + "/ds")
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.concat(F.lit("c"), (F.col("id") % 10)).alias("cat"),
+    ).repartition(10, "cat")
+    ds.write(df, max_rows_per_file=200)
+    total = len(ds.read(spark).inputFiles())
+    unrouted = ds.read(spark, filter="cat = 'c3'")
+    assert len(unrouted.inputFiles()) == total  # no index yet: full scan
+    ds.build_scalar_index(spark, "cat")
+    routed = ds.read(spark, filter="cat = 'c3'")
+    assert len(routed.inputFiles()) < total  # same API, fewer files
+    assert routed.count() == 100
+    # complex filters fall through to the full scan, same results
+    both = ds.read(spark, filter="cat = 'c3' OR cat = 'c4'")
+    assert both.count() == 200
+    # IN-list lookup (bitmap union)
+    hit = ds.read_in(spark, "cat", ["c3", "c4"])
+    assert len(hit.inputFiles()) < total
+    assert hit.count() == 200
+    assert ds.read_in(spark, "cat", ["zzz"]).count() == 0
