@@ -415,16 +415,26 @@ def q13_customer_distribution(spark, sf_dir):
     """,
 )
 def q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape: HAVING over a grouped join, top-n."""
+    """TPC-H Q18 shape: HAVING over a grouped join, top-n.
+
+    Aggregate-BEFORE-join: the per-orderkey quantity sum and its
+    HAVING filter run on lineitem alone (map-side partial agg, one
+    shuffle on orderkey), so only the few qualifying orderkeys ever
+    join orders — at 100 TB that is the difference between joining the
+    whole fact table and joining a filtered aggregate. The orderkey
+    grain makes this exactly equivalent to the grouped-join form (each
+    order has one customer/date/price)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    qty = (
+        l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 150)
+    )
+    return (
+        o.join(qty, o.o_orderkey == qty.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
