@@ -130,6 +130,8 @@ class DatasetOptions:
     write_batch_size: int = 1024
     write_mode: str = "append"
     write_max_rows_per_file: int = 1_000_000
+    write_sort_by: list[str] | None = None
+    write_zorder_by: list[str] | None = None
     extra: dict = field(default_factory=dict)
 
     @classmethod
@@ -137,6 +139,11 @@ class DatasetOptions:
         """Build from a flat {'path': .., 'read.batch-size': ..} dict —
         the same option-string surface as the reference SQL WITH(...)."""
         cols = opts.get("read.columns")
+
+        def _csv(key):
+            v = opts.get(key)
+            return [c.strip() for c in v.split(",")] if v else None
+
         return cls(
             path=opts["path"],
             read_batch_size=int(opts.get("read.batch-size", 1024)),
@@ -146,6 +153,8 @@ class DatasetOptions:
             write_batch_size=int(opts.get("write.batch-size", 1024)),
             write_mode=opts.get("write.mode", "append"),
             write_max_rows_per_file=int(opts.get("write.max-rows-per-file", 1_000_000)),
+            write_sort_by=_csv("write.sort-by"),
+            write_zorder_by=_csv("write.zorder-by"),
             extra={k: v for k, v in opts.items() if k.startswith(("index.", "vector."))},
         )
 

@@ -284,3 +284,22 @@ def test_sql_optimize_vacuum_show_versions(engine):
     vs2 = engine.execute("SHOW VERSIONS FROM mv").collect()
     assert all(r["expired"] for r in vs2[:-1]) and not vs2[-1]["expired"]
     assert engine.execute("SELECT count(*) AS n FROM mv").first()["n"] == 6
+
+
+def test_insert_honors_clustering_options(engine):
+    engine.execute(
+        """CREATE TABLE clus (id BIGINT, x DOUBLE, y DOUBLE)
+           WITH ('connector' = 'lance', 'write.zorder-by' = 'x, y')"""
+    )
+    engine.execute(
+        "INSERT INTO clus SELECT id, CAST(id % 13 AS DOUBLE), "
+        "CAST(id % 7 AS DOUBLE) FROM range(400)"
+    )
+    assert engine.execute("SELECT count(*) AS n FROM clus").first()["n"] == 400
+    # sort option path
+    engine.execute(
+        """CREATE TABLE srt (id BIGINT) WITH ('connector' = 'lance',
+           'write.sort-by' = 'id')"""
+    )
+    engine.execute("INSERT INTO srt SELECT id FROM range(100)")
+    assert engine.execute("SELECT count(*) AS n FROM srt").first()["n"] == 100
