@@ -6,9 +6,13 @@ SQL surface: scans with pushdown, joins, aggregates, window functions,
 top-n.
 
 Scale notes (100 TB):
-- dims (region/nation/supplier/part/customer) are broadcast — no
-  shuffle of the fact side for those joins; Spark's
-  autoBroadcastJoinThreshold + explicit F.broadcast hints handle it.
+- dim joins go through registry.bcast, a SIZE-GATED broadcast hint:
+  Catalyst's own estimate under autoBroadcastJoinThreshold → hint
+  fires (no shuffle of the fact side); over it → no hint, AQE picks
+  the strategy at runtime. Unconditional F.broadcast is reserved for
+  frames bounded by construction (single-row scalar aggregates) —
+  customer/part/supplier scale with SF, so forcing their broadcast
+  would be a planned-in OOM at TPC-H 100× scale.
 - groupBy aggregates are partial (map-side combine) before the shuffle.
 - top-n uses orderBy().limit(), which Spark executes as
   TakeOrderedAndProject: per-partition heap, driver merge of k rows —
@@ -24,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lance_flink_spark.registry import query, table
+from lance_flink_spark.registry import bcast, query, table
 
 
 @query(
@@ -96,7 +100,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -141,7 +145,7 @@ def q5_local_supplier(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dim), l.l_suppkey == dim.s_suppkey)
+        .join(bcast(dim), l.l_suppkey == dim.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -261,7 +265,7 @@ def mktsegment_rollup(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(bcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -349,10 +353,10 @@ def q7_volume_shipping(spark, sf_dir):
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(bcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(bcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
@@ -434,7 +438,7 @@ def q18_large_orders(spark, sf_dir):
     )
     return (
         o.join(qty, o.o_orderkey == qty.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -465,7 +469,7 @@ def q16_supplier_variety(spark, sf_dir):
     )
     l = table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -498,8 +502,10 @@ def q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total").alias("mx"))
     s = table(spark, sf_dir, "supplier")
     return (
+        # mx is a single-row global aggregate — bounded by construction,
+        # so the unconditional hint is safe at any SF
         rev.join(F.broadcast(mx), rev.total == mx.mx)
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total")
     )
 
@@ -559,7 +565,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         & F.col("l_quantity").between(10, 30)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast(p), l.l_partkey == p.p_partkey)
         .filter(cond1 | cond2)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -590,6 +596,8 @@ def q22_idle_customers(spark, sf_dir):
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     avg_bal = c.filter("c_acctbal > 0").agg(F.avg("c_acctbal").alias("ab"))
     return (
+        # avg_bal is a single-row global aggregate — bounded by
+        # construction, safe to broadcast unconditionally
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
@@ -734,7 +742,7 @@ def q14_promo_revenue(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast(p), l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0

@@ -44,6 +44,23 @@ def query(name: str, oracle: str | None = None, extra: bool = False):
     return deco
 
 
+def ntz_as_utc(col):
+    """Interpret a TIMESTAMP_NTZ wall clock as a UTC instant,
+    independent of the session timezone.
+
+    A plain ``cast('timestamp')`` — and therefore also
+    ``to_utc_timestamp(ntz, 'UTC')``, which casts first — maps the NTZ
+    wall clock through the SESSION timezone, silently shifting every
+    event time when the session tz is not UTC. Rewriting the wall clock
+    from UTC to the current session tz first makes the subsequent
+    session-tz cast land exactly on the UTC instant for ANY session tz
+    (verified in tests/test_ntz.py under America/New_York)."""
+    from pyspark.sql import functions as F
+
+    shifted = F.convert_timezone(F.lit("UTC"), F.expr("current_timezone()"), col)
+    return shifted.cast("timestamp")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a benchmark table. The events table carries TIMESTAMP(NANOS)
     which Spark refuses by default — read nanos as long (runtime conf)
@@ -60,9 +77,52 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # parquet timestamp[us] without tz → Spark 4 infers NTZ, which
             # watermarks/windows reject; interpret the wall clock as UTC
             # (session-tz independent, matches the DuckDB oracle's epoch())
-            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+            df = df.withColumn("ts", ntz_as_utc(F.col("ts")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _parse_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf string ('64MB', '10485760b', '-1')."""
+    s = str(s).strip().lower()
+    for suf, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
+
+
+def bcast(df: DataFrame) -> DataFrame:
+    """Size-gated broadcast hint for the dimension side of a join.
+
+    An unconditional ``F.broadcast`` forces the broadcast regardless of
+    ``spark.sql.autoBroadcastJoinThreshold`` — right for genuinely
+    bounded frames (nation/region, single-row scalar aggregates), a
+    forced executor/driver OOM for SF-scaling dims (customer/part/
+    supplier are billions of rows at TPC-H 100 TB). This helper asks
+    Catalyst for its own size estimate of the optimized logical plan
+    and hints only when the estimate fits under the threshold;
+    otherwise it returns the frame unhinted and lets AQE pick the
+    strategy at runtime (AQE still converts to broadcast when a filter
+    made the side small — without risking a planned-in OOM)."""
+    spark = df.sparkSession
+    try:
+        limit = _parse_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:  # noqa: BLE001 - unparseable conf → no hint
+        return df
+    if limit <= 0:  # broadcast disabled
+        return df
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 - no stats (e.g. Connect) → no hint
+        return df
+    if est > limit:
+        return df
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df)
 
 
 def scratch_dir(*parts: str) -> str:

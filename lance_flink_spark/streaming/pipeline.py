@@ -50,8 +50,10 @@ def stream_events(
         sdf = sdf.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
     elif isinstance(schema[ts_col].dataType, T.TimestampNTZType):
         # NTZ (parquet timestamp[us] w/o tz) is rejected by withWatermark;
-        # interpret wall clock as UTC — session-tz independent (registry.table)
-        sdf = sdf.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+        # interpret wall clock as UTC — session-tz independent (registry.ntz_as_utc)
+        from lance_flink_spark.registry import ntz_as_utc
+
+        sdf = sdf.withColumn(ts_col, ntz_as_utc(F.col(ts_col)))
     return sdf.withWatermark(ts_col, watermark)
 
 

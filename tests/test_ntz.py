@@ -72,3 +72,29 @@ def test_batch_window_agg_on_ntz_matches_epoch_alignment(spark, ntz_sf_dir):
     epoch_2024 = 1704067200  # 2024-01-01T00:00:00Z
     assert starts[0] == epoch_2024
     assert all((s - epoch_2024) % 3600 == 0 for s in starts)
+
+
+def test_ntz_mapping_is_session_tz_independent(spark, ntz_sf_dir):
+    """The ADVICE-flagged bug: to_utc_timestamp(ntz,'UTC') casts NTZ
+    through the SESSION timezone first, so under America/New_York the
+    wall clock 2024-01-01T00:00 landed on epoch 1704085200 (the EST
+    instant) instead of 1704067200 (the UTC instant). registry.ntz_as_utc
+    must produce the UTC instant under ANY session timezone."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.registry import table
+
+    utc_epoch = 1704067200  # 2024-01-01T00:00:00Z
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = table(spark, ntz_sf_dir, "events")
+            first = (
+                df.orderBy("event_id")
+                .select(F.unix_timestamp("ts").alias("epoch"))
+                .first()[0]
+            )
+            assert first == utc_epoch, f"session tz {tz}: epoch {first}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

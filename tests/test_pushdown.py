@@ -83,3 +83,59 @@ def test_ivf_partition_pruning(spark, tmp_path_str):
     # only 1 of 4 list-directories should survive pruning
     n_parts = cand.select("centroid_id").distinct().count()
     assert n_parts == 1
+
+
+def test_bcast_hints_small_dim(spark):
+    """registry.bcast: Catalyst's estimate for sf0.001 customer is far
+    under the 64 MB threshold, so the hint fires and the join plans as
+    BroadcastHashJoin with customer on the build side."""
+    from lance_flink_spark.registry import bcast
+
+    o = table(spark, SF_DIR, "orders")
+    c = table(spark, SF_DIR, "customer")
+    df = o.join(bcast(c), o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_bcast_withholds_hint_over_threshold(spark):
+    """With the threshold below the dim's size estimate the hint must
+    NOT be applied: the planned join falls back to a shuffle strategy
+    (sort-merge / shuffled-hash) instead of a forced broadcast — this
+    is the 100 TB contract (no planned-in OOM on SF-scaling dims)."""
+    from lance_flink_spark.registry import bcast
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        o = table(spark, SF_DIR, "orders")
+        c = table(spark, SF_DIR, "customer")
+        hinted = bcast(c)
+        df = o.join(hinted, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bcast_disabled_threshold_never_hints(spark):
+    """autoBroadcastJoinThreshold=-1 disables broadcasting entirely;
+    bcast must respect that and return the frame unhinted."""
+    from lance_flink_spark.registry import bcast
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c = table(spark, SF_DIR, "customer")
+        assert bcast(c) is c
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q3_keeps_broadcast_plan_at_small_sf(spark):
+    """End-to-end: the size-gated hint still yields the broadcast plan
+    for the real q3 at test SF (the gate must not cost the good plan
+    where broadcasting is right)."""
+    from lance_flink_spark.plans.tpch import q3_shipping_priority
+
+    assert "BroadcastHashJoin" in _plan(q3_shipping_priority(spark, SF_DIR))
