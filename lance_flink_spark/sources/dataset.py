@@ -343,16 +343,24 @@ class Dataset:
         if batch_size:
             # columnar batch size for the vectorized parquet reader
             reader = reader.option("parquet.read.batch.size", batch_size)
-        # simple-equality filters route through a FRESH scalar index
-        # when one exists: same declared-filter surface (reference's
-        # read.filter), strictly fewer files scanned. Any other shape,
-        # stale index, or time travel falls through to the plain scan
-        # (the filter is still applied below either way).
+        # single-column equality/range/BETWEEN filters route through a
+        # FRESH scalar index when one exists: same declared-filter
+        # surface (reference's read.filter), strictly fewer files
+        # scanned. Any other shape, stale index, or time travel falls
+        # through to the plain scan (the filter is still applied below
+        # either way).
+        routed = None
         if filter and version is None:
             routed = self._try_index_prune(spark, filter)
-            if routed is not None:
-                frags = routed
-        df = reader.parquet(*frags)
+        if routed is not None:
+            # conform the routed read to the dataset's FULL merged
+            # schema: the matched files may all predate a schema-
+            # evolving append, and a bare parquet read of them would
+            # drop (or fail to select) the newer columns that the
+            # unrouted scan of the same call surfaces
+            df = self._read_files(spark, [self._relpath(f) for f in routed])
+        else:
+            df = reader.parquet(*frags)
         if filter:
             df = df.filter(filter)
         if columns:
@@ -675,11 +683,13 @@ class Dataset:
     # ---------- scalar index (Lance BTREE/BITMAP scalar-index analogue) ----------
 
     def build_scalar_index(self, spark: SparkSession, col: str) -> int:
-        """Build a value → data-file inverted index for ``col`` (the
-        Lance scalar-index story at file granularity): equality lookups
-        then scan ONLY the files containing the value, regardless of
-        how the data is clustered — the complement of zone maps, which
-        need the data sorted on the column.
+        """Build a value → data-file inverted index PLUS a per-file
+        min/max range sidecar for ``col`` (the Lance BTREE/BITMAP
+        scalar-index story at file granularity): equality/IN lookups
+        scan ONLY the files containing the value, and range predicates
+        (< > <= >= BETWEEN) scan only files whose span overlaps —
+        regardless of how the data is clustered. The complement of zone
+        maps, which need the data sorted on the column.
 
         The sidecar is one small parquet (distinct (value, file) pairs
         — bounded by files × per-file distinct values) written under
@@ -691,32 +701,73 @@ class Dataset:
         if col not in self.read(spark).columns:
             raise ValueError(f"unknown column {col!r}")
         version = self.versions()[-1]
-        pairs = (
-            self._tagged_scan(spark)
-            .select(F.col(col).alias("value"), "_file")
-            .distinct()
-        )
+        tagged = self._tagged_scan(spark)
+        pairs = tagged.select(F.col(col).alias("value"), "_file").distinct()
         out = fsio.join(self.path, "_scalar_index", col, f"v{version:04d}")
         pairs.write.mode("overwrite").parquet(out)
+        # per-file min/max sidecar (the BTREE half of the story): lets
+        # range predicates (< > <= >= BETWEEN) prune to overlapping
+        # files no matter how the data is clustered. One row per file;
+        # all-NULL files get NULL bounds and are correctly skipped by
+        # range probes (SQL range predicates never match NULL).
+        ranges = tagged.groupBy("_file").agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        )
+        ranges.write.mode("overwrite").parquet(out + "_ranges")
         fsio.write_json_atomic(
             fsio.join(self.path, "_scalar_index", col, "META.json"),
             {"version": version, "col": col},
         )
         return version
 
-    def _try_index_prune(self, spark: SparkSession, filter: str) -> list[str] | None:
-        """File list for a simple ``col = literal`` filter via a fresh
-        scalar index, else None. Never raises — declarative reads must
-        not start failing because an index went stale."""
+    _CMP_RE = (
+        r"^\s*(\w+)\s*(==|=|<=|>=|<|>)\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$"
+    )
+    _BTW_RE = (
+        r"^\s*(\w+)\s+between\s+('([^']*)'|-?\d+(?:\.\d+)?)"
+        r"\s+and\s+('([^']*)'|-?\d+(?:\.\d+)?)\s*$"
+    )
+
+    @staticmethod
+    def _parse_index_filter(filter: str):  # noqa: A002 - mirrors reference option name
+        """Parse a declared filter into single-column (op, literal)
+        conjuncts routable through the scalar index: ``col = lit``,
+        ``col <op> lit``, ``col BETWEEN a AND b``, and AND-chains of
+        those on ONE column (the time-range shape ``ts >= a AND ts <
+        b``). Returns (col, [(op, value), ...]) or None for any shape
+        the index can't answer."""
         import re as _re
 
-        m = _re.match(
-            r"^\s*(\w+)\s*(?:=|==)\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$", filter
-        )
-        if not m:
+        def lit(raw, s):
+            return s if s is not None else (float(raw) if "." in raw else int(raw))
+
+        m = _re.match(Dataset._BTW_RE, filter, _re.IGNORECASE)
+        if m:
+            return m.group(1), [
+                (">=", lit(m.group(2), m.group(3))),
+                ("<=", lit(m.group(4), m.group(5))),
+            ]
+        conjuncts: list[tuple[str, object]] = []
+        cols = set()
+        for part in _re.split(r"\s+and\s+", filter.strip(), flags=_re.IGNORECASE):
+            m = _re.match(Dataset._CMP_RE, part)
+            if not m:
+                return None
+            cols.add(m.group(1))
+            conjuncts.append((m.group(2), lit(m.group(3), m.group(4))))
+        if len(cols) != 1:
+            return None  # single-column index: multi-column shapes fall through
+        return cols.pop(), conjuncts
+
+    def _try_index_prune(self, spark: SparkSession, filter: str) -> list[str] | None:
+        """File list for an index-routable declared filter (equality,
+        IN-able equality chains, range comparisons, BETWEEN) via a
+        fresh scalar index, else None. Never raises — declarative
+        reads must not start failing because an index went stale."""
+        parsed = self._parse_index_filter(filter)
+        if parsed is None:
             return None
-        col, raw, s = m.group(1), m.group(2), m.group(3)
-        value = s if s is not None else (float(raw) if "." in raw else int(raw))
+        col, conjuncts = parsed
         meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
         try:
             if not fsio.exists(meta_path):
@@ -726,18 +777,114 @@ class Dataset:
                 return None
             from pyspark.sql import functions as F
 
-            idx = spark.read.parquet(
-                fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+            base = fsio.join(
+                self.path, "_scalar_index", col, f"v{meta['version']:04d}"
             )
+            file_sets: list[set] = []
+            eqs = [v for op, v in conjuncts if op in ("=", "==")]
+            rngs = [(op, v) for op, v in conjuncts if op not in ("=", "==")]
+            if eqs:
+                idx = spark.read.parquet(base)
+                cond = F.lit(True)
+                for v in eqs:
+                    cond = cond & (F.col("value") == F.lit(v))
+                file_sets.append(
+                    {r["_file"] for r in idx.filter(cond).select("_file").distinct().collect()}
+                )
+            if rngs:
+                ranges_path = base + "_ranges"
+                if not fsio.exists(ranges_path):
+                    return None  # index predates range support — rebuild to enable
+                ranges = spark.read.parquet(ranges_path)
+                # a file overlaps the predicate iff its [lo, hi] span
+                # can contain a qualifying value; NULL bounds (all-NULL
+                # files) compare to NULL and are pruned, matching SQL
+                # range semantics
+                cond = F.lit(True)
+                for op, v in rngs:
+                    if op == "<":
+                        cond = cond & (F.col("lo") < F.lit(v))
+                    elif op == "<=":
+                        cond = cond & (F.col("lo") <= F.lit(v))
+                    elif op == ">":
+                        cond = cond & (F.col("hi") > F.lit(v))
+                    elif op == ">=":
+                        cond = cond & (F.col("hi") >= F.lit(v))
+                    else:
+                        return None
+                file_sets.append(
+                    {r["_file"] for r in ranges.filter(cond).select("_file").collect()}
+                )
+            if not file_sets:
+                return None
+            files = set.intersection(*file_sets)
             return [
-                fsio.join(self.path, self._relpath(r["_file"]))
-                for r in idx.filter(F.col("value") == F.lit(value))
-                .select("_file")
-                .distinct()
-                .collect()
+                fsio.join(self.path, self._relpath(f)) for f in sorted(files)
             ] or None  # empty: let the plain scan return the empty result
         except Exception:  # noqa: BLE001 - index is an optimization, never a failure
             return None
+
+    def _fresh_index_meta(self, col: str) -> dict:
+        """META for the scalar index on ``col``; raises if absent or
+        stale (explicit lookups fail loudly, unlike read()-routing)."""
+        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
+        if not fsio.exists(meta_path):
+            raise ValueError(f"no scalar index on {col!r} — build_scalar_index first")
+        meta = fsio.read_json(meta_path)
+        current = self.versions()[-1]
+        if meta["version"] != current:
+            raise ValueError(
+                f"scalar index on {col!r} is stale (indexed v{meta['version']}, "
+                f"dataset at v{current}) — rebuild"
+            )
+        return meta
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lower=None,
+        upper=None,
+        include_lower: bool = True,
+        include_upper: bool = False,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """BTREE-style range lookup through the scalar index: prune to
+        the files whose per-file [min, max] span overlaps
+        [lower, upper), scan only those, then apply the exact
+        predicate. Default bounds are half-open (the time-range idiom);
+        pass None to leave a side unbounded. The index probe reads one
+        tiny parquet of (file, lo, hi) rows — bounded by file count."""
+        from pyspark.sql import functions as F
+
+        if lower is None and upper is None:
+            raise ValueError("read_range needs at least one bound")
+        meta = self._fresh_index_meta(col)
+        ranges = spark.read.parquet(
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+            + "_ranges"
+        )
+        cond = F.lit(True)
+        pred = F.lit(True)
+        if lower is not None:
+            cond = cond & (
+                F.col("hi") >= F.lit(lower) if include_lower else F.col("hi") > F.lit(lower)
+            )
+            pred = pred & (
+                F.col(col) >= F.lit(lower) if include_lower else F.col(col) > F.lit(lower)
+            )
+        if upper is not None:
+            cond = cond & (
+                F.col("lo") <= F.lit(upper) if include_upper else F.col("lo") < F.lit(upper)
+            )
+            pred = pred & (
+                F.col(col) <= F.lit(upper) if include_upper else F.col(col) < F.lit(upper)
+            )
+        files = [r["_file"] for r in ranges.filter(cond).select("_file").collect()]
+        if not files:
+            return self.read(spark).filter(pred).limit(0)
+        df = self._read_files(spark, [self._relpath(f) for f in files]).filter(pred)
+        return df.select(*columns) if columns else df
 
     def read_in(
         self,
@@ -750,16 +897,7 @@ class Dataset:
         prune to the files containing ANY of ``values``, scan, filter."""
         from pyspark.sql import functions as F
 
-        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
-        if not fsio.exists(meta_path):
-            raise ValueError(f"no scalar index on {col!r} — build_scalar_index first")
-        meta = fsio.read_json(meta_path)
-        current = self.versions()[-1]
-        if meta["version"] != current:
-            raise ValueError(
-                f"scalar index on {col!r} is stale (indexed v{meta['version']}, "
-                f"dataset at v{current}) — rebuild"
-            )
+        meta = self._fresh_index_meta(col)
         idx = spark.read.parquet(
             fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
         )
@@ -790,16 +928,7 @@ class Dataset:
         is bounded by the FILE count for that value."""
         from pyspark.sql import functions as F
 
-        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
-        if not fsio.exists(meta_path):
-            raise ValueError(f"no scalar index on {col!r} — build_scalar_index first")
-        meta = fsio.read_json(meta_path)
-        current = self.versions()[-1]
-        if meta["version"] != current:
-            raise ValueError(
-                f"scalar index on {col!r} is stale (indexed v{meta['version']}, "
-                f"dataset at v{current}) — rebuild"
-            )
+        meta = self._fresh_index_meta(col)
         idx = spark.read.parquet(
             fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
         )

@@ -404,3 +404,102 @@ def test_scalar_index_routes_declared_filters_and_in_lists(spark, tmp_path_str):
     assert len(hit.inputFiles()) < total
     assert hit.count() == 200
     assert ds.read_in(spark, "cat", ["zzz"]).count() == 0
+
+
+def test_scalar_index_range_lookup_prunes_files(spark, tmp_path_str):
+    """Range predicates through the scalar index must scan strictly
+    fewer files than the full scan (per-file min/max sidecar), with
+    exact results — the Lance BTREE range-lookup analogue."""
+    from pyspark.sql import functions as F
+
+    ds = Dataset(tmp_path_str + "/ds")
+    # ids clustered into files by century: file k holds [100k, 100k+100)
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") / 100).cast("long").alias("bucket")
+    ).repartition("bucket")
+    ds.write(df, max_rows_per_file=200)
+    total = len(ds.read(spark).inputFiles())
+    assert total >= 5
+    ds.build_scalar_index(spark, "id")
+
+    hit = ds.read_range(spark, "id", lower=250, upper=350)
+    assert len(hit.inputFiles()) < total
+    assert hit.count() == 100
+    vals = {r["id"] for r in hit.collect()}
+    assert vals == set(range(250, 350))
+
+    # bound inclusivity
+    assert ds.read_range(spark, "id", lower=100, upper=200).count() == 100
+    assert (
+        ds.read_range(
+            spark, "id", lower=100, upper=200, include_lower=False, include_upper=True
+        ).count()
+        == 100
+    )
+    # one-sided + empty ranges
+    assert ds.read_range(spark, "id", lower=900).count() == 100
+    assert ds.read_range(spark, "id", upper=0).count() == 0
+    with pytest.raises(ValueError, match="at least one bound"):
+        ds.read_range(spark, "id")
+    # staleness contract matches read_eq
+    ds.write(spark.range(1).select(F.col("id"), F.lit(99).alias("bucket")), mode="append")
+    with pytest.raises(ValueError, match="stale"):
+        ds.read_range(spark, "id", lower=0, upper=10)
+
+
+def test_scalar_index_routes_range_filters(spark, tmp_path_str):
+    """read(filter=...) auto-routing must handle < > <= >= BETWEEN and
+    single-column AND-chains, not just equality."""
+    from pyspark.sql import functions as F
+
+    ds = Dataset(tmp_path_str + "/ds")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") / 100).cast("long").alias("bucket")
+    ).repartition("bucket")
+    ds.write(df, max_rows_per_file=200)
+    total = len(ds.read(spark).inputFiles())
+    ds.build_scalar_index(spark, "id")
+
+    for flt, expect in [
+        ("id < 100", 100),
+        ("id >= 900", 100),
+        ("id BETWEEN 250 AND 349", 100),
+        ("id >= 420 AND id < 480", 60),
+    ]:
+        routed = ds.read(spark, filter=flt)
+        assert len(routed.inputFiles()) < total, flt
+        assert routed.count() == expect, flt
+    # multi-column / unparsable shapes fall through to the full scan
+    full = ds.read(spark, filter="id < 100 AND bucket = 0")
+    assert full.count() == 100
+    assert len(full.inputFiles()) == total
+
+
+def test_scalar_index_routed_read_conforms_to_merged_schema(spark, tmp_path_str):
+    """ADVICE regression: after a schema-evolving append, a routed
+    read() whose matching rows live only in OLD files must still
+    surface the newer columns (as nulls), exactly like the unrouted
+    scan of the same call."""
+    from pyspark.sql import functions as F
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(
+        spark.range(100).select(F.col("id"), F.concat(F.lit("c"), F.col("id") % 4).alias("cat"))
+    )
+    # evolve schema: new column exists only in the second fragment
+    ds.write(
+        spark.range(100, 200).select(
+            F.col("id"),
+            F.lit("c9").alias("cat"),
+            F.lit(1.5).alias("score"),
+        ),
+        mode="append",
+    )
+    ds.build_scalar_index(spark, "cat")
+    routed = ds.read(spark, filter="cat = 'c3'")
+    assert "score" in routed.columns  # old-file-only match keeps full schema
+    rows = routed.collect()
+    assert len(rows) == 25
+    assert all(r["score"] is None for r in rows)
+    # columns= naming the evolved column must not raise on routed reads
+    assert ds.read(spark, columns=["id", "score"], filter="cat = 'c3'").count() == 25
