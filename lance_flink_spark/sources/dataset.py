@@ -58,17 +58,24 @@ def _version_ge_globs(k: int, width: int = 4) -> list[str]:
 _Z_BITS = 6  # 64 equi-depth buckets per dimension
 
 
+_Z_SAMPLE = 10_000  # split-point sample per non-numeric column (bounded collect)
+
+
 def _zorder(df: DataFrame, cols: list[str]) -> DataFrame:
     """Cluster rows on a Z-order (Morton) curve over ``cols`` so
     parquet row-group min/max stats stay tight on EVERY listed column
     simultaneously — linear sort_by only skips on the leading column
     (the Delta OPTIMIZE ZORDER BY story, here at write time).
 
-    Per column: 63 approxQuantile split points (driver-side, one pass,
-    bounded — the same contract as the IVF training sample) map values
-    to 64 equi-depth buckets via a JVM-side filter-count over the
-    broadcast splits array; NULLs sort first as bucket 0. The 6-bit
-    bucket ids are bit-interleaved into one Z value, and the frame is
+    Per column: 63 split points map values to 64 equi-depth buckets
+    via a JVM-side filter-count over the broadcast splits array; NULLs
+    sort first as bucket 0. Numeric columns get approxQuantile splits
+    (one pass, no raw-row collect); other ORDERABLE columns (string /
+    date / timestamp / boolean — Delta's ZORDER accepts these too) get
+    rank-space splits from a bounded random sample, the RangePartitioner
+    contract: a per-partition top-k of _Z_SAMPLE rows on a random key,
+    driver merge of one small scalar list per column. The 6-bit bucket
+    ids are bit-interleaved into one Z value, and the frame is
     range-partitioned + sorted on it. Equi-depth (rank-space) buckets
     make the curve robust to skewed value distributions."""
     from pyspark.sql import functions as F
@@ -81,28 +88,46 @@ def _zorder(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError(f"zorder_by columns not in frame: {missing}")
     from pyspark.sql import types as T
 
-    non_numeric = [
-        c
-        for c in cols
-        if not isinstance(df.schema[c].dataType, T.NumericType)
-    ]
-    if non_numeric:
+    orderable = (
+        T.NumericType, T.StringType, T.DateType,
+        T.TimestampType, T.TimestampNTZType, T.BooleanType,
+    )
+    bad = [c for c in cols if not isinstance(df.schema[c].dataType, orderable)]
+    if bad:
         raise ValueError(
-            f"zorder_by requires numeric columns (approxQuantile bucket "
-            f"boundaries); non-numeric: {non_numeric}. Hash or dictionary-"
-            "encode strings first."
+            f"zorder_by needs orderable scalar columns (numeric/string/"
+            f"date/timestamp/boolean); unsupported: {bad}"
         )
-    splits = {
-        c: df.approxQuantile(c, [i / nb for i in range(1, nb)], 0.001)
-        for c in cols
-    }
     bucket_cols = []
     for c in cols:
-        arr = F.array(*[F.lit(float(s)) for s in splits[c]])
+        if isinstance(df.schema[c].dataType, T.NumericType):
+            splits = df.approxQuantile(c, [i / nb for i in range(1, nb)], 0.001)
+            lits = [F.lit(float(s)) for s in splits]
+            ref = F.col(c).cast("double")
+        else:
+            sample = sorted(
+                r[0]
+                for r in df.select(c)
+                .filter(F.col(c).isNotNull())
+                .orderBy(F.rand(42))
+                .limit(_Z_SAMPLE)
+                .collect()
+            )
+            splits = (
+                [sample[(i * len(sample)) // nb] for i in range(1, nb)]
+                if sample
+                else []
+            )
+            lits = [F.lit(s) for s in splits]
+            ref = F.col(c)
+        if not lits:  # empty/all-NULL column: single bucket
+            bucket_cols.append(F.lit(0))
+            continue
+        arr = F.array(*lits)
         bucket = F.when(
             F.col(c).isNull(), F.lit(0)
         ).otherwise(
-            F.size(F.filter(arr, lambda s: s <= F.col(c).cast("double")))
+            F.size(F.filter(arr, lambda s: s <= ref))
         )
         bucket_cols.append(bucket)
     z = F.lit(0).cast("long")
@@ -556,6 +581,13 @@ class Dataset:
             )
         from pyspark.sql import functions as F
 
+        # conform source TYPES to the dataset schema, not just names: a
+        # source int column unioned into a double fragment would silently
+        # fork the fragment schema (long-vs-double merges later fail)
+        source = source.select(
+            *[F.col(f.name).cast(f.dataType) for f in scan.schema.fields]
+        )
+
         dup = (
             source.groupBy(on)
             .agg(F.count(F.lit(1)).alias("n"))
@@ -964,9 +996,11 @@ class Dataset:
         if cut <= 0:
             return []
         keep_files: set[str] = set()
+        live_frags: set[str] = set()
         for v in vs[cut:]:
             frags, removed = self._live_state(v["version"])
             for frag in frags:
+                live_frags.add(self._relpath(frag))
                 for name in fsio.listdir(frag):
                     rel = self._relpath(fsio.join(frag, name))
                     if name.endswith(".parquet") and rel in removed:
@@ -984,7 +1018,13 @@ class Dataset:
                 for n in names
                 if self._relpath(fsio.join(frag_path, n)) not in keep_files
             ]
-            if len(dead) == len(names):
+            # whole-dir delete ONLY for fragments no retained version
+            # lists as live: a live fragment whose parquet files were
+            # all superseded by a mutation must keep its directory —
+            # _live_paths listdirs every live fragment, and with
+            # _SUCCESS markers disabled (common on object stores)
+            # nothing else would save the dir
+            if len(dead) == len(names) and frag not in live_frags:
                 fsio.delete(frag_path)
                 deleted.extend(fsio.join(frag, n) for n in dead)
             else:

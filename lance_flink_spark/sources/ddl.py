@@ -42,8 +42,11 @@ _ALTER_RENAME = re.compile(
     re.IGNORECASE,
 )
 _ALTER_ADD = re.compile(
+    # cols allows one paren nesting level so parameterized types —
+    # DECIMAL(10,2), TIMESTAMP(3), VARCHAR(255) — parse instead of
+    # silently falling through to spark.sql
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+(?:COLUMNS?\s+)?"
-    r"\(?(?P<cols>[^()]+?)\)?\s*$",
+    r"\(?(?P<cols>(?:[^()]|\([^()]*\))+?)\)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
@@ -196,9 +199,13 @@ def _parse_create(sql: str):
 
 
 def _spark_ddl_types(cols: str) -> str:
-    """Flink type spellings Spark's DDL parser rejects → Spark forms
-    (TIMESTAMP(3) → TIMESTAMP; the precision is a display concern)."""
-    return re.sub(r"\bTIMESTAMP\s*\(\s*\d+\s*\)", "TIMESTAMP", cols, flags=re.IGNORECASE)
+    """Flink type spellings Spark's DDL parser or DataFrame layer
+    rejects → Spark forms: TIMESTAMP(3) → TIMESTAMP (precision is a
+    display concern) and VARCHAR(n)/CHAR(n) → STRING (Flink's STRING
+    is itself VARCHAR(MAX); Spark's Varchar/CharType are unusable in
+    createDataFrame without preserveCharVarcharTypeInfo)."""
+    cols = re.sub(r"\bTIMESTAMP\s*\(\s*\d+\s*\)", "TIMESTAMP", cols, flags=re.IGNORECASE)
+    return re.sub(r"\b(?:VAR)?CHAR\s*\(\s*\d+\s*\)", "STRING", cols, flags=re.IGNORECASE)
 
 
 class SqlEngine:
@@ -212,6 +219,12 @@ class SqlEngine:
 
     def _register(self, name: str) -> None:
         self.catalog.register(self.spark, self.database, name, view=name)
+
+    def _in_catalog(self, name: str) -> bool:
+        try:
+            return self.catalog.table_exists(self.database, name)
+        except Exception:  # noqa: BLE001 - dispatch guard, never a failure
+            return False
 
     def execute(self, sql: str) -> DataFrame | None:
         sql = sql.strip().rstrip(";")
@@ -235,16 +248,19 @@ class SqlEngine:
             self._register(m.group("new"))
             return None
         m = _ALTER_ADD.match(sql)
-        if m:
+        if m and self._in_catalog(m.group("name")):
             return self._alter_add(m)
+        # DML/metadata statements route to the Dataset layer only for
+        # tables this catalog owns; a DELETE/UPDATE/... against a plain
+        # Spark temp view or built-in table falls through to spark.sql
         m = _DELETE.match(sql)
-        if m:
+        if m and self._in_catalog(m.group("name")):
             return self._delete(m)
         m = _UPDATE.match(sql)
-        if m:
+        if m and self._in_catalog(m.group("name")):
             return self._update(m)
         m = _MERGE.match(sql)
-        if m:
+        if m and self._in_catalog(m.group("name")):
             return self._merge(m)
         m = _SHOW_TABLES.match(sql)
         if m:
@@ -263,7 +279,7 @@ class SqlEngine:
             )
             return None
         m = _DESCRIBE.match(sql)
-        if m:
+        if m and self._in_catalog(m.group("name")):
             schema = (
                 self.catalog.load_table(self.database, m.group("name"))
                 .read(self.spark)

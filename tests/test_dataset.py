@@ -340,10 +340,66 @@ def test_zorder_write_validation(spark, tmp_path_str):
         ds.write(df, zorder_by=["id", "nope"])
 
 
-def test_zorder_rejects_non_numeric(spark, tmp_path_str):
+def test_zorder_rejects_non_orderable(spark, tmp_path_str):
+    """Strings/dates Z-order fine now; truly unorderable types (arrays,
+    maps) must still fail loudly."""
+    from pyspark.sql import functions as F
+
     ds = Dataset(tmp_path_str + "/ds")
-    with pytest.raises(ValueError, match="numeric"):
-        ds.write(_df(spark, 10), zorder_by=["id", "name"])
+    df = _df(spark, 10).withColumn("arr", F.array("id"))
+    with pytest.raises(ValueError, match="orderable"):
+        ds.write(df, zorder_by=["id", "arr"])
+
+
+def test_zorder_write_tightens_date_string_pair(spark, tmp_path_str):
+    """Z-order on a (date, string) pair — the Delta OPTIMIZE ZORDER
+    shape the numeric-only restriction used to reject — must keep
+    per-file min/max tight on BOTH dims (rank-space sample splits)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 141).cast("int")).alias("d"),
+        F.format_string("k%04d", (F.col("id") * 2654435761) % 139).alias("s"),
+    )
+
+    def coverage(root, col, to_num):
+        fracs = []
+        for p in glob.glob(os.path.join(root, "data", "v0001-*", "*.parquet")):
+            md = pq.read_metadata(p)
+            ci = md.schema.names.index(col)
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ci).statistics
+                mins.append(to_num(st.min))
+                maxs.append(to_num(st.max))
+            fracs.append(max(maxs) - min(mins))
+        rng = 140.0 if col == "d" else 138.0
+        return sum(fracs) / len(fracs) / rng
+
+    def date_num(v):
+        if isinstance(v, datetime.date):
+            return (v - datetime.date(2024, 1, 1)).days
+        return int(v)  # days-since-epoch int stat
+
+    def str_num(v):
+        if isinstance(v, bytes):
+            v = v.decode()
+        return int(v[1:])
+
+    zds = Dataset(tmp_path_str + "/zds")
+    zds.write(df, zorder_by=["d", "s"], max_rows_per_file=1250)
+    lds = Dataset(tmp_path_str + "/lds")
+    lds.write(df.repartitionByRange(16, "d").sortWithinPartitions("d"), max_rows_per_file=1250)
+
+    zd, zs = coverage(tmp_path_str + "/zds", "d", date_num), coverage(tmp_path_str + "/zds", "s", str_num)
+    ld, ls = coverage(tmp_path_str + "/lds", "d", date_num), coverage(tmp_path_str + "/lds", "s", str_num)
+    assert ld < 0.35 and ls > 0.8  # linear: only the date is tight
+    assert zd < 0.6 and zs < 0.6, (zd, zs, ld, ls)
+    assert zds.read(spark).count() == n
 
 
 def test_scalar_index_prunes_files_on_equality(spark, tmp_path_str):
@@ -503,3 +559,26 @@ def test_scalar_index_routed_read_conforms_to_merged_schema(spark, tmp_path_str)
     assert all(r["score"] is None for r in rows)
     # columns= naming the evolved column must not raise on routed reads
     assert ds.read(spark, columns=["id", "score"], filter="cat = 'c3'").count() == 25
+
+
+def test_vacuum_keeps_live_fragment_dir_without_success_marker(spark, tmp_path_str):
+    """ADVICE regression: a fragment still LIVE at the latest version
+    whose parquet files were ALL superseded by a mutation must keep its
+    directory after vacuum even when no _SUCCESS marker exists (markers
+    are disabled on object stores) — reads listdir every live fragment."""
+    import glob as _glob
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 10))
+    # supersede every row of the v1 fragment
+    ds.update_where(spark, "true", {"val": "val + 1000.0"})
+    # simulate marksuccessfuljobs=false: drop non-parquet marker files
+    for p in _glob.glob(tmp_path_str + "/ds/data/v0001-*/*"):
+        if not p.endswith(".parquet"):
+            os.remove(p)
+    ds.vacuum(keep_versions=1)
+    # the v1 fragment dir must survive (it is live, files merely dead)
+    assert _glob.glob(tmp_path_str + "/ds/data/v0001-*")
+    out = ds.read(spark)
+    assert out.count() == 10
+    assert all(r["val"] >= 1000.0 for r in out.collect())

@@ -303,3 +303,59 @@ def test_insert_honors_clustering_options(engine):
     )
     engine.execute("INSERT INTO srt SELECT id FROM range(100)")
     assert engine.execute("SELECT count(*) AS n FROM srt").first()["n"] == 100
+
+
+def test_alter_add_parameterized_types(engine):
+    """ADVICE regression: ALTER ... ADD with parenthesized types like
+    DECIMAL(10,2) used to silently fall through to spark.sql and fail;
+    the cols group now allows one paren nesting level."""
+    engine.execute(
+        "CREATE TABLE ptyped (id BIGINT) WITH ('connector' = 'lance')"
+    )
+    engine.execute("INSERT INTO ptyped VALUES (1)")
+    engine.execute("ALTER TABLE ptyped ADD (amount DECIMAL(10,2), note VARCHAR(255))")
+    out = engine.execute("SELECT * FROM ptyped")
+    assert set(out.columns) == {"id", "amount", "note"}
+    assert dict(out.dtypes)["amount"] == "decimal(10,2)"
+    assert dict(out.dtypes)["note"] == "string"  # VARCHAR(n) -> STRING
+
+
+def test_dml_on_non_catalog_table_falls_through(engine, spark):
+    """ADVICE regression: statement-shaped DELETE/UPDATE/DESCRIBE
+    against a table the catalog doesn't own must fall through to
+    spark.sql, not raise CatalogError."""
+    from lance_flink_spark.sources.catalog import CatalogError
+
+    spark.range(5).createOrReplaceTempView("plain_view")
+    # DESCRIBE on a temp view now works through Spark itself
+    desc = engine.execute("DESCRIBE plain_view")
+    assert any(r[0] == "id" for r in desc.collect())
+    # DELETE/UPDATE fail with SPARK's error (unsupported on views), not
+    # a misleading CatalogError from the lance dispatch
+    for stmt in ("DELETE FROM plain_view WHERE id = 1",
+                 "UPDATE plain_view SET id = 2 WHERE id = 1"):
+        try:
+            engine.execute(stmt)
+        except CatalogError:  # pragma: no cover
+            raise AssertionError(f"{stmt!r} raised CatalogError")
+        except Exception:
+            pass  # Spark's own unsupported-operation error is expected
+
+
+def test_merge_conforms_source_types(engine, spark):
+    """merge_insert must cast source columns to the dataset schema —
+    an int-typed source against a DOUBLE column must not fork the
+    fragment schema (ADVICE: long-vs-double merges fail later)."""
+    from lance_flink_spark.sources.catalog import Catalog
+
+    engine.execute(
+        "CREATE TABLE typed (id BIGINT, val DOUBLE) WITH ('connector' = 'lance')"
+    )
+    engine.execute("INSERT INTO typed VALUES (1, 1.5), (2, 2.5)")
+    ds = engine.catalog.load_table("default", "typed")
+    src = spark.createDataFrame([(2, 9), (3, 7)], "id long, val int")  # int val
+    ds.merge_insert(spark, src, on="id")
+    out = ds.read(spark)
+    assert dict(out.dtypes)["val"] == "double"
+    got = {r["id"]: r["val"] for r in out.collect()}
+    assert got == {1: 1.5, 2: 9.0, 3: 7.0}
