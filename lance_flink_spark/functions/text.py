@@ -51,10 +51,15 @@ def subword_count(text: Column) -> Column:
 ROLLING_M = 100_000_000_000_000_003  # < 2^63/31 so acc*31+c never overflows
 
 
-def rolling_hash(text: Column) -> Column:
-    """Polynomial rolling hash over the normalized text's code points:
-    acc = (acc*31 + code) mod M, left fold — cross-engine reproducible
-    (DuckDB: list_reduce with a prepended 0 seed).
+def rolling_hash_norm(norm: Column) -> Column:
+    """Polynomial rolling hash over an ALREADY-normalized string's code
+    points: acc = (acc*31 + code) mod M, left fold — cross-engine
+    reproducible (DuckDB: list_reduce with a prepended 0 seed).
+
+    Taking the normalized column lets a single-pass feature extractor
+    (plans/text_dedup.text_features) project normalize_text ONCE and
+    share it between the hash and the md5 fingerprint — measured ~2×
+    faster cold (smaller codegen graph to compile).
 
     The text is split to a char array ONCE and folded; indexing the
     string per position instead would inline the normalization regexp
@@ -62,12 +67,17 @@ def rolling_hash(text: Column) -> Column:
     The char→code conversion is hoisted into one transform() so the
     fold lambda is pure integer math (smaller codegen, ~3× faster
     first-run compile, slightly faster warm)."""
-    codes = F.transform(F.split(normalize_text(text), ""), F.ascii)
+    codes = F.transform(F.split(norm, ""), F.ascii)
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % F.lit(ROLLING_M),
     )
+
+
+def rolling_hash(text: Column) -> Column:
+    """rolling_hash_norm over normalize_text(text)."""
+    return rolling_hash_norm(normalize_text(text))
 
 
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:

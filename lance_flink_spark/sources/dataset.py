@@ -423,7 +423,15 @@ class Dataset:
           stream still can't retract an overwrite that happens mid-
           stream — the changelog-less file-source constraint, same as
           Flink CDC without a changelog; restart from a fresh
-          checkpoint after such an overwrite (see compact())."""
+          checkpoint after such an overwrite (see compact()).
+        - A row-level mutation committed MID-stream is invisible to the
+          running stream: rewrite fragments are m-prefixed and excluded
+          from the v* glob, so carried-forward rows are never fed twice
+          (exactly-once on the original appends, pinned in
+          tests/test_dataset.py). The stream keeps the pre-mutation
+          view of already-fed rows; appends made after the mutation
+          still arrive. Starting a FRESH stream on a mutated dataset
+          raises (above) — compact() first."""
         man = self._load_manifest()["versions"]
         if not man:
             raise FileNotFoundError(f"dataset {self.path} has no data")
@@ -505,7 +513,13 @@ class Dataset:
     def _mutate_commit(
         self, survivors: DataFrame, affected: list[str], mode: str
     ) -> int:
-        frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
+        # 'm' prefix (vs append/overwrite's 'v'): mutation REWRITE
+        # fragments must stay invisible to read_stream's v* file glob —
+        # a running stream has already fed the superseded files, and
+        # feeding the rewrite would double-count every carried-forward
+        # row. Batch reads resolve fragments through the manifest, so
+        # the prefix only matters to the glob.
+        frag = f"data/m{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
         survivors.write.mode("errorifexists").parquet(out)
         return self._commit(mode, frag, removed_files=affected)
@@ -634,6 +648,7 @@ class Dataset:
         key: str,
         since_version: int = 0,
         version: int | None = None,
+        checkpoint_every: int = 16,
     ) -> DataFrame:
         """Change data feed (Delta CDF / Flink CDC analogue): row-level
         changes between ``since_version`` (exclusive) and ``version``
@@ -647,7 +662,16 @@ class Dataset:
         mutation's superseded files are exactly where its deletes and
         update pre-images live. An overwrite in the range raises (it
         has no per-file lineage — the file-source changelog constraint;
-        consumers restart from the overwrite, as with read_stream)."""
+        consumers restart from the overwrite, as with read_stream).
+
+        Plan growth over LONG histories is capped: each mutation diff
+        contributes two anti-joins plus an intersect/exceptAll to the
+        union, so every ``checkpoint_every`` versions the accumulated
+        feed is localCheckpoint-ed (lineage truncated, partial results
+        pinned to executor storage) — a 500-version history builds ~30
+        bounded plans instead of one 500-segment plan that chokes the
+        optimizer. Set ``checkpoint_every=0`` to disable (bounded
+        feeds / pure-append histories don't need it)."""
         from pyspark.sql import functions as F
 
         man = self._load_manifest()["versions"]
@@ -708,8 +732,10 @@ class Dataset:
                 "_change_type", F.lit("")
             ).withColumn("_version", F.lit(0))
         out = pieces[0]
-        for p in pieces[1:]:
+        for i, p in enumerate(pieces[1:], start=2):
             out = out.unionByName(p)
+            if checkpoint_every and i % checkpoint_every == 0:
+                out = out.localCheckpoint(eager=True)
         return out
 
     # ---------- scalar index (Lance BTREE/BITMAP scalar-index analogue) ----------

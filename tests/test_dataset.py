@@ -582,3 +582,67 @@ def test_vacuum_keeps_live_fragment_dir_without_success_marker(spark, tmp_path_s
     out = ds.read(spark)
     assert out.count() == 10
     assert all(r["val"] >= 1000.0 for r in out.collect())
+
+
+def test_read_stream_exactly_once_across_mutation(spark, tmp_path_str):
+    """A mutation committed MID-stream must not double-feed rows: the
+    rewrite fragment is m-prefixed and invisible to the v* stream glob,
+    so totals across an append→update→append history count each
+    original row exactly once."""
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 10))
+    sdf = ds.read_stream(spark)
+    ckpt, out = tmp_path_str + "/ckpt", tmp_path_str + "/out"
+
+    def drain():
+        q = (
+            sdf.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return [r["id"] for r in spark.read.parquet(out).collect()]
+
+    assert sorted(drain()) == list(range(10))
+    # mid-stream mutation: rewrites every row of the first fragment
+    ds.update_where(spark, "true", {"val": "val + 1000.0"})
+    got = drain()
+    assert sorted(got) == list(range(10)), "mutation rewrite was double-fed"
+    # appends after the mutation still arrive
+    ds.write(_df(spark, 5, offset=100), mode="append")
+    got = drain()
+    assert sorted(got) == list(range(10)) + list(range(100, 105))
+    assert len(got) == len(set(got))  # exactly-once on every row
+    # batch read sees the POST-mutation state, unlike the stream
+    assert all(r["val"] >= 1000.0 for r in ds.read(spark).filter("id < 10").collect())
+    # fresh streams on a mutated dataset still refuse until compact()
+    with pytest.raises(ValueError, match="compact"):
+        Dataset(tmp_path_str + "/ds").read_stream(spark)
+
+
+def test_read_changes_long_history_bounded_plan(spark, tmp_path_str):
+    """A 50-version mutation history must stay readable in bounded
+    time: read_changes localCheckpoints the accumulating feed every
+    checkpoint_every versions, so the plan never grows past ~16
+    diff segments no matter the history length."""
+    from pyspark.sql import Row
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(spark.createDataFrame([Row(id=i, val=0.0) for i in range(8)]).coalesce(1))
+    expect_updates = 0
+    for k in range(1, 50):  # 49 more versions: appends + sprinkled updates
+        if k % 5 == 0:
+            ds.update_where(spark, f"id = {k % 8}", {"val": f"val + {k}.0"})
+            expect_updates += 1
+        else:
+            ds.write(
+                spark.createDataFrame([Row(id=100 + k, val=float(k))]).coalesce(1),
+                mode="append",
+            )
+    assert len(ds.versions()) == 50
+    feed = ds.read_changes(spark, key="id")
+    by_type = {r["_change_type"]: r["n"] for r in
+               feed.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()}
+    assert by_type.get("update", 0) == expect_updates
+    assert by_type.get("insert", 0) == 8 + (49 - expect_updates)
+    assert "delete" not in by_type
