@@ -982,3 +982,145 @@ def corpus_mixture(spark, sf_dir):
         default_pct=10,
     )
     return d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "text_tfidf_topk",
+    extra=True,  # gate budget; oracle-checks keyword extraction
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.token FROM (
+            SELECT doc_id, {_TOKS} AS arr FROM documents) t,
+            unnest(arr) AS u(token)
+        WHERE u.token <> ''),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf, df,
+               ROUND(tf * ln(n / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (token), n)
+    SELECT doc_id, token, tf, df, tfidf, rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+        FROM scored) r
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Keyword extraction: per-document top-3 terms by tf-idf
+    (tf · ln(N/df)), ties broken on the token — the classic corpus
+    summarization / topic-tagging op.
+
+    Scale shape: per-(doc,token) counts partial-aggregate map-side;
+    the document-frequency table is vocab-sized and BROADCAST back
+    onto the counts; the per-doc top-3 is one window shuffle on
+    doc_id. The rounded score keeps cross-engine float ordering
+    stable."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.select(
+            "doc_id", "token", "tf", "df", "tfidf",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("vector", "spark", "customer")
+
+
+@query(
+    "text_bm25_search",
+    extra=True,  # gate budget; oracle-checks lexical retrieval
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.token FROM (
+            SELECT doc_id, {_TOKS} AS arr FROM documents) t,
+            unnest(arr) AS u(token)
+        WHERE u.token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ('vector', 'spark', 'customer')
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * ({BM25_K1} + 1.0)
+                   / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))) AS s
+        FROM tf JOIN dfreq USING (token)
+        JOIN dl ON tf.doc_id = dl.doc_id, stats
+        GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval — top-10 documents for a fixed query
+    (Okapi BM25, k1=1.2 b=0.75, the Lucene-style idf ln((N-df+.5)/
+    (df+.5)+1)). The lexical complement of the vector KNN path: data
+    pipelines use it for decontamination lookup and quality probes.
+
+    Scale shape: the token stream is filtered to the QUERY terms
+    BEFORE any aggregation (a handful of terms — the tf frame is
+    query-sized, not corpus-sized); document lengths partial-aggregate
+    map-side; idf + corpus stats are broadcast scalars; top-10 is
+    TakeOrderedAndProject. No corpus-sized shuffle except the dl
+    aggregate, which any per-doc stat already pays."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
