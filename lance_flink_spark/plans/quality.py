@@ -229,3 +229,136 @@ def retention_cohorts(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@query(
+    "events_json_extract",
+    extra=True,  # gate budget: semi-structured (JSON) column extraction
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 10
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON props column with a
+    declared schema and aggregate a typed field.
+
+    from_json with an explicit schema stays entirely in Tungsten
+    (no Python, no schema inference pass — at 100 TB an inference
+    pre-scan would double the read). The extracted field then filters
+    and aggregates like any other column; integer payloads keep the
+    aggregate exact across engines."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_lag_delta",
+    extra=True,  # gate budget: lag/lead inter-event gap analysis
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               ts) AS BIGINT) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s) AS n_gaps,
+           CAST(FLOOR(AVG(gap_s)) AS BIGINT) AS avg_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_lag_delta(spark, sf_dir):
+    """Inter-event gap statistics per user via lag().
+
+    The window partitions by user_id (ordered by ts with event_id as a
+    total-order tie-break — REQUIRED for determinism when two events
+    share a timestamp), so at scale this is one shuffle on user_id and
+    per-key local sorts, never a global sort. avg is floored to whole
+    seconds: an exact integer in both engines, immune to fp division
+    display differences."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ).alias("gap_s")
+    return (
+        ev.select("user_id", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.floor(F.avg("gap_s")).cast("long").alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "customer_spend_ntile",
+    extra=True,  # gate budget: ntile quantile bucketing
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT o_custkey, cents,
+             ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS quartile
+      FROM spend
+    )
+    SELECT quartile, COUNT(*) AS n_customers,
+           ROUND(SUM(cents) / 100.0, 2) AS total_spend,
+           ROUND(MIN(cents) / 100.0, 2) AS min_spend
+    FROM tiled GROUP BY quartile ORDER BY quartile
+    """,
+)
+def customer_spend_ntile(spark, sf_dir):
+    """Customer spend quartiles via ntile(4).
+
+    The per-customer aggregate shuffles once on custkey; the global
+    ntile then orders the REDUCED frame (|customers| rows, not
+    |orders|). A global ordered window is a single-partition sort — at
+    true scale, swap to approx percentile cutpoints + a bucket join
+    (the profile/percentile operators provide exactly that); this
+    entry pins the exact-ntile semantics those approximations must
+    match. Ties broken by custkey for a total order."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_spend"),
+            F.round(F.min("cents") / 100.0, 2).alias("min_spend"),
+        )
+        .orderBy("quartile")
+    )
