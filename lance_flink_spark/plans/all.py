@@ -7,6 +7,7 @@ import lance_flink_spark.plans.aggregates  # noqa: F401
 import lance_flink_spark.plans.events  # noqa: F401
 import lance_flink_spark.plans.quality  # noqa: F401
 import lance_flink_spark.plans.relational_extra  # noqa: F401
+import lance_flink_spark.plans.storage  # noqa: F401
 import lance_flink_spark.plans.tpch  # noqa: F401
 import lance_flink_spark.plans.tpch_more  # noqa: F401
 import lance_flink_spark.plans.temporal_skew  # noqa: F401

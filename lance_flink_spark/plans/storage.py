@@ -1,0 +1,152 @@
+"""Storage-layout operators: bucketed (shuffle-free) joins and
+hive-partitioned writes with partition pruning.
+
+The two physical-layout techniques a 100 TB deployment leans on
+hardest, demonstrated end-to-end as registry entries:
+
+- ``bucketed_join`` — both join sides are written bucketed+sorted on
+  the join key, so the sort-merge join reads co-located buckets and
+  the plan has NO shuffle exchange on either side (pinned in
+  tests/test_storage.py). At real scale this is the difference between
+  re-shuffling 100 TB per join and reading pre-organized buckets; the
+  write-side cost is paid once, amortized over every downstream join.
+- ``partition_pruned_scan`` — facts written hive-partitioned by day;
+  a date-filtered read touches only matching partition directories
+  (PartitionFilters in the scan, pinned by inputFiles count). The
+  analogue of the reference's fragment pruning, at directory
+  granularity.
+
+Both build their layout lazily into .scratch (once per session+sf) and
+register oracle-checked queries over the result — the oracle reads the
+ORIGINAL parquet, proving layout changes don't change answers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lance_flink_spark.registry import query, scratch_dir, table
+
+_DB = "storage_demo"
+_BUCKETS = 8
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+
+
+def _bucketed_table(spark, sf_dir, name: str, key: str) -> str:
+    """Create (once per session+sf) an external parquet table bucketed
+    AND sorted on the join key; return its qualified name.
+
+    Bucket metadata lives in the session catalog, so a fresh session
+    re-registers (re-writes) the table — the one-time cost a real
+    deployment pays at ingest, not per query."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DB}")
+    tbl = f"{_DB}.{name}_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(tbl):
+        path = scratch_dir("bucketed", f"{name}_{_tag(sf_dir)}")
+        (
+            table(spark, sf_dir, name)
+            .write.format("parquet")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return tbl
+
+
+@query(
+    "bucketed_join",
+    extra=True,  # gate budget: co-located join via bucketing
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def bucketed_join(spark, sf_dir):
+    """Fact-fact join over tables bucketed+sorted on the join key.
+
+    Both sides read as `_BUCKETS` pre-hashed, pre-sorted buckets, so
+    the merge join needs neither a shuffle exchange nor a sort — the
+    plan is Scan→SortMergeJoin directly (asserted shuffle-free in
+    tests/test_storage.py). The merge hint pins SMJ so the
+    demonstration doesn't silently degrade to a broadcast join at
+    small SF. Revenue rides as exact integer cents."""
+    lt = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    ot = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    l = spark.table(lt)  # noqa: E741
+    o = spark.table(ot)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    )
+    return (
+        l.hint("merge")
+        .join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def partitioned_events_path(spark, sf_dir) -> str:
+    """Write (once per sf) events hive-partitioned by event day."""
+    path = os.path.join(scratch_dir("partitioned"), f"events_{_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events").withColumn(
+            "event_day", F.to_date("ts")
+        )
+        ev.write.partitionBy("event_day").mode("overwrite").parquet(path)
+    return path
+
+
+@query(
+    "partition_pruned_scan",
+    extra=True,  # gate budget: hive-partition pruning
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def partition_pruned_scan(spark, sf_dir):
+    """Three-day aggregate over day-partitioned events.
+
+    The filter is on the PARTITION column, so Spark prunes at the
+    directory level before any file is opened — the scan's
+    PartitionFilters carry the predicate and inputFiles shrink to the
+    3 matching days (pinned in tests/test_storage.py). At 100 TB this
+    is the difference between listing 3 directories and scanning a
+    month. The oracle filters the unpartitioned original by ts,
+    proving the layout preserves the rows exactly."""
+    path = partitioned_events_path(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("event_day") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("event_day") < F.lit("2024-01-08").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
