@@ -36,6 +36,15 @@ _INSERT = re.compile(
     r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS = re.compile(
+    # Flink 1.17+ CTAS: CREATE TABLE t [WITH (...)] AS SELECT ... —
+    # schema is derived from the query, data is written atomically as
+    # the table's first version. Matched AFTER _CREATE_HEAD (which
+    # requires an explicit column list) in execute().
+    r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"(?:WITH\s*\((?P<opts>[^)]*)\)\s*)?AS\s+(?P<select>SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP = re.compile(r"DROP\s+TABLE\s+(?P<name>[\w.]+)\s*;?\s*$", re.IGNORECASE)
 _ALTER_RENAME = re.compile(
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+(?P<new>[\w.]+)\s*$",
@@ -231,6 +240,9 @@ class SqlEngine:
         created = _parse_create(sql)
         if created:
             return self._create(*created)
+        m = _CTAS.match(sql)
+        if m:
+            return self._ctas(m)
         m = _INSERT.match(sql)
         if m:
             return self._insert(m)
@@ -344,6 +356,30 @@ class SqlEngine:
             return None
         empty = self.spark.createDataFrame([], schema)
         self.catalog.create_table(self.database, name, empty, mode="errorifexists")
+        self._register(name)
+        return None
+
+    def _ctas(self, m: re.Match) -> None:
+        """Flink 1.17 CTAS parity: ``CREATE TABLE t [WITH (...)] AS
+        SELECT ...`` — schema derived from the query, result written as
+        the table's first version in one statement. The SELECT is
+        planned by Catalyst like any other query (pushdown, AQE); only
+        the committed write is new."""
+        name = m.group("name")
+        exists = self.catalog.table_exists(self.database, name)
+        if exists:
+            if m.group("ine"):
+                self._register(name)
+                return None
+            raise CatalogError(f"table {self.database}.{name} already exists")
+        opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or ""))
+        if opts.get("connector", "lance") != "lance":
+            raise ValueError(f"unsupported connector {opts.get('connector')!r}")
+        table_opts = {k: v for k, v in opts.items() if k != "connector"}
+        table_opts.setdefault("path", "")
+        self.options[name] = DatasetOptions.from_options(table_opts)
+        df = self.spark.sql(_rewrite_array_literals(m.group("select")))
+        self.catalog.create_table(self.database, name, df, mode="errorifexists")
         self._register(name)
         return None
 

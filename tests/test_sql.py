@@ -359,3 +359,36 @@ def test_merge_conforms_source_types(engine, spark):
     assert dict(out.dtypes)["val"] == "double"
     got = {r["id"]: r["val"] for r in out.collect()}
     assert got == {1: 1.5, 2: 9.0, 3: 7.0}
+
+
+def test_sql_ctas(engine):
+    engine.execute(
+        """
+        CREATE TABLE src (id BIGINT, grp STRING, v DOUBLE)
+        WITH ('connector' = 'lance')
+        """
+    )
+    engine.execute(
+        "INSERT INTO src VALUES (1,'a',1.5), (2,'a',2.5), (3,'b',4.0)"
+    )
+    engine.execute(
+        """
+        CREATE TABLE agg WITH ('connector' = 'lance') AS
+        SELECT grp, COUNT(*) AS n, SUM(v) AS total
+        FROM src GROUP BY grp
+        """
+    )
+    rows = {
+        r["grp"]: (r["n"], r["total"])
+        for r in engine.execute("SELECT * FROM agg").collect()
+    }
+    assert rows == {"a": (2, 4.0), "b": (1, 4.0)}
+    # second CTAS on the same name raises; IF NOT EXISTS no-ops
+    import pytest as _pytest
+
+    from lance_flink_spark.sources.catalog import CatalogError
+
+    with _pytest.raises(CatalogError):
+        engine.execute("CREATE TABLE agg AS SELECT * FROM src")
+    engine.execute("CREATE TABLE IF NOT EXISTS agg AS SELECT * FROM src")
+    assert len(engine.execute("SELECT * FROM agg").collect()) == 2  # unchanged
