@@ -151,7 +151,8 @@ def events_gapfill(spark, sf_dir):
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).agg(
         F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("vc")
-    )
+    ).persist()  # feeds both the span grid and the fill join — one
+    # scan+agg instead of two (caller releases via unpersist_all)
     spans = daily.groupBy("user_id").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )
