@@ -320,6 +320,89 @@ def events_lag_delta(spark, sf_dir):
 
 
 @query(
+    "hybrid_retrieval_rrf",
+    extra=True,  # gate budget: lexical+vector fusion (RAG retrieval)
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.token FROM (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+            FROM documents) t, unnest(arr) AS u(token)
+        WHERE u.token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ('vector', 'spark', 'customer')
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s
+        FROM tf JOIN dfreq USING (token)
+        JOIN dl ON tf.doc_id = dl.doc_id, stats
+        GROUP BY tf.doc_id),
+    lex AS (SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS r
+        FROM scored) WHERE r <= 10),
+    vecd AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(1 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                 AS dist
+        FROM embeddings e,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q),
+    vec AS (SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS r
+        FROM vecd) WHERE r <= 10)
+    SELECT doc_id, rrf FROM (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + v.r), 0), 6)
+               AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical arm + cosine vector arm fused by
+    reciprocal-rank fusion (rrf = Σ 1/(60+rank)) — the standard RAG
+    first-stage retriever.
+
+    Both arms are the already-oracle-checked registry queries
+    (text_bm25_search / knn_cosine); ranks come from row_number over
+    each arm's ROUNDED score (6dp) with an id tie-break, so the fusion
+    input is deterministic across engines. The rank windows order
+    10-row post-top-k frames — single-partition is fine there; the
+    heavy lifting (corpus scan, ANN) happened inside the arms, which
+    scale independently."""
+    from lance_flink_spark.plans.text_dedup import text_bm25_search
+    from lance_flink_spark.plans.vectors import knn_cosine
+
+    lex = text_bm25_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lr"))
+    vec = knn_cosine(spark, sf_dir)
+    wv = Window.orderBy(F.asc("distance"), F.asc("vec_id"))
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wv).alias("vr")
+    )
+    one = F.lit(1.0)
+    return (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(one / (F.lit(60) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(60) + F.col("vr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
     "customer_spend_ntile",
     extra=True,  # gate budget: ntile quantile bucketing
     oracle="""
