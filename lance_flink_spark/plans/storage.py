@@ -76,12 +76,16 @@ def _bucketed_table(spark, sf_dir, name: str, key: str) -> str:
 def bucketed_join(spark, sf_dir):
     """Fact-fact join over tables bucketed+sorted on the join key.
 
-    Both sides read as `_BUCKETS` pre-hashed, pre-sorted buckets, so
-    the merge join needs neither a shuffle exchange nor a sort — the
-    plan is Scan→SortMergeJoin directly (asserted shuffle-free in
-    tests/test_storage.py). The merge hint pins SMJ so the
-    demonstration doesn't silently degrade to a broadcast join at
-    small SF. Revenue rides as exact integer cents."""
+    Both sides read as `_BUCKETS` pre-hashed buckets
+    (SelectedBucketsCount in the scan), so the merge join needs NO
+    shuffle exchange on either side — asserted in
+    tests/test_storage.py, with a plain-parquet control that does
+    shuffle. A local per-bucket sort remains when a bucket spans
+    multiple files (Spark trusts sortBy metadata only for
+    one-file-per-bucket); it is node-local and spill-free, unlike the
+    exchange it replaces. The merge hint pins SMJ so the demonstration
+    doesn't silently degrade to a broadcast join at small SF. Revenue
+    rides as exact integer cents."""
     lt = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     ot = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
     l = spark.table(lt)  # noqa: E741
