@@ -44,7 +44,11 @@ def _bucketed_table(spark, sf_dir, name: str, key: str) -> str:
     Bucket metadata lives in the session catalog, so a fresh session
     re-registers (re-writes) the table — the one-time cost a real
     deployment pays at ingest, not per query."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DB}")
+    # pin the db location into .scratch: the default would be a
+    # spark-warehouse dir under the DRIVER'S cwd, which may not be
+    # writable (and shouldn't be written) when invoked from elsewhere
+    loc = scratch_dir("bucketed", "_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DB} LOCATION '{loc}'")
     tbl = f"{_DB}.{name}_{_tag(sf_dir)}"
     if not spark.catalog.tableExists(tbl):
         path = scratch_dir("bucketed", f"{name}_{_tag(sf_dir)}")
