@@ -4,6 +4,7 @@ Grown as operators land; __spark_entry__ and bench.py import this.
 """
 
 import lance_flink_spark.plans.aggregates  # noqa: F401
+import lance_flink_spark.plans.analytics  # noqa: F401
 import lance_flink_spark.plans.events  # noqa: F401
 import lance_flink_spark.plans.quality  # noqa: F401
 import lance_flink_spark.plans.relational_extra  # noqa: F401

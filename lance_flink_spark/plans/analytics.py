@@ -1,0 +1,278 @@
+"""Time-series downsampling, heavy hitters, robust outliers, and
+Johnson-Lindenstrauss embedding projection.
+
+Four shapes a 100 TB training/analytics pipeline reaches for that the
+inventory did not yet cover:
+
+- ``events_ohlc`` — per (event_type, day) open/high/low/close/volume
+  downsample, the canonical time-series compaction before charting or
+  feature extraction. First/last are tie-broken on (ts, event_id) so
+  the result is a total function of the input (no "first row Spark
+  happened to see").
+- ``token_heavy_hitters`` — per-source frequent tokens above a share
+  threshold (Misra-Gries exact-above-threshold semantics via the
+  two-phase count: any token with share ≥ φ within its source is
+  reported exactly; nothing below can sneak in).
+- ``events_value_outliers`` — robust per-group anomaly report
+  (median/MAD, the estimator that doesn't melt when the outliers it
+  is hunting contaminate the mean/stddev).
+- ``embeddings_jl_project`` — deterministic ±1 (Rademacher)
+  Johnson-Lindenstrauss projection 64→8 dims, the cheap
+  dimensionality reduction used before coarse clustering/blocking.
+  Same md5-seeded plane family as the embedding near-dup blocking, so
+  the DuckDB oracle embeds the identical literals.
+
+Float discipline follows plans/quality.py: money/value aggregates ride
+as integer cents (``floor(v*100 + 0.5)``); medians/MADs of BIGINT
+cents interpolate to exact x.0/x.5 doubles in both engines.
+
+Scale notes (100 TB): OHLC is one partial-agg shuffle on the
+(group, day) key. Heavy hitters is two chained aggregates on token
+keys with a broadcast of the per-source totals (source count is
+bounded). The outlier report's exact per-group median is the pinned
+small-group semantics; the 100 TB path swaps ``percentile`` for
+``approx_percentile`` with identical plan shape (see
+``customer_spend_ntile`` for the same pin pattern). The JL projection
+is a stateless map — zero shuffles, whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lance_flink_spark.registry import bcast, query, table
+from lance_flink_spark.operators.dedup import rademacher_planes
+
+_CENTS = "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
+
+
+@query(
+    "events_ohlc",
+    extra=True,  # gate budget: windowed first/last + minmax downsample
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             {_CENTS} AS vc, ts, event_id
+      FROM events
+    ), w AS (
+      SELECT event_type, day, vc,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN vc END) AS open_c,
+           MAX(vc) AS high_c, MIN(vc) AS low_c,
+           MAX(CASE WHEN rn_d = 1 THEN vc END) AS close_c,
+           SUM(vc) AS volume_c, COUNT(*) AS n
+    FROM w GROUP BY event_type, day
+    """,
+)
+def events_ohlc(spark, sf_dir):
+    """OHLC downsample per (event_type, day): open/close tie-broken on
+    (ts, event_id) — a deterministic total order, unlike FIRST()'s
+    partition-arrival order — plus high/low/volume/count in cents.
+
+    Plan: one scan → two row_number windows over the SAME
+    (event_type, day) partitioning (Spark reuses one Exchange; the
+    second window only re-sorts) → final hash aggregate on the window
+    key, partial-agg map-side. At 100 TB this is the standard rollup
+    shuffle on a well-distributed composite key; no skew (days ×
+    types)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        # date_trunc timestamp, not a DATE cast: both engines agree on
+        # the timestamp dtype through the pandas compare (gapfill pin)
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr(_CENTS).alias("vc"),
+        "ts",
+        "event_id",
+    )
+    part = Window.partitionBy("event_type", "day")
+    w = e.select(
+        "event_type",
+        "day",
+        "vc",
+        F.row_number()
+        .over(part.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("rn_a"),
+        F.row_number()
+        .over(part.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_d"),
+    )
+    return w.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).alias("open_c"),
+        F.max("vc").alias("high_c"),
+        F.min("vc").alias("low_c"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).alias("close_c"),
+        F.sum("vc").alias("volume_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "token_heavy_hitters",
+    extra=True,  # gate budget: threshold heavy hitters, scalar-share join
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), tc AS (
+      SELECT source, token, COUNT(*) AS cnt FROM tok
+      WHERE token <> '' GROUP BY source, token
+    ), tot AS (
+      SELECT source, SUM(cnt) AS total FROM tc GROUP BY source
+    )
+    SELECT tc.source, tc.token, tc.cnt,
+           ROUND(tc.cnt * 1.0 / tot.total, 6) AS share
+    FROM tc JOIN tot ON tc.source = tot.source
+    WHERE tc.cnt * 1.0 / tot.total >= 0.02
+    """,
+)
+def token_heavy_hitters(spark, sf_dir):
+    """Per-source heavy hitters: tokens whose within-source share is
+    ≥ φ=2%. Exactness: the two-phase count reports EVERY token at or
+    above the threshold with its true count (the guarantee sketches
+    like Misra-Gries/count-min only approximate) — affordable because
+    phase one reduces the corpus to (source, token) partial counts
+    map-side before any shuffle.
+
+    Plan: explode → partial-agg shuffle on (source, token) → per-source
+    totals (a second tiny aggregate, broadcast back) → filter. The only
+    corpus-sized shuffle carries distinct (source, token) pairs, not
+    token instances. At 100 TB the vocabulary-bounded second agg is
+    kilobytes regardless of corpus size."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
+    return (
+        tc.join(bcast(tot), "source")
+        .filter(F.col("cnt") * 1.0 / F.col("total") >= 0.02)
+        .select(
+            "source",
+            "token",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "events_value_outliers",
+    extra=True,  # gate budget: median/MAD robust anomaly report
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, {_CENTS} AS vc FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(vc, 0.5) AS med_c FROM e GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.vc, med.med_c,
+             quantile_cont(ABS(e.vc - med.med_c), 0.5)
+               OVER (PARTITION BY e.event_type) AS mad_c
+      FROM e JOIN med ON e.event_type = med.event_type
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(ANY_VALUE(med_c), 1) AS med_c,
+           ROUND(ANY_VALUE(mad_c), 1) AS mad_c,
+           SUM(CASE WHEN ABS(vc - med_c) > 5 * mad_c THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev GROUP BY event_type
+    """,
+)
+def events_value_outliers(spark, sf_dir):
+    """Robust per-group outlier report: exact median and MAD (median
+    absolute deviation) of the cents value per event_type, plus the
+    count of rows beyond 5 MADs. Median/MAD instead of mean/stddev
+    because the contamination being hunted would drag the mean toward
+    itself (breakdown point 0 vs 50%).
+
+    Exact ``percentile`` over BIGINT cents interpolates to x.0/x.5 —
+    bit-identical across engines. Pinned-exact like
+    ``order_value_percentiles``; the 100 TB path is the same plan with
+    ``approx_percentile`` (group count here is tiny — the shuffle key
+    is event_type — so exact is also fine at scale: percentile state
+    is per-group, groups are few)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_CENTS).alias("vc")
+    )
+    med = e.groupBy("event_type").agg(F.expr("percentile(vc, 0.5)").alias("med_c"))
+    dev = e.join(bcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vc") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_c")
+    )
+    return (
+        dev.join(bcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med_c"), 1).alias("med_c"),
+            F.round(F.first("mad_c"), 1).alias("mad_c"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("vc") - F.col("med_c")) > 5 * F.col("mad_c"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_JL_PLANES = rademacher_planes(64, 8, salt="jl")
+
+
+def _jl_cols():
+    """8 projection columns as Catalyst HOF dot products against ±1
+    literal arrays — JVM-side, codegen'd, no Python in the path."""
+    cols = []
+    for j, p in enumerate(_JL_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot, 6).alias(f"p{j}"))
+    return cols
+
+
+@query(
+    "embeddings_jl_project",
+    extra=True,  # gate budget: deterministic JL dim reduction
+    oracle="""
+    SELECT vec_id, {projs}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    """.format(
+        projs=", ".join(
+            "ROUND(list_inner_product(v, [{lits}]), 6) AS p{j}".format(
+                lits=", ".join(f"{float(x)}" for x in p), j=j
+            )
+            for j, p in enumerate(_JL_PLANES)
+        )
+    ),
+)
+def embeddings_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64→8 dims with the md5-seeded
+    Rademacher (±1) plane family (salt "jl" — disjoint from the
+    near-dup blocking planes). Distances are preserved within
+    (1±ε) w.h.p. (Achlioptas 2003 shows ±1 entries suffice), which is
+    all coarse clustering/blocking needs.
+
+    Deterministic and engine-independent: both engines evaluate the
+    identical literal planes, so the oracle is a full value match (the
+    dot product is a 64-term sequential fold in both — float error
+    ~1e-15 vs the 1e-6 rounding grain). Stateless map, zero shuffles;
+    at 100 TB this is a pure scan-transform-write pass."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.select("vec_id", *_jl_cols())
