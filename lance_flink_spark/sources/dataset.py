@@ -184,6 +184,14 @@ class DatasetOptions:
         )
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its manifest swap (optimistic concurrency — Lance/Delta conditional
+    commit semantics). Appends retry automatically; mutations and
+    overwrites surface the conflict because their rewrite was computed
+    against a state that no longer exists."""
+
+
 class Dataset:
     """A versioned parquet dataset rooted at ``path``.
 
@@ -214,14 +222,33 @@ class Dataset:
         fragment: str,
         tag: str | None = None,
         removed_files: list[str] | None = None,
+        dropped_columns: list[str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         man = self._load_manifest()
+        if (
+            expected_version is not None
+            and len(man["versions"]) != expected_version
+        ):
+            # optimistic concurrency (Lance conditional-put / Delta
+            # commit protocol analogue): the caller computed its change
+            # against ``expected_version``; a commit that landed since
+            # would be silently clobbered by appending on top of state
+            # the caller never saw. Data files already written stay
+            # invisible (only the manifest makes fragments live), so a
+            # failed commit leaves no torn state behind.
+            raise CommitConflict(
+                f"dataset advanced to v{len(man['versions'])} "
+                f"(expected v{expected_version})"
+            )
         version = len(man["versions"]) + 1
         entry = {"version": version, "mode": mode, "fragment": fragment, "ts": time.time()}
         if tag is not None:
             entry["tag"] = tag
         if removed_files:
             entry["removed_files"] = sorted(removed_files)
+        if dropped_columns:
+            entry["dropped_columns"] = sorted(dropped_columns)
         man["versions"].append(entry)
         # tmp-write + rename commit, like Lance's manifest swap — local
         # and any Hadoop scheme (s3a://, hdfs://) via fsio
@@ -250,6 +277,25 @@ class Dataset:
             live.append(v["fragment"])
             removed.update(v.get("removed_files", ()))
         return [fsio.join(self.path, f) for f in live], removed
+
+    def _dropped_cols(self, version: int | None = None) -> list[str]:
+        """Columns logically dropped as of ``version`` (latest if
+        None). Lance drop-column semantics: metadata-only — the commit
+        records the names, reads project them away, and the bytes are
+        physically removed only when a later mutation/compact rewrites
+        the fragment. Overwrite resets the set (the new data defines
+        the schema)."""
+        vs = self._load_manifest()["versions"]
+        if version is not None:
+            vs = [v for v in vs if v["version"] <= version]
+        dropped: list[str] = []
+        for v in vs:
+            if v["mode"] == "overwrite":
+                dropped = []
+            for c in v.get("dropped_columns", ()):
+                if c not in dropped:
+                    dropped.append(c)
+        return dropped
 
     def _live_fragments(self, version: int | None = None) -> list[str]:
         """Fragment dirs visible at ``version`` (latest if None).
@@ -297,8 +343,17 @@ class Dataset:
         tag: str | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Write ``df`` as a new dataset version. Returns the version.
+
+        ``expected_version`` (optimistic concurrency): commit only if
+        the dataset is still at that version, else raise
+        ``CommitConflict``. Appends never need it — they commute, and
+        the commit re-reads the manifest under the atomic swap — but an
+        overwrite that was DERIVED from a snapshot (compact, a
+        read-modify-write job) passes the snapshot version so a
+        concurrent append cannot be silently erased by a stale rewrite.
 
         ``max_rows_per_file`` maps to spark.sql.files.maxRecordsPerFile
         so executors split large partitions into bounded files — the
@@ -332,7 +387,38 @@ class Dataset:
             .mode("errorifexists")
             .parquet(out)
         )
-        return self._commit(mode, frag, tag=tag)
+        return self._commit(mode, frag, tag=tag, expected_version=expected_version)
+
+    def drop_columns(self, spark: SparkSession, cols: list[str]) -> int:
+        """Logically drop columns (Lance ``drop_columns`` parity):
+        metadata-only commit — reads at or after the new version
+        project the columns away; time travel to earlier versions
+        still sees them; the bytes leave the disk when a mutation or
+        ``compact()`` next rewrites the fragments (which read through
+        ``read()`` and therefore write the reduced schema).
+
+        Re-adding a dropped name later is refused by the SQL layer's
+        ALTER ADD: with name-based parquet schema merging, the old
+        bytes would resurface under the new column. (Restart any
+        ``read_stream`` tails after schema changes — the raw-file
+        stream glob predates the projection.)"""
+        from pyspark.sql import types as T
+
+        base = len(self.versions())
+        schema = self.read(spark).schema
+        missing = [c for c in cols if c not in schema.names]
+        if missing:
+            raise ValueError(f"cannot drop unknown columns {missing}")
+        if len(cols) >= len(schema.names):
+            raise ValueError("cannot drop every column of a dataset")
+        reduced = T.StructType([f for f in schema.fields if f.name not in cols])
+        frag = f"data/v{base + 1:04d}-{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame([], reduced).write.mode("errorifexists").parquet(
+            fsio.join(self.path, frag)
+        )
+        return self._commit(
+            "append", frag, dropped_columns=list(cols), expected_version=base
+        )
 
     def find_tag(self, tag: str) -> int | None:
         for v in self._load_manifest()["versions"]:
@@ -386,6 +472,12 @@ class Dataset:
             df = self._read_files(spark, [self._relpath(f) for f in routed])
         else:
             df = reader.parquet(*frags)
+        dropped = [c for c in self._dropped_cols(version) if c in df.columns]
+        if dropped:
+            # logical drop-column projection (metadata-only drops):
+            # applied BEFORE filter/columns, so referencing a dropped
+            # column fails analysis exactly like a never-existing one
+            df = df.drop(*dropped)
         if filter:
             df = df.filter(filter)
         if columns:
@@ -473,12 +565,16 @@ class Dataset:
         rows (duplicates) — same constraint as any file-stream source
         without a changelog. Don't compact datasets being tailed, or
         restart the stream from a fresh checkpoint after compaction."""
+        base = len(self.versions())
         df = self.read(spark)
+        # snapshot-derived overwrite: CAS on the snapshot version so a
+        # concurrent append cannot be erased by this stale rewrite
         return self.write(
             df,
             mode="overwrite",
             max_rows_per_file=max_rows_per_file,
             zorder_by=zorder_by,
+            expected_version=base,
         )
 
     # ---------- row-level mutations (Lance delete / merge_insert parity) ----------
@@ -511,7 +607,11 @@ class Dataset:
         return [self._relpath(r["_file"]) for r in rows]
 
     def _mutate_commit(
-        self, survivors: DataFrame, affected: list[str], mode: str
+        self,
+        survivors: DataFrame,
+        affected: list[str],
+        mode: str,
+        base_version: int | None = None,
     ) -> int:
         # 'm' prefix (vs append/overwrite's 'v'): mutation REWRITE
         # fragments must stay invisible to read_stream's v* file glob —
@@ -522,7 +622,13 @@ class Dataset:
         frag = f"data/m{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
         survivors.write.mode("errorifexists").parquet(out)
-        return self._commit(mode, frag, removed_files=affected)
+        # CAS against the version the rewrite was COMPUTED from: a
+        # commit that landed mid-mutation (another writer's append or
+        # mutation) would make this rewrite stale — its survivors were
+        # derived from files that are no longer the whole story
+        return self._commit(
+            mode, frag, removed_files=affected, expected_version=base_version
+        )
 
     def delete_where(self, spark: SparkSession, predicate: str) -> int | None:
         """Delete rows matching ``predicate``; returns the new version,
@@ -531,6 +637,7 @@ class Dataset:
         An active ``read_stream`` cannot observe a delete (file sources
         have no changelog — same caveat as compact()); restart streams
         after mutations."""
+        base = len(self.versions())
         affected = self._affected_files(
             self._tagged_scan(spark).filter(predicate)
         )
@@ -542,7 +649,7 @@ class Dataset:
         keep = self._read_files(spark, affected).filter(
             f"NOT coalesce(({predicate}), false)"
         )
-        return self._mutate_commit(keep, affected, "delete")
+        return self._mutate_commit(keep, affected, "delete", base_version=base)
 
     def update_where(
         self, spark: SparkSession, predicate: str, assignments: dict[str, str]
@@ -552,6 +659,7 @@ class Dataset:
         column name → SQL expression (evaluated on the matched row)."""
         from pyspark.sql import functions as F
 
+        base = len(self.versions())
         scan = self.read(spark)
         for col in assignments:
             if col not in scan.columns:
@@ -573,7 +681,7 @@ class Dataset:
                 for c in df.columns
             ]
         )
-        return self._mutate_commit(updated, affected, "update")
+        return self._mutate_commit(updated, affected, "update", base_version=base)
 
     def merge_insert(
         self, spark: SparkSession, source: DataFrame, on: str
@@ -587,6 +695,7 @@ class Dataset:
         (broadcast when small), pruned the same way as delete_where.
         Never a full-dataset rewrite, and the source is scanned twice at
         most (keys + payload)."""
+        base = len(self.versions())
         scan = self.read(spark)
         if set(source.columns) != set(scan.columns):
             raise ValueError(
@@ -621,7 +730,7 @@ class Dataset:
         if affected:
             keep = self._read_files(spark, affected).join(keys, on, "left_anti")
             merged = keep.unionByName(source)
-            return self._mutate_commit(merged, affected, "merge")
+            return self._mutate_commit(merged, affected, "merge", base_version=base)
         # no matched keys anywhere: pure insert — a plain append version
         return self.write(source, mode="append")
 

@@ -58,6 +58,19 @@ _ALTER_ADD = re.compile(
     r"\(?(?P<cols>(?:[^()]|\([^()]*\))+?)\)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_DROP = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+(?:COLUMNS?\s+)?"
+    r"\(?(?P<cols>[\w\s,]+?)\)?\s*$",
+    re.IGNORECASE,
+)
+_TIME_TRAVEL = re.compile(
+    # SELECT-side time travel: `t VERSION AS OF 3` (Delta/Spark
+    # spelling) or `t FOR SYSTEM_TIME AS OF 3` (Flink temporal
+    # spelling, with the manifest version as the time attribute)
+    r"(?P<tbl>[A-Za-z_]\w*)\s+(?:VERSION\s+AS\s+OF\s+(?P<v1>\d+)"
+    r"|FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<v2>\d+))",
+    re.IGNORECASE,
+)
 _DELETE = re.compile(
     r"DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -259,6 +272,9 @@ class SqlEngine:
                 self.options[m.group("new")] = self.options.pop(m.group("name"))
             self._register(m.group("new"))
             return None
+        m = _ALTER_DROP.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            return self._alter_drop(m)
         m = _ALTER_ADD.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._alter_add(m)
@@ -330,7 +346,28 @@ class SqlEngine:
                 ],
                 "version long, mode string, ts double, expired boolean",
             )
-        return self.spark.sql(_rewrite_array_literals(sql))
+        return self.spark.sql(
+            _rewrite_array_literals(self._rewrite_time_travel(sql))
+        )
+
+    def _rewrite_time_travel(self, sql: str) -> str:
+        """Substitute ``t VERSION AS OF n`` / ``t FOR SYSTEM_TIME AS OF
+        n`` references to catalog tables with a temp view pinned to
+        that manifest version (plain Catalyst scan of the version's
+        live files — pushdown intact). Non-catalog identifiers are left
+        untouched, so Spark's own error surfaces for them."""
+
+        def sub(m: re.Match) -> str:
+            tbl = m.group("tbl")
+            if not self._in_catalog(tbl):
+                return m.group(0)
+            v = int(m.group("v1") or m.group("v2"))
+            view = f"{tbl}__v{v}"
+            ds: Dataset = self.catalog.load_table(self.database, tbl)
+            ds.read(self.spark, version=v).createOrReplaceTempView(view)
+            return view
+
+        return _TIME_TRAVEL.sub(sub, sql)
 
     # ---------- statements ----------
 
@@ -410,11 +447,32 @@ class SqlEngine:
         added = T._parse_datatype_string(
             f"struct<{_spark_ddl_types(_strip_comments(m.group('cols')))}>"
         )
+        dropped = set(ds._dropped_cols())
         for f in added.fields:
             if f.name in old.names:
                 raise CatalogError(f"column {f.name!r} already exists in {name}")
+            if f.name in dropped:
+                # name-based parquet schema merging would resurface the
+                # dropped column's old bytes under the "new" column
+                raise CatalogError(
+                    f"column {f.name!r} was dropped from {name}; rewrite the "
+                    "table (OPTIMIZE) before reusing the name"
+                )
         widened = T.StructType(old.fields + added.fields)
         ds.write(self.spark.createDataFrame([], widened), mode="append")
+        self._register(name)
+        return None
+
+    def _alter_drop(self, m: re.Match) -> None:
+        """Flink/Delta ALTER TABLE ... DROP (col, ...) — Lance
+        drop-column semantics via Dataset.drop_columns: metadata-only
+        commit, reads project the columns away, bytes reclaimed at the
+        next rewrite. Earlier versions stay time-travelable WITH the
+        column."""
+        name = m.group("name")
+        cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        ds.drop_columns(self.spark, cols)
         self._register(name)
         return None
 

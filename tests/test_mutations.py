@@ -207,3 +207,78 @@ def test_read_changes_refuses_overwrite_range(spark, ds2):
     ds2.write(_df(spark, 0, 10), mode="overwrite")
     with pytest.raises(ValueError, match="overwrite"):
         ds2.read_changes(spark, key="id", since_version=1)
+
+
+def test_drop_columns_metadata_only_with_time_travel(spark, ds2):
+    pre = len(ds2.versions())
+    v = ds2.drop_columns(spark, ["name"])
+    assert v == pre + 1
+    assert ds2.read(spark).columns == ["id", "val"]
+    # earlier versions still see the column (metadata-only drop)
+    assert "name" in ds2.read(spark, version=pre).columns
+    # a later mutation rewrite physically writes the reduced schema
+    ds2.update_where(spark, "id = 0", {"val": "9.0"})
+    assert ds2.read(spark).columns == ["id", "val"]
+    assert ds2.read(spark).filter("id = 0").first()["val"] == 9.0
+
+
+def test_drop_columns_validates(spark, ds2):
+    with pytest.raises(ValueError, match="unknown columns"):
+        ds2.drop_columns(spark, ["nope"])
+    with pytest.raises(ValueError, match="every column"):
+        ds2.drop_columns(spark, ["id", "val", "name"])
+
+
+def test_drop_columns_compact_resets(spark, ds2):
+    ds2.drop_columns(spark, ["name"])
+    ds2.compact(spark)
+    # overwrite resets the dropped set; the rewritten data simply has
+    # no such column anymore
+    assert ds2._dropped_cols() == []
+    assert ds2.read(spark).columns == ["id", "val"]
+
+
+def test_commit_conflict_on_stale_overwrite(spark, ds2):
+    from lance_flink_spark.sources.dataset import CommitConflict
+
+    base = len(ds2.versions())
+    ds2.write(_df(spark, 200, 210), mode="append")  # concurrent writer
+    with pytest.raises(CommitConflict, match="advanced"):
+        ds2.write(
+            _df(spark, 0, 1), mode="overwrite", expected_version=base
+        )
+    # the failed commit left no torn state: the append is intact
+    assert ds2.read(spark).count() == 210
+
+
+def test_commit_conflict_mid_mutation(spark, ds2):
+    """A writer that commits between a mutation's snapshot and its
+    manifest swap must force the mutation to fail, not be clobbered."""
+    from lance_flink_spark.sources.dataset import CommitConflict, Dataset
+
+    other = Dataset(ds2.path)
+    real = ds2._read_files
+
+    def interleaved(spark_, files):
+        # first call happens after the snapshot version was captured
+        ds2._read_files = real
+        other.write(_df(spark_, 500, 510), mode="append")
+        return real(spark_, files)
+
+    ds2._read_files = interleaved
+    with pytest.raises(CommitConflict):
+        ds2.delete_where(spark, "id < 10")
+    # the concurrent append survived; nothing was deleted
+    assert ds2.read(spark).count() == 210
+    assert ds2.read(spark).filter("id < 10").count() == 10
+
+
+def test_append_never_conflicts(spark, ds2):
+    base = len(ds2.versions())
+    other = Dataset(ds2.path)
+    other.write(_df(spark, 300, 310), mode="append")
+    # plain appends commute: no expected_version, commit re-reads the
+    # manifest under the swap
+    ds2.write(_df(spark, 400, 410), mode="append")
+    assert len(ds2.versions()) == base + 2
+    assert ds2.read(spark).count() == 220

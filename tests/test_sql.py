@@ -392,3 +392,49 @@ def test_sql_ctas(engine):
         engine.execute("CREATE TABLE agg AS SELECT * FROM src")
     engine.execute("CREATE TABLE IF NOT EXISTS agg AS SELECT * FROM src")
     assert len(engine.execute("SELECT * FROM agg").collect()) == 2  # unchanged
+
+
+def test_sql_time_travel_version_as_of(engine):
+    engine.execute("CREATE TABLE tt (id BIGINT, v DOUBLE) WITH ('connector'='lance','path'='')")
+    engine.execute("INSERT INTO tt VALUES (1, 1.0), (2, 2.0)")
+    engine.execute("INSERT INTO tt VALUES (3, 3.0)")
+    assert engine.execute("SELECT COUNT(*) AS c FROM tt").first()["c"] == 3
+    # CREATE TABLE committed empty v1; the INSERTs are v2 and v3
+    # Delta/Spark spelling
+    assert (
+        engine.execute("SELECT COUNT(*) AS c FROM tt VERSION AS OF 2").first()["c"]
+        == 2
+    )
+    # Flink temporal spelling (manifest version as the time attribute)
+    assert (
+        engine.execute(
+            "SELECT SUM(v) AS s FROM tt FOR SYSTEM_TIME AS OF 2"
+        ).first()["s"]
+        == 3.0
+    )
+    # joins between versions work (both sides rewritten to views)
+    row = engine.execute(
+        "SELECT COUNT(*) AS c FROM tt a JOIN tt VERSION AS OF 2 b ON a.id = b.id"
+    ).first()
+    assert row["c"] == 2
+
+
+def test_sql_alter_drop_column(engine):
+    engine.execute(
+        "CREATE TABLE dropt (id BIGINT, a DOUBLE, b STRING) WITH ('connector'='lance','path'='')"
+    )
+    engine.execute("INSERT INTO dropt VALUES (1, 1.5, 'x'), (2, 2.5, 'y')")
+    engine.execute("ALTER TABLE dropt DROP COLUMN b")
+    cols = [r["col_name"] for r in engine.execute("DESCRIBE dropt").collect()]
+    assert cols == ["id", "a"]
+    assert engine.execute("SELECT * FROM dropt").columns == ["id", "a"]
+    # pre-drop version still carries the column
+    assert "b" in engine.execute("SELECT * FROM dropt VERSION AS OF 2").columns
+    # re-adding the dropped name is refused (old bytes would resurface)
+    from lance_flink_spark.sources.catalog import CatalogError
+
+    with pytest.raises(CatalogError, match="was dropped"):
+        engine.execute("ALTER TABLE dropt ADD (b STRING)")
+    # a fresh name is fine
+    engine.execute("ALTER TABLE dropt ADD (c DOUBLE)")
+    assert engine.execute("SELECT * FROM dropt").columns == ["id", "a", "c"]
