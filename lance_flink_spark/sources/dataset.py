@@ -758,6 +758,7 @@ class Dataset:
         since_version: int = 0,
         version: int | None = None,
         checkpoint_every: int = 16,
+        update_preimages: bool = False,
     ) -> DataFrame:
         """Change data feed (Delta CDF / Flink CDC analogue): row-level
         changes between ``since_version`` (exclusive) and ``version``
@@ -780,7 +781,13 @@ class Dataset:
         pinned to executor storage) — a 500-version history builds ~30
         bounded plans instead of one 500-segment plan that chokes the
         optimizer. Set ``checkpoint_every=0`` to disable (bounded
-        feeds / pure-append histories don't need it)."""
+        feeds / pure-append histories don't need it).
+
+        ``update_preimages=True`` switches to Delta CDF's four-type
+        contract: changed rows emit BOTH an ``update_preimage`` (the
+        old payload) and an ``update_postimage`` row, which is what
+        incremental aggregate maintenance needs (subtract the old,
+        add the new — see sources/matview.py)."""
         from pyspark.sql import functions as F
 
         man = self._load_manifest()["versions"]
@@ -829,13 +836,20 @@ class Dataset:
             survivors = new.join(old_keys, key, "left_semi")
             unchanged = survivors.intersect(old)
             updates = survivors.exceptAll(unchanged).withColumn(
-                "_change_type", F.lit("update")
+                "_change_type",
+                F.lit("update_postimage" if update_preimages else "update"),
             )
-            pieces.append(
-                deletes.unionByName(inserts)
-                .unionByName(updates)
-                .withColumn("_version", F.lit(v["version"]))
-            )
+            piece = deletes.unionByName(inserts).unionByName(updates)
+            if update_preimages:
+                # the old payloads of exactly the keys whose payload
+                # changed — pre-image rows old-side, mirroring the
+                # postimages new-side
+                changed_keys = updates.select(key).distinct()
+                pre = old.join(changed_keys, key, "left_semi").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                piece = piece.unionByName(pre)
+            pieces.append(piece.withColumn("_version", F.lit(v["version"])))
         if not pieces:
             return self.read(spark).limit(0).withColumn(
                 "_change_type", F.lit("")

@@ -1,0 +1,100 @@
+"""Incrementally-maintained materialized aggregate (sources/matview.py):
+refresh folds only CDF deltas into the stored SUM/COUNT state; parity
+is pinned against a full recompute after every mutation kind."""
+
+import pytest
+from pyspark.sql import Row
+
+from lance_flink_spark.sources.dataset import Dataset
+from lance_flink_spark.sources.matview import MaterializedAggregate
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(id=i, grp=g, v=v) for i, g, v in rows])
+
+
+def _expected(spark, ds):
+    from pyspark.sql import functions as F
+
+    return {
+        (r["grp"],): (r["s"], r["c"])
+        for r in ds.read(spark)
+        .groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def _state(spark, mv):
+    return {
+        (r["grp"],): (r["sum_v"], r["cnt"]) for r in mv.read(spark).collect()
+    }
+
+
+@pytest.fixture()
+def setup(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/src")
+    ds.write(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]))
+    mv = MaterializedAggregate(
+        ds, tmp_path_str + "/mv", row_key="id", group_cols=["grp"], value_col="v"
+    )
+    return ds, mv
+
+
+def test_initial_full_compute_and_noop(spark, setup):
+    ds, mv = setup
+    v = mv.refresh(spark)
+    assert v == 1
+    assert _state(spark, mv) == _expected(spark, ds)
+    # no new source versions: refresh is a metadata no-op
+    assert mv.refresh(spark) == 1
+
+
+def test_incremental_across_append_update_delete_merge(spark, setup):
+    ds, mv = setup
+    mv.refresh(spark)
+    # append
+    ds.write(_df(spark, [(4, "b", 7), (5, "c", 1)]), mode="append")
+    assert mv.refresh(spark) == 2
+    assert _state(spark, mv) == _expected(spark, ds)
+    # update (pre-image subtracted, post-image added)
+    ds.update_where(spark, "id = 2", {"v": "100"})
+    assert mv.refresh(spark) == 3
+    assert _state(spark, mv) == _expected(spark, ds)
+    # delete (group 'c' disappears entirely — cnt=0 rows are dropped)
+    ds.delete_where(spark, "grp = 'c'")
+    mv.refresh(spark)
+    st = _state(spark, mv)
+    assert st == _expected(spark, ds)
+    assert ("c",) not in st
+    # merge upsert: replaces id=1 (a,10 -> a,50) and inserts id=9
+    ds.merge_insert(
+        spark, _df(spark, [(1, "a", 50), (9, "b", 3)]), on="id"
+    )
+    mv.refresh(spark)
+    assert _state(spark, mv) == _expected(spark, ds)
+
+
+def test_overwrite_falls_back_to_rebuild(spark, setup):
+    ds, mv = setup
+    mv.refresh(spark)
+    ds.write(_df(spark, [(1, "z", 42)]), mode="overwrite")
+    v = mv.refresh(spark)
+    assert v == 2
+    assert _state(spark, mv) == {("z",): (42, 1)}
+
+
+def test_cdf_update_preimages_contract(spark, setup):
+    ds, _ = setup
+    ds.update_where(spark, "id = 3", {"v": "6"})
+    rows = ds.read_changes(
+        spark, key="id", since_version=1, update_preimages=True
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["update_preimage"]) == 1
+    assert by_type["update_preimage"][0]["v"] == 5
+    assert len(by_type["update_postimage"]) == 1
+    assert by_type["update_postimage"][0]["v"] == 6
+    assert "update" not in by_type
