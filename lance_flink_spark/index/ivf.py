@@ -194,6 +194,23 @@ def _stack(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype(np.float64)
 
 
+def _sq_encode_udf(bounds_b, bits: int):
+    """Arrow-batched scalar quantizer: per-dim uniform codes in
+    [0, 2^bits - 1] against broadcast global bounds."""
+    levels = (1 << bits) - 1
+
+    @pandas_udf("array<int>")
+    def sq_encode(v: pd.Series) -> pd.Series:
+        x = _stack(v)
+        lo, hi = bounds_b.value
+        codes = np.clip(
+            np.rint((x - lo) / (hi - lo) * levels), 0, levels
+        ).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return sq_encode
+
+
 class IVFIndex:
     """An IVF index rooted at ``path``; see module docstring for layout."""
 
@@ -212,13 +229,18 @@ class IVFIndex:
         nlist: int = 256,
         pq_sub_vectors: int | None = None,
         pq_bits: int = 8,
+        sq_bits: int | None = None,
         sample_size: int = 262_144,
         seed: int = 42,
         distributed_kmeans: bool | None = None,
         kmeans_iters: int = 25,
         opq: bool = False,
     ) -> "IVFIndex":
-        """Build IVF_FLAT (pq_sub_vectors=None) or IVF_PQ.
+        """Build IVF_FLAT (pq_sub_vectors=None), IVF_PQ, or IVF_SQ
+        (``sq_bits`` — Lance's scalar-quantization variant: per-dim
+        uniform codes against global [min, max] bounds; 4× smaller scan
+        at 8 bits with far cheaper decode than PQ's LUT walk, the usual
+        pick when memory—not disk—is the constraint).
 
         ``distributed_kmeans`` defaults to AUTO: above nlist=512 the
         centroids (and PQ codebooks) are trained with pyspark.ml's
@@ -237,6 +259,8 @@ class IVFIndex:
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
+        if pq_sub_vectors is not None and sq_bits is not None:
+            raise ValueError("pq_sub_vectors and sq_bits are mutually exclusive")
         if distributed_kmeans is None:
             distributed_kmeans = nlist > 512
         ncodes = 2**pq_bits
@@ -277,10 +301,30 @@ class IVFIndex:
                     ]
                 )  # (m, ncodes, sub)
 
+        sq_bounds = None
+        if sq_bits is not None:
+            # exact per-dimension [min, max] over the FULL dataset: one
+            # posexplode + (pos) aggregate — output is dim rows, the
+            # shuffle is map-side-combined, and bounds are deterministic
+            # (no sample dependence), so re-encodes are reproducible
+            rows = (
+                df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                .groupBy("pos")
+                .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+                .collect()
+            )
+            lo = np.empty(dim)
+            hi = np.empty(dim)
+            for r in rows:
+                lo[r["pos"]], hi[r["pos"]] = float(r["lo"]), float(r["hi"])
+            sq_bounds = np.stack([lo, np.maximum(hi, lo + 1e-12)])
+
         fsio.makedirs(path)
         _save_npy(fsio.join(path, "centroids.npy"), cents)
         if codebooks is not None:
             _save_npy(fsio.join(path, "codebooks.npy"), codebooks)
+        if sq_bounds is not None:
+            _save_npy(fsio.join(path, "sq_bounds.npy"), sq_bounds)
         if rot is not None:
             _save_npy(fsio.join(path, "rotation.npy"), rot)
         fsio.write_json_atomic(
@@ -290,6 +334,7 @@ class IVFIndex:
                 "dim": dim,
                 "pq_sub_vectors": pq_sub_vectors,
                 "pq_bits": pq_bits,
+                "sq_bits": sq_bits,
                 "vec_col": vec_col,
                 "opq": rot is not None,
             },
@@ -327,6 +372,14 @@ class IVFIndex:
                 return pd.Series(list(codes))
 
             out = out.withColumn("pq_code", pq_encode(F.col(vec_col), F.col("centroid_id")))
+
+        if sq_bounds is not None:
+            out = out.withColumn(
+                "sq_code",
+                _sq_encode_udf(
+                    spark.sparkContext.broadcast(sq_bounds), sq_bits
+                )(F.col(vec_col)),
+            )
 
         (
             out.repartition("centroid_id")
@@ -385,6 +438,18 @@ class IVFIndex:
                 return pd.Series(list(codes))
 
             out = out.withColumn("pq_code", pq_encode(F.col(vec_col), F.col("centroid_id")))
+        if meta.get("sq_bits"):
+            bounds = _load_npy(fsio.join(self.path, "sq_bounds.npy"))
+            # global bounds are FROZEN at build time (like the
+            # centroids): new values outside them clip to the edge
+            # code — re-score via refine catches any ranking damage;
+            # rebuild on real distribution drift
+            out = out.withColumn(
+                "sq_code",
+                _sq_encode_udf(
+                    spark.sparkContext.broadcast(bounds), meta["sq_bits"]
+                )(F.col(vec_col)),
+            )
         out = out.persist()
         try:
             (
@@ -609,7 +674,7 @@ class IVFIndex:
         lists only. With nprobes >= nlist this is exact brute force."""
         meta = self._meta()
         cand = self._probe_lists(spark, query_vec, nprobes, metric=metric).drop(
-            "centroid_id", "pq_code"
+            "centroid_id", "pq_code", "sq_code"
         )
         return _brute_knn(
             cand, query_vec, k, vec_col=meta["vec_col"], metric=metric,
@@ -709,6 +774,67 @@ class IVFIndex:
             )
             return _brute_knn(short, query_vec, k, vec_col=meta["vec_col"], metric=metric)
         out_cols = [c for c in scored.columns if c not in (meta["vec_col"], "pq_code", "centroid_id")]
+        return (
+            scored.select(*out_cols, F.round("adc_distance", 6).alias("distance"))
+            .orderBy("distance", out_cols[0])
+            .limit(k)
+        )
+
+
+    def search_sq(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int,
+        nprobes: int = 20,
+        refine_factor: int | None = 4,
+        metric: str = "l2",
+    ) -> DataFrame:
+        """IVF_SQ search: decode the per-dim uniform codes back to an
+        approximate vector per batch (one fused numpy expression — no
+        LUT walk, the cheapness that makes SQ attractive), score under
+        the metric, then exact re-scoring of refine_factor*k candidates
+        exactly like search_pq. ``adc_distance`` keeps the ascending =
+        closer convention (dot negated, cosine as 1 - cos)."""
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        meta = self._meta()
+        if not meta.get("sq_bits"):
+            raise ValueError("index was built without scalar quantization")
+        if metric not in ("l2", "cosine", "dot"):
+            raise ValueError(f"unsupported metric {metric!r}")
+        bounds = _load_npy(fsio.join(self.path, "sq_bounds.npy"))
+        levels = (1 << meta["sq_bits"]) - 1
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = max(float(np.linalg.norm(q)), 1e-12)
+        cand = self._probe_lists(spark, query_vec, nprobes, metric=metric)
+        bounds_b = spark.sparkContext.broadcast(bounds)
+
+        @pandas_udf("double")
+        def sq_dist(codes: pd.Series) -> pd.Series:
+            lo, hi = bounds_b.value
+            x = lo + np.stack(codes.to_numpy()) / levels * (hi - lo)
+            if metric == "l2":
+                d = np.sqrt(((x - q) ** 2).sum(1))
+            elif metric == "dot":
+                d = -(x @ q)
+            else:
+                n = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
+                d = 1.0 - (x @ q) / (n * qn)
+            return pd.Series(d)
+
+        scored = cand.withColumn("adc_distance", sq_dist(F.col("sq_code")))
+        if refine_factor:
+            short = scored.orderBy("adc_distance").limit(k * refine_factor).drop(
+                "adc_distance", "centroid_id", "sq_code"
+            )
+            return _brute_knn(short, query_vec, k, vec_col=meta["vec_col"], metric=metric)
+        out_cols = [
+            c
+            for c in scored.columns
+            if c not in (meta["vec_col"], "sq_code", "centroid_id")
+        ]
         return (
             scored.select(*out_cols, F.round("adc_distance", 6).alias("distance"))
             .orderBy("distance", out_cols[0])

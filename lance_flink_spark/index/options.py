@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lance_flink_spark.index.ivf import IVFIndex
 
-_INDEX_TYPES = ("IVF_FLAT", "IVF_PQ", "IVF_HNSW")
+_INDEX_TYPES = ("IVF_FLAT", "IVF_PQ", "IVF_HNSW", "IVF_SQ")
 
 
 def _geti(opts: dict, key: str, default: int | None) -> int | None:
@@ -38,7 +38,8 @@ def build_args_from_options(opts: dict) -> dict:
     itype = opts.get("index.type", "IVF_PQ").upper()
     if itype not in _INDEX_TYPES:
         raise ValueError(
-            f"Unsupported index type: {itype}, supported types: IVF_PQ, IVF_HNSW, IVF_FLAT"
+            f"Unsupported index type: {itype}, supported types: "
+            "IVF_PQ, IVF_HNSW, IVF_FLAT, IVF_SQ"
         )
     args: dict = {
         "vec_col": opts.get("index.column", opts.get("vector.column", "embedding")),
@@ -51,6 +52,9 @@ def build_args_from_options(opts: dict) -> dict:
         # residual rotation before the sub-vector split
         if str(opts.get("index.opq", "false")).lower() in ("true", "1"):
             args["opq"] = True
+    if itype == "IVF_SQ":
+        # Lance's scalar-quantization variant (per-dim uniform codes)
+        args["sq_bits"] = _geti(opts, "index.num-bits", 8)
     if itype == "IVF_HNSW":
         args["m"] = _geti(opts, "index.m", 16)
         args["ef_construction"] = _geti(opts, "index.ef-construction", 100)
@@ -113,6 +117,13 @@ def search_index_with_options(
             spark, query_vec, k,
             nprobes=args["nprobes"],
             ef=args.get("ef", 100),
+            metric=args["metric"],
+        )
+    if meta.get("sq_bits"):
+        return idx.search_sq(
+            spark, query_vec, k,
+            nprobes=args["nprobes"],
+            refine_factor=args.get("refine_factor", 4),
             metric=args["metric"],
         )
     if meta["pq_sub_vectors"]:

@@ -437,3 +437,69 @@ def test_compact_heals_interrupted_swap(spark, emb, qvec, tmp_path_str):
     assert spark.read.parquet(base).count() == rows_before
     got = _ids(idx.search(spark, qvec, k=10, nprobes=8, metric="l2"))
     assert got == _ids(knn(emb, qvec, k=10, metric="l2"))
+
+
+def test_ivf_sq_refine_is_exact_at_full_probe(spark, emb, qvec, tmp_path_str):
+    """SQ8 + refine at nprobes=nlist: the uniform 8-bit decode is tight
+    enough that the refine shortlist always contains the true top-10 on
+    the real embeddings, and the exact re-score restores brute order."""
+    idx = IVFIndex.build(
+        spark, emb, tmp_path_str + "/sq", nlist=8, sq_bits=8, sample_size=1000
+    )
+    got = _ids(idx.search_sq(spark, qvec, k=10, nprobes=8, refine_factor=4))
+    want = _ids(knn(emb, qvec, k=10, metric="l2"))
+    assert got == want
+
+
+def test_ivf_sq_metrics_and_no_refine(spark, emb, qvec, tmp_path_str):
+    idx = IVFIndex.build(
+        spark, emb, tmp_path_str + "/sq2", nlist=4, sq_bits=8, sample_size=1000
+    )
+    for metric in ("l2", "cosine", "dot"):
+        got = set(
+            _ids(idx.search_sq(spark, qvec, k=10, nprobes=4, metric=metric))
+        )
+        want = set(_ids(knn(emb, qvec, k=10, metric=metric)))
+        assert len(got & want) >= 9, metric
+    out = idx.search_sq(spark, qvec, k=10, nprobes=4, refine_factor=None)
+    assert out.count() == 10
+    assert "distance" in out.columns
+
+
+def test_ivf_sq_incremental_add(spark, emb, qvec, tmp_path_str):
+    half = emb.filter("vec_id < 250")
+    rest = emb.filter("vec_id >= 250")
+    idx = IVFIndex.build(
+        spark, half, tmp_path_str + "/sq3", nlist=4, sq_bits=8, sample_size=1000
+    )
+    idx.add(spark, rest)
+    got = _ids(idx.search_sq(spark, qvec, k=10, nprobes=4, refine_factor=4))
+    want = _ids(knn(emb, qvec, k=10, metric="l2"))
+    assert len(set(got) & set(want)) >= 9
+
+
+def test_ivf_sq_pq_mutually_exclusive(spark, emb, tmp_path_str):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        IVFIndex.build(
+            spark, emb, tmp_path_str + "/bad", nlist=4,
+            pq_sub_vectors=8, sq_bits=8, sample_size=100,
+        )
+
+
+def test_ivf_sq_options_surface(spark, emb, qvec, tmp_path_str):
+    from lance_flink_spark.index.options import (
+        build_index_from_options,
+        search_index_with_options,
+    )
+
+    opts = {
+        "index.type": "IVF_SQ",
+        "index.num-partitions": "4",
+        "index.num-bits": "8",
+        "vector.nprobes": "4",
+        "vector.refine-factor": "4",
+    }
+    idx = build_index_from_options(spark, emb, tmp_path_str + "/sqopt", opts)
+    out = search_index_with_options(spark, idx, qvec, 10, opts)
+    want = set(_ids(knn(emb, qvec, k=10, metric="l2")))
+    assert len(set(_ids(out)) & want) >= 9
