@@ -103,3 +103,98 @@ def rank_top_k(scored: DataFrame, k: int, query_id: str = "query_id") -> DataFra
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def mmr_rerank(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    shortlist: int = 50,
+    lambda_: float = 0.5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein '98):
+    per query, greedily pick k results maximizing
+    ``lambda * sim(q, d) - (1 - lambda) * max_{s in selected} sim(d, s)``
+    — the standard diversity pass RAG retrieval runs after ANN.
+
+    Two stages, both distributed:
+
+    1. shortlist — the brute cosine top-``shortlist`` per query (swap
+       in ``index.ivf.knn_join`` at scale); corpus vectors ride along
+       because stage 2 needs pairwise similarities.
+    2. greedy selection — inherently sequential PER QUERY but
+       independent ACROSS queries, so it runs as one
+       ``applyInPandas`` group per query over the (tiny,
+       ``shortlist``-bounded) candidate set: an O(k * shortlist)
+       numpy loop per group, never a driver-side collect.
+
+    Deterministic: ties break on (score desc, neighbor_id asc) in
+    float64. Output: (query_id, neighbor_id, mmr_score 6dp, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(queries_df.sparkSession)
+    q = queries_df.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec_col).alias("__qvec")
+    )
+    c = corpus_df.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec_col).alias("__cvec")
+    )
+    dist = V.distance("cosine", F.col("__cvec"), F.col("__qvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", "__cvec", "__qvec", dist.alias("distance")
+    )
+    short = rank_top_k(scored, shortlist, query_id="query_id")
+
+    lam = float(lambda_)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["distance", "neighbor_id"], ignore_index=True)
+        vecs = np.stack(pdf["__cvec"].to_numpy()).astype(np.float64)
+        qv = np.asarray(pdf["__qvec"].iloc[0], dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)
+        rel = vecs @ qv / (norms * max(np.linalg.norm(qv), 1e-12))
+        pair = (vecs @ vecs.T) / np.outer(norms, norms)
+        n = len(pdf)
+        ids = pdf["neighbor_id"].to_numpy()
+        picked: list[int] = []
+        scores: list[float] = []
+        free = np.ones(n, dtype=bool)
+        max_sim = np.zeros(n)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1 - lam) * max_sim
+            # deterministic argmax: score desc, neighbor_id asc
+            best, best_key = -1, None
+            for i in np.flatnonzero(free):
+                key = (-mmr[i], ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = int(i), key
+            picked.append(best)
+            scores.append(float(mmr[best]))
+            free[best] = False
+            max_sim = np.maximum(max_sim, pair[:, best])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[picked],
+                "mmr_score": np.round(scores, 6),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+            }
+        )
+
+    qid_type = dict(short.dtypes)["query_id"]
+    nid_type = dict(short.dtypes)["neighbor_id"]
+    return short.groupBy("query_id").applyInPandas(
+        _mmr,
+        schema=(
+            f"query_id {qid_type}, neighbor_id {nid_type}, "
+            "mmr_score double, rank long"
+        ),
+    )
