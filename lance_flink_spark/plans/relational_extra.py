@@ -517,3 +517,64 @@ def catalog_crud(spark, sf_dir):
             n = cat.load_table(db, t).read(spark).count()
             rows.append((db, t, n))
     return spark.createDataFrame(rows, "database string, tbl string, n_rows int")
+
+
+@query(
+    "matview_incremental",
+    extra=True,  # gate budget; incremental MV state vs relational replay
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS grp,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+        FROM orders),
+    appended AS (
+        SELECT k + 10000000 AS k, grp, vc FROM base WHERE k % 10 = 7),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+    upd AS (
+        SELECT k, grp, CASE WHEN k % 10 = 1 THEN vc * 2 ELSE vc END AS vc
+        FROM allr),
+    fin AS (SELECT * FROM upd WHERE k % 10 <> 3)
+    SELECT grp, SUM(vc) AS sum_v, COUNT(*) AS cnt FROM fin GROUP BY grp
+    """,
+)
+def matview_incremental(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate
+    (sources/matview.py): orders lands as a versioned Dataset, the MV
+    materializes SUM/COUNT by priority, then an append, an update, and
+    a delete each get folded in by an incremental refresh (four-type
+    CDF deltas — never a source rescan after the first build). The
+    oracle replays the whole mutation history relationally, so state
+    drift from ANY refresh — a delta mis-signed, a pre-image missed,
+    a group not retracted — breaks the hash."""
+    import shutil
+
+    from lance_flink_spark.sources.dataset import Dataset
+    from lance_flink_spark.sources.matview import MaterializedAggregate
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    src_path = scratch_dir("mv_src" + tag)
+    mv_path = scratch_dir("mv_state" + tag)
+    # deterministic replay: version history must start fresh each run
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(mv_path, ignore_errors=True)
+    ds = Dataset(src_path)
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    ds.write(base, mode="overwrite")
+    mv = MaterializedAggregate(
+        ds, mv_path, row_key="k", group_cols=["grp"], value_col="vc"
+    )
+    mv.refresh(spark)  # initial full materialization
+    ds.write(
+        base.filter("k % 10 = 7").withColumn("k", F.col("k") + 10_000_000),
+        mode="append",
+    )
+    mv.refresh(spark)  # fold the insert deltas
+    ds.update_where(spark, "k % 10 = 1", {"vc": "vc * 2"})
+    mv.refresh(spark)  # fold pre/post-image deltas
+    ds.delete_where(spark, "k % 10 = 3")
+    mv.refresh(spark)  # fold the retractions
+    return mv.read(spark).select("grp", "sum_v", "cnt")

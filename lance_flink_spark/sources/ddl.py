@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lance_flink_spark.sources import fsio
 from lance_flink_spark.sources.catalog import Catalog, CatalogError
 from lance_flink_spark.sources.dataset import Dataset, DatasetOptions
 
@@ -70,6 +71,22 @@ _TIME_TRAVEL = re.compile(
     r"(?P<tbl>[A-Za-z_]\w*)\s+(?:VERSION\s+AS\s+OF\s+(?P<v1>\d+)"
     r"|FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<v2>\d+))",
     re.IGNORECASE,
+)
+_CREATE_MV = re.compile(
+    # the self-maintainable aggregate shape (SUM/COUNT under
+    # retraction): SELECT g1[, g2...], SUM(v) [AS a] FROM t GROUP BY ...
+    # 'key' in WITH(...) names the source's row identity for the CDF
+    r"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s*"
+    r"(?:WITH\s*\((?P<opts>[^)]*)\)\s*)?AS\s+"
+    r"SELECT\s+(?P<grps>[\w\s,]+?)\s*,\s*SUM\s*\((?P<val>\w+)\)(?:\s+AS\s+\w+)?\s+"
+    r"FROM\s+(?P<src>[\w.]+)\s+GROUP\s+BY\s+[\w\s,]+\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV = re.compile(
+    r"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
+_DROP_MV = re.compile(
+    r"DROP\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
 _DELETE = re.compile(
     r"DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
@@ -238,6 +255,7 @@ class SqlEngine:
         self.catalog = catalog
         self.database = database
         self.options: dict[str, DatasetOptions] = {}
+        self.matviews: dict = {}
 
     def _register(self, name: str) -> None:
         self.catalog.register(self.spark, self.database, name, view=name)
@@ -250,6 +268,17 @@ class SqlEngine:
 
     def execute(self, sql: str) -> DataFrame | None:
         sql = sql.strip().rstrip(";")
+        m = _CREATE_MV.match(sql)
+        if m:
+            return self._create_mv(m)
+        m = _REFRESH_MV.match(sql)
+        if m:
+            return self._refresh_mv(m.group("name"))
+        m = _DROP_MV.match(sql)
+        if m:
+            self.matviews.pop(m.group("name"), None)
+            self.spark.catalog.dropTempView(m.group("name"))
+            return None
         created = _parse_create(sql)
         if created:
             return self._create(*created)
@@ -461,6 +490,44 @@ class SqlEngine:
         widened = T.StructType(old.fields + added.fields)
         ds.write(self.spark.createDataFrame([], widened), mode="append")
         self._register(name)
+        return None
+
+    def _create_mv(self, m: re.Match) -> None:
+        """``CREATE MATERIALIZED VIEW mv WITH ('key'='id') AS SELECT
+        g1[, g2], SUM(v) FROM t GROUP BY ...`` — the Flink
+        continuous-query analogue: the aggregate is computed once,
+        stored, and each ``REFRESH MATERIALIZED VIEW mv`` folds only
+        the source's CDF deltas since the last refresh into the state
+        (sources/matview.py). Exposed as a queryable view with columns
+        (group cols, sum_v, cnt, avg_v)."""
+        from lance_flink_spark.sources.matview import MaterializedAggregate
+
+        name = m.group("name")
+        src = m.group("src")
+        if not self._in_catalog(src):
+            raise CatalogError(f"materialized-view source {src!r} not in catalog")
+        opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or ""))
+        if "key" not in opts:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW requires WITH ('key'='<row id col>') "
+                "— the change-feed row identity"
+            )
+        mv = MaterializedAggregate(
+            self.catalog.load_table(self.database, src),
+            fsio.join(self.catalog._table_path(self.database, src), "_mv", name),
+            row_key=opts["key"],
+            group_cols=[c.strip() for c in m.group("grps").split(",")],
+            value_col=m.group("val"),
+        )
+        self.matviews[name] = mv
+        return self._refresh_mv(name)
+
+    def _refresh_mv(self, name: str):
+        mv = self.matviews.get(name)
+        if mv is None:
+            raise CatalogError(f"unknown materialized view {name!r}")
+        mv.refresh(self.spark)
+        mv.read(self.spark).createOrReplaceTempView(name)
         return None
 
     def _alter_drop(self, m: re.Match) -> None:

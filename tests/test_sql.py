@@ -438,3 +438,43 @@ def test_sql_alter_drop_column(engine):
     # a fresh name is fine
     engine.execute("ALTER TABLE dropt ADD (c DOUBLE)")
     assert engine.execute("SELECT * FROM dropt").columns == ["id", "a", "c"]
+
+
+def test_sql_materialized_view_lifecycle(engine):
+    engine.execute(
+        "CREATE TABLE mvsrc (id BIGINT, grp STRING, v BIGINT) WITH ('connector'='lance','path'='')"
+    )
+    engine.execute(
+        "INSERT INTO mvsrc VALUES (1,'a',10), (2,'a',20), (3,'b',5)"
+    )
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv1 WITH ('key'='id') AS "
+        "SELECT grp, SUM(v) FROM mvsrc GROUP BY grp"
+    )
+    rows = {
+        r["grp"]: (r["sum_v"], r["cnt"])
+        for r in engine.execute("SELECT * FROM mv1").collect()
+    }
+    assert rows == {"a": (30, 2), "b": (5, 1)}
+    # mutate the source, refresh incrementally, view reflects it
+    engine.execute("UPDATE mvsrc SET v = 100 WHERE id = 2")
+    engine.execute("DELETE FROM mvsrc WHERE grp = 'b'")
+    engine.execute("REFRESH MATERIALIZED VIEW mv1")
+    rows = {
+        r["grp"]: (r["sum_v"], r["cnt"])
+        for r in engine.execute("SELECT * FROM mv1").collect()
+    }
+    assert rows == {"a": (110, 2)}
+    engine.execute("DROP MATERIALIZED VIEW mv1")
+    with pytest.raises(Exception):
+        engine.execute("REFRESH MATERIALIZED VIEW mv1")
+
+
+def test_sql_materialized_view_requires_key(engine):
+    engine.execute(
+        "CREATE TABLE mvsrc2 (id BIGINT, g STRING, v BIGINT) WITH ('connector'='lance','path'='')"
+    )
+    with pytest.raises(ValueError, match="key"):
+        engine.execute(
+            "CREATE MATERIALIZED VIEW bad AS SELECT g, SUM(v) FROM mvsrc2 GROUP BY g"
+        )
