@@ -578,3 +578,52 @@ def matview_incremental(spark, sf_dir):
     ds.delete_where(spark, "k % 10 = 3")
     mv.refresh(spark)  # fold the retractions
     return mv.read(spark).select("grp", "sum_v", "cnt")
+
+
+@query(
+    "streaming_topn",
+    extra=True,  # gate budget; Flink SQL Top-N parity over the stream
+    oracle="""
+    WITH s AS (
+      SELECT event_type, user_id,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, user_id),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY v DESC, user_id) AS rn
+      FROM s)
+    SELECT event_type, user_id, v, c, rn FROM r WHERE rn <= 3
+    """,
+)
+def streaming_topn(spark, sf_dir):
+    """Flink SQL Top-N over a stream (streaming/topn.py): per-batch
+    partial sums fold into a versioned-Dataset state table through an
+    idempotent tagged overwrite; the final rank over the state must
+    equal the batch ROW_NUMBER query over the whole source — a batch
+    double-applied or lost by the fold breaks the oracle."""
+    from lance_flink_spark.streaming.pipeline import stream_events
+    from lance_flink_spark.streaming.topn import StreamingTopN
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    topn = StreamingTopN(
+        os.path.join(scratch_dir("topn_state"), tag),
+        part_cols=["event_type"],
+        key_cols=["user_id"],
+        value_col="vc",
+        n=3,
+    )
+    sdf = stream_events(spark, sf_dir, watermark="1 hour").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    q = (
+        topn.attach(sdf, checkpoint=os.path.join(scratch_dir("topn_ckpt"), tag))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return topn.results(spark).select(
+        "event_type", "user_id", F.col("v"), F.col("c"), "rn"
+    )

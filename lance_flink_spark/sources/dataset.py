@@ -577,6 +577,58 @@ class Dataset:
             expected_version=base,
         )
 
+    def compact_small(
+        self,
+        spark: SparkSession,
+        small_bytes: int = 64 * 1024 * 1024,
+        min_files: int = 2,
+        max_rows_per_file: int = 1_000_000,
+    ) -> int | None:
+        """Incremental compaction (Delta OPTIMIZE / Lance
+        compact_files parity): rewrite ONLY the live data files smaller
+        than ``small_bytes`` into one right-sized fragment, committed
+        with the small files as superseded — large files are never
+        read, never rewritten, and stay byte-identical on disk. This is
+        the compaction a 100 TB dataset actually runs: cost ∝ the small
+        tail streaming appends left behind, not table size (the full
+        ``compact()`` overwrite is for schema resets and
+        mutation-glob recovery, not maintenance).
+
+        No-op (returns None) unless at least ``min_files`` small files
+        exist. Commits with mode ``compact`` — the same supersession
+        mechanics as row mutations, so time travel, vacuum reachability
+        and the CDF all compose (a compact emits ZERO change rows: the
+        before/after key-payload sets are identical). CAS-protected
+        against concurrent writers like any snapshot-derived rewrite."""
+        base = len(self.versions())
+        frags, removed = self._live_state()
+        small: list[str] = []
+        for frag in frags:
+            for name in fsio.listdir(frag):
+                if not name.endswith(".parquet"):
+                    continue
+                p = fsio.join(frag, name)
+                rel = self._relpath(p)
+                if rel in removed:
+                    continue
+                if fsio.file_size(p) < small_bytes:
+                    small.append(rel)
+        if len(small) < min_files:
+            return None
+        packed = self._read_files(spark, small).coalesce(
+            max(1, len(small) // 8)
+        )
+        frag = f"data/m{base + 1:04d}-{uuid.uuid4().hex[:8]}"
+        out = fsio.join(self.path, frag)
+        (
+            packed.write.option("maxRecordsPerFile", max_rows_per_file)
+            .mode("errorifexists")
+            .parquet(out)
+        )
+        return self._commit(
+            "compact", frag, removed_files=small, expected_version=base
+        )
+
     # ---------- row-level mutations (Lance delete / merge_insert parity) ----------
     #
     # Lance datasets support predicate deletes and key-based merge-insert

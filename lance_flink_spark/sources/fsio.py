@@ -158,6 +158,14 @@ def listdir(path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def file_size(path: str) -> int:
+    """Size in bytes of a single file (compaction bin-packing input)."""
+    if not is_remote(path):
+        return os.path.getsize(path)
+    fs, p, _ = _jfs(path)
+    return int(fs.getFileStatus(p).getLen())
+
+
 def delete(path: str, recursive: bool = True) -> None:
     if not is_remote(path):
         if os.path.isdir(path) and recursive:

@@ -282,3 +282,51 @@ def test_append_never_conflicts(spark, ds2):
     ds2.write(_df(spark, 400, 410), mode="append")
     assert len(ds2.versions()) == base + 2
     assert ds2.read(spark).count() == 220
+
+
+def test_compact_small_rewrites_only_small_files(spark, tmp_path_str):
+    """Bin-packing compaction: big files stay byte-identical, the small
+    tail merges into one fragment, row set and time travel survive."""
+    import os
+
+    ds = Dataset(tmp_path_str + "/cs")
+    ds.write(_df(spark, 0, 100))  # one "big" file
+    for lo in range(100, 140, 10):  # 4 small single-file appends
+        ds.write(_df(spark, lo, lo + 10), mode="append")
+    import glob
+
+    paths = [
+        f for p in ds._live_paths() for f in glob.glob(p + "/*.parquet")
+    ]
+    sizes = {p: os.path.getsize(p) for p in paths}
+    big = max(sizes, key=sizes.get)
+    big_stat = (big, os.path.getsize(big), os.path.getmtime(big))
+
+    v = ds.compact_small(spark, small_bytes=os.path.getsize(big))
+    assert v == 6
+    live = ds._live_paths()
+    # the big file is still served, untouched on disk
+    assert big in live
+    assert (big, os.path.getsize(big), os.path.getmtime(big)) == big_stat
+    # the four small files are superseded; survivors are big + packed
+    assert all(p == big or "/m0006-" in p for p in live)
+    assert ds.read(spark).count() == 140
+    assert sorted(r["id"] for r in ds.read(spark).collect()) == list(range(140))
+    # time travel to the pre-compact version still sees the small files
+    assert ds.read(spark, version=5).count() == 140
+
+
+def test_compact_small_noop_without_small_tail(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/cs2")
+    ds.write(_df(spark, 0, 100))
+    assert ds.compact_small(spark, small_bytes=10) is None
+    assert len(ds.versions()) == 1
+
+
+def test_compact_small_emits_no_cdf_rows(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/cs3")
+    ds.write(_df(spark, 0, 20))
+    ds.write(_df(spark, 20, 40), mode="append")
+    v = ds.compact_small(spark, small_bytes=1 << 30)
+    rows = ds.read_changes(spark, key="id", since_version=v - 1).collect()
+    assert rows == []

@@ -220,3 +220,79 @@ def test_stream_dedup_drops_in_window_duplicates(spark, tmp_path_str):
     drain()
     rows = {r["k"]: r["v"] for r in spark.read.parquet(sink).collect()}
     assert rows == {1: 10, 2: 20, 3: 30}  # k=1 kept its FIRST value only
+
+
+def test_streaming_topn_multibatch_and_replay(spark, tmp_path_str):
+    """Top-N state folds across MANY micro-batches (maxFilesPerTrigger=1)
+    and a re-run against the same checkpoint replays nothing."""
+    import os
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.streaming.topn import StreamingTopN
+
+    src = tmp_path_str + "/src"
+    os.makedirs(src)
+    rows = [
+        ("a", 1, 10), ("a", 2, 5), ("b", 1, 7),
+        ("a", 1, 1), ("a", 3, 20), ("b", 2, 2),
+        ("a", 2, 30), ("b", 1, 1), ("b", 3, 4),
+    ]
+    for i in range(3):  # 3 files → 3 micro-batches
+        spark.createDataFrame(
+            [Row(cat=c, uid=u, v=v) for c, u, v in rows[i * 3 : i * 3 + 3]]
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+    schema = spark.read.parquet(src + "/f0").schema
+
+    def run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        topn = StreamingTopN(
+            tmp_path_str + "/state", ["cat"], ["uid"], "v", n=2
+        )
+        q = (
+            topn.attach(sdf, checkpoint=tmp_path_str + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return topn
+
+    topn = run()
+    got = {
+        (r["cat"], r["rn"]): (r["uid"], r["v"], r["c"])
+        for r in topn.results(spark).collect()
+    }
+    # a: uid2=35, uid3=20 (uid1=11 out); b: uid1=8, uid3=4 (uid2=2 out)
+    assert got == {
+        ("a", 1): (2, 35, 2),
+        ("a", 2): (3, 20, 1),
+        ("b", 1): (1, 8, 2),
+        ("b", 2): (3, 4, 1),
+    }
+    n_versions = len(topn.state.versions())
+    assert n_versions >= 3  # one fold per micro-batch
+    # re-run on the same checkpoint: no batches replay, state unchanged
+    topn2 = run()
+    assert len(topn2.state.versions()) == n_versions
+    assert {
+        (r["cat"], r["rn"]): (r["uid"], r["v"], r["c"])
+        for r in topn2.results(spark).collect()
+    } == got
+
+
+def test_streaming_topn_batch_replay_is_noop(spark, tmp_path_str):
+    """Direct replay of a batch id must not double-fold."""
+    from pyspark.sql import Row
+
+    from lance_flink_spark.streaming.topn import StreamingTopN
+
+    topn = StreamingTopN(tmp_path_str + "/st", ["cat"], ["uid"], "v", n=2)
+    b0 = spark.createDataFrame([Row(cat="a", uid=1, v=10)])
+    topn.write_batch(b0, 0)
+    topn.write_batch(b0, 0)  # replay
+    r = topn.results(spark).first()
+    assert (r["v"], r["c"]) == (10, 1)
