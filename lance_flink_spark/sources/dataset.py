@@ -1176,7 +1176,11 @@ class Dataset:
         )
         return df.select(*columns) if columns else df
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        orphan_grace_seconds: float = 24 * 3600,
+    ) -> list[str]:
         """Lance cleanup_old_versions parity: physically delete data
         files unreachable from every one of the newest
         ``keep_versions`` versions, and mark older versions expired
@@ -1188,14 +1192,23 @@ class Dataset:
         including files of an old fragment that a retained append
         chain carries forward, minus files a retained mutation has
         superseded in all retained states. O(#fragments) driver-side
-        metadata work plus one delete per dead file; no Spark job."""
+        metadata work plus one delete per dead file; no Spark job.
+
+        Also sweeps ORPHAN fragments — directories under ``data/``
+        that no manifest version references, left behind when a writer
+        crashed between its parquet write and the manifest swap (the
+        commit protocol makes them invisible, but the bytes stay).
+        Only orphans older than ``orphan_grace_seconds`` go (default
+        24 h — an IN-FLIGHT writer's fragment is also unreferenced
+        until its commit lands; the grace window is what keeps vacuum
+        safe to run concurrently with writers, same rule as Delta
+        VACUUM's retention check)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         man = self._load_manifest()
         vs = man["versions"]
-        cut = len(vs) - keep_versions
-        if cut <= 0:
-            return []
+        # cut <= 0 keeps every version; the orphan sweep below still runs
+        cut = max(0, len(vs) - keep_versions)
         keep_files: set[str] = set()
         live_frags: set[str] = set()
         for v in vs[cut:]:
@@ -1233,6 +1246,18 @@ class Dataset:
                     if n.endswith(".parquet"):
                         fsio.delete(fsio.join(frag_path, n))
                         deleted.append(fsio.join(frag, n))
+        known = {v["fragment"] for v in vs}
+        data_dir = fsio.join(self.path, "data")
+        if fsio.exists(data_dir):
+            for name in fsio.listdir(data_dir):
+                rel = f"data/{name}"
+                if rel in known:
+                    continue
+                p = fsio.join(data_dir, name)
+                if time.time() - fsio.mtime(p) < orphan_grace_seconds:
+                    continue
+                fsio.delete(p)
+                deleted.append(rel)
         for v in vs[:cut]:
             v["expired"] = True
         fsio.write_json_atomic(self._manifest_path(), man)

@@ -105,7 +105,7 @@ _DESCRIBE = re.compile(
 )
 _OPTIMIZE = re.compile(
     r"OPTIMIZE\s+(?P<name>[\w.]+)"
-    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[^)]+)\))?\s*$",
+    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[^)]+)\)|\s+(?P<binpack>BINPACK))?\s*$",
     re.IGNORECASE,
 )
 _VACUUM = re.compile(
@@ -350,10 +350,15 @@ class SqlEngine:
         if m:
             ds = self.catalog.load_table(self.database, m.group("name"))
             cols = m.group("cols")
-            ds.compact(
-                self.spark,
-                zorder_by=[c.strip() for c in cols.split(",")] if cols else None,
-            )
+            if m.group("binpack"):
+                # incremental bin-packing (Delta OPTIMIZE semantics):
+                # only the small-file tail is rewritten + superseded
+                ds.compact_small(self.spark)
+            else:
+                ds.compact(
+                    self.spark,
+                    zorder_by=[c.strip() for c in cols.split(",")] if cols else None,
+                )
             self._register(m.group("name"))
             return None
         m = _VACUUM.match(sql)

@@ -166,6 +166,14 @@ def file_size(path: str) -> int:
     return int(fs.getFileStatus(p).getLen())
 
 
+def mtime(path: str) -> float:
+    """Last-modified time in epoch seconds (vacuum's orphan age guard)."""
+    if not is_remote(path):
+        return os.path.getmtime(path)
+    fs, p, _ = _jfs(path)
+    return fs.getFileStatus(p).getModificationTime() / 1000.0
+
+
 def delete(path: str, recursive: bool = True) -> None:
     if not is_remote(path):
         if os.path.isdir(path) and recursive:

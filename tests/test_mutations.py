@@ -330,3 +330,23 @@ def test_compact_small_emits_no_cdf_rows(spark, tmp_path_str):
     v = ds.compact_small(spark, small_bytes=1 << 30)
     rows = ds.read_changes(spark, key="id", since_version=v - 1).collect()
     assert rows == []
+
+
+def test_vacuum_sweeps_aged_orphans_only(spark, ds2):
+    import os
+
+    # simulate a crashed writer: a fragment on disk, never committed
+    orphan = os.path.join(ds2.path, "data", "v9999-deadbeef")
+    os.makedirs(orphan)
+    _df(spark, 900, 910).write.mode("overwrite").parquet(orphan)
+    committed_before = set(ds2._live_paths())
+    # within the grace window: untouched (an in-flight writer looks
+    # exactly like this)
+    assert ds2.vacuum(keep_versions=10) == []
+    assert os.path.exists(orphan)
+    # past the grace window: swept; committed data intact
+    deleted = ds2.vacuum(keep_versions=10, orphan_grace_seconds=0)
+    assert deleted == ["data/v9999-deadbeef"]
+    assert not os.path.exists(orphan)
+    assert set(ds2._live_paths()) == committed_before
+    assert ds2.read(spark).count() == 200

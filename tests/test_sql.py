@@ -478,3 +478,16 @@ def test_sql_materialized_view_requires_key(engine):
         engine.execute(
             "CREATE MATERIALIZED VIEW bad AS SELECT g, SUM(v) FROM mvsrc2 GROUP BY g"
         )
+
+
+def test_sql_optimize_binpack(engine):
+    engine.execute(
+        "CREATE TABLE bp (id BIGINT, v DOUBLE) WITH ('connector'='lance','path'='')"
+    )
+    for i in range(3):
+        engine.execute(f"INSERT INTO bp VALUES ({i}, {i}.5)")
+    engine.execute("OPTIMIZE bp BINPACK")
+    assert engine.execute("SELECT COUNT(*) AS c FROM bp").first()["c"] == 3
+    # supersession recorded: the small inserts were packed
+    ds = engine.catalog.load_table(engine.database, "bp")
+    assert ds._load_manifest()["versions"][-1]["mode"] == "compact"
