@@ -627,3 +627,90 @@ def streaming_topn(spark, sf_dir):
     return topn.results(spark).select(
         "event_type", "user_id", F.col("v"), F.col("c"), "rn"
     )
+
+
+@query(
+    "ivf_sq_search",
+    extra=True,  # gate budget; SQ decode+refine must be exact at full probes
+    oracle="""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def ivf_sq_search(spark, sf_dir):
+    """IVF_SQ (scalar quantization, index/ivf.py::search_sq): 8-bit
+    per-dim uniform codes rank a shortlist, exact refine restores brute
+    order — at nprobes=nlist with refine the result must MATCH brute
+    force exactly, so the full-oracle row gates the quantize → decode →
+    refine cycle end to end (a mis-scaled bound or clipped code
+    surfaces as a hash mismatch)."""
+    import os
+
+    from lance_flink_spark.index.ivf import IVFIndex
+    from lance_flink_spark.registry import scratch_dir, table
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = scratch_dir("ivf_sq" + sf_dir.rstrip("/").replace("/", "_"))
+    if not os.path.exists(os.path.join(path, "_index_meta.json")):
+        IVFIndex.build(spark, emb, path, nlist=8, sq_bits=8, sample_size=100_000)
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    return (
+        IVFIndex(path)
+        .search_sq(spark, qv, k=10, nprobes=8, refine_factor=4, metric="l2")
+        .select("vec_id", "distance")
+    )
+
+
+@query(
+    "dataset_evolution",
+    extra=True,  # gate budget; schema-evolution chain end state
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BIGINT) AS region
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_name, 1.5, CAST(n_regionkey AS BIGINT)
+    FROM nation
+    """,
+)
+def dataset_evolution(spark, sf_dir):
+    """Schema-evolution chain (Lance add/drop-column semantics): nation
+    lands as (key, name, note); ALTER-ADD widens with an empty
+    score fragment; a later append carries a further region column
+    (evolution through data, not DDL); DROP COLUMN hides comment. The
+    final read must be exactly (key, name, score, region) where rows
+    older than each column surface null for it — a dropped name
+    resurfacing via parquet merge-by-name, or a widened column lost,
+    breaks the hash."""
+    import shutil
+
+    from lance_flink_spark.sources.dataset import Dataset
+
+    path = scratch_dir("ds_evo" + sf_dir.rstrip("/").replace("/", "_"))
+    shutil.rmtree(path, ignore_errors=True)
+    ds = Dataset(path)
+    src = table(spark, sf_dir, "nation")
+    ds.write(
+        src.select("n_nationkey", "n_name", F.upper("n_name").alias("note")),
+        mode="overwrite",
+    )
+    # widen: empty fragment carrying (score DOUBLE) — metadata-cost add
+    widened = ds.read(spark).schema.add("score", "double")
+    ds.write(spark.createDataFrame([], widened), mode="append")
+    # evolve through data: new rows arrive with one more column (region)
+    ds.write(
+        src.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_name",
+            F.upper("n_name").alias("note"),
+            F.lit(1.5).alias("score"),
+            F.col("n_regionkey").cast("long").alias("region"),
+        ),
+        mode="append",
+    )
+    ds.drop_columns(spark, ["note"])
+    return ds.read(spark).select("n_nationkey", "n_name", "score", "region")
