@@ -113,13 +113,23 @@ def _select_neighbors(cands, m):
     return [e for _, e in cands[:m]]
 
 
-def build_graph(ids: np.ndarray, x: np.ndarray, m: int = 16, ef_construction: int = 64) -> _Graph:
+def build_graph(
+    ids: np.ndarray,
+    x: np.ndarray,
+    m: int = 16,
+    ef_construction: int = 64,
+    max_level: int | None = None,
+) -> _Graph:
     """Sequential HNSW build over ONE list (runs inside one executor
-    task; the distribution is across lists, not within one)."""
+    task; the distribution is across lists, not within one).
+    ``max_level`` caps node levels (reference option index.max-level —
+    bounds per-node memory at a small recall cost on huge lists)."""
     n = len(ids)
     m_l = 1.0 / math.log(max(m, 2))
     order = np.argsort(ids, kind="stable")  # deterministic insertion order
     levels = np.array([_node_level(int(ids[i]), m_l) for i in range(n)], dtype=np.int16)
+    if max_level is not None:
+        levels = np.minimum(levels, np.int16(max_level))
     nbrs = [[[] for _ in range(int(levels[i]) + 1)] for i in range(n)]
     xf = x.astype(np.float64)
     entry, max_level = -1, -1
@@ -205,7 +215,12 @@ GRAPH_SCHEMA = "centroid_id int, n long, graph binary"
 
 
 def _graph_builder(
-    vec_col: str, id_col: str, m: int, ef_construction: int, normalize: bool = False
+    vec_col: str,
+    id_col: str,
+    m: int,
+    ef_construction: int,
+    normalize: bool = False,
+    max_level: int | None = None,
 ):
     """applyInPandas body shared by build() and add(): one list in →
     one serialized graph row out. ``normalize`` stores L2-normalized
@@ -218,7 +233,10 @@ def _graph_builder(
         x = _stack(pdf[vec_col])
         if normalize:
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        g = build_graph(ids, x.astype(np.float32), m=m, ef_construction=ef_construction)
+        g = build_graph(
+            ids, x.astype(np.float32), m=m,
+            ef_construction=ef_construction, max_level=max_level,
+        )
         return pd.DataFrame(
             {
                 "centroid_id": [int(pdf["centroid_id"].iloc[0])],
@@ -249,6 +267,7 @@ class HNSWIndex:
         ef_construction: int = 64,
         id_col: str | None = None,
         metric: str = "l2",
+        max_level: int | None = None,
         **ivf_kwargs,
     ) -> "HNSWIndex":
         """IVF coarse build, then one HNSW graph per inverted list via
@@ -291,7 +310,8 @@ class HNSWIndex:
             lists.groupBy("centroid_id")
             .applyInPandas(
                 _graph_builder(
-                    vec_col, id_col, m, ef_construction, normalize=metric == "cosine"
+                    vec_col, id_col, m, ef_construction,
+                    normalize=metric == "cosine", max_level=max_level,
                 ),
                 GRAPH_SCHEMA,
             )
@@ -306,6 +326,7 @@ class HNSWIndex:
                 "hnsw_ef_construction": ef_construction,
                 "hnsw_id_col": id_col,
                 "hnsw_metric": metric,
+                "hnsw_max_level": max_level,
             }
         )
         fsio.write_json_atomic(fsio.join(path, META), meta)
@@ -359,6 +380,7 @@ class HNSWIndex:
                         meta["hnsw_m"],
                         meta["hnsw_ef_construction"],
                         normalize=meta.get("hnsw_metric", "l2") == "cosine",
+                        max_level=meta.get("hnsw_max_level"),
                     ),
                     GRAPH_SCHEMA,
                 )

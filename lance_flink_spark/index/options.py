@@ -15,9 +15,10 @@ inverted list):
 - ``vector.ef`` (default 100) → search beam width at layer 0.
 - ``vector.nprobes`` → probed lists (default 20, the reference's own
   nprobes default; values above nlist probe everything).
-- ``index.max-level`` is accepted but unused: levels derive from
-  md5(vec_id) geometrically (1/ln(m) scale), which self-limits to
-  ~log_m(list size) — a cap would never bind on bounded lists.
+- ``index.max-level`` caps per-node levels (levels otherwise derive
+  from md5(vec_id) geometrically at 1/ln(m) scale, which already
+  self-limits to ~log_m(list size); the cap bounds worst-case node
+  memory on huge lists, at a small recall cost).
 """
 
 from __future__ import annotations
@@ -58,6 +59,7 @@ def build_args_from_options(opts: dict) -> dict:
     if itype == "IVF_HNSW":
         args["m"] = _geti(opts, "index.m", 16)
         args["ef_construction"] = _geti(opts, "index.ef-construction", 100)
+        args["max_level"] = _geti(opts, "index.max-level", None)
         # cosine configs get the cosine-NATIVE graph (normalized
         # vectors: navigation order == cosine order); l2/dot navigate
         # raw vectors and re-score the beam

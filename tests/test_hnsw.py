@@ -240,3 +240,29 @@ def test_hnsw_pending_marker_blocks_search_until_repair(spark, emb, qvec, tmp_pa
     top = idx.search(spark, nv, k=1, nprobes=4, ef=32).collect()[0]
     assert top["vec_id"] == 450 and top["distance"] < 1e-6
     assert idx.repair(spark) == []  # idempotent: nothing left to fix
+
+
+def test_max_level_cap_binds_and_search_still_works(spark, tmp_path_str):
+    """index.max-level (LanceOptions): capped builds keep every level
+    <= cap, search stays exact at full probes on this corpus."""
+    from lance_flink_spark.index.hnsw import HNSWIndex, deserialize_graph
+    from lance_flink_spark.operators.similarity import knn
+    from lance_flink_spark.registry import table
+
+    from conftest import SF_DIR
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = HNSWIndex.build(
+        spark, emb, tmp_path_str + "/hcap", nlist=4, m=4,
+        ef_construction=64, max_level=0,
+    )
+    import glob
+
+    for f in glob.glob(idx.path + "/graphs/*/*.parquet"):
+        for row in spark.read.parquet(f).collect():
+            g = deserialize_graph(row["graph"])
+            assert g.max_level <= 0
+    qv = [float(x) for x in emb.filter("vec_id = 7").select("embedding").first()[0]]
+    got = [r["vec_id"] for r in idx.search(spark, qv, k=10, nprobes=4, ef=500).collect()]
+    want = [r["vec_id"] for r in knn(emb, qv, k=10, metric="l2").collect()]
+    assert len(set(got) & set(want)) >= 9
