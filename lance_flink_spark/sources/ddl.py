@@ -101,7 +101,11 @@ _CREATE_DB = re.compile(
     re.IGNORECASE,
 )
 _DESCRIBE = re.compile(
-    r"(?:DESCRIBE|DESC)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+    r"(?:DESCRIBE|DESC)\s+(?P<ext>EXTENDED\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
+_ANALYZE = re.compile(
+    r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS\s*$",
+    re.IGNORECASE,
 )
 _OPTIMIZE = re.compile(
     r"OPTIMIZE\s+(?P<name>[\w.]+)"
@@ -335,16 +339,40 @@ class SqlEngine:
                 m.group("name"), ignore_if_exists=bool(m.group("ine"))
             )
             return None
+        m = _ANALYZE.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            return self._analyze(m.group("name"))
         m = _DESCRIBE.match(sql)
         if m and self._in_catalog(m.group("name")):
-            schema = (
-                self.catalog.load_table(self.database, m.group("name"))
-                .read(self.spark)
-                .schema
-            )
+            ds = self.catalog.load_table(self.database, m.group("name"))
+            schema = ds.read(self.spark).schema
+            rows = [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in schema.fields
+            ]
+            if m.group("ext"):
+                # DESCRIBE EXTENDED: append stored table statistics and
+                # version info below the column block (Spark's layout)
+                man = ds._load_manifest()
+                stats = man.get("stats") or {}
+                rows += [
+                    ("", "", None),
+                    ("# Detailed Table Information", "", None),
+                    ("Location", ds.path, None),
+                    ("Current Version", str(len(man.get("versions", []))), None),
+                    (
+                        "Statistics",
+                        (
+                            f"{stats['bytes']} bytes, {stats['rows']} rows "
+                            f"(v{stats['version']})"
+                            if stats
+                            else "not computed (run ANALYZE TABLE)"
+                        ),
+                        None,
+                    ),
+                ]
             return self.spark.createDataFrame(
-                [(f.name, f.dataType.simpleString(), f.nullable) for f in schema.fields],
-                "col_name string, data_type string, nullable boolean",
+                rows, "col_name string, data_type string, nullable boolean"
             )
         m = _OPTIMIZE.match(sql)
         if m:
@@ -496,6 +524,38 @@ class SqlEngine:
         ds.write(self.spark.createDataFrame([], widened), mode="append")
         self._register(name)
         return None
+
+    def _analyze(self, name: str):
+        """``ANALYZE TABLE t COMPUTE STATISTICS`` — exact row count
+        (parquet-footer metadata job, no data read) + live byte size
+        (file-count-bounded listings), stored in the manifest and
+        version-stamped. ``DESCRIBE EXTENDED`` surfaces them; external
+        planners (or ``registry.bcast``-style gates) can read
+        ``manifest['stats']`` instead of estimating."""
+        from lance_flink_spark.sources import fsio
+
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        rows = ds.read(self.spark).count()
+        nbytes = 0
+        frags, removed = ds._live_state()
+        for frag in frags:
+            for fname in fsio.listdir(frag):
+                if not fname.endswith(".parquet"):
+                    continue
+                p = fsio.join(frag, fname)
+                if ds._relpath(p) in removed:
+                    continue
+                nbytes += fsio.file_size(p)
+        man = ds._load_manifest()
+        man["stats"] = {
+            "rows": int(rows),
+            "bytes": int(nbytes),
+            "version": len(man.get("versions", [])),
+        }
+        fsio.write_json_atomic(ds._manifest_path(), man)
+        return self.spark.createDataFrame(
+            [(int(rows), int(nbytes))], "rows long, bytes long"
+        )
 
     def _create_mv(self, m: re.Match) -> None:
         """``CREATE MATERIALIZED VIEW mv WITH ('key'='id') AS SELECT

@@ -491,3 +491,27 @@ def test_sql_optimize_binpack(engine):
     # supersession recorded: the small inserts were packed
     ds = engine.catalog.load_table(engine.database, "bp")
     assert ds._load_manifest()["versions"][-1]["mode"] == "compact"
+
+
+def test_sql_analyze_and_describe_extended(engine):
+    engine.execute(
+        "CREATE TABLE an (id BIGINT, v DOUBLE) WITH ('connector'='lance','path'='')"
+    )
+    engine.execute("INSERT INTO an VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    # before ANALYZE: extended describe says stats are not computed
+    ext = engine.execute("DESCRIBE EXTENDED an").collect()
+    stats_row = [r for r in ext if r["col_name"] == "Statistics"][0]
+    assert "not computed" in stats_row["data_type"]
+    r = engine.execute("ANALYZE TABLE an COMPUTE STATISTICS").first()
+    assert r["rows"] == 3 and r["bytes"] > 0
+    ext = engine.execute("DESCRIBE EXTENDED an").collect()
+    stats_row = [r for r in ext if r["col_name"] == "Statistics"][0]
+    assert "3 rows" in stats_row["data_type"]
+    # plain DESCRIBE keeps the bare column layout
+    plain = engine.execute("DESCRIBE an").collect()
+    assert [r["col_name"] for r in plain] == ["id", "v"]
+    # stats are version-stamped: a later insert makes them stale by
+    # version, re-running ANALYZE refreshes
+    engine.execute("INSERT INTO an VALUES (4, 4.0)")
+    r = engine.execute("ANALYZE TABLE an COMPUTE STATISTICS").first()
+    assert r["rows"] == 4
