@@ -1124,3 +1124,61 @@ def text_bm25_search(spark, sf_dir):
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "record_linkage",
+    extra=True,  # gate budget; two-table blocked fuzzy join
+    oracle="""
+    WITH l AS (
+      SELECT doc_id AS lid, text FROM documents
+    ), r AS (
+      SELECT doc_id + 500000 AS rid,
+             substr(text, 1, CAST(FLOOR(length(text) * 0.6) AS INT)) AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ), lt AS (
+      SELECT DISTINCT lid, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM l
+    ), rt AS (
+      SELECT DISTINCT rid, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM r
+    ), ltc AS (SELECT * FROM lt WHERE token <> ''),
+    rtc AS (SELECT * FROM rt WHERE token <> ''),
+    lsz AS (SELECT lid, COUNT(*) AS lsz FROM ltc GROUP BY lid),
+    rsz AS (SELECT rid, COUNT(*) AS rsz FROM rtc GROUP BY rid),
+    rdf AS (SELECT token FROM rtc GROUP BY token HAVING COUNT(*) <= 100),
+    cand AS (
+      SELECT DISTINCT ltc.lid, b.rid
+      FROM ltc JOIN (SELECT rtc.* FROM rtc JOIN rdf USING (token)) b
+        ON ltc.token = b.token
+    ), inter AS (
+      SELECT ltc.lid, rtc.rid, COUNT(*) AS inter
+      FROM ltc JOIN rtc ON ltc.token = rtc.token
+      JOIN cand ON cand.lid = ltc.lid AND cand.rid = rtc.rid
+      GROUP BY ltc.lid, rtc.rid
+    )
+    SELECT lid AS doc_id, rid AS dirty_id,
+           ROUND(inter * 1.0 / (lsz + rsz - inter), 6) AS jaccard
+    FROM inter JOIN lsz USING (lid) JOIN rsz USING (rid)
+    WHERE inter * 1.0 / (lsz + rsz - inter) >= 0.82
+    """,
+)
+def record_linkage(spark, sf_dir):
+    """Two-table record linkage (operators/linkage.py::fuzzy_join):
+    documents matched against a deterministic "dirty" side (every 5th
+    doc truncated to 60% of its characters under shifted ids) by exact
+    token-set Jaccard over df-capped blocked candidates. The oracle
+    replays the identical blocking + exact verify relationally, so a
+    candidate lost by the inverted-index join or a mis-counted
+    intersection breaks the hash."""
+    from lance_flink_spark.operators.linkage import fuzzy_join
+
+    docs = table(spark, sf_dir, "documents")
+    left = docs.select("doc_id", "text")
+    right = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 500000).alias("dirty_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.6) as int))").alias("text"),
+    )
+    return fuzzy_join(
+        left, right, "doc_id", "dirty_id", threshold=0.82, max_df=100
+    )

@@ -157,6 +157,7 @@ class DatasetOptions:
     write_max_rows_per_file: int = 1_000_000
     write_sort_by: list[str] | None = None
     write_zorder_by: list[str] | None = None
+    write_compression: str | None = None
     extra: dict = field(default_factory=dict)
 
     @classmethod
@@ -180,6 +181,7 @@ class DatasetOptions:
             write_max_rows_per_file=int(opts.get("write.max-rows-per-file", 1_000_000)),
             write_sort_by=_csv("write.sort-by"),
             write_zorder_by=_csv("write.zorder-by"),
+            write_compression=opts.get("write.compression"),
             extra={k: v for k, v in opts.items() if k.startswith(("index.", "vector."))},
         )
 
@@ -344,6 +346,7 @@ class Dataset:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         expected_version: int | None = None,
+        compression: str | None = None,
     ) -> int:
         """Write ``df`` as a new dataset version. Returns the version.
 
@@ -382,11 +385,13 @@ class Dataset:
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
-        (
-            df.write.option("maxRecordsPerFile", max_rows_per_file)
-            .mode("errorifexists")
-            .parquet(out)
-        )
+        writer = df.write.option("maxRecordsPerFile", max_rows_per_file)
+        if compression is not None:
+            # parquet codec per write (write.compression option key):
+            # snappy default; zstd for cold/archival fragments — mixed
+            # codecs within one dataset read fine (per-file metadata)
+            writer = writer.option("compression", compression)
+        writer.mode("errorifexists").parquet(out)
         return self._commit(mode, frag, tag=tag, expected_version=expected_version)
 
     def drop_columns(self, spark: SparkSession, cols: list[str]) -> int:

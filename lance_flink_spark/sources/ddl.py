@@ -692,6 +692,7 @@ class SqlEngine:
             max_rows_per_file=opts.write_max_rows_per_file if opts else 1_000_000,
             sort_by=opts.write_sort_by if opts else None,
             zorder_by=opts.write_zorder_by if opts else None,
+            compression=opts.write_compression if opts else None,
         )
         self._register(name)
         return None

@@ -646,3 +646,26 @@ def test_read_changes_long_history_bounded_plan(spark, tmp_path_str):
     assert by_type.get("update", 0) == expect_updates
     assert by_type.get("insert", 0) == 8 + (49 - expect_updates)
     assert "delete" not in by_type
+
+
+def test_write_compression_option(spark, tmp_path_str):
+    """write.compression routes to the parquet codec per fragment;
+    mixed codecs within one dataset read fine (per-file metadata)."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.sources.dataset import Dataset, DatasetOptions
+
+    ds = Dataset(tmp_path_str + "/comp")
+    df = spark.createDataFrame([Row(id=i, t="x" * 100) for i in range(1000)])
+    ds.write(df, compression="zstd")
+    ds.write(df, mode="append", compression="snappy")
+    files = glob.glob(ds.path + "/data/*/*.parquet")
+    codecs = {f.rsplit(".", 2)[-2] for f in files}
+    assert codecs == {"zstd", "snappy"}
+    assert ds.read(spark).count() == 2000
+    opts = DatasetOptions.from_options(
+        {"path": "", "write.compression": "zstd"}
+    )
+    assert opts.write_compression == "zstd"
