@@ -958,6 +958,69 @@ class Dataset:
         )
         return version
 
+    def update_scalar_index(self, spark: SparkSession, col: str) -> int:
+        """Catch the scalar index up to the latest version by scanning
+        ONLY fragments committed since it was built (Lance's
+        optimize_indices delta path): append-only histories index just
+        the new files and union the delta into a new version-stamped
+        sidecar — the data-scan cost is proportional to NEW data, the
+        sidecar rewrite to index size (metadata-scale). Any mutation
+        or overwrite in the gap invalidates per-file entries, so those
+        fall back to a full ``build_scalar_index`` (correct, just not
+        incremental). Returns the indexed version."""
+        from pyspark.sql import functions as F
+
+        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
+        if not fsio.exists(meta_path):
+            return self.build_scalar_index(spark, col)
+        meta = fsio.read_json(meta_path)
+        old_v = int(meta["version"])
+        latest = self.versions()[-1]
+        if latest == old_v:
+            return old_v
+        gap = [
+            v
+            for v in self._load_manifest()["versions"]
+            if old_v < v["version"] <= latest
+        ]
+        if any(v["mode"] != "append" or v.get("removed_files") for v in gap):
+            return self.build_scalar_index(spark, col)
+        new_files = []
+        for v in gap:
+            frag = fsio.join(self.path, v["fragment"])
+            new_files += [
+                self._relpath(fsio.join(frag, n))
+                for n in fsio.listdir(frag)
+                if n.endswith(".parquet")
+            ]
+        base_old = fsio.join(self.path, "_scalar_index", col, f"v{old_v:04d}")
+        out = fsio.join(self.path, "_scalar_index", col, f"v{latest:04d}")
+        if not new_files:
+            # metadata-only versions (e.g. a widening empty fragment):
+            # carry the sidecar forward under the new version stamp
+            spark.read.parquet(base_old).write.mode("overwrite").parquet(out)
+            spark.read.parquet(base_old + "_ranges").write.mode(
+                "overwrite"
+            ).parquet(out + "_ranges")
+        else:
+            tagged = self._read_files(spark, new_files).withColumn(
+                "_file", F.input_file_name()
+            )
+            delta_pairs = tagged.select(
+                F.col(col).alias("value"), "_file"
+            ).distinct()
+            spark.read.parquet(base_old).unionByName(delta_pairs).write.mode(
+                "overwrite"
+            ).parquet(out)
+            delta_ranges = tagged.groupBy("_file").agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            )
+            spark.read.parquet(base_old + "_ranges").unionByName(
+                delta_ranges
+            ).write.mode("overwrite").parquet(out + "_ranges")
+        fsio.write_json_atomic(meta_path, {"version": latest, "col": col})
+        return latest
+
     _CMP_RE = (
         r"^\s*(\w+)\s*(==|=|<=|>=|<|>)\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$"
     )

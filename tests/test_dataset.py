@@ -669,3 +669,38 @@ def test_write_compression_option(spark, tmp_path_str):
         {"path": "", "write.compression": "zstd"}
     )
     assert opts.write_compression == "zstd"
+
+
+def test_update_scalar_index_incremental_and_fallback(spark, tmp_path_str):
+    from pyspark.sql import Row
+
+    from lance_flink_spark.sources.dataset import Dataset
+    from lance_flink_spark.sources import fsio
+
+    ds = Dataset(tmp_path_str + "/inc_idx")
+    ds.write(spark.createDataFrame([Row(id=i, cat=f"c{i % 3}") for i in range(60)]))
+    v1 = ds.build_scalar_index(spark, "cat")
+    assert v1 == 1
+    # append brings a NEW category; the delta update must index it
+    ds.write(
+        spark.createDataFrame([Row(id=100 + i, cat="c9") for i in range(10)]),
+        mode="append",
+    )
+    v2 = ds.update_scalar_index(spark, "cat")
+    assert v2 == 2
+    # routed lookup of the new value scans only the new fragment's files
+    out = ds.read_eq(spark, "cat", "c9")
+    assert out.count() == 10
+    assert all("/v0002-" in f for f in out.inputFiles())
+    # old values still found (old sidecar carried forward)
+    assert ds.read_eq(spark, "cat", "c1").count() == 20
+    # auto-routing sees the refreshed index as fresh
+    assert ds.read(spark, filter="cat = 'c9'").count() == 10
+    # no-op when already current
+    assert ds.update_scalar_index(spark, "cat") == 2
+    # a mutation in the gap falls back to a full rebuild — still correct
+    ds.delete_where(spark, "cat = 'c0'")
+    v3 = ds.update_scalar_index(spark, "cat")
+    assert v3 == 3
+    assert ds.read_eq(spark, "cat", "c0").count() == 0
+    assert ds.read_eq(spark, "cat", "c9").count() == 10
