@@ -528,3 +528,43 @@ def orders_cube(spark, sf_dir):
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+@query(
+    "q16_supplier_relationship",
+    extra=True,  # gate budget: distinct-count + NOT IN anti-join
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relationship(spark, sf_dir):
+    """Q16 parts/supplier relationship, adapted: the part-supplier
+    pairs come from lineitem (the testdata has no partsupp table), the
+    excluded-supplier subquery keys on negative acctbal (the
+    complaints-comment stand-in). Defining shape intact: dim filters +
+    NOT IN anti-join against a subquery + per-group COUNT(DISTINCT).
+    100 TB: the anti-join side is supplier-bounded (size-gated
+    broadcast); distinct-count uses Spark's two-phase expand on
+    (group, suppkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter("s_acctbal < 0")
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bcast(p), li.l_partkey == p.p_partkey)
+        .join(bcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
