@@ -67,7 +67,13 @@ def resize_images(blobs: DataFrame, width: int = 64, height: int = 64) -> DataFr
                     "width": width,
                     "height": height,
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "thumb": pdf["content"].map(lambda b: resize_stub(b, width, height)),
+                    # REAL resize for PPM blobs; stub for formats that
+                    # would need PIL (dispatch per blob, see codecs below)
+                    "thumb": pdf["content"].map(
+                        lambda b: resize_ppm(b, width, height)
+                        if bytes(b[:2]) == b"P6"
+                        else resize_stub(b, width, height)
+                    ),
                 }
             )
 
@@ -117,6 +123,132 @@ def extract_metadata(blobs: DataFrame) -> DataFrame:
                         lambda b: b.decode("utf-8", errors="ignore")[:4].encode("utf-8").hex()
                     ),
                     "feature": content.map(decode_stub),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=META_SCHEMA)
+
+
+# ---------- REAL codecs for container-decodable formats ----------
+#
+# PIL/ffmpeg are absent here (SURVEY §6), but two real formats need
+# nothing beyond numpy/stdlib: PPM (P6) images and PCM WAV audio. The
+# stubs above remain only for formats that genuinely require external
+# codecs (JPEG/PNG/MP4); these paths are REAL decode/resize/feature
+# implementations with the same mapInPandas batch shape.
+
+import io as _io
+import wave as _wave
+
+import numpy as np
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(content: bytes) -> "np.ndarray":
+    """Binary PPM (P6) → (h, w, 3) uint8. Pure numpy/stdlib parse."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace separated,
+    # comments (#...) allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while content[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pos += 1  # single whitespace after maxval
+    raw = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
+def resize_ppm(content: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for PPM blobs: nearest-neighbor index map
+    (the deterministic choice — mean-pooling differs per rounding
+    mode), re-encoded as PPM."""
+    img = decode_ppm(content)
+    h, w, _ = img.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_ppm(img[yi][:, xi])
+
+
+def image_features(content: bytes) -> list[float]:
+    """REAL image features for PPM blobs: per-channel means + stddev
+    of the grayscale."""
+    img = decode_ppm(content).astype(np.float64)
+    gray = img.mean(axis=2)
+    return [
+        float(img[..., 0].mean()),
+        float(img[..., 1].mean()),
+        float(img[..., 2].mean()),
+        float(gray.std()),
+    ]
+
+
+def audio_features(content: bytes) -> list[float]:
+    """REAL audio features for PCM WAV blobs (stdlib wave + numpy):
+    duration (s), RMS amplitude (normalized), zero-crossing rate, and
+    spectral centroid (Hz, rFFT magnitude-weighted)."""
+    with _wave.open(_io.BytesIO(content), "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        raw = f.readframes(n)
+    if width != 2:
+        raise ValueError(f"unsupported sample width {width}")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    if x.size == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt((x * x).mean()))
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / sr)
+    centroid = float((freqs * mag).sum() / max(mag.sum(), 1e-12))
+    return [x.size / sr, rms, zcr, centroid]
+
+
+def decode_auto(content: bytes) -> list[float]:
+    """Magic-sniffing feature decoder: REAL paths for PPM ('P6') and
+    WAV ('RIFF'), deterministic stub for everything else (the formats
+    that need PIL/ffmpeg)."""
+    if content[:2] == b"P6":
+        return image_features(content)
+    if content[:4] == b"RIFF":
+        return audio_features(content)
+    return decode_stub(content)
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """mapInPandas feature pass with REAL decode for PPM/WAV blobs
+    (decode_auto): same batch shape as extract_metadata, format
+    dispatch per blob inside the Arrow batch."""
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "head_hex": content.map(lambda b: bytes(b[:4]).hex()),
+                    "feature": content.map(decode_auto),
                 }
             )
 
