@@ -72,10 +72,15 @@ def fuzzy_join(
     )
     # exact verify over candidates: shared-token counts use the FULL
     # token sets (capped tokens count here — only candidate GENERATION
-    # is blocked), so the Jaccard value is exact
+    # is blocked), so the Jaccard value is exact. Join ORDER matters at
+    # scale: expanding candidates by the left token set and probing
+    # (rid, token) keeps every intermediate bounded by
+    # Σ_cand |tokens(lid)| — a raw lt⋈rt token join first would
+    # re-create the quadratic hot-token blowup the df cap exists to
+    # prevent, with the candidate filter arriving too late to help
     inter = (
-        lt.join(rt, "token")
-        .join(cand, ["lid", "rid"], "left_semi")
+        cand.join(lt, "lid")
+        .join(rt, ["rid", "token"], "left_semi")
         .groupBy("lid", "rid")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
