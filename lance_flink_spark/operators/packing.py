@@ -102,3 +102,67 @@ def pack_spans(
         .cast("long")
         .alias("tok_to"),
     )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tok_col: str = "n_tok",
+    seed: str = "shard",
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic training-shard assignment: documents in a seeded
+    pseudo-random global order, cut into shards of ~``budget`` tokens
+    (the file-level sibling of ``pack_sequences`` — shards feed data
+    loaders, sequences feed batches).
+
+    The global order is ``md5(seed:id)`` — a seeded permutation every
+    engine reproduces — and the cut needs a GLOBAL running token sum,
+    which is the classic distributed prefix-sum, NOT a single-partition
+    window: rows partition into ``buckets`` rank-prefix buckets
+    (lexicographic bucket order == global rank order), each bucket
+    computes its within-bucket cumulative sum in parallel, and the
+    bucket-total prefix offsets (one row per bucket — bounded, the
+    only driver round-trip) are broadcast back. At 100 TB the shuffle
+    is one exchange on the bucket key; no stage sees the global order
+    serialized.
+
+    Returns (id, n_tok, shard_id); shard_id = floor((cum - 1) /
+    budget), so shards are contiguous in the seeded order and each
+    holds ~budget tokens (a document never splits — loader-level
+    splitting is ``pack_spans``'s job)."""
+    ranked = df.select(
+        F.col(id_col),
+        F.col(tok_col),
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))).alias(
+            "__rk"
+        ),
+    ).withColumn("__b", F.substring("__rk", 1, 2))
+    w_in = Window.partitionBy("__b").orderBy("__rk", id_col)
+    within = ranked.withColumn("__cum_in", F.sum(tok_col).over(w_in))
+    totals = sorted(
+        (r["__b"], r["t"])
+        for r in ranked.groupBy("__b").agg(F.sum(tok_col).alias("t")).collect()
+    )  # ≤ `buckets` rows — bounded driver work by construction
+    offsets = {}
+    acc = 0
+    for b, t in totals:
+        offsets[b] = acc
+        acc += t
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, int(o)) for b, o in offsets.items()], "__b string, __off long"
+        )
+    )
+    return (
+        within.join(off_df, "__b")
+        .select(
+            F.col(id_col),
+            F.col(tok_col),
+            F.floor((F.col("__off") + F.col("__cum_in") - 1) / budget)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )

@@ -1182,3 +1182,34 @@ def record_linkage(spark, sf_dir):
     return fuzzy_join(
         left, right, "doc_id", "dirty_id", threshold=0.82, max_df=100
     )
+
+
+@query(
+    "training_shards",
+    extra=True,  # gate budget; seeded order + distributed prefix-sum cut
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             md5(CONCAT('shard7:', doc_id)) AS rk
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (ORDER BY rk, doc_id) - 1) / 5000.0) AS BIGINT)
+             AS shard_id
+    FROM t
+    """,
+)
+def training_shards(spark, sf_dir):
+    """Token-budget shard assignment over a seeded global permutation
+    (operators/packing.py::shard_by_token_budget): the oracle computes
+    the same running sum with a single SQL window, the Spark side with
+    the bucketed distributed prefix-sum — value-identical, so a bucket
+    offset off by one token anywhere breaks the hash."""
+    from lance_flink_spark.operators.packing import shard_by_token_budget
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return shard_by_token_budget(docs, budget=5000, seed="shard7")
