@@ -446,3 +446,75 @@ def customer_spend_ntile(spark, sf_dir):
         )
         .orderBy("quartile")
     )
+
+
+@query(
+    "drift_psi",
+    extra=True,  # gate budget; population-stability drift report
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN value < 20 THEN 0 WHEN value < 40 THEN 1
+                  WHEN value < 60 THEN 2 WHEN value < 80 THEN 3 ELSE 4 END AS bin,
+             CASE WHEN epoch_us(ts) < (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 FROM events)
+                  THEN 'ref' ELSE 'cur' END AS split
+      FROM events
+    ), c AS (
+      SELECT bin, split, COUNT(*) AS n FROM binned GROUP BY bin, split
+    ), tot AS (
+      SELECT split, SUM(n) AS t FROM c GROUP BY split
+    ), frac AS (
+      SELECT bin,
+             MAX(CASE WHEN split = 'ref' THEN n * 1.0 / t END) AS p,
+             MAX(CASE WHEN split = 'cur' THEN n * 1.0 / t END) AS q
+      FROM c JOIN tot USING (split) GROUP BY bin
+    )
+    SELECT bin, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+           ROUND((p - q) * LN(p / q), 6) AS psi_term
+    FROM frac
+    """,
+)
+def drift_psi(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the event stream's time range — the standard drift gate a training
+    pipeline runs before trusting a new data batch (PSI > 0.2 =
+    investigate). Fixed bin edges (no quantile pre-scan at score
+    time), per-bin (p, q, (p-q)·ln(p/q)) terms; consumers SUM the
+    column for the headline PSI.
+
+    100 TB: one scan, one (bin, split) aggregate (10 groups), totals
+    broadcast back — the report is bin-count-sized regardless of
+    volume. The midpoint scalar comes from a min/max metadata-friendly
+    aggregate."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid")
+    )
+    binned = ev.crossJoin(bcast(mid)).select(
+        F.when(F.col("value") < 20, 0)
+        .when(F.col("value") < 40, 1)
+        .when(F.col("value") < 60, 2)
+        .when(F.col("value") < 80, 3)
+        .otherwise(4)
+        .alias("bin"),
+        F.when(F.unix_micros(F.col("ts")) < F.col("mid"), "ref")
+        .otherwise("cur")
+        .alias("split"),
+    )
+    c = binned.groupBy("bin", "split").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("split").agg(F.sum("n").alias("t"))
+    frac = (
+        c.join(bcast(tot), "split")
+        .groupBy("bin")
+        .agg(
+            F.max(F.when(F.col("split") == "ref", F.col("n") / F.col("t"))).alias("p"),
+            F.max(F.when(F.col("split") == "cur", F.col("n") / F.col("t"))).alias("q"),
+        )
+    )
+    return frac.select(
+        "bin",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6).alias(
+            "psi_term"
+        ),
+    )
