@@ -657,7 +657,10 @@ class SqlEngine:
             )
         aligned = df.select(
             *[
-                F.col(c).cast(f.dataType).alias(f.name)
+                # backticks: a positional source column may be NAMED
+                # after its literal ("222.0") — a bare F.col would
+                # parse the dot as struct access
+                F.col(f"`{c}`").cast(f.dataType).alias(f.name)
                 for c, f in zip(df.columns, target.fields)
             ]
         )
@@ -680,7 +683,7 @@ class SqlEngine:
             )
         aligned = df.select(
             *[
-                F.col(c).cast(f.dataType).alias(f.name)
+                F.col(f"`{c}`").cast(f.dataType).alias(f.name)
                 for c, f in zip(df.columns, target.fields)
             ]
         )

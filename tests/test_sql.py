@@ -515,3 +515,48 @@ def test_sql_analyze_and_describe_extended(engine):
     engine.execute("INSERT INTO an VALUES (4, 4.0)")
     r = engine.execute("ANALYZE TABLE an COMPUTE STATISTICS").first()
     assert r["rows"] == 4
+
+
+def test_sql_lakehouse_lifecycle(engine):
+    """One scenario across the whole dialect: DDL → ingest → schema
+    evolution → mutations → MV → time travel → maintenance, asserting
+    consistency at each step (the integration surface a reference user
+    would script)."""
+    e = engine.execute
+    e("CREATE DATABASE IF NOT EXISTS lake")
+    e("CREATE TABLE fact (id BIGINT, grp STRING, v DOUBLE) WITH ('connector'='lance','path'='')")
+    for i in range(4):
+        e(f"INSERT INTO fact VALUES ({i}, 'g{i % 2}', {i}.0)")
+    e("CREATE TABLE dims WITH ('connector'='lance') AS SELECT DISTINCT grp FROM fact")
+    assert e("SELECT COUNT(*) AS c FROM dims").first()["c"] == 2
+    # evolve + mutate
+    e("ALTER TABLE fact ADD (src STRING)")
+    e("INSERT INTO fact VALUES (9, 'g1', 9.0, 'late')")
+    e("UPDATE fact SET v = v * 10 WHERE id = 1")
+    e("DELETE FROM fact WHERE id = 0")
+    e("MERGE INTO fact USING (SELECT 2, 'g0', 222.0, 'm' UNION ALL SELECT 77, 'g1', 7.0, 'm') ON id")
+    rows = {r["id"]: (r["v"], r["src"]) for r in e("SELECT * FROM fact").collect()}
+    assert rows == {
+        1: (10.0, None), 2: (222.0, "m"), 3: (3.0, None),
+        9: (9.0, "late"), 77: (7.0, "m"),
+    }
+    # MV over the mutated table, then keep it current through a delete
+    e("CREATE MATERIALIZED VIEW by_grp WITH ('key'='id') AS SELECT grp, SUM(v) FROM fact GROUP BY grp")
+    got = {r["grp"]: r["sum_v"] for r in e("SELECT * FROM by_grp").collect()}
+    assert got == {"g0": 222.0, "g1": 29.0}
+    e("DELETE FROM fact WHERE id = 77")
+    e("REFRESH MATERIALIZED VIEW by_grp")
+    got = {r["grp"]: r["sum_v"] for r in e("SELECT * FROM by_grp").collect()}
+    assert got == {"g0": 222.0, "g1": 22.0}
+    # time travel sees the pre-delete state (version before last)
+    ds = engine.catalog.load_table(engine.database, "fact")
+    pre = len(ds.versions()) - 1
+    assert e(f"SELECT COUNT(*) AS c FROM fact VERSION AS OF {pre}").first()["c"] == 5
+    # maintenance: binpack + stats + vacuum; data stays intact
+    e("OPTIMIZE fact BINPACK")
+    assert e("ANALYZE TABLE fact COMPUTE STATISTICS").first()["rows"] == 4
+    e("VACUUM fact KEEP 1")
+    assert e("SELECT COUNT(*) AS c FROM fact").first()["c"] == 4
+    versions = e("SHOW VERSIONS FROM fact").collect()
+    assert any(v["mode"] == "compact" for v in versions)
+    assert any(v["expired"] for v in versions)
