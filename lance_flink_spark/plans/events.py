@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 
 from lance_flink_spark.functions.multimodal import extract_metadata, to_binary_docs
 from lance_flink_spark.registry import query, table
-from lance_flink_spark.streaming.windows import sessionize, sliding_agg, tumbling_agg
+from lance_flink_spark.streaming.windows import (
+    sessionize,
+    sliding_agg,
+    tumbling_agg,
+    windowed_distinct_users,
+)
 
 _TUMBLING_ORACLE = """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
@@ -319,3 +324,27 @@ def funnel_conversion(spark, sf_dir):
         F.count("t_click").alias("n_clicked_after_view"),
         F.count("t_purchase").alias("n_purchased_funnel"),
     )
+
+
+_DISTINCT_ORACLE = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("streaming_window_users", extra=True, oracle=_DISTINCT_ORACLE)
+def streaming_window_users(spark, sf_dir):
+    """EXACT streaming COUNT(DISTINCT) per tumbling window via the
+    dedup-then-count split (streaming/windows.py::
+    windowed_distinct_users — the same operator split Flink's planner
+    makes; Structured Streaming rejects the direct distinct
+    aggregate). Final streaming state must equal the batch
+    COUNT(DISTINCT) oracle."""
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark="1 hour")
+    t = run_to_memory(
+        windowed_distinct_users(events, window="1 hour"), state_partitions=8
+    )
+    return spark.table(t)

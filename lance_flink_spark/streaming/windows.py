@@ -115,3 +115,42 @@ def sessionize(
         F.sum("n").alias("n_events"),
         F.max("n").alias("max_session_events"),
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """EXACT distinct users per (window, key) on a stream — the Flink
+    streaming COUNT(DISTINCT ...) pattern. Structured Streaming
+    rejects count_distinct in streaming aggregates, and Flink's own
+    operator splits it the same way this does: a keyed DEDUP state
+    upstream (one entry per (window, key, user) within the watermark)
+    feeding a plain COUNT downstream. State is bounded by distinct
+    users per live window — exactly the split-distinct state Flink
+    keeps — while the approximate alternative
+    (approx_count_distinct) trades that state for sketch error.
+
+    Works identically on a batch frame (unified engine): dedup is
+    dropDuplicates there."""
+    w = F.window(ts_col, window).alias("w")
+    # dedup keys keep the WINDOW STRUCT (not split start/end columns):
+    # the struct carries the event-time watermark tag, so both the
+    # dedup state and the downstream aggregate state expire when the
+    # watermark passes the window — splitting first would strip the
+    # tag and leave the dedup state growing with every window ever
+    deduped = events.select(w, F.col(key_col), F.col(user_col)).dropDuplicates(
+        ["w", key_col, user_col]
+    )
+    return (
+        deduped.groupBy("w", key_col)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            key_col,
+            "n_users",
+        )
+    )
