@@ -72,6 +72,17 @@ _TIME_TRAVEL = re.compile(
     r"|FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<v2>\d+))",
     re.IGNORECASE,
 )
+_WINDOW_TVF = re.compile(
+    # Flink windowing TVFs (1.13+ SQL): TABLE(TUMBLE(TABLE t,
+    # DESCRIPTOR(ts), INTERVAL '1' HOUR)) and HOP(..., slide, size) —
+    # rewritten to Spark's window() expression with the TVF's
+    # window_start / window_end output columns
+    r"TABLE\s*\(\s*(?P<kind>TUMBLE|HOP)\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+    r"INTERVAL\s+'(?P<i1>[^']+)'\s+(?P<u1>\w+)"
+    r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
+    re.IGNORECASE,
+)
 _CREATE_MV = re.compile(
     # the self-maintainable aggregate shape (SUM/COUNT under
     # retraction): SELECT g1[, g2...], SUM(v) [AS a] FROM t GROUP BY ...
@@ -169,6 +180,36 @@ def _rewrite_array_literals(sql: str) -> str:
                 chars[i] = ")"
         i += 1
     return "".join(chars)
+
+
+def _rewrite_window_tvfs(sql: str) -> str:
+    """Flink windowing TVFs → Spark ``window()`` subqueries.
+
+    ``TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))``
+    becomes a derived table exposing every source column plus the
+    TVF's ``window_start`` / ``window_end`` — so the surrounding
+    Flink-style ``GROUP BY window_start, window_end, ...`` runs
+    unchanged. HOP's (slide, size) argument order follows Flink:
+    the first interval is the slide, the second the size (Spark's
+    window() takes them reversed)."""
+
+    def sub(m: re.Match) -> str:
+        tbl, ts = m.group("tbl"), m.group("ts")
+        d1 = f"{m.group('i1')} {m.group('u1')}"
+        if m.group("kind").upper() == "TUMBLE":
+            win = f"window({ts}, '{d1}')"
+        else:
+            if not m.group("i2"):
+                raise ValueError("HOP requires slide and size intervals")
+            size = f"{m.group('i2')} {m.group('u2')}"
+            win = f"window({ts}, '{size}', '{d1}')"
+        return (
+            f"(SELECT * EXCEPT (__w), __w.start AS window_start, "
+            f"__w.end AS window_end "
+            f"FROM (SELECT *, {win} AS __w FROM {tbl}))"
+        )
+
+    return _WINDOW_TVF.sub(sub, sql)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -409,7 +450,9 @@ class SqlEngine:
                 "version long, mode string, ts double, expired boolean",
             )
         return self.spark.sql(
-            _rewrite_array_literals(self._rewrite_time_travel(sql))
+            _rewrite_array_literals(
+                _rewrite_window_tvfs(self._rewrite_time_travel(sql))
+            )
         )
 
     def _rewrite_time_travel(self, sql: str) -> str:

@@ -80,3 +80,22 @@ def test_overwrite_requires_reset(spark, src, tmp_path_str):
     head = c.reset_to_latest()
     assert c.position() == head
     assert c.process_available(spark, lambda *a: None) == 0
+
+
+def test_cdc_loop_maintains_scalar_index(spark, src, tmp_path_str):
+    """Composition: the CDC subscription drives incremental index
+    maintenance — each drained batch triggers a delta index update, so
+    routed lookups stay fresh without any full rebuild on appends."""
+    src.build_scalar_index(spark, "id")
+    c = ChangeFeedConsumer(src, tmp_path_str + "/ckpt_idx", key="id")
+    c.reset_to_latest()  # subscribe from the current head
+
+    def refresh_index(df, lo, hi):
+        src.update_scalar_index(spark, "id")
+
+    src.write(_df(spark, 50, 55), mode="append")
+    assert c.process_available(spark, refresh_index) == 1
+    out = src.read_eq(spark, "id", 52)
+    assert out.count() == 1
+    # the routed scan touched only the new fragment
+    assert all("/v0005-" in f for f in out.inputFiles())

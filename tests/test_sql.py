@@ -560,3 +560,40 @@ def test_sql_lakehouse_lifecycle(engine):
     versions = e("SHOW VERSIONS FROM fact").collect()
     assert any(v["mode"] == "compact" for v in versions)
     assert any(v["expired"] for v in versions)
+
+
+def test_sql_window_tvfs(engine, spark):
+    """Flink windowing TVFs (TUMBLE/HOP) rewrite to Spark window()
+    derived tables; the Flink GROUP BY window_start/window_end shape
+    runs unchanged and matches the DataFrame window() result."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(ts=datetime.datetime(2024, 1, 1, 0, m, 0), k="a", v=float(m))
+        for m in (1, 20, 41, 59)
+    ] + [Row(ts=datetime.datetime(2024, 1, 1, 1, 5, 0), k="a", v=100.0)]
+    spark.createDataFrame(rows).createOrReplaceTempView("tvf_events")
+    out = engine.execute(
+        "SELECT window_start, k, COUNT(*) AS n, SUM(v) AS s "
+        "FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end, k ORDER BY window_start"
+    ).collect()
+    assert [(r["n"], r["s"]) for r in out] == [(4, 121.0), (1, 100.0)]
+    # HOP: Flink argument order is (slide, size) — 30m slide, 1h size
+    hop = engine.execute(
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end ORDER BY window_start"
+    ).collect()
+    want = (
+        spark.table("tvf_events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .count()
+        .orderBy("window.start")
+        .collect()
+    )
+    assert [r["n"] for r in hop] == [r["count"] for r in want]
