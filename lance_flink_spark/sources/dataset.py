@@ -940,7 +940,13 @@ class Dataset:
             raise ValueError(f"unknown column {col!r}")
         version = self.versions()[-1]
         tagged = self._tagged_scan(spark)
-        pairs = tagged.select(F.col(col).alias("value"), "_file").distinct()
+        # (value, file) plus the row count per pair: the count column
+        # upgrades the sidecar from a router to an AGGREGATE answer
+        # source — COUNT(*) WHERE col = v sums it without touching data
+        # (the reference's AggregateExecutor-near-the-scan idea)
+        pairs = tagged.groupBy(F.col(col).alias("value"), "_file").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
         out = fsio.join(self.path, "_scalar_index", col, f"v{version:04d}")
         pairs.write.mode("overwrite").parquet(out)
         # per-file min/max sidecar (the BTREE half of the story): lets
@@ -1006,9 +1012,9 @@ class Dataset:
             tagged = self._read_files(spark, new_files).withColumn(
                 "_file", F.input_file_name()
             )
-            delta_pairs = tagged.select(
+            delta_pairs = tagged.groupBy(
                 F.col(col).alias("value"), "_file"
-            ).distinct()
+            ).agg(F.count(F.lit(1)).alias("cnt"))
             spark.read.parquet(base_old).unionByName(delta_pairs).write.mode(
                 "overwrite"
             ).parquet(out)
@@ -1243,6 +1249,31 @@ class Dataset:
             F.col(col) == F.lit(value)
         )
         return df.select(*columns) if columns else df
+
+    def count_eq(self, spark: SparkSession, col: str, value) -> int:
+        """``COUNT(*) WHERE col = value`` answered ENTIRELY from the
+        scalar-index sidecar — zero data files opened (the reference's
+        aggregate-pushdown-near-the-scan idea taken to its limit: the
+        sidecar's per-(value, file) row counts ARE the aggregate).
+        Requires a fresh index built with count support; raises the
+        same staleness error as the other indexed lookups."""
+        from pyspark.sql import functions as F
+
+        meta = self._fresh_index_meta(col)
+        idx = spark.read.parquet(
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+        )
+        if "cnt" not in idx.columns:
+            raise ValueError(
+                f"scalar index on {col!r} predates count support — rebuild "
+                "with build_scalar_index to enable index-answered counts"
+            )
+        row = (
+            idx.filter(F.col("value") == F.lit(value))
+            .agg(F.sum("cnt").alias("n"))
+            .first()
+        )
+        return int(row["n"] or 0)
 
     def vacuum(
         self,

@@ -126,6 +126,9 @@ _OPTIMIZE = re.compile(
 _VACUUM = re.compile(
     r"VACUUM\s+(?P<name>[\w.]+)(?:\s+KEEP\s+(?P<keep>\d+))?\s*$", re.IGNORECASE
 )
+_SHOW_CREATE = re.compile(
+    r"SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
 _SHOW_VERSIONS = re.compile(
     r"SHOW\s+VERSIONS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
@@ -436,6 +439,25 @@ class SqlEngine:
             deleted = ds.vacuum(keep_versions=int(m.group("keep") or 1))
             return self.spark.createDataFrame(
                 [(f,) for f in deleted] or [], "deleted_file string"
+            )
+        m = _SHOW_CREATE.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            name = m.group("name")
+            ds = self.catalog.load_table(self.database, name)
+            schema = ds.read(self.spark).schema
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in schema.fields
+            )
+            opts = self.options.get(name)
+            opt_pairs = [("connector", "lance")]
+            if opts is not None:
+                for k, v in sorted((opts.extra or {}).items()):
+                    opt_pairs.append((k, v))
+            with_clause = ", ".join(f"'{k}' = '{v}'" for k, v in opt_pairs)
+            stmt = f"CREATE TABLE {name} (\n  {cols}\n) WITH ({with_clause})"
+            return self.spark.createDataFrame(
+                [(stmt,)], "create_statement string"
             )
         m = _SHOW_VERSIONS.match(sql)
         if m:

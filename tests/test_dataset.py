@@ -704,3 +704,27 @@ def test_update_scalar_index_incremental_and_fallback(spark, tmp_path_str):
     assert v3 == 3
     assert ds.read_eq(spark, "cat", "c0").count() == 0
     assert ds.read_eq(spark, "cat", "c9").count() == 10
+
+
+def test_count_eq_answers_from_index_sidecar(spark, tmp_path_str):
+    """COUNT(*) WHERE col = v from the sidecar's per-(value, file)
+    counts — validated against a real scan, incl. after a delta
+    index update."""
+    from pyspark.sql import Row
+
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(tmp_path_str + "/cnt_idx")
+    ds.write(spark.createDataFrame([Row(id=i, cat=f"c{i % 3}") for i in range(90)]))
+    ds.build_scalar_index(spark, "cat")
+    assert ds.count_eq(spark, "cat", "c1") == 30
+    assert ds.count_eq(spark, "cat", "nope") == 0
+    ds.write(
+        spark.createDataFrame([Row(id=200 + i, cat="c1") for i in range(7)]),
+        mode="append",
+    )
+    ds.update_scalar_index(spark, "cat")
+    assert ds.count_eq(spark, "cat", "c1") == 37
+    assert ds.count_eq(spark, "cat", "c1") == ds.read(spark).filter(
+        "cat = 'c1'"
+    ).count()

@@ -597,3 +597,20 @@ def test_sql_window_tvfs(engine, spark):
         .collect()
     )
     assert [r["n"] for r in hop] == [r["count"] for r in want]
+
+
+def test_sql_show_create_table(engine):
+    engine.execute(
+        """CREATE TABLE sct (id BIGINT, v DOUBLE, tag STRING)
+           WITH ('connector'='lance','path'='', 'index.type'='IVF_FLAT')"""
+    )
+    stmt = engine.execute("SHOW CREATE TABLE sct").first()["create_statement"]
+    assert stmt.startswith("CREATE TABLE sct (")
+    assert "id BIGINT" in stmt and "v DOUBLE" in stmt and "tag STRING" in stmt
+    assert "'connector' = 'lance'" in stmt
+    assert "'index.type' = 'IVF_FLAT'" in stmt
+    # the emitted DDL round-trips through the engine
+    stmt2 = stmt.replace("TABLE sct", "TABLE sct2")
+    engine.execute(stmt2)
+    cols = [r["col_name"] for r in engine.execute("DESCRIBE sct2").collect()]
+    assert cols == ["id", "v", "tag"]
