@@ -53,3 +53,47 @@ def test_chunking_short_doc_single_chunk(spark):
 def test_chunking_validates_overlap():
     with pytest.raises(ValueError):
         chunk_tokens(F.lit("x"), chunk_size=8, overlap=8)
+
+
+def test_shard_by_token_budget_invariants(spark):
+    """Distributed prefix-sum sharding vs a single-machine reference:
+    identical assignment, contiguity in the seeded order, and the
+    budget bound (a shard exceeds `budget` by at most one document)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.packing import shard_by_token_budget
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    toks = {i: int(rng.integers(1, 400)) for i in range(137)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n_tok=toks[i]) for i in toks]
+    )
+    budget = 1500
+    out = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_by_token_budget(df, budget, seed="p").collect()
+    }
+    assert set(out) == set(toks)
+    # single-machine reference: same md5 order, same running-sum cut
+    order = sorted(toks, key=lambda i: (hashlib.md5(f"p:{i}".encode()).hexdigest(), i))
+    cum, ref = 0, {}
+    for i in order:
+        cum += toks[i]
+        ref[i] = (cum - 1) // budget
+    assert out == ref
+    # budget bound: every shard's total < budget + its largest doc
+    per_shard: dict = {}
+    for i, s in out.items():
+        per_shard.setdefault(s, []).append(toks[i])
+    for s, sizes in per_shard.items():
+        assert sum(sizes) < budget + max(sizes)
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_by_token_budget(df, budget, seed="p").collect()
+    }
+    assert again == out
