@@ -122,7 +122,8 @@ def build_graph(
 ) -> _Graph:
     """Sequential HNSW build over ONE list (runs inside one executor
     task; the distribution is across lists, not within one).
-    ``max_level`` caps node levels (reference option index.max-level —
+    ``max_level`` caps node levels (reference option index.max-level,
+    config/LanceOptions.java:168-175 / LanceIndexBuilder.java:541,757 —
     bounds per-node memory at a small recall cost on huge lists)."""
     n = len(ids)
     m_l = 1.0 / math.log(max(m, 2))

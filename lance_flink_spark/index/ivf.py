@@ -240,7 +240,9 @@ class IVFIndex:
         (``sq_bits`` — Lance's scalar-quantization variant: per-dim
         uniform codes against global [min, max] bounds; 4× smaller scan
         at 8 bits with far cheaper decode than PQ's LUT walk, the usual
-        pick when memory—not disk—is the constraint).
+        pick when memory—not disk—is the constraint; quantizer bit
+        width rides the reference's index.num-bits option —
+        config/LanceOptions.java:159-166, LanceIndexBuilder.java:540).
 
         ``distributed_kmeans`` defaults to AUTO: above nlist=512 the
         centroids (and PQ codebooks) are trained with pyspark.ml's
