@@ -502,3 +502,50 @@ def test_incremental_near_dedup_bucket_cap_bounds_degenerate_corpus(spark):
     out = incremental_near_dedup(batch, corpus, max_bucket=10)
     # hot buckets dropped from both sides -> bounded result, no blowup
     assert out.count() == 0
+
+
+def test_fuzzy_join_matches_bruteforce_reference(spark):
+    """Uncapped blocked fuzzy join == brute-force token Jaccard on
+    random corpora with planted truncation pairs."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.linkage import fuzzy_join
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    left_rows = {
+        i: " ".join(rng.choice(vocab, size=rng.integers(5, 15)))
+        for i in range(30)
+    }
+    # right side: truncated copies of even ids + random noise docs
+    right_rows = {
+        1000 + i: " ".join(left_rows[i].split()[:6]) for i in range(0, 30, 2)
+    }
+    right_rows.update(
+        {
+            2000 + i: " ".join(rng.choice(vocab, size=8))
+            for i in range(5)
+        }
+    )
+    L = spark.createDataFrame([Row(lid=i, text=t) for i, t in left_rows.items()])
+    R = spark.createDataFrame([Row(rid=i, text=t) for i, t in right_rows.items()])
+    got = {
+        (r["lid"], r["rid"]): r["jaccard"]
+        for r in fuzzy_join(
+            L, R, "lid", "rid", threshold=0.4, max_df=10_000
+        ).collect()
+    }
+
+    def toks(t):
+        return set(t.lower().split())
+
+    want = {}
+    for li, lt in left_rows.items():
+        for ri, rt in right_rows.items():
+            a, b = toks(lt), toks(rt)
+            j = len(a & b) / len(a | b)
+            if round(j, 6) >= 0.4:
+                want[(li, ri)] = round(j, 6)
+    assert got == want
+    assert len(want) > 5  # planted pairs actually exercised the check
