@@ -348,3 +348,32 @@ def streaming_window_users(spark, sf_dir):
         windowed_distinct_users(events, window="1 hour"), state_partitions=8
     )
     return spark.table(t)
+
+
+@query(
+    "events_cumulate",
+    extra=True,
+    oracle="""
+    WITH fan AS (
+      SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start_s,
+             CAST(FLOOR(epoch(ts) / 86400) * 86400 + i * 21600 AS BIGINT) AS window_end_s,
+             event_type, value
+      FROM events, UNNEST([1, 2, 3, 4]) AS t(i)
+      WHERE epoch(ts) < FLOOR(epoch(ts) / 86400) * 86400 + i * 21600
+    )
+    SELECT window_start_s, window_end_s, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM fan GROUP BY 1, 2, 3
+    """,
+)
+def events_cumulate(spark, sf_dir):
+    """Flink CUMULATE windows (streaming/windows.py::cumulate_agg):
+    daily spans with 6-hour cumulative checkpoints — a window mode
+    Spark has no native operator for, built as bounded fan-out + one
+    windowed aggregate. The oracle replays the identical slice
+    arithmetic relationally."""
+    from lance_flink_spark.streaming.windows import cumulate_agg
+
+    return cumulate_agg(
+        table(spark, sf_dir, "events"), step="6 hours", size="1 day"
+    )

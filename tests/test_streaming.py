@@ -296,3 +296,36 @@ def test_streaming_topn_batch_replay_is_noop(spark, tmp_path_str):
     topn.write_batch(b0, 0)  # replay
     r = topn.results(spark).first()
     assert (r["v"], r["c"]) == (10, 1)
+
+
+def test_cumulate_streaming_equals_batch(spark):
+    """CUMULATE windows: the streaming run's final state equals the
+    batch frame (unified engine, same operator)."""
+    from conftest import SF_DIR
+
+    from lance_flink_spark.registry import table
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+    from lance_flink_spark.streaming.windows import cumulate_agg
+
+    batch = {
+        (r["window_start_s"], r["window_end_s"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in cumulate_agg(
+            table(spark, SF_DIR, "events"), step="6 hours", size="1 day"
+        ).collect()
+    }
+    sdf = stream_events(spark, SF_DIR, watermark="1 hour")
+    t = run_to_memory(
+        cumulate_agg(sdf, step="6 hours", size="1 day"), state_partitions=8
+    )
+    stream = {
+        (r["window_start_s"], r["window_end_s"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.table(t).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 10
