@@ -77,7 +77,7 @@ _WINDOW_TVF = re.compile(
     # DESCRIPTOR(ts), INTERVAL '1' HOUR)) and HOP(..., slide, size) —
     # rewritten to Spark's window() expression with the TVF's
     # window_start / window_end output columns
-    r"TABLE\s*\(\s*(?P<kind>TUMBLE|HOP)\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*"
+    r"TABLE\s*\(\s*(?P<kind>TUMBLE|HOP|CUMULATE)\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*"
     r"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
     r"INTERVAL\s+'(?P<i1>[^']+)'\s+(?P<u1>\w+)"
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
@@ -198,8 +198,30 @@ def _rewrite_window_tvfs(sql: str) -> str:
 
     def sub(m: re.Match) -> str:
         tbl, ts = m.group("tbl"), m.group("ts")
+        kind = m.group("kind").upper()
         d1 = f"{m.group('i1')} {m.group('u1')}"
-        if m.group("kind").upper() == "TUMBLE":
+        if kind == "CUMULATE":
+            # no native Spark operator: fan each row out to the
+            # cumulative windows whose end it precedes (Flink slice
+            # assignment), ends generated inline
+            from lance_flink_spark.streaming.windows import _interval_seconds
+
+            if not m.group("i2"):
+                raise ValueError("CUMULATE requires step and size intervals")
+            step = _interval_seconds(d1)
+            size = _interval_seconds(f"{m.group('i2')} {m.group('u2')}")
+            if size % step:
+                raise ValueError("CUMULATE size must be a multiple of step")
+            k = size // step
+            base = f"floor(unix_timestamp({ts}) / {size}) * {size}"
+            return (
+                f"(SELECT * EXCEPT (__e), to_timestamp({base}) AS window_start, "
+                f"to_timestamp(__e) AS window_end "
+                f"FROM (SELECT *, explode(filter(transform(sequence(1, {k}), "
+                f"i -> {base} + i * {step}), "
+                f"e -> unix_timestamp({ts}) < e)) AS __e FROM {tbl}))"
+            )
+        if kind == "TUMBLE":
             win = f"window({ts}, '{d1}')"
         else:
             if not m.group("i2"):

@@ -614,3 +614,28 @@ def test_sql_show_create_table(engine):
     engine.execute(stmt2)
     cols = [r["col_name"] for r in engine.execute("DESCRIBE sct2").collect()]
     assert cols == ["id", "v", "tag"]
+
+
+def test_sql_cumulate_tvf(engine, spark):
+    """CUMULATE TVF in SQL matches the cumulate_agg operator."""
+    from conftest import SF_DIR
+
+    from lance_flink_spark.registry import table
+    from lance_flink_spark.streaming.windows import cumulate_agg
+
+    table(spark, SF_DIR, "events").createOrReplaceTempView("cum_events")
+    out = engine.execute(
+        "SELECT CAST(window_start AS LONG) AS ws, CAST(window_end AS LONG) AS we, "
+        "event_type, COUNT(*) AS n "
+        "FROM TABLE(CUMULATE(TABLE cum_events, DESCRIPTOR(ts), "
+        "INTERVAL '6' HOUR, INTERVAL '1' DAY)) "
+        "GROUP BY window_start, window_end, event_type"
+    ).collect()
+    got = {(r["ws"], r["we"], r["event_type"]): r["n"] for r in out}
+    want = {
+        (r["window_start_s"], r["window_end_s"], r["event_type"]): r["n_events"]
+        for r in cumulate_agg(
+            table(spark, SF_DIR, "events"), step="6 hours", size="1 day"
+        ).collect()
+    }
+    assert got == want
