@@ -64,3 +64,48 @@ def mixture_sample(
     for src, p in sorted(rates.items()):
         pct = F.when(F.col(source_col) == src, F.lit(p)).otherwise(pct)
     return df.filter(b < pct)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): each row draws priority
+    ``u^(1/w)`` with ``u`` uniform from md5(seed:key) — the top-k
+    priorities are then a weight-proportional sample, computed as a
+    plain per-group rank. Quality-weighted corpus selection ("sample
+    50k docs per source ∝ quality score") reduces to exactly this.
+
+    Deterministic and engine-independent: ``u`` is the md5 hex's first
+    12 nibbles scaled to (0,1), so the oracle reproduces every
+    priority bit-for-bit. Zero/negative weights are excluded (their
+    theoretical priority is 0 — never sampled).
+
+    One window shuffle on the group key (or a TakeOrderedAndProject
+    when ungrouped); no RNG state, no driver involvement."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))), 1, 12), 16, 10).cast("double")
+        / F.lit(float(16**12))
+    )
+    # exp(ln(u)/w): the stable spelling of u^(1/w) for tiny u
+    pri = F.exp(F.log(u) / F.col(weight_col))
+    out = df.filter(F.col(weight_col) > 0).withColumn("__pri", pri)
+    if group_col is None:
+        return (
+            out.orderBy(F.desc("__pri"), F.asc(key_col))
+            .limit(k)
+            .drop("__pri")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("__pri"), F.asc(key_col))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__pri", "__rn")
+    )

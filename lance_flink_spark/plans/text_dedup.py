@@ -1213,3 +1213,40 @@ def training_shards(spark, sf_dir):
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
     )
     return shard_by_token_budget(docs, budget=5000, seed="shard7")
+
+
+@query(
+    "weighted_sample",
+    extra=True,  # gate budget; ES weighted sampling, md5-derived priorities
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars AS DOUBLE) AS wt,
+             CAST(CONCAT('0x', substr(md5(CONCAT('ws:', doc_id)), 1, 12)) AS BIGINT)
+               / POWER(16, 12) AS u
+      FROM documents WHERE n_chars > 0
+    ), p AS (
+      SELECT doc_id, source, n_chars,
+             EXP(LN(u) / wt) AS pri
+      FROM w
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+      FROM p)
+    SELECT doc_id, source, n_chars FROM r WHERE rn <= 20
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Per-source weighted sampling without replacement (operators/
+    sampling.py::weighted_sample): 20 docs per source with probability
+    ∝ length (the Efraimidis-Spirakis top-k-priority reduction). The
+    oracle reproduces the md5-derived uniforms and priorities exactly,
+    so the SELECTED SET — not just its size — is the check."""
+    from lance_flink_spark.operators.sampling import weighted_sample
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("wt"), "n_chars"
+    )
+    return weighted_sample(
+        docs, k=20, weight_col="wt", key_col="doc_id", group_col="source"
+    ).select("doc_id", "source", "n_chars")
