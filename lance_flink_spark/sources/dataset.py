@@ -226,6 +226,7 @@ class Dataset:
         removed_files: list[str] | None = None,
         dropped_columns: list[str] | None = None,
         expected_version: int | None = None,
+        restore_of: int | None = None,
     ) -> int:
         man = self._load_manifest()
         if (
@@ -251,6 +252,8 @@ class Dataset:
             entry["removed_files"] = sorted(removed_files)
         if dropped_columns:
             entry["dropped_columns"] = sorted(dropped_columns)
+        if restore_of is not None:
+            entry["restore_of"] = int(restore_of)
         man["versions"].append(entry)
         # tmp-write + rename commit, like Lance's manifest swap — local
         # and any Hadoop scheme (s3a://, hdfs://) via fsio
@@ -273,6 +276,16 @@ class Dataset:
         live: list[str] = []
         removed: set[str] = set()
         for v in vs:
+            if v["mode"] == "restore":
+                # metadata-only rollback (Delta RESTORE parity): the
+                # state becomes exactly the restored version's state —
+                # replayed through the SAME manifest prefix, so this
+                # recursion is bounded by history depth and never
+                # touches data files
+                frags, removed_r = self._live_state(v["restore_of"])
+                live = [self._relpath(f) for f in frags]
+                removed = set(removed_r)
+                continue
             if v["mode"] == "overwrite":
                 live = []
                 removed = set()
@@ -292,6 +305,9 @@ class Dataset:
             vs = [v for v in vs if v["version"] <= version]
         dropped: list[str] = []
         for v in vs:
+            if v["mode"] == "restore":
+                dropped = self._dropped_cols(v["restore_of"])
+                continue
             if v["mode"] == "overwrite":
                 dropped = []
             for c in v.get("dropped_columns", ()):
@@ -538,6 +554,15 @@ class Dataset:
                 "merge); a file-stream glob cannot express file-level "
                 "supersession — compact() first, then start the stream"
             )
+        last_ow = max(
+            (v["version"] for v in man if v["mode"] == "overwrite"), default=0
+        )
+        if any(v["mode"] == "restore" and v["version"] > last_ow for v in man):
+            raise ValueError(
+                "dataset state derives from a restore — its live files "
+                "span arbitrary history and no version glob matches "
+                "exactly them; compact() first, then start the stream"
+            )
         schema = self.read(spark).schema
         last_ow = max(
             (v["version"] for v in man if v["mode"] == "overwrite"), default=1
@@ -580,6 +605,25 @@ class Dataset:
             max_rows_per_file=max_rows_per_file,
             zorder_by=zorder_by,
             expected_version=base,
+        )
+
+    def restore(self, version: int) -> int:
+        """Roll the dataset back to ``version`` as a NEW commit (Delta
+        RESTORE parity): metadata-only — no data read or written, the
+        new version's live state IS the old version's, and the
+        intervening history stays time-travelable (a restore can be
+        restored away again). Refuses expired targets. Streams and
+        change feeds treat a restore like an overwrite (no row
+        lineage); CAS-protected like every snapshot-derived commit."""
+        man = self._load_manifest()["versions"]
+        base = len(man)
+        target = next((v for v in man if v["version"] == version), None)
+        if target is None:
+            raise ValueError(f"no such version {version}")
+        if target.get("expired"):
+            raise ValueError(f"version {version} was expired by vacuum()")
+        return self._commit(
+            "restore", "", expected_version=base, restore_of=version
         )
 
     def compact_small(
@@ -856,10 +900,10 @@ class Dataset:
         for v in picked:
             if v.get("expired"):
                 raise ValueError(f"version {v['version']} was expired by vacuum()")
-            if v["mode"] == "overwrite":
+            if v["mode"] in ("overwrite", "restore"):
                 raise ValueError(
-                    f"version {v['version']} is an overwrite — no row lineage; "
-                    "read the snapshot and restart the feed from there"
+                    f"version {v['version']} is an {v['mode']} — no row "
+                    "lineage; read the snapshot and restart the feed there"
                 )
             frag_files = [
                 self._relpath(fsio.join(self.path, v["fragment"], n))
@@ -1322,6 +1366,8 @@ class Dataset:
         deleted: list[str] = []
         for v in vs:
             frag = v["fragment"]
+            if v["mode"] == "restore" or not frag:
+                continue  # metadata-only commits own no fragment dir
             frag_path = fsio.join(self.path, frag)
             if not fsio.exists(frag_path):
                 continue

@@ -126,6 +126,10 @@ _OPTIMIZE = re.compile(
 _VACUUM = re.compile(
     r"VACUUM\s+(?P<name>[\w.]+)(?:\s+KEEP\s+(?P<keep>\d+))?\s*$", re.IGNORECASE
 )
+_RESTORE = re.compile(
+    r"RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*$",
+    re.IGNORECASE,
+)
 _SHOW_CREATE = re.compile(
     r"SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
@@ -462,6 +466,12 @@ class SqlEngine:
             return self.spark.createDataFrame(
                 [(f,) for f in deleted] or [], "deleted_file string"
             )
+        m = _RESTORE.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            ds = self.catalog.load_table(self.database, m.group("name"))
+            ds.restore(int(m.group("v")))
+            self._register(m.group("name"))
+            return None
         m = _SHOW_CREATE.match(sql)
         if m and self._in_catalog(m.group("name")):
             name = m.group("name")

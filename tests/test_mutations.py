@@ -350,3 +350,50 @@ def test_vacuum_sweeps_aged_orphans_only(spark, ds2):
     assert not os.path.exists(orphan)
     assert set(ds2._live_paths()) == committed_before
     assert ds2.read(spark).count() == 200
+
+
+def test_restore_rolls_back_metadata_only(spark, ds2):
+    import glob as g
+
+    files_before = sorted(
+        f for p in ds2._live_paths() for f in g.glob(p + "/*.parquet")
+    )
+    ds2.delete_where(spark, "id >= 100")
+    assert ds2.read(spark).count() == 100
+    v = ds2.restore(2)  # pre-delete state
+    assert ds2.read(spark).count() == 200
+    # metadata-only: no new data files exist anywhere
+    all_files = sorted(g.glob(ds2.path + "/data/*/*.parquet"))
+    rewrite = [f for f in all_files if "/m0003-" in f]
+    assert sorted(set(all_files) - set(rewrite)) == files_before
+    # the rolled-back history is still travelable, incl. the delete
+    assert ds2.read(spark, version=3).count() == 100
+    assert ds2.read(spark, version=v).count() == 200
+    # a restore can itself be restored away
+    ds2.restore(3)
+    assert ds2.read(spark).count() == 100
+
+
+def test_restore_guards(spark, ds2):
+    with pytest.raises(ValueError, match="no such version"):
+        ds2.restore(99)
+    ds2.write(_df(spark, 200, 210), mode="overwrite")
+    ds2.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="expired"):
+        ds2.restore(1)
+
+
+def test_restore_then_stream_requires_compact(spark, ds2):
+    ds2.restore(1)
+    with pytest.raises(ValueError, match="compact"):
+        ds2.read_stream(spark)
+    ds2.compact(spark)
+    assert ds2.read_stream(spark).isStreaming
+    assert ds2.read(spark).count() == 100
+
+
+def test_restore_resets_dropped_columns(spark, ds2):
+    ds2.drop_columns(spark, ["name"])
+    assert ds2.read(spark).columns == ["id", "val"]
+    ds2.restore(2)
+    assert ds2.read(spark).columns == ["id", "val", "name"]

@@ -639,3 +639,14 @@ def test_sql_cumulate_tvf(engine, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sql_restore_table(engine):
+    engine.execute(
+        "CREATE TABLE rst (id BIGINT, v DOUBLE) WITH ('connector'='lance','path'='')"
+    )
+    engine.execute("INSERT INTO rst VALUES (1, 1.0), (2, 2.0)")
+    engine.execute("DELETE FROM rst WHERE id = 2")
+    assert engine.execute("SELECT COUNT(*) AS c FROM rst").first()["c"] == 1
+    engine.execute("RESTORE TABLE rst TO VERSION AS OF 2")
+    assert engine.execute("SELECT COUNT(*) AS c FROM rst").first()["c"] == 2
