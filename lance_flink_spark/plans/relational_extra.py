@@ -714,3 +714,39 @@ def dataset_evolution(spark, sf_dir):
     )
     ds.drop_columns(spark, ["note"])
     return ds.read(spark).select("n_nationkey", "n_name", "score", "region")
+
+
+@query(
+    "top_parts_with_ties",
+    extra=True,  # gate budget; RANK/DENSE_RANK vs ROW_NUMBER semantics
+    oracle="""
+    WITH sized AS (
+      SELECT p_brand, p_size, COUNT(*) AS n FROM part
+      GROUP BY p_brand, p_size
+    ), ranked AS (
+      SELECT p_brand, p_size, n,
+             RANK()       OVER (PARTITION BY p_brand ORDER BY n DESC) AS rk,
+             DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY n DESC) AS drk
+      FROM sized)
+    SELECT p_brand, p_size, n, rk, drk FROM ranked WHERE rk <= 3
+    """,
+)
+def top_parts_with_ties(spark, sf_dir):
+    """Flink Top-N WITH TIES (rank() <= n keeps every tied row, unlike
+    row_number()'s arbitrary cut — #23 covers that variant): top part
+    sizes per brand by count, with both RANK and DENSE_RANK exposed so
+    the gap-vs-dense numbering semantics are value-checked, not just
+    the surviving row set."""
+    sized = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"))
+    return (
+        sized.withColumn("rk", F.rank().over(w).cast("long"))
+        .withColumn("drk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
