@@ -518,3 +518,52 @@ def drift_psi(spark, sf_dir):
             "psi_term"
         ),
     )
+
+
+@query(
+    "source_gini",
+    extra=True,  # gate budget; corpus-balance inequality diagnostic
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           ROUND(2.0 * SUM(CAST(i AS BIGINT) * n_chars) / (COUNT(*) * SUM(n_chars))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def source_gini(spark, sf_dir):
+    """Per-source Gini coefficient of document sizes — the corpus-mix
+    diagnostic that catches a source whose token mass is concentrated
+    in a few giant documents before it skews a training mixture
+    (0 = uniform, →1 = one doc dominates). Computed via the sorted-
+    rank identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n: one rank window per
+    source + one aggregate — no pairwise |xᵢ−xⱼ| blowup, so it scales
+    to any corpus (the naive mean-absolute-difference form is O(n²)).
+    Deterministic rank ties on doc_id."""
+    ranked = table(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.asc("n_chars"), F.asc("doc_id")
+            )
+        )
+        .alias("i"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            2.0
+            * F.sum(F.col("i").cast("long") * F.col("n_chars"))
+            / (F.count(F.lit(1)) * F.sum("n_chars"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
