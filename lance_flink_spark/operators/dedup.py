@@ -823,3 +823,60 @@ def resolve_duplicate_clusters_star(
         .agg(F.min(F.coalesce(F.col("v"), F.col("id"))).alias("keep_id"))
         .select(F.col("id").alias("doc_id"), "keep_id")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    window: int = 30,
+    min_copies: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication: every position where a
+    ``window``-token span recurs at least ``min_copies`` times across
+    the corpus — the fixed-window form of exact-substring training-data
+    dedup (Lee et al. 2022 build suffix arrays; any duplicated
+    substring of length >= window contains a duplicated window, so the
+    window fingerprints find the same regions at 1/window the index
+    size). Returns (id, span_start, span_fp, n_copies) for the
+    flagged positions; consumers cut those token ranges or drop docs
+    above a duplication-fraction threshold.
+
+    Shape: posexplode of per-position window fingerprints (md5 of the
+    joined tokens — collision-safe at any corpus size), one groupBy on
+    the fingerprint with map-side partials, and a semi-join back to
+    positions. Fan-out is one row per token position (the same
+    amplification tokenization already pays); the shuffle carries
+    distinct fingerprints, never raw text."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    k = window
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                # empty for short docs: sequence(1, 0) would count DOWN
+                F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - k + 1),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+                    ),
+                ).otherwise(F.expr("array()").cast("array<string>"))
+            ).alias("__p", "span_fp"),
+        )
+        # posexplode's position is 0-based; span_start is the 1-based
+        # token index of the window's first token
+        .select(
+            id_col,
+            (F.col("__p") + 1).cast("int").alias("span_start"),
+            "span_fp",
+        )
+    )
+    counts = (
+        spans.groupBy("span_fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") >= min_copies)
+    )
+    return spans.join(counts, "span_fp").select(
+        id_col, "span_start", "span_fp", "n_copies"
+    )

@@ -1250,3 +1250,46 @@ def weighted_sample_docs(spark, sf_dir):
     return weighted_sample(
         docs, k=20, weight_col="wt", key_col="doc_id", group_col="source"
     ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "repeated_spans",
+    extra=True,  # gate budget; substring-level dup positions
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 700000, text FROM documents WHERE doc_id < 10
+    ), t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok
+      FROM aug
+    ), pos AS (
+      SELECT doc_id, i AS span_start,
+             md5(array_to_string(tok[i : i + 19], ' ')) AS span_fp
+      FROM t, UNNEST(generate_series(1, len(tok) - 19)) AS u(i)
+      WHERE len(tok) >= 20
+    ), c AS (
+      SELECT span_fp, COUNT(*) AS n_copies FROM pos
+      GROUP BY span_fp HAVING COUNT(*) >= 2
+    )
+    SELECT doc_id, CAST(span_start AS INT) AS span_start, span_fp, n_copies
+    FROM pos JOIN c USING (span_fp)
+    """,
+)
+def repeated_spans_docs(spark, sf_dir):
+    """Substring-level duplication positions (operators/dedup.py::
+    repeated_spans — the fixed-window form of Lee et al.'s
+    exact-substring dedup): the corpus is augmented with exact copies
+    of the first 10 docs (shifted ids), so every window of those docs
+    must be flagged with its position — the oracle checks the POSITION
+    set, not just which docs are dirty. The raw corpus contributes any
+    organically repeated 20-token spans on top."""
+    from lance_flink_spark.operators.dedup import repeated_spans
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter("doc_id < 10").select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+    )
+    return repeated_spans(aug, window=20, min_copies=2)
