@@ -880,3 +880,79 @@ def repeated_spans(
     return spans.join(counts, "span_fp").select(
         id_col, "span_start", "span_fp", "n_copies"
     )
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    window: int = 30,
+    min_copies: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply substring-level dedup: for every span family found by
+    ``repeated_spans``, KEEP the occurrence with the globally smallest
+    (id, span_start) and cut the tokens of every other occurrence —
+    the all-but-one policy of exact-substring training dedup. Returns
+    (id, clean_text, n_tokens_cut).
+
+    All set algebra stays relational: keeper selection is one
+    min-struct aggregate per fingerprint; cut coverage explodes each
+    non-keeper span into its ``window`` token positions (fan-out
+    bounded by flags × window, duplication-volume- not corpus-sized);
+    surviving tokens rebuild via a sorted aggregate. Overlapping cut
+    spans merge for free — coverage is a position SET."""
+    flags = repeated_spans(
+        df, window=window, min_copies=min_copies, text_col=text_col, id_col=id_col
+    )
+    keep = flags.groupBy("span_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("k")
+    )
+    cut = (
+        flags.join(keep, "span_fp")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("k")[id_col])
+                & (F.col("span_start") == F.col("k.span_start"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("span_start"), F.col("span_start") + window - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        df.select(
+            id_col,
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("__p", "tok"),
+        )
+        .select(id_col, (F.col("__p") + 1).alias("pos"), "tok")
+        .filter(F.col("tok") != "")
+    )
+    survivors = toks.join(cut, [id_col, "pos"], "left_anti")
+    n_tok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n0"))
+    return (
+        survivors.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__n1"),
+        )
+        .join(n_tok, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            (F.col("__n0") - F.col("__n1")).cast("long").alias("n_tokens_cut"),
+        )
+    )

@@ -1293,3 +1293,65 @@ def repeated_spans_docs(spark, sf_dir):
         )
     )
     return repeated_spans(aug, window=20, min_copies=2)
+
+
+@query(
+    "cut_repeated_spans",
+    extra=True,  # gate budget; substring dedup APPLIED (all-but-one cut)
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 700000, text FROM documents WHERE doc_id < 10
+    ), t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok
+      FROM aug
+    ), pos AS (
+      SELECT doc_id, i AS span_start,
+             md5(array_to_string(tok[i : i + 19], ' ')) AS span_fp
+      FROM t, UNNEST(generate_series(1, len(tok) - 19)) AS u(i)
+      WHERE len(tok) >= 20
+    ), c AS (
+      SELECT span_fp, COUNT(*) AS n_copies FROM pos
+      GROUP BY span_fp HAVING COUNT(*) >= 2
+    ), flags AS (
+      SELECT pos.* FROM pos JOIN c USING (span_fp)
+    ), keep AS (
+      SELECT span_fp, MIN(ROW(doc_id, span_start)) AS k FROM flags GROUP BY span_fp
+    ), cut AS (
+      SELECT DISTINCT f.doc_id, f.span_start + i AS p
+      FROM flags f JOIN keep USING (span_fp),
+           UNNEST(generate_series(0, 19)) AS g(i)
+      WHERE NOT (f.doc_id = keep.k[1] AND f.span_start = keep.k[2])
+    ), toks AS (
+      SELECT doc_id, i AS pos, tok[i] AS tk
+      FROM t, UNNEST(generate_series(1, len(tok))) AS u(i)
+      WHERE tok[i] <> ''
+    ), surv AS (
+      SELECT toks.* FROM toks
+      LEFT JOIN cut ON toks.doc_id = cut.doc_id AND toks.pos = cut.p
+      WHERE cut.p IS NULL
+    ), n0 AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id)
+    SELECT surv.doc_id,
+           string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+           CAST(ANY_VALUE(n0.n) - COUNT(*) AS BIGINT) AS n_tokens_cut
+    FROM surv JOIN n0 ON surv.doc_id = n0.doc_id
+    GROUP BY surv.doc_id
+    """,
+)
+def cut_repeated_spans_docs(spark, sf_dir):
+    """Substring dedup APPLIED (operators/dedup.py::cut_repeated_spans)
+    on the same planted-copy corpus as `repeated_spans`: every span
+    family keeps exactly its globally-first occurrence; the oracle
+    rebuilds the cleaned TEXTS — a keeper chosen differently, an
+    off-by-one span boundary, or a lost survivor token all break the
+    hash."""
+    from lance_flink_spark.operators.dedup import cut_repeated_spans
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter("doc_id < 10").select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+    )
+    return cut_repeated_spans(aug, window=20, min_copies=2)
