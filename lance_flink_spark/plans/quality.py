@@ -567,3 +567,49 @@ def source_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "range_lookup",
+    extra=True,  # gate budget; grid-bucketed BETWEEN join
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('tiny',   0.0,  9.99),
+        ('small', 10.0, 24.99),
+        ('mid',   25.0, 49.99),
+        ('large', 50.0, 79.99),
+        ('huge',  80.0, 999.99)
+      ) AS t(band, lo, hi)
+    )
+    SELECT band, COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS vc
+    FROM events JOIN bands ON value >= lo AND value <= hi
+    GROUP BY band
+    """,
+)
+def range_lookup(spark, sf_dir):
+    """Range-lookup join (operators/ranges.py): classify event values
+    into value bands via the grid-bucketed BETWEEN join instead of the
+    BroadcastNestedLoop Spark would otherwise plan — then roll up per
+    band. The oracle runs the plain BETWEEN join, so a cell boundary
+    off by one grid step loses/dupes rows and breaks the hash."""
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.ranges import range_lookup_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [
+            Row(band="tiny", lo=0.0, hi=9.99),
+            Row(band="small", lo=10.0, hi=24.99),
+            Row(band="mid", lo=25.0, hi=49.99),
+            Row(band="large", lo=50.0, hi=79.99),
+            Row(band="huge", lo=80.0, hi=999.99),
+        ]
+    )
+    joined = range_lookup_join(ev, bands, "value", cell=10.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("vc"),
+    )

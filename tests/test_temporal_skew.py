@@ -80,3 +80,35 @@ def test_approx_aggs_error_envelope(spark):
     approx = l.agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")).first()["a"]
     exact = l.agg(F.count_distinct("l_partkey").alias("e")).first()["e"]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_range_lookup_join_left_and_guard(spark):
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.ranges import range_lookup_join
+
+    fact = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in (1, 5, 15, 99)]
+    )
+    ranges = spark.createDataFrame(
+        [Row(band="a", lo=0.0, hi=9.0), Row(band="b", lo=10.0, hi=20.0)]
+    )
+    out = {
+        r["id"]: r["band"]
+        for r in range_lookup_join(fact, ranges, "v", how="left").collect()
+    }
+    assert out == {1: "a", 5: "a", 15: "b", 99: None}
+    # overlapping ranges emit multiple matches, like the raw join
+    overlapping = spark.createDataFrame(
+        [Row(band="x", lo=0.0, hi=6.0), Row(band="y", lo=4.0, hi=9.0)]
+    )
+    rows = range_lookup_join(fact, overlapping, "v").collect()
+    assert sorted((r["id"], r["band"]) for r in rows) == [
+        (1, "x"), (5, "x"), (5, "y")
+    ]
+    # the open-ended-range memory bomb fails fast instead of exploding
+    import pytest as _pytest
+
+    bomb = spark.createDataFrame([Row(band="inf", lo=0.0, hi=1e12)])
+    with _pytest.raises(Exception, match="grid cells"):
+        range_lookup_join(fact, bomb, "v", cell=1.0).collect()
