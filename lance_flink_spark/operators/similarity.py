@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,9 +137,6 @@ def mmr_rerank(
     Deterministic: ties break on (score desc, neighbor_id asc) in
     float64. Output: (query_id, neighbor_id, mmr_score 6dp, rank).
     """
-    import numpy as np
-    import pandas as pd
-
     from lance_flink_spark.session import ship_package
 
     ship_package(queries_df.sparkSession)
@@ -198,3 +197,57 @@ def mmr_rerank(
             "mmr_score double, rank long"
         ),
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    sample_size: int = 262_144,
+    seed: int = 42,
+    distributed: bool | None = None,
+) -> tuple[DataFrame, "object"]:
+    """Embedding clustering for topic bucketing / diversity analysis:
+    k-means over the corpus, returning (df + ``cluster_id`` column,
+    centroid matrix). The same two training regimes as the IVF coarse
+    quantizer (bounded driver sample below k=512, pyspark.ml Lloyd
+    above — no sample ceiling), and the same Arrow-batched chunked
+    argmin for assignment; this is the user-facing face of that
+    machinery for pipelines that want cluster labels rather than an
+    index (cluster-balanced sampling, per-topic stats, dedup
+    stratification).
+
+    Deterministic for a fixed (seed, corpus)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lance_flink_spark.index.ivf import (
+        _assign_chunked,
+        _kmeans,
+        _kmeans_distributed,
+    )
+    from lance_flink_spark.session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    if distributed is None:
+        distributed = k > 512
+    if distributed:
+        cents = _kmeans_distributed(df, vec_col, k, seed)
+    else:
+        sample = np.stack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in df.select(vec_col).limit(sample_size).collect()
+            ]
+        )
+        cents = _kmeans(sample, k, seed=seed)
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        a, _ = _assign_chunked(
+            np.stack(v.to_numpy()).astype(np.float64), cents_b.value
+        )
+        return pd.Series(a.astype(np.int32))
+
+    return df.withColumn("cluster_id", assign(F.col(vec_col))), cents

@@ -151,3 +151,28 @@ def test_mmr_rank1_is_pure_relevance(spark):
         .first()["neighbor_id"]
     )
     assert got == top1 == 4
+
+
+def test_assign_clusters_partitions_corpus(spark):
+    """Cluster labels: deterministic, complete, and geometrically
+    sane — every vector is nearest its own centroid."""
+    import numpy as np
+
+    from conftest import SF_DIR
+
+    from lance_flink_spark.operators.similarity import assign_clusters
+    from lance_flink_spark.registry import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    labeled, cents = assign_clusters(emb, k=6, sample_size=1000)
+    rows = labeled.select("vec_id", "embedding", "cluster_id").collect()
+    assert len(rows) == emb.count()
+    assert {r["cluster_id"] for r in rows} <= set(range(6))
+    for r in rows[:50]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((cents - v) ** 2).sum(1)
+        assert int(d.argmin()) == r["cluster_id"]
+    again, _ = assign_clusters(emb, k=6, sample_size=1000)
+    assert {
+        (r["vec_id"], r["cluster_id"]) for r in again.select("vec_id", "cluster_id").collect()
+    } == {(r["vec_id"], r["cluster_id"]) for r in rows}
