@@ -276,3 +276,90 @@ def embeddings_jl_project(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return e.select("vec_id", *_jl_cols())
+
+
+@query(
+    "events_decay_weighted",
+    extra=True,  # gate budget; recency-weighted engagement rollup
+    oracle="""
+    WITH anchor AS (SELECT MAX(epoch_us(ts)) AS t1 FROM events)
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND(SUM(value * EXP(-(t1 - epoch_us(ts)) / 86400000000.0 / 7.0)), 4)
+             AS decayed_value
+    FROM events, anchor
+    GROUP BY user_id, t1
+    HAVING SUM(value * EXP(-(t1 - epoch_us(ts)) / 86400000000.0 / 7.0)) >= 50
+    """,
+)
+def events_decay_weighted(spark, sf_dir):
+    """Exponential recency decay (half-life-style weighting, 7-day
+    time constant anchored at the stream's max event time): the
+    engagement/recency score every ranking pipeline computes, as one
+    scan + one aggregate — the decay factor folds into the SUM's map
+    side, so the shuffle carries one partial per (user, partition).
+    The anchor comes from a min/max metadata-friendly aggregate and is
+    broadcast as a scalar."""
+    ev = table(spark, sf_dir, "events")
+    t1 = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
+    w = F.exp(
+        -(F.col("t1") - F.unix_micros(F.col("ts"))) / 86400000000.0 / 7.0
+    )
+    return (
+        ev.crossJoin(bcast(t1))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value") * w).alias("__d"),
+        )
+        .filter(F.col("__d") >= 50)
+        .select("user_id", "n", F.round("__d", 4).alias("decayed_value"))
+    )
+
+
+@query(
+    "events_rolling_zscore",
+    extra=True,  # gate budget; rolling standardization window frame
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value, ts,
+             AVG(value) OVER win AS mu,
+             STDDEV_SAMP(value) OVER win AS sd,
+             COUNT(*) OVER win AS m
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           ROUND((value - mu) / sd, 4) AS z
+    FROM w
+    WHERE m >= 5 AND sd > 1e-9 AND ABS((value - mu) / sd) > 2.5
+    """,
+)
+def events_rolling_zscore(spark, sf_dir):
+    """Rolling standardization (per-user z-score of each event against
+    its own trailing 9-event window, flagged beyond 2.5σ) — the online
+    anomaly-feature every monitoring pipeline derives. The frame ends
+    at 1 PRECEDING so the scored value never contaminates its own
+    baseline. One shuffle on user_id; the frame is row-bounded so
+    window state is O(frame), not O(history)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-9, -1)
+    )
+    scored = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("m") >= 5) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+        )
+        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+    )
