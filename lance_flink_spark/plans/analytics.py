@@ -363,3 +363,56 @@ def events_rolling_zscore(spark, sf_dir):
         )
         .select("event_id", "user_id", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "funnel_latency",
+    extra=True,  # gate budget; stage-to-stage latency distribution
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT user_id, (t_buy - t_view) AS us
+      FROM firsts WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+                    AND t_buy >= t_view
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(us) AS BIGINT) AS min_us,
+           quantile_cont(us, 0.5) AS p50_us,
+           quantile_cont(us, 0.9) AS p90_us,
+           CAST(MAX(us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def funnel_latency(spark, sf_dir):
+    """Stage-to-stage conversion latency (first view → first purchase
+    per user, exact p50/p90 over integer microseconds) — the timing
+    half of funnel analytics (#88 counts conversions; this measures
+    them). One conditional-MIN aggregate per user (map-side partials),
+    then one tiny global percentile over the converted users. Exact
+    percentiles are the pinned small-output semantics; at larger
+    cardinalities swap approx_percentile, same plan shape."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_buy"),
+    )
+    lat = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).alias("us"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("us").cast("long").alias("min_us"),
+        F.expr("percentile(us, 0.5)").alias("p50_us"),
+        F.expr("percentile(us, 0.9)").alias("p90_us"),
+        F.max("us").cast("long").alias("max_us"),
+    )
