@@ -549,3 +549,31 @@ def test_fuzzy_join_matches_bruteforce_reference(spark):
                 want[(li, ri)] = round(j, 6)
     assert got == want
     assert len(want) > 5  # planted pairs actually exercised the check
+
+
+def test_cut_repeated_spans_keeps_first_occurrence(spark):
+    """Unit semantics for the span cutter: the globally-first
+    occurrence survives verbatim, later copies lose exactly the
+    duplicated window, short docs pass through untouched."""
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.dedup import cut_repeated_spans
+
+    boiler = "alpha beta gamma delta"  # 4-token span, window=4
+    rows = [
+        Row(doc_id=1, text=f"{boiler} unique one"),
+        Row(doc_id=2, text=f"prefix {boiler} tail"),
+        Row(doc_id=3, text=boiler),          # fully duplicated doc
+        Row(doc_id=4, text="too short"),     # < window: untouched
+    ]
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_cut"])
+        for r in cut_repeated_spans(
+            spark.createDataFrame(rows), window=4, min_copies=2
+        ).collect()
+    }
+    # doc 1 holds the globally-first (smallest doc_id, start) copy
+    assert out[1] == (f"{boiler} unique one", 0)
+    assert out[2] == ("prefix tail", 4)
+    assert 3 not in out  # every token cut → doc drops entirely
+    assert out[4] == ("too short", 0)
