@@ -416,3 +416,94 @@ def funnel_latency(spark, sf_dir):
         F.expr("percentile(us, 0.9)").alias("p90_us"),
         F.max("us").cast("long").alias("max_us"),
     )
+
+
+@query(
+    "events_seasonality",
+    extra=True,  # gate budget; hour-of-day activity profile
+    oracle="""
+    SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+             AS share
+    FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+    """,
+)
+def events_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type (count + share
+    of the type's daily cycle) — the load-shaping/anomaly-baseline
+    rollup. One partial-agg shuffle on a 24×types key; the share
+    window runs over the tiny aggregate, not the facts."""
+    from pyspark.sql import Window as W
+
+    agg = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.col("n") / F.sum("n").over(W.partitionBy("event_type"))
+    return agg.select(
+        "event_type", "hour_of_day", "n", F.round(share, 6).alias("share")
+    )
+
+
+@query(
+    "customer_rfm",
+    extra=True,  # gate budget; RFM segmentation
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS t1 FROM orders),
+    base AS (
+      SELECT o_custkey AS c,
+             CAST(date_diff('day', MAX(o_orderdate), ANY_VALUE(t1)) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_c
+      FROM orders, anchor GROUP BY o_custkey
+    ), scored AS (
+      SELECT *, NTILE(4) OVER (ORDER BY recency_days, c) AS r_q,
+                NTILE(4) OVER (ORDER BY frequency DESC, c) AS f_q,
+                NTILE(4) OVER (ORDER BY monetary_c DESC, c) AS m_q
+      FROM base)
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+           SUM(monetary_c) AS segment_value_c
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles,
+    anchored at the newest order date): the canonical customer-value
+    rollup. Per-customer stats are one partial-agg shuffle; the three
+    NTILE windows run over the CUSTOMER-sized frame (the reduced
+    entity table — the same exactness pin as customer_spend_ntile,
+    with approx quantile cuts as the beyond-memory variant). Money
+    rides as integer cents; ties break on the customer key so the
+    quartile boundaries are deterministic."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    t1 = o.agg(F.max("o_orderdate").alias("t1"))
+    base = (
+        o.crossJoin(bcast(t1))
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.datediff(F.max(F.col("t1")), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("long")
+            .alias("monetary_c"),
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("c"))).alias("r_q"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("c"))).alias("f_q"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary_c"), F.asc("c"))).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_c").alias("segment_value_c"),
+    )
