@@ -45,7 +45,8 @@ def streaming_tumbling(spark, sf_dir):
     "events_sliding",
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n_events,
-           ROUND(AVG(value), 6) AS avg_value
+           (SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 10000) // COUNT(*)
+             AS avg_value_micros
     FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * i AS BIGINT) AS ws, value
           FROM events, unnest(range(0, 2)) t(i)) w
     GROUP BY ws
