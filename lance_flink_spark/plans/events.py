@@ -45,8 +45,7 @@ def streaming_tumbling(spark, sf_dir):
     "events_sliding",
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n_events,
-           (SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 10000) // COUNT(*)
-             AS avg_value_micros
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
     FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * i AS BIGINT) AS ws, value
           FROM events, unnest(range(0, 2)) t(i)) w
     GROUP BY ws
@@ -54,7 +53,9 @@ def streaming_tumbling(spark, sf_dir):
 )
 def events_sliding(spark, sf_dir):
     """Sliding 10min/5min windows — every event in exactly 2 windows;
-    the oracle replicates rows over the two candidate window starts."""
+    the oracle replicates rows over the two candidate window starts.
+    Hashed surface is exact integers only (n, Σcents) — no derived
+    ratio, no rounding, no division: nothing engine-dependent left."""
     return sliding_agg(table(spark, sf_dir, "events"), window="10 minutes", slide="5 minutes")
 
 

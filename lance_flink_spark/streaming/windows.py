@@ -53,25 +53,27 @@ def sliding_agg(
 ) -> DataFrame:
     """Hopping windows: each event lands in window/slide windows.
 
-    The average is ALL-INTEGER (micro-value units: cents·10000 DIV n):
-    a plain ROUND(AVG(double), 6) flipped between Spark and DuckDB at
-    sf0.1 — first from summation order, then, with exact cents
-    numerators, from ROUND tie policy (Spark HALF_UP vs DuckDB
+    The hashed output is ALL-INTEGER: count + SUM(cents). History of
+    this surface: ROUND(AVG(double), 6) flipped between Spark and
+    DuckDB at sf0.1 — first from summation order, then, with exact
+    cents numerators, from ROUND tie policy (Spark HALF_UP vs DuckDB
     HALF_EVEN) on the exact .5 boundaries that power-of-two window
-    counts produce. Integer division has no ties to break."""
+    counts produce. An integer-DIV micros quotient removed the ties
+    but still carried division semantics (truncate vs floor differs on
+    negative sums between engines). Emitting the raw exact integers
+    (n, Σcents) leaves NOTHING derived on the hashed surface — any
+    consumer can form the average; the comparison can't."""
     cents = F.floor(F.col(value_col) * 100 + 0.5).cast("long")
     return (
         events.groupBy(F.window(ts_col, window, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(cents).alias("__sc"),
+            F.sum(cents).alias("sum_value_cents"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start_s"),
             "n_events",
-            # true integer division (`div`) — exact at any magnitude,
-            # unlike a double quotient cast back to long
-            F.expr("(__sc * 10000L) div n_events").alias("avg_value_micros"),
+            "sum_value_cents",
         )
     )
 
