@@ -474,13 +474,15 @@ def events_seasonality(spark, sf_dir):
 def customer_rfm(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary quartiles,
     anchored at the newest order date): the canonical customer-value
-    rollup. Per-customer stats are one partial-agg shuffle; the three
-    NTILE windows run over the CUSTOMER-sized frame (the reduced
-    entity table — the same exactness pin as customer_spend_ntile,
-    with approx quantile cuts as the beyond-memory variant). Money
-    rides as integer cents; ties break on the customer key so the
-    quartile boundaries are deterministic."""
-    from pyspark.sql import Window as W
+    rollup. Per-customer stats are one partial-agg shuffle; each of
+    the three exact quartiles runs through `with_distributed_ntile`
+    (operators/quantiles.py — range buckets + local row_number +
+    bounded prefix offsets), so no axis ever forces the customer frame
+    through a single-partition sort. The base frame is persisted:
+    quantile cuts, bucket counts, and the main job all reread it.
+    Money rides as integer cents; ties break on the customer key so
+    the quartile boundaries are deterministic."""
+    from lance_flink_spark.operators.quantiles import with_distributed_ntile
 
     o = table(spark, sf_dir, "orders")
     t1 = o.agg(F.max("o_orderdate").alias("t1"))
@@ -497,12 +499,10 @@ def customer_rfm(spark, sf_dir):
             .alias("monetary_c"),
         )
     )
-    scored = base.select(
-        "*",
-        F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("c"))).alias("r_q"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("c"))).alias("f_q"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary_c"), F.asc("c"))).alias("m_q"),
-    )
+    base = base.persist()
+    scored = with_distributed_ntile(base, 4, "recency_days", "c", "r_q")
+    scored = with_distributed_ntile(scored, 4, "frequency", "c", "f_q", descending=True)
+    scored = with_distributed_ntile(scored, 4, "monetary_c", "c", "m_q", descending=True)
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_c").alias("segment_value_c"),

@@ -422,23 +422,28 @@ def hybrid_retrieval_rrf(spark, sf_dir):
     """,
 )
 def customer_spend_ntile(spark, sf_dir):
-    """Customer spend quartiles via ntile(4).
+    """Customer spend quartiles — exact NTILE(4), distributed.
 
-    The per-customer aggregate shuffles once on custkey; the global
-    ntile then orders the REDUCED frame (|customers| rows, not
-    |orders|). A global ordered window is a single-partition sort — at
-    true scale, swap to approx percentile cutpoints + a bucket join
-    (the profile/percentile operators provide exactly that); this
-    entry pins the exact-ntile semantics those approximations must
-    match. Ties broken by custkey for a total order."""
+    The per-customer aggregate shuffles once on custkey; the quartile
+    then needs a global total order over the REDUCED frame. A plain
+    `ntile().over(Window.orderBy(...))` is a single-partition sort of
+    every customer — a non-starter at billions of entities — so this
+    uses `with_distributed_ntile` (operators/quantiles.py): approx
+    cut-point range buckets + per-bucket row_number + bounded prefix
+    offsets, which reproduces SQL NTILE bit-exactly with ~N/buckets
+    rows per task. Same oracle, no SinglePartition exchange (pinned by
+    tests/test_quantiles.py). Ties broken by custkey."""
+    from lance_flink_spark.operators.quantiles import with_distributed_ntile
+
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("long").alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    tiled = with_distributed_ntile(
+        spend, 4, "cents", "o_custkey", "quartile", descending=True
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("cents") / 100.0, 2).alias("total_spend"),

@@ -1,0 +1,108 @@
+"""Distributed exact NTILE (operators/quantiles.py): parity with the
+unpartitioned-window ntile, and the scale pin — no SinglePartition
+exchange anywhere in the physical plan."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from lance_flink_spark.operators.quantiles import with_distributed_ntile
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _has_global_window_sort(plan: str) -> bool:
+    """True if an `Exchange SinglePartition` feeds a Sort/Window — the
+    physical signature of an unpartitioned ordered window. A scalar
+    global aggregate (HashAggregate over SinglePartition, 1 row) is
+    NOT flagged: that's how any engine computes MAX(x) and is fine."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = " ".join(lines[max(0, i - 3) : i])
+            if "Sort [" in above or "Window [" in above:
+                return True
+    return False
+
+
+@pytest.fixture(scope="module")
+def spend(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("long")
+            .alias("cents")
+        )
+        .persist()
+    )
+
+
+@pytest.mark.parametrize("n,descending", [(4, True), (4, False), (7, True), (10, False)])
+def test_matches_window_ntile(spark, spend, n, descending):
+    """Bit-exact parity with ntile().over(global window) for several
+    tile counts and both directions (incl. n that doesn't divide N)."""
+    key = F.col("cents").desc() if descending else F.col("cents").asc()
+    w = Window.orderBy(key, F.col("o_custkey").asc())
+    expect = {
+        (r["o_custkey"], r["t"])
+        for r in spend.withColumn("t", F.ntile(n).over(w)).collect()
+    }
+    got = {
+        (r["o_custkey"], r["t"])
+        for r in with_distributed_ntile(
+            spend, n, "cents", "o_custkey", "t", descending=descending
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_fewer_rows_than_tiles(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(3)], "id long, v double"
+    )
+    out = with_distributed_ntile(df, 8, "v", "id", "t").collect()
+    assert {(r["id"], r["t"]) for r in out} == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_ties_share_bucket_deterministically(spark):
+    """All-equal keys: order falls entirely to the tiebreak; output
+    must equal the window ntile and be stable across runs."""
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)], "id long, v double"
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    expect = {(r["id"], r["t"]) for r in df.withColumn("t", F.ntile(4).over(w)).collect()}
+    got = {
+        (r["id"], r["t"])
+        for r in with_distributed_ntile(df, 4, "v", "id", "t").collect()
+    }
+    assert got == expect
+
+
+def test_no_single_partition_exchange(spark, spend):
+    """The scale pin: the distributed path never plans an
+    `Exchange SinglePartition` (the signature of an unpartitioned
+    ordered window), while the naive window ntile does."""
+    dist = with_distributed_ntile(spend, 4, "cents", "o_custkey", "t", descending=True)
+    assert "SinglePartition" not in _plan(dist)
+
+    naive = spend.withColumn(
+        "t", F.ntile(4).over(Window.orderBy(F.desc("cents"), "o_custkey"))
+    )
+    assert _has_global_window_sort(_plan(naive))
+
+
+def test_registry_queries_have_no_global_window_sort(spark):
+    """customer_spend_ntile / customer_rfm end-to-end plans never sort
+    the entity frame on a single partition (the 1-row MAX(o_orderdate)
+    anchor aggregate in rfm is exempt by the detector's design)."""
+    from lance_flink_spark.plans.analytics import customer_rfm
+    from lance_flink_spark.plans.quality import customer_spend_ntile
+
+    for fn in (customer_spend_ntile, customer_rfm):
+        assert not _has_global_window_sort(_plan(fn(spark, SF_DIR))), fn.__name__
