@@ -14,9 +14,18 @@ from pyspark.sql import functions as F
 
 
 def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
-    """Stream ⋈ static dim (inner). The dim side is batch; Spark
-    broadcasts it into each micro-batch when under the threshold."""
-    return stream.join(F.broadcast(dim), on)
+    """Stream ⋈ static dim (inner), re-planned per micro-batch.
+
+    The broadcast is SIZE-GATED (`registry.bcast`): an explicit
+    `F.broadcast` hint forces the broadcast regardless of
+    `autoBroadcastJoinThreshold`, which plans in an OOM when the dim
+    is an SF-scaling table (customer at TPC-H 100 TB). The dim side is
+    static, so Catalyst's own size estimate is available — hint only
+    when it fits, else leave the strategy to the planner/AQE (a big
+    dim becomes a shuffled hash join, which is the right answer)."""
+    from lance_flink_spark.registry import bcast
+
+    return stream.join(bcast(dim), on)
 
 
 def stream_interval_join(

@@ -118,6 +118,38 @@ def test_bcast_withholds_hint_over_threshold(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_enrich_stream_does_not_force_broadcast_on_large_dim(spark):
+    """streaming/joins.enrich_stream: the dim broadcast is size-gated,
+    not forced. With the threshold below the dim's estimate the join
+    must plan a shuffle strategy — a forced F.broadcast here was the
+    one unconditional-hint site the r5 sweep missed (an OOM by plan
+    for an SF-scaling dim at 100 TB). Plan-level contract, so a batch
+    frame stands in for the stream side (join planning is identical;
+    the static side is re-planned per micro-batch either way)."""
+    from lance_flink_spark.streaming.joins import enrich_stream
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        o = table(spark, SF_DIR, "orders").withColumnRenamed("o_custkey", "c_custkey")
+        c = table(spark, SF_DIR, "customer")
+        plan = _plan(enrich_stream(o, c, "c_custkey"))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_enrich_stream_broadcasts_small_dim(spark):
+    """...and with the default threshold a genuinely small dim still
+    broadcasts (the fast path users expect from a lookup join)."""
+    from lance_flink_spark.streaming.joins import enrich_stream
+
+    o = table(spark, SF_DIR, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = table(spark, SF_DIR, "customer")
+    assert "BroadcastHashJoin" in _plan(enrich_stream(o, c, "c_custkey"))
+
+
 def test_bcast_disabled_threshold_never_hints(spark):
     """autoBroadcastJoinThreshold=-1 disables broadcasting entirely;
     bcast must respect that and return the frame unhinted."""
