@@ -26,14 +26,26 @@ def main() -> None:
     # query, not session startup
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
+    # Each query runs TWICE and the SECOND time is reported: the first
+    # run pays first-touch costs the plan doesn't own (OS page cache
+    # for that query's input files, JIT/codegen compilation of its
+    # operator shapes) — r6 recorded dedup_ngram_jaccard at 5.09s cold
+    # vs 3.3s steady-state with an unchanged plan. Steady-state is the
+    # number that tracks plan changes round-over-round, which is what
+    # BENCH_DELTAS exists to surface. Streaming queries are safe to
+    # repeat: every run_to_memory uses a fresh uuid checkpoint, so the
+    # second run re-executes the full pipeline, never a checkpoint
+    # no-op.
     times: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            # single full materialization, no driver transfer
-            df.write.mode("overwrite").format("noop").save()
-            times[name] = round(time.time() - t0, 3)
+            for _ in range(2):
+                _drop_persisted(spark)
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                # single full materialization, no driver transfer
+                df.write.mode("overwrite").format("noop").save()
+                times[name] = round(time.time() - t0, 3)
         except Exception as ex:  # noqa: BLE001
             print(f"bench error in {name}: {ex}", file=sys.stderr)
             times[name] = -1.0
