@@ -67,11 +67,13 @@ def resize_images(blobs: DataFrame, width: int = 64, height: int = 64) -> DataFr
                     "width": width,
                     "height": height,
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    # REAL resize for PPM blobs; stub for formats that
-                    # would need PIL (dispatch per blob, see codecs below)
+                    # REAL resize for PPM/PNG blobs; stub for formats
+                    # that would need PIL/ffmpeg (per-blob dispatch)
                     "thumb": pdf["content"].map(
                         lambda b: resize_ppm(b, width, height)
                         if bytes(b[:2]) == b"P6"
+                        else resize_png(bytes(b), width, height)
+                        if bytes(b[:8]) == _PNG_MAGIC
                         else resize_stub(b, width, height)
                     ),
                 }
@@ -131,11 +133,13 @@ def extract_metadata(blobs: DataFrame) -> DataFrame:
 
 # ---------- REAL codecs for container-decodable formats ----------
 #
-# PIL/ffmpeg are absent here (SURVEY §6), but two real formats need
-# nothing beyond numpy/stdlib: PPM (P6) images and PCM WAV audio. The
-# stubs above remain only for formats that genuinely require external
-# codecs (JPEG/PNG/MP4); these paths are REAL decode/resize/feature
-# implementations with the same mapInPandas batch shape.
+# PIL/ffmpeg are absent here (SURVEY §6), but three real formats need
+# nothing beyond numpy/stdlib: PPM (P6) images, PNG (zlib inflate +
+# the four scanline filters — see decode_png below), and PCM WAV
+# audio. The stubs above remain only for formats that genuinely
+# require external codecs (JPEG/MP4); these paths are REAL
+# decode/resize/feature implementations with the same mapInPandas
+# batch shape.
 
 import io as _io
 import wave as _wave
@@ -221,12 +225,173 @@ def audio_features(content: bytes) -> list[float]:
     return [x.size / sr, rms, zcr, centroid]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit only; palette type 3 would
+# need a PLTE lookup — not emitted by our encoder, rejected cleanly)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(content: bytes) -> "np.ndarray":
+    """REAL PNG decode — stdlib ``zlib`` inflate + the four scanline
+    filters (Sub/Up/Average/Paeth) over numpy rows; no PIL.
+
+    Supports non-interlaced 8-bit gray / gray+alpha / RGB / RGBA
+    (color types 0/4/2/6) — the shapes a training pipeline actually
+    stores. Returns (h, w, channels) uint8."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth} color={color} interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]
+            # per channel this is a cumulative sum mod 256 — vectorized
+            recon = line.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif ftype == 2:  # Up
+            recon = (line + prev) % 256
+        elif ftype == 3:  # Average — sequential in x (left operand)
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth — sequential in x
+            recon = line.copy()
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon.astype(np.int64)
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: "np.ndarray", filter_type: int = 0) -> bytes:
+    """(h, w[, ch]) uint8 → PNG. Applies the given scanline filter to
+    every row (0=None is the fast path; 1-4 exist so tests can pin
+    each defilter branch against a round-trip)."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    a = arr.astype(np.int64)
+    stride = w * ch
+    flat = a.reshape(h, stride)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        recon = flat[y]
+        if filter_type == 0:
+            raw = recon
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), recon[:-ch]])
+            raw = (recon - left) % 256
+        elif filter_type == 2:
+            raw = (recon - prev) % 256
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), recon[:-ch]])
+            raw = (recon - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            raw = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                pa_ = recon[x - ch] if x >= ch else 0
+                pb_ = prev[x]
+                pc_ = prev[x - ch] if x >= ch else 0
+                p = pa_ + pb_ - pc_
+                da, db, dc = abs(p - pa_), abs(p - pb_), abs(p - pc_)
+                pred = pa_ if (da <= db and da <= dc) else (pb_ if db <= dc else pc_)
+                raw[x] = (recon[x] - pred) % 256
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + bytes(raw.astype(np.uint8)))
+        prev = recon
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def resize_png(content: bytes, width: int, height: int) -> bytes:
+    """REAL PNG resize: decode → nearest-neighbor index map (same
+    deterministic policy as resize_ppm) → re-encode (filter 0)."""
+    img = decode_png(content)
+    h, w, _ = img.shape
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_png(img[yi][:, xi])
+
+
+def png_features(content: bytes) -> list[float]:
+    """REAL PNG features: per-channel means padded to 3 (gray repeats)
+    + grayscale stddev — same output contract as image_features."""
+    img = decode_png(content).astype(np.float64)
+    rgb = img[..., :3] if img.shape[2] >= 3 else np.repeat(img[..., :1], 3, axis=2)
+    gray = rgb.mean(axis=2)
+    return [
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+        float(gray.std()),
+    ]
+
+
 def decode_auto(content: bytes) -> list[float]:
-    """Magic-sniffing feature decoder: REAL paths for PPM ('P6') and
-    WAV ('RIFF'), deterministic stub for everything else (the formats
-    that need PIL/ffmpeg)."""
+    """Magic-sniffing feature decoder: REAL paths for PPM ('P6'), PNG
+    (8-byte signature), and WAV ('RIFF'); deterministic stub for the
+    formats that genuinely need external codecs (JPEG/MP4)."""
     if content[:2] == b"P6":
         return image_features(content)
+    if content[:8] == _PNG_MAGIC:
+        return png_features(content)
     if content[:4] == b"RIFF":
         return audio_features(content)
     return decode_stub(content)

@@ -89,3 +89,88 @@ def test_distributed_resize_real_for_ppm(spark):
     assert (thumb == decode_ppm(resize_ppm(ppm, 8, 8))).all()
     # non-image blobs still take the stub path (bounded bytes)
     assert len(out[2]["thumb"]) == 8 * 8 // 64
+
+
+def _png(w, h, seed, ch=3, filter_type=0):
+    from lance_flink_spark.functions.multimodal import encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return encode_png(rng.integers(0, 256, size=shape, dtype=np.uint8), filter_type)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_every_filter_and_colortype(ch, filter_type):
+    """decode_png inverts all four scanline filters exactly for gray,
+    gray+alpha, RGB, and RGBA — pixel-exact round trip."""
+    from lance_flink_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(ch * 10 + filter_type)
+    img = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+    out = decode_png(encode_png(img, filter_type))
+    assert out.shape == (9, 7, ch)
+    assert (out == img).all()
+
+
+def test_png_known_pixels():
+    """A hand-built 2x2 RGB PNG decodes to exactly the pixels put in."""
+    from lance_flink_spark.functions.multimodal import decode_png, encode_png
+
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_rejects_unsupported_shapes():
+    from lance_flink_spark.functions.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_resize_and_features():
+    from lance_flink_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+        png_features,
+        resize_png,
+    )
+
+    img = np.arange(16 * 12 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    small = decode_png(resize_png(encode_png(img), 8, 6))
+    assert small.shape == (6, 8, 3)
+    assert (small == img[::2][:, ::2]).all()  # same NN policy as PPM
+    r, g, b, std = png_features(encode_png(img))
+    assert r == pytest.approx(img[..., 0].mean())
+    assert std == pytest.approx(img.astype(np.float64).mean(axis=2).std())
+
+
+def test_distributed_decode_auto_takes_png_path(spark):
+    """decode_auto inside mapInPandas: PNG blobs get REAL features
+    (equal to the local reference), not the stub."""
+    from lance_flink_spark.functions.multimodal import png_features
+
+    png = _png(16, 10, 3, ch=3, filter_type=4)  # Paeth-filtered input
+    blobs = spark.createDataFrame(
+        [Row(doc_id=1, content=bytearray(png)),
+         Row(doc_id=2, content=bytearray(b"opaque"))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(blobs).collect()}
+    assert rows[1]["feature"] == pytest.approx(png_features(png))
+    assert len(rows[2]["feature"]) == 3  # stub path
+
+
+def test_distributed_resize_real_for_png(spark):
+    from lance_flink_spark.functions.multimodal import decode_png, resize_png
+
+    png = _png(32, 24, 9)
+    blobs = spark.createDataFrame(
+        [Row(doc_id=1, content=bytearray(png))], "doc_id long, content binary"
+    )
+    out = resize_images(blobs, 8, 8).collect()[0]
+    assert (decode_png(bytes(out["thumb"])) == decode_png(resize_png(png, 8, 8))).all()
