@@ -159,6 +159,10 @@ class DatasetOptions:
     write_zorder_by: list[str] | None = None
     write_compression: str | None = None
     extra: dict = field(default_factory=dict)
+    # the option strings the user actually declared (everything except
+    # path/connector) — SHOW CREATE TABLE emits exactly these, so DDL
+    # round-trips with batch-size/write.* knobs intact
+    declared: dict = field(default_factory=dict)
 
     @classmethod
     def from_options(cls, opts: dict) -> "DatasetOptions":
@@ -171,6 +175,7 @@ class DatasetOptions:
             return [c.strip() for c in v.split(",")] if v else None
 
         return cls(
+            declared={k: v for k, v in opts.items() if k not in ("path", "connector")},
             path=opts["path"],
             read_batch_size=int(opts.get("read.batch-size", 1024)),
             read_limit=int(opts["read.limit"]) if "read.limit" in opts else None,
@@ -363,8 +368,16 @@ class Dataset:
         zorder_by: list[str] | None = None,
         expected_version: int | None = None,
         compression: str | None = None,
+        batch_size: int | None = None,
+        row_group_bytes: int | None = None,
     ) -> int:
         """Write ``df`` as a new dataset version. Returns the version.
+
+        ``batch_size`` (the reference's write.batch-size,
+        LanceOptions.java:95 — rows per write batch) maps to parquet's
+        page row limit: pages are the finest unit a reader decodes, so
+        this bounds the row-batch granularity of the written files the
+        same way Lance's knob bounds its Arrow write batches.
 
         ``expected_version`` (optimistic concurrency): commit only if
         the dataset is still at that version, else raise
@@ -402,6 +415,14 @@ class Dataset:
         frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
         writer = df.write.option("maxRecordsPerFile", max_rows_per_file)
+        if batch_size is not None:
+            writer = writer.option("parquet.page.row.count.limit", batch_size)
+        if row_group_bytes is not None:
+            # parquet row-group sizing (Lance max-rows-per-group
+            # analogue, in bytes because that's parquet-mr's unit):
+            # smaller groups = finer skip granularity for the
+            # row-group scalar index, at footer-size cost
+            writer = writer.option("parquet.block.size", row_group_bytes)
         if compression is not None:
             # parquet codec per write (write.compression option key):
             # snappy default; zstd for cold/archival fragments — mixed
@@ -1002,11 +1023,83 @@ class Dataset:
             F.min(col).alias("lo"), F.max(col).alias("hi")
         )
         ranges.write.mode("overwrite").parquet(out + "_ranges")
+        # per-ROW-GROUP min/max sidecar (Lance BTREE granularity): a
+        # selective range predicate inside a large file skips row
+        # groups, not just whole files. Footer-only scan, distributed
+        # over the file list; skipped (file granularity still works)
+        # when footers aren't reachable with pyarrow (non-local FS).
+        rg = self._rowgroup_stats(spark, col, ranges.select("_file"))
+        if rg is not None:
+            rg.write.mode("overwrite").parquet(out + "_rowgroups")
         fsio.write_json_atomic(
             fsio.join(self.path, "_scalar_index", col, "META.json"),
             {"version": version, "col": col},
         )
         return version
+
+    def _rowgroup_stats(self, spark: SparkSession, col: str, files_df: DataFrame):
+        """(_file, rg, n_rows, lo, hi) per parquet row group of the
+        given files — min/max from footer STATISTICS only (no data
+        pages read). The footer scan is distributed: each task opens
+        its batch of files with pyarrow. Returns None when the first
+        footer isn't pyarrow-reachable (remote FS without fsspec) —
+        callers then stay at file granularity."""
+        import pandas as _pd
+
+        from lance_flink_spark.session import ship_package
+
+        dtype = self.read(spark).schema[col].dataType.simpleString()
+        schema = f"_file string, rg int, n_rows long, lo {dtype}, hi {dtype}"
+        ship_package(spark)
+
+        def scan(it):
+            import pyarrow.parquet as pq
+
+            for pdf in it:
+                out = {"_file": [], "rg": [], "n_rows": [], "lo": [], "hi": []}
+                for f in pdf["_file"]:
+                    local = f
+                    for pref in ("file://", "file:"):
+                        if local.startswith(pref):
+                            local = local[len(pref):]
+                    md = pq.ParquetFile(local).metadata
+                    if md.num_row_groups == 0:
+                        continue
+                    j = next(
+                        (
+                            i
+                            for i in range(md.num_columns)
+                            if md.row_group(0).column(i).path_in_schema == col
+                        ),
+                        None,
+                    )
+                    for r in range(md.num_row_groups):
+                        g = md.row_group(r)
+                        st = g.column(j).statistics if j is not None else None
+                        ok = st is not None and st.has_min_max
+                        out["_file"].append(f)
+                        out["rg"].append(r)
+                        out["n_rows"].append(g.num_rows)
+                        out["lo"].append(st.min if ok else None)
+                        out["hi"].append(st.max if ok else None)
+                yield _pd.DataFrame(out)
+
+        try:
+            # probe one footer driver-side so an unreachable FS fails
+            # here (→ None, documented fallback) instead of inside a
+            # task at read time
+            first = files_df.limit(1).collect()
+            if first:
+                import pyarrow.parquet as pq
+
+                p = first[0]["_file"]
+                for pref in ("file://", "file:"):
+                    if p.startswith(pref):
+                        p = p[len(pref):]
+                pq.ParquetFile(p).metadata  # noqa: B018 - reachability probe
+        except Exception:  # noqa: BLE001
+            return None
+        return files_df.mapInPandas(scan, schema=schema)
 
     def update_scalar_index(self, spark: SparkSession, col: str) -> int:
         """Catch the scalar index up to the latest version by scanning
@@ -1052,6 +1145,10 @@ class Dataset:
             spark.read.parquet(base_old + "_ranges").write.mode(
                 "overwrite"
             ).parquet(out + "_ranges")
+            if fsio.exists(base_old + "_rowgroups"):
+                spark.read.parquet(base_old + "_rowgroups").write.mode(
+                    "overwrite"
+                ).parquet(out + "_rowgroups")
         else:
             tagged = self._read_files(spark, new_files).withColumn(
                 "_file", F.input_file_name()
@@ -1068,6 +1165,14 @@ class Dataset:
             spark.read.parquet(base_old + "_ranges").unionByName(
                 delta_ranges
             ).write.mode("overwrite").parquet(out + "_ranges")
+            if fsio.exists(base_old + "_rowgroups"):
+                delta_rg = self._rowgroup_stats(
+                    spark, col, delta_ranges.select("_file")
+                )
+                if delta_rg is not None:
+                    spark.read.parquet(base_old + "_rowgroups").unionByName(
+                        delta_rg
+                    ).write.mode("overwrite").parquet(out + "_rowgroups")
         fsio.write_json_atomic(meta_path, {"version": latest, "col": col})
         return latest
 
@@ -1234,8 +1339,106 @@ class Dataset:
         files = [r["_file"] for r in ranges.filter(cond).select("_file").collect()]
         if not files:
             return self.read(spark).filter(pred).limit(0)
+        # ROW-GROUP refinement (Lance BTREE granularity): when the
+        # index carries per-row-group stats and they prune strictly
+        # more than the file-level bound, read ONLY the qualifying row
+        # groups (pyarrow read_row_groups inside mapInPandas). A
+        # selective predicate inside a large file stops paying for the
+        # whole file. Falls through to the Spark-native file scan when
+        # row groups don't prune further — that path keeps codegen +
+        # parquet pushdown and is the right default.
+        rg_path = (
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+            + "_rowgroups"
+        )
+        if fsio.exists(rg_path):
+            rgs = spark.read.parquet(rg_path).filter(F.col("_file").isin(files))
+            sel = rgs.filter(cond)
+            # both counts are metadata-parquet-sized (rows = row-group
+            # count of the matched files), not data-sized
+            n_sel, n_tot = sel.count(), rgs.count()
+            if n_sel == 0:
+                return self.read(spark).filter(pred).limit(0)
+            if n_sel < n_tot:
+                df = self._read_rowgroups(spark, sel).filter(pred)
+                return df.select(*columns) if columns else df
         df = self._read_files(spark, [self._relpath(f) for f in files]).filter(pred)
         return df.select(*columns) if columns else df
+
+    def range_rowgroups(
+        self,
+        spark: SparkSession,
+        col: str,
+        lower=None,
+        upper=None,
+        include_lower: bool = True,
+        include_upper: bool = False,
+    ) -> list[tuple[str, int]]:
+        """The (file, row_group) pairs a range probe would read —
+        introspection surface for tests and EXPLAIN-style tooling.
+        Bounded by the index's row-group count, not data size."""
+        from pyspark.sql import functions as F
+
+        meta = self._fresh_index_meta(col)
+        rg_path = (
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+            + "_rowgroups"
+        )
+        if not fsio.exists(rg_path):
+            raise ValueError(f"scalar index on {col!r} has no row-group sidecar")
+        cond = F.lit(True)
+        if lower is not None:
+            cond = cond & (
+                F.col("hi") >= F.lit(lower) if include_lower else F.col("hi") > F.lit(lower)
+            )
+        if upper is not None:
+            cond = cond & (
+                F.col("lo") <= F.lit(upper) if include_upper else F.col("lo") < F.lit(upper)
+            )
+        return sorted(
+            (r["_file"], r["rg"])
+            for r in spark.read.parquet(rg_path).filter(cond).select("_file", "rg").collect()
+        )
+
+    def _read_rowgroups(self, spark: SparkSession, sel: DataFrame) -> DataFrame:
+        """Scan ONLY the row groups named by ``sel`` (_file, rg rows):
+        group per file, pyarrow read_row_groups per task, one yielded
+        batch per row group (memory bounded by row-group size). Output
+        conformed to the dataset's full merged schema, same as
+        ``_read_files``."""
+        import pandas as _pd
+        from pyspark.sql import functions as F
+
+        from lance_flink_spark.session import ship_package
+
+        ship_package(spark)
+        target = self.read(spark).schema
+        names = [f.name for f in target.fields]
+        pairs = (
+            sel.groupBy("_file")
+            .agg(F.sort_array(F.collect_list("rg")).alias("rgs"))
+            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        )
+
+        def scan(it):
+            import pyarrow.parquet as pq
+
+            for pdf in it:
+                for f, rg_list in zip(pdf["_file"], pdf["rgs"]):
+                    local = f
+                    for pref in ("file://", "file:"):
+                        if local.startswith(pref):
+                            local = local[len(pref):]
+                    pf = pq.ParquetFile(local)
+                    have = set(pf.schema_arrow.names)
+                    for r in rg_list:
+                        p = pf.read_row_group(int(r)).to_pandas()
+                        for n in names:
+                            if n not in have:
+                                p[n] = None
+                        yield p[names]
+
+        return pairs.mapInPandas(scan, schema=target)
 
     def read_in(
         self,

@@ -484,7 +484,10 @@ class SqlEngine:
             opts = self.options.get(name)
             opt_pairs = [("connector", "lance")]
             if opts is not None:
-                for k, v in sorted((opts.extra or {}).items()):
+                # every option the user declared (read.batch-size,
+                # write.batch-size, write.*, index.*, ...) round-trips;
+                # `declared` already excludes path/connector
+                for k, v in sorted((opts.declared or opts.extra or {}).items()):
                     opt_pairs.append((k, v))
             with_clause = ", ".join(f"'{k}' = '{v}'" for k, v in opt_pairs)
             stmt = f"CREATE TABLE {name} (\n  {cols}\n) WITH ({with_clause})"
@@ -793,6 +796,13 @@ class SqlEngine:
             sort_by=opts.write_sort_by if opts else None,
             zorder_by=opts.write_zorder_by if opts else None,
             compression=opts.write_compression if opts else None,
+            # only when declared: the parquet default page sizing is
+            # the right answer unless the user asked for the knob
+            batch_size=(
+                opts.write_batch_size
+                if opts and "write.batch-size" in opts.declared
+                else None
+            ),
         )
         self._register(name)
         return None

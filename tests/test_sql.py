@@ -650,3 +650,47 @@ def test_sql_restore_table(engine):
     assert engine.execute("SELECT COUNT(*) AS c FROM rst").first()["c"] == 1
     engine.execute("RESTORE TABLE rst TO VERSION AS OF 2")
     assert engine.execute("SELECT COUNT(*) AS c FROM rst").first()["c"] == 2
+
+
+def test_sql_batch_size_options_round_trip(engine):
+    """read.batch-size / write.batch-size (LanceOptions.java:57,95):
+    accepted, applied (write maps to the parquet page row limit; read
+    to the vectorized reader's batch size), and round-tripped by SHOW
+    CREATE TABLE so the emitted DDL recreates the same knobs."""
+    engine.execute(
+        """CREATE TABLE bsz (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='',
+                 'read.batch-size'='512', 'write.batch-size'='256')"""
+    )
+    engine.execute("INSERT INTO bsz SELECT id, CAST(id AS DOUBLE) AS v FROM range(1000)")
+    assert engine.execute("SELECT COUNT(*) AS n FROM bsz").first()["n"] == 1000
+    stmt = engine.execute("SHOW CREATE TABLE bsz").first()["create_statement"]
+    assert "'read.batch-size' = '512'" in stmt
+    assert "'write.batch-size' = '256'" in stmt
+    # the emitted DDL round-trips and keeps the declared options
+    engine.execute(stmt.replace("TABLE bsz", "TABLE bsz2"))
+    stmt2 = engine.execute("SHOW CREATE TABLE bsz2").first()["create_statement"]
+    assert "'write.batch-size' = '256'" in stmt2
+
+
+def test_write_batch_size_bounds_page_rows(spark, tmp_path):
+    """write.batch-size has a REAL effect on the written files: the
+    parquet page row limit engages, so the knobbed file's column chunk
+    carries more pages (larger encoded size + page headers) than the
+    default-sized twin of the same data."""
+    import pyarrow.parquet as pq
+
+    from lance_flink_spark.sources.dataset import Dataset
+
+    df = spark.range(2000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    ds = Dataset(str(tmp_path / "bsz_ds"))
+    ds.write(df.coalesce(1), batch_size=100)
+    f = next((tmp_path / "bsz_ds").rglob("*.parquet"))
+    md = pq.ParquetFile(str(f)).metadata
+    assert md.num_rows == 2000
+    ds2 = Dataset(str(tmp_path / "bsz_ds2"))
+    ds2.write(df.coalesce(1))
+    f2 = next((tmp_path / "bsz_ds2").rglob("*.parquet"))
+    cc = md.row_group(0).column(0)
+    cc2 = pq.ParquetFile(str(f2)).metadata.row_group(0).column(0)
+    assert cc.total_compressed_size > cc2.total_compressed_size
