@@ -23,10 +23,15 @@ with 1M groups refreshes by shuffling the delta (bounded by rows
 changed) against a 1M-row state table.
 
 SUM/COUNT/AVG are self-maintainable under retraction; MIN/MAX are not
-(a deleted minimum needs a rescan) — same restriction Flink documents
-for retract-mode aggregates. This module therefore maintains
-sum/count (avg is derived at read time).
-"""
+(a deleted minimum needs a rescan) — the restriction Flink documents
+for retract-mode aggregates. This module maintains sum/count (avg
+derived at read time) and MIN/MAX with the standard fallback:
+inserts fold incrementally (least/greatest against stored extrema);
+a retraction that touches a group's stored extremum — and isn't
+dominated by a simultaneous insert — marks THAT group for rescan, and
+the refresh recomputes only the marked groups from the source (a
+semi-joined scan bounded by affected-group count, never a full
+recompute)."""
 
 from __future__ import annotations
 
@@ -75,6 +80,8 @@ class MaterializedAggregate:
             .agg(
                 F.sum(self.value_col).alias("sum_v"),
                 F.count(F.lit(1)).alias("cnt"),
+                F.min(self.value_col).alias("min_v"),
+                F.max(self.value_col).alias("max_v"),
             )
         )
 
@@ -104,40 +111,83 @@ class MaterializedAggregate:
                 # overwrite in range: no lineage — rebuild from the
                 # snapshot (correct, just not incremental)
                 changes = None
-            if changes is None:
+            prev = self.state.read(spark) if changes is not None else None
+            if changes is None or "min_v" not in prev.columns:
+                # overwrite in range, or a pre-MIN/MAX state layout:
+                # rebuild from the snapshot (correct, just not
+                # incremental)
                 state = self._full_compute(spark, latest)
             else:
-                sign = F.when(
-                    F.col("_change_type").isin("insert", "update_postimage"), 1
-                ).otherwise(-1)
+                is_ins = F.col("_change_type").isin("insert", "update_postimage")
+                sign = F.when(is_ins, 1).otherwise(-1)
+                v = F.col(self.value_col)
                 delta = (
                     changes.select(
                         *self.group_cols,
                         sign.alias("s"),
-                        F.col(self.value_col).alias("v"),
+                        v.alias("v"),
+                        is_ins.alias("i"),
                     )
                     .groupBy(*self.group_cols)
                     .agg(
                         F.sum(F.col("s") * F.col("v")).alias("d_sum"),
                         F.sum("s").alias("d_cnt"),
+                        F.min(F.when(F.col("i"), F.col("v"))).alias("i_min"),
+                        F.max(F.when(F.col("i"), F.col("v"))).alias("i_max"),
+                        F.min(F.when(~F.col("i"), F.col("v"))).alias("r_min"),
+                        F.max(F.when(~F.col("i"), F.col("v"))).alias("r_max"),
                     )
                 )
-                state = (
-                    self.state.read(spark)
-                    .join(delta, self.group_cols, "full_outer")
-                    .select(
-                        *self.group_cols,
-                        (
-                            F.coalesce(F.col("sum_v"), F.lit(0))
-                            + F.coalesce(F.col("d_sum"), F.lit(0))
-                        ).alias("sum_v"),
-                        (
-                            F.coalesce(F.col("cnt"), F.lit(0))
-                            + F.coalesce(F.col("d_cnt"), F.lit(0))
-                        ).alias("cnt"),
-                    )
-                    .filter(F.col("cnt") > 0)
+                cnt_new = F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(
+                    F.col("d_cnt"), F.lit(0)
                 )
+                # a retraction invalidates a stored extremum only when
+                # it HITS it (retracted values always lie inside the
+                # group's range, so == is the hit test) AND no insert
+                # in the same delta dominates the stored bound — then
+                # the true new extremum is unknowable from state alone
+                min_hit = (
+                    F.col("r_min").isNotNull()
+                    & (F.col("r_min") <= F.col("min_v"))
+                    & (F.col("i_min").isNull() | (F.col("i_min") > F.col("min_v")))
+                )
+                max_hit = (
+                    F.col("r_max").isNotNull()
+                    & (F.col("r_max") >= F.col("max_v"))
+                    & (F.col("i_max").isNull() | (F.col("i_max") < F.col("max_v")))
+                )
+                needs_rescan = (
+                    F.col("min_v").isNotNull() & (min_hit | max_hit)
+                )
+                merged = (
+                    prev.join(delta, self.group_cols, "full_outer")
+                    .withColumn("__cnt_new", cnt_new)
+                    .filter(F.col("__cnt_new") > 0)
+                    .withColumn("__rescan", needs_rescan)
+                    .persist()
+                )
+                folded = merged.filter(~F.coalesce(F.col("__rescan"), F.lit(False))).select(
+                    *self.group_cols,
+                    (
+                        F.coalesce(F.col("sum_v"), F.lit(0))
+                        + F.coalesce(F.col("d_sum"), F.lit(0))
+                    ).alias("sum_v"),
+                    F.col("__cnt_new").alias("cnt"),
+                    # least/greatest skip NULLs: new groups take i_min,
+                    # untouched groups keep min_v
+                    F.least(F.col("min_v"), F.col("i_min")).alias("min_v"),
+                    F.greatest(F.col("max_v"), F.col("i_max")).alias("max_v"),
+                )
+                rescan_keys = merged.filter(F.col("__rescan")).select(
+                    *self.group_cols
+                )
+                # per-group rescan: ONLY the groups whose extremum was
+                # retracted — a semi-joined source scan bounded by the
+                # affected-group count, not a full recompute
+                rescanned = self._full_compute(spark, latest).join(
+                    rescan_keys, self.group_cols, "left_semi"
+                )
+                state = folded.unionByName(rescanned)
         # state overwrite + meta update; the state table is
         # single-writer (the refresher), so no CAS is needed here
         self.state.write(state, mode="overwrite")
@@ -147,7 +197,8 @@ class MaterializedAggregate:
         return latest
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The current aggregate: group_cols, sum_v, cnt, avg_v."""
+        """The current aggregate: group_cols, sum_v, cnt, min_v,
+        max_v, avg_v."""
         return self.state.read(spark).withColumn(
             "avg_v", F.col("sum_v") / F.col("cnt")
         )

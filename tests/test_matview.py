@@ -98,3 +98,85 @@ def test_cdf_update_preimages_contract(spark, setup):
     assert len(by_type["update_postimage"]) == 1
     assert by_type["update_postimage"][0]["v"] == 6
     assert "update" not in by_type
+
+
+def _expected_mm(spark, ds):
+    from pyspark.sql import functions as F
+
+    return {
+        (r["grp"],): (r["s"], r["c"], r["lo"], r["hi"])
+        for r in ds.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+
+
+def _state_mm(spark, mv):
+    return {
+        (r["grp"],): (r["sum_v"], r["cnt"], r["min_v"], r["max_v"])
+        for r in mv.read(spark).collect()
+    }
+
+
+def test_minmax_maintained_across_extremum_deletion(spark, tmp_path_str):
+    """MIN/MAX incremental maintenance with the retract-extremum
+    fallback: parity vs full recompute across a history where the
+    stored minimum AND maximum are deleted/updated away."""
+    ds = Dataset(tmp_path_str + "/src")
+    ds.write(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5)]))
+    mv = MaterializedAggregate(
+        ds, tmp_path_str + "/mv", row_key="id", group_cols=["grp"], value_col="v"
+    )
+    mv.refresh(spark)
+    assert _state_mm(spark, mv) == _expected_mm(spark, ds)
+
+    # insert-only fold: extrema extend without any rescan
+    ds.write(_df(spark, [(5, "a", 1), (6, "b", 99)]), mode="append")
+    mv.refresh(spark)
+    assert _state_mm(spark, mv) == _expected_mm(spark, ds)
+
+    # delete the CURRENT minimum of group a (v=1) -> rescan path
+    ds.delete_where(spark, "id = 5")
+    mv.refresh(spark)
+    assert _state_mm(spark, mv) == _expected_mm(spark, ds)
+    assert _state_mm(spark, mv)[("a",)][2] == 10  # min recovered
+
+    # update the current maximum of group a DOWNWARD (30 -> 15):
+    # retracts the stored max, post-image doesn't dominate -> rescan
+    ds.update_where(spark, "id = 3", {"v": "15"})
+    mv.refresh(spark)
+    assert _state_mm(spark, mv) == _expected_mm(spark, ds)
+    assert _state_mm(spark, mv)[("a",)][3] == 20  # max recovered
+
+    # deletion of a NON-extremum folds without touching extrema
+    ds.delete_where(spark, "id = 2")
+    mv.refresh(spark)
+    assert _state_mm(spark, mv) == _expected_mm(spark, ds)
+
+    # simultaneous retract-of-min + dominating insert: no rescan
+    # needed semantically; result must still be exact
+    ds.merge_insert(spark, _df(spark, [(1, "a", 2), (7, "a", 0)]), on="id")
+    mv.refresh(spark)
+    assert _state_mm(spark, mv) == _expected_mm(spark, ds)
+    assert _state_mm(spark, mv)[("a",)][2] == 0
+
+
+def test_minmax_group_vanishes_and_returns(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/src")
+    ds.write(_df(spark, [(1, "a", 10), (2, "b", 7)]))
+    mv = MaterializedAggregate(
+        ds, tmp_path_str + "/mv", row_key="id", group_cols=["grp"], value_col="v"
+    )
+    mv.refresh(spark)
+    ds.delete_where(spark, "grp = 'a'")
+    mv.refresh(spark)
+    assert ("a",) not in _state_mm(spark, mv)
+    ds.write(_df(spark, [(3, "a", 42)]), mode="append")
+    mv.refresh(spark)
+    assert _state_mm(spark, mv)[("a",)] == (42, 1, 42, 42)
