@@ -379,3 +379,70 @@ def events_cumulate(spark, sf_dir):
     return cumulate_agg(
         table(spark, sf_dir, "events"), step="6 hours", size="1 day"
     )
+
+
+@query(
+    "events_latest_by_key",
+    extra=True,  # gate budget; Flink deduplication-query shape
+    oracle="""
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def events_latest_by_key(spark, sf_dir):
+    """Flink SQL "deduplication" (latest row per key, upsert-kafka
+    semantics): one partitioned ROW_NUMBER window — one key shuffle,
+    no global sort (operators/changelog.py). Money as exact cents."""
+    from lance_flink_spark.operators.changelog import latest_by_key
+
+    e = table(spark, sf_dir, "events")
+    return latest_by_key(
+        e, ["user_id", "event_type"], "ts", "event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+    )
+
+
+@query(
+    "events_match_sequence",
+    extra=True,  # gate budget; CEP / MATCH_RECOGNIZE shape
+    oracle="""
+    SELECT v.user_id, v.event_id AS start_event_id,
+           epoch_us(v.ts) AS t0_us, epoch_us(c.ts) AS t1_us,
+           epoch_us(p.ts) AS t2_us,
+           epoch_us(p.ts) - epoch_us(v.ts) AS duration_us
+    FROM events v,
+    LATERAL (SELECT ts, event_id FROM events c
+             WHERE c.user_id = v.user_id AND c.event_type = 'click'
+               AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+             ORDER BY c.ts, c.event_id LIMIT 1) c,
+    LATERAL (SELECT ts FROM events p
+             WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+             ORDER BY p.ts, p.event_id LIMIT 1) p
+    WHERE v.event_type = 'view' AND p.ts <= v.ts + INTERVAL 24 HOUR
+    """,
+)
+def events_match_sequence(spark, sf_dir):
+    """CEP sequence detection (view → click → purchase within 24h,
+    AFTER MATCH SKIP TO NEXT ROW, greedy earliest binding): Flink
+    MATCH_RECOGNIZE parity via N-1 partitioned window passes, zero
+    joins (operators/cep.py). The oracle replays the identical greedy
+    binding with LATERAL earliest-per-step subqueries — an independent
+    formulation of the same semantics."""
+    from lance_flink_spark.operators.cep import match_sequence
+
+    return match_sequence(
+        table(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        within="24 hours",
+    )

@@ -1,0 +1,146 @@
+"""CEP match_sequence (operators/cep.py) and changelog deduplication
+(operators/changelog.py): semantics pinned on hand-built event logs."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from lance_flink_spark.operators.cep import match_sequence
+from lance_flink_spark.operators.changelog import earliest_by_key, latest_by_key
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=T0 + dt.timedelta(minutes=m),
+                user_id=u,
+                event_type=t,
+            )
+            for i, (u, m, t) in enumerate(rows)
+        ]
+    )
+
+
+def test_greedy_binding_earliest_steps(spark):
+    """A view binds the EARLIEST following click, then the earliest
+    purchase after THAT click — not any other combination."""
+    e = _ev(
+        spark,
+        [
+            (1, 0, "view"),
+            (1, 10, "click"),   # bound
+            (1, 20, "click"),   # ignored (greedy takes minute 10)
+            (1, 30, "purchase"),
+            (1, 40, "purchase"),  # ignored
+        ],
+    )
+    out = match_sequence(e, ["view", "click", "purchase"], within="1 hour").collect()
+    assert len(out) == 1
+    m = out[0]
+    assert (m["t1_us"] - m["t0_us"]) == 10 * 60 * 1_000_000
+    assert (m["t2_us"] - m["t0_us"]) == 30 * 60 * 1_000_000
+    assert m["duration_us"] == 30 * 60 * 1_000_000
+
+
+def test_no_backtracking_documented_semantics(spark):
+    """Greedy means NO backtracking: if the earliest click's purchase
+    falls outside the window, the match fails even though a later
+    click would have completed in time."""
+    e = _ev(
+        spark,
+        [
+            (1, 0, "view"),
+            (1, 5, "click"),
+            (1, 200, "purchase"),  # > 1h after the view
+        ],
+    )
+    assert match_sequence(e, ["view", "click", "purchase"], within="1 hour").count() == 0
+    # ...and succeeds once the window allows it
+    assert (
+        match_sequence(e, ["view", "click", "purchase"], within="4 hours").count() == 1
+    )
+
+
+def test_every_step1_event_can_match(spark):
+    """SKIP TO NEXT ROW: each view emits its own match; bound events
+    may be shared between matches."""
+    e = _ev(
+        spark,
+        [
+            (1, 0, "view"),
+            (1, 1, "view"),
+            (1, 10, "click"),
+            (1, 20, "purchase"),
+        ],
+    )
+    out = match_sequence(e, ["view", "click", "purchase"], within="1 hour").collect()
+    assert len(out) == 2
+    assert sorted(r["start_event_id"] for r in out) == [0, 1]
+
+
+def test_order_must_be_strict_and_keys_isolate(spark):
+    e = _ev(
+        spark,
+        [
+            (1, 0, "click"),      # before the view: must not bind
+            (1, 5, "view"),
+            (2, 6, "click"),      # other user: must not bind
+            (2, 7, "purchase"),
+            (1, 10, "click"),
+            (1, 20, "purchase"),
+        ],
+    )
+    out = match_sequence(e, ["view", "click", "purchase"], within="1 hour").collect()
+    assert len(out) == 1
+    assert out[0]["user_id"] == 1
+    assert (out[0]["t1_us"] - out[0]["t0_us"]) == 5 * 60 * 1_000_000
+
+
+def test_two_step_and_four_step_patterns(spark):
+    e = _ev(
+        spark,
+        [
+            (1, 0, "signup"),
+            (1, 1, "view"),
+            (1, 2, "click"),
+            (1, 3, "purchase"),
+        ],
+    )
+    assert match_sequence(e, ["signup", "view"], within="1 hour").count() == 1
+    four = match_sequence(
+        e, ["signup", "view", "click", "purchase"], within="1 hour"
+    ).collect()
+    assert len(four) == 1
+    assert four[0]["t3_us"] - four[0]["t0_us"] == 3 * 60 * 1_000_000
+
+
+def test_latest_and_earliest_by_key(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=3, id=1, v="a3"),
+            Row(k="a", ts=7, id=2, v="a7"),
+            Row(k="a", ts=7, id=5, v="a7b"),  # tie on ts: higher id wins latest
+            Row(k="b", ts=1, id=3, v="b1"),
+        ]
+    )
+    latest = {r["k"]: r["v"] for r in latest_by_key(df, ["k"], "ts", "id").collect()}
+    assert latest == {"a": "a7b", "b": "b1"}
+    first = {r["k"]: r["v"] for r in earliest_by_key(df, ["k"], "ts", "id").collect()}
+    assert first == {"a": "a3", "b": "b1"}
+
+
+def test_latest_by_key_plan_is_partitioned(spark):
+    """The dedup window partitions by key — no single-partition sort."""
+    df = spark.range(100).selectExpr("id % 7 AS k", "id AS ts", "id AS tb")
+    plan = (
+        latest_by_key(df, ["k"], "ts", "tb")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
