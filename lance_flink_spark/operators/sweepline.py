@@ -1,0 +1,78 @@
+"""Interval analytics via a DISTRIBUTED sweep line.
+
+"How many sessions were open at once?" is a running sum of +1/−1
+boundary events in global time order — the textbook sweep line. The
+naive Spark translation is `SUM(delta) OVER (PARTITION BY key ORDER BY
+t)`, which for low-cardinality keys (a handful of event types) pushes
+an event-count-sized frame through one task per key.
+
+This module decomposes the prefix sum exactly like
+``operators/quantiles.py`` decomposes rank: deterministic uniform time
+buckets (a pure function of t — no sampling, no re-evaluation hazard),
+per-(key, bucket) local running sums in parallel, per-bucket totals to
+the driver (≤ keys × buckets rows by construction), cumulative offsets
+broadcast back. The global running value at any row is offset + local
+running — exact, with task state bounded by a bucket's boundary count.
+
+Tie policy: boundaries sort by (t, delta) with −1 first, so an
+interval ending exactly when another starts never overlaps it —
+half-open [t, t+duration) semantics, identical in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def max_concurrency(
+    events: DataFrame,
+    duration_seconds: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    buckets: int = 64,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per key, where
+    each event opens [ts, ts + duration). Returns (key, max_concurrent)
+    — exact integers.
+
+    Two bounded driver round-trips: the global [tmin, tmax] (1 row)
+    and the per-(key, bucket) totals (≤ keys × buckets rows)."""
+    spark = events.sparkSession
+    us = F.unix_micros(F.col(ts_col))
+    dur_us = int(duration_seconds) * 1_000_000
+    b = (
+        events.select(F.col(key_col).alias("k"), us.alias("t"), F.lit(1).alias("d"))
+        .unionByName(
+            events.select(
+                F.col(key_col).alias("k"),
+                (us + F.lit(dur_us)).alias("t"),
+                F.lit(-1).alias("d"),
+            )
+        )
+    )
+    lo, hi = b.agg(F.min("t"), F.max("t")).first()
+    width = max((int(hi) - int(lo)) // buckets + 1, 1)
+    b = b.withColumn("__b", ((F.col("t") - F.lit(int(lo))) / width).cast("int"))
+
+    totals = (
+        b.groupBy("k", "__b").agg(F.sum("d").alias("s")).collect()
+    )  # ≤ keys × buckets rows — bounded driver work by construction
+    offsets, acc = [], {}
+    for r in sorted(totals, key=lambda r: (str(r["k"]), r["__b"])):
+        offsets.append((r["k"], r["__b"], int(acc.get(r["k"], 0))))
+        acc[r["k"]] = acc.get(r["k"], 0) + int(r["s"])
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "k string, __b int, __off long")
+    )
+
+    w_in = Window.partitionBy("k", "__b").orderBy("t", "d")
+    run = (
+        b.withColumn("__run_in", F.sum("d").over(w_in))
+        .join(off_df, ["k", "__b"])
+        .withColumn("__run", F.col("__off") + F.col("__run_in"))
+    )
+    return (
+        run.groupBy("k")
+        .agg(F.max("__run").cast("long").alias("max_concurrent"))
+        .select(F.col("k").alias(key_col), "max_concurrent")
+    )

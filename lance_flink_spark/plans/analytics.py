@@ -507,3 +507,32 @@ def customer_rfm(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_c").alias("segment_value_c"),
     )
+
+
+@query(
+    "events_concurrency",
+    extra=True,  # gate budget; sweep-line interval analytics
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS k, epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 1800 * 1000000, -1 FROM events)
+    SELECT k AS event_type,
+           MAX(run) AS max_concurrent
+    FROM (SELECT k, SUM(d) OVER (PARTITION BY k ORDER BY t, d
+                                 ROWS UNBOUNDED PRECEDING) AS run
+          FROM b)
+    GROUP BY k
+    """,
+)
+def events_concurrency(spark, sf_dir):
+    """Peak concurrent 30-minute sessions per event type — the
+    sweep-line running sum, decomposed into bucketed prefix sums
+    (operators/sweepline.py) so no task ever sorts a key's full
+    boundary list. The oracle is the single-node window-function
+    formulation of the same half-open [ts, ts+30min) semantics."""
+    from lance_flink_spark.operators.sweepline import max_concurrency
+
+    return max_concurrency(
+        table(spark, sf_dir, "events"), duration_seconds=1800
+    )

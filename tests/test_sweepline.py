@@ -1,0 +1,85 @@
+"""Distributed sweep-line (operators/sweepline.py): hand-built
+interval cases, half-open boundary policy, and parity with the naive
+single-window formulation on random data."""
+
+import datetime as dt
+import random
+
+from pyspark.sql import Row, Window, functions as F
+
+from lance_flink_spark.operators.sweepline import max_concurrency
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(spark, rows):  # rows: (key, offset_seconds)
+    return spark.createDataFrame(
+        [
+            Row(event_type=k, ts=T0 + dt.timedelta(seconds=s))
+            for k, s in rows
+        ]
+    )
+
+
+def test_hand_built_overlap(spark):
+    e = _ev(spark, [("a", 0), ("a", 10), ("a", 25), ("a", 100)])
+    out = {r["event_type"]: r["max_concurrent"] for r in
+           max_concurrency(e, duration_seconds=30).collect()}
+    assert out == {"a": 3}  # [0,30) [10,40) [25,55) all open at t=25
+
+
+def test_half_open_touching_intervals_do_not_overlap(spark):
+    e = _ev(spark, [("a", 0), ("a", 30), ("a", 60)])
+    out = max_concurrency(e, duration_seconds=30).collect()
+    assert out[0]["max_concurrent"] == 1
+
+
+def test_keys_are_independent(spark):
+    e = _ev(spark, [("a", 0), ("a", 1), ("b", 0)])
+    out = {r["event_type"]: r["max_concurrent"] for r in
+           max_concurrency(e, duration_seconds=10).collect()}
+    assert out == {"a": 2, "b": 1}
+
+
+def test_parity_with_naive_window(spark):
+    rng = random.Random(7)
+    rows = [
+        (k, rng.randrange(0, 100_000))
+        for k in ("x", "y", "z")
+        for _ in range(400)
+    ]
+    e = _ev(spark, rows)
+    got = {r["event_type"]: r["max_concurrent"] for r in
+           max_concurrency(e, duration_seconds=1800, buckets=16).collect()}
+
+    us = F.unix_micros(F.col("ts"))
+    b = e.select(F.col("event_type").alias("k"), us.alias("t"), F.lit(1).alias("d")).unionByName(
+        e.select(F.col("event_type").alias("k"),
+                 (us + 1800 * 1_000_000).alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("k").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["k"]: r["m"]
+        for r in b.withColumn("run", F.sum("d").over(w))
+        .groupBy("k")
+        .agg(F.max("run").alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_local_windows_are_bucket_partitioned(spark):
+    """The running-sum window partitions by (key, bucket) — the plan
+    never sorts a whole key's boundaries in one task (and certainly
+    not globally)."""
+    e = _ev(spark, [("a", i) for i in range(100)])
+    plan = (
+        max_concurrency(e, duration_seconds=60, buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(k" in plan and "__b" in plan
