@@ -212,3 +212,53 @@ def char_shingles(text: Column, n: int = 3) -> Column:
         _shingle_range(F.length(text) - (n - 1)),
         lambda i: text.substr(i, F.lit(n)),
     )
+
+
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """The integer ingredients of Gopher-style document quality rules
+    (Rae et al. 2021, "Scaling Language Models" App. A — word count,
+    mean word length, lexical diversity, stopword presence), kept as
+    EXACT integers so every rule is an integer comparison — no
+    float/rounding semantics anywhere on the hashed surface.
+
+    Tokenization mirrors the oracle's ``_TOKS`` (trim → lower → split
+    on whitespace)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    empty = F.length(F.trim(text)) == 0
+    return {
+        "n_words": F.when(empty, F.lit(0)).otherwise(F.size(toks)).cast("long"),
+        "total_word_chars": F.length(
+            F.regexp_replace(F.trim(F.lower(text)), r"\s", "")
+        ).cast("long"),
+        "n_distinct_words": F.when(empty, F.lit(0))
+        .otherwise(F.size(F.array_distinct(toks)))
+        .cast("long"),
+        "stop_hits": marker_hits(text, STOPWORDS).cast("long"),
+    }
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Per-rule booleans + the composite pass flag. Thresholds follow
+    the Gopher paper's shape, scaled to short synthetic docs (the
+    thresholds are arguments of the rule, not its structure):
+
+    - word count in [10, 1000]
+    - mean word length in [3, 10]  (as 3·n ≤ total_chars ≤ 10·n)
+    - lexical diversity: distinct words ≥ 30% of words  (10·d ≥ 3·n)
+    - ≥ 1 English stopword hit
+    """
+    s = gopher_stats(text)
+    r_count = (s["n_words"] >= 10) & (s["n_words"] <= 1000)
+    r_wordlen = (s["total_word_chars"] >= 3 * s["n_words"]) & (
+        s["total_word_chars"] <= 10 * s["n_words"]
+    )
+    r_diversity = 10 * s["n_distinct_words"] >= 3 * s["n_words"]
+    r_stop = s["stop_hits"] >= 1
+    return {
+        **s,
+        "rule_word_count": r_count,
+        "rule_word_length": r_wordlen,
+        "rule_diversity": r_diversity,
+        "rule_stopwords": r_stop,
+        "passes_gopher": r_count & r_wordlen & r_diversity & r_stop,
+    }

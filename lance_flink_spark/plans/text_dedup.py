@@ -1355,3 +1355,48 @@ def cut_repeated_spans_docs(spark, sf_dir):
         )
     )
     return cut_repeated_spans(aug, window=20, min_copies=2)
+
+
+_STOP_LIST = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+
+
+@query(
+    "text_gopher_rules",
+    extra=True,  # gate budget; Gopher-style quality rule filter
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_TOKS}) END AS n_words,
+             length(regexp_replace(trim(lower(text)), '\\s', '', 'g'))
+               AS total_word_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_distinct({_TOKS})) END AS n_distinct_words,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_LIST}))) AS stop_hits
+      FROM documents)
+    SELECT doc_id, n_words, total_word_chars, n_distinct_words, stop_hits,
+           (n_words >= 10 AND n_words <= 1000) AS rule_word_count,
+           (total_word_chars >= 3 * n_words
+            AND total_word_chars <= 10 * n_words) AS rule_word_length,
+           (10 * n_distinct_words >= 3 * n_words) AS rule_diversity,
+           (stop_hits >= 1) AS rule_stopwords,
+           ((n_words >= 10 AND n_words <= 1000)
+            AND (total_word_chars >= 3 * n_words
+                 AND total_word_chars <= 10 * n_words)
+            AND (10 * n_distinct_words >= 3 * n_words)
+            AND (stop_hits >= 1)) AS passes_gopher
+    FROM s
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rule filter (functions/text.py
+    gopher_rules): per-doc word count / mean word length / lexical
+    diversity / stopword rules with an all-integer hashed surface
+    (every rule is an integer comparison — rounding-proof by
+    construction). Stateless map over one scan: zero shuffles, whole
+    stage codegen, no Python."""
+    from lance_flink_spark.functions.text import gopher_rules
+
+    d = table(spark, sf_dir, "documents")
+    cols = gopher_rules(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
