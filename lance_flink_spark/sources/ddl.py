@@ -133,6 +133,18 @@ _RESTORE = re.compile(
 _SHOW_CREATE = re.compile(
     r"SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
+# Flink event-time temporal table join (docs "Temporal Joins"):
+#   SELECT ... FROM fact f JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d
+#   ON f.k = d.k [...]
+# The AS OF operand is a column reference — the versioned variant with
+# a NUMBER literal is _TIME_TRAVEL's case and never reaches this.
+_TEMPORAL_JOIN = re.compile(
+    r"^(?P<head>SELECT\s+.+?)\s+FROM\s+(?P<fact>[\w.]+)(?:\s+AS)?\s+(?P<fa>\w+)\s+"
+    r"JOIN\s+(?P<dim>[\w.]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P=fa)\.(?P<ts>\w+)"
+    r"(?:\s+AS)?\s+(?P<da>\w+)\s+ON\s+(?P=fa)\.(?P<lk>\w+)\s*=\s*(?P=da)\.(?P<rk>\w+)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_VERSIONS = re.compile(
     r"SHOW\s+VERSIONS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
@@ -334,6 +346,45 @@ class SqlEngine:
     def _register(self, name: str) -> None:
         self.catalog.register(self.spark, self.database, name, view=name)
 
+    def _temporal_join(self, m: re.Match) -> DataFrame:
+        """Flink event-time temporal table join: each fact row joins
+        the dim row valid AS OF the fact's event time — the latest dim
+        row with dim.<ts> <= fact.<ts> for the key (Flink "Temporal
+        Joins", event-time variant; the dim is an SCD changelog whose
+        rows carry their validity-start in the same-named time column).
+
+        Lowers onto ``operators/temporal.asof_join`` (union + keyed
+        last-value window — one shuffle on the key, no range fan-out),
+        registers the result as a temp view, strips the fact/dim
+        qualifiers from the rest of the statement, and hands the
+        remainder to Spark SQL. Restrictions (documented Flink-dialect
+        subset): single equality key, dim's time attribute shares the
+        fact's AS OF column name, payload names must not collide."""
+        fact_n, dim_n = m.group("fact"), m.group("dim")
+        for n in (fact_n, dim_n):
+            if self._in_catalog(n):
+                self._register(n)
+        fact = self.spark.table(fact_n)
+        dim = self.spark.table(dim_n)
+        ts, lk, rk = m.group("ts"), m.group("lk"), m.group("rk")
+        if ts not in dim.columns:
+            raise ValueError(
+                f"temporal join: dim {dim_n!r} has no event-time column {ts!r}"
+            )
+        if rk != lk:
+            dim = dim.withColumnRenamed(rk, lk)
+        from lance_flink_spark.operators.temporal import asof_join
+
+        joined = asof_join(fact, dim, on=lk, left_ts=ts, right_ts=ts)
+        view = "__temporal_join"
+        joined.createOrReplaceTempView(view)
+        fa, da = m.group("fa"), m.group("da")
+        rest = m.group("rest") or ""
+        text = f"{m.group('head')} FROM {view}{rest}"
+        for q in (f"{fa}.", f"{da}."):
+            text = text.replace(q, "")
+        return self.spark.sql(_rewrite_array_literals(text))
+
     def _in_catalog(self, name: str) -> bool:
         try:
             return self.catalog.table_exists(self.database, name)
@@ -342,6 +393,9 @@ class SqlEngine:
 
     def execute(self, sql: str) -> DataFrame | None:
         sql = sql.strip().rstrip(";")
+        m = _TEMPORAL_JOIN.match(sql)
+        if m and not m.group("ts").isdigit():
+            return self._temporal_join(m)
         m = _CREATE_MV.match(sql)
         if m:
             return self._create_mv(m)

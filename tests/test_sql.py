@@ -694,3 +694,57 @@ def test_write_batch_size_bounds_page_rows(spark, tmp_path):
     cc = md.row_group(0).column(0)
     cc2 = pq.ParquetFile(str(f2)).metadata.row_group(0).column(0)
     assert cc.total_compressed_size > cc2.total_compressed_size
+
+
+def test_sql_event_time_temporal_join(engine, spark):
+    """Flink event-time temporal table join: FOR SYSTEM_TIME AS OF
+    f.<ts-col> picks the dim row valid at each fact row's event time
+    (latest dim.ts <= fact.ts per key); facts before the first dim
+    version get NULLs."""
+    engine.execute(
+        """CREATE TABLE rates (k STRING, ts TIMESTAMP, rate BIGINT)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        """INSERT INTO rates VALUES
+           ('eur', TIMESTAMP '2024-01-01 00:00:00', 100),
+           ('eur', TIMESTAMP '2024-01-02 00:00:00', 110),
+           ('gbp', TIMESTAMP '2024-01-01 12:00:00', 200)"""
+    )
+    engine.execute(
+        """CREATE TABLE fx_orders (oid BIGINT, k STRING, ts TIMESTAMP, amt BIGINT)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        """INSERT INTO fx_orders VALUES
+           (1, 'eur', TIMESTAMP '2024-01-01 06:00:00', 10),
+           (2, 'eur', TIMESTAMP '2024-01-03 00:00:00', 10),
+           (3, 'gbp', TIMESTAMP '2024-01-01 00:00:00', 5),
+           (4, 'gbp', TIMESTAMP '2024-01-01 12:00:00', 5)"""
+    )
+    out = engine.execute(
+        """SELECT o.oid, o.amt * r.rate AS value
+           FROM fx_orders o
+           JOIN rates FOR SYSTEM_TIME AS OF o.ts AS r
+           ON o.k = r.k
+           ORDER BY o.oid"""
+    ).collect()
+    got = {r["oid"]: r["value"] for r in out}
+    # oid 1: eur rate 100 (v2 not yet valid); oid 2: 110 after change;
+    # oid 3: before any gbp rate -> NULL; oid 4: boundary ts inclusive
+    assert got == {1: 1000, 2: 1100, 3: None, 4: 1000}
+
+
+def test_sql_temporal_join_with_aggregate_tail(engine):
+    out = engine.execute(
+        """SELECT k, COUNT(*) AS n, SUM(amt * rate) AS total
+           FROM fx_orders o
+           JOIN rates FOR SYSTEM_TIME AS OF o.ts AS r
+           ON o.k = r.k
+           WHERE rate IS NOT NULL
+           GROUP BY k ORDER BY k"""
+    ).collect()
+    assert [(r["k"], r["n"], r["total"]) for r in out] == [
+        ("eur", 2, 2100),
+        ("gbp", 1, 1000),
+    ]
