@@ -446,3 +446,39 @@ def events_match_sequence(spark, sf_dir):
         steps=["view", "click", "purchase"],
         within="24 hours",
     )
+
+
+@query(
+    "streaming_match_sequence",
+    extra=True,  # gate budget; streaming CEP — same oracle as batch
+    oracle="""
+    SELECT v.user_id, v.event_id AS start_event_id,
+           epoch_us(v.ts) AS t0_us, epoch_us(c.ts) AS t1_us,
+           epoch_us(p.ts) AS t2_us,
+           epoch_us(p.ts) - epoch_us(v.ts) AS duration_us
+    FROM events v,
+    LATERAL (SELECT ts, event_id FROM events c
+             WHERE c.user_id = v.user_id AND c.event_type = 'click'
+               AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+             ORDER BY c.ts, c.event_id LIMIT 1) c,
+    LATERAL (SELECT ts FROM events p
+             WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+             ORDER BY p.ts, p.event_id LIMIT 1) p
+    WHERE v.event_type = 'view' AND p.ts <= v.ts + INTERVAL 24 HOUR
+    """,
+)
+def streaming_match_sequence(spark, sf_dir):
+    """CEP over a STREAM (streaming/cep.py): per-key NFA buffer in
+    applyInPandasWithState, emitted matches must equal the batch
+    match_sequence / LATERAL oracle — the unified-engine contract,
+    this time for MATCH_RECOGNIZE."""
+    from lance_flink_spark.streaming.cep import stream_match_sequence
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark="1 hour")
+    out = stream_match_sequence(
+        events, steps=["view", "click", "purchase"], within="24 hours"
+    )
+    t = run_to_memory(out, mode="append", state_partitions=8)
+    return spark.table(t)

@@ -1,0 +1,141 @@
+"""Streaming CEP — MATCH_RECOGNIZE over a keyed stream with
+applyInPandasWithState (the Flink CEP NFA's keyed-state analogue).
+
+Semantics are the SAME greedy skip-to-next-row contract as the batch
+``operators/cep.match_sequence`` (earliest binding per step, no
+backtracking, chain must complete within ``within`` of the step-1
+event), maintained across micro-batches:
+
+- per-key state = a bounded event buffer (retention = ``within`` +
+  the source watermark delay, evicted against the key's max event
+  time) plus the set of already-emitted step-1 ids (so a match emits
+  exactly once across batches).
+- a match emits in the first micro-batch whose buffered events
+  complete its chain. Bindings finalize at emission: an event arriving
+  later than the watermark allows may bind differently than a batch
+  replay would — the same allowed-lateness contract Flink CEP
+  documents. With in-order (or single-batch availableNow) input the
+  emitted set equals the batch operator exactly, which is the pinned
+  oracle contract.
+
+Scale: state per key is O(events within the retention window), the
+bound Flink CEP's NFA buffer carries; the shuffle is the keyed
+exchange Structured Streaming already pays for stateful ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_TMPL = "{key} long, start_event_id long, {ts_cols}, duration_us long"
+# state: parallel lists (Spark state structs can't nest dataframes)
+_STATE_SCHEMA = (
+    "ts array<long>, eid array<long>, etype array<string>, emitted array<long>"
+)
+
+
+def _greedy_matches(ts, eid, etype, steps, within_us, emitted):
+    """The batch operator's greedy binding, replayed over one key's
+    sorted buffer. Returns (new_matches, matched_start_ids)."""
+    order = sorted(range(len(ts)), key=lambda i: (ts[i], eid[i]))
+    out = []
+    done = set(emitted)
+    n = len(steps)
+    for pos, i in enumerate(order):
+        if etype[i] != steps[0] or eid[i] in done:
+            continue
+        chain = [i]
+        cursor = pos
+        ok = True
+        for step in steps[1:]:
+            nxt = None
+            for q in order[cursor + 1 :]:
+                cursor += 1
+                if etype[q] == step:
+                    nxt = q
+                    break
+            if nxt is None:
+                ok = False
+                break
+            chain.append(nxt)
+        if ok and ts[chain[-1]] - ts[chain[0]] <= within_us:
+            out.append((eid[i], [ts[c] for c in chain]))
+            done.add(eid[i])
+    return out, done
+
+
+def stream_match_sequence(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "24 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    retention_slack_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming twin of ``operators/cep.match_sequence`` — same output
+    schema (key, start_event_id, t0_us..t{n-1}_us, duration_us)."""
+    from lance_flink_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    n = len(steps)
+    qty, unit = within.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit.lower()]
+    within_us = int(qty) * mult * 1_000_000
+    retain_us = within_us + retention_slack_seconds * 1_000_000
+    out_schema = _OUT_TMPL.format(
+        key=key_col, ts_cols=", ".join(f"t{i}_us long" for i in range(n))
+    )
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ts, eid, etype, emitted = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        ts, eid, etype, emitted = list(ts), list(eid), list(etype), list(emitted)
+        for pdf in pdfs:
+            ts += [
+                int(v)
+                for v in pdf[ts_col].astype("datetime64[us]").astype("int64")
+            ]
+            eid += [int(v) for v in pdf[id_col]]
+            etype += [str(v) for v in pdf[type_col]]
+        matches, done = _greedy_matches(ts, eid, etype, steps, within_us, emitted)
+        # evict events the retention window has passed; keep emitted
+        # ids only while their start event could still re-enter
+        if ts:
+            horizon = max(ts) - retain_us
+            keep = [i for i in range(len(ts)) if ts[i] >= horizon]
+            live = set(eid[i] for i in keep)
+            ts = [ts[i] for i in keep]
+            eid_k = [eid[i] for i in keep]
+            etype = [etype[i] for i in keep]
+            emitted = [e for e in done if e in live]
+            eid = eid_k
+        state.update((ts, eid, etype, emitted))
+        if matches:
+            rows = {
+                key_col: [int(key[0])] * len(matches),
+                "start_event_id": [m[0] for m in matches],
+            }
+            for i in range(n):
+                rows[f"t{i}_us"] = [m[1][i] for m in matches]
+            rows["duration_us"] = [m[1][n - 1] - m[1][0] for m in matches]
+            yield pd.DataFrame(rows)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -144,3 +144,98 @@ def test_latest_by_key_plan_is_partitioned(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def _stream_cep(spark, src, tmp, steps=("view", "click", "purchase"), within="1 hour"):
+    from lance_flink_spark.streaming.cep import stream_match_sequence
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = stream_match_sequence(sdf, list(steps), within=within)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cepq")
+        .outputMode("append")
+        .option("checkpointLocation", tmp + "/ckpt_cep")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("cepq").collect()
+
+
+def test_streaming_match_across_micro_batches(spark, tmp_path_str):
+    """A chain whose steps arrive in DIFFERENT micro-batches completes
+    from buffered state; each match emits exactly once."""
+    import os
+
+    from pyspark.sql import Row
+
+    src = tmp_path_str + "/src"
+    os.makedirs(src)
+
+    def batch(i, rows):
+        spark.createDataFrame(
+            [
+                Row(event_id=e, ts=T0 + dt.timedelta(minutes=m), user_id=u, event_type=t)
+                for e, (u, m, t) in enumerate(rows, start=i * 100)
+            ]
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    batch(0, [(1, 0, "view"), (1, 5, "click")])
+    batch(1, [(1, 10, "purchase"), (2, 11, "view")])
+    batch(2, [(2, 12, "click"), (2, 13, "purchase")])
+
+    rows = _stream_cep(spark, src, tmp_path_str)
+    got = sorted((r["user_id"], r["duration_us"]) for r in rows)
+    assert got == [(1, 10 * 60 * 1_000_000), (2, 2 * 60 * 1_000_000)]
+
+
+def test_streaming_match_equals_batch_on_same_data(spark, tmp_path_str):
+    """Unified-engine pin on random-ish data: the streamed match set
+    equals the batch operator's."""
+    import os
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(3)
+    rows = [
+        (e, rng.randrange(1, 5), rng.randrange(0, 300),
+         rng.choice(["view", "click", "purchase", "error"]))
+        for e in range(120)
+    ]
+    df_rows = [
+        Row(event_id=e, ts=T0 + dt.timedelta(minutes=m), user_id=u, event_type=t)
+        for e, u, m, t in rows
+    ]
+    # contiguous event-time batches: the stream==batch equality holds
+    # for input ordered within the watermark (the documented Flink-CEP
+    # allowed-lateness contract); arbitrarily late events may bind
+    # differently, exactly as in Flink
+    df_rows.sort(key=lambda r: r.ts)
+    src = tmp_path_str + "/src"
+    os.makedirs(src)
+    for i in range(3):  # three files → three micro-batches
+        spark.createDataFrame(df_rows[i * 40 : (i + 1) * 40]).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+
+    got = {
+        (r["user_id"], r["start_event_id"], r["t2_us"])
+        for r in _stream_cep(spark, src, tmp_path_str, within="2 hours")
+    }
+    batch_df = spark.createDataFrame(df_rows)
+    want = {
+        (r["user_id"], r["start_event_id"], r["t2_us"])
+        for r in match_sequence(
+            batch_df, ["view", "click", "purchase"], within="2 hours"
+        ).collect()
+    }
+    assert got == want
