@@ -1360,7 +1360,12 @@ class Dataset:
             if n_sel == 0:
                 return self.read(spark).filter(pred).limit(0)
             if n_sel < n_tot:
-                df = self._read_rowgroups(spark, sel).filter(pred)
+                # prune columns at the pyarrow read: the predicate col
+                # plus the requested projection (everything, if none)
+                need = (
+                    sorted({col, *columns}) if columns else None
+                )
+                df = self._read_rowgroups(spark, sel, columns=need).filter(pred)
                 return df.select(*columns) if columns else df
         df = self._read_files(spark, [self._relpath(f) for f in files]).filter(pred)
         return df.select(*columns) if columns else df
@@ -1400,19 +1405,29 @@ class Dataset:
             for r in spark.read.parquet(rg_path).filter(cond).select("_file", "rg").collect()
         )
 
-    def _read_rowgroups(self, spark: SparkSession, sel: DataFrame) -> DataFrame:
+    def _read_rowgroups(
+        self,
+        spark: SparkSession,
+        sel: DataFrame,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
         """Scan ONLY the row groups named by ``sel`` (_file, rg rows):
         group per file, pyarrow read_row_groups per task, one yielded
         batch per row group (memory bounded by row-group size). Output
-        conformed to the dataset's full merged schema, same as
+        conformed to the dataset's full merged schema (projected to
+        ``columns`` when given — the pruning reaches the pyarrow read,
+        so unneeded column chunks are never decoded), same contract as
         ``_read_files``."""
         import pandas as _pd
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
         target = self.read(spark).schema
+        if columns:
+            target = T.StructType([f for f in target.fields if f.name in columns])
         names = [f.name for f in target.fields]
         pairs = (
             sel.groupBy("_file")
@@ -1431,8 +1446,9 @@ class Dataset:
                             local = local[len(pref):]
                     pf = pq.ParquetFile(local)
                     have = set(pf.schema_arrow.names)
+                    want = [n for n in names if n in have]
                     for r in rg_list:
-                        p = pf.read_row_group(int(r)).to_pandas()
+                        p = pf.read_row_group(int(r), columns=want).to_pandas()
                         for n in names:
                             if n not in have:
                                 p[n] = None
@@ -1496,6 +1512,20 @@ class Dataset:
             F.col(col) == F.lit(value)
         )
         return df.select(*columns) if columns else df
+
+    # ---------- bloom sidecar (high-cardinality equality; sources/bloom.py) ----------
+
+    def build_bloom_index(self, spark: SparkSession, col: str, fpp: float = 0.01) -> int:
+        from lance_flink_spark.sources.bloom import build_bloom_index
+
+        return build_bloom_index(self, spark, col, fpp)
+
+    def read_eq_bloom(
+        self, spark: SparkSession, col: str, value, columns: list[str] | None = None
+    ) -> DataFrame:
+        from lance_flink_spark.sources.bloom import read_eq_bloom
+
+        return read_eq_bloom(self, spark, col, value, columns)
 
     def count_eq(self, spark: SparkSession, col: str, value) -> int:
         """``COUNT(*) WHERE col = value`` answered ENTIRELY from the
