@@ -1400,3 +1400,103 @@ def text_gopher_rules(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     cols = gopher_rules(F.col("text"))
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+_QUALITY_EXPR = f"""
+    ROUND(LEAST(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len({_TOKS}) END)::DOUBLE / 50.0) * 0.4
+          + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                   / GREATEST(length(text)::DOUBLE, 1.0)) * 0.3
+          + LEAST(1.0, ({_hits(LANG_MARKERS['en'])})::DOUBLE
+                       / GREATEST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                        ELSE len({_TOKS}) END)::DOUBLE, 1.0) * 5.0) * 0.3,
+          6)
+"""
+
+
+@query(
+    "dedup_canonical",
+    extra=True,  # gate budget; quality-argmax canonical selection
+    oracle=f"""
+    WITH RECURSIVE capped AS (
+        SELECT doc_id, i, sig FROM (
+            SELECT doc_id, i, sig, COUNT(*) OVER (PARTITION BY i, sig) AS bsz
+            FROM ({_SIGS}) s0) s
+        WHERE bsz <= 200),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_matches
+            FROM capped a JOIN capped b
+              ON a.i = b.i AND a.sig = b.sig AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) m
+        WHERE n_matches >= 8),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a),
+    quality AS (SELECT doc_id, {_QUALITY_EXPR} AS q FROM documents),
+    best AS (
+        SELECT keep_id, doc_id AS canonical_id FROM (
+            SELECT c.keep_id, c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.keep_id
+                                      ORDER BY q.q DESC, c.doc_id ASC) AS rn
+            FROM clusters c JOIN quality q USING (doc_id)) r
+        WHERE rn = 1)
+    SELECT d.doc_id,
+           COALESCE(b.canonical_id, d.doc_id) AS canonical_id,
+           (COALESCE(b.canonical_id, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    LEFT JOIN best b ON c.keep_id = b.keep_id
+    """,
+)
+def dedup_canonical(spark, sf_dir):
+    """Canonical-document selection: the end of the near-dup pipeline.
+    Clusters come from the SAME minhash pair graph as dedup_clusters;
+    within each cluster the survivor is the HIGHEST-QUALITY document
+    (quality_score, ties → lowest doc_id) rather than the arbitrary
+    min-id — what a real corpus build keeps. Unclustered docs are
+    their own canonical.
+
+    Plan shape: pair graph + CC as before; quality is one stateless
+    scan; argmax is a keep_id-partitioned window over the CLUSTERED
+    docs only (cluster-membership-sized, not corpus-sized); the final
+    assembly is two left joins on doc-count frames."""
+    from pyspark.sql import Window as W
+
+    from lance_flink_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=16, min_matches=8, max_bucket=200).select(
+        "id_a", "id_b"
+    )
+    clusters = resolve_duplicate_clusters(pairs)
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    ranked = (
+        clusters.join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("keep_id").orderBy(F.desc("q"), F.asc("doc_id"))
+            ),
+        )
+    )
+    best = ranked.filter(F.col("rn") == 1).select(
+        "keep_id", F.col("doc_id").alias("canonical_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(best, "keep_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canonical_id"),
+            (
+                F.coalesce(F.col("canonical_id"), F.col("doc_id")) == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
+    )
