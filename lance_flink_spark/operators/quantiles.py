@@ -123,3 +123,90 @@ def with_distributed_ntile(
     return ranked.withColumn(out_col, tile.cast("int")).drop(
         "__b", "__rn", "__off", "__grn"
     )
+
+
+def with_distributed_ntiles(
+    df: DataFrame,
+    n: int,
+    axes: list[tuple[str, bool, str]],
+    tiebreak_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Multi-axis variant: exact NTILE(n) on several (key, descending,
+    out_col) axes over the SAME frame with bounded driver work shared
+    across axes — ONE multi-column approxQuantile action and ONE
+    exploded bucket-count aggregation (axes × buckets rows) instead of
+    two actions per axis. The per-axis window/join passes stay (each
+    axis needs its own ordering); they chain lazily into one job.
+
+    The single-axis `with_distributed_ntile` is the semantics
+    reference; this is the same construction with the driver
+    round-trips batched."""
+    spark = df.sparkSession
+    keys = [k for k, _, _ in axes]
+    probs = [i / buckets for i in range(1, buckets)]
+    all_cuts = df.approxQuantile(keys, probs, 0.001)
+    cuts_by_axis = {k: sorted(set(c)) for k, c in zip(keys, all_cuts)}
+
+    bucket_cols = []
+    for k, desc, _ in axes:
+        b = _bucket_of(F.col(k), cuts_by_axis[k])
+        if desc:
+            b = F.lit(len(cuts_by_axis[k])) - b
+        bucket_cols.append(b)
+    tagged = df.select(
+        "*", *[b.alias(f"__b{i}") for i, b in enumerate(bucket_cols)]
+    )
+
+    # one pass for every axis' bucket histogram: explode each row to
+    # (axis_idx, bucket) pairs, aggregate — axes × buckets rows back
+    pairs = tagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ax"), F.col(f"__b{i}").alias("b")
+                    )
+                    for i in range(len(axes))
+                ]
+            )
+        ).alias("p")
+    ).select("p.ax", "p.b")
+    counts = pairs.groupBy("ax", "b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+
+    out = tagged
+    for i, (k, desc, out_col) in enumerate(axes):
+        mine = sorted((int(r["b"]), int(r["cnt"])) for r in counts if r["ax"] == i)
+        total = sum(c for _, c in mine)
+        offsets, acc = [], 0
+        for bk, c in mine:
+            offsets.append((bk, acc))
+            acc += c
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, f"__b{i} int, __off{i} long")
+        )
+        order_key = F.col(k).desc() if desc else F.col(k).asc()
+        w_local = Window.partitionBy(f"__b{i}").orderBy(
+            order_key, F.col(tiebreak_col).asc()
+        )
+        out = (
+            out.withColumn(f"__rn{i}", F.row_number().over(w_local))
+            .join(off_df, f"__b{i}")
+            .withColumn(f"__grn{i}", F.col(f"__off{i}") + F.col(f"__rn{i}"))
+        )
+        q, rem = divmod(total, n)
+        if q == 0:
+            tile = F.col(f"__grn{i}")
+        else:
+            cutoff = rem * (q + 1)
+            tile = (
+                F.when(
+                    F.col(f"__grn{i}") <= cutoff,
+                    F.expr(f"(__grn{i} - 1) div {q + 1}"),
+                ).otherwise(rem + F.expr(f"(__grn{i} - {cutoff} - 1) div {q}"))
+                + 1
+            )
+        out = out.withColumn(out_col, tile.cast("int")).drop(
+            f"__b{i}", f"__rn{i}", f"__off{i}", f"__grn{i}"
+        )
+    return out

@@ -474,16 +474,16 @@ def events_seasonality(spark, sf_dir):
 def customer_rfm(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary quartiles,
     anchored at the newest order date): the canonical customer-value
-    rollup. Per-customer stats are one partial-agg shuffle; each of
-    the three exact quartiles runs through `with_distributed_ntile`
+    rollup. Per-customer stats are one partial-agg shuffle; the three
+    exact quartiles run through `with_distributed_ntiles`
     (operators/quantiles.py — range buckets + local row_number +
-    bounded prefix offsets), so no axis ever forces the customer frame
-    through a single-partition sort. The base frame is persisted:
-    quantile cuts, bucket counts, and the main job all reread it.
+    bounded prefix offsets, with ONE shared multi-column quantile
+    action and ONE exploded bucket-histogram action for all three
+    axes), so no axis ever forces the customer frame through a
+    single-partition sort. The base frame is persisted: cuts, counts,
+    and the main job all reread it.
     Money rides as integer cents; ties break on the customer key so
     the quartile boundaries are deterministic."""
-    from lance_flink_spark.operators.quantiles import with_distributed_ntile
-
     o = table(spark, sf_dir, "orders")
     t1 = o.agg(F.max("o_orderdate").alias("t1"))
     base = (
@@ -499,10 +499,16 @@ def customer_rfm(spark, sf_dir):
             .alias("monetary_c"),
         )
     )
+    from lance_flink_spark.operators.quantiles import with_distributed_ntiles
+
     base = base.persist()
-    scored = with_distributed_ntile(base, 4, "recency_days", "c", "r_q")
-    scored = with_distributed_ntile(scored, 4, "frequency", "c", "f_q", descending=True)
-    scored = with_distributed_ntile(scored, 4, "monetary_c", "c", "m_q", descending=True)
+    scored = with_distributed_ntiles(
+        base,
+        4,
+        [("recency_days", False, "r_q"), ("frequency", True, "f_q"),
+         ("monetary_c", True, "m_q")],
+        tiebreak_col="c",
+    )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_c").alias("segment_value_c"),

@@ -106,3 +106,27 @@ def test_registry_queries_have_no_global_window_sort(spark):
 
     for fn in (customer_spend_ntile, customer_rfm):
         assert not _has_global_window_sort(_plan(fn(spark, SF_DIR))), fn.__name__
+
+
+def test_multi_axis_matches_single_axis(spark, spend):
+    """with_distributed_ntiles (batched driver round-trips) is
+    value-identical to three single-axis calls."""
+    from lance_flink_spark.operators.quantiles import with_distributed_ntiles
+
+    df = spend.withColumn("neg", -F.col("cents"))
+    multi = with_distributed_ntiles(
+        df, 4,
+        [("cents", True, "a"), ("neg", False, "b"), ("cents", False, "c")],
+        tiebreak_col="o_custkey",
+    )
+    got = {
+        (r["o_custkey"], r["a"], r["b"], r["c"]) for r in multi.collect()
+    }
+    one = with_distributed_ntile(df, 4, "cents", "o_custkey", "a", descending=True)
+    one = with_distributed_ntile(one, 4, "neg", "o_custkey", "b")
+    one = with_distributed_ntile(one, 4, "cents", "o_custkey", "c")
+    want = {(r["o_custkey"], r["a"], r["b"], r["c"]) for r in one.collect()}
+    assert got == want
+    # cents-desc and neg-asc are the same total order modulo tiebreak
+    # direction interplay is identical here (same tiebreak asc)
+    assert all(a == b for _, a, b, _ in got)
