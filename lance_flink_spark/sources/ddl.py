@@ -83,6 +83,15 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_SESSION_TVF = re.compile(
+    # Flink 1.17 SESSION windowing TVF: TABLE(SESSION(TABLE t
+    # [PARTITION BY k1, k2], DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+    r"TABLE\s*\(\s*SESSION\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)"
+    r"(?:\s+PARTITION\s+BY\s+(?P<keys>\w+(?:\s*,\s*\w+)*))?\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*"
+    r"INTERVAL\s+'(?P<g>[^']+)'\s+(?P<u>\w+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
 _CREATE_MV = re.compile(
     # the self-maintainable aggregate shape (SUM/COUNT under
     # retraction): SELECT g1[, g2...], SUM(v) [AS a] FROM t GROUP BY ...
@@ -250,7 +259,33 @@ def _rewrite_window_tvfs(sql: str) -> str:
             f"FROM (SELECT *, {win} AS __w FROM {tbl}))"
         )
 
-    return _WINDOW_TVF.sub(sub, sql)
+    def sub_session(m: re.Match) -> str:
+        # Spark's session_window only exists as a groupBy expression
+        # (windows merge during aggregation), so the TVF's per-row
+        # window_start/window_end come from the relational dual: a
+        # gap-break running sum assigns session ids, min/max over the
+        # session give the bounds (end = last ts + gap, Flink's
+        # definition). Exact integer microseconds throughout.
+        from lance_flink_spark.streaming.windows import _interval_seconds
+
+        tbl, ts = m.group("tbl"), m.group("ts")
+        gap_us = _interval_seconds(f"{m.group('g')} {m.group('u')}") * 1_000_000
+        keys = [k.strip() for k in (m.group("keys") or "").split(",") if k.strip()]
+        part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+        part_sid = f"PARTITION BY {', '.join(keys)}, __sid" if keys else "PARTITION BY __sid"
+        return (
+            f"(SELECT * EXCEPT (__tsu, __brk, __sid), "
+            f"timestamp_micros(min(__tsu) OVER ({part_sid})) AS window_start, "
+            f"timestamp_micros(max(__tsu) OVER ({part_sid}) + {gap_us}) AS window_end "
+            f"FROM (SELECT *, SUM(__brk) OVER ({part}ORDER BY __tsu "
+            f"ROWS UNBOUNDED PRECEDING) AS __sid "
+            f"FROM (SELECT *, unix_micros({ts}) AS __tsu, "
+            f"CASE WHEN unix_micros({ts}) - lag(unix_micros({ts})) "
+            f"OVER ({part}ORDER BY unix_micros({ts})) > {gap_us} "
+            f"THEN 1 ELSE 0 END AS __brk FROM {tbl})))"
+        )
+
+    return _SESSION_TVF.sub(sub_session, _WINDOW_TVF.sub(sub, sql))
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -748,3 +748,60 @@ def test_sql_temporal_join_with_aggregate_tail(engine):
         ("eur", 2, 2100),
         ("gbp", 1, 1000),
     ]
+
+
+def test_sql_session_tvf(engine, spark):
+    """Flink 1.17 SESSION windowing TVF: per-key gap sessions whose
+    GROUP BY window_start/window_end matches the session_window
+    operator exactly (window_end = last ts + gap)."""
+    from conftest import SF_DIR
+
+    from lance_flink_spark.registry import table
+
+    e = table(spark, SF_DIR, "events")
+    e.createOrReplaceTempView("ev_sess")
+    got = engine.execute(
+        """SELECT user_id, window_start, window_end, COUNT(*) AS n
+           FROM TABLE(SESSION(TABLE ev_sess PARTITION BY user_id,
+                              DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+           GROUP BY user_id, window_start, window_end"""
+    ).collect()
+    from pyspark.sql import functions as F
+
+    want = (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "n",
+        )
+        .collect()
+    )
+    g = {(r["user_id"], r["window_start"], r["window_end"], r["n"]) for r in got}
+    w = {(r["user_id"], r["ws"], r["we"], r["n"]) for r in want}
+    assert g == w
+    assert len(g) > 100  # real session structure, not a degenerate case
+
+
+def test_sql_session_tvf_unpartitioned(engine, spark):
+    """Without PARTITION BY the TVF builds global sessions."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [t0, t0 + datetime.timedelta(minutes=1),
+            t0 + datetime.timedelta(minutes=40)]
+    spark.createDataFrame([Row(ts=t) for t in rows]).createOrReplaceTempView(
+        "gsess"
+    )
+    out = engine.execute(
+        """SELECT window_start, COUNT(*) AS n
+           FROM TABLE(SESSION(TABLE gsess, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+           GROUP BY window_start ORDER BY window_start"""
+    ).collect()
+    assert [r["n"] for r in out] == [2, 1]
