@@ -32,3 +32,59 @@ def stream_dedup(
     if watermark is not None:
         sdf = sdf.withWatermark(ts_col, watermark)
     return sdf.dropDuplicatesWithinWatermark(keys)
+
+
+def stream_latest_by_key(
+    sdf: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Flink deduplication, keep-LAST mode (ORDER BY ... DESC): the
+    current winner per key, revised as later rows arrive — Flink's
+    changelog-producing dedup, Spark's update output mode.
+
+    State per key is ONE row (the winner's order/tiebreak + payload),
+    the same O(keys) bound Flink documents for keep-last dedup. Each
+    micro-batch emits only keys whose winner changed. The batch dual
+    is ``operators/changelog.latest_by_key`` (same total order:
+    order_col DESC, tiebreak DESC)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(sdf.sparkSession)
+    payload = [c for c in sdf.columns if c not in keys]
+    out_schema = sdf.schema
+    key_fields = [out_schema[k] for k in keys]
+    pay_fields = [out_schema[c] for c in payload]
+    from pyspark.sql import types as T
+
+    out_struct = T.StructType(key_fields + pay_fields)
+    state_struct = T.StructType(pay_fields)
+    oi, ti = payload.index(order_col), payload.index(tiebreak_col)
+
+    def update(key, pdfs, state: GroupState):
+        best = list(state.get) if state.exists else None
+        changed = False
+        for pdf in pdfs:
+            for row in pdf[payload].itertuples(index=False):
+                row = list(row)
+                if best is None or (row[oi], row[ti]) > (best[oi], best[ti]):
+                    best = row
+                    changed = True
+        if best is not None:
+            state.update(tuple(best))
+        if changed:
+            yield pd.DataFrame(
+                [list(key) + best], columns=list(keys) + payload
+            )
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_struct,
+        stateStructType=state_struct,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

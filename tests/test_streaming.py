@@ -329,3 +329,52 @@ def test_cumulate_streaming_equals_batch(spark):
     }
     assert stream == batch
     assert len(batch) > 10
+
+
+def test_stream_latest_by_key_keep_last(spark, tmp_path_str):
+    """Flink keep-last deduplication over a stream: one-row state per
+    key, update-mode emissions only when the winner changes; the final
+    winner equals the batch latest_by_key dual."""
+    import os
+
+    from pyspark.sql import Row, functions as F
+
+    from lance_flink_spark.operators.changelog import latest_by_key
+    from lance_flink_spark.streaming.dedup import stream_latest_by_key
+
+    src = tmp_path_str + "/src"
+    os.makedirs(src)
+    b0 = [Row(k="a", seq=1, tb=1, v="a1"), Row(k="b", seq=5, tb=1, v="b5")]
+    b1 = [Row(k="a", seq=9, tb=1, v="a9"),   # newer -> wins
+          Row(k="b", seq=2, tb=1, v="b2")]   # older -> no change
+    b2 = [Row(k="b", seq=5, tb=2, v="b5b")]  # tie on seq -> tb decides
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    sdf = spark.readStream.schema("k string, seq bigint, tb bigint, v string") \
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    out = stream_latest_by_key(sdf, ["k"], "seq", "tb")
+    q = (
+        out.writeStream.format("memory").queryName("keeplast")
+        .outputMode("update")
+        .option("checkpointLocation", tmp_path_str + "/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("keeplast").collect()
+    # the winner per key is monotone in (seq, tb): the max emission IS
+    # the final state
+    final = {}
+    for r in emitted:
+        cur = final.get(r["k"])
+        if cur is None or (r["seq"], r["tb"]) > (cur["seq"], cur["tb"]):
+            final[r["k"]] = r
+    assert {k: r["v"] for k, r in final.items()} == {"a": "a9", "b": "b5b"}
+    # b's losing update (seq=2) must not have been emitted
+    assert not any(r["k"] == "b" and r["seq"] == 2 for r in emitted)
+
+    batch = spark.createDataFrame(b0 + b1 + b2)
+    want = {
+        r["k"]: r["v"] for r in latest_by_key(batch, ["k"], "seq", "tb").collect()
+    }
+    assert {k: r["v"] for k, r in final.items()} == want
