@@ -83,6 +83,16 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_CREATE_INDEX = re.compile(
+    # CREATE INDEX ON t (col) [USING SCALAR|BLOOM|IVF_FLAT|IVF_PQ|
+    # IVF_SQ|IVF_HNSW] [WITH ('index.num-partitions'='8', ...)] —
+    # SQL surface over the option-driven builders (the reference's
+    # LanceIndexBuilder consumes the same index.*/vector.* strings)
+    r"CREATE\s+INDEX\s+ON\s+(?P<name>[\w.]+)\s*\(\s*(?P<col>\w+)\s*\)"
+    r"(?:\s+USING\s+(?P<using>\w+))?"
+    r"(?:\s+WITH\s*\((?P<opts>[^)]*)\))?\s*$",
+    re.IGNORECASE,
+)
 _SESSION_TVF = re.compile(
     # Flink 1.17 SESSION windowing TVF: TABLE(SESSION(TABLE t
     # [PARTITION BY k1, k2], DESCRIPTOR(ts), INTERVAL '5' MINUTES))
@@ -431,6 +441,9 @@ class SqlEngine:
         m = _TEMPORAL_JOIN.match(sql)
         if m and not m.group("ts").isdigit():
             return self._temporal_join(m)
+        m = _CREATE_INDEX.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            return self._create_index(m)
         m = _CREATE_MV.match(sql)
         if m:
             return self._create_mv(m)
@@ -670,6 +683,37 @@ class SqlEngine:
         self.catalog.create_table(self.database, name, df, mode="errorifexists")
         self._register(name)
         return None
+
+    def _create_index(self, m: re.Match) -> DataFrame:
+        """SQL index builds over the existing builders: SCALAR (the
+        BTREE/BITMAP sidecar, default), BLOOM (high-cardinality
+        equality), or any vector index type via the option surface.
+        Returns a one-row status frame (table, column, using,
+        version)."""
+        name, col = m.group("name"), m.group("col")
+        using = (m.group("using") or "SCALAR").upper()
+        opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or ""))
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        if using == "SCALAR":
+            v = ds.build_scalar_index(self.spark, col)
+        elif using == "BLOOM":
+            v = ds.build_bloom_index(
+                self.spark, col, fpp=float(opts.get("fpp", "0.01"))
+            )
+        else:
+            from lance_flink_spark.index.options import build_index_from_options
+
+            build_index_from_options(
+                self.spark,
+                ds.read(self.spark),
+                fsio.join(ds.path, "_vector_index", col),
+                {**opts, "index.type": using, "index.column": col},
+            )
+            v = ds.versions()[-1]
+        return self.spark.createDataFrame(
+            [(name, col, using, int(v))],
+            "table string, column string, using string, version long",
+        )
 
     def build_index(self, name: str, path: str | None = None):
         """Build the vector index declared by the table's WITH options

@@ -805,3 +805,52 @@ def test_sql_session_tvf_unpartitioned(engine, spark):
            GROUP BY window_start ORDER BY window_start"""
     ).collect()
     assert [r["n"] for r in out] == [2, 1]
+
+
+def test_sql_create_index_scalar_and_bloom(engine, spark):
+    """CREATE INDEX statements route to the scalar / bloom builders;
+    the indexes are immediately usable through the Dataset API."""
+    engine.execute(
+        """CREATE TABLE idx_t (id BIGINT, grp STRING)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO idx_t SELECT id, concat('g', CAST(id % 5 AS STRING)) AS grp "
+        "FROM range(500)"
+    )
+    st = engine.execute("CREATE INDEX ON idx_t (grp)").first()
+    assert st["using"] == "SCALAR" and st["version"] >= 1
+    ds = engine.catalog.load_table(engine.database, "idx_t")
+    assert ds.read_eq(spark, "grp", "g3").count() == 100
+
+    st = engine.execute(
+        "CREATE INDEX ON idx_t (id) USING BLOOM WITH ('fpp'='0.05')"
+    ).first()
+    assert st["using"] == "BLOOM"
+    assert ds.read_eq_bloom(spark, "id", 123).count() == 1
+
+
+def test_sql_create_index_vector(engine, spark):
+    """CREATE INDEX ... USING IVF_FLAT builds a searchable vector
+    index under the dataset directory."""
+    from lance_flink_spark.index.ivf import IVFIndex
+    from lance_flink_spark.sources import fsio
+
+    engine.execute(
+        """CREATE TABLE vec_t (vec_id BIGINT, embedding ARRAY<FLOAT>)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO vec_t SELECT id AS vec_id, "
+        "transform(sequence(1, 8), i -> CAST(id * i % 17 AS FLOAT)) AS embedding "
+        "FROM range(200)"
+    )
+    st = engine.execute(
+        "CREATE INDEX ON vec_t (embedding) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='4')"
+    ).first()
+    assert st["using"] == "IVF_FLAT"
+    ds = engine.catalog.load_table(engine.database, "vec_t")
+    idx = IVFIndex(fsio.join(ds.path, "_vector_index", "embedding"))
+    hits = idx.search(spark, [1.0] * 8, k=5, nprobes=4).collect()
+    assert len(hits) == 5
