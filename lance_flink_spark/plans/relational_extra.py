@@ -750,3 +750,44 @@ def top_parts_with_ties(spark, sf_dir):
         .withColumn("drk", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "events_unpivot",
+    extra=True,  # gate budget; UNPIVOT/melt — the pivot inverse
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+      FROM events GROUP BY user_id)
+    SELECT user_id, metric, n FROM wide
+    UNPIVOT (n FOR metric IN (click, view, purchase))
+    WHERE n > 0
+    """,
+)
+def events_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse of events_pivot, the reshape every
+    metrics pipeline needs going INTO long form. DataFrame `unpivot`
+    (Spark 3.4 melt): ids stay, value columns become (metric, n) rows;
+    zero-count cells dropped to mirror the sparse long form. Stateless
+    single-pass reshape after the aggregate — the explode is map-side,
+    no extra shuffle."""
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ["click", "view", "purchase"]
+            ],
+        )
+    )
+    return (
+        wide.unpivot("user_id", ["click", "view", "purchase"], "metric", "n")
+        .filter(F.col("n") > 0)
+    )
