@@ -83,6 +83,16 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_VECTOR_SEARCH = re.compile(
+    # the reference's LanceVectorSearchFunction SQL surface
+    # (flink-sql-demo.sql:229-238): SELECT * FROM vector_search(
+    #   'table_or_path', 'embedding', ARRAY[0.1, ...], 10 [, 'L2'])
+    r"SELECT\s+\*\s+FROM\s+vector_search\s*\(\s*"
+    r"'(?P<tbl>[^']+)'\s*,\s*'(?P<col>\w+)'\s*,\s*"
+    r"ARRAY\s*\[(?P<vec>[^\]]+)\]\s*,\s*(?P<k>\d+)"
+    r"(?:\s*,\s*'(?P<metric>\w+)')?\s*\)\s*$",
+    re.IGNORECASE,
+)
 _CREATE_INDEX = re.compile(
     # CREATE INDEX ON t (col) [USING SCALAR|BLOOM|IVF_FLAT|IVF_PQ|
     # IVF_SQ|IVF_HNSW] [WITH ('index.num-partitions'='8', ...)] —
@@ -444,6 +454,9 @@ class SqlEngine:
         m = _CREATE_INDEX.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._create_index(m)
+        m = _VECTOR_SEARCH.match(sql)
+        if m:
+            return self._vector_search(m)
         m = _CREATE_MV.match(sql)
         if m:
             return self._create_mv(m)
@@ -683,6 +696,36 @@ class SqlEngine:
         self.catalog.create_table(self.database, name, df, mode="errorifexists")
         self._register(name)
         return None
+
+    def _vector_search(self, m: re.Match) -> DataFrame:
+        """The reference's vector_search SQL function
+        (LanceVectorSearchFunction, flink-sql-demo.sql:229):
+        ``SELECT * FROM vector_search('t', 'embedding',
+        ARRAY[...], k [, 'METRIC'])``. Routes through a vector index
+        built by CREATE INDEX when one exists under the table
+        (options from the table's WITH clause apply: vector.nprobes /
+        vector.ef / vector.refine-factor), else brute-force KNN with
+        the distance+similarity SearchResult contract."""
+        tbl, col = m.group("tbl"), m.group("col")
+        vec = [float(x) for x in m.group("vec").split(",")]
+        k = int(m.group("k"))
+        metric = (m.group("metric") or "L2").lower()
+        if self._in_catalog(tbl):
+            ds: Dataset = self.catalog.load_table(self.database, tbl)
+        else:
+            ds = Dataset(tbl)  # a dataset path, the reference's form
+        idx_path = fsio.join(ds.path, "_vector_index", col)
+        topts = self.options.get(tbl)
+        opts = dict((topts.extra or {}) if topts else {})
+        if fsio.exists(fsio.join(idx_path, "_index_meta.json")):
+            from lance_flink_spark.index.options import search_index_with_options
+
+            opts.setdefault("index.type", "IVF_FLAT")
+            opts["vector.metric"] = metric
+            return search_index_with_options(self.spark, idx_path, vec, k, opts)
+        from lance_flink_spark.operators.similarity import knn
+
+        return knn(ds.read(self.spark), vec, k, vec_col=col, metric=metric)
 
     def _create_index(self, m: re.Match) -> DataFrame:
         """SQL index builds over the existing builders: SCALAR (the

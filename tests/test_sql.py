@@ -854,3 +854,38 @@ def test_sql_create_index_vector(engine, spark):
     idx = IVFIndex(fsio.join(ds.path, "_vector_index", "embedding"))
     hits = idx.search(spark, [1.0] * 8, k=5, nprobes=4).collect()
     assert len(hits) == 5
+
+
+def test_sql_vector_search_function(engine, spark):
+    """The reference's vector_search SQL function: brute-force path on
+    an unindexed table, index-routed after CREATE INDEX — both return
+    the SearchResult contract (distance + similarity)."""
+    engine.execute(
+        """CREATE TABLE vs_t (vec_id BIGINT, embedding ARRAY<FLOAT>)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO vs_t SELECT id AS vec_id, "
+        "transform(sequence(1, 4), i -> CAST(id * i % 11 AS FLOAT)) AS embedding "
+        "FROM range(100)"
+    )
+    brute = engine.execute(
+        "SELECT * FROM vector_search('vs_t', 'embedding', "
+        "ARRAY[1.0, 2.0, 3.0, 4.0], 5, 'L2')"
+    ).collect()
+    assert len(brute) == 5
+    assert "distance" in brute[0].asDict() and "similarity" in brute[0].asDict()
+    dists = [r["distance"] for r in brute]
+    assert dists == sorted(dists)
+
+    engine.execute(
+        "CREATE INDEX ON vs_t (embedding) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='4')"
+    )
+    routed = engine.execute(
+        "SELECT * FROM vector_search('vs_t', 'embedding', "
+        "ARRAY[1.0, 2.0, 3.0, 4.0], 5, 'L2')"
+    ).collect()
+    assert len(routed) == 5
+    # full-probe IVF_FLAT at this size is exact: same ids as brute
+    assert {r["vec_id"] for r in routed} == {r["vec_id"] for r in brute}
