@@ -83,6 +83,14 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_COPY_INTO = re.compile(
+    # Delta-style bulk ingestion: COPY INTO t FROM 'path'
+    # FILEFORMAT = PARQUET|CSV|JSON [WITH ('header'='true', ...)]
+    r"COPY\s+INTO\s+(?P<name>[\w.]+)\s+FROM\s+'(?P<src>[^']+)'\s+"
+    r"FILEFORMAT\s*=\s*(?P<fmt>PARQUET|CSV|JSON)"
+    r"(?:\s+WITH\s*\((?P<opts>[^)]*)\))?\s*$",
+    re.IGNORECASE,
+)
 _VECTOR_SEARCH = re.compile(
     # the reference's LanceVectorSearchFunction SQL surface
     # (flink-sql-demo.sql:229-238): SELECT * FROM vector_search(
@@ -457,6 +465,9 @@ class SqlEngine:
         m = _VECTOR_SEARCH.match(sql)
         if m:
             return self._vector_search(m)
+        m = _COPY_INTO.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            return self._copy_into(m)
         m = _CREATE_MV.match(sql)
         if m:
             return self._create_mv(m)
@@ -696,6 +707,37 @@ class SqlEngine:
         self.catalog.create_table(self.database, name, df, mode="errorifexists")
         self._register(name)
         return None
+
+    def _copy_into(self, m: re.Match) -> DataFrame:
+        """Bulk file ingestion (Delta COPY INTO shape): read the
+        source with Spark's reader (reader options from WITH — e.g.
+        'header'/'inferSchema' for CSV), align columns BY NAME to the
+        target schema with casts, append as one new version. Returns a
+        one-row (rows_loaded, version) status frame. The read is a
+        plain distributed scan — Catalyst parallelism, no driver
+        staging."""
+        name, src, fmt = m.group("name"), m.group("src"), m.group("fmt").lower()
+        opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or ""))
+        reader = self.spark.read
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        df = reader.format(fmt).load(src)
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        target = ds.read(self.spark).schema
+        missing = [f.name for f in target.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(
+                f"COPY INTO {name}: source lacks columns {missing}"
+            )
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+        )
+        n = aligned.count()
+        v = ds.write(aligned, mode="append")
+        self._register(name)
+        return self.spark.createDataFrame(
+            [(int(n), int(v))], "rows_loaded long, version long"
+        )
 
     def _vector_search(self, m: re.Match) -> DataFrame:
         """The reference's vector_search SQL function

@@ -889,3 +889,45 @@ def test_sql_vector_search_function(engine, spark):
     assert len(routed) == 5
     # full-probe IVF_FLAT at this size is exact: same ids as brute
     assert {r["vec_id"] for r in routed} == {r["vec_id"] for r in brute}
+
+
+def test_sql_copy_into(engine, spark, tmp_path):
+    """COPY INTO bulk ingestion: CSV with header + by-name column
+    alignment with casts; appends one version, returns counts."""
+    csv = tmp_path / "in"
+    csv.mkdir()
+    (csv / "part.csv").write_text("id,v,extra\n1,1.5,x\n2,2.5,y\n3,3.5,z\n")
+    engine.execute(
+        """CREATE TABLE cp_t (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    st = engine.execute(
+        f"COPY INTO cp_t FROM '{csv}' FILEFORMAT = CSV WITH ('header'='true')"
+    ).first()
+    assert st["rows_loaded"] == 3
+    out = engine.execute("SELECT SUM(v) AS s, COUNT(*) AS n FROM cp_t").first()
+    assert out["n"] == 3 and abs(out["s"] - 7.5) < 1e-9
+    # second copy appends (new version), and parquet round-trips too
+    pq_dir = str(tmp_path / "pq")
+    spark.range(2).selectExpr("id + 10 AS id", "CAST(id AS DOUBLE) AS v").write.parquet(pq_dir)
+    st2 = engine.execute(
+        f"COPY INTO cp_t FROM '{pq_dir}' FILEFORMAT = PARQUET"
+    ).first()
+    assert st2["version"] == st["version"] + 1
+    assert engine.execute("SELECT COUNT(*) AS n FROM cp_t").first()["n"] == 5
+
+
+def test_sql_copy_into_missing_column_fails(engine, spark, tmp_path):
+    d = tmp_path / "in2"
+    d.mkdir()
+    (d / "p.csv").write_text("id\n1\n")
+    engine.execute(
+        """CREATE TABLE cp_t2 (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks columns"):
+        engine.execute(
+            f"COPY INTO cp_t2 FROM '{d}' FILEFORMAT = CSV WITH ('header'='true')"
+        )
