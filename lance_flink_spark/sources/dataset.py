@@ -1227,6 +1227,24 @@ class Dataset:
         meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
         try:
             if not fsio.exists(meta_path):
+                # no scalar index — a bloom sidecar can still answer a
+                # single-equality filter (the high-cardinality case the
+                # scalar sidecar is too big for)
+                eqs = [v for op, v in conjuncts if op in ("=", "==")]
+                if len(eqs) == len(conjuncts) == 1:
+                    bmeta = fsio.join(self.path, "_bloom_index", col, "META.json")
+                    if (
+                        fsio.exists(bmeta)
+                        and fsio.read_json(bmeta)["version"] == self.versions()[-1]
+                    ):
+                        from lance_flink_spark.sources.bloom import (
+                            bloom_candidate_files,
+                        )
+
+                        return [
+                            fsio.join(self.path, self._relpath(f))
+                            for f in bloom_candidate_files(self, spark, col, eqs[0])
+                        ] or None
                 return None
             meta = fsio.read_json(meta_path)
             if meta["version"] != self.versions()[-1]:

@@ -70,3 +70,13 @@ def test_stale_index_raises(ds, spark):
         ds.read_eq_bloom(spark, "doc_key", "doc-1")
     ds.build_bloom_index(spark, "doc_key", fpp=0.01)
     assert ds.read_eq_bloom(spark, "doc_key", "doc-4000").count() == 1
+
+
+def test_declared_filter_auto_routes_via_bloom(ds, spark):
+    """read(filter='doc_key = ...') with no scalar index but a fresh
+    bloom sidecar scans only candidate files (inputFiles pruning)."""
+    routed = ds.read(spark, filter="doc_key = 'doc-42'")
+    assert routed.count() == 1
+    assert len(routed.inputFiles()) <= 2  # candidates, not all 5 files
+    full = ds.read(spark)
+    assert len(full.inputFiles()) >= 5
