@@ -542,3 +542,50 @@ def events_concurrency(spark, sf_dir):
     return max_concurrency(
         table(spark, sf_dir, "events"), duration_seconds=1800
     )
+
+
+@query(
+    "events_time_weighted",
+    extra=True,  # gate budget; TWAP-style interval-weighted aggregates
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, {_CENTS} AS vc,
+             LEAST((LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                    - epoch_us(ts)) // 1000000, 3600) AS dur_s
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_intervals,
+           SUM(dur_s) AS sum_dur_s,
+           SUM(vc * dur_s) AS sum_value_dur
+    FROM iv WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted(spark, sf_dir):
+    """Time-weighted value aggregates (TWAP shape): each reading holds
+    until the user's next event, capped at 1h (the standard gap guard
+    so idle periods don't dominate). Hashed surface is exact integers
+    (Σ duration seconds, Σ cents·seconds) — consumers divide, the
+    comparison never does. One keyed window (lead) + one partial-agg
+    shuffle, both on user_id — Catalyst reuses the exchange."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "user_id",
+        F.expr(_CENTS).alias("vc"),
+        F.least(
+            F.expr(
+                "(lead(unix_micros(ts)) OVER (PARTITION BY user_id "
+                "ORDER BY ts, event_id) - unix_micros(ts)) div 1000000"
+            ),
+            F.lit(3600),
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_s").alias("sum_dur_s"),
+        F.sum(F.col("vc") * F.col("dur_s")).alias("sum_value_dur"),
+    )
