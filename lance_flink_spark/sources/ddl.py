@@ -83,6 +83,14 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_SHOW_INDEXES = re.compile(
+    r"SHOW\s+INDEXES\s+(?:FROM|IN|ON)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
+_DROP_INDEX = re.compile(
+    r"DROP\s+INDEX\s+ON\s+(?P<name>[\w.]+)\s*\(\s*(?P<col>\w+)\s*\)"
+    r"(?:\s+USING\s+(?P<using>\w+))?\s*$",
+    re.IGNORECASE,
+)
 _COPY_INTO = re.compile(
     # Delta-style bulk ingestion: COPY INTO t FROM 'path'
     # FILEFORMAT = PARQUET|CSV|JSON [WITH ('header'='true', ...)]
@@ -468,6 +476,12 @@ class SqlEngine:
         m = _COPY_INTO.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._copy_into(m)
+        m = _SHOW_INDEXES.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            return self._show_indexes(m.group("name"))
+        m = _DROP_INDEX.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            return self._drop_index(m)
         m = _CREATE_MV.match(sql)
         if m:
             return self._create_mv(m)
@@ -768,6 +782,53 @@ class SqlEngine:
         from lance_flink_spark.operators.similarity import knn
 
         return knn(ds.read(self.spark), vec, k, vec_col=col, metric=metric)
+
+    def _show_indexes(self, name: str) -> DataFrame:
+        """Every index sidecar on the table: (column, using, version,
+        fresh) — fresh=false means lookups will raise until rebuilt."""
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        current = ds.versions()[-1]
+        rows = []
+        kinds = [
+            ("_scalar_index", "SCALAR"),
+            ("_bloom_index", "BLOOM"),
+            ("_vector_index", "VECTOR"),
+        ]
+        for d, using in kinds:
+            root = fsio.join(ds.path, d)
+            if not fsio.exists(root):
+                continue
+            for col in fsio.listdir(root):
+                meta_p = fsio.join(root, col, "META.json")
+                vmeta_p = fsio.join(root, col, "_index_meta.json")
+                if fsio.exists(meta_p):
+                    v = int(fsio.read_json(meta_p)["version"])
+                    rows.append((col, using, v, v == current))
+                elif fsio.exists(vmeta_p):
+                    # vector indexes aren't version-stamped against the
+                    # table (they cover what they were built on; add()
+                    # maintains them) — report as fresh
+                    rows.append((col, using, current, True))
+        return self.spark.createDataFrame(
+            rows or [], "column string, using string, version long, fresh boolean"
+        )
+
+    def _drop_index(self, m: re.Match) -> None:
+        """Remove an index sidecar (all builds for the column of the
+        given family; default SCALAR)."""
+        using = (m.group("using") or "SCALAR").upper()
+        d = {
+            "SCALAR": "_scalar_index",
+            "BLOOM": "_bloom_index",
+        }.get(using, "_vector_index")
+        ds: Dataset = self.catalog.load_table(self.database, m.group("name"))
+        path = fsio.join(ds.path, d, m.group("col"))
+        if not fsio.exists(path):
+            raise ValueError(
+                f"no {using} index on {m.group('name')}({m.group('col')})"
+            )
+        fsio.delete(path)
+        return None
 
     def _create_index(self, m: re.Match) -> DataFrame:
         """SQL index builds over the existing builders: SCALAR (the

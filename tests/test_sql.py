@@ -931,3 +931,35 @@ def test_sql_copy_into_missing_column_fails(engine, spark, tmp_path):
         engine.execute(
             f"COPY INTO cp_t2 FROM '{d}' FILEFORMAT = CSV WITH ('header'='true')"
         )
+
+
+def test_sql_show_and_drop_indexes(engine, spark):
+    engine.execute(
+        """CREATE TABLE six_t (id BIGINT, grp STRING)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO six_t SELECT id, concat('g', CAST(id % 3 AS STRING)) AS grp "
+        "FROM range(100)"
+    )
+    engine.execute("CREATE INDEX ON six_t (grp)")
+    engine.execute("CREATE INDEX ON six_t (id) USING BLOOM")
+    idx = {
+        (r["column"], r["using"]): r["fresh"]
+        for r in engine.execute("SHOW INDEXES ON six_t").collect()
+    }
+    assert idx == {("grp", "SCALAR"): True, ("id", "BLOOM"): True}
+    # an append stales version-stamped indexes
+    engine.execute("INSERT INTO six_t VALUES (999, 'g9')")
+    idx = {
+        (r["column"], r["using"]): r["fresh"]
+        for r in engine.execute("SHOW INDEXES ON six_t").collect()
+    }
+    assert idx[("grp", "SCALAR")] is False
+    engine.execute("DROP INDEX ON six_t (grp)")
+    left = {r["using"] for r in engine.execute("SHOW INDEXES ON six_t").collect()}
+    assert left == {"BLOOM"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no SCALAR index"):
+        engine.execute("DROP INDEX ON six_t (grp)")
