@@ -57,14 +57,30 @@ def build_bloom_index(ds, spark: SparkSession, col: str, fpp: float = 0.01) -> i
     """Build the bloom sidecar for ``col`` at the current version.
     Returns the indexed version. Complements (does not replace) the
     scalar index: use bloom for high-cardinality equality, the scalar
-    sidecar for low-cardinality values, ranges, and counts."""
+    sidecar for low-cardinality values, ranges, and counts.
+
+    Restricted to string/integral columns: hashing goes through the
+    value's string form, and fractional types have more than one
+    string spelling per value (1 vs 1.0) — a formatting mismatch
+    between build and probe would be a false NEGATIVE, which unlike a
+    false positive breaks correctness. Range predicates on fractional
+    columns belong to the scalar index anyway."""
+    from pyspark.sql import types as T
     import pandas as pd
     from pyspark.sql import functions as F
 
     from lance_flink_spark.session import ship_package
 
-    if col not in ds.read(spark).columns:
+    schema = ds.read(spark).schema
+    if col not in schema.names:
         raise ValueError(f"unknown column {col!r}")
+    ok = (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    if not isinstance(schema[col].dataType, ok):
+        raise ValueError(
+            f"bloom index requires a string/integral column; {col!r} is "
+            f"{schema[col].dataType.simpleString()} (float spellings would "
+            "risk false negatives — use the scalar index)"
+        )
     ship_package(spark)
     version = ds.versions()[-1]
     pairs = (

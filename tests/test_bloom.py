@@ -80,3 +80,10 @@ def test_declared_filter_auto_routes_via_bloom(ds, spark):
     assert len(routed.inputFiles()) <= 2  # candidates, not all 5 files
     full = ds.read(spark)
     assert len(full.inputFiles()) >= 5
+
+
+def test_fractional_columns_refused(spark, tmp_path):
+    d = Dataset(str(tmp_path / "fds"))
+    d.write(spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    with pytest.raises(ValueError, match="string/integral"):
+        d.build_bloom_index(spark, "v")
