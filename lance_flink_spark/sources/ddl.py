@@ -83,6 +83,10 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_META_TABLE = re.compile(
+    # Iceberg-style metadata tables: SELECT ... FROM t$files / t$history
+    r"(?P<tbl>[\w.]+)\$(?P<kind>files|history)\b"
+)
 _SHOW_INDEXES = re.compile(
     r"SHOW\s+INDEXES\s+(?:FROM|IN|ON)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
@@ -648,9 +652,72 @@ class SqlEngine:
             )
         return self.spark.sql(
             _rewrite_array_literals(
-                _rewrite_window_tvfs(self._rewrite_time_travel(sql))
+                _rewrite_window_tvfs(
+                    self._rewrite_meta_tables(self._rewrite_time_travel(sql))
+                )
             )
         )
+
+    def _rewrite_meta_tables(self, sql: str) -> str:
+        """Iceberg-style metadata tables for catalog tables:
+
+        - ``t$files`` — one row per LIVE data file: (file, rows,
+          bytes) from parquet footers (file-count-bounded driver work,
+          zero data pages read);
+        - ``t$history`` — the version log: (version, mode, ts,
+          expired), the SHOW VERSIONS frame as a queryable relation.
+        """
+
+        def sub(m: re.Match) -> str:
+            tbl, kind = m.group("tbl"), m.group("kind")
+            if not self._in_catalog(tbl):
+                return m.group(0)
+            ds: Dataset = self.catalog.load_table(self.database, tbl)
+            view = f"{tbl}__meta_{kind}"
+            if kind == "history":
+                vs = ds._load_manifest()["versions"]
+                self.spark.createDataFrame(
+                    [
+                        (v["version"], v["mode"], float(v["ts"]), bool(v.get("expired")))
+                        for v in vs
+                    ],
+                    "version long, mode string, ts double, expired boolean",
+                ).createOrReplaceTempView(view)
+            else:
+                import pyarrow.parquet as pq
+
+                rows = []
+                for root in ds._live_paths():
+                    names = (
+                        [root]
+                        if root.endswith(".parquet")
+                        else [
+                            fsio.join(root, n)
+                            for n in fsio.listdir(root)
+                            if n.endswith(".parquet")
+                        ]
+                    )
+                    for p in names:
+                        local = p
+                        for pref in ("file://", "file:"):
+                            if local.startswith(pref):
+                                local = local[len(pref):]
+                        import os as _os
+
+                        md = pq.ParquetFile(local).metadata
+                        rows.append(
+                            (
+                                ds._relpath(p),
+                                md.num_rows,
+                                int(_os.path.getsize(local)),
+                            )
+                        )
+                self.spark.createDataFrame(
+                    rows or [], "file string, rows long, bytes long"
+                ).createOrReplaceTempView(view)
+            return view
+
+        return _META_TABLE.sub(sub, sql)
 
     def _rewrite_time_travel(self, sql: str) -> str:
         """Substitute ``t VERSION AS OF n`` / ``t FOR SYSTEM_TIME AS OF

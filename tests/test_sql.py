@@ -963,3 +963,28 @@ def test_sql_show_and_drop_indexes(engine, spark):
 
     with _pytest.raises(ValueError, match="no SCALAR index"):
         engine.execute("DROP INDEX ON six_t (grp)")
+
+
+def test_sql_metadata_tables(engine, spark):
+    """Iceberg-style t$files / t$history metadata tables are queryable
+    relations inside any SELECT."""
+    engine.execute(
+        """CREATE TABLE meta_t (id BIGINT) WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO meta_t SELECT id FROM range(1000)")
+    engine.execute("INSERT INTO meta_t SELECT id FROM range(1000, 1500)")
+    f = engine.execute(
+        "SELECT COUNT(*) AS nf, SUM(rows) AS nr, SUM(bytes) AS nb FROM meta_t$files"
+    ).first()
+    assert f["nr"] == 1500 and f["nb"] > 0 and f["nf"] >= 2
+    h = engine.execute(
+        "SELECT version, mode FROM meta_t$history ORDER BY version"
+    ).collect()
+    # v1 = CREATE TABLE's empty first version, then the two inserts
+    assert [(r["version"], r["mode"]) for r in h] == [
+        (1, "append"), (2, "append"), (3, "append")
+    ]
+    # files reflects liveness: an overwrite supersedes old files
+    engine.execute("INSERT OVERWRITE meta_t SELECT id FROM range(10)")
+    f2 = engine.execute("SELECT SUM(rows) AS nr FROM meta_t$files").first()
+    assert f2["nr"] == 10
