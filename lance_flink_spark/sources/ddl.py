@@ -799,6 +799,9 @@ class SqlEngine:
         staging."""
         name, src, fmt = m.group("name"), m.group("src"), m.group("fmt").lower()
         opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or ""))
+        # 'tag' = idempotency token (Dataset.write tag semantics): a
+        # re-run of the same COPY INTO is a no-op — retry-safe loads
+        tag = opts.pop("tag", None)
         reader = self.spark.read
         for k, v in opts.items():
             reader = reader.option(k, v)
@@ -813,8 +816,12 @@ class SqlEngine:
         aligned = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
         )
+        if tag is not None and ds.find_tag(tag) is not None:
+            return self.spark.createDataFrame(
+                [(0, int(ds.find_tag(tag)))], "rows_loaded long, version long"
+            )
         n = aligned.count()
-        v = ds.write(aligned, mode="append")
+        v = ds.write(aligned, mode="append", tag=tag)
         self._register(name)
         return self.spark.createDataFrame(
             [(int(n), int(v))], "rows_loaded long, version long"

@@ -988,3 +988,23 @@ def test_sql_metadata_tables(engine, spark):
     engine.execute("INSERT OVERWRITE meta_t SELECT id FROM range(10)")
     f2 = engine.execute("SELECT SUM(rows) AS nr FROM meta_t$files").first()
     assert f2["nr"] == 10
+
+
+def test_sql_copy_into_idempotent_tag(engine, spark, tmp_path):
+    d = tmp_path / "in3"
+    d.mkdir()
+    (d / "p.csv").write_text("id,v\n1,1.0\n2,2.0\n")
+    engine.execute(
+        """CREATE TABLE cp_t3 (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    stmt = (
+        f"COPY INTO cp_t3 FROM '{d}' FILEFORMAT = CSV "
+        "WITH ('header'='true', 'tag'='load-1')"
+    )
+    first = engine.execute(stmt).first()
+    assert first["rows_loaded"] == 2
+    replay = engine.execute(stmt).first()  # retry: no-op
+    assert replay["rows_loaded"] == 0
+    assert replay["version"] == first["version"]
+    assert engine.execute("SELECT COUNT(*) AS n FROM cp_t3").first()["n"] == 2
