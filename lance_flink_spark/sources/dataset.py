@@ -1531,6 +1531,40 @@ class Dataset:
         )
         return df.select(*columns) if columns else df
 
+    def count_by(self, spark: SparkSession, col: str) -> DataFrame:
+        """The ENTIRE ``GROUP BY col COUNT(*)`` answered from the
+        scalar-index sidecar — zero data files opened (count_eq's
+        single-value fast path generalized to the full aggregate: the
+        sidecar's per-(value, file) counts sum per value). The
+        reference's AggregateExecutor-near-the-scan idea at its
+        limit."""
+        from pyspark.sql import functions as F
+
+        meta = self._fresh_index_meta(col)
+        idx = spark.read.parquet(
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+        )
+        if "cnt" not in idx.columns:
+            raise ValueError(
+                f"scalar index on {col!r} predates count support — rebuild"
+            )
+        return idx.groupBy(F.col("value").alias(col)).agg(
+            F.sum("cnt").alias("cnt")
+        )
+
+    def minmax(self, spark: SparkSession, col: str) -> tuple:
+        """Global (min, max) of an indexed column from the per-file
+        ranges sidecar — file-count rows scanned, zero data reads."""
+        from pyspark.sql import functions as F
+
+        meta = self._fresh_index_meta(col)
+        ranges = spark.read.parquet(
+            fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+            + "_ranges"
+        )
+        row = ranges.agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+        return row["lo"], row["hi"]
+
     # ---------- bloom sidecar (high-cardinality equality; sources/bloom.py) ----------
 
     def build_bloom_index(self, spark: SparkSession, col: str, fpp: float = 0.01) -> int:

@@ -728,3 +728,35 @@ def test_count_eq_answers_from_index_sidecar(spark, tmp_path_str):
     assert ds.count_eq(spark, "cat", "c1") == ds.read(spark).filter(
         "cat = 'c1'"
     ).count()
+
+
+def test_count_by_and_minmax_answered_from_sidecars(spark, tmp_path_str):
+    """GROUP BY counts and global MIN/MAX answered ENTIRELY from index
+    sidecars — parity vs real scans, incl. after a delta update."""
+    from pyspark.sql import Row
+
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(tmp_path_str + "/agg_idx")
+    ds.write(
+        spark.createDataFrame(
+            [Row(id=i, cat=f"c{i % 4}", v=i * 3) for i in range(80)]
+        )
+    )
+    ds.build_scalar_index(spark, "cat")
+    ds.build_scalar_index(spark, "v")
+    got = {r["cat"]: r["cnt"] for r in ds.count_by(spark, "cat").collect()}
+    want = {
+        r["cat"]: r["n"]
+        for r in ds.read(spark).groupBy("cat").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+    assert ds.minmax(spark, "v") == (0, 237)
+
+    ds.write(
+        spark.createDataFrame([Row(id=100, cat="c9", v=-5)]), mode="append"
+    )
+    ds.update_scalar_index(spark, "cat")
+    ds.update_scalar_index(spark, "v")
+    assert ds.count_by(spark, "cat").filter("cat = 'c9'").first()["cnt"] == 1
+    assert ds.minmax(spark, "v") == (-5, 237)
