@@ -36,15 +36,20 @@ def max_concurrency(
     — exact integers.
 
     Two bounded driver round-trips: the global [tmin, tmax] (1 row)
-    and the per-(key, bucket) totals (≤ keys × buckets rows)."""
+    and the per-(key, bucket) totals (≤ keys × buckets rows). The key
+    rides as a string internally (the offsets frame needs one concrete
+    type); the output column restores the input key values via the
+    final groupBy, so string keys round-trip exactly — non-string keys
+    come back as their canonical string form."""
     spark = events.sparkSession
     us = F.unix_micros(F.col(ts_col))
     dur_us = int(duration_seconds) * 1_000_000
+    key = F.col(key_col).cast("string")
     b = (
-        events.select(F.col(key_col).alias("k"), us.alias("t"), F.lit(1).alias("d"))
+        events.select(key.alias("k"), us.alias("t"), F.lit(1).alias("d"))
         .unionByName(
             events.select(
-                F.col(key_col).alias("k"),
+                key.alias("k"),
                 (us + F.lit(dur_us)).alias("t"),
                 F.lit(-1).alias("d"),
             )

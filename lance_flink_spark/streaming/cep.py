@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-_OUT_TMPL = "{key} long, start_event_id long, {ts_cols}, duration_us long"
+_OUT_TMPL = "{key} {key_type}, start_event_id long, {ts_cols}, duration_us long"
 # state: parallel lists (Spark state structs can't nest dataframes)
 _STATE_SCHEMA = (
     "ts array<long>, eid array<long>, etype array<string>, emitted array<long>"
@@ -40,29 +40,39 @@ _STATE_SCHEMA = (
 
 def _greedy_matches(ts, eid, etype, steps, within_us, emitted):
     """The batch operator's greedy binding, replayed over one key's
-    sorted buffer. Returns (new_matches, matched_start_ids)."""
+    sorted buffer. Returns (new_matches, matched_start_ids).
+
+    O(B·steps): one backward pass per step builds next-occurrence
+    pointers (the in-memory mirror of the batch operator's reverse
+    struct-min windows), then each start follows steps-1 pointers —
+    no quadratic rescans for hot keys."""
     order = sorted(range(len(ts)), key=lambda i: (ts[i], eid[i]))
+    B = len(order)
+    # nxt[s][pos] = position in `order` of the earliest event of type
+    # steps[s] strictly after pos, or -1
+    nxt = []
+    for s in range(1, len(steps)):
+        arr = [-1] * B
+        seen = -1
+        for pos in range(B - 1, -1, -1):
+            arr[pos] = seen
+            if etype[order[pos]] == steps[s]:
+                seen = pos
+        nxt.append(arr)
     out = []
     done = set(emitted)
-    n = len(steps)
-    for pos, i in enumerate(order):
+    for pos in range(B):
+        i = order[pos]
         if etype[i] != steps[0] or eid[i] in done:
             continue
         chain = [i]
-        cursor = pos
-        ok = True
-        for step in steps[1:]:
-            nxt = None
-            for q in order[cursor + 1 :]:
-                cursor += 1
-                if etype[q] == step:
-                    nxt = q
-                    break
-            if nxt is None:
-                ok = False
+        cur = pos
+        for arr in nxt:
+            cur = arr[cur]
+            if cur < 0:
                 break
-            chain.append(nxt)
-        if ok and ts[chain[-1]] - ts[chain[0]] <= within_us:
+            chain.append(order[cur])
+        if cur >= 0 and ts[chain[-1]] - ts[chain[0]] <= within_us:
             out.append((eid[i], [ts[c] for c in chain]))
             done.add(eid[i])
     return out, done
@@ -94,7 +104,9 @@ def stream_match_sequence(
     within_us = int(qty) * mult * 1_000_000
     retain_us = within_us + retention_slack_seconds * 1_000_000
     out_schema = _OUT_TMPL.format(
-        key=key_col, ts_cols=", ".join(f"t{i}_us long" for i in range(n))
+        key=key_col,
+        key_type=events.schema[key_col].dataType.simpleString(),
+        ts_cols=", ".join(f"t{i}_us long" for i in range(n)),
     )
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -124,7 +136,7 @@ def stream_match_sequence(
         state.update((ts, eid, etype, emitted))
         if matches:
             rows = {
-                key_col: [int(key[0])] * len(matches),
+                key_col: [key[0]] * len(matches),
                 "start_event_id": [m[0] for m in matches],
             }
             for i in range(n):
