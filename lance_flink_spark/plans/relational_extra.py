@@ -791,3 +791,65 @@ def events_unpivot(spark, sf_dir):
         wide.unpivot("user_id", ["click", "view", "purchase"], "metric", "n")
         .filter(F.col("n") > 0)
     )
+
+
+@query(
+    "part_copurchase",
+    extra=True,  # gate budget; market-basket co-occurrence mining
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    per_part AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY 1)
+    SELECT p1, p2, n_both, x.n_orders AS n_p1, y.n_orders AS n_p2
+    FROM pairs JOIN per_part x ON pairs.p1 = x.l_partkey
+               JOIN per_part y ON pairs.p2 = y.l_partkey
+    WHERE n_both >= 2
+    """,
+)
+def part_copurchase(spark, sf_dir):
+    """Market-basket co-occurrence (association-rule mining's count
+    stage): part pairs ordered together ≥2 times, with each part's
+    own order count riding along — support/confidence/lift are ratios
+    of these EXACT integers, computed by the consumer, never by the
+    hashed surface.
+
+    Scale shape: the self-join fans out per order as C(items,2) —
+    bounded by basket size (≤7 for TPC-H orders), NOT order count;
+    the pair aggregate shuffles distinct pairs with map-side partials.
+    At 100 TB a hot-basket cap (same df-cap pattern as the dedup
+    family) bounds pathological baskets; TPC-H needs none."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        pairs.join(per_part.withColumnRenamed("l_partkey", "p1"), "p1")
+        .withColumnRenamed("n_orders", "n_p1")
+        .join(
+            per_part.withColumnRenamed("l_partkey", "p2").withColumnRenamed(
+                "n_orders", "n_p2"
+            ),
+            "p2",
+        )
+        .select("p1", "p2", "n_both", "n_p1", "n_p2")
+    )
