@@ -1500,3 +1500,69 @@ def dedup_canonical(spark, sf_dir):
             ).alias("is_canonical"),
         )
     )
+
+
+@query(
+    "text_bigram_logprob",
+    extra=True,  # gate budget; smoothed bigram LM scoring
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+    big AS (
+        SELECT doc_id, u.bg,
+               string_split(u.bg, ' ')[1] AS w1
+        FROM docs t,
+             unnest(list_transform(range(1, greatest(len(arr) - 1, 0) + 1),
+                    i -> concat(arr[i], ' ', arr[i+1]))) AS u(bg)),
+    bc AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+    tok AS (
+        SELECT u.token FROM docs t, unnest(arr) AS u(token)
+        WHERE u.token <> ''),
+    uc AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY token),
+    v AS (SELECT COUNT(*) AS vocab FROM uc)
+    SELECT doc_id,
+           ROUND(AVG(ln((c2 + 1.0) / (c1 + vocab))), 6) AS avg_logp,
+           COUNT(*) AS n_bigrams
+    FROM big JOIN bc USING (bg) JOIN uc ON big.w1 = uc.token, v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram language-model score with add-one smoothing —
+    p(w2|w1) = (c(w1 w2)+1)/(c(w1)+|V|) — the next step up from the
+    unigram stand-in toward KenLM-style perplexity filtering; per-doc
+    mean log prob over the doc's bigrams.
+
+    Scale shape mirrors the unigram entry: bigram and unigram count
+    tables partial-aggregate to (bigram-)vocab size and broadcast back
+    onto the exploded bigram stream; the only corpus-sized shuffle is
+    the per-doc average. At open-web scale the bigram table gets a
+    min-count floor (unseen bigrams already smooth to c2=0 semantics
+    via +1) — TPC-H-sized corpora need none."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = d.select("doc_id", arr.alias("arr"))
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(arr) - 1, 0)), "
+                "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+            )
+        ).alias("bg"),
+    ).withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    tok = docs.select(F.explode("arr").alias("token")).filter(F.col("token") != "")
+    uc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uc.agg(F.count(F.lit(1)).alias("vocab"))
+    return (
+        big.join(F.broadcast(bc), "bg")
+        .join(F.broadcast(uc.withColumnRenamed("token", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))), 6
+            ).alias("avg_logp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
