@@ -57,6 +57,13 @@ class ChangeFeedConsumer:
         fsio.makedirs(self.checkpoint_path)
         fsio.write_json_atomic(self._cursor_file(), {"version": version})
 
+    def reset_to(self, version: int) -> int:
+        """Position the cursor at ``version`` without processing —
+        start consuming AFTER it (e.g. an index built at v_n subscribes
+        from v_n, folding only later commits)."""
+        self._commit_cursor(int(version))
+        return int(version)
+
     def reset_to_latest(self) -> int:
         """Skip the backlog (e.g. after an overwrite broke lineage):
         position the cursor at the current head without processing."""
