@@ -401,6 +401,7 @@ class Dataset:
             raise ValueError(f"write mode must be append|overwrite, got {mode!r}")
         if tag is not None and self.find_tag(tag) is not None:
             return self.find_tag(tag)
+        self._enforce_constraints(df)
         if zorder_by:
             if sort_by:
                 raise ValueError("sort_by and zorder_by are mutually exclusive")
@@ -741,6 +742,7 @@ class Dataset:
         # feeding the rewrite would double-count every carried-forward
         # row. Batch reads resolve fragments through the manifest, so
         # the prefix only matters to the glob.
+        self._enforce_constraints(survivors)
         frag = f"data/m{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
         survivors.write.mode("errorifexists").parquet(out)
@@ -1530,6 +1532,46 @@ class Dataset:
             F.col(col) == F.lit(value)
         )
         return df.select(*columns) if columns else df
+
+    # ---------- CHECK constraints (Delta constraint parity) ----------
+
+    def constraints(self) -> dict:
+        """{name: boolean SQL expr} currently enforced on writes."""
+        return dict(self._load_manifest().get("constraints", {}))
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> None:
+        """Add a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`
+        semantics): EXISTING data is validated first — a constraint the
+        current table violates is refused — then the expr is persisted
+        in the manifest and every subsequent ``write`` enforces it.
+        SQL-standard CHECK: a row violates only when the expr is
+        FALSE (NULL passes)."""
+        bad = self.read(spark).filter(f"not coalesce(({expr}), true)").limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows violate ({expr})"
+            )
+        man = self._load_manifest()
+        man.setdefault("constraints", {})[name] = expr
+        fsio.write_json_atomic(self._manifest_path(), man)
+
+    def drop_constraint(self, name: str) -> None:
+        man = self._load_manifest()
+        if name not in man.get("constraints", {}):
+            raise ValueError(f"no constraint {name!r}")
+        del man["constraints"][name]
+        fsio.write_json_atomic(self._manifest_path(), man)
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Fail a write whose frame violates any CHECK constraint.
+        Fail-fast (limit 1) per constraint — the write's own scan does
+        the full pass; this probe only proves a violation exists."""
+        for name, expr in self.constraints().items():
+            bad = df.filter(f"not coalesce(({expr}), true)").limit(1)
+            if bad.count() > 0:
+                raise ValueError(
+                    f"write violates CHECK constraint {name!r} ({expr})"
+                )
 
     def count_by(self, spark: SparkSession, col: str) -> DataFrame:
         """The ENTIRE ``GROUP BY col COUNT(*)`` answered from the

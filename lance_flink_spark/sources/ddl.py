@@ -83,6 +83,15 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_ADD_CONSTRAINT = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+"
+    r"CHECK\s*\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+CONSTRAINT\s+(?P<cname>\w+)\s*$",
+    re.IGNORECASE,
+)
 _META_TABLE = re.compile(
     # Iceberg-style metadata tables: SELECT ... FROM t$files / t$history
     r"(?P<tbl>[\w.]+)\$(?P<kind>files|history)\b"
@@ -518,6 +527,18 @@ class SqlEngine:
             if m.group("name") in self.options:
                 self.options[m.group("new")] = self.options.pop(m.group("name"))
             self._register(m.group("new"))
+            return None
+        m = _ADD_CONSTRAINT.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            self.catalog.load_table(self.database, m.group("name")).add_constraint(
+                self.spark, m.group("cname"), m.group("expr")
+            )
+            return None
+        m = _DROP_CONSTRAINT.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            self.catalog.load_table(self.database, m.group("name")).drop_constraint(
+                m.group("cname")
+            )
             return None
         m = _ALTER_DROP.match(sql)
         if m and self._in_catalog(m.group("name")):

@@ -1008,3 +1008,28 @@ def test_sql_copy_into_idempotent_tag(engine, spark, tmp_path):
     assert replay["rows_loaded"] == 0
     assert replay["version"] == first["version"]
     assert engine.execute("SELECT COUNT(*) AS n FROM cp_t3").first()["n"] == 2
+
+
+def test_sql_check_constraints(engine, spark):
+    """Delta-style CHECK constraints: existing-data validation on ADD,
+    write-time enforcement on INSERT and UPDATE, NULL passes (SQL
+    CHECK semantics), DROP lifts enforcement."""
+    engine.execute(
+        """CREATE TABLE ck_t (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO ck_t VALUES (1, 1.0), (2, CAST(NULL AS DOUBLE))")
+    engine.execute("ALTER TABLE ck_t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    # NULL passed validation (SQL CHECK), positive passed
+    with pytest.raises(ValueError, match="v_pos"):
+        engine.execute("INSERT INTO ck_t VALUES (3, -5.0)")
+    assert engine.execute("SELECT COUNT(*) AS n FROM ck_t").first()["n"] == 2
+    # UPDATE rewrites are enforced too
+    with pytest.raises(ValueError, match="v_pos"):
+        engine.execute("UPDATE ck_t SET v = -1.0 WHERE id = 1")
+    # adding a constraint the table already violates is refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        engine.execute("ALTER TABLE ck_t ADD CONSTRAINT id_big CHECK (id > 10)")
+    engine.execute("ALTER TABLE ck_t DROP CONSTRAINT v_pos")
+    engine.execute("INSERT INTO ck_t VALUES (3, -5.0)")  # now allowed
+    assert engine.execute("SELECT COUNT(*) AS n FROM ck_t").first()["n"] == 3
