@@ -278,3 +278,35 @@ def test_mutation_sequence_matches_pandas_model(tmp_path_factory, base, ops):
     got = sorted(map(tuple, ds.read(spark).select("id", "val").collect()))
     want = sorted(map(tuple, model.itertuples(index=False)))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    n=st.integers(2, 9),
+    descending=st.booleans(),
+)
+def test_distributed_ntile_matches_window_ntile(vals, n, descending):
+    """Property pin for operators/quantiles.py: on arbitrary integer
+    frames (duplicates, negatives, tiny N) the distributed NTILE is
+    bit-identical to ntile().over(global window)."""
+    from pyspark.sql import Row, Window
+
+    from lance_flink_spark.operators.quantiles import with_distributed_ntile
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(v)) for i, v in enumerate(vals)]
+    )
+    key = F.col("v").desc() if descending else F.col("v").asc()
+    w = Window.orderBy(key, F.col("id").asc())
+    want = {
+        (r["id"], r["t"]) for r in df.withColumn("t", F.ntile(n).over(w)).collect()
+    }
+    got = {
+        (r["id"], r["t"])
+        for r in with_distributed_ntile(
+            df, n, "v", "id", "t", descending=descending, buckets=7
+        ).collect()
+    }
+    assert got == want
