@@ -173,7 +173,8 @@ _DESCRIBE = re.compile(
     r"(?:DESCRIBE|DESC)\s+(?P<ext>EXTENDED\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
 _ANALYZE = re.compile(
-    r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS\s*$",
+    r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"(?P<cols>\s+FOR\s+ALL\s+COLUMNS)?\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE = re.compile(
@@ -576,7 +577,7 @@ class SqlEngine:
             return None
         m = _ANALYZE.match(sql)
         if m and self._in_catalog(m.group("name")):
-            return self._analyze(m.group("name"))
+            return self._analyze(m.group("name"), bool(m.group("cols")))
         m = _DESCRIBE.match(sql)
         if m and self._in_catalog(m.group("name")):
             ds = self.catalog.load_table(self.database, m.group("name"))
@@ -606,6 +607,18 @@ class SqlEngine:
                         None,
                     ),
                 ]
+                for cname, cs in sorted((stats.get("columns") or {}).items()):
+                    rows.append(
+                        (
+                            f"# col stats: {cname}",
+                            (
+                                f"nulls={cs['null_count']} "
+                                f"ndv~{cs['approx_ndv']} "
+                                f"min={cs['min']} max={cs['max']}"
+                            ),
+                            None,
+                        )
+                    )
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string, nullable boolean"
             )
@@ -999,17 +1012,50 @@ class SqlEngine:
         self._register(name)
         return None
 
-    def _analyze(self, name: str):
-        """``ANALYZE TABLE t COMPUTE STATISTICS`` — exact row count
-        (parquet-footer metadata job, no data read) + live byte size
-        (file-count-bounded listings), stored in the manifest and
-        version-stamped. ``DESCRIBE EXTENDED`` surfaces them; external
-        planners (or ``registry.bcast``-style gates) can read
-        ``manifest['stats']`` instead of estimating."""
+    def _analyze(self, name: str, all_columns: bool = False):
+        """``ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]`` —
+        exact row count (parquet-footer metadata job, no data read) +
+        live byte size (file-count-bounded listings), stored in the
+        manifest and version-stamped. FOR ALL COLUMNS adds per-column
+        null counts, approx NDV, and min/max (atomic types) in ONE
+        aggregate pass — the CBO inputs Delta/Spark column stats carry.
+        ``DESCRIBE EXTENDED`` surfaces them; external planners (or
+        ``registry.bcast``-style gates) can read ``manifest['stats']``
+        instead of estimating."""
+        from pyspark.sql import types as T
+
         from lance_flink_spark.sources import fsio
 
         ds: Dataset = self.catalog.load_table(self.database, name)
-        rows = ds.read(self.spark).count()
+        df = ds.read(self.spark)
+        col_stats = {}
+        if all_columns:
+            atomic = [
+                f for f in df.schema.fields
+                if isinstance(f.dataType, (T.NumericType, T.StringType,
+                                           T.DateType, T.TimestampType,
+                                           T.TimestampNTZType, T.BooleanType))
+            ]
+            aggs = []
+            for f in atomic:
+                c = f.name
+                aggs += [
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}"),
+                    F.approx_count_distinct(c).alias(f"__d_{c}"),
+                    F.min(c).cast("string").alias(f"__lo_{c}"),
+                    F.max(c).cast("string").alias(f"__hi_{c}"),
+                ]
+            if aggs:
+                row = df.agg(*aggs).first()
+                for f in atomic:
+                    c = f.name
+                    col_stats[c] = {
+                        "null_count": int(row[f"__n_{c}"]),
+                        "approx_ndv": int(row[f"__d_{c}"]),
+                        "min": row[f"__lo_{c}"],
+                        "max": row[f"__hi_{c}"],
+                    }
+        rows = df.count()
         nbytes = 0
         frags, removed = ds._live_state()
         for frag in frags:
@@ -1024,6 +1070,7 @@ class SqlEngine:
         man["stats"] = {
             "rows": int(rows),
             "bytes": int(nbytes),
+            **({"columns": col_stats} if col_stats else {}),
             "version": len(man.get("versions", [])),
         }
         fsio.write_json_atomic(ds._manifest_path(), man)

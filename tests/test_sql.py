@@ -1033,3 +1033,27 @@ def test_sql_check_constraints(engine, spark):
     engine.execute("ALTER TABLE ck_t DROP CONSTRAINT v_pos")
     engine.execute("INSERT INTO ck_t VALUES (3, -5.0)")  # now allowed
     assert engine.execute("SELECT COUNT(*) AS n FROM ck_t").first()["n"] == 3
+
+
+def test_sql_analyze_for_all_columns(engine):
+    """ANALYZE ... FOR ALL COLUMNS stores per-column null counts,
+    approx NDV, and min/max in ONE aggregate pass; DESCRIBE EXTENDED
+    surfaces them."""
+    engine.execute(
+        """CREATE TABLE an_t (id BIGINT, grp STRING, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO an_t SELECT id, concat('g', CAST(id % 3 AS STRING)) AS grp, "
+        "CASE WHEN id % 10 = 0 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) END AS v FROM range(100)"
+    )
+    engine.execute("ANALYZE TABLE an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    ds = engine.catalog.load_table(engine.database, "an_t")
+    cols = ds._load_manifest()["stats"]["columns"]
+    assert cols["v"]["null_count"] == 10
+    assert cols["grp"]["approx_ndv"] == 3
+    assert cols["id"]["min"] == "0" and cols["id"]["max"] == "99"
+    desc = engine.execute("DESCRIBE EXTENDED an_t").collect()
+    lines = {r["col_name"]: r["data_type"] for r in desc}
+    assert "# col stats: v" in lines and "nulls=10" in lines["# col stats: v"]
