@@ -1533,6 +1533,96 @@ class Dataset:
         )
         return df.select(*columns) if columns else df
 
+    def merge_when(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        clauses: list[dict],
+    ) -> int:
+        """Conditional MERGE (Delta WHEN-clause semantics): ``clauses``
+        is an ordered list of
+        ``{"matched": bool, "cond": str|None, "action": "update"|
+        "delete"|"insert", "sets": dict[str, str]|None}`` — the FIRST
+        clause whose condition holds wins per row. Conditions and SET
+        expressions reference target columns as ``t.<col>`` and source
+        columns as ``s.<col>`` (both sides carry the full schema, so
+        qualification is required, as in Delta).
+
+        Pruning matches merge_insert: only files holding a matched key
+        are rewritten; NOT MATCHED inserts append. Returns the new
+        version."""
+        from pyspark.sql import functions as F
+
+        base = len(self.versions())
+        scan = self.read(spark)
+        source = source.select(
+            *[F.col(f.name).cast(f.dataType) for f in scan.schema.fields]
+        )
+        dup = (
+            source.groupBy(on).agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+            .limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source has multiple rows for key {dup[0][0]!r}"
+            )
+        keys = source.select(on).distinct()
+        affected = self._affected_files(
+            self._tagged_scan(spark).join(keys, on, "left_semi")
+        )
+        matched_clauses = [c for c in clauses if c["matched"]]
+        insert_clauses = [c for c in clauses if not c["matched"]]
+
+        pieces = []
+        if affected:
+            tgt = self._read_files(spark, affected)
+            j = tgt.alias("t").join(
+                source.alias("s"),
+                F.col(f"t.`{on}`") == F.col(f"s.`{on}`"),
+                "left",
+            )
+            is_matched = F.col(f"s.`{on}`").isNotNull()
+            prior = F.lit(False)
+            fired = []  # (clause, fires_cond)
+            for c in matched_clauses:
+                cond = is_matched & ~prior
+                if c.get("cond"):
+                    cond = cond & F.expr(c["cond"])
+                fired.append((c, cond))
+                prior = prior | cond
+            drop = F.lit(False)
+            for c, cond in fired:
+                if c["action"] == "delete":
+                    drop = drop | cond
+            survivors = j.filter(~drop)
+            out_cols = []
+            for f in scan.schema.fields:
+                cur = F.col(f"t.`{f.name}`")
+                for c, cond in fired:
+                    if c["action"] == "update" and f.name in (c.get("sets") or {}):
+                        cur = F.when(
+                            cond, F.expr(c["sets"][f.name]).cast(f.dataType)
+                        ).otherwise(cur)
+                out_cols.append(cur.alias(f.name))
+            pieces.append(survivors.select(*out_cols))
+        if insert_clauses:
+            inserts = source.join(
+                scan.select(on).distinct(), on, "left_anti"
+            )
+            cond = insert_clauses[0].get("cond")
+            if cond:
+                inserts = inserts.alias("s").filter(F.expr(cond))
+            pieces.append(inserts.select(*[f.name for f in scan.schema.fields]))
+        if affected:
+            merged = pieces[0]
+            for p in pieces[1:]:
+                merged = merged.unionByName(p)
+            return self._mutate_commit(merged, affected, "merge", base_version=base)
+        if pieces:
+            return self.write(pieces[-1], mode="append")
+        return base
+
     # ---------- CHECK constraints (Delta constraint parity) ----------
 
     def constraints(self) -> dict:

@@ -83,6 +83,19 @@ _WINDOW_TVF = re.compile(
     r"(?:\s*,\s*INTERVAL\s+'(?P<i2>[^']+)'\s+(?P<u2>\w+))?\s*\)\s*\)",
     re.IGNORECASE,
 )
+_MERGE_WHEN = re.compile(
+    # Delta-style conditional MERGE: WHEN [NOT] MATCHED [AND cond]
+    # THEN UPDATE SET ... / DELETE / INSERT *
+    r"MERGE\s+INTO\s+(?P<name>[\w.]+)\s+USING\s+\((?P<src>.+)\)\s+"
+    r"ON\s+(?P<on>\w+)\s+(?P<clauses>WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CLAUSE = re.compile(
+    r"WHEN\s+(?P<not_>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<delete>DELETE)|(?P<insert>INSERT(?:\s+\*)?))"
+    r"(?=\s+WHEN\s|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
 _ADD_CONSTRAINT = re.compile(
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+"
     r"CHECK\s*\((?P<expr>.+)\)\s*$",
@@ -556,6 +569,9 @@ class SqlEngine:
         m = _UPDATE.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._update(m)
+        m = _MERGE_WHEN.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            return self._merge_when(m)
         m = _MERGE.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._merge(m)
@@ -1159,6 +1175,56 @@ class SqlEngine:
             _rewrite_array_literals(pred) if pred else "true",
             assignments,
         )
+        self._register(name)
+        return None
+
+    def _merge_when(self, m: re.Match) -> None:
+        """Delta-style conditional MERGE: ordered WHEN clauses, first
+        match wins per row. Conditions/SET expressions qualify columns
+        as t.<col> (target) / s.<col> (source); the source query's
+        columns align to the table schema by position, like the
+        unconditional MERGE."""
+        name = m.group("name")
+        ds: Dataset = self.catalog.load_table(self.database, name)
+        target = ds.read(self.spark).schema
+        df = self.spark.sql(_rewrite_array_literals(m.group("src")))
+        if len(df.columns) != len(target.fields):
+            raise ValueError(
+                f"MERGE arity {len(df.columns)} != table arity {len(target.fields)}"
+            )
+        aligned = df.select(
+            *[
+                F.col(f"`{c}`").cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target.fields)
+            ]
+        )
+        clauses = []
+        for cm in _MERGE_CLAUSE.finditer(m.group("clauses")):
+            not_matched = bool(cm.group("not_"))
+            if cm.group("insert"):
+                if not not_matched:
+                    raise ValueError("INSERT requires WHEN NOT MATCHED")
+                clauses.append(
+                    {"matched": False, "cond": cm.group("cond"), "action": "insert",
+                     "sets": None}
+                )
+            elif cm.group("delete"):
+                clauses.append(
+                    {"matched": True, "cond": cm.group("cond"), "action": "delete",
+                     "sets": None}
+                )
+            else:
+                sets = {}
+                for part in _split_top_level(cm.group("sets")):
+                    col, _, expr = part.partition("=")
+                    sets[col.strip()] = expr.strip()
+                clauses.append(
+                    {"matched": True, "cond": cm.group("cond"), "action": "update",
+                     "sets": sets}
+                )
+        if not clauses:
+            raise ValueError("MERGE has no parseable WHEN clauses")
+        ds.merge_when(self.spark, aligned, on=m.group("on"), clauses=clauses)
         self._register(name)
         return None
 

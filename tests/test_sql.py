@@ -1057,3 +1057,52 @@ def test_sql_analyze_for_all_columns(engine):
     desc = engine.execute("DESCRIBE EXTENDED an_t").collect()
     lines = {r["col_name"]: r["data_type"] for r in desc}
     assert "# col stats: v" in lines and "nulls=10" in lines["# col stats: v"]
+
+
+def test_sql_merge_when_clauses(engine):
+    """Delta-style conditional MERGE: first-match-wins WHEN clauses
+    with qualified t./s. expressions; only update/delete/insert rows
+    change."""
+    engine.execute(
+        """CREATE TABLE mw (id BIGINT, qty BIGINT, price DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO mw VALUES (1, 10, 1.0), (2, 0, 2.0), (3, 5, 3.0), (4, 7, 4.0)"
+    )
+    engine.execute(
+        """MERGE INTO mw USING (
+             SELECT * FROM VALUES (1, 100, 9.0), (2, 50, 8.0), (9, 1, 7.0)
+             AS v(id, qty, price)
+           ) ON id
+           WHEN MATCHED AND t.qty = 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty, price = s.price
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    rows = {
+        r["id"]: (r["qty"], r["price"])
+        for r in engine.execute("SELECT * FROM mw").collect()
+    }
+    assert rows == {
+        1: (110, 9.0),   # matched, qty!=0 -> update (t.qty + s.qty)
+        3: (5, 3.0),     # untouched (no source row)
+        4: (7, 4.0),     # untouched
+        9: (1, 7.0),     # not matched -> insert
+    }  # id=2 deleted (matched, qty=0; DELETE clause fires first)
+
+
+def test_sql_merge_when_update_only_with_condition(engine):
+    engine.execute(
+        """CREATE TABLE mw2 (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO mw2 VALUES (1, 1.0), (2, 2.0)")
+    engine.execute(
+        """MERGE INTO mw2 USING (
+             SELECT * FROM VALUES (1, 10.0), (2, 0.5) AS v(id, v)
+           ) ON id
+           WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v"""
+    )
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT * FROM mw2").collect()}
+    # id=1 updated (10 > 1); id=2 kept (0.5 < 2); no inserts happened
+    assert rows == {1: 10.0, 2: 2.0}
