@@ -132,7 +132,8 @@ _VECTOR_SEARCH = re.compile(
     r"SELECT\s+\*\s+FROM\s+vector_search\s*\(\s*"
     r"'(?P<tbl>[^']+)'\s*,\s*'(?P<col>\w+)'\s*,\s*"
     r"ARRAY\s*\[(?P<vec>[^\]]+)\]\s*,\s*(?P<k>\d+)"
-    r"(?:\s*,\s*'(?P<metric>\w+)')?\s*\)\s*$",
+    r"(?:\s*,\s*'(?P<metric>\w+)')?"
+    r"(?:\s*,\s*'(?P<filter>[^']+)')?\s*\)\s*$",
     re.IGNORECASE,
 )
 _CREATE_INDEX = re.compile(
@@ -881,15 +882,20 @@ class SqlEngine:
         """The reference's vector_search SQL function
         (LanceVectorSearchFunction, flink-sql-demo.sql:229):
         ``SELECT * FROM vector_search('t', 'embedding',
-        ARRAY[...], k [, 'METRIC'])``. Routes through a vector index
-        built by CREATE INDEX when one exists under the table
-        (options from the table's WITH clause apply: vector.nprobes /
-        vector.ef / vector.refine-factor), else brute-force KNN with
-        the distance+similarity SearchResult contract."""
+        ARRAY[...], k [, 'METRIC' [, 'filter']])``. Routes through a
+        vector index built by CREATE INDEX when one exists under the
+        table (options from the table's WITH clause apply:
+        vector.nprobes / vector.ef / vector.refine-factor), else
+        brute-force KNN with the distance+similarity SearchResult
+        contract. A filter (the reference's search(query, k, filter)
+        pre-filter) forces the brute path: exact pre-filter semantics
+        — the top-k comes FROM the filtered set, which a post-filtered
+        index probe cannot guarantee."""
         tbl, col = m.group("tbl"), m.group("col")
         vec = [float(x) for x in m.group("vec").split(",")]
         k = int(m.group("k"))
         metric = (m.group("metric") or "L2").lower()
+        flt = m.group("filter")
         if self._in_catalog(tbl):
             ds: Dataset = self.catalog.load_table(self.database, tbl)
         else:
@@ -897,7 +903,7 @@ class SqlEngine:
         idx_path = fsio.join(ds.path, "_vector_index", col)
         topts = self.options.get(tbl)
         opts = dict((topts.extra or {}) if topts else {})
-        if fsio.exists(fsio.join(idx_path, "_index_meta.json")):
+        if flt is None and fsio.exists(fsio.join(idx_path, "_index_meta.json")):
             from lance_flink_spark.index.options import search_index_with_options
 
             opts.setdefault("index.type", "IVF_FLAT")
@@ -905,7 +911,9 @@ class SqlEngine:
             return search_index_with_options(self.spark, idx_path, vec, k, opts)
         from lance_flink_spark.operators.similarity import knn
 
-        return knn(ds.read(self.spark), vec, k, vec_col=col, metric=metric)
+        return knn(
+            ds.read(self.spark), vec, k, vec_col=col, metric=metric, filter=flt
+        )
 
     def _show_indexes(self, name: str) -> DataFrame:
         """Every index sidecar on the table: (column, using, version,

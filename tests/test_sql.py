@@ -1106,3 +1106,23 @@ def test_sql_merge_when_update_only_with_condition(engine):
     rows = {r["id"]: r["v"] for r in engine.execute("SELECT * FROM mw2").collect()}
     # id=1 updated (10 > 1); id=2 kept (0.5 < 2); no inserts happened
     assert rows == {1: 10.0, 2: 2.0}
+
+
+def test_sql_vector_search_with_prefilter(engine):
+    """vector_search's optional 6th argument is the reference's
+    pre-filter: top-k comes FROM the filtered set."""
+    engine.execute(
+        """CREATE TABLE vs_t (vec_id BIGINT, embedding ARRAY<FLOAT>)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO vs_t SELECT id AS vec_id, "
+        "transform(sequence(1, 4), i -> CAST(id * i % 11 AS FLOAT)) AS embedding "
+        "FROM range(100)"
+    )
+    out = engine.execute(
+        "SELECT * FROM vector_search('vs_t', 'embedding', "
+        "ARRAY[1.0, 2.0, 3.0, 4.0], 5, 'L2', 'vec_id % 2 = 0')"
+    ).collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] % 2 == 0 for r in out)
