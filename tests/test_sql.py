@@ -1126,3 +1126,38 @@ def test_sql_vector_search_with_prefilter(engine):
     ).collect()
     assert len(out) == 5
     assert all(r["vec_id"] % 2 == 0 for r in out)
+
+
+def test_sql_window_tvf_on_a_stream(engine, spark, tmp_path_str):
+    """Flink streaming SQL end-to-end: the TUMBLE TVF over a STREAMING
+    temp view plans a streaming aggregate; run availableNow, the final
+    state equals the batch TVF on the same data."""
+    from conftest import SF_DIR
+
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    stream_events(spark, SF_DIR, watermark="1 hour").createOrReplaceTempView(
+        "s_events"
+    )
+    sdf = engine.execute(
+        """SELECT window_start, COUNT(*) AS n
+           FROM TABLE(TUMBLE(TABLE s_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+           GROUP BY window_start, window_end"""
+    )
+    assert sdf.isStreaming
+    t = run_to_memory(sdf, state_partitions=8)
+    got = {
+        (r["window_start"], r["n"]) for r in spark.table(t).collect()
+    }
+    from lance_flink_spark.registry import table as reg_table
+
+    reg_table(spark, SF_DIR, "events").createOrReplaceTempView("b_events")
+    want = {
+        (r["window_start"], r["n"])
+        for r in engine.execute(
+            """SELECT window_start, COUNT(*) AS n
+               FROM TABLE(TUMBLE(TABLE b_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+               GROUP BY window_start, window_end"""
+        ).collect()
+    }
+    assert got == want and len(got) > 100
