@@ -1566,3 +1566,45 @@ def text_bigram_logprob(spark, sf_dir):
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+@query(
+    "text_feature_hash",
+    extra=True,  # gate budget; hashing-trick featurizer (sparse form)
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, u.token FROM (
+            SELECT doc_id, {_TOKS} AS arr FROM documents) t,
+            unnest(arr) AS u(token)
+        WHERE u.token <> '')
+    SELECT doc_id,
+           {_MD5I.format(x='token')} % 64 AS bucket,
+           COUNT(*) AS cnt
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization (the fixed-width vectorizer for
+    linear/quality models over unbounded vocabularies): token →
+    md5-derived bucket in [0, 64), per-doc bucket counts in sparse
+    long form (doc_id, bucket, cnt) — the dense array is a trivial
+    pivot at training time; the sparse form is what shuffles well.
+
+    One explode + one partial-agg shuffle on (doc_id, bucket); the
+    hash is the same md5i every other engine-reproducible operator
+    uses, so the oracle embeds identical arithmetic."""
+    from lance_flink_spark.functions.text import md5i
+
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        tok.withColumn("bucket", md5i(F.col("token")) % 64)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
