@@ -35,8 +35,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--extras"]
+    args = [a for a in sys.argv[1:] if a not in ("--extras", "--all")]
     extras = "--extras" in sys.argv[1:]
+    both = "--all" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -45,11 +46,16 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     qs, oracles = e.queries(), e.oracle_sql()
-    if extras:
+    if extras or both:
         from lance_flink_spark.registry import EXTRA_QUERIES, ORACLES
 
-        qs = dict(EXTRA_QUERIES)
-        oracles = {k: v for k, v in ORACLES.items() if k in qs}
+        ex = dict(EXTRA_QUERIES)
+        exo = {k: v for k, v in ORACLES.items() if k in ex}
+        if both:  # primary + extras in one session
+            qs = {**qs, **ex}
+            oracles = {**oracles, **exo}
+        else:
+            qs, oracles = ex, exo
 
     con = duckdb.connect()
     for t in TABLES:
