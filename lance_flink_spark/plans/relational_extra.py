@@ -853,3 +853,45 @@ def part_copurchase(spark, sf_dir):
         )
         .select("p1", "p2", "n_both", "n_p1", "n_p2")
     )
+
+
+@query(
+    "orders_grouping_sets",
+    extra=True,  # gate budget; explicit GROUPING SETS (CUBE/ROLLUP's general form)
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CASE WHEN o_orderpriority IS NULL AND o_orderstatus IS NULL THEN 3
+                WHEN o_orderstatus IS NULL THEN 1
+                WHEN o_orderpriority IS NULL THEN 2
+                ELSE 0 END AS gid,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form CUBE (#102) and
+    ROLLUP (#55) specialize; the four sets here are the cube of two
+    dims, with a derived grouping id (CASE over the NULL pattern, the
+    engine-portable spelling — Spark's grouping_id() bit order differs
+    from other engines, so the oracle-safe id is computed from the
+    output itself). Single-pass expand + one aggregate shuffle; money
+    as exact cents."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CASE WHEN o_orderpriority IS NULL AND o_orderstatus IS NULL THEN 3
+                    WHEN o_orderstatus IS NULL THEN 1
+                    WHEN o_orderpriority IS NULL THEN 2
+                    ELSE 0 END AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """
+    )
