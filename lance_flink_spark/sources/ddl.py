@@ -179,6 +179,26 @@ _SHOW_TABLES = re.compile(
     r"SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+(?P<db>[\w.]+))?\s*$", re.IGNORECASE
 )
 _SHOW_DBS = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
+_CREATE_CATALOG = re.compile(
+    # reference demo (flink-sql-demo.sql:118): CREATE CATALOG name
+    # WITH ('type'='lance', 'warehouse'=..., 'default-database'=...,
+    # 's3-access-key'=..., ...) — LanceCatalogFactory's option keys
+    r"CREATE\s+CATALOG\s+(?P<name>\w+)\s+WITH\s*\((?P<opts>[^)]*)\)\s*$",
+    re.IGNORECASE,
+)
+_USE_CATALOG = re.compile(r"USE\s+CATALOG\s+(?P<name>\w+)\s*$", re.IGNORECASE)
+_USE_DB = re.compile(r"USE\s+(?!CATALOG\b)(?P<name>\w+)\s*$", re.IGNORECASE)
+# LanceCatalogFactory.java:77-108 → Hadoop s3a configuration
+_S3_KEY_MAP = {
+    "s3-access-key": ("fs.s3a.access.key", None),
+    "s3-secret-key": ("fs.s3a.secret.key", None),
+    "s3-region": ("fs.s3a.endpoint.region", None),
+    "s3-endpoint": ("fs.s3a.endpoint", None),
+    # reference default TRUE; s3a expresses it inverted (path-style)
+    "s3-virtual-hosted-style": ("fs.s3a.path.style.access", "invert"),
+    # reference default FALSE; s3a expresses it as ssl-enabled
+    "s3-allow-http": ("fs.s3a.connection.ssl.enabled", "invert"),
+}
 _CREATE_DB = re.compile(
     r"CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE,
@@ -441,6 +461,33 @@ class SqlEngine:
         self.database = database
         self.options: dict[str, DatasetOptions] = {}
         self.matviews: dict = {}
+        self.catalogs: dict[str, Catalog] = {"default_catalog": catalog}
+
+    def _create_catalog(self, m: re.Match) -> None:
+        """CREATE CATALOG (LanceCatalogFactory parity): 'type' must be
+        lance; 'warehouse' roots the catalog; 'default-database' seeds
+        the database; the six s3-* keys (LanceCatalogFactory.java:
+        77-108) translate to the Hadoop s3a configuration the JVM
+        FileSystem actually reads — same keys, reference defaults
+        (virtual-hosted-style=true, allow-http=false)."""
+        opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts")))
+        if opts.get("type", "lance") != "lance":
+            raise ValueError(f"unsupported catalog type {opts.get('type')!r}")
+        if "warehouse" not in opts:
+            raise ValueError("CREATE CATALOG requires 'warehouse'")
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        for k, (hkey, mode) in _S3_KEY_MAP.items():
+            if k in opts:
+                v = opts[k]
+                if mode == "invert":
+                    v = str(str(v).lower() not in ("true", "1")).lower()
+                hconf.set(hkey, v)
+        cat = Catalog(
+            opts["warehouse"],
+            default_database=opts.get("default-database", "default"),
+        )
+        self.catalogs[m.group("name")] = cat
+        return None
 
     def _register(self, name: str) -> None:
         self.catalog.register(self.spark, self.database, name, view=name)
@@ -591,6 +638,22 @@ class SqlEngine:
             self.catalog.create_database(
                 m.group("name"), ignore_if_exists=bool(m.group("ine"))
             )
+            return None
+        m = _CREATE_CATALOG.match(sql)
+        if m:
+            return self._create_catalog(m)
+        m = _USE_CATALOG.match(sql)
+        if m:
+            if m.group("name") not in self.catalogs:
+                raise CatalogError(f"unknown catalog {m.group('name')!r}")
+            self.catalog = self.catalogs[m.group("name")]
+            self.database = self.catalog.default_database
+            return None
+        m = _USE_DB.match(sql)
+        if m:
+            if m.group("name") not in self.catalog.list_databases():
+                raise CatalogError(f"unknown database {m.group('name')!r}")
+            self.database = m.group("name")
             return None
         m = _ANALYZE.match(sql)
         if m and self._in_catalog(m.group("name")):

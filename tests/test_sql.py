@@ -1161,3 +1161,43 @@ def test_sql_window_tvf_on_a_stream(engine, spark, tmp_path_str):
         ).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_sql_create_use_catalog_and_database(engine, spark, tmp_path):
+    """The reference demo's catalog lifecycle (flink-sql-demo.sql:
+    118-133): CREATE CATALOG WITH warehouse + s3-* option keys
+    (translated to Hadoop s3a conf), USE CATALOG, CREATE/USE DATABASE,
+    then tables land under the new warehouse/database."""
+    wh = str(tmp_path / "wh2")
+    engine.execute(
+        f"""CREATE CATALOG lance_catalog WITH (
+              'type' = 'lance', 'warehouse' = '{wh}',
+              'default-database' = 'default',
+              's3-endpoint' = 'http://minio.local:9000',
+              's3-virtual-hosted-style' = 'false',
+              's3-allow-http' = 'true')"""
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://minio.local:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"   # inverted
+    assert hconf.get("fs.s3a.connection.ssl.enabled") == "false"  # inverted
+
+    engine.execute("USE CATALOG lance_catalog")
+    engine.execute("CREATE DATABASE IF NOT EXISTS vector_db")
+    engine.execute("USE vector_db")
+    engine.execute(
+        "CREATE TABLE emb (id BIGINT) WITH ('connector'='lance','path'='')"
+    )
+    engine.execute("INSERT INTO emb VALUES (1), (2)")
+    assert engine.execute("SELECT COUNT(*) AS n FROM emb").first()["n"] == 2
+    # the table physically lives under the new warehouse + database
+    from pathlib import Path
+
+    assert (Path(wh) / "vector_db" / "emb").exists()
+    # unknown catalog/database fail loudly
+    from lance_flink_spark.sources.catalog import CatalogError
+
+    with pytest.raises(CatalogError):
+        engine.execute("USE CATALOG nope")
+    with pytest.raises(CatalogError):
+        engine.execute("USE nope_db")
