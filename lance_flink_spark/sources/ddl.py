@@ -46,7 +46,22 @@ _CTAS = re.compile(
     r"(?:WITH\s*\((?P<opts>[^)]*)\)\s*)?AS\s+(?P<select>SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
-_DROP = re.compile(r"DROP\s+TABLE\s+(?P<name>[\w.]+)\s*;?\s*$", re.IGNORECASE)
+_DROP = re.compile(
+    r"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_DB = re.compile(
+    r"DROP\s+DATABASE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)"
+    r"(?:\s+(?P<cascade>CASCADE|RESTRICT))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_CATALOG = re.compile(
+    r"DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE
+)
+_CREATE_FUNCTION = re.compile(
+    r"CREATE\s+FUNCTION\s+(?P<name>\w+)\s+AS\s+'(?P<cls>[^']+)'\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RENAME = re.compile(
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+(?P<new>[\w.]+)\s*$",
     re.IGNORECASE,
@@ -579,8 +594,44 @@ class SqlEngine:
             return self._insert(m)
         m = _DROP.match(sql + ";")
         if m:
+            if m.group("ie") and not self._in_catalog(m.group("name")):
+                return None
             self.catalog.drop_table(self.database, m.group("name"))
             self.spark.catalog.dropTempView(m.group("name"))
+            return None
+        m = _DROP_DB.match(sql)
+        if m:
+            known = m.group("name") in self.catalog.list_databases()
+            if not known:
+                if m.group("ie"):
+                    return None
+                raise CatalogError(f"unknown database {m.group('name')!r}")
+            self.catalog.drop_database(
+                m.group("name"),
+                cascade=(m.group("cascade") or "").upper() == "CASCADE",
+            )
+            return None
+        m = _DROP_CATALOG.match(sql)
+        if m:
+            name = m.group("name")
+            if name not in self.catalogs:
+                if m.group("ie"):
+                    return None
+                raise CatalogError(f"unknown catalog {name!r}")
+            if self.catalogs[name] is self.catalog:
+                raise CatalogError("cannot drop the active catalog")
+            del self.catalogs[name]
+            return None
+        m = _CREATE_FUNCTION.match(sql)
+        if m:
+            # the reference registers LanceVectorSearchFunction this
+            # way (flink-sql-demo.sql:229); our vector_search SQL
+            # function is built in, so known classes are a no-op
+            # registration and unknown ones fail loudly
+            if not m.group("cls").endswith("LanceVectorSearchFunction"):
+                raise ValueError(
+                    f"unsupported function class {m.group('cls')!r}"
+                )
             return None
         m = _ALTER_RENAME.match(sql)
         if m:
@@ -861,6 +912,9 @@ class SqlEngine:
             # existing table raises (TableAlreadyExistsException) —
             # never silently replaces visible data
             raise CatalogError(f"table {self.database}.{name} already exists")
+        pre_opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_str))
+        if pre_opts.get("connector") == "datagen":
+            return self._create_datagen(name, cols, pre_opts)
         schema = T._parse_datatype_string(
             f"struct<{_spark_ddl_types(_strip_comments(cols))}>"
         )
@@ -1023,6 +1077,81 @@ class SqlEngine:
                 f"no {using} index on {m.group('name')}({m.group('col')})"
             )
         fsio.delete(path)
+        return None
+
+    def _create_datagen(self, name: str, cols: str, opts: dict) -> None:
+        """Flink's ``datagen`` testing connector (the reference demo's
+        realtime_events, flink-sql-demo.sql:204-216): a generated table
+        registered as a view.
+
+        - ``fields.X.kind='sequence'`` with start/end → BOUNDED: one
+          spark.range over the sequence (the demo's 1..1_000_000).
+          ``rows-per-second`` is advisory in bounded mode (a batch
+          engine reads the whole range; the knob exists for streams).
+        - no bounded sequence → Spark's ``rate`` STREAMING source at
+          ``rows-per-second``, value standing in for the sequence.
+        - other columns synthesize deterministically from the sequence
+          (md5-derived) so repeated reads agree: STRING of
+          ``fields.X.length``, ARRAY<FLOAT> of 4, numeric uniform;
+          ``c AS PROCTIME()`` → current_timestamp()."""
+        fields: list[tuple[str, str]] = []
+        for part in _split_top_level(_strip_comments(cols)):
+            part = part.strip()
+            mm = re.match(r"(\w+)\s+AS\s+PROCTIME\s*\(\s*\)\s*$", part, re.IGNORECASE)
+            if mm:
+                fields.append((mm.group(1), "PROCTIME"))
+                continue
+            nm, _, ty = part.partition(" ")
+            fields.append((nm.strip(), ty.strip().upper()))
+        seq = next(
+            (
+                (nm, int(opts[f"fields.{nm}.start"]), int(opts[f"fields.{nm}.end"]))
+                for nm, _ in fields
+                if opts.get(f"fields.{nm}.kind") == "sequence"
+                and f"fields.{nm}.end" in opts
+            ),
+            None,
+        )
+        if seq is not None:
+            nm0, start, end = seq
+            base = self.spark.range(start, end + 1).withColumnRenamed("id", "__seq")
+        else:
+            rps = int(opts.get("rows-per-second", "10"))
+            base = (
+                self.spark.readStream.format("rate")
+                .option("rowsPerSecond", rps)
+                .load()
+                .withColumn("__seq", F.col("value"))
+            )
+        out = []
+        for nm, ty in fields:
+            if opts.get(f"fields.{nm}.kind") == "sequence":
+                st = int(opts.get(f"fields.{nm}.start", "0"))
+                out.append((F.col("__seq") - F.lit(seq[1] if seq else 0) + F.lit(st)).alias(nm))
+            elif ty == "PROCTIME":
+                out.append(F.current_timestamp().alias(nm))
+            elif ty.startswith("STRING") or ty.startswith("VARCHAR"):
+                ln = int(opts.get(f"fields.{nm}.length", "16"))
+                out.append(
+                    F.substring(F.md5(F.concat(F.lit(nm), F.col("__seq").cast("string"))), 1, ln).alias(nm)
+                )
+            elif ty.startswith("ARRAY"):
+                out.append(
+                    F.expr(
+                        f"transform(sequence(1, 4), i -> cast("
+                        f"conv(substr(md5(concat('{nm}', __seq, i)), 1, 4), 16, 10) "
+                        f"/ 65535.0 as float))"
+                    ).alias(nm)
+                )
+            elif ty.startswith(("DOUBLE", "FLOAT")):
+                out.append(
+                    (F.conv(F.substring(F.md5(F.concat(F.lit(nm), F.col("__seq").cast("string"))), 1, 8), 16, 10).cast("double") / 4294967295.0).alias(nm)
+                )
+            else:  # integral default: uniform from the hash
+                out.append(
+                    F.conv(F.substring(F.md5(F.concat(F.lit(nm), F.col("__seq").cast("string"))), 1, 8), 16, 10).cast("long").alias(nm)
+                )
+        base.select(*out).createOrReplaceTempView(name)
         return None
 
     def _create_index(self, m: re.Match) -> DataFrame:

@@ -1201,3 +1201,69 @@ def test_sql_create_use_catalog_and_database(engine, spark, tmp_path):
         engine.execute("USE CATALOG nope")
     with pytest.raises(CatalogError):
         engine.execute("USE nope_db")
+
+
+def test_sql_datagen_connector_and_demo_tail(engine, spark):
+    """The reference demo's remaining statements execute end-to-end:
+    datagen source (bounded sequence) feeding a lance sink via INSERT
+    SELECT, CREATE FUNCTION registration, DROP TABLE/DATABASE/CATALOG
+    IF EXISTS (flink-sql-demo.sql:204-254)."""
+    engine.execute(
+        """CREATE TABLE realtime_events (
+               event_id BIGINT,
+               event_type STRING,
+               embedding ARRAY<FLOAT>,
+               event_time AS PROCTIME()
+           ) WITH (
+               'connector' = 'datagen',
+               'rows-per-second' = '100',
+               'fields.event_id.kind' = 'sequence',
+               'fields.event_id.start' = '1',
+               'fields.event_id.end' = '500',
+               'fields.event_type.length' = '10')"""
+    )
+    engine.execute(
+        """CREATE TABLE lance_events (
+               event_id BIGINT, event_type STRING, embedding ARRAY<FLOAT>
+           ) WITH ('connector' = 'lance', 'path' = '',
+                   'write.batch-size' = '1000', 'write.mode' = 'append')"""
+    )
+    engine.execute(
+        """INSERT INTO lance_events
+           SELECT event_id, event_type,
+                  ARRAY[RAND(), RAND(), RAND(), RAND()] as embedding
+           FROM realtime_events"""
+    )
+    row = engine.execute(
+        "SELECT COUNT(*) AS n, MIN(event_id) AS lo, MAX(event_id) AS hi, "
+        "MIN(length(event_type)) AS tl FROM lance_events"
+    ).first()
+    assert (row["n"], row["lo"], row["hi"], row["tl"]) == (500, 1, 500, 10)
+    # generated columns are deterministic across reads
+    a = engine.execute("SELECT event_type FROM realtime_events WHERE event_id = 7").first()
+    b = engine.execute("SELECT event_type FROM realtime_events WHERE event_id = 7").first()
+    assert a["event_type"] == b["event_type"]
+
+    engine.execute(
+        "CREATE FUNCTION vector_search AS "
+        "'org.apache.flink.connector.lance.table.LanceVectorSearchFunction'"
+    )
+    with pytest.raises(ValueError):
+        engine.execute("CREATE FUNCTION f AS 'com.example.Unknown'")
+
+    engine.execute("DROP TABLE IF EXISTS lance_events")
+    engine.execute("DROP TABLE IF EXISTS never_existed")  # no-op
+    engine.execute("DROP DATABASE IF EXISTS vector_db CASCADE")  # no-op
+    engine.execute("DROP CATALOG IF EXISTS lance_catalog")  # no-op
+    assert not engine.catalog.table_exists("default", "lance_events")
+
+
+def test_sql_datagen_unbounded_is_streaming(engine, spark):
+    engine.execute(
+        """CREATE TABLE ticks (tick_id BIGINT, label STRING)
+           WITH ('connector' = 'datagen', 'rows-per-second' = '5',
+                 'fields.tick_id.kind' = 'sequence',
+                 'fields.tick_id.start' = '0',
+                 'fields.label.length' = '4')"""
+    )
+    assert spark.table("ticks").isStreaming
