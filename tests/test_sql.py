@@ -1267,3 +1267,32 @@ def test_sql_datagen_unbounded_is_streaming(engine, spark):
                  'fields.label.length' = '4')"""
     )
     assert spark.table("ticks").isStreaming
+
+
+def test_sql_recursive_cte_date_spine(engine, spark):
+    """Spark 4's WITH RECURSIVE (incl. MAX RECURSION LEVEL) works
+    through the engine: a bounded integer-step date spine densifies a
+    gap-y daily series with zero-fill. Kept as a pytest surface demo —
+    Spark executes one plan iteration PER recursion step, so a long
+    spine belongs to the sequence()/explode gapfill (#104), not to
+    recursion."""
+    spark.sql(
+        "SELECT * FROM VALUES (DATE'2024-01-01', 5), (DATE'2024-01-04', 2) "
+        "AS t(day, n)"
+    ).createOrReplaceTempView("daily_gap")
+    out = engine.execute(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT MIN(day) AS lo,
+                   datediff(MAX(day), MIN(day)) AS span FROM daily_gap),
+        spine(i) MAX RECURSION LEVEL 50 AS (
+            SELECT 0 UNION ALL SELECT i + 1 FROM spine, bounds WHERE i < span),
+        days AS (SELECT date_add(lo, i) AS day FROM spine, bounds)
+        SELECT days.day, COALESCE(g.n, 0) AS n
+        FROM days LEFT JOIN daily_gap g ON days.day = g.day
+        ORDER BY days.day
+        """
+    ).collect()
+    assert [(str(r["day"]), r["n"]) for r in out] == [
+        ("2024-01-01", 5), ("2024-01-02", 0), ("2024-01-03", 0), ("2024-01-04", 2),
+    ]
