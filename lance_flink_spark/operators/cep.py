@@ -85,3 +85,42 @@ def match_sequence(
             "duration_us", F.col(f"t{n - 1}_us") - F.col("t0_us")
         )
     )
+
+
+def match_absence(
+    events: DataFrame,
+    first: str,
+    absent: str,
+    within: str = "24 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Negative pattern (Flink CEP ``notFollowedBy`` within a time
+    bound): every ``first`` event with NO ``absent`` event in
+    (event, event + within] for the same key — the
+    abandonment/churn/timeout shape. Same single-exchange reverse-min
+    construction as match_sequence; the absence test is one null/range
+    check on the earliest following candidate."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col(type_col) == absent, F.struct(F.col(ts_col), F.col(id_col)))
+    ).over(w)
+    df = events.withColumn("__nxt", nxt)
+    followed = F.col(f"__nxt.{ts_col}").isNotNull() & (
+        F.col(f"__nxt.{ts_col}") <= F.col(ts_col) + F.expr(f"INTERVAL {within}")
+    )
+    return (
+        df.filter(F.col(type_col) == first)
+        .filter(~followed)
+        .select(
+            key_col,
+            F.col(id_col).alias("start_event_id"),
+            F.unix_micros(F.col(ts_col)).alias("t0_us"),
+        )
+    )

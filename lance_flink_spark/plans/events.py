@@ -482,3 +482,31 @@ def streaming_match_sequence(spark, sf_dir):
     )
     t = run_to_memory(out, mode="append", state_partitions=8)
     return spark.table(t)
+
+
+@query(
+    "events_abandoned",
+    extra=True,  # gate budget; CEP negative pattern (notFollowedBy)
+    oracle="""
+    SELECT v.user_id, v.event_id AS start_event_id,
+           epoch_us(v.ts) AS t0_us
+    FROM events v
+    LEFT JOIN LATERAL (
+        SELECT ts FROM events p
+        WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+          AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+    WHERE v.event_type = 'view'
+      AND (p.ts IS NULL OR p.ts > v.ts + INTERVAL 24 HOUR)
+    """,
+)
+def events_abandoned(spark, sf_dir):
+    """Flink CEP notFollowedBy: views with NO purchase within 24h —
+    the abandonment/timeout pattern (operators/cep.py::match_absence,
+    one keyed exchange, zero joins). The oracle replays it with a
+    LATERAL earliest-candidate left join."""
+    from lance_flink_spark.operators.cep import match_absence
+
+    return match_absence(
+        table(spark, sf_dir, "events"), "view", "purchase", within="24 hours"
+    )

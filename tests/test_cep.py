@@ -239,3 +239,23 @@ def test_streaming_match_equals_batch_on_same_data(spark, tmp_path_str):
         ).collect()
     }
     assert got == want
+
+
+def test_match_absence_not_followed_by(spark):
+    """notFollowedBy: a view with no purchase within the window
+    matches; one WITH a purchase doesn't; other users don't count."""
+    from lance_flink_spark.operators.cep import match_absence
+
+    e = _ev(
+        spark,
+        [
+            (1, 0, "view"),       # purchase at +30min -> NOT abandoned
+            (1, 30, "purchase"),
+            (1, 100, "view"),     # next purchase at +200 -> abandoned (1h window)
+            (1, 300, "purchase"),
+            (2, 0, "view"),       # user 2 never purchases -> abandoned
+        ],
+    )
+    out = match_absence(e, "view", "purchase", within="1 hour").collect()
+    got = sorted((r["user_id"], r["start_event_id"]) for r in out)
+    assert got == [(1, 2), (2, 4)]
