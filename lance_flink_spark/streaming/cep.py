@@ -151,3 +151,114 @@ def stream_match_sequence(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ABSENCE_STATE = "ts array<long>, eid array<long>"
+
+
+def stream_match_absence(
+    events: DataFrame,
+    first: str,
+    absent: str,
+    within: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """STREAMING notFollowedBy — the true Flink CEP timeout pattern:
+    an abandonment can only be DECLARED when the event-time clock
+    (the watermark) passes first_ts + within with no ``absent`` event
+    having arrived. Pending ``first`` events live in per-key state; a
+    qualifying ``absent`` arrival cancels them; the single per-key
+    event-time timer re-arms to the EARLIEST pending deadline and
+    emits expired pendings on fire (Flink's onTimer, via
+    GroupStateTimeout.EventTimeTimeout + getCurrentWatermarkMs).
+
+    Emission schema matches the batch ``match_absence``:
+    (key, start_event_id, t0_us). State per key = pending firsts
+    within one window — bounded by per-key arrival rate × within."""
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    qty, unit = within.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit.lower()]
+    within_us = int(qty) * mult * 1_000_000
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, start_event_id long, t0_us long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ts, eid = (list(x) for x in state.get) if state.exists else ([], [])
+        out_ids, out_ts = [], []
+
+        def flush_expired(wm_us):
+            nonlocal ts, eid
+            keep_t, keep_i = [], []
+            for t, i in zip(ts, eid):
+                if t + within_us <= wm_us:
+                    out_ts.append(t)
+                    out_ids.append(i)
+                else:
+                    keep_t.append(t)
+                    keep_i.append(i)
+            ts, eid = keep_t, keep_i
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.hasTimedOut:
+            flush_expired(wm_us)
+        else:
+            rows = []
+            for pdf in pdfs:
+                tu = pdf[ts_col].astype("datetime64[us]").astype("int64")
+                for t, i, ty in zip(tu, pdf[id_col], pdf[type_col]):
+                    if ty == first or ty == absent:
+                        rows.append((int(t), int(i), ty))
+            rows.sort()
+            for t, i, ty in rows:
+                if ty == first:
+                    ts.append(t)
+                    eid.append(i)
+                else:  # absent event: cancels pendings it follows in-window;
+                    # pendings whose window ALREADY closed are abandoned
+                    keep_t, keep_i = [], []
+                    for pt, pi in zip(ts, eid):
+                        if pt < t <= pt + within_us:
+                            continue  # resolved — not abandoned
+                        if pt + within_us < t:
+                            out_ts.append(pt)
+                            out_ids.append(pi)
+                        else:
+                            keep_t.append(pt)
+                            keep_i.append(pi)
+                    ts, eid = keep_t, keep_i
+            flush_expired(wm_us)
+        if ts:
+            state.update((ts, eid))
+            # re-arm the single event-time timer at the earliest
+            # pending deadline (ms, the timer API's unit)
+            state.setTimeoutTimestamp((min(ts) + within_us) // 1000)
+        else:
+            state.remove()
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_ids),
+                    "start_event_id": out_ids,
+                    "t0_us": out_ts,
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_ABSENCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -259,3 +259,54 @@ def test_match_absence_not_followed_by(spark):
     out = match_absence(e, "view", "purchase", within="1 hour").collect()
     got = sorted((r["user_id"], r["start_event_id"]) for r in out)
     assert got == [(1, 2), (2, 4)]
+
+
+def test_streaming_absence_timer_semantics(spark, tmp_path_str):
+    """Streaming notFollowedBy: an abandonment is declared only when
+    the WATERMARK passes first + within; a qualifying absent-event
+    arrival cancels the pending; sentinel events push the watermark to
+    fire the timers (the test_timers pattern)."""
+    import os
+
+    from lance_flink_spark.streaming.cep import stream_match_absence
+
+    src = tmp_path_str + "/src"
+    os.makedirs(src)
+
+    def batch(i, rows):
+        spark.createDataFrame(
+            [
+                Row(event_id=e, ts=T0 + dt.timedelta(minutes=m), user_id=u, event_type=t)
+                for e, (u, m, t) in enumerate(rows, start=i * 100)
+            ]
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    # user 1: view at 0, purchase at 10 -> resolved (no abandonment)
+    # user 2: view at 0, nothing -> abandoned once watermark passes 60
+    # user 3: view at 5, purchase at 200 (outside 1h) -> abandoned
+    batch(0, [(1, 0, "view"), (2, 0, "view"), (3, 5, "view")])
+    batch(1, [(1, 10, "purchase")])
+    batch(2, [(3, 200, "purchase"), (99, 300, "error")])  # pushes watermark
+    batch(3, [(98, 400, "error")])  # second push so timers fire
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = stream_match_absence(sdf, "view", "purchase", within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("absq")
+        .outputMode("append")
+        .option("checkpointLocation", tmp_path_str + "/ckpt_abs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("absq").collect()
+    got = sorted((r["user_id"], r["start_event_id"]) for r in rows)
+    assert got == [(2, 1), (3, 2)]
