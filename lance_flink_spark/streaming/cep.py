@@ -178,8 +178,6 @@ def stream_match_absence(
     Emission schema matches the batch ``match_absence``:
     (key, start_event_id, t0_us). State per key = pending firsts
     within one window — bounded by per-key arrival rate × within."""
-    from pyspark.sql import types as T
-
     from lance_flink_spark.session import ship_package
 
     ship_package(events.sparkSession)
