@@ -1,0 +1,68 @@
+"""Dedup quality evaluation: the MinHash-LSH candidate pairs are
+measured against brute-force exact Jaccard ground truth — recall and
+precision become NUMBERS with gates, not prose claims (the same
+discipline the ANN indexes get from their recall-gated tests)."""
+
+from pyspark.sql import functions as F
+
+from lance_flink_spark.operators.dedup import minhash_lsh_pairs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _exact_jaccard_pairs(spark, thresh=0.5):
+    """Brute-force ground truth over the 500-doc corpus: 3-gram
+    shingle Jaccard for every pair (125k pairs — test-scale only)."""
+    from lance_flink_spark.functions.text import word_shingles
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    g = d.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text")))).alias("g")
+    )
+    inter = (
+        g.alias("a")
+        .join(g.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "ia").withColumnRenamed("n", "na"), "ia")
+        .join(sizes.withColumnRenamed("doc_id", "ib").withColumnRenamed("n", "nb"), "ib")
+        .withColumn("jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    )
+    return {
+        (r["ia"], r["ib"]) for r in j.filter(F.col("jac") >= thresh).collect()
+    }
+
+
+def test_minhash_recall_and_precision_vs_exact(spark):
+    truth = _exact_jaccard_pairs(spark, thresh=0.5)
+    assert truth, "ground truth must be non-empty for the gate to mean anything"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            k=16,
+            min_matches=8,
+            max_bucket=200,
+        ).select("id_a", "id_b").collect()
+    }
+    recall = len(truth & got) / len(truth)
+    cand_precision = len(truth & got) / max(len(got), 1)
+    # the CANDIDATE stage is recall-biased by design (that is the LSH
+    # contract: never lose a true pair; extra candidates are what the
+    # verify stage exists to cut) — so candidates gate on recall with
+    # only a fan-out sanity bound on precision
+    assert recall >= 0.9, f"candidate recall {recall:.3f} ({len(truth)} true pairs)"
+    assert cand_precision >= 0.1, f"candidate fan-out blew up: {len(got)} candidates"
+
+    # the VERIFIED pipeline (exact Jaccard over candidates, the same
+    # step dedup_ngram_jaccard runs) must recover precision ~1 while
+    # keeping recall: measure the end-to-end contract
+    verified = truth & got  # exact-Jaccard verify of candidates == intersection
+    v_recall = len(verified) / len(truth)
+    assert v_recall >= 0.9
+    # verified precision is 1.0 by construction of the verify step —
+    # the assertion documents that the pipeline ends exact, not fuzzy
+    assert verified <= truth
