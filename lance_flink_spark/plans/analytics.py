@@ -589,3 +589,42 @@ def events_time_weighted(spark, sf_dir):
         F.sum("dur_s").alias("sum_dur_s"),
         F.sum(F.col("vc") * F.col("dur_s")).alias("sum_value_dur"),
     )
+
+
+@query(
+    "orders_mom_growth",
+    extra=True,  # gate budget; month-over-month deltas (lag over rollup)
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1)
+    SELECT CAST(month AS TIMESTAMP) AS month, n, rev_c,
+           n - LAG(n) OVER (ORDER BY month) AS n_delta,
+           rev_c - LAG(rev_c) OVER (ORDER BY month) AS rev_delta_c
+    FROM m
+    """,
+)
+def orders_mom_growth(spark, sf_dir):
+    """Month-over-month growth (the business-reporting staple): lag
+    deltas over the MONTHLY rollup — the unpartitioned window runs on
+    the month-count frame (dozens of rows at ANY data scale; the facts
+    were already reduced by the rollup shuffle), so the global
+    ordering is driver-trivial, unlike the entity-frame ntile case.
+    All-integer deltas; growth RATIOS are consumer-side."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("long").alias("rev_c"),
+    )
+    w = W.orderBy("month")
+    return m.select(
+        "month",
+        "n",
+        "rev_c",
+        (F.col("n") - F.lag("n").over(w)).alias("n_delta"),
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("rev_delta_c"),
+    )
