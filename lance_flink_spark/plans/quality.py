@@ -618,3 +618,41 @@ def range_lookup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("vc"),
     )
+
+
+@query(
+    "orders_price_deciles",
+    extra=True,  # gate budget; distributed ntile on the FACT frame
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             NTILE(10) OVER (ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                             o_orderkey) AS decile
+      FROM orders)
+    SELECT decile, COUNT(*) AS n,
+           MIN(cents) AS lo_c, MAX(cents) AS hi_c, SUM(cents) AS sum_c
+    FROM t GROUP BY decile
+    """,
+)
+def orders_price_deciles(spark, sf_dir):
+    """Price deciles over the FACT table (every order row, not a
+    reduced entity frame) — the distributed exact NTILE
+    (operators/quantiles.py) at n=10 on the shape where a naive
+    global-window ntile hurts most. Same bit-exact-NTILE contract as
+    customer_spend_ntile, bigger frame, exact-integer surface."""
+    from lance_flink_spark.operators.quantiles import with_distributed_ntile
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    tiled = with_distributed_ntile(
+        o, 10, "cents", "o_orderkey", "decile", buckets=64
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_c"),
+        F.max("cents").alias("hi_c"),
+        F.sum("cents").alias("sum_c"),
+    )
