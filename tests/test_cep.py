@@ -310,3 +310,59 @@ def test_streaming_absence_timer_semantics(spark, tmp_path_str):
     rows = spark.table("absq").collect()
     got = sorted((r["user_id"], r["start_event_id"]) for r in rows)
     assert got == [(2, 1), (3, 2)]
+
+
+def test_streaming_absence_state_survives_restart(spark, tmp_path_str):
+    """A pending first-event RECOVERS from the checkpoint: a second
+    run's absent-arrival cancels it (no abandonment emitted), and a
+    different key's pending times out after the restart."""
+    import os
+
+    src = tmp_path_str + "/src_abs"
+    os.makedirs(src)
+    sink = tmp_path_str + "/sink_abs"
+
+    from lance_flink_spark.streaming.cep import stream_match_absence
+
+    def run():
+        sdf = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            )
+            .parquet(src + "/*")
+            .withWatermark("ts", "1 minute")
+        )
+        out = stream_match_absence(sdf, "view", "purchase", within="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", tmp_path_str + "/ckpt_abs2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(sink).collect()
+        except Exception:
+            return []
+
+    def batch(i, rows):
+        spark.createDataFrame(
+            [
+                Row(event_id=e, ts=T0 + dt.timedelta(minutes=m), user_id=u, event_type=t)
+                for e, (u, m, t) in enumerate(rows, start=i * 100)
+            ]
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    batch(0, [(1, 0, "view"), (2, 0, "view")])
+    assert run() == []  # both pending, nothing expired yet
+
+    # SECOND process run: user 1's purchase (in-window) cancels its
+    # recovered pending; the sentinel pushes the watermark past user
+    # 2's deadline so only user 2 is abandoned
+    batch(1, [(1, 30, "purchase"), (99, 120, "error")])
+    batch(2, [(98, 150, "error")])
+    rows = run()
+    got = sorted((r["user_id"], r["start_event_id"]) for r in rows)
+    assert got == [(2, 1)]
