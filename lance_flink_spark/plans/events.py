@@ -510,3 +510,43 @@ def events_abandoned(spark, sf_dir):
     return match_absence(
         table(spark, sf_dir, "events"), "view", "purchase", within="24 hours"
     )
+
+
+@query(
+    "streaming_latest_by_key",
+    extra=True,  # gate budget; Flink keep-last dedup over a STREAM
+    oracle="""
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def streaming_latest_by_key(spark, sf_dir):
+    """Flink keep-LAST deduplication over a STREAM
+    (streaming/dedup.py::stream_latest_by_key): update-mode emissions
+    land in the memory sink; the winner per key is monotone in the
+    order key, so the max emission IS the final state — reduced here
+    with the batch dedup window and compared against the same batch
+    oracle as events_latest_by_key (#162's streaming twin)."""
+    from lance_flink_spark.operators.changelog import latest_by_key
+    from lance_flink_spark.streaming.dedup import stream_latest_by_key
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark="1 hour").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+    )
+    out = stream_latest_by_key(
+        events, ["user_id", "event_type"], "ts_us", "event_id"
+    )
+    t = run_to_memory(out, mode="update", state_partitions=8)
+    return latest_by_key(
+        spark.table(t), ["user_id", "event_type"], "ts_us", "event_id"
+    )
