@@ -550,3 +550,48 @@ def streaming_latest_by_key(spark, sf_dir):
     return latest_by_key(
         spark.table(t), ["user_id", "event_type"], "ts_us", "event_id"
     )
+
+
+@query(
+    "sql_session_tvf",
+    extra=True,  # gate budget; Flink 1.17 SESSION TVF through the gate
+    oracle="""
+    WITH g AS (
+        SELECT user_id, epoch_us(ts) AS tu,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (
+        SELECT user_id, tu,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+    SELECT user_id,
+           MIN(tu) AS window_start_us,
+           MAX(tu) + 1800000000 AS window_end_us,
+           COUNT(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sql_session_tvf(spark, sf_dir):
+    """The Flink 1.17 SESSION windowing TVF executed through the SQL
+    dialect, hashed against the DuckDB gap-break dual — the TVF's
+    per-row window bounds aggregate to (user, session) rows with
+    exact integer-microsecond bounds (end = last ts + gap)."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    from lance_flink_spark.registry import scratch_dir
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("__tvf_events")
+    eng = SqlEngine(spark, Catalog(scratch_dir("tvf_cat")))
+    return eng.execute(
+        """SELECT user_id,
+                  unix_micros(window_start) AS window_start_us,
+                  unix_micros(window_end) AS window_end_us,
+                  COUNT(*) AS n
+           FROM TABLE(SESSION(TABLE __tvf_events PARTITION BY user_id,
+                              DESCRIPTOR(ts), INTERVAL '30' MINUTES))
+           GROUP BY user_id, window_start, window_end"""
+    )
