@@ -595,3 +595,34 @@ def sql_session_tvf(spark, sf_dir):
                               DESCRIPTOR(ts), INTERVAL '30' MINUTES))
            GROUP BY user_id, window_start, window_end"""
     )
+
+
+@query(
+    "sql_hop_tvf",
+    extra=True,  # gate budget; HOP TVF through the gate
+    oracle="""
+    SELECT ws AS window_start_s, COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+    FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * i AS BIGINT) AS ws, value
+          FROM events, unnest(range(0, 2)) t(i)) w
+    GROUP BY ws
+    """,
+)
+def sql_hop_tvf(spark, sf_dir):
+    """The Flink HOP windowing TVF through the SQL dialect (slide 5m,
+    size 10m — Flink argument order), hashed against the same
+    fan-out-arithmetic oracle as events_sliding; all-integer surface."""
+    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("__hop_events")
+    eng = SqlEngine(spark, Catalog(scratch_dir("tvf_cat")))
+    return eng.execute(
+        """SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS window_start_s,
+                  COUNT(*) AS n,
+                  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+           FROM TABLE(HOP(TABLE __hop_events, DESCRIPTOR(ts),
+                          INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+           GROUP BY window_start, window_end"""
+    )
