@@ -628,3 +628,52 @@ def orders_mom_growth(spark, sf_dir):
         (F.col("n") - F.lag("n").over(w)).alias("n_delta"),
         (F.col("rev_c") - F.lag("rev_c").over(w)).alias("rev_delta_c"),
     )
+
+
+@query(
+    "events_bursts",
+    extra=True,  # gate budget; burst detection vs trailing baseline
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket_s, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_s
+                          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS base6,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_s
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS k
+      FROM b)
+    SELECT event_type, bucket_s, n, base6, k,
+           (k = 6 AND 2 * n * 6 > 3 * base6) AS is_burst
+    FROM w
+    """,
+)
+def events_bursts(spark, sf_dir):
+    """Burst detection: a 5-minute bucket is a burst when its count
+    exceeds 1.5× the trailing 6-bucket average — expressed as the
+    ALL-INTEGER inequality 2·n·6 > 3·Σprev6 (no division anywhere on
+    the hashed surface; buckets with an incomplete baseline are never
+    flagged). One rollup shuffle on (type, bucket), then a per-type
+    trailing frame over the BUCKET series (bounded rows per key, the
+    reduced frame — never the facts)."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long").alias("bucket_s"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("bucket_s").rowsBetween(-6, -1)
+    return b.select(
+        "event_type",
+        "bucket_s",
+        "n",
+        F.sum("n").over(w).alias("base6"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    ).withColumn(
+        "is_burst",
+        (F.col("k") == 6) & (2 * F.col("n") * 6 > 3 * F.col("base6")),
+    )
