@@ -626,3 +626,41 @@ def sql_hop_tvf(spark, sf_dir):
                           INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
            GROUP BY window_start, window_end"""
     )
+
+
+@query(
+    "streaming_earliest_by_key",
+    extra=True,  # gate budget; keep-FIRST (event-time) dedup over a stream
+    oracle="""
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def streaming_earliest_by_key(spark, sf_dir):
+    """Flink keep-FIRST deduplication with an EVENT-TIME winner
+    (deterministic, unlike arrival-order dropDuplicates): the keep
+    flag on stream_latest_by_key flips the state comparison; final
+    state == the batch ROW_NUMBER ASC oracle."""
+    from lance_flink_spark.operators.changelog import earliest_by_key
+    from lance_flink_spark.streaming.dedup import stream_latest_by_key
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark="1 hour").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+    )
+    out = stream_latest_by_key(
+        events, ["user_id", "event_type"], "ts_us", "event_id", keep="first"
+    )
+    t = run_to_memory(out, mode="update", state_partitions=8)
+    return earliest_by_key(
+        spark.table(t), ["user_id", "event_type"], "ts_us", "event_id"
+    )

@@ -39,6 +39,7 @@ def stream_latest_by_key(
     keys: list[str],
     order_col: str,
     tiebreak_col: str,
+    keep: str = "last",
 ) -> DataFrame:
     """Flink deduplication, keep-LAST mode (ORDER BY ... DESC): the
     current winner per key, revised as later rows arrive — Flink's
@@ -48,7 +49,11 @@ def stream_latest_by_key(
     the same O(keys) bound Flink documents for keep-last dedup. Each
     micro-batch emits only keys whose winner changed. The batch dual
     is ``operators/changelog.latest_by_key`` (same total order:
-    order_col DESC, tiebreak DESC)."""
+    order_col DESC, tiebreak DESC). ``keep="first"`` flips the
+    comparison to EVENT-TIME-earliest — Flink's keep-first mode with
+    a deterministic (event-time) winner, unlike
+    dropDuplicatesWithinWatermark's arrival-order first; batch dual
+    ``earliest_by_key``."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -65,13 +70,24 @@ def stream_latest_by_key(
     state_struct = T.StructType(pay_fields)
     oi, ti = payload.index(order_col), payload.index(tiebreak_col)
 
+    keep_last = keep == "last"
+
     def update(key, pdfs, state: GroupState):
         best = list(state.get) if state.exists else None
         changed = False
         for pdf in pdfs:
             for row in pdf[payload].itertuples(index=False):
                 row = list(row)
-                if best is None or (row[oi], row[ti]) > (best[oi], best[ti]):
+                better = (
+                    best is None
+                    or ((row[oi], row[ti]) > (best[oi], best[ti]))
+                    if keep_last
+                    else (
+                        best is None
+                        or ((row[oi], row[ti]) < (best[oi], best[ti]))
+                    )
+                )
+                if better:
                     best = row
                     changed = True
         if best is not None:
