@@ -66,3 +66,40 @@ def test_minhash_recall_and_precision_vs_exact(spark):
     # verified precision is 1.0 by construction of the verify step —
     # the assertion documents that the pipeline ends exact, not fuzzy
     assert verified <= truth
+
+
+def test_gopher_rule_boundaries(spark):
+    """Rule edges, pinned: word-count bounds inclusive, mean-word-len
+    as integer inequalities, diversity at exactly 30%, stopword >= 1."""
+    from pyspark.sql import Row
+
+    from lance_flink_spark.functions.text import gopher_rules
+    from pyspark.sql import functions as F
+
+    cases = {
+        # 10 distinct 3-char words incl. 'the' -> all rules pass
+        "pass_min": "the cat dog fox bat owl pig hen ant bee",
+        # 9 words -> word-count rule fails
+        "too_short": ("the " + "cat " * 8).strip(),
+        # words of 2 chars -> mean length fails (2*n < 3*n)
+        "short_words": ("of " * 10).strip(),
+        # 10 identical words -> diversity 1/10 < 30%
+        "repetitive": ("the " * 10).strip(),
+        # no stopwords
+        "no_stop": ("cat " * 10).strip(),
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(cases.values())]
+    )
+    cols = gopher_rules(F.col("text"))
+    out = {
+        list(cases)[r["doc_id"]]: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()
+    }
+    assert out["pass_min"]["passes_gopher"] is True
+    assert out["too_short"]["rule_word_count"] is False
+    assert out["short_words"]["rule_word_length"] is False
+    assert out["repetitive"]["rule_diversity"] is False
+    assert out["no_stop"]["rule_stopwords"] is False
+    # 'repetitive' is all 'the': stopword rule passes, diversity fails
+    assert out["repetitive"]["rule_stopwords"] is True
