@@ -130,3 +130,28 @@ def test_multi_axis_matches_single_axis(spark, spend):
     # cents-desc and neg-asc are the same total order modulo tiebreak
     # direction interplay is identical here (same tiebreak asc)
     assert all(a == b for _, a, b, _ in got)
+
+
+def test_null_keys_match_window_ntile(spark):
+    """NULL keys: asc buckets them first (bucket 0, Spark NULLS FIRST),
+    desc buckets them last — in both directions the distributed result
+    equals the window ntile bit-for-bit."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=i, v=None if i % 5 == 0 else float(i)) for i in range(40)]
+    )
+    for desc in (False, True):
+        key = F.col("v").desc() if desc else F.col("v").asc()
+        w = Window.orderBy(key, F.col("id").asc())
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn("t", F.ntile(4).over(w)).collect()
+        }
+        got = {
+            (r["id"], r["t"])
+            for r in with_distributed_ntile(
+                df, 4, "v", "id", "t", descending=desc, buckets=5
+            ).collect()
+        }
+        assert got == want, f"descending={desc}"
