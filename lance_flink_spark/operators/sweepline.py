@@ -56,6 +56,12 @@ def max_concurrency(
         )
     )
     lo, hi = b.agg(F.min("t"), F.max("t")).first()
+    if lo is None:  # empty input: empty result, correct schema
+        return (
+            events.select(F.col(key_col).cast("string").alias(key_col))
+            .limit(0)
+            .withColumn("max_concurrent", F.lit(0).cast("long"))
+        )
     width = max((int(hi) - int(lo)) // buckets + 1, 1)
     b = b.withColumn("__b", ((F.col("t") - F.lit(int(lo))) / width).cast("int"))
 

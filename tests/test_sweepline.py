@@ -83,3 +83,10 @@ def test_local_windows_are_bucket_partitioned(spark):
     )
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(k" in plan and "__b" in plan
+
+
+def test_empty_input_returns_empty_frame(spark):
+    e = spark.createDataFrame([], "event_type string, ts timestamp")
+    out = max_concurrency(e, duration_seconds=60)
+    assert out.count() == 0
+    assert out.columns == ["event_type", "max_concurrent"]
