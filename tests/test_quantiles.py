@@ -155,3 +155,10 @@ def test_null_keys_match_window_ntile(spark):
             ).collect()
         }
         assert got == want, f"descending={desc}"
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    out = with_distributed_ntile(df, 4, "v", "id", "t")
+    assert out.count() == 0
+    assert "t" in out.columns
