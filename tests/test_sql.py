@@ -1296,3 +1296,19 @@ def test_sql_recursive_cte_date_spine(engine, spark):
     assert [(str(r["day"]), r["n"]) for r in out] == [
         ("2024-01-01", 5), ("2024-01-02", 0), ("2024-01-03", 0), ("2024-01-04", 2),
     ]
+
+
+def test_sql_merge_when_conditional_insert(engine):
+    engine.execute(
+        """CREATE TABLE mw3 (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO mw3 VALUES (1, 1.0)")
+    engine.execute(
+        """MERGE INTO mw3 USING (
+             SELECT * FROM VALUES (2, 5.0), (3, -1.0) AS s(id, v)
+           ) ON id
+           WHEN NOT MATCHED AND s.v > 0 THEN INSERT *"""
+    )
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT * FROM mw3").collect()}
+    assert rows == {1: 1.0, 2: 5.0}  # negative-v row filtered by the clause cond
