@@ -1312,3 +1312,16 @@ def test_sql_merge_when_conditional_insert(engine):
     )
     rows = {r["id"]: r["v"] for r in engine.execute("SELECT * FROM mw3").collect()}
     assert rows == {1: 1.0, 2: 5.0}  # negative-v row filtered by the clause cond
+
+
+def test_sql_copy_into_json(engine, spark, tmp_path):
+    d = tmp_path / "inj"
+    d.mkdir()
+    (d / "p.json").write_text('{"id": 1, "v": 1.5}\n{"id": 2, "v": 2.5}\n')
+    engine.execute(
+        """CREATE TABLE cp_j (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    st = engine.execute(f"COPY INTO cp_j FROM '{d}' FILEFORMAT = JSON").first()
+    assert st["rows_loaded"] == 2
+    assert engine.execute("SELECT SUM(v) AS s FROM cp_j").first()["s"] == 4.0
