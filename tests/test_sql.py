@@ -1325,3 +1325,24 @@ def test_sql_copy_into_json(engine, spark, tmp_path):
     st = engine.execute(f"COPY INTO cp_j FROM '{d}' FILEFORMAT = JSON").first()
     assert st["rows_loaded"] == 2
     assert engine.execute("SELECT SUM(v) AS s FROM cp_j").first()["s"] == 4.0
+
+
+def test_sql_show_indexes_lists_vector(engine, spark):
+    engine.execute(
+        """CREATE TABLE vix (vec_id BIGINT, embedding ARRAY<FLOAT>)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        "INSERT INTO vix SELECT id AS vec_id, "
+        "transform(sequence(1, 4), i -> CAST(id * i % 7 AS FLOAT)) AS embedding "
+        "FROM range(50)"
+    )
+    engine.execute(
+        "CREATE INDEX ON vix (embedding) USING IVF_FLAT WITH ('index.num-partitions'='2')"
+    )
+    rows = engine.execute("SHOW INDEXES ON vix").collect()
+    assert [(r["column"], r["using"], r["fresh"]) for r in rows] == [
+        ("embedding", "VECTOR", True)
+    ]
+    engine.execute("DROP INDEX ON vix (embedding) USING IVF_FLAT")
+    assert engine.execute("SHOW INDEXES ON vix").count() == 0
