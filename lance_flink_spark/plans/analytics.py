@@ -677,3 +677,79 @@ def events_bursts(spark, sf_dir):
         "is_burst",
         (F.col("k") == 6) & (2 * F.col("n") * 6 > 3 * F.col("base6")),
     )
+
+
+@query(
+    "events_attribution",
+    extra=True,  # gate budget; first/last-touch conversion attribution
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tu,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+    w AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'view' THEN tu END) OVER (
+               PARTITION BY user_id ORDER BY tu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us,
+             MIN(CASE WHEN event_type = 'view' THEN tu END) OVER (
+               PARTITION BY user_id, sid) AS sess_first_view_us
+      FROM g)
+    SELECT user_id, event_id, tu AS purchase_us,
+           CASE WHEN last_view_us IS NOT NULL
+                 AND tu - last_view_us <= 3600000000
+                THEN last_view_us END AS last_touch_us,
+           sess_first_view_us AS first_touch_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Per-conversion attribution: for every purchase, the LAST view
+    within 1h (last-touch) and the FIRST view of the same 30-min-gap
+    session (first-touch) — the marketing-analytics dual of the funnel
+    rows (per-conversion attribution rows, not per-user flags). Two
+    window passes over ONE user_id exchange (running last-view, then
+    session-partitioned first-view); exact integer micros, NULL when
+    no qualifying touch exists."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("tu"),
+    )
+    wo = W.partitionBy("user_id").orderBy("tu", "event_id")
+    brk = F.when(
+        F.col("tu") - F.lag("tu").over(wo) > 1_800_000_000, 1
+    ).otherwise(0)
+    g = e.withColumn(
+        "sid", F.sum(brk).over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    view_tu = F.when(F.col("event_type") == "view", F.col("tu"))
+    w2 = g.select(
+        "*",
+        F.max(view_tu)
+        .over(wo.rowsBetween(W.unboundedPreceding, -1))
+        .alias("last_view_us"),
+        F.min(view_tu)
+        .over(W.partitionBy("user_id", "sid"))
+        .alias("sess_first_view_us"),
+    )
+    return w2.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("tu").alias("purchase_us"),
+        F.when(
+            F.col("last_view_us").isNotNull()
+            & (F.col("tu") - F.col("last_view_us") <= 3_600_000_000),
+            F.col("last_view_us"),
+        ).alias("last_touch_us"),
+        F.col("sess_first_view_us").alias("first_touch_us"),
+    )
