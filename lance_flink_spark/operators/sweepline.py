@@ -24,6 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+# NULL keys ride internally as this sentinel (an offsets equi-join on
+# ["k", "__b"] never matches NULL) and are restored to NULL on output.
+_NULL_KEY = "\x00__sweepline_null__"
+
+# Above this many distinct keys the bucketed form's driver collect
+# (keys × buckets rows) stops being "bounded by construction"; the
+# plain per-key window is already parallel there (one task per key,
+# many keys), so we route to it instead of surprising the driver.
+MAX_BUCKETED_KEYS = 2048
+
+
 def max_concurrency(
     events: DataFrame,
     duration_seconds: int,
@@ -40,11 +51,26 @@ def max_concurrency(
     rides as a string internally (the offsets frame needs one concrete
     type); the output column restores the input key values via the
     final groupBy, so string keys round-trip exactly — non-string keys
-    come back as their canonical string form."""
+    come back as their canonical string form. NULL keys form their own
+    group, as the SQL window-function oracle would.
+
+    When the key cardinality exceeds ``MAX_BUCKETED_KEYS`` (probed with
+    one approx_count_distinct agg), the bucketed decomposition would
+    collect keys × buckets rows to the driver — so the operator routes
+    to the per-key running-sum window instead, which at high key
+    cardinality is already parallel (skew lives in keys, not time)."""
     spark = events.sparkSession
     us = F.unix_micros(F.col(ts_col))
     dur_us = int(duration_seconds) * 1_000_000
-    key = F.col(key_col).cast("string")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY))
+
+    n_keys = events.agg(
+        F.approx_count_distinct(key).alias("n")
+    ).first()["n"]
+    if n_keys > MAX_BUCKETED_KEYS:
+        return _max_concurrency_per_key_window(
+            events, dur_us, key_col, ts_col
+        )
     b = (
         events.select(key.alias("k"), us.alias("t"), F.lit(1).alias("d"))
         .unionByName(
@@ -85,5 +111,38 @@ def max_concurrency(
     return (
         run.groupBy("k")
         .agg(F.max("__run").cast("long").alias("max_concurrent"))
-        .select(F.col("k").alias(key_col), "max_concurrent")
+        .select(_restore_null("k").alias(key_col), "max_concurrent")
+    )
+
+
+def _restore_null(col: str):
+    return F.when(F.col(col) == _NULL_KEY, F.lit(None)).otherwise(F.col(col))
+
+
+def _max_concurrency_per_key_window(
+    events: DataFrame, dur_us: int, key_col: str, ts_col: str
+) -> DataFrame:
+    """High-cardinality fallback: the plain per-key running sum —
+    `SUM(d) OVER (PARTITION BY k ORDER BY t, d)` — which shuffles once
+    on the key and runs one frame per key. With many keys that IS the
+    parallel plan (the bucketed decomposition exists for the opposite
+    regime: few keys, huge frames). Same half-open tie policy."""
+    us = F.unix_micros(F.col(ts_col))
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY))
+    b = (
+        events.select(key.alias("k"), us.alias("t"), F.lit(1).alias("d"))
+        .unionByName(
+            events.select(
+                key.alias("k"),
+                (us + F.lit(dur_us)).alias("t"),
+                F.lit(-1).alias("d"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy("t", "d")
+    return (
+        b.withColumn("__run", F.sum("d").over(w))
+        .groupBy("k")
+        .agg(F.max("__run").cast("long").alias("max_concurrent"))
+        .select(_restore_null("k").alias(key_col), "max_concurrent")
     )

@@ -67,7 +67,7 @@ _CENTS = "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
            MAX(CASE WHEN rn_a = 1 THEN vc END) AS open_c,
            MAX(vc) AS high_c, MIN(vc) AS low_c,
            MAX(CASE WHEN rn_d = 1 THEN vc END) AS close_c,
-           SUM(vc) AS volume_c, COUNT(*) AS n
+           CAST(SUM(vc) AS BIGINT) AS volume_c, COUNT(*) AS n
     FROM w GROUP BY event_type, day
     """,
 )
@@ -184,7 +184,8 @@ def token_heavy_hitters(spark, sf_dir):
     SELECT event_type, COUNT(*) AS n,
            ROUND(ANY_VALUE(med_c), 1) AS med_c,
            ROUND(ANY_VALUE(mad_c), 1) AS mad_c,
-           SUM(CASE WHEN ABS(vc - med_c) > 5 * mad_c THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN ABS(vc - med_c) > 5 * mad_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM dev GROUP BY event_type
     """,
 )
@@ -467,7 +468,7 @@ def events_seasonality(spark, sf_dir):
                 NTILE(4) OVER (ORDER BY monetary_c DESC, c) AS m_q
       FROM base)
     SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
-           SUM(monetary_c) AS segment_value_c
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_value_c
     FROM scored GROUP BY r_q, f_q, m_q
     """,
 )
@@ -524,7 +525,7 @@ def customer_rfm(spark, sf_dir):
       UNION ALL
       SELECT event_type, epoch_us(ts) + 1800 * 1000000, -1 FROM events)
     SELECT k AS event_type,
-           MAX(run) AS max_concurrent
+           CAST(MAX(run) AS BIGINT) AS max_concurrent
     FROM (SELECT k, SUM(d) OVER (PARTITION BY k ORDER BY t, d
                                  ROWS UNBOUNDED PRECEDING) AS run
           FROM b)
@@ -555,8 +556,8 @@ def events_concurrency(spark, sf_dir):
                     - epoch_us(ts)) // 1000000, 3600) AS dur_s
       FROM events)
     SELECT user_id, COUNT(*) AS n_intervals,
-           SUM(dur_s) AS sum_dur_s,
-           SUM(vc * dur_s) AS sum_value_dur
+           CAST(SUM(dur_s) AS BIGINT) AS sum_dur_s,
+           CAST(SUM(vc * dur_s) AS BIGINT) AS sum_value_dur
     FROM iv WHERE dur_s IS NOT NULL
     GROUP BY user_id
     """,
@@ -598,7 +599,8 @@ def events_time_weighted(spark, sf_dir):
     WITH m AS (
       SELECT date_trunc('month', o_orderdate) AS month,
              COUNT(*) AS n,
-             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
       FROM orders GROUP BY 1)
     SELECT CAST(month AS TIMESTAMP) AS month, n, rev_c,
            n - LAG(n) OVER (ORDER BY month) AS n_delta,

@@ -45,7 +45,7 @@ def streaming_tumbling(spark, sf_dir):
     "events_sliding",
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * i AS BIGINT) AS ws, value
           FROM events, unnest(range(0, 2)) t(i)) w
     GROUP BY ws
@@ -602,7 +602,7 @@ def sql_session_tvf(spark, sf_dir):
     extra=True,  # gate budget; HOP TVF through the gate
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 * i AS BIGINT) AS ws, value
           FROM events, unnest(range(0, 2)) t(i)) w
     GROUP BY ws

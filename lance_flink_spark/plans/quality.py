@@ -238,7 +238,7 @@ def retention_cohorts(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -535,7 +535,8 @@ def drift_psi(spark, sf_dir):
                                 ORDER BY n_chars, doc_id) AS i
       FROM documents
     )
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(2.0 * SUM(CAST(i AS BIGINT) * n_chars) / (COUNT(*) * SUM(n_chars))
                  - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
     FROM ranked GROUP BY source
@@ -588,7 +589,7 @@ def source_gini(spark, sf_dir):
       ) AS t(band, lo, hi)
     )
     SELECT band, COUNT(*) AS n,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS vc
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vc
     FROM events JOIN bands ON value >= lo AND value <= hi
     GROUP BY band
     """,
@@ -631,7 +632,8 @@ def range_lookup(spark, sf_dir):
                              o_orderkey) AS decile
       FROM orders)
     SELECT decile, COUNT(*) AS n,
-           MIN(cents) AS lo_c, MAX(cents) AS hi_c, SUM(cents) AS sum_c
+           MIN(cents) AS lo_c, MAX(cents) AS hi_c,
+           CAST(SUM(cents) AS BIGINT) AS sum_c
     FROM t GROUP BY decile
     """,
 )

@@ -534,7 +534,8 @@ def catalog_crud(spark, sf_dir):
         SELECT k, grp, CASE WHEN k % 10 = 1 THEN vc * 2 ELSE vc END AS vc
         FROM allr),
     fin AS (SELECT * FROM upd WHERE k % 10 <> 3)
-    SELECT grp, SUM(vc) AS sum_v, COUNT(*) AS cnt FROM fin GROUP BY grp
+    SELECT grp, CAST(SUM(vc) AS BIGINT) AS sum_v, COUNT(*) AS cnt
+    FROM fin GROUP BY grp
     """,
 )
 def matview_incremental(spark, sf_dir):
@@ -586,7 +587,7 @@ def matview_incremental(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT event_type, user_id,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v,
              COUNT(*) AS c
       FROM events GROUP BY event_type, user_id),
     r AS (
@@ -865,7 +866,8 @@ def part_copurchase(spark, sf_dir):
                 WHEN o_orderpriority IS NULL THEN 2
                 ELSE 0 END AS gid,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_c
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_c
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus), ())

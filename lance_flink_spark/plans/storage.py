@@ -125,7 +125,8 @@ def partitioned_events_path(spark, sf_dir) -> str:
     extra=True,  # gate budget: hive-partition pruning
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_cents
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
     GROUP BY event_type

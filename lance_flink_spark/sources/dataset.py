@@ -1373,7 +1373,10 @@ class Dataset:
         )
         if fsio.exists(rg_path):
             rgs = spark.read.parquet(rg_path).filter(F.col("_file").isin(files))
-            sel = rgs.filter(cond)
+            # NULL lo/hi = the footer had no usable min/max for this row
+            # group (NaN-bearing doubles, truncated binary stats): must
+            # READ it — cond alone evaluates NULL -> pruned -> lost rows
+            sel = rgs.filter(cond | F.col("lo").isNull())
             # both counts are metadata-parquet-sized (rows = row-group
             # count of the matched files), not data-sized
             n_sel, n_tot = sel.count(), rgs.count()
@@ -1422,7 +1425,10 @@ class Dataset:
             )
         return sorted(
             (r["_file"], r["rg"])
-            for r in spark.read.parquet(rg_path).filter(cond).select("_file", "rg").collect()
+            for r in spark.read.parquet(rg_path)
+            .filter(cond | F.col("lo").isNull())  # NULL stats = must-read
+            .select("_file", "rg")
+            .collect()
         )
 
     def _read_rowgroups(
@@ -1610,9 +1616,15 @@ class Dataset:
             inserts = source.join(
                 scan.select(on).distinct(), on, "left_anti"
             )
-            cond = insert_clauses[0].get("cond")
-            if cond:
-                inserts = inserts.alias("s").filter(F.expr(cond))
+            # first-match-wins over EVERY NOT MATCHED clause: all insert
+            # actions are insert-all here, so the row is inserted iff
+            # any clause fires (an unconditional clause fires always) —
+            # honoring only clause[0] would silently drop rows admitted
+            # by later clauses
+            fires = F.lit(False)
+            for c in insert_clauses:
+                fires = fires | (F.expr(c["cond"]) if c.get("cond") else F.lit(True))
+            inserts = inserts.alias("s").filter(fires)
             pieces.append(inserts.select(*[f.name for f in scan.schema.fields]))
         if affected:
             merged = pieces[0]

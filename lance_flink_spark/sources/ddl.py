@@ -1415,9 +1415,21 @@ class SqlEngine:
                 )
             else:
                 sets = {}
+                tgt_names = {f.name for f in target.fields}
                 for part in _split_top_level(cm.group("sets")):
                     col, _, expr = part.partition("=")
-                    sets[col.strip()] = expr.strip()
+                    col = col.strip()
+                    # Delta-style qualified SET target (t.qty = ...):
+                    # strip the target alias so the key matches the
+                    # unqualified field name merge_when compares against
+                    # — an unmatched key would be a silent no-op
+                    if col.lower().startswith("t."):
+                        col = col[2:].strip()
+                    if col not in tgt_names:
+                        raise ValueError(
+                            f"MERGE SET target {col!r} is not a column of {name!r}"
+                        )
+                    sets[col] = expr.strip()
                 clauses.append(
                     {"matched": True, "cond": cm.group("cond"), "action": "update",
                      "sets": sets}

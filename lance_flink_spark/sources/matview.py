@@ -182,12 +182,30 @@ class MaterializedAggregate:
                     *self.group_cols
                 )
                 # per-group rescan: ONLY the groups whose extremum was
-                # retracted — a semi-joined source scan bounded by the
-                # affected-group count, not a full recompute
-                rescanned = self._full_compute(spark, latest).join(
-                    rescan_keys, self.group_cols, "left_semi"
+                # retracted. The semi-join must land BELOW the aggregate
+                # (filter source rows, then groupBy) — Catalyst will not
+                # push a semi-join through a finished aggregate, and the
+                # post-agg form pays a full recompute on every
+                # extremum-touching refresh
+                rescanned = (
+                    self.source.read(spark, version=latest)
+                    .join(rescan_keys, self.group_cols, "left_semi")
+                    .groupBy(*self.group_cols)
+                    .agg(
+                        F.sum(self.value_col).alias("sum_v"),
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.min(self.value_col).alias("min_v"),
+                        F.max(self.value_col).alias("max_v"),
+                    )
                 )
                 state = folded.unionByName(rescanned)
+                # materialize before unpersisting the plan input
+                self.state.write(state, mode="overwrite")
+                merged.unpersist()
+                fsio.write_json_atomic(
+                    self._meta_path(), {"source_version": latest}
+                )
+                return latest
         # state overwrite + meta update; the state table is
         # single-writer (the refresher), so no CAS is needed here
         self.state.write(state, mode="overwrite")

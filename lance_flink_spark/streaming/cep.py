@@ -153,7 +153,7 @@ def stream_match_sequence(
     )
 
 
-_ABSENCE_STATE = "ts array<long>, eid array<long>"
+_ABSENCE_STATE = "ts array<long>, eid array<long>, abs_ts array<long>"
 
 
 def stream_match_absence(
@@ -177,7 +177,14 @@ def stream_match_absence(
 
     Emission schema matches the batch ``match_absence``:
     (key, start_event_id, t0_us). State per key = pending firsts
-    within one window — bounded by per-key arrival rate × within."""
+    within one window PLUS recent ``absent`` event times still above
+    the watermark — both bounded by per-key arrival rate × within.
+    The absent buffer exists for out-of-order arrival: a ``first``
+    landing in a LATER micro-batch than its cancelling ``absent``
+    (watermark-legal reordering) must still be cancelled, or a false
+    abandonment diverges from the batch oracle. An absent time is
+    droppable once the watermark passes it — no watermark-legal first
+    that it could cancel can arrive after that."""
     from lance_flink_spark.session import ship_package
 
     ship_package(events.sparkSession)
@@ -193,7 +200,10 @@ def stream_match_absence(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        ts, eid = (list(x) for x in state.get) if state.exists else ([], [])
+        ts, eid, abs_ts = (
+            (list(x) for x in state.get) if state.exists else ([], [], [])
+        )
+        ts, eid, abs_ts = list(ts), list(eid), list(abs_ts)
         out_ids, out_ts = [], []
 
         def flush_expired(wm_us):
@@ -221,10 +231,16 @@ def stream_match_absence(
             rows.sort()
             for t, i, ty in rows:
                 if ty == first:
+                    # an out-of-order first may arrive AFTER its
+                    # cancelling absent was processed in an earlier
+                    # batch — the buffered absent times resolve it
+                    if any(t < a <= t + within_us for a in abs_ts):
+                        continue  # resolved — never pending
                     ts.append(t)
                     eid.append(i)
                 else:  # absent event: cancels pendings it follows in-window;
                     # pendings whose window ALREADY closed are abandoned
+                    abs_ts.append(t)
                     keep_t, keep_i = [], []
                     for pt, pi in zip(ts, eid):
                         if pt < t <= pt + within_us:
@@ -237,11 +253,18 @@ def stream_match_absence(
                             keep_i.append(pi)
                     ts, eid = keep_t, keep_i
             flush_expired(wm_us)
-        if ts:
-            state.update((ts, eid))
-            # re-arm the single event-time timer at the earliest
-            # pending deadline (ms, the timer API's unit)
-            state.setTimeoutTimestamp((min(ts) + within_us) // 1000)
+        # an absent time at/below the watermark can never cancel a
+        # future watermark-legal first — evict it
+        abs_ts = [a for a in abs_ts if a > wm_us]
+        if ts or abs_ts:
+            state.update((ts, eid, abs_ts))
+            # re-arm the single event-time timer: the earliest pending
+            # deadline (ms, the timer API's unit), else — absents only —
+            # just past the last buffered absent so cleanup still fires
+            deadlines = [min(ts) + within_us] if ts else []
+            if abs_ts:
+                deadlines.append(max(abs_ts) + 1000)
+            state.setTimeoutTimestamp(min(deadlines) // 1000)
         else:
             state.remove()
         if out_ids:

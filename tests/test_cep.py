@@ -366,3 +366,55 @@ def test_streaming_absence_state_survives_restart(spark, tmp_path_str):
     rows = run()
     got = sorted((r["user_id"], r["start_event_id"]) for r in rows)
     assert got == [(2, 1)]
+
+
+def test_streaming_absence_out_of_order_first_is_cancelled(spark, tmp_path_str):
+    """A first event landing in a LATER micro-batch than its cancelling
+    absent event (out-of-order but watermark-legal) must still be
+    cancelled — the absent buffer in state exists for exactly this."""
+    import os
+
+    from lance_flink_spark.streaming.cep import stream_match_absence
+
+    src = tmp_path_str + "/src_ooo"
+    os.makedirs(src)
+
+    def batch(i, rows):
+        spark.createDataFrame(
+            [
+                Row(event_id=e, ts=T0 + dt.timedelta(minutes=m), user_id=u, event_type=t)
+                for e, (u, m, t) in enumerate(rows, start=i * 100)
+            ]
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    # user 7's purchase (t=30) is INGESTED before its view (t=10):
+    # batch 0 carries the purchase, batch 1 the view. Watermark delay
+    # (2h) keeps the view legal. A second user (8) views and never
+    # purchases -> the one true abandonment.
+    batch(0, [(7, 30, "purchase"), (8, 0, "view")])
+    batch(1, [(7, 10, "view")])
+    batch(2, [(99, 300, "error")])  # push watermark past deadlines
+    batch(3, [(98, 500, "error")])  # second push so timers fire
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "2 hours")
+    )
+    out = stream_match_absence(sdf, "view", "purchase", within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("absq_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", tmp_path_str + "/ckpt_abs_ooo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"] for r in spark.sql("SELECT * FROM absq_ooo").collect()
+    }
+    assert got == {8}  # user 7 resolved by the buffered absent

@@ -91,3 +91,46 @@ def test_incremental_update_extends_rowgroup_sidecar(ds, spark):
 
 def test_no_matching_rowgroups_returns_empty(ds, spark):
     assert ds.read_range(spark, "v", lower=1e9).count() == 0
+
+
+def test_null_stats_row_groups_are_must_read(spark, tmp_path_factory):
+    """A row group whose sidecar lo/hi is NULL (the footer had no
+    usable min/max — NaN-policy writers, truncated binary stats) must
+    be READ, not pruned: the prune condition on lo/hi evaluates NULL
+    for it, and NULL->filtered would silently lose its rows. Simulated
+    by nulling the sidecar rows for the row groups that hold the probe
+    range (Spark's own writer always emits stats, so the NULL shape is
+    injected the way a foreign writer would produce it)."""
+    import pandas as pd
+
+    root = str(tmp_path_factory.mktemp("rgnull") / "ds")
+    df = spark.range(2000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    d = Dataset(root)
+    d.write(df.coalesce(1), sort_by=["v"], row_group_bytes=4096)
+    d.build_scalar_index(spark, "v")
+
+    v = d.versions()[-1]
+    side = Path(d.path) / "_scalar_index" / "v" / f"v{v:04d}_rowgroups"
+    pdf = spark.read.parquet(str(side)).toPandas()
+    hit = (pdf["lo"] <= 260.0) & (pdf["hi"] >= 240.0)
+    assert hit.any(), "premise: some row group covers the probe range"
+    pdf.loc[hit, ["lo", "hi"]] = None
+    spark.createDataFrame(
+        pdf, "\u005ffile string, rg int, n_rows long, lo double, hi double"
+    ).write.mode("overwrite").parquet(str(side))
+
+    nulled = {
+        (r["_file"], int(r["rg"]))
+        for _, r in pdf[hit].iterrows()
+    }
+
+    # rows inside the now-stats-less row groups must still come back
+    got = sorted(
+        r["id"]
+        for r in d.read_range(spark, "v", lower=240.0, upper=260.0).collect()
+    )
+    assert got == list(range(240, 260))  # half-open [lower, upper)
+
+    # the introspection surface agrees: stats-less RGs are listed
+    listed = set(d.range_rowgroups(spark, "v", lower=240.0, upper=260.0))
+    assert nulled <= listed

@@ -1346,3 +1346,60 @@ def test_sql_show_indexes_lists_vector(engine, spark):
     ]
     engine.execute("DROP INDEX ON vix (embedding) USING IVF_FLAT")
     assert engine.execute("SHOW INDEXES ON vix").count() == 0
+
+
+def test_sql_merge_when_qualified_set_target(engine):
+    """Delta-style qualified SET target (UPDATE SET t.qty = ...) must
+    update — not silently no-op (the stored key must match the
+    unqualified field name merge_when compares against)."""
+    engine.execute(
+        """CREATE TABLE mwq (id BIGINT, qty BIGINT)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO mwq VALUES (1, 10), (2, 20)")
+    engine.execute(
+        """MERGE INTO mwq USING (
+             SELECT * FROM VALUES (1, 5) AS s(id, qty)
+           ) ON id
+           WHEN MATCHED THEN UPDATE SET t.qty = t.qty + s.qty"""
+    )
+    rows = {r["id"]: r["qty"] for r in engine.execute("SELECT * FROM mwq").collect()}
+    assert rows == {1: 15, 2: 20}
+
+
+def test_sql_merge_when_unknown_set_target_raises(engine):
+    import pytest
+
+    engine.execute(
+        """CREATE TABLE mwu (id BIGINT, qty BIGINT)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO mwu VALUES (1, 10)")
+    with pytest.raises(ValueError, match="not a column"):
+        engine.execute(
+            """MERGE INTO mwu USING (
+                 SELECT * FROM VALUES (1, 5) AS s(id, qty)
+               ) ON id
+               WHEN MATCHED THEN UPDATE SET nope = s.qty"""
+        )
+
+
+def test_sql_merge_when_multiple_not_matched_clauses(engine):
+    """Every NOT MATCHED clause admits rows (first-match-wins over
+    insert-all actions = OR of conditions) — honoring only the first
+    clause would drop rows admitted by later ones."""
+    engine.execute(
+        """CREATE TABLE mwm (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO mwm VALUES (1, 1.0)")
+    engine.execute(
+        """MERGE INTO mwm USING (
+             SELECT * FROM VALUES (2, 5.0), (3, -1.0), (4, 0.0) AS s(id, v)
+           ) ON id
+           WHEN NOT MATCHED AND s.v > 0 THEN INSERT *
+           WHEN NOT MATCHED AND s.v < 0 THEN INSERT *"""
+    )
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT * FROM mwm").collect()}
+    # v=0 row matches neither clause; the others insert
+    assert rows == {1: 1.0, 2: 5.0, 3: -1.0}

@@ -90,3 +90,37 @@ def test_empty_input_returns_empty_frame(spark):
     out = max_concurrency(e, duration_seconds=60)
     assert out.count() == 0
     assert out.columns == ["event_type", "max_concurrent"]
+
+
+def test_null_keys_form_their_own_group(spark):
+    """A NULL key must come back as its own row (the SQL window oracle
+    would produce one) — the offsets equi-join must not drop it."""
+    e = _ev(spark, [("a", 0), ("a", 1)]).unionByName(
+        spark.createDataFrame(
+            [Row(event_type=None, ts=T0), Row(event_type=None, ts=T0 + dt.timedelta(seconds=1))],
+            "event_type string, ts timestamp",
+        )
+    )
+    out = {r["event_type"]: r["max_concurrent"] for r in
+           max_concurrency(e, duration_seconds=10).collect()}
+    assert out == {"a": 2, None: 2}
+
+
+def test_high_cardinality_routes_to_per_key_window(spark, monkeypatch):
+    """Above MAX_BUCKETED_KEYS the operator must NOT collect
+    keys x buckets rows to the driver — it routes to the per-key
+    window plan (partitioned by k alone, no __b column)."""
+    import lance_flink_spark.operators.sweepline as sl
+
+    monkeypatch.setattr(sl, "MAX_BUCKETED_KEYS", 4)
+    e = _ev(spark, [(f"k{i}", j) for i in range(20) for j in (0, 5)])
+    df = sl.max_concurrency(e, duration_seconds=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__b" not in plan  # bucketed/offsets path not taken
+    out = {r["event_type"]: r["max_concurrent"] for r in df.collect()}
+    assert out == {f"k{i}": 2 for i in range(20)}
+    # and the answers agree with the bucketed form
+    monkeypatch.setattr(sl, "MAX_BUCKETED_KEYS", 2048)
+    bucketed = {r["event_type"]: r["max_concurrent"] for r in
+                sl.max_concurrency(e, duration_seconds=10).collect()}
+    assert out == bucketed

@@ -90,6 +90,18 @@ def main() -> int:
         if list(sdf.columns) != list(odf.columns):
             status.append(f"cols {list(sdf.columns)} != {list(odf.columns)}")
         if not status:
+            # Dtype-strict: the driver hashes canonicalized VALUES, and an
+            # int64-vs-float64 skew (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+            # float64) hashes differently even when values are equal. Any
+            # canonical-dtype mismatch after normalize() is a FAIL so the
+            # local gate is at least as strict as the driver's hasher.
+            for c in sdf.columns:
+                if str(sdf[c].dtype) != str(odf[c].dtype):
+                    status.append(
+                        f"dtype skew on {c!r}: spark={sdf[c].dtype} duckdb={odf[c].dtype}"
+                        " (wrap the oracle aggregate in CAST(... AS BIGINT/DOUBLE))"
+                    )
+        if not status:
             try:
                 pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             except AssertionError as ex:
