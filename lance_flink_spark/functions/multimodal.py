@@ -67,13 +67,16 @@ def resize_images(blobs: DataFrame, width: int = 64, height: int = 64) -> DataFr
                     "width": width,
                     "height": height,
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    # REAL resize for PPM/PNG blobs; stub for formats
-                    # that would need PIL/ffmpeg (per-blob dispatch)
+                    # REAL resize for PPM/PNG/baseline-JPEG blobs; stub
+                    # for formats that would need ffmpeg (per-blob
+                    # dispatch)
                     "thumb": pdf["content"].map(
                         lambda b: resize_ppm(b, width, height)
                         if bytes(b[:2]) == b"P6"
                         else resize_png(bytes(b), width, height)
                         if bytes(b[:8]) == _PNG_MAGIC
+                        else resize_jpeg(bytes(b), width, height)
+                        if bytes(b[:3]) == _JPEG_MAGIC
                         else resize_stub(b, width, height)
                     ),
                 }
@@ -133,13 +136,14 @@ def extract_metadata(blobs: DataFrame) -> DataFrame:
 
 # ---------- REAL codecs for container-decodable formats ----------
 #
-# PIL/ffmpeg are absent here (SURVEY §6), but three real formats need
+# PIL/ffmpeg are absent here (SURVEY §6), but four real formats need
 # nothing beyond numpy/stdlib: PPM (P6) images, PNG (zlib inflate +
-# the four scanline filters — see decode_png below), and PCM WAV
-# audio. The stubs above remain only for formats that genuinely
-# require external codecs (JPEG/MP4); these paths are REAL
-# decode/resize/feature implementations with the same mapInPandas
-# batch shape.
+# the four scanline filters — see decode_png below), baseline JPEG
+# (Huffman + dequant + numpy IDCT — see decode_jpeg below), and PCM
+# WAV audio. The stubs above remain only for formats that genuinely
+# require external codecs (MP4 demux, progressive JPEG); these paths
+# are REAL decode/resize/feature implementations with the same
+# mapInPandas batch shape.
 
 import io as _io
 import wave as _wave
@@ -386,12 +390,18 @@ def png_features(content: bytes) -> list[float]:
 
 def decode_auto(content: bytes) -> list[float]:
     """Magic-sniffing feature decoder: REAL paths for PPM ('P6'), PNG
-    (8-byte signature), and WAV ('RIFF'); deterministic stub for the
-    formats that genuinely need external codecs (JPEG/MP4)."""
+    (8-byte signature), baseline JPEG (FFD8FF), and WAV ('RIFF');
+    deterministic stub only for the formats that genuinely need
+    external codecs (MP4, progressive JPEG)."""
     if content[:2] == b"P6":
         return image_features(content)
     if content[:8] == _PNG_MAGIC:
         return png_features(content)
+    if content[:3] == _JPEG_MAGIC:
+        try:
+            return jpeg_features(content)
+        except ValueError:
+            return decode_stub(content)  # progressive (SOF2) etc.
     if content[:4] == b"RIFF":
         return audio_features(content)
     return decode_stub(content)
@@ -418,3 +428,476 @@ def extract_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(batches, schema=META_SCHEMA)
+
+
+# ---------- REAL baseline JPEG codec (stdlib + numpy, no PIL) ----------
+#
+# Baseline (non-progressive) JFIF needs nothing beyond what this
+# container has: marker parsing, canonical Huffman tables, dequant,
+# an 8x8 IDCT (one numpy matmul pair per block batch), and YCbCr->RGB.
+# The encoder exists so tests can synthesize real compressed input
+# without PIL; both use the spec's Annex-K quant tables and the
+# standard Huffman tables. Progressive JPEG (SOF2) and MP4 remain the
+# documented stub surface (SURVEY §6) — their decoders genuinely need
+# external codecs' complexity, not just arithmetic.
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K.1 quantization tables (luminance, chrominance), natural order
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Standard Huffman tables (Annex K.3): (bits[1..16], huffval)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> "np.ndarray":
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    C[0, :] = 1.0 / np.sqrt(8.0)
+    return C
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman: [(code, length)] aligned with vals."""
+    out, code = [], 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((code, length))
+            code += 1
+        code <<= 1
+    assert len(out) == len(vals)
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base quant table (1..100)."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((q * s + 50) / 100), 1, 255)
+
+
+def encode_jpeg(arr: "np.ndarray", quality: int = 90) -> bytes:
+    """(h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 → baseline JFIF
+    bytes (4:4:4, standard Huffman tables, IJG quality scaling)."""
+    import struct
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if ncomp == 3:
+        r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    elif ncomp == 1:
+        planes = [arr[..., 0].astype(np.float64)]
+    else:
+        raise ValueError(f"unsupported channel count {ncomp}")
+
+    qtabs = [_quality_scale(_QUANT_LUMA, quality)]
+    if ncomp == 3:
+        qtabs.append(_quality_scale(_QUANT_CHROMA, quality))
+
+    # canonical code lookup per (class, table)
+    def table(bits, vals):
+        return dict(zip(vals, _huff_codes(bits, vals)))
+
+    dc_t = [table(_DC_LUMA_BITS, _DC_LUMA_VALS), table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_t = [table(_AC_LUMA_BITS, _AC_LUMA_VALS), table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    hp = (h + 7) // 8 * 8
+    wp = (w + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((hp, wp))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]  # edge replicate
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp - 128.0)
+    for by in range(0, hp, 8):
+        for bx in range(0, wp, 8):
+            for ci in range(ncomp):
+                ti = 0 if ci == 0 else 1
+                block = padded[ci][by : by + 8, bx : bx + 8]
+                coef = _DCT_M @ block @ _DCT_M.T
+                q = np.round(coef.ravel() / qtabs[ti].reshape(8, 8).ravel()).astype(int)
+                zz = q[_ZIGZAG]
+                # DC
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                cat = _category(diff)
+                code, length = dc_t[ti][cat]
+                bw.write(code, length)
+                if cat:
+                    v = diff if diff > 0 else diff + (1 << cat) - 1
+                    bw.write(v, cat)
+                # AC
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_t[ti][0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    cat = _category(v)
+                    code, length = ac_t[ti][(run << 4) | cat]
+                    bw.write(code, length)
+                    vv = v if v > 0 else v + (1 << cat) - 1
+                    bw.write(vv, cat)
+                    run = 0
+                if run:
+                    code, length = ac_t[ti][0x00]  # EOB
+                    bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = [b"\xff\xd8", seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    for i, qt in enumerate(qtabs):
+        out.append(seg(0xDB, bytes([i]) + bytes(qt.astype(np.uint8).ravel()[_ZIGZAG])))
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp)
+    )
+    out.append(seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps))
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        if ncomp == 1 and tid == 1:
+            continue
+        out.append(seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)))
+    sos = bytes([ncomp]) + b"".join(
+        bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp)
+    ) + b"\x00\x3f\x00"
+    out.append(seg(0xDA, sos))
+    out.append(scan)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    self.pos -= 1  # a marker: stop feeding
+                    return
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:  # past the end: spec says pad with 1s
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        self.acc, self.nbits = 0, 0
+        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return
+            break
+
+
+def _build_decode_table(bits, vals):
+    """(length, code) → symbol for canonical Huffman decode."""
+    return {
+        (length, code): v
+        for v, (code, length) in zip(vals, _huff_codes(bits, vals))
+    }
+
+
+def _huff_decode(br: "_BitReader", table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(content: bytes) -> "np.ndarray":
+    """REAL baseline JPEG decode (SOF0): marker parse, Huffman +
+    dequant + numpy IDCT per block, nearest-neighbor chroma upsample,
+    YCbCr→RGB. Returns (h, w, 3) or (h, w, 1) uint8. Progressive
+    (SOF2) raises — that remains the documented stub surface."""
+    import struct
+
+    if content[:3] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad marker sync")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        payload = content[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                prec, tid = payload[p] >> 4, payload[p] & 0xF
+                n = 64 * (2 if prec else 1)
+                raw = payload[p + 1 : p + 1 + n]
+                tab = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.float64)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                )
+                nat = np.empty(64)
+                nat[_ZIGZAG] = tab  # stored in zigzag order
+                qtabs[tid] = nat
+                p += 1 + n
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                htabs[(cls, tid)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            comps = []
+            for i in range(nc):
+                cid, sf, qid = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "q": qid})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported (stub surface)")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = payload[0]
+            sel = {}
+            for i in range(ns):
+                cid, tt = payload[1 + 2 * i : 3 + 2 * i]
+                sel[cid] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                content, pos, frame, sel, qtabs, htabs, restart_interval
+            )
+    raise ValueError("no scan found")
+
+
+def _decode_scan(content, pos, frame, sel, qtabs, htabs, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    br = _BitReader(content[pos:])
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_and_skip_rst()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct, act = sel[c["id"]]
+                dc_tab = htabs[(0, dct)]
+                ac_tab = htabs[(1, act)]
+                q = qtabs[c["q"]]
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        zz = np.zeros(64)
+                        cat = _huff_decode(br, dc_tab)
+                        diff = _extend(br.read(cat), cat) if cat else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read(s), s)
+                            k += 1
+                        nat = np.empty(64)
+                        nat[_ZIGZAG] = zz
+                        block = (nat * q).reshape(8, 8)
+                        pix = _DCT_M.T @ block @ _DCT_M + 128.0
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + u) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+    # upsample to full resolution (nearest), crop, color-convert
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def resize_jpeg(content: bytes, width: int, height: int) -> bytes:
+    """REAL JPEG resize: decode → nearest-neighbor index map (same
+    policy as resize_ppm/png) → re-encode baseline."""
+    img = decode_jpeg(content)
+    h, w = img.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_jpeg(img[yi][:, xi])
+
+
+def jpeg_features(content: bytes) -> list[float]:
+    """REAL JPEG features — same contract as image_features/png_features
+    (per-channel means padded to 3, grayscale stddev)."""
+    img = decode_jpeg(content).astype(np.float64)
+    rgb = img[..., :3] if img.shape[2] >= 3 else np.repeat(img[..., :1], 3, axis=2)
+    gray = rgb.mean(axis=2)
+    return [
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+        float(gray.std()),
+    ]

@@ -414,7 +414,7 @@ def events_latest_by_key(spark, sf_dir):
 
 @query(
     "events_match_sequence",
-    extra=True,  # gate budget; CEP / MATCH_RECOGNIZE shape
+    # r8 rotation: promoted to the driver registry (CEP family evidence)
     oracle="""
     SELECT v.user_id, v.event_id AS start_event_id,
            epoch_us(v.ts) AS t0_us, epoch_us(c.ts) AS t1_us,
@@ -514,7 +514,7 @@ def events_abandoned(spark, sf_dir):
 
 @query(
     "streaming_latest_by_key",
-    extra=True,  # gate budget; Flink keep-last dedup over a STREAM
+    # r8 rotation: promoted to the driver registry (streaming dedup evidence)
     oracle="""
     SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
            CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
@@ -554,7 +554,7 @@ def streaming_latest_by_key(spark, sf_dir):
 
 @query(
     "sql_session_tvf",
-    extra=True,  # gate budget; Flink 1.17 SESSION TVF through the gate
+    # r8 rotation: promoted to the driver registry (SESSION TVF evidence)
     oracle="""
     WITH g AS (
         SELECT user_id, epoch_us(ts) AS tu,

@@ -623,7 +623,7 @@ def range_lookup(spark, sf_dir):
 
 @query(
     "orders_price_deciles",
-    extra=True,  # gate budget; distributed ntile on the FACT frame
+    # r8 rotation: promoted to the driver registry (distributed NTILE evidence)
     oracle="""
     WITH t AS (
       SELECT o_orderkey,

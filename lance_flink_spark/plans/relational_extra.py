@@ -12,6 +12,7 @@ from lance_flink_spark.registry import query, scratch_dir, table
 
 @query(
     "semi_anti_join",
+    extra=True,  # r8 rotation: demoted (semi/anti also exercised by q4/q22/decontaminate); still extras-oracle-checked
     oracle="""
     SELECT 'semi' AS kind, c_mktsegment AS grp, COUNT(*) AS n,
            CAST(NULL AS DOUBLE) AS val
@@ -120,6 +121,7 @@ def anti_join_inactive_parts(spark, sf_dir):
 
 @query(
     "orders_rollup",
+    extra=True,  # r8 rotation: demoted (ROLLUP family covered with grouping-sets/CUBE extras); still extras-oracle-checked
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            ROUND(SUM(o_totalprice), 2) AS total
@@ -139,6 +141,7 @@ def orders_rollup(spark, sf_dir):
 
 @query(
     "events_pivot",
+    extra=True,  # r8 rotation: demoted (stable 6 rounds; unpivot twin in extras); still extras-oracle-checked
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
@@ -168,6 +171,7 @@ def events_pivot(spark, sf_dir):
 
 @query(
     "set_ops_customers",
+    extra=True,  # r8 rotation: demoted (stable 6 rounds); still extras-oracle-checked
     oracle="""
     WITH urgent AS (SELECT DISTINCT o_custkey AS k FROM orders
                     WHERE o_orderpriority = '1-URGENT'),

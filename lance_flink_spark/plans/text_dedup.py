@@ -1416,7 +1416,7 @@ _QUALITY_EXPR = f"""
 
 @query(
     "dedup_canonical",
-    extra=True,  # gate budget; quality-argmax canonical selection
+    # r8 rotation: promoted to the driver registry for driver-grade hash evidence
     oracle=f"""
     WITH RECURSIVE capped AS (
         SELECT doc_id, i, sig FROM (

@@ -128,6 +128,7 @@ def knn_dot(spark, sf_dir):
 
 @query(
     "knn_filtered",
+    extra=True,  # r8 rotation: demoted (KNN covered by knn_metrics/knn_join primaries); still extras-oracle-checked
     oracle=f"""
     SELECT vec_id, label, distance FROM (
         SELECT e.vec_id, e.label,

@@ -174,3 +174,119 @@ def test_distributed_resize_real_for_png(spark):
     )
     out = resize_images(blobs, 8, 8).collect()[0]
     assert (decode_png(bytes(out["thumb"])) == decode_png(resize_png(png, 8, 8))).all()
+
+
+# ---------- baseline JPEG (Huffman + dequant + numpy IDCT) ----------
+
+
+def _smooth_rgb(h, w):
+    """Low-frequency test image: JPEG quantization error stays small."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (128 + 100 * np.sin(x / 11.0)).clip(0, 255)
+    g = (128 + 100 * np.cos(y / 13.0)).clip(0, 255)
+    b = ((x * 2 + y) / (h + w) * 200).clip(0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (24, 40), (17, 23)])  # non-multiple-of-8 too
+def test_jpeg_roundtrip_rgb(h, w):
+    from lance_flink_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(h, w)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(np.float64) - img.astype(np.float64))
+    assert err.mean() < 3.0 and err.max() <= 35  # IDCT/quant tolerance
+
+
+def test_jpeg_roundtrip_gray():
+    from lance_flink_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:20, 0:30]
+    g = (128 + 90 * np.sin((x + y) / 9.0)).clip(0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (20, 30, 1)
+    err = np.abs(dec[..., 0].astype(np.float64) - g.astype(np.float64))
+    assert err.mean() < 3.0
+
+
+def test_jpeg_flat_image_is_near_exact():
+    """A constant block has only a DC coefficient — decode must land
+    within quantization-of-DC distance of the input."""
+    from lance_flink_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert np.abs(dec.astype(int) - 77).max() <= 3
+
+
+def test_jpeg_quality_monotone():
+    """Lower quality -> fewer bytes (coarser quant tables)."""
+    from lance_flink_spark.functions.multimodal import encode_jpeg
+
+    img = _smooth_rgb(48, 48)
+    assert len(encode_jpeg(img, quality=30)) < len(encode_jpeg(img, quality=95))
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from lance_flink_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+    # flip the emitted SOF0 marker to SOF2 (progressive): must raise,
+    # and decode_auto must fall back to the stub rather than crash
+    enc = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
+    sof = bytes(enc).find(b"\xff\xc0")
+    assert sof > 0
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(enc))
+    from lance_flink_spark.functions.multimodal import decode_auto, decode_stub
+
+    assert decode_auto(bytes(enc)) == decode_stub(bytes(enc))
+
+
+def test_jpeg_features_match_decode():
+    from lance_flink_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_features,
+    )
+
+    enc = encode_jpeg(_smooth_rgb(32, 32), quality=90)
+    img = decode_jpeg(enc).astype(np.float64)
+    r, g, b, std = jpeg_features(enc)
+    assert r == pytest.approx(img[..., 0].mean())
+    assert std == pytest.approx(img.mean(axis=2).std())
+
+
+def test_distributed_decode_auto_takes_jpeg_path(spark):
+    """decode_auto inside mapInPandas: JPEG blobs get REAL features."""
+    from lance_flink_spark.functions.multimodal import encode_jpeg, jpeg_features
+
+    jpg = encode_jpeg(_smooth_rgb(24, 16), quality=90)
+    blobs = spark.createDataFrame(
+        [Row(doc_id=1, content=bytearray(jpg)),
+         Row(doc_id=2, content=bytearray(b"opaque"))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(blobs).collect()}
+    assert rows[1]["feature"] == pytest.approx(jpeg_features(jpg))
+    assert len(rows[2]["feature"]) == 3  # stub path
+
+
+def test_distributed_resize_real_for_jpeg(spark):
+    from lance_flink_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        resize_jpeg,
+    )
+
+    jpg = encode_jpeg(_smooth_rgb(32, 24), quality=90)
+    blobs = spark.createDataFrame(
+        [Row(doc_id=1, content=bytearray(jpg))], "doc_id long, content binary"
+    )
+    out = resize_images(blobs, 8, 8).collect()[0]
+    assert (
+        decode_jpeg(bytes(out["thumb"])) == decode_jpeg(resize_jpeg(jpg, 8, 8))
+    ).all()
