@@ -552,6 +552,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.buf)
 
+    def write_marker(self, marker: int) -> None:
+        """Byte-align (1-padded) and emit a raw marker (RSTn) — markers
+        are never byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, marker])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -564,9 +572,21 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(np.floor((q * s + 50) / 100), 1, 255)
 
 
-def encode_jpeg(arr: "np.ndarray", quality: int = 90) -> bytes:
+def encode_jpeg(
+    arr: "np.ndarray",
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 → baseline JFIF
-    bytes (4:4:4, standard Huffman tables, IJG quality scaling)."""
+    bytes (standard Huffman tables, IJG quality scaling).
+
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + box-averaged Cb/Cr per MCU — what cameras and
+    PIL emit by default, so the decoder's interleaved-MCU + chroma
+    upsample path gets real input). ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every N MCUs (the resync points long
+    scans carry)."""
     import struct
 
     if arr.ndim == 2:
@@ -584,9 +604,33 @@ def encode_jpeg(arr: "np.ndarray", quality: int = 90) -> bytes:
     else:
         raise ValueError(f"unsupported channel count {ncomp}")
 
+    if subsampling == "444" or ncomp == 1:
+        factors = [(1, 1)] * ncomp
+    elif subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    hp, wp = mcuy * vmax * 8, mcux * hmax * 8
+
     qtabs = [_quality_scale(_QUANT_LUMA, quality)]
     if ncomp == 3:
         qtabs.append(_quality_scale(_QUANT_CHROMA, quality))
+
+    # pad full-res (edge replicate), then per-component box-downsample
+    comps_px = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((hp, wp))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        ry, rx = vmax // factors[ci][1], hmax // factors[ci][0]
+        if ry > 1 or rx > 1:
+            pp = pp.reshape(hp // ry, ry, wp // rx, rx).mean(axis=(1, 3))
+        comps_px.append(pp - 128.0)
 
     # canonical code lookup per (class, table)
     def table(bits, vals):
@@ -597,52 +641,61 @@ def encode_jpeg(arr: "np.ndarray", quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * ncomp
-    hp = (h + 7) // 8 * 8
-    wp = (w + 7) // 8 * 8
-    padded = []
-    for p in planes:
-        pp = np.empty((hp, wp))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[-1:, :]  # edge replicate
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp - 128.0)
-    for by in range(0, hp, 8):
-        for bx in range(0, wp, 8):
+
+    def emit_block(block, ti, ci):
+        coef = _DCT_M @ block @ _DCT_M.T
+        q = np.round(coef.ravel() / qtabs[ti].reshape(8, 8).ravel()).astype(int)
+        zz = q[_ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        cat = _category(diff)
+        code, length = dc_t[ti][cat]
+        bw.write(code, length)
+        if cat:
+            v = diff if diff > 0 else diff + (1 << cat) - 1
+            bw.write(v, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_t[ti][0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            cat = _category(v)
+            code, length = ac_t[ti][(run << 4) | cat]
+            bw.write(code, length)
+            vv = v if v > 0 else v + (1 << cat) - 1
+            bw.write(vv, cat)
+            run = 0
+        if run:
+            code, length = ac_t[ti][0x00]  # EOB
+            bw.write(code, length)
+
+    mcu_count, rst_n = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.write_marker(0xD0 + rst_n)
+                rst_n = (rst_n + 1) % 8
+                pred[:] = [0] * ncomp
             for ci in range(ncomp):
                 ti = 0 if ci == 0 else 1
-                block = padded[ci][by : by + 8, bx : bx + 8]
-                coef = _DCT_M @ block @ _DCT_M.T
-                q = np.round(coef.ravel() / qtabs[ti].reshape(8, 8).ravel()).astype(int)
-                zz = q[_ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat = _category(diff)
-                code, length = dc_t[ti][cat]
-                bw.write(code, length)
-                if cat:
-                    v = diff if diff > 0 else diff + (1 << cat) - 1
-                    bw.write(v, cat)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_t[ti][0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    cat = _category(v)
-                    code, length = ac_t[ti][(run << 4) | cat]
-                    bw.write(code, length)
-                    vv = v if v > 0 else v + (1 << cat) - 1
-                    bw.write(vv, cat)
-                    run = 0
-                if run:
-                    code, length = ac_t[ti][0x00]  # EOB
-                    bw.write(code, length)
+                hf, vf = factors[ci]
+                for v in range(vf):
+                    for u in range(hf):
+                        by = (my * vf + v) * 8
+                        bx = (mx * hf + u) * 8
+                        emit_block(
+                            comps_px[ci][by : by + 8, bx : bx + 8], ti, ci
+                        )
+            mcu_count += 1
     scan = bw.flush()
 
     def seg(marker, payload):
@@ -652,7 +705,8 @@ def encode_jpeg(arr: "np.ndarray", quality: int = 90) -> bytes:
     for i, qt in enumerate(qtabs):
         out.append(seg(0xDB, bytes([i]) + bytes(qt.astype(np.uint8).ravel()[_ZIGZAG])))
     comps = b"".join(
-        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp)
+        bytes([i + 1, (factors[i][0] << 4) | factors[i][1], 0 if i == 0 else 1])
+        for i in range(ncomp)
     )
     out.append(seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps))
     for cls, tid, bits, vals in (
@@ -664,6 +718,8 @@ def encode_jpeg(arr: "np.ndarray", quality: int = 90) -> bytes:
         if ncomp == 1 and tid == 1:
             continue
         out.append(seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
     sos = bytes([ncomp]) + b"".join(
         bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp)
     ) + b"\x00\x3f\x00"

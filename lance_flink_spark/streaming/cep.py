@@ -38,6 +38,18 @@ _STATE_SCHEMA = (
 )
 
 
+def _duration_us(spec: str) -> int:
+    """'10 minutes' / '1 hour' → microseconds."""
+    qty, unit = spec.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit.lower()]
+    return int(qty) * mult * 1_000_000
+
+
 def _greedy_matches(ts, eid, etype, steps, within_us, emitted):
     """The batch operator's greedy binding, replayed over one key's
     sorted buffer. Returns (new_matches, matched_start_ids).
@@ -87,22 +99,31 @@ def stream_match_sequence(
     type_col: str = "event_type",
     id_col: str = "event_id",
     retention_slack_seconds: int = 3600,
+    allowed_lateness: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators/cep.match_sequence`` — same output
-    schema (key, start_event_id, t0_us..t{n-1}_us, duration_us)."""
+    schema (key, start_event_id, t0_us..t{n-1}_us, duration_us).
+
+    ``allowed_lateness`` is the explicit Flink-style lateness knob:
+    events arriving out of order by at most this much (relative to the
+    key's max event time) can still bind into a chain, because the
+    per-key buffer retains ``within + allowed_lateness`` of events.
+    It supersedes ``retention_slack_seconds`` when given (same
+    mechanism, duration-string surface). Events later than that are
+    past the eviction horizon — their chain partners are gone, the
+    same dropped-as-late contract Flink CEP documents for events
+    beyond the watermark plus lateness."""
     from lance_flink_spark.session import ship_package
 
     ship_package(events.sparkSession)
     n = len(steps)
-    qty, unit = within.split()
-    mult = {
-        "second": 1, "seconds": 1,
-        "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600,
-        "day": 86400, "days": 86400,
-    }[unit.lower()]
-    within_us = int(qty) * mult * 1_000_000
-    retain_us = within_us + retention_slack_seconds * 1_000_000
+    within_us = _duration_us(within)
+    slack_us = (
+        _duration_us(allowed_lateness)
+        if allowed_lateness is not None
+        else retention_slack_seconds * 1_000_000
+    )
+    retain_us = within_us + slack_us
     out_schema = _OUT_TMPL.format(
         key=key_col,
         key_type=events.schema[key_col].dataType.simpleString(),
@@ -188,12 +209,7 @@ def stream_match_absence(
     from lance_flink_spark.session import ship_package
 
     ship_package(events.sparkSession)
-    qty, unit = within.split()
-    mult = {
-        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
-    }[unit.lower()]
-    within_us = int(qty) * mult * 1_000_000
+    within_us = _duration_us(within)
     key_type = events.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, start_event_id long, t0_us long"
 

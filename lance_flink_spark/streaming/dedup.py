@@ -40,6 +40,8 @@ def stream_latest_by_key(
     order_col: str,
     tiebreak_col: str,
     keep: str = "last",
+    allowed_lateness: str | None = None,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Flink deduplication, keep-LAST mode (ORDER BY ... DESC): the
     current winner per key, revised as later rows arrive — Flink's
@@ -53,13 +55,26 @@ def stream_latest_by_key(
     comparison to EVENT-TIME-earliest — Flink's keep-first mode with
     a deterministic (event-time) winner, unlike
     dropDuplicatesWithinWatermark's arrival-order first; batch dual
-    ``earliest_by_key``."""
+    ``earliest_by_key``.
+
+    ``allowed_lateness`` is the explicit Flink-style lateness knob:
+    when given, it (re)sets the watermark on ``ts_col`` to that delay
+    AND the operator drops rows whose event time is behind the current
+    watermark (checked against ``getCurrentWatermarkMs`` per batch —
+    Spark does NOT auto-filter late input for
+    applyInPandasWithState, unlike aggregations), so a too-late row
+    can no longer revise a winner — Flink's "events later than
+    watermark + lateness are discarded" contract, surfaced
+    per-operator. Without it, the input stream's own watermark (or
+    none) governs and nothing is dropped."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from lance_flink_spark.session import ship_package
 
     ship_package(sdf.sparkSession)
+    if allowed_lateness is not None:
+        sdf = sdf.withWatermark(ts_col, allowed_lateness)
     payload = [c for c in sdf.columns if c not in keys]
     out_schema = sdf.schema
     key_fields = [out_schema[k] for k in keys]
@@ -71,13 +86,22 @@ def stream_latest_by_key(
     oi, ti = payload.index(order_col), payload.index(tiebreak_col)
 
     keep_last = keep == "last"
+    enforce_lateness = allowed_lateness is not None
+    tsi = payload.index(ts_col) if enforce_lateness else -1
 
     def update(key, pdfs, state: GroupState):
         best = list(state.get) if state.exists else None
         changed = False
+        wm_us = state.getCurrentWatermarkMs() * 1000 if enforce_lateness else 0
         for pdf in pdfs:
             for row in pdf[payload].itertuples(index=False):
                 row = list(row)
+                if enforce_lateness and wm_us:
+                    t_us = int(
+                        pd.Timestamp(row[tsi]).value // 1000
+                    )  # ns -> us
+                    if t_us < wm_us:
+                        continue  # late beyond allowed_lateness: drop
                 better = (
                     best is None
                     or ((row[oi], row[ti]) > (best[oi], best[ti]))

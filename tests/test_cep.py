@@ -418,3 +418,62 @@ def test_streaming_absence_out_of_order_first_is_cancelled(spark, tmp_path_str):
         r["user_id"] for r in spark.sql("SELECT * FROM absq_ooo").collect()
     }
     assert got == {8}  # user 7 resolved by the buffered absent
+
+
+@pytest.mark.parametrize(
+    "lateness,expect_match", [("3 hours", True), ("1 minute", False)]
+)
+def test_streaming_match_allowed_lateness_knob(
+    spark, tmp_path_str, lateness, expect_match
+):
+    """The explicit allowed_lateness knob: an out-of-order step event
+    binds into a chain iff it arrives within the lateness window of
+    the key's max event time — beyond it, the chain partners were
+    evicted (Flink's dropped-as-late contract)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.streaming.cep import stream_match_sequence
+
+    tag = lateness.replace(" ", "")
+    src = tmp_path_str + f"/src_{tag}"
+    os.makedirs(src)
+
+    def batch(i, rows):
+        spark.createDataFrame(
+            [
+                Row(event_id=e, ts=T0 + dt.timedelta(minutes=m), user_id=u, event_type=t)
+                for e, (u, m, t) in enumerate(rows, start=i * 100)
+            ]
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    # view at t=0; an unrelated event at t=120min advances user 1's max
+    # event time (buffer eviction horizon); the matching click at t=5
+    # arrives only afterwards, 115min out of order
+    batch(0, [(1, 0, "view")])
+    batch(1, [(1, 120, "error")])
+    batch(2, [(1, 5, "click")])
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "3 hours")
+    )
+    out = stream_match_sequence(
+        sdf, ["view", "click"], within="10 minutes", allowed_lateness=lateness
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"cep_late_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", tmp_path_str + f"/ckpt_{tag}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(f"cep_late_{tag}").collect()
+    assert bool(rows) == expect_match

@@ -290,3 +290,31 @@ def test_distributed_resize_real_for_jpeg(spark):
     assert (
         decode_jpeg(bytes(out["thumb"])) == decode_jpeg(resize_jpeg(jpg, 8, 8))
     ).all()
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_jpeg_subsampling_and_restart_variants(sub, ri):
+    """4:2:0 (interleaved multi-block MCUs + chroma upsample on
+    decode) and restart markers (byte-align + DC reset) round-trip;
+    chroma subsampling costs some color accuracy but never structure."""
+    from lance_flink_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(33, 46)  # non-multiple-of-16: exercises padding
+    enc = encode_jpeg(img, quality=92, subsampling=sub, restart_interval=ri)
+    dec = decode_jpeg(enc)
+    assert dec.shape == (33, 46, 3)
+    err = np.abs(dec.astype(np.float64) - img.astype(np.float64))
+    assert err.mean() < (1.5 if sub == "444" else 5.0)
+    if ri:
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert b"\xff\xd0" in enc  # at least one RST0
+
+
+def test_jpeg_420_is_smaller_than_444():
+    from lance_flink_spark.functions.multimodal import encode_jpeg
+
+    img = _smooth_rgb(64, 64)
+    assert len(encode_jpeg(img, subsampling="420")) < len(
+        encode_jpeg(img, subsampling="444")
+    )

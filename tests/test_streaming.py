@@ -378,3 +378,64 @@ def test_stream_latest_by_key_keep_last(spark, tmp_path_str):
         r["k"]: r["v"] for r in latest_by_key(batch, ["k"], "seq", "tb").collect()
     }
     assert {k: r["v"] for k, r in final.items()} == want
+
+
+def test_stream_latest_by_key_allowed_lateness_drops_late_rows(spark, tmp_path_str):
+    """The explicit allowed_lateness knob on keep-last dedup: a row
+    arriving later than the watermark allows is dropped before the
+    stateful operator and cannot revise the winner; without the knob
+    the same row wins."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.streaming.dedup import stream_latest_by_key
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def mk_src(tag):
+        src = tmp_path_str + f"/src_{tag}"
+        os.makedirs(src)
+        b0 = [Row(k="a", ts=t0, seq=1, tb=1, v="early")]
+        b1 = [Row(k="x", ts=t0 + dt.timedelta(hours=2), seq=1, tb=1, v="wm")]
+        # 115min out of order relative to the b1 watermark push
+        b2 = [Row(k="a", ts=t0 + dt.timedelta(minutes=5), seq=9, tb=1, v="late")]
+        for i, rows in enumerate([b0, b1, b2]):
+            spark.createDataFrame(
+                rows, "k string, ts timestamp, seq bigint, tb bigint, v string"
+            ).coalesce(1).write.parquet(f"{src}/b{i}")
+        return src
+
+    def run(tag, lateness):
+        src = mk_src(tag)
+        sdf = (
+            spark.readStream.schema(
+                "k string, ts timestamp, seq bigint, tb bigint, v string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = stream_latest_by_key(
+            sdf, ["k"], "seq", "tb", allowed_lateness=lateness
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"kl_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", tmp_path_str + f"/ckpt_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {}
+        for r in spark.table(f"kl_{tag}").collect():
+            cur = final.get(r["k"])
+            if cur is None or (r["seq"], r["tb"]) > (cur["seq"], cur["tb"]):
+                final[r["k"]] = r
+        return {k: r["v"] for k, r in final.items()}
+
+    # 1-minute lateness: the 115min-late row is discarded -> early wins
+    assert run("strict", "1 minute")["a"] == "early"
+    # 3-hour lateness: the same row is within bounds -> it wins
+    assert run("loose", "3 hours")["a"] == "late"
