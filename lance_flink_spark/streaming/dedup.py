@@ -94,14 +94,14 @@ def stream_latest_by_key(
         changed = False
         wm_us = state.getCurrentWatermarkMs() * 1000 if enforce_lateness else 0
         for pdf in pdfs:
-            for row in pdf[payload].itertuples(index=False):
+            sub = pdf[payload]
+            if enforce_lateness and wm_us:
+                t_us = (
+                    pdf[ts_col].astype("datetime64[us]").astype("int64")
+                )
+                sub = sub[t_us.to_numpy() >= wm_us]  # drop late rows
+            for row in sub.itertuples(index=False):
                 row = list(row)
-                if enforce_lateness and wm_us:
-                    t_us = int(
-                        pd.Timestamp(row[tsi]).value // 1000
-                    )  # ns -> us
-                    if t_us < wm_us:
-                        continue  # late beyond allowed_lateness: drop
                 better = (
                     best is None
                     or ((row[oi], row[ti]) > (best[oi], best[ti]))
