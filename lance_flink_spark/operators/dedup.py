@@ -637,12 +637,22 @@ def resolve_duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, keep_id):
     every doc that appears in a pair is labeled with the MINIMUM doc id
     reachable through the pair graph, i.e. the canonical survivor of
     its duplicate cluster (keep-one-per-cluster, the step that turns
     pairwise dedup output into an actual drop list).
+
+    SIZE-GATED execution (the ``registry.bcast`` pattern): the pair
+    graph is duplication-volume-sized, usually orders of magnitude
+    smaller than the corpus. When it fits under ``driver_max_edges``
+    (counted exactly — one cheap action on the already-needed frame),
+    an exact driver-side union-find resolves it in ONE pass instead of
+    O(diameter) Spark rounds, each of which costs two joins + a
+    checkpoint + a count of fixed job overhead. Above the gate, the
+    distributed path runs:
 
     Iterative min-label propagation: l(v) ← min(l(v), min over
     neighbors l(u)); converges in O(component diameter) rounds.
@@ -654,7 +664,39 @@ def resolve_duplicate_clusters(
     the published MapReduce CC algorithms (large-star/small-star,
     Kiveris et al. 2014), which are the contraction-style alternative
     when diameters are unbounded."""
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    n_edges = e.count()
+    if n_edges <= driver_max_edges:
+        # exact union-find with path compression + union-by-min: the
+        # collect is bounded by the gate (2M edges ≈ tens of MB), the
+        # result frame by node count
+        parent: dict = {}
+        nodes: set = set()
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        try:
+            for r in e.collect():
+                a, b = int(r["src"]), int(r["dst"])
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id so the root IS the keep_id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        finally:
+            e.unpersist()
+        return spark.createDataFrame(
+            [(x, find(x)) for x in sorted(nodes)], "doc_id long, keep_id long"
+        )
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -709,6 +751,7 @@ def resolve_duplicate_clusters(
         )
     finally:
         edges.unpersist()
+        e.unpersist()
 
 
 def resolve_duplicate_clusters_star(

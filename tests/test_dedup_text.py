@@ -426,10 +426,16 @@ def test_cc_iteration_budget_warns(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    for fn in (resolve_duplicate_clusters, resolve_duplicate_clusters_star):
+    # force the DISTRIBUTED label-prop path (driver_max_edges=0):
+    # under the size gate a small graph resolves exactly driver-side
+    # and max_iters never applies
+    for fn, kw in (
+        (resolve_duplicate_clusters, {"driver_max_edges": 0}),
+        (resolve_duplicate_clusters_star, {}),
+    ):
         with w.catch_warnings(record=True) as rec:
             w.simplefilter("always")
-            fn(chain, max_iters=1).collect()
+            fn(chain, max_iters=1, **kw).collect()
         assert any("max_iters" in str(r.message) for r in rec), fn.__name__
     # and a converging run stays silent
     with w.catch_warnings(record=True) as rec:
@@ -577,3 +583,30 @@ def test_cut_repeated_spans_keeps_first_occurrence(spark):
     assert out[2] == ("prefix tail", 4)
     assert 3 not in out  # every token cut → doc drops entirely
     assert out[4] == ("too short", 0)
+
+
+def test_cc_driver_gate_matches_distributed(spark):
+    """The size-gated driver union-find and the distributed label-prop
+    produce identical (doc_id, keep_id) labelings — including long
+    chains, multiple components, and isolated-pair clusters."""
+    import random
+
+    from lance_flink_spark.operators.dedup import resolve_duplicate_clusters
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(30)]          # one long chain
+    edges += [(100 + 2 * i, 101 + 2 * i) for i in range(10)]  # pairs
+    edges += [(rng.randrange(200, 230), rng.randrange(200, 230)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r["doc_id"], r["keep_id"])
+        for r in resolve_duplicate_clusters(pairs).collect()
+    }
+    slow = {
+        (r["doc_id"], r["keep_id"])
+        for r in resolve_duplicate_clusters(
+            pairs, driver_max_edges=0, max_iters=64
+        ).collect()
+    }
+    assert fast == slow and fast
