@@ -194,6 +194,16 @@ _SHOW_TABLES = re.compile(
     r"SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+(?P<db>[\w.]+))?\s*$", re.IGNORECASE
 )
 _SHOW_DBS = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
+_SHOW_CATALOGS = re.compile(r"SHOW\s+CATALOGS\s*$", re.IGNORECASE)
+_SHOW_VIEWS = re.compile(r"SHOW\s+VIEWS\s*$", re.IGNORECASE)
+_SHOW_FUNCTIONS = re.compile(r"SHOW\s+(?:USER\s+)?FUNCTIONS\s*$", re.IGNORECASE)
+_EXPLAIN = re.compile(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(?P<stmt>.+)$",
+                      re.IGNORECASE | re.DOTALL)
+# Flink SQL-client SET surface: SET 'key' = 'value' / SET / RESET 'key'
+_SET_QUOTED = re.compile(
+    r"SET\s+'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$", re.IGNORECASE
+)
+_RESET_QUOTED = re.compile(r"RESET\s+'(?P<k>[^']+)'\s*$", re.IGNORECASE)
 _CREATE_CATALOG = re.compile(
     # reference demo (flink-sql-demo.sql:118): CREATE CATALOG name
     # WITH ('type'='lance', 'warehouse'=..., 'default-database'=...,
@@ -477,6 +487,8 @@ class SqlEngine:
         self.options: dict[str, DatasetOptions] = {}
         self.matviews: dict = {}
         self.catalogs: dict[str, Catalog] = {"default_catalog": catalog}
+        # SHOW FUNCTIONS surface: built-ins + CREATE FUNCTION names
+        self.functions: dict[str, str] = {"vector_search": "built-in"}
 
     def _create_catalog(self, m: re.Match) -> None:
         """CREATE CATALOG (LanceCatalogFactory parity): 'type' must be
@@ -632,6 +644,7 @@ class SqlEngine:
                 raise ValueError(
                     f"unsupported function class {m.group('cls')!r}"
                 )
+            self.functions[m.group("name")] = m.group("cls")
             return None
         m = _ALTER_RENAME.match(sql)
         if m:
@@ -674,6 +687,31 @@ class SqlEngine:
         m = _MERGE.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._merge(m)
+        m = _EXPLAIN.match(sql)
+        if m:
+            return self._explain(m.group("stmt").strip())
+        if _SHOW_CATALOGS.match(sql):
+            rows = [(c, "yes" if self.catalogs[c] is self.catalog else "")
+                    for c in sorted(self.catalogs)]
+            return self.spark.createDataFrame(
+                rows, "catalog_name string, is_current string"
+            )
+        if _SHOW_VIEWS.match(sql):
+            rows = [(v,) for v in sorted(self.matviews)]
+            return self.spark.createDataFrame(rows or [], "view_name string")
+        if _SHOW_FUNCTIONS.match(sql):
+            rows = sorted(self.functions.items())
+            return self.spark.createDataFrame(
+                rows, "function_name string, class string"
+            )
+        m = _SET_QUOTED.match(sql)
+        if m:
+            self.spark.conf.set(m.group("k"), m.group("v"))
+            return None
+        m = _RESET_QUOTED.match(sql)
+        if m:
+            self.spark.conf.unset(m.group("k"))
+            return None
         m = _SHOW_TABLES.match(sql)
         if m:
             rows = [
@@ -822,6 +860,27 @@ class SqlEngine:
                 )
             )
         )
+
+    def _explain(self, stmt: str):
+        """``EXPLAIN [PLAN FOR] <query>`` — the Flink explain surface.
+        Restricted to QUERIES (SELECT/WITH/VALUES/TABLE): building the
+        plan for a query is side-effect-free (lazy DataFrame), whereas
+        explaining DML would require executing it here. The returned
+        single-row frame carries Spark's formatted plan — scan pushdown,
+        exchanges, and codegen stages are all visible to the user."""
+        head = stmt.split(None, 1)[0].upper() if stmt else ""
+        if head not in ("SELECT", "WITH", "VALUES", "TABLE"):
+            raise ValueError(
+                "EXPLAIN supports queries (SELECT/WITH/VALUES/TABLE), "
+                f"got {head or '<empty>'!r}"
+            )
+        df = self.execute(stmt)
+        jqe = df._jdf.queryExecution()
+        try:
+            plan = self.spark._jvm.PythonSQLUtils.explainString(jqe, "formatted")
+        except Exception:  # noqa: BLE001 - older/newer shims
+            plan = jqe.toString()
+        return self.spark.createDataFrame([(plan,)], "plan string")
 
     def _rewrite_meta_tables(self, sql: str) -> str:
         """Iceberg-style metadata tables for catalog tables:

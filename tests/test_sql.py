@@ -1403,3 +1403,58 @@ def test_sql_merge_when_multiple_not_matched_clauses(engine):
     rows = {r["id"]: r["v"] for r in engine.execute("SELECT * FROM mwm").collect()}
     # v=0 row matches neither clause; the others insert
     assert rows == {1: 1.0, 2: 5.0, 3: -1.0}
+
+
+def test_sql_explain_query(engine):
+    """EXPLAIN [PLAN FOR] <query> returns the formatted Spark plan;
+    DML is refused (explaining it would mean executing it)."""
+    import pytest
+
+    engine.execute(
+        """CREATE TABLE expl_t (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO expl_t VALUES (1, 1.0), (2, 2.0)")
+    plan = engine.execute(
+        "EXPLAIN PLAN FOR SELECT id, SUM(v) AS s FROM expl_t WHERE id > 0 GROUP BY id"
+    ).first()["plan"]
+    assert "Scan" in plan and ("HashAggregate" in plan or "Aggregate" in plan)
+    # bare EXPLAIN works too
+    assert "Scan" in engine.execute("EXPLAIN SELECT * FROM expl_t").first()["plan"]
+    with pytest.raises(ValueError, match="EXPLAIN supports queries"):
+        engine.execute("EXPLAIN INSERT INTO expl_t VALUES (3, 3.0)")
+
+
+def test_sql_show_catalogs_views_functions(engine):
+    cats = {r["catalog_name"]: r["is_current"]
+            for r in engine.execute("SHOW CATALOGS").collect()}
+    assert "default_catalog" in cats
+    assert any(v == "yes" for v in cats.values())  # exactly one current
+
+    # CREATE FUNCTION registers into SHOW FUNCTIONS (demo parity class)
+    engine.execute(
+        "CREATE FUNCTION lance_knn AS "
+        "'org.apache.flink.connector.lance.table.LanceVectorSearchFunction'"
+    )
+    fns = {r["function_name"] for r in engine.execute("SHOW FUNCTIONS").collect()}
+    assert {"vector_search", "lance_knn"} <= fns
+
+    engine.execute(
+        """CREATE TABLE mv_src_shown (id BIGINT, g BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO mv_src_shown VALUES (1, 1, 2.0)")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW shown_mv WITH ('key'='id') AS "
+        "SELECT g, SUM(v) FROM mv_src_shown GROUP BY g"
+    )
+    views = {r["view_name"] for r in engine.execute("SHOW VIEWS").collect()}
+    assert "shown_mv" in views
+
+
+def test_sql_set_reset_quoted(engine, spark):
+    """Flink SQL-client SET 'k'='v' / RESET 'k' maps to session conf."""
+    engine.execute("SET 'spark.sql.shuffle.partitions' = '7'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    engine.execute("RESET 'spark.sql.shuffle.partitions'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
