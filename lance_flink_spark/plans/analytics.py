@@ -755,3 +755,28 @@ def events_attribution(spark, sf_dir):
         ).alias("last_touch_us"),
         F.col("sess_first_view_us").alias("first_touch_us"),
     )
+
+
+@query("events_quantile_sketch", extra=True)  # rows-only: relative-error
+# estimates by construction; the accuracy contract is pytest-pinned
+# (test_sketches.py: ≤a relative error, exact bin-wise mergeability)
+def events_quantile_sketch(spark, sf_dir):
+    """Mergeable DDSketch percentile state over event values: build
+    per-event_type sketches, merge them WITHOUT rescanning facts, and
+    read p50/p95/p99 per type plus the global rollup — the incremental
+    percentile-monitoring shape (operators/sketches.py). All built-in
+    functions; state per group is O(log value-range / log gamma)."""
+    from lance_flink_spark.operators.sketches import (
+        estimate_quantiles,
+        quantile_sketches,
+        rollup_quantile_sketches,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    fine = quantile_sketches(ev, ["event_type"], "value")
+    per_type = estimate_quantiles(fine, ["event_type"], [0.5, 0.95, 0.99])
+    global_sk = rollup_quantile_sketches(fine, [])
+    global_est = estimate_quantiles(global_sk, [], [0.5, 0.95, 0.99]).select(
+        F.lit("__all__").alias("event_type"), "q", "estimate"
+    )
+    return per_type.unionByName(global_est)

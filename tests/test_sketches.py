@@ -47,3 +47,111 @@ def test_sketch_bytes_are_bounded(spark):
     rows = distinct_sketches(big, ["g"], "u", lg_k=12).collect()
     for r in rows:
         assert len(r["sketch"]) < 64 * 1024  # O(2^lg_k), not O(n)
+
+
+# ---------- DDSketch-style mergeable quantile sketch ----------
+
+
+def test_quantile_sketch_relative_error_bound(spark):
+    """Every estimated quantile is within the declared RELATIVE
+    accuracy of the exact quantile — the DDSketch guarantee."""
+    import numpy as np
+
+    from lance_flink_spark.operators.sketches import (
+        estimate_quantiles,
+        quantile_sketches,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.lognormal(3, 1.5, 4000), -rng.lognormal(1, 1, 1000), [0.0] * 50]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    a = 0.02
+    sk = quantile_sketches(df, [], "v", relative_accuracy=a)
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    est = {r["q"]: r["estimate"] for r in
+           estimate_quantiles(sk, [], qs, relative_accuracy=a).collect()}
+    srt = np.sort(vals)
+    for q in qs:
+        exact = srt[min(max(int(np.ceil(q * len(srt))) - 1, 0), len(srt) - 1)]
+        if exact == 0:
+            assert abs(est[q]) <= 1e-9
+        else:
+            assert abs(est[q] - exact) <= a * abs(exact) + 1e-9, (q, est[q], exact)
+
+
+def test_quantile_sketch_merge_is_exact(spark):
+    """merge(sketch(A), sketch(B)) equals sketch(A ∪ B) bin-for-bin —
+    the exact-mergeability property (bin-wise count addition), and the
+    merged estimates match the direct ones exactly."""
+    import numpy as np
+
+    from lance_flink_spark.operators.sketches import (
+        estimate_quantiles,
+        quantile_sketches,
+        rollup_quantile_sketches,
+    )
+
+    rng = np.random.default_rng(7)
+    a_vals = rng.lognormal(2, 1, 2000)
+    b_vals = rng.lognormal(4, 0.5, 1500)
+    rows = [("a", float(v)) for v in a_vals] + [("b", float(v)) for v in b_vals]
+    df = spark.createDataFrame(rows, "grp string, v double")
+
+    fine = quantile_sketches(df, ["grp"], "v")
+    merged = rollup_quantile_sketches(fine, [])
+    direct = quantile_sketches(df, [], "v")
+
+    m, d = merged.first(), direct.first()
+    assert m["n"] == d["n"] and m["zeros"] == d["zeros"]
+    assert dict(m["pos"]) == dict(d["pos"]) and dict(m["neg"]) == dict(d["neg"])
+
+    qs = [0.1, 0.5, 0.95]
+    em = {r["q"]: r["estimate"] for r in estimate_quantiles(merged, [], qs).collect()}
+    ed = {r["q"]: r["estimate"] for r in estimate_quantiles(direct, [], qs).collect()}
+    assert em == ed
+
+
+def test_quantile_sketch_grouped_rollup(spark):
+    """Keyed rollup: per-(g1,g2) sketches merge up to per-g1 without
+    touching facts; estimates carry keys through."""
+    from lance_flink_spark.operators.sketches import (
+        estimate_quantiles,
+        quantile_sketches,
+        rollup_quantile_sketches,
+    )
+
+    rows = [("x", i % 3, float(i + 1)) for i in range(300)] + [
+        ("y", i % 2, float(1000 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 int, v double")
+    fine = quantile_sketches(df, ["g1", "g2"], "v")
+    assert fine.count() == 5  # 3 x-cells + 2 y-cells
+    coarse = rollup_quantile_sketches(fine, ["g1"])
+    got = {r["g1"]: r["n"] for r in coarse.collect()}
+    assert got == {"x": 300, "y": 100}
+    est = {
+        (r["g1"], r["q"]): r["estimate"]
+        for r in estimate_quantiles(coarse, ["g1"], [0.5]).collect()
+    }
+    # medians land in the right ballpark per group (exact: 150, 1050)
+    assert abs(est[("x", 0.5)] - 150) / 150 < 0.05
+    assert abs(est[("y", 0.5)] - 1050) / 1050 < 0.05
+
+
+def test_quantile_sketch_plan_is_jvm_only(spark):
+    """No Python evaluation anywhere in the sketch pipeline — build,
+    merge, and estimate are pure built-in-function plans."""
+    from lance_flink_spark.operators.sketches import (
+        estimate_quantiles,
+        quantile_sketches,
+        rollup_quantile_sketches,
+    )
+
+    df = spark.range(1000).selectExpr("id % 4 AS g", "CAST(id AS DOUBLE) AS v")
+    sk = quantile_sketches(df, ["g"], "v")
+    est = estimate_quantiles(rollup_quantile_sketches(sk, []), [], [0.5])
+    for frame in (sk, est):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
