@@ -195,13 +195,32 @@ def estimate_quantiles(
         F.lit(0).alias("__sign"),
     )
     rows = pos.unionByName(neg).unionByName(zero)
+    return estimate_quantiles_from_bins(
+        rows, keys, qs, relative_accuracy=relative_accuracy
+    )
+
+
+def estimate_quantiles_from_bins(
+    bins: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    relative_accuracy: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates from BIN-GRANULAR sketch rows
+    (keys..., n, __sign, __bin, __cnt) — the shared read path for the
+    map-based sketches above and row-based incremental state (the
+    percentile matview). Same guarantee, same plan shape."""
+    from pyspark.sql import Window as W
+
+    g = _gamma(relative_accuracy)
+    spark = bins.sparkSession
     # global value order: (-1, -bin) < (0, _) < (1, bin)
     order = F.struct(
         F.col("__sign").alias("s"),
         (F.col("__bin") * F.col("__sign")).alias("b"),
     )
     w = W.partitionBy(*keys).orderBy(order) if keys else W.partitionBy().orderBy(order)
-    with_cum = rows.withColumn("__cum", F.sum("__cnt").over(w))
+    with_cum = bins.withColumn("__cum", F.sum("__cnt").over(w))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     target = F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
     mid = F.lit(2.0) * F.pow(F.lit(g), F.col("__bin")) / F.lit(g + 1.0)
@@ -218,3 +237,23 @@ def estimate_quantiles(
         )
         .select(*keys, "q", est.alias("estimate"))
     )
+
+
+def value_bins(
+    col: str,
+    relative_accuracy: float = 0.01,
+):
+    """(sign, bin) expressions for a value column — the shared
+    bucketing used by quantile_sketches and the incremental matview
+    (both sides MUST bin identically for merge/retraction to line
+    up)."""
+    g = _gamma(relative_accuracy)
+    lg = _math.log(g)
+    v = F.col(col).cast("double")
+    binc = (
+        F.when(v > 0, F.ceil(F.log(v) / F.lit(lg)).cast("int"))
+        .when(v < 0, F.ceil(F.log(-v) / F.lit(lg)).cast("int"))
+        .otherwise(F.lit(0))
+    )
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    return sign, binc

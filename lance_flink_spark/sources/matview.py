@@ -220,3 +220,125 @@ class MaterializedAggregate:
         return self.state.read(spark).withColumn(
             "avg_v", F.col("sum_v") / F.col("cnt")
         )
+
+
+class MaterializedQuantileSketch:
+    """Incrementally-maintained PERCENTILE state over a versioned
+    Dataset — the aggregate class the plain MaterializedAggregate
+    cannot self-maintain (an exact percentile needs the data; MIN/MAX
+    need rescans on retraction). DDSketch bin counts (operators/
+    sketches.py) ARE self-maintainable under retraction: an insert is
+    +1 on the value's (sign, bin) cell, a delete/preimage is −1 —
+    exactly the SUM/COUNT folding rule, applied to bin cells. So a
+    refresh folds only the changed rows' bin deltas, state stays
+    O(groups × bins), and any quantile reads off the maintained state
+    with the sketch's ≤a relative-error guarantee — never a source
+    rescan, not even for deletes hitting the extremes.
+
+    State table: (group_cols..., __sign, __bin, __cnt) bin-granular
+    rows (mergeable by addition; cells that fold to zero are
+    dropped)."""
+
+    def __init__(
+        self,
+        source: Dataset,
+        path: str,
+        row_key: str,
+        group_cols: list[str],
+        value_col: str,
+        relative_accuracy: float = 0.01,
+    ):
+        self.source = source
+        self.path = path
+        self.row_key = row_key
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.relative_accuracy = relative_accuracy
+        self.state = Dataset(fsio.join(path, "state"))
+
+    def _meta_path(self) -> str:
+        return fsio.join(self.path, "MVQ_META.json")
+
+    def last_refreshed_version(self) -> int:
+        if not fsio.exists(self._meta_path()):
+            return 0
+        return int(fsio.read_json(self._meta_path())["source_version"])
+
+    def _bin_rows(self, df: DataFrame, sign_mult) -> DataFrame:
+        from lance_flink_spark.operators.sketches import value_bins
+
+        sign, binc = value_bins(self.value_col, self.relative_accuracy)
+        return (
+            df.select(
+                *self.group_cols,
+                sign.alias("__sign"),
+                binc.alias("__bin"),
+                sign_mult.alias("__d"),
+            )
+            .groupBy(*self.group_cols, "__sign", "__bin")
+            .agg(F.sum("__d").alias("__cnt"))
+        )
+
+    def refresh(self, spark: SparkSession) -> int:
+        """Fold the change feed since the last refresh into the bin
+        state; full rebuild only on first refresh or lineage loss
+        (overwrite in range) — the same CDF contract as
+        MaterializedAggregate."""
+        versions = self.source.versions()
+        latest = versions[-1] if versions else 0
+        last = self.last_refreshed_version()
+        if latest == last:
+            return last
+        state = None
+        if last != 0:
+            try:
+                changes = self.source.read_changes(
+                    spark,
+                    key=self.row_key,
+                    since_version=last,
+                    version=latest,
+                    update_preimages=True,
+                )
+            except ValueError:
+                changes = None
+            if changes is not None:
+                is_ins = F.col("_change_type").isin(
+                    "insert", "update_postimage"
+                )
+                delta = self._bin_rows(
+                    changes, F.when(is_ins, 1).otherwise(-1)
+                )
+                state = (
+                    self.state.read(spark)
+                    .unionByName(delta)
+                    .groupBy(*self.group_cols, "__sign", "__bin")
+                    .agg(F.sum("__cnt").alias("__cnt"))
+                    .filter(F.col("__cnt") != 0)
+                )
+        if state is None:  # first build, or overwrite broke lineage
+            state = self._bin_rows(
+                self.source.read(spark, version=latest), F.lit(1)
+            )
+        self.state.write(state, mode="overwrite")
+        fsio.write_json_atomic(self._meta_path(), {"source_version": latest})
+        return latest
+
+    def quantiles(self, spark: SparkSession, qs: list[float]) -> DataFrame:
+        """(group_cols..., q, estimate) from the maintained state —
+        sketch-state-sized work, facts never touched."""
+        from pyspark.sql import Window as W
+
+        from lance_flink_spark.operators.sketches import (
+            estimate_quantiles_from_bins,
+        )
+
+        st = self.state.read(spark)
+        n_w = (
+            W.partitionBy(*self.group_cols)
+            if self.group_cols
+            else W.partitionBy()
+        )
+        with_n = st.withColumn("n", F.sum("__cnt").over(n_w))
+        return estimate_quantiles_from_bins(
+            with_n, self.group_cols, qs, self.relative_accuracy
+        )

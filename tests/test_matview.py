@@ -180,3 +180,100 @@ def test_minmax_group_vanishes_and_returns(spark, tmp_path_str):
     ds.write(_df(spark, [(3, "a", 42)]), mode="append")
     mv.refresh(spark)
     assert _state_mm(spark, mv)[("a",)] == (42, 1, 42, 42)
+
+
+# ---------- incremental percentile state (DDSketch bins) ----------
+
+
+def _q_state(spark, mvq):
+    return {
+        (r["grp"], r["__sign"], r["__bin"]): r["__cnt"]
+        for r in mvq.state.read(spark).collect()
+    }
+
+
+def _q_direct(spark, ds, acc=0.01):
+    """Bin state recomputed from the current snapshot — the parity
+    oracle for every incremental fold."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.operators.sketches import value_bins
+
+    sign, binc = value_bins("v", acc)
+    return {
+        (r["grp"], r["__sign"], r["__bin"]): r["__cnt"]
+        for r in ds.read(spark)
+        .select("grp", sign.alias("__sign"), binc.alias("__bin"))
+        .groupBy("grp", "__sign", "__bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    }
+
+
+def test_quantile_matview_incremental_parity(spark, tmp_path_str):
+    """Insert, update, and delete all fold incrementally into the bin
+    state — after every mutation the state equals a from-scratch
+    recompute EXACTLY (bin counts are self-maintainable under
+    retraction, unlike MIN/MAX), and quantiles read off state only."""
+    import numpy as np
+
+    from lance_flink_spark.sources.matview import MaterializedQuantileSketch
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, "a" if i % 3 else "b", float(v))
+        for i, v in enumerate(rng.lognormal(2, 1, 400))
+    ]
+    ds = Dataset(tmp_path_str + "/qsrc")
+    ds.write(_df(spark, rows))
+    mvq = MaterializedQuantileSketch(
+        ds, tmp_path_str + "/mvq", row_key="id", group_cols=["grp"], value_col="v"
+    )
+    mvq.refresh(spark)
+    assert _q_state(spark, mvq) == _q_direct(spark, ds)
+
+    last = mvq.last_refreshed_version()
+    ds.write(_df(spark, [(1000 + i, "a", float(10 * i + 1)) for i in range(20)]),
+             mode="append")
+    mvq.refresh(spark)
+    assert _q_state(spark, mvq) == _q_direct(spark, ds)
+    assert mvq.last_refreshed_version() > last  # incremental path ran
+
+    ds.update_where(spark, "id % 7 = 1", {"v": "v * 3"})
+    mvq.refresh(spark)
+    assert _q_state(spark, mvq) == _q_direct(spark, ds)
+
+    ds.delete_where(spark, "id % 5 = 2")
+    mvq.refresh(spark)
+    assert _q_state(spark, mvq) == _q_direct(spark, ds)
+
+    # quantile accuracy straight off the maintained state
+    est = {
+        (r["grp"], r["q"]): r["estimate"]
+        for r in mvq.quantiles(spark, [0.5, 0.95]).collect()
+    }
+    vals = {
+        g: sorted(r["v"] for r in ds.read(spark).filter(f"grp = '{g}'").collect())
+        for g in ("a", "b")
+    }
+    for (g, q), e in est.items():
+        srt = vals[g]
+        exact = srt[min(max(int(np.ceil(q * len(srt))) - 1, 0), len(srt) - 1)]
+        assert abs(e - exact) <= 0.01 * abs(exact) + 1e-9, (g, q, e, exact)
+
+
+def test_quantile_matview_noop_and_overwrite(spark, tmp_path_str):
+    """A refresh with no new versions is a no-op; an overwrite (no
+    lineage) falls back to a correct full rebuild."""
+    from lance_flink_spark.sources.matview import MaterializedQuantileSketch
+
+    ds = Dataset(tmp_path_str + "/qsrc2")
+    ds.write(_df(spark, [(1, "a", 4.0), (2, "a", 9.0), (3, "b", 1.0)]))
+    mvq = MaterializedQuantileSketch(
+        ds, tmp_path_str + "/mvq2", row_key="id", group_cols=["grp"], value_col="v"
+    )
+    v1 = mvq.refresh(spark)
+    assert mvq.refresh(spark) == v1  # current -> no-op
+    ds.write(_df(spark, [(1, "a", 100.0), (2, "b", 0.0)]), mode="overwrite")
+    mvq.refresh(spark)
+    assert _q_state(spark, mvq) == _q_direct(spark, ds)
