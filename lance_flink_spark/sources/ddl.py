@@ -204,6 +204,7 @@ _SET_QUOTED = re.compile(
     r"SET\s+'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$", re.IGNORECASE
 )
 _RESET_QUOTED = re.compile(r"RESET\s+'(?P<k>[^']+)'\s*$", re.IGNORECASE)
+_TRUNCATE = re.compile(r"TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _CREATE_CATALOG = re.compile(
     # reference demo (flink-sql-demo.sql:118): CREATE CATALOG name
     # WITH ('type'='lance', 'warehouse'=..., 'default-database'=...,
@@ -704,6 +705,15 @@ class SqlEngine:
             return self.spark.createDataFrame(
                 rows, "function_name string, class string"
             )
+        m = _TRUNCATE.match(sql)
+        if m and self._in_catalog(m.group("name")):
+            # Flink 1.18 TRUNCATE TABLE: delete every row as a NEW
+            # version (time travel to the pre-truncate snapshot keeps
+            # working — this is a delete, not a vacuum)
+            ds = self.catalog.load_table(self.database, m.group("name"))
+            ds.delete_where(self.spark, "true")
+            self._register(m.group("name"))
+            return None
         m = _SET_QUOTED.match(sql)
         if m:
             self.spark.conf.set(m.group("k"), m.group("v"))

@@ -1458,3 +1458,21 @@ def test_sql_set_reset_quoted(engine, spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     engine.execute("RESET 'spark.sql.shuffle.partitions'")
     assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+
+
+def test_sql_truncate_table(engine, spark):
+    """Flink 1.18 TRUNCATE TABLE: all rows deleted as a NEW version —
+    time travel to the pre-truncate snapshot still works."""
+    engine.execute(
+        """CREATE TABLE trunc_t (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO trunc_t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    engine.execute("TRUNCATE TABLE trunc_t")
+    assert engine.execute("SELECT * FROM trunc_t").count() == 0
+    # pre-truncate version still readable (v1 = empty CREATE snapshot,
+    # v2 = the INSERT, v3 = the truncate)
+    old = engine.execute(
+        "SELECT * FROM trunc_t FOR SYSTEM_TIME AS OF 2"
+    )
+    assert old.count() == 3
