@@ -205,6 +205,28 @@ _SET_QUOTED = re.compile(
 )
 _RESET_QUOTED = re.compile(r"RESET\s+'(?P<k>[^']+)'\s*$", re.IGNORECASE)
 _TRUNCATE = re.compile(r"TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_CREATE_VIEW = re.compile(
+    # Flink CREATE [TEMPORARY] VIEW v AS SELECT ... — logical views:
+    # the SELECT is re-expanded whenever a base table changes, so a
+    # view over a catalog table sees later INSERTs (Flink semantics,
+    # NOT a snapshot).
+    r"CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[\w.]+)\s+AS\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW = re.compile(
+    r"DROP\s+(?:TEMPORARY\s+)?VIEW\s+(?:(?P<ie>IF\s+EXISTS)\s+)?"
+    r"(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+_STATEMENT_SET = re.compile(
+    # Flink EXECUTE STATEMENT SET BEGIN <stmt>; [<stmt>;]... END —
+    # multiple INSERTs planned as one job. Spark has no multi-sink
+    # jobs; we run the statements sequentially (same visible effect;
+    # the reference's atomicity unit is per-Lance-commit anyway).
+    r"EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(?P<body>.+?)\s*;?\s*END\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_CATALOG = re.compile(
     # reference demo (flink-sql-demo.sql:118): CREATE CATALOG name
     # WITH ('type'='lance', 'warehouse'=..., 'default-database'=...,
@@ -487,6 +509,10 @@ class SqlEngine:
         self.database = database
         self.options: dict[str, DatasetOptions] = {}
         self.matviews: dict = {}
+        # logical (non-materialized) views: name -> SELECT text, in
+        # creation order (refresh re-expands them in this order so a
+        # view-over-view sees its dependency's fresh plan first)
+        self.views: dict[str, str] = {}
         self.catalogs: dict[str, Catalog] = {"default_catalog": catalog}
         # SHOW FUNCTIONS surface: built-ins + CREATE FUNCTION names
         self.functions: dict[str, str] = {"vector_search": "built-in"}
@@ -519,6 +545,33 @@ class SqlEngine:
 
     def _register(self, name: str) -> None:
         self.catalog.register(self.spark, self.database, name, view=name)
+        self._refresh_views()
+
+    def _refresh_views(self) -> None:
+        """Re-expand every logical view against the CURRENT base-table
+        registrations. Spark temp views pin the analyzed plan at
+        creation, so a view captured before an INSERT would keep
+        scanning the pre-insert file set; Flink views are logical and
+        always see the latest table. Plan-building only — no job runs.
+        A view whose base was dropped is left stale (queries against
+        it keep the last good plan; DROP VIEW removes it)."""
+        for vname, select in self.views.items():
+            try:
+                self._query(select).createOrReplaceTempView(vname)
+            except Exception:  # noqa: BLE001 - stale view, keep last plan
+                pass
+
+    def _query(self, sql: str) -> DataFrame:
+        """Build the DataFrame for a SELECT through the same rewrite
+        pipeline as execute()'s fallthrough (time travel, meta tables,
+        window TVFs, array literals)."""
+        return self.spark.sql(
+            _rewrite_array_literals(
+                _rewrite_window_tvfs(
+                    self._rewrite_meta_tables(self._rewrite_time_travel(sql))
+                )
+            )
+        )
 
     def _temporal_join(self, m: re.Match) -> DataFrame:
         """Flink event-time temporal table join: each fact row joins
@@ -698,8 +751,37 @@ class SqlEngine:
                 rows, "catalog_name string, is_current string"
             )
         if _SHOW_VIEWS.match(sql):
-            rows = [(v,) for v in sorted(self.matviews)]
+            rows = [(v,) for v in sorted(set(self.matviews) | set(self.views))]
             return self.spark.createDataFrame(rows or [], "view_name string")
+        m = _STATEMENT_SET.match(sql)
+        if m:
+            for stmt in m.group("body").split(";"):
+                if stmt.strip():
+                    self.execute(stmt)
+            return None
+        m = _CREATE_VIEW.match(sql)
+        # guard: CREATE MATERIALIZED VIEW matched earlier; this regex
+        # only sees plain/TEMPORARY views
+        if m:
+            name = m.group("name")
+            if name in self.views and m.group("ine"):
+                return None
+            if name in self.views:
+                raise CatalogError(f"view {name!r} already exists")
+            select = m.group("select").strip()
+            self._query(select).createOrReplaceTempView(name)  # validate now
+            self.views[name] = select
+            return None
+        m = _DROP_VIEW.match(sql)
+        if m:
+            name = m.group("name")
+            if name not in self.views:
+                if m.group("ie"):
+                    return None
+                raise CatalogError(f"unknown view {name!r}")
+            del self.views[name]
+            self.spark.catalog.dropTempView(name)
+            return None
         if _SHOW_FUNCTIONS.match(sql):
             rows = sorted(self.functions.items())
             return self.spark.createDataFrame(
@@ -863,13 +945,7 @@ class SqlEngine:
                 ],
                 "version long, mode string, ts double, expired boolean",
             )
-        return self.spark.sql(
-            _rewrite_array_literals(
-                _rewrite_window_tvfs(
-                    self._rewrite_meta_tables(self._rewrite_time_travel(sql))
-                )
-            )
-        )
+        return self._query(sql)
 
     def _explain(self, stmt: str):
         """``EXPLAIN [PLAN FOR] <query>`` — the Flink explain surface.

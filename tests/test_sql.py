@@ -1476,3 +1476,71 @@ def test_sql_truncate_table(engine, spark):
         "SELECT * FROM trunc_t FOR SYSTEM_TIME AS OF 2"
     )
     assert old.count() == 3
+
+
+def test_sql_create_view_tracks_inserts(engine, spark):
+    """Flink views are logical — a view over a catalog table must see
+    rows inserted AFTER the view was created (not a snapshot)."""
+    engine.execute(
+        """CREATE TABLE vbase (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO vbase VALUES (1, 1.0), (2, 2.0)")
+    engine.execute("CREATE VIEW v_big AS SELECT id, v FROM vbase WHERE v > 1.5")
+    assert engine.execute("SELECT * FROM v_big").count() == 1
+    engine.execute("INSERT INTO vbase VALUES (3, 3.0), (4, 0.5)")
+    # the view re-expands: sees the new row 3 (v=3.0), not row 4
+    got = sorted(r.id for r in engine.execute("SELECT * FROM v_big").collect())
+    assert got == [2, 3]
+    # SHOW VIEWS lists it; DROP removes it
+    names = [r.view_name for r in engine.execute("SHOW VIEWS").collect()]
+    assert "v_big" in names
+    engine.execute("DROP VIEW v_big")
+    names = [r.view_name for r in engine.execute("SHOW VIEWS").collect()]
+    assert "v_big" not in names
+    engine.execute("DROP VIEW IF EXISTS v_big")  # idempotent
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown view"):
+        engine.execute("DROP VIEW v_big")
+
+
+def test_sql_view_over_view(engine, spark):
+    engine.execute(
+        """CREATE TABLE vv_base (id BIGINT, grp STRING)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO vv_base VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    engine.execute("CREATE TEMPORARY VIEW vv_a AS SELECT * FROM vv_base WHERE grp = 'a'")
+    engine.execute(
+        "CREATE VIEW vv_cnt AS SELECT grp, COUNT(*) AS n FROM vv_a GROUP BY grp"
+    )
+    assert engine.execute("SELECT n FROM vv_cnt").collect()[0].n == 2
+    engine.execute("INSERT INTO vv_base VALUES (4, 'a')")
+    # refresh cascades in creation order: vv_a first, then vv_cnt
+    assert engine.execute("SELECT n FROM vv_cnt").collect()[0].n == 3
+
+
+def test_sql_statement_set(engine, spark):
+    """EXECUTE STATEMENT SET BEGIN ... END runs every INSERT."""
+    engine.execute(
+        """CREATE TABLE ss_src (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        """CREATE TABLE ss_a (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute(
+        """CREATE TABLE ss_b (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO ss_src VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    engine.execute(
+        """EXECUTE STATEMENT SET BEGIN
+             INSERT INTO ss_a SELECT id, v FROM ss_src WHERE v < 2.5;
+             INSERT INTO ss_b SELECT id, v FROM ss_src WHERE v >= 2.5;
+           END"""
+    )
+    assert engine.execute("SELECT * FROM ss_a").count() == 2
+    assert engine.execute("SELECT * FROM ss_b").count() == 1
