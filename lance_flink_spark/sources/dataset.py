@@ -1185,6 +1185,35 @@ class Dataset:
         r"^\s*(\w+)\s+between\s+('([^']*)'|-?\d+(?:\.\d+)?)"
         r"\s+and\s+('([^']*)'|-?\d+(?:\.\d+)?)\s*$"
     )
+    _LIKE_RE = r"^\s*(\w+)\s+like\s+'([^']*)'\s*$"
+
+    @staticmethod
+    def _like_conjuncts(pattern: str) -> list[tuple[str, str]] | None:
+        """Range conjuncts that over-approximate ``LIKE pattern`` for
+        index pruning (the exact LIKE still filters rows afterward;
+        parity with the reference's LIKE pushdown,
+        LanceDynamicTableSource.java:260). Only prefix shapes are
+        rangeable: ``'abc%'`` → ``>= 'abc' AND < 'abd'``; a pattern
+        with interior wildcards prunes on its literal prefix alone; no
+        leading-literal prefix (``'%x'``) → not routable."""
+        cut = len(pattern)
+        for i, ch in enumerate(pattern):
+            if ch in "%_":
+                cut = i
+                break
+        prefix = pattern[:cut]
+        if not prefix:
+            return None
+        if cut == len(pattern):  # no wildcard at all: exact equality
+            return [("=", prefix)]
+        out: list[tuple[str, str]] = [(">=", prefix)]
+        # smallest string > every prefix-extension: bump the rightmost
+        # non-max char, dropping any trailing U+10FFFF chars
+        for i in range(len(prefix) - 1, -1, -1):
+            if ord(prefix[i]) < 0x10FFFF:
+                out.append(("<", prefix[:i] + chr(ord(prefix[i]) + 1)))
+                break
+        return out
 
     @staticmethod
     def _parse_index_filter(filter: str):  # noqa: A002 - mirrors reference option name
@@ -1208,6 +1237,14 @@ class Dataset:
         conjuncts: list[tuple[str, object]] = []
         cols = set()
         for part in _re.split(r"\s+and\s+", filter.strip(), flags=_re.IGNORECASE):
+            lk = _re.match(Dataset._LIKE_RE, part, _re.IGNORECASE)
+            if lk:
+                ranged = Dataset._like_conjuncts(lk.group(2))
+                if ranged is None:
+                    return None
+                cols.add(lk.group(1))
+                conjuncts.extend(ranged)
+                continue
             m = _re.match(Dataset._CMP_RE, part)
             if not m:
                 return None

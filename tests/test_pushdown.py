@@ -6,6 +6,7 @@ this is the 100TB-scale contract (scans read only what the query
 needs; small dims broadcast instead of shuffling the fact table).
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from lance_flink_spark.registry import table
@@ -171,3 +172,64 @@ def test_q3_keeps_broadcast_plan_at_small_sf(spark):
     from lance_flink_spark.plans.tpch import q3_shipping_priority
 
     assert "BroadcastHashJoin" in _plan(q3_shipping_priority(spark, SF_DIR))
+
+
+class TestLikePrefixIndexPruning:
+    """LIKE 'prefix%' routes through the scalar-index range sidecar
+    (reference pushes LIKE to the Lance scan,
+    LanceDynamicTableSource.java:260): file pruning on the literal
+    prefix as a lexicographic range, exact LIKE re-applied to rows."""
+
+    @pytest.fixture(scope="class")
+    def likeds(self, spark, tmp_path_factory):
+        from lance_flink_spark.sources.dataset import Dataset
+
+        root = str(tmp_path_factory.mktemp("likeidx") / "ds")
+        df = spark.range(3000).selectExpr(
+            "id",
+            "CONCAT(CASE WHEN id < 1000 THEN 'alpha-' WHEN id < 2000 "
+            "THEN 'beta-' ELSE 'gamma-' END, LPAD(CAST(id AS STRING), 6, '0')) AS name",
+        )
+        d = Dataset(root)
+        # sort on name -> per-file name spans are disjoint prefixes
+        d.write(
+            df.repartitionByRange(6, "name"),
+            sort_by=["name"],
+            max_rows_per_file=500,
+        )
+        d.build_scalar_index(spark, "name")
+        return d
+
+    def test_like_conjunct_translation(self):
+        from lance_flink_spark.sources.dataset import Dataset
+
+        assert Dataset._like_conjuncts("abc%") == [(">=", "abc"), ("<", "abd")]
+        assert Dataset._like_conjuncts("abc") == [("=", "abc")]
+        assert Dataset._like_conjuncts("ab%c%") == [(">=", "ab"), ("<", "ac")]
+        assert Dataset._like_conjuncts("a_c") == [(">=", "a"), ("<", "b")]
+        assert Dataset._like_conjuncts("%abc") is None
+        assert Dataset._like_conjuncts("_bc") is None
+
+    def test_like_prefix_prunes_files(self, likeds, spark):
+        full = likeds.read(spark)
+        routed = likeds.read(spark, filter="name LIKE 'beta-%'")
+        assert len(routed.inputFiles()) < len(full.inputFiles())
+        assert routed.count() == 1000
+        # parity with the unrouted plain filter
+        plain = full.filter("name LIKE 'beta-%'")
+        assert sorted(r.id for r in routed.collect()) == sorted(
+            r.id for r in plain.collect()
+        )
+
+    def test_like_interior_wildcard_prunes_on_prefix(self, likeds, spark):
+        routed = likeds.read(spark, filter="name LIKE 'alpha-0005%'")
+        assert len(routed.inputFiles()) < len(likeds.read(spark).inputFiles())
+        assert routed.count() == 100  # 000500..000599
+        assert all(
+            r.name.startswith("alpha-0005") for r in routed.collect()
+        )
+
+    def test_like_no_prefix_falls_through(self, likeds, spark):
+        # '%x' shapes can't range-prune: full file list, still correct
+        df = likeds.read(spark, filter="name LIKE '%-000042'")
+        assert df.count() == 1
