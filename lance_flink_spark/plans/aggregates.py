@@ -11,6 +11,7 @@ from lance_flink_spark.registry import query, scratch_dir, table
 
 @query(
     "agg_global",
+    extra=True,  # gate budget; covered by agg_groupby/tpch_scalars family
     oracle="""
     SELECT COUNT(*) AS cnt,
            ROUND(SUM(l_quantity), 2) AS sum_qty,

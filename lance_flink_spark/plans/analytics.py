@@ -518,7 +518,6 @@ def customer_rfm(spark, sf_dir):
 
 @query(
     "events_concurrency",
-    extra=True,  # gate budget; sweep-line interval analytics
     oracle="""
     WITH b AS (
       SELECT event_type AS k, epoch_us(ts) AS t, 1 AS d FROM events

@@ -43,6 +43,7 @@ def streaming_tumbling(spark, sf_dir):
 
 @query(
     "events_sliding",
+    extra=True,  # gate budget; sliding semantics gate-covered by sql_hop_tvf
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
@@ -450,7 +451,6 @@ def events_match_sequence(spark, sf_dir):
 
 @query(
     "streaming_match_sequence",
-    extra=True,  # gate budget; streaming CEP — same oracle as batch
     oracle="""
     SELECT v.user_id, v.event_id AS start_event_id,
            epoch_us(v.ts) AS t0_us, epoch_us(c.ts) AS t1_us,
@@ -599,7 +599,6 @@ def sql_session_tvf(spark, sf_dir):
 
 @query(
     "sql_hop_tvf",
-    extra=True,  # gate budget; HOP TVF through the gate
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -525,7 +525,6 @@ def catalog_crud(spark, sf_dir):
 
 @query(
     "matview_incremental",
-    extra=True,  # gate budget; incremental MV state vs relational replay
     oracle="""
     WITH base AS (
         SELECT o_orderkey AS k, o_orderpriority AS grp,

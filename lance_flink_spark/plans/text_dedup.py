@@ -187,6 +187,7 @@ _LANGID_CASE = f"""
 
 @query(
     "text_langid",
+    extra=True,  # gate budget; langid gate-covered via pipeline_clean_corpus
     oracle=f"""
     SELECT lang, pred_lang, COUNT(*) AS n FROM (
         SELECT lang, {_LANGID_CASE} AS pred_lang FROM (
@@ -493,6 +494,7 @@ def dedup_minhash(spark, sf_dir):
 
 @query(
     "dedup_simhash",
+    extra=True,  # gate budget; near-dup family keeps 4 other gate slots
     oracle=f"""
     WITH h AS (SELECT doc_id, {_MD5I.format(x='gram')} AS h FROM ({_GRAMS}) g),
     sigs AS (
@@ -1297,7 +1299,6 @@ def repeated_spans_docs(spark, sf_dir):
 
 @query(
     "cut_repeated_spans",
-    extra=True,  # gate budget; substring dedup APPLIED (all-but-one cut)
     oracle="""
     WITH aug AS (
       SELECT doc_id, text FROM documents

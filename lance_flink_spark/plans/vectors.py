@@ -32,6 +32,7 @@ _Q0 = "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
 
 @query(
     "knn_metrics",
+    extra=True,  # gate budget; knn_l2/cosine/dot extras + knn_join cover it
     oracle=f"""
     SELECT 'l2' AS metric, vec_id, distance FROM (
         SELECT vec_id, distance FROM (
