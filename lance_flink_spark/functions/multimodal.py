@@ -16,6 +16,7 @@ partitioning) is real and oracle-checked via byte-level metadata.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -86,24 +87,46 @@ def resize_images(blobs: DataFrame, width: int = 64, height: int = 64) -> DataFr
 
 
 def sample_frames(blobs: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:
-    """mapInPandas 'video frame sampling' pass: emits up to max_frames
-    fixed-stride slices per blob (a real impl seeks keyframes with
-    ffmpeg). One input row fans out to multiple typed output rows —
-    the batch-shape case decode pipelines hit."""
+    """mapInPandas 'video frame sampling' pass. MP4 blobs get REAL
+    keyframe sampling: the ISO-BMFF sample tables (functions/mp4.py)
+    locate every sync sample's byte range in mdat, and the first
+    ``max_frames`` keyframes are emitted at their true offsets. Other
+    blobs fall back to fixed-stride slices. One input row fans out to
+    multiple typed output rows — the batch-shape case decode pipelines
+    hit."""
     from lance_flink_spark.session import ship_package
 
     ship_package(blobs.sparkSession)
+
+    def mp4_keyframes(content: bytes) -> list[tuple[int, int]]:
+        from lance_flink_spark.functions.mp4 import mp4_samples
+
+        keys = [s for s in mp4_samples(bytes(content)) if s["sync"]]
+        return [(s["offset"], s["size"]) for s in keys[:max_frames]]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                for i in range(min(max_frames, max(len(content) // every_n_bytes, 1))):
-                    off = i * every_n_bytes
+                if bytes(content[4:8]) == b"ftyp":
+                    try:
+                        spans = mp4_keyframes(content)
+                    except (ValueError, struct_error):
+                        spans = []  # corrupt container → stride fallback
+                else:
+                    spans = []
+                if not spans:
+                    spans = [
+                        (i * every_n_bytes, 32)
+                        for i in range(
+                            min(max_frames, max(len(content) // every_n_bytes, 1))
+                        )
+                    ]
+                for i, (off, size) in enumerate(spans):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
                     rows["frame_offset"].append(off)
-                    rows["frame"].append(content[off : off + 32])
+                    rows["frame"].append(bytes(content[off : off + min(size, 32)]))
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema=FRAMES_SCHEMA)
@@ -390,9 +413,10 @@ def png_features(content: bytes) -> list[float]:
 
 def decode_auto(content: bytes) -> list[float]:
     """Magic-sniffing feature decoder: REAL paths for PPM ('P6'), PNG
-    (8-byte signature), baseline JPEG (FFD8FF), and WAV ('RIFF');
-    deterministic stub only for the formats that genuinely need
-    external codecs (MP4, progressive JPEG)."""
+    (8-byte signature), baseline JPEG (FFD8FF), WAV ('RIFF'), and MP4
+    containers ('ftyp' at offset 4 — box demux, functions/mp4.py);
+    deterministic stub only for blobs that genuinely need external
+    codecs (H.264/AV1 sample payloads, unrecognized formats)."""
     if content[:2] == b"P6":
         return image_features(content)
     if content[:8] == _PNG_MAGIC:
@@ -401,9 +425,16 @@ def decode_auto(content: bytes) -> list[float]:
         try:
             return jpeg_features(content)
         except ValueError:
-            return decode_stub(content)  # progressive (SOF2) etc.
+            return decode_stub(content)  # truncated/garbage after magic
     if content[:4] == b"RIFF":
         return audio_features(content)
+    if content[4:8] == b"ftyp":
+        from lance_flink_spark.functions.mp4 import mp4_features
+
+        try:
+            return mp4_features(content)
+        except (ValueError, struct_error):
+            return decode_stub(content)  # fragmented/corrupt container
     return decode_stub(content)
 
 
@@ -437,9 +468,10 @@ def extract_features(blobs: DataFrame) -> DataFrame:
 # an 8x8 IDCT (one numpy matmul pair per block batch), and YCbCr->RGB.
 # The encoder exists so tests can synthesize real compressed input
 # without PIL; both use the spec's Annex-K quant tables and the
-# standard Huffman tables. Progressive JPEG (SOF2) and MP4 remain the
-# documented stub surface (SURVEY §6) — their decoders genuinely need
-# external codecs' complexity, not just arithmetic.
+# standard Huffman tables. MP4 *containers* are demuxed for real
+# (functions/mp4.py); the remaining documented stub surface (SURVEY §6)
+# is codec-bitstream decode (H.264/AV1 sample payloads) — that
+# genuinely needs external codecs, not just arithmetic.
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
