@@ -78,9 +78,12 @@ def skew_salted_count_distinct(spark, sf_dir):
 def agg_approx(spark, sf_dir):
     """Approximate aggregates (HLL++ count-distinct, quantile sketch) —
     the sketch-based path for 100TB interactive profiling. Rows-only in
-    the gate; tests pin the error envelope vs exact values. Quantiles
-    are emitted as flat scalar columns (q50/q95/q99), not an array —
-    the gate canonicalizer sorts rows and can't hash list cells."""
+    the gate; tests pin the error envelope vs exact values, and the
+    `agg_approx_exactness` twin hash-gates the sketch invariants
+    (merge determinism + error envelopes) under a full oracle.
+    Quantiles are emitted as flat scalar columns (q50/q95/q99), not an
+    array — the gate canonicalizer sorts rows and can't hash list
+    cells."""
     l = table(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return (
@@ -95,5 +98,83 @@ def agg_approx(spark, sf_dir):
             F.element_at("qs", 1).alias("q50"),
             F.element_at("qs", 2).alias("q95"),
             F.element_at("qs", 3).alias("q99"),
+        )
+    )
+
+
+@query(
+    "agg_approx_exactness",
+    extra=True,  # exactness twin for the sketch path (full oracle)
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           CAST(1 AS BIGINT) AS hll_rollup_in_envelope,
+           CAST(1 AS BIGINT) AS hll_merge_invariant,
+           CAST(1 AS BIGINT) AS quantile_in_envelope
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_exactness(spark, sf_dir):
+    """Hash-graded invariants of the approximate-aggregate machinery.
+
+    The estimates themselves cannot have a SQL oracle, but the
+    properties that make sketches usable at 100 TB CAN be hash-gated:
+
+    - ``hll_merge_invariant``: rolling per-(returnflag, linestatus)
+      HLL sketches up to returnflag must give bit-identical estimates
+      to rolling per-(returnflag, suppkey%7) sketches — HLL registers
+      are max-merges, so the union is partitioning-independent; any
+      drift in sketch bytes, lgK plumbing, or the union path flips
+      this flag and breaks the hash (operators/sketches.py).
+    - ``hll_rollup_in_envelope``: the rolled-up estimate is within 5%
+      of the exact COUNT DISTINCT (standard error at lgK=12 is ~1.6%).
+    - ``quantile_in_envelope``: percentile_approx's p50 (accuracy
+      10000) lands between the exact p45 and p55 — far looser than
+      the GK rank-error guarantee of n/accuracy.
+
+    The oracle states the exact distinct counts and all-flags-true;
+    any sketch regression hash-mismatches."""
+    from lance_flink_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+    )
+
+    l = table(spark, sf_dir, "lineitem")
+    est_a = (
+        rollup_sketches(
+            distinct_sketches(l, ["l_returnflag", "l_linestatus"], "l_partkey"),
+            ["l_returnflag"],
+        ).select("l_returnflag", F.col("estimate").alias("est_a"))
+    )
+    est_b = (
+        rollup_sketches(
+            distinct_sketches(
+                l.withColumn("__cell", F.col("l_suppkey") % 7),
+                ["l_returnflag", "__cell"],
+                "l_partkey",
+            ),
+            ["l_returnflag"],
+        ).select("l_returnflag", F.col("estimate").alias("est_b"))
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("aq50"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+    )
+    flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    return (
+        exact.join(est_a, "l_returnflag").join(est_b, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            flag(
+                F.abs(F.col("est_a") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("hll_rollup_in_envelope"),
+            flag(F.col("est_a") == F.col("est_b")).alias("hll_merge_invariant"),
+            flag(
+                (F.col("aq50") >= F.col("p45")) & (F.col("aq50") <= F.col("p55"))
+            ).alias("quantile_in_envelope"),
         )
     )

@@ -242,12 +242,7 @@ def two_stage_retrieval(spark, sf_dir):
     )
 
 
-@query("ivf_pq_search")  # rows-only: ADC quantization error is index-specific
-def ivf_pq_search(spark, sf_dir):
-    """IVF_PQ build + ADC search with exact refine (LanceIndexBuilder
-    IVF_PQ, vector.refine-factor). Rows-only check: PQ results are
-    approximate by construction; tests/test_index.py asserts recall
-    against brute force instead."""
+def _ivf_pq(spark, sf_dir) -> IVFIndex:
     tag = sf_dir.rstrip("/").replace("/", "_")
     path = scratch_dir("ivf_pq" + tag)
     import os
@@ -262,20 +257,10 @@ def ivf_pq_search(spark, sf_dir):
             pq_bits=4,
             sample_size=100_000,
         )
-    idx = IVFIndex(path)
-    return idx.search_pq(
-        spark, _query_vec(spark, sf_dir), k=10, nprobes=8, refine_factor=4
-    ).select("vec_id", "distance")
+    return IVFIndex(path)
 
 
-@query("ivf_hnsw_search")  # rows-only: graph navigation is approximate
-def ivf_hnsw_search(spark, sf_dir):
-    """IVF_HNSW build + beam search (LanceIndexBuilder.java:141-186):
-    a real HNSW graph per IVF list built distributed (applyInPandas,
-    one task per list), searched via partition-pruned blob scan +
-    mapInPandas beam + global top-k. Rows-only check: graph search is
-    approximate by construction; tests/test_hnsw.py gates recall >= 0.9
-    against brute force and pins build determinism."""
+def _ivf_hnsw(spark, sf_dir):
     from lance_flink_spark.index.hnsw import HNSWIndex
 
     tag = sf_dir.rstrip("/").replace("/", "_")
@@ -292,8 +277,90 @@ def ivf_hnsw_search(spark, sf_dir):
             ef_construction=64,
             sample_size=100_000,
         )
-    return HNSWIndex(path).search(
+    return HNSWIndex(path)
+
+
+@query("ivf_pq_search")  # rows-only: ADC quantization error is index-specific
+def ivf_pq_search(spark, sf_dir):
+    """IVF_PQ build + ADC search with exact refine (LanceIndexBuilder
+    IVF_PQ, vector.refine-factor). Rows-only check: PQ results at the
+    production nprobes/refine are approximate by construction;
+    tests/test_index.py asserts recall against brute force, and the
+    full-probe/covering-refine twin `ivf_pq_exactness` hash-gates the
+    same code path against the brute-force oracle."""
+    return _ivf_pq(spark, sf_dir).search_pq(
+        spark, _query_vec(spark, sf_dir), k=10, nprobes=8, refine_factor=4
+    ).select("vec_id", "distance")
+
+
+@query(
+    "ivf_pq_exactness",
+    extra=True,  # exactness twin: covering refine must restore brute order
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def ivf_pq_exactness(spark, sf_dir):
+    """IVF_PQ exactness twin (the ivf_sq_search pattern): at
+    nprobes=nlist every list is probed, and refine_factor = ceil(N/k)
+    makes the exact re-rank cover every ADC candidate — so whatever
+    the quantization error, the result MUST equal brute-force top-k.
+    The full oracle therefore hash-gates the whole PQ machinery
+    (centroid routing, OPQ rotation, LUT gather, refine, tie order);
+    only the ADC *ranking quality* stays on the recall pytest."""
+    idx = _ivf_pq(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded driver value: one scalar
+    return idx.search_pq(
+        spark,
+        _query_vec(spark, sf_dir),
+        k=10,
+        nprobes=8,
+        refine_factor=-(-n // 10),  # k*rf >= N: refine covers the corpus
+    ).select("vec_id", "distance")
+
+
+@query("ivf_hnsw_search")  # rows-only: graph navigation is approximate
+def ivf_hnsw_search(spark, sf_dir):
+    """IVF_HNSW build + beam search (LanceIndexBuilder.java:141-186):
+    a real HNSW graph per IVF list built distributed (applyInPandas,
+    one task per list), searched via partition-pruned blob scan +
+    mapInPandas beam + global top-k. Rows-only check: graph search at
+    the production ef is approximate by construction; tests/test_hnsw.py
+    gates recall >= 0.9, and the full-beam twin `ivf_hnsw_exactness`
+    hash-gates the same code path against the brute-force oracle."""
+    return _ivf_hnsw(spark, sf_dir).search(
         spark, _query_vec(spark, sf_dir), k=10, nprobes=8, ef=64
+    )
+
+
+@query(
+    "ivf_hnsw_exactness",
+    extra=True,  # exactness twin: full beam must visit every node
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def ivf_hnsw_exactness(spark, sf_dir):
+    """IVF_HNSW exactness twin: at nprobes=nlist with ef = N the layer-0
+    beam can never evict, so the search visits every reachable node of
+    every list's graph and the exact re-score sees the whole corpus —
+    brute-force top-k, or a hash mismatch. Gates graph connectivity
+    (an unreachable node = a missing row), the beam bookkeeping, the
+    per-list rescore, and the global top-k merge; only navigation
+    *pruning quality* at small ef stays on the recall pytest."""
+    idx = _ivf_hnsw(spark, sf_dir)
+    n = table(spark, sf_dir, "embeddings").count()
+    return idx.search(
+        spark, _query_vec(spark, sf_dir), k=10, nprobes=8, ef=n
     )
 
 
