@@ -756,15 +756,70 @@ def events_attribution(spark, sf_dir):
     )
 
 
-@query("events_quantile_sketch", extra=True)  # rows-only: relative-error
-# estimates by construction; the accuracy contract is pytest-pinned
-# (test_sketches.py: ≤a relative error, exact bin-wise mergeability)
+def _ddsketch_literals(relative_accuracy: float = 0.01) -> tuple[str, str, str]:
+    """(gamma, ln gamma, gamma+1) as repr'd Python doubles — the exact
+    literals quantile_sketches folds into its Spark plan, so a DuckDB
+    oracle binning with the same literals replays the sketch
+    deterministically (ceil(ln v / ln γ) and 2·γ^i/(γ+1) are pure
+    double arithmetic on both engines)."""
+    from lance_flink_spark.operators.sketches import _gamma
+
+    g = _gamma(relative_accuracy)
+    import math
+
+    return repr(g), repr(math.log(g)), repr(g + 1.0)
+
+
+_DD_G, _DD_LG, _DD_G1 = _ddsketch_literals(0.01)
+
+
+@query(
+    "events_quantile_sketch",
+    extra=True,  # oracle replays the deterministic DDSketch arithmetic
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value FROM events
+      UNION ALL
+      SELECT '__all__' AS event_type, value FROM events
+    ), b AS (
+      SELECT event_type,
+        CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS s,
+        CASE WHEN value > 0 THEN CAST(CEIL(LN(value) / {_DD_LG}) AS INT)
+             WHEN value < 0 THEN CAST(CEIL(LN(-value) / {_DD_LG}) AS INT)
+             ELSE 0 END AS bin
+      FROM v
+    ), c AS (
+      SELECT event_type, s, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT event_type, s, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY s, s * bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type, q,
+           ROUND(CASE WHEN s = 0 THEN 0.0
+                      WHEN s = 1 THEN 2.0 * POWER({_DD_G}, bin) / {_DD_G1}
+                      ELSE -(2.0 * POWER({_DD_G}, bin) / {_DD_G1}) END,
+                 6) AS estimate
+    FROM cum, (VALUES (0.5), (0.95), (0.99)) qs(q)
+    WHERE cum >= GREATEST(CEIL(q * n), 1)
+      AND cum - cnt < GREATEST(CEIL(q * n), 1)
+    """,
+)
 def events_quantile_sketch(spark, sf_dir):
     """Mergeable DDSketch percentile state over event values: build
     per-event_type sketches, merge them WITHOUT rescanning facts, and
     read p50/p95/p99 per type plus the global rollup — the incremental
     percentile-monitoring shape (operators/sketches.py). All built-in
-    functions; state per group is O(log value-range / log gamma)."""
+    functions; state per group is O(log value-range / log gamma).
+
+    FULL oracle: DDSketch is deterministic end to end — bin index
+    ceil(ln v / ln γ), exact bin-count merge, rank ceil(q·n), midpoint
+    2·γ^i/(γ+1) — so DuckDB replays the whole sketch from the same γ
+    literals and the hash gates binning, merge, rank walk, and readout
+    (estimates rounded to 6dp on both sides; the ≤a relative-error
+    contract stays pytest-pinned in test_sketches.py)."""
     from lance_flink_spark.operators.sketches import (
         estimate_quantiles,
         quantile_sketches,
@@ -778,4 +833,6 @@ def events_quantile_sketch(spark, sf_dir):
     global_est = estimate_quantiles(global_sk, [], [0.5, 0.95, 0.99]).select(
         F.lit("__all__").alias("event_type"), "q", "estimate"
     )
-    return per_type.unionByName(global_est)
+    return per_type.unionByName(global_est).withColumn(
+        "estimate", F.round("estimate", 6)
+    )
