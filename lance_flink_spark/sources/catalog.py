@@ -103,6 +103,42 @@ class Catalog:
             raise CatalogError(f"table {db}.{new} already exists")
         fsio.rename(self._table_path(db, old), self._table_path(db, new))
 
+    # ---------- logical views (catalog objects, Flink semantics) ----------
+    #
+    # Flink non-TEMPORARY views are CATALOG objects: the SELECT text is
+    # persisted in warehouse metadata and visible to every session over
+    # the same warehouse (the reference's views live in LanceCatalog the
+    # same way). One _views.json per database, creation order preserved
+    # (JSON objects keep insertion order) so view-over-view re-expansion
+    # replays correctly in a new engine.
+
+    VIEWS_META = "_views.json"
+
+    def _views_path(self, db: str) -> str:
+        return fsio.join(self._db_path(db), self.VIEWS_META)
+
+    def list_views(self, db: str) -> dict[str, str]:
+        """{view_name: select_text} in creation order; {} if none."""
+        p = self._views_path(db)
+        if not fsio.exists(p):
+            return {}
+        return json.loads(fsio.read_text(p))
+
+    def save_view(self, db: str, name: str, select: str) -> None:
+        if not self.database_exists(db):
+            raise CatalogError(f"database {db} does not exist")
+        views = self.list_views(db)
+        views[name] = select
+        fsio.write_text_atomic(self._views_path(db), json.dumps(views, indent=1))
+
+    def drop_view(self, db: str, name: str) -> None:
+        views = self.list_views(db)
+        if name in views:
+            del views[name]
+            fsio.write_text_atomic(
+                self._views_path(db), json.dumps(views, indent=1)
+            )
+
     # ---------- SQL surface ----------
 
     def register(self, spark: SparkSession, db: str, table: str, view: str | None = None) -> DataFrame:

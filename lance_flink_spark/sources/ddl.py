@@ -209,8 +209,10 @@ _CREATE_VIEW = re.compile(
     # Flink CREATE [TEMPORARY] VIEW v AS SELECT ... — logical views:
     # the SELECT is re-expanded whenever a base table changes, so a
     # view over a catalog table sees later INSERTs (Flink semantics,
-    # NOT a snapshot).
-    r"CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    # NOT a snapshot). Non-TEMPORARY views are CATALOG objects: the
+    # SELECT text persists in warehouse metadata and re-expands in any
+    # later engine over the same warehouse.
+    r"CREATE\s+(?P<temp>TEMPORARY\s+)?VIEW\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
     r"(?P<name>[\w.]+)\s+AS\s+(?P<select>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -516,6 +518,18 @@ class SqlEngine:
         self.catalogs: dict[str, Catalog] = {"default_catalog": catalog}
         # SHOW FUNCTIONS surface: built-ins + CREATE FUNCTION names
         self.functions: dict[str, str] = {"vector_search": "built-in"}
+        # re-expand views persisted by earlier engines over this
+        # warehouse (Flink: non-TEMPORARY views are catalog objects).
+        # Base tables register first so the view plans resolve.
+        persisted = catalog.list_views(database)
+        if persisted:
+            for t in catalog.list_tables(database):
+                try:
+                    catalog.register(spark, database, t, view=t)
+                except Exception:  # noqa: BLE001 - corrupt table ≠ dead engine
+                    pass
+            self.views.update(persisted)
+            self._refresh_views()
 
     def _create_catalog(self, m: re.Match) -> None:
         """CREATE CATALOG (LanceCatalogFactory parity): 'type' must be
@@ -771,6 +785,10 @@ class SqlEngine:
             select = m.group("select").strip()
             self._query(select).createOrReplaceTempView(name)  # validate now
             self.views[name] = select
+            if not m.group("temp"):
+                # catalog object: visible to every engine over this
+                # warehouse (Flink non-TEMPORARY view semantics)
+                self.catalog.save_view(self.database, name, select)
             return None
         m = _DROP_VIEW.match(sql)
         if m:
@@ -780,6 +798,7 @@ class SqlEngine:
                     return None
                 raise CatalogError(f"unknown view {name!r}")
             del self.views[name]
+            self.catalog.drop_view(self.database, name)  # no-op if temp
             self.spark.catalog.dropTempView(name)
             return None
         if _SHOW_FUNCTIONS.match(sql):

@@ -1521,6 +1521,35 @@ def test_sql_view_over_view(engine, spark):
     assert engine.execute("SELECT n FROM vv_cnt").collect()[0].n == 3
 
 
+def test_sql_view_persists_across_engines(engine, spark, tmp_path_str):
+    """Flink non-TEMPORARY views are CATALOG objects: a fresh engine
+    over the same warehouse must list and re-expand them; TEMPORARY
+    views die with the session."""
+    engine.execute(
+        """CREATE TABLE pv_base (id BIGINT, v DOUBLE)
+           WITH ('connector'='lance','path'='')"""
+    )
+    engine.execute("INSERT INTO pv_base VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    engine.execute("CREATE VIEW pv_big AS SELECT id, v FROM pv_base WHERE v > 1.5")
+    engine.execute("CREATE TEMPORARY VIEW pv_tmp AS SELECT id FROM pv_base")
+    # simulate a new session: all temp-view registrations gone
+    for v in ("pv_base", "pv_big", "pv_tmp"):
+        spark.catalog.dropTempView(v)
+
+    eng2 = SqlEngine(spark, Catalog(tmp_path_str))
+    names = [r.view_name for r in eng2.execute("SHOW VIEWS").collect()]
+    assert "pv_big" in names and "pv_tmp" not in names
+    assert sorted(r.id for r in eng2.execute("SELECT * FROM pv_big").collect()) == [2, 3]
+    # still logical, not a snapshot: sees inserts made through eng2
+    eng2.execute("INSERT INTO pv_base VALUES (4, 4.0)")
+    assert sorted(r.id for r in eng2.execute("SELECT * FROM pv_big").collect()) == [2, 3, 4]
+    # DROP in one engine removes the catalog object for all later ones
+    eng2.execute("DROP VIEW pv_big")
+    eng3 = SqlEngine(spark, Catalog(tmp_path_str))
+    names = [r.view_name for r in eng3.execute("SHOW VIEWS").collect()]
+    assert "pv_big" not in names
+
+
 def test_sql_statement_set(engine, spark):
     """EXECUTE STATEMENT SET BEGIN ... END runs every INSERT."""
     engine.execute(
