@@ -1217,12 +1217,14 @@ class Dataset:
 
     @staticmethod
     def _parse_index_filter(filter: str):  # noqa: A002 - mirrors reference option name
-        """Parse a declared filter into single-column (op, literal)
-        conjuncts routable through the scalar index: ``col = lit``,
-        ``col <op> lit``, ``col BETWEEN a AND b``, and AND-chains of
-        those on ONE column (the time-range shape ``ts >= a AND ts <
-        b``). Returns (col, [(op, value), ...]) or None for any shape
-        the index can't answer."""
+        """Parse a declared filter into per-column (op, literal)
+        conjuncts routable through scalar indexes: ``col = lit``,
+        ``col <op> lit``, ``col BETWEEN a AND b``, ``col LIKE
+        'prefix%'``, and AND-chains of those over ANY number of
+        columns (the time-range shape ``ts >= a AND ts < b``, and
+        multi-column shapes like ``type = 'x' AND ts >= a``). Returns
+        ``{col: [(op, value), ...]}`` or None for any shape the
+        indexes can't answer (OR, non-literal rhs, ...)."""
         import re as _re
 
         def lit(raw, s):
@@ -1230,107 +1232,126 @@ class Dataset:
 
         m = _re.match(Dataset._BTW_RE, filter, _re.IGNORECASE)
         if m:
-            return m.group(1), [
-                (">=", lit(m.group(2), m.group(3))),
-                ("<=", lit(m.group(4), m.group(5))),
-            ]
-        conjuncts: list[tuple[str, object]] = []
-        cols = set()
+            return {
+                m.group(1): [
+                    (">=", lit(m.group(2), m.group(3))),
+                    ("<=", lit(m.group(4), m.group(5))),
+                ]
+            }
+        by_col: dict[str, list[tuple[str, object]]] = {}
         for part in _re.split(r"\s+and\s+", filter.strip(), flags=_re.IGNORECASE):
             lk = _re.match(Dataset._LIKE_RE, part, _re.IGNORECASE)
             if lk:
                 ranged = Dataset._like_conjuncts(lk.group(2))
                 if ranged is None:
                     return None
-                cols.add(lk.group(1))
-                conjuncts.extend(ranged)
+                by_col.setdefault(lk.group(1), []).extend(ranged)
                 continue
             m = _re.match(Dataset._CMP_RE, part)
             if not m:
                 return None
-            cols.add(m.group(1))
-            conjuncts.append((m.group(2), lit(m.group(3), m.group(4))))
-        if len(cols) != 1:
-            return None  # single-column index: multi-column shapes fall through
-        return cols.pop(), conjuncts
+            by_col.setdefault(m.group(1), []).append(
+                (m.group(2), lit(m.group(3), m.group(4)))
+            )
+        return by_col or None
+
+    def _column_candidate_files(
+        self, spark: SparkSession, col: str, conjuncts
+    ) -> set | None:
+        """Candidate file set for ONE column's conjuncts via its fresh
+        scalar index (equality postings + [lo, hi] range spans) or, for
+        a single equality without a scalar index, its bloom sidecar.
+        None = this column cannot prune (no/stale index, unroutable
+        op) — never an error, the exact filter reapplies regardless."""
+        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
+        if not fsio.exists(meta_path):
+            # no scalar index — a bloom sidecar can still answer a
+            # single-equality conjunct (the high-cardinality case the
+            # scalar sidecar is too big for)
+            eqs = [v for op, v in conjuncts if op in ("=", "==")]
+            if len(eqs) == len(conjuncts) == 1:
+                bmeta = fsio.join(self.path, "_bloom_index", col, "META.json")
+                if (
+                    fsio.exists(bmeta)
+                    and fsio.read_json(bmeta)["version"] == self.versions()[-1]
+                ):
+                    from lance_flink_spark.sources.bloom import (
+                        bloom_candidate_files,
+                    )
+
+                    return set(bloom_candidate_files(self, spark, col, eqs[0]))
+            return None
+        meta = fsio.read_json(meta_path)
+        if meta["version"] != self.versions()[-1]:
+            return None
+        from pyspark.sql import functions as F
+
+        base = fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
+        file_sets: list[set] = []
+        eqs = [v for op, v in conjuncts if op in ("=", "==")]
+        rngs = [(op, v) for op, v in conjuncts if op not in ("=", "==")]
+        if eqs:
+            idx = spark.read.parquet(base)
+            cond = F.lit(True)
+            for v in eqs:
+                cond = cond & (F.col("value") == F.lit(v))
+            file_sets.append(
+                {r["_file"] for r in idx.filter(cond).select("_file").distinct().collect()}
+            )
+        if rngs:
+            ranges_path = base + "_ranges"
+            if not fsio.exists(ranges_path):
+                return None  # index predates range support — rebuild to enable
+            ranges = spark.read.parquet(ranges_path)
+            # a file overlaps the predicate iff its [lo, hi] span can
+            # contain a qualifying value; NULL bounds (all-NULL files)
+            # compare to NULL and are pruned, matching SQL range
+            # semantics
+            cond = F.lit(True)
+            for op, v in rngs:
+                if op == "<":
+                    cond = cond & (F.col("lo") < F.lit(v))
+                elif op == "<=":
+                    cond = cond & (F.col("lo") <= F.lit(v))
+                elif op == ">":
+                    cond = cond & (F.col("hi") > F.lit(v))
+                elif op == ">=":
+                    cond = cond & (F.col("hi") >= F.lit(v))
+                else:
+                    return None
+            file_sets.append(
+                {r["_file"] for r in ranges.filter(cond).select("_file").collect()}
+            )
+        if not file_sets:
+            return None
+        return set.intersection(*file_sets)
 
     def _try_index_prune(self, spark: SparkSession, filter: str) -> list[str] | None:
         """File list for an index-routable declared filter (equality,
-        IN-able equality chains, range comparisons, BETWEEN) via a
-        fresh scalar index, else None. Never raises — declarative
-        reads must not start failing because an index went stale."""
+        IN-able equality chains, range comparisons, BETWEEN, LIKE
+        prefixes — AND-chains over any number of columns) by
+        INTERSECTING each indexed column's candidate file set: a
+        conjunction can only match a file every conjunct's index
+        admits. Columns without a fresh index simply don't prune
+        (over-approximation is safe — the exact filter reapplies).
+        Returns None when no column can prune. Never raises —
+        declarative reads must not start failing because an index
+        went stale."""
         parsed = self._parse_index_filter(filter)
         if parsed is None:
             return None
-        col, conjuncts = parsed
-        meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
         try:
-            if not fsio.exists(meta_path):
-                # no scalar index — a bloom sidecar can still answer a
-                # single-equality filter (the high-cardinality case the
-                # scalar sidecar is too big for)
-                eqs = [v for op, v in conjuncts if op in ("=", "==")]
-                if len(eqs) == len(conjuncts) == 1:
-                    bmeta = fsio.join(self.path, "_bloom_index", col, "META.json")
-                    if (
-                        fsio.exists(bmeta)
-                        and fsio.read_json(bmeta)["version"] == self.versions()[-1]
-                    ):
-                        from lance_flink_spark.sources.bloom import (
-                            bloom_candidate_files,
-                        )
-
-                        return [
-                            fsio.join(self.path, self._relpath(f))
-                            for f in bloom_candidate_files(self, spark, col, eqs[0])
-                        ] or None
-                return None
-            meta = fsio.read_json(meta_path)
-            if meta["version"] != self.versions()[-1]:
-                return None
-            from pyspark.sql import functions as F
-
-            base = fsio.join(
-                self.path, "_scalar_index", col, f"v{meta['version']:04d}"
-            )
-            file_sets: list[set] = []
-            eqs = [v for op, v in conjuncts if op in ("=", "==")]
-            rngs = [(op, v) for op, v in conjuncts if op not in ("=", "==")]
-            if eqs:
-                idx = spark.read.parquet(base)
-                cond = F.lit(True)
-                for v in eqs:
-                    cond = cond & (F.col("value") == F.lit(v))
-                file_sets.append(
-                    {r["_file"] for r in idx.filter(cond).select("_file").distinct().collect()}
+            col_sets = [
+                s
+                for s in (
+                    self._column_candidate_files(spark, col, conjuncts)
+                    for col, conjuncts in parsed.items()
                 )
-            if rngs:
-                ranges_path = base + "_ranges"
-                if not fsio.exists(ranges_path):
-                    return None  # index predates range support — rebuild to enable
-                ranges = spark.read.parquet(ranges_path)
-                # a file overlaps the predicate iff its [lo, hi] span
-                # can contain a qualifying value; NULL bounds (all-NULL
-                # files) compare to NULL and are pruned, matching SQL
-                # range semantics
-                cond = F.lit(True)
-                for op, v in rngs:
-                    if op == "<":
-                        cond = cond & (F.col("lo") < F.lit(v))
-                    elif op == "<=":
-                        cond = cond & (F.col("lo") <= F.lit(v))
-                    elif op == ">":
-                        cond = cond & (F.col("hi") > F.lit(v))
-                    elif op == ">=":
-                        cond = cond & (F.col("hi") >= F.lit(v))
-                    else:
-                        return None
-                file_sets.append(
-                    {r["_file"] for r in ranges.filter(cond).select("_file").collect()}
-                )
-            if not file_sets:
+                if s is not None
+            ]
+            if not col_sets:
                 return None
-            files = set.intersection(*file_sets)
+            files = set.intersection(*col_sets)
             return [
                 fsio.join(self.path, self._relpath(f)) for f in sorted(files)
             ] or None  # empty: let the plain scan return the empty result

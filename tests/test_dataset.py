@@ -525,9 +525,14 @@ def test_scalar_index_routes_range_filters(spark, tmp_path_str):
         routed = ds.read(spark, filter=flt)
         assert len(routed.inputFiles()) < total, flt
         assert routed.count() == expect, flt
-    # multi-column / unparsable shapes fall through to the full scan
-    full = ds.read(spark, filter="id < 100 AND bucket = 0")
-    assert full.count() == 100
+    # a multi-column AND still prunes on the indexed column (bucket
+    # has no index, so its conjunct over-approximates to all files)
+    mixed = ds.read(spark, filter="id < 100 AND bucket = 0")
+    assert mixed.count() == 100
+    assert len(mixed.inputFiles()) < total
+    # genuinely unparsable shapes (OR) fall through to the full scan
+    full = ds.read(spark, filter="id < 100 OR bucket = 9")
+    assert full.count() == 200
     assert len(full.inputFiles()) == total
 
 

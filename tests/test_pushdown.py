@@ -233,3 +233,61 @@ class TestLikePrefixIndexPruning:
         # '%x' shapes can't range-prune: full file list, still correct
         df = likeds.read(spark, filter="name LIKE '%-000042'")
         assert df.count() == 1
+
+
+class TestMultiColumnIndexIntersection:
+    """AND-chains over MULTIPLE indexed columns intersect each
+    column's candidate file set: a conjunction can only match a file
+    every conjunct's index admits, so the routed read must scan
+    strictly fewer files than either single-column route."""
+
+    @pytest.fixture(scope="class")
+    def mcds(self, spark, tmp_path_factory):
+        from lance_flink_spark.sources.dataset import Dataset
+
+        root = str(tmp_path_factory.mktemp("mcidx") / "ds")
+        # 8 files sorted by (grp, ts): grp 'a' files span ts quarters
+        # [0,500)...[1500,2000), grp 'b' repeats the same ts spans —
+        # so a grp-only prune keeps 4 files, a ts-only prune keeps 4,
+        # and the conjunction keeps exactly 2.
+        df = spark.range(4000).selectExpr(
+            "id",
+            "CASE WHEN id < 2000 THEN 'a' ELSE 'b' END AS grp",
+            "CAST(id % 2000 AS BIGINT) AS ts",
+        )
+        d = Dataset(root)
+        d.write(
+            df.repartitionByRange(8, "grp", "ts"),
+            sort_by=["grp", "ts"],
+            max_rows_per_file=500,
+        )
+        d.build_scalar_index(spark, "grp")
+        d.build_scalar_index(spark, "ts")
+        return d
+
+    def test_intersection_beats_either_single_column_route(self, mcds, spark):
+        both = mcds.read(spark, filter="grp = 'a' AND ts >= 1000")
+        by_grp = mcds.read(spark, filter="grp = 'a'")
+        by_ts = mcds.read(spark, filter="ts >= 1000")
+        assert len(both.inputFiles()) < len(by_grp.inputFiles())
+        assert len(both.inputFiles()) < len(by_ts.inputFiles())
+        assert both.count() == 1000
+        # parity with the unrouted plain filter
+        plain = mcds.read(spark).filter("grp = 'a' AND ts >= 1000")
+        assert sorted(r.id for r in both.collect()) == sorted(
+            r.id for r in plain.collect()
+        )
+
+    def test_unindexed_conjunct_does_not_block_pruning(self, mcds, spark):
+        # id has no index: its conjunct can't prune, but grp's still
+        # must (over-approximation is safe — exact filter reapplies)
+        routed = mcds.read(spark, filter="grp = 'a' AND id >= 0")
+        assert len(routed.inputFiles()) < len(mcds.read(spark).inputFiles())
+        assert routed.count() == 2000
+
+    def test_range_chain_on_one_column_still_routes(self, mcds, spark):
+        # the pre-existing single-column time-range shape must be
+        # unaffected by the multi-column generalization
+        routed = mcds.read(spark, filter="ts >= 500 AND ts < 1000")
+        assert len(routed.inputFiles()) < len(mcds.read(spark).inputFiles())
+        assert routed.count() == 1000
