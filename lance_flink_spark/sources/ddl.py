@@ -291,6 +291,33 @@ _TEMPORAL_JOIN = re.compile(
 _SHOW_VERSIONS = re.compile(
     r"SHOW\s+VERSIONS\s+(?:FROM|IN)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
+# Flink MATCH_RECOGNIZE (docs "Pattern Recognition"), restricted to the
+# dialect subset that lowers onto operators/cep.py::match_sequence:
+# plain single-occurrence pattern variables, DEFINE conjuncts of the
+# form `V AS V.<col> = '<literal>'` (all on one column), AFTER MATCH
+# SKIP TO NEXT ROW (the operator's every-start-row semantics), and
+# MEASURES projecting a variable's <ts-col> (emitted as epoch micros)
+# or the first variable's id column.
+_MATCH_RECOGNIZE = re.compile(
+    r"^SELECT\s+\*\s+FROM\s+(?P<tbl>[\w.]+)\s+MATCH_RECOGNIZE\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<key>\w+)\s+"
+    r"ORDER\s+BY\s+(?P<ts>\w+)(?:\s+ASC)?\s+"
+    r"(?:MEASURES\s+(?P<measures>.+?)\s+)?"
+    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW\s+)?"
+    r"PATTERN\s*\(\s*(?P<pat>[\w\s]+?)\s*\)\s*"
+    r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+(?P<wu>\w+)\s*)?"
+    r"DEFINE\s+(?P<defs>.+?)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MR_DEFINE = re.compile(
+    r"^(?P<var>\w+)\s+AS\s+(?P=var)\.(?P<col>\w+)\s*=\s*'(?P<lit>[^']*)'\s*$",
+    re.IGNORECASE,
+)
+_MR_MEASURE = re.compile(
+    r"^(?:FIRST\s*\(\s*)?(?P<var>\w+)\.(?P<col>\w+)\)?\s+AS\s+(?P<alias>\w+)\s*$",
+    re.IGNORECASE,
+)
 _MERGE = re.compile(
     r"MERGE\s+INTO\s+(?P<name>[\w.]+)\s+USING\s+\((?P<src>.+)\)\s+ON\s+(?P<on>\w+)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -587,6 +614,100 @@ class SqlEngine:
             )
         )
 
+    def _match_recognize(self, m: re.Match) -> DataFrame:
+        """Lower Flink MATCH_RECOGNIZE onto the batch CEP operator
+        (operators/cep.py::match_sequence — reverse-min chain binding,
+        two window passes, no per-row Python). Dialect subset:
+
+        - PATTERN of plain single-occurrence variables (``(A B C)``);
+        - DEFINE conjuncts ``V AS V.<col> = '<literal>'``, all
+          variables on the SAME column (the event-type dispatch shape);
+        - AFTER MATCH SKIP TO NEXT ROW — the operator emits one match
+          per completing start row, which IS that skip policy;
+        - optional ``WITHIN INTERVAL 'n' UNIT`` (default 1 hour);
+        - MEASURES limited to ``V.<order-col> AS a`` (bound step's
+          timestamp, emitted as epoch micros) and ``FIRST_VAR.<col>
+          AS a`` (the match's anchoring event id). No MEASURES →
+          the operator's full output (key, start_event_id,
+          t0_us..tN_us, duration_us).
+
+        Anything outside the subset raises rather than silently
+        mis-parsing."""
+        from lance_flink_spark.operators.cep import match_sequence
+
+        tbl = m.group("tbl")
+        if self._in_catalog(tbl):
+            self._register(tbl)
+        key, ts = m.group("key"), m.group("ts")
+        pat_vars = m.group("pat").split()
+        defs: dict[str, tuple[str, str]] = {}
+        for d in m.group("defs").split(","):
+            dm = _MR_DEFINE.match(d.strip())
+            if not dm:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: unsupported DEFINE {d.strip()!r} "
+                    "(subset: V AS V.<col> = '<literal>')"
+                )
+            defs[dm.group("var").upper()] = (dm.group("col"), dm.group("lit"))
+        missing = [v for v in pat_vars if v.upper() not in defs]
+        if missing:
+            raise ValueError(f"MATCH_RECOGNIZE: PATTERN vars without DEFINE: {missing}")
+        type_cols = {defs[v.upper()][0] for v in pat_vars}
+        if len(type_cols) != 1:
+            raise ValueError(
+                "MATCH_RECOGNIZE subset requires all DEFINE conjuncts on one "
+                f"column, got {sorted(type_cols)}"
+            )
+        type_col = type_cols.pop()
+        steps = [defs[v.upper()][1] for v in pat_vars]
+        within = "1 hour"
+        if m.group("wn"):
+            within = f"{m.group('wn')} {m.group('wu').lower()}s".replace("ss", "s")
+        # id column: the measure on the first variable's non-ts column
+        # names it; default event_id (the benchmark schema)
+        id_col = "event_id"
+        measures = []
+        if m.group("measures"):
+            for piece in m.group("measures").split(","):
+                mm = _MR_MEASURE.match(piece.strip())
+                if not mm:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: unsupported MEASURE {piece.strip()!r}"
+                    )
+                measures.append(
+                    (mm.group("var").upper(), mm.group("col"), mm.group("alias"))
+                )
+            for var, col, _ in measures:
+                if col != ts and var == pat_vars[0].upper():
+                    id_col = col
+        out = match_sequence(
+            self.spark.table(tbl),
+            steps,
+            within=within,
+            key_col=key,
+            ts_col=ts,
+            type_col=type_col,
+            id_col=id_col,
+        )
+        if not measures:
+            return out
+        var_idx = {v.upper(): i for i, v in enumerate(pat_vars)}
+        from pyspark.sql import functions as F
+
+        sel = [F.col(key)]
+        for var, col, alias in measures:
+            if col == ts:
+                sel.append(F.col(f"t{var_idx[var]}_us").alias(alias))
+            elif var == pat_vars[0].upper():
+                sel.append(F.col("start_event_id").alias(alias))
+            else:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: only the first pattern variable's "
+                    f"{id_col!r} and any variable's {ts!r} are measurable "
+                    f"in this subset (got {var}.{col})"
+                )
+        return out.select(*sel)
+
     def _temporal_join(self, m: re.Match) -> DataFrame:
         """Flink event-time temporal table join: each fact row joins
         the dim row valid AS OF the fact's event time — the latest dim
@@ -637,6 +758,9 @@ class SqlEngine:
         m = _TEMPORAL_JOIN.match(sql)
         if m and not m.group("ts").isdigit():
             return self._temporal_join(m)
+        m = _MATCH_RECOGNIZE.match(sql)
+        if m:
+            return self._match_recognize(m)
         m = _CREATE_INDEX.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._create_index(m)

@@ -477,3 +477,70 @@ def test_streaming_match_allowed_lateness_knob(
     q.awaitTermination()
     rows = spark.table(f"cep_late_{tag}").collect()
     assert bool(rows) == expect_match
+
+
+class TestMatchRecognizeSQL:
+    """MATCH_RECOGNIZE SQL surface (sources/ddl.py) lowering onto
+    match_sequence — the statement must reproduce the operator's
+    oracle-gated output exactly (events_match_sequence's semantics)."""
+
+    MR = """SELECT * FROM mr_events MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              {measures}
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (A B C) WITHIN INTERVAL '24' HOUR
+              DEFINE
+                A AS A.event_type = 'view',
+                B AS B.event_type = 'click',
+                C AS C.event_type = 'purchase'
+            )"""
+
+    @pytest.fixture(scope="class")
+    def mr_engine(self, spark, tmp_path_factory):
+        from lance_flink_spark.registry import table
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+
+        table(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView(
+            "mr_events"
+        )
+        return SqlEngine(spark, Catalog(str(tmp_path_factory.mktemp("mrcat"))))
+
+    def test_full_output_matches_operator(self, mr_engine, spark):
+        got = mr_engine.execute(self.MR.format(measures="")).collect()
+        want = match_sequence(
+            spark.table("mr_events"),
+            ["view", "click", "purchase"],
+            within="24 hours",
+        ).collect()
+        key = lambda r: (r["user_id"], r["start_event_id"])  # noqa: E731
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert len(want) > 0  # non-vacuous at sf0.001
+
+    def test_measures_project_and_alias(self, mr_engine, spark):
+        sql = self.MR.format(
+            measures="""MEASURES
+                A.event_id AS start_id,
+                A.ts AS view_us,
+                C.ts AS purchase_us"""
+        )
+        got = mr_engine.execute(sql)
+        assert got.columns == ["user_id", "start_id", "view_us", "purchase_us"]
+        want = match_sequence(
+            spark.table("mr_events"), ["view", "click", "purchase"], within="24 hours"
+        ).select("user_id", "start_event_id", "t0_us", "t2_us").collect()
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+
+    def test_unsupported_shapes_raise(self, mr_engine):
+        with pytest.raises(ValueError, match="DEFINE"):
+            mr_engine.execute(
+                self.MR.format(measures="").replace(
+                    "A.event_type = 'view'", "A.value > 3"
+                )
+            )
+        with pytest.raises(ValueError, match="without DEFINE"):
+            mr_engine.execute(
+                self.MR.format(measures="").replace("PATTERN (A B C)", "PATTERN (A B C D)")
+            )
