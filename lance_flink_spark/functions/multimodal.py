@@ -159,12 +159,13 @@ def extract_metadata(blobs: DataFrame) -> DataFrame:
 
 # ---------- REAL codecs for container-decodable formats ----------
 #
-# PIL/ffmpeg are absent here (SURVEY §6), but four real formats need
+# PIL/ffmpeg are absent here (SURVEY §6), but these real formats need
 # nothing beyond numpy/stdlib: PPM (P6) images, PNG (zlib inflate +
-# the four scanline filters — see decode_png below), baseline JPEG
-# (Huffman + dequant + numpy IDCT — see decode_jpeg below), and PCM
-# WAV audio. The stubs above remain only for formats that genuinely
-# require external codecs (MP4 demux, progressive JPEG); these paths
+# the four scanline filters — see decode_png below), baseline AND
+# progressive JPEG (Huffman + dequant + numpy IDCT — see decode_jpeg
+# below), PCM WAV audio, and MP4 container demux (functions/mp4.py).
+# The stubs above remain only for codec bitstreams that genuinely
+# require external decoders (H.264/AV1 sample payloads); these paths
 # are REAL decode/resize/feature implementations with the same
 # mapInPandas batch shape.
 
@@ -604,23 +605,10 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(np.floor((q * s + 50) / 100), 1, 255)
 
 
-def encode_jpeg(
-    arr: "np.ndarray",
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 → baseline JFIF
-    bytes (standard Huffman tables, IJG quality scaling).
-
-    ``subsampling``: "444" (one block per component per MCU) or "420"
-    (2x2 luma blocks + box-averaged Cb/Cr per MCU — what cameras and
-    PIL emit by default, so the decoder's interleaved-MCU + chroma
-    upsample path gets real input). ``restart_interval`` > 0 emits a
-    DRI segment and RSTn markers every N MCUs (the resync points long
-    scans carry)."""
-    import struct
-
+def _jpeg_prepare(arr: "np.ndarray", quality: int, subsampling: str):
+    """Shared encode front half (baseline + progressive): color
+    transform, sampling factors, MCU geometry, IJG-scaled quant
+    tables, edge-padded + box-downsampled level-shifted planes."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
@@ -663,6 +651,29 @@ def encode_jpeg(
         if ry > 1 or rx > 1:
             pp = pp.reshape(hp // ry, ry, wp // rx, rx).mean(axis=(1, 3))
         comps_px.append(pp - 128.0)
+    return h, w, ncomp, factors, hmax, vmax, mcux, mcuy, qtabs, comps_px
+
+
+def encode_jpeg(
+    arr: "np.ndarray",
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 → baseline JFIF
+    bytes (standard Huffman tables, IJG quality scaling).
+
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + box-averaged Cb/Cr per MCU — what cameras and
+    PIL emit by default, so the decoder's interleaved-MCU + chroma
+    upsample path gets real input). ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every N MCUs (the resync points long
+    scans carry)."""
+    import struct
+
+    h, w, ncomp, factors, hmax, vmax, mcux, mcuy, qtabs, comps_px = _jpeg_prepare(
+        arr, quality, subsampling
+    )
 
     # canonical code lookup per (class, table)
     def table(bits, vals):
@@ -761,6 +772,244 @@ def encode_jpeg(
     return b"".join(out)
 
 
+# "Flat" AC Huffman table for progressive scans: all 256 symbols (2 at
+# 8 bits, 254 at 9) so the EOBn run-length symbols (r<<4, r=1..14) —
+# absent from the Annex-K baseline tables — are codable. Legal
+# canonical table (Kraft sum 0.504, no all-ones code), deliberately
+# size-suboptimal: the writer exists to synthesize test input.
+_AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 2, 254, 0, 0, 0, 0, 0, 0, 0]
+_AC_FLAT_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(
+    arr: "np.ndarray", quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 → PROGRESSIVE
+    (SOF2) JFIF bytes, exercising both spectral selection and
+    successive approximation (the libjpeg default script shape):
+
+      1. DC all comps       Ss=0  Se=0   Ah=0 Al=1   (interleaved)
+      2. AC luma   band 1-5 Ss=1  Se=5   Ah=0 Al=2
+      3. AC luma  band 6-63 Ss=6  Se=63  Ah=0 Al=2
+      4. AC chroma     1-63 Ss=1  Se=63  Ah=0 Al=1   (per component)
+      5. DC refine          Ss=0  Se=0   Ah=1 Al=0   (raw bits)
+      6. AC luma refine     Ss=1  Se=63  Ah=2 Al=1
+      7. AC luma refine     Ss=1  Se=63  Ah=1 Al=0
+      8. AC chroma refine   Ss=1  Se=63  Ah=1 Al=0   (per component)
+
+    Quantized coefficients are identical to encode_jpeg's, so
+    decode_jpeg(progressive) must reproduce decode_jpeg(baseline)
+    bit-for-bit — the round-trip exactness the tests pin."""
+    import struct
+
+    h, w, ncomp, factors, hmax, vmax, mcux, mcuy, qtabs, comps_px = _jpeg_prepare(
+        arr, quality, subsampling
+    )
+
+    # quantized zigzag coefficients per component, padded MCU grid
+    coefs = []
+    for ci in range(ncomp):
+        hf, vf = factors[ci]
+        nby, nbx = mcuy * vf, mcux * hf
+        px = comps_px[ci]
+        blocks = px.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        fdct = np.einsum("ij,yxjk,lk->yxil", _DCT_M, blocks, _DCT_M)
+        ti = 0 if ci == 0 else 1
+        q = np.round(fdct.reshape(nby, nbx, 64) / qtabs[ti]).astype(np.int64)
+        coefs.append(q[..., _ZIGZAG])
+
+    def true_dims(ci):
+        hf, vf = factors[ci]
+        sy = -(-h * vf // vmax)
+        sx = -(-w * hf // hmax)
+        return -(-sy // 8), -(-sx // 8)
+
+    def table(bits, vals):
+        return dict(zip(vals, _huff_codes(bits, vals)))
+
+    dc_t = [table(_DC_LUMA_BITS, _DC_LUMA_VALS), table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_flat = table(_AC_FLAT_BITS, _AC_FLAT_VALS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | 0])  # AC always table 0 (flat)
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_scan(al):
+        """Interleaved first DC scan at point transform al."""
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hf, vf = factors[ci]
+                    for v in range(vf):
+                        for u in range(hf):
+                            dc = int(coefs[ci][my * vf + v, mx * hf + u, 0])
+                            shifted = dc >> al  # arithmetic shift, T.81 G.1.2.1
+                            diff = shifted - pred[ci]
+                            pred[ci] = shifted
+                            cat = _category(diff)
+                            code, length = dc_t[0 if ci == 0 else 1][cat]
+                            bw.write(code, length)
+                            if cat:
+                                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        return bw.flush()
+
+    def dc_refine_scan(al):
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hf, vf = factors[ci]
+                    for v in range(vf):
+                        for u in range(hf):
+                            dc = int(coefs[ci][my * vf + v, mx * hf + u, 0])
+                            bw.write((dc >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci, ss, se, al):
+        """Single-component spectral band, EOB-run coding (G.1.2.2)."""
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_flat[nbits << 4]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        cby, cbx = true_dims(ci)
+        for n in range(cby * cbx):
+            zz = coefs[ci][n // cbx, n % cbx]
+            tv = [
+                (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+                for v in zz[ss : se + 1]
+            ]
+            nz = [i for i, t in enumerate(tv) if t]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for t in tv[: nz[-1] + 1]:
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_flat[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                cat = _category(t)
+                code, length = ac_flat[(run << 4) | cat]
+                bw.write(code, length)
+                bw.write(t if t > 0 else t + (1 << cat) - 1, cat)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun = 1  # this block's own EOB opens a fresh run
+        flush_eobrun()
+        return bw.flush()
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        """Single-component successive-approximation refinement with
+        buffered correction bits (G.1.2.3 / jcphuff shape)."""
+        bw = _BitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits pending under the EOB run
+
+        def flush_eobrun():
+            nonlocal eobrun, be
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_flat[nbits << 4]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            for b in be:
+                bw.write(b, 1)
+            eobrun, be = 0, []
+
+        cby, cbx = true_dims(ci)
+        for n in range(cby * cbx):
+            zz = coefs[ci][n // cbx, n % cbx]
+            absv = [abs(int(v)) >> al for v in zz[ss : se + 1]]
+            last_new = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+            run = 0
+            br_bits: list[int] = []  # bits pending within this block
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= last_new:
+                    flush_eobrun()
+                    code, length = ac_flat[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                if t > 1:  # history-significant: correction bit only
+                    br_bits.append(t & 1)
+                    continue
+                flush_eobrun()
+                code, length = ac_flat[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if zz[ss + i] > 0 else 0, 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                run = 0
+            if run > 0 or br_bits:
+                eobrun += 1
+                be.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        return bw.flush()
+
+    out = [b"\xff\xd8", seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    for i, qt in enumerate(qtabs):
+        out.append(seg(0xDB, bytes([i]) + bytes(qt.astype(np.uint8).ravel()[_ZIGZAG])))
+    comps = b"".join(
+        bytes([i + 1, (factors[i][0] << 4) | factors[i][1], 0 if i == 0 else 1])
+        for i in range(ncomp)
+    )
+    out.append(seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + comps))
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 0, _AC_FLAT_BITS, _AC_FLAT_VALS),
+    ):
+        if ncomp == 1 and tid == 1:
+            continue
+        out.append(seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)))
+
+    all_comps = list(range(ncomp))
+    out += [sos(all_comps, 0, 0, 0, 1), dc_scan(1)]
+    out += [sos([0], 1, 5, 0, 2), ac_first_scan(0, 1, 5, 2)]
+    out += [sos([0], 6, 63, 0, 2), ac_first_scan(0, 6, 63, 2)]
+    for ci in range(1, ncomp):
+        out += [sos([ci], 1, 63, 0, 1), ac_first_scan(ci, 1, 63, 1)]
+    out += [sos(all_comps, 0, 0, 1, 0), dc_refine_scan(0)]
+    out += [sos([0], 1, 63, 2, 1), ac_refine_scan(0, 1, 63, 2, 1)]
+    out += [sos([0], 1, 63, 1, 0), ac_refine_scan(0, 1, 63, 1, 0)]
+    for ci in range(1, ncomp):
+        out += [sos([ci], 1, 63, 1, 0), ac_refine_scan(ci, 1, 63, 1, 0)]
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -828,10 +1077,12 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> "np.ndarray":
-    """REAL baseline JPEG decode (SOF0): marker parse, Huffman +
-    dequant + numpy IDCT per block, nearest-neighbor chroma upsample,
-    YCbCr→RGB. Returns (h, w, 3) or (h, w, 1) uint8. Progressive
-    (SOF2) raises — that remains the documented stub surface."""
+    """REAL JPEG decode, baseline (SOF0) AND progressive (SOF2):
+    marker parse, Huffman + dequant + numpy IDCT, nearest-neighbor
+    chroma upsample, YCbCr→RGB. Progressive streams accumulate
+    coefficients across spectral-selection / successive-approximation
+    scans (ITU T.81 §G.2) and reconstruct once at EOI. Returns
+    (h, w, 3) or (h, w, 1) uint8."""
     import struct
 
     if content[:3] != _JPEG_MAGIC:
@@ -841,6 +1092,8 @@ def decode_jpeg(content: bytes) -> "np.ndarray":
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    state: dict | None = None
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad marker sync")
@@ -874,29 +1127,233 @@ def decode_jpeg(content: bytes) -> "np.ndarray":
                 vals = list(payload[p + 17 : p + 17 + nv])
                 htabs[(cls, tid)] = _build_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             comps = []
             for i in range(nc):
                 cid, sf, qid = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "q": qid})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported (stub surface)")
+            progressive = marker == 0xC2
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = payload[0]
             sel = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tt = payload[1 + 2 * i : 3 + 2 * i]
                 sel[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                content, pos, frame, sel, qtabs, htabs, restart_interval
+                scan_comps.append(cid)
+            if not progressive:
+                return _decode_scan(
+                    content, pos, frame, sel, qtabs, htabs, restart_interval
+                )
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            if state is None:
+                state = _progressive_state(frame)
+            pos = _decode_progressive_scan(
+                content, pos, frame, state, scan_comps, sel, htabs,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+    if progressive and state is not None:
+        return _reconstruct_progressive(frame, state, qtabs)
     raise ValueError("no scan found")
+
+
+def _progressive_state(frame) -> dict:
+    """Per-component zigzag-order coefficient arrays, padded to the
+    interleaved MCU grid (the DC scans' geometry); non-interleaved
+    scans address the [0:cby, 0:cbx] true-dimension subgrid."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = {}
+    for c in comps:
+        coefs[c["id"]] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+        )
+    return {"coefs": coefs, "mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax}
+
+
+def _comp_block_dims(frame, state, c) -> tuple[int, int]:
+    """True (not MCU-padded) block grid of one component — the
+    iteration space of non-interleaved scans (T.81 A.2.2)."""
+    sy = -(-frame["h"] * c["v"] // state["vmax"])
+    sx = -(-frame["w"] * c["h"] // state["hmax"])
+    return -(-sy // 8), -(-sx // 8)
+
+
+def _decode_progressive_scan(
+    content, pos, frame, state, scan_comps, sel, htabs,
+    ss, se, ah, al, restart_interval,
+) -> int:
+    """One progressive SOS (T.81 G.2): DC first/refine (interleaved or
+    single-component), AC first/refine (always single-component,
+    spectral band ss..se, successive-approximation shift al).
+    Coefficients land in ``state``; returns the offset of the next
+    marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    br = _BitReader(content[pos:])
+    eobrun = 0
+    pred = {cid: 0 for cid in scan_comps}
+
+    def refine_nonzero(block, k, se, p1, m1) -> None:
+        """EOBRUN tail: correction bit for every nonzero coefficient
+        left in the band (jdphuff decode_mcu_AC_refine tail loop)."""
+        while k <= se:
+            c = int(block[k])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+
+    def dc_first(block, cid) -> None:
+        cat = _huff_decode(br, htabs[(0, sel[cid][0])])
+        diff = _extend(br.read(cat), cat) if cat else 0
+        pred[cid] += diff
+        block[0] = pred[cid] << al
+
+    def dc_refine(block) -> None:
+        if br.read(1):
+            block[0] = int(block[0]) | (1 << al)
+
+    def ac_first(block, ac_tab) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            block[k] = _extend(br.read(s), s) << al
+            k += 1
+
+    def ac_refine(block, ac_tab) -> None:
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    val = p1 if br.read(1) else m1
+                while k <= se:
+                    c = int(block[k])
+                    if c != 0:
+                        if br.read(1) and (c & p1) == 0:
+                            block[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    block[k] = val
+                k += 1
+        if eobrun > 0:
+            refine_nonzero(block, k, se, p1, m1)
+            eobrun -= 1
+
+    def maybe_restart(count) -> bool:
+        nonlocal eobrun
+        if restart_interval and count and count % restart_interval == 0:
+            br.align_and_skip_rst()
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+            return True
+        return False
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("invalid progressive scan: DC scan needs Se=0")
+        if len(scan_comps) > 1:  # interleaved DC over the MCU grid
+            n = 0
+            for my in range(state["mcuy"]):
+                for mx in range(state["mcux"]):
+                    maybe_restart(n)
+                    for cid in scan_comps:
+                        c = by_id[cid]
+                        arr = state["coefs"][cid]
+                        for v in range(c["v"]):
+                            for u in range(c["h"]):
+                                blk = arr[my * c["v"] + v, mx * c["h"] + u]
+                                dc_first(blk, cid) if ah == 0 else dc_refine(blk)
+                    n += 1
+        else:
+            cid = scan_comps[0]
+            cby, cbx = _comp_block_dims(frame, state, by_id[cid])
+            arr = state["coefs"][cid]
+            for n in range(cby * cbx):
+                maybe_restart(n)
+                blk = arr[n // cbx, n % cbx]
+                dc_first(blk, cid) if ah == 0 else dc_refine(blk)
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        cid = scan_comps[0]
+        ac_tab = htabs[(1, sel[cid][1])]
+        cby, cbx = _comp_block_dims(frame, state, by_id[cid])
+        arr = state["coefs"][cid]
+        for n in range(cby * cbx):
+            maybe_restart(n)
+            blk = arr[n // cbx, n % cbx]
+            ac_first(blk, ac_tab) if ah == 0 else ac_refine(blk, ac_tab)
+
+    # locate the next marker after this scan's entropy data
+    p = pos + br.pos
+    while p + 1 < len(content):
+        if content[p] == 0xFF and content[p + 1] not in (0x00,) and not (
+            0xD0 <= content[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(content)
+
+
+def _reconstruct_progressive(frame, state, qtabs) -> "np.ndarray":
+    """Final pass: dequantize the accumulated coefficient grids,
+    batched IDCT (one einsum per component), shared upsample/crop/
+    color tail."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    planes = []
+    for c in comps:
+        zz = state["coefs"][c["id"]].astype(np.float64)
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz
+        blocks = (nat * qtabs[c["q"]]).reshape(nby, nbx, 8, 8)
+        pix = np.einsum("ji,yxjk,kl->yxil", _DCT_M, blocks, _DCT_M) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return _finish_image(comps, planes, h, w, state["hmax"], state["vmax"])
 
 
 def _decode_scan(content, pos, frame, sel, qtabs, htabs, restart_interval):
@@ -950,7 +1407,12 @@ def _decode_scan(content, pos, frame, sel, qtabs, htabs, restart_interval):
                         x0 = (mx * c["h"] + u) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    # upsample to full resolution (nearest), crop, color-convert
+    return _finish_image(comps, planes, h, w, hmax, vmax)
+
+
+def _finish_image(comps, planes, h, w, hmax, vmax) -> "np.ndarray":
+    """Shared decode tail (baseline + progressive): nearest-neighbor
+    chroma upsample, crop to frame dims, YCbCr→RGB."""
     full = []
     for c, p in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]

@@ -318,3 +318,89 @@ def test_jpeg_420_is_smaller_than_444():
     assert len(encode_jpeg(img, subsampling="420")) < len(
         encode_jpeg(img, subsampling="444")
     )
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation (T.81 G.2). The progressive writer emits the same
+    quantized coefficients as the baseline encoder, so the progressive
+    decode must reproduce the baseline decode BIT-FOR-BIT."""
+
+    @pytest.mark.parametrize("h,w", [(8, 8), (24, 40), (17, 23)])
+    def test_progressive_equals_baseline_rgb(self, h, w):
+        from lance_flink_spark.functions.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = _smooth_rgb(h, w)
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base)
+
+    def test_progressive_equals_baseline_gray(self):
+        from lance_flink_spark.functions.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = _smooth_rgb(21, 19)[:, :, :1]
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+        assert np.array_equal(prog, base)
+
+    def test_progressive_equals_baseline_420_subsampling(self):
+        from lance_flink_spark.functions.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        img = _smooth_rgb(33, 46)  # non-multiple-of-16: padded MCU grid
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90, subsampling="420"))
+        assert np.array_equal(prog, base)
+
+    def test_progressive_quality_sweep_noisy_image(self):
+        # noise exercises long runs, ZRL, EOB runs, and refinement
+        # correction bits much harder than the smooth gradient
+        from lance_flink_spark.functions.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        for q in (30, 60, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(prog, base), f"quality={q}"
+
+    def test_decode_auto_takes_progressive_path(self):
+        from lance_flink_spark.functions.multimodal import (
+            decode_auto,
+            encode_jpeg_progressive,
+            jpeg_features,
+        )
+
+        blob = encode_jpeg_progressive(_smooth_rgb(16, 16))
+        assert decode_auto(blob) == pytest.approx(jpeg_features(blob))
+        assert len(decode_auto(blob)) == 4  # real image features, not stub
+
+    def test_distributed_feature_extraction_progressive(self, spark):
+        from lance_flink_spark.functions.multimodal import (
+            encode_jpeg_progressive,
+            extract_features,
+            jpeg_features,
+        )
+
+        blob = encode_jpeg_progressive(_smooth_rgb(24, 24))
+        blobs = spark.createDataFrame(
+            [Row(doc_id=1, content=bytearray(blob))], "doc_id long, content binary"
+        )
+        rows = extract_features(blobs).collect()
+        assert rows[0]["feature"] == pytest.approx(jpeg_features(blob))
