@@ -942,8 +942,11 @@ def cut_repeated_spans(
     min-struct aggregate per fingerprint; cut coverage explodes each
     non-keeper span into its ``window`` token positions (fan-out
     bounded by flags × window, duplication-volume- not corpus-sized);
-    surviving tokens rebuild via a sorted aggregate. Overlapping cut
-    spans merge for free — coverage is a position SET."""
+    the per-doc cut-position SET then applies ROW-LOCALLY with array
+    higher-order functions — the corpus is never token-exploded,
+    shuffled on (id, pos), or sort-aggregated back together; the only
+    shuffles carry duplication-sized rows. Overlapping cut spans merge
+    for free — coverage is a position set."""
     flags = repeated_spans(
         df, window=window, min_copies=min_copies, text_col=text_col, id_col=id_col
     )
@@ -968,34 +971,39 @@ def cut_repeated_spans(
         )
         .distinct()
     )
-    toks = (
-        df.select(
-            id_col,
-            F.posexplode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("__p", "tok"),
-        )
-        .select(id_col, (F.col("__p") + 1).alias("pos"), "tok")
-        .filter(F.col("tok") != "")
+    cutpos = cut.groupBy(id_col).agg(F.collect_set("pos").alias("__cut"))
+    # (pos, tok) pairs as an ARRAY, 1-based positions matching
+    # repeated_spans' numbering; '' tokens (empty doc) filtered with
+    # positions already assigned, like the exploded form did
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.filter(
+        F.transform(
+            arr,
+            lambda t, i: F.struct((i + 1).cast("int").alias("pos"), t.alias("tok")),
+        ),
+        lambda p: p["tok"] != F.lit(""),
     )
-    survivors = toks.join(cut, [id_col, "pos"], "left_anti")
-    n_tok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n0"))
-    return (
-        survivors.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("__n1"),
+    joined = df.select(F.col(id_col), pairs.alias("__pairs")).join(
+        cutpos, id_col, "left"
+    )
+    kept = F.when(F.col("__cut").isNull(), F.col("__pairs")).otherwise(
+        F.filter(
+            "__pairs", lambda p: ~F.array_contains(F.col("__cut"), p["pos"])
         )
-        .join(n_tok, id_col)
+    )
+    return (
+        joined.withColumn("__kept", kept)
+        # a doc whose every token was cut (or an empty doc) vanished
+        # from the exploded form's survivor aggregate; keep that
+        # contract
+        .filter(F.size("__kept") > 0)
         .select(
-            id_col,
-            "clean_text",
-            (F.col("__n0") - F.col("__n1")).cast("long").alias("n_tokens_cut"),
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform("__kept", lambda p: p["tok"])
+            ).alias("clean_text"),
+            (F.size("__pairs") - F.size("__kept"))
+            .cast("long")
+            .alias("n_tokens_cut"),
         )
     )

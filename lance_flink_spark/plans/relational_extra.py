@@ -579,7 +579,9 @@ def matview_incremental(spark, sf_dir):
     mv.refresh(spark)  # fold the insert deltas
     ds.update_where(spark, "k % 10 = 1", {"vc": "vc * 2"})
     mv.refresh(spark)  # fold pre/post-image deltas
-    ds.delete_where(spark, "k % 10 = 3")
+    # deletion-vector delete: no data files rewritten — the CDF's
+    # delete-dv branch feeds the same retractions from the tombstones
+    ds.delete_where(spark, "k % 10 = 3", dv=True)
     mv.refresh(spark)  # fold the retractions
     return mv.read(spark).select("grp", "sum_v", "cnt")
 

@@ -153,7 +153,7 @@ def read_eq_bloom(
     files = bloom_candidate_files(ds, spark, col, value)
     if not files:
         return ds.read(spark).filter(F.col(col) == F.lit(value)).limit(0)
-    df = ds._read_files(spark, [ds._relpath(f) for f in files]).filter(
-        F.col(col) == F.lit(value)
-    )
+    df = ds._read_files(
+        spark, [ds._relpath(f) for f in files], apply_dv=True
+    ).filter(F.col(col) == F.lit(value))
     return df.select(*columns) if columns else df

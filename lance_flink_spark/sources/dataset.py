@@ -232,6 +232,7 @@ class Dataset:
         dropped_columns: list[str] | None = None,
         expected_version: int | None = None,
         restore_of: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         man = self._load_manifest()
         if (
@@ -259,6 +260,8 @@ class Dataset:
             entry["dropped_columns"] = sorted(dropped_columns)
         if restore_of is not None:
             entry["restore_of"] = int(restore_of)
+        if extra:
+            entry.update(extra)
         man["versions"].append(entry)
         # tmp-write + rename commit, like Lance's manifest swap — local
         # and any Hadoop scheme (s3a://, hdfs://) via fsio
@@ -294,6 +297,11 @@ class Dataset:
             if v["mode"] == "overwrite":
                 live = []
                 removed = set()
+            if v.get("dv"):
+                # deletion-vector commits own a tombstone sidecar, not a
+                # data fragment — tracked by _live_dvs, never scanned as
+                # data
+                continue
             live.append(v["fragment"])
             removed.update(v.get("removed_files", ()))
         return [fsio.join(self.path, f) for f in live], removed
@@ -512,9 +520,13 @@ class Dataset:
             # evolving append, and a bare parquet read of them would
             # drop (or fail to select) the newer columns that the
             # unrouted scan of the same call surfaces
-            df = self._read_files(spark, [self._relpath(f) for f in routed])
+            # routed reads only happen for version=None (checked above),
+            # so the live deletion vectors apply
+            df = self._read_files(
+                spark, [self._relpath(f) for f in routed], apply_dv=True
+            )
         else:
-            df = reader.parquet(*frags)
+            df = self._apply_dv(spark, reader.parquet(*frags), version=version)
         dropped = [c for c in self._dropped_cols(version) if c in df.columns]
         if dropped:
             # logical drop-column projection (metadata-only drops):
@@ -570,11 +582,12 @@ class Dataset:
         man = self._load_manifest()["versions"]
         if not man:
             raise FileNotFoundError(f"dataset {self.path} has no data")
-        if self._live_state()[1]:
+        if self._live_state()[1] or self._live_dvs():
             raise ValueError(
                 "dataset has live row-level mutations (delete/update/"
-                "merge); a file-stream glob cannot express file-level "
-                "supersession — compact() first, then start the stream"
+                "merge/deletion-vectors); a file-stream glob cannot "
+                "express file-level supersession or row tombstones — "
+                "compact() first, then start the stream"
             )
         last_ow = max(
             (v["version"] for v in man if v["mode"] == "overwrite"), default=0
@@ -686,7 +699,10 @@ class Dataset:
                     small.append(rel)
         if len(small) < min_files:
             return None
-        packed = self._read_files(spark, small).coalesce(
+        # apply_dv: a small file's tombstoned rows must not ride into
+        # the packed rewrite (the rewrite MATERIALIZES their deletion —
+        # the stale tombstones then point at superseded files, harmless)
+        packed = self._read_files(spark, small, apply_dv=True).coalesce(
             max(1, len(small) // 8)
         )
         frag = f"data/m{base + 1:04d}-{uuid.uuid4().hex[:8]}"
@@ -698,6 +714,165 @@ class Dataset:
         )
         return self._commit(
             "compact", frag, removed_files=small, expected_version=base
+        )
+
+    # ---------- deletion vectors (Lance deletion-file parity) ----------
+    #
+    # Lance fragments carry DELETION FILES: a delete writes the row ids
+    # it removed as a sidecar and the data files stay byte-identical —
+    # at 100 TB, deleting 0.1% of rows must not rewrite (or even fully
+    # read) the other 99.9%. Same model here: ``delete_where(dv=True)``
+    # writes (_file, _pos) tombstones (parquet ``_metadata.row_index``
+    # positions) under ``data/dvNNNN-*`` and commits a metadata-only
+    # version; every scan anti-joins the live tombstones (broadcast —
+    # they are delete-sized, not data-sized). compact()/overwrite
+    # materializes and resets them, mirroring Lance's
+    # "deletion files fold into the rewrite" rule.
+
+    # Tombstones past this size would make every scan carry a
+    # non-broadcastable join (and break input_file_name provenance in
+    # mutation pruning): refuse and direct to compact(), the same
+    # "DV too big → rewrite wins" threshold real lakehouse formats
+    # apply at compaction time.
+    _DV_BROADCAST_CAP = 128 * 1024 * 1024
+
+    def _live_dvs(self, version: int | None = None) -> list[str]:
+        """Deletion-vector sidecar dirs live at ``version`` (latest if
+        None), replayed like _live_state: overwrite resets (the rewrite
+        materialized the deletes), restore recurses."""
+        vs = self._load_manifest()["versions"]
+        if version is not None:
+            vs = [v for v in vs if v["version"] <= version]
+        dvs: list[str] = []
+        for v in vs:
+            if v["mode"] == "restore":
+                dvs = self._live_dvs(v["restore_of"])
+                continue
+            if v["mode"] == "overwrite":
+                dvs = []
+            if v.get("dv"):
+                dvs.append(v["fragment"])
+        return dvs
+
+    def _dv_tombstones(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """Union of live (_file, _pos) tombstones at ``version``, or
+        None when the dataset has no live deletion vectors (the common
+        case — callers skip the join entirely, so plans without DVs are
+        byte-identical to pre-DV plans)."""
+        dvs = self._live_dvs(version)
+        if not dvs:
+            return None
+        total = 0
+        for d in dvs:
+            p = fsio.join(self.path, d)
+            for n in fsio.listdir(p):
+                if n.endswith(".parquet"):
+                    total += fsio.file_size(fsio.join(p, n))
+        if total > self._DV_BROADCAST_CAP:
+            raise ValueError(
+                f"live deletion vectors total {total} bytes (cap "
+                f"{self._DV_BROADCAST_CAP}) — compact() to materialize "
+                "them into rewritten files"
+            )
+        return spark.read.parquet(*[fsio.join(self.path, d) for d in dvs])
+
+    def _apply_dv(
+        self, spark: SparkSession, df: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """Drop tombstoned rows from a file-source scan. Must run on
+        the scan output itself (``_metadata`` is a scan-relation
+        pseudo-column — it does not survive a projection). The
+        tombstones broadcast, so the anti-join stays in the scan's
+        stage and downstream ``input_file_name()`` provenance keeps
+        working; filters/projections a caller adds later still push
+        through the join to the parquet reader."""
+        from pyspark.sql import functions as F
+
+        tomb = self._dv_tombstones(spark, version)
+        if tomb is None:
+            return df
+        keyed = df.withColumns(
+            {
+                "__dv_file": F.expr(
+                    "concat('data/', "
+                    "substring_index(_metadata.file_path, '/data/', -1))"
+                ),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        out = keyed.join(
+            F.broadcast(
+                tomb.withColumnsRenamed(
+                    {"_file": "__dv_file", "_pos": "__dv_pos"}
+                )
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+        return out.drop("__dv_file", "__dv_pos")
+
+    def _delete_where_dv(self, spark: SparkSession, predicate: str) -> int | None:
+        """Predicate delete WITHOUT rewriting data: write the matched
+        row positions as a deletion-vector sidecar and commit a
+        metadata-only version. Cost ∝ one pruned scan (the predicate
+        pushes to the parquet reader) + a tombstone write the size of
+        the DELETED rows. Returns the new version, or None when nothing
+        matched (no commit — idempotent no-op, same contract as the
+        rewrite path)."""
+        from pyspark.sql import functions as F
+
+        base = len(self.versions())
+        frags = self._live_paths()
+        if not frags:
+            raise FileNotFoundError(f"dataset {self.path} has no data")
+        raw = spark.read.option("mergeSchema", "true").parquet(*frags)
+        keyed = raw.withColumns(
+            {
+                "__dv_file": F.expr(
+                    "concat('data/', "
+                    "substring_index(_metadata.file_path, '/data/', -1))"
+                ),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        dropped = [c for c in self._dropped_cols() if c in raw.columns]
+        if dropped:
+            # logically dropped columns must be invisible to the
+            # predicate, exactly as in read()
+            keyed = keyed.drop(*dropped)
+        tomb = self._dv_tombstones(spark)
+        if tomb is not None:
+            # already-deleted rows can't match again — the new sidecar
+            # records only NEW deletions, so CDF emits each row's
+            # delete exactly once
+            keyed = keyed.join(
+                F.broadcast(
+                    tomb.withColumnsRenamed(
+                        {"_file": "__dv_file", "_pos": "__dv_pos"}
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+        matched = keyed.filter(f"coalesce(({predicate}), false)").select(
+            F.col("__dv_file").alias("_file"), F.col("__dv_pos").alias("_pos")
+        )
+        frag = f"data/dv{base + 1:04d}-{uuid.uuid4().hex[:8]}"
+        out = fsio.join(self.path, frag)
+        # tombstones are delete-sized: one file keeps the every-scan
+        # broadcast read a single round-trip
+        matched.coalesce(1).write.mode("errorifexists").parquet(out)
+        n = spark.read.parquet(out).count()
+        if n == 0:
+            fsio.delete(out)
+            return None
+        return self._commit(
+            "delete-dv",
+            frag,
+            expected_version=base,
+            extra={"dv": True, "dv_rows": int(n)},
         )
 
     # ---------- row-level mutations (Lance delete / merge_insert parity) ----------
@@ -715,12 +890,23 @@ class Dataset:
 
     def _tagged_scan(self, spark: SparkSession) -> DataFrame:
         """The live scan with a ``_file`` provenance column. The column
-        must be computed IN the scan stage — input_file_name() is empty
-        once rows cross an exchange — so it is attached before any
+        must be computed AT the scan — ``_metadata.file_path`` is a
+        scan-relation pseudo-column (and unlike input_file_name() it
+        stays legal when the deletion-vector anti-join makes the plan
+        multi-source) — so it is attached before the DV filter and any
         filter/join a caller adds."""
         from pyspark.sql import functions as F
 
-        return self.read(spark).withColumn("_file", F.input_file_name())
+        frags = self._live_paths()
+        if not frags:
+            raise FileNotFoundError(f"dataset {self.path} has no data")
+        raw = spark.read.option("mergeSchema", "true").parquet(*frags)
+        tagged = raw.withColumn("_file", F.col("_metadata.file_path"))
+        tagged = self._apply_dv(spark, tagged)
+        dropped = [c for c in self._dropped_cols() if c in raw.columns]
+        if dropped:
+            tagged = tagged.drop(*dropped)
+        return tagged
 
     def _affected_files(self, tagged_matches: DataFrame) -> list[str]:
         """Distinct data files containing the matched rows. The
@@ -754,13 +940,22 @@ class Dataset:
             mode, frag, removed_files=affected, expected_version=base_version
         )
 
-    def delete_where(self, spark: SparkSession, predicate: str) -> int | None:
+    def delete_where(
+        self, spark: SparkSession, predicate: str, dv: bool = False
+    ) -> int | None:
         """Delete rows matching ``predicate``; returns the new version,
         or None if nothing matched (no commit — idempotent no-op).
+
+        ``dv=True`` writes a deletion-vector sidecar instead of
+        rewriting the affected files (Lance deletion-file semantics) —
+        cost ∝ deleted rows, not affected-file bytes; see
+        _delete_where_dv.
 
         An active ``read_stream`` cannot observe a delete (file sources
         have no changelog — same caveat as compact()); restart streams
         after mutations."""
+        if dv:
+            return self._delete_where_dv(spark, predicate)
         base = len(self.versions())
         affected = self._affected_files(
             self._tagged_scan(spark).filter(predicate)
@@ -770,7 +965,7 @@ class Dataset:
         # coalesce: a row where the predicate evaluates NULL is NOT
         # matched and must survive (NOT(NULL) is NULL, which filter
         # would drop — the classic SQL delete footgun)
-        keep = self._read_files(spark, affected).filter(
+        keep = self._read_files(spark, affected, apply_dv=True).filter(
             f"NOT coalesce(({predicate}), false)"
         )
         return self._mutate_commit(keep, affected, "delete", base_version=base)
@@ -793,7 +988,7 @@ class Dataset:
         )
         if not affected:
             return None
-        df = self._read_files(spark, affected)
+        df = self._read_files(spark, affected, apply_dv=True)
         cond = F.expr(predicate)
         updated = df.select(
             *[
@@ -852,23 +1047,41 @@ class Dataset:
             self._tagged_scan(spark).join(keys, on, "left_semi")
         )
         if affected:
-            keep = self._read_files(spark, affected).join(keys, on, "left_anti")
+            keep = self._read_files(spark, affected, apply_dv=True).join(
+                keys, on, "left_anti"
+            )
             merged = keep.unionByName(source)
             return self._mutate_commit(merged, affected, "merge", base_version=base)
         # no matched keys anywhere: pure insert — a plain append version
         return self.write(source, mode="append")
 
-    def _read_files(self, spark: SparkSession, rel_files: list[str]) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        apply_dv: bool = False,
+        dv_as_of: int | None = None,
+    ) -> DataFrame:
         """Read specific data files, conformed to the dataset's FULL
         merged schema: files written before a schema-evolving append
         lack the newer columns, and a mutation rewrite that read only
         old files would otherwise silently drop assignments to (or
-        values of) those columns."""
+        values of) those columns.
+
+        ``apply_dv`` drops rows tombstoned by live deletion vectors
+        (``dv_as_of`` pins the DV state to a version — the CDF's
+        "live as of the previous commit" reads). Every caller that
+        REWRITES surviving rows must pass it, or a rewrite would
+        resurrect DV-deleted rows."""
         from pyspark.sql import functions as F
 
         df = spark.read.option("mergeSchema", "true").parquet(
             *[fsio.join(self.path, f) for f in rel_files]
         )
+        if apply_dv or dv_as_of is not None:
+            # before the conformance select: _metadata is only
+            # resolvable on the raw scan output
+            df = self._apply_dv(spark, df, version=dv_as_of)
         target = self.read(spark).schema
         for f in target.fields:
             if f.name not in df.columns:
@@ -923,6 +1136,50 @@ class Dataset:
         for v in picked:
             if v.get("expired"):
                 raise ValueError(f"version {v['version']} was expired by vacuum()")
+            if v.get("dv"):
+                # deletion-vector commit: the change set IS the newly
+                # tombstoned rows — pre-images read from exactly the
+                # files the sidecar names (bounded by the delete's own
+                # file footprint, never a table scan). The sidecar holds
+                # only NEW deletions (the delete excluded already-
+                # tombstoned rows), so no row's delete is emitted twice.
+                tomb = spark.read.parquet(fsio.join(self.path, v["fragment"]))
+                files = [
+                    r["_file"] for r in tomb.select("_file").distinct().collect()
+                ]
+                raw = spark.read.option("mergeSchema", "true").parquet(
+                    *[fsio.join(self.path, f) for f in files]
+                )
+                keyed = raw.withColumns(
+                    {
+                        "__dv_file": F.expr(
+                            "concat('data/', "
+                            "substring_index(_metadata.file_path, '/data/', -1))"
+                        ),
+                        "__dv_pos": F.col("_metadata.row_index"),
+                    }
+                )
+                deleted = keyed.join(
+                    F.broadcast(
+                        tomb.withColumnsRenamed(
+                            {"_file": "__dv_file", "_pos": "__dv_pos"}
+                        )
+                    ),
+                    ["__dv_file", "__dv_pos"],
+                    "left_semi",
+                ).drop("__dv_file", "__dv_pos")
+                target = self.read(spark).schema
+                for f in target.fields:
+                    if f.name not in deleted.columns:
+                        deleted = deleted.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                pieces.append(
+                    deleted.select(*[f.name for f in target.fields])
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_version", F.lit(v["version"]))
+                )
+                continue
             if v["mode"] in ("overwrite", "restore"):
                 raise ValueError(
                     f"version {v['version']} is an {v['mode']} — no row "
@@ -945,7 +1202,13 @@ class Dataset:
                     .withColumn("_version", F.lit(v["version"]))
                 )
                 continue
-            old = self._read_files(spark, removed)
+            # old side = the files' LIVE rows as of the commit before
+            # this mutation: rows already tombstoned by an earlier DV
+            # delete emitted their delete then — counting them as
+            # "old" here would re-emit it
+            old = self._read_files(
+                spark, removed, dv_as_of=v["version"] - 1
+            )
             old_keys = old.select(key).distinct()
             new_keys = new.select(key).distinct()
             deletes = old.join(new_keys, key, "left_anti").withColumn(
@@ -1429,7 +1692,11 @@ class Dataset:
             fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
             + "_rowgroups"
         )
-        if fsio.exists(rg_path):
+        # the pyarrow row-group path yields raw file contents with no
+        # _metadata to anti-join tombstones against — with live
+        # deletion vectors, stay on the Spark-native file scan below
+        # (still file-pruned, DV-aware, just row-group-coarser)
+        if fsio.exists(rg_path) and not self._live_dvs():
             rgs = spark.read.parquet(rg_path).filter(F.col("_file").isin(files))
             # NULL lo/hi = the footer had no usable min/max for this row
             # group (NaN-bearing doubles, truncated binary stats): must
@@ -1448,7 +1715,9 @@ class Dataset:
                 )
                 df = self._read_rowgroups(spark, sel, columns=need).filter(pred)
                 return df.select(*columns) if columns else df
-        df = self._read_files(spark, [self._relpath(f) for f in files]).filter(pred)
+        df = self._read_files(
+            spark, [self._relpath(f) for f in files], apply_dv=True
+        ).filter(pred)
         return df.select(*columns) if columns else df
 
     def range_rowgroups(
@@ -1564,9 +1833,9 @@ class Dataset:
         ]
         if not files:
             return self.read(spark).filter(F.col(col).isin(values)).limit(0)
-        df = self._read_files(spark, [self._relpath(f) for f in files]).filter(
-            F.col(col).isin(values)
-        )
+        df = self._read_files(
+            spark, [self._relpath(f) for f in files], apply_dv=True
+        ).filter(F.col(col).isin(values))
         return df.select(*columns) if columns else df
 
     def read_eq(
@@ -1592,9 +1861,9 @@ class Dataset:
         ]
         if not files:
             return self.read(spark).filter(F.col(col) == F.lit(value)).limit(0)
-        df = self._read_files(spark, [self._relpath(f) for f in files]).filter(
-            F.col(col) == F.lit(value)
-        )
+        df = self._read_files(
+            spark, [self._relpath(f) for f in files], apply_dv=True
+        ).filter(F.col(col) == F.lit(value))
         return df.select(*columns) if columns else df
 
     def merge_when(
@@ -1640,7 +1909,7 @@ class Dataset:
 
         pieces = []
         if affected:
-            tgt = self._read_files(spark, affected)
+            tgt = self._read_files(spark, affected, apply_dv=True)
             j = tgt.alias("t").join(
                 source.alias("s"),
                 F.col(f"t.`{on}`") == F.col(f"s.`{on}`"),
@@ -1850,6 +2119,15 @@ class Dataset:
                     if name.endswith(".parquet") and rel in removed:
                         continue
                     keep_files.add(rel)
+            # deletion-vector sidecars a retained version still applies
+            # are load-bearing metadata — without them the version
+            # would resurrect deleted rows
+            for dvfrag in self._live_dvs(v["version"]):
+                live_frags.add(dvfrag)
+                dvp = fsio.join(self.path, dvfrag)
+                if fsio.exists(dvp):
+                    for name in fsio.listdir(dvp):
+                        keep_files.add(self._relpath(fsio.join(dvp, name)))
         deleted: list[str] = []
         for v in vs:
             frag = v["fragment"]

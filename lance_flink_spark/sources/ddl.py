@@ -122,7 +122,7 @@ _DROP_CONSTRAINT = re.compile(
 )
 _META_TABLE = re.compile(
     # Iceberg-style metadata tables: SELECT ... FROM t$files / t$history
-    r"(?P<tbl>[\w.]+)\$(?P<kind>files|history)\b"
+    r"(?P<tbl>[\w.]+)\$(?P<kind>files|history|deletes)\b"
 )
 _SHOW_INDEXES = re.compile(
     r"SHOW\s+INDEXES\s+(?:FROM|IN|ON)\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
@@ -1118,7 +1118,10 @@ class SqlEngine:
           bytes) from parquet footers (file-count-bounded driver work,
           zero data pages read);
         - ``t$history`` — the version log: (version, mode, ts,
-          expired), the SHOW VERSIONS frame as a queryable relation.
+          expired), the SHOW VERSIONS frame as a queryable relation;
+        - ``t$deletes`` — one row per live deletion-vector tombstone:
+          (file, pos), empty when none are live (Iceberg's
+          positional-delete-files introspection analogue).
         """
 
         def sub(m: re.Match) -> str:
@@ -1127,7 +1130,19 @@ class SqlEngine:
                 return m.group(0)
             ds: Dataset = self.catalog.load_table(self.database, tbl)
             view = f"{tbl}__meta_{kind}"
-            if kind == "history":
+            if kind == "deletes":
+                dvs = ds._live_dvs()
+                if dvs:
+                    self.spark.read.parquet(
+                        *[fsio.join(ds.path, d) for d in dvs]
+                    ).selectExpr(
+                        "_file as file", "_pos as pos"
+                    ).createOrReplaceTempView(view)
+                else:
+                    self.spark.createDataFrame(
+                        [], "file string, pos long"
+                    ).createOrReplaceTempView(view)
+            elif kind == "history":
                 vs = ds._load_manifest()["versions"]
                 self.spark.createDataFrame(
                     [
@@ -1636,12 +1651,22 @@ class SqlEngine:
     def _delete(self, m: re.Match) -> None:
         """Flink 1.17 batch DELETE parity: ``DELETE FROM t [WHERE p]``.
         Routed to Dataset.delete_where — a fragment-pruned rewrite
-        committing a new version (old versions stay time-travelable)."""
+        committing a new version (old versions stay time-travelable).
+        A table declared WITH ('delete.mode'='deletion-vector') takes
+        the tombstone path instead: no data files rewritten, cost ∝
+        deleted rows (Lance deletion-file semantics)."""
         name = m.group("name")
         pred = m.group("pred")
         ds: Dataset = self.catalog.load_table(self.database, name)
+        opts = self.options.get(name)
+        dv = (
+            opts is not None
+            and opts.declared.get("delete.mode") == "deletion-vector"
+        )
         ds.delete_where(
-            self.spark, _rewrite_array_literals(pred) if pred else "true"
+            self.spark,
+            _rewrite_array_literals(pred) if pred else "true",
+            dv=dv,
         )
         self._register(name)
         return None

@@ -1,0 +1,243 @@
+"""Deletion-vector deletes: ``delete_where(dv=True)`` writes a
+(_file, _pos) tombstone sidecar and NO data file is rewritten (Lance
+deletion-file semantics — at 100 TB, deleting 0.1% of rows must not
+rewrite the other 99.9%). Reference parity: Lance fragments'
+deletion files (the reference's com.lancedb.lance.Dataset delegates
+deletes to them); the Spark-side contract under test is that every
+read path excludes tombstoned rows and every rewrite path fails to
+resurrect them.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from lance_flink_spark.sources.dataset import Dataset
+
+
+def _df(spark, lo, hi, val=1.0):
+    return spark.createDataFrame(
+        [Row(id=i, val=float(val), name=f"row-{i}") for i in range(lo, hi)]
+    )
+
+
+@pytest.fixture()
+def ds2(spark, tmp_path_str):
+    """Two append fragments with disjoint id ranges (0-99, 100-199)."""
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 0, 100))
+    ds.write(_df(spark, 100, 200), mode="append")
+    return ds
+
+
+def _data_files(ds):
+    import os
+
+    out = []
+    data = os.path.join(ds.path, "data")
+    for frag in sorted(os.listdir(data)):
+        for name in sorted(os.listdir(os.path.join(data, frag))):
+            if name.endswith(".parquet"):
+                p = os.path.join(data, frag, name)
+                out.append((f"data/{frag}/{name}", os.path.getsize(p), os.path.getmtime(p)))
+    return out
+
+
+def test_dv_delete_removes_rows_without_rewriting(spark, ds2):
+    before = [f for f in _data_files(ds2) if not f[0].split("/")[1].startswith("dv")]
+    v = ds2.delete_where(spark, "id >= 150", dv=True)
+    assert v == 3
+    out = ds2.read(spark)
+    assert out.count() == 150
+    assert out.agg({"id": "max"}).first()[0] == 149
+    # the data files are byte-identical — only a dv sidecar appeared
+    after = [f for f in _data_files(ds2) if not f[0].split("/")[1].startswith("dv")]
+    assert after == before
+    man = ds2._load_manifest()["versions"][-1]
+    assert man["mode"] == "delete-dv" and man["dv"] and man["dv_rows"] == 50
+    assert not man.get("removed_files")
+    # time travel: the pre-delete version still sees everything
+    assert ds2.read(spark, version=2).count() == 200
+
+
+def test_dv_delete_no_match_is_noop(spark, ds2):
+    assert ds2.delete_where(spark, "id > 10000", dv=True) is None
+    assert ds2.versions() == [1, 2]
+
+
+def test_second_dv_delete_records_only_new_tombstones(spark, ds2):
+    ds2.delete_where(spark, "id >= 150", dv=True)
+    # overlapping predicate: 100-199 ∩ live = 100-149 → 50 NEW rows
+    v = ds2.delete_where(spark, "id >= 100", dv=True)
+    assert ds2._load_manifest()["versions"][-1]["dv_rows"] == 50
+    assert ds2.read(spark).count() == 100
+    # version between the two deletes sees exactly the first delete
+    assert ds2.read(spark, version=3).count() == 150
+    assert v == 4
+
+
+def test_dv_then_rewrite_mutation_does_not_resurrect(spark, ds2):
+    ds2.delete_where(spark, "id >= 190", dv=True)
+    # rewrite-mode mutation touching the same fragment: survivors must
+    # exclude the tombstoned rows
+    ds2.update_where(spark, "id = 100", {"val": "2.0"})
+    out = ds2.read(spark)
+    assert out.count() == 190
+    assert out.filter("val = 2.0").count() == 1
+    # rewrite-mode delete after a dv delete: same invariant
+    ds2.delete_where(spark, "id = 101")
+    assert ds2.read(spark).count() == 189
+
+
+def test_dv_then_merge_insert_does_not_resurrect(spark, ds2):
+    ds2.delete_where(spark, "id = 199", dv=True)
+    src = spark.createDataFrame([Row(id=198, val=9.0, name="upd")])
+    ds2.merge_insert(spark, src, on="id")
+    out = ds2.read(spark)
+    assert out.count() == 199
+    assert out.filter("id = 199").count() == 0
+    assert out.filter("id = 198").first()["val"] == 9.0
+
+
+def test_compact_materializes_and_resets_dvs(spark, ds2):
+    ds2.delete_where(spark, "id % 2 = 1", dv=True)
+    assert ds2._live_dvs()
+    ds2.compact(spark)
+    assert not ds2._live_dvs()
+    assert ds2.read(spark).count() == 100
+    assert ds2.read(spark).filter("id % 2 = 1").count() == 0
+
+
+def test_compact_small_applies_dvs(spark, tmp_path_str):
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_df(spark, 0, 50))
+    ds.write(_df(spark, 50, 100), mode="append")
+    ds.delete_where(spark, "id < 10", dv=True)
+    v = ds.compact_small(spark, small_bytes=1 << 30)
+    assert v is not None
+    out = ds.read(spark)
+    assert out.count() == 90
+    assert out.agg({"id": "min"}).first()[0] == 10
+
+
+def test_dv_filter_still_pushes_to_scan(spark, ds2):
+    ds2.delete_where(spark, "id = 0", dv=True)
+    plan = (
+        ds2.read(spark, filter="id > 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the user filter reaches the parquet reader through the anti-join
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,100)]" in plan
+    # and the join stayed broadcast (scan-stage-local)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dv_cdf_emits_each_delete_once(spark, ds2):
+    from pyspark.sql import functions as F
+
+    ds2.delete_where(spark, "id >= 198", dv=True)          # v3: 2 deletes
+    ds2.delete_where(spark, "id >= 196", dv=True)          # v4: 2 more
+    ds2.update_where(spark, "id = 195", {"val": "5.0"})    # v5: rewrite
+    ch = ds2.read_changes(spark, key="id", since_version=2)
+    got = [
+        (r["id"], r["_change_type"], r["_version"])
+        for r in ch.select("id", "_change_type", "_version")
+        .orderBy("id", "_version")
+        .collect()
+    ]
+    assert got == [
+        (195, "update", 5),
+        (196, "delete", 4),
+        (197, "delete", 4),
+        (198, "delete", 3),
+        (199, "delete", 3),
+    ]
+    # pre-images ride along on dv deletes
+    pre = ch.filter("id = 199").first()
+    assert pre["name"] == "row-199" and pre["val"] == 1.0
+    assert ch.filter(F.col("_change_type") == "delete").count() == 4
+
+
+def test_dv_read_stream_refuses(spark, ds2):
+    ds2.delete_where(spark, "id = 0", dv=True)
+    with pytest.raises(ValueError, match="compact"):
+        ds2.read_stream(spark)
+
+
+def test_dv_vacuum_keeps_live_tombstones(spark, ds2):
+    ds2.delete_where(spark, "id >= 100", dv=True)
+    ds2.write(_df(spark, 200, 210), mode="append")
+    ds2.vacuum(keep_versions=2, orphan_grace_seconds=1 << 30)
+    # the dv sidecar survives (both retained versions apply it) and
+    # reads stay tombstone-correct
+    assert ds2._live_dvs()
+    assert ds2.read(spark).count() == 110
+    with pytest.raises(ValueError, match="expired"):
+        ds2.read(spark, version=1)
+
+
+def test_dv_indexed_reads_exclude_tombstones(spark, ds2):
+    ds2.build_scalar_index(spark, "id")
+    ds2.delete_where(spark, "id = 42", dv=True)
+    # the dv commit staled the index; refresh (full rebuild — mode is
+    # not append) and probe
+    ds2.update_scalar_index(spark, "id")
+    assert ds2.read_eq(spark, "id", 42).count() == 0
+    assert ds2.read_eq(spark, "id", 43).count() == 1
+    assert ds2.read_in(spark, "id", [41, 42, 43]).count() == 2
+    assert ds2.read_range(spark, "id", lower=40, upper=45).count() == 4
+    assert ds2.count_eq(spark, "id", 42) == 0
+
+
+def test_dv_restore_and_overwrite_reset(spark, ds2):
+    ds2.delete_where(spark, "id >= 100", dv=True)  # v3
+    ds2.restore(2)                                  # v4: pre-delete state
+    assert not ds2._live_dvs()
+    assert ds2.read(spark).count() == 200
+    ds2.restore(3)                                  # v5: deleted state again
+    assert ds2._live_dvs()
+    assert ds2.read(spark).count() == 100
+    ds2.write(_df(spark, 0, 5), mode="overwrite")   # v6: resets dvs
+    assert not ds2._live_dvs()
+    assert ds2.read(spark).count() == 5
+
+
+def test_dv_count_rows_and_schema_evolution(spark, ds2):
+    ds2.delete_where(spark, "id < 50", dv=True)
+    assert ds2.count_rows(spark) == 150
+    # schema-evolving append after a dv delete: merged reads keep both
+    # the new column and the tombstones
+    wide = spark.createDataFrame(
+        [Row(id=500, val=1.0, name="w", extra="x")]
+    )
+    ds2.write(wide, mode="append")
+    out = ds2.read(spark)
+    assert out.count() == 151
+    assert out.filter("extra = 'x'").count() == 1
+    assert out.filter("id < 50").count() == 0
+
+
+def test_dv_sql_surface(spark, tmp_path_str):
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    eng = SqlEngine(spark, Catalog(tmp_path_str))
+    eng.execute(
+        "CREATE TABLE tdv (id INT, name STRING) WITH ("
+        "'connector'='lance', 'delete.mode'='deletion-vector')"
+    )
+    eng.execute("INSERT INTO tdv VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    eng.execute("DELETE FROM tdv WHERE id = 2")
+    assert [r["id"] for r in eng.execute("SELECT id FROM tdv ORDER BY id").collect()] == [1, 3]
+    ds = eng.catalog.load_table(eng.database, "tdv")
+    assert ds._load_manifest()["versions"][-1]["mode"] == "delete-dv"
+    # t$deletes metadata table surfaces the tombstone
+    dels = eng.execute("SELECT file, pos FROM tdv$deletes").collect()
+    assert len(dels) == 1 and dels[0]["file"].startswith("data/")
+    # a table WITHOUT the option keeps the rewrite path
+    eng.execute("CREATE TABLE trw (id INT) WITH ('connector'='lance')")
+    eng.execute("INSERT INTO trw VALUES (1), (2)")
+    eng.execute("DELETE FROM trw WHERE id = 1")
+    ds2 = eng.catalog.load_table(eng.database, "trw")
+    assert ds2._load_manifest()["versions"][-1]["mode"] == "delete"

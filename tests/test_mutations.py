@@ -259,11 +259,11 @@ def test_commit_conflict_mid_mutation(spark, ds2):
     other = Dataset(ds2.path)
     real = ds2._read_files
 
-    def interleaved(spark_, files):
+    def interleaved(spark_, files, **kw):
         # first call happens after the snapshot version was captured
         ds2._read_files = real
         other.write(_df(spark_, 500, 510), mode="append")
-        return real(spark_, files)
+        return real(spark_, files, **kw)
 
     ds2._read_files = interleaved
     with pytest.raises(CommitConflict):
