@@ -56,20 +56,20 @@ def _bucket_of(key: Column, cuts: list[float]) -> Column:
     )
 
 
-def with_distributed_ntile(
+def with_distributed_row_number(
     df: DataFrame,
-    n: int,
     key_col: str,
-    tiebreak_col: str,
+    tiebreak_cols: list[str],
     out_col: str,
     descending: bool = False,
     buckets: int = 64,
-) -> DataFrame:
-    """Add ``out_col`` = exact NTILE(n) OVER (ORDER BY key [DESC],
-    tiebreak) without an unpartitioned window.
+) -> tuple[DataFrame, int]:
+    """Add ``out_col`` = exact 1-based ROW_NUMBER() OVER (ORDER BY key
+    [DESC], *tiebreaks) without an unpartitioned window; returns
+    (frame, total row count).
 
     ``key_col`` must be numeric (the range-bucketing domain);
-    ``tiebreak_col`` makes the order total so results are
+    ``tiebreak_cols`` make the order total so results are
     deterministic. ``buckets`` bounds both task size (~N/buckets rows
     sorted per task) and driver state (buckets counts + buckets-1
     cuts) — raise it with the cluster, it never touches correctness.
@@ -99,11 +99,38 @@ def with_distributed_ntile(
         spark.createDataFrame(offsets, "__b int, __off long")
     )
 
-    w_local = Window.partitionBy("__b").orderBy(order_key, F.col(tiebreak_col).asc())
+    w_local = Window.partitionBy("__b").orderBy(
+        order_key, *[F.col(c).asc() for c in tiebreak_cols]
+    )
     ranked = (
         b.withColumn("__rn", F.row_number().over(w_local))
         .join(off_df, "__b")
-        .withColumn("__grn", F.col("__off") + F.col("__rn"))
+        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__b", "__rn", "__off")
+    )
+    return ranked, total
+
+
+def with_distributed_ntile(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    descending: bool = False,
+    buckets: int = 64,
+) -> DataFrame:
+    """Add ``out_col`` = exact NTILE(n) OVER (ORDER BY key [DESC],
+    tiebreak) without an unpartitioned window — the global-rank
+    machinery of with_distributed_row_number plus the closed-form
+    tile arithmetic."""
+    ranked, total = with_distributed_row_number(
+        df,
+        key_col,
+        [tiebreak_col],
+        "__grn",
+        descending=descending,
+        buckets=buckets,
     )
 
     # SQL NTILE: q = N div n, rem = N mod n; the first `rem` tiles hold
@@ -120,9 +147,7 @@ def with_distributed_ntile(
             ).otherwise(rem + F.expr(f"(__grn - {cutoff} - 1) div {q}"))
             + 1
         )
-    return ranked.withColumn(out_col, tile.cast("int")).drop(
-        "__b", "__rn", "__off", "__grn"
-    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__grn")
 
 
 def with_distributed_ntiles(

@@ -109,3 +109,48 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__pri", "__rn")
     )
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for reproducible
+    training-data ordering: every run (any cluster size, any partition
+    layout) produces the SAME total order and the same shard files —
+    the property a resumable 100 TB training pipeline needs from its
+    "shuffle the corpus" step.
+
+    Order = md5(seed:id) ascending (ties impossible past the full
+    hash + id tiebreak); rank comes from the distributed row-number
+    machinery (range-bucket on a 60-bit numeric prefix of the hash +
+    per-bucket window + bounded offsets — never an unpartitioned
+    window). Shards round-robin over the rank, so shard sizes differ
+    by at most one and every shard is itself a seeded sample of the
+    corpus. Adds ``ord`` (1-based global position), ``shard``,
+    ``pos_in_shard`` (0-based position within the shard).
+    """
+    from lance_flink_spark.operators.quantiles import (
+        with_distributed_row_number,
+    )
+
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col)))
+    keyed = df.withColumn("__h", h).withColumn(
+        # 60-bit numeric prefix: monotone in the hex string (lowercase
+        # hex → lexicographic == numeric), so range-bucketing on it is
+        # consistent with ORDER BY the full hash
+        "__hn",
+        F.conv(F.substring("__h", 1, 15), 16, 10).cast("long"),
+    )
+    ranked, _ = with_distributed_row_number(
+        keyed, "__hn", ["__h", id_col], "ord"
+    )
+    return (
+        ranked.withColumn(
+            "shard", ((F.col("ord") - 1) % n_shards).cast("int")
+        )
+        .withColumn("pos_in_shard", F.expr(f"(ord - 1) div {n_shards}"))
+        .drop("__h", "__hn")
+    )

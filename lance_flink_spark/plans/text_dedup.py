@@ -306,6 +306,38 @@ def sample_split(spark, sf_dir):
 
 
 @query(
+    "corpus_seeded_shuffle",
+    extra=True,
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(concat('42:', CAST(doc_id AS VARCHAR))) AS hh
+      FROM documents),
+    r AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS o FROM h)
+    SELECT doc_id,
+           CAST(o AS BIGINT) AS ord,
+           CAST((o - 1) % 8 AS INT) AS shard,
+           CAST((o - 1) // 8 AS BIGINT) AS pos_in_shard
+    FROM r
+    """,
+)
+def corpus_seeded_shuffle(spark, sf_dir):
+    """Deterministic seeded corpus shuffle + round-robin sharding
+    (operators/sampling.py::seeded_shuffle): the reproducible
+    training-order step of a data pipeline — same seed, same total
+    order, any cluster size. The oracle replays the md5 order with a
+    plain window ROW_NUMBER, so a rank mis-offset anywhere in the
+    distributed row-number machinery (range bucket boundaries, offset
+    arithmetic, hash-prefix monotonicity) breaks the hash."""
+    from lance_flink_spark.operators.sampling import seeded_shuffle
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return seeded_shuffle(docs, "doc_id", seed=42, n_shards=8).select(
+        "doc_id", "ord", "shard", "pos_in_shard"
+    )
+
+
+@query(
     "embeddings_normalize",
     oracle="""
     SELECT vec_id,

@@ -97,3 +97,32 @@ def test_shard_by_token_budget_invariants(spark):
         for r in shard_by_token_budget(df, budget, seed="p").collect()
     }
     assert again == out
+
+
+def test_seeded_shuffle_deterministic_balanced_distributed(spark):
+    import hashlib
+
+    from lance_flink_spark.operators.sampling import seeded_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = seeded_shuffle(df, "doc_id", seed=7, n_shards=8)
+    rows = {r["doc_id"]: (r["ord"], r["shard"], r["pos_in_shard"]) for r in out.collect()}
+    # single-machine reference: md5 order, round-robin shards
+    order = sorted(range(1000), key=lambda i: (hashlib.md5(f"7:{i}".encode()).hexdigest(), i))
+    for rank, i in enumerate(order, start=1):
+        assert rows[i] == (rank, (rank - 1) % 8, (rank - 1) // 8), i
+    # different seed -> different order (with overwhelming probability)
+    other = seeded_shuffle(df, "doc_id", seed=8, n_shards=8)
+    assert (
+        out.select("doc_id", "ord")
+        .join(other.select("doc_id", F.col("ord").alias("o2")), "doc_id")
+        .filter("ord != o2")
+        .count()
+        > 0
+    )
+    # shard sizes differ by at most one (round-robin invariant)
+    sizes = [r["n"] for r in out.groupBy("shard").count().withColumnRenamed("count", "n").collect()]
+    assert max(sizes) - min(sizes) <= 1
+    # the global order never funnels through one task
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
