@@ -297,10 +297,11 @@ class Dataset:
             if v["mode"] == "overwrite":
                 live = []
                 removed = set()
-            if v.get("dv"):
-                # deletion-vector commits own a tombstone sidecar, not a
-                # data fragment — tracked by _live_dvs, never scanned as
-                # data
+            if v.get("dv") or not v["fragment"]:
+                # deletion-vector commits own a tombstone sidecar, not
+                # a data fragment — tracked by _live_dvs, never scanned
+                # as data (update/merge DV commits carry BOTH: their
+                # data fragment lands here, their sidecar in _live_dvs)
                 continue
             live.append(v["fragment"])
             removed.update(v.get("removed_files", ()))
@@ -752,6 +753,8 @@ class Dataset:
                 dvs = []
             if v.get("dv"):
                 dvs.append(v["fragment"])
+            elif v.get("dv_fragment"):
+                dvs.append(v["dv_fragment"])
         return dvs
 
     def _dv_tombstones(
@@ -813,17 +816,14 @@ class Dataset:
         )
         return out.drop("__dv_file", "__dv_pos")
 
-    def _delete_where_dv(self, spark: SparkSession, predicate: str) -> int | None:
-        """Predicate delete WITHOUT rewriting data: write the matched
-        row positions as a deletion-vector sidecar and commit a
-        metadata-only version. Cost ∝ one pruned scan (the predicate
-        pushes to the parquet reader) + a tombstone write the size of
-        the DELETED rows. Returns the new version, or None when nothing
-        matched (no commit — idempotent no-op, same contract as the
-        rewrite path)."""
+    def _keyed_live_scan(self, spark: SparkSession) -> DataFrame:
+        """Raw live scan carrying ``__dv_file``/``__dv_pos`` position
+        keys, with existing tombstones already excluded and logically
+        dropped columns hidden — the starting frame for every
+        deletion-vector mutation (the keys of the rows it matches ARE
+        the new tombstones)."""
         from pyspark.sql import functions as F
 
-        base = len(self.versions())
         frags = self._live_paths()
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
@@ -839,14 +839,9 @@ class Dataset:
         )
         dropped = [c for c in self._dropped_cols() if c in raw.columns]
         if dropped:
-            # logically dropped columns must be invisible to the
-            # predicate, exactly as in read()
             keyed = keyed.drop(*dropped)
         tomb = self._dv_tombstones(spark)
         if tomb is not None:
-            # already-deleted rows can't match again — the new sidecar
-            # records only NEW deletions, so CDF emits each row's
-            # delete exactly once
             keyed = keyed.join(
                 F.broadcast(
                     tomb.withColumnsRenamed(
@@ -856,6 +851,109 @@ class Dataset:
                 ["__dv_file", "__dv_pos"],
                 "left_anti",
             )
+        return keyed
+
+    def _mutate_dv_commit(
+        self,
+        spark: SparkSession,
+        matched_keyed: DataFrame,
+        new_rows: DataFrame | None,
+        mode: str,
+    ) -> int | None:
+        """Commit a deletion-vector mutation: tombstone the positions
+        of ``matched_keyed`` (a _keyed_live_scan selection) and, for
+        update/merge shapes, land ``new_rows`` as an appended fragment
+        in the SAME version — Lance's deletion-file + new-fragment
+        mutation model. No pre-existing data file is read beyond the
+        matching scan or rewritten. Returns the new version, or None
+        when nothing matched and there is nothing to insert."""
+        from pyspark.sql import functions as F
+
+        base = len(self.versions())
+        tomb = matched_keyed.select(
+            F.col("__dv_file").alias("_file"), F.col("__dv_pos").alias("_pos")
+        )
+        dv_frag = f"data/dv{base + 1:04d}-{uuid.uuid4().hex[:8]}"
+        dv_out = fsio.join(self.path, dv_frag)
+        tomb.coalesce(1).write.mode("errorifexists").parquet(dv_out)
+        n = spark.read.parquet(dv_out).count()
+        if new_rows is not None:
+            self._enforce_constraints(new_rows)
+            # materialize BEFORE deciding emptiness: new_rows may be
+            # derived from the same matched scan
+            frag = f"data/m{base + 1:04d}-{uuid.uuid4().hex[:8]}"
+            out = fsio.join(self.path, frag)
+            new_rows.write.mode("errorifexists").parquet(out)
+            n_new = spark.read.parquet(out).count()
+        else:
+            frag, n_new = None, 0
+        if n == 0 and n_new == 0:
+            fsio.delete(dv_out)
+            if frag:
+                fsio.delete(fsio.join(self.path, frag))
+            return None
+        if n == 0:
+            # pure insert (merge with no matches): drop the empty
+            # sidecar, commit a plain append of the new fragment
+            fsio.delete(dv_out)
+            return self._commit(mode, frag, expected_version=base)
+        return self._commit(
+            mode,
+            frag or "",
+            expected_version=base,
+            extra={"dv_fragment": dv_frag, "dv_rows": int(n)},
+        )
+
+    def _dv_preimages(self, spark: SparkSession, dv_frag: str) -> DataFrame:
+        """The full rows a deletion-vector sidecar tombstoned,
+        conformed to the dataset's merged schema — read from exactly
+        the files the sidecar names (bounded by the mutation's own
+        footprint, never a table scan). The CDF's pre-image source for
+        every dv commit."""
+        from pyspark.sql import functions as F
+
+        tomb = spark.read.parquet(fsio.join(self.path, dv_frag))
+        files = [r["_file"] for r in tomb.select("_file").distinct().collect()]
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[fsio.join(self.path, f) for f in files]
+        )
+        keyed = raw.withColumns(
+            {
+                "__dv_file": F.expr(
+                    "concat('data/', "
+                    "substring_index(_metadata.file_path, '/data/', -1))"
+                ),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        picked = keyed.join(
+            F.broadcast(
+                tomb.withColumnsRenamed({"_file": "__dv_file", "_pos": "__dv_pos"})
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_semi",
+        ).drop("__dv_file", "__dv_pos")
+        target = self.read(spark).schema
+        for f in target.fields:
+            if f.name not in picked.columns:
+                picked = picked.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return picked.select(*[f.name for f in target.fields])
+
+    def _delete_where_dv(self, spark: SparkSession, predicate: str) -> int | None:
+        """Predicate delete WITHOUT rewriting data: write the matched
+        row positions as a deletion-vector sidecar and commit a
+        metadata-only version. Cost ∝ one pruned scan (the predicate
+        pushes to the parquet reader) + a tombstone write the size of
+        the DELETED rows. Returns the new version, or None when nothing
+        matched (no commit — idempotent no-op, same contract as the
+        rewrite path)."""
+        from pyspark.sql import functions as F
+
+        base = len(self.versions())
+        # _keyed_live_scan excludes already-tombstoned rows, so the new
+        # sidecar records only NEW deletions — CDF emits each row's
+        # delete exactly once
+        keyed = self._keyed_live_scan(spark)
         matched = keyed.filter(f"coalesce(({predicate}), false)").select(
             F.col("__dv_file").alias("_file"), F.col("__dv_pos").alias("_pos")
         )
@@ -971,11 +1069,21 @@ class Dataset:
         return self._mutate_commit(keep, affected, "delete", base_version=base)
 
     def update_where(
-        self, spark: SparkSession, predicate: str, assignments: dict[str, str]
+        self,
+        spark: SparkSession,
+        predicate: str,
+        assignments: dict[str, str],
+        dv: bool = False,
     ) -> int | None:
         """UPDATE ... SET col = expr WHERE predicate. Returns the new
         version, or None if nothing matched. ``assignments`` maps
-        column name → SQL expression (evaluated on the matched row)."""
+        column name → SQL expression (evaluated on the matched row).
+
+        ``dv=True`` takes Lance's deletion-file + new-fragment update
+        model: matched positions are tombstoned and the updated copies
+        land as an appended fragment — unmatched rows of affected
+        files are never rewritten (cost ∝ matched rows, not
+        affected-file bytes)."""
         from pyspark.sql import functions as F
 
         base = len(self.versions())
@@ -983,6 +1091,21 @@ class Dataset:
         for col in assignments:
             if col not in scan.columns:
                 raise ValueError(f"unknown column {col!r}")
+        if dv:
+            matched = self._keyed_live_scan(spark).filter(
+                f"coalesce(({predicate}), false)"
+            )
+            updated = matched.select(
+                *[
+                    (
+                        F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    )
+                    for f in scan.schema.fields
+                ]
+            )
+            return self._mutate_dv_commit(spark, matched, updated, "update-dv")
         affected = self._affected_files(
             self._tagged_scan(spark).filter(predicate)
         )
@@ -1003,7 +1126,7 @@ class Dataset:
         return self._mutate_commit(updated, affected, "update", base_version=base)
 
     def merge_insert(
-        self, spark: SparkSession, source: DataFrame, on: str
+        self, spark: SparkSession, source: DataFrame, on: str, dv: bool = False
     ) -> int:
         """Upsert (Lance merge_insert: when-matched-update-all +
         when-not-matched-insert-all, keyed on ``on``): source rows
@@ -1013,7 +1136,13 @@ class Dataset:
         key probe is a semi-join against the source's distinct keys
         (broadcast when small), pruned the same way as delete_where.
         Never a full-dataset rewrite, and the source is scanned twice at
-        most (keys + payload)."""
+        most (keys + payload).
+
+        ``dv=True`` rewrites NOTHING: matched old rows are tombstoned
+        by position and the whole source lands as one appended
+        fragment (Lance's deletion-file merge). Cost ∝ source size —
+        the shape CDC upsert ingestion needs at 100 TB, where every
+        batch touches a sliver of most files."""
         base = len(self.versions())
         scan = self.read(spark)
         if set(source.columns) != set(scan.columns):
@@ -1043,6 +1172,12 @@ class Dataset:
                 "deduplicate the source first (ambiguous when-matched row)"
             )
         keys = source.select(on).distinct()
+        if dv:
+            matched = self._keyed_live_scan(spark).join(keys, on, "left_semi")
+            v = self._mutate_dv_commit(spark, matched, source, "merge-dv")
+            # a merge always lands its source (empty source → no-op
+            # returns base, matching the rewrite path's contract)
+            return base if v is None else v
         affected = self._affected_files(
             self._tagged_scan(spark).join(keys, on, "left_semi")
         )
@@ -1137,45 +1272,12 @@ class Dataset:
             if v.get("expired"):
                 raise ValueError(f"version {v['version']} was expired by vacuum()")
             if v.get("dv"):
-                # deletion-vector commit: the change set IS the newly
-                # tombstoned rows — pre-images read from exactly the
-                # files the sidecar names (bounded by the delete's own
-                # file footprint, never a table scan). The sidecar holds
-                # only NEW deletions (the delete excluded already-
-                # tombstoned rows), so no row's delete is emitted twice.
-                tomb = spark.read.parquet(fsio.join(self.path, v["fragment"]))
-                files = [
-                    r["_file"] for r in tomb.select("_file").distinct().collect()
-                ]
-                raw = spark.read.option("mergeSchema", "true").parquet(
-                    *[fsio.join(self.path, f) for f in files]
-                )
-                keyed = raw.withColumns(
-                    {
-                        "__dv_file": F.expr(
-                            "concat('data/', "
-                            "substring_index(_metadata.file_path, '/data/', -1))"
-                        ),
-                        "__dv_pos": F.col("_metadata.row_index"),
-                    }
-                )
-                deleted = keyed.join(
-                    F.broadcast(
-                        tomb.withColumnsRenamed(
-                            {"_file": "__dv_file", "_pos": "__dv_pos"}
-                        )
-                    ),
-                    ["__dv_file", "__dv_pos"],
-                    "left_semi",
-                ).drop("__dv_file", "__dv_pos")
-                target = self.read(spark).schema
-                for f in target.fields:
-                    if f.name not in deleted.columns:
-                        deleted = deleted.withColumn(
-                            f.name, F.lit(None).cast(f.dataType)
-                        )
+                # pure delete-dv commit: the change set IS the newly
+                # tombstoned rows. The sidecar holds only NEW deletions
+                # (the delete excluded already-tombstoned rows), so no
+                # row's delete is emitted twice.
                 pieces.append(
-                    deleted.select(*[f.name for f in target.fields])
+                    self._dv_preimages(spark, v["fragment"])
                     .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_version", F.lit(v["version"]))
                 )
@@ -1196,19 +1298,26 @@ class Dataset:
                 else self.read(spark, version=v["version"]).limit(0)
             )
             removed = v.get("removed_files")
-            if not removed:
+            dvf = v.get("dv_fragment")
+            if not removed and not dvf:
                 pieces.append(
                     new.withColumn("_change_type", F.lit("insert"))
                     .withColumn("_version", F.lit(v["version"]))
                 )
                 continue
-            # old side = the files' LIVE rows as of the commit before
-            # this mutation: rows already tombstoned by an earlier DV
-            # delete emitted their delete then — counting them as
-            # "old" here would re-emit it
-            old = self._read_files(
-                spark, removed, dv_as_of=v["version"] - 1
-            )
+            if dvf:
+                # update-dv / merge-dv: the old side IS the rows this
+                # commit tombstoned (its pre-images by construction) —
+                # the same deletes/inserts/updates algebra applies
+                old = self._dv_preimages(spark, dvf)
+            else:
+                # old side = the files' LIVE rows as of the commit
+                # before this mutation: rows already tombstoned by an
+                # earlier DV delete emitted their delete then —
+                # counting them as "old" here would re-emit it
+                old = self._read_files(
+                    spark, removed, dv_as_of=v["version"] - 1
+                )
             old_keys = old.select(key).distinct()
             new_keys = new.select(key).distinct()
             deletes = old.join(new_keys, key, "left_anti").withColumn(
@@ -2130,33 +2239,38 @@ class Dataset:
                         keep_files.add(self._relpath(fsio.join(dvp, name)))
         deleted: list[str] = []
         for v in vs:
-            frag = v["fragment"]
-            if v["mode"] == "restore" or not frag:
-                continue  # metadata-only commits own no fragment dir
-            frag_path = fsio.join(self.path, frag)
-            if not fsio.exists(frag_path):
-                continue
-            names = fsio.listdir(frag_path)
-            dead = [
-                n
-                for n in names
-                if self._relpath(fsio.join(frag_path, n)) not in keep_files
-            ]
-            # whole-dir delete ONLY for fragments no retained version
-            # lists as live: a live fragment whose parquet files were
-            # all superseded by a mutation must keep its directory —
-            # _live_paths listdirs every live fragment, and with
-            # _SUCCESS markers disabled (common on object stores)
-            # nothing else would save the dir
-            if len(dead) == len(names) and frag not in live_frags:
-                fsio.delete(frag_path)
-                deleted.extend(fsio.join(frag, n) for n in dead)
-            else:
-                for n in dead:
-                    if n.endswith(".parquet"):
-                        fsio.delete(fsio.join(frag_path, n))
-                        deleted.append(fsio.join(frag, n))
-        known = {v["fragment"] for v in vs}
+            owned = [v["fragment"]]
+            if v.get("dv_fragment"):
+                owned.append(v["dv_fragment"])
+            for frag in owned:
+                if v["mode"] == "restore" or not frag:
+                    continue  # metadata-only commits own no fragment dir
+                frag_path = fsio.join(self.path, frag)
+                if not fsio.exists(frag_path):
+                    continue
+                names = fsio.listdir(frag_path)
+                dead = [
+                    n
+                    for n in names
+                    if self._relpath(fsio.join(frag_path, n)) not in keep_files
+                ]
+                # whole-dir delete ONLY for fragments no retained
+                # version lists as live: a live fragment whose parquet
+                # files were all superseded by a mutation must keep its
+                # directory — _live_paths listdirs every live fragment,
+                # and with _SUCCESS markers disabled (common on object
+                # stores) nothing else would save the dir
+                if len(dead) == len(names) and frag not in live_frags:
+                    fsio.delete(frag_path)
+                    deleted.extend(fsio.join(frag, n) for n in dead)
+                else:
+                    for n in dead:
+                        if n.endswith(".parquet"):
+                            fsio.delete(fsio.join(frag_path, n))
+                            deleted.append(fsio.join(frag, n))
+        known = {v["fragment"] for v in vs} | {
+            v["dv_fragment"] for v in vs if v.get("dv_fragment")
+        }
         data_dir = fsio.join(self.path, "data")
         if fsio.exists(data_dir):
             for name in fsio.listdir(data_dir):

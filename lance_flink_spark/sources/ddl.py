@@ -1658,15 +1658,10 @@ class SqlEngine:
         name = m.group("name")
         pred = m.group("pred")
         ds: Dataset = self.catalog.load_table(self.database, name)
-        opts = self.options.get(name)
-        dv = (
-            opts is not None
-            and opts.declared.get("delete.mode") == "deletion-vector"
-        )
         ds.delete_where(
             self.spark,
             _rewrite_array_literals(pred) if pred else "true",
-            dv=dv,
+            dv=self._dv_mode(name),
         )
         self._register(name)
         return None
@@ -1687,9 +1682,21 @@ class SqlEngine:
             self.spark,
             _rewrite_array_literals(pred) if pred else "true",
             assignments,
+            dv=self._dv_mode(name),
         )
         self._register(name)
         return None
+
+    def _dv_mode(self, name: str) -> bool:
+        """True when the table was declared WITH
+        ('delete.mode'='deletion-vector') — DELETE/UPDATE/MERGE then
+        take the tombstone (+ new-fragment) path instead of rewriting
+        affected files."""
+        opts = self.options.get(name)
+        return (
+            opts is not None
+            and opts.declared.get("delete.mode") == "deletion-vector"
+        )
 
     def _merge_when(self, m: re.Match) -> None:
         """Delta-style conditional MERGE: ordered WHEN clauses, first
@@ -1776,7 +1783,9 @@ class SqlEngine:
                 for c, f in zip(df.columns, target.fields)
             ]
         )
-        ds.merge_insert(self.spark, aligned, on=m.group("on"))
+        ds.merge_insert(
+            self.spark, aligned, on=m.group("on"), dv=self._dv_mode(name)
+        )
         self._register(name)
         return None
 

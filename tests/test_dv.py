@@ -241,3 +241,110 @@ def test_dv_sql_surface(spark, tmp_path_str):
     eng.execute("DELETE FROM trw WHERE id = 1")
     ds2 = eng.catalog.load_table(eng.database, "trw")
     assert ds2._load_manifest()["versions"][-1]["mode"] == "delete"
+
+
+def test_dv_update_tombstones_plus_new_fragment(spark, ds2):
+    before = [f for f in _data_files(ds2)]
+    v = ds2.update_where(spark, "id >= 150", {"val": "val + 1.0"}, dv=True)
+    assert v == 3
+    out = ds2.read(spark)
+    assert out.count() == 200
+    assert out.filter("val = 2.0").count() == 50
+    assert out.filter("id >= 150 AND val = 1.0").count() == 0
+    # pre-existing data files byte-identical; one new m-fragment + one
+    # dv sidecar appeared
+    after = _data_files(ds2)
+    assert [f for f in after if f in before] == before
+    news = {f[0].split("/")[1][:2] for f in after if f not in before}
+    assert news == {"m0", "dv"}
+    man = ds2._load_manifest()["versions"][-1]
+    assert man["mode"] == "update-dv" and man["dv_rows"] == 50
+    # time travel to the pre-update state
+    assert ds2.read(spark, version=2).filter("val = 2.0").count() == 0
+
+
+def test_dv_update_no_match_is_noop(spark, ds2):
+    assert ds2.update_where(spark, "id > 10000", {"val": "0.0"}, dv=True) is None
+    assert ds2.versions() == [1, 2]
+
+
+def test_dv_merge_upserts_without_rewrite(spark, ds2):
+    before = [f for f in _data_files(ds2)]
+    src = spark.createDataFrame(
+        [Row(id=199, val=9.0, name="upd"), Row(id=500, val=5.0, name="new")]
+    )
+    v = ds2.merge_insert(spark, src, on="id", dv=True)
+    assert v == 3
+    out = ds2.read(spark)
+    assert out.count() == 201
+    assert out.filter("id = 199").first()["name"] == "upd"
+    assert out.filter("id = 500").first()["val"] == 5.0
+    assert [f for f in _data_files(ds2) if f in before] == before
+    man = ds2._load_manifest()["versions"][-1]
+    assert man["mode"] == "merge-dv" and man["dv_rows"] == 1
+
+
+def test_dv_merge_no_match_is_plain_append(spark, ds2):
+    src = spark.createDataFrame([Row(id=900, val=1.0, name="n")])
+    v = ds2.merge_insert(spark, src, on="id", dv=True)
+    assert v == 3
+    assert ds2.read(spark).count() == 201
+    # no sidecar: nothing was tombstoned
+    assert not ds2._live_dvs()
+
+
+def test_dv_update_merge_cdf(spark, ds2):
+    from pyspark.sql import functions as F
+
+    ds2.update_where(spark, "id = 10", {"val": "3.0"}, dv=True)   # v3
+    src = spark.createDataFrame(
+        [Row(id=11, val=4.0, name="row-11"), Row(id=700, val=1.0, name="ins")]
+    )
+    ds2.merge_insert(spark, src, on="id", dv=True)                 # v4
+    ch = ds2.read_changes(spark, key="id", since_version=2)
+    got = sorted(
+        (r["id"], r["_change_type"], r["_version"])
+        for r in ch.select("id", "_change_type", "_version").collect()
+    )
+    assert got == [
+        (10, "update", 3),
+        (11, "update", 4),
+        (700, "insert", 4),
+    ]
+    # four-type mode for matview maintenance: pre+post for updates
+    ch4 = ds2.read_changes(
+        spark, key="id", since_version=2, update_preimages=True
+    )
+    tenth = {
+        r["_change_type"]: r["val"] for r in ch4.filter("id = 10").collect()
+    }
+    assert tenth == {"update_preimage": 1.0, "update_postimage": 3.0}
+
+
+def test_dv_update_stacks_with_later_mutations(spark, ds2):
+    ds2.update_where(spark, "id = 0", {"val": "2.0"}, dv=True)
+    ds2.update_where(spark, "id = 0", {"val": "5.0"}, dv=True)
+    out = ds2.read(spark).filter("id = 0").collect()
+    assert len(out) == 1 and out[0]["val"] == 5.0
+    # compact materializes the chain
+    ds2.compact(spark)
+    assert not ds2._live_dvs()
+    out = ds2.read(spark).filter("id = 0").collect()
+    assert len(out) == 1 and out[0]["val"] == 5.0
+
+
+def test_dv_sql_update_merge(spark, tmp_path_str):
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    eng = SqlEngine(spark, Catalog(tmp_path_str))
+    eng.execute(
+        "CREATE TABLE tdu (id INT, v DOUBLE) WITH ("
+        "'connector'='lance', 'delete.mode'='deletion-vector')"
+    )
+    eng.execute("INSERT INTO tdu VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    eng.execute("UPDATE tdu SET v = v * 10 WHERE id = 2")
+    ds = eng.catalog.load_table(eng.database, "tdu")
+    assert ds._load_manifest()["versions"][-1]["mode"] == "update-dv"
+    got = {r["id"]: r["v"] for r in eng.execute("SELECT * FROM tdu").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
