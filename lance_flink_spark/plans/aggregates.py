@@ -168,3 +168,63 @@ def sql_ddl_pipeline(spark, sf_dir):
         """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total
            FROM cust_ddl WHERE c_acctbal > 0 GROUP BY c_mktsegment"""
     )
+
+
+@query(
+    "dv_mutation_pipeline",
+    extra=True,
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    d AS (SELECT * FROM base WHERE k % 7 <> 3),
+    u AS (SELECT k, grp,
+                 CASE WHEN k % 5 = 1 THEN cents + 100 ELSE cents END AS cents
+          FROM d),
+    m_src AS (SELECT k, grp, cents * 3 AS cents FROM base WHERE k % 11 = 0),
+    final AS (
+      SELECT k, grp, cents FROM u WHERE k NOT IN (SELECT k FROM m_src)
+      UNION ALL
+      SELECT k, grp, cents FROM m_src)
+    SELECT grp, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY grp
+    """,
+)
+def dv_mutation_pipeline(spark, sf_dir):
+    """Deletion-vector mutations hash-graded end-to-end: a dv-mode
+    table takes a DELETE (tombstones), an UPDATE (tombstones + new
+    fragment), and a dv MERGE whose source re-inserts keys the DELETE
+    tombstoned — the final aggregate reads through the stacked
+    sidecars. The oracle replays the whole history relationally, so a
+    resurrected row, a double tombstone, a missed update copy, or a
+    merge that failed to supersede anywhere in the DV machinery
+    breaks the hash."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    eng = SqlEngine(spark, Catalog(scratch_dir("warehouse_dv" + tag)))
+    table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k",
+        "o_orderpriority AS grp",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    ).createOrReplaceTempView("orders_dv_src")
+    eng.execute(
+        """CREATE TABLE IF NOT EXISTS odv (k BIGINT, grp STRING, cents BIGINT)
+           WITH ('connector' = 'lance', 'delete.mode' = 'deletion-vector')"""
+    )
+    # OVERWRITE resets files AND deletion vectors: reruns replay the
+    # identical history
+    eng.execute("INSERT OVERWRITE odv SELECT * FROM orders_dv_src")
+    eng.execute("DELETE FROM odv WHERE k % 7 = 3")
+    eng.execute("UPDATE odv SET cents = cents + 100 WHERE k % 5 = 1")
+    ds = eng.catalog.load_table("default", "odv")
+    src = spark.table("orders_dv_src").filter("k % 11 = 0").selectExpr(
+        "k", "grp", "cents * 3 AS cents"
+    )
+    ds.merge_insert(spark, src, on="k", dv=True)
+    eng._register("odv")
+    return eng.execute(
+        "SELECT grp, COUNT(*) AS n, SUM(cents) AS total_cents FROM odv GROUP BY grp"
+    )
