@@ -886,11 +886,12 @@ def repeated_spans(
     above a duplication-fraction threshold.
 
     Shape: posexplode of per-position window fingerprints (md5 of the
-    joined tokens — collision-safe at any corpus size), one groupBy on
-    the fingerprint with map-side partials, and a semi-join back to
-    positions. Fan-out is one row per token position (the same
-    amplification tokenization already pays); the shuffle carries
-    distinct fingerprints, never raw text."""
+    joined tokens — collision-safe at any corpus size), then ONE
+    shuffle on the fingerprint with a windowed count — the expensive
+    fingerprint explode is computed exactly once (a count-aggregate +
+    join-back would re-execute it for each side). Fan-out is one row
+    per token position (the same amplification tokenization already
+    pays); the shuffle carries fingerprints, never raw text."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     k = window
     spans = (
@@ -915,13 +916,13 @@ def repeated_spans(
             "span_fp",
         )
     )
-    counts = (
-        spans.groupBy("span_fp")
-        .agg(F.count(F.lit(1)).alias("n_copies"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("span_fp")
+    return (
+        spans.withColumn("n_copies", F.count(F.lit(1)).over(w))
         .filter(F.col("n_copies") >= min_copies)
-    )
-    return spans.join(counts, "span_fp").select(
-        id_col, "span_start", "span_fp", "n_copies"
+        .select(id_col, "span_start", "span_fp", "n_copies")
     )
 
 
@@ -947,18 +948,25 @@ def cut_repeated_spans(
     shuffled on (id, pos), or sort-aggregated back together; the only
     shuffles carry duplication-sized rows. Overlapping cut spans merge
     for free — coverage is a position set."""
+    from pyspark.sql import Window
+
     flags = repeated_spans(
         df, window=window, min_copies=min_copies, text_col=text_col, id_col=id_col
     )
-    keep = flags.groupBy("span_fp").agg(
-        F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("k")
+    # keeper = min (id, span_start) per family, as a window over the
+    # SAME span_fp partitioning repeated_spans just established — no
+    # second shuffle, and flags (whose lineage re-executes the corpus
+    # fingerprint explode) is evaluated exactly once instead of once
+    # per side of a keeper self-join
+    k = F.min(F.struct(F.col(id_col), F.col("span_start"))).over(
+        Window.partitionBy("span_fp")
     )
     cut = (
-        flags.join(keep, "span_fp")
+        flags.withColumn("__k", k)
         .filter(
             ~(
-                (F.col(id_col) == F.col("k")[id_col])
-                & (F.col("span_start") == F.col("k.span_start"))
+                (F.col(id_col) == F.col("__k")[id_col])
+                & (F.col("span_start") == F.col("__k.span_start"))
             )
         )
         .select(
