@@ -577,10 +577,11 @@ def matview_incremental(spark, sf_dir):
         mode="append",
     )
     mv.refresh(spark)  # fold the insert deltas
-    ds.update_where(spark, "k % 10 = 1", {"vc": "vc * 2"})
+    # deletion-vector mutations: no data files rewritten — the CDF's
+    # dv branches feed the same pre/post-images and retractions from
+    # the tombstone sidecars + appended update copies
+    ds.update_where(spark, "k % 10 = 1", {"vc": "vc * 2"}, dv=True)
     mv.refresh(spark)  # fold pre/post-image deltas
-    # deletion-vector delete: no data files rewritten — the CDF's
-    # delete-dv branch feeds the same retractions from the tombstones
     ds.delete_where(spark, "k % 10 = 3", dv=True)
     mv.refresh(spark)  # fold the retractions
     return mv.read(spark).select("grp", "sum_v", "cnt")
