@@ -1500,19 +1500,71 @@ class Dataset:
             for v in self._load_manifest()["versions"]
             if old_v < v["version"] <= latest
         ]
-        if any(v["mode"] != "append" or v.get("removed_files") for v in gap):
+        # Foldable gap commits: appends ADD per-(value, file) counts;
+        # deletion-vector commits SUBTRACT exactly the tombstoned
+        # rows' counts (the sidecar names them — cost ∝ the mutation's
+        # own footprint, never the corpus) and update/merge-dv data
+        # fragments add like appends. Only rewrite mutations
+        # (removed_files), overwrite, restore still force the full
+        # rebuild: they change surviving file contents in ways no
+        # delta describes.
+        foldable = all(
+            not v.get("removed_files")
+            and v["mode"] in ("append", "delete-dv", "update-dv", "merge-dv")
+            for v in gap
+        )
+        if not foldable:
             return self.build_scalar_index(spark, col)
-        new_files = []
+        new_files: list[str] = []
+        dv_frags: list[str] = []
         for v in gap:
-            frag = fsio.join(self.path, v["fragment"])
-            new_files += [
-                self._relpath(fsio.join(frag, n))
-                for n in fsio.listdir(frag)
-                if n.endswith(".parquet")
-            ]
+            if v.get("dv"):
+                dv_frags.append(v["fragment"])
+                continue
+            if v.get("dv_fragment"):
+                dv_frags.append(v["dv_fragment"])
+            if v["fragment"]:
+                frag = fsio.join(self.path, v["fragment"])
+                new_files += [
+                    self._relpath(fsio.join(frag, n))
+                    for n in fsio.listdir(frag)
+                    if n.endswith(".parquet")
+                ]
         base_old = fsio.join(self.path, "_scalar_index", col, f"v{old_v:04d}")
         out = fsio.join(self.path, "_scalar_index", col, f"v{latest:04d}")
-        if not new_files:
+        # (value, relpath, count) of rows the gap's sidecars tombstoned
+        sub = None
+        for dvf in dv_frags:
+            tomb = spark.read.parquet(fsio.join(self.path, dvf))
+            files = [r["_file"] for r in tomb.select("_file").distinct().collect()]
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                *[fsio.join(self.path, f) for f in files]
+            )
+            keyed = raw.withColumns(
+                {
+                    "__dv_file": F.expr(
+                        "concat('data/', "
+                        "substring_index(_metadata.file_path, '/data/', -1))"
+                    ),
+                    "__dv_pos": F.col("_metadata.row_index"),
+                }
+            )
+            hit = keyed.join(
+                F.broadcast(
+                    tomb.withColumnsRenamed(
+                        {"_file": "__dv_file", "_pos": "__dv_pos"}
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_semi",
+            )
+            piece = hit.groupBy(
+                F.col(col).alias("__v"), F.col("__dv_file").alias("__srel")
+            ).agg(F.count(F.lit(1)).alias("__sub"))
+            sub = piece if sub is None else sub.unionByName(piece)
+        if sub is not None:
+            sub = sub.groupBy("__v", "__srel").agg(F.sum("__sub").alias("__sub"))
+        if not new_files and sub is None:
             # metadata-only versions (e.g. a widening empty fragment):
             # carry the sidecar forward under the new version stamp
             spark.read.parquet(base_old).write.mode("overwrite").parquet(out)
@@ -1523,30 +1575,98 @@ class Dataset:
                 spark.read.parquet(base_old + "_rowgroups").write.mode(
                     "overwrite"
                 ).parquet(out + "_rowgroups")
-        else:
+            fsio.write_json_atomic(meta_path, {"version": latest, "col": col})
+            return latest
+        idx = spark.read.parquet(base_old)
+        ranges = spark.read.parquet(base_old + "_ranges")
+        delta_ranges = None
+        if new_files:
             tagged = self._read_files(spark, new_files).withColumn(
                 "_file", F.input_file_name()
             )
-            delta_pairs = tagged.groupBy(
-                F.col(col).alias("value"), "_file"
-            ).agg(F.count(F.lit(1)).alias("cnt"))
-            spark.read.parquet(base_old).unionByName(delta_pairs).write.mode(
-                "overwrite"
-            ).parquet(out)
+            idx = idx.unionByName(
+                tagged.groupBy(F.col(col).alias("value"), "_file").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                )
+            )
             delta_ranges = tagged.groupBy("_file").agg(
                 F.min(col).alias("lo"), F.max(col).alias("hi")
             )
-            spark.read.parquet(base_old + "_ranges").unionByName(
-                delta_ranges
-            ).write.mode("overwrite").parquet(out + "_ranges")
-            if fsio.exists(base_old + "_rowgroups"):
+            ranges = ranges.unionByName(delta_ranges)
+        rel_of = F.expr("concat('data/', substring_index(_file, '/data/', -1))")
+        if sub is not None:
+            # decrement the tombstoned counts; a (value, file) posting
+            # that reaches zero disappears — count_eq/count_by stay
+            # EXACT from the sidecar alone
+            idx = (
+                idx.withColumn("__rel", rel_of)
+                .join(
+                    sub,
+                    F.col("value").eqNullSafe(F.col("__v"))
+                    & (F.col("__rel") == F.col("__srel")),
+                    "left",
+                )
+                .withColumn(
+                    "cnt", F.col("cnt") - F.coalesce(F.col("__sub"), F.lit(0))
+                )
+                .filter(F.col("cnt") > 0)
+                .drop("__rel", "__v", "__srel", "__sub")
+            )
+        idx.write.mode("overwrite").parquet(out)
+        if sub is not None:
+            # exact per-file bounds for the tombstone-affected files:
+            # rescan ONLY them (column-pruned, DV-aware), so minmax()
+            # stays exact and range pruning stays tight; a fully-
+            # tombstoned file drops out of the ranges sidecar entirely
+            affected = sorted(
+                r["__srel"] for r in sub.select("__srel").distinct().collect()
+            )
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                *[fsio.join(self.path, f) for f in affected]
+            )
+            keyed = raw.withColumns(
+                {
+                    "__dv_file": F.expr(
+                        "concat('data/', "
+                        "substring_index(_metadata.file_path, '/data/', -1))"
+                    ),
+                    "__dv_pos": F.col("_metadata.row_index"),
+                    "__full": F.col("_metadata.file_path"),
+                }
+            )
+            live_tomb = self._dv_tombstones(spark)
+            if live_tomb is not None:
+                keyed = keyed.join(
+                    F.broadcast(
+                        live_tomb.withColumnsRenamed(
+                            {"_file": "__dv_file", "_pos": "__dv_pos"}
+                        )
+                    ),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+            rec = keyed.groupBy(F.col("__full").alias("_file")).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            )
+            ranges = (
+                ranges.withColumn("__rel", rel_of)
+                .filter(~F.col("__rel").isin(affected))
+                .drop("__rel")
+                .unionByName(rec)
+            )
+        ranges.write.mode("overwrite").parquet(out + "_ranges")
+        if fsio.exists(base_old + "_rowgroups"):
+            # footer stats of existing files are unchanged by DV
+            # commits (the bytes are) — stale-but-safe over-
+            # approximations for pruning; only new files append
+            rg = spark.read.parquet(base_old + "_rowgroups")
+            if delta_ranges is not None:
                 delta_rg = self._rowgroup_stats(
                     spark, col, delta_ranges.select("_file")
                 )
                 if delta_rg is not None:
-                    spark.read.parquet(base_old + "_rowgroups").unionByName(
-                        delta_rg
-                    ).write.mode("overwrite").parquet(out + "_rowgroups")
+                    rg = rg.unionByName(delta_rg)
+            rg.write.mode("overwrite").parquet(out + "_rowgroups")
         fsio.write_json_atomic(meta_path, {"version": latest, "col": col})
         return latest
 

@@ -348,3 +348,56 @@ def test_dv_sql_update_merge(spark, tmp_path_str):
     assert ds._load_manifest()["versions"][-1]["mode"] == "update-dv"
     got = {r["id"]: r["v"] for r in eng.execute("SELECT * FROM tdu").collect()}
     assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_dv_incremental_index_update_no_rebuild(spark, ds2, monkeypatch):
+    ds2.build_scalar_index(spark, "id")
+    ds2.delete_where(spark, "id >= 190", dv=True)            # incl. global max
+    ds2.update_where(spark, "id = 0", {"val": "7.0"}, dv=True)
+    ds2.write(_df(spark, 300, 310), mode="append")
+    # the gap is appends + dv commits only: the refresh must fold
+    # deltas, never full-rebuild
+    def boom(*a, **kw):
+        raise AssertionError("full rebuild taken for a foldable gap")
+
+    monkeypatch.setattr(Dataset, "build_scalar_index", boom)
+    v = ds2.update_scalar_index(spark, "id")
+    assert v == ds2.versions()[-1]
+    # counts exact through the folded sidecar
+    assert ds2.count_eq(spark, "id", 195) == 0               # tombstoned
+    assert ds2.count_eq(spark, "id", 0) == 1                 # update-dv copy
+    assert ds2.count_eq(spark, "id", 305) == 1               # appended
+    total = ds2.count_by(spark, "id").agg({"cnt": "sum"}).first()[0]
+    assert total == 200 - 10 + 10                            # == live rows
+    # minmax exact: the deleted global max is gone, append raised it
+    assert ds2.minmax(spark, "id") == (0, 309)
+    # indexed point reads stay tombstone-correct
+    assert ds2.read_eq(spark, "id", 195).count() == 0
+    assert ds2.read_eq(spark, "id", 189).count() == 1
+
+
+def test_dv_incremental_index_max_shrinks_without_append(spark, ds2, monkeypatch):
+    ds2.build_scalar_index(spark, "id")
+    ds2.delete_where(spark, "id >= 150", dv=True)
+    monkeypatch.setattr(
+        Dataset, "build_scalar_index",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("rebuild")),
+    )
+    ds2.update_scalar_index(spark, "id")
+    # the affected file's bounds were rescanned from its LIVE rows
+    assert ds2.minmax(spark, "id") == (0, 149)
+    assert ds2.read_range(spark, "id", lower=140, upper=200).count() == 10
+
+
+def test_dv_index_rewrite_mutation_still_rebuilds(spark, ds2):
+    ds2.build_scalar_index(spark, "id")
+    ds2.delete_where(spark, "id = 5")  # rewrite-mode: files superseded
+    calls = []
+    real = Dataset.build_scalar_index
+    try:
+        Dataset.build_scalar_index = lambda self, s, c: calls.append(c) or real(self, s, c)
+        ds2.update_scalar_index(spark, "id")
+    finally:
+        Dataset.build_scalar_index = real
+    assert calls == ["id"]
+    assert ds2.count_eq(spark, "id", 5) == 0
