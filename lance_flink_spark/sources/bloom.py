@@ -125,7 +125,9 @@ def bloom_candidate_files(ds, spark: SparkSession, col: str, value) -> list[str]
     if not fsio.exists(meta_path):
         raise ValueError(f"no bloom index on {col!r} — build_bloom_index first")
     meta = fsio.read_json(meta_path)
-    if meta["version"] != ds.versions()[-1]:
+    # delete-dv-only staleness stays usable: removals can only turn
+    # bloom hits into (re-filtered) false positives, never hide rows
+    if not ds._index_version_usable(meta["version"]):
         raise ValueError(
             f"bloom index on {col!r} is stale (indexed v{meta['version']}) — rebuild"
         )

@@ -1763,9 +1763,8 @@ class Dataset:
             eqs = [v for op, v in conjuncts if op in ("=", "==")]
             if len(eqs) == len(conjuncts) == 1:
                 bmeta = fsio.join(self.path, "_bloom_index", col, "META.json")
-                if (
-                    fsio.exists(bmeta)
-                    and fsio.read_json(bmeta)["version"] == self.versions()[-1]
+                if fsio.exists(bmeta) and self._index_version_usable(
+                    fsio.read_json(bmeta)["version"]
                 ):
                     from lance_flink_spark.sources.bloom import (
                         bloom_candidate_files,
@@ -1774,7 +1773,7 @@ class Dataset:
                     return set(bloom_candidate_files(self, spark, col, eqs[0]))
             return None
         meta = fsio.read_json(meta_path)
-        if meta["version"] != self.versions()[-1]:
+        if not self._index_version_usable(meta["version"]):
             return None
         from pyspark.sql import functions as F
 
@@ -1850,15 +1849,40 @@ class Dataset:
         except Exception:  # noqa: BLE001 - index is an optimization, never a failure
             return None
 
-    def _fresh_index_meta(self, col: str) -> dict:
+    def _index_version_usable(self, indexed_version: int) -> bool:
+        """A sidecar built at ``indexed_version`` still yields a
+        correct CANDIDATE file set when every later commit is a pure
+        deletion-vector delete: removals only shrink the truth (the
+        exact predicate and the DV anti-join re-apply on read), so
+        pruning keeps working between a delete and the next index
+        refresh. Any other commit (append, update/merge, rewrite,
+        overwrite, restore) can hold rows the sidecar never saw —
+        false negatives — so it is unusable for pruning."""
+        current = self.versions()[-1]
+        if indexed_version == current:
+            return True
+        return all(
+            v.get("dv")
+            for v in self._load_manifest()["versions"]
+            if indexed_version < v["version"] <= current
+        )
+
+    def _fresh_index_meta(self, col: str, prune_only: bool = False) -> dict:
         """META for the scalar index on ``col``; raises if absent or
-        stale (explicit lookups fail loudly, unlike read()-routing)."""
+        stale (explicit lookups fail loudly, unlike read()-routing).
+        ``prune_only=True`` — for reads that only use the sidecar to
+        pick candidate FILES — additionally accepts delete-dv-only
+        staleness (see _index_version_usable); sidecar-ANSWERED
+        aggregates (count_eq/count_by/minmax) must never pass it, a
+        stale count is simply wrong."""
         meta_path = fsio.join(self.path, "_scalar_index", col, "META.json")
         if not fsio.exists(meta_path):
             raise ValueError(f"no scalar index on {col!r} — build_scalar_index first")
         meta = fsio.read_json(meta_path)
         current = self.versions()[-1]
         if meta["version"] != current:
+            if prune_only and self._index_version_usable(meta["version"]):
+                return meta
             raise ValueError(
                 f"scalar index on {col!r} is stale (indexed v{meta['version']}, "
                 f"dataset at v{current}) — rebuild"
@@ -1885,7 +1909,7 @@ class Dataset:
 
         if lower is None and upper is None:
             raise ValueError("read_range needs at least one bound")
-        meta = self._fresh_index_meta(col)
+        meta = self._fresh_index_meta(col, prune_only=True)
         ranges = spark.read.parquet(
             fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
             + "_ranges"
@@ -2049,7 +2073,7 @@ class Dataset:
         prune to the files containing ANY of ``values``, scan, filter."""
         from pyspark.sql import functions as F
 
-        meta = self._fresh_index_meta(col)
+        meta = self._fresh_index_meta(col, prune_only=True)
         idx = spark.read.parquet(
             fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
         )
@@ -2080,7 +2104,7 @@ class Dataset:
         is bounded by the FILE count for that value."""
         from pyspark.sql import functions as F
 
-        meta = self._fresh_index_meta(col)
+        meta = self._fresh_index_meta(col, prune_only=True)
         idx = spark.read.parquet(
             fsio.join(self.path, "_scalar_index", col, f"v{meta['version']:04d}")
         )

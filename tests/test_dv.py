@@ -401,3 +401,35 @@ def test_dv_index_rewrite_mutation_still_rebuilds(spark, ds2):
         Dataset.build_scalar_index = real
     assert calls == ["id"]
     assert ds2.count_eq(spark, "id", 5) == 0
+
+
+def test_dv_delete_keeps_index_routing_usable(spark, ds2):
+    ds2.build_scalar_index(spark, "id")
+    ds2.delete_where(spark, "id = 42", dv=True)
+    # NO index refresh: a delete-dv gap is removals-only, so candidate
+    # pruning stays correct (over-approximate) and reads stay
+    # tombstone-exact
+    assert ds2.read_eq(spark, "id", 42).count() == 0
+    assert ds2.read_eq(spark, "id", 43).count() == 1
+    assert ds2.read_in(spark, "id", [41, 42]).count() == 1
+    assert ds2.read_range(spark, "id", lower=40, upper=45).count() == 4
+    # declared-filter auto-routing still goes through the index
+    routed = ds2._try_index_prune(spark, "id = 43")
+    assert routed is not None and len(routed) >= 1
+    # sidecar-ANSWERED aggregates refuse the stale sidecar loudly
+    with pytest.raises(ValueError, match="stale"):
+        ds2.count_eq(spark, "id", 43)
+    with pytest.raises(ValueError, match="stale"):
+        ds2.minmax(spark, "id")
+    # any non-dv commit in the gap kills prune tolerance too
+    ds2.write(_df(spark, 500, 505), mode="append")
+    assert ds2._try_index_prune(spark, "id = 43") is None
+    with pytest.raises(ValueError, match="stale"):
+        ds2.read_eq(spark, "id", 43)
+
+
+def test_dv_delete_keeps_bloom_usable(spark, ds2):
+    ds2.build_bloom_index(spark, "name")
+    ds2.delete_where(spark, "id = 42", dv=True)
+    assert ds2.read_eq_bloom(spark, "name", "row-42").count() == 0
+    assert ds2.read_eq_bloom(spark, "name", "row-43").count() == 1
