@@ -2125,6 +2125,7 @@ class Dataset:
         source: DataFrame,
         on: str,
         clauses: list[dict],
+        dv: bool = False,
     ) -> int:
         """Conditional MERGE (Delta WHEN-clause semantics): ``clauses``
         is an ordered list of
@@ -2137,7 +2138,13 @@ class Dataset:
 
         Pruning matches merge_insert: only files holding a matched key
         are rewritten; NOT MATCHED inserts append. Returns the new
-        version."""
+        version.
+
+        ``dv=True``: rows a clause updates or deletes are tombstoned
+        by position and the updated copies + admitted inserts land as
+        one appended fragment — rows no clause fires on (and every
+        unmatched target row) are never read past the key probe or
+        rewritten."""
         from pyspark.sql import functions as F
 
         base = len(self.versions())
@@ -2154,11 +2161,64 @@ class Dataset:
                 f"merge source has multiple rows for key {dup[0][0]!r}"
             )
         keys = source.select(on).distinct()
+        matched_clauses = [c for c in clauses if c["matched"]]
+        insert_clauses = [c for c in clauses if not c["matched"]]
+        if dv:
+            keyed = self._keyed_live_scan(spark)
+            j = keyed.alias("t").join(
+                source.alias("s"),
+                F.col(f"t.`{on}`") == F.col(f"s.`{on}`"),
+                "inner",
+            )
+            prior = F.lit(False)
+            fired = []  # (clause, fires_cond) — conds pairwise disjoint
+            for c in matched_clauses:
+                cond = ~prior
+                if c.get("cond"):
+                    cond = cond & F.expr(c["cond"])
+                fired.append((c, cond))
+                prior = prior | cond
+            # every row SOME clause fires on gets tombstoned (deletes
+            # stop there; updates also land their new copy below);
+            # matched rows no clause fires on stay untouched on disk
+            hit = j.filter(prior)
+            tomb = hit.select(
+                F.col("t.`__dv_file`").alias("__dv_file"),
+                F.col("t.`__dv_pos`").alias("__dv_pos"),
+            )
+            upd_cond = F.lit(False)
+            for c, cond in fired:
+                if c["action"] == "update":
+                    upd_cond = upd_cond | cond
+            out_cols = []
+            for f in scan.schema.fields:
+                cur = F.col(f"t.`{f.name}`")
+                for c, cond in fired:
+                    if c["action"] == "update" and f.name in (c.get("sets") or {}):
+                        cur = F.when(
+                            cond, F.expr(c["sets"][f.name]).cast(f.dataType)
+                        ).otherwise(cur)
+                out_cols.append(cur.alias(f.name))
+            new_rows = j.filter(upd_cond).select(*out_cols)
+            if insert_clauses:
+                inserts = source.join(
+                    scan.select(on).distinct(), on, "left_anti"
+                )
+                fires = F.lit(False)
+                for c in insert_clauses:
+                    fires = fires | (
+                        F.expr(c["cond"]) if c.get("cond") else F.lit(True)
+                    )
+                new_rows = new_rows.unionByName(
+                    inserts.alias("s")
+                    .filter(fires)
+                    .select(*[f.name for f in scan.schema.fields])
+                )
+            v = self._mutate_dv_commit(spark, tomb, new_rows, "merge-dv")
+            return base if v is None else v
         affected = self._affected_files(
             self._tagged_scan(spark).join(keys, on, "left_semi")
         )
-        matched_clauses = [c for c in clauses if c["matched"]]
-        insert_clauses = [c for c in clauses if not c["matched"]]
 
         pieces = []
         if affected:

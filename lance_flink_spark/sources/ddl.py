@@ -1756,7 +1756,13 @@ class SqlEngine:
                 )
         if not clauses:
             raise ValueError("MERGE has no parseable WHEN clauses")
-        ds.merge_when(self.spark, aligned, on=m.group("on"), clauses=clauses)
+        ds.merge_when(
+            self.spark,
+            aligned,
+            on=m.group("on"),
+            clauses=clauses,
+            dv=self._dv_mode(name),
+        )
         self._register(name)
         return None
 

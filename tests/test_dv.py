@@ -433,3 +433,44 @@ def test_dv_delete_keeps_bloom_usable(spark, ds2):
     ds2.delete_where(spark, "id = 42", dv=True)
     assert ds2.read_eq_bloom(spark, "name", "row-42").count() == 0
     assert ds2.read_eq_bloom(spark, "name", "row-43").count() == 1
+
+
+def test_dv_merge_when_clauses(spark, ds2):
+    before = [f for f in _data_files(ds2)]
+    src = spark.createDataFrame(
+        [
+            Row(id=10, val=0.5, name="upd-half"),   # matched, cond val<1 -> delete? no: t.val=1.0
+            Row(id=11, val=9.0, name="upd"),        # matched -> update
+            Row(id=12, val=-1.0, name="del"),       # matched, s.val<0 -> delete
+            Row(id=777, val=3.0, name="ins"),       # not matched -> insert
+        ]
+    )
+    v = ds2.merge_when(
+        spark,
+        src,
+        on="id",
+        clauses=[
+            {"matched": True, "cond": "s.val < 0", "action": "delete"},
+            {"matched": True, "cond": None, "action": "update",
+             "sets": {"val": "s.val", "name": "s.name"}},
+            {"matched": False, "cond": None, "action": "insert"},
+        ],
+        dv=True,
+    )
+    assert v == 3
+    out = ds2.read(spark)
+    assert out.count() == 200  # 200 - 1 delete + 1 insert
+    assert out.filter("id = 12").count() == 0
+    assert out.filter("id = 11").first()["val"] == 9.0
+    assert out.filter("id = 10").first()["name"] == "upd-half"
+    assert out.filter("id = 777").first()["val"] == 3.0
+    # no pre-existing file rewritten
+    assert [f for f in _data_files(ds2) if f in before] == before
+    man = ds2._load_manifest()["versions"][-1]
+    assert man["mode"] == "merge-dv" and man["dv_rows"] == 3
+    # CDF: delete for 12, updates for 10/11, insert for 777
+    ch = ds2.read_changes(spark, key="id", since_version=2)
+    got = sorted(
+        (r["id"], r["_change_type"]) for r in ch.select("id", "_change_type").collect()
+    )
+    assert got == [(10, "update"), (11, "update"), (12, "delete"), (777, "insert")]
