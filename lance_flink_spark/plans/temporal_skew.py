@@ -74,7 +74,7 @@ def skew_salted_count_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx")  # rows-only: approximate by construction
+@query("agg_approx", extra=True)  # rows-only: approximate by construction
 def agg_approx(spark, sf_dir):
     """Approximate aggregates (HLL++ count-distinct, quantile sketch) —
     the sketch-based path for 100TB interactive profiling. Rows-only in
@@ -104,7 +104,8 @@ def agg_approx(spark, sf_dir):
 
 @query(
     "agg_approx_exactness",
-    extra=True,  # exactness twin for the sketch path (full oracle)
+    # primary (r11 rotation): full-oracle sketch-invariant gate rides the
+    # driver artifact; the raw-estimate agg_approx stays a rows-only extra.
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS exact_parts,

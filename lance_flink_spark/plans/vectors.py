@@ -280,7 +280,7 @@ def _ivf_hnsw(spark, sf_dir):
     return HNSWIndex(path)
 
 
-@query("ivf_pq_search")  # rows-only: ADC quantization error is index-specific
+@query("ivf_pq_search", extra=True)  # rows-only: ADC error is index-specific
 def ivf_pq_search(spark, sf_dir):
     """IVF_PQ build + ADC search with exact refine (LanceIndexBuilder
     IVF_PQ, vector.refine-factor). Rows-only check: PQ results at the
@@ -295,7 +295,9 @@ def ivf_pq_search(spark, sf_dir):
 
 @query(
     "ivf_pq_exactness",
-    extra=True,  # exactness twin: covering refine must restore brute order
+    # primary (r11 rotation): full-oracle twin hash-grades the PQ path in
+    # the driver artifact; the production-parameter ivf_pq_search stays
+    # runnable as a rows-only extra.
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,
@@ -324,7 +326,7 @@ def ivf_pq_exactness(spark, sf_dir):
     ).select("vec_id", "distance")
 
 
-@query("ivf_hnsw_search")  # rows-only: graph navigation is approximate
+@query("ivf_hnsw_search", extra=True)  # rows-only: graph nav is approximate
 def ivf_hnsw_search(spark, sf_dir):
     """IVF_HNSW build + beam search (LanceIndexBuilder.java:141-186):
     a real HNSW graph per IVF list built distributed (applyInPandas,
@@ -340,7 +342,9 @@ def ivf_hnsw_search(spark, sf_dir):
 
 @query(
     "ivf_hnsw_exactness",
-    extra=True,  # exactness twin: full beam must visit every node
+    # primary (r11 rotation): full-oracle twin hash-grades the HNSW path
+    # in the driver artifact; the production-parameter ivf_hnsw_search
+    # stays runnable as a rows-only extra.
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,
