@@ -290,11 +290,14 @@ class HNSWIndex:
         ship_package(spark)
         if metric not in ("l2", "cosine"):
             raise ValueError(f"hnsw build metric must be l2 or cosine, got {metric!r}")
+        if df is None and ivf_kwargs.get("dataset") is not None:
+            df = ivf_kwargs["dataset"].keyed_read(spark)
         if id_col is None:
             ints = [
                 f.name
                 for f in df.schema.fields
-                if f.dataType.typeName() in ("long", "integer") and f.name != vec_col
+                if f.dataType.typeName() in ("long", "integer")
+                and f.name not in (vec_col, "_row_pos")
             ]
             if "vec_id" in ints:
                 id_col = "vec_id"
@@ -547,6 +550,19 @@ class HNSWIndex:
                 F.round("distance", round_to).alias("distance"),
             )
         )
+        dead = self.ivf._dead_ids(
+            spark, meta.get("hnsw_id_col", "vec_id"), probed
+        )
+        if dead is not None:
+            scored = scored.join(
+                F.broadcast(
+                    dead.withColumnRenamed(
+                        meta.get("hnsw_id_col", "vec_id"), "neighbor_id"
+                    )
+                ),
+                "neighbor_id",
+                "left_anti",
+            )
         return rank_top_k(scored, k, query_id=query_id)
 
     def search(
@@ -615,6 +631,11 @@ class HNSWIndex:
                 yield pd.DataFrame({id_col: out_ids, "distance": out_d})
 
         out = graphs.mapInPandas(_probe, f"{id_col} long, distance double")
+        # dataset-bound masking: graph blobs emit bare ids, so the mask
+        # is the id-space complement (probed lists' dead ids, broadcast)
+        dead = self.ivf._dead_ids(spark, id_col, probed)
+        if dead is not None:
+            out = out.join(F.broadcast(dead), id_col, "left_anti")
         return (
             out.select(id_col, F.round("distance", 6).alias("distance"))
             .orderBy("distance", id_col)

@@ -235,6 +235,7 @@ class IVFIndex:
         distributed_kmeans: bool | None = None,
         kmeans_iters: int = 25,
         opq: bool = False,
+        dataset=None,
     ) -> "IVFIndex":
         """Build IVF_FLAT (pq_sub_vectors=None), IVF_PQ, or IVF_SQ
         (``sq_bits`` — Lance's scalar-quantization variant: per-dim
@@ -257,10 +258,31 @@ class IVFIndex:
         residuals before the sub-vector split (OPQ-lite): codebooks
         quantize R·(x - c) and search rotates the query side, so all
         distances are preserved exactly while per-sub-vector variance
-        evens out."""
+        evens out.
+
+        ``dataset`` binds the index to a :class:`Dataset` (Lance
+        parity: indexes store row addresses, deletion files mask them
+        at query time — LanceIndexBuilder.java indexes row ids, scans
+        apply deletes). When given, ``df`` defaults to the dataset's
+        ``keyed_read`` (live rows + ``_row_file``/``_row_pos`` address
+        columns, stored alongside each vector in the lists), and every
+        search path anti-joins candidates against the dataset's
+        CURRENT tombstones plus the files removed since indexing —
+        rows DV-deleted or rewritten after the build never come back
+        as neighbors, without touching the index."""
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
+        if dataset is not None:
+            if df is None:
+                df = dataset.keyed_read(spark)
+            elif "_row_file" not in df.columns or "_row_pos" not in df.columns:
+                raise ValueError(
+                    "dataset-bound build must index a keyed_read frame "
+                    "(carrying _row_file/_row_pos row addresses); pass "
+                    "df=None to index the whole dataset, or a filtered "
+                    "dataset.keyed_read(spark)"
+                )
         if pq_sub_vectors is not None and sq_bits is not None:
             raise ValueError("pq_sub_vectors and sq_bits are mutually exclusive")
         if distributed_kmeans is None:
@@ -329,18 +351,27 @@ class IVFIndex:
             _save_npy(fsio.join(path, "sq_bounds.npy"), sq_bounds)
         if rot is not None:
             _save_npy(fsio.join(path, "rotation.npy"), rot)
-        fsio.write_json_atomic(
-            fsio.join(path, META),
-            {
-                "nlist": nlist,
-                "dim": dim,
-                "pq_sub_vectors": pq_sub_vectors,
-                "pq_bits": pq_bits,
-                "sq_bits": sq_bits,
-                "vec_col": vec_col,
-                "opq": rot is not None,
-            },
-        )
+        meta = {
+            "nlist": nlist,
+            "dim": dim,
+            "pq_sub_vectors": pq_sub_vectors,
+            "pq_bits": pq_bits,
+            "sq_bits": sq_bits,
+            "vec_col": vec_col,
+            "opq": rot is not None,
+        }
+        if dataset is not None:
+            meta.update(
+                {
+                    "dataset_path": dataset.path,
+                    "dataset_version": len(dataset.versions()),
+                    # the _row_file identity space indexed so far; mask
+                    # time diffs it against the CURRENT live files to
+                    # catch predicate-delete rewrites / compaction
+                    "dataset_files": dataset.live_file_relpaths(),
+                }
+            )
+        fsio.write_json_atomic(fsio.join(path, META), meta)
 
         # distributed assignment (+ PQ encoding): one Arrow-batched pass
         cents_b = spark.sparkContext.broadcast(cents)
@@ -452,6 +483,21 @@ class IVFIndex:
                     spark.sparkContext.broadcast(bounds), meta["sq_bits"]
                 )(F.col(vec_col)),
             )
+        # keep the lists schema uniform across appends: a dataset-bound
+        # index always carries the address columns (null when the caller
+        # passed raw rows — such rows simply can't be masked by later
+        # deletes; feed dataset.keyed_read(since_version=...) to keep
+        # them maskable), an unbound index never does
+        if meta.get("dataset_path"):
+            if "_row_file" not in out.columns:
+                out = out.withColumns(
+                    {
+                        "_row_file": F.lit(None).cast("string"),
+                        "_row_pos": F.lit(None).cast("long"),
+                    }
+                )
+        elif "_row_file" in out.columns:
+            out = out.drop("_row_file", "_row_pos")
         out = out.persist()
         try:
             (
@@ -460,11 +506,21 @@ class IVFIndex:
                 .mode("append")
                 .parquet(fsio.join(self.path, "lists"))
             )
-            return sorted(
+            touched = sorted(
                 int(r[0]) for r in out.select("centroid_id").distinct().collect()
             )
         finally:
             out.unpersist()
+        if meta.get("dataset_path"):
+            from lance_flink_spark.sources.dataset import Dataset
+
+            ds = Dataset(meta["dataset_path"])
+            meta["dataset_files"] = sorted(
+                set(meta.get("dataset_files") or []) | set(ds.live_file_relpaths())
+            )
+            meta["dataset_version"] = len(ds.versions())
+            fsio.write_json_atomic(fsio.join(self.path, META), meta)
+        return touched
 
     def compact_lists(self, spark: SparkSession, min_files: int = 2) -> list[int]:
         """Compact fragmented inverted-list partitions (Lance's
@@ -610,8 +666,12 @@ class IVFIndex:
         # whole corpus.
         probed = [int(r[0]) for r in q.select("centroid_id").distinct().collect()]
         lists = (
-            spark.read.parquet(fsio.join(self.path, "lists"))
-            .filter(F.col("centroid_id").isin(probed))
+            self._dv_mask(
+                spark,
+                spark.read.parquet(fsio.join(self.path, "lists")).filter(
+                    F.col("centroid_id").isin(probed)
+                ),
+            )
             .select(
                 F.col("centroid_id"),
                 F.col(corpus_id).alias("neighbor_id"),
@@ -643,6 +703,93 @@ class IVFIndex:
             return None
         return _load_npy(fsio.join(self.path, "rotation.npy"))
 
+    def _dv_mask(self, spark: SparkSession, cand: DataFrame) -> DataFrame:
+        """Mask index entries whose source rows are no longer live in
+        the bound Dataset (Lance parity: deletion files mask indexed
+        row addresses at query time — the index itself is never
+        rewritten by a delete).
+
+        Two mask layers, both bounded:
+        - the dataset's CURRENT deletion-vector tombstones broadcast
+          (≤128 MB, sources/dataset.py cap) into a left-anti join on
+          the stored (_row_file, _row_pos) address;
+        - files recorded at build/add time but no longer live (the
+          predicate-delete rewrite / compaction / restore cases) —
+          a driver-side set difference, usually empty.
+        Rows added without addresses (_row_file null) are never
+        masked. Unbound indexes (no dataset_path) return unchanged —
+        plans stay byte-identical to pre-DV plans."""
+        meta = self._meta()
+        dp = meta.get("dataset_path")
+        if not dp or "_row_file" not in cand.columns:
+            return cand
+        from lance_flink_spark.sources.dataset import Dataset
+
+        ds = Dataset(dp)
+        tomb = ds._dv_tombstones(spark)
+        if tomb is not None:
+            cand = cand.join(
+                F.broadcast(
+                    tomb.withColumnsRenamed(
+                        {"_file": "_row_file", "_pos": "_row_pos"}
+                    )
+                ),
+                ["_row_file", "_row_pos"],
+                "left_anti",
+            )
+        removed = sorted(
+            set(meta.get("dataset_files") or ()) - set(ds.live_file_relpaths())
+        )
+        if removed:
+            cand = cand.filter(
+                F.col("_row_file").isNull() | ~F.col("_row_file").isin(removed)
+            )
+        return cand
+
+    def _dead_ids(
+        self, spark: SparkSession, id_col: str, probed: list[int]
+    ) -> DataFrame | None:
+        """Ids of index entries in the probed lists whose source rows
+        are no longer live — the id-space complement of :meth:`_dv_mask`
+        for search paths that leave the lists (HNSW graph blobs emit
+        bare ids). Scan is partition-pruned to the probed lists, and
+        the result is bounded by mutation volume (broadcast-safe: the
+        tombstones themselves are ≤128 MB). None when nothing is
+        masked."""
+        meta = self._meta()
+        dp = meta.get("dataset_path")
+        if not dp:
+            return None
+        lists = spark.read.parquet(fsio.join(self.path, "lists")).filter(
+            F.col("centroid_id").isin(probed)
+        )
+        if "_row_file" not in lists.columns:
+            return None
+        from lance_flink_spark.sources.dataset import Dataset
+
+        ds = Dataset(dp)
+        tomb = ds._dv_tombstones(spark)
+        dead = None
+        if tomb is not None:
+            dead = lists.join(
+                F.broadcast(
+                    tomb.withColumnsRenamed(
+                        {"_file": "_row_file", "_pos": "_row_pos"}
+                    )
+                ),
+                ["_row_file", "_row_pos"],
+                "left_semi",
+            )
+        removed = sorted(
+            set(meta.get("dataset_files") or ()) - set(ds.live_file_relpaths())
+        )
+        if removed:
+            rm = lists.filter(F.col("_row_file").isin(removed))
+            dead = rm if dead is None else dead.unionByName(rm)
+        if dead is None:
+            return None
+        return dead.select(id_col).distinct()
+
     def _probe_lists(
         self, spark: SparkSession, query_vec: list[float], nprobes: int, metric: str = "l2"
     ) -> DataFrame:
@@ -659,8 +806,10 @@ class IVFIndex:
             order = (((cents - q) ** 2).sum(1)).argsort()
         probed = [int(i) for i in order[: min(nprobes, len(cents))]]
         lists = spark.read.parquet(fsio.join(self.path, "lists"))
-        # IN-filter on the partition column → directory-level pruning
-        return lists.filter(F.col("centroid_id").isin(probed))
+        # IN-filter on the partition column → directory-level pruning;
+        # dataset-bound indexes then mask rows deleted since indexing
+        # (no-op otherwise — see _dv_mask)
+        return self._dv_mask(spark, lists.filter(F.col("centroid_id").isin(probed)))
 
     def search(
         self,
@@ -676,7 +825,7 @@ class IVFIndex:
         lists only. With nprobes >= nlist this is exact brute force."""
         meta = self._meta()
         cand = self._probe_lists(spark, query_vec, nprobes, metric=metric).drop(
-            "centroid_id", "pq_code", "sq_code"
+            "centroid_id", "pq_code", "sq_code", "_row_file", "_row_pos"
         )
         return _brute_knn(
             cand, query_vec, k, vec_col=meta["vec_col"], metric=metric,
@@ -772,10 +921,15 @@ class IVFIndex:
         scored = cand.withColumn("adc_distance", adc(F.col("pq_code"), F.col("centroid_id")))
         if refine_factor:
             short = scored.orderBy("adc_distance").limit(k * refine_factor).drop(
-                "adc_distance", "centroid_id", "pq_code"
+                "adc_distance", "centroid_id", "pq_code", "_row_file", "_row_pos"
             )
             return _brute_knn(short, query_vec, k, vec_col=meta["vec_col"], metric=metric)
-        out_cols = [c for c in scored.columns if c not in (meta["vec_col"], "pq_code", "centroid_id")]
+        out_cols = [
+            c
+            for c in scored.columns
+            if c
+            not in (meta["vec_col"], "pq_code", "centroid_id", "_row_file", "_row_pos")
+        ]
         return (
             scored.select(*out_cols, F.round("adc_distance", 6).alias("distance"))
             .orderBy("distance", out_cols[0])
@@ -829,13 +983,14 @@ class IVFIndex:
         scored = cand.withColumn("adc_distance", sq_dist(F.col("sq_code")))
         if refine_factor:
             short = scored.orderBy("adc_distance").limit(k * refine_factor).drop(
-                "adc_distance", "centroid_id", "sq_code"
+                "adc_distance", "centroid_id", "sq_code", "_row_file", "_row_pos"
             )
             return _brute_knn(short, query_vec, k, vec_col=meta["vec_col"], metric=metric)
         out_cols = [
             c
             for c in scored.columns
-            if c not in (meta["vec_col"], "sq_code", "centroid_id")
+            if c
+            not in (meta["vec_col"], "sq_code", "centroid_id", "_row_file", "_row_pos")
         ]
         return (
             scored.select(*out_cols, F.round("adc_distance", 6).alias("distance"))

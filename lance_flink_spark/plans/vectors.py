@@ -369,6 +369,50 @@ def ivf_hnsw_exactness(spark, sf_dir):
 
 
 @query(
+    "ivf_deleted_exactness",
+    extra=True,  # full oracle: masked full-probe == brute over live rows
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q
+        WHERE e.vec_id % 7 <> 3)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def ivf_deleted_exactness(spark, sf_dir):
+    """Delete/DV-aware search hash-graded: embeddings land in a
+    Dataset, an IVF index is built BOUND to it (entries carry row
+    addresses), then rows are DV-deleted — the index is never touched.
+    A full-probe search must equal brute force over the LIVE scan: a
+    tombstoned id surfacing (mask missed), a live id vanishing (mask
+    over-matched), or a distance drift anywhere in the probe →
+    anti-join → top-k path breaks the hash. Lance parity: deletion
+    files mask indexed row addresses at query time
+    (LanceIndexBuilder/LanceVectorSearch never rewrite an index on
+    DELETE). Rebuilt from scratch each run so reruns replay the
+    identical mutate-then-search history."""
+    import os
+    import shutil
+
+    from lance_flink_spark.sources.dataset import Dataset
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = scratch_dir("ivf_dv" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ds = Dataset(root + "/ds")
+    ds.write(table(spark, sf_dir, "embeddings"))
+    idx = IVFIndex.build(
+        spark, None, root + "/idx", nlist=8, sample_size=100_000, dataset=ds
+    )
+    ds.delete_where(spark, "vec_id % 7 = 3", dv=True)
+    return idx.search(
+        spark, _query_vec(spark, sf_dir), k=10, nprobes=8, metric="l2"
+    ).select("vec_id", "distance")
+
+
+@query(
     "ivf_knn_join",
     extra=True,  # gate budget; exact at nprobes=nlist so full oracle
     oracle="""

@@ -816,15 +816,19 @@ class Dataset:
         )
         return out.drop("__dv_file", "__dv_pos")
 
-    def _keyed_live_scan(self, spark: SparkSession) -> DataFrame:
+    def _keyed_live_scan(
+        self, spark: SparkSession, paths: list[str] | None = None
+    ) -> DataFrame:
         """Raw live scan carrying ``__dv_file``/``__dv_pos`` position
         keys, with existing tombstones already excluded and logically
         dropped columns hidden — the starting frame for every
         deletion-vector mutation (the keys of the rows it matches ARE
-        the new tombstones)."""
+        the new tombstones). ``paths`` restricts the scan roots (must
+        be a subset of the live paths — keyed_read's incremental path
+        uses this to scan only fragments newer than a version)."""
         from pyspark.sql import functions as F
 
-        frags = self._live_paths()
+        frags = paths if paths is not None else self._live_paths()
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
         raw = spark.read.option("mergeSchema", "true").parquet(*frags)
@@ -852,6 +856,66 @@ class Dataset:
                 "left_anti",
             )
         return keyed
+
+    def keyed_read(
+        self, spark: SparkSession, since_version: int | None = None
+    ) -> DataFrame:
+        """Live scan carrying stable row-ADDRESS columns ``_row_file``
+        (manifest-relative ``data/...`` file path) and ``_row_pos``
+        (row index within the file) — real projected columns, so they
+        survive any downstream transform, unlike the ``_metadata``
+        scan pseudo-column.
+
+        This is the binding surface for secondary indexes (Lance
+        parity: indexes store row addresses; deletion files mask them
+        at query time — LanceIndexBuilder writes row-id-addressed
+        indexes, scans apply _rowaddr deletes). ``IVFIndex.build(...,
+        dataset=ds)`` indexes this frame so searches can anti-join
+        candidates against the dataset's CURRENT tombstones.
+
+        ``since_version`` restricts the scan to fragments committed
+        AFTER that version (incremental index update: only new
+        fragments' rows are read; cost ∝ delta, not dataset size).
+        Rows already tombstoned are excluded either way."""
+        paths = None
+        if since_version is not None:
+            old = set(self._live_fragments(since_version))
+            paths = [
+                p
+                for p in self._live_paths()
+                if not any(p == f or p.startswith(f + "/") for f in old)
+            ]
+            if not paths:
+                # no fragments newer than since_version: empty frame
+                # with the live schema (plan-only, nothing scanned)
+                return (
+                    self._keyed_live_scan(spark)
+                    .withColumnsRenamed(
+                        {"__dv_file": "_row_file", "__dv_pos": "_row_pos"}
+                    )
+                    .limit(0)
+                )
+        return self._keyed_live_scan(spark, paths=paths).withColumnsRenamed(
+            {"__dv_file": "_row_file", "__dv_pos": "_row_pos"}
+        )
+
+    def live_file_relpaths(self) -> list[str]:
+        """Manifest-relative (``data/...``) paths of every live DATA
+        file right now — the identity space of ``_row_file`` keys and
+        of deletion-vector ``_file`` tombstones. Index masking diffs
+        this against the file set recorded at index build/add time to
+        detect files removed by predicate-delete rewrites, compaction,
+        or restore. Driver-side listing: cost ∝ file count (manifest
+        scale), never row count."""
+        out: list[str] = []
+        for root in self._live_paths():
+            if root.endswith(".parquet"):
+                out.append(self._relpath(root))
+                continue
+            for name in fsio.listdir(root):
+                if name.endswith(".parquet"):
+                    out.append(self._relpath(fsio.join(root, name)))
+        return sorted(out)
 
     def _mutate_dv_commit(
         self,

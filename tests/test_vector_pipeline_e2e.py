@@ -29,8 +29,10 @@ def test_stream_append_cdc_index_search(spark, tmp_path_str):
     # initial corpus around two centers
     ds.write(_vecs(spark, range(100), [0.0, 0.0, 0.0, 0.0]))
     ds.write(_vecs(spark, range(100, 200), [5.0, 5.0, 5.0, 5.0]), mode="append")
+    # dataset-BOUND build: index entries carry row addresses, so later
+    # DV deletes mask search results without touching the index
     idx = IVFIndex.build(
-        spark, ds.read(spark), tmp_path_str + "/idx", nlist=4, sample_size=512
+        spark, None, tmp_path_str + "/idx", nlist=4, sample_size=512, dataset=ds
     )
 
     # streamed micro-batches land exactly-once (idempotency tags), in a
@@ -48,8 +50,15 @@ def test_stream_append_cdc_index_search(spark, tmp_path_str):
     folded = []
 
     def fold(df, lo, hi):
-        new = df.filter("_change_type = 'insert'").select("vec_id", "embedding")
-        folded.append(new.count())
+        ins = df.filter("_change_type = 'insert'").select("vec_id")
+        folded.append(ins.count())
+        # re-key the delta through keyed_read so the appended index
+        # entries carry row ADDRESSES (stay maskable by later deletes);
+        # semi-join restricts to this window's inserts — fragments past
+        # ``lo`` that a later window owns are excluded by the id match
+        new = ds.keyed_read(spark, since_version=lo).join(
+            ins, "vec_id", "left_semi"
+        )
         idx.add(spark, new)
 
     assert c.process_available(spark, fold) >= 1
@@ -62,3 +71,14 @@ def test_stream_append_cdc_index_search(spark, tmp_path_str):
     # and the old space still answers correctly
     old = idx.search(spark, [0.0, 0.0, 0.0, 0.0], k=5, nprobes=4).collect()
     assert all(r["vec_id"] < 100 for r in old)
+
+    # DELETE step: DV-tombstone half the streamed region — searches
+    # must never return a deleted id again, with no index rewrite
+    # (Lance deletion-file semantics: the mask is applied at query
+    # time), and k results still come back from the survivors
+    assert ds.delete_where(spark, "vec_id >= 220", dv=True)
+    hits2 = idx.search(spark, [20.0, 20.0, 20.0, 20.0], k=10, nprobes=4).collect()
+    assert len(hits2) == 10
+    assert all(200 <= r["vec_id"] < 220 for r in hits2)
+    # replaying the delete is an idempotent no-op (nothing matches)
+    assert ds.delete_where(spark, "vec_id >= 220", dv=True) is None
