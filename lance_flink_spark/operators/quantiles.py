@@ -235,3 +235,140 @@ def with_distributed_ntiles(
             f"__b{i}", f"__rn{i}", f"__off{i}", f"__grn{i}"
         )
     return out
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: dict[str, float],
+    group_cols: list[str] | None = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per group — Spark
+    ``percentile`` / DuckDB ``quantile_cont`` semantics — WITHOUT the
+    single-buffer exact aggregate.
+
+    Spark's exact ``Percentile`` keeps a value→count map per group and
+    merges each group's full map in ONE task: O(NDV) state that blows
+    up exactly when groups are few and values near-unique (latency
+    microseconds, prices in cents at 100 TB). This is the rank-exact
+    replacement built on the distributed row-number construction
+    above:
+
+    1. global ``approxQuantile`` cut points of the value (bounded
+       driver round-trip) → monotone bucket id;
+    2. ``row_number`` per (group, bucket) — each task sorts
+       ~group_rows/buckets rows, never a whole group;
+    3. per-(group, bucket) counts to the driver (≤ groups × buckets
+       rows — bounded because this operator is FOR the few-groups
+       regime; many tiny groups should use a plain per-group window)
+       → per-group prefix offsets and row totals;
+    4. for each requested percentile p the two straddling global
+       ranks lo = ⌊1 + p·(N−1)⌋ and hi = ⌈·⌉ are computed driver-side
+       per group, broadcast, and picked up by a 2-rows-per-(group, p)
+       equi-join; the readout interpolates v_lo + (v_hi − v_lo)·frac
+       — the exact expression Spark's Percentile and DuckDB's
+       quantile_cont evaluate, so hashes match bit-for-bit.
+
+    Returns one row per group with a double column per
+    ``percentiles`` alias. Nulls in ``value_col`` are ignored (SQL
+    percentile semantics). Empty input → empty result.
+    """
+    import math
+
+    group_cols = list(group_cols or [])
+    spark = df.sparkSession
+    df = df.filter(F.col(value_col).isNotNull())
+
+    probs = [i / buckets for i in range(1, buckets)]
+    cuts = sorted(set(df.approxQuantile(value_col, probs, 0.001)))
+    # lambda-FREE bucket expression (sum of literal comparisons, same
+    # monotone "#cuts below key" as _bucket_of): a higher-order-function
+    # bucket as the lineage of a JOIN KEY trips Spark's constraint
+    # propagation across the second (targets) join — the inferred
+    # isnotnull constraint keeps the lambda body and fails attribute
+    # binding on the broadcast side (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(
+            F.col(value_col) > F.lit(float(c)), F.lit(1)
+        ).otherwise(F.lit(0))
+    b = df.withColumn("__b", bucket)
+
+    counts = (
+        b.groupBy(*group_cols, "__b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )  # ≤ groups × buckets rows — bounded driver work by construction
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        per_group.setdefault(g, []).append((int(r["__b"]), int(r["cnt"])))
+
+    offsets, targets = [], []
+    for g, lst in per_group.items():
+        lst.sort()
+        acc = 0
+        for bk, c in lst:
+            offsets.append((*g, bk, acc))
+            acc += c
+        n = acc
+        for p in percentiles.values():
+            pos = 1.0 + p * (n - 1)
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+            frac = pos - lo
+            targets.append((*g, float(p), lo, False, float(frac)))
+            if hi != lo:
+                targets.append((*g, float(p), hi, True, float(frac)))
+    if not targets:
+        empty = df.select(*group_cols).limit(0)
+        for alias in percentiles:
+            empty = empty.withColumn(alias, F.lit(None).cast("double"))
+        return empty
+
+    gschema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    sep = ", " if group_cols else ""
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, f"{gschema}{sep}__b int, __off long")
+    )
+    tgt_df = F.broadcast(
+        spark.createDataFrame(
+            targets,
+            f"{gschema}{sep}__p double, __grank long, __hi boolean, __frac double",
+        )
+    )
+
+    w_local = Window.partitionBy(*group_cols, "__b").orderBy(
+        F.col(value_col).asc()
+    )
+    ranked = (
+        b.withColumn("__rn", F.row_number().over(w_local))
+        .join(off_df, [*group_cols, "__b"])
+        .withColumn("__grank", (F.col("__off") + F.col("__rn")).cast("long"))
+    )
+    picked = ranked.join(tgt_df, [*group_cols, "__grank"]).select(
+        *group_cols,
+        "__p",
+        "__hi",
+        "__frac",
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # ≤ 2 rows per (group, percentile) from here on — tiny aggregates
+    per_p = picked.groupBy(*group_cols, "__p", "__frac").agg(
+        F.max(F.when(~F.col("__hi"), F.col("__v"))).alias("__lo_v"),
+        F.max(F.when(F.col("__hi"), F.col("__v"))).alias("__hi_v"),
+    )
+    interp = F.col("__lo_v") + (
+        F.coalesce(F.col("__hi_v"), F.col("__lo_v")) - F.col("__lo_v")
+    ) * F.col("__frac")
+    per_p = per_p.withColumn("__res", interp)
+    return per_p.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("__p") == F.lit(float(p)), F.col("__res"))).alias(
+                alias
+            )
+            for alias, p in percentiles.items()
+        ]
+    )

@@ -196,21 +196,25 @@ def events_value_outliers(spark, sf_dir):
     because the contamination being hunted would drag the mean toward
     itself (breakdown point 0 vs 50%).
 
-    Exact ``percentile`` over BIGINT cents interpolates to x.0/x.5 —
-    bit-identical across engines. Pinned-exact like
-    ``order_value_percentiles``; the 100 TB path is the same plan with
-    ``approx_percentile`` (group count here is tiny — the shuffle key
-    is event_type — so exact is also fine at scale: percentile state
-    is per-group, groups are few)."""
+    Medians/MADs over BIGINT cents interpolate to x.0/x.5 —
+    bit-identical across engines. Both medians ride the rank-exact
+    grouped_percentiles construction (operators/quantiles.py): groups
+    are FEW here (a handful of event types), which is precisely when
+    Spark's exact ``percentile`` is dangerous at scale — each group's
+    whole value→count map (cents NDV can reach 10⁷–10⁸ at 100 TB)
+    merges in one task; the rank path sorts ~group_rows/64 per task
+    and never builds a per-group map."""
+    from lance_flink_spark.operators.quantiles import grouped_percentiles
+
     e = table(spark, sf_dir, "events").select(
         "event_type", F.expr(_CENTS).alias("vc")
     )
-    med = e.groupBy("event_type").agg(F.expr("percentile(vc, 0.5)").alias("med_c"))
+    med = grouped_percentiles(e, "vc", {"med_c": 0.5}, group_cols=["event_type"])
     dev = e.join(bcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("vc") - F.col("med_c"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad_c")
+    mad = grouped_percentiles(
+        dev, "adev", {"mad_c": 0.5}, group_cols=["event_type"]
     )
     return (
         dev.join(bcast(mad), "event_type")
@@ -393,9 +397,14 @@ def funnel_latency(spark, sf_dir):
     per user, exact p50/p90 over integer microseconds) — the timing
     half of funnel analytics (#88 counts conversions; this measures
     them). One conditional-MIN aggregate per user (map-side partials),
-    then one tiny global percentile over the converted users. Exact
-    percentiles are the pinned small-output semantics; at larger
-    cardinalities swap approx_percentile, same plan shape."""
+    then rank-exact global percentiles via grouped_percentiles
+    (operators/quantiles.py): microsecond deltas are near-unique, so
+    Spark's exact ``percentile`` value→count map would hold ~every
+    converted user in ONE final-merge buffer at 100 TB; the rank
+    construction sorts ~N/64 per task and reads back only the two
+    straddling ranks per percentile."""
+    from lance_flink_spark.operators.quantiles import grouped_percentiles
+
     ev = table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(
@@ -410,12 +419,15 @@ def funnel_latency(spark, sf_dir):
         & F.col("t_buy").isNotNull()
         & (F.col("t_buy") >= F.col("t_view"))
     ).select((F.col("t_buy") - F.col("t_view")).alias("us"))
-    return lat.agg(
+    stats = lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.min("us").cast("long").alias("min_us"),
-        F.expr("percentile(us, 0.5)").alias("p50_us"),
-        F.expr("percentile(us, 0.9)").alias("p90_us"),
         F.max("us").cast("long").alias("max_us"),
+    )
+    pct = grouped_percentiles(lat, "us", {"p50_us": 0.5, "p90_us": 0.9})
+    # both sides are exactly one row — the cross join is 1×1
+    return stats.crossJoin(pct).select(
+        "n_converted", "min_us", "p50_us", "p90_us", "max_us"
     )
 
 

@@ -215,14 +215,30 @@ def set_ops_customers(spark, sf_dir):
     """,
 )
 def order_value_percentiles(spark, sf_dir):
-    """Exact linear-interpolated percentiles per group (Spark
-    percentile == DuckDB quantile_cont; interpolation verified
-    identical). The sketch-based approximate path is agg_approx."""
+    """Exact linear-interpolated percentiles per group (== DuckDB
+    quantile_cont) via the distributed rank machinery
+    (operators/quantiles.py::grouped_percentiles) — NOT Spark's exact
+    ``percentile`` aggregate, whose value→count map state is O(NDV)
+    per group and merges in ONE task: with few groups (3 statuses)
+    and a near-unique price domain that buffer holds ~every order at
+    100 TB. Here each task sorts ~group_rows/64, driver state is
+    groups × 64 counts, and the interpolation reads exactly the two
+    straddling ranks per (group, percentile). The sketch-based
+    approximate path is agg_approx."""
+    from lance_flink_spark.operators.quantiles import grouped_percentiles
+
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    pct = grouped_percentiles(
+        o,
+        "o_totalprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        group_cols=["o_orderstatus"],
+    )
+    return pct.select(
+        "o_orderstatus",
+        F.round("p50", 2).alias("p50"),
+        F.round("p90", 2).alias("p90"),
+        F.round("p99", 2).alias("p99"),
     )
 
 

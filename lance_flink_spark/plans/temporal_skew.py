@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from lance_flink_spark.operators.quantiles import grouped_percentiles
 from lance_flink_spark.operators.skew import salted_count_distinct
 from lance_flink_spark.operators.temporal import asof_join, interval_join
 from lance_flink_spark.registry import query, table
@@ -160,8 +161,20 @@ def agg_approx_exactness(spark, sf_dir):
     exact = l.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("aq50"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+    ).join(
+        # exact p45/p55 envelope bounds via the rank construction —
+        # never Spark's exact `percentile` aggregate, whose per-group
+        # value→count map is the single-buffer hazard this repo bans
+        # (plan-pinned in tests/test_quantiles.py)
+        F.broadcast(
+            grouped_percentiles(
+                l,
+                "l_extendedprice",
+                {"p45": 0.45, "p55": 0.55},
+                group_cols=["l_returnflag"],
+            )
+        ),
+        "l_returnflag",
     )
     flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
     return (

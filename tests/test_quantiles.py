@@ -162,3 +162,129 @@ def test_empty_frame(spark):
     out = with_distributed_ntile(df, 4, "v", "id", "t")
     assert out.count() == 0
     assert "t" in out.columns
+
+
+# ---------- grouped_percentiles: rank-exact interpolated percentiles ----------
+
+from lance_flink_spark.operators.quantiles import grouped_percentiles  # noqa: E402
+
+
+def test_grouped_percentiles_matches_exact_aggregate(spark):
+    """Parity with Spark's exact percentile aggregate on grouped data
+    (which is itself pinned against DuckDB quantile_cont elsewhere) —
+    bit-for-bit, including the interpolated positions."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 37 % 1009).cast("double").alias("v"),
+    )
+    want = {
+        (r["g"], r["p25"], r["p50"], r["p99"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("p25"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    got = {
+        (r["g"], r["p25"], r["p50"], r["p99"])
+        for r in grouped_percentiles(
+            df, "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99}, group_cols=["g"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_percentiles_ungrouped_nulls_ties(spark):
+    """Ungrouped mode, null values ignored (SQL percentile semantics),
+    heavy ties — still exact."""
+    from pyspark.sql import Row
+
+    rows = [Row(v=None if i % 7 == 0 else float(i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    want = df.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0]["m"]
+    got = grouped_percentiles(df, "v", {"m": 0.5}).collect()[0]["m"]
+    assert got == want
+
+
+def test_grouped_percentiles_small_groups_and_empty(spark):
+    """1-row and 2-row groups exercise the lo==hi and interpolation
+    edges; empty input returns an empty frame with the right schema."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=10.0), Row(g="b", v=1.0), Row(g="b", v=2.0)]
+    )
+    got = {
+        (r["g"], r["p50"])
+        for r in grouped_percentiles(df, "v", {"p50": 0.5}, group_cols=["g"]).collect()
+    }
+    assert got == {("a", 10.0), ("b", 1.5)}
+
+    empty = grouped_percentiles(
+        spark.createDataFrame([], "g string, v double"),
+        "v",
+        {"p50": 0.5},
+        group_cols=["g"],
+    )
+    assert empty.count() == 0 and set(empty.columns) == {"g", "p50"}
+
+
+def test_grouped_percentiles_no_exact_percentile_aggregate(spark):
+    """The scale pin: the physical plan carries NO exact Percentile
+    aggregate (single-buffer O(NDV) per-group state) and no
+    SinglePartition sort — the whole point of the operator."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = _plan(grouped_percentiles(df, "v", {"p50": 0.5}, group_cols=["g"]))
+    assert "percentile(" not in plan
+    assert not _has_global_window_sort(plan)
+
+
+def test_no_exact_percentile_anywhere_in_package():
+    """Source-level ban (the r10 verdict's single-buffer hazard): no
+    query or operator in the package may call Spark's exact
+    `percentile` aggregate — rank-exact grouped_percentiles or the
+    sketch surfaces are the sanctioned paths. percentile_approx stays
+    allowed (bounded GK state)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "lance_flink_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if "percentile(" in code and not any(
+                ok in code
+                for ok in (
+                    "percentile_approx",
+                    "approx_percentile",
+                    "grouped_percentiles",
+                    "def percentile",
+                )
+            ):
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
+
+
+def test_rewritten_registry_plans_carry_no_exact_percentile(spark):
+    """End-to-end plan pin for the four surfaces the r10 verdict
+    flagged (order_value_percentiles, funnel_latency,
+    events_value_outliers, agg_approx_exactness): their physical plans
+    contain no exact Percentile aggregate."""
+    import lance_flink_spark.plans.all  # noqa: F401
+    from lance_flink_spark.registry import EXTRA_QUERIES, QUERIES
+
+    reg = {**QUERIES, **EXTRA_QUERIES}
+    for name in (
+        "order_value_percentiles",
+        "funnel_latency",
+        "events_value_outliers",
+        "agg_approx_exactness",
+    ):
+        plan = _plan(reg[name](spark, SF_DIR))
+        assert "percentile(" not in plan, name
