@@ -300,6 +300,81 @@ def streaming_exactly_once(spark, sf_dir):
 
 
 @query(
+    "streaming_upsert",
+    extra=True,
+    oracle="""
+    SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1 AND event_type <> 'purchase'
+    """,
+)
+def streaming_upsert(spark, sf_dir):
+    """Keyed-changelog streaming sink hash-graded end-to-end (Flink
+    upsert-kafka / retract-sink parity, streaming/upsert.py): events
+    become a changelog keyed on user_id — a purchase RETRACTS the user
+    (op 'D'), anything else upserts the event's payload. The stream is
+    drained as four mtime-ordered time-range micro-batches, each folded
+    into a Dataset through one sequence-guarded deletion-vector MERGE
+    with a per-batch idempotency tag; the materialized table must equal
+    the batch keep-last oracle (latest event per user, purchasers
+    absent). A lost delete, a stale update clobbering newer state, a
+    double-applied batch, or a resurrection through the
+    NOT-MATCHED-insert path all break the hash."""
+    import shutil
+
+    from lance_flink_spark.streaming.upsert import UpsertDatasetSink
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = scratch_dir("upsert" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("_op"),
+    )
+    # stage 4 time-range batch files (mtime-ordered): per-key arrival
+    # order across micro-batches matches event time, the upsert-kafka
+    # delivery contract; the seq guard still protects intra-batch folds
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    bounds = [lo + (hi - lo + 1) * i // 4 for i in range(5)]
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i in range(4):
+        p = os.path.join(src, f"b{i}.parquet")
+        ev.filter(
+            (F.col("ts_us") >= bounds[i]) & (F.col("ts_us") < bounds[i + 1])
+        ).coalesce(1).write.parquet(p)
+        t = 1_700_000_000 + i * 100
+        for r, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(r, f), (t, t))
+        os.utime(p, (t, t))
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    sink = UpsertDatasetSink(
+        os.path.join(root, "t"), key="user_id", seq_cols=["ts_us", "event_id"]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    sink.run_available(sdf, os.path.join(root, "ckpt"))
+    return sink.dataset.read(
+        spark, columns=["user_id", "event_type", "ts_us", "event_id", "value_cents"]
+    )
+
+
+@query(
     "dataset_roundtrip",
     extra=True,  # gate budget; oracle-checks the sink write/read path
     oracle="""

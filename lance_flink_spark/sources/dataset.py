@@ -923,6 +923,7 @@ class Dataset:
         matched_keyed: DataFrame,
         new_rows: DataFrame | None,
         mode: str,
+        tag: str | None = None,
     ) -> int | None:
         """Commit a deletion-vector mutation: tombstone the positions
         of ``matched_keyed`` (a _keyed_live_scan selection) and, for
@@ -960,11 +961,12 @@ class Dataset:
             # pure insert (merge with no matches): drop the empty
             # sidecar, commit a plain append of the new fragment
             fsio.delete(dv_out)
-            return self._commit(mode, frag, expected_version=base)
+            return self._commit(mode, frag, expected_version=base, tag=tag)
         return self._commit(
             mode,
             frag or "",
             expected_version=base,
+            tag=tag,
             extra={"dv_fragment": dv_frag, "dv_rows": int(n)},
         )
 
@@ -1083,6 +1085,7 @@ class Dataset:
         affected: list[str],
         mode: str,
         base_version: int | None = None,
+        tag: str | None = None,
     ) -> int:
         # 'm' prefix (vs append/overwrite's 'v'): mutation REWRITE
         # fragments must stay invisible to read_stream's v* file glob —
@@ -1099,7 +1102,7 @@ class Dataset:
         # mutation) would make this rewrite stale — its survivors were
         # derived from files that are no longer the whole story
         return self._commit(
-            mode, frag, removed_files=affected, expected_version=base_version
+            mode, frag, removed_files=affected, expected_version=base_version, tag=tag
         )
 
     def delete_where(
@@ -2190,6 +2193,7 @@ class Dataset:
         on: str,
         clauses: list[dict],
         dv: bool = False,
+        tag: str | None = None,
     ) -> int:
         """Conditional MERGE (Delta WHEN-clause semantics): ``clauses``
         is an ordered list of
@@ -2208,13 +2212,34 @@ class Dataset:
         by position and the updated copies + admitted inserts land as
         one appended fragment — rows no clause fires on (and every
         unmatched target row) are never read past the key probe or
-        rewritten."""
+        rewritten.
+
+        ``tag`` is the write()/streaming-sink idempotency token,
+        recorded atomically with the merge commit: a merge whose tag
+        already exists is a no-op returning that version (exactly-once
+        for replayed micro-batches of a keyed changelog — the
+        streaming upsert sink's contract).
+
+        The source may carry EXTRA columns beyond the target schema
+        (e.g. a changelog op/sequence column): clause conditions can
+        reference them via ``s.<col>``; they are projected away before
+        any insert/update lands."""
         from pyspark.sql import functions as F
 
+        if tag is not None:
+            prev = self.find_tag(tag)
+            if prev is not None:
+                return prev
         base = len(self.versions())
         scan = self.read(spark)
-        source = source.select(
-            *[F.col(f.name).cast(f.dataType) for f in scan.schema.fields]
+        missing = [f.name for f in scan.schema.fields if f.name not in source.columns]
+        if missing:
+            raise ValueError(f"merge source lacks target columns {missing}")
+        # conform the key's type for the equi-join; other columns cast
+        # per-use (insert/update projections) so extra source columns
+        # survive for clause conditions
+        source = source.withColumn(
+            on, F.col(on).cast(scan.schema[on].dataType)
         )
         dup = (
             source.groupBy(on).agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
@@ -2276,9 +2301,14 @@ class Dataset:
                 new_rows = new_rows.unionByName(
                     inserts.alias("s")
                     .filter(fires)
-                    .select(*[f.name for f in scan.schema.fields])
+                    .select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in scan.schema.fields
+                        ]
+                    )
                 )
-            v = self._mutate_dv_commit(spark, tomb, new_rows, "merge-dv")
+            v = self._mutate_dv_commit(spark, tomb, new_rows, "merge-dv", tag=tag)
             return base if v is None else v
         affected = self._affected_files(
             self._tagged_scan(spark).join(keys, on, "left_semi")
@@ -2329,14 +2359,23 @@ class Dataset:
             for c in insert_clauses:
                 fires = fires | (F.expr(c["cond"]) if c.get("cond") else F.lit(True))
             inserts = inserts.alias("s").filter(fires)
-            pieces.append(inserts.select(*[f.name for f in scan.schema.fields]))
+            pieces.append(
+                inserts.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in scan.schema.fields
+                    ]
+                )
+            )
         if affected:
             merged = pieces[0]
             for p in pieces[1:]:
                 merged = merged.unionByName(p)
-            return self._mutate_commit(merged, affected, "merge", base_version=base)
+            return self._mutate_commit(
+                merged, affected, "merge", base_version=base, tag=tag
+            )
         if pieces:
-            return self.write(pieces[-1], mode="append")
+            return self.write(pieces[-1], mode="append", tag=tag)
         return base
 
     # ---------- CHECK constraints (Delta constraint parity) ----------

@@ -1,0 +1,136 @@
+"""Streaming UPSERT sink: fold a keyed changelog stream into a
+versioned Dataset.
+
+Flink parity: the reference ecosystem's `upsert-kafka` / retract-sink
+model — a stream whose rows are keyed +upsert / -delete changes, where
+the SINK owns materializing "latest state per key". Here each
+micro-batch folds through one deletion-vector MERGE
+(Dataset.merge_when, WHEN-clause semantics) with the batch id as an
+idempotency tag recorded atomically inside the manifest commit:
+
+- exactly-once: a replayed batch (post-crash, rewound checkpoint)
+  finds its tag and is a no-op — same contract as
+  ExactlyOnceDatasetSink (streaming/sink.py), extended from
+  append-only to keyed changelogs;
+- deletes tombstone positions (deletion files), updates tombstone +
+  append the new copy, inserts append — no data file is ever
+  rewritten, so per-batch cost ∝ batch size, not table size;
+- out-of-order tolerance: with ``seq_cols`` the merge clauses are
+  SEQUENCE-GUARDED (apply only if the incoming row is not older than
+  the stored row — lexicographic over the sequence columns), the
+  event-time last-writer-wins that Flink's deduplicate-then-upsert
+  pipelines implement. Without ``seq_cols`` the stream must be
+  per-key ordered (the upsert-kafka contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lance_flink_spark.sources.dataset import Dataset
+
+
+def _seq_guard(seq_cols: list[str]) -> str:
+    """SQL for "source row is at least as new as the target row" —
+    lexicographic over the sequence columns, the standard
+    last-writer-wins guard."""
+    terms = []
+    for i, c in enumerate(seq_cols):
+        eqs = " AND ".join(f"s.`{p}` = t.`{p}`" for p in seq_cols[:i])
+        cmp_ = ">=" if i == len(seq_cols) - 1 else ">"
+        terms.append(f"({eqs + ' AND ' if eqs else ''}s.`{c}` {cmp_} t.`{c}`)")
+    return "(" + " OR ".join(terms) + ")"
+
+
+class UpsertDatasetSink:
+    """foreachBatch sink folding a keyed changelog into a Dataset.
+
+    ``op_col`` names the change-kind column of the stream (projected
+    away before landing); any value in ``delete_ops`` is a retraction,
+    everything else an upsert. ``seq_cols`` (optional) order changes
+    per key — needed whenever micro-batches are not per-key ordered
+    (file replays, late data): within a batch the newest change per
+    key wins, across batches the merge clauses are sequence-guarded.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key: str,
+        op_col: str = "_op",
+        seq_cols: list[str] | None = None,
+        delete_ops: tuple[str, ...] = ("D", "-D", "delete"),
+    ):
+        self.dataset = Dataset(path)
+        self.key = key
+        self.op_col = op_col
+        self.seq_cols = list(seq_cols or [])
+        self.delete_ops = tuple(delete_ops)
+
+    def _fold_batch(self, df: DataFrame) -> DataFrame:
+        """Newest change per key within the batch (by seq_cols); with
+        no seq_cols the batch must already be one-change-per-key
+        (merge_when's duplicate-key probe enforces it loudly)."""
+        if not self.seq_cols:
+            return df
+        w = Window.partitionBy(self.key).orderBy(
+            *[F.col(c).desc() for c in self.seq_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook — idempotent via the manifest tag."""
+        spark = df.sparkSession
+        tag = f"upsert-{int(batch_id)}"
+        if self.dataset.find_tag(tag) is not None:
+            return  # replayed batch: already folded, exactly-once no-op
+        folded = self._fold_batch(df)
+        dels = "', '".join(self.delete_ops)
+        is_del = f"s.`{self.op_col}` IN ('{dels}')"
+        if not self.dataset.versions():
+            # first batch bootstraps the table: no state to merge into,
+            # surviving upserts land as the initial fragment (deletes
+            # of never-seen keys are no-ops by definition)
+            first = folded.filter(
+                ~F.col(self.op_col).isin(list(self.delete_ops))
+            ).drop(self.op_col)
+            self.dataset.write(first, mode="append", tag=tag)
+            return
+        guard = _seq_guard(self.seq_cols) if self.seq_cols else None
+        data_cols = [
+            c for c in self.dataset.read(spark).columns if c != self.key
+        ]
+        clauses = [
+            {
+                "matched": True,
+                "cond": f"{is_del}{' AND ' + guard if guard else ''}",
+                "action": "delete",
+            },
+            {
+                "matched": True,
+                "cond": guard,
+                "action": "update",
+                "sets": {c: f"s.`{c}`" for c in data_cols},
+            },
+            {"matched": False, "cond": f"NOT ({is_del})", "action": "insert"},
+        ]
+        self.dataset.merge_when(
+            spark, folded, on=self.key, clauses=clauses, dv=True, tag=tag
+        )
+
+    def attach(self, sdf: DataFrame, checkpoint: str):
+        """Wire onto a streaming DataFrame: returns the DataStreamWriter."""
+        return sdf.writeStream.foreachBatch(self.write_batch).option(
+            "checkpointLocation", checkpoint
+        )
+
+    def run_available(self, sdf: DataFrame, checkpoint: str) -> None:
+        """Drain everything currently available (availableNow trigger)
+        and block until done — the bounded-replay entry point."""
+        q = self.attach(sdf, checkpoint).trigger(availableNow=True).start()
+        q.awaitTermination()

@@ -1,0 +1,136 @@
+"""Streaming upsert sink (streaming/upsert.py): keyed changelog →
+Dataset via sequence-guarded DV merges with per-batch idempotency
+tags — the Flink upsert-kafka / retract-sink contract."""
+
+import os
+
+from pyspark.sql import Row
+
+from lance_flink_spark.sources.dataset import Dataset
+from lance_flink_spark.streaming.upsert import UpsertDatasetSink
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=int(k), v=str(v), seq=int(s), _op=op) for k, v, s, op in rows],
+        "k long, v string, seq long, _op string",
+    )
+
+
+def test_insert_update_delete_then_replay_noop(spark, tmp_path_str):
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k", seq_cols=["seq"])
+    sink.write_batch(_batch(spark, [(1, "a", 1, "U"), (2, "b", 1, "U")]), 0)
+    sink.write_batch(_batch(spark, [(1, "a2", 2, "U"), (3, "c", 2, "U")]), 1)
+    sink.write_batch(_batch(spark, [(2, "ignored", 3, "D")]), 2)
+    ds = Dataset(tmp_path_str + "/t")
+    state = {(r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()}
+    assert state == {(1, "a2"), (3, "c")}
+    # the op/seq columns never land in the table
+    assert set(ds.read(spark).columns) == {"k", "v", "seq"}
+
+    # replaying any batch is a no-op (tag recorded inside the commit)
+    n_versions = len(ds.versions())
+    sink.write_batch(_batch(spark, [(1, "a", 1, "U"), (2, "b", 1, "U")]), 0)
+    sink.write_batch(_batch(spark, [(2, "ignored", 3, "D")]), 2)
+    assert len(ds.versions()) == n_versions
+    assert {
+        (r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()
+    } == state
+
+
+def test_sequence_guard_rejects_stale_changes(spark, tmp_path_str):
+    """Out-of-order delivery: a later batch carrying OLDER sequence
+    numbers must not clobber newer state (event-time
+    last-writer-wins)."""
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k", seq_cols=["seq"])
+    sink.write_batch(_batch(spark, [(1, "new", 10, "U")]), 0)
+    sink.write_batch(_batch(spark, [(1, "old", 5, "U")]), 1)  # stale: ignored
+    ds = Dataset(tmp_path_str + "/t")
+    assert [
+        (r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()
+    ] == [(1, "new")]
+    # a stale DELETE is ignored too
+    sink.write_batch(_batch(spark, [(1, "x", 7, "D")]), 2)
+    assert ds.read(spark).count() == 1
+    # a newer delete wins
+    sink.write_batch(_batch(spark, [(1, "x", 11, "D")]), 3)
+    assert ds.read(spark).count() == 0
+
+
+def test_intra_batch_fold_newest_wins(spark, tmp_path_str):
+    """Several changes for one key inside a single micro-batch: only
+    the newest (by seq) applies — insert→update→delete folds to the
+    delete, delete→reinsert folds to the reinsert."""
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k", seq_cols=["seq"])
+    sink.write_batch(
+        _batch(
+            spark,
+            [(1, "a", 1, "U"), (1, "b", 2, "U"), (1, "x", 3, "D"),
+             (2, "x", 1, "D"), (2, "c", 2, "U")],
+        ),
+        0,
+    )
+    ds = Dataset(tmp_path_str + "/t")
+    assert {
+        (r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()
+    } == {(2, "c")}
+
+
+def test_deletes_ride_the_dv_path_no_rewrites(spark, tmp_path_str):
+    """Post-bootstrap batches commit as merge-dv: deletes tombstone
+    positions, updates tombstone + append — no pre-existing data file
+    is removed or rewritten."""
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k", seq_cols=["seq"])
+    sink.write_batch(_batch(spark, [(i, f"v{i}", 1, "U") for i in range(20)]), 0)
+    sink.write_batch(_batch(spark, [(3, "x", 2, "D"), (5, "nv", 2, "U")]), 1)
+    man = Dataset(tmp_path_str + "/t")._load_manifest()
+    v2 = man["versions"][-1]
+    assert v2["mode"] == "merge-dv"
+    assert v2.get("dv_rows") == 2 and not v2.get("removed_files")
+
+
+def test_streaming_end_to_end_file_replay(spark, tmp_path_str):
+    """True Structured Streaming run: 3 changelog files drained with
+    maxFilesPerTrigger=1 (mtime-ordered micro-batches), then the WHOLE
+    stream replayed against a fresh checkpoint — the second pass finds
+    every batch tag and changes nothing."""
+    src = tmp_path_str + "/src"
+    os.makedirs(src)
+    batches = [
+        [(1, "a", 1, "U"), (2, "b", 1, "U")],
+        [(1, "a2", 2, "U"), (3, "c", 2, "U")],
+        [(2, "x", 3, "D"), (4, "d", 3, "U")],
+    ]
+    for i, rows in enumerate(batches):
+        p = f"{src}/b{i}.parquet"
+        _batch(spark, rows).coalesce(1).write.mode("overwrite").parquet(p)
+        t = 1_700_000_000 + i * 100
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(p, (t, t))
+
+    schema = spark.read.parquet(src + "/b0.parquet").schema
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k", seq_cols=["seq"])
+
+    def drain(ckpt):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*.parquet")
+        )
+        sink.run_available(sdf, tmp_path_str + ckpt)
+
+    drain("/ckpt1")
+    ds = Dataset(tmp_path_str + "/t")
+    want = {(1, "a2"), (3, "c"), (4, "d")}
+    assert {
+        (r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()
+    } == want
+    n_versions = len(ds.versions())
+
+    drain("/ckpt2")  # full replay, fresh checkpoint: all tags hit
+    assert len(ds.versions()) == n_versions
+    assert {
+        (r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()
+    } == want
