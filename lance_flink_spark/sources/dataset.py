@@ -1372,10 +1372,37 @@ class Dataset:
                     .withColumn("_version", F.lit(v["version"]))
                 )
                 continue
+            if dvf and v["mode"] == "update-dv":
+                # update-dv fast diff: keys are BIJECTIVE by
+                # construction (every tombstoned row has exactly its
+                # updated copy in the new fragment — update_where dv
+                # appends one copy per matched row), so no key-diff
+                # anti-joins are needed: changed payloads are the
+                # multiset differences of the two sides. Same output
+                # as the general algebra below (identical-payload
+                # pairs cancel; no inserts/deletes possible), at two
+                # exceptAll shuffles instead of six set operations.
+                old = self._dv_preimages(spark, dvf)
+                cols = [f.name for f in old.schema.fields]
+                new_c = new.select(*cols)
+                updates = new_c.exceptAll(old).withColumn(
+                    "_change_type",
+                    F.lit("update_postimage" if update_preimages else "update"),
+                )
+                piece = updates
+                if update_preimages:
+                    piece = piece.unionByName(
+                        old.exceptAll(new_c).withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                pieces.append(piece.withColumn("_version", F.lit(v["version"])))
+                continue
             if dvf:
-                # update-dv / merge-dv: the old side IS the rows this
-                # commit tombstoned (its pre-images by construction) —
-                # the same deletes/inserts/updates algebra applies
+                # merge-dv: the old side IS the rows this commit
+                # tombstoned (its pre-images by construction) — the
+                # general deletes/inserts/updates algebra applies (the
+                # new fragment also carries NOT-MATCHED inserts)
                 old = self._dv_preimages(spark, dvf)
             else:
                 # old side = the files' LIVE rows as of the commit

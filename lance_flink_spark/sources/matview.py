@@ -178,27 +178,38 @@ class MaterializedAggregate:
                     F.least(F.col("min_v"), F.col("i_min")).alias("min_v"),
                     F.greatest(F.col("max_v"), F.col("i_max")).alias("max_v"),
                 )
-                rescan_keys = merged.filter(F.col("__rescan")).select(
-                    *self.group_cols
+                # probe the persisted merge ONCE: most refreshes retract
+                # no extremum, and skipping the rescan branch entirely
+                # saves a source scan + aggregate inside the state write
+                # (the branch is unioned lazily, so without the probe it
+                # executes even when it contributes zero rows)
+                any_rescan = (
+                    merged.filter(F.col("__rescan")).limit(1).count() > 0
                 )
-                # per-group rescan: ONLY the groups whose extremum was
-                # retracted. The semi-join must land BELOW the aggregate
-                # (filter source rows, then groupBy) — Catalyst will not
-                # push a semi-join through a finished aggregate, and the
-                # post-agg form pays a full recompute on every
-                # extremum-touching refresh
-                rescanned = (
-                    self.source.read(spark, version=latest)
-                    .join(rescan_keys, self.group_cols, "left_semi")
-                    .groupBy(*self.group_cols)
-                    .agg(
-                        F.sum(self.value_col).alias("sum_v"),
-                        F.count(F.lit(1)).alias("cnt"),
-                        F.min(self.value_col).alias("min_v"),
-                        F.max(self.value_col).alias("max_v"),
+                if any_rescan:
+                    rescan_keys = merged.filter(F.col("__rescan")).select(
+                        *self.group_cols
                     )
-                )
-                state = folded.unionByName(rescanned)
+                    # per-group rescan: ONLY the groups whose extremum
+                    # was retracted. The semi-join must land BELOW the
+                    # aggregate (filter source rows, then groupBy) —
+                    # Catalyst will not push a semi-join through a
+                    # finished aggregate, and the post-agg form pays a
+                    # full recompute on every extremum-touching refresh
+                    rescanned = (
+                        self.source.read(spark, version=latest)
+                        .join(rescan_keys, self.group_cols, "left_semi")
+                        .groupBy(*self.group_cols)
+                        .agg(
+                            F.sum(self.value_col).alias("sum_v"),
+                            F.count(F.lit(1)).alias("cnt"),
+                            F.min(self.value_col).alias("min_v"),
+                            F.max(self.value_col).alias("max_v"),
+                        )
+                    )
+                    state = folded.unionByName(rescanned)
+                else:
+                    state = folded
                 # materialize before unpersisting the plan input
                 self.state.write(state, mode="overwrite")
                 merged.unpersist()
