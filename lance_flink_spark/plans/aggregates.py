@@ -172,7 +172,7 @@ def sql_ddl_pipeline(spark, sf_dir):
 
 @query(
     "dv_mutation_pipeline",
-    extra=True,
+    # r11 rotation: the #221 deletion-vector flagship gets driver-grade evidence
     oracle="""
     WITH base AS (
       SELECT o_orderkey AS k, o_orderpriority AS grp,

@@ -355,7 +355,7 @@ def streaming_window_users(spark, sf_dir):
 
 @query(
     "events_cumulate",
-    extra=True,
+    # r11 rotation: CUMULATE TVF windows get driver-grade evidence
     oracle="""
     WITH fan AS (
       SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start_s,

@@ -206,6 +206,7 @@ def set_ops_customers(spark, sf_dir):
 
 @query(
     "order_value_percentiles",
+    extra=True,  # r11 rotation out: rank-exact percentiles stay driver-graded via orders_price_deciles
     oracle="""
     SELECT o_orderstatus,
            ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
@@ -267,6 +268,7 @@ def profile_lineitem(spark, sf_dir):
 
 @query(
     "streaming_exactly_once",
+    extra=True,  # r11 rotation out: subsumed by the streaming_upsert changelog sink (same tag machinery)
     oracle="""
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
     FROM events GROUP BY event_type

@@ -282,6 +282,7 @@ def text_chunking(spark, sf_dir):
 
 @query(
     "sample_split",
+    extra=True,  # r11 rotation out: sampling family driver-graded via stratified_cap + weighted_sample
     oracle="""
     SELECT lang, split, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
     FROM (SELECT lang, n_chars,
@@ -307,7 +308,7 @@ def sample_split(spark, sf_dir):
 
 @query(
     "corpus_seeded_shuffle",
-    extra=True,
+    # r11 rotation: the #222 seeded-shuffle flagship gets driver-grade evidence
     oracle="""
     WITH h AS (
       SELECT doc_id, md5(concat('42:', CAST(doc_id AS VARCHAR))) AS hh
@@ -339,6 +340,7 @@ def corpus_seeded_shuffle(spark, sf_dir):
 
 @query(
     "embeddings_normalize",
+    extra=True,  # r11 rotation out: vector-function surface driver-graded via knn_join/ivf twins
     oracle="""
     SELECT vec_id,
            ROUND(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
@@ -1162,7 +1164,7 @@ def text_bm25_search(spark, sf_dir):
 
 @query(
     "record_linkage",
-    extra=True,  # gate budget; two-table blocked fuzzy join
+    # r11 rotation: blocked fuzzy join gets driver-grade evidence
     oracle="""
     WITH l AS (
       SELECT doc_id AS lid, text FROM documents
@@ -1251,7 +1253,7 @@ def training_shards(spark, sf_dir):
 
 @query(
     "weighted_sample",
-    extra=True,  # gate budget; ES weighted sampling, md5-derived priorities
+    # r11 rotation: ES weighted sampling gets driver-grade evidence
     oracle="""
     WITH w AS (
       SELECT doc_id, source, n_chars,

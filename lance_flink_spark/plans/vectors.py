@@ -209,6 +209,7 @@ def ivf_flat_search(spark, sf_dir):
 
 @query(
     "two_stage_retrieval",
+    extra=True,  # r11 rotation out: retrieval stack driver-graded via ivf_flat_search + exactness twins
     oracle=f"""
     SELECT vec_id, cos_distance FROM (
         SELECT vec_id,
