@@ -668,6 +668,7 @@ class Dataset:
         small_bytes: int = 64 * 1024 * 1024,
         min_files: int = 2,
         max_rows_per_file: int = 1_000_000,
+        tombstone_ratio: float = 0.2,
     ) -> int | None:
         """Incremental compaction (Delta OPTIMIZE / Lance
         compact_files parity): rewrite ONLY the live data files smaller
@@ -679,15 +680,31 @@ class Dataset:
         ``compact()`` overwrite is for schema resets and
         mutation-glob recovery, not maintenance).
 
+        A file is also selected when its DELETION-VECTOR tombstones
+        exceed ``tombstone_ratio`` of its rows regardless of size —
+        the "rewrite wins" threshold real lakehouse formats apply:
+        past ~20% dead rows, every scan's anti-join and the wasted
+        read bandwidth cost more than rewriting the file once. The
+        rewrite MATERIALIZES those deletions (apply_dv), and any DV
+        sidecar whose files are ALL superseded by this commit is
+        folded away (``folded_dvs``) — subsequent scans broadcast
+        strictly fewer tombstones. Pass ``tombstone_ratio=0`` wisely:
+        it would rewrite on any tombstone; ``>1`` disables the
+        trigger.
+
         No-op (returns None) unless at least ``min_files`` small files
-        exist. Commits with mode ``compact`` — the same supersession
-        mechanics as row mutations, so time travel, vacuum reachability
-        and the CDF all compose (a compact emits ZERO change rows: the
-        before/after key-payload sets are identical). CAS-protected
-        against concurrent writers like any snapshot-derived rewrite."""
+        exist or a tombstone-heavy file does. Commits with mode
+        ``compact`` — the same supersession mechanics as row
+        mutations, so time travel, vacuum reachability and the CDF all
+        compose (a compact emits ZERO change rows: the before/after
+        key-payload sets are identical). CAS-protected against
+        concurrent writers like any snapshot-derived rewrite."""
+        from pyspark.sql import functions as F
+
         base = len(self.versions())
         frags, removed = self._live_state()
         small: list[str] = []
+        live: list[str] = []
         for frag in frags:
             for name in fsio.listdir(frag):
                 if not name.endswith(".parquet"):
@@ -696,15 +713,50 @@ class Dataset:
                 rel = self._relpath(p)
                 if rel in removed:
                     continue
+                live.append(rel)
                 if fsio.file_size(p) < small_bytes:
                     small.append(rel)
-        if len(small) < min_files:
+        heavy: list[str] = []
+        tomb = self._dv_tombstones(spark)
+        if tomb is not None and 0 < tombstone_ratio <= 1:
+            dead = {
+                r["_file"]: r["n"]
+                for r in tomb.groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }  # bounded: tombstones are delete-sized (≤ broadcast cap)
+            cands = [f for f in dead if f in set(live)]
+            if cands:
+                # total rows per tombstoned file: a zero-data-column
+                # scan of ONLY those files (footer/metadata work —
+                # cost ∝ mutation footprint, not table size)
+                rows = {
+                    r["f"]: r["n"]
+                    for r in spark.read.parquet(
+                        *[fsio.join(self.path, f) for f in cands]
+                    )
+                    .select(
+                        F.expr(
+                            "concat('data/', substring_index("
+                            "_metadata.file_path, '/data/', -1))"
+                        ).alias("f")
+                    )
+                    .groupBy("f")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                heavy = [
+                    f
+                    for f in cands
+                    if dead[f] >= tombstone_ratio * max(rows.get(f, 0), 1)
+                ]
+        pick = sorted(set(small) | set(heavy))
+        if len(small) < min_files and not heavy:
             return None
-        # apply_dv: a small file's tombstoned rows must not ride into
-        # the packed rewrite (the rewrite MATERIALIZES their deletion —
-        # the stale tombstones then point at superseded files, harmless)
-        packed = self._read_files(spark, small, apply_dv=True).coalesce(
-            max(1, len(small) // 8)
+        # apply_dv: a picked file's tombstoned rows must not ride into
+        # the packed rewrite (the rewrite MATERIALIZES their deletion)
+        packed = self._read_files(spark, pick, apply_dv=True).coalesce(
+            max(1, len(pick) // 8)
         )
         frag = f"data/m{base + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
@@ -713,8 +765,26 @@ class Dataset:
             .mode("errorifexists")
             .parquet(out)
         )
+        # fold away DV sidecars whose tombstones now ALL point at
+        # superseded files — scans stop broadcasting them entirely; a
+        # sidecar that still covers an untouched file stays live (its
+        # stale entries are harmless: superseded files are never read)
+        folded: list[str] = []
+        superseded = set(removed) | set(pick)
+        for d in self._live_dvs():
+            files = {
+                r["_file"]
+                for r in spark.read.parquet(fsio.join(self.path, d))
+                .select("_file")
+                .distinct()
+                .collect()
+            }
+            if files and files <= superseded:
+                folded.append(d)
+        extra = {"folded_dvs": sorted(folded)} if folded else None
         return self._commit(
-            "compact", frag, removed_files=small, expected_version=base
+            "compact", frag, removed_files=pick, expected_version=base,
+            extra=extra,
         )
 
     # ---------- deletion vectors (Lance deletion-file parity) ----------
@@ -751,6 +821,12 @@ class Dataset:
                 continue
             if v["mode"] == "overwrite":
                 dvs = []
+            if v.get("folded_dvs"):
+                # a compact superseded every file these sidecars
+                # tombstoned — their deletions are materialized in the
+                # rewrite, so scans stop loading them
+                gone = set(v["folded_dvs"])
+                dvs = [d for d in dvs if d not in gone]
             if v.get("dv"):
                 dvs.append(v["fragment"])
             elif v.get("dv_fragment"):

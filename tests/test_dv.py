@@ -474,3 +474,104 @@ def test_dv_merge_when_clauses(spark, ds2):
         (r["id"], r["_change_type"]) for r in ch.select("id", "_change_type").collect()
     )
     assert got == [(10, "update"), (11, "update"), (12, "delete"), (777, "insert")]
+
+
+# ---------- tombstone-heavy compaction (OPTIMIZE "rewrite wins") ----------
+
+
+def _two_file_ds(spark, path):
+    """Two appends → two live files: ids 0..99 (file A) and 100..199
+    (file B), val = id as double."""
+    ds = Dataset(path)
+    ds.write(
+        spark.range(0, 100)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS val")
+        .coalesce(1)
+    )
+    ds.write(
+        spark.range(100, 200)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS val")
+        .coalesce(1),
+        mode="append",
+    )
+    return ds
+
+
+def test_compact_small_rewrites_tombstone_heavy_file(spark, tmp_path_str):
+    """A file past the 20% dead-row threshold is rewritten regardless
+    of size; its deletions materialize and the now-fully-superseded DV
+    sidecar is FOLDED (scans stop broadcasting it)."""
+    ds = _two_file_ds(spark, tmp_path_str + "/t")
+    files_before = ds.live_file_relpaths()
+    assert ds.delete_where(spark, "id < 30", dv=True)  # 30% of file A
+    assert ds._live_dvs()
+    # small_bytes=1: nothing qualifies as "small" — only the tombstone
+    # trigger can select files
+    v = ds.compact_small(spark, small_bytes=1, tombstone_ratio=0.2)
+    assert v is not None
+    after = ds.live_file_relpaths()
+    # file A superseded, file B byte-identical and still live
+    a = [f for f in files_before if f not in after]
+    assert len(a) == 1
+    assert len([f for f in files_before if f in after]) == 1
+    # the sidecar only referenced file A → folded: no live DVs remain
+    assert ds._live_dvs() == []
+    # data correct, deletions materialized
+    assert ds.read(spark).count() == 170
+    assert ds.read(spark, filter="id < 30").count() == 0
+    # time travel to the pre-compact version still applies the DV
+    assert ds.read(spark, version=v - 1).count() == 170
+
+
+def test_compact_small_below_threshold_noop(spark, tmp_path_str):
+    ds = _two_file_ds(spark, tmp_path_str + "/t")
+    ds.delete_where(spark, "id < 10", dv=True)  # 10% < 20%
+    assert ds.compact_small(spark, small_bytes=1, tombstone_ratio=0.2) is None
+    assert ds._live_dvs()  # sidecar untouched
+
+
+def test_compact_small_keeps_sidecar_spanning_surviving_file(spark, tmp_path_str):
+    """A sidecar that tombstones BOTH files, with only one file heavy:
+    the heavy file is rewritten but the sidecar stays live (it still
+    masks rows of the surviving file) — and reads stay exact."""
+    ds = _two_file_ds(spark, tmp_path_str + "/t")
+    # 30 dead rows in file A, 1 dead row in file B — one sidecar
+    ds.delete_where(spark, "id < 30 OR id = 150", dv=True)
+    v = ds.compact_small(spark, small_bytes=1, tombstone_ratio=0.2)
+    assert v is not None
+    assert ds._live_dvs()  # still live: it masks id=150 in file B
+    assert ds.read(spark).count() == 169
+    assert ds.read(spark, filter="id = 150").count() == 0
+
+
+def test_optimize_binpack_sql_materializes_dvs(spark, tmp_path_str):
+    """OPTIMIZE ... BINPACK on a heavily-tombstoned table through the
+    SQL surface: deletions materialize, sidecars reset, and t$files
+    reflects the rewrite."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/cat"))
+    eng.execute(
+        """CREATE TABLE hot (id BIGINT, val DOUBLE)
+           WITH ('connector' = 'lance', 'delete.mode' = 'deletion-vector')"""
+    )
+    spark.range(0, 1000).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS val"
+    ).createOrReplaceTempView("hot_src")
+    eng.execute("INSERT INTO hot SELECT * FROM hot_src")
+    eng.execute("DELETE FROM hot WHERE id % 2 = 0")  # 50% dead
+    ds = eng.catalog.load_table("default", "hot")
+    assert ds._live_dvs()
+    files_before = set(ds.live_file_relpaths())
+    eng.execute("OPTIMIZE hot BINPACK")
+    assert ds._live_dvs() == []  # sidecars folded into the rewrite
+    files_after = set(ds.live_file_relpaths())
+    assert files_before.isdisjoint(files_after)  # every hot file rewritten
+    eng._register("hot")
+    n = eng.execute("SELECT COUNT(*) AS n FROM hot").collect()[0]["n"]
+    assert n == 500
+    # t$files: only the rewritten file(s) remain, rows reflect the purge
+    frows = eng.execute("SELECT * FROM hot$files").collect()
+    assert {r["file"] for r in frows} == files_after
+    assert sum(r["rows"] for r in frows) == 500
