@@ -367,10 +367,19 @@ class HNSWIndex:
 
     def _rebuild_graphs(self, spark: SparkSession, meta: dict, centroid_ids) -> None:
         """Dynamic partition overwrite of the given graphs/ partitions
-        from the current lists/ contents (shared by add and repair)."""
+        from the current lists/ contents (shared by add, resync and
+        repair). Dataset-bound indexes rebuild from the MASKED rows
+        (dead addresses excluded), so a rebuilt graph carries no stale
+        node for an updated-then-re-added id — the one case the
+        id-space query mask cannot distinguish (the id has a live
+        copy, so it must not be masked, yet the stale node would
+        surface near the OLD location with a stale distance)."""
         vec_col, id_col = meta["vec_col"], meta.get("hnsw_id_col", "vec_id")
-        lists = spark.read.parquet(fsio.join(self.path, "lists")).filter(
-            F.col("centroid_id").isin(list(centroid_ids))
+        lists = self.ivf._dv_mask(
+            spark,
+            spark.read.parquet(fsio.join(self.path, "lists")).filter(
+                F.col("centroid_id").isin(list(centroid_ids))
+            ),
         )
         old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -394,6 +403,39 @@ class HNSWIndex:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    def resync(self, spark: SparkSession) -> int:
+        """Catch a dataset-bound graph index up with its Dataset (see
+        IVFIndex.resync): the keyed delta folds through :meth:`add`
+        (touched lists' graphs rebuild, dead rows excluded), and lists
+        still holding DEAD rows are rebuilt too — the Lucene
+        "merge segments with deletes" maintenance step, so no rebuilt
+        graph navigates through stale nodes. Returns the number of
+        rebuilt lists (0 when current)."""
+        new = self.ivf._resync_delta(spark)
+        n_added = self.add(spark, new) if new is not None else 0
+        # purge dead rows out of the lists, then rebuild exactly the
+        # purged lists' graphs from the now-clean rows; a fully-purged
+        # list's graph partition is deleted outright. Purging (not just
+        # masked rebuilding) keeps resync idempotent: dead rows no
+        # longer linger to re-trigger rebuilds on every call.
+        purged = self.ivf.purge_dead(spark)
+        if purged:
+            meta = fsio.read_json(fsio.join(self.path, META))
+            base = fsio.join(self.path, "lists")
+            alive = [
+                cid
+                for cid in purged
+                if fsio.exists(fsio.join(base, f"centroid_id={cid}"))
+            ]
+            if alive:
+                self._rebuild_graphs(spark, meta, alive)
+            for cid in purged:
+                if cid not in alive:
+                    fsio.delete(
+                        fsio.join(self.path, "graphs", f"centroid_id={cid}")
+                    )
+        return n_added + len(purged)
 
     def repair(self, spark: SparkSession) -> list[int]:
         """Reconcile graphs/ with lists/ after an interrupted add:

@@ -522,6 +522,49 @@ class IVFIndex:
             fsio.write_json_atomic(fsio.join(self.path, META), meta)
         return touched
 
+    def _resync_delta(self, spark: SparkSession) -> DataFrame | None:
+        """The keyed rows of every dataset fragment newer than the
+        index's recorded version, or None when the index is current
+        (advancing the recorded version for metadata-only commits) —
+        shared by IVFIndex.resync and HNSWIndex.resync."""
+        from lance_flink_spark.sources.dataset import Dataset
+
+        meta = self._meta()
+        dp = meta.get("dataset_path")
+        if not dp:
+            raise ValueError("index is not dataset-bound (built without dataset=)")
+        ds = Dataset(dp)
+        since = int(meta.get("dataset_version", 0))
+        if len(ds.versions()) == since:
+            return None
+        new = ds.keyed_read(spark, since_version=since)
+        if not new.take(1):
+            # metadata-only commits since (pure DV deletes, restores):
+            # nothing to re-key, but record the version so the next
+            # resync skips the empty probe
+            meta["dataset_version"] = len(ds.versions())
+            meta["dataset_files"] = sorted(
+                set(meta.get("dataset_files") or []) | set(ds.live_file_relpaths())
+            )
+            fsio.write_json_atomic(fsio.join(self.path, META), meta)
+            return None
+        return new
+
+    def resync(self, spark: SparkSession) -> list[int]:
+        """Catch a dataset-bound index up with its Dataset: fold every
+        fragment newer than the index's recorded dataset version via
+        one incremental ``add`` of the keyed delta (appends since the
+        last build/add/resync, AND the rewrite fragments a compaction
+        produced — Lance's index-remap story: rewritten rows re-enter
+        under their new addresses while the old addresses stay masked
+        by the removed-files diff). Cost ∝ new fragments' rows, never
+        index or table size. Returns the touched list ids ([] when
+        already current)."""
+        new = self._resync_delta(spark)
+        if new is None:
+            return []
+        return self.add(spark, new)
+
     def compact_lists(self, spark: SparkSession, min_files: int = 2) -> list[int]:
         """Compact fragmented inverted-list partitions (Lance's
         index-optimize step after incremental updates): every ``add``
@@ -561,10 +604,20 @@ class IVFIndex:
         if not frag:
             return []
         lists = spark.read.parquet(base).filter(F.col("centroid_id").isin(frag))
+        self._staged_partition_swap(base, lists, frag)
+        return sorted(frag)
+
+    def _staged_partition_swap(
+        self, base: str, frame: DataFrame, cids: list[int]
+    ) -> None:
+        """Atomically replace the given ``centroid_id`` partitions of
+        ``base`` with ``frame``'s rows (staged write + per-partition
+        backup-rename swap — see compact_lists crash-safety notes). A
+        partition with NO rows in ``frame`` is removed outright."""
         stage = fsio.join(self.path, "lists_compacting")
         fsio.delete(stage)  # leftovers from a previous failed run
         (
-            lists.repartition("centroid_id")
+            frame.repartition("centroid_id")
             .write.partitionBy("centroid_id")
             .mode("overwrite")
             .parquet(stage)
@@ -572,16 +625,47 @@ class IVFIndex:
         # swap: live -> hidden backup, staged -> live, drop backup.
         # Hidden (dot-prefixed) dirs are invisible to Spark's file
         # listing, so readers never see a half-renamed partition twice.
-        for cid in frag:
+        for cid in cids:
             part = f"centroid_id={cid}"
             live = fsio.join(base, part)
             backup = fsio.join(base, f".compact-old-{part}")
             fsio.delete(backup)
             fsio.rename(live, backup)
-            fsio.rename(fsio.join(stage, part), live)
+            if fsio.exists(fsio.join(stage, part)):
+                fsio.rename(fsio.join(stage, part), live)
+            # else: every row of this partition was purged — it simply
+            # stops existing (the backup is dropped below)
             fsio.delete(backup)
         fsio.delete(stage)
-        return sorted(frag)
+
+    def purge_dead(self, spark: SparkSession) -> list[int]:
+        """Physically drop DEAD rows (tombstoned / removed-file
+        addresses) from the inverted lists — the vacuum half of index
+        maintenance (Lucene's "merge away deletes"): after a purge the
+        query-time mask has nothing left to do for those lists, graph
+        rebuilds see only live rows, and repeated resyncs are
+        idempotent (dead rows no longer re-trigger rebuilds). Only the
+        partitions that actually hold dead rows are rewritten (staged
+        swap, crash-safe); returns their sorted ids ([] when clean or
+        unbound)."""
+        base = fsio.join(self.path, "lists")
+        self._heal_interrupted_compact(base)
+        lists = spark.read.parquet(base)
+        if "_row_file" not in lists.columns:
+            return []
+        live = self._dv_mask(spark, lists)
+        dead_cids = sorted(
+            int(r[0])
+            for r in lists.select("centroid_id")
+            .exceptAll(live.select("centroid_id"))
+            .distinct()
+            .collect()
+        )
+        if not dead_cids:
+            return []
+        keep = live.filter(F.col("centroid_id").isin(dead_cids))
+        self._staged_partition_swap(base, keep, dead_cids)
+        return dead_cids
 
     @staticmethod
     def _heal_interrupted_compact(base: str) -> None:
@@ -788,7 +872,16 @@ class IVFIndex:
             dead = rm if dead is None else dead.unionByName(rm)
         if dead is None:
             return None
-        return dead.select(id_col).distinct()
+        # an id is masked only when NO live copy of it remains: after
+        # an update-then-re-add (or a post-compaction resync) the same
+        # id has a dead old-address row AND a live new-address row —
+        # the live copy must win, or re-indexed rows vanish forever
+        live_ids = self._dv_mask(spark, lists).select(id_col).distinct()
+        return (
+            dead.select(id_col)
+            .distinct()
+            .join(live_ids, id_col, "left_anti")
+        )
 
     def _probe_lists(
         self, spark: SparkSession, query_vec: list[float], nprobes: int, metric: str = "l2"

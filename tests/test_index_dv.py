@@ -193,3 +193,67 @@ def test_search_outputs_hide_address_columns(spark, bound):
     ds, idx = bound
     cols = set(idx.search(spark, [0.0] * 4, k=3, nprobes=4).columns)
     assert not cols & {"_row_file", "_row_pos"}
+
+
+def test_hnsw_readd_after_delete_survives_mask(spark, tmp_path_str):
+    """The id-space mask must not kill an id that was deleted and then
+    RE-ADDED (live copy exists): update-dv + resync, then search finds
+    the moved vector under its new address."""
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_vecs(spark, range(60), [0.0, 0.0, 0.0, 0.0], sigma=1.0))
+    idx = HNSWIndex.build(
+        spark, None, tmp_path_str + "/h", nlist=2, m=8, ef_construction=32,
+        sample_size=512, dataset=ds,
+    )
+    assert ds.update_where(
+        spark, "vec_id = 7", {"embedding": "array(9.0f, 9.0f, 9.0f, 9.0f)"}, dv=True
+    )
+    assert idx.resync(spark) >= 1  # fold the update's new fragment
+    hits = idx.search(spark, [9.0] * 4, k=1, nprobes=2, ef=80).collect()
+    assert hits and hits[0]["vec_id"] == 7
+    # the STALE node is gone (resync purged + rebuilt its list's
+    # graph): id 7 now scores from its NEW vector only — an
+    # old-location search sees it at the far distance, never the
+    # stale near one
+    old = {
+        r["vec_id"]: r["distance"]
+        for r in idx.search(spark, [0.0] * 4, k=60, nprobes=2, ef=200).collect()
+    }
+    assert old[7] > 10.0  # ||(9,9,9,9)|| ≈ 18; the stale node was ~1
+    # exactly one graph node per id remains after the purge
+    lists = spark.read.parquet(idx.path + "/lists")
+    assert lists.filter("vec_id = 7").count() == 1
+    # purge is idempotent: nothing dead remains
+    assert idx.ivf.purge_dead(spark) == []
+
+
+def test_resync_after_compaction_restores_results(spark, tmp_path_str):
+    """Compaction rewrites live rows into new files; the mask
+    conservatively drops the old addresses — resync() folds the
+    rewrite fragments back in under their new addresses (Lance's
+    index-remap story) and full-probe search equals brute again."""
+    from lance_flink_spark.operators.similarity import knn
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_vecs(spark, range(80), [0.0, 0.0, 0.0, 0.0], sigma=1.0))
+    idx = IVFIndex.build(
+        spark, None, tmp_path_str + "/idx", nlist=4, sample_size=512, dataset=ds
+    )
+    ds.delete_where(spark, "vec_id % 3 = 0", dv=True)
+    ds.compact(spark)  # materializes the DVs, rewrites every live row
+    # post-compaction, the mask hides the rewritten rows: results thin out
+    assert idx.search(spark, [0.0] * 4, k=10, nprobes=4).count() < 10
+    assert idx.resync(spark)
+    q = [0.2, 0.1, 0.0, 0.3]
+    masked = idx.search(spark, q, k=10, nprobes=4).select("vec_id", "distance")
+    brute = knn(ds.read(spark), q, 10, metric="l2").select("vec_id", "distance")
+    assert [tuple(r) for r in masked.collect()] == [tuple(r) for r in brute.collect()]
+    # idempotent: nothing new → no-op
+    assert idx.resync(spark) == []
+
+
+def test_resync_metadata_only_commits_noop(spark, bound):
+    ds, idx = bound
+    ds.delete_where(spark, "vec_id = 1", dv=True)  # metadata-only commit
+    assert idx.resync(spark) == []
+    assert idx._meta()["dataset_version"] == len(ds.versions())
