@@ -158,10 +158,17 @@ def agg_approx_exactness(spark, sf_dir):
             ["l_returnflag"],
         ).select("l_returnflag", F.col("estimate").alias("est_b"))
     )
-    exact = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("aq50"),
-    ).join(
+    # countDistinct and percentile_approx must NOT share one agg:
+    # COUNT DISTINCT plans an Expand (2x rows) and the TypedImperative
+    # percentile state then rides a SortAggregate over the expanded
+    # rows — ~10s vs ~1s for the two aggs separately (3-row join)
+    cd = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    aq = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("aq50")
+    )
+    exact = cd.join(F.broadcast(aq), "l_returnflag").join(
         # exact p45/p55 envelope bounds via the rank construction —
         # never Spark's exact `percentile` aggregate, whose per-group
         # value→count map is the single-buffer hazard this repo bans
