@@ -78,7 +78,8 @@ def with_distributed_row_number(
     key = F.col(key_col)
 
     probs = [i / buckets for i in range(1, buckets)]
-    cuts = sorted(set(df.approxQuantile(key_col, probs, 0.001)))
+    # loose accuracy: cuts only balance buckets; ranks stay exact
+    cuts = sorted(set(df.approxQuantile(key_col, probs, 0.01)))
 
     order_key = key.desc() if descending else key.asc()
     signed_bucket = _bucket_of(key, cuts)
@@ -170,7 +171,8 @@ def with_distributed_ntiles(
     spark = df.sparkSession
     keys = [k for k, _, _ in axes]
     probs = [i / buckets for i in range(1, buckets)]
-    all_cuts = df.approxQuantile(keys, probs, 0.001)
+    # loose accuracy: cuts only balance buckets; ranks stay exact
+    all_cuts = df.approxQuantile(keys, probs, 0.01)
     cuts_by_axis = {k: sorted(set(c)) for k, c in zip(keys, all_cuts)}
 
     bucket_cols = []
