@@ -1374,6 +1374,7 @@ class Dataset:
         version: int | None = None,
         checkpoint_every: int = 16,
         update_preimages: bool = False,
+        suppress_unchanged: bool = True,
     ) -> DataFrame:
         """Change data feed (Delta CDF / Flink CDC analogue): row-level
         changes between ``since_version`` (exclusive) and ``version``
@@ -1402,7 +1403,16 @@ class Dataset:
         contract: changed rows emit BOTH an ``update_preimage`` (the
         old payload) and an ``update_postimage`` row, which is what
         incremental aggregate maintenance needs (subtract the old,
-        add the new — see sources/matview.py)."""
+        add the new — see sources/matview.py).
+
+        ``suppress_unchanged=False`` skips the payload-diff set
+        operations and emits an update pair for EVERY matched key,
+        including rows a mutation carried forward byte-identical —
+        the pairs cancel in any delta-algebra consumer (subtract old,
+        add new), so incremental aggregates take this mode to save
+        two wide shuffles per mutation version. Row-level consumers
+        that display or route updates keep the default (an unchanged
+        row is not a change)."""
         from pyspark.sql import functions as F
 
         man = self._load_manifest()["versions"]
@@ -1461,14 +1471,18 @@ class Dataset:
                 old = self._dv_preimages(spark, dvf)
                 cols = [f.name for f in old.schema.fields]
                 new_c = new.select(*cols)
-                updates = new_c.exceptAll(old).withColumn(
+                if suppress_unchanged:
+                    updates = new_c.exceptAll(old)
+                    pre = old.exceptAll(new_c)
+                else:
+                    updates, pre = new_c, old
+                piece = updates.withColumn(
                     "_change_type",
                     F.lit("update_postimage" if update_preimages else "update"),
                 )
-                piece = updates
                 if update_preimages:
                     piece = piece.unionByName(
-                        old.exceptAll(new_c).withColumn(
+                        pre.withColumn(
                             "_change_type", F.lit("update_preimage")
                         )
                     )
@@ -1498,10 +1512,16 @@ class Dataset:
             )
             # rows present on both sides: emit as update only when the
             # payload actually changed (a mutation rewrite carries
-            # untouched rows of affected files forward unchanged)
+            # untouched rows of affected files forward unchanged);
+            # suppress_unchanged=False emits every matched pair (the
+            # delta-algebra consumers cancel them — two fewer shuffles)
             survivors = new.join(old_keys, key, "left_semi")
-            unchanged = survivors.intersect(old)
-            updates = survivors.exceptAll(unchanged).withColumn(
+            if suppress_unchanged:
+                unchanged = survivors.intersect(old)
+                changed = survivors.exceptAll(unchanged)
+            else:
+                changed = survivors
+            updates = changed.withColumn(
                 "_change_type",
                 F.lit("update_postimage" if update_preimages else "update"),
             )
@@ -1510,11 +1530,17 @@ class Dataset:
                 # the old payloads of exactly the keys whose payload
                 # changed — pre-image rows old-side, mirroring the
                 # postimages new-side
-                changed_keys = updates.select(key).distinct()
-                pre = old.join(changed_keys, key, "left_semi").withColumn(
-                    "_change_type", F.lit("update_preimage")
+                if suppress_unchanged:
+                    pre_rows = old.join(
+                        changed.select(key).distinct(), key, "left_semi"
+                    )
+                else:
+                    pre_rows = old.join(new_keys, key, "left_semi")
+                piece = piece.unionByName(
+                    pre_rows.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
                 )
-                piece = piece.unionByName(pre)
             pieces.append(piece.withColumn("_version", F.lit(v["version"])))
         if not pieces:
             return self.read(spark).limit(0).withColumn(

@@ -106,6 +106,9 @@ class MaterializedAggregate:
                     since_version=last,
                     version=latest,
                     update_preimages=True,
+                    # unchanged pre/post pairs cancel in the delta
+                    # algebra below — skip the payload-diff shuffles
+                    suppress_unchanged=False,
                 )
             except ValueError:
                 # overwrite in range: no lineage — rebuild from the
@@ -309,6 +312,8 @@ class MaterializedQuantileSketch:
                     since_version=last,
                     version=latest,
                     update_preimages=True,
+                    # unchanged pairs cancel in the signed bin algebra
+                    suppress_unchanged=False,
                 )
             except ValueError:
                 changes = None
