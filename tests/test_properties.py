@@ -310,3 +310,100 @@ def test_distributed_ntile_matches_window_ntile(vals, n, descending):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    ps=st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+    buckets=st.sampled_from([2, 5, 64]),
+)
+def test_grouped_percentiles_matches_numpy_reference(vals, ps, buckets):
+    """grouped_percentiles vs numpy.percentile(linear) — an entirely
+    independent implementation of the same interpolation — on random
+    grouped integers, across degenerate bucket counts (2 buckets force
+    multi-row buckets; 64 >> n forces singleton/empty buckets)."""
+    import numpy as np
+
+    from lance_flink_spark.operators.quantiles import grouped_percentiles
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in vals], "g int, v double"
+    )
+    names = {f"p{int(p*100)}": p for p in ps}
+    got = {
+        r["g"]: [r[a] for a in names]
+        for r in grouped_percentiles(
+            df, "v", names, group_cols=["g"], buckets=buckets
+        ).collect()
+    }
+    want = {}
+    for g in {g for g, _ in vals}:
+        arr = np.array([float(v) for gg, v in vals if gg == g])
+        want[g] = [float(np.percentile(arr, p * 100, method="linear")) for p in ps]
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # key
+            st.integers(0, 99),           # value payload
+            st.booleans(),                # is_delete
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_batches=st.integers(1, 4),
+)
+def test_upsert_sink_matches_dict_fold(tmp_path_factory, ops, n_batches):
+    """UpsertDatasetSink vs a plain python dict fold: the same
+    changelog (sequenced by position) split into arbitrary batch
+    boundaries must materialize to the dict's final state — batch
+    boundaries and intra-batch folding must never change the answer."""
+    from lance_flink_spark.sources.dataset import Dataset
+    from lance_flink_spark.streaming.upsert import UpsertDatasetSink
+
+    spark = _get_spark()
+    path = str(tmp_path_factory.mktemp("ups"))
+    sink = UpsertDatasetSink(path + "/t", key="k", seq_cols=["seq"])
+    seqd = [(k, v, i, "D" if d else "U") for i, (k, v, d) in enumerate(ops)]
+    # arbitrary batch boundaries
+    size = max(1, len(seqd) // n_batches)
+    for b in range(0, len(seqd), size):
+        batch = spark.createDataFrame(
+            seqd[b : b + size], "k long, v long, seq long, _op string"
+        )
+        sink.write_batch(batch, b)
+    ref: dict[int, int] = {}
+    for k, v, _i, op in seqd:
+        if op == "D":
+            ref.pop(k, None)
+        else:
+            ref[k] = v
+    ds = Dataset(path + "/t")
+    if not ref:
+        got = {}
+        try:
+            got = {
+                r["k"]: r["v"] for r in ds.read(spark).select("k", "v").collect()
+            }
+        except FileNotFoundError:
+            pass  # nothing ever landed (all-delete changelog)
+    else:
+        got = {r["k"]: r["v"] for r in ds.read(spark).select("k", "v").collect()}
+    assert got == ref
