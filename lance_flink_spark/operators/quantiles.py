@@ -266,11 +266,13 @@ def grouped_percentiles(
        regime; many tiny groups should use a plain per-group window)
        → per-group prefix offsets and row totals;
     4. for each requested percentile p the two straddling global
-       ranks lo = ⌊1 + p·(N−1)⌋ and hi = ⌈·⌉ are computed driver-side
-       per group, broadcast, and picked up by a 2-rows-per-(group, p)
-       equi-join; the readout interpolates v_lo + (v_hi − v_lo)·frac
-       — the exact expression Spark's Percentile and DuckDB's
-       quantile_cont evaluate, so hashes match bit-for-bit.
+       ranks of pos = p·(N−1) are computed driver-side per group,
+       broadcast, and picked up by a 2-rows-per-(group, p) equi-join;
+       the readout evaluates (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi —
+       the exact weighted-sum expression Spark's Percentile and
+       DuckDB's quantile_cont evaluate (NOT the algebraically-equal
+       lerp form, whose different fp rounding flips ROUND
+       boundaries), so hashes match bit-for-bit.
 
     Returns one row per group with a double column per
     ``percentiles`` alias. Nulls in ``value_col`` are ignored (SQL
@@ -320,12 +322,22 @@ def grouped_percentiles(
             acc += c
         n = acc
         for p in percentiles.values():
-            pos = 1.0 + p * (n - 1)
-            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
-            frac = pos - lo
-            targets.append((*g, float(p), lo, False, float(frac)))
-            if hi != lo:
-                targets.append((*g, float(p), hi, True, float(frac)))
+            # Bit-exact Spark/DuckDB interpolation: both engines
+            # evaluate the WEIGHTED-SUM form
+            #   (ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi
+            # over pos = p * (n - 1) — NOT the algebraically-equal
+            # v_lo + (v_hi - v_lo) * frac, whose different rounding
+            # error flips ROUND(x, 2) boundaries at real row counts
+            # (observed: 448983.14499999996 vs ...500000002 at sf0.1).
+            # Both weights are computed driver-side in full precision.
+            rank = p * (n - 1)
+            lo0, hi0 = math.floor(rank), math.ceil(rank)
+            lo, hi = int(lo0) + 1, int(hi0) + 1
+            if hi == lo:
+                targets.append((*g, float(p), lo, 1.0))
+            else:
+                targets.append((*g, float(p), lo, float(hi0 - rank)))
+                targets.append((*g, float(p), hi, float(rank - lo0)))
     if not targets:
         empty = df.select(*group_cols).limit(0)
         for alias in percentiles:
@@ -342,7 +354,7 @@ def grouped_percentiles(
     tgt_df = F.broadcast(
         spark.createDataFrame(
             targets,
-            f"{gschema}{sep}__p double, __grank long, __hi boolean, __frac double",
+            f"{gschema}{sep}__p double, __grank long, __w double",
         )
     )
 
@@ -357,19 +369,14 @@ def grouped_percentiles(
     picked = ranked.join(tgt_df, [*group_cols, "__grank"]).select(
         *group_cols,
         "__p",
-        "__hi",
-        "__frac",
-        F.col(value_col).cast("double").alias("__v"),
+        (F.col(value_col).cast("double") * F.col("__w")).alias("__wv"),
     )
-    # ≤ 2 rows per (group, percentile) from here on — tiny aggregates
-    per_p = picked.groupBy(*group_cols, "__p", "__frac").agg(
-        F.max(F.when(~F.col("__hi"), F.col("__v"))).alias("__lo_v"),
-        F.max(F.when(F.col("__hi"), F.col("__v"))).alias("__hi_v"),
+    # ≤ 2 rows per (group, percentile) from here on — a tiny weighted
+    # sum (IEEE addition is commutative, so the 2-term sum is
+    # order-independent and bit-exact vs the engines' w_lo·v + w_hi·v)
+    per_p = picked.groupBy(*group_cols, "__p").agg(
+        F.sum("__wv").alias("__res")
     )
-    interp = F.col("__lo_v") + (
-        F.coalesce(F.col("__hi_v"), F.col("__lo_v")) - F.col("__lo_v")
-    ) * F.col("__frac")
-    per_p = per_p.withColumn("__res", interp)
     return per_p.groupBy(*group_cols).agg(
         *[
             F.max(F.when(F.col("__p") == F.lit(float(p)), F.col("__res"))).alias(
