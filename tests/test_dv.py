@@ -575,3 +575,23 @@ def test_optimize_binpack_sql_materializes_dvs(spark, tmp_path_str):
     frows = eng.execute("SELECT * FROM hot$files").collect()
     assert {r["file"] for r in frows} == files_after
     assert sum(r["rows"] for r in frows) == 500
+
+
+def test_vacuum_reclaims_folded_sidecars(spark, tmp_path_str):
+    """Once a tombstone-heavy compact folds a sidecar and the
+    pre-compact versions expire, vacuum physically reclaims the
+    sidecar files (they were load-bearing only for time travel)."""
+    import os
+
+    ds = _two_file_ds(spark, tmp_path_str + "/t")
+    ds.delete_where(spark, "id < 30", dv=True)
+    dv_frag = ds._live_dvs()[0]
+    assert ds.compact_small(spark, small_bytes=1, tombstone_ratio=0.2)
+    assert ds._live_dvs() == []  # folded
+    # sidecar still on disk: the pre-compact version needs it
+    assert os.path.exists(os.path.join(tmp_path_str, "t", dv_frag))
+    ds.vacuum(keep_versions=1)
+    assert not os.path.exists(os.path.join(tmp_path_str, "t", dv_frag))
+    # data intact after the reclaim
+    assert ds.read(spark).count() == 170
+    assert ds.read(spark, filter="id < 30").count() == 0
