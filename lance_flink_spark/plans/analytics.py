@@ -206,9 +206,13 @@ def events_value_outliers(spark, sf_dir):
     and never builds a per-group map."""
     from lance_flink_spark.operators.quantiles import grouped_percentiles
 
+    # persist the cents projection: the med/mad rank passes and the
+    # final outlier aggregate drive ~7 actions over this frame — one
+    # cached scan instead of seven parquet re-reads (same pattern as
+    # plans/quality.py's span grid)
     e = table(spark, sf_dir, "events").select(
         "event_type", F.expr(_CENTS).alias("vc")
-    )
+    ).persist()
     med = grouped_percentiles(e, "vc", {"med_c": 0.5}, group_cols=["event_type"])
     dev = e.join(bcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("vc") - F.col("med_c"))
