@@ -20,7 +20,16 @@ idempotency tag recorded atomically inside the manifest commit:
   the stored row — lexicographic over the sequence columns), the
   event-time last-writer-wins that Flink's deduplicate-then-upsert
   pipelines implement. Without ``seq_cols`` the stream must be
-  per-key ordered (the upsert-kafka contract).
+  per-key ordered (the upsert-kafka contract);
+- delete tombstone MEMORY: a delete physically removes the row, so a
+  stale change arriving in a LATER batch would otherwise resurrect it
+  through the NOT-MATCHED insert path. With ``seq_cols`` the sink
+  keeps a retraction log (its own tiny Dataset beside the state
+  table: one (key, seq) row per applied delete, idempotent per batch
+  tag) and drops incoming changes older than the key's last
+  retraction before merging — delete-then-stale-update converges to
+  "deleted" regardless of arrival order. The log is delete-sized and
+  broadcast into the filter.
 """
 
 from __future__ import annotations
@@ -67,6 +76,10 @@ class UpsertDatasetSink:
         self.op_col = op_col
         self.seq_cols = list(seq_cols or [])
         self.delete_ops = tuple(delete_ops)
+        # tombstone memory for out-of-order changelogs (see module
+        # docstring); lives beside the state table, NOT under data/
+        # (invisible to the state table's fragment globs and vacuum)
+        self.retractions = Dataset(path.rstrip("/") + "_retractions")
 
     def _fold_batch(self, df: DataFrame) -> DataFrame:
         """Newest change per key within the batch (by seq_cols); with
@@ -83,6 +96,43 @@ class UpsertDatasetSink:
             .drop("__rn")
         )
 
+    def _log_retractions(self, folded: DataFrame, tag: str) -> None:
+        """Remember this batch's deletes (key, seq) in the retraction
+        log BEFORE merging — tagged, so replays no-op. Log-then-merge
+        ordering is the crash-safe direction: a crash in between
+        replays into a no-op log write + a fresh merge, while the
+        reverse order could commit the merge and lose the memory."""
+        if not self.seq_cols:
+            return
+        dels = folded.filter(
+            F.col(self.op_col).isin(list(self.delete_ops))
+        ).select(self.key, *self.seq_cols)
+        if not dels.take(1):
+            return
+        self.retractions.write(dels, mode="append", tag=tag)
+
+    def _drop_pre_retraction(self, spark, folded: DataFrame) -> DataFrame:
+        """Drop changes STRICTLY older than the key's last logged
+        retraction: a stale update arriving after a newer delete must
+        not resurrect the row through the NOT-MATCHED insert path.
+        Strict (<) so a replayed delete (seq == its own log entry)
+        still reaches the merge. The log is delete-sized — broadcast."""
+        if not self.seq_cols or not self.retractions.versions():
+            return folded
+        r = (
+            self.retractions.read(spark)
+            .groupBy(self.key)
+            .agg(F.max(F.struct(*self.seq_cols)).alias("__rseq"))
+        )
+        return (
+            folded.join(F.broadcast(r), self.key, "left")
+            .filter(
+                F.col("__rseq").isNull()
+                | (F.struct(*self.seq_cols) >= F.col("__rseq"))
+            )
+            .drop("__rseq")
+        )
+
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook — idempotent via the manifest tag."""
         spark = df.sparkSession
@@ -90,12 +140,14 @@ class UpsertDatasetSink:
         if self.dataset.find_tag(tag) is not None:
             return  # replayed batch: already folded, exactly-once no-op
         folded = self._fold_batch(df)
+        self._log_retractions(folded, tag)
+        folded = self._drop_pre_retraction(spark, folded)
         dels = "', '".join(self.delete_ops)
         is_del = f"s.`{self.op_col}` IN ('{dels}')"
         if not self.dataset.versions():
             # first batch bootstraps the table: no state to merge into,
             # surviving upserts land as the initial fragment (deletes
-            # of never-seen keys are no-ops by definition)
+            # of never-seen keys leave only their retraction-log entry)
             first = folded.filter(
                 ~F.col(self.op_col).isin(list(self.delete_ops))
             ).drop(self.op_col)

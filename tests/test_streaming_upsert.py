@@ -134,3 +134,27 @@ def test_streaming_end_to_end_file_replay(spark, tmp_path_str):
     assert {
         (r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()
     } == want
+
+
+def test_stale_update_after_delete_stays_deleted(spark, tmp_path_str):
+    """Tombstone memory: a delete physically removes the row, so a
+    STALE update arriving in a later batch must not resurrect it via
+    the NOT-MATCHED insert path — the retraction log blocks it."""
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k", seq_cols=["seq"])
+    sink.write_batch(_batch(spark, [(1, "a", 10, "U"), (2, "b", 1, "U")]), 0)
+    sink.write_batch(_batch(spark, [(1, "x", 20, "D")]), 1)   # delete, seq 20
+    sink.write_batch(_batch(spark, [(1, "old", 15, "U")]), 2)  # stale: blocked
+    ds = Dataset(tmp_path_str + "/t")
+    assert {r["k"] for r in ds.read(spark).select("k").collect()} == {2}
+    # a genuinely NEWER change legitimately re-creates the key
+    sink.write_batch(_batch(spark, [(1, "new", 30, "U")]), 3)
+    assert {(r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()} == {
+        (2, "b"), (1, "new")
+    }
+    # and a delete of a never-seen key in the BOOTSTRAP batch is
+    # remembered too
+    sink2 = UpsertDatasetSink(tmp_path_str + "/t2", key="k", seq_cols=["seq"])
+    sink2.write_batch(_batch(spark, [(9, "x", 5, "D"), (8, "a", 1, "U")]), 0)
+    sink2.write_batch(_batch(spark, [(9, "stale", 3, "U")]), 1)  # blocked
+    got = {r["k"] for r in Dataset(tmp_path_str + "/t2").read(spark).collect()}
+    assert got == {8}
