@@ -44,16 +44,20 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 def _bucket_of(key: Column, cuts: list[float]) -> Column:
     """#cuts strictly below `key` — monotone non-decreasing in key.
 
-    A fold over a literal array (Catalyst HOF, whole-stage codegen;
-    no Python UDF)."""
-    if not cuts:
-        return F.lit(0)
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    return F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, c: acc + F.when(key > c, F.lit(1)).otherwise(F.lit(0)),
-    )
+    A chain of literal comparisons (plain Catalyst expressions,
+    whole-stage codegen; no Python UDF). Deliberately NOT a
+    higher-order-function fold: an HOF expression as the LINEAGE OF A
+    JOIN KEY trips Spark's constraint propagation when the plan later
+    joins on the derived column again — the inferred isnotnull
+    constraint keeps the lambda body and fails attribute binding on
+    the other side (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; first hit by
+    grouped_percentiles' second join). The chain form is
+    constraint-safe and identical in cost (≤ buckets-1 comparisons
+    per row, codegen'd)."""
+    out: Column = F.lit(0)
+    for c in cuts:
+        out = out + F.when(key > F.lit(float(c)), F.lit(1)).otherwise(F.lit(0))
+    return out
 
 
 def with_distributed_row_number(
@@ -290,18 +294,7 @@ def grouped_percentiles(
     # 0.01 keeps the GK pass cheap where 0.001 made it the dominant
     # cost of the whole operator
     cuts = sorted(set(df.approxQuantile(value_col, probs, 0.01)))
-    # lambda-FREE bucket expression (sum of literal comparisons, same
-    # monotone "#cuts below key" as _bucket_of): a higher-order-function
-    # bucket as the lineage of a JOIN KEY trips Spark's constraint
-    # propagation across the second (targets) join — the inferred
-    # isnotnull constraint keeps the lambda body and fails attribute
-    # binding on the broadcast side (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(
-            F.col(value_col) > F.lit(float(c)), F.lit(1)
-        ).otherwise(F.lit(0))
-    b = df.withColumn("__b", bucket)
+    b = df.withColumn("__b", _bucket_of(F.col(value_col), cuts))
 
     counts = (
         b.groupBy(*group_cols, "__b")

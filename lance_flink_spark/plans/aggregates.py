@@ -228,3 +228,62 @@ def dv_mutation_pipeline(spark, sf_dir):
     return eng.execute(
         "SELECT grp, COUNT(*) AS n, SUM(cents) AS total_cents FROM odv GROUP BY grp"
     )
+
+
+@query(
+    "sql_upsert_table",
+    extra=True,
+    oracle="""
+    SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def sql_upsert_table(spark, sf_dir):
+    """PRIMARY KEY upsert table through the SQL surface (Flink
+    upsert-sink semantics: INSERT INTO materializes latest state per
+    key; the composite 'sequence-field' makes loads last-writer-wins
+    guarded, so ARBITRARY batch order converges). Events split into
+    two overlapping halves by event_id parity — each half carries
+    rows both newer and older than the other per user — and two
+    INSERT INTO statements must land exactly the batch keep-last
+    oracle. A lost update, a stale clobber, an unguarded insert, or a
+    broken intra-batch fold breaks the hash."""
+    import shutil
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    wh = scratch_dir("upsert_sql" + tag)
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = SqlEngine(spark, Catalog(wh))
+    table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_type",
+        "unix_micros(ts) AS ts_us",
+        "event_id",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents",
+    ).createOrReplaceTempView("__ups_events")
+    eng.execute(
+        """CREATE TABLE latest (user_id BIGINT, event_type STRING,
+                                ts_us BIGINT, event_id BIGINT,
+                                value_cents BIGINT,
+                                PRIMARY KEY (user_id) NOT ENFORCED)
+           WITH ('connector' = 'lance',
+                 'delete.mode' = 'deletion-vector',
+                 'sequence-field' = 'ts_us,event_id')"""
+    )
+    eng.execute(
+        "INSERT INTO latest SELECT * FROM __ups_events WHERE event_id % 2 = 0"
+    )
+    eng.execute(
+        "INSERT INTO latest SELECT * FROM __ups_events WHERE event_id % 2 = 1"
+    )
+    return eng.execute(
+        "SELECT user_id, event_type, ts_us, event_id, value_cents FROM latest"
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -519,6 +519,22 @@ def _parse_create(sql: str):
     )
 
 
+_PK_CLAUSE = re.compile(
+    r",?\s*PRIMARY\s+KEY\s*\(\s*`?(?P<col>\w+)`?\s*\)\s*(?:NOT\s+ENFORCED)?",
+    re.IGNORECASE,
+)
+
+
+def _extract_primary_key(cols: str) -> tuple[str, str | None]:
+    """Split a Flink ``PRIMARY KEY (k) NOT ENFORCED`` table constraint
+    out of the column list (single-column keys — the upsert-sink
+    shape). Returns (columns-without-the-clause, key or None)."""
+    m = _PK_CLAUSE.search(cols)
+    if not m:
+        return cols, None
+    return cols[: m.start()] + cols[m.end() :], m.group("col")
+
+
 def _spark_ddl_types(cols: str) -> str:
     """Flink type spellings Spark's DDL parser or DataFrame layer
     rejects → Spark forms: TIMESTAMP(3) → TIMESTAMP (precision is a
@@ -537,6 +553,8 @@ class SqlEngine:
         self.catalog = catalog
         self.database = database
         self.options: dict[str, DatasetOptions] = {}
+        # tables declared with a PRIMARY KEY: INSERT INTO upserts
+        self.primary_keys: dict[str, str] = {}
         self.matviews: dict = {}
         # logical (non-materialized) views: name -> SELECT text, in
         # creation order (refresh re-expands them in this order so a
@@ -1218,6 +1236,14 @@ class SqlEngine:
         pre_opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_str))
         if pre_opts.get("connector") == "datagen":
             return self._create_datagen(name, cols, pre_opts)
+        # Flink upsert-table surface: PRIMARY KEY (k) NOT ENFORCED in
+        # the column list (or WITH ('primary-key'='k')) switches
+        # INSERT INTO from append to keyed upsert (see _insert)
+        cols, pk = _extract_primary_key(cols)
+        if pk is None:
+            pk = pre_opts.get("primary-key")
+        if pk:
+            self.primary_keys[name] = pk
         schema = T._parse_datatype_string(
             f"struct<{_spark_ddl_types(_strip_comments(cols))}>"
         )
@@ -1816,6 +1842,52 @@ class SqlEngine:
         )
         opts = self.options.get(name)
         ds: Dataset = self.catalog.load_table(self.database, name)
+        pk = self.primary_keys.get(name)
+        if pk and not overwrite:
+            # PRIMARY KEY table: INSERT INTO is an UPSERT (Flink
+            # upsert-sink semantics — the sink materializes latest
+            # state per key). With a declared 'sequence-field' the
+            # batch folds to its newest row per key first and the
+            # update clause is last-writer-wins guarded, so
+            # out-of-order loads cannot clobber newer state; without
+            # one, duplicate keys in one INSERT are refused loudly
+            # (merge_when's dup probe) — batch order is undefined.
+            seq = opts.declared.get("sequence-field") if opts else None
+            src = aligned
+            guard = None
+            if seq:
+                # comma-separated = composite sequence (lexicographic),
+                # e.g. 'ts,event_id' for a tie-broken event-time order
+                from lance_flink_spark.streaming.upsert import _seq_guard
+
+                seq_cols = [c.strip() for c in seq.split(",")]
+                w = Window.partitionBy(pk).orderBy(
+                    *[F.col(c).desc() for c in seq_cols]
+                )
+                src = (
+                    aligned.withColumn("__rn", F.row_number().over(w))
+                    .filter("__rn = 1")
+                    .drop("__rn")
+                )
+                guard = _seq_guard(seq_cols)
+            clauses = [
+                {
+                    "matched": True,
+                    "cond": guard,
+                    "action": "update",
+                    "sets": {
+                        f.name: f"s.`{f.name}`"
+                        for f in target.fields
+                        if f.name != pk
+                    },
+                },
+                {"matched": False, "cond": None, "action": "insert"},
+            ]
+            ds.merge_when(
+                self.spark, src, on=pk, clauses=clauses, dv=self._dv_mode(name)
+            )
+            self._register(name)
+            return None
         ds.write(
             aligned,
             mode="overwrite" if overwrite else "append",

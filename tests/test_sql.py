@@ -1573,3 +1573,68 @@ def test_sql_statement_set(engine, spark):
     )
     assert engine.execute("SELECT * FROM ss_a").count() == 2
     assert engine.execute("SELECT * FROM ss_b").count() == 1
+
+
+# ---------- PRIMARY KEY upsert tables (Flink upsert-sink semantics) ----------
+
+
+def test_pk_table_insert_into_upserts(spark, engine):
+    engine.execute(
+        """CREATE TABLE kv (k BIGINT, v STRING, ts BIGINT,
+                            PRIMARY KEY (k) NOT ENFORCED)
+           WITH ('connector' = 'lance',
+                 'delete.mode' = 'deletion-vector',
+                 'sequence-field' = 'ts')"""
+    )
+    engine.execute("INSERT INTO kv VALUES (1, 'a', 10), (2, 'b', 10)")
+    engine.execute("INSERT INTO kv VALUES (1, 'a2', 20), (3, 'c', 20)")
+    got = {
+        (r["k"], r["v"])
+        for r in engine.execute("SELECT k, v FROM kv").collect()
+    }
+    assert got == {(1, "a2"), (2, "b"), (3, "c")}
+    # out-of-order load: stale row ignored (sequence guard)
+    engine.execute("INSERT INTO kv VALUES (1, 'stale', 5)")
+    assert {
+        (r["k"], r["v"]) for r in engine.execute("SELECT k, v FROM kv").collect()
+    } == got
+    # intra-batch duplicates fold to the newest by sequence
+    engine.execute("INSERT INTO kv VALUES (4, 'x', 1), (4, 'y', 2)")
+    assert engine.execute("SELECT v FROM kv WHERE k = 4").collect()[0]["v"] == "y"
+    # upserts ride the DV path: no data files were rewritten
+    ds = engine.catalog.load_table("default", "kv")
+    assert not any(
+        v.get("removed_files")
+        for v in ds._load_manifest()["versions"]
+        if v["mode"] == "merge-dv"
+    )
+
+
+def test_pk_table_without_sequence_field_rejects_dup_batch(spark, engine):
+    engine.execute(
+        """CREATE TABLE kv2 (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)
+           WITH ('connector' = 'lance')"""
+    )
+    engine.execute("INSERT INTO kv2 VALUES (1, 'a')")
+    engine.execute("INSERT INTO kv2 VALUES (1, 'b'), (2, 'c')")  # upsert
+    assert {
+        (r["k"], r["v"]) for r in engine.execute("SELECT * FROM kv2").collect()
+    } == {(1, "b"), (2, "c")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple rows"):
+        engine.execute("INSERT INTO kv2 VALUES (9, 'x'), (9, 'y')")
+
+
+def test_pk_via_with_option_and_overwrite_resets(spark, engine):
+    engine.execute(
+        """CREATE TABLE kv3 (k BIGINT, v STRING)
+           WITH ('connector' = 'lance', 'primary-key' = 'k')"""
+    )
+    engine.execute("INSERT INTO kv3 VALUES (1, 'a')")
+    engine.execute("INSERT INTO kv3 VALUES (1, 'b')")
+    assert engine.execute("SELECT v FROM kv3").collect()[0]["v"] == "b"
+    engine.execute("INSERT OVERWRITE kv3 VALUES (7, 'z')")
+    assert {
+        (r["k"], r["v"]) for r in engine.execute("SELECT * FROM kv3").collect()
+    } == {(7, "z")}
