@@ -175,6 +175,28 @@ class UpsertDatasetSink:
             spark, folded, on=self.key, clauses=clauses, dv=True, tag=tag
         )
 
+    def compact_log(self, spark) -> int | None:
+        """Fold the retraction log to ONE row per key (its newest
+        retraction) in a single overwrite version — the log is the
+        sink's only growth axis (a row per applied delete), and only
+        the per-key maximum ever matters to the staleness filter. Run
+        like any table maintenance when deletes dominate; returns the
+        new log version (None when there is no log). CAS-protected
+        (snapshot-derived overwrite), so a concurrent batch's append
+        cannot be silently erased."""
+        if not self.seq_cols or not self.retractions.versions():
+            return None
+        base = len(self.retractions.versions())
+        folded = (
+            self.retractions.read(spark)
+            .groupBy(self.key)
+            .agg(F.max(F.struct(*self.seq_cols)).alias("__s"))
+            .select(self.key, "__s.*")
+        )
+        return self.retractions.write(
+            folded, mode="overwrite", expected_version=base
+        )
+
     def attach(self, sdf: DataFrame, checkpoint: str):
         """Wire onto a streaming DataFrame: returns the DataStreamWriter."""
         return sdf.writeStream.foreachBatch(self.write_batch).option(

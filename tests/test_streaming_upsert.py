@@ -158,3 +158,31 @@ def test_stale_update_after_delete_stays_deleted(spark, tmp_path_str):
     sink2.write_batch(_batch(spark, [(9, "stale", 3, "U")]), 1)  # blocked
     got = {r["k"] for r in Dataset(tmp_path_str + "/t2").read(spark).collect()}
     assert got == {8}
+
+
+def test_compact_log_folds_to_one_row_per_key(spark, tmp_path_str):
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k", seq_cols=["seq"])
+    sink.write_batch(_batch(spark, [(1, "a", 1, "U"), (2, "b", 1, "U")]), 0)
+    # delete/re-create cycles across batches: each delete is logged
+    for i, s in enumerate([5, 8, 12], start=1):
+        sink.write_batch(_batch(spark, [(1, "x", s, "D")]), 2 * i)
+        if s != 12:
+            sink.write_batch(_batch(spark, [(1, "r", s + 1, "U")]), 2 * i + 1)
+    sink.write_batch(_batch(spark, [(2, "x", 20, "D")]), 9)
+    assert sink.retractions.read(spark).count() == 4
+    assert sink.compact_log(spark)
+    log = {
+        (r["k"], r["seq"]) for r in sink.retractions.read(spark).collect()
+    }
+    assert log == {(1, 12), (2, 20)}  # newest retraction per key only
+    # semantics preserved: stale changes still blocked after compaction
+    # (both keys' newest ops were deletes, so the state is empty and a
+    # pre-retraction update must not repopulate it)
+    sink.write_batch(_batch(spark, [(2, "stale", 15, "U")]), 10)
+    ds = Dataset(tmp_path_str + "/t")
+    assert ds.read(spark).count() == 0
+    # a genuinely newer change still lands
+    sink.write_batch(_batch(spark, [(2, "fresh", 25, "U")]), 11)
+    assert {(r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()} == {
+        (2, "fresh")
+    }
