@@ -84,15 +84,22 @@ def search_args_from_options(opts: dict) -> dict:
     return out
 
 
-def build_index_from_options(spark: SparkSession, df: DataFrame, path: str, opts: dict):
+def build_index_from_options(
+    spark: SparkSession, df: DataFrame, path: str, opts: dict, dataset=None
+):
     """Build an index from the reference's option-string surface:
-    IVF_HNSW → HNSWIndex (per-list graphs), else IVFIndex."""
+    IVF_HNSW → HNSWIndex (per-list graphs), else IVFIndex.
+
+    ``dataset`` binds the index to a Dataset (pass ``df=None``): index
+    entries carry row addresses and every search masks rows deleted
+    after the build — the SQL surface (CREATE INDEX / vector_search)
+    builds bound so a SQL DELETE is immediately search-visible."""
     args = build_args_from_options(opts)
     if opts.get("index.type", "IVF_PQ").upper() == "IVF_HNSW":
         from lance_flink_spark.index.hnsw import HNSWIndex
 
-        return HNSWIndex.build(spark, df, path, **args)
-    return IVFIndex.build(spark, df, path, **args)
+        return HNSWIndex.build(spark, df, path, dataset=dataset, **args)
+    return IVFIndex.build(spark, df, path, dataset=dataset, **args)
 
 
 def search_index_with_options(

@@ -1502,11 +1502,16 @@ class SqlEngine:
         else:
             from lance_flink_spark.index.options import build_index_from_options
 
+            # BOUND build (df=None + dataset=): the index stores row
+            # addresses, so a later SQL DELETE/UPDATE on the table is
+            # immediately visible to vector_search (tombstoned rows
+            # masked at query time, Lance deletion-file parity)
             build_index_from_options(
                 self.spark,
-                ds.read(self.spark),
+                None,
                 fsio.join(ds.path, "_vector_index", col),
                 {**opts, "index.type": using, "index.column": col},
+                dataset=ds,
             )
             v = ds.versions()[-1]
         return self.spark.createDataFrame(
@@ -1526,9 +1531,12 @@ class SqlEngine:
         opts = self.options.get(name)
         if opts is None or not opts.extra:
             raise ValueError(f"table {name} declares no index.*/vector.* options")
-        df = self.catalog.load_table(self.database, name).read(self.spark)
+        ds = self.catalog.load_table(self.database, name)
         path = path or fsio.join(self.catalog._table_path(self.database, name), "_index")
-        return build_index_from_options(self.spark, df, path, opts.extra)
+        # bound build: later DELETE/UPDATE on the table masks search
+        return build_index_from_options(
+            self.spark, None, path, opts.extra, dataset=ds
+        )
 
     def _alter_add(self, m: re.Match) -> None:
         """Flink ALTER TABLE ... ADD (col type, ...) — Lance add-column

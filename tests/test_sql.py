@@ -1638,3 +1638,41 @@ def test_pk_via_with_option_and_overwrite_resets(spark, engine):
     assert {
         (r["k"], r["v"]) for r in engine.execute("SELECT * FROM kv3").collect()
     } == {(7, "z")}
+
+
+def test_sql_index_is_dv_aware(engine, spark):
+    """CREATE INDEX builds BOUND to the table's Dataset: a SQL DELETE
+    on a dv-mode table is immediately visible to vector_search — the
+    tombstoned rows never come back, and k survivors still return."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).createOrReplaceTempView("dvv_src")
+    engine.execute(
+        """CREATE TABLE dvv (vec_id BIGINT, embedding ARRAY<FLOAT>)
+           WITH ('connector' = 'lance',
+                 'delete.mode' = 'deletion-vector',
+                 'vector.nprobes' = '4')"""
+    )
+    engine.execute("INSERT INTO dvv SELECT * FROM dvv_src")
+    engine.execute(
+        "CREATE INDEX ON dvv (embedding) USING IVF_FLAT WITH ('index.num-partitions' = '4')"
+    )
+    q = ", ".join(str(x) for x in rows[0][1])
+    before = engine.execute(
+        f"SELECT * FROM vector_search('dvv', 'embedding', ARRAY[{q}], 5)"
+    ).collect()
+    dead = [r["vec_id"] for r in before]
+    engine.execute(
+        "DELETE FROM dvv WHERE vec_id IN (%s)" % ",".join(map(str, dead))
+    )
+    after = engine.execute(
+        f"SELECT * FROM vector_search('dvv', 'embedding', ARRAY[{q}], 5)"
+    ).collect()
+    assert len(after) == 5
+    assert not ({r["vec_id"] for r in after} & set(dead))
