@@ -296,11 +296,26 @@ def grouped_percentiles(
     cuts = sorted(set(df.approxQuantile(value_col, probs, 0.01)))
     b = df.withColumn("__b", _bucket_of(F.col(value_col), cuts))
 
+    # ≤ groups × buckets rows when used as intended (FEW groups); the
+    # limit turns a misuse on a high-cardinality group key into a loud
+    # error instead of a silent driver OOM — many-tiny-groups
+    # percentiles belong on a plain per-group window (each group
+    # already fits one task)
+    max_groups = 10_000
+    cap = max_groups * (len(cuts) + 1) + 1
     counts = (
         b.groupBy(*group_cols, "__b")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(cap)
         .collect()
-    )  # ≤ groups × buckets rows — bounded driver work by construction
+    )
+    if len(counts) >= cap:
+        raise ValueError(
+            f"grouped_percentiles saw more than {max_groups} groups — "
+            "this operator targets the few-groups/high-NDV regime; for "
+            "many small groups use percentile over a per-group window "
+            "(each group fits a task) instead"
+        )
     per_group: dict[tuple, list[tuple[int, int]]] = {}
     for r in counts:
         g = tuple(r[c] for c in group_cols)
