@@ -214,7 +214,12 @@ class MaterializedAggregate:
                 else:
                     state = folded
                 # materialize before unpersisting the plan input
-                self.state.write(state, mode="overwrite")
+                # the state IS the aggregate (one row per group): writing it at
+                # full shuffle parallelism produces dozens of near-empty
+                # files each refresh that the NEXT refresh pays to list and
+                # open — 8 files bounds that while still scaling to
+                # many-group MVs
+                self.state.write(state.coalesce(8), mode="overwrite")
                 merged.unpersist()
                 fsio.write_json_atomic(
                     self._meta_path(), {"source_version": latest}
@@ -222,7 +227,7 @@ class MaterializedAggregate:
                 return latest
         # state overwrite + meta update; the state table is
         # single-writer (the refresher), so no CAS is needed here
-        self.state.write(state, mode="overwrite")
+        self.state.write(state.coalesce(8), mode="overwrite")
         fsio.write_json_atomic(
             self._meta_path(), {"source_version": latest}
         )
@@ -335,7 +340,7 @@ class MaterializedQuantileSketch:
             state = self._bin_rows(
                 self.source.read(spark, version=latest), F.lit(1)
             )
-        self.state.write(state, mode="overwrite")
+        self.state.write(state.coalesce(8), mode="overwrite")
         fsio.write_json_atomic(self._meta_path(), {"source_version": latest})
         return latest
 
