@@ -151,6 +151,21 @@ class UpsertDatasetSink:
             first = folded.filter(
                 ~F.col(self.op_col).isin(list(self.delete_ops))
             ).drop(self.op_col)
+            if not self.seq_cols:
+                # same strictness as the merge path (merge_when's dup
+                # probe): without a sequence there is no defined winner
+                dup = (
+                    first.groupBy(self.key)
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"bootstrap batch has multiple rows for key "
+                        f"{dup[0][0]!r} and no seq_cols to pick a winner"
+                    )
             self.dataset.write(first, mode="append", tag=tag)
             return
         guard = _seq_guard(self.seq_cols) if self.seq_cols else None

@@ -186,3 +186,13 @@ def test_compact_log_folds_to_one_row_per_key(spark, tmp_path_str):
     assert {(r["k"], r["v"]) for r in ds.read(spark).select("k", "v").collect()} == {
         (2, "fresh")
     }
+
+
+def test_bootstrap_without_seq_rejects_dup_keys(spark, tmp_path_str):
+    """No seq_cols = no defined winner: duplicate keys are refused in
+    the bootstrap batch exactly like the merge path refuses them."""
+    import pytest as _pytest
+
+    sink = UpsertDatasetSink(tmp_path_str + "/t", key="k")
+    with _pytest.raises(ValueError, match="multiple rows"):
+        sink.write_batch(_batch(spark, [(1, "a", 1, "U"), (1, "b", 2, "U")]), 0)
