@@ -252,9 +252,12 @@ def _graph_builder(
 class HNSWIndex:
     """IVF_HNSW over an IVFIndex layout + per-list graph blobs."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, on_stale: str = "error"):
         self.path = path
-        self.ivf = IVFIndex(path)
+        # the underlying IVF layout carries the staleness guard; HNSW
+        # search entries route its self-heal through THIS resync so the
+        # affected lists' graphs are rebuilt, not just the lists
+        self.ivf = IVFIndex(path, on_stale=on_stale)
 
     @classmethod
     def build(
@@ -510,6 +513,7 @@ class HNSWIndex:
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
+        self.ivf.check_stale(spark, resync_fn=self.resync)
         meta = fsio.read_json(fsio.join(self.path, META))
         self._check_not_pending(meta)
         built = meta.get("hnsw_metric", "l2")
@@ -622,6 +626,7 @@ class HNSWIndex:
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
+        self.ivf.check_stale(spark, resync_fn=self.resync)
         if metric not in ("l2", "cosine", "dot"):
             raise ValueError(f"unsupported metric {metric!r}")
         meta = fsio.read_json(fsio.join(self.path, META))

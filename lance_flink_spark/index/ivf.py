@@ -211,11 +211,37 @@ def _sq_encode_udf(bounds_b, bits: int):
     return sq_encode
 
 
-class IVFIndex:
-    """An IVF index rooted at ``path``; see module docstring for layout."""
+class IndexStale(RuntimeError):
+    """A dataset rewrite (compact / restore / overwrite) relocated live
+    rows after this index's last sync: their old addresses left the
+    live file set, so the query-time mask hides them and search would
+    SILENTLY return a thinned top-k. Call ``resync()`` — or open the
+    index with ``on_stale='resync'`` to self-heal at search time."""
 
-    def __init__(self, path: str):
+
+#: manifest commit modes that RELOCATE live rows (Lance's index-remap
+#: cases). Mutation rewrites (delete/update/merge) keep the documented
+#: conservative mask instead: their default path is a DV commit (which
+#: masks exactly, no relocation), and the non-DV rewrite is pinned as
+#: mask-only in tests/test_index_dv.py.
+_REWRITE_MODES = ("compact", "restore", "overwrite")
+
+
+class IVFIndex:
+    """An IVF index rooted at ``path``; see module docstring for layout.
+
+    ``on_stale`` controls the post-rewrite staleness window of
+    dataset-bound indexes (see :class:`IndexStale`): ``"error"``
+    (default) raises at search entry, ``"resync"`` self-heals (cost ∝
+    fragments written since the last sync, never index size),
+    ``"ignore"`` keeps the bare conservative mask for callers that
+    schedule ``resync()`` themselves."""
+
+    def __init__(self, path: str, on_stale: str = "error"):
+        if on_stale not in ("error", "resync", "ignore"):
+            raise ValueError(f"on_stale must be error|resync|ignore, got {on_stale!r}")
         self.path = path
+        self.on_stale = on_stale
 
     # ---------- build ----------
 
@@ -713,6 +739,7 @@ class IVFIndex:
         from lance_flink_spark.session import ship_package
 
         ship_package(spark)
+        self.check_stale(spark)
         meta = self._meta()
         vec_col = meta["vec_col"]
         cents = _load_npy(fsio.join(self.path, "centroids.npy"))
@@ -786,6 +813,48 @@ class IVFIndex:
         if not meta.get("opq"):
             return None
         return _load_npy(fsio.join(self.path, "rotation.npy"))
+
+    def check_stale(self, spark: SparkSession, resync_fn=None) -> None:
+        """Guard a search entry against silent post-rewrite staleness.
+
+        A compact()/compact_small()/restore() supersedes files whose
+        LIVE rows re-enter the dataset under new addresses; the mask's
+        removed-files diff (correctly) drops the old addresses, but the
+        new ones only reach the index via ``resync`` — in between, a
+        search is quietly missing rows. Detection is metadata-only:
+        one manifest read for post-sync rewrite commits + the same
+        live-file listing the mask pays anyway. No-op for unbound
+        indexes, pure DV deletes (nothing relocates), and rewrites
+        that touched no indexed file. ``resync_fn`` lets HNSW route
+        the self-heal through its graph-rebuilding resync."""
+        meta = self._meta()
+        dp = meta.get("dataset_path")
+        if not dp or self.on_stale == "ignore":
+            return
+        from lance_flink_spark.sources.dataset import Dataset
+
+        ds = Dataset(dp)
+        since = int(meta.get("dataset_version", 0))
+        vs = ds._load_manifest()["versions"]
+        if not any(
+            v["version"] > since and v["mode"] in _REWRITE_MODES for v in vs
+        ):
+            return
+        removed = set(meta.get("dataset_files") or ()) - set(
+            ds.live_file_relpaths()
+        )
+        if not removed:
+            return
+        if self.on_stale == "resync":
+            (resync_fn or self.resync)(spark)
+            return
+        raise IndexStale(
+            f"dataset {dp} was rewritten (compact/restore/overwrite) after "
+            f"this index's last sync: {len(removed)} indexed file(s) left "
+            "the live set, so their surviving rows are invisible to search. "
+            "Call resync(), or open the index with on_stale='resync' "
+            "(self-heal) / on_stale='ignore' (keep the conservative mask)."
+        )
 
     def _dv_mask(self, spark: SparkSession, cand: DataFrame) -> DataFrame:
         """Mask index entries whose source rows are no longer live in
@@ -898,6 +967,7 @@ class IVFIndex:
         else:
             order = (((cents - q) ** 2).sum(1)).argsort()
         probed = [int(i) for i in order[: min(nprobes, len(cents))]]
+        self.check_stale(spark)
         lists = spark.read.parquet(fsio.join(self.path, "lists"))
         # IN-filter on the partition column → directory-level pruning;
         # dataset-bound indexes then mask rows deleted since indexing

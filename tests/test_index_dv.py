@@ -241,8 +241,19 @@ def test_resync_after_compaction_restores_results(spark, tmp_path_str):
     )
     ds.delete_where(spark, "vec_id % 3 = 0", dv=True)
     ds.compact(spark)  # materializes the DVs, rewrites every live row
-    # post-compaction, the mask hides the rewritten rows: results thin out
-    assert idx.search(spark, [0.0] * 4, k=10, nprobes=4).count() < 10
+    # post-compaction the mask hides the rewritten LIVE rows — silent
+    # thinning is wrong answers, so the default search path refuses
+    from lance_flink_spark.index.ivf import IndexStale
+
+    with pytest.raises(IndexStale, match="resync"):
+        idx.search(spark, [0.0] * 4, k=10, nprobes=4).count()
+    # on_stale='ignore' keeps the documented conservative-mask behavior
+    assert (
+        IVFIndex(idx.path, on_stale="ignore")
+        .search(spark, [0.0] * 4, k=10, nprobes=4)
+        .count()
+        < 10
+    )
     assert idx.resync(spark)
     q = [0.2, 0.1, 0.0, 0.3]
     masked = idx.search(spark, q, k=10, nprobes=4).select("vec_id", "distance")
@@ -257,3 +268,55 @@ def test_resync_metadata_only_commits_noop(spark, bound):
     ds.delete_where(spark, "vec_id = 1", dv=True)  # metadata-only commit
     assert idx.resync(spark) == []
     assert idx._meta()["dataset_version"] == len(ds.versions())
+
+
+def test_stale_guard_auto_resync_knob(spark, tmp_path_str):
+    """on_stale='resync' self-heals at search entry: compact-then-search
+    returns the COMPLETE live top-k with no manual resync call."""
+    from lance_flink_spark.operators.similarity import knn
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_vecs(spark, range(80), [0.0, 0.0, 0.0, 0.0], sigma=1.0))
+    IVFIndex.build(
+        spark, None, tmp_path_str + "/idx", nlist=4, sample_size=512, dataset=ds
+    )
+    ds.delete_where(spark, "vec_id % 4 = 1", dv=True)
+    ds.compact(spark)
+    idx = IVFIndex(tmp_path_str + "/idx", on_stale="resync")
+    q = [0.3, 0.1, 0.2, 0.0]
+    got = idx.search(spark, q, k=10, nprobes=4).select("vec_id", "distance")
+    brute = knn(ds.read(spark), q, 10, metric="l2").select("vec_id", "distance")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in brute.collect()]
+    # healed: the default-strict handle is clean again
+    assert IVFIndex(idx.path).search(spark, q, k=10, nprobes=4).count() == 10
+
+
+def test_stale_guard_not_triggered_by_dv_deletes(spark, bound):
+    """Pure DV deletes relocate nothing: the strict default must keep
+    serving (masked) results, not refuse."""
+    ds, idx = bound
+    ds.delete_where(spark, "vec_id < 10", dv=True)
+    got = {r["vec_id"] for r in idx.search(spark, [0.0] * 4, k=10, nprobes=4).collect()}
+    assert got and not any(i < 10 for i in got)
+
+
+def test_stale_guard_restore_and_hnsw(spark, tmp_path_str):
+    """RESTORE flips the live set without touching data files — same
+    staleness window; the HNSW entries guard it too, and the resync
+    knob routes through HNSW's graph-rebuilding resync."""
+    from lance_flink_spark.index.ivf import IndexStale
+
+    ds = Dataset(tmp_path_str + "/ds")
+    ds.write(_vecs(spark, range(40), [0.0, 0.0, 0.0, 0.0], sigma=1.0))
+    ds.write(_vecs(spark, range(40, 80), [0.0, 0.0, 0.0, 0.0], sigma=1.0), mode="append")
+    ds.compact(spark)  # v3: all rows under new addresses
+    idx = HNSWIndex.build(
+        spark, None, tmp_path_str + "/h", nlist=2, m=8, ef_construction=32,
+        sample_size=512, dataset=ds,
+    )
+    ds.restore(1)  # back to the first 40 rows — indexed files left the live set
+    with pytest.raises(IndexStale, match="resync"):
+        idx.search(spark, [0.0] * 4, k=5, nprobes=2, ef=80).count()
+    healed = HNSWIndex(idx.path, on_stale="resync")
+    got = {r["vec_id"] for r in healed.search(spark, [0.0] * 4, k=50, nprobes=2, ef=200).collect()}
+    assert got <= set(range(40)) and len(got) > 0
