@@ -407,6 +407,19 @@ class HNSWIndex:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
+    def ingest(self, spark: SparkSession, df: DataFrame) -> int:
+        """Append rows to the bound dataset, then fold them in via
+        :meth:`resync` (graph-rebuilding) — see IVFIndex.ingest for the
+        maskability contract. Returns the number of rebuilt lists."""
+        meta = fsio.read_json(fsio.join(self.path, META))
+        dp = meta.get("dataset_path")
+        if not dp:
+            raise ValueError("index is not dataset-bound — use add() directly")
+        from lance_flink_spark.sources.dataset import Dataset
+
+        Dataset(dp).write(df, mode="append")
+        return self.resync(spark)
+
     def resync(self, spark: SparkSession) -> int:
         """Catch a dataset-bound graph index up with its Dataset (see
         IVFIndex.resync): the keyed delta folds through :meth:`add`

@@ -510,17 +510,22 @@ class IVFIndex:
                 )(F.col(vec_col)),
             )
         # keep the lists schema uniform across appends: a dataset-bound
-        # index always carries the address columns (null when the caller
-        # passed raw rows — such rows simply can't be masked by later
-        # deletes; feed dataset.keyed_read(since_version=...) to keep
-        # them maskable), an unbound index never does
+        # index always carries address columns, an unbound index never
+        # does. Raw rows WITHOUT addresses are refused on a bound index
+        # — a null-address entry can never be masked by a later delete
+        # (nulls match no tombstone), so a delete-after-add would keep
+        # resurfacing the row in search forever. Route through
+        # ingest(df) (append to the dataset + resync) or pass
+        # dataset.keyed_read(since_version=...).
         if meta.get("dataset_path"):
             if "_row_file" not in out.columns:
-                out = out.withColumns(
-                    {
-                        "_row_file": F.lit(None).cast("string"),
-                        "_row_pos": F.lit(None).cast("long"),
-                    }
+                raise ValueError(
+                    "dataset-bound index: add() of rows without "
+                    "(_row_file, _row_pos) addresses would be unmaskable "
+                    "by later deletes. Use ingest(df) to append them to "
+                    f"the dataset ({meta['dataset_path']}) and fold them "
+                    "in under real addresses, or pass "
+                    "dataset.keyed_read(since_version=...)."
                 )
         elif "_row_file" in out.columns:
             out = out.drop("_row_file", "_row_pos")
@@ -547,6 +552,24 @@ class IVFIndex:
             meta["dataset_version"] = len(ds.versions())
             fsio.write_json_atomic(fsio.join(self.path, META), meta)
         return touched
+
+    def ingest(self, spark: SparkSession, df: DataFrame) -> list[int]:
+        """Add rows that are NOT yet in the bound dataset: append them
+        as a dataset commit, then fold the new fragment into the index
+        under its real (_row_file, _row_pos) addresses via resync —
+        the auto-route that keeps every index entry maskable (add()
+        refuses unaddressed rows on a bound index). Returns the
+        touched list ids. Cost ∝ len(df), never index or table size."""
+        meta = self._meta()
+        dp = meta.get("dataset_path")
+        if not dp:
+            raise ValueError(
+                "index is not dataset-bound — use add() directly"
+            )
+        from lance_flink_spark.sources.dataset import Dataset
+
+        Dataset(dp).write(df, mode="append")
+        return self.resync(spark)
 
     def _resync_delta(self, spark: SparkSession) -> DataFrame | None:
         """The keyed rows of every dataset fragment newer than the

@@ -232,7 +232,7 @@ def dv_mutation_pipeline(spark, sf_dir):
 
 @query(
     "sql_upsert_table",
-    extra=True,
+    # r12 rotation: the #229 PRIMARY KEY SQL upsert gets driver-grade evidence
     oracle="""
     SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

@@ -355,7 +355,7 @@ def streaming_window_users(spark, sf_dir):
 
 @query(
     "events_cumulate",
-    # r11 rotation: CUMULATE TVF windows get driver-grade evidence
+    extra=True,  # one driver round of hash evidence banked (r11)
     oracle="""
     WITH fan AS (
       SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start_s,

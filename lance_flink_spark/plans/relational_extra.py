@@ -303,7 +303,7 @@ def streaming_exactly_once(spark, sf_dir):
 
 @query(
     "streaming_upsert",
-    extra=True,
+    # r12 rotation: the #225 keyed-changelog sink gets driver-grade evidence
     oracle="""
     SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

@@ -1164,7 +1164,7 @@ def text_bm25_search(spark, sf_dir):
 
 @query(
     "record_linkage",
-    # r11 rotation: blocked fuzzy join gets driver-grade evidence
+    extra=True,  # one driver round of hash evidence banked (r11)
     oracle="""
     WITH l AS (
       SELECT doc_id AS lid, text FROM documents
@@ -1253,7 +1253,7 @@ def training_shards(spark, sf_dir):
 
 @query(
     "weighted_sample",
-    # r11 rotation: ES weighted sampling gets driver-grade evidence
+    extra=True,  # one driver round of hash evidence banked (r11)
     oracle="""
     WITH w AS (
       SELECT doc_id, source, n_chars,

@@ -371,7 +371,8 @@ def ivf_hnsw_exactness(spark, sf_dir):
 
 @query(
     "ivf_deleted_exactness",
-    extra=True,  # full oracle: masked full-probe == brute over live rows
+    # r12 rotation: the #223 DV-masked search gets driver-grade evidence
+    # (full oracle: masked full-probe == brute over live rows)
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,

@@ -199,6 +199,14 @@ class CommitConflict(RuntimeError):
     against a state that no longer exists."""
 
 
+#: merged-schema memo keyed by (path, manifest length, version):
+#: Spark's mergeSchema option runs a DISTRIBUTED footer-merge job on
+#: every DataFrame creation, which made one CDF refresh pay ~6 hidden
+#: jobs before any data moved. Any commit changes the manifest length,
+#: so staleness is impossible; entries are tiny (StructType).
+_SCHEMA_CACHE: dict = {}
+
+
 class Dataset:
     """A versioned parquet dataset rooted at ``path``.
 
@@ -270,6 +278,26 @@ class Dataset:
 
     def versions(self) -> list[int]:
         return [v["version"] for v in self._load_manifest()["versions"]]
+
+    def _merged_schema(self, spark: SparkSession, version: int | None = None):
+        """The union schema of the live fragments at ``version`` (add-
+        column evolution: older files surface newer columns as null),
+        inferred ONCE per commit and memoized (_SCHEMA_CACHE). Readers
+        pass it explicitly instead of mergeSchema — an explicit schema
+        fills a file's missing columns with nulls natively, so the
+        supported (add-column) evolution reads identically, minus the
+        per-DataFrame footer-merge job."""
+        key = (self.path, len(self._load_manifest()["versions"]), version)
+        s = _SCHEMA_CACHE.get(key)
+        if s is None:
+            frags = self._live_paths(version)
+            s = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*frags)
+                .schema
+            )
+            _SCHEMA_CACHE[key] = s
+        return s
 
     def _live_state(
         self, version: int | None = None
@@ -499,10 +527,10 @@ class Dataset:
         frags = self._live_paths(version)
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
-        # mergeSchema: appends may evolve the schema (add columns) —
-        # older fragments surface the new columns as null, Lance's
-        # add-column semantics
-        reader = spark.read.option("mergeSchema", "true")
+        # explicit memoized union schema (≡ mergeSchema for the
+        # supported add-column evolution: older fragments surface the
+        # new columns as null) — see _merged_schema for why
+        reader = spark.read.schema(self._merged_schema(spark, version))
         if batch_size:
             # columnar batch size for the vectorized parquet reader
             reader = reader.option("parquet.read.batch.size", batch_size)
@@ -907,7 +935,7 @@ class Dataset:
         frags = paths if paths is not None else self._live_paths()
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
-        raw = spark.read.option("mergeSchema", "true").parquet(*frags)
+        raw = spark.read.schema(self._merged_schema(spark)).parquet(*frags)
         keyed = raw.withColumns(
             {
                 "__dv_file": F.expr(
@@ -1008,24 +1036,33 @@ class Dataset:
         mutation model. No pre-existing data file is read beyond the
         matching scan or rewritten. Returns the new version, or None
         when nothing matched and there is nothing to insert."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         base = len(self.versions())
+        # row counts ride the write jobs as observed metrics — no
+        # read-back count job per fragment (2 fewer jobs per mutation;
+        # at 100 TB the saved job would also re-open every written
+        # footer)
+        obs_t = Observation()
         tomb = matched_keyed.select(
             F.col("__dv_file").alias("_file"), F.col("__dv_pos").alias("_pos")
-        )
+        ).observe(obs_t, F.count(F.lit(1)).alias("n"))
         dv_frag = f"data/dv{base + 1:04d}-{uuid.uuid4().hex[:8]}"
         dv_out = fsio.join(self.path, dv_frag)
         tomb.coalesce(1).write.mode("errorifexists").parquet(dv_out)
-        n = spark.read.parquet(dv_out).count()
+        n = int(obs_t.get["n"])
         if new_rows is not None:
             self._enforce_constraints(new_rows)
             # materialize BEFORE deciding emptiness: new_rows may be
             # derived from the same matched scan
             frag = f"data/m{base + 1:04d}-{uuid.uuid4().hex[:8]}"
             out = fsio.join(self.path, frag)
-            new_rows.write.mode("errorifexists").parquet(out)
-            n_new = spark.read.parquet(out).count()
+            obs_n = Observation()
+            new_rows.observe(obs_n, F.count(F.lit(1)).alias("n")).write.mode(
+                "errorifexists"
+            ).parquet(out)
+            n_new = int(obs_n.get["n"])
         else:
             frag, n_new = None, 0
         if n == 0 and n_new == 0:
@@ -1046,6 +1083,27 @@ class Dataset:
             extra={"dv_fragment": dv_frag, "dv_rows": int(n)},
         )
 
+    def _dv_files(self, spark: SparkSession, dv_frag: str, tomb) -> list[str]:
+        """Distinct data files a DV sidecar names. Local paths read the
+        sidecar's ``_file`` column driver-side with pyarrow (bounded by
+        the 128 MB DV broadcast cap) — zero Spark jobs; URI-scheme
+        paths fall back to a distinct().collect() job."""
+        base = fsio.join(self.path, dv_frag)
+        if not fsio.is_remote(base):
+            import pyarrow.parquet as pq
+
+            names = set()
+            for n in fsio.listdir(base):
+                if n.endswith(".parquet"):
+                    col = pq.read_table(
+                        fsio.join(base, n), columns=["_file"]
+                    ).column("_file")
+                    names.update(col.to_pylist())
+            return sorted(names)
+        return sorted(
+            r["_file"] for r in tomb.select("_file").distinct().collect()
+        )
+
     def _dv_preimages(self, spark: SparkSession, dv_frag: str) -> DataFrame:
         """The full rows a deletion-vector sidecar tombstoned,
         conformed to the dataset's merged schema — read from exactly
@@ -1055,8 +1113,8 @@ class Dataset:
         from pyspark.sql import functions as F
 
         tomb = spark.read.parquet(fsio.join(self.path, dv_frag))
-        files = [r["_file"] for r in tomb.select("_file").distinct().collect()]
-        raw = spark.read.option("mergeSchema", "true").parquet(
+        files = self._dv_files(spark, dv_frag, tomb)
+        raw = spark.read.schema(self._merged_schema(spark)).parquet(
             *[fsio.join(self.path, f) for f in files]
         )
         keyed = raw.withColumns(
@@ -1089,6 +1147,7 @@ class Dataset:
         the DELETED rows. Returns the new version, or None when nothing
         matched (no commit — idempotent no-op, same contract as the
         rewrite path)."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         base = len(self.versions())
@@ -1096,15 +1155,22 @@ class Dataset:
         # sidecar records only NEW deletions — CDF emits each row's
         # delete exactly once
         keyed = self._keyed_live_scan(spark)
-        matched = keyed.filter(f"coalesce(({predicate}), false)").select(
-            F.col("__dv_file").alias("_file"), F.col("__dv_pos").alias("_pos")
+        obs = Observation()
+        matched = (
+            keyed.filter(f"coalesce(({predicate}), false)")
+            .select(
+                F.col("__dv_file").alias("_file"),
+                F.col("__dv_pos").alias("_pos"),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         frag = f"data/dv{base + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
         # tombstones are delete-sized: one file keeps the every-scan
-        # broadcast read a single round-trip
+        # broadcast read a single round-trip; the count rides the write
+        # job as an observed metric (no read-back job)
         matched.coalesce(1).write.mode("errorifexists").parquet(out)
-        n = spark.read.parquet(out).count()
+        n = int(obs.get["n"])
         if n == 0:
             fsio.delete(out)
             return None
@@ -1140,7 +1206,7 @@ class Dataset:
         frags = self._live_paths()
         if not frags:
             raise FileNotFoundError(f"dataset {self.path} has no data")
-        raw = spark.read.option("mergeSchema", "true").parquet(*frags)
+        raw = spark.read.schema(self._merged_schema(spark)).parquet(*frags)
         tagged = raw.withColumn("_file", F.col("_metadata.file_path"))
         tagged = self._apply_dv(spark, tagged)
         dropped = [c for c in self._dropped_cols() if c in raw.columns]
@@ -1353,7 +1419,7 @@ class Dataset:
         resurrect DV-deleted rows."""
         from pyspark.sql import functions as F
 
-        df = spark.read.option("mergeSchema", "true").parquet(
+        df = spark.read.schema(self._merged_schema(spark)).parquet(
             *[fsio.join(self.path, f) for f in rel_files]
         )
         if apply_dv or dv_as_of is not None:
@@ -1732,8 +1798,8 @@ class Dataset:
         sub = None
         for dvf in dv_frags:
             tomb = spark.read.parquet(fsio.join(self.path, dvf))
-            files = [r["_file"] for r in tomb.select("_file").distinct().collect()]
-            raw = spark.read.option("mergeSchema", "true").parquet(
+            files = self._dv_files(spark, dvf, tomb)
+            raw = spark.read.schema(self._merged_schema(spark)).parquet(
                 *[fsio.join(self.path, f) for f in files]
             )
             keyed = raw.withColumns(
@@ -1817,7 +1883,7 @@ class Dataset:
             affected = sorted(
                 r["__srel"] for r in sub.select("__srel").distinct().collect()
             )
-            raw = spark.read.option("mergeSchema", "true").parquet(
+            raw = spark.read.schema(self._merged_schema(spark)).parquet(
                 *[fsio.join(self.path, f) for f in affected]
             )
             keyed = raw.withColumns(

@@ -122,27 +122,46 @@ class MaterializedAggregate:
                 state = self._full_compute(spark, latest)
             else:
                 is_ins = F.col("_change_type").isin("insert", "update_postimage")
-                sign = F.when(is_ins, 1).otherwise(-1)
+                sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
                 v = F.col(self.value_col)
-                delta = (
-                    changes.select(
-                        *self.group_cols,
-                        sign.alias("s"),
-                        v.alias("v"),
-                        is_ins.alias("i"),
-                    )
-                    .groupBy(*self.group_cols)
-                    .agg(
-                        F.sum(F.col("s") * F.col("v")).alias("d_sum"),
-                        F.sum("s").alias("d_cnt"),
-                        F.min(F.when(F.col("i"), F.col("v"))).alias("i_min"),
-                        F.max(F.when(F.col("i"), F.col("v"))).alias("i_max"),
-                        F.min(F.when(~F.col("i"), F.col("v"))).alias("r_min"),
-                        F.max(F.when(~F.col("i"), F.col("v"))).alias("r_max"),
-                    )
+                # ONE-SHUFFLE fold: prev state rows and raw change rows
+                # union into a single groupBy (map-side partial agg
+                # compresses the fact-sized delta before it shuffles) —
+                # vs the former delta-groupBy + full_outer join, which
+                # paid two shuffles and double the tiny-stage AQE jobs.
+                # Prev rows carry their sums/extrema; change rows carry
+                # signed contributions and their insert/retract values.
+                null_v = F.lit(None).cast(prev.schema["min_v"].dataType)
+                prev_part = prev.select(
+                    *self.group_cols,
+                    F.col("sum_v").alias("c_sum"),
+                    F.col("cnt").alias("c_cnt"),
+                    F.col("min_v").alias("p_min"),
+                    F.col("max_v").alias("p_max"),
+                    null_v.alias("i_v"),
+                    null_v.alias("r_v"),
                 )
-                cnt_new = F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(
-                    F.col("d_cnt"), F.lit(0)
+                chg_part = changes.select(
+                    *self.group_cols,
+                    (sign * v).alias("c_sum"),
+                    sign.cast("long").alias("c_cnt"),
+                    null_v.alias("p_min"),
+                    null_v.alias("p_max"),
+                    F.when(is_ins, v).alias("i_v"),
+                    F.when(~is_ins, v).alias("r_v"),
+                )
+                combined = prev_part.unionByName(chg_part).groupBy(
+                    *self.group_cols
+                ).agg(
+                    F.sum("c_sum").alias("sum_v_new"),
+                    F.sum("c_cnt").alias("__cnt_new"),
+                    # ≤1 prev row per group: min/max are identity picks
+                    F.min("p_min").alias("p_min"),
+                    F.max("p_max").alias("p_max"),
+                    F.min("i_v").alias("i_min"),
+                    F.max("i_v").alias("i_max"),
+                    F.min("r_v").alias("r_min"),
+                    F.max("r_v").alias("r_max"),
                 )
                 # a retraction invalidates a stored extremum only when
                 # it HITS it (retracted values always lie inside the
@@ -151,35 +170,30 @@ class MaterializedAggregate:
                 # the true new extremum is unknowable from state alone
                 min_hit = (
                     F.col("r_min").isNotNull()
-                    & (F.col("r_min") <= F.col("min_v"))
-                    & (F.col("i_min").isNull() | (F.col("i_min") > F.col("min_v")))
+                    & (F.col("r_min") <= F.col("p_min"))
+                    & (F.col("i_min").isNull() | (F.col("i_min") > F.col("p_min")))
                 )
                 max_hit = (
                     F.col("r_max").isNotNull()
-                    & (F.col("r_max") >= F.col("max_v"))
-                    & (F.col("i_max").isNull() | (F.col("i_max") < F.col("max_v")))
+                    & (F.col("r_max") >= F.col("p_max"))
+                    & (F.col("i_max").isNull() | (F.col("i_max") < F.col("p_max")))
                 )
                 needs_rescan = (
-                    F.col("min_v").isNotNull() & (min_hit | max_hit)
+                    F.col("p_min").isNotNull() & (min_hit | max_hit)
                 )
                 merged = (
-                    prev.join(delta, self.group_cols, "full_outer")
-                    .withColumn("__cnt_new", cnt_new)
-                    .filter(F.col("__cnt_new") > 0)
+                    combined.filter(F.col("__cnt_new") > 0)
                     .withColumn("__rescan", needs_rescan)
                     .persist()
                 )
                 folded = merged.filter(~F.coalesce(F.col("__rescan"), F.lit(False))).select(
                     *self.group_cols,
-                    (
-                        F.coalesce(F.col("sum_v"), F.lit(0))
-                        + F.coalesce(F.col("d_sum"), F.lit(0))
-                    ).alias("sum_v"),
+                    F.col("sum_v_new").alias("sum_v"),
                     F.col("__cnt_new").alias("cnt"),
                     # least/greatest skip NULLs: new groups take i_min,
-                    # untouched groups keep min_v
-                    F.least(F.col("min_v"), F.col("i_min")).alias("min_v"),
-                    F.greatest(F.col("max_v"), F.col("i_max")).alias("max_v"),
+                    # untouched groups keep p_min
+                    F.least(F.col("p_min"), F.col("i_min")).alias("min_v"),
+                    F.greatest(F.col("p_max"), F.col("i_max")).alias("max_v"),
                 )
                 # probe the persisted merge ONCE: most refreshes retract
                 # no extremum, and skipping the rescan branch entirely

@@ -176,17 +176,26 @@ def test_unbound_index_unchanged(spark, tmp_path_str):
     assert idx.search(spark, [0.0] * 4, k=3, nprobes=2).count() == 3
 
 
-def test_add_raw_rows_to_bound_index_null_addresses(spark, bound):
-    """Rows appended without addresses stay searchable and are never
-    masked (nulls can't match a tombstone) — the degraded-but-safe
-    contract for raw add() on a bound index."""
+def test_add_raw_rows_to_bound_index_refused_ingest_routes(spark, bound):
+    """Raw add() on a bound index is REFUSED (a null-address entry
+    could never be masked, so delete-after-add would resurface rows
+    forever); ingest() is the auto-route — append to the dataset +
+    resync — and its rows carry real addresses, so a later delete
+    masks them like any other row."""
     ds, idx = bound
-    idx.add(spark, _vecs(spark, range(500, 510), [20.0] * 4))
+    newbies = _vecs(spark, range(500, 510), [20.0] * 4)
+    with pytest.raises(ValueError, match="ingest"):
+        idx.add(spark, newbies)
+    assert idx.ingest(spark, newbies)
+    # every entry of the bound index carries a real address
+    lists = spark.read.parquet(idx.path + "/lists")
+    assert lists.filter(F.col("_row_file").isNull()).count() == 0
     hits = idx.search(spark, [20.0] * 4, k=5, nprobes=4).collect()
     assert all(500 <= r["vec_id"] < 510 for r in hits)
-    ds.delete_where(spark, "vec_id < 5", dv=True)  # unrelated delete
-    hits = idx.search(spark, [20.0] * 4, k=5, nprobes=4).collect()
-    assert all(500 <= r["vec_id"] < 510 for r in hits)
+    # delete-after-ingest never resurfaces: the ingested rows mask
+    ds.delete_where(spark, "vec_id >= 500", dv=True)
+    got = {r["vec_id"] for r in idx.search(spark, [20.0] * 4, k=5, nprobes=4).collect()}
+    assert not any(i >= 500 for i in got)
 
 
 def test_search_outputs_hide_address_columns(spark, bound):
