@@ -663,3 +663,48 @@ def streaming_earliest_by_key(spark, sf_dir):
     return earliest_by_key(
         spark.table(t), ["user_id", "event_type"], "ts_us", "event_id"
     )
+
+
+@query(
+    "streaming_over_agg",
+    extra=True,  # r12: Flink SQL event-time OVER aggregation on a stream
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS range_sum
+    FROM events
+    """,
+)
+def streaming_over_agg(spark, sf_dir):
+    """Event-time OVER aggregation on a STREAM (streaming/over_agg.py
+    — Flink's RowTimeRangeBoundedPrecedingFunction): one appended row
+    per event carrying the user's 30-minute trailing value sum, each
+    emitted only once the watermark passes its event time (frame
+    complete → result final, no retractions). Watermark delay 0 + the
+    availableNow final no-data batch flush every pending row, so the
+    emitted set must equal the batch RANGE-frame window oracle row for
+    row — a row emitted early (incomplete frame), late-buffered rows
+    lost at eviction, or a peer-ts row missing from a frame all break
+    the hash. Values are quantized to cents so the running sums are
+    integer-exact."""
+    from lance_flink_spark.streaming.over_agg import over_range_sum
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark="0 seconds").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    out = over_range_sum(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="vc",
+        preceding_ms=30 * 60 * 1000,
+    )
+    t = run_to_memory(out, mode="append", state_partitions=8)
+    return spark.table(t).select("user_id", "event_id", "ts_us", "range_sum")

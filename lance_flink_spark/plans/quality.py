@@ -658,3 +658,87 @@ def orders_price_deciles(spark, sf_dir):
         F.max("cents").alias("hi_c"),
         F.sum("cents").alias("sum_c"),
     )
+
+
+@query(
+    "classifier_quality_filter",
+    extra=True,  # r12: the fastText-style linear quality filter, hash-gated
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.token FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+            FROM documents) t, unnest(arr) AS u(token)
+        WHERE u.token <> ''),
+    feat AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM tok GROUP BY doc_id, bucket),
+    lab AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents),
+    tagged AS (
+        SELECT f.bucket, f.cnt, l.label
+        FROM feat f JOIN lab l USING (doc_id) WHERE f.doc_id % 2 = 0),
+    pb AS (
+        SELECT bucket,
+               SUM(CASE WHEN label = 1 THEN cnt ELSE 0 END) AS c1,
+               SUM(CASE WHEN label = 0 THEN cnt ELSE 0 END) AS c0
+        FROM tagged GROUP BY bucket),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM pb),
+    w AS (
+        SELECT bucket,
+               ln((c1 + 1.0) / (n1 + 64.0)) - ln((c0 + 1.0) / (n0 + 64.0)) AS w
+        FROM pb, tot),
+    bias AS (
+        SELECT ln((SUM(label) + 1.0) / (SUM(1 - label) + 1.0)) AS bias
+        FROM lab WHERE doc_id % 2 = 0),
+    raw AS (
+        SELECT f.doc_id, SUM(f.cnt * w.w) AS s
+        FROM feat f JOIN w USING (bucket)
+        WHERE f.doc_id % 2 = 1 GROUP BY f.doc_id),
+    scored AS (
+        SELECT r.doc_id, ROUND(r.s + b.bias, 6) AS score FROM raw r, bias b)
+    SELECT s.doc_id, s.score, l.label
+    FROM scored s JOIN lab l USING (doc_id) WHERE s.score > 0
+    """,
+)
+def classifier_quality_filter(spark, sf_dir):
+    """Distributed quality-classifier train + filter e2e
+    (operators/classifier.py — the fastText-style linear filter
+    DataComp/Dolma pipelines apply after heuristic rules): hashed
+    token features over documents, closed-form multinomial-NB log-odds
+    weights trained on the even-doc_id half against a planted
+    lang='en' target, class-prior bias, then the odd half scored
+    through the broadcast-coefficients dot-product join and FILTERED
+    to score > 0. Every stage is relational — featurize, train, and
+    score replay exactly in the oracle, so a wrong count, a weight off
+    by one smoothing term, or a mis-joined bucket breaks the hash.
+    The pyspark.ml LogisticRegression twin of the trainer is pytest-
+    gated (tests/test_classifier.py) — LBFGS float order isn't
+    oracle-stable, closed-form NB is."""
+    from lance_flink_spark.operators.classifier import (
+        class_prior_bias,
+        hashed_token_features,
+        log_odds_weights,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    labels = d.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    train_labels = labels.filter("doc_id % 2 = 0")
+    feats = hashed_token_features(d, n_buckets=64)
+    w = log_odds_weights(feats, train_labels, n_buckets=64)
+    bias_f = class_prior_bias(train_labels)
+    scored = (
+        feats.filter("doc_id % 2 = 1")
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
+        .crossJoin(F.broadcast(bias_f))
+        .select("doc_id", F.round(F.col("s") + F.col("bias"), 6).alias("score"))
+        .filter("score > 0")
+    )
+    return scored.join(labels, "doc_id").select("doc_id", "score", "label")

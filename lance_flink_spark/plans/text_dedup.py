@@ -1643,3 +1643,134 @@ def text_feature_hash(spark, sf_dir):
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "text_trigram_logprob",
+    extra=True,  # r12: stupid-backoff trigram LM (the KenLM direction)
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {_TOKS} AS arr FROM documents
+        WHERE len({_TOKS}) >= 3),
+    tr_tri AS (
+        SELECT u.tg FROM docs t,
+            unnest(list_transform(range(1, len(arr) - 2 + 1),
+                i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(tg)
+        WHERE t.doc_id % 2 = 0),
+    tr_bi AS (
+        SELECT u.bg FROM docs t,
+            unnest(list_transform(range(1, len(arr) - 1 + 1),
+                i -> concat(arr[i], ' ', arr[i+1]))) AS u(bg)
+        WHERE t.doc_id % 2 = 0),
+    tr_tok AS (
+        SELECT u.token FROM docs t, unnest(arr) AS u(token)
+        WHERE t.doc_id % 2 = 0 AND u.token <> ''),
+    tc AS (SELECT tg, COUNT(*) AS ct FROM tr_tri GROUP BY tg),
+    bc AS (SELECT bg, COUNT(*) AS cb FROM tr_bi GROUP BY bg),
+    uc AS (SELECT token, COUNT(*) AS cu FROM tr_tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_tok FROM tr_tok),
+    pos AS (
+        SELECT doc_id, u.tg,
+               string_split(u.tg, ' ')[1] || ' ' || string_split(u.tg, ' ')[2] AS b12,
+               string_split(u.tg, ' ')[2] || ' ' || string_split(u.tg, ' ')[3] AS b23,
+               string_split(u.tg, ' ')[2] AS w2,
+               string_split(u.tg, ' ')[3] AS w3
+        FROM docs t,
+            unnest(list_transform(range(1, len(arr) - 2 + 1),
+                i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) AS u(tg)
+        WHERE t.doc_id % 2 = 1),
+    p AS (
+        SELECT pos.doc_id,
+               CASE
+                 WHEN tc.ct IS NOT NULL
+                   THEN tc.ct * 1.0 / b1.cb
+                 WHEN b2.cb IS NOT NULL
+                   THEN 0.4 * b2.cb / u2.cu
+                 ELSE 0.16 * (COALESCE(u3.cu, 0) + 1.0) / (n.n_tok + 1.0)
+               END AS prob
+        FROM pos
+        LEFT JOIN tc USING (tg)
+        LEFT JOIN bc b1 ON pos.b12 = b1.bg
+        LEFT JOIN bc b2 ON pos.b23 = b2.bg
+        LEFT JOIN uc u2 ON pos.w2 = u2.token
+        LEFT JOIN uc u3 ON pos.w3 = u3.token
+        CROSS JOIN n)
+    SELECT doc_id, ROUND(AVG(ln(prob)), 6) AS avg_logp,
+           COUNT(*) AS n_trigrams
+    FROM p GROUP BY doc_id
+    """,
+)
+def text_trigram_logprob(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007 — the
+    web-scale KenLM stand-in past the bigram entry #182): trigram /
+    bigram / unigram count tables train on the EVEN-doc_id half of the
+    corpus, the odd half scores per position as
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)            seen trigram
+                    | 0.4 · c(w2w3)/c(w2)          backoff to bigram
+                    | 0.4² · (c(w3)+1)/(N+1)       unigram floor (OOV-safe)
+
+    and each doc reports its mean log-score. Held-out scoring is what
+    EXERCISES the backoff (scoring the training corpus never leaves
+    the first branch). Count tables partial-aggregate to vocab size
+    and broadcast onto the exploded position stream — the only
+    corpus-sized shuffle is the per-doc average; at open-web scale the
+    trigram table takes a min-count floor and the broadcasts become
+    plain joins. All-relational, so the oracle replays train AND score
+    exactly; ROUND(.,6) absorbs summation order in the mean."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = d.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 3)
+    train = docs.filter("doc_id % 2 = 0")
+    tri = "transform(sequence(1, size(arr) - 2), i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1), ' ', element_at(arr, i + 2)))"
+    bi = "transform(sequence(1, size(arr) - 1), i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+    tc = (
+        train.select(F.explode(F.expr(tri)).alias("tg"))
+        .groupBy("tg").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    bc = (
+        train.select(F.explode(F.expr(bi)).alias("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tok = train.select(F.explode("arr").alias("token")).filter(F.col("token") != "")
+    uc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    pos = docs.filter("doc_id % 2 = 1").select(
+        "doc_id", F.explode(F.expr(tri)).alias("tg")
+    ).withColumns(
+        {
+            "b12": F.concat_ws(
+                " ",
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(1)),
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(2)),
+            ),
+            "b23": F.concat_ws(
+                " ",
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(2)),
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(3)),
+            ),
+            "w2": F.split_part(F.col("tg"), F.lit(" "), F.lit(2)),
+            "w3": F.split_part(F.col("tg"), F.lit(" "), F.lit(3)),
+        }
+    )
+    scored = (
+        pos.join(F.broadcast(tc), "tg", "left")
+        .join(F.broadcast(bc.withColumnsRenamed({"bg": "b12", "cb": "cb1"})), "b12", "left")
+        .join(F.broadcast(bc.withColumnsRenamed({"bg": "b23", "cb": "cb2"})), "b23", "left")
+        .join(F.broadcast(uc.withColumnsRenamed({"token": "w2", "cu": "cu2"})), "w2", "left")
+        .join(F.broadcast(uc.withColumnsRenamed({"token": "w3", "cu": "cu3"})), "w3", "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "prob",
+            F.when(F.col("ct").isNotNull(), F.col("ct") * 1.0 / F.col("cb1"))
+            .when(F.col("cb2").isNotNull(), 0.4 * F.col("cb2") / F.col("cu2"))
+            .otherwise(
+                0.16 * (F.coalesce(F.col("cu3"), F.lit(0)) + 1.0)
+                / (F.col("n_tok") + 1.0)
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(F.log("prob")), 6).alias("avg_logp"),
+        F.count(F.lit(1)).alias("n_trigrams"),
+    )

@@ -1,0 +1,116 @@
+"""Streaming event-time OVER aggregation (streaming/over_agg.py):
+cross-micro-batch correctness — rows buffered until the watermark
+passes them, frames spanning batch boundaries, peer-ts rows, eviction
+safety. The corpus-scale single-batch path is hash-gated by the
+streaming_over_agg extra."""
+
+import os
+import time
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from lance_flink_spark.streaming.over_agg import over_range_sum
+
+RANGE_MS = 10 * 60 * 1000  # 10 minutes
+
+
+def _batch_expected(spark, rows):
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, vc long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RANGE_MS * 1000, 0)
+    )
+    return {
+        (r["user_id"], r["event_id"]): r["range_sum"]
+        for r in df.select(
+            "user_id",
+            "event_id",
+            F.sum("vc").over(w).alias("range_sum"),
+        ).collect()
+    }
+
+
+def _stream(spark, tmp_path_str, batches):
+    """One parquet file per micro-batch (mtime-ordered), streamed with
+    maxFilesPerTrigger=1 → true cross-batch state."""
+    src = os.path.join(tmp_path_str, "src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_id long, ts timestamp, vc long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.05)  # distinct mtimes fix the batch order
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = over_range_sum(
+        sdf, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="vc", preceding_ms=RANGE_MS,
+    )
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    t = run_to_memory(out, mode="append", state_partitions=4)
+    return {
+        (r["user_id"], r["event_id"]): r["range_sum"]
+        for r in spark.sql(f"SELECT * FROM {t}").collect()
+    }
+
+
+def _ts(minute, sec=0):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 12, minute, sec)
+
+
+def test_cross_batch_frames_equal_batch_oracle(spark, tmp_path_str):
+    """Frames SPAN micro-batch boundaries: a row arriving in batch 3
+    must sum rows that arrived in batches 1-2 (still in state), and
+    rows near each batch's end must wait for the next batch's
+    watermark before emitting."""
+    b1 = [
+        Row(user_id=1, event_id=1, ts=_ts(0), vc=10),
+        Row(user_id=1, event_id=2, ts=_ts(5), vc=20),
+        Row(user_id=2, event_id=3, ts=_ts(5), vc=7),
+    ]
+    b2 = [
+        Row(user_id=1, event_id=4, ts=_ts(9), vc=30),   # frame: 10+20+30
+        Row(user_id=1, event_id=5, ts=_ts(16), vc=40),  # frame: 30+40 (10,20 out of range)
+        Row(user_id=2, event_id=6, ts=_ts(14), vc=8),   # frame: 7+8
+    ]
+    b3 = [
+        Row(user_id=1, event_id=7, ts=_ts(30), vc=50),  # frame: itself
+        Row(user_id=2, event_id=8, ts=_ts(30), vc=9),   # frame: itself
+    ]
+    rows = b1 + b2 + b3
+    got = _stream(spark, tmp_path_str, [b1, b2, b3])
+    assert got == _batch_expected(spark, rows)
+    assert got[(1, 4)] == 60 and got[(1, 5)] == 70 and got[(2, 6)] == 15
+
+
+def test_peer_timestamps_share_the_full_frame(spark, tmp_path_str):
+    """Equal-ts rows are RANGE peers: each includes the other."""
+    b1 = [
+        Row(user_id=1, event_id=1, ts=_ts(0), vc=5),
+        Row(user_id=1, event_id=2, ts=_ts(0), vc=6),
+        Row(user_id=1, event_id=3, ts=_ts(3), vc=1),
+    ]
+    got = _stream(spark, tmp_path_str, [b1])
+    assert got[(1, 1)] == 11 and got[(1, 2)] == 11 and got[(1, 3)] == 12
+    assert got == _batch_expected(spark, b1)
+
+
+def test_quiet_key_flushes_via_event_time_timer(spark, tmp_path_str):
+    """A key with NO rows in later batches must still flush its pending
+    rows when other keys advance the watermark — the event-time-timer
+    path (Flink onTimer parity)."""
+    b1 = [Row(user_id=9, event_id=1, ts=_ts(0), vc=42)]
+    b2 = [Row(user_id=1, event_id=2, ts=_ts(20), vc=1)]
+    got = _stream(spark, tmp_path_str, [b1, b2])
+    assert got[(9, 1)] == 42  # emitted despite user 9 never reappearing
+    assert got == _batch_expected(spark, b1 + b2)
