@@ -692,7 +692,8 @@ def streaming_over_agg(spark, sf_dir):
     from lance_flink_spark.streaming.over_agg import over_range_sum
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
-    events = stream_events(spark, sf_dir, watermark="0 seconds").select(
+    # UNWATERMARKED: the operator attaches its own shifted watermark
+    events = stream_events(spark, sf_dir, watermark=None).select(
         "user_id",
         "ts",
         "event_id",
@@ -708,3 +709,44 @@ def streaming_over_agg(spark, sf_dir):
     )
     t = run_to_memory(out, mode="append", state_partitions=8)
     return spark.table(t).select("user_id", "event_id", "ts_us", "range_sum")
+
+
+@query(
+    "streaming_over_rows",
+    extra=True,  # r12: the ROWS-frame OVER twin on a stream
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rows_sum
+    FROM events
+    """,
+)
+def streaming_over_rows(spark, sf_dir):
+    """ROWS-frame OVER aggregation on a stream (streaming/over_agg.py
+    ::over_rows_sum — Flink's RowTimeRowsBoundedPrecedingFunction):
+    each event carries the sum of the user's last 5 events plus
+    itself in (ts, event_id) order; the id tie-break pins peer-ts
+    frames so the oracle is deterministic. Same watermark-complete
+    emission contract as streaming_over_agg — the emitted set must
+    equal the batch ROWS-frame window row for row."""
+    from lance_flink_spark.streaming.over_agg import over_rows_sum
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark=None).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    out = over_rows_sum(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="vc",
+        n_preceding=5,
+    )
+    t = run_to_memory(out, mode="append", state_partitions=8)
+    return spark.table(t).select("user_id", "event_id", "ts_us", "rows_sum")

@@ -12,20 +12,31 @@ Flink's RowTimeRangeBoundedPrecedingFunction contract, reproduced with
 ``applyInPandasWithState`` + ``EventTimeTimeout``:
 
 - Arriving rows BUFFER in per-key state; a row only emits once the
-  watermark passes its event time — at that point no earlier row can
-  still arrive (watermark guarantee), so its trailing frame is
-  complete and the result is FINAL (append semantics, no retractions).
+  watermark STRICTLY passes its event time — at that point no row at
+  or before it can still arrive, so its trailing frame is complete
+  and the result is FINAL (append semantics, no retractions).
+- **Shifted watermark.** Spark's lateness rule admits rows AT the
+  (millisecond-floored) watermark, so a row's frame is never provably
+  complete at ``ts == wm`` — and the stream's FINAL row (wm stops at
+  ``floor_ms(max ts)`` ≤ its µs timestamp) would strand unemitted.
+  The operator therefore watermarks an INTERNAL column shifted
+  ``+1 ms`` ahead of the data column: the resulting watermark is
+  Flink's strict "no more rows ≤ t" promise over the raw timestamps —
+  rows later than ``delay`` behind the shifted front are late
+  (dropped), exactly the trade Flink's ms-granular watermark makes,
+  and every buffered row (the final one included) becomes provably
+  complete and flushes. Callers pass an UNWATERMARKED stream.
 - Emission is driven by the data batches themselves and by event-time
-  timers (``setTimeoutTimestamp`` at the earliest pending row), so
-  pending rows flush when the watermark advances past them even with
-  no new data for the key — including Structured Streaming's final
-  no-data micro-batch.
+  timers (``setTimeoutTimestamp`` at the earliest pending row's
+  emittability millisecond), so pending rows flush when the watermark
+  advances past them even with no new data for the key — including
+  Structured Streaming's final no-data micro-batch.
 - State per key is bounded by rate × (range + watermark delay): rows
   older than ``watermark − range`` can never enter a future frame
-  (future rows have ts > watermark) and are evicted each invocation.
-  The per-invocation frame sums are numpy prefix-sum lookups over the
-  ts-sorted buffer — O((buffer+batch)·log buffer), no Python loop over
-  frame members.
+  (future rows sort strictly after the watermark) and are evicted
+  each invocation. The per-invocation frame sums are numpy prefix-sum
+  lookups over the ts-sorted buffer — O((buffer+batch)·log buffer),
+  no Python loop over frame members.
 
 Batch dual: the window-frame queries (#77) — the driver oracle runs
 the exact RANGE-frame SQL over the same rows.
@@ -45,6 +56,33 @@ STATE_SCHEMA = (
     "ts array<long>, ids array<long>, vs array<long>, done array<boolean>"
 )
 
+#: internal shifted event-time column (module docstring)
+_WM_COL = "__wm_ts"
+
+
+def _timer_ms(min_pending_us: int, wm_us: int) -> int:
+    """Earliest-firing legal timer for the earliest pending row: a row
+    is emittable when wm_ms·1000 > ts_us ⇔ wm_ms ≥ ⌊ts_us/1000⌋+1, and
+    Spark fires a timer when the watermark advances STRICTLY beyond
+    it — so ⌊ts_us/1000⌋ fires exactly at emittability. Clamped
+    strictly ahead of the current watermark (Spark rejects timers
+    at/behind it); the clamp can defer a row sharing the watermark's
+    millisecond by one watermark movement, never drop it (the shifted
+    watermark ends 1 ms past the stream's max)."""
+    return max(min_pending_us // 1000, wm_us // 1000 + 1)
+
+
+def _with_shifted_watermark(keyed, ts_col: str, delay: str):
+    """Attach the +1 ms shifted watermark column (module docstring).
+    The input must not already carry a watermark — two event-time
+    columns would make Spark take the MINIMUM, reintroducing the
+    at-the-watermark ambiguity this shift removes."""
+    from pyspark.sql import functions as F
+
+    return keyed.withColumn(
+        _WM_COL, F.col(ts_col) + F.expr("INTERVAL 1 MILLISECOND")
+    ).withWatermark(_WM_COL, delay)
+
 
 def over_range_sum(
     events: DataFrame,
@@ -53,9 +91,12 @@ def over_range_sum(
     id_col: str = "event_id",
     value_col: str = "vc",
     preceding_ms: int = 30 * 60 * 1000,
+    delay: str = "0 seconds",
 ) -> DataFrame:
-    """Per-row trailing-range sum over a watermarked stream. ``events``
-    needs key/ts/id/value columns; ``value_col`` should be an integer
+    """Per-row trailing-range sum over a stream. ``events`` needs
+    key/ts/id/value columns and must be UNWATERMARKED — the operator
+    attaches its own shifted watermark (module docstring); ``delay``
+    is the out-of-orderness budget. ``value_col`` should be an integer
     (quantize money to cents upstream) so running sums are exact.
     Output: (key, id, ts_us, range_sum) — append mode, one FINAL row
     per input row, emitted when the watermark passes its event time."""
@@ -89,7 +130,9 @@ def over_range_sum(
         wm_us = state.getCurrentWatermarkMs() * 1000
         order = np.argsort(ts, kind="stable")
         ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
-        emit = (~done) & (ts <= wm_us)
+        # STRICT: the shifted watermark promises no more rows ≤ any
+        # already-seen ts strictly below it (module docstring)
+        emit = (~done) & (ts < wm_us)
         if emit.any():
             # trailing-range sums via one prefix-sum over the sorted
             # buffer: frame(r) = rows with ts in [r.ts − range, r.ts]
@@ -128,33 +171,136 @@ def over_range_sum(
             )
             pending = ts[~done]
             if len(pending):
-                # Spark fires an event-time timeout only when the
-                # watermark advances STRICTLY beyond the timer, but a
-                # row is emittable already at wm == ts — so aim the
-                # timer one ms BEFORE the earliest pending row becomes
-                # emittable, or the stream's FINAL watermark (== max
-                # event time) would strand rows sitting exactly on it.
-                # Clamped strictly ahead of the current watermark
-                # (Spark rejects timers at/behind it); the clamp can
-                # defer a sub-ms-boundary row by ≤2 ms of watermark
-                # progress, never drop it.
-                wm_ms = wm_us // 1000
-                timer = (int(pending.min()) + 999) // 1000 - 1
-                state.setTimeoutTimestamp(max(timer, wm_ms + 1))
+                state.setTimeoutTimestamp(
+                    _timer_ms(int(pending.min()), wm_us)
+                )
         else:
             state.remove()
         yield out
 
-    keyed = events.select(
-        F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
-        F.col(id_col).alias("__id"),
-        F.col(value_col).cast("long").alias("__v"),
-        F.col(ts_col).alias(ts_col),  # watermark column must survive
+    keyed = _with_shifted_watermark(
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(ts_col).alias(ts_col),
+        ),
+        ts_col,
+        delay,
     )
     out = keyed.groupBy("__k").applyInPandasWithState(
         _update,
         outputStructType="key long, event_id long, ts_us long, range_sum long",
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumnRenamed("key", key_col)
+
+
+def over_rows_sum(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "vc",
+    n_preceding: int = 5,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """ROWS-frame twin (Flink's RowTimeRowsBoundedPrecedingFunction):
+    per-row sum over the key's last ``n_preceding`` rows plus itself in
+    (event time, id) order — the id tie-break makes peer-ts frames
+    deterministic (a bare ROWS frame over ties is engine-dependent).
+    Same unwatermarked-input / shifted-watermark / strict-emission /
+    timer contract as :func:`over_range_sum`; eviction keeps a row
+    while it can still fall inside a future row's frame: the earliest
+    future row sorts at the first pending position, so done rows more
+    than ``n_preceding`` slots before it are dead."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    n_prec = int(n_preceding)
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts, ids, vs, done = (np.asarray(c) for c in state.get)
+            done = done.astype(bool)
+        else:
+            ts = np.empty(0, dtype=np.int64)
+            ids = np.empty(0, dtype=np.int64)
+            vs = np.empty(0, dtype=np.int64)
+            done = np.empty(0, dtype=bool)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = np.concatenate([ts, pdf["__ts_us"].to_numpy(np.int64)])
+            ids = np.concatenate([ids, pdf["__id"].to_numpy(np.int64)])
+            vs = np.concatenate([vs, pdf["__v"].to_numpy(np.int64)])
+            done = np.concatenate([done, np.zeros(len(pdf), dtype=bool)])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = np.lexsort((ids, ts))  # (ts, id) total order
+        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+        emit = (~done) & (ts < wm_us)  # strict — see over_range_sum
+        if emit.any():
+            csum = np.concatenate([[0], np.cumsum(vs)])
+            pos = np.flatnonzero(emit)
+            lo = np.maximum(pos + 1 - (n_prec + 1), 0)
+            sums = csum[pos + 1] - csum[lo]
+            out = pd.DataFrame(
+                {
+                    "key": key[0],
+                    "event_id": ids[emit],
+                    "ts_us": ts[emit],
+                    "rows_sum": sums,
+                }
+            )
+            done = done | emit
+        else:
+            out = pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "rows_sum": pd.Series([], dtype="int64"),
+                }
+            )
+        # the earliest possible FUTURE row (ts at/above the watermark)
+        # sorts at the first position holding ts >= wm; done rows more
+        # than n_prec slots before that can never re-enter a frame
+        cut = int(np.searchsorted(ts, wm_us, side="left"))
+        idx = np.arange(len(ts))
+        keep = (~done) | (idx >= cut - n_prec)
+        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        if len(ts):
+            state.update((ts.tolist(), ids.tolist(), vs.tolist(), done.tolist()))
+            pending = ts[~done]
+            if len(pending):
+                state.setTimeoutTimestamp(
+                    _timer_ms(int(pending.min()), wm_us)
+                )
+        else:
+            state.remove()
+        yield out
+
+    keyed = _with_shifted_watermark(
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(ts_col).alias(ts_col),
+        ),
+        ts_col,
+        delay,
+    )
+    out = keyed.groupBy("__k").applyInPandasWithState(
+        _update,
+        outputStructType="key long, event_id long, ts_us long, rows_sum long",
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

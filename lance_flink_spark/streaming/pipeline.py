@@ -21,12 +21,15 @@ from lance_flink_spark.streaming.windows import tumbling_agg
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     ts_col: str = "ts",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based streaming read of the events table (schema inferred
-    from a batch peek — file streams require an explicit schema)."""
+    from a batch peek — file streams require an explicit schema).
+    ``watermark=None`` skips the withWatermark call for operators that
+    attach their own (e.g. streaming/over_agg.py's shifted
+    watermark)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -54,6 +57,8 @@ def stream_events(
         from lance_flink_spark.registry import ntz_as_utc
 
         sdf = sdf.withColumn(ts_col, ntz_as_utc(F.col(ts_col)))
+    if watermark is None:
+        return sdf
     return sdf.withWatermark(ts_col, watermark)
 
 

@@ -47,8 +47,7 @@ def _stream(spark, tmp_path_str, batches):
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
-        .withWatermark("ts", "0 seconds")
-    )
+    )  # unwatermarked: the operator attaches its shifted watermark
     out = over_range_sum(
         sdf, key_col="user_id", ts_col="ts", id_col="event_id",
         value_col="vc", preceding_ms=RANGE_MS,
@@ -114,3 +113,68 @@ def test_quiet_key_flushes_via_event_time_timer(spark, tmp_path_str):
     got = _stream(spark, tmp_path_str, [b1, b2])
     assert got[(9, 1)] == 42  # emitted despite user 9 never reappearing
     assert got == _batch_expected(spark, b1 + b2)
+
+
+def test_rows_frame_cross_batch_and_eviction(spark, tmp_path_str):
+    """ROWS frame spans batches: with n_preceding=2 the frame of a
+    batch-2 row reaches rows that arrived (and were emitted) in
+    batch 1 — eviction must keep exactly the last n slots before the
+    pending horizon."""
+    from lance_flink_spark.streaming.over_agg import over_rows_sum
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    b1 = [
+        Row(user_id=1, event_id=1, ts=_ts(0), vc=1),
+        Row(user_id=1, event_id=2, ts=_ts(1), vc=2),
+        Row(user_id=1, event_id=3, ts=_ts(2), vc=4),
+    ]
+    b2 = [
+        Row(user_id=1, event_id=4, ts=_ts(40), vc=8),   # frame: 2+4+8 (range-irrelevant: ROWS)
+        Row(user_id=1, event_id=5, ts=_ts(41), vc=16),  # frame: 4+8+16
+    ]
+    src = os.path.join(tmp_path_str, "src_rows")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_id long, ts timestamp, vc long"
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            os.path.join(src, f"b{i}")
+        )
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )  # unwatermarked: the operator attaches its shifted watermark
+    out = over_rows_sum(sdf, n_preceding=2)
+    t = run_to_memory(out, mode="append", state_partitions=4)
+    got = {
+        (r["user_id"], r["event_id"]): r["rows_sum"]
+        for r in spark.sql(f"SELECT * FROM {t}").collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 3, (1, 3): 7, (1, 4): 14, (1, 5): 28}
+
+
+def test_rows_frame_peer_ties_break_on_id(spark, tmp_path_str):
+    from lance_flink_spark.streaming.over_agg import over_rows_sum
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    rows = [
+        Row(user_id=1, event_id=2, ts=_ts(0), vc=10),  # sorts after id=1
+        Row(user_id=1, event_id=1, ts=_ts(0), vc=1),
+        Row(user_id=1, event_id=3, ts=_ts(5), vc=100),
+    ]
+    src = os.path.join(tmp_path_str, "src_ties")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_id long, ts timestamp, vc long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(src + "/*")
+    )  # unwatermarked: the operator attaches its shifted watermark
+    t = run_to_memory(over_rows_sum(sdf, n_preceding=1), mode="append", state_partitions=4)
+    got = {
+        (r["user_id"], r["event_id"]): r["rows_sum"]
+        for r in spark.sql(f"SELECT * FROM {t}").collect()
+    }
+    # (ts, id) order: id1 → frame {1}; id2 → frame {1,10}; id3 → {10,100}
+    assert got == {(1, 1): 1, (1, 2): 11, (1, 3): 110}

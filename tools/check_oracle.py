@@ -46,16 +46,22 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     qs, oracles = e.queries(), e.oracle_sql()
-    if extras or both:
+    if extras or both or only:
         from lance_flink_spark.registry import EXTRA_QUERIES, ORACLES
 
         ex = dict(EXTRA_QUERIES)
         exo = {k: v for k, v in ORACLES.items() if k in ex}
-        if both:  # primary + extras in one session
+        if both or only:  # primary + extras in one session; explicit
+            # names resolve across BOTH tiers (an extras-only name
+            # previously matched nothing and printed a vacuous ALL OK)
             qs = {**qs, **ex}
             oracles = {**oracles, **exo}
         else:
             qs, oracles = ex, exo
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
 
     con = duckdb.connect()
     for t in TABLES:
