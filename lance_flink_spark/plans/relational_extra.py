@@ -348,27 +348,34 @@ def streaming_upsert(spark, sf_dir):
     # order across micro-batches matches event time, the upsert-kafka
     # delivery contract; the seq guard still protects intra-batch folds
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    bounds = [lo + (hi - lo + 1) * i // 4 for i in range(5)]
+    span = hi - lo + 1
     src = os.path.join(root, "src")
-    os.makedirs(src)
+    # ONE partitioned write stages all four time-range batch dirs
+    # (4 sequential filtered writes = 4 scans + 4 jobs before the
+    # stream even starts); mtimes set per partition dir afterwards
+    (
+        ev.withColumn(
+            "b", ((F.col("ts_us") - lo) * 4 / span).cast("int")
+        )
+        .repartition("b")
+        .write.partitionBy("b")
+        .parquet(src)
+    )
     for i in range(4):
-        p = os.path.join(src, f"b{i}.parquet")
-        ev.filter(
-            (F.col("ts_us") >= bounds[i]) & (F.col("ts_us") < bounds[i + 1])
-        ).coalesce(1).write.parquet(p)
+        p = os.path.join(src, f"b={i}")
         t = 1_700_000_000 + i * 100
         for r, _d, files in os.walk(p):
             for f in files:
                 os.utime(os.path.join(r, f), (t, t))
         os.utime(p, (t, t))
-    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    schema = spark.read.parquet(os.path.join(src, "b=0")).schema
     sink = UpsertDatasetSink(
         os.path.join(root, "t"), key="user_id", seq_cols=["ts_us", "event_id"]
     )
     sdf = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(src + "/*.parquet")
+        .parquet(src + "/b=*")
     )
     sink.run_available(sdf, os.path.join(root, "ckpt"))
     return sink.dataset.read(

@@ -2389,6 +2389,7 @@ class Dataset:
         clauses: list[dict],
         dv: bool = False,
         tag: str | None = None,
+        assume_unique_keys: bool = False,
     ) -> int:
         """Conditional MERGE (Delta WHEN-clause semantics): ``clauses``
         is an ordered list of
@@ -2418,7 +2419,15 @@ class Dataset:
         The source may carry EXTRA columns beyond the target schema
         (e.g. a changelog op/sequence column): clause conditions can
         reference them via ``s.<col>``; they are projected away before
-        any insert/update lands."""
+        any insert/update lands.
+
+        ``assume_unique_keys=True`` skips the duplicate-key probe (one
+        shuffle + driver round-trip per call) — ONLY for callers that
+        structurally guarantee one source row per key, e.g. the
+        streaming upsert sink's per-batch keep-newest fold; a violated
+        promise means multiple clauses fire per target row
+        (nondeterministic winner), exactly the ambiguity the probe
+        exists to refuse."""
         from pyspark.sql import functions as F
 
         if tag is not None:
@@ -2436,14 +2445,15 @@ class Dataset:
         source = source.withColumn(
             on, F.col(on).cast(scan.schema[on].dataType)
         )
-        dup = (
-            source.groupBy(on).agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
-            .limit(1).collect()
-        )
-        if dup:
-            raise ValueError(
-                f"merge source has multiple rows for key {dup[0][0]!r}"
+        if not assume_unique_keys:
+            dup = (
+                source.groupBy(on).agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+                .limit(1).collect()
             )
+            if dup:
+                raise ValueError(
+                    f"merge source has multiple rows for key {dup[0][0]!r}"
+                )
         keys = source.select(on).distinct()
         matched_clauses = [c for c in clauses if c["matched"]]
         insert_clauses = [c for c in clauses if not c["matched"]]

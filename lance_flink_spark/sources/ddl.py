@@ -1892,7 +1892,15 @@ class SqlEngine:
                 {"matched": False, "cond": None, "action": "insert"},
             ]
             ds.merge_when(
-                self.spark, src, on=pk, clauses=clauses, dv=self._dv_mode(name)
+                self.spark,
+                src,
+                on=pk,
+                clauses=clauses,
+                dv=self._dv_mode(name),
+                # the seq fold above keeps exactly one row per key, so
+                # the dup probe is structurally redundant; without a
+                # sequence-field it must stay (loud refusal contract)
+                assume_unique_keys=bool(seq),
             )
             self._register(name)
             return None

@@ -139,7 +139,16 @@ class UpsertDatasetSink:
         tag = f"upsert-{int(batch_id)}"
         if self.dataset.find_tag(tag) is not None:
             return  # replayed batch: already folded, exactly-once no-op
-        folded = self._fold_batch(df)
+        # the folded batch feeds THREE consumers (retraction log, the
+        # staleness filter, the merge) — persist it so the per-batch
+        # window shuffle runs once, not three times
+        folded = self._fold_batch(df).persist()
+        try:
+            self._write_folded(spark, folded, tag)
+        finally:
+            folded.unpersist()
+
+    def _write_folded(self, spark, folded: DataFrame, tag: str) -> None:
         self._log_retractions(folded, tag)
         folded = self._drop_pre_retraction(spark, folded)
         dels = "', '".join(self.delete_ops)
@@ -187,7 +196,16 @@ class UpsertDatasetSink:
             {"matched": False, "cond": f"NOT ({is_del})", "action": "insert"},
         ]
         self.dataset.merge_when(
-            spark, folded, on=self.key, clauses=clauses, dv=True, tag=tag
+            spark,
+            folded,
+            on=self.key,
+            clauses=clauses,
+            dv=True,
+            tag=tag,
+            # _fold_batch already kept exactly the newest row per key,
+            # so the merge's duplicate-key probe (one shuffle + driver
+            # round-trip per micro-batch) is structurally redundant
+            assume_unique_keys=bool(self.seq_cols),
         )
 
     def compact_log(self, spark) -> int | None:
