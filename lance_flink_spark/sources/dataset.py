@@ -199,6 +199,28 @@ class CommitConflict(RuntimeError):
     against a state that no longer exists."""
 
 
+def _all_nullable(dt):
+    """Recursively nullable-ize a Spark type — Spark's parquet schema
+    converter surfaces every field/element/value as nullable, so the
+    driver-side pyarrow inference must too (_infer_merged_schema)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _all_nullable(dt.keyType), _all_nullable(dt.valueType), True
+        )
+    return dt
+
+
 #: merged-schema memo keyed by (path, manifest length, version):
 #: Spark's mergeSchema option runs a DISTRIBUTED footer-merge job on
 #: every DataFrame creation, which made one CDF refresh pay ~6 hidden
@@ -291,13 +313,68 @@ class Dataset:
         s = _SCHEMA_CACHE.get(key)
         if s is None:
             frags = self._live_paths(version)
-            s = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*frags)
-                .schema
-            )
+            s = self._infer_merged_schema(spark, frags)
             _SCHEMA_CACHE[key] = s
         return s
+
+    def _infer_merged_schema(self, spark: SparkSession, frags: list[str]):
+        """Union-schema inference over fragment dirs. Local datasets
+        with few files read footers DRIVER-SIDE via pyarrow (zero
+        Spark jobs — the distributed footer-merge job costs ~0.1 s of
+        scheduling per commit, which dominated small multi-commit
+        pipelines); many-file or URI-scheme datasets keep Spark's
+        distributed mergeSchema (at 100 TB the driver must not read
+        thousands of footers). Any pyarrow surprise (exotic type,
+        unreadable footer) falls back to the Spark path."""
+        if not fsio.is_remote(self.path):
+            files = []
+            for frag in frags:
+                # a "fragment" path may be a bare data FILE (callers
+                # pass file lists through the same machinery)
+                if frag.endswith(".parquet"):
+                    files.append(frag)
+                    continue
+                for n in fsio.listdir(frag):
+                    if n.endswith(".parquet"):
+                        files.append(fsio.join(frag, n))
+                if len(files) > 64:
+                    break
+            if files and len(files) <= 64:
+                try:
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+                    from pyspark.sql.pandas.types import from_arrow_schema
+
+                    unified = pa.unify_schemas(
+                        [pq.read_schema(f) for f in files],
+                        promote_options="permissive",
+                    )
+                    # parity with Spark's own reader, verified by
+                    # tests/test_dataset.py: (a) naive-µs timestamps
+                    # are NTZ (inferTimestampNTZ default) but naive-ns
+                    # ones are INT96-written TimestampType — flip them
+                    # back; (b) Spark's parquet converter surfaces
+                    # everything nullable, pyarrow preserves required
+                    # fields — nullable-ize recursively.
+                    fields = []
+                    for f in unified:
+                        t = f.type
+                        if (
+                            pa.types.is_timestamp(t)
+                            and t.tz is None
+                            and t.unit == "ns"
+                        ):
+                            f = f.with_type(pa.timestamp("us", tz="UTC"))
+                        fields.append(f)
+                    s = from_arrow_schema(
+                        pa.schema(fields), prefer_timestamp_ntz=True
+                    )
+                    return _all_nullable(s)
+                except Exception:  # noqa: BLE001 - fall back to Spark
+                    pass
+        return (
+            spark.read.option("mergeSchema", "true").parquet(*frags).schema
+        )
 
     def _live_state(
         self, version: int | None = None

@@ -765,3 +765,31 @@ def test_count_by_and_minmax_answered_from_sidecars(spark, tmp_path_str):
     ds.update_scalar_index(spark, "v")
     assert ds.count_by(spark, "cat").filter("cat = 'c9'").first()["cnt"] == 1
     assert ds.minmax(spark, "v") == (-5, 237)
+
+
+def test_driver_side_schema_inference_matches_spark(spark, tmp_path_str):
+    """_infer_merged_schema's pyarrow fast path must return the same
+    StructType Spark's distributed mergeSchema produces — including
+    add-column evolution (older files null-fill) and NTZ mapping."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.sources.dataset import Dataset
+
+    ds = Dataset(tmp_path_str + "/schema_ds")
+    base = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("v"),
+        F.lit("x").alias("s"),
+        F.current_timestamp().alias("ts"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("arr"),
+    )
+    ds.write(base)
+    ds.write(base.withColumn("extra", F.lit(7)), mode="append")  # evolve
+    frags = ds._live_paths()
+    fast = ds._infer_merged_schema(spark, frags)
+    slow = spark.read.option("mergeSchema", "true").parquet(*frags).schema
+    assert {f.name: f.dataType for f in fast.fields} == {
+        f.name: f.dataType for f in slow.fields
+    }
+    # the evolved column surfaces as null on old fragments either way
+    assert ds.read(spark).filter("extra IS NULL").count() == 10

@@ -178,3 +178,44 @@ def test_rows_frame_peer_ties_break_on_id(spark, tmp_path_str):
     }
     # (ts, id) order: id1 → frame {1}; id2 → frame {1,10}; id3 → {10,100}
     assert got == {(1, 1): 1, (1, 2): 11, (1, 3): 110}
+
+
+def test_property_random_events_match_batch_window(spark, tmp_path_str):
+    """Randomized robustness: seeded random events (duplicate
+    timestamps, multiple keys, values incl. negatives) split into
+    time-ordered micro-batches — streamed RANGE sums must equal the
+    batch window exactly. Deterministic seeds so failures replay."""
+    import random
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        n_keys = rng.randint(1, 4)
+        rows = []
+        t = 0
+        for i in range(rng.randint(20, 60)):
+            t += rng.choice([0, 0, 1, 30, 200, 700])  # seconds; dups common
+            rows.append(
+                Row(
+                    user_id=rng.randrange(n_keys),
+                    event_id=i,
+                    ts=_ts(0, 0) + __import__("datetime").timedelta(seconds=t),
+                    vc=rng.randint(-50, 100),
+                )
+            )
+        # split into 3 time-ordered batches at STRICT ts increases:
+        # a cut inside an equal-ts run would ship a peer one batch
+        # after the watermark sealed its frame — legitimately late
+        # under the delay-0 contract, but absent from the batch oracle
+        def snap(i):
+            while 0 < i < len(rows) and rows[i].ts == rows[i - 1].ts:
+                i += 1
+            return i
+
+        cut1 = snap(len(rows) // 3)
+        cut2 = snap(max(2 * len(rows) // 3, cut1))
+        batches = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+        batches = [b for b in batches if b]
+        sub = os.path.join(tmp_path_str, f"prop{seed}")
+        os.makedirs(sub, exist_ok=True)
+        got = _stream(spark, sub, batches)
+        assert got == _batch_expected(spark, rows), f"seed {seed}"
