@@ -1774,3 +1774,145 @@ def text_trigram_logprob(spark, sf_dir):
         F.round(F.avg(F.log("prob")), 6).alias("avg_logp"),
         F.count(F.lit(1)).alias("n_trigrams"),
     )
+
+
+@query(
+    "lm_perplexity_buckets",
+    extra=True,  # r12: CCNet-style per-language perplexity tiers
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, lang, {_TOKS} AS arr FROM documents
+        WHERE len({_TOKS}) >= 2),
+    tr_bi AS (
+        SELECT lang, u.bg FROM docs t,
+            unnest(list_transform(range(1, len(arr) - 1 + 1),
+                i -> concat(arr[i], ' ', arr[i+1]))) AS u(bg)
+        WHERE t.doc_id % 2 = 0),
+    tr_tok AS (
+        SELECT lang, u.token FROM docs t, unnest(arr) AS u(token)
+        WHERE t.doc_id % 2 = 0 AND u.token <> ''),
+    bc AS (SELECT lang, bg, COUNT(*) AS cb FROM tr_bi GROUP BY lang, bg),
+    uc AS (SELECT lang, token, COUNT(*) AS cu FROM tr_tok GROUP BY lang, token),
+    nl AS (SELECT lang, COUNT(*) AS n_tok FROM tr_tok GROUP BY lang),
+    pos AS (
+        SELECT doc_id, lang, u.bg,
+               string_split(u.bg, ' ')[1] AS w1,
+               string_split(u.bg, ' ')[2] AS w2
+        FROM docs t,
+            unnest(list_transform(range(1, len(arr) - 1 + 1),
+                i -> concat(arr[i], ' ', arr[i+1]))) AS u(bg)
+        WHERE t.doc_id % 2 = 1),
+    p AS (
+        SELECT pos.doc_id, pos.lang,
+               CASE
+                 WHEN bc.cb IS NOT NULL THEN bc.cb * 1.0 / u1.cu
+                 ELSE 0.4 * (COALESCE(u2.cu, 0) + 1.0) / (nl.n_tok + 1.0)
+               END AS prob
+        FROM pos
+        LEFT JOIN bc ON pos.lang = bc.lang AND pos.bg = bc.bg
+        LEFT JOIN uc u1 ON pos.lang = u1.lang AND pos.w1 = u1.token
+        LEFT JOIN uc u2 ON pos.lang = u2.lang AND pos.w2 = u2.token
+        JOIN nl ON pos.lang = nl.lang),
+    scored AS (
+        SELECT doc_id, lang, ROUND(AVG(ln(prob)), 6) AS lp,
+               COUNT(*) AS n_tok
+        FROM p GROUP BY doc_id, lang),
+    tiled AS (
+        SELECT lang, lp, n_tok,
+               NTILE(3) OVER (PARTITION BY lang ORDER BY lp DESC, doc_id)
+                 AS bucket
+        FROM scored)
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_bigrams,
+           CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_logp_micro
+    FROM tiled GROUP BY lang, bucket
+    """,
+)
+def lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
+    head/middle/tail quality tiers CCNet cuts each language's corpus
+    into before sampling): a per-LANGUAGE bigram LM with stupid-backoff
+    to an add-one unigram floor trains on the even-doc half, scores the
+    held-out half by mean log-prob, and NTILE(3) over (score DESC,
+    doc_id) assigns deterministic tiers; the report is per-(lang, tier)
+    doc counts, bigram mass, and mean log-prob — the table a mixture
+    sampler weights against. Per-language count tables partial-agg to
+    vocab size; the only corpus-sized shuffles are the position stream
+    and the tier window (per-language, never global). Fully relational
+    → the oracle replays train, score, tiering, and rollup exactly."""
+    d = table(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = d.select("doc_id", "lang", arr.alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    train = docs.filter("doc_id % 2 = 0")
+    bi = (
+        "transform(sequence(1, size(arr) - 1), "
+        "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+    )
+    bc = (
+        train.select("lang", F.explode(F.expr(bi)).alias("bg"))
+        .groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tok = train.select("lang", F.explode("arr").alias("token")).filter(
+        F.col("token") != ""
+    )
+    uc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cu"))
+    nl = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    pos = (
+        docs.filter("doc_id % 2 = 1")
+        .select("doc_id", "lang", F.explode(F.expr(bi)).alias("bg"))
+        .withColumns(
+            {
+                "w1": F.split_part(F.col("bg"), F.lit(" "), F.lit(1)),
+                "w2": F.split_part(F.col("bg"), F.lit(" "), F.lit(2)),
+            }
+        )
+    )
+    p = (
+        pos.join(F.broadcast(bc), ["lang", "bg"], "left")
+        .join(
+            F.broadcast(uc.withColumnsRenamed({"token": "w1", "cu": "cu1"})),
+            ["lang", "w1"],
+            "left",
+        )
+        .join(
+            F.broadcast(uc.withColumnsRenamed({"token": "w2", "cu": "cu2"})),
+            ["lang", "w2"],
+            "left",
+        )
+        .join(F.broadcast(nl), "lang")
+        .withColumn(
+            "prob",
+            F.when(F.col("cb").isNotNull(), F.col("cb") * 1.0 / F.col("cu1"))
+            .otherwise(
+                0.4 * (F.coalesce(F.col("cu2"), F.lit(0)) + 1.0)
+                / (F.col("n_tok") + 1.0)
+            ),
+        )
+    )
+    scored = p.groupBy("doc_id", "lang").agg(
+        F.round(F.avg(F.log("prob")), 6).alias("lp"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    from pyspark.sql import Window as W
+
+    tiled = scored.withColumn(
+        "bucket",
+        F.ntile(3).over(
+            W.partitionBy("lang").orderBy(F.col("lp").desc(), F.col("doc_id"))
+        ),
+    )
+    # per-tier mass as INTEGER micro-logprob units: lp is already
+    # 6dp-quantized, so scaling to BIGINT before the sum removes the
+    # second rounding boundary (a tier mean once landed on a .5 ulp —
+    # Spark HALF_UP vs DuckDB HALF_EVEN flipped the 6th decimal)
+    return tiled.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_bigrams"),
+        F.sum(F.round(F.col("lp") * 1e6).cast("long")).cast("long").alias(
+            "sum_logp_micro"
+        ),
+    )
