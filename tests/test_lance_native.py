@@ -1,0 +1,99 @@
+"""Native Lance reader (sources/lance_native.py) against the
+reference's OWN committed test datasets (/root/reference/test-data —
+real 'Lance File 2.0' files written by com.lancedb.lance 0.24.0): the
+decoded rows must equal the literal INSERT values the reference's
+FlinkSqlDemo.java:129-135 wrote, UTF-8 / timestamp / multi-fragment
+metadata must round-trip, a Spark read must feed this repo's vector
+search, and anything outside the documented format subset must refuse
+loudly."""
+
+import os
+import shutil
+
+import pytest
+
+from lance_flink_spark.sources.lance_native import (
+    LanceNativeDataset,
+    UnsupportedLanceFeature,
+)
+
+REF = "/root/reference/test-data"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference test-data not present"
+)
+
+
+def test_db1_exact_rows():
+    t = LanceNativeDataset(f"{REF}/lance-db1").to_arrow()
+    d = t.to_pydict()
+    assert d["id"] == [1, 2, 3, 4, 5]
+    assert d["title"] == [
+        "Introduction to AI",
+        "Machine Learning Guide",
+        "Deep Learning Basics",
+        "Neural Networks",
+        "Computer Vision",
+    ]
+    # float32 ladders: row i is [0.1+0.1i ... 0.4+0.1i]
+    for i, emb in enumerate(d["embedding"]):
+        assert emb == pytest.approx(
+            [0.1 * (i + 1), 0.1 * (i + 2), 0.1 * (i + 3), 0.1 * (i + 4)],
+            abs=1e-6,
+        )
+
+
+def test_db2_utf8_and_timestamps():
+    ds = LanceNativeDataset(f"{REF}/lance-db2")
+    assert ds.versions() == [1]
+    t = ds.to_arrow()
+    d = t.to_pydict()
+    assert t.num_rows == 5
+    assert d["title"][0] == "Flink入门指南"  # multi-byte UTF-8 intact
+    assert d["category"][:3] == ["tutorial", "practice", "database"]
+    assert str(t.schema.field("create_time").type) == "timestamp[ms]"
+    assert d["create_time"][0].year == 2024
+
+
+def test_spark_read_feeds_vector_search(spark):
+    """End-to-end parity shape with LanceVectorSearchTest: read the
+    native vector table through Spark and run this repo's brute knn —
+    id 1 must be its own nearest neighbor under L2, and the reversed
+    vector (id 3) must rank last among the ladder rows."""
+    from lance_flink_spark.operators.similarity import knn
+
+    df = LanceNativeDataset(f"{REF}/lance-vector-search").read(spark)
+    assert df.schema["title"].dataType.simpleString() == "string"
+    assert df.schema["embedding"].dataType.simpleString() == "array<float>"
+    q = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+    got = knn(df.withColumnRenamed("id", "vec_id"), q, 3, metric="l2").collect()
+    assert got[0]["vec_id"] == 1 and got[0]["distance"] == 0.0
+    assert all(r["vec_id"] != 3 for r in got[:2])  # reversed vector is far
+
+
+def test_unsupported_features_refuse_loudly(tmp_path_str):
+    root = os.path.join(tmp_path_str, "bad")
+    shutil.copytree(f"{REF}/lance-db1", root)
+    os.chmod(root, 0o755)
+    data_dir = os.path.join(root, "data")
+    os.chmod(data_dir, 0o755)
+    name = os.listdir(data_dir)[0]
+    p = os.path.join(data_dir, name)
+    os.chmod(p, 0o644)
+    blob = bytearray(open(p, "rb").read())
+    blob[-4:] = b"XXXX"  # corrupt the magic
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(UnsupportedLanceFeature, match="magic"):
+        LanceNativeDataset(root).to_arrow()
+
+
+def test_manifest_fragment_metadata():
+    from lance_flink_spark.sources.lance_native import parse_manifest
+
+    raw = open(f"{REF}/lance-db1/_versions/1.manifest", "rb").read()
+    fields, frags, version = parse_manifest(raw)
+    assert version == 1
+    assert [f.name for f in fields] == ["id", "title", "embedding"]
+    assert fields[2].logical == "list"
+    assert fields[2].children[0].logical == "float"
+    assert len(frags) == 1 and frags[0].physical_rows == 5
+    assert frags[0].field_ids == [0, 1, 2, 3]
