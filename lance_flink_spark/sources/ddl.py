@@ -560,6 +560,12 @@ class SqlEngine:
         # creation order (refresh re-expands them in this order so a
         # view-over-view sees its dependency's fresh plan first)
         self.views: dict[str, str] = {}
+        # read-only tables backed by NATIVE Lance datasets (real
+        # .lance files — sources/lance_native.py): declared with the
+        # same WITH ('connector'='lance', 'path'=...) surface, detected
+        # by the path's _versions/ layout; every mutating statement
+        # refuses (writing the native format needs the Lance library)
+        self.native_tables: dict[str, object] = {}
         self.catalogs: dict[str, Catalog] = {"default_catalog": catalog}
         # SHOW FUNCTIONS surface: built-ins + CREATE FUNCTION names
         self.functions: dict[str, str] = {"vector_search": "built-in"}
@@ -771,6 +777,36 @@ class SqlEngine:
         except Exception:  # noqa: BLE001 - dispatch guard, never a failure
             return False
 
+    def _try_native_table(self, name: str, path: str) -> bool:
+        """Register ``name`` as a READ-ONLY native-Lance table when
+        ``path`` has the native layout (``_versions/`` manifests, no
+        ``_manifest.json``) — the reference connector's own datasets
+        read through the same WITH('connector'='lance') surface."""
+        import os
+
+        if not (
+            path
+            and os.path.isdir(os.path.join(path, "_versions"))
+            and not os.path.exists(os.path.join(path, "_manifest.json"))
+        ):
+            return False
+        from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+        nds = LanceNativeDataset(path)
+        nds.read(self.spark).createOrReplaceTempView(name)
+        self.native_tables[name] = nds
+        self._refresh_views()
+        return True
+
+    def _refuse_native(self, name: str, op: str) -> None:
+        if name in self.native_tables:
+            raise ValueError(
+                f"table {name!r} is a READ-ONLY native Lance dataset — "
+                f"{op} requires the Lance library's write path; copy "
+                "into a parquet-backed table (CREATE TABLE ... AS "
+                f"SELECT * FROM {name}) to mutate"
+            )
+
     def execute(self, sql: str) -> DataFrame | None:
         sql = sql.strip().rstrip(";")
         m = _TEMPORAL_JOIN.match(sql)
@@ -886,13 +922,22 @@ class SqlEngine:
         # tables this catalog owns; a DELETE/UPDATE/... against a plain
         # Spark temp view or built-in table falls through to spark.sql
         m = _DELETE.match(sql)
-        if m and self._in_catalog(m.group("name")):
+        if m and (
+            self._in_catalog(m.group("name"))
+            or m.group("name") in self.native_tables
+        ):
             return self._delete(m)
         m = _UPDATE.match(sql)
-        if m and self._in_catalog(m.group("name")):
+        if m and (
+            self._in_catalog(m.group("name"))
+            or m.group("name") in self.native_tables
+        ):
             return self._update(m)
         m = _MERGE_WHEN.match(sql)
-        if m and self._in_catalog(m.group("name")):
+        if m and (
+            self._in_catalog(m.group("name"))
+            or m.group("name") in self.native_tables
+        ):
             return self._merge_when(m)
         m = _MERGE.match(sql)
         if m and self._in_catalog(m.group("name")):
@@ -1252,6 +1297,8 @@ class SqlEngine:
             raise ValueError(f"unsupported connector {opts.get('connector')!r}")
         table_opts = {k: v for k, v in opts.items() if k != "connector"}
         table_opts.setdefault("path", "")
+        if self._try_native_table(name, table_opts.get("path", "")):
+            return None
         dopts = DatasetOptions.from_options(table_opts)
         self.options[name] = dopts
         if exists:  # IF NOT EXISTS on an existing table: keep its data
@@ -1690,6 +1737,7 @@ class SqlEngine:
         the tombstone path instead: no data files rewritten, cost ∝
         deleted rows (Lance deletion-file semantics)."""
         name = m.group("name")
+        self._refuse_native(name, "DELETE")
         pred = m.group("pred")
         ds: Dataset = self.catalog.load_table(self.database, name)
         ds.delete_where(
@@ -1704,6 +1752,7 @@ class SqlEngine:
         """Flink 1.17 batch UPDATE parity:
         ``UPDATE t SET c = expr [, ...] [WHERE p]``."""
         name = m.group("name")
+        self._refuse_native(name, "UPDATE")
         pred = m.group("pred")
         assignments: dict[str, str] = {}
         for part in _split_top_level(m.group("sets")):
@@ -1739,6 +1788,7 @@ class SqlEngine:
         columns align to the table schema by position, like the
         unconditional MERGE."""
         name = m.group("name")
+        self._refuse_native(name, "MERGE")
         ds: Dataset = self.catalog.load_table(self.database, name)
         target = ds.read(self.spark).schema
         df = self.spark.sql(_rewrite_array_literals(m.group("src")))
@@ -1831,6 +1881,7 @@ class SqlEngine:
 
     def _insert(self, m: re.Match) -> None:
         name, rest = m.group("name"), m.group("rest").strip()
+        self._refuse_native(name, "INSERT")
         overwrite = m.group("mode").upper() == "OVERWRITE"
         target = self.catalog.load_table(self.database, name).read(self.spark).schema
         if rest.upper().startswith("VALUES"):

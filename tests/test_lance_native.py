@@ -97,3 +97,39 @@ def test_manifest_fragment_metadata():
     assert fields[2].children[0].logical == "float"
     assert len(frags) == 1 and frags[0].physical_rows == 5
     assert frags[0].field_ids == [0, 1, 2, 3]
+
+
+def test_sql_surface_reads_native_table(spark, tmp_path_str):
+    """The reference connector's own SQL shape over REAL Lance data:
+    CREATE TABLE WITH ('connector'='lance', 'path'=<native dir>)
+    registers a read-only table; SELECT/joins/aggregates work, every
+    mutating statement refuses with a copy-out hint, and CTAS into a
+    parquet-backed table makes the data mutable."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/wh"))
+    eng.execute(
+        f"""CREATE TABLE lance_documents (id BIGINT, title STRING,
+            embedding ARRAY<FLOAT>)
+            WITH ('connector' = 'lance', 'path' = '{REF}/lance-db1')"""
+    )
+    got = eng.execute(
+        "SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(id) AS hi FROM lance_documents"
+    ).first()
+    assert (got["n"], got["lo"], got["hi"]) == (5, 1, 5)
+    top = eng.execute(
+        "SELECT title FROM lance_documents WHERE id = 3"
+    ).first()["title"]
+    assert top == "Deep Learning Basics"
+    for stmt in (
+        "INSERT INTO lance_documents VALUES (9, 'x', ARRAY[0.0])",
+        "DELETE FROM lance_documents WHERE id = 1",
+        "UPDATE lance_documents SET title = 'y' WHERE id = 1",
+    ):
+        with pytest.raises(ValueError, match="READ-ONLY native"):
+            eng.execute(stmt)
+    # copy-out path: CTAS into a parquet-backed table, then mutate
+    eng.execute("CREATE TABLE docs_rw AS SELECT * FROM lance_documents")
+    eng.execute("DELETE FROM docs_rw WHERE id <= 2")
+    assert eng.execute("SELECT COUNT(*) AS n FROM docs_rw").first()["n"] == 3
