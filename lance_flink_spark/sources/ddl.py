@@ -1389,6 +1389,20 @@ class SqlEngine:
         k = int(m.group("k"))
         metric = (m.group("metric") or "L2").lower()
         flt = m.group("filter")
+        if tbl in self.native_tables:
+            # read-only native Lance table: exact brute KNN over the
+            # decoded scan (the reference's LanceVectorSearch against
+            # its own data; index builds need a writable sidecar)
+            from lance_flink_spark.operators.similarity import knn
+
+            return knn(
+                self.native_tables[tbl].read(self.spark),
+                vec,
+                k,
+                vec_col=col,
+                metric=metric,
+                filter=flt,
+            )
         if self._in_catalog(tbl):
             ds: Dataset = self.catalog.load_table(self.database, tbl)
         else:

@@ -133,3 +133,25 @@ def test_sql_surface_reads_native_table(spark, tmp_path_str):
     eng.execute("CREATE TABLE docs_rw AS SELECT * FROM lance_documents")
     eng.execute("DELETE FROM docs_rw WHERE id <= 2")
     assert eng.execute("SELECT COUNT(*) AS n FROM docs_rw").first()["n"] == 3
+
+
+def test_sql_vector_search_over_native_table(spark, tmp_path_str):
+    """flink-sql-demo.sql's vector_search() against the reference's
+    REAL vector dataset: exact brute KNN over the decoded native scan
+    — id 1 is its own nearest neighbor, the reversed vector ranks
+    outside the top-2."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/wh2"))
+    eng.execute(
+        f"""CREATE TABLE vs (id BIGINT, title STRING, embedding ARRAY<FLOAT>)
+            WITH ('connector' = 'lance', 'path' = '{REF}/lance-vector-search')"""
+    )
+    got = eng.execute(
+        "SELECT * FROM vector_search('vs', 'embedding', "
+        "ARRAY[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8], 3, 'L2')"
+    ).collect()
+    assert len(got) == 3
+    assert got[0]["id"] == 1 and got[0]["distance"] == 0.0
+    assert all(r["id"] != 3 for r in got[:2])
