@@ -31,6 +31,15 @@ Flink's RowTimeRangeBoundedPrecedingFunction contract, reproduced with
   emittability millisecond), so pending rows flush when the watermark
   advances past them even with no new data for the key — including
   Structured Streaming's final no-data micro-batch.
+- **Emission horizon.** The watermark is millisecond-floored while
+  timestamps are µs, so Spark's admission rule lets a row arrive up to
+  1 ms BELOW a frame the operator already sealed. Each key remembers
+  the highest watermark it emitted under (``hwm``) and DROPS arrivals
+  beneath it — Flink's late-row behavior in its OVER operators — so an
+  emitted result is final AND consistent with every row the operator
+  ever counts. Unreachable for sources whose cross-batch arrival order
+  respects event time (the file-replay contract the registry entries
+  and tests run under).
 - State per key is bounded by rate × (range + watermark delay): rows
   older than ``watermark − range`` can never enter a future frame
   (future rows sort strictly after the watermark) and are evicted
@@ -51,9 +60,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# (ts_us, event_id, value, emitted) column-arrays — one state row
+# (ts_us, event_id, value, emitted) column-arrays + the key's emission
+# horizon — one state row
 STATE_SCHEMA = (
-    "ts array<long>, ids array<long>, vs array<long>, done array<boolean>"
+    "ts array<long>, ids array<long>, vs array<long>, done array<boolean>, "
+    "hwm long"
 )
 
 #: internal shifted event-time column (module docstring)
@@ -84,6 +95,34 @@ def _with_shifted_watermark(keyed, ts_col: str, delay: str):
     ).withWatermark(_WM_COL, delay)
 
 
+def _load_state(state, pdfs):
+    """(ts, ids, vs, done, hwm) from state + this batch's rows, with
+    arrivals below the key's emission horizon DROPPED (module
+    docstring: the ms-floored watermark admits rows up to 1 ms below a
+    sealed frame — late-drop keeps emitted results consistent)."""
+    if state.exists:
+        st = state.get
+        ts, ids, vs, done = (np.asarray(c) for c in st[:4])
+        done = done.astype(bool)
+        hwm = int(st[4])
+    else:
+        ts = np.empty(0, dtype=np.int64)
+        ids = np.empty(0, dtype=np.int64)
+        vs = np.empty(0, dtype=np.int64)
+        done = np.empty(0, dtype=bool)
+        hwm = 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        nts = pdf["__ts_us"].to_numpy(np.int64)
+        keep = nts >= hwm
+        ts = np.concatenate([ts, nts[keep]])
+        ids = np.concatenate([ids, pdf["__id"].to_numpy(np.int64)[keep]])
+        vs = np.concatenate([vs, pdf["__v"].to_numpy(np.int64)[keep]])
+        done = np.concatenate([done, np.zeros(int(keep.sum()), dtype=bool)])
+    return ts, ids, vs, done, hwm
+
+
 def over_range_sum(
     events: DataFrame,
     key_col: str = "user_id",
@@ -110,24 +149,8 @@ def over_range_sum(
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            ts, ids, vs, done = (
-                np.asarray(c) for c in state.get
-            )
-            done = done.astype(bool)
-        else:
-            ts = np.empty(0, dtype=np.int64)
-            ids = np.empty(0, dtype=np.int64)
-            vs = np.empty(0, dtype=np.int64)
-            done = np.empty(0, dtype=bool)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ts = np.concatenate([ts, pdf["__ts_us"].to_numpy(np.int64)])
-            ids = np.concatenate([ids, pdf["__id"].to_numpy(np.int64)])
-            vs = np.concatenate([vs, pdf["__v"].to_numpy(np.int64)])
-            done = np.concatenate([done, np.zeros(len(pdf), dtype=bool)])
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        ts, ids, vs, done, hwm = _load_state(state, pdfs)
+        wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
         order = np.argsort(ts, kind="stable")
         ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
         # STRICT: the shifted watermark promises no more rows ≤ any
@@ -167,7 +190,8 @@ def over_range_sum(
         ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
         if len(ts):
             state.update(
-                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist())
+                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
+                 int(wm_us))
             )
             pending = ts[~done]
             if len(pending):
@@ -227,22 +251,8 @@ def over_rows_sum(
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            ts, ids, vs, done = (np.asarray(c) for c in state.get)
-            done = done.astype(bool)
-        else:
-            ts = np.empty(0, dtype=np.int64)
-            ids = np.empty(0, dtype=np.int64)
-            vs = np.empty(0, dtype=np.int64)
-            done = np.empty(0, dtype=bool)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            ts = np.concatenate([ts, pdf["__ts_us"].to_numpy(np.int64)])
-            ids = np.concatenate([ids, pdf["__id"].to_numpy(np.int64)])
-            vs = np.concatenate([vs, pdf["__v"].to_numpy(np.int64)])
-            done = np.concatenate([done, np.zeros(len(pdf), dtype=bool)])
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        ts, ids, vs, done, hwm = _load_state(state, pdfs)
+        wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
         order = np.lexsort((ids, ts))  # (ts, id) total order
         ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
         emit = (~done) & (ts < wm_us)  # strict — see over_range_sum
@@ -277,7 +287,10 @@ def over_rows_sum(
         keep = (~done) | (idx >= cut - n_prec)
         ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
         if len(ts):
-            state.update((ts.tolist(), ids.tolist(), vs.tolist(), done.tolist()))
+            state.update(
+                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
+                 int(wm_us))
+            )
             pending = ts[~done]
             if len(pending):
                 state.setTimeoutTimestamp(

@@ -219,3 +219,31 @@ def test_property_random_events_match_batch_window(spark, tmp_path_str):
         os.makedirs(sub, exist_ok=True)
         got = _stream(spark, sub, batches)
         assert got == _batch_expected(spark, rows), f"seed {seed}"
+
+
+def test_cross_batch_late_row_dropped_not_misframed(spark, tmp_path_str):
+    """A straggler arriving BELOW the key's emission horizon (a sealed
+    frame already covered its timestamp) is DROPPED — Flink's OVER
+    late-row behavior — so it neither rewrites history nor emits. A
+    straggler that is late by Spark's watermark but still ABOVE the
+    horizon emits normally with a correct frame (nothing sealed
+    covered it) — strictly better than Flink's blanket drop."""
+    b1 = [
+        Row(user_id=1, event_id=1, ts=_ts(0), vc=1),
+        Row(user_id=1, event_id=2, ts=_ts(20), vc=2),
+    ]
+    # batch 2's invocation runs at wm = minute 20 (+1ms): ids 1-2 emit
+    # and the horizon seals at that watermark
+    b2 = [Row(user_id=1, event_id=3, ts=_ts(25), vc=4)]
+    # batch 3: a straggler at minute 1 — BELOW the sealed horizon →
+    # dropped; the minute-26 row emits with its normal frame
+    b3 = [
+        Row(user_id=1, event_id=9, ts=_ts(1), vc=100),
+        Row(user_id=1, event_id=4, ts=_ts(26), vc=8),
+    ]
+    got = _stream(spark, tmp_path_str, [b1, b2, b3])
+    assert (1, 9) not in got  # never emitted
+    # and never leaked into a later frame: id 4 at minute 26 covers
+    # minutes 16-26 → ids 2 (minute 20), 3 (minute 25), 4 itself
+    assert got[(1, 4)] == 14
+    assert got[(1, 1)] == 1 and got[(1, 2)] == 2 and got[(1, 3)] == 6
