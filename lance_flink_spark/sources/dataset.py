@@ -2467,6 +2467,7 @@ class Dataset:
         dv: bool = False,
         tag: str | None = None,
         assume_unique_keys: bool = False,
+        new_fragment_partitions: int | None = None,
     ) -> int:
         """Conditional MERGE (Delta WHEN-clause semantics): ``clauses``
         is an ordered list of
@@ -2504,7 +2505,15 @@ class Dataset:
         streaming upsert sink's per-batch keep-newest fold; a violated
         promise means multiple clauses fire per target row
         (nondeterministic winner), exactly the ambiguity the probe
-        exists to refuse."""
+        exists to refuse.
+
+        ``new_fragment_partitions`` coalesces the dv-path's appended
+        fragment before it lands: a broadcast-joined merge source keeps
+        the scan's full partitioning, so a SMALL batch (a streaming
+        micro-batch) would otherwise shed dozens of near-empty files
+        per commit — the classic small-files tax every later scan and
+        schema read pays. Size it to batch volume (the upsert sink
+        defaults to 8); leave None for batch-sized merges."""
         from pyspark.sql import functions as F
 
         if tag is not None:
@@ -2590,6 +2599,8 @@ class Dataset:
                         ]
                     )
                 )
+            if new_fragment_partitions is not None:
+                new_rows = new_rows.coalesce(int(new_fragment_partitions))
             v = self._mutate_dv_commit(spark, tomb, new_rows, "merge-dv", tag=tag)
             return base if v is None else v
         affected = self._affected_files(

@@ -70,12 +70,18 @@ class UpsertDatasetSink:
         op_col: str = "_op",
         seq_cols: list[str] | None = None,
         delete_ops: tuple[str, ...] = ("D", "-D", "delete"),
+        files_per_batch: int = 8,
     ):
         self.dataset = Dataset(path)
         self.key = key
         self.op_col = op_col
         self.seq_cols = list(seq_cols or [])
         self.delete_ops = tuple(delete_ops)
+        # appended-fragment fan-out per micro-batch: a broadcast-joined
+        # merge keeps the scan's partitioning, so without this a small
+        # batch sheds dozens of near-empty files per commit (the
+        # small-files tax). Raise it for genuinely large micro-batches.
+        self.files_per_batch = int(files_per_batch)
         # tombstone memory for out-of-order changelogs (see module
         # docstring); lives beside the state table, NOT under data/
         # (invisible to the state table's fragment globs and vacuum)
@@ -175,7 +181,9 @@ class UpsertDatasetSink:
                         f"bootstrap batch has multiple rows for key "
                         f"{dup[0][0]!r} and no seq_cols to pick a winner"
                     )
-            self.dataset.write(first, mode="append", tag=tag)
+            self.dataset.write(
+                first.coalesce(self.files_per_batch), mode="append", tag=tag
+            )
             return
         guard = _seq_guard(self.seq_cols) if self.seq_cols else None
         data_cols = [
@@ -206,6 +214,7 @@ class UpsertDatasetSink:
             # so the merge's duplicate-key probe (one shuffle + driver
             # round-trip per micro-batch) is structurally redundant
             assume_unique_keys=bool(self.seq_cols),
+            new_fragment_partitions=self.files_per_batch,
         )
 
     def compact_log(self, spark) -> int | None:
