@@ -508,3 +508,65 @@ def label_centroids(spark, sf_dir):
         F.round(norm(F.col("centroid")), 6).alias("centroid_norm"),
         F.round(F.element_at("centroid", 1), 6).alias("c0"),
     )
+
+
+@query(
+    "semantic_decontaminate",
+    extra=True,  # r12: embedding-space benchmark decontamination
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id AS ev_id, embedding::DOUBLE[] AS ev FROM embeddings
+        WHERE vec_id % 97 = 0),
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE vec_id % 97 <> 0),
+    hits AS (
+        SELECT c.vec_id, e.ev_id,
+               ROUND(list_cosine_similarity(c.emb, e.ev), 6) AS sim
+        FROM corpus c, ev e
+        WHERE ROUND(list_cosine_similarity(c.emb, e.ev), 6) >= 0.37)
+    SELECT vec_id, COUNT(*) AS n_matches,
+           MAX(sim) AS best_sim,
+           MIN(ev_id) AS first_eval_id
+    FROM hits GROUP BY vec_id
+    """,
+)
+def semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination — the semantic twin
+    of the 3-gram `decontaminate_corpus` entry (eval-set leakage that
+    paraphrasing hides from n-gram overlap still collides in embedding
+    space; the filter modern pretraining pipelines run alongside the
+    lexical one). The ~1% vec_id % 97 == 0 slice stands in for an eval
+    benchmark; its embeddings BROADCAST against one corpus scan and a
+    Catalyst HOF cosine flags corpus rows within 0.37 similarity of
+    ANY eval row. Cost: |corpus| × |eval| vectorized JVM ops with the
+    eval side broadcast — never a corpus×corpus product; at a larger
+    eval set, route through the IVF knn_join instead (same output
+    contract). The 0.37 threshold sits at ~p99 of the synthetic
+    corpus's best-eval similarity (these embeddings are near-random,
+    max ≈ 0.47), so the gate exercises REAL boundary decisions — a
+    production filter against paraphrase leakage runs ≥0.95 on
+    semantically trained embeddings. Rounded similarity on BOTH sides
+    of the threshold so the oracle's boundary decisions match
+    bit-for-bit."""
+    from lance_flink_spark.functions import vector as V
+
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("ev_id"),
+        F.col("embedding").cast("array<double>").alias("ev"),
+    )
+    corpus = emb.filter("vec_id % 97 <> 0").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sim = F.round(V.cosine_similarity(F.col("emb"), F.col("ev")), 6)
+    hits = (
+        corpus.crossJoin(F.broadcast(ev))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.37)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("sim").alias("best_sim"),
+        F.min("ev_id").alias("first_eval_id"),
+    )
