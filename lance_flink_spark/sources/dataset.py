@@ -314,6 +314,13 @@ class Dataset:
         if s is None:
             frags = self._live_paths(version)
             s = self._infer_merged_schema(spark, frags)
+            if len(_SCHEMA_CACHE) >= 4096:
+                # one entry lands per commit per dataset: bound the memo
+                # for very-long-lived sessions (entries are tiny, but
+                # unbounded driver state is unbounded driver state).
+                # Dropping the oldest half keeps current datasets warm.
+                for k in list(_SCHEMA_CACHE)[:2048]:
+                    _SCHEMA_CACHE.pop(k, None)
             _SCHEMA_CACHE[key] = s
         return s
 
