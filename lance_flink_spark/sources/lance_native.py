@@ -230,6 +230,14 @@ def read_fragment_table(path: str, top_fields: list[LanceField]):
     """Decode one .lance data file into a pyarrow.Table."""
     import pyarrow as pa
 
+    size = os.path.getsize(path)
+    if size > 256 * 1024 * 1024:
+        raise UnsupportedLanceFeature(
+            f"{path} is {size} bytes — this reader decodes one fragment "
+            "in memory (the documented subset covers the reference's "
+            "committed test data); production-scale fragments need the "
+            "Lance library's streaming reader"
+        )
     blob = open(path, "rb").read()
     (
         _cms,
