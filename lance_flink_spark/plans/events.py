@@ -667,7 +667,7 @@ def streaming_earliest_by_key(spark, sf_dir):
 
 @query(
     "streaming_over_agg",
-    extra=True,  # r12: Flink SQL event-time OVER aggregation on a stream
+    # r12 rotation: the #236 streaming OVER flagship gets driver-grade evidence
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (

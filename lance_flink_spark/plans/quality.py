@@ -662,7 +662,7 @@ def orders_price_deciles(spark, sf_dir):
 
 @query(
     "classifier_quality_filter",
-    extra=True,  # r12: the fastText-style linear quality filter, hash-gated
+    # r12 rotation: the #234 classifier flagship gets driver-grade evidence
     oracle="""
     WITH tok AS (
         SELECT doc_id, u.token FROM (

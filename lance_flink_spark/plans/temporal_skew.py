@@ -60,6 +60,7 @@ def events_interval_join(spark, sf_dir):
 
 @query(
     "skew_salted_count_distinct",
+    extra=True,  # r12 rotation: salting plan-pinned + hash-banked since r2
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type

@@ -1647,7 +1647,7 @@ def text_feature_hash(spark, sf_dir):
 
 @query(
     "text_trigram_logprob",
-    extra=True,  # r12: stupid-backoff trigram LM (the KenLM direction)
+    # r12 rotation: the #235 backoff-LM flagship gets driver-grade evidence
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, {_TOKS} AS arr FROM documents

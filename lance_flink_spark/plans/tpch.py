@@ -277,6 +277,7 @@ def mktsegment_rollup(spark, sf_dir):
 
 @query(
     "top_parts_per_brand",
+    extra=True,  # r12 rotation: window-rank evidence banked over many driver rounds
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice, rn FROM (
         SELECT p_brand, p_partkey, p_retailprice,
@@ -576,6 +577,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
 
 @query(
     "q22_idle_customers",
+    extra=True,  # r12 rotation: TPC-H family keeps Q1/Q3/Q5 driver-gated
     oracle="""
     SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM (
