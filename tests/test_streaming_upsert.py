@@ -196,3 +196,55 @@ def test_bootstrap_without_seq_rejects_dup_keys(spark, tmp_path_str):
     sink = UpsertDatasetSink(tmp_path_str + "/t", key="k")
     with _pytest.raises(ValueError, match="multiple rows"):
         sink.write_batch(_batch(spark, [(1, "a", 1, "U"), (1, "b", 2, "U")]), 0)
+
+
+def test_property_random_changelogs_converge_to_keep_last(spark, tmp_path_str):
+    """Randomized robustness (seeded, replayable): random U/D changes
+    over a small key space with unique global sequences, split into
+    random batches and applied through the sink — the final table must
+    equal the reference fold: per key, the highest-seq change wins;
+    a winning D means absent. Exercises intra-batch folds, cross-batch
+    seq guards, delete memory, and bootstrap, under arrival orders the
+    targeted tests don't enumerate."""
+    import random
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        n_keys, n_changes = rng.randint(3, 6), rng.randint(15, 40)
+        seqs = list(range(1, n_changes + 1))
+        rng.shuffle(seqs)  # arrival order ≠ sequence order
+        changes = [
+            (
+                rng.randrange(n_keys),
+                f"v{s}",
+                s,
+                "D" if rng.random() < 0.25 else "U",
+            )
+            for s in seqs
+        ]
+        # reference fold: highest seq per key wins
+        best = {}
+        for k, v, s, op in changes:
+            if k not in best or s > best[k][0]:
+                best[k] = (s, v, op)
+        want = {(k, v) for k, (s, v, op) in best.items() if op == "U"}
+        # random batch split
+        cuts = sorted(rng.sample(range(1, n_changes), min(3, n_changes - 1)))
+        batches, prev = [], 0
+        for c in [*cuts, n_changes]:
+            if c > prev:
+                batches.append(changes[prev:c])
+            prev = c
+        root = os.path.join(tmp_path_str, f"prop{seed}")
+        sink = UpsertDatasetSink(root + "/t", key="k", seq_cols=["seq"])
+        for i, b in enumerate(batches):
+            sink.write_batch(_batch(spark, b), i)
+        ds = Dataset(root + "/t")
+        try:
+            got = {
+                (r["k"], r["v"])
+                for r in ds.read(spark).select("k", "v").collect()
+            }
+        except FileNotFoundError:
+            got = set()  # everything retracted before ever landing
+        assert got == want, f"seed {seed}: {got} != {want}"
