@@ -750,3 +750,40 @@ def streaming_over_rows(spark, sf_dir):
     )
     t = run_to_memory(out, mode="append", state_partitions=8)
     return spark.table(t).select("user_id", "event_id", "ts_us", "rows_sum")
+
+
+@query(
+    "streaming_window_join",
+    extra=True,  # r12: Flink SQL WINDOW JOIN (windowing-TVF join) on streams
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w
+        FROM events WHERE event_type = 'click'),
+    p AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w
+        FROM events WHERE event_type = 'purchase')
+    SELECT user_id, COUNT(*) AS n_pairs
+    FROM c JOIN p USING (user_id, w) GROUP BY user_id
+    """,
+)
+def streaming_window_join(spark, sf_dir):
+    """Flink SQL WINDOW JOIN over two streams
+    (streaming/joins.py::stream_window_join): clicks pair with
+    purchases of the SAME user in the SAME 1-hour tumble — join state
+    scoped to the window and watermark-evicted, unlike the unbounded
+    interval-join state. The per-user pair counts must equal the batch
+    same-window join oracle."""
+    from lance_flink_spark.streaming.joins import stream_window_join
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    clicks = stream_events(spark, sf_dir, watermark="1 hour").filter(
+        "event_type = 'click'"
+    )
+    purchases = stream_events(spark, sf_dir, watermark="1 hour").filter(
+        "event_type = 'purchase'"
+    )
+    joined = stream_window_join(clicks, purchases, on="user_id", window="1 hour")
+    t = run_to_memory(joined, mode="append", state_partitions=8)
+    return spark.table(t).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

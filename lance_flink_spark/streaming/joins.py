@@ -48,3 +48,44 @@ def stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond)
+
+
+def stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Flink SQL WINDOW JOIN (1.14 windowing-TVF join): rows of two
+    streams pair when they share a key AND the same tumbling window.
+    Spark's native shape: derive the window struct on BOTH watermarked
+    sides and equi-join on (key, window) — the planner scopes join
+    state to the window and evicts it once the watermark passes the
+    window end, exactly Flink's window-join state story. Output keeps
+    both sides' payloads with ``l_``/``r_`` prefixes plus the shared
+    key and window."""
+    from pyspark.sql import functions as F
+
+    # the window struct inherits the event-time tag; the raw ts column
+    # must NOT ride along (Spark allows one event-time column per
+    # stream — the window IS the join's time dimension)
+    lw = left.withColumn("w", F.window(ts_col, window)).select(
+        F.col(on).alias("__k"),
+        "w",
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (on, ts_col)
+        ],
+    )
+    rw = right.withColumn("w", F.window(ts_col, window)).select(
+        F.col(on).alias("__k"),
+        "w",
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (on, ts_col)
+        ],
+    )
+    return lw.join(rw, ["__k", "w"]).withColumnRenamed("__k", on)
