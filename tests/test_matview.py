@@ -277,3 +277,93 @@ def test_quantile_matview_noop_and_overwrite(spark, tmp_path_str):
     ds.write(_df(spark, [(1, "a", 100.0), (2, "b", 0.0)]), mode="overwrite")
     mvq.refresh(spark)
     assert _q_state(spark, mvq) == _q_direct(spark, ds)
+
+
+def test_property_random_mutation_histories(spark, tmp_path_str):
+    """Seeded random histories over the full mutation surface —
+    append / update-dv / delete-dv / merge-dv — with refreshes after
+    RANDOM subsets of commits (so one refresh often folds several
+    versions at once): after every refresh the maintained aggregate
+    must equal the direct groupBy over the live data. Stresses the CDF
+    delta algebra, the one-shuffle fold, the extremum-rescan branch,
+    and multi-version read_changes in combinations the targeted tests
+    don't enumerate."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in (7, 31):
+        rng = random.Random(seed)
+        root = os.path.join(tmp_path_str, f"prop{seed}")
+        ds = Dataset(root + "/src")
+        next_k = [0]
+
+        def rows(n, grp_pool, vlo=-50, vhi=100):
+            out = []
+            for _ in range(n):
+                out.append(
+                    Row(
+                        k=next_k[0],
+                        grp=rng.choice(grp_pool),
+                        vc=rng.randint(vlo, vhi),
+                    )
+                )
+                next_k[0] += 1
+            return out
+
+        grps = ["a", "b", "c"]
+        ds.write(
+            spark.createDataFrame(rows(40, grps), "k long, grp string, vc long")
+        )
+        mv = MaterializedAggregate(
+            ds, root + "/mv", row_key="k", group_cols=["grp"], value_col="vc"
+        )
+        mv.refresh(spark)
+        for _step in range(6):
+            n_ops = rng.randint(1, 3)
+            for _ in range(n_ops):
+                op = rng.choice(["append", "update", "delete", "merge"])
+                if op == "append":
+                    ds.write(
+                        spark.createDataFrame(
+                            rows(rng.randint(3, 10), grps),
+                            "k long, grp string, vc long",
+                        ),
+                        mode="append",
+                    )
+                elif op == "update":
+                    m = rng.randint(2, 9)
+                    ds.update_where(
+                        spark, f"k % {m} = 1", {"vc": f"vc + {rng.randint(-30, 30)}"}, dv=True
+                    )
+                elif op == "delete":
+                    m = rng.randint(3, 11)
+                    ds.delete_where(spark, f"k % {m} = 2", dv=True)
+                else:
+                    src = spark.createDataFrame(
+                        rows(rng.randint(2, 6), grps)
+                        + [
+                            Row(k=rng.randrange(max(next_k[0] - 1, 1)), grp=rng.choice(grps), vc=rng.randint(-50, 100))
+                        ],
+                        "k long, grp string, vc long",
+                    ).dropDuplicates(["k"])
+                    ds.merge_insert(spark, src, on="k", dv=True)
+            mv.refresh(spark)
+            got = {
+                r["grp"]: (r["sum_v"], r["cnt"], r["min_v"], r["max_v"])
+                for r in mv.read(spark).collect()
+            }
+            want = {
+                r["grp"]: (r["sum_v"], r["cnt"], r["min_v"], r["max_v"])
+                for r in ds.read(spark)
+                .groupBy("grp")
+                .agg(
+                    F.sum("vc").alias("sum_v"),
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.min("vc").alias("min_v"),
+                    F.max("vc").alias("max_v"),
+                )
+                .collect()
+            }
+            assert got == want, f"seed {seed} step {_step}: {got} != {want}"
