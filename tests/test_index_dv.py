@@ -329,3 +329,53 @@ def test_stale_guard_restore_and_hnsw(spark, tmp_path_str):
     healed = HNSWIndex(idx.path, on_stale="resync")
     got = {r["vec_id"] for r in healed.search(spark, [0.0] * 4, k=50, nprobes=2, ef=200).collect()}
     assert got <= set(range(40)) and len(got) > 0
+
+
+def test_property_random_index_lifecycles(spark, tmp_path_str):
+    """Seeded random lifecycles over a bound index — DV deletes, DV
+    updates, ingest of new rows, compact+auto-resync — with the
+    invariant checked after EVERY step: full-probe masked search ==
+    brute KNN over the live scan (the ivf_deleted_exactness contract),
+    under mutation orders the targeted tests don't enumerate."""
+    import random
+
+    from lance_flink_spark.operators.similarity import knn
+
+    for seed in (13, 29):
+        rng = random.Random(seed)
+        root = tmp_path_str + f"/prop{seed}"
+        ds = Dataset(root + "/ds")
+        ds.write(_vecs(spark, range(60), [0.0] * 4, sigma=1.0, seed=seed))
+        idx = IVFIndex.build(
+            spark, None, root + "/idx", nlist=4, sample_size=512, dataset=ds
+        )
+        healing = IVFIndex(idx.path, on_stale="resync")
+        next_id = [1000]
+        for step in range(5):
+            op = rng.choice(["delete", "update", "ingest", "compact"])
+            if op == "delete":
+                m = rng.randint(3, 9)
+                ds.delete_where(spark, f"vec_id % {m} = 1", dv=True)
+            elif op == "update":
+                m = rng.randint(4, 11)
+                ds.update_where(
+                    spark,
+                    f"vec_id % {m} = 2",
+                    {"embedding": f"array({rng.uniform(-2,2)}f, 0.0f, 0.0f, 0.0f)"},
+                    dv=True,
+                )
+                healing.resync(spark)  # fold the update copies back in
+            elif op == "ingest":
+                ids = range(next_id[0], next_id[0] + rng.randint(3, 8))
+                next_id[0] += 10
+                healing.ingest(
+                    spark, _vecs(spark, ids, [rng.uniform(-1, 1)] * 4, sigma=0.5, seed=seed + step)
+                )
+            else:
+                ds.compact(spark)  # healing handle auto-resyncs at search
+            q = [rng.uniform(-1, 1) for _ in range(4)]
+            got = healing.search(spark, q, k=8, nprobes=4).select("vec_id", "distance")
+            brute = knn(ds.read(spark), q, 8, metric="l2").select("vec_id", "distance")
+            assert [tuple(r) for r in got.collect()] == [
+                tuple(r) for r in brute.collect()
+            ], f"seed {seed} step {step} op {op}"
