@@ -288,3 +288,49 @@ def test_rewritten_registry_plans_carry_no_exact_percentile(spark):
     ):
         plan = _plan(reg[name](spark, SF_DIR))
         assert "percentile(" not in plan, name
+
+
+def test_property_random_grouped_percentiles_match_spark_exact(spark):
+    """Seeded random value distributions (ties, negatives, skewed
+    group sizes, singleton groups) — grouped_percentiles must equal
+    Spark's exact percentile() aggregate bit-for-bit at the ROUND
+    boundary. The aggregate is BANNED in package code (single-buffer
+    O(NDV) state); tests are exactly where it belongs, as ground
+    truth."""
+    import random
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.operators.quantiles import grouped_percentiles
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        rows = []
+        for g in range(rng.randint(2, 5)):
+            n = rng.choice([1, 2, 7, rng.randint(20, 120)])
+            vals = [
+                float(rng.choice([rng.randint(-40, 40), rng.uniform(-40, 40)]))
+                for _ in range(n)
+            ]
+            if n > 3 and rng.random() < 0.7:
+                vals[1] = vals[0]  # plant ties
+                vals[2] = vals[0]
+            rows += [Row(g=f"g{g}", v=v) for v in vals]
+        df = spark.createDataFrame(rows, "g string, v double")
+        ps = sorted(rng.sample([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 3))
+        spec = {f"p{int(p * 100):02d}": p for p in ps}
+        out = grouped_percentiles(df, "v", spec, group_cols=["g"]).collect()
+        got = {
+            (r["g"], name): round(r[name], 6)
+            for r in out
+            for name in spec
+        }
+        import pyspark.sql.functions as F
+
+        want = {}
+        for name, p in spec.items():
+            for r in df.groupBy("g").agg(
+                F.expr(f"percentile(v, {p})").alias("x")
+            ).collect():
+                want[(r["g"], name)] = round(r["x"], 6)
+        assert got == want, f"seed {seed}"
