@@ -56,6 +56,7 @@ def stream_window_join(
     on: str,
     window: str = "1 hour",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Flink SQL WINDOW JOIN (1.14 windowing-TVF join): rows of two
     streams pair when they share a key AND the same tumbling window.
@@ -64,7 +65,14 @@ def stream_window_join(
     state to the window and evicts it once the watermark passes the
     window end, exactly Flink's window-join state story. Output keeps
     both sides' payloads with ``l_``/``r_`` prefixes plus the shared
-    key and window."""
+    key and window.
+
+    ``how`` covers Flink's window-join type list: inner / left / right
+    / full outer (unmatched side nulls emit once the window closes —
+    the watermark proves no partner can still arrive) and left_semi /
+    left_anti. Spark has no native stream-stream anti join, so
+    left_anti lowers to the supported left-outer + null-partner filter
+    — same result, same watermark-driven state story."""
     from pyspark.sql import functions as F
 
     # the window struct inherits the event-time tag; the raw ts column
@@ -88,4 +96,14 @@ def stream_window_join(
             if c not in (on, ts_col)
         ],
     )
-    return lw.join(rw, ["__k", "w"]).withColumnRenamed("__k", on)
+    if how == "left_anti":
+        # probe a non-nullable marker, not a payload column (a matched
+        # row with a null payload must not read as unmatched)
+        out = (
+            lw.join(rw.withColumn("__r_exists", F.lit(True)), ["__k", "w"], "left")
+            .filter(F.col("__r_exists").isNull())
+            .drop("__r_exists", *[c for c in rw.columns if c.startswith("r_")])
+        )
+    else:
+        out = lw.join(rw, ["__k", "w"], how)
+    return out.withColumnRenamed("__k", on)

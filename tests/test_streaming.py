@@ -439,3 +439,61 @@ def test_stream_latest_by_key_allowed_lateness_drops_late_rows(spark, tmp_path_s
     assert run("strict", "1 minute")["a"] == "early"
     # 3-hour lateness: the same row is within bounds -> it wins
     assert run("loose", "3 hours")["a"] == "late"
+
+
+def test_stream_window_join_types(spark, tmp_path_str):
+    """Flink window-join type coverage on streams: inner pairs rows in
+    the same (key, tumble); LEFT OUTER emits null-partner rows once
+    the window closes (the watermark proves no partner can arrive);
+    LEFT ANTI emits exactly the windows with no partner."""
+    import datetime
+    import os
+
+    from lance_flink_spark.streaming.joins import stream_window_join
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    schema = "k long, ts timestamp, tag string"
+    rows = [
+        # window 10: both sides → inner match
+        (1, ts(10, 5), "L1"), (1, ts(10, 40), "R1"),
+        # window 11: left only → left-outer null partner / anti hit
+        (1, ts(11, 5), "L2"),
+        # window 12: right only
+        (1, ts(12, 5), "R2"),
+        # advance the watermark far past everything
+        (9, ts(20, 0), "L9"), (9, ts(20, 1), "R9"),
+    ]
+    left_rows = [(k, t, g) for k, t, g in rows if g.startswith("L")]
+    right_rows = [(k, t, g) for k, t, g in rows if g.startswith("R")]
+    src = os.path.join(tmp_path_str, "wj")
+    spark.createDataFrame(left_rows, schema).coalesce(1).write.parquet(src + "/l")
+    spark.createDataFrame(right_rows, schema).coalesce(1).write.parquet(src + "/r")
+
+    def stream(side):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src + f"/{side}")
+            .withWatermark("ts", "0 seconds")
+        )
+
+    inner = stream_window_join(stream("l"), stream("r"), on="k", window="1 hour")
+    t = run_to_memory(inner, mode="append", state_partitions=4)
+    got = {(r["k"], r["l_tag"], r["r_tag"]) for r in spark.sql(f"SELECT * FROM {t}").collect()}
+    assert got == {(1, "L1", "R1"), (9, "L9", "R9")}
+
+    louter = stream_window_join(
+        stream("l"), stream("r"), on="k", window="1 hour", how="left"
+    )
+    t2 = run_to_memory(louter, mode="append", state_partitions=4)
+    got2 = {(r["k"], r["l_tag"], r["r_tag"]) for r in spark.sql(f"SELECT * FROM {t2}").collect()}
+    assert (1, "L2", None) in got2 and (1, "L1", "R1") in got2
+
+    anti = stream_window_join(
+        stream("l"), stream("r"), on="k", window="1 hour", how="left_anti"
+    )
+    t3 = run_to_memory(anti, mode="append", state_partitions=4)
+    got3 = {(r["k"], r["l_tag"]) for r in spark.sql(f"SELECT * FROM {t3}").collect()}
+    assert got3 == {(1, "L2")}
