@@ -159,3 +159,73 @@ def partition_pruned_scan(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "lance_native_roundtrip",
+    extra=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN n_chars % 3 = 0 THEN 1 END) AS n_title,
+           CAST(SUM(CASE WHEN source <> 'web' THEN n_chars END)
+                AS BIGINT) AS sum_nc,
+           CAST(SUM(CASE WHEN lang <> 'de'
+                         THEN n_chars + doc_id END) AS BIGINT) AS sum_emb
+    FROM documents
+    WHERE doc_id % 10 <> 3
+    GROUP BY lang
+    """,
+)
+def lance_native_roundtrip(spark, sf_dir):
+    """NATIVE Lance format e2e, WRITE side included (round 13): a
+    null-bearing table (nullable string / int64 / list<float> columns)
+    writes through the pure-Python 'Lance File 2.0' writer
+    (sources/lance_native.py — validity bitmaps, protobuf manifests),
+    takes a deletion-file mutation (Arrow deletion sidecar, the spec's
+    ARROW_ARRAY type), and reads back through the native reader into
+    Spark. The oracle replays the same derivation relationally over
+    the parquet source, so a dropped null, a swapped column, a mis-
+    masked deletion, or a lossy list round-trip breaks the hash.
+    Reference parity: LanceSink.java:32 / LanceInputFormat.java
+    delegate this to com.lancedb.lance.Dataset."""
+    import shutil
+
+    import numpy as np
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        delete_rows,
+        write_dataset,
+    )
+
+    src = (
+        table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "CASE WHEN n_chars % 3 = 0 THEN text END AS title",
+            "CASE WHEN source <> 'web' THEN n_chars END AS nc",
+            "CASE WHEN lang <> 'de' THEN ARRAY(CAST(n_chars AS FLOAT), "
+            "CAST(doc_id AS FLOAT)) END AS emb",
+        )
+        .orderBy("doc_id")
+    )
+    t = src.toArrow()
+    root = os.path.join(
+        scratch_dir("lance_native" + _tag(sf_dir)), "docs_native"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset(root, t)
+    # deletion-file mutation: physical offsets of doc_id % 10 == 3
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    delete_rows(root, np.nonzero(ids % 10 == 3)[0])
+    df = LanceNativeDataset(root).read(spark)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("title").alias("n_title"),
+        F.sum("nc").alias("sum_nc"),
+        F.sum(
+            F.col("emb")[0].cast("bigint") + F.col("emb")[1].cast("bigint")
+        ).alias("sum_emb"),
+    )

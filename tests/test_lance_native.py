@@ -155,3 +155,259 @@ def test_sql_vector_search_over_native_table(spark, tmp_path_str):
     assert len(got) == 3
     assert got[0]["id"] == 1 and got[0]["distance"] == 0.0
     assert all(r["id"] != 3 for r in got[:2])
+
+
+# ---------- round 13: write side, nulls, deletion files ----------
+
+
+def _nullable_table():
+    import datetime
+
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "id": pa.array([1, 2, None, 4, 5], type=pa.int64()),
+            "n32": pa.array([10, None, 30, 40, 50], type=pa.int32()),
+            "score": pa.array([0.5, None, 1.5, None, 2.5], type=pa.float64()),
+            "title": pa.array(["a", "入門", None, "d", ""], type=pa.string()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, i + 1) for i in range(4)] + [None],
+                type=pa.timestamp("ms"),
+            ),
+            "emb": pa.array(
+                [[0.1, 0.2], None, [0.3], [], [0.5, None]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def test_write_read_roundtrip_with_nulls(tmp_path_str):
+    """write_dataset emits 'Lance File 2.0' files with validity
+    bitmaps; the reader reconstructs every null (incl. null lists,
+    empty lists, and null ELEMENTS inside lists) bit-exactly."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    t = _nullable_table()
+    ds = write_dataset(os.path.join(tmp_path_str, "ds"), t)
+    back = ds.to_arrow()
+    exp = t.cast(
+        pa.schema(
+            [
+                pa.field("id", pa.int64()),
+                pa.field("n32", pa.int32()),
+                pa.field("score", pa.float64()),
+                pa.field("title", pa.large_utf8()),
+                pa.field("ts", pa.timestamp("ms")),
+                pa.field("emb", pa.large_list(pa.float32())),
+            ]
+        )
+    )
+    assert back.equals(exp)
+
+
+def test_append_and_time_travel(tmp_path_str):
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        append_to_dataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "ds")
+    t = _nullable_table()
+    write_dataset(root, t)
+    assert append_to_dataset(root, t) == 2
+    ds = LanceNativeDataset(root)
+    assert ds.versions() == [1, 2]
+    assert ds.to_arrow().num_rows == 10  # latest: both fragments
+    assert ds.to_arrow(1).num_rows == 5  # time travel
+
+
+def test_append_schema_mismatch_refuses(tmp_path_str):
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        append_to_dataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "ds")
+    write_dataset(root, _nullable_table())
+    with pytest.raises(UnsupportedLanceFeature, match="schema mismatch"):
+        append_to_dataset(root, pa.table({"id": pa.array([1], type=pa.int64())}))
+
+
+def test_deletion_files_roundtrip(tmp_path_str):
+    """delete_rows writes per-fragment Arrow deletion files (the
+    spec's ARROW_ARRAY type) unioned across versions; reads mask the
+    rows; time travel still sees them."""
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        append_to_dataset,
+        delete_rows,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "ds")
+    write_dataset(root, _nullable_table())
+    append_to_dataset(root, _nullable_table())
+    # physical offsets span fragments: 0,2 in frag 0; 7 in frag 1
+    v = delete_rows(root, [0, 2, 7])
+    assert v == 3
+    ds = LanceNativeDataset(root)
+    got = ds.to_arrow()
+    assert got.num_rows == 7
+    assert got.column("id").to_pylist() == [2, 4, 5, 1, 2, 4, 5]
+    # second delete unions with the existing deletion file
+    delete_rows(root, [1])
+    assert LanceNativeDataset(root).to_arrow().column("id").to_pylist() == [
+        4, 5, 1, 2, 4, 5,
+    ]
+    # time travel reads pre-delete versions unmasked
+    assert LanceNativeDataset(root).to_arrow(2).num_rows == 10
+
+
+def test_deletion_count_mismatch_refuses(tmp_path_str):
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        delete_rows,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "ds")
+    write_dataset(root, _nullable_table())
+    delete_rows(root, [0, 1])
+    # corrupt the manifest's num_deleted by rewriting a bigger count
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    frags[0].deletion.num_deleted = 99
+    from lance_flink_spark.sources.lance_native import (
+        _schema_fields_of_existing,
+        _write_manifest,
+    )
+
+    _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
+    with pytest.raises(UnsupportedLanceFeature, match="manifest says 99"):
+        LanceNativeDataset(root).to_arrow()
+
+
+def test_bitmap_deletion_refuses(tmp_path_str):
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        _schema_fields_of_existing,
+        _write_manifest,
+        delete_rows,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "ds")
+    write_dataset(root, _nullable_table())
+    delete_rows(root, [0])
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    frags[0].deletion.file_type = 1  # roaring BITMAP — not decodable here
+    _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
+    with pytest.raises(UnsupportedLanceFeature, match="roaring"):
+        LanceNativeDataset(root).to_arrow()
+
+
+def test_file_version_gate(tmp_path_str):
+    """Legacy-v1 / 2.1 footers refuse by version, not by garbage
+    offsets (ADVICE r12)."""
+    import struct
+
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "ds")
+    ds = write_dataset(root, _nullable_table())
+    data = os.path.join(root, "data")
+    p = os.path.join(data, os.listdir(data)[0])
+    blob = bytearray(open(p, "rb").read())
+    # footer major/minor live at bytes [-8:-4] as two u16
+    struct.pack_into("<HH", blob, len(blob) - 8, 0, 2)
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(UnsupportedLanceFeature, match="file version 0.2"):
+        ds.to_arrow()
+
+
+def test_field_id_mismatch_refuses(tmp_path_str):
+    """A data file whose recorded field ids don't match the schema's
+    depth-first order refuses instead of decoding columns swapped
+    (ADVICE r12)."""
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        _schema_fields_of_existing,
+        _write_manifest,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "ds")
+    write_dataset(root, _nullable_table())
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    frags[0].field_ids = list(reversed(frags[0].field_ids))
+    _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
+    with pytest.raises(UnsupportedLanceFeature, match="depth-first order"):
+        LanceNativeDataset(root).to_arrow()
+
+
+def test_foreign_storage_format_refuses(tmp_path_str):
+    import struct
+
+    from lance_flink_spark.sources.lance_native import (
+        _enc_int,
+        _enc_len,
+        parse_manifest,
+    )
+
+    body = _enc_int(3, 1) + _enc_len(15, _enc_len(1, b"iceberg"))
+    with pytest.raises(UnsupportedLanceFeature, match="iceberg"):
+        parse_manifest(struct.pack("<I", len(body)) + body)
+
+
+def test_spark_read_nullable_schema(spark, tmp_path_str):
+    """Null-bearing columns keep their Spark types (long/int stay
+    integral — no pandas float64 widening)."""
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    ds = write_dataset(os.path.join(tmp_path_str, "ds"), _nullable_table())
+    df = ds.read(spark)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "int", "double", "string", "timestamp_ntz", "array<float>",
+    ] or [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "int", "double", "string", "timestamp", "array<float>",
+    ]
+    rows = df.orderBy("n32").collect()
+    assert rows[0]["id"] == 2 and rows[0]["n32"] is None
+
+
+def test_native_ctas_and_merge_refusal(spark, tmp_path_str):
+    """CTAS with 'storage'='native' writes a real native Lance
+    directory and registers it READ-ONLY; every mutating statement
+    (now incl. unconditional MERGE — ADVICE r12) refuses with the
+    copy-out hint."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/wh"))
+    path = os.path.join(tmp_path_str, "native_out")
+    eng.execute(
+        f"""CREATE TABLE nat WITH ('connector'='lance',
+            'path'='{path}', 'storage'='native') AS
+            SELECT id, CAST(id * 1.5 AS DOUBLE) AS score,
+                   CONCAT('row-', CAST(id AS STRING)) AS title
+            FROM RANGE(5)"""
+    )
+    assert LanceNativeDataset(path).versions() == [1]
+    got = eng.execute(
+        "SELECT COUNT(*) AS n, SUM(score) AS s FROM nat"
+    ).first()
+    assert got["n"] == 5 and got["s"] == pytest.approx(15.0)
+    with pytest.raises(ValueError, match="READ-ONLY native"):
+        eng.execute(
+            "MERGE INTO nat USING (SELECT 9 AS id, 1.0 AS score, 'x' AS t) ON id"
+        )
