@@ -309,7 +309,12 @@ class Dataset:
         fills a file's missing columns with nulls natively, so the
         supported (add-column) evolution reads identically, minus the
         per-DataFrame footer-merge job."""
-        key = (self.path, len(self._load_manifest()["versions"]), version)
+        vs = self._load_manifest()["versions"]
+        # the first commit's timestamp is a per-dataset identity: a
+        # dataset dropped and re-created at the same path (possibly
+        # with the same version count) gets a fresh creation ts, so a
+        # stale schema from the old incarnation can never be served
+        key = (self.path, vs[0]["ts"] if vs else 0.0, len(vs), version)
         s = _SCHEMA_CACHE.get(key)
         if s is None:
             frags = self._live_paths(version)
@@ -491,6 +496,7 @@ class Dataset:
         compression: str | None = None,
         batch_size: int | None = None,
         row_group_bytes: int | None = None,
+        skip_empty: bool = False,
     ) -> int:
         """Write ``df`` as a new dataset version. Returns the version.
 
@@ -517,6 +523,12 @@ class Dataset:
         write is a no-op (exactly-once for replayed micro-batches —
         data files written before a crash stay invisible because only
         the manifest makes fragments live).
+
+        ``skip_empty=True`` rides an Observation on the write job and
+        commits NO version when zero rows landed (the written empty
+        fragment is deleted) — callers that would otherwise pay a
+        separate emptiness-probe job (e.g. the upsert sink's per-batch
+        retraction log) fold the check into the write itself.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"write mode must be append|overwrite, got {mode!r}")
@@ -536,6 +548,13 @@ class Dataset:
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         frag = f"data/v{len(self.versions()) + 1:04d}-{uuid.uuid4().hex[:8]}"
         out = fsio.join(self.path, frag)
+        obs = None
+        if skip_empty:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = df.write.option("maxRecordsPerFile", max_rows_per_file)
         if batch_size is not None:
             writer = writer.option("parquet.page.row.count.limit", batch_size)
@@ -551,6 +570,9 @@ class Dataset:
             # codecs within one dataset read fine (per-file metadata)
             writer = writer.option("compression", compression)
         writer.mode("errorifexists").parquet(out)
+        if obs is not None and int(obs.get["n"]) == 0:
+            fsio.delete(out)  # nothing landed: no version, no orphan
+            return len(self.versions())
         return self._commit(mode, frag, tag=tag, expected_version=expected_version)
 
     def drop_columns(self, spark: SparkSession, cols: list[str]) -> int:
@@ -2567,8 +2589,13 @@ class Dataset:
                 prior = prior | cond
             # every row SOME clause fires on gets tombstoned (deletes
             # stop there; updates also land their new copy below);
-            # matched rows no clause fires on stay untouched on disk
-            hit = j.filter(prior)
+            # matched rows no clause fires on stay untouched on disk.
+            # The hit set feeds BOTH write jobs (tombstones + updated
+            # copies) — persist it so the keyed live scan runs once
+            # per merge, not once per write job (it is bounded by the
+            # matched-row count ≤ source size, so the cache never
+            # exceeds the mutation's own footprint)
+            hit = j.filter(prior).persist()
             tomb = hit.select(
                 F.col("t.`__dv_file`").alias("__dv_file"),
                 F.col("t.`__dv_pos`").alias("__dv_pos"),
@@ -2586,7 +2613,10 @@ class Dataset:
                             cond, F.expr(c["sets"][f.name]).cast(f.dataType)
                         ).otherwise(cur)
                 out_cols.append(cur.alias(f.name))
-            new_rows = j.filter(upd_cond).select(*out_cols)
+            # update conds are pairwise-disjoint refinements of the hit
+            # predicate, so filtering the CACHED hit set is identical
+            # to re-filtering the join
+            new_rows = hit.filter(upd_cond).select(*out_cols)
             if insert_clauses:
                 inserts = source.join(
                     scan.select(on).distinct(), on, "left_anti"
@@ -2608,7 +2638,10 @@ class Dataset:
                 )
             if new_fragment_partitions is not None:
                 new_rows = new_rows.coalesce(int(new_fragment_partitions))
-            v = self._mutate_dv_commit(spark, tomb, new_rows, "merge-dv", tag=tag)
+            try:
+                v = self._mutate_dv_commit(spark, tomb, new_rows, "merge-dv", tag=tag)
+            finally:
+                hit.unpersist()
             return base if v is None else v
         affected = self._affected_files(
             self._tagged_scan(spark).join(keys, on, "left_semi")

@@ -113,9 +113,12 @@ class UpsertDatasetSink:
         dels = folded.filter(
             F.col(self.op_col).isin(list(self.delete_ops))
         ).select(self.key, *self.seq_cols)
-        if not dels.take(1):
-            return
-        self.retractions.write(dels, mode="append", tag=tag)
+        # skip_empty folds the "any deletes this batch?" probe into the
+        # write job itself (one job, one commit-or-nothing) — the
+        # separate take(1) previously cost a full extra job per batch
+        self.retractions.write(
+            dels.coalesce(1), mode="append", tag=tag, skip_empty=True
+        )
 
     def _drop_pre_retraction(self, spark, folded: DataFrame) -> DataFrame:
         """Drop changes STRICTLY older than the key's last logged
