@@ -319,3 +319,218 @@ def over_rows_sum(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return out.withColumnRenamed("key", key_col)
+
+
+# ---------- round 13: multi-aggregate OVER (COUNT/SUM/MIN/MAX/AVG) ----------
+
+#: output schema shared by the multi-aggregate variants
+_MULTI_OUT = (
+    "key long, event_id long, ts_us long, over_cnt long, over_sum long, "
+    "over_min long, over_max long, over_avg double"
+)
+
+
+def _empty_multi() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": pd.Series([], dtype="int64"),
+            "event_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "over_cnt": pd.Series([], dtype="int64"),
+            "over_sum": pd.Series([], dtype="int64"),
+            "over_min": pd.Series([], dtype="int64"),
+            "over_max": pd.Series([], dtype="int64"),
+            "over_avg": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def _range_reduce(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray, ufunc):
+    """Vectorized ``ufunc.reduce(vals[lo[i]:hi[i]])`` for every i via a
+    sparse table (O(B log B) build, O(1) per query): level k holds the
+    reduction of each 2^k-wide window; a [lo, hi) query is the overlap
+    of the two 2^⌊log2(hi−lo)⌋ windows anchored at both ends — exact
+    for idempotent ops (min/max). Frames always include the current
+    row, so hi > lo everywhere."""
+    res = np.empty(len(lo), dtype=vals.dtype)
+    if not len(lo):
+        return res
+    n = (hi - lo).astype(np.float64)
+    ks = np.frexp(n)[1] - 1  # exact ⌊log2⌋ for integer-valued floats
+    tables = [vals]
+    for k in range(1, int(ks.max()) + 1):
+        span = 1 << (k - 1)
+        prev = tables[-1]
+        tables.append(ufunc(prev[:-span], prev[span:]))
+    for k in range(int(ks.max()) + 1):
+        m = ks == k
+        if not m.any():
+            continue
+        w = 1 << k
+        res[m] = ufunc(tables[k][lo[m]], tables[k][hi[m] - w])
+    return res
+
+
+def _multi_frame(key, ids, ts, vs, emit, lo, hi) -> pd.DataFrame:
+    """Assemble the five-aggregate output for emitted rows whose
+    frames are the sorted-buffer slices [lo, hi)."""
+    csum = np.concatenate([[0], np.cumsum(vs)])
+    cnt = (hi - lo).astype(np.int64)
+    sums = csum[hi] - csum[lo]
+    return pd.DataFrame(
+        {
+            "key": key[0],
+            "event_id": ids[emit],
+            "ts_us": ts[emit],
+            "over_cnt": cnt,
+            "over_sum": sums,
+            "over_min": _range_reduce(vs, lo, hi, np.minimum),
+            "over_max": _range_reduce(vs, lo, hi, np.maximum),
+            "over_avg": sums / cnt,
+        }
+    )
+
+
+def over_range_multi(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "vc",
+    preceding_ms: int = 30 * 60 * 1000,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Multi-aggregate trailing-RANGE OVER on a stream — Flink's
+    RowTimeRangeBoundedPrecedingFunction serves arbitrary aggregate
+    lists in one operator; this is the COUNT/SUM/MIN/MAX/AVG bundle
+    over the same buffered-state machinery as :func:`over_range_sum`
+    (shifted watermark, strict emission, event-time timers, bounded
+    eviction). One state pass computes all five: prefix sums for
+    COUNT/SUM/AVG, an O(B log B) sparse table for MIN/MAX."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    rng_us = int(preceding_ms) * 1000
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ts, ids, vs, done, hwm = _load_state(state, pdfs)
+        wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
+        order = np.argsort(ts, kind="stable")
+        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+        emit = (~done) & (ts < wm_us)
+        if emit.any():
+            hi = np.searchsorted(ts, ts[emit], side="right")
+            lo = np.searchsorted(ts, ts[emit] - rng_us, side="left")
+            out = _multi_frame(key, ids, ts, vs, emit, lo, hi)
+            done = done | emit
+        else:
+            out = _empty_multi()
+        keep = (ts >= wm_us - rng_us) | ~done
+        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        if len(ts):
+            state.update(
+                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
+                 int(wm_us))
+            )
+            pending = ts[~done]
+            if len(pending):
+                state.setTimeoutTimestamp(_timer_ms(int(pending.min()), wm_us))
+        else:
+            state.remove()
+        yield out
+
+    keyed = _with_shifted_watermark(
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(ts_col).alias(ts_col),
+        ),
+        ts_col,
+        delay,
+    )
+    out = keyed.groupBy("__k").applyInPandasWithState(
+        _update,
+        outputStructType=_MULTI_OUT,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumnRenamed("key", key_col)
+
+
+def over_rows_multi(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "vc",
+    n_preceding: int = 5,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Multi-aggregate ROWS-frame twin (COUNT/SUM/MIN/MAX/AVG over the
+    key's last ``n_preceding`` rows plus itself in (ts, id) order) —
+    same contract as :func:`over_rows_sum`. COUNT < n_preceding+1 only
+    at the head of a key's history, exactly like the batch frame."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    n_prec = int(n_preceding)
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ts, ids, vs, done, hwm = _load_state(state, pdfs)
+        wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
+        order = np.lexsort((ids, ts))
+        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+        emit = (~done) & (ts < wm_us)
+        if emit.any():
+            pos = np.flatnonzero(emit)
+            lo = np.maximum(pos + 1 - (n_prec + 1), 0)
+            out = _multi_frame(key, ids, ts, vs, emit, lo, pos + 1)
+            done = done | emit
+        else:
+            out = _empty_multi()
+        cut = int(np.searchsorted(ts, wm_us, side="left"))
+        idx = np.arange(len(ts))
+        keep = (~done) | (idx >= cut - n_prec)
+        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        if len(ts):
+            state.update(
+                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
+                 int(wm_us))
+            )
+            pending = ts[~done]
+            if len(pending):
+                state.setTimeoutTimestamp(_timer_ms(int(pending.min()), wm_us))
+        else:
+            state.remove()
+        yield out
+
+    keyed = _with_shifted_watermark(
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(ts_col).alias(ts_col),
+        ),
+        ts_col,
+        delay,
+    )
+    out = keyed.groupBy("__k").applyInPandasWithState(
+        _update,
+        outputStructType=_MULTI_OUT,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumnRenamed("key", key_col)

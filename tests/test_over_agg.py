@@ -247,3 +247,91 @@ def test_cross_batch_late_row_dropped_not_misframed(spark, tmp_path_str):
     # minutes 16-26 → ids 2 (minute 20), 3 (minute 25), 4 itself
     assert got[(1, 4)] == 14
     assert got[(1, 1)] == 1 and got[(1, 2)] == 2 and got[(1, 3)] == 6
+
+
+def test_multi_agg_range_cross_batch(spark, tmp_path_str):
+    """over_range_multi: COUNT/SUM/MIN/MAX/AVG across micro-batch
+    boundaries equal the batch five-aggregate window — incl. MIN/MAX
+    frames whose extremum enters in an EARLIER batch than the emitted
+    row (the sparse table runs over buffered + new rows together)."""
+    from lance_flink_spark.streaming.over_agg import over_range_multi
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    batches = [
+        [
+            Row(user_id=1, event_id=1, ts=_ts(0, 0), vc=-50),
+            Row(user_id=1, event_id=2, ts=_ts(4, 0), vc=30),
+        ],
+        [
+            Row(user_id=1, event_id=3, ts=_ts(8, 0), vc=10),
+            Row(user_id=1, event_id=4, ts=_ts(13, 0), vc=99),
+        ],
+        [Row(user_id=1, event_id=5, ts=_ts(30, 0), vc=7)],
+    ]
+    src = os.path.join(tmp_path_str, "multi_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_id long, ts timestamp, vc long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = over_range_multi(
+        sdf, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="vc", preceding_ms=RANGE_MS,
+    )
+    t = run_to_memory(out, mode="append", state_partitions=4)
+    got = {
+        r["event_id"]: (
+            r["over_cnt"], r["over_sum"], r["over_min"], r["over_max"],
+            r["over_avg"],
+        )
+        for r in spark.sql(f"SELECT * FROM {t}").collect()
+    }
+    # frames (10-min range): e1:{e1} e2:{e1,e2} e3:{e1,e2,e3}
+    # e4:{e2(4m),e3,e4} — e1 (13m back) OUT; e5:{e5} after eviction gap
+    assert got[1] == (1, -50, -50, -50, -50.0)
+    assert got[2] == (2, -20, -50, 30, -10.0)
+    assert got[3] == (3, -10, -50, 30, -10.0 / 3)
+    assert got[4] == (3, 139, 10, 99, 139.0 / 3)
+    assert got[5] == (1, 7, 7, 7, 7.0)
+
+
+def test_multi_agg_rows_frame_head_counts(spark, tmp_path_str):
+    """over_rows_multi: the head of a key's history has COUNT < n+1
+    (shorter frame), and MIN/MAX track the sliding 2-preceding frame
+    exactly in (ts, id) order."""
+    from lance_flink_spark.streaming.over_agg import over_rows_multi
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    rows = [
+        Row(user_id=1, event_id=i, ts=_ts(i, 0), vc=v)
+        for i, v in enumerate([5, -3, 9, 0, -7, 4])
+    ]
+    src = os.path.join(tmp_path_str, "rows_multi_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_id long, ts timestamp, vc long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    sdf = spark.readStream.schema(schema).parquet(src + "/*")
+    out = over_rows_multi(
+        sdf, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="vc", n_preceding=2,
+    )
+    t = run_to_memory(out, mode="append", state_partitions=4)
+    got = {
+        r["event_id"]: (r["over_cnt"], r["over_sum"], r["over_min"], r["over_max"])
+        for r in spark.sql(f"SELECT * FROM {t}").collect()
+    }
+    assert got[0] == (1, 5, 5, 5)
+    assert got[1] == (2, 2, -3, 5)
+    assert got[2] == (3, 11, -3, 9)
+    assert got[3] == (3, 6, -3, 9)
+    assert got[4] == (3, 2, -7, 9)
+    assert got[5] == (3, -3, -7, 4)
