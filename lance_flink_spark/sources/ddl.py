@@ -303,9 +303,10 @@ _MATCH_RECOGNIZE = re.compile(
     r"PARTITION\s+BY\s+(?P<key>\w+)\s+"
     r"ORDER\s+BY\s+(?P<ts>\w+)(?:\s+ASC)?\s+"
     r"(?:MEASURES\s+(?P<measures>.+?)\s+)?"
-    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
-    r"(?:AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW\s+)?"
-    r"PATTERN\s*\(\s*(?P<pat>[\w\s]+?)\s*\)\s*"
+    r"(?:(?P<allrows>ALL\s+ROWS\s+PER\s+MATCH)\s+|ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?:TO\s+NEXT\s+ROW|"
+    r"(?P<pastlast>PAST\s+LAST\s+ROW))\s+)?"
+    r"PATTERN\s*\(\s*(?P<pat>[\w\s+*]+?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+(?P<wu>\w+)\s*)?"
     r"DEFINE\s+(?P<defs>.+?)\s*\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -663,7 +664,9 @@ class SqlEngine:
         if self._in_catalog(tbl):
             self._register(tbl)
         key, ts = m.group("key"), m.group("ts")
-        pat_vars = m.group("pat").split()
+        pat_tokens = m.group("pat").split()
+        quants = {t.rstrip("+*"): t[len(t.rstrip("+*")) :] for t in pat_tokens}
+        pat_vars = [t.rstrip("+*") for t in pat_tokens]
         defs: dict[str, tuple[str, str]] = {}
         for d in m.group("defs").split(","):
             dm = _MR_DEFINE.match(d.strip())
@@ -687,6 +690,38 @@ class SqlEngine:
         within = "1 hour"
         if m.group("wn"):
             within = f"{m.group('wn')} {m.group('wu').lower()}s".replace("ss", "s")
+        quantified = any(q for q in quants.values())
+        if quantified or m.group("pastlast") or m.group("allrows"):
+            # the SQL-STANDARD dialect (round 13): strict contiguity,
+            # greedy +/* quantifiers, AFTER MATCH SKIP PAST LAST ROW,
+            # optional ALL ROWS PER MATCH — lowered onto
+            # operators/cep.py::match_pattern (run-length encoding +
+            # run-level window conditions). Fixed output schema; the
+            # MEASURES clause stays on the plain-pattern path.
+            if m.group("measures"):
+                raise ValueError(
+                    "MATCH_RECOGNIZE: MEASURES is not supported together "
+                    "with quantifiers / SKIP PAST LAST ROW / ALL ROWS PER "
+                    "MATCH (fixed output schema in this subset)"
+                )
+            if not m.group("pastlast") and quantified:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: quantified patterns require AFTER "
+                    "MATCH SKIP PAST LAST ROW in this subset (SKIP TO "
+                    "NEXT ROW enumerates overlapping suffix matches)"
+                )
+            from lance_flink_spark.operators.cep import match_pattern
+
+            return match_pattern(
+                self.spark.table(tbl),
+                [defs[v.upper()][1] + quants[v] for v in pat_vars],
+                within=within,
+                key_col=key,
+                ts_col=ts,
+                type_col=type_col,
+                id_col="event_id",
+                rows_per_match="all" if m.group("allrows") else "one",
+            )
         # id column: the measure on the first variable's non-ts column
         # names it; default event_id (the benchmark schema)
         id_col = "event_id"
@@ -940,7 +975,10 @@ class SqlEngine:
         ):
             return self._merge_when(m)
         m = _MERGE.match(sql)
-        if m and self._in_catalog(m.group("name")):
+        if m and (
+            self._in_catalog(m.group("name"))
+            or m.group("name") in self.native_tables
+        ):
             return self._merge(m)
         m = _EXPLAIN.match(sql)
         if m:
@@ -1327,8 +1365,32 @@ class SqlEngine:
             raise ValueError(f"unsupported connector {opts.get('connector')!r}")
         table_opts = {k: v for k, v in opts.items() if k != "connector"}
         table_opts.setdefault("path", "")
-        self.options[name] = DatasetOptions.from_options(table_opts)
         df = self.spark.sql(_rewrite_array_literals(m.group("select")))
+        if table_opts.get("storage") == "native":
+            # CTAS into a NATIVE Lance directory ('Lance File 2.0'
+            # data files + protobuf manifests — sources/lance_native):
+            # the result materializes driver-side through Arrow, so
+            # this path is for dimension/export-sized results; the
+            # fragment writer splits at 1M rows and the reader re-
+            # registers the directory READ-ONLY like any other native
+            # table. Row gate keeps the driver honest at scale.
+            from lance_flink_spark.sources.lance_native import write_dataset
+
+            path = table_opts.get("path")
+            if not path:
+                raise ValueError("native CTAS requires a 'path' option")
+            t = df.toArrow()
+            if t.num_rows > 4_000_000:
+                raise ValueError(
+                    f"native CTAS materializes driver-side; {t.num_rows} "
+                    "rows exceeds the 4M gate — write parquet-backed "
+                    "instead (drop 'storage'='native')"
+                )
+            write_dataset(path, t)
+            if not self._try_native_table(name, path):
+                raise RuntimeError(f"native CTAS at {path} failed to register")
+            return None
+        self.options[name] = DatasetOptions.from_options(table_opts)
         self.catalog.create_table(self.database, name, df, mode="errorifexists")
         self._register(name)
         return None
@@ -1871,6 +1933,7 @@ class SqlEngine:
         clauses). The source query's columns align to the table schema
         by position, like INSERT."""
         name = m.group("name")
+        self._refuse_native(name, "MERGE")
         ds: Dataset = self.catalog.load_table(self.database, name)
         target = ds.read(self.spark).schema
         df = self.spark.sql(_rewrite_array_literals(m.group("src")))

@@ -544,3 +544,154 @@ class TestMatchRecognizeSQL:
             mr_engine.execute(
                 self.MR.format(measures="").replace("PATTERN (A B C)", "PATTERN (A B C D)")
             )
+
+
+class TestMatchPatternQuantified:
+    """Quantified MATCH_RECOGNIZE — the SQL-STANDARD strict-contiguity
+    dialect (operators/cep.py::match_pattern, round 13): greedy +/*,
+    AFTER MATCH SKIP PAST LAST ROW, ALL ROWS PER MATCH, loud refusals
+    for ambiguous shapes. Corpus-scale hash gate:
+    events_match_quantified."""
+
+    @pytest.fixture(scope="class")
+    def quant_df(self, spark):
+        import datetime
+
+        def T(m):
+            return datetime.datetime(2024, 1, 1, 0, m)
+
+        rows = [
+            # user 1: V V C P — view+ click purchase matches all 4 rows
+            (1, 1, T(0), "view"), (1, 2, T(1), "view"),
+            (1, 3, T(2), "click"), (1, 4, T(3), "purchase"),
+            # user 2: V C C P — middle single click needs run len 1: NO
+            (2, 5, T(0), "view"), (2, 6, T(1), "click"),
+            (2, 7, T(2), "click"), (2, 8, T(3), "purchase"),
+            # user 3: V [error] C P — strict contiguity broken: NO
+            (3, 9, T(0), "view"), (3, 10, T(1), "error"),
+            (3, 11, T(2), "click"), (3, 12, T(3), "purchase"),
+            # user 4: V C P V C P — two matches (skip past last row)
+            (4, 13, T(0), "view"), (4, 14, T(1), "click"),
+            (4, 15, T(2), "purchase"), (4, 16, T(10), "view"),
+            (4, 17, T(11), "click"), (4, 18, T(12), "purchase"),
+        ]
+        return spark.createDataFrame(
+            [
+                {"user_id": u, "event_id": i, "ts": t, "event_type": e}
+                for u, i, t, e in rows
+            ]
+        )
+
+    def test_greedy_plus_strict_contiguity_skip_past(self, quant_df):
+        from lance_flink_spark.operators.cep import match_pattern
+
+        got = (
+            match_pattern(quant_df, ["view+", "click", "purchase"])
+            .orderBy("start_event_id")
+            .collect()
+        )
+        assert [(r["start_event_id"], r["n_rows"]) for r in got] == [
+            (1, 4), (13, 3), (16, 3),
+        ]
+        assert got[0]["duration_us"] == 3 * 60_000_000
+
+    def test_star_elision_alternative(self, quant_df):
+        from lance_flink_spark.operators.cep import match_pattern
+
+        got = (
+            match_pattern(quant_df, ["view+", "click*", "purchase"])
+            .orderBy("start_event_id")
+            .collect()
+        )
+        # click* present (as +) admits user 2's double-click run too
+        assert [r["start_event_id"] for r in got] == [1, 5, 13, 16]
+        assert [r["n_rows"] for r in got] == [4, 4, 3, 3]
+
+    def test_leading_single_anchors_at_run_end(self, quant_df):
+        from lance_flink_spark.operators.cep import match_pattern
+
+        got = (
+            match_pattern(quant_df, ["click", "purchase"])
+            .orderBy("start_event_id")
+            .collect()
+        )
+        # user 2's C C P: only the SECOND click can start a strict match
+        assert [(r["start_event_id"], r["n_rows"]) for r in got] == [
+            (3, 2), (7, 2), (11, 2), (14, 2), (17, 2),
+        ]
+
+    def test_all_rows_per_match(self, quant_df):
+        from lance_flink_spark.operators.cep import match_pattern
+
+        got = (
+            match_pattern(
+                quant_df, ["view+", "click", "purchase"], rows_per_match="all"
+            )
+            .orderBy("row_id")
+            .collect()
+        )
+        assert [r["row_id"] for r in got] == [1, 2, 3, 4, 13, 14, 15, 16, 17, 18]
+        assert [r["var"] for r in got[:4]] == ["view", "view", "click", "purchase"]
+        assert {r["match_start_id"] for r in got} == {1, 13, 16}
+
+    def test_repeated_literal_non_overlapping_ok(self, quant_df, spark):
+        import datetime
+
+        from lance_flink_spark.operators.cep import match_pattern
+
+        def T(m):
+            return datetime.datetime(2024, 1, 1, 0, m)
+
+        df = spark.createDataFrame(
+            [
+                {"user_id": 9, "event_id": 90 + i, "ts": T(i), "event_type": e}
+                for i, e in enumerate(["view", "click", "view", "purchase"])
+            ]
+        )
+        got = match_pattern(df, ["view", "click", "view", "purchase"]).collect()
+        assert [(r["start_event_id"], r["n_rows"]) for r in got] == [(90, 4)]
+
+    def test_ambiguous_shapes_refuse(self, quant_df):
+        from lance_flink_spark.operators.cep import match_pattern
+
+        with pytest.raises(ValueError, match="self-overlapping"):
+            match_pattern(quant_df, ["view", "click", "view"])
+        with pytest.raises(ValueError, match="adjacent pattern elements"):
+            match_pattern(quant_df, ["view", "click*", "view"])
+        with pytest.raises(ValueError, match="at most 3"):
+            match_pattern(
+                quant_df, ["view*", "click*", "purchase*", "error*", "signup"]
+            )
+
+    def test_sql_surface_quantified(self, quant_df, spark, tmp_path_str):
+        from lance_flink_spark.operators.cep import match_pattern
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+
+        quant_df.createOrReplaceTempView("mrq_events")
+        eng = SqlEngine(spark, Catalog(tmp_path_str + "/mrq"))
+        sql = """SELECT * FROM mrq_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id
+                   ORDER BY ts
+                   {rows}
+                   AFTER MATCH SKIP PAST LAST ROW
+                   PATTERN (A+ B C) WITHIN INTERVAL '24' HOUR
+                   DEFINE
+                     A AS A.event_type = 'view',
+                     B AS B.event_type = 'click',
+                     C AS C.event_type = 'purchase'
+                 )"""
+        got = eng.execute(sql.format(rows="ONE ROW PER MATCH")).collect()
+        want = match_pattern(
+            quant_df, ["view+", "click", "purchase"], within="24 hours"
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        all_rows = eng.execute(sql.format(rows="ALL ROWS PER MATCH")).collect()
+        assert len(all_rows) == 10 and "var" in all_rows[0].asDict()
+        # quantifiers demand the PAST LAST ROW skip policy
+        with pytest.raises(ValueError, match="SKIP PAST LAST ROW"):
+            eng.execute(
+                sql.format(rows="ONE ROW PER MATCH").replace(
+                    "SKIP PAST LAST ROW", "SKIP TO NEXT ROW"
+                )
+            )
