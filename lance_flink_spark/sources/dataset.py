@@ -1134,6 +1134,7 @@ class Dataset:
         new_rows: DataFrame | None,
         mode: str,
         tag: str | None = None,
+        pre_commit=None,
     ) -> int | None:
         """Commit a deletion-vector mutation: tombstone the positions
         of ``matched_keyed`` (a _keyed_live_scan selection) and, for
@@ -1156,8 +1157,11 @@ class Dataset:
         ).observe(obs_t, F.count(F.lit(1)).alias("n"))
         dv_frag = f"data/dv{base + 1:04d}-{uuid.uuid4().hex[:8]}"
         dv_out = fsio.join(self.path, dv_frag)
-        tomb.coalesce(1).write.mode("errorifexists").parquet(dv_out)
-        n = int(obs_t.get["n"])
+
+        def _write_tomb() -> int:
+            tomb.coalesce(1).write.mode("errorifexists").parquet(dv_out)
+            return int(obs_t.get["n"])
+
         if new_rows is not None:
             self._enforce_constraints(new_rows)
             # materialize BEFORE deciding emptiness: new_rows may be
@@ -1165,12 +1169,31 @@ class Dataset:
             frag = f"data/m{base + 1:04d}-{uuid.uuid4().hex[:8]}"
             out = fsio.join(self.path, frag)
             obs_n = Observation()
-            new_rows.observe(obs_n, F.count(F.lit(1)).alias("n")).write.mode(
-                "errorifexists"
-            ).parquet(out)
-            n_new = int(obs_n.get["n"])
+
+            def _write_new() -> int:
+                new_rows.observe(obs_n, F.count(F.lit(1)).alias("n")).write.mode(
+                    "errorifexists"
+                ).parquet(out)
+                return int(obs_n.get["n"])
+
+            # the two write jobs are independent (both read the cached
+            # matched join); submit them concurrently so a mutation's
+            # wall time is max(job, job), not the sum — the classic
+            # multi-sink Spark pattern. Commit ordering is unaffected:
+            # nothing is visible until the single manifest swap below.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as pool:
+                fut_t = pool.submit(_write_tomb)
+                fut_n = pool.submit(_write_new)
+                n, n_new = fut_t.result(), fut_n.result()
         else:
             frag, n_new = None, 0
+            n = _write_tomb()
+        if pre_commit is not None:
+            # durability barrier: side-effects that must be on disk
+            # before this mutation becomes visible (see merge_when)
+            pre_commit()
         if n == 0 and n_new == 0:
             fsio.delete(dv_out)
             if frag:
@@ -2497,6 +2520,7 @@ class Dataset:
         tag: str | None = None,
         assume_unique_keys: bool = False,
         new_fragment_partitions: int | None = None,
+        pre_commit=None,
     ) -> int:
         """Conditional MERGE (Delta WHEN-clause semantics): ``clauses``
         is an ordered list of
@@ -2542,7 +2566,14 @@ class Dataset:
         micro-batch) would otherwise shed dozens of near-empty files
         per commit — the classic small-files tax every later scan and
         schema read pays. Size it to batch volume (the upsert sink
-        defaults to 8); leave None for batch-sized merges."""
+        defaults to 8); leave None for batch-sized merges.
+
+        ``pre_commit`` (dv path): zero-arg callable invoked AFTER the
+        merge's write jobs but BEFORE the manifest swap — a durability
+        barrier for side-effects that must land before the merge
+        becomes visible (the upsert sink's retraction log runs
+        concurrently with the write jobs and joins here). If it
+        raises, nothing is committed (written files stay invisible)."""
         from pyspark.sql import functions as F
 
         if tag is not None:
@@ -2574,11 +2605,16 @@ class Dataset:
         insert_clauses = [c for c in clauses if not c["matched"]]
         if dv:
             keyed = self._keyed_live_scan(spark)
+            # ONE keyed-state scan per merge: the matched-pair join is
+            # persisted (bounded by the matched-row count ≤ source
+            # size) and feeds the tombstone write, the updated-copy
+            # write AND the not-matched key set — previously the
+            # insert anti-join re-scanned the whole state table
             j = keyed.alias("t").join(
                 source.alias("s"),
                 F.col(f"t.`{on}`") == F.col(f"s.`{on}`"),
                 "inner",
-            )
+            ).persist()
             prior = F.lit(False)
             fired = []  # (clause, fires_cond) — conds pairwise disjoint
             for c in matched_clauses:
@@ -2589,13 +2625,8 @@ class Dataset:
                 prior = prior | cond
             # every row SOME clause fires on gets tombstoned (deletes
             # stop there; updates also land their new copy below);
-            # matched rows no clause fires on stay untouched on disk.
-            # The hit set feeds BOTH write jobs (tombstones + updated
-            # copies) — persist it so the keyed live scan runs once
-            # per merge, not once per write job (it is bounded by the
-            # matched-row count ≤ source size, so the cache never
-            # exceeds the mutation's own footprint)
-            hit = j.filter(prior).persist()
+            # matched rows no clause fires on stay untouched on disk
+            hit = j.filter(prior)
             tomb = hit.select(
                 F.col("t.`__dv_file`").alias("__dv_file"),
                 F.col("t.`__dv_pos`").alias("__dv_pos"),
@@ -2618,9 +2649,13 @@ class Dataset:
             # to re-filtering the join
             new_rows = hit.filter(upd_cond).select(*out_cols)
             if insert_clauses:
-                inserts = source.join(
-                    scan.select(on).distinct(), on, "left_anti"
-                )
+                # "not in the state table" ≡ "not among the matched
+                # pairs" for source rows — read from the cached join
+                # instead of re-scanning state for its full key set
+                matched_keys = j.select(F.col(f"s.`{on}`").alias(on)).distinct()
+                # no forced broadcast: matched keys scale with the
+                # source batch; AQE broadcasts small ones on its own
+                inserts = source.join(matched_keys, on, "left_anti")
                 fires = F.lit(False)
                 for c in insert_clauses:
                     fires = fires | (
@@ -2639,9 +2674,12 @@ class Dataset:
             if new_fragment_partitions is not None:
                 new_rows = new_rows.coalesce(int(new_fragment_partitions))
             try:
-                v = self._mutate_dv_commit(spark, tomb, new_rows, "merge-dv", tag=tag)
+                v = self._mutate_dv_commit(
+                    spark, tomb, new_rows, "merge-dv", tag=tag,
+                    pre_commit=pre_commit,
+                )
             finally:
-                hit.unpersist()
+                j.unpersist()
             return base if v is None else v
         affected = self._affected_files(
             self._tagged_scan(spark).join(keys, on, "left_semi")

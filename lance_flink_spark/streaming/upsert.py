@@ -158,11 +158,20 @@ class UpsertDatasetSink:
             folded.unpersist()
 
     def _write_folded(self, spark, folded: DataFrame, tag: str) -> None:
-        self._log_retractions(folded, tag)
-        folded = self._drop_pre_retraction(spark, folded)
+        # the staleness filter depends only on PRIOR batches' log
+        # entries (folded keeps one row per key — a key retracted THIS
+        # batch has its delete row as that one row, which the strict-<
+        # filter keeps regardless), so the filter reads the log BEFORE
+        # this batch's write and the write itself can overlap the
+        # merge's write jobs; the merge's pre_commit barrier joins it
+        # before the manifest swap, preserving log-before-visible-merge
+        # crash safety exactly.
+        filtered = self._drop_pre_retraction(spark, folded)
         dels = "', '".join(self.delete_ops)
         is_del = f"s.`{self.op_col}` IN ('{dels}')"
         if not self.dataset.versions():
+            self._log_retractions(folded, tag)
+            folded = filtered
             # first batch bootstraps the table: no state to merge into,
             # surviving upserts land as the initial fragment (deletes
             # of never-seen keys leave only their retraction-log entry)
@@ -206,19 +215,26 @@ class UpsertDatasetSink:
             },
             {"matched": False, "cond": f"NOT ({is_del})", "action": "insert"},
         ]
-        self.dataset.merge_when(
-            spark,
-            folded,
-            on=self.key,
-            clauses=clauses,
-            dv=True,
-            tag=tag,
-            # _fold_batch already kept exactly the newest row per key,
-            # so the merge's duplicate-key probe (one shuffle + driver
-            # round-trip per micro-batch) is structurally redundant
-            assume_unique_keys=bool(self.seq_cols),
-            new_fragment_partitions=self.files_per_batch,
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as pool:
+            log_fut = pool.submit(self._log_retractions, folded, tag)
+            self.dataset.merge_when(
+                spark,
+                filtered,
+                on=self.key,
+                clauses=clauses,
+                dv=True,
+                tag=tag,
+                # _fold_batch already kept exactly the newest row per key,
+                # so the merge's duplicate-key probe (one shuffle + driver
+                # round-trip per micro-batch) is structurally redundant
+                assume_unique_keys=bool(self.seq_cols),
+                new_fragment_partitions=self.files_per_batch,
+                # the log write overlaps the merge's write jobs but must
+                # be durable before the merge commits (crash safety)
+                pre_commit=log_fut.result,
+            )
 
     def compact_log(self, spark) -> int | None:
         """Fold the retraction log to ONE row per key (its newest
