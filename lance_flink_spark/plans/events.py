@@ -599,6 +599,7 @@ def sql_session_tvf(spark, sf_dir):
 
 @query(
     "sql_hop_tvf",
+    extra=True,  # r13 rotation: banked (driver hash-green r12); session TVF stays primary
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -713,7 +714,7 @@ def streaming_over_agg(spark, sf_dir):
 
 @query(
     "streaming_over_rows",
-    extra=True,  # r12: the ROWS-frame OVER twin on a stream
+    # r13 rotation: the ROWS-frame OVER twin gets driver-grade evidence
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
@@ -754,7 +755,7 @@ def streaming_over_rows(spark, sf_dir):
 
 @query(
     "streaming_window_join",
-    extra=True,  # r12: Flink SQL WINDOW JOIN (windowing-TVF join) on streams
+    # r13 rotation: Flink SQL WINDOW JOIN gets driver-grade evidence
     oracle="""
     WITH c AS (
         SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS w
@@ -791,7 +792,7 @@ def streaming_window_join(spark, sf_dir):
 
 @query(
     "streaming_over_multi",
-    extra=True,  # r13: multi-aggregate OVER on a stream (verdict ask #3)
+    # r13: multi-aggregate OVER on a stream (verdict ask #3), driver-graded
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(COUNT(*) OVER w AS BIGINT) AS over_cnt,
@@ -844,7 +845,7 @@ def streaming_over_multi(spark, sf_dir):
 
 @query(
     "events_match_quantified",
-    extra=True,  # r13: quantified MATCH_RECOGNIZE (verdict ask #5)
+    # r13: quantified MATCH_RECOGNIZE (verdict ask #5), driver-graded
     oracle="""
     WITH typed AS (
         SELECT user_id, ts, event_id,

@@ -163,7 +163,7 @@ def partition_pruned_scan(spark, sf_dir):
 
 @query(
     "lance_native_roundtrip",
-    extra=True,
+    # r13: the native-Lance WRITE flagship, driver-graded from day one
     oracle="""
     SELECT lang,
            COUNT(*) AS n,

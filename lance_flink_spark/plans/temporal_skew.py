@@ -37,6 +37,7 @@ def events_asof_join(spark, sf_dir):
 
 @query(
     "events_interval_join",
+    extra=True,  # r13 rotation: banked (driver hash-green r12); asof join stays primary
     oracle="""
     SELECT c.user_id, COUNT(*) AS n_pairs
     FROM events c JOIN events p

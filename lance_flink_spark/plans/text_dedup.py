@@ -253,6 +253,7 @@ def text_fingerprint(spark, sf_dir):
 
 @query(
     "text_chunking",
+    extra=True,  # r13 rotation: banked (driver hash-green r12); text_features stays primary
     oracle=f"""
     SELECT doc_id,
            CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
@@ -308,6 +309,7 @@ def sample_split(spark, sf_dir):
 
 @query(
     "corpus_seeded_shuffle",
+    extra=True,  # r13 rotation: banked (driver hash-green r12)
     # r11 rotation: the #222 seeded-shuffle flagship gets driver-grade evidence
     oracle="""
     WITH h AS (
@@ -550,6 +552,7 @@ def dedup_simhash(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
+    extra=True,  # r13 rotation: banked (driver hash-green r12); exact/minhash/embedding stay primary
     oracle=f"""
     WITH g AS (
         SELECT DISTINCT d.doc_id, d.lang, u.gram FROM (
@@ -675,6 +678,7 @@ def decontaminate_corpus(spark, sf_dir):
 
 @query(
     "pack_sequences",
+    extra=True,  # r13 rotation: banked (driver hash-green r12); stratified_cap stays primary
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, lang,
@@ -1778,7 +1782,7 @@ def text_trigram_logprob(spark, sf_dir):
 
 @query(
     "lm_perplexity_buckets",
-    extra=True,  # r12: CCNet-style per-language perplexity tiers
+    # r13 rotation: CCNet perplexity tiers get driver-grade evidence
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, lang, {_TOKS} AS arr FROM documents

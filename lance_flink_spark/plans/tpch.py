@@ -190,6 +190,7 @@ def q6_revenue_delta(spark, sf_dir):
 
 @query(
     "tpch_scalars",
+    extra=True,  # r13 rotation: banked (driver hash-green r12); Q1/Q3/Q5 stay primary
     oracle="""
     SELECT q6.q6_revenue, q6.q6_n, q15.q15_suppkey, q15.q15_total,
            q17.q17_avg_yearly, q17.q17_n, q19.q19_revenue, q19.q19_n

@@ -512,7 +512,7 @@ def label_centroids(spark, sf_dir):
 
 @query(
     "semantic_decontaminate",
-    extra=True,  # r12: embedding-space benchmark decontamination
+    # r13 rotation: embedding-space decontamination gets driver-grade evidence
     oracle="""
     WITH ev AS (
         SELECT vec_id AS ev_id, embedding::DOUBLE[] AS ev FROM embeddings
