@@ -1003,3 +1003,102 @@ def orders_grouping_sets(spark, sf_dir):
                                 (o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@query(
+    "streaming_cdc_upsert",
+    extra=True,  # r13: CDC-as-stream source closing the replication loop
+    oracle="""
+    SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1 AND event_type <> 'purchase'
+    """,
+)
+def streaming_cdc_upsert(spark, sf_dir):
+    """CDC-as-a-STREAM replication loop (r13 verdict ask #7 — Flink's
+    upsert-kafka as SOURCE): a keyed SOURCE table is maintained through
+    three commits (bootstrap append, a sequence-guarded dv MERGE of the
+    overlapping other half, a dv DELETE of purchase-state users); its
+    change data feed is spooled into readStream micro-batches by
+    sources/cdc.py::ChangeFeedStream (ops preserved as _op, commit
+    versions as the _seq order) and folded into a REPLICA dataset by
+    the streaming upsert sink. The replica must equal the batch
+    keep-last oracle — a change type mangled in the bridge, a version
+    misordered across micro-batches, a delete that didn't replicate,
+    or a pre-image leaking as an upsert all break the hash."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from lance_flink_spark.sources.cdc import ChangeFeedStream
+    from lance_flink_spark.sources.dataset import Dataset
+    from lance_flink_spark.streaming.upsert import UpsertDatasetSink
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = scratch_dir("cdc_stream" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+
+    def newest(df):
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+
+    # SOURCE table history: each half spans the full time range, so the
+    # merge genuinely exercises the newer-wins guard in both directions
+    src = Dataset(os.path.join(root, "src"))
+    src.write(newest(ev.filter("event_id % 2 = 0")).coalesce(4), mode="append")
+    guard = (
+        "(s.ts_us > t.ts_us) OR (s.ts_us = t.ts_us AND s.event_id >= t.event_id)"
+    )
+    src.merge_when(
+        spark,
+        newest(ev.filter("event_id % 2 = 1")),
+        on="user_id",
+        clauses=[
+            {
+                "matched": True,
+                "cond": guard,
+                "action": "update",
+                "sets": {
+                    c: f"s.`{c}`"
+                    for c in ("event_type", "ts_us", "event_id", "value_cents")
+                },
+            },
+            {"matched": False, "cond": None, "action": "insert"},
+        ],
+        dv=True,
+        assume_unique_keys=True,
+        new_fragment_partitions=4,
+    )
+    src.delete_where(spark, "event_type = 'purchase'", dv=True)
+    # CDC → stream → keyed upsert sink → replica
+    feed = ChangeFeedStream(src, os.path.join(root, "spool"), key="user_id")
+    feed.pump(spark)
+    sink = UpsertDatasetSink(
+        os.path.join(root, "replica"),
+        key="user_id",
+        seq_cols=["_seq", "_seq2"],
+    )
+    sink.run_available(feed.read_stream(spark), os.path.join(root, "ckpt"))
+    return (
+        Dataset(os.path.join(root, "replica"))
+        .read(spark)
+        .select("user_id", "event_type", "ts_us", "event_id", "value_cents")
+    )

@@ -102,3 +102,90 @@ class ChangeFeedConsumer:
             pos = hi
             batches += 1
         return batches
+
+
+class ChangeFeedStream:
+    """Bridge a Dataset's change data feed into Structured Streaming —
+    the Flink ``upsert-kafka``-as-SOURCE shape (a keyed changelog
+    consumed AS a stream), closing the CDC loop: source table →
+    change feed → stream → keyed upsert sink → replica.
+
+    Structured Streaming's file source cannot compute per-commit row
+    lineage, so the feed is SPOOLED: :meth:`pump` drains committed
+    versions past the durable cursor and stages each bounded version
+    range as one parquet directory carrying the changelog columns the
+    upsert sink consumes —
+
+    - ``_op``: 'D' for deletes, 'U' for inserts/updates (post-images);
+    - ``_seq``: the commit version — the changelog's total order;
+    - ``_seq2``: 0 for deletes, 1 for upserts — within ONE commit a
+      mutated key emits its delete pre-image AND its new copy, and the
+      new copy must win the sink's last-writer-wins fold.
+
+    Spool writes are per-version-range directories written with
+    OVERWRITE and the cursor commits after the write: a crash replays
+    at most the in-flight range into the same directory (idempotent),
+    the exactly-once recipe every sink in this repo uses.
+    :meth:`read_stream` exposes the spool as an mtime-ordered file
+    stream (``maxFilesPerTrigger`` per spool file) ready for
+    ``UpsertDatasetSink`` with ``seq_cols=['_seq', '_seq2']`` (append
+    finer tiebreakers, e.g. an event-time column, when one commit can
+    carry several upserts per key)."""
+
+    def __init__(
+        self,
+        source: Dataset,
+        spool_dir: str,
+        key: str,
+        max_versions_per_batch: int = 16,
+    ):
+        self.source = source
+        self.spool_dir = spool_dir
+        self.key = key
+        self.max_versions_per_batch = int(max_versions_per_batch)
+        self.consumer = ChangeFeedConsumer(
+            source, fsio.join(spool_dir, "_cursor"), key
+        )
+
+    def pump(self, spark: SparkSession) -> int:
+        """Drain newly committed versions into the spool; returns the
+        number of spool files written. Call per poll tick (or after
+        known commits) — the stream picks new files up on its next
+        micro-batch."""
+        from pyspark.sql import functions as F
+
+        data = fsio.join(self.spool_dir, "data")
+        fsio.makedirs(data)
+
+        def _stage(changes: DataFrame, lo: int, hi: int) -> None:
+            out = changes.select(
+                *[c for c in changes.columns if not c.startswith("_change")],
+                F.when(F.col("_change_type") == "delete", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("_op"),
+                F.col("_version").alias("_seq"),
+                F.when(F.col("_change_type") == "delete", F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("_seq2"),
+            ).drop("_version")
+            # deterministic dir per version range + overwrite = a
+            # replayed range after a crash rewrites the same files
+            out.coalesce(1).write.mode("overwrite").parquet(
+                fsio.join(data, f"v{lo + 1:06d}-{hi:06d}")
+            )
+
+        return self.consumer.process_available(
+            spark, _stage, max_versions_per_batch=self.max_versions_per_batch
+        )
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """The spooled changelog as a streaming DataFrame (schema from
+        the spool itself — pump at least once first)."""
+        data = fsio.join(self.spool_dir, "data")
+        schema = spark.read.parquet(data + "/*").schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data + "/*")
+        )
