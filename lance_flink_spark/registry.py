@@ -94,7 +94,7 @@ def _parse_bytes(s: str) -> int:
     return int(s)
 
 
-def bcast(df: DataFrame) -> DataFrame:
+def bcast(df: DataFrame, dataset=None) -> DataFrame:
     """Size-gated broadcast hint for the dimension side of a join.
 
     An unconditional ``F.broadcast`` forces the broadcast regardless of
@@ -106,7 +106,16 @@ def bcast(df: DataFrame) -> DataFrame:
     and hints only when the estimate fits under the threshold;
     otherwise it returns the frame unhinted and lets AQE pick the
     strategy at runtime (AQE still converts to broadcast when a filter
-    made the side small — without risking a planned-in OOM)."""
+    made the side small — without risking a planned-in OOM).
+
+    ``dataset``: the Dataset the frame was read from, when the caller
+    has one. If it carries CURRENT ``ANALYZE TABLE`` statistics
+    (Dataset.stats()), their ``live_bytes`` estimate replaces
+    Catalyst's — Catalyst sizes from FILE bytes, which never shrink
+    under deletion-vector DELETEs, so a dim that became small stays
+    un-broadcast until compaction; the analyzed estimate scales by the
+    live-row fraction and flips the hint as soon as stats are fresh
+    (pinned in tests/test_analyze_bcast.py)."""
     spark = df.sparkSession
     try:
         limit = _parse_bytes(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
@@ -114,10 +123,21 @@ def bcast(df: DataFrame) -> DataFrame:
         return df
     if limit <= 0:  # broadcast disabled
         return df
-    try:
-        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    except Exception:  # noqa: BLE001 - no stats (e.g. Connect) → no hint
-        return df
+    est = None
+    if dataset is not None:
+        try:
+            st = dataset.stats()
+        except Exception:  # noqa: BLE001 - unreadable manifest → estimate
+            st = None
+        if st is not None:
+            est = int(st.get("live_bytes", st.get("bytes", 0)))
+    if est is None:
+        try:
+            est = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:  # noqa: BLE001 - no stats (e.g. Connect) → no hint
+            return df
     if est > limit:
         return df
     from pyspark.sql import functions as F

@@ -301,6 +301,21 @@ class Dataset:
     def versions(self) -> list[int]:
         return [v["version"] for v in self._load_manifest()["versions"]]
 
+    def stats(self) -> dict | None:
+        """ANALYZE-computed table statistics (rows, bytes,
+        physical_rows, live_bytes, optional per-column stats) — or
+        None when never analyzed OR when commits landed since the
+        analysis (stale stats would mis-gate planners; re-run
+        ``ANALYZE TABLE``). The ``live_bytes`` field scales file bytes
+        by the live-row fraction, so a deletion-vector DELETE that
+        shrank the table logically shrinks the estimate too — exactly
+        what Catalyst's file-size-based sizeInBytes cannot see."""
+        man = self._load_manifest()
+        st = man.get("stats")
+        if not st or st.get("version") != len(man.get("versions", [])):
+            return None
+        return dict(st)
+
     def _merged_schema(self, spark: SparkSession, version: int | None = None):
         """The union schema of the live fragments at ``version`` (add-
         column evolution: older files surface newer columns as null),

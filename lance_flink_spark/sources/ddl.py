@@ -1733,6 +1733,8 @@ class SqlEngine:
                     }
         rows = df.count()
         nbytes = 0
+        physical = 0
+        local = not fsio.is_remote(ds.path)
         frags, removed = ds._live_state()
         for frag in frags:
             for fname in fsio.listdir(frag):
@@ -1742,10 +1744,23 @@ class SqlEngine:
                 if ds._relpath(p) in removed:
                     continue
                 nbytes += fsio.file_size(p)
+                if local:
+                    # footer-only physical row count: with deletion
+                    # vectors the file bytes include tombstoned rows,
+                    # so the live-byte estimate below scales by the
+                    # live fraction (rows / physical)
+                    import pyarrow.parquet as pq
+
+                    physical += pq.ParquetFile(p).metadata.num_rows
+        live_bytes = (
+            int(nbytes * rows / physical) if physical else int(nbytes)
+        )
         man = ds._load_manifest()
         man["stats"] = {
             "rows": int(rows),
             "bytes": int(nbytes),
+            "physical_rows": int(physical),
+            "live_bytes": live_bytes,
             **({"columns": col_stats} if col_stats else {}),
             "version": len(man.get("versions", [])),
         }
