@@ -813,7 +813,8 @@ class SqlEngine:
             return False
 
     def _try_native_table(self, name: str, path: str) -> bool:
-        """Register ``name`` as a READ-ONLY native-Lance table when
+        """Register ``name`` as a native-Lance table (reads + the
+        INSERT/DELETE write subset) when
         ``path`` has the native layout (``_versions/`` manifests, no
         ``_manifest.json``) — the reference connector's own datasets
         read through the same WITH('connector'='lance') surface."""
@@ -836,11 +837,84 @@ class SqlEngine:
     def _refuse_native(self, name: str, op: str) -> None:
         if name in self.native_tables:
             raise ValueError(
-                f"table {name!r} is a READ-ONLY native Lance dataset — "
-                f"{op} requires the Lance library's write path; copy "
-                "into a parquet-backed table (CREATE TABLE ... AS "
-                f"SELECT * FROM {name}) to mutate"
+                f"table {name!r} is a native Lance dataset — {op} is "
+                "outside the native write subset (INSERT INTO appends "
+                "and DELETE FROM writes deletion files; UPDATE/MERGE "
+                "need the Lance library's rewrite path); copy into a "
+                "parquet-backed table (CREATE TABLE ... AS SELECT * "
+                f"FROM {name}) for full mutability"
             )
+
+    def _reregister_native(self, name: str) -> None:
+        """Refresh a native table's snapshot view + cached manifest
+        list after a write (temp views pin the frame at creation)."""
+        from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+        nds = LanceNativeDataset(self.native_tables[name].root)
+        nds.read(self.spark).createOrReplaceTempView(name)
+        self.native_tables[name] = nds
+        self._refresh_views()
+
+    def _insert_native(self, name: str, overwrite: bool, df) -> None:
+        """INSERT INTO a NATIVE Lance table (round 13 — the writer
+        subset made this possible): rows conform to the manifest's
+        exact physical types (timestamp unit, float width) and append
+        as new 'Lance File 2.0' fragment(s) + a manifest version via
+        sources/lance_native.append_to_dataset. The reference demo's
+        flagship statement (flink-sql-demo.sql INSERT INTO lance
+        tables) now lands on real native format. Driver-side Arrow
+        materialization, gated like native CTAS."""
+        from lance_flink_spark.sources.lance_native import (
+            append_to_dataset,
+            arrow_schema_of,
+        )
+
+        if overwrite:
+            raise ValueError(
+                f"INSERT OVERWRITE on native Lance table {name!r} is "
+                "outside the subset (append-only); DROP and re-create "
+                "via native CTAS to replace"
+            )
+        nds = self.native_tables[name]
+        fields, _frags, _v = nds._manifest()
+        target = nds.read(self.spark).schema
+        if len(df.columns) != len(target.fields):
+            raise ValueError(
+                f"INSERT arity {len(df.columns)} != table arity "
+                f"{len(target.fields)}"
+            )
+        aligned = df.select(
+            *[
+                F.col(f"`{c}`").cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target.fields)
+            ]
+        )
+        t = aligned.toArrow()
+        if t.num_rows > 4_000_000:
+            raise ValueError(
+                f"native INSERT materializes driver-side; {t.num_rows} "
+                "rows exceeds the 4M gate — land bulk loads through a "
+                "parquet-backed table instead"
+            )
+        append_to_dataset(nds.root, t.cast(arrow_schema_of(fields)))
+        self._reregister_native(name)
+
+    def _delete_native(self, name: str, pred: str | None) -> None:
+        """DELETE FROM a NATIVE Lance table: the predicate evaluates
+        over the decoded rows WITH their global physical offsets, and
+        the matched offsets land as per-fragment Arrow deletion files
+        + a manifest version (sources/lance_native.delete_rows) —
+        Lance's deletion-file mutation, no data file rewritten."""
+        from lance_flink_spark.sources.lance_native import delete_rows
+
+        nds = self.native_tables[name]
+        df = nds.read(self.spark, with_offsets=True)
+        if pred:
+            df = df.filter(_rewrite_array_literals(pred))
+        ids = [r["__phys"] for r in df.select("__phys").collect()]
+        if ids:
+            delete_rows(nds.root, ids)
+        self._reregister_native(name)
 
     def execute(self, sql: str) -> DataFrame | None:
         sql = sql.strip().rstrip(";")
@@ -1828,8 +1902,9 @@ class SqlEngine:
         the tombstone path instead: no data files rewritten, cost ∝
         deleted rows (Lance deletion-file semantics)."""
         name = m.group("name")
-        self._refuse_native(name, "DELETE")
         pred = m.group("pred")
+        if name in self.native_tables:
+            return self._delete_native(name, pred)
         ds: Dataset = self.catalog.load_table(self.database, name)
         ds.delete_where(
             self.spark,
@@ -1973,13 +2048,14 @@ class SqlEngine:
 
     def _insert(self, m: re.Match) -> None:
         name, rest = m.group("name"), m.group("rest").strip()
-        self._refuse_native(name, "INSERT")
         overwrite = m.group("mode").upper() == "OVERWRITE"
-        target = self.catalog.load_table(self.database, name).read(self.spark).schema
         if rest.upper().startswith("VALUES"):
             df = self.spark.sql(f"SELECT * FROM {_rewrite_array_literals(rest)}")
         else:
             df = self.spark.sql(_rewrite_array_literals(rest))
+        if name in self.native_tables:
+            return self._insert_native(name, overwrite, df)
+        target = self.catalog.load_table(self.database, name).read(self.spark).schema
         # align by position, cast to the table schema (Flink INSERT rules)
         if len(df.columns) != len(target.fields):
             raise ValueError(

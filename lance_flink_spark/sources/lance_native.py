@@ -922,7 +922,8 @@ class LanceNativeDataset:
     """Native Lance dataset: versions, schema, Arrow and Spark reads;
     writes via the module-level :func:`write_dataset` /
     :func:`append_to_dataset` / :func:`delete_rows` (the flat 2.0
-    subset). The SQL surface keeps these tables READ-ONLY — the
+    subset). The SQL surface supports INSERT INTO (append) and
+    DELETE FROM (deletion files) on these tables; UPDATE/MERGE — the
     reference's full write path needs the Lance library itself."""
 
     def __init__(self, root: str):
@@ -948,25 +949,33 @@ class LanceNativeDataset:
         ).read()
         return parse_manifest(raw)
 
-    def to_arrow(self, version: int | None = None):
+    def to_arrow(self, version: int | None = None, with_offsets: bool = False):
+        """Decode to a pyarrow Table. ``with_offsets=True`` appends a
+        ``__phys`` int64 column carrying each live row's GLOBAL
+        physical offset (fragment order, deletion masks ignored) — the
+        address space :func:`delete_rows` consumes, which is how SQL
+        DELETE computes its targets."""
         import pyarrow as pa
 
         fields, frags, _v = self._manifest(version)
         tables = []
         expect = 0
+        base = 0
         for fr in frags:
             t = read_fragment_table(
                 os.path.join(self.root, "data", fr.path), fields, fr
             )
+            keep = np.arange(t.num_rows, dtype="int64")
             if fr.deletion is not None:
                 dead = read_deletion_file(self.root, fr)
-                keep = np.setdiff1d(
-                    np.arange(t.num_rows, dtype="int64"), dead
-                )
+                keep = np.setdiff1d(keep, dead)
                 t = t.take(keep)
                 expect += fr.physical_rows - len(dead)
             else:
                 expect += fr.physical_rows
+            if with_offsets:
+                t = t.append_column("__phys", pa.array(keep + base))
+            base += fr.physical_rows
             tables.append(t)
         t = pa.concat_tables(tables)
         if expect and t.num_rows != expect:
@@ -975,12 +984,12 @@ class LanceNativeDataset:
             )
         return t
 
-    def read(self, spark, version: int | None = None):
+    def read(self, spark, version: int | None = None, with_offsets: bool = False):
         """Spark DataFrame of the dataset (Arrow-bridged; large_*
         types downcast so Spark sees plain string / array<float>)."""
         import pyarrow as pa
 
-        t = self.to_arrow(version)
+        t = self.to_arrow(version, with_offsets=with_offsets)
         cast = []
         for f in t.schema:
             if pa.types.is_large_string(f.type):
@@ -991,3 +1000,32 @@ class LanceNativeDataset:
                 cast.append(f)
         t = t.cast(pa.schema(cast))
         return spark.createDataFrame(t)
+
+
+def arrow_schema_of(fields: list[LanceField]):
+    """pyarrow schema matching the manifest's logical types — used to
+    conform incoming rows (e.g. SQL INSERT INTO a native table) to the
+    dataset's exact physical types before append."""
+    import pyarrow as pa
+
+    prim = {
+        "int64": pa.int64(),
+        "int32": pa.int32(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.large_utf8(),
+    }
+    out = []
+    for f in fields:
+        if f.logical in prim:
+            out.append(pa.field(f.name, prim[f.logical]))
+        elif f.logical.startswith("timestamp:"):
+            _t, unit, tz = f.logical.split(":", 2)
+            out.append(pa.field(f.name, pa.timestamp(unit, None if tz == "-" else tz)))
+        elif f.logical == "list" and f.children:
+            out.append(
+                pa.field(f.name, pa.large_list(prim[f.children[0].logical]))
+            )
+        else:
+            raise UnsupportedLanceFeature(f"{f.name}: {f.logical}")
+    return pa.schema(out)

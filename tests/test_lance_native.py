@@ -102,9 +102,10 @@ def test_manifest_fragment_metadata():
 def test_sql_surface_reads_native_table(spark, tmp_path_str):
     """The reference connector's own SQL shape over REAL Lance data:
     CREATE TABLE WITH ('connector'='lance', 'path'=<native dir>)
-    registers a read-only table; SELECT/joins/aggregates work, every
-    mutating statement refuses with a copy-out hint, and CTAS into a
-    parquet-backed table makes the data mutable."""
+    registers a native table; SELECT/joins/aggregates work, UPDATE
+    refuses with a copy-out hint (INSERT/DELETE are native-write tested
+    separately), and CTAS into a parquet-backed table gives full
+    mutability."""
     from lance_flink_spark.sources.catalog import Catalog
     from lance_flink_spark.sources.ddl import SqlEngine
 
@@ -122,17 +123,69 @@ def test_sql_surface_reads_native_table(spark, tmp_path_str):
         "SELECT title FROM lance_documents WHERE id = 3"
     ).first()["title"]
     assert top == "Deep Learning Basics"
-    for stmt in (
-        "INSERT INTO lance_documents VALUES (9, 'x', ARRAY[0.0])",
-        "DELETE FROM lance_documents WHERE id = 1",
-        "UPDATE lance_documents SET title = 'y' WHERE id = 1",
-    ):
-        with pytest.raises(ValueError, match="READ-ONLY native"):
-            eng.execute(stmt)
+    # UPDATE/MERGE stay outside the native write subset (r13 added
+    # INSERT/DELETE — exercised on a COPY in test_sql_native_writes)
+    with pytest.raises(ValueError, match="native Lance"):
+        eng.execute("UPDATE lance_documents SET title = 'y' WHERE id = 1")
     # copy-out path: CTAS into a parquet-backed table, then mutate
     eng.execute("CREATE TABLE docs_rw AS SELECT * FROM lance_documents")
     eng.execute("DELETE FROM docs_rw WHERE id <= 2")
     assert eng.execute("SELECT COUNT(*) AS n FROM docs_rw").first()["n"] == 3
+
+
+def test_sql_native_writes(spark, tmp_path_str):
+    """INSERT INTO / DELETE FROM a NATIVE Lance table (round 13): the
+    reference demo's flagship INSERT lands real 'Lance File 2.0'
+    fragments; DELETE writes Arrow deletion files; both version the
+    manifest and refresh the registered view. UPDATE / INSERT
+    OVERWRITE stay loud refusals."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+    root = os.path.join(tmp_path_str, "db1_copy")
+    shutil.copytree(f"{REF}/lance-db1", root)
+    for r, dirs, files in os.walk(root):
+        for d in dirs:
+            os.chmod(os.path.join(r, d), 0o755)
+        for f in files:
+            os.chmod(os.path.join(r, f), 0o644)
+    os.chmod(root, 0o755)
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/whw"))
+    eng.execute(
+        f"""CREATE TABLE docs (id BIGINT, title STRING,
+            embedding ARRAY<FLOAT>)
+            WITH ('connector' = 'lance', 'path' = '{root}')"""
+    )
+    eng.execute(
+        "INSERT INTO docs VALUES (6, 'Reinforcement Learning', "
+        "ARRAY[0.6, 0.7, 0.8, 0.9])"
+    )
+    got = eng.execute(
+        "SELECT COUNT(*) AS n, MAX(id) AS hi FROM docs"
+    ).first()
+    assert (got["n"], got["hi"]) == (6, 6)
+    assert LanceNativeDataset(root).versions() == [1, 2]
+    eng.execute("DELETE FROM docs WHERE id IN (1, 6)")
+    ids = sorted(
+        r["id"] for r in eng.execute("SELECT id FROM docs").collect()
+    )
+    assert ids == [2, 3, 4, 5]
+    assert LanceNativeDataset(root).versions() == [1, 2, 3]
+    # appended rows keep the dataset's exact physical types: a second
+    # native reader decodes the mixed (reference-written + our-written)
+    # fragment set bit-consistently
+    t = LanceNativeDataset(root).to_arrow(2)
+    assert t.num_rows == 6 and str(t.schema.field("embedding").type) in (
+        "large_list<item: float>", "list<item: float>",
+    )
+    with pytest.raises(ValueError, match="native Lance"):
+        eng.execute("UPDATE docs SET title = 'x' WHERE id = 2")
+    with pytest.raises(ValueError, match="append-only"):
+        eng.execute("INSERT OVERWRITE docs SELECT * FROM docs")
+    # DELETE with no matches is a no-op, not a new version
+    eng.execute("DELETE FROM docs WHERE id = 999")
+    assert LanceNativeDataset(root).versions() == [1, 2, 3]
 
 
 def test_sql_vector_search_over_native_table(spark, tmp_path_str):
@@ -386,9 +439,8 @@ def test_spark_read_nullable_schema(spark, tmp_path_str):
 
 def test_native_ctas_and_merge_refusal(spark, tmp_path_str):
     """CTAS with 'storage'='native' writes a real native Lance
-    directory and registers it READ-ONLY; every mutating statement
-    (now incl. unconditional MERGE — ADVICE r12) refuses with the
-    copy-out hint."""
+    directory; UPDATE and unconditional MERGE (ADVICE r12) refuse with
+    the copy-out hint."""
     from lance_flink_spark.sources.catalog import Catalog
     from lance_flink_spark.sources.ddl import SqlEngine
     from lance_flink_spark.sources.lance_native import LanceNativeDataset
@@ -407,7 +459,7 @@ def test_native_ctas_and_merge_refusal(spark, tmp_path_str):
         "SELECT COUNT(*) AS n, SUM(score) AS s FROM nat"
     ).first()
     assert got["n"] == 5 and got["s"] == pytest.approx(15.0)
-    with pytest.raises(ValueError, match="READ-ONLY native"):
+    with pytest.raises(ValueError, match="native Lance"):
         eng.execute(
             "MERGE INTO nat USING (SELECT 9 AS id, 1.0 AS score, 'x' AS t) ON id"
         )
