@@ -668,7 +668,9 @@ def streaming_earliest_by_key(spark, sf_dir):
 
 @query(
     "streaming_over_agg",
-    # r12 rotation: the #236 streaming OVER flagship gets driver-grade evidence
+    extra=True,  # r13 rotation: banked (driver hash-green r12) — superseded as
+    # primary by streaming_over_multi, which runs the same RANGE machinery
+    # plus COUNT/MIN/MAX/AVG in one pass
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (

@@ -1007,7 +1007,7 @@ def orders_grouping_sets(spark, sf_dir):
 
 @query(
     "streaming_cdc_upsert",
-    extra=True,  # r13: CDC-as-stream source closing the replication loop
+    # r13: CDC-as-stream source closing the replication loop, driver-graded
     oracle="""
     SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
