@@ -1029,3 +1029,92 @@ def arrow_schema_of(fields: list[LanceField]):
         else:
             raise UnsupportedLanceFeature(f"{f.name}: {f.logical}")
     return pa.schema(out)
+
+
+def _spark_type_of(pa, t):
+    """Arrow → Spark type for the subset (post read() downcasts)."""
+    from pyspark.sql import types as T
+
+    import pyarrow.types as pt
+
+    if pt.is_int64(t):
+        return T.LongType()
+    if pt.is_int32(t):
+        return T.IntegerType()
+    if pt.is_float32(t):
+        return T.FloatType()
+    if pt.is_float64(t):
+        return T.DoubleType()
+    if pt.is_string(t) or pt.is_large_string(t):
+        return T.StringType()
+    if pt.is_timestamp(t):
+        return T.TimestampType() if t.tz else T.TimestampNTZType()
+    if pt.is_list(t) or pt.is_large_list(t):
+        return T.ArrayType(_spark_type_of(pa, t.value_type))
+    raise UnsupportedLanceFeature(f"no Spark mapping for {t}")
+
+
+def read_distributed(ds: "LanceNativeDataset", spark, version: int | None = None):
+    """Cluster-scale native read: ONE executor task per fragment
+    decodes its .lance file (deletion mask applied locally) and emits
+    Arrow batches through ``mapInPandas`` — the driver never holds the
+    data, so dataset size is bounded by the cluster, not driver
+    memory (each fragment still honors the 256 MB in-task decode
+    gate). Fragments are independent by construction — this is the
+    parallelism the Lance format was designed for, and exactly how the
+    reference's LanceInputFormat splits work (one split per
+    fragment). Requires a filesystem every executor can reach (local
+    in tests; NFS/object-store mounts on a real cluster)."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    fields, frags, _v = ds._manifest(version)
+    v = version if version is not None else ds._manifests[-1]
+    root = ds.root
+    # the downcast schema read() serves (plain string / list)
+    probe_schema = []
+    for f in arrow_schema_of(fields):
+        probe_schema.append((f.name, _spark_type_of(pa, f.type)))
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in probe_schema]
+    )
+    tasks = spark.createDataFrame(
+        [(fr.path,) for fr in frags], "frag_path string"
+    ).repartition(max(len(frags), 1))
+
+    def _decode(batches):
+        # re-open the manifest executor-side (tiny); fragment lookup by
+        # path keeps the task payload to one string
+        eds = LanceNativeDataset(root)
+        efields, efrags, _ = eds._manifest(v)
+        by_path = {fr.path: fr for fr in efrags}
+        for pdf in batches:
+            for path in pdf["frag_path"]:
+                fr = by_path[path]
+                t = read_fragment_table(
+                    os.path.join(root, "data", fr.path), efields, fr
+                )
+                if fr.deletion is not None:
+                    dead = read_deletion_file(root, fr)
+                    t = t.take(
+                        np.setdiff1d(np.arange(t.num_rows, dtype="int64"), dead)
+                    )
+                # nullable EXTENSION dtypes for primitives: a null
+                # int64 must stay integral-null (object/NaN widening
+                # would corrupt large ids) and a null float must stay
+                # null, not NaN; lists/strings take the default object
+                # path (Spark's converter rejects ArrowDtype null
+                # lists)
+                mapper = {
+                    pa.int64(): pd.Int64Dtype(),
+                    pa.int32(): pd.Int32Dtype(),
+                    pa.float32(): pd.Float32Dtype(),
+                    pa.float64(): pd.Float64Dtype(),
+                }.get
+                yield t.to_pandas(types_mapper=mapper)
+
+    return tasks.mapInPandas(_decode, schema=out_schema)

@@ -463,3 +463,59 @@ def test_native_ctas_and_merge_refusal(spark, tmp_path_str):
         eng.execute(
             "MERGE INTO nat USING (SELECT 9 AS id, 1.0 AS score, 'x' AS t) ON id"
         )
+
+
+def test_distributed_read_equals_driver_read(spark, tmp_path_str):
+    """read_distributed decodes one fragment per executor task
+    (mapInPandas) — rows, types (incl. nullable ints staying integral
+    and null floats staying null, not NaN) and deletion masks must
+    equal the driver-side read; partition count == fragment count."""
+    import datetime
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        delete_rows,
+        read_distributed,
+        write_dataset,
+    )
+
+    t = pa.table(
+        {
+            "id": pa.array(list(range(50)), type=pa.int64()),
+            "n32": pa.array(
+                [None if i % 11 == 0 else i for i in range(50)], type=pa.int32()
+            ),
+            "score": pa.array(
+                [None if i % 13 == 0 else i / 4 for i in range(50)],
+                type=pa.float64(),
+            ),
+            "title": pa.array(
+                [None if i % 7 == 0 else f"t{i}" for i in range(50)]
+            ),
+            "ts": pa.array(
+                [
+                    datetime.datetime(2024, 1, 1, 0, i % 60) if i % 5 else None
+                    for i in range(50)
+                ],
+                type=pa.timestamp("ms"),
+            ),
+            "emb": pa.array(
+                [[float(i), 0.5] if i % 3 else None for i in range(50)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    root = os.path.join(tmp_path_str, "dist")
+    write_dataset(root, t, max_rows_per_file=16)  # 4 fragments
+    delete_rows(root, [0, 17, 33, 49])
+    ds = LanceNativeDataset(root)
+    dist = read_distributed(ds, spark)
+    assert dist.rdd.getNumPartitions() == 4
+    a = sorted(tuple(r) for r in dist.collect())
+    b = sorted(tuple(r) for r in ds.read(spark).collect())
+    assert len(a) == 46 and a == b
+    assert [
+        (f.name, f.dataType.simpleString()) for f in dist.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in ds.read(spark).schema.fields]
