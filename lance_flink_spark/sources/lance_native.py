@@ -1031,8 +1031,11 @@ def arrow_schema_of(fields: list[LanceField]):
     return pa.schema(out)
 
 
-def _spark_type_of(pa, t):
-    """Arrow → Spark type for the subset (post read() downcasts)."""
+def _spark_type_of(pa, t, ntz_type):
+    """Arrow → Spark type for the subset (post read() downcasts).
+    ``ntz_type`` is the Spark type tz-less timestamps map to — the
+    session's spark.sql.timestampType, so the distributed read's
+    schema matches what createDataFrame gives the driver-side read."""
     from pyspark.sql import types as T
 
     import pyarrow.types as pt
@@ -1048,9 +1051,9 @@ def _spark_type_of(pa, t):
     if pt.is_string(t) or pt.is_large_string(t):
         return T.StringType()
     if pt.is_timestamp(t):
-        return T.TimestampType() if t.tz else T.TimestampNTZType()
+        return T.TimestampType() if t.tz else ntz_type
     if pt.is_list(t) or pt.is_large_list(t):
-        return T.ArrayType(_spark_type_of(pa, t.value_type))
+        return T.ArrayType(_spark_type_of(pa, t.value_type, ntz_type))
     raise UnsupportedLanceFeature(f"no Spark mapping for {t}")
 
 
@@ -1076,9 +1079,15 @@ def read_distributed(ds: "LanceNativeDataset", spark, version: int | None = None
     v = version if version is not None else ds._manifests[-1]
     root = ds.root
     # the downcast schema read() serves (plain string / list)
+    ntz_type = (
+        T.TimestampNTZType()
+        if spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+        == "TIMESTAMP_NTZ"
+        else T.TimestampType()
+    )
     probe_schema = []
     for f in arrow_schema_of(fields):
-        probe_schema.append((f.name, _spark_type_of(pa, f.type)))
+        probe_schema.append((f.name, _spark_type_of(pa, f.type, ntz_type)))
     out_schema = T.StructType(
         [T.StructField(n, t, True) for n, t in probe_schema]
     )
