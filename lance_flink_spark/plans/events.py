@@ -906,3 +906,74 @@ def events_match_quantified(spark, sf_dir):
         type_col="event_type",
         id_col="event_id",
     )
+
+
+@query(
+    "streaming_match_quantified",
+    extra=True,  # r13: quantified strict-contiguity MATCH_RECOGNIZE on a stream
+    oracle="""
+    WITH typed AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                               WHEN 'purchase' THEN 2 END AS sym,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    grp AS (
+        SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, sym
+                                          ORDER BY rn) AS g
+        FROM typed),
+    runs AS (
+        SELECT user_id, sym, g, COUNT(*) AS len, MIN(rn) AS rn0,
+               MIN(ts) AS ts0, ARG_MIN(event_id, rn) AS id_first
+        FROM grp GROUP BY user_id, sym, g),
+    ordered AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn0) AS ridx
+        FROM runs),
+    led AS (
+        SELECT user_id, sym, len, ts0, id_first,
+               LEAD(sym, 1) OVER w AS s1, LEAD(len, 1) OVER w AS l1,
+               LEAD(sym, 2) OVER w AS s2, LEAD(ts0, 2) OVER w AS t2_0
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY ridx))
+    SELECT user_id, id_first AS start_event_id,
+           epoch_us(ts0) AS t0_us, epoch_us(t2_0) AS t_last_us,
+           CAST(len + 2 AS BIGINT) AS n_rows,
+           epoch_us(t2_0) - epoch_us(ts0) AS duration_us
+    FROM led
+    WHERE sym = 0 AND s1 = 1 AND l1 = 1 AND s2 = 2
+      AND t2_0 <= ts0 + INTERVAL 1 HOUR
+    """,
+)
+def streaming_match_quantified(spark, sf_dir):
+    """Quantified strict-contiguity MATCH_RECOGNIZE on a STREAM
+    (streaming/cep.py::stream_match_pattern — Flink CEP's greedy NFA
+    over keyed state): PATTERN (view+ click purchase) WITHIN 1 hour,
+    AFTER MATCH SKIP PAST LAST ROW, scanned sequentially over each
+    key's watermark-settled prefix so every emitted match is FINAL
+    (greedy trailing consumption flushes via the within-timeout
+    event-time timer). Must equal the batch quantified operator's
+    oracle row for row — an unsettled row leaking into a match, a
+    blocked anchor emitted early, a lost cross-micro-batch buffer, or
+    a skipped-past row re-entering all break the hash."""
+    from lance_flink_spark.streaming.cep import stream_match_pattern
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark=None).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = stream_match_pattern(
+        events,
+        ["view+", "click", "purchase"],
+        within="1 hour",
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        type_col="event_type",
+    )
+    t = run_to_memory(out, mode="append", state_partitions=8)
+    return spark.table(t).select(
+        "user_id", "start_event_id", "t0_us", "t_last_us", "n_rows",
+        "duration_us",
+    )

@@ -299,3 +299,253 @@ def stream_match_absence(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------- round 13: quantified MATCH_RECOGNIZE on a stream ----------
+
+_QUANT_STATE = "ts array<long>, eid array<long>, sym array<int>, hwm long"
+
+
+def _try_match_quant(ts, sym, pos, n_settled, alts, within_us, wm_us):
+    """Attempt a match anchored at settled row ``pos`` against the
+    greedy-ordered ``alts`` (lists of (sym_idx, quant)). Returns
+    ('match', end_idx_exclusive, n_rows) | ('fail',) | ('blocked',):
+
+    - consumption is the strict-contiguity sequential scan: a single
+      element takes exactly the next row, a '+' element greedily takes
+      consecutive same-symbol rows while inside the WITHIN window;
+    - an attempt is BLOCKED (undetermined) when it reaches the settled
+      boundary while it could still consume — unless the watermark
+      already passed t0+within, in which case no future row can join
+      the window and the attempt is definitive (Flink CEP's
+      within-timeout resolution for greedy trailing quantifiers)."""
+    t0 = ts[pos]
+    definitive_window = wm_us > t0 + within_us
+    for alt in alts:
+        i = pos
+        blocked = False
+        ok = True
+        for s, q in alt:
+            if q == "1":
+                if i >= n_settled:
+                    blocked = True
+                    break
+                if sym[i] == s and ts[i] - t0 <= within_us:
+                    i += 1
+                else:
+                    ok = False
+                    break
+            else:  # '+'
+                cnt = 0
+                while i < n_settled and sym[i] == s and ts[i] - t0 <= within_us:
+                    i += 1
+                    cnt += 1
+                if cnt == 0:
+                    if i >= n_settled:
+                        blocked = True
+                        break
+                    ok = False
+                    break
+                if i >= n_settled:
+                    # consumption hit the settled boundary mid-greed:
+                    # a future row could extend this element (or feed
+                    # the next one) — undetermined unless the window
+                    # is already closed
+                    blocked = True
+                    break
+        if blocked and not definitive_window:
+            return ("blocked",)
+        if blocked and definitive_window:
+            # window closed: re-evaluate this alternative definitively
+            # (the loop above stopped early; rerun without the
+            # boundary short-circuit by treating the settled slice as
+            # final — nothing past it can be inside the window)
+            i = pos
+            ok = True
+            for s, q in alt:
+                if q == "1":
+                    if i < n_settled and sym[i] == s and ts[i] - t0 <= within_us:
+                        i += 1
+                    else:
+                        ok = False
+                        break
+                else:
+                    cnt = 0
+                    while (
+                        i < n_settled and sym[i] == s and ts[i] - t0 <= within_us
+                    ):
+                        i += 1
+                        cnt += 1
+                    if cnt == 0:
+                        ok = False
+                        break
+            if ok:
+                return ("match", i, i - pos)
+            continue
+        if ok:
+            return ("match", i, i - pos)
+    return ("fail",)
+
+
+def stream_match_pattern(
+    events: DataFrame,
+    pattern: list[str],
+    within: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators/cep.match_pattern`` — quantified
+    MATCH_RECOGNIZE in the SQL-standard STRICT-contiguity dialect
+    (greedy +/*, AFTER MATCH SKIP PAST LAST ROW) on an unbounded
+    keyed stream. Flink CEP's NFA-on-keyed-state shape, expressed as a
+    sequential scan over the key's watermark-SETTLED prefix:
+
+    - rows buffer per key; the scan only consumes rows the shifted
+      watermark has strictly passed (over_agg's provably-complete
+      emission contract — strict contiguity is order-sensitive, so an
+      unsettled row may not participate);
+    - the scan advances row by row exactly like the batch semantics;
+      consumed and skipped-past rows DROP from state (sequential
+      semantics never revisit them), so state is the blocked suffix +
+      unsettled rows, not a retention window;
+    - a match whose greedy trailing consumption touches the settled
+      boundary stays BLOCKED until a later row closes the run or the
+      watermark passes t0+within (the within-timeout, via an
+      event-time timer) — Flink CEP's greedy-quantifier flush rule;
+    - emitted matches are FINAL (append mode): everything they read
+      was settled, and the per-key horizon drops sub-millisecond
+      stragglers below already-scanned ground (over_agg's hwm rule).
+
+    Output: (key, start_event_id, t0_us, t_last_us, n_rows,
+    duration_us) — the batch operator's ONE ROW PER MATCH schema, so
+    the batch run over the same rows is the exact oracle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.operators.cep import (
+        _alternatives,
+        _parse_pattern,
+        _refuse_ambiguous,
+    )
+    from lance_flink_spark.session import ship_package
+    from lance_flink_spark.streaming.over_agg import (
+        _timer_ms,
+        _with_shifted_watermark,
+    )
+
+    ship_package(events.sparkSession)
+    elems = _parse_pattern(pattern)
+    alts_lit = _alternatives(elems)
+    _refuse_ambiguous(alts_lit)
+    uniq = list(dict.fromkeys(lit for lit, _ in elems))
+    lit_idx = {lit: i for i, lit in enumerate(uniq)}
+    alts = [[(lit_idx[lit], q) for lit, q in a] for a in alts_lit]
+    first_syms = {a[0][0] for a in alts}
+    within_us = _duration_us(within)
+
+    sym_expr = F.lit(-1)
+    for lit, i in lit_idx.items():
+        sym_expr = F.when(F.col(type_col) == lit, F.lit(i)).otherwise(sym_expr)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            st = state.get
+            ts = np.asarray(st[0], dtype=np.int64)
+            eid = np.asarray(st[1], dtype=np.int64)
+            sym = np.asarray(st[2], dtype=np.int64)
+            hwm = int(st[3])
+        else:
+            ts = np.empty(0, np.int64)
+            eid = np.empty(0, np.int64)
+            sym = np.empty(0, np.int64)
+            hwm = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            nts = pdf["__ts_us"].to_numpy(np.int64)
+            keep = nts >= hwm
+            ts = np.concatenate([ts, nts[keep]])
+            eid = np.concatenate([eid, pdf["__id"].to_numpy(np.int64)[keep]])
+            sym = np.concatenate([sym, pdf["__sym"].to_numpy(np.int64)[keep]])
+        wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
+        order = np.lexsort((eid, ts))
+        ts, eid, sym = ts[order], eid[order], sym[order]
+        n_settled = int(np.searchsorted(ts, wm_us, side="left"))
+        pos = 0
+        out = {
+            "key": [], "start_event_id": [], "t0_us": [], "t_last_us": [],
+            "n_rows": [],
+        }
+        blocked_t0 = None
+        while pos < n_settled:
+            if sym[pos] not in first_syms:
+                pos += 1
+                continue
+            res = _try_match_quant(ts, sym, pos, n_settled, alts, within_us, wm_us)
+            if res[0] == "blocked":
+                blocked_t0 = int(ts[pos])
+                break
+            if res[0] == "match":
+                end = res[1]
+                out["key"].append(key[0])
+                out["start_event_id"].append(int(eid[pos]))
+                out["t0_us"].append(int(ts[pos]))
+                out["t_last_us"].append(int(ts[end - 1]))
+                out["n_rows"].append(int(res[2]))
+                pos = end
+            else:
+                pos += 1
+        # rows the scan moved past are gone forever (sequential
+        # semantics); the horizon pins what was scanned
+        hwm = int(ts[pos]) if pos < len(ts) else max(hwm, wm_us)
+        ts, eid, sym = ts[pos:], eid[pos:], sym[pos:]
+        if len(ts):
+            state.update((ts.tolist(), eid.tolist(), sym.tolist(), int(hwm)))
+            candidates = []
+            pend = ts[ts >= wm_us]
+            if len(pend):
+                candidates.append(_timer_ms(int(pend.min()), wm_us))
+            if blocked_t0 is not None:
+                # the within-timeout that definitively resolves the
+                # blocked anchor even if no further rows arrive
+                candidates.append(
+                    max((blocked_t0 + within_us) // 1000 + 1, wm_us // 1000 + 1)
+                )
+            elif len(ts) and not len(pend):
+                # settled-but-unscanned rows (below a blocked anchor
+                # cleared elsewhere) — revisit on the next wm move
+                candidates.append(wm_us // 1000 + 1)
+            if candidates:
+                state.setTimeoutTimestamp(min(candidates))
+        else:
+            state.remove()
+        if out["key"]:
+            df = pd.DataFrame(out)
+            df["duration_us"] = df["t_last_us"] - df["t0_us"]
+            yield df
+
+    keyed = _with_shifted_watermark(
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col).alias("__id"),
+            sym_expr.alias("__sym"),
+            F.col(ts_col).alias(ts_col),
+        ),
+        ts_col,
+        delay,
+    )
+    out = keyed.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "key long, start_event_id long, t0_us long, t_last_us long, "
+            "n_rows long, duration_us long"
+        ),
+        stateStructType=_QUANT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumnRenamed("key", key_col)

@@ -695,3 +695,159 @@ class TestMatchPatternQuantified:
                     "SKIP PAST LAST ROW", "SKIP TO NEXT ROW"
                 )
             )
+
+
+class TestStreamMatchPattern:
+    """Quantified strict-contiguity MATCH_RECOGNIZE on a STREAM
+    (streaming/cep.py::stream_match_pattern): cross-micro-batch
+    buffering, watermark-settled emission, within-timeout flush of
+    greedy trailing quantifiers. Corpus-scale hash gate:
+    streaming_match_quantified."""
+
+    def _drain(self, spark, tmp_path_str, batches, pattern, within="1 hour"):
+        import os
+        import time
+
+        from lance_flink_spark.streaming.cep import stream_match_pattern
+        from lance_flink_spark.streaming.pipeline import run_to_memory
+
+        src = os.path.join(tmp_path_str, "smp_src")
+        os.makedirs(src, exist_ok=True)
+        schema = "user_id long, event_id long, ts timestamp, event_type string"
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(os.path.join(src, f"b{i}"))
+            time.sleep(1.05)
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = stream_match_pattern(sdf, pattern, within=within)
+        t = run_to_memory(out, mode="append", state_partitions=4)
+        return sorted(
+            (r["start_event_id"], r["n_rows"], r["t_last_us"] - r["t0_us"])
+            for r in spark.sql(f"SELECT * FROM {t}").collect()
+        )
+
+    def test_match_spans_micro_batches(self, spark, tmp_path_str):
+        import datetime
+
+        def T(m):
+            return datetime.datetime(2024, 1, 1, 0, m)
+
+        rows = lambda *specs: [  # noqa: E731
+            {"user_id": 1, "event_id": i, "ts": T(m), "event_type": e}
+            for i, m, e in specs
+        ]
+        got = self._drain(
+            spark,
+            tmp_path_str,
+            [
+                rows((1, 0, "view"), (2, 1, "view")),
+                rows((3, 2, "click"), (4, 3, "purchase")),
+                # second chain + a run-breaking error in the middle
+                rows((5, 10, "view"), (6, 11, "error")),
+                rows((7, 12, "view"), (8, 13, "click"), (9, 14, "purchase")),
+            ],
+            ["view+", "click", "purchase"],
+        )
+        # chain 1: view view click purchase (rows 1-4); the error at 11
+        # breaks row 5's run, so chain 2 anchors at row 7
+        assert got == [(1, 4, 3 * 60_000_000), (7, 3, 2 * 60_000_000)]
+
+    def test_trailing_greedy_flushes_via_within_timeout(
+        self, spark, tmp_path_str
+    ):
+        """PATTERN (click view+): the trailing view-run sits at the
+        stream tail (never closed by a later row) — the match must
+        still flush once the watermark passes t0+within, consuming
+        exactly the rows inside the window."""
+        import datetime
+
+        def T(m):
+            return datetime.datetime(2024, 1, 1, 0, m)
+
+        batches = [
+            [
+                {"user_id": 1, "event_id": 1, "ts": T(0), "event_type": "click"},
+                {"user_id": 1, "event_id": 2, "ts": T(1), "event_type": "view"},
+                {"user_id": 1, "event_id": 3, "ts": T(2), "event_type": "view"},
+            ],
+            # a far-future row advances the watermark past t0+within
+            [{"user_id": 2, "event_id": 99, "ts": T(59), "event_type": "error"}],
+            [{"user_id": 2, "event_id": 100, "ts": datetime.datetime(2024, 1, 1, 3), "event_type": "error"}],
+        ]
+        got = self._drain(
+            spark, tmp_path_str, batches, ["click", "view+"], within="10 minutes"
+        )
+        assert got == [(1, 3, 2 * 60_000_000)]
+
+    def test_skip_past_last_row_across_batches(self, spark, tmp_path_str):
+        """Back-to-back chains in separate batches each emit once, and
+        a consumed row can never re-enter a later match."""
+        import datetime
+
+        def T(m):
+            return datetime.datetime(2024, 1, 1, 0, m)
+
+        mk = lambda i, m, e: {  # noqa: E731
+            "user_id": 7, "event_id": i, "ts": T(m), "event_type": e,
+        }
+        got = self._drain(
+            spark,
+            tmp_path_str,
+            [
+                [mk(1, 0, "view"), mk(2, 1, "click")],
+                [mk(3, 2, "view"), mk(4, 3, "click")],
+                [mk(5, 4, "view"), mk(6, 5, "click"), mk(7, 30, "error")],
+            ],
+            ["view", "click"],
+        )
+        assert got == [(1, 2, 60_000_000), (3, 2, 60_000_000), (5, 2, 60_000_000)]
+
+    def test_stream_equals_batch_operator(self, spark, tmp_path_str):
+        """Property check at fixture scale: the streamed emitted set ==
+        the batch match_pattern over the same rows."""
+        import datetime
+        import random
+
+        from lance_flink_spark.operators.cep import match_pattern
+
+        rng = random.Random(13)
+        rows = []
+        i = 0
+        for u in range(6):
+            t = 0
+            for _ in range(40):
+                t += rng.randint(1, 7)
+                i += 1
+                rows.append(
+                    {
+                        "user_id": u,
+                        "event_id": i,
+                        "ts": datetime.datetime(2024, 1, 1)
+                        + datetime.timedelta(minutes=t),
+                        "event_type": rng.choice(
+                            ["view", "click", "purchase", "error"]
+                        ),
+                    }
+                )
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        cut = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3],
+               rows[2 * len(rows) // 3 :]]
+        got = self._drain(
+            spark, tmp_path_str, cut, ["view+", "click", "purchase"],
+            within="30 minutes",
+        )
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        want = sorted(
+            (r["start_event_id"], r["n_rows"], r["duration_us"])
+            for r in match_pattern(
+                df, ["view+", "click", "purchase"], within="30 minutes"
+            ).collect()
+        )
+        assert got == want and len(want) > 0
