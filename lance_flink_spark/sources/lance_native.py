@@ -437,26 +437,37 @@ def read_fragment_table(
             arrays.append(_prim_array(pa, blob, col_pages[ci], pa_type, 8))
             ci += 1
         elif lf.logical == "string":
-            offs, sizes, rows = _single_page(col_pages[ci], "string")
-            validity, bufs = _split_validity(
-                blob, offs, sizes, rows, [rows * 8, sizes[-1]]
-            )
-            (eoff, _esz), (doff, dsz) = bufs
-            arro, ends = _offsets_with_zero(blob, eoff, rows)
-            if rows and ends[-1] != dsz:
+            # string pages are self-contained (page-local end offsets
+            # + payload), so multi-page columns — how production
+            # fragments page long text — assemble per page and concat
+            parts = []
+            for offs, sizes, rows in col_pages[ci]:
+                validity, bufs = _split_validity(
+                    blob, offs, sizes, rows, [rows * 8, sizes[-1]]
+                )
+                (eoff, _esz), (doff, dsz) = bufs
+                arro, ends = _offsets_with_zero(blob, eoff, rows)
+                if rows and ends[-1] != dsz:
+                    raise UnsupportedLanceFeature(
+                        f"string ends {ends[-1]} != payload {dsz}"
+                    )
+                parts.append(
+                    pa.Array.from_buffers(
+                        pa.large_utf8(),
+                        rows,
+                        [
+                            pa.py_buffer(validity) if validity is not None else None,
+                            pa.py_buffer(arro),
+                            pa.py_buffer(blob[doff : doff + dsz]),
+                        ],
+                    )
+                )
+            if not parts:
                 raise UnsupportedLanceFeature(
-                    f"string ends {ends[-1]} != payload {dsz}"
+                    f"string column {lf.name!r} has no pages"
                 )
             arrays.append(
-                pa.Array.from_buffers(
-                    pa.large_utf8(),
-                    rows,
-                    [
-                        pa.py_buffer(validity) if validity is not None else None,
-                        pa.py_buffer(arro),
-                        pa.py_buffer(blob[doff : doff + dsz]),
-                    ],
-                )
+                pa.concat_arrays(parts) if len(parts) != 1 else parts[0]
             )
             ci += 1
         elif lf.logical == "list" and len(lf.children) == 1 and lf.children[0].logical in _PRIM:
@@ -577,42 +588,63 @@ def _varlen_parts(a):
     return ends.tobytes(), payload
 
 
-def _column_buffers(pa, arr, logical: str):
-    """Per depth-first column: (buffer list, declared row count) in
-    the flat value layout the reader decodes, validity bitmap first
-    when the column has nulls. A list field contributes its offsets
-    column AND its child values column (whose row count is the value
-    count, not the table row count — the reference files declare page
-    length the same way)."""
+def _paged(arr, page_rows):
+    """Slice an array into writer pages (None = one page)."""
+    if not page_rows or len(arr) <= page_rows:
+        yield arr
+        return
+    for lo in range(0, len(arr), page_rows):
+        yield arr.slice(lo, page_rows)
+
+
+def _column_buffers(pa, arr, logical: str, page_rows: int | None = None):
+    """Per depth-first column: PAGES of (buffer list, declared row
+    count) in the flat value layout the reader decodes, validity
+    bitmap first when the page has nulls. Primitive / timestamp /
+    string columns split at ``page_rows`` (strings are self-contained
+    per page — page-local end offsets); list columns stay single-page
+    (the reader's offsets↔child alignment needs one offsets page). A
+    list field contributes its offsets column AND its child values
+    column (whose row count is the value count, not the table row
+    count — the reference files declare page length the same way)."""
     import pyarrow.types as pt
 
     cols = []
     t = arr.type
     if pt.is_integer(t) or pt.is_floating(t):
         np_dtype = {"int64": "<i8", "int32": "<i4", "float": "<f4", "double": "<f8"}[logical]
-        bufs = []
-        v = _validity_buffer(arr)
-        if v is not None:
-            bufs.append(v)
-        bufs.append(_np_values(arr, np_dtype))
-        cols.append((bufs, len(arr)))
+        pages = []
+        for p in _paged(arr, page_rows):
+            bufs = []
+            v = _validity_buffer(p)
+            if v is not None:
+                bufs.append(v)
+            bufs.append(_np_values(p, np_dtype))
+            pages.append((bufs, len(p)))
+        cols.append(pages)
     elif pt.is_timestamp(t):
-        bufs = []
-        v = _validity_buffer(arr)
-        if v is not None:
-            bufs.append(v)
-        ticks = arr.cast(pa.int64()).fill_null(0)
-        bufs.append(_np_values(ticks, "<i8"))
-        cols.append((bufs, len(arr)))
+        pages = []
+        for p in _paged(arr, page_rows):
+            bufs = []
+            v = _validity_buffer(p)
+            if v is not None:
+                bufs.append(v)
+            ticks = p.cast(pa.int64()).fill_null(0)
+            bufs.append(_np_values(ticks, "<i8"))
+            pages.append((bufs, len(p)))
+        cols.append(pages)
     elif pt.is_string(t) or pt.is_large_string(t):
-        a = arr.fill_null("").cast(pa.large_utf8())
-        ends, payload = _varlen_parts(a)
-        bufs = []
-        v = _validity_buffer(arr)
-        if v is not None:
-            bufs.append(v)
-        bufs += [ends, payload]
-        cols.append((bufs, len(arr)))
+        pages = []
+        for p in _paged(arr, page_rows):
+            a = p.fill_null("").cast(pa.large_utf8())
+            ends, payload = _varlen_parts(a)
+            bufs = []
+            v = _validity_buffer(p)
+            if v is not None:
+                bufs.append(v)
+            bufs += [ends, payload]
+            pages.append((bufs, len(p)))
+        cols.append(pages)
     elif pt.is_list(t) or pt.is_large_list(t):
         a = arr.cast(pa.large_list(t.value_type))
         offs = np.frombuffer(
@@ -627,7 +659,7 @@ def _column_buffers(pa, arr, logical: str):
         if v is not None:
             bufs.append(v)
         bufs.append(ends.tobytes())
-        cols.append((bufs, len(arr)))
+        cols.append([(bufs, len(arr))])  # offsets: always one page
         # child values: flatten() skips null slots, matching the
         # zeroed sizes above; element nulls carry their own validity
         child = a.flatten()
@@ -636,7 +668,7 @@ def _column_buffers(pa, arr, logical: str):
             raise UnsupportedLanceFeature(
                 f"list element type {child.type} outside the subset"
             )
-        cols.extend(_column_buffers(pa, child, child_logical))
+        cols.extend(_column_buffers(pa, child, child_logical, page_rows))
     else:
         raise UnsupportedLanceFeature(f"cannot encode arrow type {t}")
     return cols
@@ -665,14 +697,17 @@ def _logical_of(pa, t) -> str:
     raise UnsupportedLanceFeature(f"cannot encode arrow type {t}")
 
 
-def write_fragment_file(path: str, table) -> None:
+def write_fragment_file(path: str, table, max_rows_per_page: int | None = None) -> None:
     """Emit one 'Lance File 2.0' data file (footer version 0.3, the
-    2.0 encoding) with every column as a single flat value page —
-    the exact layout :func:`read_fragment_table` decodes."""
+    2.0 encoding) with every column as flat value page(s) — the exact
+    layout :func:`read_fragment_table` decodes. ``max_rows_per_page``
+    splits primitive/timestamp/string columns into multiple pages
+    (list columns stay single-page: the offsets↔child alignment needs
+    one offsets page)."""
     import pyarrow as pa
 
-    # per depth-first column: (buffers, declared row count)
-    columns: list[tuple[list[bytes], int]] = []
+    # per depth-first column: a list of pages (buffers, row count)
+    columns: list[list[tuple[list[bytes], int]]] = []
     for name in table.column_names:
         ca = table.column(name)
         arr = (
@@ -681,22 +716,25 @@ def write_fragment_file(path: str, table) -> None:
             else pa.array([], type=ca.type)
         )
         logical = _logical_of(pa, arr.type)
-        columns.extend(_column_buffers(pa, arr, logical))
+        columns.extend(_column_buffers(pa, arr, logical, max_rows_per_page))
 
     blob = bytearray()
     col_metas: list[bytes] = []
-    for bufs, col_rows in columns:
-        offs, sizes = [], []
-        for b in bufs:
-            offs.append(len(blob))
-            sizes.append(len(b))
-            blob += b
-        page = (
-            _enc_packed(1, offs)
-            + _enc_packed(2, sizes)
-            + _enc_int(3, col_rows)
-        )
-        col_metas.append(_enc_len(2, page))
+    for pages in columns:
+        meta = b""
+        for bufs, col_rows in pages:
+            offs, sizes = [], []
+            for b in bufs:
+                offs.append(len(blob))
+                sizes.append(len(b))
+                blob += b
+            page = (
+                _enc_packed(1, offs)
+                + _enc_packed(2, sizes)
+                + _enc_int(3, col_rows)
+            )
+            meta += _enc_len(2, page)
+        col_metas.append(meta)
 
     cms = len(blob)
     meta_pos = []

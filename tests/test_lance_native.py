@@ -519,3 +519,44 @@ def test_distributed_read_equals_driver_read(spark, tmp_path_str):
     assert [
         (f.name, f.dataType.simpleString()) for f in dist.schema.fields
     ] == [(f.name, f.dataType.simpleString()) for f in ds.read(spark).schema.fields]
+
+
+def test_multi_page_columns_roundtrip(tmp_path_str):
+    """max_rows_per_page splits primitive/timestamp/STRING columns
+    into multiple self-contained pages (how production fragments page
+    long text); the reader assembles them per page — nulls included.
+    List columns stay single-page by contract."""
+    import datetime
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        _schema_fields_of,
+        read_fragment_table,
+        write_fragment_file,
+    )
+
+    t = pa.table(
+        {
+            "id": pa.array(list(range(23)), type=pa.int64()),
+            "title": pa.array(
+                [None if i % 7 == 0 else "x" * i for i in range(23)]
+            ),
+            "ts": pa.array(
+                [
+                    datetime.datetime(2024, 1, 1, 0, i) if i % 5 else None
+                    for i in range(23)
+                ],
+                type=pa.timestamp("ms"),
+            ),
+            "emb": pa.array(
+                [[float(i)] if i % 3 else None for i in range(23)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    fields, _blob = _schema_fields_of(pa, t.schema)
+    p = os.path.join(tmp_path_str, "paged.lance")
+    write_fragment_file(p, t, max_rows_per_page=5)
+    back = read_fragment_table(p, fields)
+    assert back.equals(t.cast(back.schema))
