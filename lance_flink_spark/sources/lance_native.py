@@ -71,8 +71,9 @@ _SUPPORTED_FILE_VERSIONS = {(0, 3), (2, 0)}
 
 class UnsupportedLanceFeature(NotImplementedError):
     """The dataset uses a Lance feature outside the documented subset
-    (non-value encodings, roaring-bitmap deletions, multi-page varlen
-    columns, exotic types). Refusing beats silently-wrong rows."""
+    (non-value encodings, roaring-bitmap deletions, multi-page
+    list-offsets columns, exotic types). Refusing beats
+    silently-wrong rows."""
 
 
 # ---------- minimal protobuf (decode) ----------
@@ -436,10 +437,12 @@ def read_fragment_table(
             pa_type = pa.timestamp(unit, None if tz == "-" else tz)
             arrays.append(_prim_array(pa, blob, col_pages[ci], pa_type, 8))
             ci += 1
-        elif lf.logical == "string":
-            # string pages are self-contained (page-local end offsets
+        elif lf.logical in ("string", "binary"):
+            # varlen pages are self-contained (page-local end offsets
             # + payload), so multi-page columns — how production
-            # fragments page long text — assemble per page and concat
+            # fragments page long text / media blobs — assemble per
+            # page and concat; 'binary' is the multimodal payload type
+            vtype = pa.large_utf8() if lf.logical == "string" else pa.large_binary()
             parts = []
             for offs, sizes, rows in col_pages[ci]:
                 validity, bufs = _split_validity(
@@ -453,7 +456,7 @@ def read_fragment_table(
                     )
                 parts.append(
                     pa.Array.from_buffers(
-                        pa.large_utf8(),
+                        vtype,
                         rows,
                         [
                             pa.py_buffer(validity) if validity is not None else None,
@@ -464,7 +467,7 @@ def read_fragment_table(
                 )
             if not parts:
                 raise UnsupportedLanceFeature(
-                    f"string column {lf.name!r} has no pages"
+                    f"varlen column {lf.name!r} has no pages"
                 )
             arrays.append(
                 pa.concat_arrays(parts) if len(parts) != 1 else parts[0]
@@ -633,10 +636,13 @@ def _column_buffers(pa, arr, logical: str, page_rows: int | None = None):
             bufs.append(_np_values(ticks, "<i8"))
             pages.append((bufs, len(p)))
         cols.append(pages)
-    elif pt.is_string(t) or pt.is_large_string(t):
+    elif pt.is_string(t) or pt.is_large_string(t) or pt.is_binary(t) or pt.is_large_binary(t):
         pages = []
+        is_bin = pt.is_binary(t) or pt.is_large_binary(t)
         for p in _paged(arr, page_rows):
-            a = p.fill_null("").cast(pa.large_utf8())
+            a = p.fill_null(b"" if is_bin else "").cast(
+                pa.large_binary() if is_bin else pa.large_utf8()
+            )
             ends, payload = _varlen_parts(a)
             bufs = []
             v = _validity_buffer(p)
@@ -681,6 +687,8 @@ _LOGICAL_BY_ARROW = {
     "double": "double",
     "string": "string",
     "large_string": "string",
+    "binary": "binary",
+    "large_binary": "binary",
 }
 
 
@@ -1032,6 +1040,8 @@ class LanceNativeDataset:
         for f in t.schema:
             if pa.types.is_large_string(f.type):
                 cast.append(pa.field(f.name, pa.string()))
+            elif pa.types.is_large_binary(f.type):
+                cast.append(pa.field(f.name, pa.binary()))
             elif pa.types.is_large_list(f.type):
                 cast.append(pa.field(f.name, pa.list_(f.type.value_type)))
             else:
@@ -1052,6 +1062,7 @@ def arrow_schema_of(fields: list[LanceField]):
         "float": pa.float32(),
         "double": pa.float64(),
         "string": pa.large_utf8(),
+        "binary": pa.large_binary(),
     }
     out = []
     for f in fields:
@@ -1088,6 +1099,8 @@ def _spark_type_of(pa, t, ntz_type):
         return T.DoubleType()
     if pt.is_string(t) or pt.is_large_string(t):
         return T.StringType()
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return T.BinaryType()
     if pt.is_timestamp(t):
         return T.TimestampType() if t.tz else ntz_type
     if pt.is_list(t) or pt.is_large_list(t):

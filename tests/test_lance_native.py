@@ -560,3 +560,30 @@ def test_multi_page_columns_roundtrip(tmp_path_str):
     write_fragment_file(p, t, max_rows_per_page=5)
     back = read_fragment_table(p, fields)
     assert back.equals(t.cast(back.schema))
+
+
+def test_binary_columns_roundtrip_and_spark(spark, tmp_path_str):
+    """'binary' columns (the multimodal payload type) round-trip
+    through the native format — nulls, empty blobs and NUL bytes
+    intact — and surface in Spark as BinaryType."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        write_dataset,
+    )
+
+    payloads = [b"\x89PNG\r\n", None, b"", b"\x00" * 100, bytes(range(256))]
+    t = pa.table(
+        {
+            "id": pa.array(list(range(5)), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    ds = write_dataset(os.path.join(tmp_path_str, "bin"), t)
+    assert ds.to_arrow().column("payload").to_pylist() == payloads
+    df = ds.read(spark)
+    assert df.schema["payload"].dataType.simpleString() == "binary"
+    got = {r["id"]: r["payload"] for r in df.collect()}
+    assert bytes(got[0]) == b"\x89PNG\r\n" and got[1] is None
+    assert bytes(got[4]) == bytes(range(256))
