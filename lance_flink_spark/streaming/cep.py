@@ -308,36 +308,46 @@ _QUANT_STATE = "ts array<long>, eid array<long>, sym array<int>, hwm long"
 
 def _try_match_quant(ts, sym, pos, n_settled, alts, within_us, wm_us):
     """Attempt a match anchored at settled row ``pos`` against the
-    greedy-ordered ``alts`` (lists of (sym_idx, quant)). Returns
-    ('match', end_idx_exclusive, n_rows) | ('fail',) | ('blocked',):
+    greedy-ordered ``alts`` (lists of (sym_idx, quant)) under the
+    BATCH dialect's exact semantics (operators/cep.match_pattern): a
+    '+' element greedily consumes its ENTIRE same-symbol run, a
+    quantified LEADING element only anchors at a run start, and the
+    WITHIN bound is checked once on the bound match (t_last − t0).
+    Returns ('match', end_idx_exclusive, n_rows) | ('fail',) |
+    ('blocked',):
 
-    - consumption is the strict-contiguity sequential scan: a single
-      element takes exactly the next row, a '+' element greedily takes
-      consecutive same-symbol rows while inside the WITHIN window;
-    - an attempt is BLOCKED (undetermined) when it reaches the settled
-      boundary while it could still consume — unless the watermark
-      already passed t0+within, in which case no future row can join
-      the window and the attempt is definitive (Flink CEP's
-      within-timeout resolution for greedy trailing quantifiers)."""
+    - an attempt is BLOCKED (undetermined) when consumption reaches
+      the settled boundary while the pattern could still bind —
+      UNLESS the watermark already passed t0+within: any future row
+      has ts > t0+within, so whichever way the open run resolves the
+      match violates WITHIN → definitive FAIL (trailing-quantified
+      patterns, where this argument breaks, are refused up front)."""
     t0 = ts[pos]
     definitive_window = wm_us > t0 + within_us
+    at_run_start = pos == 0 or sym[pos - 1] != sym[pos]
     for alt in alts:
+        if alt[0][0] != sym[pos]:
+            continue
+        if alt[0][1] == "+" and not at_run_start:
+            # batch dialect: greedy leading elements anchor at run
+            # starts only (mid-run suffix anchors are not matches)
+            continue
         i = pos
         blocked = False
         ok = True
-        for s, q in alt:
+        for s_, q in alt:
             if q == "1":
                 if i >= n_settled:
                     blocked = True
                     break
-                if sym[i] == s and ts[i] - t0 <= within_us:
+                if sym[i] == s_:
                     i += 1
                 else:
                     ok = False
                     break
-            else:  # '+'
+            else:  # '+': consume the whole same-symbol run
                 cnt = 0
-                while i < n_settled and sym[i] == s and ts[i] - t0 <= within_us:
+                while i < n_settled and sym[i] == s_:
                     i += 1
                     cnt += 1
                 if cnt == 0:
@@ -347,42 +357,18 @@ def _try_match_quant(ts, sym, pos, n_settled, alts, within_us, wm_us):
                     ok = False
                     break
                 if i >= n_settled:
-                    # consumption hit the settled boundary mid-greed:
-                    # a future row could extend this element (or feed
-                    # the next one) — undetermined unless the window
-                    # is already closed
+                    # the run is OPEN at the settled boundary: a future
+                    # row could extend it (whole-run consumption would
+                    # then grow) — undetermined unless the window is
+                    # closed, in which case any resolution fails WITHIN
                     blocked = True
                     break
-        if blocked and not definitive_window:
+        if blocked:
+            if definitive_window:
+                continue  # fails under every future — try a less
+                # greedy alternative over the settled rows
             return ("blocked",)
-        if blocked and definitive_window:
-            # window closed: re-evaluate this alternative definitively
-            # (the loop above stopped early; rerun without the
-            # boundary short-circuit by treating the settled slice as
-            # final — nothing past it can be inside the window)
-            i = pos
-            ok = True
-            for s, q in alt:
-                if q == "1":
-                    if i < n_settled and sym[i] == s and ts[i] - t0 <= within_us:
-                        i += 1
-                    else:
-                        ok = False
-                        break
-                else:
-                    cnt = 0
-                    while (
-                        i < n_settled and sym[i] == s and ts[i] - t0 <= within_us
-                    ):
-                        i += 1
-                        cnt += 1
-                    if cnt == 0:
-                        ok = False
-                        break
-            if ok:
-                return ("match", i, i - pos)
-            continue
-        if ok:
+        if ok and ts[i - 1] - t0 <= within_us:
             return ("match", i, i - pos)
     return ("fail",)
 
@@ -438,6 +424,15 @@ def stream_match_pattern(
 
     ship_package(events.sparkSession)
     elems = _parse_pattern(pattern)
+    if elems[-1][1] in ("+", "*"):
+        raise ValueError(
+            "stream_match_pattern: trailing quantified elements are "
+            "undecidable on an unbounded stream under the batch "
+            "dialect's whole-run greedy semantics (a future row can "
+            "always extend the final run and flip the WITHIN check) — "
+            "end the pattern with a single-occurrence element, or run "
+            "the batch operator over bounded data"
+        )
     alts_lit = _alternatives(elems)
     _refuse_ambiguous(alts_lit)
     uniq = list(dict.fromkeys(lit for lit, _ in elems))

@@ -757,32 +757,98 @@ class TestStreamMatchPattern:
         # breaks row 5's run, so chain 2 anchors at row 7
         assert got == [(1, 4, 3 * 60_000_000), (7, 3, 2 * 60_000_000)]
 
-    def test_trailing_greedy_flushes_via_within_timeout(
+    def test_trailing_quantifier_refused_on_streams(self, spark, tmp_path_str):
+        """PATTERN (click view+): a trailing greedy quantifier is
+        undecidable on an unbounded stream under the batch dialect's
+        whole-run semantics (a future row can always extend the final
+        run and flip WITHIN) — the streaming operator refuses loudly
+        instead of emitting provisional matches."""
+        from lance_flink_spark.streaming.cep import stream_match_pattern
+
+        sdf = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, event_type string"
+            ).parquet(tmp_path_str + "/never/*")
+        )
+        with pytest.raises(ValueError, match="trailing quantified"):
+            stream_match_pattern(sdf, ["click", "view+"])
+        with pytest.raises(ValueError, match="trailing quantified"):
+            stream_match_pattern(sdf, ["click", "view*"])
+
+    def test_within_timeout_fails_blocked_anchor_definitively(
         self, spark, tmp_path_str
     ):
-        """PATTERN (click view+): the trailing view-run sits at the
-        stream tail (never closed by a later row) — the match must
-        still flush once the watermark passes t0+within, consuming
-        exactly the rows inside the window."""
+        """A mid-pattern anchor blocked at the settled boundary (its
+        leading run still open, no continuation ever arriving)
+        resolves as a definitive FAIL once the watermark passes
+        t0+within — no provisional emission, no stuck state — while an
+        unrelated key's complete in-window chain still matches. Also
+        pins the dialect: runs are ADJACENCY-based (the error row is
+        what closes user 3's first view-run; a bare time gap would
+        not), and WITHIN is an end-check on the bound match."""
         import datetime
 
         def T(m):
             return datetime.datetime(2024, 1, 1, 0, m)
 
+        def mk(u, i, m, e):
+            return {"user_id": u, "event_id": i, "ts": T(m), "event_type": e}
+
         batches = [
-            [
-                {"user_id": 1, "event_id": 1, "ts": T(0), "event_type": "click"},
-                {"user_id": 1, "event_id": 2, "ts": T(1), "event_type": "view"},
-                {"user_id": 1, "event_id": 3, "ts": T(2), "event_type": "view"},
-            ],
-            # a far-future row advances the watermark past t0+within
-            [{"user_id": 2, "event_id": 99, "ts": T(59), "event_type": "error"}],
-            [{"user_id": 2, "event_id": 100, "ts": datetime.datetime(2024, 1, 1, 3), "event_type": "error"}],
+            # user 1: a lone view whose chain never completes
+            [mk(1, 1, 0, "view")],
+            # user 3: view run CLOSED by an error, then a full chain
+            [mk(3, 2, 0, "view"), mk(3, 3, 5, "error"),
+             mk(3, 4, 30, "view"), mk(3, 5, 31, "click"),
+             mk(3, 6, 32, "purchase")],
+            # wm mover
+            [mk(2, 99, 59, "error")],
         ]
         got = self._drain(
-            spark, tmp_path_str, batches, ["click", "view+"], within="10 minutes"
+            spark, tmp_path_str, batches, ["view+", "click", "purchase"],
+            within="10 minutes",
         )
-        assert got == [(1, 3, 2 * 60_000_000)]
+        # user 1 resolves to NO match via the within-timeout; user 3's
+        # first view-run fails at the error and the second chain wins
+        assert got == [(4, 3, 2 * 60_000_000)]
+
+    def test_gap_does_not_break_a_run_within_end_check(
+        self, spark, tmp_path_str
+    ):
+        """Dialect pin (same as the batch operator): two views 30 min
+        apart with nothing between them are ONE run — the greedy +
+        consumes both, the WITHIN end-check fails, and no suffix
+        anchor is retried (quantified elements anchor at run starts).
+        Flink's NFA-with-pruning would emit the suffix match; this
+        repo's documented dialect does not, in batch AND streaming."""
+        import datetime
+
+        from lance_flink_spark.operators.cep import match_pattern
+
+        def T(m):
+            return datetime.datetime(2024, 1, 1, 0, m)
+
+        rows = [
+            {"user_id": 1, "event_id": 1, "ts": T(0), "event_type": "view"},
+            {"user_id": 1, "event_id": 2, "ts": T(30), "event_type": "view"},
+            {"user_id": 1, "event_id": 3, "ts": T(31), "event_type": "click"},
+            {"user_id": 1, "event_id": 4, "ts": T(32), "event_type": "purchase"},
+            {"user_id": 2, "event_id": 99, "ts": T(59), "event_type": "error"},
+        ]
+        got = self._drain(
+            spark, tmp_path_str, [rows[:2], rows[2:]],
+            ["view+", "click", "purchase"], within="10 minutes",
+        )
+        assert got == []
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        assert (
+            match_pattern(
+                df, ["view+", "click", "purchase"], within="10 minutes"
+            ).count()
+            == 0
+        )
 
     def test_skip_past_last_row_across_batches(self, spark, tmp_path_str):
         """Back-to-back chains in separate batches each emit once, and
