@@ -267,6 +267,16 @@ def match_pattern(
     everything else this enumeration provably equals the sequential
     skip-past-last-row scan.
 
+    Dialect boundary (documented, test-pinned): runs are
+    ADJACENCY-based (only a different-symbol row breaks one — a bare
+    time gap does not) and WITHIN is an END-check on the bound match.
+    When a quantified run straddles the window, Flink's NFA prunes the
+    over-window branch and can emit a suffix match; this dialect
+    consumes the whole run, fails the end-check, and moves on —
+    deterministic and exactly SQL-replayable, which is what the oracle
+    gate requires. The streaming twin
+    (streaming/cep.stream_match_pattern) implements the SAME dialect.
+
     ``rows_per_match='one'``: one row per match — (key,
     start_event_id, t0_us, t_last_us, n_rows, duration_us).
     ``'all'``: ALL ROWS PER MATCH — every consumed row with its bound
