@@ -251,6 +251,24 @@ def parse_manifest(raw: bytes):
     return top, frags, version
 
 
+def _data_column_count(top_fields: list[LanceField]) -> int:
+    """Number of DATA columns a fragment file carries: every field
+    contributes one column (lists add their child's) EXCEPT struct
+    headers, whose children carry the data."""
+    n = 0
+
+    def walk(lf: LanceField):
+        nonlocal n
+        if lf.logical != "struct":
+            n += 1
+        for c in lf.children:
+            walk(c)
+
+    for lf in top_fields:
+        walk(lf)
+    return n
+
+
 def _depth_first_ids(top_fields: list[LanceField]) -> list[int]:
     """The field-id sequence in schema depth-first order — the order
     data-file columns are laid out in (and the order DataFile.fields
@@ -410,34 +428,33 @@ def read_fragment_table(
             raise UnsupportedLanceFeature(
                 f"{path}: non-sequential column indices {ci}"
             )
-    if ncol != len(expected_ids):
+    n_data = _data_column_count(top_fields)
+    if ncol != n_data:
         raise UnsupportedLanceFeature(
             f"{path}: {ncol} columns in file, schema has "
-            f"{len(expected_ids)} depth-first fields"
+            f"{n_data} data columns"
         )
     col_pages = []
     for c in range(ncol):
         pos, sz = struct.unpack_from("<QQ", blob, cmos + 16 * c)
         col_pages.append(_column_pages(blob, pos, sz))
 
-    # columns are laid out depth-first over the schema fields
-    ci = 0
-    names, arrays = [], []
-    for lf in top_fields:
+    # columns are laid out depth-first over the schema fields;
+    # _decode_field recurses (structs consume no column of their own —
+    # their children carry the data)
+    def _decode_field(lf, ci):
         if lf.logical in _PRIM:
             dtype, width = _PRIM[lf.logical]
             pa_type = pa.from_numpy_dtype(np.dtype(dtype))
-            arrays.append(_prim_array(pa, blob, col_pages[ci], pa_type, width))
-            ci += 1
-        elif lf.logical.startswith("timestamp:"):
+            return _prim_array(pa, blob, col_pages[ci], pa_type, width), ci + 1
+        if lf.logical.startswith("timestamp:"):
             # 'timestamp:<unit>:<tz|->' — int64 ticks of <unit>
             _t, unit, tz = lf.logical.split(":", 2)
             if unit not in ("s", "ms", "us", "ns"):
                 raise UnsupportedLanceFeature(lf.logical)
             pa_type = pa.timestamp(unit, None if tz == "-" else tz)
-            arrays.append(_prim_array(pa, blob, col_pages[ci], pa_type, 8))
-            ci += 1
-        elif lf.logical in ("string", "binary"):
+            return _prim_array(pa, blob, col_pages[ci], pa_type, 8), ci + 1
+        if lf.logical in ("string", "binary"):
             # varlen pages are self-contained (page-local end offsets
             # + payload), so multi-page columns — how production
             # fragments page long text / media blobs — assemble per
@@ -469,40 +486,52 @@ def read_fragment_table(
                 raise UnsupportedLanceFeature(
                     f"varlen column {lf.name!r} has no pages"
                 )
-            arrays.append(
+            return (
                 pa.concat_arrays(parts) if len(parts) != 1 else parts[0]
-            )
-            ci += 1
-        elif lf.logical == "list" and len(lf.children) == 1 and lf.children[0].logical in _PRIM:
+            ), ci + 1
+        if lf.logical == "list" and len(lf.children) == 1 and lf.children[0].logical in _PRIM:
             offs, sizes, rows = _single_page(col_pages[ci], "list-offsets")
             validity, bufs = _split_validity(blob, offs, sizes, rows, [rows * 8])
             (eoff, _esz) = bufs[0]
             arro, ends = _offsets_with_zero(blob, eoff, rows)
-            ci += 1
             dtype, width = _PRIM[lf.children[0].logical]
             child = _prim_array(
-                pa, blob, col_pages[ci], pa.from_numpy_dtype(np.dtype(dtype)), width
+                pa, blob, col_pages[ci + 1],
+                pa.from_numpy_dtype(np.dtype(dtype)), width,
             )
-            ci += 1
             if rows and ends[-1] != len(child):
                 raise UnsupportedLanceFeature(
                     f"list ends {ends[-1]} != child length {len(child)}"
                 )
-            arrays.append(
-                pa.Array.from_buffers(
-                    pa.large_list(child.type),
-                    rows,
-                    [
-                        pa.py_buffer(validity) if validity is not None else None,
-                        pa.py_buffer(arro),
-                    ],
-                    children=[child],
-                )
-            )
-        else:
-            raise UnsupportedLanceFeature(
-                f"field {lf.name!r}: logical type {lf.logical!r}"
-            )
+            return pa.Array.from_buffers(
+                pa.large_list(child.type),
+                rows,
+                [
+                    pa.py_buffer(validity) if validity is not None else None,
+                    pa.py_buffer(arro),
+                ],
+                children=[child],
+            ), ci + 2
+        if lf.logical == "struct" and lf.children:
+            # NON-NULL structs: the header field consumes no column —
+            # children (each independently nullable) carry the data
+            kids, kid_fields = [], []
+            for c in lf.children:
+                arr, ci = _decode_field(c, ci)
+                kids.append(arr)
+                kid_fields.append(pa.field(c.name, arr.type))
+            return pa.StructArray.from_arrays(
+                kids, fields=kid_fields
+            ), ci
+        raise UnsupportedLanceFeature(
+            f"field {lf.name!r}: logical type {lf.logical!r}"
+        )
+
+    ci = 0
+    names, arrays = [], []
+    for lf in top_fields:
+        arr, ci = _decode_field(lf, ci)
+        arrays.append(arr)
         names.append(lf.name)
     return pa.table(dict(zip(names, arrays)))
 
@@ -675,6 +704,21 @@ def _column_buffers(pa, arr, logical: str, page_rows: int | None = None):
                 f"list element type {child.type} outside the subset"
             )
         cols.extend(_column_buffers(pa, child, child_logical, page_rows))
+    elif pt.is_struct(t):
+        # NON-NULL structs only (a null struct would need a header
+        # validity column outside the subset); children are
+        # independently nullable and carry the data
+        if arr.null_count:
+            raise UnsupportedLanceFeature(
+                "struct columns with NULL struct values are outside "
+                "the subset (make the struct non-null; children may "
+                "be null)"
+            )
+        for i in range(t.num_fields):
+            child = arr.field(i)
+            cols.extend(
+                _column_buffers(pa, child, _logical_of(pa, child.type), page_rows)
+            )
     else:
         raise UnsupportedLanceFeature(f"cannot encode arrow type {t}")
     return cols
@@ -702,6 +746,8 @@ def _logical_of(pa, t) -> str:
         return f"timestamp:{t.unit}:{t.tz or '-'}"
     if pt.is_list(t) or pt.is_large_list(t):
         return "list"
+    if pt.is_struct(t):
+        return "struct"
     raise UnsupportedLanceFeature(f"cannot encode arrow type {t}")
 
 
@@ -825,6 +871,20 @@ def _schema_fields_of(pa, schema) -> tuple[list[LanceField], bytes]:
             )
             blob += _encode_field("item", fid, parent_id, child_logical)
             fid += 1
+        elif logical == "struct":
+            for cf in f.type:
+                cl = _logical_of(pa, cf.type)
+                if cl in ("list", "struct"):
+                    raise UnsupportedLanceFeature(
+                        f"struct child {cf.name!r}: nested {cl} is "
+                        "outside the subset (flat structs of "
+                        "primitive/string/binary/timestamp children)"
+                    )
+                top.children.append(
+                    LanceField(name=cf.name, fid=fid, parent=parent_id, logical=cl)
+                )
+                blob += _encode_field(cf.name, fid, parent_id, cl)
+                fid += 1
         fields.append(top)
     return fields, blob
 
@@ -853,6 +913,7 @@ def _schema_signature(fields: list[LanceField]) -> list[tuple]:
 
 def _make_fragments(pa, root: str, table, fields: list[LanceField], start_id: int, max_rows_per_file: int) -> list[LanceFragment]:
     expected_ids = _depth_first_ids(fields)
+    n_data = _data_column_count(fields)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     frags = []
     fid = start_id
@@ -865,7 +926,7 @@ def _make_fragments(pa, root: str, table, fields: list[LanceField], start_id: in
                 path=name,
                 frag_id=fid,
                 field_ids=list(expected_ids),
-                column_indices=list(range(len(expected_ids))),
+                column_indices=list(range(n_data)),
                 physical_rows=chunk.num_rows,
             )
         )
@@ -1036,17 +1097,22 @@ class LanceNativeDataset:
         import pyarrow as pa
 
         t = self.to_arrow(version, with_offsets=with_offsets)
-        cast = []
-        for f in t.schema:
-            if pa.types.is_large_string(f.type):
-                cast.append(pa.field(f.name, pa.string()))
-            elif pa.types.is_large_binary(f.type):
-                cast.append(pa.field(f.name, pa.binary()))
-            elif pa.types.is_large_list(f.type):
-                cast.append(pa.field(f.name, pa.list_(f.type.value_type)))
-            else:
-                cast.append(f)
-        t = t.cast(pa.schema(cast))
+        def _downcast(tp):
+            if pa.types.is_large_string(tp):
+                return pa.string()
+            if pa.types.is_large_binary(tp):
+                return pa.binary()
+            if pa.types.is_large_list(tp):
+                return pa.list_(_downcast(tp.value_type))
+            if pa.types.is_struct(tp):
+                return pa.struct(
+                    [pa.field(f.name, _downcast(f.type)) for f in tp]
+                )
+            return tp
+
+        t = t.cast(
+            pa.schema([pa.field(f.name, _downcast(f.type)) for f in t.schema])
+        )
         return spark.createDataFrame(t)
 
 
@@ -1075,6 +1141,19 @@ def arrow_schema_of(fields: list[LanceField]):
             out.append(
                 pa.field(f.name, pa.large_list(prim[f.children[0].logical]))
             )
+        elif f.logical == "struct" and f.children:
+            kids = []
+            for c in f.children:
+                if c.logical in prim:
+                    kids.append(pa.field(c.name, prim[c.logical]))
+                elif c.logical.startswith("timestamp:"):
+                    _t, unit, tz = c.logical.split(":", 2)
+                    kids.append(
+                        pa.field(c.name, pa.timestamp(unit, None if tz == "-" else tz))
+                    )
+                else:
+                    raise UnsupportedLanceFeature(f"{c.name}: {c.logical}")
+            out.append(pa.field(f.name, pa.struct(kids), nullable=False))
         else:
             raise UnsupportedLanceFeature(f"{f.name}: {f.logical}")
     return pa.schema(out)
@@ -1105,6 +1184,13 @@ def _spark_type_of(pa, t, ntz_type):
         return T.TimestampType() if t.tz else ntz_type
     if pt.is_list(t) or pt.is_large_list(t):
         return T.ArrayType(_spark_type_of(pa, t.value_type, ntz_type))
+    if pt.is_struct(t):
+        return T.StructType(
+            [
+                T.StructField(f.name, _spark_type_of(pa, f.type, ntz_type), True)
+                for f in t
+            ]
+        )
     raise UnsupportedLanceFeature(f"no Spark mapping for {t}")
 
 

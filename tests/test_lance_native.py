@@ -587,3 +587,62 @@ def test_binary_columns_roundtrip_and_spark(spark, tmp_path_str):
     got = {r["id"]: r["payload"] for r in df.collect()}
     assert bytes(got[0]) == b"\x89PNG\r\n" and got[1] is None
     assert bytes(got[4]) == bytes(range(256))
+
+
+def test_struct_columns_roundtrip_and_spark(spark, tmp_path_str):
+    """Flat struct columns (the multimodal-metadata shape) round-trip:
+    the struct header consumes no data column, children decode
+    independently nullable; NULL struct VALUES refuse loudly (a header
+    validity column is outside the subset). Spark sees a StructType."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        UnsupportedLanceFeature,
+        write_dataset,
+    )
+
+    metas = [
+        {"w": 640, "h": 480, "codec": "png"},
+        {"w": None, "h": 100, "codec": None},
+        {"w": 1, "h": 2, "codec": "jpeg"},
+    ]
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "meta": pa.array(
+                metas,
+                type=pa.struct(
+                    [("w", pa.int64()), ("h", pa.int32()), ("codec", pa.string())]
+                ),
+            ),
+        }
+    )
+    ds = write_dataset(os.path.join(tmp_path_str, "st"), t)
+    assert ds.to_arrow().column("meta").to_pylist() == metas
+    df = ds.read(spark)
+    assert (
+        df.schema["meta"].dataType.simpleString()
+        == "struct<w:bigint,h:int,codec:string>"
+    )
+    rows = {r["id"]: r["meta"] for r in df.collect()}
+    assert rows[2]["w"] is None and rows[1]["codec"] == "png"
+    with pytest.raises(UnsupportedLanceFeature, match="NULL struct"):
+        write_dataset(
+            os.path.join(tmp_path_str, "st2"),
+            pa.table(
+                {"m": pa.array([{"w": 1}, None], type=pa.struct([("w", pa.int64())]))}
+            ),
+        )
+    with pytest.raises(UnsupportedLanceFeature, match="nested"):
+        write_dataset(
+            os.path.join(tmp_path_str, "st3"),
+            pa.table(
+                {
+                    "m": pa.array(
+                        [{"v": [1.0]}],
+                        type=pa.struct([("v", pa.list_(pa.float32()))]),
+                    )
+                }
+            ),
+        )
