@@ -911,7 +911,16 @@ class SqlEngine:
         df = nds.read(self.spark, with_offsets=True)
         if pred:
             df = df.filter(_rewrite_array_literals(pred))
-        ids = [r["__phys"] for r in df.select("__phys").collect()]
+        ids = [
+            r["__phys"]
+            for r in df.select("__phys").limit(4_000_001).collect()
+        ]
+        if len(ids) > 4_000_000:
+            raise ValueError(
+                "native DELETE resolves matched offsets driver-side; "
+                ">4M matched rows exceeds the gate — copy into a "
+                "parquet-backed table for bulk mutations"
+            )
         if ids:
             delete_rows(nds.root, ids)
         self._reregister_native(name)
