@@ -1380,9 +1380,18 @@ class SqlEngine:
 
         def sub(m: re.Match) -> str:
             tbl = m.group("tbl")
+            v_raw = m.group("v1") or m.group("v2")
+            if tbl in self.native_tables:
+                # native Lance tables time-travel through their own
+                # manifest chain (every version = one manifest file)
+                v = int(v_raw)
+                view = f"{tbl}__v{v}"
+                self.native_tables[tbl].read(self.spark, version=v)\
+                    .createOrReplaceTempView(view)
+                return view
             if not self._in_catalog(tbl):
                 return m.group(0)
-            v = int(m.group("v1") or m.group("v2"))
+            v = int(v_raw)
             view = f"{tbl}__v{v}"
             ds: Dataset = self.catalog.load_table(self.database, tbl)
             ds.read(self.spark, version=v).createOrReplaceTempView(view)
