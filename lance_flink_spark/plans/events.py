@@ -977,3 +977,44 @@ def streaming_match_quantified(spark, sf_dir):
         "user_id", "start_event_id", "t0_us", "t_last_us", "n_rows",
         "duration_us",
     )
+
+
+@query(
+    "streaming_lag",
+    extra=True,  # r13: Flink streaming OVER LAG
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS lag_v
+    FROM events
+    """,
+)
+def streaming_lag(spark, sf_dir):
+    """Streaming ``LAG(v, 2) OVER (PARTITION BY user ORDER BY ts,
+    id)`` (streaming/over_agg.py::over_rows_lag — the one OVER
+    navigation function Flink supports in streaming mode, LEAD being
+    future-dependent): each emitted row carries its 2nd predecessor's
+    cents value, NULL exactly at each key's stream head. The batch LAG
+    window is the oracle — an eviction that dropped a needed
+    predecessor raises loudly instead of mis-emitting, and a NULL in
+    the wrong place breaks the hash."""
+    from lance_flink_spark.streaming.over_agg import over_rows_lag
+    from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir, watermark=None).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    out = over_rows_lag(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="vc",
+        n_lag=2,
+    )
+    t = run_to_memory(out, mode="append", state_partitions=8)
+    return spark.table(t).select("user_id", "event_id", "ts_us", "lag_v")

@@ -534,3 +534,142 @@ def over_rows_multi(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return out.withColumnRenamed("key", key_col)
+
+
+# ---------- round 13: streaming LAG (Flink's streaming OVER LAG) ----------
+
+#: lag state adds the per-key evicted-row count so a missing
+#: in-buffer predecessor is provably "stream head" (NULL), never an
+#: eviction artifact
+_LAG_STATE = (
+    "ts array<long>, ids array<long>, vs array<long>, done array<boolean>, "
+    "hwm long, evicted long"
+)
+
+
+def over_rows_lag(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "vc",
+    n_lag: int = 1,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``LAG(value, n) OVER (PARTITION BY key ORDER BY ts,
+    id)`` — Flink SQL supports exactly LAG (not LEAD) in streaming
+    mode, because a row's LAG depends only on already-arrived rows:
+    once the watermark settles a row, its n-th predecessor in (ts, id)
+    order is final. Same shifted-watermark / strict-emission / timer
+    contract as :func:`over_rows_sum`; eviction keeps the last
+    ``n_lag`` rows before the settled cut, and the per-key evicted
+    count proves a missing in-buffer predecessor is the TRUE stream
+    head (LAG = NULL) rather than evicted history — rows whose
+    predecessor was evicted are themselves already emitted, by the
+    eviction rule. Output: (key, event_id, ts_us, lag_v nullable)."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    n = int(n_lag)
+    if n < 1:
+        raise ValueError("n_lag must be >= 1")
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            ts, ids, vs = (np.asarray(c, dtype=np.int64) for c in st[:3])
+            done = np.asarray(st[3]).astype(bool)
+            hwm, evicted = int(st[4]), int(st[5])
+        else:
+            ts = np.empty(0, np.int64)
+            ids = np.empty(0, np.int64)
+            vs = np.empty(0, np.int64)
+            done = np.empty(0, bool)
+            hwm, evicted = 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            nts = pdf["__ts_us"].to_numpy(np.int64)
+            keep = nts >= hwm
+            ts = np.concatenate([ts, nts[keep]])
+            ids = np.concatenate([ids, pdf["__id"].to_numpy(np.int64)[keep]])
+            vs = np.concatenate([vs, pdf["__v"].to_numpy(np.int64)[keep]])
+            done = np.concatenate([done, np.zeros(int(keep.sum()), bool)])
+        wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
+        order = np.lexsort((ids, ts))
+        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+        emit = (~done) & (ts < wm_us)
+        if emit.any():
+            pos = np.flatnonzero(emit)
+            src = pos - n
+            if ((src < 0) & (src >= -evicted)).any():
+                # the eviction rule retains every predecessor a future
+                # emit needs — a missing one means corrupted state, and
+                # a silently-wrong LAG would be worse than a crash
+                raise RuntimeError(
+                    f"lag predecessor evicted (key={key[0]}, "
+                    f"evicted={evicted}, min src={int(src.min())})"
+                )
+            lag = np.where(src >= 0, vs[np.maximum(src, 0)], 0)
+            out = pd.DataFrame(
+                {
+                    "key": key[0],
+                    "event_id": ids[emit],
+                    "ts_us": ts[emit],
+                    # src < 0 ⇔ within n of the TRUE stream head ⇔ NULL
+                    "lag_v": pd.array(
+                        [int(v) if s >= 0 else None for v, s in zip(lag, src)],
+                        dtype="Int64",
+                    ),
+                }
+            )
+            done = done | emit
+        else:
+            out = pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "lag_v": pd.array([], dtype="Int64"),
+                }
+            )
+        cut = int(np.searchsorted(ts, wm_us, side="left"))
+        idx = np.arange(len(ts))
+        keep = (~done) | (idx >= cut - n)
+        evicted += int((~keep).sum())
+        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        if len(ts):
+            state.update(
+                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
+                 int(wm_us), int(evicted))
+            )
+            pending = ts[~done]
+            if len(pending):
+                state.setTimeoutTimestamp(_timer_ms(int(pending.min()), wm_us))
+        else:
+            state.remove()
+        yield out
+
+    keyed = _with_shifted_watermark(
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(ts_col).alias(ts_col),
+        ),
+        ts_col,
+        delay,
+    )
+    out = keyed.groupBy("__k").applyInPandasWithState(
+        _update,
+        outputStructType="key long, event_id long, ts_us long, lag_v long",
+        stateStructType=_LAG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumnRenamed("key", key_col)

@@ -335,3 +335,45 @@ def test_multi_agg_rows_frame_head_counts(spark, tmp_path_str):
     assert got[3] == (3, 6, -3, 9)
     assert got[4] == (3, 2, -7, 9)
     assert got[5] == (3, -3, -7, 4)
+
+
+def test_streaming_lag_cross_batch_and_head_nulls(spark, tmp_path_str):
+    """over_rows_lag: predecessors bound across micro-batch
+    boundaries; NULL exactly for the first n rows of a key (eviction
+    never masquerades as stream head — the evicted counter guards
+    it)."""
+    from lance_flink_spark.streaming.over_agg import over_rows_lag
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    batches = [
+        [Row(user_id=1, event_id=1, ts=_ts(0, 0), vc=10),
+         Row(user_id=1, event_id=2, ts=_ts(1, 0), vc=20)],
+        [Row(user_id=1, event_id=3, ts=_ts(2, 0), vc=30),
+         Row(user_id=1, event_id=4, ts=_ts(3, 0), vc=40)],
+        [Row(user_id=1, event_id=5, ts=_ts(59, 0), vc=50)],
+    ]
+    src = os.path.join(tmp_path_str, "lag_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_id long, ts timestamp, vc long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = over_rows_lag(
+        sdf, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="vc", n_lag=2,
+    )
+    t = run_to_memory(out, mode="append", state_partitions=4)
+    got = {
+        r["event_id"]: r["lag_v"]
+        for r in spark.sql(f"SELECT * FROM {t}").collect()
+    }
+    # e5 arrives two batches later, after e1/e2 were emitted (and e1
+    # possibly evicted) — its LAG(2) is still e3's value
+    assert got == {1: None, 2: None, 3: 10, 4: 20, 5: 30}
