@@ -1295,6 +1295,61 @@ class SqlEngine:
             plan = jqe.toString()
         return self.spark.createDataFrame([(plan,)], "plan string")
 
+    def _native_meta_view(self, tbl: str, kind: str) -> str | None:
+        """Metadata tables over NATIVE Lance datasets — the manifest
+        chain is the source of truth: ``t$history`` = one row per
+        manifest version, ``t$files`` = the latest version's fragment
+        files (physical rows, live rows after deletion masks, bytes),
+        ``t$deletes`` = live per-fragment deleted offsets. Driver-side
+        manifest/deletion-file reads only — no data pages."""
+        import os as _os
+
+        nds = self.native_tables[tbl]
+        view = f"{tbl}__meta_{kind}"
+        if kind == "history":
+            rows = []
+            for v in nds.versions():
+                _f, frags, _ = nds._manifest(v)
+                rows.append((v, len(frags), sum(fr.physical_rows for fr in frags)))
+            self.spark.createDataFrame(
+                rows, "version long, fragments long, physical_rows long"
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "files":
+            from lance_flink_spark.sources.lance_native import read_deletion_file
+
+            _fields, frags, _v = nds._manifest()
+            rows = []
+            for fr in frags:
+                dead = (
+                    len(read_deletion_file(nds.root, fr))
+                    if fr.deletion is not None
+                    else 0
+                )
+                p = _os.path.join(nds.root, "data", fr.path)
+                rows.append(
+                    (fr.path, fr.physical_rows, fr.physical_rows - dead,
+                     _os.path.getsize(p))
+                )
+            self.spark.createDataFrame(
+                rows, "file string, physical_rows long, live_rows long, bytes long"
+            ).createOrReplaceTempView(view)
+            return view
+        if kind == "deletes":
+            from lance_flink_spark.sources.lance_native import read_deletion_file
+
+            _fields, frags, _v = nds._manifest()
+            rows = []
+            for fr in frags:
+                if fr.deletion is not None:
+                    for off in read_deletion_file(nds.root, fr):
+                        rows.append((fr.path, int(off)))
+            self.spark.createDataFrame(
+                rows or [], "file string, pos long"
+            ).createOrReplaceTempView(view)
+            return view
+        return None
+
     def _rewrite_meta_tables(self, sql: str) -> str:
         """Iceberg-style metadata tables for catalog tables:
 
@@ -1310,6 +1365,8 @@ class SqlEngine:
 
         def sub(m: re.Match) -> str:
             tbl, kind = m.group("tbl"), m.group("kind")
+            if tbl in self.native_tables:
+                return self._native_meta_view(tbl, kind) or m.group(0)
             if not self._in_catalog(tbl):
                 return m.group(0)
             ds: Dataset = self.catalog.load_table(self.database, tbl)

@@ -679,3 +679,35 @@ def test_sql_time_travel_on_native_table(spark, tmp_path_str):
         for r in eng.execute("SELECT id FROM nat_tt VERSION AS OF 2").collect()
     }
     assert cur == {2, 3, 4} and v1 == {1, 2, 3} and v2 == {1, 2, 3, 4}
+
+
+def test_native_meta_tables(spark, tmp_path_str):
+    """nat$history / nat$files / nat$deletes read the native manifest
+    chain (driver-side metadata only) — Iceberg-style introspection
+    over real Lance layouts."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "meta")
+    write_dataset(
+        root, pa.table({"id": pa.array([1, 2, 3, 4], type=pa.int64())})
+    )
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/whm"))
+    eng.execute(
+        f"CREATE TABLE natm (id BIGINT) WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("INSERT INTO natm VALUES (5)")
+    eng.execute("DELETE FROM natm WHERE id IN (2, 5)")
+    hist = eng.execute(
+        "SELECT version, fragments FROM natm$history ORDER BY version"
+    ).collect()
+    assert [(r["version"], r["fragments"]) for r in hist] == [(1, 1), (2, 2), (3, 2)]
+    files = eng.execute(
+        "SELECT physical_rows, live_rows FROM natm$files ORDER BY physical_rows"
+    ).collect()
+    assert [(r["physical_rows"], r["live_rows"]) for r in files] == [(1, 0), (4, 3)]
+    dels = eng.execute("SELECT COUNT(*) AS n FROM natm$deletes").first()["n"]
+    assert dels == 2
