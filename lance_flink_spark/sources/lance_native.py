@@ -7,10 +7,13 @@ the native FORMAT itself. This module closes BOTH sides for the format
 subset the reference's own committed test datasets use
 (``/root/reference/test-data/*``: manifest-versioned datasets with
 "Lance File 2.0" data files, flat *value* page encodings over
-int64/int32/float/double/string/timestamp/list<primitive>), extended
-in round 13 with the two spec-documented features production datasets
-routinely carry: NULL validity bitmaps and per-fragment Arrow deletion
-files. Everything else raises :class:`UnsupportedLanceFeature` LOUDLY
+int64/int32/float/double/string/binary/timestamp/list<primitive>/
+flat structs), extended in round 13 with the spec-documented features
+production datasets routinely carry: NULL validity bitmaps,
+per-fragment Arrow deletion files, multi-page varlen columns — plus a
+pure-Python WRITE side (create/append/delete_rows) and a distributed
+one-task-per-fragment read. Everything else raises
+:class:`UnsupportedLanceFeature` LOUDLY
 — a partial reader that guessed at unknown encodings would be silent
 corruption.
 
