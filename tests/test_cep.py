@@ -917,3 +917,35 @@ class TestStreamMatchPattern:
             ).collect()
         )
         assert got == want and len(want) > 0
+
+
+def test_match_pattern_plan_single_exchange(spark, tmp_path_str):
+    """Scale pin: the ONE-ROW quantified matcher plans exactly ONE
+    shuffle — the (key) hash partitioning from the row window is
+    reused by the islands groupBy, the run-order window and every
+    LEAD window (ClusteredDistribution satisfied by the subset
+    partitioning). A second exchange appearing here means a 100 TB
+    run re-shuffles the corpus."""
+    import datetime
+
+    from lance_flink_spark.operators.cep import match_pattern
+
+    df = spark.createDataFrame(
+        [
+            {
+                "user_id": i % 5,
+                "event_id": i,
+                "ts": datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+                "event_type": ["view", "click", "purchase"][i % 3],
+            }
+            for i in range(60)
+        ]
+    )
+    plan = (
+        match_pattern(df, ["view+", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" not in plan
