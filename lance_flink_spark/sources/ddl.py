@@ -665,8 +665,13 @@ class SqlEngine:
             self._register(tbl)
         key, ts = m.group("key"), m.group("ts")
         pat_tokens = m.group("pat").split()
-        quants = {t.rstrip("+*"): t[len(t.rstrip("+*")) :] for t in pat_tokens}
-        pat_vars = [t.rstrip("+*") for t in pat_tokens]
+        # per-POSITION (var, quant) pairs — a dict keyed by variable
+        # would collapse a repeated variable (PATTERN (A+ B A)) to its
+        # last occurrence's quantifier and silently drop the '+'
+        pat_pairs = [
+            (t.rstrip("+*"), t[len(t.rstrip("+*")) :]) for t in pat_tokens
+        ]
+        pat_vars = [v for v, _q in pat_pairs]
         defs: dict[str, tuple[str, str]] = {}
         for d in m.group("defs").split(","):
             dm = _MR_DEFINE.match(d.strip())
@@ -690,7 +695,7 @@ class SqlEngine:
         within = "1 hour"
         if m.group("wn"):
             within = f"{m.group('wn')} {m.group('wu').lower()}s".replace("ss", "s")
-        quantified = any(q for q in quants.values())
+        quantified = any(q for _v, q in pat_pairs)
         if quantified or m.group("pastlast") or m.group("allrows"):
             # the SQL-STANDARD dialect (round 13): strict contiguity,
             # greedy +/* quantifiers, AFTER MATCH SKIP PAST LAST ROW,
@@ -714,7 +719,7 @@ class SqlEngine:
 
             return match_pattern(
                 self.spark.table(tbl),
-                [defs[v.upper()][1] + quants[v] for v in pat_vars],
+                [defs[v.upper()][1] + q for v, q in pat_pairs],
                 within=within,
                 key_col=key,
                 ts_col=ts,
@@ -889,13 +894,16 @@ class SqlEngine:
                 for c, f in zip(df.columns, target.fields)
             ]
         )
-        t = aligned.toArrow()
-        if t.num_rows > 4_000_000:
+        # probe the row count BEFORE toArrow() — materializing first
+        # would already be the driver OOM the gate exists to prevent
+        n = aligned.limit(4_000_001).count()
+        if n > 4_000_000:
             raise ValueError(
-                f"native INSERT materializes driver-side; {t.num_rows} "
+                f"native INSERT materializes driver-side; >{n - 1} "
                 "rows exceeds the 4M gate — land bulk loads through a "
                 "parquet-backed table instead"
             )
+        t = aligned.toArrow()
         append_to_dataset(nds.root, t.cast(arrow_schema_of(fields)))
         self._reregister_native(name)
 
@@ -1528,14 +1536,16 @@ class SqlEngine:
             path = table_opts.get("path")
             if not path:
                 raise ValueError("native CTAS requires a 'path' option")
-            t = df.toArrow()
-            if t.num_rows > 4_000_000:
+            # row-count probe BEFORE toArrow() — the gate must fire
+            # before the driver materializes, not after
+            n = df.limit(4_000_001).count()
+            if n > 4_000_000:
                 raise ValueError(
-                    f"native CTAS materializes driver-side; {t.num_rows} "
+                    f"native CTAS materializes driver-side; >{n - 1} "
                     "rows exceeds the 4M gate — write parquet-backed "
                     "instead (drop 'storage'='native')"
                 )
-            write_dataset(path, t)
+            write_dataset(path, df.toArrow())
             if not self._try_native_table(name, path):
                 raise RuntimeError(f"native CTAS at {path} failed to register")
             return None

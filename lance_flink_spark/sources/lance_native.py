@@ -343,6 +343,39 @@ def _split_validity(blob, offs, sizes, rows, expect_sizes):
     )
 
 
+def _varlen_page(blob, offs, sizes, rows):
+    """Validate a varlen (string/binary) page's buffer shape
+    INDEPENDENTLY of its own declared sizes: exactly (offsets,
+    payload) or (validity, offsets, payload) where validity is
+    ceil(rows/8) bytes, offsets is rows*8 bytes, and the payload size
+    equals the decoded last end-offset (0 for an empty page). Returns
+    (validity_bytes|None, arrow offsets bytes, payload (off, size))."""
+    if len(sizes) == 2:
+        validity, (eoff, esz), (doff, dsz) = None, (offs[0], sizes[0]), (offs[1], sizes[1])
+    elif len(sizes) == 3 and sizes[0] == _validity_bytes(rows):
+        validity = blob[offs[0] : offs[0] + sizes[0]]
+        (eoff, esz), (doff, dsz) = (offs[1], sizes[1]), (offs[2], sizes[2])
+    else:
+        raise UnsupportedLanceFeature(
+            f"varlen page buffers sizes={list(sizes)} aren't "
+            "(offsets, payload) or (validity, offsets, payload) — "
+            "likely a compressed/miniblock encoding outside the subset"
+        )
+    if esz != rows * 8:
+        raise UnsupportedLanceFeature(
+            f"varlen offsets buffer is {esz} bytes, expected rows*8="
+            f"{rows * 8} — not the flat value layout"
+        )
+    arro, ends = _offsets_with_zero(blob, eoff, rows)
+    expect_payload = int(ends[-1]) if rows else 0
+    if dsz != expect_payload:
+        raise UnsupportedLanceFeature(
+            f"varlen payload is {dsz} bytes but end-offsets say "
+            f"{expect_payload}"
+        )
+    return validity, arro, (doff, dsz)
+
+
 def _prim_array(pa, blob, pages, pa_type, width):
     """Decode a primitive column (possibly nullable, possibly
     multi-page) to one pyarrow array."""
@@ -465,15 +498,9 @@ def read_fragment_table(
             vtype = pa.large_utf8() if lf.logical == "string" else pa.large_binary()
             parts = []
             for offs, sizes, rows in col_pages[ci]:
-                validity, bufs = _split_validity(
-                    blob, offs, sizes, rows, [rows * 8, sizes[-1]]
+                validity, arro, (doff, dsz) = _varlen_page(
+                    blob, offs, sizes, rows
                 )
-                (eoff, _esz), (doff, dsz) = bufs
-                arro, ends = _offsets_with_zero(blob, eoff, rows)
-                if rows and ends[-1] != dsz:
-                    raise UnsupportedLanceFeature(
-                        f"string ends {ends[-1]} != payload {dsz}"
-                    )
                 parts.append(
                     pa.Array.from_buffers(
                         vtype,
@@ -963,12 +990,18 @@ def append_to_dataset(root: str, table) -> int:
 
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
-    new_fields, fields_blob = _schema_fields_of(pa, table.schema)
+    new_fields, _new_blob = _schema_fields_of(pa, table.schema)
     if _schema_signature(new_fields) != _schema_signature(fields):
         raise UnsupportedLanceFeature(
             "append schema mismatch: "
             f"{_schema_signature(new_fields)} != {_schema_signature(fields)}"
         )
+    # encode the manifest from the EXISTING fields and stamp new
+    # fragments with the existing depth-first ids — re-deriving ids
+    # 0..n-1 from the arrow schema would renumber a dataset whose ids
+    # aren't dense (library-written after add-column evolution) and
+    # make every pre-existing fragment refuse on the next read
+    fields_blob = _schema_fields_of_existing(fields)
     start = max((fr.frag_id for fr in frags), default=-1) + 1
     frags = frags + _make_fragments(pa, root, table, fields, start, 1 << 20)
     _write_manifest(root, version + 1, fields_blob, frags)

@@ -949,3 +949,45 @@ def test_match_pattern_plan_single_exchange(spark, tmp_path_str):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastExchange" not in plan
+
+
+class TestRepeatedPatternVariable:
+    """ADVICE r13: a pattern variable repeated with different
+    quantifiers must not collapse to a dict entry — PATTERN (A+ B A)
+    is quantified and must refuse loudly (not silently fall through to
+    the relaxed dialect with the '+' dropped)."""
+
+    def test_repeated_var_with_quantifier_refuses(self, spark, tmp_path_str):
+        import datetime
+
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+
+        def T(m):
+            return datetime.datetime(2024, 1, 1, 0, m)
+
+        spark.createDataFrame(
+            [
+                {"user_id": 1, "event_id": i, "ts": T(i), "event_type": e}
+                for i, e in enumerate(["view", "view", "click", "view"])
+            ]
+        ).createOrReplaceTempView("mr_rep_events")
+        eng = SqlEngine(spark, Catalog(tmp_path_str + "/mrrep"))
+        sql = """SELECT * FROM mr_rep_events MATCH_RECOGNIZE (
+                   PARTITION BY user_id
+                   ORDER BY ts
+                   {skip}
+                   PATTERN (A+ B A) WITHIN INTERVAL '24' HOUR
+                   DEFINE
+                     A AS A.event_type = 'view',
+                     B AS B.event_type = 'click'
+                 )"""
+        # without SKIP PAST LAST ROW: r13 silently dropped the '+' and
+        # ran the relaxed dialect; now the quantifier is seen
+        # per-position and the statement refuses
+        with pytest.raises(ValueError, match="SKIP PAST LAST ROW"):
+            eng.execute(sql.format(skip="AFTER MATCH SKIP TO NEXT ROW"))
+        # with it, the strict dialect sees view+ ... view and refuses
+        # the self-overlapping shape rather than mis-matching
+        with pytest.raises(ValueError):
+            eng.execute(sql.format(skip="AFTER MATCH SKIP PAST LAST ROW"))

@@ -711,3 +711,123 @@ def test_native_meta_tables(spark, tmp_path_str):
     assert [(r["physical_rows"], r["live_rows"]) for r in files] == [(1, 0), (4, 3)]
     dels = eng.execute("SELECT COUNT(*) AS n FROM natm$deletes").first()["n"]
     assert dels == 2
+
+
+def test_append_preserves_nondense_field_ids(tmp_path_str):
+    """ADVICE r13: append_to_dataset must encode the manifest from the
+    EXISTING fields — a dataset whose field ids aren't dense 0..n-1
+    (library-written after add-column evolution) would otherwise be
+    renumbered by the first append, making every pre-existing fragment
+    refuse on read."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        _schema_fields_of_existing,
+        _write_manifest,
+        append_to_dataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "nondense")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "a": pa.array([1, 2], type=pa.int64()),
+                "b": pa.array(["x", "y"], type=pa.large_utf8()),
+            }
+        ),
+    )
+    ds = LanceNativeDataset(root)
+    fields, frags, _v = ds._manifest()
+    # simulate add-column evolution: shift every field id by +5
+    for f in fields:
+        f.fid += 5
+        for c in f.children:
+            c.fid += 5
+            c.parent += 5
+    for fr in frags:
+        fr.field_ids = [i + 5 for i in fr.field_ids]
+    _write_manifest(root, 2, _schema_fields_of_existing(fields), frags)
+
+    v = append_to_dataset(
+        root,
+        pa.table(
+            {
+                "a": pa.array([3], type=pa.int64()),
+                "b": pa.array(["z"], type=pa.large_utf8()),
+            }
+        ),
+    )
+    assert v == 3
+    ds2 = LanceNativeDataset(root)
+    t = ds2.to_arrow()
+    assert sorted(t.to_pydict()["a"]) == [1, 2, 3]
+    fields2, frags2, _ = ds2._manifest()
+    assert [f.fid for f in fields2] == [5, 6]  # ids NOT renumbered
+    assert frags2[-1].field_ids == [5, 6]  # new fragment uses them too
+
+
+def test_native_insert_gate_fires_before_materialize(spark, tmp_path_str, monkeypatch):
+    """ADVICE r13: the 4M-row native INSERT gate must fire BEFORE
+    toArrow() — materializing first is the driver OOM the gate exists
+    to prevent. toArrow is patched to a tripwire; only the gate's
+    ValueError may surface."""
+    import pyarrow as pa
+    from pyspark.sql import DataFrame
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "gate")
+    write_dataset(root, pa.table({"id": pa.array([1], type=pa.int64())}))
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/whg"))
+    eng.execute(
+        f"CREATE TABLE natg (id BIGINT) WITH ('connector'='lance', 'path'='{root}')"
+    )
+    spark.range(4_000_001).createOrReplaceTempView("natg_big")
+
+    def _tripwire(self):
+        raise AssertionError("toArrow ran before the 4M gate")
+
+    monkeypatch.setattr(DataFrame, "toArrow", _tripwire)
+    with pytest.raises(ValueError, match="4M gate"):
+        eng.execute("INSERT INTO natg SELECT id FROM natg_big")
+
+
+def test_varlen_page_shape_validated_independently():
+    """ADVICE r13: varlen page validation must not echo the page's own
+    declared payload size — offsets width, validity width, and
+    payload==last-end are each checked independently."""
+    import numpy as np
+
+    from lance_flink_spark.sources.lance_native import (
+        UnsupportedLanceFeature,
+        _varlen_page,
+    )
+
+    ends = np.array([2, 3], "<i8").tobytes()  # rows ["ab", "c"]
+    payload = b"abc"
+    blob = ends + payload
+    v, arro, (doff, dsz) = _varlen_page(blob, [0, 16], [16, 3], 2)
+    assert v is None and (doff, dsz) == (16, 3)
+    assert np.frombuffer(arro, "<i8").tolist() == [0, 2, 3]
+
+    # nullable: one leading validity byte
+    blob3 = b"\x03" + ends + payload
+    v, _arro, _d = _varlen_page(blob3, [0, 1, 17], [1, 16, 3], 2)
+    assert v == b"\x03"
+
+    # payload size disagrees with the decoded end offsets
+    with pytest.raises(UnsupportedLanceFeature, match="end-offsets say"):
+        _varlen_page(ends + b"abcd", [0, 16], [16, 4], 2)
+    # offsets buffer not rows*8
+    with pytest.raises(UnsupportedLanceFeature, match="offsets buffer"):
+        _varlen_page(b"\x03" + ends[:8] + payload, [0, 1, 9], [1, 8, 3], 2)
+    # zero-row page with a nonzero payload
+    with pytest.raises(UnsupportedLanceFeature, match="end-offsets say"):
+        _varlen_page(b"abc", [0, 0], [0, 3], 0)
+    # four buffers is never the flat value layout
+    with pytest.raises(UnsupportedLanceFeature, match="aren't"):
+        _varlen_page(blob3 + b"\x00", [0, 1, 17, 20], [1, 16, 3, 1], 2)
