@@ -834,10 +834,23 @@ class SqlEngine:
         from lance_flink_spark.sources.lance_native import LanceNativeDataset
 
         nds = LanceNativeDataset(path)
-        nds.read(self.spark).createOrReplaceTempView(name)
+        self._native_df(nds).createOrReplaceTempView(name)
         self.native_tables[name] = nds
         self._refresh_views()
         return True
+
+    def _native_df(self, nds, version=None, with_offsets=False):
+        """The SQL surface's ONE native read path: the distributed
+        one-task-per-fragment reader (lance_native.read_distributed —
+        the reference's LanceInputFormat split model). The driver
+        never materializes the data, so pointing SQL at a multi-GB
+        foreign dataset is bounded by the cluster, not driver memory;
+        each fragment still honors the 256 MB in-task decode gate."""
+        from lance_flink_spark.sources.lance_native import read_distributed
+
+        return read_distributed(
+            nds, self.spark, version=version, with_offsets=with_offsets
+        )
 
     def _refuse_native(self, name: str, op: str) -> None:
         if name in self.native_tables:
@@ -856,7 +869,7 @@ class SqlEngine:
         from lance_flink_spark.sources.lance_native import LanceNativeDataset
 
         nds = LanceNativeDataset(self.native_tables[name].root)
-        nds.read(self.spark).createOrReplaceTempView(name)
+        self._native_df(nds).createOrReplaceTempView(name)
         self.native_tables[name] = nds
         self._refresh_views()
 
@@ -882,7 +895,7 @@ class SqlEngine:
             )
         nds = self.native_tables[name]
         fields, _frags, _v = nds._manifest()
-        target = nds.read(self.spark).schema
+        target = self._native_df(nds).schema  # plan-only, no job
         if len(df.columns) != len(target.fields):
             raise ValueError(
                 f"INSERT arity {len(df.columns)} != table arity "
@@ -916,7 +929,7 @@ class SqlEngine:
         from lance_flink_spark.sources.lance_native import delete_rows
 
         nds = self.native_tables[name]
-        df = nds.read(self.spark, with_offsets=True)
+        df = self._native_df(nds, with_offsets=True)
         if pred:
             df = df.filter(_rewrite_array_literals(pred))
         ids = [
@@ -1451,7 +1464,7 @@ class SqlEngine:
                 # manifest chain (every version = one manifest file)
                 v = int(v_raw)
                 view = f"{tbl}__v{v}"
-                self.native_tables[tbl].read(self.spark, version=v)\
+                self._native_df(self.native_tables[tbl], version=v)\
                     .createOrReplaceTempView(view)
                 return view
             if not self._in_catalog(tbl):
@@ -1617,7 +1630,7 @@ class SqlEngine:
             from lance_flink_spark.operators.similarity import knn
 
             return knn(
-                self.native_tables[tbl].read(self.spark),
+                self._native_df(self.native_tables[tbl]),
                 vec,
                 k,
                 vec_col=col,

@@ -1230,7 +1230,12 @@ def _spark_type_of(pa, t, ntz_type):
     raise UnsupportedLanceFeature(f"no Spark mapping for {t}")
 
 
-def read_distributed(ds: "LanceNativeDataset", spark, version: int | None = None):
+def read_distributed(
+    ds: "LanceNativeDataset",
+    spark,
+    version: int | None = None,
+    with_offsets: bool = False,
+):
     """Cluster-scale native read: ONE executor task per fragment
     decodes its .lance file (deletion mask applied locally) and emits
     Arrow batches through ``mapInPandas`` — the driver never holds the
@@ -1240,7 +1245,10 @@ def read_distributed(ds: "LanceNativeDataset", spark, version: int | None = None
     parallelism the Lance format was designed for, and exactly how the
     reference's LanceInputFormat splits work (one split per
     fragment). Requires a filesystem every executor can reach (local
-    in tests; NFS/object-store mounts on a real cluster)."""
+    in tests; NFS/object-store mounts on a real cluster).
+    ``with_offsets=True`` appends the same ``__phys`` global physical
+    offset column the driver-side read serves — each task derives it
+    from its fragment's base offset, shipped in the task row."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -1261,30 +1269,37 @@ def read_distributed(ds: "LanceNativeDataset", spark, version: int | None = None
     probe_schema = []
     for f in arrow_schema_of(fields):
         probe_schema.append((f.name, _spark_type_of(pa, f.type, ntz_type)))
+    if with_offsets:
+        probe_schema.append(("__phys", T.LongType()))
     out_schema = T.StructType(
         [T.StructField(n, t, True) for n, t in probe_schema]
     )
+    bases, base = [], 0
+    for fr in frags:
+        bases.append(base)
+        base += fr.physical_rows
     tasks = spark.createDataFrame(
-        [(fr.path,) for fr in frags], "frag_path string"
+        [(fr.path, b) for fr, b in zip(frags, bases)],
+        "frag_path string, base long",
     ).repartition(max(len(frags), 1))
 
     def _decode(batches):
         # re-open the manifest executor-side (tiny); fragment lookup by
-        # path keeps the task payload to one string
+        # path keeps the task payload to one string + its base offset
         eds = LanceNativeDataset(root)
         efields, efrags, _ = eds._manifest(v)
         by_path = {fr.path: fr for fr in efrags}
         for pdf in batches:
-            for path in pdf["frag_path"]:
+            for path, fbase in zip(pdf["frag_path"], pdf["base"]):
                 fr = by_path[path]
                 t = read_fragment_table(
                     os.path.join(root, "data", fr.path), efields, fr
                 )
+                keep = np.arange(t.num_rows, dtype="int64")
                 if fr.deletion is not None:
                     dead = read_deletion_file(root, fr)
-                    t = t.take(
-                        np.setdiff1d(np.arange(t.num_rows, dtype="int64"), dead)
-                    )
+                    keep = np.setdiff1d(keep, dead)
+                    t = t.take(keep)
                 # nullable EXTENSION dtypes for primitives: a null
                 # int64 must stay integral-null (object/NaN widening
                 # would corrupt large ids) and a null float must stay
@@ -1297,6 +1312,9 @@ def read_distributed(ds: "LanceNativeDataset", spark, version: int | None = None
                     pa.float32(): pd.Float32Dtype(),
                     pa.float64(): pd.Float64Dtype(),
                 }.get
-                yield t.to_pandas(types_mapper=mapper)
+                out = t.to_pandas(types_mapper=mapper)
+                if with_offsets:
+                    out["__phys"] = keep + int(fbase)
+                yield out
 
     return tasks.mapInPandas(_decode, schema=out_schema)
