@@ -874,17 +874,17 @@ class SqlEngine:
         self._refresh_views()
 
     def _insert_native(self, name: str, overwrite: bool, df) -> None:
-        """INSERT INTO a NATIVE Lance table (round 13 — the writer
-        subset made this possible): rows conform to the manifest's
-        exact physical types (timestamp unit, float width) and append
-        as new 'Lance File 2.0' fragment(s) + a manifest version via
-        sources/lance_native.append_to_dataset. The reference demo's
-        flagship statement (flink-sql-demo.sql INSERT INTO lance
-        tables) now lands on real native format. Driver-side Arrow
-        materialization, gated like native CTAS."""
+        """INSERT INTO a NATIVE Lance table: rows conform to the
+        manifest's exact physical types (timestamp unit, float width)
+        and append as new 'Lance File 2.0' fragment(s) + a manifest
+        version. Round 14: the fragments are written EXECUTOR-side
+        (lance_native.append_to_dataset_distributed — the reference's
+        LanceSink task-write/coordinator-commit model), so bulk loads
+        scale with the cluster instead of hitting a driver gate. The
+        reference demo's flagship statement (flink-sql-demo.sql INSERT
+        INTO lance tables) lands on real native format."""
         from lance_flink_spark.sources.lance_native import (
-            append_to_dataset,
-            arrow_schema_of,
+            append_to_dataset_distributed,
         )
 
         if overwrite:
@@ -907,17 +907,11 @@ class SqlEngine:
                 for c, f in zip(df.columns, target.fields)
             ]
         )
-        # probe the row count BEFORE toArrow() — materializing first
-        # would already be the driver OOM the gate exists to prevent
-        n = aligned.limit(4_000_001).count()
-        if n > 4_000_000:
-            raise ValueError(
-                f"native INSERT materializes driver-side; >{n - 1} "
-                "rows exceeds the 4M gate — land bulk loads through a "
-                "parquet-backed table instead"
-            )
-        t = aligned.toArrow()
-        append_to_dataset(nds.root, t.cast(arrow_schema_of(fields)))
+        # executor-parallel append (round 14): fragments are written
+        # task-side conformed to the manifest's physical schema — no
+        # driver materialization, no row gate; the pyarrow-Table API
+        # (append_to_dataset) keeps its driver-side 4M-gated path
+        append_to_dataset_distributed(nds.root, aligned)
         self._reregister_native(name)
 
     def _delete_native(self, name: str, pred: str | None) -> None:
@@ -1538,27 +1532,20 @@ class SqlEngine:
         df = self.spark.sql(_rewrite_array_literals(m.group("select")))
         if table_opts.get("storage") == "native":
             # CTAS into a NATIVE Lance directory ('Lance File 2.0'
-            # data files + protobuf manifests — sources/lance_native):
-            # the result materializes driver-side through Arrow, so
-            # this path is for dimension/export-sized results; the
-            # fragment writer splits at 1M rows and the reader re-
-            # registers the directory READ-ONLY like any other native
-            # table. Row gate keeps the driver honest at scale.
-            from lance_flink_spark.sources.lance_native import write_dataset
+            # data files + protobuf manifests — sources/lance_native).
+            # Round 14: fragments are written EXECUTOR-side
+            # (write_dataset_distributed — the reference's LanceSink
+            # task-write/coordinator-commit model), so a 100 TB result
+            # exports to real Lance without a driver gate; the driver
+            # only commits the manifest.
+            from lance_flink_spark.sources.lance_native import (
+                write_dataset_distributed,
+            )
 
             path = table_opts.get("path")
             if not path:
                 raise ValueError("native CTAS requires a 'path' option")
-            # row-count probe BEFORE toArrow() — the gate must fire
-            # before the driver materializes, not after
-            n = df.limit(4_000_001).count()
-            if n > 4_000_000:
-                raise ValueError(
-                    f"native CTAS materializes driver-side; >{n - 1} "
-                    "rows exceeds the 4M gate — write parquet-backed "
-                    "instead (drop 'storage'='native')"
-                )
-            write_dataset(path, df.toArrow())
+            write_dataset_distributed(path, df)
             if not self._try_native_table(name, path):
                 raise RuntimeError(f"native CTAS at {path} failed to register")
             return None

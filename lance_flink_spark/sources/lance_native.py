@@ -566,6 +566,167 @@ def read_fragment_table(
     return pa.table(dict(zip(names, arrays)))
 
 
+# ---------- roaring bitmaps (portable serialization) ----------
+
+# Public RoaringFormatSpec (RoaringBitmap/RoaringFormatSpec on GitHub —
+# the format the Rust `roaring` crate serializes, which is what Lance
+# writes for BITMAP deletion files): u32 LE cookie, per-16-bit-chunk
+# containers (array / bitmap / run), values = (key << 16) | low16.
+_SERIAL_COOKIE = 12346  # with run containers; size-1 in the high 16 bits
+_SERIAL_COOKIE_NO_RUN = 12347
+_NO_OFFSET_THRESHOLD = 4  # run-format bitmaps this small omit offsets
+
+
+def decode_roaring(buf: bytes) -> np.ndarray:
+    """Decode a portable-serialized 32-bit roaring bitmap to a sorted
+    uint32 ndarray. All three container types (array, bitmap, run)
+    decode; any other cookie refuses loudly — guessing at an unknown
+    serialization would be silent corruption."""
+    if len(buf) < 8:
+        raise UnsupportedLanceFeature(
+            f"roaring bitmap blob of {len(buf)} bytes is too short"
+        )
+    (cookie,) = struct.unpack_from("<I", buf, 0)
+    pos = 4
+    if cookie == _SERIAL_COOKIE_NO_RUN:
+        (size,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        run_flags = np.zeros(size, dtype=bool)
+        has_offsets = True
+    elif (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        size = (cookie >> 16) + 1
+        nbytes = (size + 7) // 8
+        run_flags = np.unpackbits(
+            np.frombuffer(buf, np.uint8, count=nbytes, offset=pos),
+            bitorder="little",
+        )[:size].astype(bool)
+        pos += nbytes
+        has_offsets = size >= _NO_OFFSET_THRESHOLD
+    else:
+        raise UnsupportedLanceFeature(
+            f"roaring bitmap cookie {cookie} is neither the portable "
+            f"run format ({_SERIAL_COOKIE}) nor the no-run format "
+            f"({_SERIAL_COOKIE_NO_RUN})"
+        )
+    desc = np.frombuffer(buf, "<u2", count=2 * size, offset=pos).reshape(size, 2)
+    pos += 4 * size
+    if has_offsets:
+        offsets = np.frombuffer(buf, "<u4", count=size, offset=pos)
+        pos += 4 * size
+    else:
+        offsets = None
+    out = []
+    for i in range(size):
+        key, card = int(desc[i, 0]), int(desc[i, 1]) + 1
+        if offsets is not None and int(offsets[i]) != pos:
+            raise UnsupportedLanceFeature(
+                f"roaring container {i}: offset header says "
+                f"{int(offsets[i])}, stream is at {pos}"
+            )
+        base = np.uint32(key) << np.uint32(16)
+        if run_flags[i]:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(
+                buf, "<u2", count=2 * n_runs, offset=pos
+            ).reshape(n_runs, 2)
+            pos += 4 * n_runs
+            vals = np.concatenate(
+                [
+                    np.arange(int(s), int(s) + int(ln) + 1, dtype="uint32")
+                    for s, ln in runs
+                ]
+            ) if n_runs else np.array([], dtype="uint32")
+            if len(vals) != card:
+                raise UnsupportedLanceFeature(
+                    f"roaring run container {i}: {len(vals)} values, "
+                    f"header says {card}"
+                )
+        elif card > 4096:
+            words = np.frombuffer(buf, np.uint8, count=8192, offset=pos)
+            pos += 8192
+            bits = np.unpackbits(words, bitorder="little")
+            vals = np.nonzero(bits)[0].astype("uint32")
+            if len(vals) != card:
+                raise UnsupportedLanceFeature(
+                    f"roaring bitmap container {i}: {len(vals)} set "
+                    f"bits, header says {card}"
+                )
+        else:
+            vals = np.frombuffer(buf, "<u2", count=card, offset=pos).astype(
+                "uint32"
+            )
+            pos += 2 * card
+        out.append(vals + base)
+    if pos != len(buf):
+        raise UnsupportedLanceFeature(
+            f"roaring bitmap has {len(buf) - pos} trailing bytes"
+        )
+    return (
+        np.concatenate(out) if out else np.array([], dtype="uint32")
+    )
+
+
+def encode_roaring(values, *, use_runs: bool = False) -> bytes:
+    """Portable-serialize sorted uint32 ``values`` — array/bitmap
+    containers by cardinality, or run containers for every chunk when
+    ``use_runs``. Exists to synthesize spec-conformant fixtures (and
+    lets delete_rows emit the BITMAP deletion-file type); decode is
+    the load-bearing direction."""
+    vals = np.unique(np.asarray(values, dtype="uint64")).astype("uint32")
+    keys = (vals >> np.uint32(16)).astype("uint16")
+    chunk_keys, starts = np.unique(keys, return_index=True)
+    size = len(chunk_keys)
+    # np.split on an empty array yields one phantom empty chunk
+    chunks = (
+        np.split(vals.astype("uint16"), starts[1:]) if size else []
+    )  # low 16 bits per chunk
+    body = bytearray()
+    run_flags = np.zeros(size, dtype=bool)
+    payloads = []
+    for i, lows in enumerate(chunks):
+        lows = lows.astype("<u2")
+        if use_runs:
+            run_flags[i] = True
+            breaks = np.nonzero(np.diff(lows.astype("int64")) != 1)[0]
+            starts_i = np.concatenate([[0], breaks + 1])
+            ends_i = np.concatenate([breaks, [len(lows) - 1]])
+            runs = np.stack(
+                [lows[starts_i], lows[ends_i] - lows[starts_i]], axis=1
+            ).astype("<u2")
+            payloads.append(
+                struct.pack("<H", len(starts_i)) + runs.tobytes()
+            )
+        elif len(lows) > 4096:
+            bits = np.zeros(1 << 16, dtype=np.uint8)
+            bits[lows] = 1
+            payloads.append(np.packbits(bits, bitorder="little").tobytes())
+        else:
+            payloads.append(lows.tobytes())
+    if use_runs and size == 0:
+        use_runs = False  # empty bitmap: the no-run header encodes size=0
+    if use_runs:
+        body += struct.pack("<I", _SERIAL_COOKIE | ((size - 1) << 16))
+        body += np.packbits(run_flags, bitorder="little")[
+            : (size + 7) // 8
+        ].tobytes()
+        has_offsets = size >= _NO_OFFSET_THRESHOLD
+    else:
+        body += struct.pack("<I", _SERIAL_COOKIE_NO_RUN)
+        body += struct.pack("<I", size)
+        has_offsets = True
+    for k, lows in zip(chunk_keys, chunks):
+        body += struct.pack("<HH", int(k), len(lows) - 1)
+    if has_offsets:
+        pos = len(body) + 4 * size
+        for p in payloads:
+            body += struct.pack("<I", pos)
+            pos += len(p)
+    for p in payloads:
+        body += p
+    return bytes(body)
+
+
 # ---------- deletion files ----------
 
 
@@ -578,30 +739,34 @@ def _deletion_path(root: str, fr: LanceFragment) -> str:
 
 
 def read_deletion_file(root: str, fr: LanceFragment) -> np.ndarray:
-    """Sorted LOCAL row offsets deleted from ``fr``. Only the
-    ARROW_ARRAY deletion-file type (an Arrow IPC file with one
-    int32/uint32 column of offsets) decodes; roaring BITMAP files
-    refuse loudly."""
+    """Sorted LOCAL row offsets deleted from ``fr``. Both deletion-file
+    types decode: ARROW_ARRAY (an Arrow IPC file with one int32/uint32
+    column of offsets) and BITMAP (a portable-serialized roaring
+    bitmap — the type current Lance versions write for dense
+    deletes)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
     d = fr.deletion
-    if d.file_type != 0:
-        raise UnsupportedLanceFeature(
-            f"fragment {fr.frag_id} uses a roaring-bitmap deletion file "
-            "— only the Arrow-array deletion format decodes here"
-        )
     path = _deletion_path(root, fr)
-    with ipc.open_file(pa.memory_map(path)) as rd:
-        t = rd.read_all()
-    if t.num_columns != 1 or t.column(0).type not in (pa.int32(), pa.uint32()):
+    if d.file_type == 1:
+        ids = decode_roaring(open(path, "rb").read()).astype("int64")
+    elif d.file_type != 0:
         raise UnsupportedLanceFeature(
-            f"{path}: expected one int32/uint32 column of deleted row "
-            f"offsets, got {t.schema}"
+            f"fragment {fr.frag_id}: unknown deletion file type "
+            f"{d.file_type} (0=ARROW_ARRAY, 1=BITMAP)"
         )
-    col = t.column(0)
-    arr = pa.concat_arrays(col.chunks) if col.num_chunks else pa.array([], type=col.type)
-    ids = np.unique(arr.to_numpy(zero_copy_only=False).astype("int64"))
+    else:
+        with ipc.open_file(pa.memory_map(path)) as rd:
+            t = rd.read_all()
+        if t.num_columns != 1 or t.column(0).type not in (pa.int32(), pa.uint32()):
+            raise UnsupportedLanceFeature(
+                f"{path}: expected one int32/uint32 column of deleted row "
+                f"offsets, got {t.schema}"
+            )
+        col = t.column(0)
+        arr = pa.concat_arrays(col.chunks) if col.num_chunks else pa.array([], type=col.type)
+        ids = np.unique(arr.to_numpy(zero_copy_only=False).astype("int64"))
     if d.num_deleted and len(ids) != d.num_deleted:
         raise UnsupportedLanceFeature(
             f"{path}: {len(ids)} deleted offsets, manifest says "
@@ -1008,12 +1173,212 @@ def append_to_dataset(root: str, table) -> int:
     return version + 1
 
 
-def delete_rows(root: str, physical_ids) -> int:
+def _write_fragments_distributed(
+    root: str,
+    df,
+    target_schema,
+    *,
+    max_rows_per_file: int = 1 << 20,
+    max_bytes_per_file: int = 192 * 1024 * 1024,
+):
+    """Executor-parallel fragment writing — the scale path the
+    reference's sink uses (LanceSink.java:60-108: task-side batched
+    writes, checkpoint-time commit). Each task streams its partition's
+    Arrow batches, casts them to the dataset's exact physical schema,
+    and flushes a 'Lance File 2.0' fragment file whenever the buffered
+    rows/bytes cross the thresholds (bytes default stays under the
+    reader's 256 MB per-fragment decode gate). Only (path, rows)
+    name-plates come back to the driver — data never does. uuid file
+    names make task retries safe (an orphaned file is never
+    referenced by the manifest). Returns LanceFragments in
+    deterministic (partition, flush-sequence) order WITHOUT ids —
+    the caller assigns ids and commits the manifest."""
+    from pyspark import TaskContext
+
+    from lance_flink_spark.session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def _task(batches):
+        import pyarrow as pa
+
+        part = TaskContext.get().partitionId()
+        seq = 0
+        buf, rows, nbytes = [], 0, 0
+        out_schema = pa.schema(
+            [
+                ("part_id", pa.int64()),
+                ("seq", pa.int64()),
+                ("path", pa.string()),
+                ("rows", pa.int64()),
+            ]
+        )
+
+        def _flush():
+            # slice the buffered table at max_rows_per_file — one
+            # oversized input batch must still split into gate-sized
+            # fragments
+            nonlocal buf, rows, nbytes, seq
+            t = pa.Table.from_batches(buf).cast(target_schema)
+            parts, seqs, names, sizes = [], [], [], []
+            for lo in range(0, t.num_rows, max_rows_per_file):
+                chunk = t.slice(lo, max_rows_per_file)
+                name = f"{uuid.uuid4()}.lance"
+                write_fragment_file(
+                    os.path.join(data_dir, name), chunk
+                )
+                parts.append(part)
+                seqs.append(seq)
+                names.append(name)
+                sizes.append(chunk.num_rows)
+                seq += 1
+            rec = pa.record_batch(
+                [
+                    pa.array(parts, pa.int64()),
+                    pa.array(seqs, pa.int64()),
+                    pa.array(names, pa.string()),
+                    pa.array(sizes, pa.int64()),
+                ],
+                schema=out_schema,
+            )
+            buf, rows, nbytes = [], 0, 0
+            return rec
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            buf.append(b)
+            rows += b.num_rows
+            nbytes += b.nbytes
+            if rows >= max_rows_per_file or nbytes >= max_bytes_per_file:
+                yield _flush()
+        if rows:
+            yield _flush()
+
+    plates = df.mapInArrow(
+        _task, "part_id long, seq long, path string, rows long"
+    ).collect()
+    plates.sort(key=lambda r: (r["part_id"], r["seq"]))
+    return [
+        LanceFragment(path=r["path"], physical_rows=int(r["rows"]))
+        for r in plates
+    ]
+
+
+def _finish_fragments(
+    pa, root, fields, new_frags: list[LanceFragment], start_id: int
+) -> list[LanceFragment]:
+    """Assign fragment ids + field-id/column-index plates (the
+    existing manifest's depth-first ids) to distributed-written
+    fragments; write one empty fragment when the input produced none
+    (a dataset must have at least one fragment)."""
+    expected_ids = _depth_first_ids(fields)
+    n_data = _data_column_count(fields)
+    if not new_frags:
+        name = f"{uuid.uuid4()}.lance"
+        write_fragment_file(
+            os.path.join(root, "data", name),
+            arrow_schema_of(fields).empty_table(),
+        )
+        new_frags = [LanceFragment(path=name, physical_rows=0)]
+    for i, fr in enumerate(new_frags):
+        fr.frag_id = start_id + i
+        fr.field_ids = list(expected_ids)
+        fr.column_indices = list(range(n_data))
+    return new_frags
+
+
+def write_dataset_distributed(
+    root: str,
+    df,
+    *,
+    max_rows_per_file: int = 1 << 20,
+    max_bytes_per_file: int = 192 * 1024 * 1024,
+):
+    """Create a native Lance dataset from a Spark DataFrame with
+    EXECUTOR-parallel fragment writes — no driver materialization, no
+    row gate: dataset size is bounded by the shared store, not driver
+    memory. The driver's only work is the schema plate + the manifest
+    commit (bytes ∝ fragment count). Cite: LanceSink.java:60-108 —
+    tasks write batches, the coordinator commits."""
+    import pyarrow as pa
+
+    if os.path.isdir(os.path.join(root, "_versions")):
+        raise FileExistsError(f"{root} already holds a native dataset")
+    target_schema = _df_arrow_schema(df)
+    fields, fields_blob = _schema_fields_of(pa, target_schema)
+    # physical types the reader round-trips (large_utf8 etc.)
+    target_schema = arrow_schema_of(fields)
+    new_frags = _write_fragments_distributed(
+        root,
+        df,
+        target_schema,
+        max_rows_per_file=max_rows_per_file,
+        max_bytes_per_file=max_bytes_per_file,
+    )
+    frags = _finish_fragments(pa, root, fields, new_frags, 0)
+    _write_manifest(root, 1, fields_blob, frags)
+    return LanceNativeDataset(root)
+
+
+def append_to_dataset_distributed(root: str, df) -> int:
+    """Executor-parallel append: distributed fragment writes conformed
+    to the EXISTING manifest's physical schema + field ids, one new
+    manifest version. The driver never holds the rows, so bulk INSERT
+    INTO a native table scales with the cluster (the 4M driver gate
+    applies only to the pyarrow-Table API)."""
+    import pyarrow as pa
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    new_fields, _blob = _schema_fields_of(pa, _df_arrow_schema(df))
+
+    def _norm(sig):
+        # Spark exports timestamps as us/UTC regardless of the stored
+        # unit/tz; the executor-side cast to the manifest's physical
+        # schema conforms them, so signatures compare by family
+        return [
+            (
+                n,
+                l.split(":")[0],
+                tuple((cn, cl.split(":")[0]) for cn, cl in ch),
+            )
+            for n, l, ch in sig
+        ]
+
+    if _norm(_schema_signature(new_fields)) != _norm(_schema_signature(fields)):
+        raise UnsupportedLanceFeature(
+            "append schema mismatch: "
+            f"{_schema_signature(new_fields)} != {_schema_signature(fields)}"
+        )
+    new_frags = _write_fragments_distributed(root, df, arrow_schema_of(fields))
+    if not new_frags:
+        return version  # empty insert: no new manifest needed
+    start = max((fr.frag_id for fr in frags), default=-1) + 1
+    frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
+    _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
+    return version + 1
+
+
+def _df_arrow_schema(df):
+    """The Arrow schema Spark's own conversion gives ``df`` — derived
+    from an empty slice (one trivial job, zero data movement), so the
+    distributed writer's casts see exactly the batch types mapInArrow
+    will deliver."""
+    return df.limit(0).toArrow().schema
+
+
+def delete_rows(root: str, physical_ids, *, deletion_format: str = "arrow") -> int:
     """Delete rows by GLOBAL physical offset (fragment order at the
-    latest version) — per-fragment Arrow deletion files (unioned with
+    latest version) — per-fragment deletion files (unioned with
     any existing deletions) + a new manifest version. This is Lance's
     deletion-file mutation shape: data files are immutable, deletes
-    are sidecar offset lists."""
+    are sidecar offset lists. ``deletion_format``: 'arrow' (IPC offset
+    column, the default) or 'bitmap' (portable roaring — what current
+    Lance versions write for dense deletes)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
@@ -1037,13 +1402,19 @@ def delete_rows(root: str, physical_ids) -> int:
         fr.deletion = LanceDeletion(
             read_version=version,
             id=new_version,
-            file_type=0,
+            file_type=1 if deletion_format == "bitmap" else 0,
             num_deleted=len(local),
         )
         dpath = _deletion_path(root, fr)
-        t = pa.table({"row_id": pa.array(local.astype("int32"), type=pa.int32())})
-        with ipc.new_file(dpath + ".tmp", t.schema) as w:
-            w.write_table(t)
+        if deletion_format == "bitmap":
+            with open(dpath + ".tmp", "wb") as f:
+                f.write(encode_roaring(local))
+        else:
+            t = pa.table(
+                {"row_id": pa.array(local.astype("int32"), type=pa.int32())}
+            )
+            with ipc.new_file(dpath + ".tmp", t.schema) as w:
+                w.write_table(t)
         os.replace(dpath + ".tmp", dpath)
     _write_manifest(root, new_version, _fields_blob, frags)
     return new_version

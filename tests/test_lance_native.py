@@ -347,7 +347,9 @@ def test_deletion_count_mismatch_refuses(tmp_path_str):
         LanceNativeDataset(root).to_arrow()
 
 
-def test_bitmap_deletion_refuses(tmp_path_str):
+def test_unknown_deletion_file_type_refuses(tmp_path_str):
+    """Roaring BITMAP deletions decode since round 14; an UNKNOWN
+    file_type still refuses loudly."""
     from lance_flink_spark.sources.lance_native import (
         LanceNativeDataset,
         _schema_fields_of_existing,
@@ -361,9 +363,9 @@ def test_bitmap_deletion_refuses(tmp_path_str):
     delete_rows(root, [0])
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
-    frags[0].deletion.file_type = 1  # roaring BITMAP — not decodable here
+    frags[0].deletion.file_type = 7  # outside the spec's two types
     _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
-    with pytest.raises(UnsupportedLanceFeature, match="roaring"):
+    with pytest.raises(UnsupportedLanceFeature, match="deletion file type"):
         LanceNativeDataset(root).to_arrow()
 
 
@@ -768,11 +770,12 @@ def test_append_preserves_nondense_field_ids(tmp_path_str):
     assert frags2[-1].field_ids == [5, 6]  # new fragment uses them too
 
 
-def test_native_insert_gate_fires_before_materialize(spark, tmp_path_str, monkeypatch):
-    """ADVICE r13: the 4M-row native INSERT gate must fire BEFORE
-    toArrow() — materializing first is the driver OOM the gate exists
-    to prevent. toArrow is patched to a tripwire; only the gate's
-    ValueError may surface."""
+def test_native_insert_never_materializes_on_driver(spark, tmp_path_str, monkeypatch):
+    """ADVICE r13 asked for the 4M gate to fire before toArrow();
+    round 14 goes further — SQL INSERT INTO a native table writes
+    fragments EXECUTOR-side, so a >4M-row load succeeds with ZERO
+    driver row materialization. toArrow is wrapped in a tripwire that
+    only tolerates the empty schema probe."""
     import pyarrow as pa
     from pyspark.sql import DataFrame
 
@@ -781,19 +784,25 @@ def test_native_insert_gate_fires_before_materialize(spark, tmp_path_str, monkey
     from lance_flink_spark.sources.lance_native import write_dataset
 
     root = os.path.join(tmp_path_str, "gate")
-    write_dataset(root, pa.table({"id": pa.array([1], type=pa.int64())}))
+    write_dataset(root, pa.table({"id": pa.array([-1], type=pa.int64())}))
     eng = SqlEngine(spark, Catalog(tmp_path_str + "/whg"))
     eng.execute(
         f"CREATE TABLE natg (id BIGINT) WITH ('connector'='lance', 'path'='{root}')"
     )
     spark.range(4_000_001).createOrReplaceTempView("natg_big")
 
-    def _tripwire(self):
-        raise AssertionError("toArrow ran before the 4M gate")
+    orig = DataFrame.toArrow
 
-    monkeypatch.setattr(DataFrame, "toArrow", _tripwire)
-    with pytest.raises(ValueError, match="4M gate"):
-        eng.execute("INSERT INTO natg SELECT id FROM natg_big")
+    def _guard(self):
+        t = orig(self)
+        assert t.num_rows == 0, "driver materialized data rows"
+        return t
+
+    monkeypatch.setattr(DataFrame, "toArrow", _guard)
+    eng.execute("INSERT INTO natg SELECT id FROM natg_big")
+    got = spark.table("natg")
+    assert got.count() == 4_000_002
+    assert got.agg({"id": "max"}).first()[0] == 4_000_000
 
 
 def test_varlen_page_shape_validated_independently():
@@ -890,3 +899,225 @@ def test_sql_native_read_is_distributed(spark, tmp_path_str):
     )
     rows = {r["id"]: r["__phys"] for r in offs.collect()}
     assert rows == {i: i for i in range(30)}  # base-correct across fragments
+
+
+def test_distributed_write_roundtrip_mixed_types(spark, tmp_path_str):
+    """write_dataset_distributed: executor tasks write 'Lance File
+    2.0' fragments (uuid names, physical-schema casts), driver commits
+    only the manifest — and the result decodes bit-equal through both
+    the driver and distributed readers, nulls/lists/timestamps
+    included."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.sources.lance_native import (
+        write_dataset_distributed,
+    )
+
+    rows = [
+        Row(
+            id=i,
+            score=None if i % 7 == 0 else float(i) * 0.25,
+            title=None if i % 11 == 0 else f"doc-{i}",
+            emb=[float(i), float(i) + 0.5],
+            ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows).repartition(6)
+    root = os.path.join(tmp_path_str, "dw")
+    ds = write_dataset_distributed(root, df)
+    _fields, frags, _v = ds._manifest()
+    assert 1 <= len(frags) <= 6 and sum(f.physical_rows for f in frags) == 500
+    t = ds.to_arrow()
+    got = {r["id"]: r for r in t.to_pylist()}
+    assert len(got) == 500
+    assert got[7]["score"] is None and got[11]["title"] is None
+    assert got[3]["title"] == "doc-3" and got[3]["emb"] == [3.0, 3.5]
+    assert got[3]["score"] == pytest.approx(0.75)
+
+
+def test_distributed_write_splits_fragments_by_rows(spark, tmp_path_str):
+    """The per-task flush threshold splits big partitions into
+    multiple fragments, keeping each under the reader's in-task decode
+    gate."""
+    from lance_flink_spark.sources.lance_native import (
+        write_dataset_distributed,
+    )
+
+    df = spark.range(1000).repartition(2)
+    root = os.path.join(tmp_path_str, "dwsplit")
+    ds = write_dataset_distributed(root, df, max_rows_per_file=150)
+    _f, frags, _v = ds._manifest()
+    assert len(frags) >= 7  # ceil(500/150)=4 per partition
+    assert all(fr.physical_rows <= 300 for fr in frags)
+    assert sorted(ds.to_arrow().to_pydict()["id"]) == list(range(1000))
+
+
+def test_distributed_append_onto_reference_dataset(spark, tmp_path_str):
+    """Executor-parallel append lands bit-compatibly on a dataset the
+    REFERENCE stack wrote (lance-db2: utf8 + timestamp[ms]) — old
+    fragments still decode, new rows ride new fragments, field ids
+    preserved."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.sources.lance_native import (
+        append_to_dataset_distributed,
+    )
+
+    root = os.path.join(tmp_path_str, "refapp")
+    shutil.copytree(f"{REF}/lance-db2", root)
+    t0 = LanceNativeDataset(root).to_arrow()
+    schema_df = LanceNativeDataset(root).read(spark)
+    new = spark.createDataFrame(
+        [
+            Row(
+                doc_id=100 + i,
+                title=f"追加-{i}",
+                content=f"appended row {i}",
+                embedding=[0.1 * i, 0.2 * i, 0.3 * i, 0.4 * i],
+                category="append",
+                create_time=datetime.datetime(2025, 6, 1, 12, i),
+            )
+            for i in range(3)
+        ],
+        schema=schema_df.schema,
+    )
+    v = append_to_dataset_distributed(root, new)
+    after = LanceNativeDataset(root)
+    assert after.versions()[-1] == v
+    t1 = after.to_arrow()
+    assert t1.num_rows == t0.num_rows + 3
+    d = t1.to_pydict()
+    assert "追加-0" in d["title"] and d["title"][: t0.num_rows] == t0.to_pydict()["title"]
+    # time travel: the pre-append version still serves exactly t0
+    assert after.to_arrow(version=1).num_rows == t0.num_rows
+
+
+class TestRoaringDeletions:
+    """Roaring-bitmap deletion files (VERDICT r13 #3) — portable
+    serialization per the public RoaringFormatSpec: decode is pinned
+    against hand-assembled byte fixtures (not just our own encoder),
+    all three container types round-trip, and the BITMAP deletion
+    path masks rows end-to-end."""
+
+    def test_decode_handbuilt_array_container(self):
+        import struct
+
+        import numpy as np
+
+        from lance_flink_spark.sources.lance_native import decode_roaring
+
+        # no-run cookie, 1 container, key=0, card=3 (stored card-1=2),
+        # offset header (always present for 12347), values 1,5,9
+        buf = (
+            struct.pack("<I", 12347)
+            + struct.pack("<I", 1)
+            + struct.pack("<HH", 0, 2)
+            + struct.pack("<I", 4 + 4 + 4 + 4)
+            + struct.pack("<HHH", 1, 5, 9)
+        )
+        assert decode_roaring(buf).tolist() == [1, 5, 9]
+
+    def test_decode_handbuilt_run_container(self):
+        import struct
+
+        from lance_flink_spark.sources.lance_native import decode_roaring
+
+        # run cookie with size=1 in high bits, 1-byte run flag (set),
+        # key=1 card=5 (stored 4), no offset header (size < 4),
+        # one run: start=10 len=4 → 10..14 in chunk 1 (i.e. +65536)
+        buf = (
+            struct.pack("<I", 12346 | (0 << 16))
+            + b"\x01"
+            + struct.pack("<HH", 1, 4)
+            + struct.pack("<H", 1)
+            + struct.pack("<HH", 10, 4)
+        )
+        got = decode_roaring(buf).tolist()
+        assert got == [65536 + v for v in range(10, 15)]
+
+    def test_roundtrip_all_container_types(self):
+        import numpy as np
+
+        from lance_flink_spark.sources.lance_native import (
+            decode_roaring,
+            encode_roaring,
+        )
+
+        # array (sparse), bitmap (dense >4096 in one chunk), spread
+        # across three 16-bit chunks
+        vals = np.concatenate(
+            [
+                np.array([3, 77, 1000], dtype="uint32"),
+                np.arange(65536, 65536 + 5000, dtype="uint32"),  # bitmap
+                np.array([200_000, 200_002], dtype="uint32"),
+            ]
+        )
+        assert decode_roaring(encode_roaring(vals)).tolist() == vals.tolist()
+        # run-container variant of the same set
+        assert (
+            decode_roaring(encode_roaring(vals, use_runs=True)).tolist()
+            == vals.tolist()
+        )
+        # empty bitmap round-trips both ways
+        assert decode_roaring(encode_roaring([])).tolist() == []
+        assert decode_roaring(encode_roaring([], use_runs=True)).tolist() == []
+
+    def test_unknown_cookie_and_trailing_bytes_refuse(self):
+        import struct
+
+        from lance_flink_spark.sources.lance_native import (
+            decode_roaring,
+            encode_roaring,
+        )
+
+        with pytest.raises(UnsupportedLanceFeature, match="cookie"):
+            decode_roaring(struct.pack("<II", 99999, 0))
+        with pytest.raises(UnsupportedLanceFeature, match="trailing"):
+            decode_roaring(encode_roaring([1, 2, 3]) + b"\x00")
+
+    def test_bitmap_deletion_end_to_end(self, spark, tmp_path_str):
+        """delete_rows(deletion_format='bitmap') writes a .bin roaring
+        file + BITMAP manifest type; driver AND distributed reads mask
+        identically; a second (arrow) delete unions on top."""
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            delete_rows,
+            read_distributed,
+            write_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, "roar")
+        write_dataset(
+            root,
+            pa.table({"id": pa.array(range(100), type=pa.int64())}),
+            max_rows_per_file=50,  # 2 fragments
+        )
+        v = delete_rows(root, [0, 1, 60], deletion_format="bitmap")
+        ds = LanceNativeDataset(root)
+        _f, frags, _ = ds._manifest()
+        assert frags[0].deletion.file_type == 1
+        assert os.path.exists(
+            os.path.join(
+                root,
+                "_deletions",
+                f"0-{frags[0].deletion.read_version}-{frags[0].deletion.id}.bin",
+            )
+        )
+        live = sorted(ds.to_arrow().to_pydict()["id"])
+        assert live == [i for i in range(100) if i not in (0, 1, 60)]
+        dist = sorted(
+            r["id"] for r in read_distributed(ds, spark).collect()
+        )
+        assert dist == live
+        # union a follow-up arrow-format delete on the same fragment
+        delete_rows(root, [2])
+        live2 = sorted(LanceNativeDataset(root).to_arrow().to_pydict()["id"])
+        assert live2 == [i for i in range(100) if i not in (0, 1, 2, 60)]
+        assert v == 2
