@@ -958,6 +958,8 @@ class SqlEngine:
         if m and self._in_catalog(m.group("name")):
             return self._copy_into(m)
         m = _SHOW_INDEXES.match(sql)
+        if m and m.group("name") in self.native_tables:
+            return self._show_native_indexes(m.group("name"))
         if m and self._in_catalog(m.group("name")):
             return self._show_indexes(m.group("name"))
         m = _DROP_INDEX.match(sql)
@@ -1611,11 +1613,42 @@ class SqlEngine:
         metric = (m.group("metric") or "L2").lower()
         flt = m.group("filter")
         if tbl in self.native_tables:
-            # read-only native Lance table: exact brute KNN over the
-            # decoded scan (the reference's LanceVectorSearch against
-            # its own data; index builds need a writable sidecar)
-            from lance_flink_spark.operators.similarity import knn
+            # native Lance table: exact brute KNN over the distributed
+            # scan. If the manifest carries a library-built index on
+            # this column, say WHY it doesn't serve: the payload under
+            # _indices/{uuid}/ is the Lance library's own binary
+            # format, outside the documented subset.
+            import os as _os
+            import warnings
 
+            from lance_flink_spark.operators.similarity import knn
+            from lance_flink_spark.sources.lance_native import (
+                read_index_section,
+            )
+
+            nds = self.native_tables[tbl]
+            fields, _frags, _v = nds._manifest()
+            col_ids = {f.fid for f in fields if f.name == col}
+            col_ids |= {
+                c.fid
+                for f in fields
+                if f.name == col
+                for c in f.children
+            }
+            mpath = _os.path.join(
+                nds.root, "_versions", f"{nds.versions()[-1]}.manifest"
+            )
+            for ix in read_index_section(mpath):
+                if col_ids & set(ix.field_ids):
+                    warnings.warn(
+                        f"native table {tbl!r} carries a library-built "
+                        f"index {ix.name or ix.uuid!r} "
+                        f"({ix.details_type or 'unknown type'}) on "
+                        f"{col!r}, but its payload format is outside "
+                        "the documented subset — falling back to "
+                        "exact brute-force search",
+                        stacklevel=2,
+                    )
             return knn(
                 self._native_df(self.native_tables[tbl]),
                 vec,
@@ -1641,6 +1674,44 @@ class SqlEngine:
 
         return knn(
             ds.read(self.spark), vec, k, vec_col=col, metric=metric, filter=flt
+        )
+
+    def _show_native_indexes(self, name: str) -> DataFrame:
+        """SHOW INDEXES on a NATIVE Lance table: report what the
+        manifest's IndexSection says the reference stack built
+        (LanceIndexBuilder.java:40-95 persists IVF/PQ/HNSW INTO the
+        dataset) — (column, using, version, fresh). The index PAYLOADS
+        are the Lance library's own binary format (outside the
+        subset), so these indexes inform but don't serve lookups;
+        vector_search says so when it brute-forces past one."""
+        import os as _os
+
+        from lance_flink_spark.sources.lance_native import (
+            read_index_section,
+        )
+
+        nds = self.native_tables[name]
+        current = nds.versions()[-1]
+        fields, _frags, _v = nds._manifest()
+        by_id = {}
+        for f in fields:
+            by_id[f.fid] = f.name
+            for c in f.children:
+                by_id[c.fid] = f"{f.name}.{c.name}"
+        mpath = _os.path.join(nds.root, "_versions", f"{current}.manifest")
+        rows = []
+        for ix in read_index_section(mpath):
+            cols = ",".join(by_id.get(i, f"#{i}") for i in ix.field_ids)
+            rows.append(
+                (
+                    cols,
+                    ix.details_type or ix.name or "UNKNOWN",
+                    int(ix.dataset_version),
+                    ix.dataset_version == current,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows or [], "column string, using string, version long, fresh boolean"
         )
 
     def _show_indexes(self, name: str) -> DataFrame:

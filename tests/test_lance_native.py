@@ -1121,3 +1121,130 @@ class TestRoaringDeletions:
         live2 = sorted(LanceNativeDataset(root).to_arrow().to_pydict()["id"])
         assert live2 == [i for i in range(100) if i not in (0, 1, 2, 60)]
         assert v == 2
+
+
+class TestNativeIndexSection:
+    """Manifest-level `_indices` awareness (VERDICT r13 #4): the
+    IndexSection the reference's LanceIndexBuilder persists into the
+    dataset is parsed so SHOW INDEXES reports it and vector_search
+    says WHY it brute-forces; payload decode stays a loud refusal
+    boundary (the library's own binary format)."""
+
+    def _mk(self, tmp_path_str, name="natx"):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceIndexMeta,
+            write_dataset,
+            write_index_section,
+        )
+
+        root = os.path.join(tmp_path_str, name)
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array(range(20), type=pa.int64()),
+                    "embedding": pa.array(
+                        [[float(i), float(i) + 1.0] for i in range(20)],
+                        type=pa.large_list(pa.float32()),
+                    ),
+                }
+            ),
+            max_rows_per_file=10,
+        )
+        write_index_section(
+            root,
+            1,
+            [
+                LanceIndexMeta(
+                    uuid="00112233445566778899aabbccddeeff",
+                    name="embedding_idx",
+                    field_ids=[1],
+                    dataset_version=1,
+                    fragment_ids=[0, 1],
+                    details_type="lance.table.VectorIndexDetails",
+                )
+            ],
+        )
+        return root
+
+    def test_roundtrip_and_plain_manifest_unaffected(self, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            read_index_section,
+        )
+
+        root = self._mk(tmp_path_str)
+        mpath = os.path.join(root, "_versions", "1.manifest")
+        ixs = read_index_section(mpath)
+        assert len(ixs) == 1
+        ix = ixs[0]
+        assert ix.name == "embedding_idx" and ix.field_ids == [1]
+        assert ix.uuid == "00112233445566778899aabbccddeeff"
+        assert ix.dataset_version == 1 and ix.fragment_ids == [0, 1]
+        assert ix.details_type == "lance.table.VectorIndexDetails"
+        # the manifest itself still parses + the data still reads
+        t = LanceNativeDataset(root).to_arrow()
+        assert t.num_rows == 20
+
+    def test_no_index_section_returns_empty(self, tmp_path_str):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            read_index_section,
+            write_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, "plain")
+        write_dataset(root, pa.table({"id": pa.array([1], type=pa.int64())}))
+        assert read_index_section(
+            os.path.join(root, "_versions", "1.manifest")
+        ) == []
+        # the reference's own committed manifests carry no field 6
+        assert read_index_section(f"{REF}/lance-db1/_versions/1.manifest") == []
+
+    def test_dangling_offset_refuses(self, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            read_index_section,
+        )
+
+        root = self._mk(tmp_path_str, "natbad")
+        mpath = os.path.join(root, "_versions", "1.manifest")
+        raw = open(mpath, "rb").read()
+        # truncate the section payload
+        open(mpath, "wb").write(raw[:-6])
+        with pytest.raises(UnsupportedLanceFeature, match="overruns"):
+            read_index_section(mpath)
+
+    def test_show_indexes_and_vector_search_fallback(self, spark, tmp_path_str):
+        import warnings
+
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+
+        root = self._mk(tmp_path_str, "natsql")
+        eng = SqlEngine(spark, Catalog(tmp_path_str + "/whx"))
+        eng.execute(
+            f"CREATE TABLE natsql (id BIGINT, embedding ARRAY<FLOAT>) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        rows = eng.execute("SHOW INDEXES ON natsql").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert "embedding" in r["column"]
+        assert r["using"] == "lance.table.VectorIndexDetails"
+        assert r["version"] == 1 and r["fresh"]
+        # vector_search warns WHY it brute-forces, and stays exact
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = eng.execute(
+                "SELECT * FROM vector_search('natsql', 'embedding', "
+                "ARRAY[5.0, 6.0], 3)"
+            ).collect()
+        assert any("brute-force" in str(x.message) for x in w)
+        assert got[0]["id"] == 5 and got[0]["distance"] == 0.0
+        # an INSERT bumps the version: the index is now stale
+        eng.execute("INSERT INTO natsql VALUES (99, ARRAY[9.0, 9.0])")
+        r2 = eng.execute("SHOW INDEXES ON natsql").first()
+        assert r2["version"] == 1 and not r2["fresh"]
