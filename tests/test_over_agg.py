@@ -7,6 +7,7 @@ streaming_over_agg extra."""
 import os
 import time
 
+import pytest
 from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 
@@ -377,3 +378,116 @@ def test_streaming_lag_cross_batch_and_head_nulls(spark, tmp_path_str):
     # e5 arrives two batches later, after e1/e2 were emitted (and e1
     # possibly evicted) — its LAG(2) is still e3's value
     assert got == {1: None, 2: None, 3: 10, 4: 20, 5: 30}
+
+
+class TestStreamingSqlOverDialect:
+    """The SQL dialect's streaming OVER lowering (sources/ddl.py::
+    _try_stream_over, VERDICT r13 #6): the same OVER text Spark SQL
+    runs on batch lowers onto over_{range,rows}_multi / over_rows_lag
+    when the FROM view is streaming; everything outside the subset
+    refuses loudly; batch sources pass through to Spark SQL."""
+
+    def _sdf(self, spark, tmp_path_str):
+        src = os.path.join(tmp_path_str, "sqlover_src")
+        os.makedirs(src, exist_ok=True)
+        schema = "user_id long, event_id long, ts timestamp, vc long"
+        rows = [
+            (1, 10, _ts(0), 5),
+            (1, 11, _ts(1), 7),
+            (1, 12, _ts(40), 2),
+            (2, 20, _ts(2), 9),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        return spark.readStream.schema(schema).parquet(src)
+
+    def _engine(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+
+        return SqlEngine(spark, Catalog(tmp_path_str + "/whso"))
+
+    def test_rows_frame_and_inline_over(self, spark, tmp_path_str):
+        from lance_flink_spark.streaming.pipeline import run_to_memory
+
+        self._sdf(spark, tmp_path_str).createOrReplaceTempView("so_events")
+        eng = self._engine(spark, tmp_path_str)
+        out = eng.execute(
+            """SELECT user_id, event_id, ts,
+                      SUM(vc) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+                          AS s
+               FROM so_events"""
+        )
+        assert out.isStreaming
+        t = run_to_memory(out, mode="append", state_partitions=4)
+        got = {r["event_id"]: r["s"] for r in spark.table(t).collect()}
+        assert got == {10: 5, 11: 12, 12: 9, 20: 9}
+
+    def test_lag_lowering(self, spark, tmp_path_str):
+        from lance_flink_spark.streaming.pipeline import run_to_memory
+
+        self._sdf(spark, tmp_path_str).createOrReplaceTempView("so_lag")
+        eng = self._engine(spark, tmp_path_str)
+        out = eng.execute(
+            """SELECT user_id, event_id, ts,
+                      LAG(vc, 1) OVER (PARTITION BY user_id ORDER BY ts)
+                          AS prev_v
+               FROM so_lag"""
+        )
+        t = run_to_memory(out, mode="append", state_partitions=4)
+        got = {r["event_id"]: r["prev_v"] for r in spark.table(t).collect()}
+        assert got == {10: None, 11: 5, 12: 7, 20: None}
+
+    def test_refusals(self, spark, tmp_path_str):
+        self._sdf(spark, tmp_path_str).createOrReplaceTempView("so_bad")
+        eng = self._engine(spark, tmp_path_str)
+        head = "SELECT user_id, event_id, ts, "
+        # two different value columns
+        with pytest.raises(ValueError, match="ONE value column"):
+            eng.execute(
+                head + """SUM(vc) OVER w AS a, MIN(event_id) OVER w AS b
+                   FROM so_bad
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+            )
+        # mixed inline window specs
+        with pytest.raises(ValueError, match="ONE window spec"):
+            eng.execute(
+                head + """SUM(vc) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a,
+                      MAX(vc) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS b
+                   FROM so_bad"""
+            )
+        # unbounded frame (Flink streaming OVER must be trailing-bounded)
+        with pytest.raises(ValueError, match="trailing-bounded"):
+            eng.execute(
+                head + """SUM(vc) OVER (PARTITION BY user_id ORDER BY ts) AS a
+                   FROM so_bad"""
+            )
+        # LAG mixed with frame aggregates
+        with pytest.raises(ValueError, match="cannot mix"):
+            eng.execute(
+                head + """SUM(vc) OVER w AS a, LAG(vc, 1) OVER w AS b
+                   FROM so_bad
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+            )
+
+    def test_batch_source_falls_through_to_spark(self, spark, tmp_path_str):
+        spark.createDataFrame(
+            [(1, 10, _ts(0), 5), (1, 11, _ts(1), 7)],
+            "user_id long, event_id long, ts timestamp, vc long",
+        ).createOrReplaceTempView("so_batch")
+        eng = self._engine(spark, tmp_path_str)
+        out = eng.execute(
+            """SELECT user_id, event_id, ts,
+                      SUM(vc) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+                          AS s
+               FROM so_batch"""
+        )
+        assert not out.isStreaming  # Spark SQL served it natively
+        assert {r["event_id"]: r["s"] for r in out.collect()} == {10: 5, 11: 12}
