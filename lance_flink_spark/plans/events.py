@@ -30,7 +30,11 @@ def events_tumbling(spark, sf_dir):
     return tumbling_agg(table(spark, sf_dir, "events"), window="1 hour")
 
 
-@query("streaming_tumbling", oracle=_TUMBLING_ORACLE)
+@query(
+    "streaming_tumbling",
+    extra=True,  # r14 rotation: banked (hash-green r1-r13); sessions stay primary
+    oracle=_TUMBLING_ORACLE,
+)
 def streaming_tumbling(spark, sf_dir):
     """The SAME tumbling aggregate run as a Structured Streaming
     pipeline (readStream → watermark → window → availableNow → memory
@@ -155,6 +159,7 @@ def streaming_stateful_counters(spark, sf_dir):
 
 @query(
     "streaming_enrich",
+    extra=True,  # r14 rotation: banked; stream-stream + window joins stay primary
     oracle="""
     WITH dim AS (SELECT DISTINCT user_id, user_id % 10 AS user_seg FROM events)
     SELECT event_type, user_seg, COUNT(*) AS n
@@ -355,7 +360,7 @@ def streaming_window_users(spark, sf_dir):
 
 @query(
     "events_cumulate",
-    extra=True,  # one driver round of hash evidence banked (r11)
+    # r14 rotation: back to primary for fresh driver hash evidence
     oracle="""
     WITH fan AS (
       SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start_s,
@@ -415,6 +420,7 @@ def events_latest_by_key(spark, sf_dir):
 
 @query(
     "events_match_sequence",
+    extra=True,  # r14 rotation: banked; quantified CEP takes the primary slot
     # r8 rotation: promoted to the driver registry (CEP family evidence)
     oracle="""
     SELECT v.user_id, v.event_id AS start_event_id,
@@ -599,7 +605,7 @@ def sql_session_tvf(spark, sf_dir):
 
 @query(
     "sql_hop_tvf",
-    extra=True,  # r13 rotation: banked (driver hash-green r12); session TVF stays primary
+    # r14 rotation: back to primary for fresh driver hash evidence
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -910,7 +916,7 @@ def events_match_quantified(spark, sf_dir):
 
 @query(
     "streaming_match_quantified",
-    extra=True,  # r13: quantified strict-contiguity MATCH_RECOGNIZE on a stream
+    # r14 rotation: primary — quantified streaming CEP, first driver hashing
     oracle="""
     WITH typed AS (
         SELECT user_id, ts, event_id,
@@ -981,7 +987,7 @@ def streaming_match_quantified(spark, sf_dir):
 
 @query(
     "streaming_lag",
-    extra=True,  # r13: Flink streaming OVER LAG
+    # r14 rotation: primary — streaming OVER LAG, first driver hashing
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 2) OVER (
@@ -1022,7 +1028,7 @@ def streaming_lag(spark, sf_dir):
 
 @query(
     "streaming_sql_over",
-    extra=True,  # r14: streaming OVER through the SQL dialect
+    # r14: streaming OVER through the SQL dialect — primary from day one
     oracle="""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            CAST(SUM(vc) OVER w AS BIGINT) AS s,

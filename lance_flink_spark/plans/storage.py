@@ -229,3 +229,76 @@ def lance_native_roundtrip(spark, sf_dir):
             F.col("emb")[0].cast("bigint") + F.col("emb")[1].cast("bigint")
         ).alias("sum_emb"),
     )
+
+
+@query(
+    "lance_native_distributed",
+    # r14: executor-parallel native write + roaring deletion + one-
+    # task-per-fragment read — the cluster-scale Lance lifecycle
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN n_chars % 3 = 0 THEN 1 END) AS n_title,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nc
+    FROM documents
+    WHERE doc_id % 7 <> 2
+    GROUP BY lang
+    """,
+)
+def lance_native_distributed(spark, sf_dir):
+    """The CLUSTER-scale native Lance lifecycle (round 14): the
+    documents table repartitions to 8 and writes through
+    write_dataset_distributed — each executor task encodes its own
+    'Lance File 2.0' fragments (mapInArrow, physical-schema casts,
+    uuid names), the driver commits only the manifest. A
+    roaring-BITMAP deletion file (portable serialization — the type
+    current Lance versions write) masks doc_id % 7 == 2, with the
+    offsets resolved through the DISTRIBUTED with_offsets read. The
+    final read is one task per fragment (read_distributed — the
+    reference's LanceInputFormat split model, LanceSink.java:60-108
+    for the write side). The oracle replays the derivation over the
+    parquet source: a fragment lost in the distributed commit, a
+    mis-based physical offset, a roaring container decoded wrong, or
+    a null dropped by a task-side cast breaks the hash."""
+    import shutil
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        delete_rows,
+        read_distributed,
+        write_dataset_distributed,
+    )
+
+    src = (
+        table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "CASE WHEN n_chars % 3 = 0 THEN text END AS title",
+        )
+        .repartition(8)
+    )
+    root = os.path.join(
+        scratch_dir("lance_native_dist" + _tag(sf_dir)), "docs_dist"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(root, src)
+    nds = LanceNativeDataset(root)
+    # offsets of the doomed rows come from the DISTRIBUTED read (the
+    # SQL DELETE path's shape); the collect is offsets-only and gated
+    # at the SQL surface by the same 4M contract as _delete_native
+    offs = [
+        r["__phys"]
+        for r in read_distributed(nds, spark, with_offsets=True)
+        .filter("doc_id % 7 = 2")
+        .select("__phys")
+        .collect()
+    ]
+    delete_rows(root, offs, deletion_format="bitmap")
+    df = read_distributed(LanceNativeDataset(root), spark)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("title").alias("n_title"),
+        F.sum("n_chars").alias("sum_nc"),
+    )

@@ -478,6 +478,7 @@ def pipeline_clean_corpus(spark, sf_dir):
 
 @query(
     "dedup_exact",
+    extra=True,  # r14 rotation: banked; minhash/embedding/canonical stay primary
     oracle="""
     SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM documents

@@ -115,6 +115,7 @@ def q3_shipping_priority(spark, sf_dir):
 
 @query(
     "q5_local_supplier",
+    extra=True,  # r14 rotation: banked; Q1/Q3 keep the TPC-H primary slots
     oracle="""
     SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM orders
@@ -644,6 +645,7 @@ def running_revenue(spark, sf_dir):
 
 @query(
     "scan_pushdown",
+    extra=True,  # r14 rotation: banked; pushdown stays plan-pinned in pytest
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
     FROM lineitem
