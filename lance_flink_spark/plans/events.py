@@ -123,7 +123,7 @@ def streaming_sessions(spark, sf_dir):
 
     events = stream_events(spark, sf_dir, watermark="1 hour")
     t = run_to_memory(
-        session_window_agg(events, gap="30 minutes"), mode="complete", state_partitions=8
+        session_window_agg(events, gap="30 minutes"), mode="complete", state_partitions=16
     )
     per_sess = spark.table(t)
     return per_sess.groupBy("user_id").agg(
@@ -150,7 +150,7 @@ def streaming_stateful_counters(spark, sf_dir):
 
     events = stream_events(spark, sf_dir, watermark="1 hour")
     out = running_user_counters(events)
-    t = run_to_memory(out, mode="update", state_partitions=8)
+    t = run_to_memory(out, mode="update", state_partitions=16)
     return (
         spark.table(t)
         .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
@@ -183,7 +183,7 @@ def streaming_enrich(spark, sf_dir):
     stream = stream_events(spark, sf_dir, watermark="1 hour")
     enriched = enrich_stream(stream, dim, on="user_id")
     agg = enriched.groupBy("event_type", "user_seg").agg(F.count(F.lit(1)).alias("n"))
-    t = run_to_memory(agg, mode="complete", state_partitions=8)
+    t = run_to_memory(agg, mode="complete", state_partitions=16)
     return spark.table(t)
 
 
@@ -214,7 +214,9 @@ def streaming_stream_join(spark, sf_dir):
     )
     joined = stream_interval_join(clicks, purchases, on="user_id", upper="10 minutes")
     # stream-stream joins emit in append mode only; matched pairs land
-    # in the sink as they finalize, the count is a batch agg on top
+    # in the sink as they finalize, the count is a batch agg on top.
+    # 8 shards, not 16: a join keeps FOUR state stores per shard, so
+    # shard count scales commit cost 4x (r14 measured 2.7 -> 4.3s at 16)
     t = run_to_memory(joined, mode="append", state_partitions=8)
     return (
         spark.table(t)
@@ -353,7 +355,7 @@ def streaming_window_users(spark, sf_dir):
 
     events = stream_events(spark, sf_dir, watermark="1 hour")
     t = run_to_memory(
-        windowed_distinct_users(events, window="1 hour"), state_partitions=8
+        windowed_distinct_users(events, window="1 hour"), state_partitions=16
     )
     return spark.table(t)
 
@@ -486,7 +488,7 @@ def streaming_match_sequence(spark, sf_dir):
     out = stream_match_sequence(
         events, steps=["view", "click", "purchase"], within="24 hours"
     )
-    t = run_to_memory(out, mode="append", state_partitions=8)
+    t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t)
 
 
@@ -552,7 +554,7 @@ def streaming_latest_by_key(spark, sf_dir):
     out = stream_latest_by_key(
         events, ["user_id", "event_type"], "ts_us", "event_id"
     )
-    t = run_to_memory(out, mode="update", state_partitions=8)
+    t = run_to_memory(out, mode="update", state_partitions=16)
     return latest_by_key(
         spark.table(t), ["user_id", "event_type"], "ts_us", "event_id"
     )
@@ -666,7 +668,7 @@ def streaming_earliest_by_key(spark, sf_dir):
     out = stream_latest_by_key(
         events, ["user_id", "event_type"], "ts_us", "event_id", keep="first"
     )
-    t = run_to_memory(out, mode="update", state_partitions=8)
+    t = run_to_memory(out, mode="update", state_partitions=16)
     return earliest_by_key(
         spark.table(t), ["user_id", "event_type"], "ts_us", "event_id"
     )
@@ -716,7 +718,7 @@ def streaming_over_agg(spark, sf_dir):
         value_col="vc",
         preceding_ms=30 * 60 * 1000,
     )
-    t = run_to_memory(out, mode="append", state_partitions=8)
+    t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select("user_id", "event_id", "ts_us", "range_sum")
 
 
@@ -757,7 +759,7 @@ def streaming_over_rows(spark, sf_dir):
         value_col="vc",
         n_preceding=5,
     )
-    t = run_to_memory(out, mode="append", state_partitions=8)
+    t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select("user_id", "event_id", "ts_us", "rows_sum")
 
 
@@ -792,6 +794,7 @@ def streaming_window_join(spark, sf_dir):
         "event_type = 'purchase'"
     )
     joined = stream_window_join(clicks, purchases, on="user_id", window="1 hour")
+    # 8 shards: four join state stores per shard (see streaming_stream_join)
     t = run_to_memory(joined, mode="append", state_partitions=8)
     return spark.table(t).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs")
@@ -844,7 +847,7 @@ def streaming_over_multi(spark, sf_dir):
         value_col="vc",
         preceding_ms=30 * 60 * 1000,
     )
-    t = run_to_memory(out, mode="append", state_partitions=8)
+    t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select(
         "user_id", "event_id", "ts_us",
         "over_cnt", "over_sum", "over_min", "over_max", "over_avg",
@@ -978,7 +981,7 @@ def streaming_match_quantified(spark, sf_dir):
         id_col="event_id",
         type_col="event_type",
     )
-    t = run_to_memory(out, mode="append", state_partitions=8)
+    t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select(
         "user_id", "start_event_id", "t0_us", "t_last_us", "n_rows",
         "duration_us",
@@ -1022,7 +1025,7 @@ def streaming_lag(spark, sf_dir):
         value_col="vc",
         n_lag=2,
     )
-    t = run_to_memory(out, mode="append", state_partitions=8)
+    t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select("user_id", "event_id", "ts_us", "lag_v")
 
 
@@ -1072,7 +1075,7 @@ def streaming_sql_over(spark, sf_dir):
                         RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING
                         AND CURRENT ROW)"""
     )
-    t = run_to_memory(out, mode="append", state_partitions=8)
+    t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select(
         "user_id", "event_id", "ts_us", "s", "c", "mx"
     )

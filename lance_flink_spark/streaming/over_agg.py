@@ -62,10 +62,32 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # (ts_us, event_id, value, emitted) column-arrays + the key's emission
 # horizon — one state row
+# r14: the four column-arrays ride as PACKED little-endian bytes, not
+# array<long> — 1500 keys x 2 state round-trips per micro-batch made
+# per-key list<->Row encoding the dominant fixture cost at sf0.1;
+# np.frombuffer/tobytes is ~10x cheaper and checkpoint compat is moot
+# (every run_to_memory starts a fresh uuid checkpoint)
 STATE_SCHEMA = (
-    "ts array<long>, ids array<long>, vs array<long>, done array<boolean>, "
-    "hwm long"
+    "ts binary, ids binary, vs binary, done binary, hwm long"
 )
+
+
+def _packed_state(ts, ids, vs, done, hwm) -> tuple:
+    return (
+        ts.astype("<i8").tobytes(),
+        ids.astype("<i8").tobytes(),
+        vs.astype("<i8").tobytes(),
+        done.astype(np.uint8).tobytes(),
+        int(hwm),
+    )
+
+
+def _unpack_arrays(st):
+    ts = np.frombuffer(st[0], "<i8")
+    ids = np.frombuffer(st[1], "<i8")
+    vs = np.frombuffer(st[2], "<i8")
+    done = np.frombuffer(st[3], np.uint8).astype(bool)
+    return ts, ids, vs, done
 
 #: internal shifted event-time column (module docstring)
 _WM_COL = "__wm_ts"
@@ -102,8 +124,7 @@ def _load_state(state, pdfs):
     sealed frame — late-drop keeps emitted results consistent)."""
     if state.exists:
         st = state.get
-        ts, ids, vs, done = (np.asarray(c) for c in st[:4])
-        done = done.astype(bool)
+        ts, ids, vs, done = _unpack_arrays(st)
         hwm = int(st[4])
     else:
         ts = np.empty(0, dtype=np.int64)
@@ -174,14 +195,10 @@ def over_range_sum(
             )
             done = done | emit
         else:
-            out = pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "event_id": pd.Series([], dtype="int64"),
-                    "ts_us": pd.Series([], dtype="int64"),
-                    "range_sum": pd.Series([], dtype="int64"),
-                }
-            )
+            # nothing settled for this key this batch: yield NOTHING —
+            # 1500 keys x an empty pandas frame through Arrow per
+            # micro-batch was measurable fixture cost (r14)
+            out = None
         # evict rows no future frame can reference
         keep = ts >= wm_us - rng_us
         # pending rows must never be evicted (late watermark math aside,
@@ -189,10 +206,7 @@ def over_range_sum(
         keep |= ~done
         ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
         if len(ts):
-            state.update(
-                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
-                 int(wm_us))
-            )
+            state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
             if len(pending):
                 state.setTimeoutTimestamp(
@@ -200,7 +214,8 @@ def over_range_sum(
                 )
         else:
             state.remove()
-        yield out
+        if out is not None:
+            yield out
 
     keyed = _with_shifted_watermark(
         events.select(
@@ -271,14 +286,7 @@ def over_rows_sum(
             )
             done = done | emit
         else:
-            out = pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "event_id": pd.Series([], dtype="int64"),
-                    "ts_us": pd.Series([], dtype="int64"),
-                    "rows_sum": pd.Series([], dtype="int64"),
-                }
-            )
+            out = None  # yield nothing (see over_range_sum)
         # the earliest possible FUTURE row (ts at/above the watermark)
         # sorts at the first position holding ts >= wm; done rows more
         # than n_prec slots before that can never re-enter a frame
@@ -287,10 +295,7 @@ def over_rows_sum(
         keep = (~done) | (idx >= cut - n_prec)
         ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
         if len(ts):
-            state.update(
-                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
-                 int(wm_us))
-            )
+            state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
             if len(pending):
                 state.setTimeoutTimestamp(
@@ -298,7 +303,8 @@ def over_rows_sum(
                 )
         else:
             state.remove()
-        yield out
+        if out is not None:
+            yield out
 
     keyed = _with_shifted_watermark(
         events.select(
@@ -428,20 +434,18 @@ def over_range_multi(
             out = _multi_frame(key, ids, ts, vs, emit, lo, hi)
             done = done | emit
         else:
-            out = _empty_multi()
+            out = None  # yield nothing (see over_range_sum)
         keep = (ts >= wm_us - rng_us) | ~done
         ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
         if len(ts):
-            state.update(
-                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
-                 int(wm_us))
-            )
+            state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
             if len(pending):
                 state.setTimeoutTimestamp(_timer_ms(int(pending.min()), wm_us))
         else:
             state.remove()
-        yield out
+        if out is not None:
+            yield out
 
     keyed = _with_shifted_watermark(
         events.select(
@@ -498,22 +502,20 @@ def over_rows_multi(
             out = _multi_frame(key, ids, ts, vs, emit, lo, pos + 1)
             done = done | emit
         else:
-            out = _empty_multi()
+            out = None  # yield nothing (see over_range_sum)
         cut = int(np.searchsorted(ts, wm_us, side="left"))
         idx = np.arange(len(ts))
         keep = (~done) | (idx >= cut - n_prec)
         ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
         if len(ts):
-            state.update(
-                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
-                 int(wm_us))
-            )
+            state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
             if len(pending):
                 state.setTimeoutTimestamp(_timer_ms(int(pending.min()), wm_us))
         else:
             state.remove()
-        yield out
+        if out is not None:
+            yield out
 
     keyed = _with_shifted_watermark(
         events.select(
@@ -542,8 +544,7 @@ def over_rows_multi(
 #: in-buffer predecessor is provably "stream head" (NULL), never an
 #: eviction artifact
 _LAG_STATE = (
-    "ts array<long>, ids array<long>, vs array<long>, done array<boolean>, "
-    "hwm long, evicted long"
+    "ts binary, ids binary, vs binary, done binary, hwm long, evicted long"
 )
 
 
@@ -581,8 +582,7 @@ def over_rows_lag(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             st = state.get
-            ts, ids, vs = (np.asarray(c, dtype=np.int64) for c in st[:3])
-            done = np.asarray(st[3]).astype(bool)
+            ts, ids, vs, done = _unpack_arrays(st)
             hwm, evicted = int(st[4]), int(st[5])
         else:
             ts = np.empty(0, np.int64)
@@ -644,15 +644,15 @@ def over_rows_lag(
         ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
         if len(ts):
             state.update(
-                (ts.tolist(), ids.tolist(), vs.tolist(), done.tolist(),
-                 int(wm_us), int(evicted))
+                _packed_state(ts, ids, vs, done, wm_us) + (int(evicted),)
             )
             pending = ts[~done]
             if len(pending):
                 state.setTimeoutTimestamp(_timer_ms(int(pending.min()), wm_us))
         else:
             state.remove()
-        yield out
+        if out is not None:
+            yield out
 
     keyed = _with_shifted_watermark(
         events.select(
