@@ -580,6 +580,22 @@ _INTERVAL_MS = {
     "day": 86_400_000,
 }
 
+# Native-table scan shortcuts (round 14). COUNT(*) answers from the
+# manifest + deletion files alone — zero data pages (Lance answers
+# counts from metadata the same way); a simple projection list prunes
+# the distributed decode to the referenced columns (LanceInputFormat's
+# projection pushdown — Catalyst can't push through mapInPandas).
+_NATIVE_COUNT = re.compile(
+    r"^SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+FROM\s+"
+    r"(?P<tbl>\w+)(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_NATIVE_SELECT = re.compile(
+    r"^SELECT\s+(?P<proj>[A-Za-z_][\w\s,]*?)\s+FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def _split_top_level(s: str) -> list[str]:
     """Split a projection list on commas OUTSIDE parentheses."""
@@ -892,7 +908,7 @@ class SqlEngine:
         self._refresh_views()
         return True
 
-    def _native_df(self, nds, version=None, with_offsets=False):
+    def _native_df(self, nds, version=None, with_offsets=False, columns=None):
         """The SQL surface's ONE native read path: the distributed
         one-task-per-fragment reader (lance_native.read_distributed —
         the reference's LanceInputFormat split model). The driver
@@ -902,7 +918,11 @@ class SqlEngine:
         from lance_flink_spark.sources.lance_native import read_distributed
 
         return read_distributed(
-            nds, self.spark, version=version, with_offsets=with_offsets
+            nds,
+            self.spark,
+            version=version,
+            with_offsets=with_offsets,
+            columns=columns,
         )
 
     def _refuse_native(self, name: str, op: str) -> None:
@@ -1342,12 +1362,58 @@ class SqlEngine:
                 ],
                 "version long, mode string, ts double, expired boolean",
             )
+        m = _NATIVE_COUNT.match(sql)
+        if m and m.group("tbl") in self.native_tables:
+            # COUNT(*) on a native table: manifest + deletion files
+            # only — no data page is opened, at any table size
+            nds = self.native_tables[m.group("tbl")]
+            v = int(m.group("v")) if m.group("v") else None
+            n = nds.live_row_count(version=v)
+            return self.spark.createDataFrame(
+                [(n,)], f"{m.group('alias') or 'count(1)'} long"
+            )
+        m = _NATIVE_SELECT.match(sql)
+        if m and m.group("tbl") in self.native_tables:
+            pruned = self._native_pruned_select(m)
+            if pruned is not None:
+                return pruned
         m = _STREAM_OVER.match(sql)
         if m and " OVER " in sql.upper():
             lowered = self._try_stream_over(m)
             if lowered is not None:
                 return lowered
         return self._query(sql)
+
+    def _native_pruned_select(self, m: re.Match) -> DataFrame | None:
+        """``SELECT <plain column list> FROM <native> [WHERE pred]``:
+        re-plan the scan with the projection (plus every table column
+        the predicate mentions) pushed into the per-fragment decode —
+        the pruned columns' pages are never read. Returns None for
+        shapes outside the subset ('*', expressions, aliases), which
+        fall through to the full registered view."""
+        nds = self.native_tables[m.group("tbl")]
+        fields, _frags, _v = nds._manifest()
+        all_cols = {f.name for f in fields}
+        proj = [c.strip() for c in m.group("proj").split(",")]
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in proj):
+            return None
+        if not set(proj) <= all_cols:
+            return None  # let Spark raise its own unresolved-column error
+        pred = m.group("pred")
+        if pred and re.search(
+            r"\b(ORDER|GROUP|LIMIT|HAVING|UNION|JOIN|SELECT)\b", pred, re.IGNORECASE
+        ):
+            return None  # trailing clauses: not a plain scan+filter
+        need = list(dict.fromkeys(proj))
+        if pred:
+            # conservative superset: any table column whose name appears
+            # as a word in the predicate is decoded too
+            toks = set(re.findall(r"[A-Za-z_]\w*", pred))
+            need += [c for c in sorted(all_cols & toks) if c not in need]
+        df = self._native_df(nds, columns=need)
+        if pred:
+            df = df.filter(_rewrite_array_literals(pred))
+        return df.select(*proj)
 
     def _try_stream_over(self, m: re.Match) -> DataFrame | None:
         """Lower a bounded-preceding OVER statement onto the streaming

@@ -424,16 +424,31 @@ def _offsets_with_zero(blob, off, rows) -> bytes:
     return np.concatenate([[0], ends]).astype("<i8").tobytes(), ends
 
 
+def _field_column_span(lf: LanceField) -> int:
+    """How many DATA columns a top-level field occupies in the file's
+    depth-first column layout (primitive/varlen 1, list 2, struct =
+    its children's spans)."""
+    if lf.logical == "struct":
+        return sum(_field_column_span(c) for c in lf.children)
+    return 1 + sum(_field_column_span(c) for c in lf.children)
+
+
 def read_fragment_table(
     path: str,
     top_fields: list[LanceField],
     fragment: LanceFragment | None = None,
+    columns: list[str] | None = None,
 ):
     """Decode one .lance data file into a pyarrow.Table. When the
     manifest ``fragment`` is given, its recorded field_ids /
     column_indices are validated against the schema's depth-first
     order — a reordered or subset data file (post-add-column
-    fragments) would otherwise decode same-typed columns swapped."""
+    fragments) would otherwise decode same-typed columns swapped.
+    ``columns`` projects to the named TOP-LEVEL fields: the pages of
+    every other column are never decoded (their buffers aren't even
+    range-checked) — the projection-pushdown the reference's
+    LanceInputFormat forwards to the Lance scanner. Unknown names
+    refuse."""
     import pyarrow as pa
 
     size = os.path.getsize(path)
@@ -570,12 +585,32 @@ def read_fragment_table(
             f"field {lf.name!r}: logical type {lf.logical!r}"
         )
 
+    if columns is not None:
+        unknown = set(columns) - {lf.name for lf in top_fields}
+        if unknown:
+            raise UnsupportedLanceFeature(
+                f"projection names {sorted(unknown)} not in schema "
+                f"{[lf.name for lf in top_fields]}"
+            )
+        wanted = set(columns)
+    else:
+        wanted = None
     ci = 0
     names, arrays = [], []
     for lf in top_fields:
+        if wanted is not None and lf.name not in wanted:
+            ci += _field_column_span(lf)  # pages never touched
+            continue
         arr, ci = _decode_field(lf, ci)
         arrays.append(arr)
         names.append(lf.name)
+    if not names:
+        raise UnsupportedLanceFeature("projection selected zero columns")
+    # preserve the caller's projection order
+    if columns is not None:
+        order = {n: i for i, n in enumerate(names)}
+        names = [n for n in columns]
+        arrays = [arrays[order[n]] for n in columns]
     return pa.table(dict(zip(names, arrays)))
 
 
@@ -1609,12 +1644,30 @@ class LanceNativeDataset:
         ).read()
         return parse_manifest(raw)
 
-    def to_arrow(self, version: int | None = None, with_offsets: bool = False):
+    def live_row_count(self, version: int | None = None) -> int:
+        """COUNT(*) from METADATA alone: manifest physical rows minus
+        the deletion files' masks — zero data pages opened (the
+        reference's count shape; Lance answers counts the same way)."""
+        _fields, frags, _v = self._manifest(version)
+        n = 0
+        for fr in frags:
+            n += fr.physical_rows
+            if fr.deletion is not None:
+                n -= len(read_deletion_file(self.root, fr))
+        return n
+
+    def to_arrow(
+        self,
+        version: int | None = None,
+        with_offsets: bool = False,
+        columns: list[str] | None = None,
+    ):
         """Decode to a pyarrow Table. ``with_offsets=True`` appends a
         ``__phys`` int64 column carrying each live row's GLOBAL
         physical offset (fragment order, deletion masks ignored) — the
         address space :func:`delete_rows` consumes, which is how SQL
-        DELETE computes its targets."""
+        DELETE computes its targets. ``columns`` projects to the named
+        top-level fields without decoding the rest."""
         import pyarrow as pa
 
         fields, frags, _v = self._manifest(version)
@@ -1623,7 +1676,8 @@ class LanceNativeDataset:
         base = 0
         for fr in frags:
             t = read_fragment_table(
-                os.path.join(self.root, "data", fr.path), fields, fr
+                os.path.join(self.root, "data", fr.path), fields, fr,
+                columns=columns,
             )
             keep = np.arange(t.num_rows, dtype="int64")
             if fr.deletion is not None:
@@ -1752,6 +1806,7 @@ def read_distributed(
     spark,
     version: int | None = None,
     with_offsets: bool = False,
+    columns: list[str] | None = None,
 ):
     """Cluster-scale native read: ONE executor task per fragment
     decodes its .lance file (deletion mask applied locally) and emits
@@ -1765,7 +1820,10 @@ def read_distributed(
     in tests; NFS/object-store mounts on a real cluster).
     ``with_offsets=True`` appends the same ``__phys`` global physical
     offset column the driver-side read serves — each task derives it
-    from its fragment's base offset, shipped in the task row."""
+    from its fragment's base offset, shipped in the task row.
+    ``columns`` pushes the projection into each task's decode: the
+    pruned columns' pages are never read (LanceInputFormat's
+    projection pushdown)."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -1785,7 +1843,18 @@ def read_distributed(
     )
     probe_schema = []
     for f in arrow_schema_of(fields):
+        if columns is not None and f.name not in columns:
+            continue
         probe_schema.append((f.name, _spark_type_of(pa, f.type, ntz_type)))
+    if columns is not None:  # caller's projection order
+        by_name = dict(probe_schema)
+        unknown = [n for n in columns if n not in by_name]
+        if unknown:
+            raise UnsupportedLanceFeature(
+                f"projection names {unknown} not in schema "
+                f"{[f.name for f in fields]}"
+            )
+        probe_schema = [(n, by_name[n]) for n in columns]
     if with_offsets:
         probe_schema.append(("__phys", T.LongType()))
     out_schema = T.StructType(
@@ -1810,7 +1879,8 @@ def read_distributed(
             for path, fbase in zip(pdf["frag_path"], pdf["base"]):
                 fr = by_path[path]
                 t = read_fragment_table(
-                    os.path.join(root, "data", fr.path), efields, fr
+                    os.path.join(root, "data", fr.path), efields, fr,
+                    columns=columns,
                 )
                 keep = np.arange(t.num_rows, dtype="int64")
                 if fr.deletion is not None:
