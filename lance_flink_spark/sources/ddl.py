@@ -996,7 +996,16 @@ class SqlEngine:
         from lance_flink_spark.sources.lance_native import delete_rows
 
         nds = self.native_tables[name]
-        df = self._native_df(nds, with_offsets=True)
+        # prune the offset-resolution scan to the predicate's columns —
+        # a DELETE on a wide table shouldn't decode every page
+        fields, _frags, _v = nds._manifest()
+        if pred:
+            toks = set(re.findall(r"[A-Za-z_]\w*", pred))
+            cols = sorted({f.name for f in fields} & toks) or None
+        else:
+            # unconditional DELETE: offsets only — decode one thin column
+            cols = [fields[0].name]
+        df = self._native_df(nds, with_offsets=True, columns=cols)
         if pred:
             df = df.filter(_rewrite_array_literals(pred))
         ids = [
