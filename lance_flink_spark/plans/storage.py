@@ -302,3 +302,52 @@ def lance_native_distributed(spark, sf_dir):
         F.count("title").alias("n_title"),
         F.sum("n_chars").alias("sum_nc"),
     )
+
+
+@query(
+    "lance_datasource_roundtrip",
+    extra=True,  # r14: the V2 Python DataSource surface, full oracle
+    oracle="""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_nc
+    FROM documents
+    WHERE n_chars > 200
+    GROUP BY lang
+    """,
+)
+def lance_datasource_roundtrip(spark, sf_dir):
+    """spark.read/write.format('lance_native') end-to-end — the Spark
+    V2 packaging of the native format (sources/spark_datasource.py):
+    the documents table writes through the DataSourceArrowWriter
+    (task-side fragments, driver manifest commit), reads back through
+    the fragment-partitioned reader with `n_chars > 200` PUSHED into
+    the task-side pyarrow filter (pushFilters absorbs simple
+    comparisons), and aggregates. The oracle replays relationally — a
+    row lost in a task commit or a filter mis-applied in-task breaks
+    the hash."""
+    import shutil
+
+    from lance_flink_spark.sources import spark_datasource as dsx
+
+    dsx.register(spark)
+    root = os.path.join(
+        scratch_dir("lance_ds" + _tag(sf_dir)), "docs_ds"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+        .write.format("lance_native")
+        .mode("append")
+        .option("path", root)
+        .save()
+    )
+    df = spark.read.format("lance_native").option("path", root).load()
+    return (
+        df.filter("n_chars > 200")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_nc"),
+        )
+    )

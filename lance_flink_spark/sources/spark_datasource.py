@@ -1,0 +1,465 @@
+"""Native Lance as a first-class Spark V2 data source (Python
+DataSource API, Spark 4.x) — ``spark.read.format("lance_native")`` /
+``df.write.format("lance_native")`` / ``writeStream``.
+
+This is the Spark-idiomatic packaging of the reference connector's
+whole surface: LanceInputFormat's one-split-per-fragment read model
+becomes ``partitions()`` (one ``InputPartition`` per fragment, deletion
+masks applied in-task), LanceSink.java:60-108's task-write/
+coordinator-commit becomes ``DataSourceArrowWriter.write`` (executors
+emit 'Lance File 2.0' fragment files) + ``commit`` (the driver writes
+one manifest version), and the checkpointed streaming sink becomes
+``DataSourceStreamArrowWriter`` with batchId-keyed idempotent commits
+(exactly-once across restarts, the Flink checkpoint-commit contract).
+
+Catalyst integration the mapInPandas path cannot offer:
+
+- **Filter pushdown** (``pushFilters``, Spark 4.1): simple
+  single-column comparisons are applied EXACTLY inside each fragment
+  task via pyarrow.compute, so only matching rows cross the
+  task→JVM Arrow boundary; everything else is returned to Spark for
+  post-scan evaluation.
+- **Column projection** via the ``columns`` read option: pruned
+  columns' pages are never decoded (``read_fragment_table(columns=)``).
+
+Everything decodes/encodes through ``sources/lance_native.py`` — the
+same documented format subset, the same loud refusals. Timestamps
+without a timezone surface as TIMESTAMP_NTZ (the format stores a wall
+clock; the session-tz reinterpretation the Arrow bridge does is
+exactly the ambiguity NTZ exists to avoid).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql import types as T
+
+
+def _dataset(root: str):
+    from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+    return LanceNativeDataset(root)
+
+
+def _downcast_arrow_schema(fields):
+    """The plain (non-large) arrow schema read() serves Spark."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import arrow_schema_of
+
+    def down(tp):
+        if pa.types.is_large_string(tp):
+            return pa.string()
+        if pa.types.is_large_binary(tp):
+            return pa.binary()
+        if pa.types.is_large_list(tp):
+            return pa.list_(down(tp.value_type))
+        if pa.types.is_struct(tp):
+            return pa.struct([pa.field(f.name, down(f.type)) for f in tp])
+        return tp
+
+    base = arrow_schema_of(fields)
+    return pa.schema([pa.field(f.name, down(f.type)) for f in base])
+
+
+@dataclass
+class LanceFragmentPartition(InputPartition):
+    frag_path: str
+    base: int
+
+
+class LanceNativeDataSource(DataSource):
+    """``format("lance_native")``. Options: ``path`` (dataset root,
+    required), ``version`` (time travel), ``columns`` (comma-separated
+    projection — Catalyst's own pruning can't reach inside a Python
+    data source, so the knob is explicit like the reference's
+    LanceOptions projection)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lance_native"
+
+    def _root(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lance_native requires a 'path' option")
+        return path
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        nds = _dataset(self._root())
+        v = self.options.get("version")
+        fields, _frags, _v = nds._manifest(int(v) if v is not None else None)
+        arrow = _downcast_arrow_schema(fields)
+        cols = self.options.get("columns")
+        if cols:
+            want = [c.strip() for c in cols.split(",") if c.strip()]
+            unknown = set(want) - set(arrow.names)
+            if unknown:
+                raise ValueError(
+                    f"columns {sorted(unknown)} not in schema {arrow.names}"
+                )
+            import pyarrow as pa
+
+            arrow = pa.schema([arrow.field(n) for n in want])
+        return from_arrow_schema(arrow)
+
+    def reader(self, schema: T.StructType) -> "LanceNativeReader":
+        return LanceNativeReader(self._root(), self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "LanceNativeWriter":
+        return LanceNativeWriter(self._root(), schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return LanceNativeStreamWriter(self._root(), schema)
+
+
+# supported exactly in-task; everything else returns to Spark
+_SIMPLE_FILTERS = (
+    EqualTo,
+    EqualNullSafe,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+)
+
+
+def _apply_filter(pc, pa, table, f):
+    col = table.column(f.attribute[0])
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        m = pc.equal(col, f.value)
+        if isinstance(f, EqualNullSafe):
+            return pc.fill_null(m, f.value is None)
+        return m
+    if isinstance(f, GreaterThan):
+        return pc.greater(col, f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return pc.greater_equal(col, f.value)
+    if isinstance(f, LessThan):
+        return pc.less(col, f.value)
+    if isinstance(f, LessThanOrEqual):
+        return pc.less_equal(col, f.value)
+    if isinstance(f, In):
+        return pc.is_in(col, value_set=pa.array(list(f.value), type=col.type))
+    if isinstance(f, IsNull):
+        return pc.is_null(col)
+    if isinstance(f, IsNotNull):
+        return pc.is_valid(col)
+    raise AssertionError(f"unsupported filter slipped through: {f}")
+
+
+class LanceNativeReader(DataSourceReader):
+    def __init__(self, root: str, options):
+        self.root = root
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        cols = options.get("columns")
+        self.columns = (
+            [c.strip() for c in cols.split(",") if c.strip()] if cols else None
+        )
+        self.filters: list = []
+
+    def pushFilters(self, filters):
+        rest = []
+        cols = set(self.columns or ())
+        for f in filters:
+            ok = (
+                isinstance(f, _SIMPLE_FILTERS)
+                and len(f.attribute) == 1
+                # with an explicit projection, only filter on projected
+                # columns (the pruned ones aren't decoded)
+                and (not cols or f.attribute[0] in cols)
+            )
+            if ok:
+                self.filters.append(f)
+            else:
+                rest.append(f)
+        return rest
+
+    def partitions(self):
+        nds = _dataset(self.root)
+        _fields, frags, _v = nds._manifest(self.version)
+        out, base = [], 0
+        for fr in frags:
+            out.append(LanceFragmentPartition(fr.path, base))
+            base += fr.physical_rows
+        return out
+
+    def read(self, partition: LanceFragmentPartition):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from lance_flink_spark.sources.lance_native import (
+            read_deletion_file,
+            read_fragment_table,
+        )
+
+        nds = _dataset(self.root)
+        fields, frags, _v = nds._manifest(self.version)
+        fr = next(f for f in frags if f.path == partition.frag_path)
+        t = read_fragment_table(
+            os.path.join(self.root, "data", fr.path),
+            fields,
+            fr,
+            columns=self.columns,
+        )
+        if fr.deletion is not None:
+            dead = read_deletion_file(self.root, fr)
+            t = t.take(np.setdiff1d(np.arange(t.num_rows, dtype="int64"), dead))
+        want = _downcast_arrow_schema(fields)
+        if self.columns is not None:
+            want = pa.schema([want.field(n) for n in self.columns])
+        t = t.cast(want)
+        for f in self.filters:
+            t = t.filter(_apply_filter(pc, pa, t, f))
+        yield from t.to_batches()
+
+
+@dataclass
+class LanceWriteCommit(WriterCommitMessage):
+    plates: list  # [(task_sort_key, fragment file name, rows)]
+
+
+def _target_arrow_schema(root: str, spark_schema: T.StructType):
+    """(existing LanceFields|None, physical arrow schema to write).
+    Appends conform to the EXISTING manifest (field ids preserved);
+    fresh datasets derive fields from the Spark schema."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from lance_flink_spark.sources.lance_native import (
+        _schema_fields_of,
+        arrow_schema_of,
+    )
+
+    if os.path.isdir(os.path.join(root, "_versions")):
+        nds = _dataset(root)
+        fields, _frags, _v = nds._manifest()
+        return fields, arrow_schema_of(fields)
+    fields, _blob = _schema_fields_of(pa, to_arrow_schema(spark_schema))
+    return None, arrow_schema_of(fields)
+
+
+def _write_task_fragments(
+    root: str, target, it, max_rows: int = 1 << 20, max_bytes: int = 192 * 1024 * 1024
+) -> list:
+    """Executor side: stream Arrow batches into gate-sized fragment
+    files (uuid names — retry-orphan-safe); returns (seq, name, rows)
+    plates. Shared by the batch and streaming writers."""
+    import pyarrow as pa
+
+    from pyspark import TaskContext
+
+    from lance_flink_spark.sources.lance_native import write_fragment_file
+
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    part = TaskContext.get().partitionId() if TaskContext.get() else 0
+    plates, buf, rows, nbytes, seq = [], [], 0, 0, 0
+
+    def flush():
+        nonlocal buf, rows, nbytes, seq
+        t = pa.Table.from_batches(buf).cast(target)
+        for lo in range(0, t.num_rows, max_rows):
+            chunk = t.slice(lo, max_rows)
+            name = f"{uuid.uuid4()}.lance"
+            write_fragment_file(os.path.join(data_dir, name), chunk)
+            plates.append(((part, seq), name, chunk.num_rows))
+            seq += 1
+        buf, rows, nbytes = [], 0, 0
+
+    for b in it:
+        if b.num_rows == 0:
+            continue
+        buf.append(b)
+        rows += b.num_rows
+        nbytes += b.nbytes
+        if rows >= max_rows or nbytes >= max_bytes:
+            flush()
+    if rows:
+        flush()
+    return plates
+
+
+def _commit_fragments(
+    root: str, spark_schema: T.StructType, messages, *, replace: bool
+) -> int:
+    """Driver side: order the tasks' plates deterministically, assign
+    fragment ids, write ONE new manifest version (or version 1)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceFragment,
+        _carry_index_section,
+        _data_column_count,
+        _depth_first_ids,
+        _schema_fields_of,
+        _schema_fields_of_existing,
+        _write_manifest,
+        write_fragment_file,
+        arrow_schema_of,
+    )
+
+    plates = sorted(
+        (p for m in messages if m is not None for p in m.plates),
+        key=lambda p: p[0],
+    )
+    exists = os.path.isdir(os.path.join(root, "_versions"))
+    if exists:
+        nds = _dataset(root)
+        fields, frags, version = nds._manifest()
+        fields_blob = _schema_fields_of_existing(fields)
+    else:
+        fields, fields_blob = _schema_fields_of(
+            pa, to_arrow_schema(spark_schema)
+        )
+        frags, version = [], 0
+    if replace:
+        frags = []  # lance overwrite: a new version with only new fragments
+    expected_ids = _depth_first_ids(fields)
+    n_data = _data_column_count(fields)
+    start = max((fr.frag_id for fr in frags), default=-1) + 1
+    new = []
+    for i, (_k, name, rows) in enumerate(plates):
+        new.append(
+            LanceFragment(
+                path=name,
+                frag_id=start + i,
+                field_ids=list(expected_ids),
+                column_indices=list(range(n_data)),
+                physical_rows=rows,
+            )
+        )
+    if not frags and not new:
+        name = f"{uuid.uuid4()}.lance"
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        write_fragment_file(
+            os.path.join(root, "data", name),
+            arrow_schema_of(fields).empty_table(),
+        )
+        new = [
+            LanceFragment(
+                path=name,
+                frag_id=start,
+                field_ids=list(expected_ids),
+                column_indices=list(range(n_data)),
+                physical_rows=0,
+            )
+        ]
+    _write_manifest(root, version + 1, fields_blob, frags + new)
+    if exists:
+        _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
+def _abort_fragments(root: str, messages) -> None:
+    for m in messages or ():
+        if m is None:
+            continue
+        for _k, name, _rows in m.plates:
+            try:
+                os.remove(os.path.join(root, "data", name))
+            except OSError:
+                pass
+
+
+class LanceNativeWriter(DataSourceArrowWriter):
+    """Batch writer: mode('append') adds fragments to the existing
+    dataset (or creates it); mode('overwrite') commits a version whose
+    fragment set is only the new files — old versions stay
+    time-travelable, Lance's overwrite semantics."""
+
+    def __init__(self, root: str, schema: T.StructType, overwrite: bool):
+        self.root = root
+        self.schema = schema
+        self.overwrite = overwrite
+        _fields, self.target = _target_arrow_schema(root, schema)
+
+    def write(self, iterator):
+        return LanceWriteCommit(
+            _write_task_fragments(self.root, self.target, iterator)
+        )
+
+    def commit(self, messages):
+        _commit_fragments(
+            self.root, self.schema, messages, replace=self.overwrite
+        )
+
+    def abort(self, messages):
+        _abort_fragments(self.root, messages)
+
+
+class LanceNativeStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink with EXACTLY-ONCE manifest commits: each
+    micro-batch appends one manifest version, and a sidecar
+    ``_streaming_commits/<batchId>`` marker makes replayed batches
+    (post-crash restarts) no-ops — LanceSink's checkpoint-commit
+    contract."""
+
+    def __init__(self, root: str, schema: T.StructType):
+        self.root = root
+        self.schema = schema
+        _fields, self.target = _target_arrow_schema(root, schema)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.root, "_streaming_commits", str(batch_id))
+
+    def write(self, iterator):
+        return LanceWriteCommit(
+            _write_task_fragments(self.root, self.target, iterator)
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        if os.path.exists(self._marker(batchId)):
+            # replayed batch after a restart: drop its re-written
+            # fragment files, keep the original commit
+            _abort_fragments(self.root, messages)
+            return
+        v = _commit_fragments(self.root, self.schema, messages, replace=False)
+        os.makedirs(os.path.dirname(self._marker(batchId)), exist_ok=True)
+        with open(self._marker(batchId), "w") as f:
+            f.write(str(v))
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_fragments(self.root, messages)
+
+
+def register(spark) -> None:
+    """Register the data source on the session (idempotent):
+    ``spark.read.format('lance_native')`` and friends. Ships the
+    package so executor workers can import the decode path."""
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    # Spark 4.1 gates Python-data-source filter pushdown behind a conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LanceNativeDataSource)

@@ -1,0 +1,238 @@
+"""Native Lance as a Spark V2 Python data source
+(sources/spark_datasource.py): spark.read.format('lance_native') with
+one partition per fragment + in-task deletion masks + filter pushdown
++ column projection; df.write.format('lance_native') with
+task-side fragment writes and a driver manifest commit (append AND
+overwrite-as-new-version); writeStream with batchId-idempotent
+exactly-once commits. Reference parity: LanceInputFormat /
+LanceSink.java:60-108 / the checkpointed streaming sink."""
+
+import os
+import shutil
+
+import pytest
+
+REF = "/root/reference/test-data"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference test-data not present"
+)
+
+
+@pytest.fixture()
+def ds_spark(spark):
+    from lance_flink_spark.sources import spark_datasource as dsx
+
+    dsx.register(spark)
+    return spark
+
+
+def _mk(tmp_path_str, name="ds", rows=30, frag_rows=10):
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, name)
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(rows), type=pa.int64()),
+                "title": pa.array([f"t-{i}" for i in range(rows)]),
+                "score": pa.array([i * 0.5 for i in range(rows)]),
+            }
+        ),
+        max_rows_per_file=frag_rows,
+    )
+    return root
+
+
+def test_read_partitions_deletions_and_time_travel(ds_spark, tmp_path_str):
+    from lance_flink_spark.sources.lance_native import delete_rows
+
+    root = _mk(tmp_path_str)
+    delete_rows(root, [0, 29], deletion_format="bitmap")
+    df = ds_spark.read.format("lance_native").option("path", root).load()
+    assert df.rdd.getNumPartitions() == 3  # one per fragment
+    assert df.count() == 28
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == list(range(1, 29))
+    v1 = (
+        ds_spark.read.format("lance_native")
+        .option("path", root)
+        .option("version", "1")
+        .load()
+    )
+    assert v1.count() == 30
+
+
+def test_filter_pushdown_applied_in_task(ds_spark, tmp_path_str):
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNotNull,
+        Not,
+        StringContains,
+    )
+
+    from lance_flink_spark.sources.spark_datasource import LanceNativeReader
+
+    root = _mk(tmp_path_str, "dsflt")
+    # unit: supported filters are absorbed, the rest return to Spark
+    r = LanceNativeReader(root, {})
+    rest = r.pushFilters(
+        [
+            GreaterThan(("id",), 5),
+            In(("title",), ("t-7", "t-9")),
+            IsNotNull(("score",)),
+            Not(EqualTo(("id",), 3)),  # unsupported shape
+            StringContains(("title",), "t-"),  # unsupported shape
+        ]
+    )
+    assert len(r.filters) == 3 and len(list(rest)) == 2
+    # e2e: results are exact under mixed pushed/residual filters
+    df = ds_spark.read.format("lance_native").option("path", root).load()
+    got = sorted(
+        x["id"]
+        for x in df.filter(
+            "id > 5 AND title IN ('t-7','t-9') AND title LIKE '%-%'"
+        ).collect()
+    )
+    assert got == [7, 9]
+
+
+def test_projection_option_prunes_decode(ds_spark, tmp_path_str):
+    root = _mk(tmp_path_str, "dsproj")
+    df = (
+        ds_spark.read.format("lance_native")
+        .option("path", root)
+        .option("columns", "score,id")
+        .load()
+    )
+    assert df.columns == ["score", "id"]
+    assert df.count() == 30
+    with pytest.raises(Exception, match="columns"):
+        (
+            ds_spark.read.format("lance_native")
+            .option("path", root)
+            .option("columns", "nope")
+            .load()
+        )
+
+
+def test_batch_write_append_and_overwrite(ds_spark, tmp_path_str):
+    from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+    root = os.path.join(tmp_path_str, "dswrite")
+    (
+        ds_spark.range(7)
+        .selectExpr("id", "concat('x-', id) AS title")
+        .repartition(3)
+        .write.format("lance_native")
+        .mode("append")
+        .option("path", root)
+        .save()
+    )
+    ds = LanceNativeDataset(root)
+    assert ds.to_arrow().num_rows == 7
+    # append onto the existing dataset: new fragments, field ids kept
+    (
+        ds_spark.range(3)
+        .selectExpr("id + 100 AS id", "concat('y-', id) AS title")
+        .write.format("lance_native")
+        .mode("append")
+        .option("path", root)
+        .save()
+    )
+    ds = LanceNativeDataset(root)
+    assert ds.to_arrow().num_rows == 10 and ds.versions() == [1, 2]
+    # overwrite: a NEW version holding only the new fragments; the old
+    # version stays time-travelable (lance overwrite semantics)
+    (
+        ds_spark.range(2)
+        .selectExpr("id + 500 AS id", "concat('z-', id) AS title")
+        .write.format("lance_native")
+        .mode("overwrite")
+        .option("path", root)
+        .save()
+    )
+    ds = LanceNativeDataset(root)
+    assert ds.to_arrow().num_rows == 2
+    assert ds.to_arrow(version=2).num_rows == 10
+    # round-trips through the DataSource reader too
+    back = ds_spark.read.format("lance_native").option("path", root).load()
+    assert sorted(r["id"] for r in back.collect()) == [500, 501]
+
+
+def test_write_append_onto_reference_dataset(ds_spark, tmp_path_str):
+    from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+    root = os.path.join(tmp_path_str, "dsref")
+    shutil.copytree(f"{REF}/lance-db1", root)
+    before = LanceNativeDataset(root).to_arrow()
+    (
+        ds_spark.createDataFrame(
+            [(6, "Transformers", [0.9, 0.8, 0.7, 0.6])],
+            "id long, title string, embedding array<float>",
+        )
+        .write.format("lance_native")
+        .mode("append")
+        .option("path", root)
+        .save()
+    )
+    after = LanceNativeDataset(root).to_arrow()
+    assert after.num_rows == before.num_rows + 1
+    d = after.to_pydict()
+    assert "Transformers" in d["title"]
+    assert d["title"][: before.num_rows] == before.to_pydict()["title"]
+
+
+def test_stream_write_exactly_once(ds_spark, tmp_path_str):
+    """writeStream into the native sink: availableNow drains the
+    source, every micro-batch appends one manifest version, and a
+    REPLAYED batchId (crash-restart) is a no-op — its re-written
+    fragment files are dropped, the original commit stands."""
+    import time
+
+    from lance_flink_spark.sources.lance_native import LanceNativeDataset
+    from lance_flink_spark.sources.spark_datasource import (
+        LanceNativeStreamWriter,
+        LanceWriteCommit,
+    )
+
+    src = os.path.join(tmp_path_str, "stream_src")
+    os.makedirs(src)
+    for i in range(2):
+        ds_spark.createDataFrame(
+            [(i * 10 + j, f"s-{i}-{j}") for j in range(5)],
+            "id long, title string",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.05)
+    root = os.path.join(tmp_path_str, "dsstream")
+    sdf = (
+        ds_spark.readStream.schema("id long, title string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        sdf.writeStream.format("lance_native")
+        .option("path", root)
+        .option(
+            "checkpointLocation", os.path.join(tmp_path_str, "ckpt_dsstream")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ds = LanceNativeDataset(root)
+    t = ds.to_arrow()
+    assert t.num_rows == 10
+    assert len(ds.versions()) >= 2  # one manifest version per micro-batch
+    assert sorted(t.to_pydict()["id"]) == sorted(
+        list(range(0, 5)) + list(range(10, 15))
+    )
+    # replay batch 0 manually: the idempotency marker makes it a no-op
+    w = LanceNativeStreamWriter(root, sdf.schema)
+    before = ds.versions()[-1]
+    w.commit([LanceWriteCommit([])], batchId=0)
+    assert LanceNativeDataset(root).versions()[-1] == before
