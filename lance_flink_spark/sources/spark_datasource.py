@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     GreaterThan,
@@ -133,6 +134,9 @@ class LanceNativeDataSource(DataSource):
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         return LanceNativeStreamWriter(self._root(), schema)
+
+    def streamReader(self, schema: T.StructType):
+        return LanceNativeStreamReader(self._root(), self.options)
 
 
 # supported exactly in-task; everything else returns to Spark
@@ -451,6 +455,78 @@ class LanceNativeStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         _abort_fragments(self.root, messages)
+
+
+class LanceNativeStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over a native dataset — the reference's
+    LanceSource streaming mode: micro-batches tail the MANIFEST CHAIN.
+    The offset is the manifest version whose fragments have been
+    emitted; each batch plans one InputPartition per fragment that
+    APPEARED in (start, end] (by fragment id — appends and overwrites
+    both surface as new fragments). The stream is append-only:
+    fragments emit their physical rows as written; a later DELETE is a
+    mutation of the table, not a retraction of already-emitted rows
+    (deletion files are ignored here by design — the CDC source is
+    the changelog-shaped surface). ``startingVersion`` replays from
+    an old version (default: the full current snapshot on first
+    start)."""
+
+    def __init__(self, root: str, options):
+        self.root = root
+        sv = options.get("startingVersion")
+        self.starting = int(sv) if sv is not None else 0
+
+    def initialOffset(self) -> dict:
+        # version 0 never exists: "nothing emitted yet"
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        return {"version": _dataset(self.root).versions()[-1]}
+
+    def _frag_ids(self, version: int) -> set:
+        if version <= 0:
+            return set()
+        _f, frags, _v = _dataset(self.root)._manifest(version)
+        return {fr.frag_id for fr in frags}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = int(start["version"]), int(end["version"])
+        if sv == ev:
+            return []
+        have = self._frag_ids(sv)
+        _f, frags, _v = _dataset(self.root)._manifest(ev)
+        out, base = [], 0
+        for fr in frags:
+            if fr.frag_id not in have:
+                out.append(LanceStreamPartition(fr.path, ev))
+            base += fr.physical_rows
+        return out
+
+    def read(self, partition: "LanceStreamPartition"):
+        from lance_flink_spark.sources.lance_native import (
+            read_fragment_table,
+        )
+
+        nds = _dataset(self.root)
+        fields, frags, _v = nds._manifest(partition.version)
+        fr = next(f for f in frags if f.path == partition.frag_path)
+        t = read_fragment_table(
+            os.path.join(self.root, "data", fr.path), fields, fr
+        )
+        t = t.cast(_downcast_arrow_schema(fields))
+        yield from t.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable; nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+@dataclass
+class LanceStreamPartition(InputPartition):
+    frag_path: str
+    version: int
 
 
 def register(spark) -> None:
