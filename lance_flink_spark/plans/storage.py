@@ -351,3 +351,100 @@ def lance_datasource_roundtrip(spark, sf_dir):
             F.sum("n_chars").alias("sum_nc"),
         )
     )
+
+
+@query(
+    "lance_native_evolution",
+    extra=True,  # r14: ADD/DROP COLUMN + compaction on native Lance
+    oracle="""
+    WITH all_rows AS (
+        SELECT doc_id, n_chars, CAST(NULL AS DOUBLE) AS quality
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, n_chars, CAST(n_chars AS DOUBLE)
+        FROM documents WHERE source = 'web'
+    )
+    SELECT doc_id % 10 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nc,
+           COUNT(quality) AS nq,
+           CAST(SUM(quality) AS BIGINT) AS sum_q
+    FROM all_rows
+    WHERE doc_id % 7 <> 3
+    GROUP BY doc_id % 10
+    """,
+)
+def lance_native_evolution(spark, sf_dir):
+    """The native Lance SCHEMA-EVOLUTION + COMPACTION lifecycle
+    (round 14, §2 #262): documents write distributed → ADD COLUMN
+    quality (metadata-only commit; every pre-existing fragment reads
+    NULL through the field-id map) → a second distributed append
+    CARRIES the column → a roaring deletion masks doc_id % 7 = 3 →
+    DROP COLUMN lang (metadata-only; the pages stay but are never
+    decoded) → compact_dataset merges the fragment tail one-task-per-
+    bin, materializing the deletion files and the dropped column away
+    → final one-task-per-fragment read aggregates. The oracle replays
+    the whole history relationally: a null mis-synthesized on an old
+    fragment, an appended quality value lost in a task cast, a
+    deletion row resurrected by the compaction rewrite, or a dropped
+    column leaking back in breaks the hash. Reference parity:
+    com.lancedb.lance.Dataset add_columns/drop_columns/compact_files
+    (the reference evolves schemas through the same library calls its
+    LanceSink writes with)."""
+    import shutil
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_column,
+        append_to_dataset_distributed,
+        compact_dataset,
+        delete_rows,
+        drop_column,
+        read_distributed,
+        write_dataset_distributed,
+    )
+
+    import pyarrow as pa
+
+    src = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "n_chars"
+    ).repartition(6)
+    root = os.path.join(
+        scratch_dir("lance_native_evo" + _tag(sf_dir)), "docs_evo"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)
+    add_column(root, "quality", pa.float64())
+    append_to_dataset_distributed(
+        root,
+        table(spark, sf_dir, "documents")
+        .filter("source = 'web'")
+        .selectExpr(
+            "doc_id + 10000000 AS doc_id",
+            "lang",
+            "n_chars",
+            "CAST(n_chars AS DOUBLE) AS quality",
+        ),
+    )
+    offs = [
+        r["__phys"]
+        for r in read_distributed(
+            LanceNativeDataset(root), spark, with_offsets=True
+        )
+        .filter("doc_id % 7 = 3")
+        .select("__phys")
+        .collect()
+    ]
+    delete_rows(root, offs, deletion_format="bitmap")
+    drop_column(root, "lang")
+    compact_dataset(root, spark)
+    df = read_distributed(LanceNativeDataset(root), spark)
+    return (
+        df.groupBy((F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_nc"),
+            F.count("quality").alias("nq"),
+            F.sum("quality").cast("long").alias("sum_q"),
+        )
+    )

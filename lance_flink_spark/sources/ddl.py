@@ -946,6 +946,61 @@ class SqlEngine:
         self.native_tables[name] = nds
         self._refresh_views()
 
+    def _alter_add_native(self, m: re.Match) -> None:
+        """``ALTER TABLE t ADD COLUMN(S) ...`` on a NATIVE Lance table:
+        a metadata-only manifest commit (lance_native.add_column — the
+        new field id appends to the schema, no fragment is touched);
+        existing rows read NULL, later INSERTs carry the column.
+        Reference parity: com.lancedb.lance.Dataset schema evolution."""
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from lance_flink_spark.sources.lance_native import add_column
+
+        name = m.group("name")
+        added = T._parse_datatype_string(
+            f"struct<{_spark_ddl_types(_strip_comments(m.group('cols')))}>"
+        )
+        for f in added.fields:
+            add_column(
+                self.native_tables[name].root, f.name, to_arrow_type(f.dataType)
+            )
+        self._reregister_native(name)
+        return None
+
+    def _alter_drop_native(self, m: re.Match) -> None:
+        """``ALTER TABLE t DROP COLUMN(S) ...`` on a NATIVE Lance
+        table: metadata-only manifest commit removing the field — data
+        pages stay on disk (old versions time-travel to them) and are
+        reclaimed at the next OPTIMIZE rewrite."""
+        from lance_flink_spark.sources.lance_native import drop_column
+
+        name = m.group("name")
+        for c in (x.strip() for x in m.group("cols").split(",")):
+            if c:
+                drop_column(self.native_tables[name].root, c)
+        self._reregister_native(name)
+        return None
+
+    def _optimize_native(self, m: re.Match) -> None:
+        """``OPTIMIZE t [BINPACK]`` on a NATIVE Lance table: bin-pack
+        compaction (lance_native.compact_dataset) — consecutive small
+        fragments merge, deletion files materialize away, dropped
+        columns' bytes are reclaimed; rewrites run one-task-per-bin on
+        the executors, the driver commits the manifest. ZORDER is the
+        parquet-backed Dataset's clustering machinery — refuse."""
+        from lance_flink_spark.sources.lance_native import compact_dataset
+
+        name = m.group("name")
+        if m.group("cols"):
+            raise ValueError(
+                f"OPTIMIZE {name} ZORDER BY: Z-order clustering on "
+                "native Lance tables is outside the subset — copy into "
+                "a parquet-backed table for clustered rewrites"
+            )
+        compact_dataset(self.native_tables[name].root, self.spark)
+        self._reregister_native(name)
+        return None
+
     def _insert_native(self, name: str, overwrite: bool, df) -> None:
         """INSERT INTO a NATIVE Lance table: rows conform to the
         manifest's exact physical types (timestamp unit, float width)
@@ -1130,9 +1185,13 @@ class SqlEngine:
             )
             return None
         m = _ALTER_DROP.match(sql)
+        if m and m.group("name") in self.native_tables:
+            return self._alter_drop_native(m)
         if m and self._in_catalog(m.group("name")):
             return self._alter_drop(m)
         m = _ALTER_ADD.match(sql)
+        if m and m.group("name") in self.native_tables:
+            return self._alter_add_native(m)
         if m and self._in_catalog(m.group("name")):
             return self._alter_add(m)
         # DML/metadata statements route to the Dataset layer only for
@@ -1310,6 +1369,8 @@ class SqlEngine:
                 rows, "col_name string, data_type string, nullable boolean"
             )
         m = _OPTIMIZE.match(sql)
+        if m and m.group("name") in self.native_tables:
+            return self._optimize_native(m)
         if m:
             ds = self.catalog.load_table(self.database, m.group("name"))
             cols = m.group("cols")

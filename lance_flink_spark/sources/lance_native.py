@@ -433,6 +433,57 @@ def _field_column_span(lf: LanceField) -> int:
     return 1 + sum(_field_column_span(c) for c in lf.children)
 
 
+def _file_column_map(
+    fragment: LanceFragment, top_fields: list[LanceField], path: str
+) -> tuple[dict[int, int | None], int]:
+    """Schema-evolution read mapping: for each TOP-LEVEL schema field,
+    the file column index where it starts (from the DataFile's
+    parallel ``fields``/``column_indices`` arrays, table.proto), or
+    None when the field id is absent from the file entirely (the
+    field post-dates the fragment — ADD COLUMN reads NULL). File
+    field ids outside the schema (DROP COLUMN) are simply never
+    decoded. Requires the parallel-array invariant (one column per
+    field entry — true for every flat/list file this writer and the
+    reference's Lance 0.23 emit); struct fields consume no column of
+    their own, so struct-bearing evolved files refuse loudly."""
+    fids = fragment.field_ids
+    cols = fragment.column_indices or list(range(len(fids)))
+    if len(fids) != len(cols):
+        raise UnsupportedLanceFeature(
+            f"{path}: DataFile fields {fids} and column_indices {cols} "
+            "are not parallel arrays — struct-bearing or exotic layouts "
+            "can't take the field-id-mapped (schema evolution) path"
+        )
+    col_of = dict(zip(fids, cols))
+    start: dict[int, int | None] = {}
+    for lf in top_fields:
+        sub = _depth_first_ids([lf])
+        present = [i in col_of for i in sub]
+        if not any(present):
+            if lf.logical == "struct":
+                raise UnsupportedLanceFeature(
+                    f"{path}: struct field {lf.name!r} added after this "
+                    "fragment — struct evolution is outside the subset"
+                )
+            start[lf.fid] = None
+            continue
+        if not all(present) or lf.logical == "struct":
+            raise UnsupportedLanceFeature(
+                f"{path}: field {lf.name!r} (ids {sub}) is only partially "
+                f"present in the data file (ids {fids}) or is a struct — "
+                "outside the field-id-mapped subset"
+            )
+        base = col_of[sub[0]]
+        for k, fid_k in enumerate(sub):
+            if col_of[fid_k] != base + k:
+                raise UnsupportedLanceFeature(
+                    f"{path}: field {lf.name!r} ids {sub} map to "
+                    f"non-consecutive file columns — outside the subset"
+                )
+        start[lf.fid] = base
+    return start, len(cols)
+
+
 def read_fragment_table(
     path: str,
     top_fields: list[LanceField],
@@ -440,10 +491,12 @@ def read_fragment_table(
     columns: list[str] | None = None,
 ):
     """Decode one .lance data file into a pyarrow.Table. When the
-    manifest ``fragment`` is given, its recorded field_ids /
-    column_indices are validated against the schema's depth-first
-    order — a reordered or subset data file (post-add-column
-    fragments) would otherwise decode same-typed columns swapped.
+    manifest ``fragment`` is given and its recorded field_ids differ
+    from the schema's depth-first order (a schema-evolved dataset),
+    each schema field decodes from the column its DataFile entry
+    records (:func:`_file_column_map`) — fields the file pre-dates
+    read NULL (ADD COLUMN), file columns outside the schema are never
+    decoded (DROP COLUMN); non-parallel arrays refuse.
     ``columns`` projects to the named TOP-LEVEL fields: the pages of
     every other column are never decoded (their buffers aren't even
     range-checked) — the projection-pushdown the reference's
@@ -479,25 +532,35 @@ def read_fragment_table(
             "encodings need the Lance library"
         )
     expected_ids = _depth_first_ids(top_fields)
+    col_start = None  # field-id-mapped path: top fid -> file column|None
     if fragment is not None:
         if fragment.field_ids and fragment.field_ids != expected_ids:
-            raise UnsupportedLanceFeature(
-                f"{path}: data-file field ids {fragment.field_ids} != "
-                f"schema depth-first order {expected_ids} — a reordered "
-                "or partial-schema fragment would decode columns "
-                "misaligned"
+            # schema-evolved dataset: the data file stores a superset
+            # (post-DROP COLUMN) or subset (pre-ADD COLUMN) of the
+            # current schema — map each schema field to its file
+            # column through the DataFile's parallel (fields,
+            # column_indices) arrays instead of refusing
+            col_start, n_file_cols = _file_column_map(
+                fragment, top_fields, path
             )
-        ci = fragment.column_indices
-        if ci and ci != list(range(len(ci))):
+            if ncol != n_file_cols:
+                raise UnsupportedLanceFeature(
+                    f"{path}: {ncol} columns in file, DataFile declares "
+                    f"{n_file_cols} column indices"
+                )
+        else:
+            ci = fragment.column_indices
+            if ci and ci != list(range(len(ci))):
+                raise UnsupportedLanceFeature(
+                    f"{path}: non-sequential column indices {ci}"
+                )
+    if col_start is None:
+        n_data = _data_column_count(top_fields)
+        if ncol != n_data:
             raise UnsupportedLanceFeature(
-                f"{path}: non-sequential column indices {ci}"
+                f"{path}: {ncol} columns in file, schema has "
+                f"{n_data} data columns"
             )
-    n_data = _data_column_count(top_fields)
-    if ncol != n_data:
-        raise UnsupportedLanceFeature(
-            f"{path}: {ncol} columns in file, schema has "
-            f"{n_data} data columns"
-        )
     col_pages = []
     for c in range(ncol):
         pos, sz = struct.unpack_from("<QQ", blob, cmos + 16 * c)
@@ -599,9 +662,22 @@ def read_fragment_table(
     names, arrays = [], []
     for lf in top_fields:
         if wanted is not None and lf.name not in wanted:
-            ci += _field_column_span(lf)  # pages never touched
+            if col_start is None:
+                ci += _field_column_span(lf)  # pages never touched
             continue
-        arr, ci = _decode_field(lf, ci)
+        if col_start is not None:
+            start = col_start[lf.fid]
+            if start is None:
+                # the field post-dates this fragment (ADD COLUMN):
+                # every row reads NULL — Lance's evolution semantics
+                arr = pa.nulls(
+                    fragment.physical_rows,
+                    arrow_schema_of([lf]).field(0).type,
+                )
+            else:
+                arr, _ = _decode_field(lf, start)
+        else:
+            arr, ci = _decode_field(lf, ci)
         arrays.append(arr)
         names.append(lf.name)
     if not names:
@@ -1608,6 +1684,235 @@ def _schema_fields_of_existing(fields: list[LanceField]) -> bytes:
         for c in f.children:
             blob += _encode_field(c.name, c.fid, f.fid, c.logical)
     return blob
+
+
+# ---------- schema evolution (metadata-only manifest commits) ----------
+
+
+def _refuse_struct_evolution(fields: list[LanceField], root: str) -> None:
+    # struct headers consume no data column, so struct-bearing data
+    # files don't satisfy the parallel (fields, column_indices)
+    # invariant the evolved-read mapping needs — evolve via copy-out
+    if any(f.logical == "struct" for f in fields):
+        raise UnsupportedLanceFeature(
+            f"{root}: schema evolution on struct-bearing datasets is "
+            "outside the subset (struct fields consume no file column, "
+            "so evolved fragments can't be field-id mapped)"
+        )
+
+
+def add_column(root: str, name: str, arrow_type) -> int:
+    """ADD COLUMN as Lance does it: a METADATA-ONLY manifest commit —
+    the new field gets the next depth-first id, existing fragments
+    are untouched, and reads synthesize NULL for fragments that
+    pre-date the field (the field id is absent from their DataFile
+    ``fields`` array). Subsequent appends write all current columns.
+    Cite: Lance add_columns; the reference evolves schemas through
+    com.lancedb.lance.Dataset the same way."""
+    import pyarrow as pa
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _refuse_struct_evolution(fields, root)
+    if any(f.name == name for f in fields):
+        raise ValueError(f"column {name!r} already exists in {root}")
+    logical = _logical_of(pa, arrow_type)
+    if logical == "struct":
+        raise UnsupportedLanceFeature(
+            "ADD COLUMN of struct type is outside the subset"
+        )
+    next_id = max(_depth_first_ids(fields), default=-1) + 1
+    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
+    if logical == "list":
+        child_logical = _logical_of(pa, arrow_type.value_type)
+        if child_logical not in _PRIM:
+            raise UnsupportedLanceFeature(
+                f"list element type {arrow_type} outside the subset"
+            )
+        lf.children.append(
+            LanceField(
+                name="item", fid=next_id + 1, parent=next_id,
+                logical=child_logical,
+            )
+        )
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields + [lf]), frags
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
+def drop_column(root: str, name: str) -> int:
+    """DROP COLUMN as Lance does it: a METADATA-ONLY manifest commit
+    removing the field from the schema — data files keep the column's
+    pages (old versions still time-travel to it), but current-version
+    reads never decode them (the field-id map skips ids outside the
+    schema). Refuses when an index covers the column (drop the index
+    first) or when it is the only column."""
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _refuse_struct_evolution(fields, root)
+    hit = [f for f in fields if f.name == name]
+    if not hit:
+        raise ValueError(f"no column {name!r} in {root}")
+    if len(fields) == 1:
+        raise UnsupportedLanceFeature(
+            f"cannot drop {name!r}: it is the only column"
+        )
+    dropped = set(_depth_first_ids(hit))
+    mpath = os.path.join(root, "_versions", f"{version}.manifest")
+    for ix in read_index_section(mpath):
+        if dropped & set(ix.field_ids):
+            raise UnsupportedLanceFeature(
+                f"column {name!r} is covered by index {ix.name!r} — "
+                "drop the index before the column"
+            )
+    new_fields = [f for f in fields if f.name != name]
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(new_fields), frags
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
+# ---------- compaction (fragment rewrite + manifest commit) ----------
+
+
+def _rewrite_group(root: str, fields: list[LanceField], members) -> tuple[str, int]:
+    """Rewrite one compaction bin: decode its member fragments through
+    the CURRENT schema (deletion masks applied, evolution nulls
+    materialized), concat in fragment order, write ONE new data file.
+    Pure per-bin work — this is what runs inside each executor task."""
+    import pyarrow as pa
+
+    tabs = []
+    for fr in members:
+        t = read_fragment_table(
+            os.path.join(root, "data", fr.path), fields, fr
+        )
+        if fr.deletion is not None:
+            dead = read_deletion_file(root, fr)
+            keep = np.setdiff1d(np.arange(t.num_rows, dtype="int64"), dead)
+            t = t.take(keep)
+        tabs.append(t)
+    t = pa.concat_tables(tabs).combine_chunks()
+    name = f"{uuid.uuid4()}.lance"
+    write_fragment_file(os.path.join(root, "data", name), t)
+    return name, t.num_rows
+
+
+def _rewrite_groups_distributed(root, version, groups, spark):
+    """One executor task per compaction bin (LanceSink's task-write /
+    coordinator-commit split): the task payload is the member paths;
+    fragments resolve executor-side from the manifest."""
+    import json
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    rows = [(i, json.dumps([fr.path for fr in g])) for i, g in enumerate(groups)]
+    tasks = spark.createDataFrame(
+        rows, "gid int, paths string"
+    ).repartition(max(len(rows), 1))
+
+    def _do(batches):
+        import json as _json
+
+        import pandas as pd
+
+        eds = LanceNativeDataset(root)
+        efields, efrags, _ = eds._manifest(version)
+        by_path = {fr.path: fr for fr in efrags}
+        for pdf in batches:
+            for gid, pjson in zip(pdf["gid"], pdf["paths"]):
+                members = [by_path[p] for p in _json.loads(pjson)]
+                name, n = _rewrite_group(root, efields, members)
+                yield pd.DataFrame(
+                    {"gid": [int(gid)], "name": [name], "rows": [int(n)]}
+                )
+
+    out = tasks.mapInPandas(_do, "gid int, name string, rows long").collect()
+    got = {r["gid"]: (r["name"], r["rows"]) for r in out}
+    return [got[i] for i in range(len(groups))]
+
+
+def compact_dataset(
+    root: str,
+    spark=None,
+    *,
+    target_rows: int = 1 << 20,
+    target_bytes: int = 160 * 1024 * 1024,
+) -> int:
+    """Bin-pack compaction for a native dataset (Lance's
+    compact_files): CONSECUTIVE fragments group into bins under the
+    row/byte targets (row order is manifest list order and must
+    survive); a bin is rewritten when it merges >1 fragment, carries a
+    deletion file (tombstones materialize away), or pre-dates a schema
+    evolution (nulls/drops materialize) — a lone clean fragment passes
+    through untouched, keeping compaction incremental. Rewrites run
+    one-task-per-bin on the cluster when ``spark`` is given (the
+    driver only commits the manifest), driver-side otherwise. Old
+    versions still time-travel to the pre-compaction layout; indexes
+    carry forward and report stale by dataset_version (rows moved).
+    Returns the new manifest version (unchanged if nothing to do)."""
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    expected_ids = _depth_first_ids(fields)
+    infos = []
+    for fr in frags:
+        live = fr.physical_rows
+        if fr.deletion is not None:
+            live -= len(read_deletion_file(root, fr))
+        fbytes = os.path.getsize(os.path.join(root, "data", fr.path))
+        infos.append((fr, live, fbytes))
+    groups, cur, cr, cb = [], [], 0, 0
+    for fr, live, fb in infos:
+        if cur and (cr + live > target_rows or cb + fb > target_bytes):
+            groups.append(cur)
+            cur, cr, cb = [], 0, 0
+        cur.append(fr)
+        cr += live
+        cb += fb
+    if cur:
+        groups.append(cur)
+
+    def _clean(fr):
+        return fr.deletion is None and (
+            not fr.field_ids or fr.field_ids == expected_ids
+        )
+
+    plan = [(g, not (len(g) == 1 and _clean(g[0]))) for g in groups]
+    rewrites = [g for g, rw in plan if rw]
+    if not rewrites:
+        return version
+    if spark is None:
+        results = [_rewrite_group(root, fields, g) for g in rewrites]
+    else:
+        results = _rewrite_groups_distributed(root, version, rewrites, spark)
+    next_id = max(fr.frag_id for fr in frags) + 1
+    n_data = _data_column_count(fields)
+    new_frags = []
+    it = iter(results)
+    for g, rw in plan:
+        if not rw:
+            new_frags.append(g[0])
+            continue
+        name, rows = next(it)
+        new_frags.append(
+            LanceFragment(
+                path=name,
+                frag_id=next_id,
+                field_ids=list(expected_ids),
+                column_indices=list(range(n_data)),
+                physical_rows=rows,
+            )
+        )
+        next_id += 1
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields), new_frags
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
 
 
 # ---------- dataset ----------

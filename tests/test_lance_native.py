@@ -388,10 +388,13 @@ def test_file_version_gate(tmp_path_str):
         ds.to_arrow()
 
 
-def test_field_id_mismatch_refuses(tmp_path_str):
-    """A data file whose recorded field ids don't match the schema's
-    depth-first order refuses instead of decoding columns swapped
-    (ADVICE r12)."""
+def test_reordered_field_ids_map_instead_of_refusing(tmp_path_str):
+    """r12's refusal on reordered data-file field ids is superseded by
+    r14's field-id MAP (the schema-evolution read path): a DataFile
+    whose parallel (fields, column_indices) arrays list the schema in
+    a different order decodes each field from its RECORDED column —
+    bit-exactly, not swapped. Non-parallel arrays (the truly ambiguous
+    shape) still refuse."""
     from lance_flink_spark.sources.lance_native import (
         LanceNativeDataset,
         _schema_fields_of_existing,
@@ -402,10 +405,17 @@ def test_field_id_mismatch_refuses(tmp_path_str):
     root = os.path.join(tmp_path_str, "ds")
     write_dataset(root, _nullable_table())
     ds = LanceNativeDataset(root)
+    before = ds.to_arrow()
     fields, frags, version = ds._manifest()
+    # reverse BOTH arrays: an honest relabeling of the same file
     frags[0].field_ids = list(reversed(frags[0].field_ids))
+    frags[0].column_indices = list(reversed(frags[0].column_indices))
     _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
-    with pytest.raises(UnsupportedLanceFeature, match="depth-first order"):
+    assert LanceNativeDataset(root).to_arrow().equals(before)
+    # non-parallel arrays can't be mapped — refuse, don't guess
+    frags[0].column_indices = frags[0].column_indices[:-1]
+    _write_manifest(root, version + 2, _schema_fields_of_existing(fields), frags)
+    with pytest.raises(UnsupportedLanceFeature, match="parallel"):
         LanceNativeDataset(root).to_arrow()
 
 
@@ -1355,3 +1365,282 @@ class TestNativeProjectionAndCount:
         # count didn't silently serve stale data for everything
         with pytest.raises(Exception):  # noqa: B017 - any scan error
             eng.execute("SELECT SUM(score) AS s FROM natp").collect()
+
+
+class TestSchemaEvolutionAndCompaction:
+    """Round 14: ADD/DROP COLUMN as metadata-only manifest commits
+    (Lance's evolution model — reads map each schema field to its file
+    column through the DataFile's parallel fields/column_indices
+    arrays, synthesizing NULL for fields a fragment pre-dates) and
+    bin-pack compaction (consecutive fragments merge one-task-per-bin,
+    deletion files and dropped-column bytes materialize away, row
+    order preserved)."""
+
+    def _mk(self, tmp, name, rows=10, per_file=3):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import write_dataset
+
+        root = os.path.join(tmp, name)
+        t = pa.table(
+            {
+                "id": pa.array(range(rows), pa.int64()),
+                "name": pa.array(
+                    [f"d{i}" if i % 4 else None for i in range(rows)],
+                    pa.large_utf8(),
+                ),
+                "emb": pa.array(
+                    [[float(i), float(i + 1)] for i in range(rows)],
+                    pa.large_list(pa.float32()),
+                ),
+            }
+        )
+        write_dataset(root, t, max_rows_per_file=per_file)
+        return root, t
+
+    def test_add_column_nulls_then_append_carries_it(self, tmp_path_str):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            add_column,
+            append_to_dataset,
+            LanceNativeDataset,
+        )
+
+        root, _t = self._mk(tmp_path_str, "evo1")
+        v = add_column(root, "score", pa.float64())
+        assert v == 2
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column_names == ["id", "name", "emb", "score"]
+        assert got.column("score").null_count == got.num_rows
+        # appended rows carry real values; old rows stay NULL
+        t2 = pa.table(
+            {
+                "id": pa.array([100], pa.int64()),
+                "name": pa.array(["new"], pa.large_utf8()),
+                "emb": pa.array([[9.0]], pa.large_list(pa.float32())),
+                "score": pa.array([0.5], pa.float64()),
+            }
+        )
+        append_to_dataset(root, t2)
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column("score").to_pylist()[-1] == 0.5
+        assert got.column("score").null_count == got.num_rows - 1
+        # projection of ONLY the added column still needs no data pages
+        # from old fragments beyond row counts
+        only = LanceNativeDataset(root).to_arrow(columns=["score"])
+        assert only.num_rows == got.num_rows
+
+    def test_drop_column_hides_pages_old_versions_travel(self, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            drop_column,
+            LanceNativeDataset,
+        )
+
+        root, t = self._mk(tmp_path_str, "evo2")
+        drop_column(root, "name")
+        ds = LanceNativeDataset(root)
+        got = ds.to_arrow()
+        assert got.column_names == ["id", "emb"]
+        assert got.num_rows == t.num_rows
+        # dropped id never reused: next add gets a FRESH id
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import add_column
+
+        add_column(root, "name2", pa.large_utf8())
+        fields, _f, _v = LanceNativeDataset(root)._manifest()
+        ids = [f.fid for f in fields]
+        assert ids == sorted(ids) and len(set(ids)) == len(ids)
+        # time travel: version 1 still reads the original column
+        old = ds.to_arrow(version=1)
+        assert old.column_names == ["id", "name", "emb"]
+        assert old.equals(t)
+
+    def test_evolution_refusals(self, tmp_path_str):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            add_column,
+            drop_column,
+            write_dataset,
+            write_index_section,
+            LanceNativeDataset,
+        )
+
+        root, _t = self._mk(tmp_path_str, "evo3")
+        with pytest.raises(ValueError, match="already exists"):
+            add_column(root, "name", pa.large_utf8())
+        with pytest.raises(ValueError, match="no column"):
+            drop_column(root, "nope")
+        with pytest.raises(UnsupportedLanceFeature, match="struct"):
+            add_column(root, "meta", pa.struct([("a", pa.int64())]))
+        # an index covering the column blocks the drop
+        from lance_flink_spark.sources.lance_native import LanceIndexMeta
+
+        v = LanceNativeDataset(root).versions()[-1]
+        write_index_section(
+            root,
+            v,
+            [
+                LanceIndexMeta(
+                    uuid="deadbeef" * 4,
+                    name="idx_name",
+                    field_ids=[1],
+                    dataset_version=v,
+                )
+            ],
+        )
+        with pytest.raises(UnsupportedLanceFeature, match="covered by index"):
+            drop_column(root, "name")
+        # struct-bearing datasets refuse evolution outright
+        sroot = os.path.join(tmp_path_str, "evo3s")
+        st = pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "meta": pa.array(
+                    [{"a": 1}], pa.struct([("a", pa.int64())])
+                ),
+            }
+        )
+        write_dataset(sroot, st)
+        with pytest.raises(UnsupportedLanceFeature, match="struct"):
+            add_column(sroot, "x", pa.int64())
+        with pytest.raises(UnsupportedLanceFeature, match="struct"):
+            drop_column(sroot, "meta")
+        # the only column can't drop
+        oroot = os.path.join(tmp_path_str, "evo3o")
+        write_dataset(oroot, pa.table({"id": pa.array([1], pa.int64())}))
+        with pytest.raises(UnsupportedLanceFeature, match="only column"):
+            drop_column(oroot, "id")
+
+    def test_compaction_preserves_content_and_order(self, tmp_path_str):
+        import numpy as np
+
+        from lance_flink_spark.sources.lance_native import (
+            compact_dataset,
+            delete_rows,
+            LanceNativeDataset,
+        )
+
+        root, _t = self._mk(tmp_path_str, "cmp1", rows=30, per_file=4)
+        delete_rows(root, list(np.arange(0, 30, 3)))
+        ds = LanceNativeDataset(root)
+        pre = ds.to_arrow()
+        v = compact_dataset(root)
+        assert v == 3
+        ds2 = LanceNativeDataset(root)
+        _f, frags, _v = ds2._manifest()
+        assert len(frags) == 1  # 8 small fragments merged into one
+        assert all(fr.deletion is None for fr in frags)
+        post = ds2.to_arrow()
+        assert post.equals(pre)  # content AND row order
+        # old version still time-travels to the pre-compaction layout
+        assert ds2.to_arrow(version=2).equals(pre)
+        # nothing left to do: version does not advance
+        assert compact_dataset(root) == v
+
+    def test_compaction_is_incremental(self, tmp_path_str):
+        """A lone clean fragment over the targets passes through
+        untouched (same file, same fragment id) — compaction cost is
+        proportional to the small/dirty tail, not the dataset."""
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            append_to_dataset,
+            compact_dataset,
+            LanceNativeDataset,
+        )
+
+        root, _t = self._mk(tmp_path_str, "cmp2", rows=1000, per_file=1000)
+        big = LanceNativeDataset(root)._manifest()[1][0]
+        for i in range(3):
+            append_to_dataset(
+                root,
+                pa.table(
+                    {
+                        "id": pa.array([2000 + i], pa.int64()),
+                        "name": pa.array(["x"], pa.large_utf8()),
+                        "emb": pa.array([[1.0]], pa.large_list(pa.float32())),
+                    }
+                ),
+            )
+        compact_dataset(root, target_rows=1000)
+        _f, frags, _v = LanceNativeDataset(root)._manifest()
+        assert [fr.path for fr in frags][0] == big.path  # untouched
+        assert frags[0].frag_id == big.frag_id
+        assert len(frags) == 2  # the 3 tail rows merged into one
+        assert frags[1].physical_rows == 3
+
+    def test_distributed_compaction_equals_driver(self, spark, tmp_path_str):
+        import numpy as np
+
+        from lance_flink_spark.sources.lance_native import (
+            compact_dataset,
+            delete_rows,
+            drop_column,
+            LanceNativeDataset,
+        )
+
+        root, _t = self._mk(tmp_path_str, "cmp3", rows=40, per_file=6)
+        drop_column(root, "emb")  # evolved fragments materialize the drop
+        delete_rows(root, list(np.arange(1, 40, 5)))
+        pre = LanceNativeDataset(root).to_arrow()
+        v = compact_dataset(root, spark, target_rows=20)
+        ds = LanceNativeDataset(root)
+        assert ds.to_arrow().equals(pre)
+        _f, frags, _v = ds._manifest()
+        assert len(frags) == 2  # 40-8=32 live rows under target 20/bin
+        # rewritten fragments carry the CURRENT (non-dense) field ids
+        fields, _fr, _ = ds._manifest()
+        from lance_flink_spark.sources.lance_native import _depth_first_ids
+
+        assert all(fr.field_ids == _depth_first_ids(fields) for fr in frags)
+
+    def test_sql_alter_and_optimize_native(self, spark, tmp_path_str):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            write_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, "sqlevo")
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array(range(10), pa.int64()),
+                    "name": pa.array([f"d{i}" for i in range(10)], pa.large_utf8()),
+                }
+            ),
+            max_rows_per_file=3,
+        )
+        eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+        eng.execute(
+            f"CREATE TABLE docs (id BIGINT, name STRING) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        eng.execute("ALTER TABLE docs ADD COLUMN score DOUBLE")
+        r = eng.execute("SELECT COUNT(*) AS n, COUNT(score) AS ns FROM docs").first()
+        assert (r["n"], r["ns"]) == (10, 0)
+        eng.execute("INSERT INTO docs VALUES (10, 'new', 0.5)")
+        r = eng.execute("SELECT COUNT(*) AS n, COUNT(score) AS ns FROM docs").first()
+        assert (r["n"], r["ns"]) == (11, 1)
+        eng.execute("DELETE FROM docs WHERE id % 3 = 0")
+        eng.execute("ALTER TABLE docs DROP COLUMN name")
+        assert eng.execute("SELECT * FROM docs").columns == ["id", "score"]
+        assert len(LanceNativeDataset(root)._manifest()[1]) == 5
+        eng.execute("OPTIMIZE docs")
+        assert len(LanceNativeDataset(root)._manifest()[1]) == 1
+        got = sorted(r["id"] for r in eng.execute("SELECT id FROM docs").collect())
+        assert got == [1, 2, 4, 5, 7, 8, 10]
+        # pre-evolution version still serves the original schema
+        assert eng.execute("SELECT * FROM docs VERSION AS OF 1").columns == [
+            "id",
+            "name",
+        ]
+        with pytest.raises(ValueError, match="ZORDER"):
+            eng.execute("OPTIMIZE docs ZORDER BY (id)")
