@@ -448,3 +448,87 @@ def lance_native_evolution(spark, sf_dir):
             F.sum("quality").cast("long").alias("sum_q"),
         )
     )
+
+
+@query(
+    "lance_native_update_merge",
+    extra=True,  # r14: one-commit UPDATE/MERGE on native Lance tables
+    oracle="""
+    WITH upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN n_chars + 5 ELSE n_chars END
+                   AS n_chars
+        FROM documents
+    ), merged AS (
+        SELECT u.doc_id,
+               CASE WHEN c.doc_id IS NOT NULL THEN 'xx' ELSE u.lang END
+                   AS lang,
+               CASE WHEN c.doc_id IS NOT NULL THEN c.nc2 ELSE u.n_chars END
+                   AS n_chars
+        FROM upd u
+        LEFT JOIN (
+            SELECT doc_id, n_chars * 2 AS nc2
+            FROM documents WHERE source = 'code'
+        ) c ON u.doc_id = c.doc_id
+        UNION ALL
+        SELECT doc_id + 20000000, lang, n_chars
+        FROM documents WHERE source = 'wiki'
+    )
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_nc
+    FROM merged GROUP BY lang
+    """,
+)
+def lance_native_update_merge(spark, sf_dir):
+    """Native Lance UPDATE + MERGE, the round-14 close of the last
+    native-write refusal (§2 #263): documents land as a native table,
+    ``UPDATE ... WHERE lang='en'`` rewrites matched rows Lance-style —
+    deletion files + executor-written replacement fragments in ONE
+    manifest commit (lance_native.update_rows_distributed) — then a
+    positional ``MERGE INTO ... ON doc_id`` upserts: matched rows
+    replaced by the source ('code' docs, n_chars doubled, lang 'xx'),
+    unmatched source rows ('wiki' docs under shifted ids) append. The
+    oracle replays both mutations relationally — a row lost to the
+    tombstone/append split, an update applied twice (the join fired on
+    a stale snapshot), or a non-atomic commit surfacing the delete
+    without the append breaks the hash. Reference parity:
+    com.lancedb.lance.Dataset update/merge_insert (the write paths the
+    reference's LanceSink delegates to)."""
+    import shutil
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        write_dataset_distributed,
+    )
+
+    src = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "n_chars"
+    ).repartition(4)
+    base = scratch_dir("lance_native_um" + _tag(sf_dir))
+    root = os.path.join(base, "docs_um")
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("um_docs_src")
+    eng = SqlEngine(spark, Catalog(os.path.join(base, "whw")))
+    eng.execute(
+        f"CREATE TABLE um_docs (doc_id BIGINT, lang STRING, n_chars INT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("UPDATE um_docs SET n_chars = n_chars + 5 WHERE lang = 'en'")
+    eng.execute(
+        "MERGE INTO um_docs USING ("
+        "SELECT doc_id, 'xx' AS lang, n_chars * 2 AS n_chars "
+        "FROM um_docs_src WHERE source = 'code' "
+        "UNION ALL "
+        "SELECT doc_id + 20000000, lang, n_chars "
+        "FROM um_docs_src WHERE source = 'wiki'"
+        ") ON doc_id"
+    )
+    return (
+        eng.execute("SELECT * FROM um_docs")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_nc"),
+        )
+    )

@@ -925,16 +925,149 @@ class SqlEngine:
             columns=columns,
         )
 
-    def _refuse_native(self, name: str, op: str) -> None:
-        if name in self.native_tables:
+    def _gated_offsets(self, df, op: str) -> list[int]:
+        """Collect matched GLOBAL physical offsets for a native
+        mutation — offsets-only (one long per row) under the same 4M
+        driver gate every native offset-resolution path carries."""
+        ids = [
+            r["__phys"] for r in df.select("__phys").limit(4_000_001).collect()
+        ]
+        if len(ids) > 4_000_000:
             raise ValueError(
-                f"table {name!r} is a native Lance dataset — {op} is "
-                "outside the native write subset (INSERT INTO appends "
-                "and DELETE FROM writes deletion files; UPDATE/MERGE "
-                "need the Lance library's rewrite path); copy into a "
-                "parquet-backed table (CREATE TABLE ... AS SELECT * "
-                f"FROM {name}) for full mutability"
+                f"native {op} resolves matched offsets driver-side; "
+                ">4M matched rows exceeds the gate — copy into a "
+                "parquet-backed table for bulk mutations"
             )
+        return ids
+
+    def _update_native(
+        self, name: str, assignments: dict[str, str], pred: str | None
+    ) -> None:
+        """UPDATE a NATIVE Lance table — Lance's rewrite shape (delete
+        + append of the changed rows) in ONE manifest commit
+        (lance_native.update_rows_distributed): matched offsets become
+        deletion files, the updated copies land as executor-written
+        fragments; unmatched rows are never rewritten. SET expressions
+        evaluate against the pre-update row, standard SQL semantics."""
+        from lance_flink_spark.sources.lance_native import (
+            update_rows_distributed,
+        )
+
+        nds = self.native_tables[name]
+        df = self._native_df(nds, with_offsets=True)
+        names = [c for c in df.columns if c != "__phys"]
+        for c in assignments:
+            if c not in names:
+                raise ValueError(
+                    f"UPDATE SET target {c!r} is not a column of {name!r}"
+                )
+        matched = df.filter(_rewrite_array_literals(pred)) if pred else df
+        offs = self._gated_offsets(matched, "UPDATE")
+        if offs:
+            updated = matched.select(
+                *[
+                    (
+                        F.expr(assignments[c]).cast(df.schema[c].dataType)
+                        if c in assignments
+                        else F.col(f"`{c}`")
+                    ).alias(c)
+                    for c in names
+                ]
+            )
+            update_rows_distributed(nds.root, updated, offs)
+        self._reregister_native(name)
+        return None
+
+    def _merge_when_native(
+        self, name: str, aligned, on: str, clauses: list[dict]
+    ) -> None:
+        """Conditional MERGE INTO a NATIVE Lance table (first matching
+        WHEN clause wins per row, Delta semantics): one full-outer join
+        classifies every row, matched UPDATE/DELETE rows tombstone by
+        physical offset, updated copies + admitted inserts land as
+        executor-written fragments — ONE manifest commit
+        (lance_native.update_rows_distributed), so no reader observes
+        the delete without the append. Duplicate source keys refuse
+        (two clauses would fire on one target row,
+        nondeterministically). The unconditional MERGE routes here as
+        its two implicit clauses — Lance merge_insert."""
+        from lance_flink_spark.sources.lance_native import (
+            update_rows_distributed,
+        )
+
+        nds = self.native_tables[name]
+        dup = aligned.groupBy(on).count().filter("count > 1").limit(1)
+        if dup.count():
+            raise ValueError(
+                f"MERGE source has duplicate {on!r} keys — per-target-row "
+                "clause selection would be nondeterministic"
+            )
+        t = (
+            self._native_df(nds, with_offsets=True)
+            .withColumn("__t", F.lit(True))
+            .alias("t")
+        )
+        s = aligned.withColumn("__s", F.lit(True)).alias("s")
+        joined = t.join(
+            s, F.col(f"t.`{on}`") == F.col(f"s.`{on}`"), "full_outer"
+        )
+        # NULL-key rows never match (SQL equality): presence markers,
+        # not key nullness, decide matched/not-matched
+        is_m = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        is_nm = F.col("__t").isNull() & F.col("__s").isNotNull()
+        act = None
+        for k, cl in enumerate(clauses):
+            base = is_m if cl["matched"] else is_nm
+            if cl["cond"]:
+                base = base & F.expr(_rewrite_array_literals(cl["cond"]))
+            act = F.when(base, F.lit(k)) if act is None else act.when(base, F.lit(k))
+        joined = joined.withColumn("__act", act.otherwise(F.lit(-1)))
+        tsch = self._native_df(nds).schema
+        cols = [f.name for f in tsch.fields]
+        touch = [k for k, cl in enumerate(clauses) if cl["matched"]]
+        offs = self._gated_offsets(
+            joined.filter(F.col("__act").isin(touch)).select(
+                F.col("t.`__phys`").alias("__phys")
+            ),
+            "MERGE",
+        )
+        appends = []
+        for k, cl in enumerate(clauses):
+            rows = joined.filter(F.col("__act") == k)
+            if cl["action"] == "update":
+                appends.append(
+                    rows.select(
+                        *[
+                            F.expr(
+                                _rewrite_array_literals(cl["sets"][c])
+                                if c in cl["sets"]
+                                else f"t.`{c}`"
+                            )
+                            .cast(tsch[c].dataType)
+                            .alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+            elif cl["action"] == "insert":
+                appends.append(
+                    rows.select(
+                        *[
+                            F.col(f"s.`{c}`").cast(tsch[c].dataType).alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+            # delete: offsets only, nothing appended
+        if not offs and not appends:
+            self._reregister_native(name)
+            return None
+        app = appends[0] if appends else self._native_df(nds).limit(0)
+        for a in appends[1:]:
+            app = app.unionByName(a)
+        update_rows_distributed(nds.root, app, offs)
+        self._reregister_native(name)
+        return None
 
     def _reregister_native(self, name: str) -> None:
         """Refresh a native table's snapshot view + cached manifest
@@ -1010,17 +1143,14 @@ class SqlEngine:
         LanceSink task-write/coordinator-commit model), so bulk loads
         scale with the cluster instead of hitting a driver gate. The
         reference demo's flagship statement (flink-sql-demo.sql INSERT
-        INTO lance tables) lands on real native format."""
+        INTO lance tables) lands on real native format. INSERT
+        OVERWRITE commits a version with ONLY the new fragments (old
+        versions stay time-travelable — Lance overwrite semantics)."""
         from lance_flink_spark.sources.lance_native import (
             append_to_dataset_distributed,
+            overwrite_dataset_distributed,
         )
 
-        if overwrite:
-            raise ValueError(
-                f"INSERT OVERWRITE on native Lance table {name!r} is "
-                "outside the subset (append-only); DROP and re-create "
-                "via native CTAS to replace"
-            )
         nds = self.native_tables[name]
         fields, _frags, _v = nds._manifest()
         target = self._native_df(nds).schema  # plan-only, no job
@@ -1035,11 +1165,14 @@ class SqlEngine:
                 for c, f in zip(df.columns, target.fields)
             ]
         )
-        # executor-parallel append (round 14): fragments are written
+        # executor-parallel write (round 14): fragments are written
         # task-side conformed to the manifest's physical schema — no
         # driver materialization, no row gate; the pyarrow-Table API
         # (append_to_dataset) keeps its driver-side 4M-gated path
-        append_to_dataset_distributed(nds.root, aligned)
+        if overwrite:
+            overwrite_dataset_distributed(nds.root, aligned)
+        else:
+            append_to_dataset_distributed(nds.root, aligned)
         self._reregister_native(name)
 
     def _delete_native(self, name: str, pred: str | None) -> None:
@@ -2409,7 +2542,6 @@ class SqlEngine:
         """Flink 1.17 batch UPDATE parity:
         ``UPDATE t SET c = expr [, ...] [WHERE p]``."""
         name = m.group("name")
-        self._refuse_native(name, "UPDATE")
         pred = m.group("pred")
         assignments: dict[str, str] = {}
         for part in _split_top_level(m.group("sets")):
@@ -2417,6 +2549,8 @@ class SqlEngine:
             if not eq or not col.strip().isidentifier():
                 raise ValueError(f"malformed SET clause near {part!r}")
             assignments[col.strip()] = _rewrite_array_literals(expr.strip())
+        if name in self.native_tables:
+            return self._update_native(name, assignments, pred)
         ds: Dataset = self.catalog.load_table(self.database, name)
         ds.update_where(
             self.spark,
@@ -2445,9 +2579,13 @@ class SqlEngine:
         columns align to the table schema by position, like the
         unconditional MERGE."""
         name = m.group("name")
-        self._refuse_native(name, "MERGE")
-        ds: Dataset = self.catalog.load_table(self.database, name)
-        target = ds.read(self.spark).schema
+        if name in self.native_tables:
+            target = (
+                self._native_df(self.native_tables[name]).schema
+            )
+        else:
+            ds: Dataset = self.catalog.load_table(self.database, name)
+            target = ds.read(self.spark).schema
         df = self.spark.sql(_rewrite_array_literals(m.group("src")))
         if len(df.columns) != len(target.fields):
             raise ValueError(
@@ -2497,6 +2635,10 @@ class SqlEngine:
                 )
         if not clauses:
             raise ValueError("MERGE has no parseable WHEN clauses")
+        if name in self.native_tables:
+            return self._merge_when_native(
+                name, aligned, m.group("on"), clauses
+            )
         ds.merge_when(
             self.spark,
             aligned,
@@ -2514,9 +2656,11 @@ class SqlEngine:
         clauses). The source query's columns align to the table schema
         by position, like INSERT."""
         name = m.group("name")
-        self._refuse_native(name, "MERGE")
-        ds: Dataset = self.catalog.load_table(self.database, name)
-        target = ds.read(self.spark).schema
+        if name in self.native_tables:
+            target = self._native_df(self.native_tables[name]).schema
+        else:
+            ds: Dataset = self.catalog.load_table(self.database, name)
+            target = ds.read(self.spark).schema
         df = self.spark.sql(_rewrite_array_literals(m.group("src")))
         if len(df.columns) != len(target.fields):
             raise ValueError(
@@ -2531,6 +2675,19 @@ class SqlEngine:
                 for c, f in zip(df.columns, target.fields)
             ]
         )
+        if name in self.native_tables:
+            # merge_insert == the two implicit clauses
+            return self._merge_when_native(
+                name,
+                aligned,
+                m.group("on"),
+                [
+                    {"matched": True, "cond": None, "action": "update",
+                     "sets": {f.name: f"s.`{f.name}`" for f in target.fields}},
+                    {"matched": False, "cond": None, "action": "insert",
+                     "sets": None},
+                ],
+            )
         ds.merge_insert(
             self.spark, aligned, on=m.group("on"), dv=self._dv_mode(name)
         )

@@ -1360,6 +1360,16 @@ def _schema_signature(fields: list[LanceField]) -> list[tuple]:
     ]
 
 
+def _norm_signature(sig):
+    # Spark exports timestamps as us/UTC regardless of the stored
+    # unit/tz; the executor-side cast to the manifest's physical
+    # schema conforms them, so signatures compare by family
+    return [
+        (n, l.split(":")[0], tuple((cn, cl.split(":")[0]) for cn, cl in ch))
+        for n, l, ch in sig
+    ]
+
+
 def _make_fragments(pa, root: str, table, fields: list[LanceField], start_id: int, max_rows_per_file: int) -> list[LanceFragment]:
     expected_ids = _depth_first_ids(fields)
     n_data = _data_column_count(fields)
@@ -1590,21 +1600,9 @@ def append_to_dataset_distributed(root: str, df) -> int:
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
     new_fields, _blob = _schema_fields_of(pa, _df_arrow_schema(df))
-
-    def _norm(sig):
-        # Spark exports timestamps as us/UTC regardless of the stored
-        # unit/tz; the executor-side cast to the manifest's physical
-        # schema conforms them, so signatures compare by family
-        return [
-            (
-                n,
-                l.split(":")[0],
-                tuple((cn, cl.split(":")[0]) for cn, cl in ch),
-            )
-            for n, l, ch in sig
-        ]
-
-    if _norm(_schema_signature(new_fields)) != _norm(_schema_signature(fields)):
+    if _norm_signature(_schema_signature(new_fields)) != _norm_signature(
+        _schema_signature(fields)
+    ):
         raise UnsupportedLanceFeature(
             "append schema mismatch: "
             f"{_schema_signature(new_fields)} != {_schema_signature(fields)}"
@@ -1615,6 +1613,33 @@ def append_to_dataset_distributed(root: str, df) -> int:
     start = max((fr.frag_id for fr in frags), default=-1) + 1
     frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
     _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
+def overwrite_dataset_distributed(root: str, df) -> int:
+    """INSERT OVERWRITE: commit a manifest version containing ONLY the
+    new executor-written fragments — prior versions stay
+    time-travelable (Lance's overwrite semantics; the V2 datasource's
+    ``mode('overwrite')`` commit, now on the SQL surface too). Schema
+    must match the existing manifest by name + logical family."""
+    import pyarrow as pa
+
+    ds = LanceNativeDataset(root)
+    fields, _frags, version = ds._manifest()
+    new_fields, _blob = _schema_fields_of(pa, _df_arrow_schema(df))
+    if _norm_signature(_schema_signature(new_fields)) != _norm_signature(
+        _schema_signature(fields)
+    ):
+        raise UnsupportedLanceFeature(
+            "overwrite schema mismatch: "
+            f"{_schema_signature(new_fields)} != {_schema_signature(fields)}"
+        )
+    new_frags = _write_fragments_distributed(root, df, arrow_schema_of(fields))
+    frags = _finish_fragments(pa, root, fields, new_frags, 0)
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields), frags
+    )
     _carry_index_section(root, version, version + 1)
     return version + 1
 
@@ -1635,19 +1660,41 @@ def delete_rows(root: str, physical_ids, *, deletion_format: str = "arrow") -> i
     are sidecar offset lists. ``deletion_format``: 'arrow' (IPC offset
     column, the default) or 'bitmap' (portable roaring — what current
     Lance versions write for dense deletes)."""
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _apply_deletions(
+        root, frags, version, version + 1, physical_ids, deletion_format
+    )
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields), frags
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
+def _apply_deletions(
+    root: str,
+    frags: list[LanceFragment],
+    version: int,
+    new_version: int,
+    physical_ids,
+    deletion_format: str,
+) -> None:
+    """Write per-fragment deletion files for the GLOBAL physical
+    offsets and stamp the fragments' DeletionFile entries (unioned
+    with pre-existing masks) — no manifest commit; the caller commits,
+    so a delete and an append can share ONE version (UPDATE/MERGE)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    ds = LanceNativeDataset(root)
-    fields, frags, version = ds._manifest()
-    _fields_blob = _schema_fields_of_existing(fields)
-    ids = np.unique(np.asarray(sorted(set(int(i) for i in physical_ids)), dtype="int64"))
+    ids = np.unique(
+        np.asarray(sorted(set(int(i) for i in physical_ids)), dtype="int64")
+    )
     total = sum(fr.physical_rows for fr in frags)
     if len(ids) and (ids[0] < 0 or ids[-1] >= total):
         raise IndexError(f"physical offset out of range [0, {total})")
     os.makedirs(os.path.join(root, "_deletions"), exist_ok=True)
     base = 0
-    new_version = version + 1
     for fr in frags:
         local = ids[(ids >= base) & (ids < base + fr.physical_rows)] - base
         base += fr.physical_rows
@@ -1672,9 +1719,45 @@ def delete_rows(root: str, physical_ids, *, deletion_format: str = "arrow") -> i
             with ipc.new_file(dpath + ".tmp", t.schema) as w:
                 w.write_table(t)
         os.replace(dpath + ".tmp", dpath)
-    _write_manifest(root, new_version, _fields_blob, frags)
-    _carry_index_section(root, version, new_version)
-    return new_version
+
+
+def update_rows_distributed(
+    root: str, df, physical_ids, *, deletion_format: str = "arrow"
+) -> int:
+    """ONE-commit UPDATE/MERGE (Lance's rewrite shape: updates are
+    delete + append of the changed rows): deletion files tombstone the
+    old row versions and the replacement/insert rows land as new
+    EXECUTOR-written fragments — both in the SAME manifest version, so
+    no reader ever observes the delete without the append. ``df`` must
+    match the dataset schema by name + logical family (the executor
+    casts to the exact physical types). Cite: com.lancedb.lance
+    Dataset update/merge_insert commit one transaction the same way."""
+    import pyarrow as pa
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    new_fields, _blob = _schema_fields_of(pa, _df_arrow_schema(df))
+    if _norm_signature(_schema_signature(new_fields)) != _norm_signature(
+        _schema_signature(fields)
+    ):
+        raise UnsupportedLanceFeature(
+            "update schema mismatch: "
+            f"{_schema_signature(new_fields)} != {_schema_signature(fields)}"
+        )
+    new_frags = _write_fragments_distributed(root, df, arrow_schema_of(fields))
+    if not new_frags and not len(physical_ids):
+        return version  # nothing changed: no manifest churn
+    _apply_deletions(
+        root, frags, version, version + 1, physical_ids, deletion_format
+    )
+    if new_frags:
+        start = max((fr.frag_id for fr in frags), default=-1) + 1
+        frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields), frags
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
 
 
 def _schema_fields_of_existing(fields: list[LanceField]) -> bytes:
@@ -1921,10 +2004,12 @@ def compact_dataset(
 class LanceNativeDataset:
     """Native Lance dataset: versions, schema, Arrow and Spark reads;
     writes via the module-level :func:`write_dataset` /
-    :func:`append_to_dataset` / :func:`delete_rows` (the flat 2.0
-    subset). The SQL surface supports INSERT INTO (append) and
-    DELETE FROM (deletion files) on these tables; UPDATE/MERGE — the
-    reference's full write path needs the Lance library itself."""
+    :func:`append_to_dataset` / :func:`delete_rows` /
+    :func:`update_rows_distributed` (the flat 2.0 subset). The SQL
+    surface supports INSERT INTO/OVERWRITE, DELETE FROM (deletion
+    files), UPDATE and MERGE (one-commit tombstone + append — Lance's
+    rewrite shape), ALTER TABLE ADD/DROP COLUMN, and OPTIMIZE
+    (bin-pack compaction) on these tables."""
 
     def __init__(self, root: str):
         self.root = root

@@ -123,10 +123,9 @@ def test_sql_surface_reads_native_table(spark, tmp_path_str):
         "SELECT title FROM lance_documents WHERE id = 3"
     ).first()["title"]
     assert top == "Deep Learning Basics"
-    # UPDATE/MERGE stay outside the native write subset (r13 added
-    # INSERT/DELETE — exercised on a COPY in test_sql_native_writes)
-    with pytest.raises(ValueError, match="native Lance"):
-        eng.execute("UPDATE lance_documents SET title = 'y' WHERE id = 1")
+    # UPDATE/MERGE write natively since r14 (TestNativeUpdateMerge —
+    # exercised on COPIES; this table points at the read-only
+    # reference datasets, so only reads run here)
     # copy-out path: CTAS into a parquet-backed table, then mutate
     eng.execute("CREATE TABLE docs_rw AS SELECT * FROM lance_documents")
     eng.execute("DELETE FROM docs_rw WHERE id <= 2")
@@ -179,13 +178,17 @@ def test_sql_native_writes(spark, tmp_path_str):
     assert t.num_rows == 6 and str(t.schema.field("embedding").type) in (
         "large_list<item: float>", "list<item: float>",
     )
-    with pytest.raises(ValueError, match="native Lance"):
-        eng.execute("UPDATE docs SET title = 'x' WHERE id = 2")
-    with pytest.raises(ValueError, match="append-only"):
-        eng.execute("INSERT OVERWRITE docs SELECT * FROM docs")
+    # UPDATE writes natively since r14: one-commit tombstone + append,
+    # here onto a REFERENCE-written dataset copy
+    eng.execute("UPDATE docs SET title = 'x' WHERE id = 2")
+    assert (
+        eng.execute("SELECT title FROM docs WHERE id = 2").first()["title"]
+        == "x"
+    )
+    assert LanceNativeDataset(root).versions() == [1, 2, 3, 4]
     # DELETE with no matches is a no-op, not a new version
     eng.execute("DELETE FROM docs WHERE id = 999")
-    assert LanceNativeDataset(root).versions() == [1, 2, 3]
+    assert LanceNativeDataset(root).versions() == [1, 2, 3, 4]
 
 
 def test_sql_vector_search_over_native_table(spark, tmp_path_str):
@@ -451,8 +454,8 @@ def test_spark_read_nullable_schema(spark, tmp_path_str):
 
 def test_native_ctas_and_merge_refusal(spark, tmp_path_str):
     """CTAS with 'storage'='native' writes a real native Lance
-    directory; UPDATE and unconditional MERGE (ADVICE r12) refuse with
-    the copy-out hint."""
+    directory; the unconditional MERGE (a refusal until r14) now
+    upserts through the one-commit tombstone+append path."""
     from lance_flink_spark.sources.catalog import Catalog
     from lance_flink_spark.sources.ddl import SqlEngine
     from lance_flink_spark.sources.lance_native import LanceNativeDataset
@@ -471,10 +474,13 @@ def test_native_ctas_and_merge_refusal(spark, tmp_path_str):
         "SELECT COUNT(*) AS n, SUM(score) AS s FROM nat"
     ).first()
     assert got["n"] == 5 and got["s"] == pytest.approx(15.0)
-    with pytest.raises(ValueError, match="native Lance"):
-        eng.execute(
-            "MERGE INTO nat USING (SELECT 9 AS id, 1.0 AS score, 'x' AS t) ON id"
-        )
+    eng.execute(
+        "MERGE INTO nat USING (SELECT 9 AS id, 1.0 AS score, 'x' AS t) ON id"
+    )
+    got = eng.execute(
+        "SELECT COUNT(*) AS n, SUM(score) AS s FROM nat"
+    ).first()
+    assert got["n"] == 6 and got["s"] == pytest.approx(16.0)
 
 
 def test_distributed_read_equals_driver_read(spark, tmp_path_str):
@@ -1644,3 +1650,145 @@ class TestSchemaEvolutionAndCompaction:
         ]
         with pytest.raises(ValueError, match="ZORDER"):
             eng.execute("OPTIMIZE docs ZORDER BY (id)")
+
+
+class TestNativeUpdateMerge:
+    """Round 14: UPDATE / MERGE on native tables — Lance's rewrite
+    shape (deletion files + executor-written replacement fragments) in
+    ONE manifest commit, closing the last native-write refusal."""
+
+    def _eng(self, spark, tmp, rows=10):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+        from lance_flink_spark.sources.lance_native import write_dataset
+
+        root = os.path.join(tmp, "updm")
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array(range(rows), pa.int64()),
+                    "name": pa.array([f"d{i}" for i in range(rows)], pa.large_utf8()),
+                    "qty": pa.array([float(i * 10) for i in range(rows)], pa.float64()),
+                }
+            ),
+            max_rows_per_file=4,
+        )
+        eng = SqlEngine(spark, Catalog(os.path.join(tmp, "whw")))
+        eng.execute(
+            f"CREATE TABLE docs (id BIGINT, name STRING, qty DOUBLE) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        return eng, root
+
+    def test_update_one_commit_time_travel(self, spark, tmp_path_str):
+        eng, root = self._eng(spark, tmp_path_str)
+        eng.execute(
+            "UPDATE docs SET qty = qty * 2, name = concat(name, '!') "
+            "WHERE id % 3 = 0"
+        )
+        ds = LanceNativeDataset(root)
+        assert ds.versions() == [1, 2]  # delete + append in ONE commit
+        got = {r["id"]: (r["name"], r["qty"]) for r in
+               eng.execute("SELECT * FROM docs").collect()}
+        assert len(got) == 10
+        assert got[0] == ("d0!", 0.0) and got[9] == ("d9!", 180.0)
+        assert got[1] == ("d1", 10.0)  # unmatched rows untouched
+        # pre-update version still serves the original values
+        old = ds.to_arrow(version=1).to_pydict()
+        assert old["qty"][9] == 90.0
+        # SET expressions see PRE-update values (standard SQL): a
+        # second update referencing qty uses the committed state
+        eng.execute("UPDATE docs SET qty = qty + 1 WHERE id = 0")
+        assert (
+            eng.execute("SELECT qty FROM docs WHERE id = 0").first()["qty"]
+            == 1.0
+        )
+
+    def test_update_no_match_no_commit(self, spark, tmp_path_str):
+        eng, root = self._eng(spark, tmp_path_str)
+        eng.execute("UPDATE docs SET qty = 0 WHERE id > 1000")
+        assert LanceNativeDataset(root).versions() == [1]
+        with pytest.raises(ValueError, match="not a column"):
+            eng.execute("UPDATE docs SET nope = 1")
+
+    def test_merge_upsert_and_conditional(self, spark, tmp_path_str):
+        eng, root = self._eng(spark, tmp_path_str)
+        eng.execute(
+            "MERGE INTO docs USING (SELECT 1 AS id, 'ONE' AS name, "
+            "999.0 AS qty UNION ALL SELECT 100, 'NEW', 5.0) ON id"
+        )
+        got = {r["id"]: (r["name"], r["qty"]) for r in
+               eng.execute("SELECT * FROM docs").collect()}
+        assert len(got) == 11
+        assert got[1] == ("ONE", 999.0) and got[100] == ("NEW", 5.0)
+        assert LanceNativeDataset(root).versions() == [1, 2]  # atomic
+        eng.execute(
+            "MERGE INTO docs USING (SELECT 2 AS id, 'x' AS name, 1.0 AS qty "
+            "UNION ALL SELECT 4, 'y', 2.0 UNION ALL SELECT 200, 'z', 3.0) "
+            "ON id "
+            "WHEN MATCHED AND t.qty > 30 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {r["id"]: r["qty"] for r in
+               eng.execute("SELECT id, qty FROM docs").collect()}
+        assert 4 not in got          # matched, qty 40 > 30 → DELETE
+        assert got[2] == 21.0        # matched, 20 + 1 → UPDATE
+        assert got[200] == 3.0       # not matched → INSERT
+        assert got[5] == 50.0        # no clause fired → untouched
+
+    def test_merge_duplicate_source_keys_refuse(self, spark, tmp_path_str):
+        eng, _root = self._eng(spark, tmp_path_str)
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.execute(
+                "MERGE INTO docs USING (SELECT 1 AS id, 'a' AS name, "
+                "1.0 AS qty UNION ALL SELECT 1, 'b', 2.0) ON id"
+            )
+
+    def test_update_after_evolution(self, spark, tmp_path_str):
+        """UPDATE on a schema-evolved table: the rewrite conforms every
+        touched row to the CURRENT schema (nulls materialized), old
+        fragments keep reading through the field-id map."""
+        eng, root = self._eng(spark, tmp_path_str)
+        eng.execute("ALTER TABLE docs ADD COLUMN score DOUBLE")
+        eng.execute("UPDATE docs SET score = qty / 10 WHERE id < 3")
+        got = {r["id"]: r["score"] for r in
+               eng.execute("SELECT id, score FROM docs").collect()}
+        assert got[0] == 0.0 and got[2] == 2.0
+        assert got[5] is None
+
+
+def test_insert_overwrite_native(spark, tmp_path_str):
+    """INSERT OVERWRITE a native table (a refusal until r14): the new
+    manifest version holds ONLY the new fragments; the pre-overwrite
+    version stays time-travelable (Lance overwrite semantics, matching
+    the V2 datasource's mode('overwrite'))."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "ow")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(5), pa.int64()),
+                "name": pa.array([f"d{i}" for i in range(5)], pa.large_utf8()),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT, name STRING) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("INSERT OVERWRITE docs SELECT 100 AS id, 'only' AS name")
+    rows = eng.execute("SELECT * FROM docs").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(100, "only")]
+    old = eng.execute("SELECT COUNT(*) AS n FROM docs VERSION AS OF 1").first()
+    assert old["n"] == 5
