@@ -1406,6 +1406,14 @@ class SqlEngine:
                 rows, "function_name string, class string"
             )
         m = _TRUNCATE.match(sql)
+        if m and m.group("name") in self.native_tables:
+            from lance_flink_spark.sources.lance_native import (
+                truncate_dataset,
+            )
+
+            truncate_dataset(self.native_tables[m.group("name")].root)
+            self._reregister_native(m.group("name"))
+            return None
         if m and self._in_catalog(m.group("name")):
             # Flink 1.18 TRUNCATE TABLE: delete every row as a NEW
             # version (time travel to the pre-truncate snapshot keeps
@@ -1519,6 +1527,17 @@ class SqlEngine:
             self._register(m.group("name"))
             return None
         m = _VACUUM.match(sql)
+        if m and m.group("name") in self.native_tables:
+            from lance_flink_spark.sources.lance_native import vacuum_dataset
+
+            deleted = vacuum_dataset(
+                self.native_tables[m.group("name")].root,
+                keep_versions=int(m.group("keep") or 1),
+            )
+            self._reregister_native(m.group("name"))
+            return self.spark.createDataFrame(
+                [(f,) for f in deleted] or [], "deleted_file string"
+            )
         if m:
             ds = self.catalog.load_table(self.database, m.group("name"))
             deleted = ds.vacuum(keep_versions=int(m.group("keep") or 1))
@@ -1526,6 +1545,14 @@ class SqlEngine:
                 [(f,) for f in deleted] or [], "deleted_file string"
             )
         m = _RESTORE.match(sql)
+        if m and m.group("name") in self.native_tables:
+            from lance_flink_spark.sources.lance_native import restore_dataset
+
+            restore_dataset(
+                self.native_tables[m.group("name")].root, int(m.group("v"))
+            )
+            self._reregister_native(m.group("name"))
+            return None
         if m and self._in_catalog(m.group("name")):
             ds = self.catalog.load_table(self.database, m.group("name"))
             ds.restore(int(m.group("v")))

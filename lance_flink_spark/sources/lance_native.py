@@ -1858,6 +1858,99 @@ def drop_column(root: str, name: str) -> int:
     return version + 1
 
 
+def restore_dataset(root: str, version: int) -> int:
+    """RESTORE TABLE: re-commit ``version``'s manifest as the new
+    latest (metadata-only rollback — Lance's restore; the rolled-past
+    versions stay time-travelable, nothing is deleted)."""
+    ds = LanceNativeDataset(root)
+    if version not in ds._manifests:
+        raise ValueError(
+            f"version {version} not in {root} (have {ds._manifests})"
+        )
+    latest = ds._manifests[-1]
+    fields, frags, _v = ds._manifest(version)
+    _write_manifest(
+        root, latest + 1, _schema_fields_of_existing(fields), frags
+    )
+    _carry_index_section(root, version, latest + 1)
+    return latest + 1
+
+
+def truncate_dataset(root: str) -> int:
+    """TRUNCATE TABLE: a new version with ZERO live rows (one empty
+    fragment — a dataset must hold at least one); pre-truncate
+    versions stay time-travelable. This is a delete, not a vacuum."""
+    import pyarrow as pa
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    name = f"{uuid.uuid4()}.lance"
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    write_fragment_file(
+        os.path.join(root, "data", name),
+        arrow_schema_of(fields).empty_table(),
+    )
+    frag = LanceFragment(
+        path=name,
+        frag_id=max((fr.frag_id for fr in frags), default=-1) + 1,
+        field_ids=_depth_first_ids(fields),
+        column_indices=list(range(_data_column_count(fields))),
+        physical_rows=0,
+    )
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields), [frag]
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
+def vacuum_dataset(root: str, keep_versions: int = 1) -> list[str]:
+    """Physically remove files no KEPT manifest version references —
+    Lance's cleanup_old_versions: the last ``keep_versions`` manifests
+    survive; data files, deletion files, index-payload dirs and
+    manifests referenced by none of them are deleted. Irreversible:
+    time travel shrinks to the kept set. Returns the deleted paths
+    (root-relative)."""
+    import shutil as _sh
+
+    ds = LanceNativeDataset(root)
+    keep = ds._manifests[-max(int(keep_versions), 1):]
+    ref_data: set[str] = set()
+    ref_del: set[str] = set()
+    ref_idx: set[str] = set()
+    for v in keep:
+        _fields, frags, _ = ds._manifest(v)
+        for fr in frags:
+            ref_data.add(fr.path)
+            if fr.deletion is not None:
+                ref_del.add(os.path.basename(_deletion_path(root, fr)))
+        for ix in read_index_section(
+            os.path.join(root, "_versions", f"{v}.manifest")
+        ):
+            ref_idx.add(ix.uuid.replace("-", "").lower())
+    deleted: list[str] = []
+    ddir = os.path.join(root, "data")
+    for f in sorted(os.listdir(ddir)) if os.path.isdir(ddir) else []:
+        if f.endswith(".lance") and f not in ref_data:
+            os.remove(os.path.join(ddir, f))
+            deleted.append(f"data/{f}")
+    tdir = os.path.join(root, "_deletions")
+    for f in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+        if f not in ref_del:
+            os.remove(os.path.join(tdir, f))
+            deleted.append(f"_deletions/{f}")
+    xdir = os.path.join(root, "_indices")
+    for d in sorted(os.listdir(xdir)) if os.path.isdir(xdir) else []:
+        if d.replace("-", "").lower() not in ref_idx:
+            _sh.rmtree(os.path.join(xdir, d))
+            deleted.append(f"_indices/{d}")
+    for v in ds._manifests:
+        if v not in keep:
+            os.remove(os.path.join(root, "_versions", f"{v}.manifest"))
+            deleted.append(f"_versions/{v}.manifest")
+    return deleted
+
+
 # ---------- compaction (fragment rewrite + manifest commit) ----------
 
 

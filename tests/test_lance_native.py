@@ -1792,3 +1792,63 @@ def test_insert_overwrite_native(spark, tmp_path_str):
     assert [(r["id"], r["name"]) for r in rows] == [(100, "only")]
     old = eng.execute("SELECT COUNT(*) AS n FROM docs VERSION AS OF 1").first()
     assert old["n"] == 5
+
+
+def test_native_truncate_restore_vacuum(spark, tmp_path_str):
+    """The remaining native lifecycle statements (round 14): TRUNCATE
+    commits an empty version (a delete, time travel keeps working),
+    RESTORE re-commits an old manifest as the new latest
+    (metadata-only rollback), and VACUUM physically removes every
+    file only dropped versions reference — Lance's
+    cleanup_old_versions."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "lc")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(8), pa.int64()),
+                "name": pa.array([f"d{i}" for i in range(8)], pa.large_utf8()),
+            }
+        ),
+        max_rows_per_file=3,
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT, name STRING) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("DELETE FROM docs WHERE id = 0")  # v2, deletion file
+    eng.execute("TRUNCATE TABLE docs")  # v3, empty
+    assert eng.execute("SELECT COUNT(*) AS n FROM docs").first()["n"] == 0
+    assert (
+        eng.execute("SELECT COUNT(*) AS n FROM docs VERSION AS OF 2").first()[
+            "n"
+        ]
+        == 7
+    )
+    eng.execute("RESTORE TABLE docs TO VERSION AS OF 2")  # v4 == v2
+    assert eng.execute("SELECT COUNT(*) AS n FROM docs").first()["n"] == 7
+    ds = LanceNativeDataset(root)
+    assert ds.versions() == [1, 2, 3, 4]
+    # vacuum to the latest version only: the truncate fragment and
+    # nothing the restored manifest references goes away
+    deleted = [
+        r["deleted_file"]
+        for r in eng.execute("VACUUM docs KEEP 1").collect()
+    ]
+    assert any(d.startswith("_versions/3") for d in deleted)
+    assert any(d.startswith("data/") for d in deleted)  # truncate frag
+    ds = LanceNativeDataset(root)
+    assert ds.versions() == [4]
+    assert eng.execute("SELECT COUNT(*) AS n FROM docs").first()["n"] == 7
+    # the kept version's deletion file survived the vacuum
+    assert (
+        sorted(r["id"] for r in eng.execute("SELECT id FROM docs").collect())
+        == list(range(1, 8))
+    )
