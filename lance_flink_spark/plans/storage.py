@@ -362,7 +362,7 @@ def lance_datasource_roundtrip(spark, sf_dir):
         FROM documents
         UNION ALL
         SELECT doc_id + 10000000, n_chars, CAST(n_chars AS DOUBLE)
-        FROM documents WHERE source = 'web'
+        FROM documents WHERE source IN ('src1', 'src2', 'src3')
     )
     SELECT doc_id % 10 AS bucket,
            COUNT(*) AS n,
@@ -418,7 +418,7 @@ def lance_native_evolution(spark, sf_dir):
     append_to_dataset_distributed(
         root,
         table(spark, sf_dir, "documents")
-        .filter("source = 'web'")
+        .filter("source IN ('src1', 'src2', 'src3')")
         .selectExpr(
             "doc_id + 10000000 AS doc_id",
             "lang",
@@ -468,11 +468,11 @@ def lance_native_evolution(spark, sf_dir):
         FROM upd u
         LEFT JOIN (
             SELECT doc_id, n_chars * 2 AS nc2
-            FROM documents WHERE source = 'code'
+            FROM documents WHERE source IN ('src4', 'src5', 'src6')
         ) c ON u.doc_id = c.doc_id
         UNION ALL
         SELECT doc_id + 20000000, lang, n_chars
-        FROM documents WHERE source = 'wiki'
+        FROM documents WHERE source IN ('src8', 'src9')
     )
     SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_nc
     FROM merged GROUP BY lang
@@ -518,10 +518,10 @@ def lance_native_update_merge(spark, sf_dir):
     eng.execute(
         "MERGE INTO um_docs USING ("
         "SELECT doc_id, 'xx' AS lang, n_chars * 2 AS n_chars "
-        "FROM um_docs_src WHERE source = 'code' "
+        "FROM um_docs_src WHERE source IN ('src4', 'src5', 'src6') "
         "UNION ALL "
         "SELECT doc_id + 20000000, lang, n_chars "
-        "FROM um_docs_src WHERE source = 'wiki'"
+        "FROM um_docs_src WHERE source IN ('src8', 'src9')"
         ") ON doc_id"
     )
     return (
@@ -531,4 +531,76 @@ def lance_native_update_merge(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum("n_chars").cast("long").alias("sum_nc"),
         )
+    )
+
+
+@query(
+    "lance_native_changes",
+    extra=True,  # r14: native change feed (Delta CDF / Flink CDC shape)
+    oracle="""
+    SELECT 1 AS commit_v, 'insert' AS op, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nc
+    FROM documents
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 3, 'insert', COUNT(*), CAST(SUM(n_chars + 7) AS BIGINT)
+    FROM documents WHERE source IN ('src1', 'src2', 'src3')
+    """,
+)
+def lance_native_changes(spark, sf_dir):
+    """The NATIVE change feed (round 14, §2 #265):
+    ``read_changes_distributed`` replays a write → roaring-delete →
+    distributed-append history as a Flink-CDC-shaped changelog —
+    inserts from appeared fragments, deletes from deletion-file growth
+    WITH pre-image values, one executor task per changed fragment. The
+    aggregate folds the feed per (_commit_version, _change_type); the
+    oracle states each commit's expected row set relationally, so a
+    delete emitted without pre-image values, an insert double-counted
+    across fragments, or a commit mis-attributed breaks the hash.
+    Reference parity: the reference consumes Lance history as a Flink
+    CDC source; this is the same shape over the native format."""
+    import shutil
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        append_to_dataset_distributed,
+        delete_rows,
+        read_changes_distributed,
+        read_distributed,
+        write_dataset_distributed,
+    )
+
+    src = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "n_chars"
+    ).repartition(4)
+    root = os.path.join(
+        scratch_dir("lance_native_cdc" + _tag(sf_dir)), "docs_cdc"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)  # v1
+    offs = [
+        r["__phys"]
+        for r in read_distributed(
+            LanceNativeDataset(root), spark, with_offsets=True
+        )
+        .filter("doc_id % 5 = 0")
+        .select("__phys")
+        .collect()
+    ]
+    delete_rows(root, offs, deletion_format="bitmap")  # v2
+    append_to_dataset_distributed(
+        root,
+        table(spark, sf_dir, "documents")
+        .filter("source IN ('src1', 'src2', 'src3')")
+        .selectExpr("doc_id + 30000000 AS doc_id", "lang", "n_chars + 7 AS n_chars"),
+    )  # v3
+    feed = read_changes_distributed(root, spark, 0)
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_v"),
+        F.col("_change_type").alias("op"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_nc"),
     )

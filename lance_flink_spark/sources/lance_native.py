@@ -1858,6 +1858,137 @@ def drop_column(root: str, name: str) -> int:
     return version + 1
 
 
+def read_changes_distributed(
+    root: str, spark, from_version: int, to_version: int | None = None
+):
+    """Row-level change feed between manifest versions — the parquet
+    ``Dataset.read_changes`` analogue for NATIVE datasets (Delta CDF /
+    Flink CDC shape): every row INSERTED in ``(from_version,
+    to_version]`` (fragments that appeared in a commit, minus
+    same-commit masks) emits with ``_change_type='insert'`` and every
+    row DELETED (deletion-file growth, decoded with its pre-image
+    values) with ``'delete'``, plus ``_commit_version``. A native
+    UPDATE is one commit carrying its delete+insert pair — the Flink
+    retract-changelog shape. Commits that REPLACE fragments (OPTIMIZE
+    compaction, INSERT OVERWRITE, TRUNCATE, RESTORE) refuse loudly at
+    plan time: a rewrite relocates rows without defining row-level
+    change, and guessing would emit phantom churn. Metadata-only
+    commits (ALTER TABLE) emit nothing; all rows render in
+    ``to_version``'s schema through the field-id map. One executor
+    task per changed fragment."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    ds = LanceNativeDataset(root)
+    to_v = to_version if to_version is not None else ds._manifests[-1]
+    if to_v not in ds._manifests:
+        raise ValueError(f"to_version {to_v} not in {ds._manifests}")
+    vs = [v for v in ds._manifests if from_version < v <= to_v]
+    rows = []
+    for v in vs:
+        _f, frags_v, _ = ds._manifest(v)
+        i = ds._manifests.index(v)
+        prev = ds._manifests[i - 1] if i > 0 else None
+        pfrags = (
+            {fr.frag_id: fr for fr in ds._manifest(prev)[1]}
+            if prev is not None
+            else {}
+        )
+        removed = set(pfrags) - {fr.frag_id for fr in frags_v}
+        if removed:
+            raise UnsupportedLanceFeature(
+                f"version {v} REPLACES fragments {sorted(removed)} "
+                "(compaction / overwrite / truncate / restore) — "
+                "row-level change is undefined across rewrites; read "
+                "changes up to the version before it"
+            )
+        for fr in frags_v:
+            if fr.frag_id not in pfrags:
+                if fr.physical_rows:
+                    rows.append(("insert", v, prev or 0, fr.path))
+            else:
+                old = pfrags[fr.frag_id]
+                nd, od = fr.deletion, old.deletion
+                if nd is not None and (
+                    od is None or (nd.id, nd.read_version) != (od.id, od.read_version)
+                ):
+                    rows.append(("delete", v, prev, fr.path))
+    tfields, _tf, _tv = ds._manifest(to_v)
+    ntz_type = (
+        T.TimestampNTZType()
+        if spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+        == "TIMESTAMP_NTZ"
+        else T.TimestampType()
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, _spark_type_of(pa, f.type, ntz_type), True)
+            for f in arrow_schema_of(tfields)
+        ]
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+        ]
+    )
+    tasks = spark.createDataFrame(
+        rows or [],
+        "kind string, v long, prev long, frag_path string",
+    ).repartition(max(len(rows), 1))
+
+    def _emit(batches):
+        eds = LanceNativeDataset(root)
+        efields, _ef, _ev = eds._manifest(to_v)
+        mapper = {
+            pa.int64(): pd.Int64Dtype(),
+            pa.int32(): pd.Int32Dtype(),
+            pa.float32(): pd.Float32Dtype(),
+            pa.float64(): pd.Float64Dtype(),
+        }.get
+        for pdf in batches:
+            for kind, v, prev, path in zip(
+                pdf["kind"], pdf["v"], pdf["prev"], pdf["frag_path"]
+            ):
+                _f, frags, _ = eds._manifest(int(v))
+                fr = next(f for f in frags if f.path == path)
+                t = read_fragment_table(
+                    os.path.join(root, "data", fr.path), efields, fr
+                )
+                new_dead = (
+                    read_deletion_file(root, fr)
+                    if fr.deletion is not None
+                    else np.array([], dtype="int64")
+                )
+                if kind == "insert":
+                    keep = np.setdiff1d(
+                        np.arange(t.num_rows, dtype="int64"), new_dead
+                    )
+                    t = t.take(keep)
+                else:  # delete: deletion-file growth vs prev version
+                    _pf, pfr_list, _ = eds._manifest(int(prev))
+                    old = next(
+                        (f for f in pfr_list if f.frag_id == fr.frag_id),
+                        None,
+                    )
+                    old_dead = (
+                        read_deletion_file(root, old)
+                        if old is not None and old.deletion is not None
+                        else np.array([], dtype="int64")
+                    )
+                    t = t.take(np.setdiff1d(new_dead, old_dead))
+                if not t.num_rows:
+                    continue
+                out = t.to_pandas(types_mapper=mapper)
+                out["_change_type"] = kind
+                out["_commit_version"] = int(v)
+                yield out
+
+    return tasks.mapInPandas(_emit, schema=out_schema)
+
+
 def restore_dataset(root: str, version: int) -> int:
     """RESTORE TABLE: re-commit ``version``'s manifest as the new
     latest (metadata-only rollback — Lance's restore; the rolled-past

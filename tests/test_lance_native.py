@@ -1852,3 +1852,76 @@ def test_native_truncate_restore_vacuum(spark, tmp_path_str):
         sorted(r["id"] for r in eng.execute("SELECT id FROM docs").collect())
         == list(range(1, 8))
     )
+
+
+def test_native_change_feed(spark, tmp_path_str):
+    """read_changes_distributed (round 14): inserts from appeared
+    fragments, deletes from deletion-file growth WITH pre-image
+    values, an UPDATE commit carrying its delete+insert pair under one
+    _commit_version, metadata-only commits silent, rows rendered in
+    to_version's schema, and a loud refusal across fragment-replacing
+    commits (compaction)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        add_column,
+        append_to_dataset,
+        compact_dataset,
+        delete_rows,
+        read_changes_distributed,
+        update_rows_distributed,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "cdc")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(6), pa.int64()),
+                "v": pa.array([float(i) for i in range(6)], pa.float64()),
+            }
+        ),
+        max_rows_per_file=3,
+    )  # v1
+    append_to_dataset(
+        root,
+        pa.table(
+            {"id": pa.array([10], pa.int64()), "v": pa.array([7.0], pa.float64())}
+        ),
+    )  # v2
+    delete_rows(root, [0, 4])  # v3
+    add_column(root, "q", pa.float64())  # v4: metadata-only, silent
+    update_rows_distributed(
+        root,
+        spark.createDataFrame([(1, 99.0, 0.5)], "id long, v double, q double"),
+        [1],
+    )  # v5: delete+insert in ONE commit
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in read_changes_distributed(root, spark, 0).collect()
+    )
+    assert got == [
+        (1, "insert", 0, 0.0),
+        (1, "insert", 1, 1.0),
+        (1, "insert", 2, 2.0),
+        (1, "insert", 3, 3.0),
+        (1, "insert", 4, 4.0),
+        (1, "insert", 5, 5.0),
+        (2, "insert", 10, 7.0),
+        (3, "delete", 0, 0.0),   # pre-image values
+        (3, "delete", 4, 4.0),
+        (5, "delete", 1, 1.0),   # the update's retract...
+        (5, "insert", 1, 99.0),  # ...and its new image
+    ]
+    # windowed read: only (2, 3]
+    win = read_changes_distributed(root, spark, 2, 3)
+    assert sorted(r["id"] for r in win.collect()) == [0, 4]
+    # rows render in to_version's schema (q exists, null pre-evolution)
+    feed = read_changes_distributed(root, spark, 0)
+    assert "q" in feed.columns
+    # compaction replaces fragments: refuse past it, fine before it
+    compact_dataset(root)  # v6
+    with pytest.raises(UnsupportedLanceFeature, match="REPLACES"):
+        read_changes_distributed(root, spark, 0)
+    assert read_changes_distributed(root, spark, 0, 5).count() == 11
