@@ -106,13 +106,29 @@ class LanceNativeDataSource(DataSource):
             raise ValueError("lance_native requires a 'path' option")
         return path
 
+    def _changes(self) -> bool:
+        return str(self.options.get("readChanges", "")).lower() == "true"
+
     def schema(self):
+        import pyarrow as pa
+
         from pyspark.sql.pandas.types import from_arrow_schema
 
         nds = _dataset(self._root())
         v = self.options.get("version")
         fields, _frags, _v = nds._manifest(int(v) if v is not None else None)
         arrow = _downcast_arrow_schema(fields)
+        if self._changes():
+            if self.options.get("columns"):
+                raise ValueError(
+                    "readChanges does not compose with 'columns' — the "
+                    "changelog always carries the full row image"
+                )
+            return from_arrow_schema(
+                arrow.append(pa.field("_change_type", pa.string())).append(
+                    pa.field("_commit_version", pa.int64())
+                )
+            )
         cols = self.options.get("columns")
         if cols:
             want = [c.strip() for c in cols.split(",") if c.strip()]
@@ -136,6 +152,8 @@ class LanceNativeDataSource(DataSource):
         return LanceNativeStreamWriter(self._root(), schema)
 
     def streamReader(self, schema: T.StructType):
+        if self._changes():
+            return LanceNativeChangesStreamReader(self._root(), self.options)
         return LanceNativeStreamReader(self._root(), self.options)
 
 
@@ -527,6 +545,146 @@ class LanceNativeStreamReader(DataSourceStreamReader):
 class LanceStreamPartition(InputPartition):
     frag_path: str
     version: int
+
+
+class LanceNativeChangesStreamReader(DataSourceStreamReader):
+    """CHANGELOG streaming source (``.option('readChanges', 'true')``)
+    — the native change feed as micro-batches: each batch emits the
+    commits in (start, end] as insert/delete rows (deletes carry their
+    PRE-IMAGE values, an UPDATE commit carries its delete+insert pair
+    under one ``_commit_version``) — Flink's retract-changelog shape,
+    ready for a keyed upsert sink; with the lance_native batch sink on
+    the other end this closes the fully-native replication loop. One
+    InputPartition per changed fragment. Fragment-REPLACING commits
+    (compaction / overwrite / truncate / restore) refuse loudly at
+    planning time. Rows render in the schema captured at stream start
+    (mid-stream evolution keeps old fragments readable through the
+    field-id map). ``startingVersion`` defaults to 0 — the full
+    history replays as inserts, the replication-bootstrap shape."""
+
+    def __init__(self, root: str, options):
+        self.root = root
+        sv = options.get("startingVersion")
+        self.starting = int(sv) if sv is not None else 0
+        self.schema_version = _dataset(root).versions()[-1]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        return {"version": _dataset(self.root).versions()[-1]}
+
+    def partitions(self, start: dict, end: dict):
+        from lance_flink_spark.sources.lance_native import (
+            UnsupportedLanceFeature,
+        )
+
+        sv, ev = int(start["version"]), int(end["version"])
+        if sv == ev:
+            return []
+        nds = _dataset(self.root)
+        out = []
+        for v in [x for x in nds._manifests if sv < x <= ev]:
+            _f, frags_v, _ = nds._manifest(v)
+            i = nds._manifests.index(v)
+            prev = nds._manifests[i - 1] if i > 0 else None
+            pfrags = (
+                {fr.frag_id: fr for fr in nds._manifest(prev)[1]}
+                if prev is not None
+                else {}
+            )
+            removed = set(pfrags) - {fr.frag_id for fr in frags_v}
+            if removed:
+                raise UnsupportedLanceFeature(
+                    f"version {v} REPLACES fragments {sorted(removed)} "
+                    "(compaction / overwrite / truncate / restore) — "
+                    "the changelog is undefined across rewrites"
+                )
+            for fr in frags_v:
+                if fr.frag_id not in pfrags:
+                    if fr.physical_rows:
+                        out.append(
+                            LanceChangesPartition(
+                                "insert", v, prev or 0, fr.path,
+                                self.schema_version,
+                            )
+                        )
+                else:
+                    old = pfrags[fr.frag_id]
+                    nd, od = fr.deletion, old.deletion
+                    if nd is not None and (
+                        od is None
+                        or (nd.id, nd.read_version)
+                        != (od.id, od.read_version)
+                    ):
+                        out.append(
+                            LanceChangesPartition(
+                                "delete", v, prev, fr.path,
+                                self.schema_version,
+                            )
+                        )
+        return out
+
+    def read(self, partition: "LanceChangesPartition"):
+        import numpy as np
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            read_deletion_file,
+            read_fragment_table,
+        )
+
+        nds = _dataset(self.root)
+        sfields, _sf, _sv = nds._manifest(partition.schema_version)
+        _f, frags, _ = nds._manifest(partition.version)
+        fr = next(f for f in frags if f.path == partition.frag_path)
+        t = read_fragment_table(
+            os.path.join(self.root, "data", fr.path), sfields, fr
+        )
+        new_dead = (
+            read_deletion_file(self.root, fr)
+            if fr.deletion is not None
+            else np.array([], dtype="int64")
+        )
+        if partition.kind == "insert":
+            t = t.take(
+                np.setdiff1d(np.arange(t.num_rows, dtype="int64"), new_dead)
+            )
+        else:
+            _pf, pfr_list, _ = nds._manifest(partition.prev)
+            old = next(
+                (f for f in pfr_list if f.frag_id == fr.frag_id), None
+            )
+            old_dead = (
+                read_deletion_file(self.root, old)
+                if old is not None and old.deletion is not None
+                else np.array([], dtype="int64")
+            )
+            t = t.take(np.setdiff1d(new_dead, old_dead))
+        t = t.cast(_downcast_arrow_schema(sfields))
+        n = t.num_rows
+        t = t.append_column(
+            "_change_type", pa.array([partition.kind] * n, pa.string())
+        ).append_column(
+            "_commit_version",
+            pa.array([partition.version] * n, pa.int64()),
+        )
+        yield from t.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable
+
+    def stop(self) -> None:
+        pass
+
+
+@dataclass
+class LanceChangesPartition(InputPartition):
+    kind: str
+    version: int
+    prev: int
+    frag_path: str
+    schema_version: int
 
 
 def register(spark) -> None:

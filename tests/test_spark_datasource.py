@@ -309,3 +309,89 @@ def test_stream_read_tails_manifest_versions(ds_spark, tmp_path_str):
     assert sorted(
         r["id"] for r in ds_spark.table("dssrc_replay").collect()
     ) == list(range(6)) + [100, 101]
+
+
+def test_stream_read_changes_mode(ds_spark, tmp_path_str):
+    spark = ds_spark
+    """readStream.format('lance_native').option('readChanges','true')
+    (round 14): the native change feed as micro-batches — bootstrap
+    drain replays history as inserts + pre-image deletes; a SECOND
+    run on the SAME checkpoint emits only the new commit, an UPDATE's
+    delete+insert pair under one _commit_version (the Flink retract
+    changelog); 'columns' refuses in changes mode."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        delete_rows,
+        update_rows_distributed,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "cdcstream")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(4), pa.int64()),
+                "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            }
+        ),
+    )
+    delete_rows(root, [1])
+    out = os.path.join(tmp_path_str, "cdc_out")
+    ck = os.path.join(tmp_path_str, "cdc_ck")
+    sdf = (
+        spark.readStream.format("lance_native")
+        .option("path", root)
+        .option("readChanges", "true")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r1 = sorted(
+        (x["_commit_version"], x["_change_type"], x["id"], x["v"])
+        for x in spark.read.parquet(out).collect()
+    )
+    assert r1 == [
+        (1, "insert", 0, 1.0),
+        (1, "insert", 1, 2.0),
+        (1, "insert", 2, 3.0),
+        (1, "insert", 3, 4.0),
+        (2, "delete", 1, 2.0),  # pre-image value
+    ]
+    update_rows_distributed(
+        root,
+        spark.createDataFrame([(2, 30.0)], "id long, v double"),
+        [2],
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r2 = sorted(
+        (x["_commit_version"], x["_change_type"], x["id"], x["v"])
+        for x in spark.read.parquet(out).collect()
+    )
+    assert sorted(set(r2) - set(r1)) == [
+        (3, "delete", 2, 3.0),
+        (3, "insert", 2, 30.0),
+    ]
+    with pytest.raises(Exception, match="readChanges"):
+        (
+            spark.read.format("lance_native")
+            .option("path", root)
+            .option("readChanges", "true")
+            .option("columns", "id")
+            .load()
+            .count()
+        )
