@@ -276,6 +276,12 @@ _RESTORE = re.compile(
 _SHOW_CREATE = re.compile(
     r"SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
+_TABLE_CHANGES = re.compile(
+    # Delta's table_changes TVF: SELECT * FROM table_changes('t', 2[, 5])
+    r"SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'(?P<tbl>[^']+)'\s*,\s*"
+    r"(?P<frm>\d+)(?:\s*,\s*(?P<to>\d+))?\s*\)\s*$",
+    re.IGNORECASE,
+)
 # Flink event-time temporal table join (docs "Temporal Joins"):
 #   SELECT ... FROM fact f JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d
 #   ON f.k = d.k [...]
@@ -925,6 +931,35 @@ class SqlEngine:
             columns=columns,
         )
 
+    def _table_changes(self, m: re.Match):
+        """Delta's ``table_changes('t', from [, to])`` TVF over a
+        NATIVE table — the change feed (lance_native.
+        read_changes_distributed) as a SQL relation: inserts from
+        appeared fragments, deletes with pre-image values, an UPDATE
+        commit's delete+insert pair under one _commit_version.
+        Parquet-backed tables need a declared row key for their CDF —
+        use Dataset.read_changes; the TVF refuses with that hint."""
+        tbl = m.group("tbl")
+        if tbl in self.native_tables:
+            from lance_flink_spark.sources.lance_native import (
+                read_changes_distributed,
+            )
+
+            to = m.group("to")
+            return read_changes_distributed(
+                self.native_tables[tbl].root,
+                self.spark,
+                int(m.group("frm")),
+                int(to) if to else None,
+            )
+        if self._in_catalog(tbl):
+            raise ValueError(
+                f"table_changes({tbl!r}): the parquet-backed CDF is "
+                "keyed — call Dataset.read_changes(spark, key, "
+                "since_version, version) with the row-identity column"
+            )
+        raise ValueError(f"table_changes: unknown table {tbl!r}")
+
     def _gated_offsets(self, df, op: str) -> list[int]:
         """Collect matched GLOBAL physical offsets for a native
         mutation — offsets-only (one long per row) under the same 4M
@@ -1224,6 +1259,9 @@ class SqlEngine:
         m = _VECTOR_SEARCH.match(sql)
         if m:
             return self._vector_search(m)
+        m = _TABLE_CHANGES.match(sql)
+        if m:
+            return self._table_changes(m)
         m = _COPY_INTO.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._copy_into(m)
@@ -1559,6 +1597,21 @@ class SqlEngine:
             self._register(m.group("name"))
             return None
         m = _SHOW_CREATE.match(sql)
+        if m and m.group("name") in self.native_tables:
+            name = m.group("name")
+            nds = self.native_tables[name]
+            schema = self._native_df(nds).schema  # plan-only, no job
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in schema.fields
+            )
+            stmt = (
+                f"CREATE TABLE {name} (\n  {cols}\n) WITH "
+                f"('connector' = 'lance', 'path' = '{nds.root}')"
+            )
+            return self.spark.createDataFrame(
+                [(stmt,)], "create_statement string"
+            )
         if m and self._in_catalog(m.group("name")):
             name = m.group("name")
             ds = self.catalog.load_table(self.database, name)

@@ -1925,3 +1925,49 @@ def test_native_change_feed(spark, tmp_path_str):
     with pytest.raises(UnsupportedLanceFeature, match="REPLACES"):
         read_changes_distributed(root, spark, 0)
     assert read_changes_distributed(root, spark, 0, 5).count() == 11
+
+
+def test_table_changes_tvf_and_show_create(spark, tmp_path_str):
+    """SQL surface of the native change feed + SHOW CREATE TABLE on a
+    native table (round 14)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "tvf")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(5), pa.int64()),
+                "v": pa.array([float(i) for i in range(5)], pa.float64()),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT, v DOUBLE) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("DELETE FROM docs WHERE id = 3")
+    eng.execute("UPDATE docs SET v = v * 10 WHERE id = 0")
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in eng.execute(
+            "SELECT * FROM table_changes('docs', 1)"
+        ).collect()
+    )
+    assert got == [
+        (2, "delete", 3, 3.0),
+        (3, "delete", 0, 0.0),
+        (3, "insert", 0, 0.0 * 10),
+    ]
+    # windowed form
+    assert (
+        eng.execute("SELECT * FROM table_changes('docs', 1, 2)").count() == 1
+    )
+    stmt = eng.execute("SHOW CREATE TABLE docs").first()["create_statement"]
+    assert "'connector' = 'lance'" in stmt and root in stmt
+    assert "id BIGINT" in stmt and "v DOUBLE" in stmt
