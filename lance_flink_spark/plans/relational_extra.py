@@ -1102,3 +1102,87 @@ def streaming_cdc_upsert(spark, sf_dir):
         .read(spark)
         .select("user_id", "event_type", "ts_us", "event_id", "value_cents")
     )
+
+
+@query(
+    "streaming_native_upsert",
+    extra=True,  # r14: the keyed-changelog sink landing in NATIVE Lance
+    oracle="""
+    SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1 AND event_type <> 'purchase'
+    """,
+)
+def streaming_native_upsert(spark, sf_dir):
+    """`streaming_upsert`'s exact changelog (purchases retract, the
+    rest upserts, four mtime-ordered micro-batches) landing in a
+    NATIVE Lance dataset through UpsertNativeSink (round 14): each
+    batch is ONE manifest commit — deletion files tombstone replaced/
+    retracted rows, executor-written fragments carry the new images,
+    sequence guards + the retraction log keep out-of-order changes
+    convergent. The materialized native table must equal the batch
+    keep-last oracle; with the readChanges stream source this sink is
+    the other half of the fully-native replication loop. Reference
+    parity: LanceSink.java upsert mode delegating to
+    com.lancedb.lance merge_insert."""
+    import shutil
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        read_distributed,
+    )
+    from lance_flink_spark.streaming.upsert import UpsertNativeSink
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = scratch_dir("nupsert" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("_op"),
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    span = hi - lo + 1
+    src = os.path.join(root, "src")
+    (
+        ev.withColumn("b", ((F.col("ts_us") - lo) * 4 / span).cast("int"))
+        .repartition("b")
+        .write.partitionBy("b")
+        .parquet(src)
+    )
+    for i in range(4):
+        p = os.path.join(src, f"b={i}")
+        t = 1_700_000_000 + i * 100
+        for r, _d, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(r, f), (t, t))
+        os.utime(p, (t, t))
+    schema = spark.read.parquet(os.path.join(src, "b=0")).schema
+    sink = UpsertNativeSink(
+        os.path.join(root, "t"), key="user_id", seq_cols=["ts_us", "event_id"]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    q = (
+        sink.attach(sdf, os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_distributed(
+        LanceNativeDataset(os.path.join(root, "t")), spark,
+        columns=["user_id", "event_type", "ts_us", "event_id", "value_cents"],
+    )

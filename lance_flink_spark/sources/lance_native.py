@@ -2334,7 +2334,10 @@ class LanceNativeDataset:
         t = t.cast(
             pa.schema([pa.field(f.name, _downcast(f.type)) for f in t.schema])
         )
-        return spark.createDataFrame(t)
+        # pyspark's createDataFrame(pa.Table) silently drops chunks
+        # after the first when the table is multi-chunk (one chunk per
+        # fragment here) — flatten before the bridge
+        return spark.createDataFrame(t.combine_chunks())
 
 
 def arrow_schema_of(fields: list[LanceField]):

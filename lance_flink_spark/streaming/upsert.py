@@ -269,3 +269,181 @@ class UpsertDatasetSink:
         and block until done — the bounded-replay entry point."""
         q = self.attach(sdf, checkpoint).trigger(availableNow=True).start()
         q.awaitTermination()
+
+
+class UpsertNativeSink:
+    """foreachBatch sink folding a keyed changelog into a NATIVE Lance
+    dataset — :class:`UpsertDatasetSink`'s contract on the native
+    format (round 14): each micro-batch lands as ONE manifest commit
+    through ``lance_native.update_rows_distributed`` (deletion files
+    tombstone replaced/retracted rows, executor-written fragments
+    carry the new images). With the changelog-mode native stream
+    source on the other side this closes the FULLY-native replication
+    loop: native table → readChanges stream → keyed upsert → native
+    replica.
+
+    Same semantics as the parquet sink: ``seq_cols`` makes the fold
+    and the cross-batch guards last-writer-wins (stale updates after a
+    newer delete are dropped through the same parquet-backed
+    retraction log); without them the stream must be one-change-per-
+    key per batch (probed, loud). Idempotency: a batchId marker under
+    ``_stream_commits/`` (the native streaming sink's scheme) makes
+    replayed batches no-ops; the crash window between manifest commit
+    and marker write is CONTENT-idempotent — a replayed upsert
+    re-matches its key and rewrites the same image, a replayed delete
+    re-deletes — so state converges with at most a duplicated
+    version."""
+
+    def __init__(
+        self,
+        root: str,
+        key: str,
+        op_col: str = "_op",
+        seq_cols: list[str] | None = None,
+        delete_ops: tuple[str, ...] = ("D", "-D", "delete"),
+    ):
+        self.root = root.rstrip("/")
+        self.key = key
+        self.op_col = op_col
+        self.seq_cols = list(seq_cols or [])
+        self.delete_ops = tuple(delete_ops)
+        self.retractions = Dataset(self.root + "_retractions")
+
+    # -- the fold / retraction-memory trio mirrors UpsertDatasetSink --
+
+    def _fold_batch(self, df: DataFrame) -> DataFrame:
+        if not self.seq_cols:
+            return df
+        w = Window.partitionBy(self.key).orderBy(
+            *[F.col(c).desc() for c in self.seq_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+
+    def _log_retractions(self, folded: DataFrame, tag: str) -> None:
+        if not self.seq_cols:
+            return
+        dels = folded.filter(
+            F.col(self.op_col).isin(list(self.delete_ops))
+        ).select(self.key, *self.seq_cols)
+        self.retractions.write(
+            dels.coalesce(1), mode="append", tag=tag, skip_empty=True
+        )
+
+    def _drop_pre_retraction(self, spark, folded: DataFrame) -> DataFrame:
+        if not self.seq_cols or not self.retractions.versions():
+            return folded
+        r = (
+            self.retractions.read(spark)
+            .groupBy(self.key)
+            .agg(F.max(F.struct(*self.seq_cols)).alias("__rseq"))
+        )
+        return (
+            folded.join(F.broadcast(r), self.key, "left")
+            .filter(
+                F.col("__rseq").isNull()
+                | (F.struct(*self.seq_cols) >= F.col("__rseq"))
+            )
+            .drop("__rseq")
+        )
+
+    def _probe_unique(self, df: DataFrame, what: str) -> None:
+        if self.seq_cols:
+            return  # the fold already kept exactly one row per key
+        dup = df.groupBy(self.key).count().filter("count > 1").limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"{what} has multiple rows for key {dup[0][0]!r} and no "
+                "seq_cols to pick a winner"
+            )
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook — idempotent via the batchId marker."""
+        import os
+
+        spark = df.sparkSession
+        tag = f"upsert-{int(batch_id)}"
+        marker = os.path.join(self.root, "_stream_commits", tag)
+        if os.path.exists(marker):
+            return  # replayed batch
+        folded = self._fold_batch(df).persist()
+        try:
+            self._log_retractions(folded, tag)
+            filtered = self._drop_pre_retraction(spark, folded)
+            self._probe_unique(filtered, "micro-batch")
+            v = self._apply(spark, filtered)
+        finally:
+            folded.unpersist()
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(str(v))
+
+    def _apply(self, spark, filtered: DataFrame) -> int:
+        import os
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            read_distributed,
+            update_rows_distributed,
+            write_dataset_distributed,
+        )
+
+        is_del = F.col(self.op_col).isin(list(self.delete_ops))
+        if not os.path.isdir(os.path.join(self.root, "_versions")):
+            # bootstrap: surviving upserts become the initial fragments
+            write_dataset_distributed(
+                self.root, filtered.filter(~is_del).drop(self.op_col)
+            )
+            return 1
+        nds = LanceNativeDataset(self.root)
+        t = (
+            read_distributed(nds, spark, with_offsets=True)
+            .withColumn("__t", F.lit(True))
+            .alias("t")
+        )
+        cols = [c for c in t.columns if c not in ("__phys", "__t")]
+        tsch = {f.name: f.dataType for f in t.schema.fields}
+        s = filtered.withColumn("__s", F.lit(True)).alias("s")
+        j = t.join(
+            s, F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"),
+            "full_outer",
+        )
+        guard = (
+            F.expr(_seq_guard(self.seq_cols)) if self.seq_cols else F.lit(True)
+        )
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        sdel = F.col(f"s.`{self.op_col}`").isin(list(self.delete_ops))
+        # every matched row whose change wins its guard is tombstoned —
+        # replaced (upsert) or gone (delete); losers keep the old row
+        offs = [
+            r["__phys"]
+            for r in j.filter(matched & guard)
+            .select(F.col("t.`__phys`").alias("__phys"))
+            .limit(4_000_001)
+            .collect()
+        ]
+        if len(offs) > 4_000_000:
+            raise ValueError(
+                "native upsert batch matched >4M rows — the offset "
+                "resolution is driver-side; split the batch"
+            )
+        appends = j.filter(
+            F.col("__s").isNotNull()
+            & ~sdel
+            & (F.col("__t").isNull() | guard)
+        ).select(
+            *[F.col(f"s.`{c}`").cast(tsch[c]).alias(c) for c in cols]
+        )
+        return update_rows_distributed(self.root, appends, offs)
+
+    def attach(self, sdf: DataFrame, checkpoint: str):
+        """``stream.writeStream.foreachBatch(sink.write_batch)`` with
+        the checkpoint set — the parquet sink's convenience shape."""
+        return (
+            sdf.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )

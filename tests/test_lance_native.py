@@ -1971,3 +1971,159 @@ def test_table_changes_tvf_and_show_create(spark, tmp_path_str):
     stmt = eng.execute("SHOW CREATE TABLE docs").first()["create_statement"]
     assert "'connector' = 'lance'" in stmt and root in stmt
     assert "id BIGINT" in stmt and "v DOUBLE" in stmt
+
+
+@pytest.fixture()
+def ds_spark_native(spark):
+    from lance_flink_spark.sources import spark_datasource as dsx
+
+    dsx.register(spark)
+    return spark
+
+
+def test_driver_read_survives_emptied_fragment(spark, tmp_path_str):
+    """Regression (r14): pyspark's createDataFrame(pa.Table) TRUNCATES
+    at the first empty chunk — a fragment whose rows are all deleted
+    produced a silently-short driver-side read(). combine_chunks
+    before the bridge; the arrow read and the Spark read must agree."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        delete_rows,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "emptied")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(9), pa.int64()),
+                "v": pa.array([float(i) for i in range(9)], pa.float64()),
+            }
+        ),
+        max_rows_per_file=3,
+    )
+    delete_rows(root, [3, 4, 5])  # the MIDDLE fragment empties
+    ds = LanceNativeDataset(root)
+    assert ds.to_arrow().num_rows == 6
+    got = sorted(r["id"] for r in ds.read(spark).collect())
+    assert got == [0, 1, 2, 6, 7, 8]
+
+
+class TestNativeUpsertSink:
+    """UpsertNativeSink (round 14): the keyed-changelog fold landing
+    in a NATIVE dataset, one manifest commit per micro-batch."""
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k string, v double, seq long, _op string"
+        )
+
+    def test_fold_guards_and_delete_memory(self, spark, tmp_path_str):
+        from lance_flink_spark.streaming.upsert import UpsertNativeSink
+
+        root = os.path.join(tmp_path_str, "nupsert")
+        sink = UpsertNativeSink(root, "k", seq_cols=["seq"])
+        sink.write_batch(
+            self._batch(
+                spark, [("a", 1.0, 1, "U"), ("b", 2.0, 1, "U"), ("c", 3.0, 1, "U")]
+            ),
+            0,
+        )
+        sink.write_batch(
+            self._batch(
+                spark,
+                [("a", 10.0, 3, "U"), ("b", 0.0, 2, "D"), ("d", 4.0, 2, "U")],
+            ),
+            1,
+        )
+        # stale post-delete 'b' must NOT resurrect; stale 'a' ignored
+        sink.write_batch(
+            self._batch(spark, [("b", 99.0, 1, "U"), ("a", 5.0, 2, "U")]), 2
+        )
+        ds = LanceNativeDataset(root)
+        got = sorted(
+            (r["k"], r["v"], r["seq"]) for r in ds.read(spark).collect()
+        )
+        assert got == [("a", 10.0, 3), ("c", 3.0, 1), ("d", 4.0, 2)]
+        # a no-change batch commits nothing; a replayed batch no-ops
+        vs = ds.versions()
+        sink.write_batch(
+            self._batch(
+                spark,
+                [("a", 10.0, 3, "U"), ("b", 0.0, 2, "D"), ("d", 4.0, 2, "U")],
+            ),
+            1,
+        )
+        assert LanceNativeDataset(root).versions() == vs
+
+    def test_fully_native_replication_loop(self, ds_spark_native, tmp_path_str):
+        """native source table → readChanges stream → UpsertNativeSink
+        → native replica: the replica equals the source's live rows."""
+        import pyarrow as pa
+
+        from lance_flink_spark.streaming.upsert import UpsertNativeSink
+        from lance_flink_spark.sources.lance_native import (
+            delete_rows,
+            update_rows_distributed,
+            write_dataset,
+        )
+
+        spark = ds_spark_native
+        src = os.path.join(tmp_path_str, "cdc_src")
+        write_dataset(
+            src,
+            pa.table(
+                {
+                    "k": pa.array([f"k{i}" for i in range(8)], pa.large_utf8()),
+                    "v": pa.array([float(i) for i in range(8)], pa.float64()),
+                }
+            ),
+        )
+        delete_rows(src, [2])
+        update_rows_distributed(
+            src,
+            spark.createDataFrame([("k5", 50.0)], "k string, v double"),
+            [5],
+        )
+        replica = os.path.join(tmp_path_str, "cdc_replica")
+        # an UPDATE commit's delete+insert pair shares _commit_version;
+        # the insert must win the fold — derive a tie-broken sequence
+        sink = UpsertNativeSink(
+            replica, "k", op_col="_change_type",
+            seq_cols=["_seq"],
+            delete_ops=("delete",),
+        )
+        sdf = (
+            spark.readStream.format("lance_native")
+            .option("path", src)
+            .option("readChanges", "true")
+            .load()
+        )
+        # _commit_version doubles as the sequence; _change_type as op.
+        # Project the op/seq columns the sink folds on.
+        q = (
+            sink.attach(
+                sdf.selectExpr(
+                    "k",
+                    "v",
+                    "_commit_version * 2 + IF(_change_type = 'insert', 1, 0)"
+                    " AS _seq",
+                    "_change_type",
+                ),
+                os.path.join(tmp_path_str, "cdc_loop_ck"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r["k"], r["v"])
+            for r in LanceNativeDataset(replica).read(spark).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"])
+            for r in LanceNativeDataset(src).read(spark).collect()
+        )
+        assert got == want and len(want) == 7
