@@ -920,16 +920,52 @@ class SqlEngine:
         the reference's LanceInputFormat split model). The driver
         never materializes the data, so pointing SQL at a multi-GB
         foreign dataset is bounded by the cluster, not driver memory;
-        each fragment still honors the 256 MB in-task decode gate."""
+        each fragment still honors the 256 MB in-task decode gate.
+
+        Catalyst cannot size a mapInPandas source (its estimate is the
+        worst-case default, so a small native dim would never auto-
+        broadcast in a join); the plain-read path attaches a
+        size-gated broadcast hint from the manifest's own byte
+        accounting — fragment file sizes scaled by the live-row
+        fraction, the same estimate ANALYZE feeds the parquet side.
+        Mutation/probe reads (offsets, projections) stay unhinted."""
         from lance_flink_spark.sources.lance_native import read_distributed
 
-        return read_distributed(
+        df = read_distributed(
             nds,
             self.spark,
             version=version,
             with_offsets=with_offsets,
             columns=columns,
         )
+        if with_offsets or columns is not None:
+            return df
+        try:
+            from lance_flink_spark.registry import _parse_bytes
+            from lance_flink_spark.sources.lance_native import (
+                read_deletion_file,
+            )
+
+            limit = _parse_bytes(
+                self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+            if limit <= 0:
+                return df
+            _fields, frags, _v = nds._manifest(version)
+            est = 0
+            for fr in frags:
+                sz = os.path.getsize(os.path.join(nds.root, "data", fr.path))
+                if fr.deletion is not None and fr.physical_rows:
+                    live = fr.physical_rows - len(
+                        read_deletion_file(nds.root, fr)
+                    )
+                    sz = int(sz * live / fr.physical_rows)
+                est += sz
+                if est > limit:
+                    return df
+            return F.broadcast(df)
+        except Exception:  # noqa: BLE001 - unsizeable → no hint
+            return df
 
     def _table_changes(self, m: re.Match):
         """Delta's ``table_changes('t', from [, to])`` TVF over a

@@ -87,3 +87,56 @@ def test_hinted_join_plans_broadcast_end_to_end(spark, dim, tmp_path_str):
         assert "SortMergeJoin" in pp
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_native_table_broadcast_hint(spark, tmp_path_str):
+    """A NATIVE table view carries a size-gated broadcast hint from
+    the manifest's own byte accounting (round 14): Catalyst can't size
+    a mapInPandas source, so without the hint a small native dim never
+    auto-broadcasts. Under a tiny threshold the hint must vanish."""
+    import os
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "dim")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "k": pa.array(range(10), pa.int64()),
+                "name": pa.array([f"d{i}" for i in range(10)], pa.large_utf8()),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE dim (k BIGINT, name STRING) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    spark.range(0, 10_000).selectExpr("id % 10 AS k", "id AS x") \
+        .createOrReplaceTempView("fact")
+    plan = eng.execute(
+        "SELECT f.k, COUNT(*) AS n FROM fact f JOIN dim d ON f.k = d.k "
+        "GROUP BY f.k"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # a threshold below the file size must drop the hint
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+    try:
+        eng2 = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw2")))
+        eng2.execute(
+            f"CREATE TABLE dim2 (k BIGINT, name STRING) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        plan2 = eng2.execute(
+            "SELECT f.k, COUNT(*) AS n FROM fact f JOIN dim2 d ON f.k = d.k "
+            "GROUP BY f.k"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
