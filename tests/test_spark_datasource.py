@@ -395,3 +395,49 @@ def test_stream_read_changes_mode(ds_spark, tmp_path_str):
             .load()
             .count()
         )
+
+
+def test_datasource_reads_evolved_dataset(ds_spark, tmp_path_str):
+    """The V2 reader serves schema-evolved datasets through the same
+    field-id map as every other path: old fragments read NULL for an
+    added column, dropped columns disappear, filters still push into
+    the task (round 14)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        add_column,
+        append_to_dataset,
+        drop_column,
+        write_dataset,
+    )
+
+    spark = ds_spark
+    root = os.path.join(tmp_path_str, "evods")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(6), pa.int64()),
+                "name": pa.array([f"d{i}" for i in range(6)], pa.large_utf8()),
+            }
+        ),
+        max_rows_per_file=3,
+    )
+    add_column(root, "score", pa.float64())
+    append_to_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([10], pa.int64()),
+                "name": pa.array(["new"], pa.large_utf8()),
+                "score": pa.array([0.5], pa.float64()),
+            }
+        ),
+    )
+    drop_column(root, "name")
+    df = spark.read.format("lance_native").option("path", root).load()
+    assert df.columns == ["id", "score"]
+    assert df.count() == 7
+    assert df.filter("score IS NOT NULL").count() == 1
+    # filter pushdown still applies in-task on the evolved layout
+    assert df.filter("id < 3").count() == 3
