@@ -19,6 +19,7 @@ Catalyst pushdown), INSERTs append/overwrite dataset versions.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -967,6 +968,122 @@ class SqlEngine:
         except Exception:  # noqa: BLE001 - unsizeable → no hint
             return df
 
+    def _native_index_dir(self, nds, col: str) -> str:
+        return os.path.join(nds.root, "_vector_index_spark", col)
+
+    def _create_index_native(self, m: re.Match) -> DataFrame:
+        """CREATE INDEX on a NATIVE Lance table (round 14): builds THIS
+        engine's sidecar vector index (IVF_FLAT/PQ/SQ/HNSW) over the
+        distributed native read, each entry carrying the row's global
+        physical offset — Lance's own model (indexes store row
+        addresses, deletion files mask them at query time). A sidecar
+        meta records the built version + fragment ids: DELETE-only
+        commits stay servable (masks applied at query), fragment-set
+        changes (INSERT/compaction/overwrite) make it stale —
+        vector_search warns and brute-forces. The payload is OUR
+        parquet sidecar format, not `_indices/` (that stays the Lance
+        library's domain, SURVEY §6)."""
+        import json
+
+        from lance_flink_spark.index.options import build_index_from_options
+
+        name, col = m.group("name"), m.group("col")
+        using = (m.group("using") or "IVF_FLAT").upper()
+        if using in ("SCALAR", "BLOOM"):
+            raise ValueError(
+                f"CREATE INDEX USING {using} on a native table is "
+                "outside the subset — native scalar lookups read the "
+                "fragment pages directly"
+            )
+        opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or ""))
+        nds = self.native_tables[name]
+        df = self._native_df(nds, with_offsets=True)
+        idx_dir = self._native_index_dir(nds, col)
+        build_index_from_options(
+            self.spark,
+            df,
+            idx_dir,
+            {**opts, "index.type": using, "index.column": col},
+        )
+        _fields, frags, version = nds._manifest()
+        with open(os.path.join(idx_dir, "_native_binding.json"), "w") as f:
+            json.dump(
+                {
+                    "built_version": version,
+                    "frag_ids": sorted(fr.frag_id for fr in frags),
+                },
+                f,
+            )
+        return self.spark.createDataFrame(
+            [(name, col, using, int(version))],
+            "table string, column string, using string, version long",
+        )
+
+    def _native_index_search(self, nds, col, vec, k, metric):
+        """Serve vector_search from the native table's sidecar index
+        when it exists and is still addressable: fresh (same version)
+        serves directly; DELETE-only drift serves with the current
+        deletion masks anti-joined (over-fetched by the deleted count);
+        fragment-set drift returns None → caller warns + brutes."""
+        import json
+        import warnings
+
+        import numpy as np
+
+        from lance_flink_spark.index.options import (
+            search_index_with_options,
+        )
+        from lance_flink_spark.sources.lance_native import (
+            read_deletion_file,
+        )
+
+        idx_dir = self._native_index_dir(nds, col)
+        binding = os.path.join(idx_dir, "_native_binding.json")
+        if not os.path.exists(binding):
+            return None
+        meta = json.load(open(binding))
+        _fields, frags, version = nds._manifest()
+        if sorted(fr.frag_id for fr in frags) != meta["frag_ids"]:
+            warnings.warn(
+                f"native index on {col!r} is STALE (fragment set changed "
+                f"since version {meta['built_version']}) — rebuild with "
+                "CREATE INDEX; falling back to exact brute-force",
+                stacklevel=2,
+            )
+            return None
+        dead: list[int] = []
+        if version != meta["built_version"]:
+            base = 0
+            for fr in frags:
+                if fr.deletion is not None:
+                    dead.extend(
+                        (read_deletion_file(nds.root, fr) + base).tolist()
+                    )
+                base += fr.physical_rows
+            if len(dead) > 4_000_000:
+                warnings.warn(
+                    "over 4M deletions since the index build — compact "
+                    "and rebuild; falling back to brute-force",
+                    stacklevel=2,
+                )
+                return None
+        fetch = k + len(dead)
+        opts = {"index.type": "IVF_FLAT", "vector.metric": metric}
+        res = search_index_with_options(self.spark, idx_dir, vec, fetch, opts)
+        if dead:
+            dd = self.spark.createDataFrame(
+                [(int(d),) for d in dead], "__phys long"
+            )
+            res = res.join(dd, "__phys", "left_anti")
+        order = [c for c in ("distance", "similarity") if c in res.columns]
+        if order:
+            res = res.orderBy(
+                F.col(order[0]).asc()
+                if order[0] == "distance"
+                else F.col(order[0]).desc()
+            )
+        return res.limit(k).drop("__phys")
+
     def _table_changes(self, m: re.Match):
         """Delta's ``table_changes('t', from [, to])`` TVF over a
         NATIVE table — the change feed (lance_native.
@@ -1290,6 +1407,8 @@ class SqlEngine:
         if m:
             return self._match_recognize(m)
         m = _CREATE_INDEX.match(sql)
+        if m and m.group("name") in self.native_tables:
+            return self._create_index_native(m)
         if m and self._in_catalog(m.group("name")):
             return self._create_index(m)
         m = _VECTOR_SEARCH.match(sql)
@@ -2211,6 +2330,12 @@ class SqlEngine:
             )
 
             nds = self.native_tables[tbl]
+            # OUR sidecar index over the native table serves first
+            # (exact pre-filter semantics force brute, like parquet)
+            if flt is None:
+                served = self._native_index_search(nds, col, vec, k, metric)
+                if served is not None:
+                    return served
             fields, _frags, _v = nds._manifest()
             col_ids = {f.fid for f in fields if f.name == col}
             col_ids |= {

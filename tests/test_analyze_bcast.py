@@ -124,6 +124,15 @@ def test_native_table_broadcast_hint(spark, tmp_path_str):
         "GROUP BY f.k"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # the HINT itself must be present (AQE could broadcast a small
+    # local relation on its own — that would mask a dead hint)
+    logical = (
+        eng.execute("SELECT * FROM dim")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" in logical
     # a threshold below the file size must drop the hint
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")

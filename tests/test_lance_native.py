@@ -2127,3 +2127,74 @@ class TestNativeUpsertSink:
             for r in LanceNativeDataset(src).read(spark).collect()
         )
         assert got == want and len(want) == 7
+
+
+def test_native_create_index_and_search(spark, tmp_path_str):
+    """CREATE INDEX on a NATIVE table (round 14): OUR sidecar IVF
+    index over the distributed native read, entries addressed by
+    global physical offset — Lance's address+mask model. A DELETE-only
+    commit stays servable (current masks anti-joined at query time,
+    no rebuild); a fragment-set change (INSERT) is stale → warn +
+    exact brute. SCALAR refuses."""
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 8
+    vecs = rng.normal(size=(n, d)).astype("float32")
+    root = os.path.join(tmp_path_str, "natidx")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.large_list(pa.float32())
+                ),
+            }
+        ),
+        max_rows_per_file=100,
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    with pytest.raises(ValueError, match="SCALAR"):
+        eng.execute("CREATE INDEX ON docs (id) USING SCALAR")
+    r = eng.execute(
+        "CREATE INDEX ON docs (embedding) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='8')"
+    ).first()
+    assert (r["using"], r["version"]) == ("IVF_FLAT", 1)
+    q = vecs[5].tolist()
+    qsql = "ARRAY[" + ",".join(str(x) for x in q) + "]"
+    got = eng.execute(
+        f"SELECT * FROM vector_search('docs', 'embedding', {qsql}, 3, 'L2')"
+    ).collect()
+    assert got[0]["id"] == 5 and got[0]["distance"] == 0.0
+    # DELETE-only drift: the index serves with the mask applied
+    eng.execute("DELETE FROM docs WHERE id = 5")
+    got2 = eng.execute(
+        f"SELECT * FROM vector_search('docs', 'embedding', {qsql}, 3, 'L2')"
+    ).collect()
+    assert 5 not in [x["id"] for x in got2] and len(got2) == 3
+    # INSERT changes the fragment set: stale → warn + exact brute
+    eng.execute(
+        "INSERT INTO docs VALUES (9999, ARRAY["
+        + ",".join(str(x) for x in q)
+        + "])"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got3 = eng.execute(
+            f"SELECT * FROM vector_search('docs', 'embedding', {qsql}, 2, 'L2')"
+        ).collect()
+    assert any("STALE" in str(x.message) for x in w)
+    assert got3[0]["id"] == 9999
