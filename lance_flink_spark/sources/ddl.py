@@ -1426,6 +1426,18 @@ class SqlEngine:
         if m and self._in_catalog(m.group("name")):
             return self._show_indexes(m.group("name"))
         m = _DROP_INDEX.match(sql)
+        if m and m.group("name") in self.native_tables:
+            import shutil as _sh
+
+            nds = self.native_tables[m.group("name")]
+            p = self._native_index_dir(nds, m.group("col"))
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"no sidecar index on {m.group('name')}"
+                    f"({m.group('col')})"
+                )
+            _sh.rmtree(p)
+            return None
         if m and self._in_catalog(m.group("name")):
             return self._drop_index(m)
         m = _CREATE_MV.match(sql)
@@ -2417,6 +2429,27 @@ class SqlEngine:
                     ix.details_type or ix.name or "UNKNOWN",
                     int(ix.dataset_version),
                     ix.dataset_version == current,
+                )
+            )
+        # OUR sidecar indexes (CREATE INDEX on the native table) list
+        # alongside the library-built ones; fresh = the fragment set
+        # is unchanged (delete-only drift still serves with masks)
+        import json as _json
+
+        sdir = _os.path.join(nds.root, "_vector_index_spark")
+        _f2, frags, _v2 = nds._manifest()
+        frag_ids = sorted(fr.frag_id for fr in frags)
+        for col in sorted(_os.listdir(sdir)) if _os.path.isdir(sdir) else []:
+            b = _os.path.join(sdir, col, "_native_binding.json")
+            if not _os.path.exists(b):
+                continue
+            meta = _json.load(open(b))
+            rows.append(
+                (
+                    col,
+                    "SIDECAR_VECTOR",
+                    int(meta["built_version"]),
+                    meta["frag_ids"] == frag_ids,
                 )
             )
         return self.spark.createDataFrame(

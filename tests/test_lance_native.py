@@ -2198,3 +2198,49 @@ def test_native_create_index_and_search(spark, tmp_path_str):
         ).collect()
     assert any("STALE" in str(x.message) for x in w)
     assert got3[0]["id"] == 9999
+
+
+def test_native_show_and_drop_sidecar_index(spark, tmp_path_str):
+    """SHOW INDEXES lists OUR sidecar index beside library-built ones
+    (fresh = unchanged fragment set); DROP INDEX removes it and
+    vector_search goes back to brute."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 4)).astype("float32")
+    root = os.path.join(tmp_path_str, "sidx")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.large_list(pa.float32())
+                ),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute(
+        "CREATE INDEX ON docs (embedding) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='4')"
+    )
+    rows = {r["column"]: r for r in eng.execute("SHOW INDEXES ON docs").collect()}
+    assert rows["embedding"]["using"] == "SIDECAR_VECTOR"
+    assert rows["embedding"]["fresh"] is True
+    eng.execute("INSERT INTO docs VALUES (100, ARRAY[0.0, 0.0, 0.0, 0.0])")
+    rows = {r["column"]: r for r in eng.execute("SHOW INDEXES ON docs").collect()}
+    assert rows["embedding"]["fresh"] is False  # fragment set changed
+    eng.execute("DROP INDEX ON docs (embedding) USING IVF_FLAT")
+    assert eng.execute("SHOW INDEXES ON docs").count() == 0
+    with pytest.raises(ValueError, match="no sidecar index"):
+        eng.execute("DROP INDEX ON docs (embedding)")
