@@ -250,6 +250,8 @@ def events_json(spark, sf_dir):
 
 @query(
     "multimodal_meta",
+    extra=True,  # r14-late rotation out: hash-green driver evidence
+    # since r8; the binary/codec family keeps its pytest + extras gates
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,

@@ -536,7 +536,8 @@ def lance_native_update_merge(spark, sf_dir):
 
 @query(
     "lance_native_changes",
-    extra=True,  # r14: native change feed (Delta CDF / Flink CDC shape)
+    # r14-late rotation IN (for multimodal_meta): the native change
+    # feed gets driver-grade hash evidence
     oracle="""
     SELECT 1 AS commit_v, 'insert' AS op, COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_nc
