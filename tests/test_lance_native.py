@@ -2244,3 +2244,75 @@ def test_native_show_and_drop_sidecar_index(spark, tmp_path_str):
     assert eng.execute("SHOW INDEXES ON docs").count() == 0
     with pytest.raises(ValueError, match="no sidecar index"):
         eng.execute("DROP INDEX ON docs (embedding)")
+
+
+def test_index_vacuum_compact_interplay(spark, tmp_path_str):
+    """Maintenance interplay (round 14): VACUUM never touches OUR
+    sidecar index dir (it is not version-referenced); OPTIMIZE changes
+    the fragment set so the sidecar reports stale and vector_search
+    falls back to exact brute; update_rows_distributed refuses a
+    mismatched replacement schema."""
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        UnsupportedLanceFeature,
+        update_rows_distributed,
+        write_dataset,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(90, 4)).astype("float32")
+    root = os.path.join(tmp_path_str, "mx")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(90), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.large_list(pa.float32())
+                ),
+            }
+        ),
+        max_rows_per_file=30,
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute(
+        "CREATE INDEX ON docs (embedding) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='4')"
+    )
+    eng.execute("DELETE FROM docs WHERE id % 9 = 0")
+    eng.execute("VACUUM docs KEEP 1")
+    # the sidecar survived the vacuum and still serves (delete-only)
+    q = vecs[7].tolist()
+    qsql = "ARRAY[" + ",".join(str(x) for x in q) + "]"
+    got = eng.execute(
+        f"SELECT * FROM vector_search('docs', 'embedding', {qsql}, 2, 'L2')"
+    ).collect()
+    assert got[0]["id"] == 7
+    # compaction rewrites the fragment set: stale → warn + exact brute
+    eng.execute("OPTIMIZE docs")
+    rows = {r["column"]: r for r in eng.execute("SHOW INDEXES ON docs").collect()}
+    assert rows["embedding"]["fresh"] is False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got2 = eng.execute(
+            f"SELECT * FROM vector_search('docs', 'embedding', {qsql}, 2, 'L2')"
+        ).collect()
+    assert any("STALE" in str(x.message) for x in w)
+    assert got2[0]["id"] == 7
+    # replacement-schema mismatch refuses loudly
+    with pytest.raises(UnsupportedLanceFeature, match="schema mismatch"):
+        update_rows_distributed(
+            root,
+            spark.createDataFrame([(1, "nope")], "id long, other string"),
+            [0],
+        )
