@@ -1356,11 +1356,19 @@ class SqlEngine:
         # executor-parallel write (round 14): fragments are written
         # task-side conformed to the manifest's physical schema — no
         # driver materialization, no row gate; the pyarrow-Table API
-        # (append_to_dataset) keeps its driver-side 4M-gated path
+        # (append_to_dataset) keeps its driver-side 4M-gated path.
+        # The table's declared write.max-rows-per-file rides into the
+        # task-side fragment flush (LanceOptions parity).
+        topts = self.options.get(name)
+        kw = (
+            {"max_rows_per_file": topts.write_max_rows_per_file}
+            if topts is not None and topts.write_max_rows_per_file
+            else {}
+        )
         if overwrite:
             overwrite_dataset_distributed(nds.root, aligned)
         else:
-            append_to_dataset_distributed(nds.root, aligned)
+            append_to_dataset_distributed(nds.root, aligned, **kw)
         self._reregister_native(name)
 
     def _delete_native(self, name: str, pred: str | None) -> None:

@@ -1589,7 +1589,9 @@ def write_dataset_distributed(
     return LanceNativeDataset(root)
 
 
-def append_to_dataset_distributed(root: str, df) -> int:
+def append_to_dataset_distributed(
+    root: str, df, *, max_rows_per_file: int = 1 << 20
+) -> int:
     """Executor-parallel append: distributed fragment writes conformed
     to the EXISTING manifest's physical schema + field ids, one new
     manifest version. The driver never holds the rows, so bulk INSERT
@@ -1607,7 +1609,9 @@ def append_to_dataset_distributed(root: str, df) -> int:
             "append schema mismatch: "
             f"{_schema_signature(new_fields)} != {_schema_signature(fields)}"
         )
-    new_frags = _write_fragments_distributed(root, df, arrow_schema_of(fields))
+    new_frags = _write_fragments_distributed(
+        root, df, arrow_schema_of(fields), max_rows_per_file=max_rows_per_file
+    )
     if not new_frags:
         return version  # empty insert: no new manifest needed
     start = max((fr.frag_id for fr in frags), default=-1) + 1

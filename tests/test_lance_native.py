@@ -2316,3 +2316,26 @@ def test_index_vacuum_compact_interplay(spark, tmp_path_str):
             spark.createDataFrame([(1, "nope")], "id long, other string"),
             [0],
         )
+
+
+def test_native_insert_honors_write_max_rows(spark, tmp_path_str):
+    """The table's declared write.max-rows-per-file rides into the
+    executor-side fragment flush on native INSERT (LanceOptions
+    parity — the same option the parquet-backed sink honors)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "wopt")
+    write_dataset(root, pa.table({"id": pa.array([0], pa.int64())}))
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT) WITH ('connector'='lance', "
+        f"'path'='{root}', 'write.max-rows-per-file'='10')"
+    )
+    eng.execute("INSERT INTO docs SELECT id FROM RANGE(35)")
+    _f, frags, _v = LanceNativeDataset(root)._manifest()
+    assert all(fr.physical_rows <= 10 for fr in frags)
+    assert eng.execute("SELECT COUNT(*) AS n FROM docs").first()["n"] == 36
