@@ -1891,6 +1891,15 @@ def read_changes_distributed(
     to_v = to_version if to_version is not None else ds._manifests[-1]
     if to_v not in ds._manifests:
         raise ValueError(f"to_version {to_v} not in {ds._manifests}")
+    if from_version != 0 and from_version not in ds._manifests:
+        # a vacuumed-away base has no diffable state: treating the
+        # first survivor as bootstrap inserts would silently skip the
+        # retractions committed in the gap — refuse instead
+        raise ValueError(
+            f"from_version {from_version} is not available "
+            f"(have {ds._manifests}) — its history was vacuumed; "
+            "re-bootstrap with from_version=0"
+        )
     vs = [v for v in ds._manifests if from_version < v <= to_v]
     rows = []
     for v in vs:

@@ -583,6 +583,12 @@ class LanceNativeChangesStreamReader(DataSourceStreamReader):
         if sv == ev:
             return []
         nds = _dataset(self.root)
+        if sv != 0 and sv not in nds._manifests:
+            raise UnsupportedLanceFeature(
+                f"checkpointed version {sv} was vacuumed away "
+                f"(have {nds._manifests}) — the changelog can't diff "
+                "from it; restart the stream with a fresh checkpoint"
+            )
         out = []
         for v in [x for x in nds._manifests if sv < x <= ev]:
             _f, frags_v, _ = nds._manifest(v)

@@ -2339,3 +2339,31 @@ def test_native_insert_honors_write_max_rows(spark, tmp_path_str):
     _f, frags, _v = LanceNativeDataset(root)._manifest()
     assert all(fr.physical_rows <= 10 for fr in frags)
     assert eng.execute("SELECT COUNT(*) AS n FROM docs").first()["n"] == 36
+
+
+def test_change_feed_refuses_vacuumed_base(spark, tmp_path_str):
+    """A vacuumed-away from_version has no diffable state — treating
+    the first surviving manifest as bootstrap inserts would silently
+    skip the retractions committed in the gap. Refuse loudly;
+    from_version=0 (full re-bootstrap) still serves."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        delete_rows,
+        read_changes_distributed,
+        vacuum_dataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "vcdc")
+    write_dataset(
+        root, pa.table({"id": pa.array(range(6), pa.int64())})
+    )  # v1
+    delete_rows(root, [1])  # v2
+    delete_rows(root, [2])  # v3
+    vacuum_dataset(root, keep_versions=1)  # only v3 remains
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_changes_distributed(root, spark, 1)
+    boot = read_changes_distributed(root, spark, 0)
+    assert sorted(r["id"] for r in boot.collect()) == [0, 3, 4, 5]
+    assert {r["_change_type"] for r in boot.collect()} == {"insert"}
