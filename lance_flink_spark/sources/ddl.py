@@ -1190,41 +1190,42 @@ class SqlEngine:
                 f"MERGE source has duplicate {on!r} keys — per-target-row "
                 "clause selection would be nondeterministic"
             )
-        t = (
-            self._native_df(nds, with_offsets=True)
-            .withColumn("__t", F.lit(True))
-            .alias("t")
-        )
-        s = aligned.withColumn("__s", F.lit(True)).alias("s")
-        joined = t.join(
-            s, F.col(f"t.`{on}`") == F.col(f"s.`{on}`"), "full_outer"
-        )
-        # NULL-key rows never match (SQL equality): presence markers,
-        # not key nullness, decide matched/not-matched
-        is_m = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-        is_nm = F.col("__t").isNull() & F.col("__s").isNotNull()
-        act = None
-        for k, cl in enumerate(clauses):
-            base = is_m if cl["matched"] else is_nm
-            if cl["cond"]:
-                base = base & F.expr(_rewrite_array_literals(cl["cond"]))
-            act = F.when(base, F.lit(k)) if act is None else act.when(base, F.lit(k))
-        joined = joined.withColumn("__act", act.otherwise(F.lit(-1)))
+        # matched rows come from an INNER join (broadcast-able when the
+        # source is small — a full_outer would force shuffling the
+        # whole table for a one-row merge); target-only rows are
+        # untouched by definition and never classified. NULL-key
+        # source rows never equal anything, so they fall through to
+        # the not-matched side — SQL equality semantics preserved.
+        t = self._native_df(nds, with_offsets=True).alias("t")
+        s = aligned.alias("s")
+        m = t.join(s, F.col(f"t.`{on}`") == F.col(f"s.`{on}`"), "inner")
         tsch = self._native_df(nds).schema
         cols = [f.name for f in tsch.fields]
+        mact = None
+        for k, cl in enumerate(clauses):
+            if not cl["matched"]:
+                continue
+            c = (
+                F.expr(_rewrite_array_literals(cl["cond"]))
+                if cl["cond"]
+                else F.lit(True)
+            )
+            mact = F.when(c, F.lit(k)) if mact is None else mact.when(c, F.lit(k))
+        m = m.withColumn(
+            "__act", mact.otherwise(F.lit(-1)) if mact is not None else F.lit(-1)
+        )
         touch = [k for k, cl in enumerate(clauses) if cl["matched"]]
         offs = self._gated_offsets(
-            joined.filter(F.col("__act").isin(touch)).select(
+            m.filter(F.col("__act").isin(touch)).select(
                 F.col("t.`__phys`").alias("__phys")
             ),
             "MERGE",
         )
         appends = []
         for k, cl in enumerate(clauses):
-            rows = joined.filter(F.col("__act") == k)
-            if cl["action"] == "update":
+            if cl["matched"] and cl["action"] == "update":
                 appends.append(
-                    rows.select(
+                    m.filter(F.col("__act") == k).select(
                         *[
                             F.expr(
                                 _rewrite_array_literals(cl["sets"][c])
@@ -1237,16 +1238,38 @@ class SqlEngine:
                         ]
                     )
                 )
-            elif cl["action"] == "insert":
-                appends.append(
-                    rows.select(
-                        *[
-                            F.col(f"s.`{c}`").cast(tsch[c].dataType).alias(c)
-                            for c in cols
-                        ]
-                    )
+        # NOT MATCHED: source keys the inner join missed — the anti
+        # join's build side is the matched keys (≤ |source|, broadcast)
+        nm_clauses = [
+            (k, cl) for k, cl in enumerate(clauses) if not cl["matched"]
+        ]
+        if nm_clauses:
+            mk = m.select(F.col(f"s.`{on}`").alias(on)).distinct()
+            nm = s.join(F.broadcast(mk), on, "left_anti").alias("s")
+            nact = None
+            for k, cl in nm_clauses:
+                c = (
+                    F.expr(_rewrite_array_literals(cl["cond"]))
+                    if cl["cond"]
+                    else F.lit(True)
                 )
-            # delete: offsets only, nothing appended
+                nact = (
+                    F.when(c, F.lit(k)) if nact is None else nact.when(c, F.lit(k))
+                )
+            nm = nm.withColumn("__act", nact.otherwise(F.lit(-1)))
+            for k, cl in nm_clauses:
+                if cl["action"] == "insert":
+                    appends.append(
+                        nm.filter(F.col("__act") == k).select(
+                            *[
+                                F.col(f"s.`{c}`")
+                                .cast(tsch[c].dataType)
+                                .alias(c)
+                                for c in cols
+                            ]
+                        )
+                    )
+            # delete of a not-matched row: nothing to do
         if not offs and not appends:
             self._reregister_native(name)
             return None

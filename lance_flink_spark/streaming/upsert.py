@@ -399,28 +399,26 @@ class UpsertNativeSink:
             )
             return 1
         nds = LanceNativeDataset(self.root)
-        t = (
-            read_distributed(nds, spark, with_offsets=True)
-            .withColumn("__t", F.lit(True))
-            .alias("t")
-        )
-        cols = [c for c in t.columns if c not in ("__phys", "__t")]
+        # matched rows from an INNER join (broadcast-able: a micro-
+        # batch is small next to the table — a full_outer would
+        # shuffle the whole replica every batch); unmatched target
+        # rows are untouched by definition
+        t = read_distributed(nds, spark, with_offsets=True).alias("t")
+        cols = [c for c in t.columns if c != "__phys"]
         tsch = {f.name: f.dataType for f in t.schema.fields}
-        s = filtered.withColumn("__s", F.lit(True)).alias("s")
-        j = t.join(
-            s, F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"),
-            "full_outer",
+        s = filtered.alias("s")
+        m = t.join(
+            s, F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"), "inner"
         )
         guard = (
             F.expr(_seq_guard(self.seq_cols)) if self.seq_cols else F.lit(True)
         )
-        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
         sdel = F.col(f"s.`{self.op_col}`").isin(list(self.delete_ops))
         # every matched row whose change wins its guard is tombstoned —
         # replaced (upsert) or gone (delete); losers keep the old row
         offs = [
             r["__phys"]
-            for r in j.filter(matched & guard)
+            for r in m.filter(guard)
             .select(F.col("t.`__phys`").alias("__phys"))
             .limit(4_000_001)
             .collect()
@@ -430,14 +428,18 @@ class UpsertNativeSink:
                 "native upsert batch matched >4M rows — the offset "
                 "resolution is driver-side; split the batch"
             )
-        appends = j.filter(
-            F.col("__s").isNotNull()
-            & ~sdel
-            & (F.col("__t").isNull() | guard)
-        ).select(
+        updates = m.filter(guard & ~sdel).select(
             *[F.col(f"s.`{c}`").cast(tsch[c]).alias(c) for c in cols]
         )
-        return update_rows_distributed(self.root, appends, offs)
+        mk = m.select(F.col(f"s.`{self.key}`").alias(self.key)).distinct()
+        inserts = (
+            filtered.join(F.broadcast(mk), self.key, "left_anti")
+            .filter(~F.col(self.op_col).isin(list(self.delete_ops)))
+            .select(*[F.col(f"`{c}`").cast(tsch[c]).alias(c) for c in cols])
+        )
+        return update_rows_distributed(
+            self.root, updates.unionByName(inserts), offs
+        )
 
     def attach(self, sdf: DataFrame, checkpoint: str):
         """``stream.writeStream.foreachBatch(sink.write_batch)`` with
