@@ -448,6 +448,11 @@ def _file_column_map(
     their own, so struct-bearing evolved files refuse loudly."""
     fids = fragment.field_ids
     cols = fragment.column_indices or list(range(len(fids)))
+    if len(set(fids)) != len(fids):
+        raise UnsupportedLanceFeature(
+            f"{path}: DataFile declares duplicate field ids {fids} — "
+            "corrupt metadata would decode ambiguously"
+        )
     if len(fids) != len(cols):
         raise UnsupportedLanceFeature(
             f"{path}: DataFile fields {fids} and column_indices {cols} "
@@ -1338,6 +1343,15 @@ def _schema_fields_of(pa, schema) -> tuple[list[LanceField], bytes]:
     return fields, blob
 
 
+class NativeCommitConflict(RuntimeError):
+    """Two writers raced to commit the same native manifest version —
+    the loser's data files stay invisible (orphans; VACUUM reclaims).
+    Re-read the dataset and retry the mutation from the new snapshot.
+    Parity: Lance commits manifests with rename-if-absent / conditional
+    puts; the parquet-backed Dataset raises CommitConflict the same
+    way."""
+
+
 def _write_manifest(root: str, version: int, fields_blob: bytes, frags: list[LanceFragment]) -> None:
     body = fields_blob
     for fr in frags:
@@ -1347,10 +1361,35 @@ def _write_manifest(root: str, version: int, fields_blob: bytes, frags: list[Lan
     vdir = os.path.join(root, "_versions")
     os.makedirs(vdir, exist_ok=True)
     path = os.path.join(vdir, f"{version}.manifest")
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(struct.pack("<I", len(body)) + body)
-    os.replace(tmp, path)
+    try:
+        # link-if-absent: atomic AND exclusive — a concurrent writer
+        # that committed this version first wins; os.replace would
+        # silently clobber its commit (lost update)
+        os.link(tmp, path)
+    except FileExistsError:
+        raise NativeCommitConflict(
+            f"{root}: version {version} was committed concurrently — "
+            "re-read the dataset and retry from the new snapshot"
+        ) from None
+    except OSError:
+        # filesystem without hard links: exclusive create keeps the
+        # conflict detection (atomicity degrades to write-then-close)
+        try:
+            with open(path, "xb") as f, open(tmp, "rb") as src:
+                f.write(src.read())
+        except FileExistsError:
+            raise NativeCommitConflict(
+                f"{root}: version {version} was committed concurrently "
+                "— re-read the dataset and retry from the new snapshot"
+            ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _schema_signature(fields: list[LanceField]) -> list[tuple]:

@@ -2367,3 +2367,35 @@ def test_change_feed_refuses_vacuumed_base(spark, tmp_path_str):
     boot = read_changes_distributed(root, spark, 0)
     assert sorted(r["id"] for r in boot.collect()) == [0, 3, 4, 5]
     assert {r["_change_type"] for r in boot.collect()} == {"insert"}
+
+
+def test_concurrent_manifest_commit_conflicts(tmp_path_str):
+    """Native commits are rename-if-absent (round 14): two writers
+    racing to the same version raise NativeCommitConflict for the
+    loser instead of silently clobbering the winner's manifest — the
+    Lance conditional-put / parquet-Dataset CommitConflict contract.
+    The loser's fragment files orphan and VACUUM reclaims them."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        NativeCommitConflict,
+        append_to_dataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "race")
+    write_dataset(root, pa.table({"id": pa.array([1], pa.int64())}))
+    t2 = pa.table({"id": pa.array([2], pa.int64())})
+    append_to_dataset(root, t2)  # commits version 2
+    # a writer whose snapshot predates version 2 loses the race:
+    # simulate by restoring the stale snapshot's view of "next = 2"
+    from lance_flink_spark.sources import lance_native as ln
+
+    fields, frags, _v = LanceNativeDataset(root)._manifest(1)
+    with pytest.raises(NativeCommitConflict, match="concurrently"):
+        ln._write_manifest(
+            root, 2, ln._schema_fields_of_existing(fields), frags
+        )
+    # the winner's commit is intact
+    assert LanceNativeDataset(root).to_arrow().num_rows == 2
