@@ -1653,11 +1653,25 @@ def append_to_dataset_distributed(
     )
     if not new_frags:
         return version  # empty insert: no new manifest needed
-    start = max((fr.frag_id for fr in frags), default=-1) + 1
-    frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
-    _write_manifest(root, version + 1, _schema_fields_of_existing(fields), frags)
-    _carry_index_section(root, version, version + 1)
-    return version + 1
+    # appends COMMUTE (Lance's retry rule): on a commit conflict the
+    # already-written fragment files just re-plate onto the fresh
+    # snapshot — only mutations (whose offsets/fields derive from the
+    # old snapshot) must surface NativeCommitConflict to the caller
+    for _attempt in range(5):
+        fields, frags, version = LanceNativeDataset(root)._manifest()
+        start = max((fr.frag_id for fr in frags), default=-1) + 1
+        all_frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
+        try:
+            _write_manifest(
+                root, version + 1, _schema_fields_of_existing(fields), all_frags
+            )
+        except NativeCommitConflict:
+            continue
+        _carry_index_section(root, version, version + 1)
+        return version + 1
+    raise NativeCommitConflict(
+        f"{root}: append lost the commit race 5 times — retry later"
+    )
 
 
 def overwrite_dataset_distributed(root: str, df) -> int:

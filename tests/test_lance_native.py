@@ -2399,3 +2399,45 @@ def test_concurrent_manifest_commit_conflicts(tmp_path_str):
         )
     # the winner's commit is intact
     assert LanceNativeDataset(root).to_arrow().num_rows == 2
+
+
+def test_append_retries_past_commit_race(spark, tmp_path_str):
+    """Appends COMMUTE: a distributed append whose snapshot went stale
+    (another writer committed first) re-plates its already-written
+    fragments onto the fresh snapshot instead of failing — Lance's
+    append retry rule. Both writers' rows survive."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources import lance_native as ln
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        append_to_dataset_distributed,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "aprace")
+    write_dataset(root, pa.table({"id": pa.array([1], pa.int64())}))
+    # inject a competing commit BETWEEN the append's snapshot read and
+    # its manifest write: the first attempt must hit the conflict, the
+    # retry loop re-plates onto the racer's snapshot
+    real = ln._write_manifest
+    state = {"raced": False}
+
+    def racing_write(r, version, blob, frags):
+        if not state["raced"]:
+            state["raced"] = True
+            fields1, frags1, _ = LanceNativeDataset(root)._manifest(1)
+            real(r, version, ln._schema_fields_of_existing(fields1), frags1)
+        return real(r, version, blob, frags)
+
+    ln._write_manifest = racing_write
+    try:
+        append_to_dataset_distributed(
+            root, spark.createDataFrame([(7,)], "id long")
+        )
+    finally:
+        ln._write_manifest = real
+    assert state["raced"]
+    ds = LanceNativeDataset(root)
+    assert ds.versions() == [1, 2, 3]  # racer's v2, append retried to v3
+    assert sorted(ds.to_arrow().column("id").to_pylist()) == [1, 7]
