@@ -351,56 +351,70 @@ def _commit_fragments(
         arrow_schema_of,
     )
 
+    from lance_flink_spark.sources.lance_native import NativeCommitConflict
+
     plates = sorted(
         (p for m in messages if m is not None for p in m.plates),
         key=lambda p: p[0],
     )
-    exists = os.path.isdir(os.path.join(root, "_versions"))
-    if exists:
-        nds = _dataset(root)
-        fields, frags, version = nds._manifest()
-        fields_blob = _schema_fields_of_existing(fields)
-    else:
-        fields, fields_blob = _schema_fields_of(
-            pa, to_arrow_schema(spark_schema)
-        )
-        frags, version = [], 0
-    if replace:
-        frags = []  # lance overwrite: a new version with only new fragments
-    expected_ids = _depth_first_ids(fields)
-    n_data = _data_column_count(fields)
-    start = max((fr.frag_id for fr in frags), default=-1) + 1
-    new = []
-    for i, (_k, name, rows) in enumerate(plates):
-        new.append(
-            LanceFragment(
-                path=name,
-                frag_id=start + i,
-                field_ids=list(expected_ids),
-                column_indices=list(range(n_data)),
-                physical_rows=rows,
+    # appends commute and an overwrite replaces whatever is latest, so
+    # BOTH modes retry a lost commit race onto the fresh snapshot
+    # (Lance's retry rule); only the version 1 bootstrap is exclusive
+    for _attempt in range(5):
+        exists = os.path.isdir(os.path.join(root, "_versions"))
+        if exists:
+            nds = _dataset(root)
+            fields, frags, version = nds._manifest()
+            fields_blob = _schema_fields_of_existing(fields)
+        else:
+            fields, fields_blob = _schema_fields_of(
+                pa, to_arrow_schema(spark_schema)
             )
-        )
-    if not frags and not new:
-        name = f"{uuid.uuid4()}.lance"
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        write_fragment_file(
-            os.path.join(root, "data", name),
-            arrow_schema_of(fields).empty_table(),
-        )
-        new = [
-            LanceFragment(
-                path=name,
-                frag_id=start,
-                field_ids=list(expected_ids),
-                column_indices=list(range(n_data)),
-                physical_rows=0,
+            frags, version = [], 0
+        if replace:
+            frags = []  # lance overwrite: a new version with only new fragments
+        expected_ids = _depth_first_ids(fields)
+        n_data = _data_column_count(fields)
+        start = max((fr.frag_id for fr in frags), default=-1) + 1
+        new = []
+        for i, (_k, name, rows) in enumerate(plates):
+            new.append(
+                LanceFragment(
+                    path=name,
+                    frag_id=start + i,
+                    field_ids=list(expected_ids),
+                    column_indices=list(range(n_data)),
+                    physical_rows=rows,
+                )
             )
-        ]
-    _write_manifest(root, version + 1, fields_blob, frags + new)
-    if exists:
-        _carry_index_section(root, version, version + 1)
-    return version + 1
+        if not frags and not new:
+            name = f"{uuid.uuid4()}.lance"
+            os.makedirs(os.path.join(root, "data"), exist_ok=True)
+            write_fragment_file(
+                os.path.join(root, "data", name),
+                arrow_schema_of(fields).empty_table(),
+            )
+            new = [
+                LanceFragment(
+                    path=name,
+                    frag_id=start,
+                    field_ids=list(expected_ids),
+                    column_indices=list(range(n_data)),
+                    physical_rows=0,
+                )
+            ]
+        try:
+            _write_manifest(root, version + 1, fields_blob, frags + new)
+        except NativeCommitConflict:
+            if not exists:
+                raise  # two writers both creating the dataset: exclusive
+            continue
+        if exists:
+            _carry_index_section(root, version, version + 1)
+        return version + 1
+    raise NativeCommitConflict(
+        f"{root}: write lost the commit race 5 times — retry later"
+    )
 
 
 def _abort_fragments(root: str, messages) -> None:
