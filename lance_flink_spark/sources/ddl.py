@@ -1832,6 +1832,17 @@ class SqlEngine:
                 [(stmt,)], "create_statement string"
             )
         m = _SHOW_VERSIONS.match(sql)
+        if m and m.group("name") in self.native_tables:
+            # native manifest chain: version, fragment count, live rows
+            nds = self.native_tables[m.group("name")]
+            nds = type(nds)(nds.root)  # fresh manifest list
+            rows = []
+            for v in nds.versions():
+                _f, frags, _ = nds._manifest(v)
+                rows.append((int(v), len(frags), int(nds.live_row_count(v))))
+            return self.spark.createDataFrame(
+                rows, "version long, fragments long, live_rows long"
+            )
         if m:
             vs = self.catalog.load_table(self.database, m.group("name"))._load_manifest()[
                 "versions"

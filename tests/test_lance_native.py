@@ -2441,3 +2441,26 @@ def test_append_retries_past_commit_race(spark, tmp_path_str):
     ds = LanceNativeDataset(root)
     assert ds.versions() == [1, 2, 3]  # racer's v2, append retried to v3
     assert sorted(ds.to_arrow().column("id").to_pylist()) == [1, 7]
+
+
+def test_show_versions_native(spark, tmp_path_str):
+    """SHOW VERSIONS on a native table answers from the manifest chain
+    + deletion-file counts alone (version, fragments, live_rows)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "showv")
+    write_dataset(root, pa.table({"id": pa.array(range(5), pa.int64())}))
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    eng.execute(
+        f"CREATE TABLE docs (id BIGINT) WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("DELETE FROM docs WHERE id = 0")
+    got = [
+        (r["version"], r["fragments"], r["live_rows"])
+        for r in eng.execute("SHOW VERSIONS IN docs").collect()
+    ]
+    assert got == [(1, 1, 5), (2, 1, 4)]
