@@ -2422,6 +2422,23 @@ class SqlEngine:
             )
         if self._in_catalog(tbl):
             ds: Dataset = self.catalog.load_table(self.database, tbl)
+        elif os.path.isdir(os.path.join(tbl, "_versions")):
+            # a NATIVE dataset path (the reference's vector_search over
+            # lance paths): exact brute KNN over the distributed scan
+            from lance_flink_spark.operators.similarity import knn
+            from lance_flink_spark.sources.lance_native import (
+                LanceNativeDataset,
+                read_distributed,
+            )
+
+            return knn(
+                read_distributed(LanceNativeDataset(tbl), self.spark),
+                vec,
+                k,
+                vec_col=col,
+                metric=metric,
+                filter=flt,
+            )
         else:
             ds = Dataset(tbl)  # a dataset path, the reference's form
         idx_path = fsio.join(ds.path, "_vector_index", col)

@@ -2464,3 +2464,19 @@ def test_show_versions_native(spark, tmp_path_str):
         for r in eng.execute("SHOW VERSIONS IN docs").collect()
     ]
     assert got == [(1, 1, 5), (2, 1, 4)]
+
+
+def test_vector_search_over_native_path(spark, tmp_path_str):
+    """vector_search('<dataset path>', ...) — the reference's
+    path-addressed form — detects the native layout and brute-forces
+    over the distributed scan without any CREATE TABLE."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "whw")))
+    got = eng.execute(
+        f"SELECT * FROM vector_search('{REF}/lance-vector-search', "
+        "'embedding', ARRAY[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8], 3, 'L2')"
+    ).collect()
+    assert got[0]["id"] == 1 and got[0]["distance"] == 0.0
+    assert len(got) == 3
