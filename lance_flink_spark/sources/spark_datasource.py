@@ -507,6 +507,11 @@ class LanceNativeStreamReader(DataSourceStreamReader):
         self.root = root
         sv = options.get("startingVersion")
         self.starting = int(sv) if sv is not None else 0
+        # rows render in the schema captured at stream START: a
+        # mid-stream ADD/DROP COLUMN changes later manifests, but the
+        # query's schema is fixed — the field-id map reads old and new
+        # fragments alike at this version's shape
+        self.schema_version = _dataset(root).versions()[-1]
 
     def initialOffset(self) -> dict:
         # version 0 never exists: "nothing emitted yet"
@@ -540,12 +545,13 @@ class LanceNativeStreamReader(DataSourceStreamReader):
         )
 
         nds = _dataset(self.root)
-        fields, frags, _v = nds._manifest(partition.version)
+        sfields, _sf, _sv = nds._manifest(self.schema_version)
+        _f, frags, _v = nds._manifest(partition.version)
         fr = next(f for f in frags if f.path == partition.frag_path)
         t = read_fragment_table(
-            os.path.join(self.root, "data", fr.path), fields, fr
+            os.path.join(self.root, "data", fr.path), sfields, fr
         )
-        t = t.cast(_downcast_arrow_schema(fields))
+        t = t.cast(_downcast_arrow_schema(sfields))
         yield from t.to_batches()
 
     def commit(self, end: dict) -> None:

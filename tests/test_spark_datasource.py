@@ -441,3 +441,64 @@ def test_datasource_reads_evolved_dataset(ds_spark, tmp_path_str):
     assert df.filter("score IS NOT NULL").count() == 1
     # filter pushdown still applies in-task on the evolved layout
     assert df.filter("id < 3").count() == 3
+
+
+def test_stream_read_survives_mid_stream_evolution(ds_spark, tmp_path_str):
+    """The append-mode stream renders every batch at the schema
+    captured at stream START: an ADD COLUMN + append mid-stream emits
+    the new fragments at the ORIGINAL shape (the added column simply
+    isn't part of this query) instead of breaking the fixed stream
+    schema (round 14)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        add_column,
+        append_to_dataset,
+        write_dataset,
+    )
+
+    spark = ds_spark
+    root = os.path.join(tmp_path_str, "evostream")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "v": pa.array([1.0, 2.0], pa.float64()),
+            }
+        ),
+    )
+    out = os.path.join(tmp_path_str, "evo_out")
+    ck = os.path.join(tmp_path_str, "evo_ck")
+    sdf = spark.readStream.format("lance_native").option("path", root).load()
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # evolve AND append between drains — same checkpoint, same query
+    add_column(root, "extra", pa.float64())
+    append_to_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "v": pa.array([3.0], pa.float64()),
+                "extra": pa.array([9.9], pa.float64()),
+            }
+        ),
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.columns == ["id", "v"]  # stream-start shape throughout
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
