@@ -570,3 +570,64 @@ def semantic_decontaminate(spark, sf_dir):
         F.max("sim").alias("best_sim"),
         F.min("ev_id").alias("first_eval_id"),
     )
+
+
+@query(
+    "native_index_exactness",
+    extra=True,  # r14: the native sidecar index's exactness twin
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q
+        WHERE e.vec_id % 17 <> 3)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def native_index_exactness(spark, sf_dir):
+    """Exactness twin for CREATE INDEX on NATIVE tables (§2 #270):
+    embeddings land as a native Lance dataset, the sidecar IVF_FLAT
+    index builds over the distributed read (entries addressed by
+    global physical offset), a SQL DELETE grows a deletion file
+    WITHOUT rebuilding, and vector_search serves from the index with
+    nprobes ≥ nlist (exact) — the current deletion masks anti-joined
+    at query time. The DuckDB oracle is brute force over the
+    undeleted rows: a mis-based offset in the mask, a deleted row
+    resurfacing as a neighbor, or a list dropped by the index build
+    breaks the hash. Reference parity: LanceIndexBuilder indexes row
+    ids, scans apply deletes (the address+mask model)."""
+    import os
+    import shutil
+
+    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        write_dataset_distributed,
+    )
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = scratch_dir("native_idx" + tag)
+    root = os.path.join(base, "emb")
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(
+        root,
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        .repartition(4),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(base, "whw")))
+    eng.execute(
+        f"CREATE TABLE nidx_emb (vec_id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute(
+        "CREATE INDEX ON nidx_emb (embedding) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='8')"
+    )
+    # delete-only drift: masks apply at query time, no rebuild
+    eng.execute("DELETE FROM nidx_emb WHERE vec_id % 17 = 3")
+    qv = _query_vec(spark, sf_dir)
+    qsql = "ARRAY[" + ",".join(repr(float(x)) for x in qv) + "]"
+    return eng.execute(
+        f"SELECT * FROM vector_search('nidx_emb', 'embedding', {qsql}, 10, 'L2')"
+    ).select("vec_id", F.round("distance", 6).alias("distance"))
