@@ -1522,14 +1522,21 @@ def _write_fragments_distributed(
         )
 
         def _flush():
-            # slice the buffered table at max_rows_per_file — one
-            # oversized input batch must still split into gate-sized
-            # fragments
+            # slice the buffered table at max_rows_per_file AND the
+            # byte threshold — one oversized input batch (byte-heavy
+            # binary media rows included) must still split into
+            # gate-sized fragments
             nonlocal buf, rows, nbytes, seq
             t = pa.Table.from_batches(buf).cast(target_schema)
+            step = max_rows_per_file
+            if t.nbytes > max_bytes_per_file and t.num_rows > 1:
+                step = min(
+                    step,
+                    max(1, int(t.num_rows * max_bytes_per_file / t.nbytes)),
+                )
             parts, seqs, names, sizes = [], [], [], []
-            for lo in range(0, t.num_rows, max_rows_per_file):
-                chunk = t.slice(lo, max_rows_per_file)
+            for lo in range(0, t.num_rows, step):
+                chunk = t.slice(lo, step)
                 name = f"{uuid.uuid4()}.lance"
                 write_fragment_file(
                     os.path.join(data_dir, name), chunk
@@ -1657,8 +1664,17 @@ def append_to_dataset_distributed(
     # already-written fragment files just re-plate onto the fresh
     # snapshot — only mutations (whose offsets/fields derive from the
     # old snapshot) must surface NativeCommitConflict to the caller
+    written_sig = _norm_signature(_schema_signature(fields))
     for _attempt in range(5):
         fields, frags, version = LanceNativeDataset(root)._manifest()
+        if _norm_signature(_schema_signature(fields)) != written_sig:
+            # a concurrent ALTER TABLE landed after the fragment files
+            # were written with the OLD column layout — re-plating them
+            # under the new schema would mis-map field ids
+            raise NativeCommitConflict(
+                f"{root}: schema changed concurrently with this append "
+                "(fragments were written against the old layout) — retry"
+            )
         start = max((fr.frag_id for fr in frags), default=-1) + 1
         all_frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
         try:

@@ -173,11 +173,12 @@ _SIMPLE_FILTERS = (
 
 def _apply_filter(pc, pa, table, f):
     col = table.column(f.attribute[0])
-    if isinstance(f, (EqualTo, EqualNullSafe)):
-        m = pc.equal(col, f.value)
-        if isinstance(f, EqualNullSafe):
-            return pc.fill_null(m, f.value is None)
-        return m
+    if isinstance(f, EqualNullSafe):
+        if f.value is None:
+            return pc.is_null(col)  # x <=> NULL is exactly IS NULL
+        return pc.fill_null(pc.equal(col, f.value), False)
+    if isinstance(f, EqualTo):
+        return pc.equal(col, f.value)
     if isinstance(f, GreaterThan):
         return pc.greater(col, f.value)
     if isinstance(f, GreaterThanOrEqual):
@@ -187,7 +188,12 @@ def _apply_filter(pc, pa, table, f):
     if isinstance(f, LessThanOrEqual):
         return pc.less_equal(col, f.value)
     if isinstance(f, In):
-        return pc.is_in(col, value_set=pa.array(list(f.value), type=col.type))
+        # SQL IN is never TRUE for a NULL probe — a NULL in the value
+        # set must not make pc.is_in match the column's nulls
+        vals = [v for v in f.value if v is not None]
+        return pc.fill_null(
+            pc.is_in(col, value_set=pa.array(vals, type=col.type)), False
+        )
     if isinstance(f, IsNull):
         return pc.is_null(col)
     if isinstance(f, IsNotNull):
@@ -199,7 +205,12 @@ class LanceNativeReader(DataSourceReader):
     def __init__(self, root: str, options):
         self.root = root
         v = options.get("version")
-        self.version = int(v) if v is not None else None
+        # pin the snapshot at PLAN time: tasks run later, and a commit
+        # landing in between must not change which manifest (fragment
+        # set + deletion files) this query reads
+        self.version = (
+            int(v) if v is not None else _dataset(root).versions()[-1]
+        )
         cols = options.get("columns")
         self.columns = (
             [c.strip() for c in cols.split(",") if c.strip()] if cols else None
@@ -309,8 +320,14 @@ def _write_task_fragments(
     def flush():
         nonlocal buf, rows, nbytes, seq
         t = pa.Table.from_batches(buf).cast(target)
-        for lo in range(0, t.num_rows, max_rows):
-            chunk = t.slice(lo, max_rows)
+        # split by BYTES too: one byte-heavy input batch (binary
+        # media rows) must not emit a fragment past the reader's
+        # per-fragment decode gate
+        step = max_rows
+        if t.nbytes > max_bytes and t.num_rows > 1:
+            step = min(step, max(1, int(t.num_rows * max_bytes / t.nbytes)))
+        for lo in range(0, t.num_rows, step):
+            chunk = t.slice(lo, step)
             name = f"{uuid.uuid4()}.lance"
             write_fragment_file(os.path.join(data_dir, name), chunk)
             plates.append(((part, seq), name, chunk.num_rows))
@@ -331,10 +348,19 @@ def _write_task_fragments(
 
 
 def _commit_fragments(
-    root: str, spark_schema: T.StructType, messages, *, replace: bool
+    root: str,
+    spark_schema: T.StructType,
+    messages,
+    *,
+    replace: bool,
+    written_target=None,
 ) -> int:
     """Driver side: order the tasks' plates deterministically, assign
-    fragment ids, write ONE new manifest version (or version 1)."""
+    fragment ids, write ONE new manifest version (or version 1).
+    ``written_target`` is the physical arrow schema the task-side cast
+    conformed the fragment files to — a manifest whose schema no
+    longer matches it (concurrent ALTER TABLE, or a concurrent
+    creator with a different layout) must refuse, not mis-plate."""
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -344,8 +370,10 @@ def _commit_fragments(
         _carry_index_section,
         _data_column_count,
         _depth_first_ids,
+        _norm_signature,
         _schema_fields_of,
         _schema_fields_of_existing,
+        _schema_signature,
         _write_manifest,
         write_fragment_file,
         arrow_schema_of,
@@ -357,6 +385,13 @@ def _commit_fragments(
         (p for m in messages if m is not None for p in m.plates),
         key=lambda p: p[0],
     )
+    written_sig = (
+        _norm_signature(
+            _schema_signature(_schema_fields_of(pa, written_target)[0])
+        )
+        if written_target is not None
+        else None
+    )
     # appends commute and an overwrite replaces whatever is latest, so
     # BOTH modes retry a lost commit race onto the fresh snapshot
     # (Lance's retry rule); only the version 1 bootstrap is exclusive
@@ -365,6 +400,14 @@ def _commit_fragments(
         if exists:
             nds = _dataset(root)
             fields, frags, version = nds._manifest()
+            if written_sig is not None and written_sig != _norm_signature(
+                _schema_signature(fields)
+            ):
+                raise NativeCommitConflict(
+                    f"{root}: dataset schema changed between write and "
+                    "commit (fragment files hold the old column layout) "
+                    "— retry the write"
+                )
             fields_blob = _schema_fields_of_existing(fields)
         else:
             fields, fields_blob = _schema_fields_of(
@@ -447,7 +490,11 @@ class LanceNativeWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         _commit_fragments(
-            self.root, self.schema, messages, replace=self.overwrite
+            self.root,
+            self.schema,
+            messages,
+            replace=self.overwrite,
+            written_target=self.target,
         )
 
     def abort(self, messages):
@@ -480,7 +527,13 @@ class LanceNativeStreamWriter(DataSourceStreamArrowWriter):
             # fragment files, keep the original commit
             _abort_fragments(self.root, messages)
             return
-        v = _commit_fragments(self.root, self.schema, messages, replace=False)
+        v = _commit_fragments(
+            self.root,
+            self.schema,
+            messages,
+            replace=False,
+            written_target=self.target,
+        )
         os.makedirs(os.path.dirname(self._marker(batchId)), exist_ok=True)
         with open(self._marker(batchId), "w") as f:
             f.write(str(v))
