@@ -1162,7 +1162,10 @@ class SqlEngine:
                     for c in names
                 ]
             )
-            update_rows_distributed(nds.root, updated, offs)
+            update_rows_distributed(
+                nds.root, updated, offs,
+                expected_version=nds._manifests[-1],
+            )
         self._reregister_native(name)
         return None
 
@@ -1276,7 +1279,9 @@ class SqlEngine:
         app = appends[0] if appends else self._native_df(nds).limit(0)
         for a in appends[1:]:
             app = app.unionByName(a)
-        update_rows_distributed(nds.root, app, offs)
+        update_rows_distributed(
+            nds.root, app, offs, expected_version=nds._manifests[-1]
+        )
         self._reregister_native(name)
         return None
 
@@ -1426,7 +1431,7 @@ class SqlEngine:
                 "parquet-backed table for bulk mutations"
             )
         if ids:
-            delete_rows(nds.root, ids)
+            delete_rows(nds.root, ids, expected_version=nds._manifests[-1])
         self._reregister_native(name)
 
     def execute(self, sql: str) -> DataFrame | None:

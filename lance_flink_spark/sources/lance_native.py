@@ -1725,16 +1725,38 @@ def _df_arrow_schema(df):
     return df.limit(0).toArrow().schema
 
 
-def delete_rows(root: str, physical_ids, *, deletion_format: str = "arrow") -> int:
+def _check_expected_version(root: str, version: int, expected) -> None:
+    """Offset-addressed mutations are NOT commutative: the physical
+    offsets were resolved against one snapshot, and a commit that
+    landed since (compaction, overwrite, another delete) may have
+    re-addressed rows — refusing is Lance's conflict rule for
+    rewrites; callers re-resolve and retry."""
+    if expected is not None and version != int(expected):
+        raise NativeCommitConflict(
+            f"{root}: offsets were resolved at version {expected} but "
+            f"the dataset is now at {version} — re-resolve and retry"
+        )
+
+
+def delete_rows(
+    root: str,
+    physical_ids,
+    *,
+    deletion_format: str = "arrow",
+    expected_version: int | None = None,
+) -> int:
     """Delete rows by GLOBAL physical offset (fragment order at the
     latest version) — per-fragment deletion files (unioned with
     any existing deletions) + a new manifest version. This is Lance's
     deletion-file mutation shape: data files are immutable, deletes
     are sidecar offset lists. ``deletion_format``: 'arrow' (IPC offset
     column, the default) or 'bitmap' (portable roaring — what current
-    Lance versions write for dense deletes)."""
+    Lance versions write for dense deletes). ``expected_version``
+    guards the offsets' address space: the mutation refuses if the
+    dataset moved past the snapshot they were resolved at."""
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
+    _check_expected_version(root, version, expected_version)
     _apply_deletions(
         root, frags, version, version + 1, physical_ids, deletion_format
     )
@@ -1795,7 +1817,12 @@ def _apply_deletions(
 
 
 def update_rows_distributed(
-    root: str, df, physical_ids, *, deletion_format: str = "arrow"
+    root: str,
+    df,
+    physical_ids,
+    *,
+    deletion_format: str = "arrow",
+    expected_version: int | None = None,
 ) -> int:
     """ONE-commit UPDATE/MERGE (Lance's rewrite shape: updates are
     delete + append of the changed rows): deletion files tombstone the
@@ -1809,6 +1836,7 @@ def update_rows_distributed(
 
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
+    _check_expected_version(root, version, expected_version)
     new_fields, _blob = _schema_fields_of(pa, _df_arrow_schema(df))
     if _norm_signature(_schema_signature(new_fields)) != _norm_signature(
         _schema_signature(fields)

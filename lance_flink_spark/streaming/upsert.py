@@ -438,7 +438,10 @@ class UpsertNativeSink:
             .select(*[F.col(f"`{c}`").cast(tsch[c]).alias(c) for c in cols])
         )
         return update_rows_distributed(
-            self.root, updates.unionByName(inserts), offs
+            self.root,
+            updates.unionByName(inserts),
+            offs,
+            expected_version=nds._manifests[-1],
         )
 
     def attach(self, sdf: DataFrame, checkpoint: str):

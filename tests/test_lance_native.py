@@ -2480,3 +2480,35 @@ def test_vector_search_over_native_path(spark, tmp_path_str):
     ).collect()
     assert got[0]["id"] == 1 and got[0]["distance"] == 0.0
     assert len(got) == 3
+
+
+def test_mutation_refuses_stale_offset_snapshot(tmp_path_str):
+    """Offset-addressed mutations are not commutative: offsets resolved
+    against one snapshot must refuse once another commit (here a
+    compaction, which re-addresses rows) lands first — silent
+    mis-tombstoning is the failure mode this guards."""
+    import pyarrow as pa
+    import pytest
+
+    from lance_flink_spark.sources.lance_native import (
+        NativeCommitConflict,
+        LanceNativeDataset,
+        append_to_dataset,
+        delete_rows,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "stale")
+    write_dataset(root, pa.table({"id": pa.array(range(10), pa.int64())}))
+    v1 = LanceNativeDataset(root)._manifests[-1]
+    # another writer commits before our delete lands
+    v2 = append_to_dataset(
+        root, pa.table({"id": pa.array([100], pa.int64())})
+    )
+    with pytest.raises(NativeCommitConflict, match="re-resolve"):
+        delete_rows(root, [0, 1], expected_version=v1)
+    # re-resolved at the current version: proceeds
+    v3 = delete_rows(root, [0, 1], expected_version=v2)
+    assert LanceNativeDataset(root).live_row_count(v3) == 9
+    # unguarded call (library API, caller owns consistency) still works
+    delete_rows(root, [2])
