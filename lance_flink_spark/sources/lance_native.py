@@ -301,6 +301,35 @@ def _depth_first_ids(top_fields: list[LanceField]) -> list[int]:
     return out
 
 
+def _column_indices_of(top_fields: list[LanceField]) -> list[int]:
+    """DataFile.column_indices parallel to :func:`_depth_first_ids`:
+    every column-consuming field records its file column; a STRUCT
+    header consumes no column of its own and records its first
+    child's column (where its decode starts). For flat/list schemas
+    this is exactly ``range(n_data)`` — byte-identical to what the
+    reference's Lance 0.23 writes — so the convention only shows up
+    on struct-bearing fragments, where parallel arrays are what makes
+    field-id-mapped (schema evolution) reads possible."""
+    out: list[int] = []
+
+    def walk(lf: LanceField, next_col: int) -> int:
+        if lf.logical == "struct":
+            out.append(next_col)
+            for c in lf.children:
+                next_col = walk(c, next_col)
+            return next_col
+        out.append(next_col)
+        next_col += 1
+        for c in lf.children:  # list element column follows the offsets
+            next_col = walk(c, next_col)
+        return next_col
+
+    nc = 0
+    for lf in top_fields:
+        nc = walk(lf, nc)
+    return out
+
+
 # ---------- data file (decode) ----------
 
 
@@ -442,10 +471,12 @@ def _file_column_map(
     None when the field id is absent from the file entirely (the
     field post-dates the fragment — ADD COLUMN reads NULL). File
     field ids outside the schema (DROP COLUMN) are simply never
-    decoded. Requires the parallel-array invariant (one column per
-    field entry — true for every flat/list file this writer and the
-    reference's Lance 0.23 emit); struct fields consume no column of
-    their own, so struct-bearing evolved files refuse loudly."""
+    decoded. Requires the parallel-array invariant (one entry per
+    field — flat/list files from this writer and the reference's
+    Lance 0.23 satisfy it, and struct-bearing files do too since this
+    writer records the struct header at its first child's column);
+    legacy struct fragments whose arrays aren't parallel refuse with
+    a compact-first hint (OPTIMIZE rewrites them in the new shape)."""
     fids = fragment.field_ids
     cols = fragment.column_indices or list(range(len(fids)))
     if len(set(fids)) != len(fids):
@@ -456,8 +487,9 @@ def _file_column_map(
     if len(fids) != len(cols):
         raise UnsupportedLanceFeature(
             f"{path}: DataFile fields {fids} and column_indices {cols} "
-            "are not parallel arrays — struct-bearing or exotic layouts "
-            "can't take the field-id-mapped (schema evolution) path"
+            "are not parallel arrays (a struct-bearing fragment written "
+            "before column indices carried struct headers) — run "
+            "compaction (OPTIMIZE) to rewrite it, then evolve"
         )
     col_of = dict(zip(fids, cols))
     start: dict[int, int | None] = {}
@@ -468,25 +500,31 @@ def _file_column_map(
             if lf.logical == "struct":
                 raise UnsupportedLanceFeature(
                     f"{path}: struct field {lf.name!r} added after this "
-                    "fragment — struct evolution is outside the subset"
+                    "fragment — a NULL struct is indistinguishable from "
+                    "a struct of NULLs in the flat-struct subset"
                 )
             start[lf.fid] = None
             continue
-        if not all(present) or lf.logical == "struct":
+        if not all(present):
             raise UnsupportedLanceFeature(
                 f"{path}: field {lf.name!r} (ids {sub}) is only partially "
-                f"present in the data file (ids {fids}) or is a struct — "
-                "outside the field-id-mapped subset"
+                f"present in the data file (ids {fids}) — outside the "
+                "field-id-mapped subset"
             )
-        base = col_of[sub[0]]
+        # the field's own relative layout (0 for its start; struct
+        # headers share their first child's column) must reproduce at
+        # some base offset in the file
+        rel = _column_indices_of([lf])
+        base = col_of[sub[0]] - rel[0]
         for k, fid_k in enumerate(sub):
-            if col_of[fid_k] != base + k:
+            if col_of[fid_k] != base + rel[k]:
                 raise UnsupportedLanceFeature(
-                    f"{path}: field {lf.name!r} ids {sub} map to "
-                    f"non-consecutive file columns — outside the subset"
+                    f"{path}: field {lf.name!r} ids {sub} map to file "
+                    f"columns {[col_of[i] for i in sub]}, expected the "
+                    f"contiguous layout {[base + r for r in rel]}"
                 )
         start[lf.fid] = base
-    return start, len(cols)
+    return start, len(set(cols))
 
 
 def read_fragment_table(
@@ -555,7 +593,15 @@ def read_fragment_table(
                 )
         else:
             ci = fragment.column_indices
-            if ci and ci != list(range(len(ci))):
+            # two accepted shapes for an unevolved fragment: the plain
+            # sequential layout (every flat/list file; legacy struct
+            # files counted data columns only) and the parallel layout
+            # whose struct headers record their first child's column
+            if (
+                ci
+                and ci != list(range(len(ci)))
+                and ci != _column_indices_of(top_fields)
+            ):
                 raise UnsupportedLanceFeature(
                     f"{path}: non-sequential column indices {ci}"
                 )
@@ -1411,7 +1457,7 @@ def _norm_signature(sig):
 
 def _make_fragments(pa, root: str, table, fields: list[LanceField], start_id: int, max_rows_per_file: int) -> list[LanceFragment]:
     expected_ids = _depth_first_ids(fields)
-    n_data = _data_column_count(fields)
+    col_ix = _column_indices_of(fields)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     frags = []
     fid = start_id
@@ -1424,7 +1470,7 @@ def _make_fragments(pa, root: str, table, fields: list[LanceField], start_id: in
                 path=name,
                 frag_id=fid,
                 field_ids=list(expected_ids),
-                column_indices=list(range(n_data)),
+                column_indices=list(col_ix),
                 physical_rows=chunk.num_rows,
             )
         )
@@ -1587,7 +1633,7 @@ def _finish_fragments(
     fragments; write one empty fragment when the input produced none
     (a dataset must have at least one fragment)."""
     expected_ids = _depth_first_ids(fields)
-    n_data = _data_column_count(fields)
+    col_ix = _column_indices_of(fields)
     if not new_frags:
         name = f"{uuid.uuid4()}.lance"
         write_fragment_file(
@@ -1598,7 +1644,7 @@ def _finish_fragments(
     for i, fr in enumerate(new_frags):
         fr.frag_id = start_id + i
         fr.field_ids = list(expected_ids)
-        fr.column_indices = list(range(n_data))
+        fr.column_indices = list(col_ix)
     return new_frags
 
 
@@ -1873,16 +1919,24 @@ def _schema_fields_of_existing(fields: list[LanceField]) -> bytes:
 # ---------- schema evolution (metadata-only manifest commits) ----------
 
 
-def _refuse_struct_evolution(fields: list[LanceField], root: str) -> None:
-    # struct headers consume no data column, so struct-bearing data
-    # files don't satisfy the parallel (fields, column_indices)
-    # invariant the evolved-read mapping needs — evolve via copy-out
-    if any(f.logical == "struct" for f in fields):
-        raise UnsupportedLanceFeature(
-            f"{root}: schema evolution on struct-bearing datasets is "
-            "outside the subset (struct fields consume no file column, "
-            "so evolved fragments can't be field-id mapped)"
-        )
+def _require_parallel_datafiles(
+    fields: list[LanceField], frags: list[LanceFragment], root: str
+) -> None:
+    """Schema evolution needs every CURRENT fragment's (fields,
+    column_indices) arrays parallel so the field-id map can place each
+    column after the schema changes. Struct-bearing fragments written
+    before struct headers carried a column index aren't — compaction
+    rewrites them in the parallel shape, so the fix is one OPTIMIZE
+    away, not a copy-out."""
+    for fr in frags:
+        if fr.field_ids and fr.column_indices and len(fr.field_ids) != len(
+            fr.column_indices
+        ):
+            raise UnsupportedLanceFeature(
+                f"{root}: fragment {fr.frag_id} ({fr.path}) predates "
+                "parallel column indices — run compaction (OPTIMIZE) "
+                "before evolving the schema"
+            )
 
 
 def add_column(root: str, name: str, arrow_type) -> int:
@@ -1897,7 +1951,7 @@ def add_column(root: str, name: str, arrow_type) -> int:
 
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
-    _refuse_struct_evolution(fields, root)
+    _require_parallel_datafiles(fields, frags, root)
     if any(f.name == name for f in fields):
         raise ValueError(f"column {name!r} already exists in {root}")
     logical = _logical_of(pa, arrow_type)
@@ -1935,7 +1989,7 @@ def drop_column(root: str, name: str) -> int:
     first) or when it is the only column."""
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
-    _refuse_struct_evolution(fields, root)
+    _require_parallel_datafiles(fields, frags, root)
     hit = [f for f in fields if f.name == name]
     if not hit:
         raise ValueError(f"no column {name!r} in {root}")
@@ -2135,7 +2189,7 @@ def truncate_dataset(root: str) -> int:
         path=name,
         frag_id=max((fr.frag_id for fr in frags), default=-1) + 1,
         field_ids=_depth_first_ids(fields),
-        column_indices=list(range(_data_column_count(fields))),
+        column_indices=_column_indices_of(fields),
         physical_rows=0,
     )
     _write_manifest(
@@ -2294,8 +2348,16 @@ def compact_dataset(
         groups.append(cur)
 
     def _clean(fr):
-        return fr.deletion is None and (
-            not fr.field_ids or fr.field_ids == expected_ids
+        # parallel (fields, column_indices) arrays are part of clean:
+        # legacy struct fragments must rewrite so schema evolution's
+        # field-id map can place their columns afterwards
+        parallel = not fr.field_ids or not fr.column_indices or len(
+            fr.field_ids
+        ) == len(fr.column_indices)
+        return (
+            fr.deletion is None
+            and (not fr.field_ids or fr.field_ids == expected_ids)
+            and parallel
         )
 
     plan = [(g, not (len(g) == 1 and _clean(g[0]))) for g in groups]
@@ -2307,7 +2369,7 @@ def compact_dataset(
     else:
         results = _rewrite_groups_distributed(root, version, rewrites, spark)
     next_id = max(fr.frag_id for fr in frags) + 1
-    n_data = _data_column_count(fields)
+    col_ix = _column_indices_of(fields)
     new_frags = []
     it = iter(results)
     for g, rw in plan:
@@ -2320,7 +2382,7 @@ def compact_dataset(
                 path=name,
                 frag_id=next_id,
                 field_ids=list(expected_ids),
-                column_indices=list(range(n_data)),
+                column_indices=list(col_ix),
                 physical_rows=rows,
             )
         )

@@ -368,7 +368,7 @@ def _commit_fragments(
     from lance_flink_spark.sources.lance_native import (
         LanceFragment,
         _carry_index_section,
-        _data_column_count,
+        _column_indices_of,
         _depth_first_ids,
         _norm_signature,
         _schema_fields_of,
@@ -417,7 +417,7 @@ def _commit_fragments(
         if replace:
             frags = []  # lance overwrite: a new version with only new fragments
         expected_ids = _depth_first_ids(fields)
-        n_data = _data_column_count(fields)
+        col_ix = _column_indices_of(fields)
         start = max((fr.frag_id for fr in frags), default=-1) + 1
         new = []
         for i, (_k, name, rows) in enumerate(plates):
@@ -426,7 +426,7 @@ def _commit_fragments(
                     path=name,
                     frag_id=start + i,
                     field_ids=list(expected_ids),
-                    column_indices=list(range(n_data)),
+                    column_indices=list(col_ix),
                     physical_rows=rows,
                 )
             )
@@ -442,7 +442,7 @@ def _commit_fragments(
                     path=name,
                     frag_id=start,
                     field_ids=list(expected_ids),
-                    column_indices=list(range(n_data)),
+                    column_indices=list(col_ix),
                     physical_rows=0,
                 )
             ]

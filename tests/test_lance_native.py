@@ -1499,7 +1499,9 @@ class TestSchemaEvolutionAndCompaction:
         )
         with pytest.raises(UnsupportedLanceFeature, match="covered by index"):
             drop_column(root, "name")
-        # struct-bearing datasets refuse evolution outright
+        # struct-bearing datasets evolve too (round 14: struct headers
+        # carry a column index, so the field-id map places columns) —
+        # TestStructSchemaEvolution pins the full lifecycle
         sroot = os.path.join(tmp_path_str, "evo3s")
         st = pa.table(
             {
@@ -1510,10 +1512,11 @@ class TestSchemaEvolutionAndCompaction:
             }
         )
         write_dataset(sroot, st)
-        with pytest.raises(UnsupportedLanceFeature, match="struct"):
-            add_column(sroot, "x", pa.int64())
-        with pytest.raises(UnsupportedLanceFeature, match="struct"):
-            drop_column(sroot, "meta")
+        add_column(sroot, "x", pa.int64())
+        drop_column(sroot, "meta")
+        got = LanceNativeDataset(sroot).to_arrow()
+        assert got.column_names == ["id", "x"]
+        assert got.column("x").to_pylist() == [None]
         # the only column can't drop
         oroot = os.path.join(tmp_path_str, "evo3o")
         write_dataset(oroot, pa.table({"id": pa.array([1], pa.int64())}))
@@ -2512,3 +2515,156 @@ def test_mutation_refuses_stale_offset_snapshot(tmp_path_str):
     assert LanceNativeDataset(root).live_row_count(v3) == 9
     # unguarded call (library API, caller owns consistency) still works
     delete_rows(root, [2])
+
+
+class TestStructSchemaEvolution:
+    """ADD/DROP COLUMN on struct-bearing datasets (round 14 close of
+    the last evolution refusal): struct headers now carry a column
+    index (their first child's column) so DataFile arrays stay
+    parallel and the field-id map can place every column after the
+    schema changes; fragments from before that convention refuse
+    evolution with a compact-first hint and OPTIMIZE heals them."""
+
+    def _mk(self, tmp_path_str, name):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import write_dataset
+
+        root = os.path.join(tmp_path_str, name)
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "meta": pa.array(
+                    [
+                        {"w": 10, "h": 20},
+                        {"w": 11, "h": 21},
+                        {"w": 12, "h": None},
+                    ],
+                    pa.struct([("w", pa.int64()), ("h", pa.int64())]),
+                ),
+                "lang": pa.array(["en", "de", "fr"]),
+            }
+        )
+        write_dataset(root, t)
+        return root
+
+    def test_struct_plates_are_parallel(self, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+        )
+
+        root = self._mk(tmp_path_str, "sp")
+        _fields, frags, _v = LanceNativeDataset(root)._manifest()
+        fr = frags[0]
+        # depth-first: id, meta, meta.w, meta.h, lang — meta shares
+        # its first child's column, so 5 entries over 4 data columns
+        assert fr.field_ids == [0, 1, 2, 3, 4]
+        assert fr.column_indices == [0, 1, 1, 2, 3]
+
+    def test_add_and_drop_around_struct(self, tmp_path_str):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            add_column,
+            append_to_dataset,
+            arrow_schema_of,
+            drop_column,
+        )
+
+        root = self._mk(tmp_path_str, "ev")
+        add_column(root, "quality", pa.float64())  # v2
+        nds = LanceNativeDataset(root)
+        fields, _f, _v = nds._manifest()
+        t2 = pa.table(
+            {
+                "id": pa.array([4], pa.int64()),
+                "meta": pa.array(
+                    [{"w": 40, "h": 41}],
+                    pa.struct([("w", pa.int64()), ("h", pa.int64())]),
+                ),
+                "lang": pa.array(["it"]),
+                "quality": pa.array([0.9], pa.float64()),
+            }
+        ).cast(arrow_schema_of(fields))
+        append_to_dataset(root, t2)  # v3
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.num_rows == 4
+        # pre-evolution fragment reads NULL quality through the map
+        assert got.column("quality").to_pylist() == [None, None, None, 0.9]
+        assert got.column("meta").to_pylist()[0] == {"w": 10, "h": 20}
+        assert got.column("meta").to_pylist()[3] == {"w": 40, "h": 41}
+        drop_column(root, "lang")  # v4
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column_names == ["id", "meta", "quality"]
+        assert got.column("meta").to_pylist()[2] == {"w": 12, "h": None}
+        # time travel: the pre-drop version still carries lang
+        old = LanceNativeDataset(root).to_arrow(version=3)
+        assert old.column("lang").to_pylist() == ["en", "de", "fr", "it"]
+        drop_column(root, "meta")  # v5: drop the struct itself
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column_names == ["id", "quality"]
+        assert got.column("id").to_pylist() == [1, 2, 3, 4]
+
+    def test_compaction_materializes_struct_evolution(self, tmp_path_str):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            add_column,
+            compact_dataset,
+            delete_rows,
+        )
+
+        root = self._mk(tmp_path_str, "cp")
+        add_column(root, "quality", pa.float64())
+        delete_rows(root, [1])
+        v = compact_dataset(root)
+        nds = LanceNativeDataset(root)
+        _fields, frags, _ = nds._manifest(v)
+        # rewritten clean: no deletions, current-schema plates
+        assert all(fr.deletion is None for fr in frags)
+        assert all(
+            len(fr.field_ids) == len(fr.column_indices) for fr in frags
+        )
+        got = nds.to_arrow()
+        assert got.column("id").to_pylist() == [1, 3]
+        assert got.column("meta").to_pylist() == [
+            {"w": 10, "h": 20},
+            {"w": 12, "h": None},
+        ]
+        assert got.column("quality").to_pylist() == [None, None]
+
+    def test_legacy_struct_fragments_refuse_then_heal(self, tmp_path_str):
+        import pyarrow as pa
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            UnsupportedLanceFeature,
+            _schema_fields_of_existing,
+            _write_manifest,
+            add_column,
+            compact_dataset,
+        )
+
+        root = self._mk(tmp_path_str, "lg")
+        nds = LanceNativeDataset(root)
+        fields, frags, v = nds._manifest()
+        # simulate a fragment written before struct headers carried a
+        # column index: data columns only, non-parallel with field_ids
+        for fr in frags:
+            fr.column_indices = [0, 1, 2, 3]
+        _write_manifest(
+            root, v + 1, _schema_fields_of_existing(fields), frags
+        )
+        # the legacy shape still READS at its own schema...
+        assert LanceNativeDataset(root).to_arrow().num_rows == 3
+        # ...but refuses evolution until compaction rewrites it
+        with pytest.raises(UnsupportedLanceFeature, match="OPTIMIZE"):
+            add_column(root, "quality", pa.float64())
+        compact_dataset(root, target_rows=2)  # forces a rewrite bin
+        add_column(root, "quality", pa.float64())
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column("quality").to_pylist() == [None, None, None]
+        assert got.column("meta").to_pylist()[1] == {"w": 11, "h": 21}

@@ -585,3 +585,52 @@ def test_distributed_write_splits_fragments_by_bytes(ds_spark, tmp_path_str):
     assert sum(fr.physical_rows for fr in frags) == 8
     got = nds.read(ds_spark)
     assert got.count() == 8
+
+
+def test_datasource_reads_struct_evolved_dataset(ds_spark, tmp_path_str):
+    """Struct-bearing datasets now evolve (struct headers carry a
+    column index): the V2 reader serves pre-evolution fragments with
+    NULL for the added column and intact struct values end-to-end."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        add_column,
+        append_to_dataset,
+        arrow_schema_of,
+        LanceNativeDataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "dsstructev")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "meta": pa.array(
+                    [{"w": 5, "h": 6}, {"w": 7, "h": None}],
+                    pa.struct([("w", pa.int64()), ("h", pa.int64())]),
+                ),
+            }
+        ),
+    )
+    add_column(root, "q", pa.float64())
+    fields, _f, _v = LanceNativeDataset(root)._manifest()
+    append_to_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "meta": pa.array(
+                    [{"w": 9, "h": 10}],
+                    pa.struct([("w", pa.int64()), ("h", pa.int64())]),
+                ),
+                "q": pa.array([0.5], pa.float64()),
+            }
+        ).cast(arrow_schema_of(fields)),
+    )
+    df = ds_spark.read.format("lance_native").option("path", root).load()
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["q"] is None and rows[3]["q"] == 0.5
+    assert rows[2]["meta"]["w"] == 7 and rows[2]["meta"]["h"] is None
+    assert rows[3]["meta"]["h"] == 10
