@@ -605,3 +605,103 @@ def lance_native_changes(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("long").alias("sum_nc"),
     )
+
+
+@query(
+    "lance_native_struct_evolution",
+    extra=True,  # r14: schema evolution on STRUCT-bearing datasets
+    oracle="""
+    WITH all_rows AS (
+        SELECT doc_id, n_chars AS w, LENGTH(source) AS h,
+               CAST(NULL AS DOUBLE) AS quality
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, n_chars, LENGTH(source),
+               CAST(n_chars % 97 AS DOUBLE)
+        FROM documents WHERE source IN ('src1', 'src2')
+    )
+    SELECT doc_id % 8 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           COUNT(quality) AS nq,
+           CAST(SUM(quality) AS BIGINT) AS sum_q
+    FROM all_rows
+    WHERE doc_id % 11 <> 6
+    GROUP BY doc_id % 8
+    """,
+)
+def lance_native_struct_evolution(spark, sf_dir):
+    """STRUCT schema evolution on native Lance (round 14, §2 #273 —
+    the last evolution refusal, closed): documents write distributed
+    with a STRUCT column (struct headers plate at their first child's
+    column, so DataFile arrays stay parallel) → ADD COLUMN quality →
+    a distributed append CARRIES quality alongside the struct → a
+    roaring deletion masks doc_id % 11 = 6 → DROP COLUMN lang. The
+    final read is deliberately UNCOMPACTED: every pre-evolution
+    fragment must decode through the field-id map — the struct at a
+    mapped base column, NULL quality synthesized, the dropped lang
+    pages untouched. The oracle replays the history relationally over
+    the struct's flattened children; a struct child mis-based by the
+    map, a null quality lost, or a dropped column leaking back breaks
+    the hash. Reference parity: com.lancedb.lance.Dataset
+    add_columns/drop_columns over struct-bearing schemas."""
+    import shutil
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_column,
+        append_to_dataset_distributed,
+        delete_rows,
+        drop_column,
+        read_distributed,
+        write_dataset_distributed,
+    )
+
+    import pyarrow as pa
+
+    src = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "named_struct('w', n_chars, 'h', CAST(LENGTH(source) AS BIGINT)) AS meta",
+        "lang",
+    ).repartition(4)
+    root = os.path.join(
+        scratch_dir("lance_native_sevo" + _tag(sf_dir)), "docs_sevo"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)
+    add_column(root, "quality", pa.float64())
+    append_to_dataset_distributed(
+        root,
+        table(spark, sf_dir, "documents")
+        .filter("source IN ('src1', 'src2')")
+        .selectExpr(
+            "doc_id + 10000000 AS doc_id",
+            "named_struct('w', n_chars, 'h', CAST(LENGTH(source) AS BIGINT)) AS meta",
+            "lang",
+            "CAST(n_chars % 97 AS DOUBLE) AS quality",
+        ),
+    )
+    offs = [
+        r["__phys"]
+        for r in read_distributed(
+            LanceNativeDataset(root), spark,
+            with_offsets=True, columns=["doc_id"],
+        )
+        .filter("doc_id % 11 = 6")
+        .select("__phys")
+        .collect()
+    ]
+    delete_rows(root, offs, deletion_format="bitmap")
+    drop_column(root, "lang")
+    df = read_distributed(LanceNativeDataset(root), spark)
+    return (
+        df.groupBy((F.col("doc_id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("meta.w")).cast("long").alias("sum_w"),
+            F.sum(F.col("meta.h")).cast("long").alias("sum_h"),
+            F.count("quality").alias("nq"),
+            F.sum("quality").cast("long").alias("sum_q"),
+        )
+    )
