@@ -407,3 +407,127 @@ def test_upsert_sink_matches_dict_fold(tmp_path_factory, ops, n_batches):
     else:
         got = {r["k"]: r["v"] for r in ds.read(spark).select("k", "v").collect()}
     assert got == ref
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=200_000),
+            # values spanning several 64K containers, incl. dense runs
+            st.integers(min_value=0, max_value=2**32 - 1),
+        ),
+        max_size=400,
+    ),
+    dense_block=st.one_of(
+        st.none(), st.integers(min_value=0, max_value=2**16 - 5000)
+    ),
+    use_runs=st.booleans(),
+)
+def test_roaring_roundtrip_property(vals, dense_block, use_runs):
+    """encode_roaring ∘ decode_roaring is identity on ANY uint32 set —
+    array, bitmap (>4096 per container), and run containers all
+    exercised; trailing bytes always refuse."""
+    import numpy as np
+    import pytest
+
+    from lance_flink_spark.sources.lance_native import (
+        UnsupportedLanceFeature,
+        decode_roaring,
+        encode_roaring,
+    )
+
+    values = list(vals)
+    if dense_block is not None:
+        # force a bitmap container: >4096 values in one 64K key space
+        values += list(range(dense_block, dense_block + 4500))
+    expect = np.unique(np.asarray(values, dtype="uint64")).astype("uint32")
+    blob = encode_roaring(expect, use_runs=use_runs)
+    got = decode_roaring(blob)
+    assert np.array_equal(got, expect)
+    if len(blob) >= 8:
+        with pytest.raises(UnsupportedLanceFeature, match="trailing"):
+            decode_roaring(blob + b"\x00")
+
+
+_frag_cols = st.dictionaries(
+    keys=st.sampled_from(["a", "b", "c", "d", "e"]),
+    values=st.sampled_from(["int64", "float64", "string", "list", "struct"]),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cols=_frag_cols,
+    n=st.integers(min_value=0, max_value=60),
+    page_rows=st.integers(min_value=1, max_value=17),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_fragment_file_roundtrip_property(tmp_path_factory, cols, n, page_rows, seed):
+    """write_fragment_file ∘ read_fragment_table is identity on ANY
+    table in the subset — nullable primitives, strings, lists and flat
+    structs, across arbitrary page splits (multi-page validity and
+    varlen assembly are where the bytes can lie)."""
+    import os
+    import uuid as _uuid
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        _schema_fields_of,
+        read_fragment_table,
+        write_fragment_file,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    def col_of(kind):
+        def nully(xs):
+            return [
+                None if rng.random() < 0.25 else x for x in xs
+            ]
+
+        if kind == "int64":
+            return pa.array(
+                nully(rng.integers(-(2**62), 2**62, n).tolist()), pa.int64()
+            )
+        if kind == "float64":
+            return pa.array(nully(rng.normal(size=n).tolist()), pa.float64())
+        if kind == "string":
+            return pa.array(
+                nully(["s" * int(k % 7) + str(k) for k in range(n)]),
+                pa.large_utf8(),
+            )
+        if kind == "list":
+            return pa.array(
+                nully(
+                    [
+                        rng.integers(0, 100, int(k % 5)).tolist()
+                        for k in range(n)
+                    ]
+                ),
+                pa.large_list(pa.int64()),
+            )
+        return pa.array(
+            [
+                {
+                    "x": None if rng.random() < 0.3 else int(k),
+                    "y": None if rng.random() < 0.3 else float(k) / 3,
+                }
+                for k in range(n)
+            ],
+            pa.struct([("x", pa.int64()), ("y", pa.float64())]),
+        )
+
+    t = pa.table({name: col_of(kind) for name, kind in cols.items()})
+    fields, _blob = _schema_fields_of(pa, t.schema)
+    d = tmp_path_factory.mktemp("fragprop")
+    path = os.path.join(str(d), f"{_uuid.uuid4()}.lance")
+    write_fragment_file(path, t, max_rows_per_page=page_rows)
+    got = read_fragment_table(path, fields)
+    assert got.num_rows == n
+    for name in t.column_names:
+        assert got.column(name).to_pylist() == t.column(name).to_pylist(), name
