@@ -1959,7 +1959,14 @@ def add_column(root: str, name: str, arrow_type) -> int:
         raise UnsupportedLanceFeature(
             "ADD COLUMN of struct type is outside the subset"
         )
-    next_id = max(_depth_first_ids(fields), default=-1) + 1
+    # a dropped column's id lives on inside the fragments' DataFile
+    # arrays — reusing it would decode the old column's bytes as the
+    # new one (Lance's manifest tracks max_field_id for exactly this);
+    # allocate past every id any current fragment still carries
+    used = set(_depth_first_ids(fields))
+    for fr in frags:
+        used.update(fr.field_ids or ())
+    next_id = max(used, default=-1) + 1
     lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
     if logical == "list":
         child_logical = _logical_of(pa, arrow_type.value_type)

@@ -531,3 +531,115 @@ def test_fragment_file_roundtrip_property(tmp_path_factory, cols, n, page_rows, 
     assert got.num_rows == n
     for name in t.column_names:
         assert got.column(name).to_pylist() == t.column(name).to_pylist(), name
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append", "add", "drop", "delete", "compact"]),
+        max_size=8,
+    )
+)
+def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
+    """ANY interleaving of append / ADD COLUMN / DROP COLUMN / delete /
+    compact on a STRUCT-bearing native dataset matches a pure-Python
+    row model: physical offsets stay addressable across evolution,
+    pre-ADD fragments read NULL, dropped columns never leak back, and
+    compaction preserves surviving-row order."""
+    import itertools
+    import os
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_column,
+        append_to_dataset,
+        arrow_schema_of,
+        compact_dataset,
+        delete_rows,
+        drop_column,
+        write_dataset,
+    )
+
+    d = tmp_path_factory.mktemp("evoprop")
+    root = os.path.join(str(d), "ds")
+    schema = [("id", "int64"), ("meta", "struct")]
+    counter = itertools.count(1)
+
+    def mk_rows(k):
+        rows = []
+        for _ in range(k):
+            i = next(counter)
+            r = {}
+            for name, kind in schema:
+                if kind == "int64":
+                    r[name] = i * 7
+                elif kind == "float64":
+                    r[name] = float(i) / 2 if i % 3 else None
+                else:
+                    r[name] = {"x": i if i % 4 else None}
+            rows.append(r)
+        return rows
+
+    def arrow_of(rows):
+        arrays, names = [], []
+        for name, kind in schema:
+            vals = [r[name] for r in rows]
+            if kind == "int64":
+                arrays.append(pa.array(vals, pa.int64()))
+            elif kind == "float64":
+                arrays.append(pa.array(vals, pa.float64()))
+            else:
+                arrays.append(
+                    pa.array(vals, pa.struct([("x", pa.int64())]))
+                )
+            names.append(name)
+        return pa.table(dict(zip(names, arrays)))
+
+    rows0 = mk_rows(4)
+    write_dataset(root, arrow_of(rows0), max_rows_per_file=3)
+    live = [[r, True] for r in rows0]  # physical order incl. dead rows
+    addable = ["q1", "q2", "q3"]
+
+    for op in ops:
+        if op == "append":
+            rows = mk_rows(3)
+            fields, _f, _v = LanceNativeDataset(root)._manifest()
+            append_to_dataset(root, arrow_of(rows).cast(arrow_schema_of(fields)))
+            live += [[r, True] for r in rows]
+        elif op == "add":
+            if not addable:
+                continue
+            name = addable.pop(0)
+            add_column(root, name, pa.float64())
+            schema.append((name, "float64"))
+            for e in live:  # pre-ADD rows read NULL
+                e[0] = dict(e[0])
+                e[0][name] = None
+        elif op == "drop":
+            droppable = [n for n, _k in schema if n != "id"]
+            if not droppable:
+                continue
+            name = droppable[0]  # meta first, then the added columns
+            drop_column(root, name)
+            schema = [(n, k) for n, k in schema if n != name]
+            for e in live:
+                e[0] = {k2: v for k2, v in e[0].items() if k2 != name}
+        elif op == "delete":
+            doomed = [i for i, e in enumerate(live) if e[1]][::3][:2]
+            if not doomed:
+                continue
+            delete_rows(root, doomed)  # indices ARE physical offsets
+            for i in doomed:
+                live[i][1] = False
+        else:  # compact
+            compact_dataset(root, target_rows=5)
+            live = [e for e in live if e[1]]  # dead rows materialize away
+
+    got = LanceNativeDataset(root).to_arrow()
+    expect = [e[0] for e in live if e[1]]
+    assert got.num_rows == len(expect)
+    assert got.column_names == [n for n, _k in schema]
+    for name, _kind in schema:
+        assert got.column(name).to_pylist() == [r[name] for r in expect], name
