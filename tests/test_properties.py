@@ -602,6 +602,16 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
     live = [[r, True] for r in rows0]  # physical order incl. dead rows
     addable = ["q1", "q2", "q3"]
 
+    def snapshot():
+        v = LanceNativeDataset(root).versions()[-1]
+        return (
+            v,
+            [n for n, _k in schema],
+            [dict(e[0]) for e in live if e[1]],
+        )
+
+    history = [snapshot()]
+    n_del = 0
     for op in ops:
         if op == "append":
             rows = mk_rows(3)
@@ -630,16 +640,26 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
             doomed = [i for i, e in enumerate(live) if e[1]][::3][:2]
             if not doomed:
                 continue
-            delete_rows(root, doomed)  # indices ARE physical offsets
+            n_del += 1
+            delete_rows(  # indices ARE physical offsets
+                root,
+                doomed,
+                deletion_format="bitmap" if n_del % 2 else "arrow",
+            )
             for i in doomed:
                 live[i][1] = False
         else:  # compact
             compact_dataset(root, target_rows=5)
             live = [e for e in live if e[1]]  # dead rows materialize away
+        history.append(snapshot())
 
-    got = LanceNativeDataset(root).to_arrow()
-    expect = [e[0] for e in live if e[1]]
-    assert got.num_rows == len(expect)
-    assert got.column_names == [n for n, _k in schema]
-    for name, _kind in schema:
-        assert got.column(name).to_pylist() == [r[name] for r in expect], name
+    # every committed version still time-travels to its own snapshot
+    nds = LanceNativeDataset(root)
+    for v, names, expect in history:
+        got = nds.to_arrow(version=v)
+        assert got.column_names == names, f"v{v}"
+        assert got.num_rows == len(expect), f"v{v}"
+        for name in names:
+            assert got.column(name).to_pylist() == [
+                r[name] for r in expect
+            ], f"v{v}.{name}"
