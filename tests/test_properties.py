@@ -663,3 +663,76 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
             assert got.column(name).to_pylist() == [
                 r[name] for r in expect
             ], f"v{v}.{name}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.sampled_from(["insert", "update", "delete", "merge", "optimize"]),
+        max_size=5,
+    )
+)
+def test_native_sql_mutation_sequence_matches_model(tmp_path_factory, ops):
+    """ANY interleaving of SQL INSERT / UPDATE / DELETE / MERGE /
+    OPTIMIZE on a native Lance table matches a dict model — the ddl
+    layer's offset resolution, one-commit tombstone+append mutations,
+    and view re-registration compose correctly in sequence."""
+    import itertools
+    import os
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    spark = _get_spark()
+    d = tmp_path_factory.mktemp("sqlmodel")
+    root = os.path.join(str(d), "t")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(1, 7), pa.int64()),
+                "v": pa.array([i * 10 for i in range(1, 7)], pa.int64()),
+            }
+        ),
+        max_rows_per_file=4,
+    )
+    model = {i: i * 10 for i in range(1, 7)}
+    eng = SqlEngine(spark, Catalog(os.path.join(str(d), "wh")))
+    eng.execute(
+        f"CREATE TABLE m (id BIGINT, v BIGINT) "
+        f"WITH ('connector' = 'lance', 'path' = '{root}')"
+    )
+    fresh = itertools.count(100)
+    for op in ops:
+        if op == "insert":
+            ks = [next(fresh) for _ in range(2)]
+            eng.execute(
+                "INSERT INTO m VALUES "
+                + ", ".join(f"({k}, {k * 10})" for k in ks)
+            )
+            model.update({k: k * 10 for k in ks})
+        elif op == "update":
+            eng.execute("UPDATE m SET v = v + 7 WHERE id % 3 = 1")
+            model.update(
+                {k: v + 7 for k, v in model.items() if k % 3 == 1}
+            )
+        elif op == "delete":
+            eng.execute("DELETE FROM m WHERE id % 4 = 2")
+            model = {k: v for k, v in model.items() if k % 4 != 2}
+        elif op == "merge":
+            hit = min(model) if model else next(fresh)
+            new = next(fresh)
+            eng.execute(
+                f"MERGE INTO m USING (SELECT {hit} AS id, 1 AS v "
+                f"UNION ALL SELECT {new}, 2) ON id"
+            )
+            model[hit], model[new] = 1, 2
+        else:
+            eng.execute("OPTIMIZE m")
+    got = {
+        r["id"]: r["v"] for r in eng.execute("SELECT * FROM m").collect()
+    }
+    assert got == model
