@@ -1042,7 +1042,16 @@ class SqlEngine:
         if not os.path.exists(binding):
             return None
         meta = json.load(open(binding))
-        _fields, frags, version = nds._manifest()
+        fields, frags, version = nds._manifest()
+        if col not in {f.name for f in fields}:
+            # defense in depth: DROP COLUMN refuses while an index
+            # covers the column, but a binding orphaned any other way
+            # must not serve ghost vectors for a column that's gone
+            raise ValueError(
+                f"vector_search column {col!r} is not in the table's "
+                f"current schema ({[f.name for f in fields]}) — its "
+                "sidecar index is orphaned; DROP INDEX to clean it up"
+            )
         if sorted(fr.frag_id for fr in frags) != meta["frag_ids"]:
             warnings.warn(
                 f"native index on {col!r} is STALE (fragment set changed "
@@ -1325,8 +1334,19 @@ class SqlEngine:
 
         name = m.group("name")
         for c in (x.strip() for x in m.group("cols").split(",")):
-            if c:
-                drop_column(self.native_tables[name].root, c)
+            if not c:
+                continue
+            # same rule as the manifest's IndexSection check inside
+            # drop_column: a sidecar vector index bound to the column
+            # would keep serving ghost results after the drop
+            if os.path.isdir(
+                self._native_index_dir(self.native_tables[name], c)
+            ):
+                raise ValueError(
+                    f"column {c!r} is covered by a sidecar vector index "
+                    f"— DROP INDEX ON {name} ({c}) before dropping it"
+                )
+            drop_column(self.native_tables[name].root, c)
         self._reregister_native(name)
         return None
 

@@ -2668,3 +2668,58 @@ class TestStructSchemaEvolution:
         got = LanceNativeDataset(root).to_arrow()
         assert got.column("quality").to_pylist() == [None, None, None]
         assert got.column("meta").to_pylist()[1] == {"w": 11, "h": 21}
+
+
+def test_drop_indexed_column_refuses_sidecar_binding(spark, tmp_path_str):
+    """DROP COLUMN of a column covered by a SIDECAR vector index
+    refuses (same rule as the manifest IndexSection check) — an
+    orphaned binding would keep vector_search serving ghost results
+    for a column that no longer exists; after DROP INDEX the column
+    drops, and a search on it fails as an unknown column."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "idxdrop")
+    rng = np.random.default_rng(0)
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(20), pa.int64()),
+                "emb": pa.array(
+                    [rng.normal(size=4).tolist() for _ in range(20)],
+                    pa.large_list(pa.float32()),
+                ),
+                "extra": pa.array(["x"] * 20, pa.large_utf8()),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "wh_idxdrop")))
+    eng.execute(
+        f"CREATE TABLE tix (id BIGINT, emb ARRAY<FLOAT>, extra STRING) "
+        f"WITH ('connector' = 'lance', 'path' = '{root}')"
+    )
+    eng.execute(
+        "CREATE INDEX ON tix (emb) USING IVF_FLAT "
+        "WITH ('index.num-partitions' = '2')"
+    )
+    with pytest.raises(ValueError, match="DROP INDEX"):
+        eng.execute("ALTER TABLE tix DROP COLUMN emb")
+    # still indexed and searchable
+    got = eng.execute(
+        "SELECT * FROM vector_search('tix', 'emb', "
+        "ARRAY[0.1, 0.2, 0.3, 0.4], 3)"
+    )
+    assert got.count() == 3
+    eng.execute("DROP INDEX ON tix (emb)")
+    eng.execute("ALTER TABLE tix DROP COLUMN emb")
+    with pytest.raises(Exception):
+        eng.execute(
+            "SELECT * FROM vector_search('tix', 'emb', "
+            "ARRAY[0.1, 0.2, 0.3, 0.4], 3)"
+        ).collect()
