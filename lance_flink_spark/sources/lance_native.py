@@ -978,7 +978,13 @@ def encode_roaring(values, *, use_runs: bool = False) -> bytes:
     ``use_runs``. Exists to synthesize spec-conformant fixtures (and
     lets delete_rows emit the BITMAP deletion-file type); decode is
     the load-bearing direction."""
-    vals = np.unique(np.asarray(values, dtype="uint64")).astype("uint32")
+    vals64 = np.unique(np.asarray(values, dtype="uint64"))
+    if len(vals64) and int(vals64[-1]) >> 32:
+        # silent uint32 wraparound would mask the WRONG rows
+        raise ValueError(
+            f"roaring32 values must be in [0, 2**32): got {int(vals64[-1])}"
+        )
+    vals = vals64.astype("uint32")
     keys = (vals >> np.uint32(16)).astype("uint16")
     chunk_keys, starts = np.unique(keys, return_index=True)
     size = len(chunk_keys)
