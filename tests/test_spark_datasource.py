@@ -634,3 +634,49 @@ def test_datasource_reads_struct_evolved_dataset(ds_spark, tmp_path_str):
     assert rows[1]["q"] is None and rows[3]["q"] == 0.5
     assert rows[2]["meta"]["w"] == 7 and rows[2]["meta"]["h"] is None
     assert rows[3]["meta"]["h"] == 10
+
+
+def test_write_mode_sequence_matches_model(ds_spark, tmp_path_str):
+    """append/overwrite sequences through df.write.format('lance_native')
+    fold like a list model, every intermediate version stays
+    time-travelable to its own snapshot, and a version never loses or
+    duplicates rows across the task-write/driver-commit split."""
+    import itertools
+
+    from lance_flink_spark.sources.lance_native import LanceNativeDataset
+
+    root = os.path.join(tmp_path_str, "dsmodel")
+    fresh = itertools.count(0)
+
+    def write(mode, k):
+        ids = [next(fresh) for _ in range(k)]
+        df = ds_spark.createDataFrame(
+            [(i, i * 3) for i in ids], "id long, v long"
+        ).repartition(2)
+        df.write.format("lance_native").mode(mode).option("path", root).save()
+        return [(i, i * 3) for i in ids]
+
+    model: list = []
+    history = []
+    for mode, k in [
+        ("append", 3),
+        ("append", 2),
+        ("overwrite", 4),
+        ("append", 0),  # empty append still commits a valid version
+        ("overwrite", 1),
+        ("append", 3),
+    ]:
+        rows = write(mode, k)
+        model = rows if mode == "overwrite" else model + rows
+        v = LanceNativeDataset(root).versions()[-1]
+        history.append((v, sorted(model)))
+    for v, expect in history:
+        got = sorted(
+            (r["id"], r["v"])
+            for r in ds_spark.read.format("lance_native")
+            .option("path", root)
+            .option("version", str(v))
+            .load()
+            .collect()
+        )
+        assert got == expect, f"version {v}"
