@@ -736,3 +736,82 @@ def test_native_sql_mutation_sequence_matches_model(tmp_path_factory, ops):
         r["id"]: r["v"] for r in eng.execute("SELECT * FROM m").collect()
     }
     assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["append", "delete"]), st.integers(1, 4)),
+        max_size=6,
+    )
+)
+def test_native_changelog_folds_to_live_rows(tmp_path_factory, ops):
+    """Changelog completeness: for ANY append/delete history, the
+    change feed's inserts minus its deletes (by row id, with pre-image
+    values) reproduce exactly the final live rows, and each commit's
+    emissions carry its own _commit_version."""
+    import itertools
+    import os
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        append_to_dataset,
+        delete_rows,
+        read_changes_distributed,
+        write_dataset,
+    )
+
+    spark = _get_spark()
+    d = tmp_path_factory.mktemp("cdcprop")
+    root = os.path.join(str(d), "ds")
+    fresh = itertools.count(0)
+
+    def rows(k):
+        ids = [next(fresh) for _ in range(k)]
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "v": pa.array([i * 11 for i in ids], pa.int64()),
+            }
+        )
+
+    write_dataset(root, rows(3), max_rows_per_file=2)
+    n_dels = 0
+    for kind, k in ops:
+        if kind == "append":
+            append_to_dataset(root, rows(k))
+        else:
+            nds = LanceNativeDataset(root)
+            t = nds.to_arrow(with_offsets=True)
+            if not t.num_rows:
+                continue
+            doomed = t.column("__phys").to_pylist()[:: max(k, 2)][:3]
+            if not doomed:
+                continue
+            n_dels += 1
+            delete_rows(
+                root,
+                doomed,
+                deletion_format="bitmap" if n_dels % 2 else "arrow",
+                expected_version=nds.versions()[-1],
+            )
+    feed = read_changes_distributed(root, spark, 0).collect()
+    # collect order is arbitrary across tasks: replay in commit order,
+    # inserts before deletes within a commit (the UPDATE-pair shape)
+    feed.sort(
+        key=lambda r: (r["_commit_version"], r["_change_type"] != "insert")
+    )
+    folded: dict = {}
+    for r in feed:
+        if r["_change_type"] == "insert":
+            assert r["id"] not in folded
+            folded[r["id"]] = r["v"]
+        else:
+            assert folded.pop(r["id"]) == r["v"]  # pre-image value
+    live = LanceNativeDataset(root).to_arrow()
+    want = dict(
+        zip(live.column("id").to_pylist(), live.column("v").to_pylist())
+    )
+    assert folded == want
