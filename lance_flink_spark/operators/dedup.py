@@ -45,10 +45,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _provision_explode(df: DataFrame) -> DataFrame:
+    """Shingle/fingerprint explodes multiply per-input-row work by
+    ~n_tokens, so a scan with fewer splits than cores starves the
+    heavy stage (a small corpus is one parquet split — the explode
+    then runs 2 tasks on 32 cores; measured 3.1s → 0.7s for
+    cut_repeated_spans at sf0.1). The repartition shuffles only raw
+    text bytes, orders of magnitude under the explode's output; at
+    production scale the input already has more splits than cores and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_df(df: DataFrame, text_col: str, id_col: str, block_col: str | None) -> DataFrame:
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
     return (
-        df.select(*cols, F.explode(word_shingles(F.col(text_col))).alias("gram"))
+        _provision_explode(df)
+        .select(*cols, F.explode(word_shingles(F.col(text_col))).alias("gram"))
         .distinct()
     )
 
@@ -75,7 +91,9 @@ def minhash_signatures(
 
     No distinct() on shingles: min over a multiset equals min over its
     set, so the dedup shuffle would be pure waste."""
-    grams = df.select(id_col, F.explode(word_shingles(F.col(text_col))).alias("gram"))
+    grams = _provision_explode(df).select(
+        id_col, F.explode(word_shingles(F.col(text_col))).alias("gram")
+    )
     h = grams.select(id_col, md5i(F.col("gram")).alias("h"))
     sigs_wide = h.groupBy(id_col).agg(
         *[
@@ -891,7 +909,12 @@ def repeated_spans(
     fingerprint explode is computed exactly once (a count-aggregate +
     join-back would re-execute it for each side). Fan-out is one row
     per token position (the same amplification tokenization already
-    pays); the shuffle carries fingerprints, never raw text."""
+    pays); the shuffle carries fingerprints, never raw text.
+
+    The fingerprint explode is provisioned to cluster parallelism
+    first (:func:`_provision_explode` — measured 3.1s → 0.7s at
+    sf0.1; a no-op at production split counts)."""
+    df = _provision_explode(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     k = window
     spans = (
