@@ -22,6 +22,7 @@ from lance_flink_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    _provision_explode,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -108,7 +109,11 @@ def text_features(spark, sf_dir):
         subword_count,
     )
 
-    d = table(spark, sf_dir, "documents")
+    # the per-row HOF work is ~n_tokens× the input bytes, so a
+    # single-split scan starves it like an explode would — provision
+    # to cluster parallelism (no-op at production split counts; the
+    # plan stays narrow after the one conditional text-bytes exchange)
+    d = _provision_explode(table(spark, sf_dir, "documents"))
     # project the normalization ONCE and share it between the rolling
     # hash and the md5 fingerprint: the halved expression graph compiles
     # ~2× faster (4.5s → 2.3s cold at sf0.1) and stays one narrow
