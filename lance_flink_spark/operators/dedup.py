@@ -53,8 +53,28 @@ def _provision_explode(df: DataFrame) -> DataFrame:
     cut_repeated_spans at sf0.1). The repartition shuffles only raw
     text bytes, orders of magnitude under the explode's output; at
     production scale the input already has more splits than cores and
-    this is a no-op."""
+    this is a no-op.
+
+    The parallelism probe must not EXECUTE the frame: under AQE,
+    ``df.rdd`` finalizes the adaptive plan by RUNNING its intermediate
+    shuffle stages, so a caller-supplied post-join/post-agg frame
+    would pay for its upstream stages twice. A frame whose physical
+    plan carries an Exchange (or a subquery) already re-provisions
+    through spark.sql.shuffle.partitions — leave it alone; only
+    scan-shaped lineage (no exchange → AQE never engages → ``.rdd``
+    is pure lineage construction, zero jobs) is probed."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    # executedPlan is built lazily — toString() renders the INITIAL
+    # adaptive plan without materializing any stage. AQE wraps a plan
+    # iff it has exchanges or subqueries, so the wrapper's presence is
+    # exactly the "probing .rdd would run jobs" signal.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if (
+        "AdaptiveSparkPlan" in plan
+        or "Exchange" in plan
+        or "Subquery" in plan
+    ):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

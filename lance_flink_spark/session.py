@@ -38,18 +38,24 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # size scan splits to the MACHINE, not the default 128 MB: at
-        # bench SFs every table is a single parquet file, so the
-        # default plans 1-2 scan tasks on 32 cores and every
-        # scan-bound query runs at 1/16th parallelism (measured: q1
-        # 0.67→0.32s, sql_join_agg 1.19→0.72s, agg_approx 3.68→2.96s,
-        # matview_incremental 4.55→3.84s at sf0.1, no regressions —
-        # streaming micro-batches read the same files and improve
-        # too). On a real cluster raise it so scan tasks ≈ 2-3× cores
-        # at your data size (the 128 MB default is right at 100 TB).
+        # size scan splits to the MACHINE without capping them for big
+        # data: minPartitionNum asks the split planner for ≥ 2×cores
+        # splits (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # totalBytes/minPartitionNum)) — FilePartition.scala), so a
+        # single small parquet file still fans out to every core
+        # (measured: q1 0.67→0.32s, sql_join_agg 1.19→0.72s,
+        # agg_approx 3.68→2.96s, matview_incremental 4.55→3.84s at
+        # sf0.1; the binding default was openCostInBytes=4m) while a
+        # 100 TB scan keeps the 128 MB per-task ceiling instead of
+        # exploding into millions of tiny tasks — an earlier build
+        # hardcoded maxPartitionBytes=1m, which inverts at scale.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(2 * cpus)),
         )
         .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.sql.session.timeZone", "UTC")

@@ -955,7 +955,10 @@ class SqlEngine:
             _fields, frags, _v = nds._manifest(version)
             est = 0
             for fr in frags:
-                sz = os.path.getsize(os.path.join(nds.root, "data", fr.path))
+                sz = sum(
+                    os.path.getsize(os.path.join(nds.root, "data", f.path))
+                    for f in fr.all_files()
+                )
                 if fr.deletion is not None and fr.physical_rows:
                     live = fr.physical_rows - len(
                         read_deletion_file(nds.root, fr)
@@ -1306,38 +1309,42 @@ class SqlEngine:
 
     def _alter_add_native(self, m: re.Match) -> None:
         """``ALTER TABLE t ADD COLUMN(S) ...`` on a NATIVE Lance table:
-        a metadata-only manifest commit (lance_native.add_column — the
-        new field id appends to the schema, no fragment is touched);
-        existing rows read NULL, later INSERTs carry the column.
+        ONE metadata-only manifest commit for the whole column list
+        (lance_native.add_columns — the new field ids append to the
+        schema, no fragment is touched, every column validates before
+        anything commits so the statement is atomic-or-refused);
+        existing rows read NULL, later INSERTs carry the columns.
         Reference parity: com.lancedb.lance.Dataset schema evolution."""
         from pyspark.sql.pandas.types import to_arrow_type
 
-        from lance_flink_spark.sources.lance_native import add_column
+        from lance_flink_spark.sources.lance_native import add_columns
 
         name = m.group("name")
         added = T._parse_datatype_string(
             f"struct<{_spark_ddl_types(_strip_comments(m.group('cols')))}>"
         )
-        for f in added.fields:
-            add_column(
-                self.native_tables[name].root, f.name, to_arrow_type(f.dataType)
-            )
+        add_columns(
+            self.native_tables[name].root,
+            [(f.name, to_arrow_type(f.dataType)) for f in added.fields],
+        )
         self._reregister_native(name)
         return None
 
     def _alter_drop_native(self, m: re.Match) -> None:
         """``ALTER TABLE t DROP COLUMN(S) ...`` on a NATIVE Lance
-        table: metadata-only manifest commit removing the field — data
-        pages stay on disk (old versions time-travel to them) and are
-        reclaimed at the next OPTIMIZE rewrite."""
-        from lance_flink_spark.sources.lance_native import drop_column
+        table: ONE metadata-only manifest commit removing the whole
+        field list — data pages stay on disk (old versions time-travel
+        to them) and are reclaimed at the next OPTIMIZE rewrite. Every
+        column is validated (exists, not index-covered) BEFORE the
+        commit, so a failure mid-list can never leave a partially
+        applied DDL behind."""
+        from lance_flink_spark.sources.lance_native import drop_columns
 
         name = m.group("name")
-        for c in (x.strip() for x in m.group("cols").split(",")):
-            if not c:
-                continue
+        cols = [x.strip() for x in m.group("cols").split(",") if x.strip()]
+        for c in cols:
             # same rule as the manifest's IndexSection check inside
-            # drop_column: a sidecar vector index bound to the column
+            # drop_columns: a sidecar vector index bound to the column
             # would keep serving ghost results after the drop
             if os.path.isdir(
                 self._native_index_dir(self.native_tables[name], c)
@@ -1346,7 +1353,7 @@ class SqlEngine:
                     f"column {c!r} is covered by a sidecar vector index "
                     f"— DROP INDEX ON {name} ({c}) before dropping it"
                 )
-            drop_column(self.native_tables[name].root, c)
+        drop_columns(self.native_tables[name].root, cols)
         self._reregister_native(name)
         return None
 
@@ -2125,11 +2132,12 @@ class SqlEngine:
                     if fr.deletion is not None
                     else 0
                 )
-                p = _os.path.join(nds.root, "data", fr.path)
-                rows.append(
-                    (fr.path, fr.physical_rows, fr.physical_rows - dead,
-                     _os.path.getsize(p))
-                )
+                for f in fr.all_files():  # backfill files list too
+                    p = _os.path.join(nds.root, "data", f.path)
+                    rows.append(
+                        (f.path, fr.physical_rows, fr.physical_rows - dead,
+                         _os.path.getsize(p))
+                    )
             self.spark.createDataFrame(
                 rows, "file string, physical_rows long, live_rows long, bytes long"
             ).createOrReplaceTempView(view)

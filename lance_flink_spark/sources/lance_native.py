@@ -175,6 +175,19 @@ class LanceDeletion:
 
 
 @dataclass
+class LanceDataFile:
+    """One entry of the spec's ``DataFragment.files`` list. Most
+    fragments carry exactly ONE data file; Lance's zero-rewrite
+    ``add_columns`` backfill appends EXTRA files holding only the new
+    columns (table.proto: a fragment's row is the horizontal
+    concatenation of its files' rows at the same offset)."""
+
+    path: str
+    field_ids: list[int] = dc_field(default_factory=list)
+    column_indices: list[int] = dc_field(default_factory=list)
+
+
+@dataclass
 class LanceFragment:
     path: str
     frag_id: int = 0
@@ -182,6 +195,15 @@ class LanceFragment:
     column_indices: list[int] = dc_field(default_factory=list)
     physical_rows: int = 0
     deletion: LanceDeletion | None = None
+    # DataFiles beyond the first: (path, field_ids, column_indices)
+    # keep their own parallel arrays; the primary file stays in the
+    # flat attributes above so single-file call sites read naturally
+    extra_files: list[LanceDataFile] = dc_field(default_factory=list)
+
+    def all_files(self) -> list[LanceDataFile]:
+        return [
+            LanceDataFile(self.path, self.field_ids, self.column_indices)
+        ] + list(self.extra_files)
 
 
 def parse_manifest(raw: bytes):
@@ -223,14 +245,22 @@ def parse_manifest_ex(raw: bytes):
             for ff, _w, fv in _fields(v):
                 if ff == 1:
                     fr.frag_id = fv
-                elif ff == 2:  # DataFile
+                elif ff == 2:  # DataFile (repeated: add_columns
+                    # backfills append extra files to a fragment)
+                    f_new = LanceDataFile(path="")
                     for df, _x, dv in _fields(fv):
                         if df == 1:
-                            fr.path = dv.decode()
+                            f_new.path = dv.decode()
                         elif df == 2:
-                            fr.field_ids = _packed(dv)
+                            f_new.field_ids = _packed(dv)
                         elif df == 3:
-                            fr.column_indices = _packed(dv)
+                            f_new.column_indices = _packed(dv)
+                    if not fr.path and not fr.extra_files:
+                        fr.path = f_new.path
+                        fr.field_ids = f_new.field_ids
+                        fr.column_indices = f_new.column_indices
+                    else:
+                        fr.extra_files.append(f_new)
                 elif ff == 3:  # DeletionFile
                     dl = LanceDeletion()
                     for df, _x, dv in _fields(fv):
@@ -493,6 +523,7 @@ def _file_column_map(
         )
     col_of = dict(zip(fids, cols))
     start: dict[int, int | None] = {}
+    claimed: dict[int, str] = {}  # file column -> top field that owns it
     for lf in top_fields:
         sub = _depth_first_ids([lf])
         present = [i in col_of for i in sub]
@@ -523,8 +554,132 @@ def _file_column_map(
                     f"columns {[col_of[i] for i in sub]}, expected the "
                     f"contiguous layout {[base + r for r in rel]}"
                 )
+        # column sharing is legitimate ONLY inside one field's layout
+        # (a struct header rides its first child's column) — two
+        # DISTINCT top-level fields claiming the same file column
+        # would decode one field's bytes as another's
+        for c in set(base + r for r in rel):
+            owner = claimed.setdefault(c, lf.name)
+            if owner != lf.name:
+                raise UnsupportedLanceFeature(
+                    f"{path}: fields {owner!r} and {lf.name!r} both map "
+                    f"to file column {c} — corrupt metadata would "
+                    "decode ambiguously"
+                )
         start[lf.fid] = base
     return start, len(set(cols))
+
+
+def _resolve_file_owners(
+    files: list[LanceDataFile], top_fields: list[LanceField], path: str
+) -> dict[int, int | None]:
+    """Which of a fragment's data files carries each top-level schema
+    field: fid -> file index, or None when no file has it (the field
+    post-dates the fragment — reads NULL). Two files claiming the same
+    field refuse — the row zip would decode ambiguously."""
+    owner: dict[int, int | None] = {}
+    for lf in top_fields:
+        sub = set(_depth_first_ids([lf]))
+        hits = [i for i, f in enumerate(files) if sub & set(f.field_ids)]
+        if len(hits) > 1:
+            raise UnsupportedLanceFeature(
+                f"{path}: field {lf.name!r} appears in {len(hits)} of "
+                "the fragment's data files — corrupt metadata would "
+                "decode ambiguously"
+            )
+        owner[lf.fid] = hits[0] if hits else None
+    return owner
+
+
+def _read_multifile_fragment(
+    primary_path: str,
+    top_fields: list[LanceField],
+    fragment: LanceFragment,
+    columns: list[str] | None,
+):
+    """A fragment with several DataFiles (the spec's
+    ``DataFragment.files`` list — what Lance's zero-rewrite
+    ``add_columns`` backfill writes): each file carries a disjoint
+    subset of the schema's fields at the SAME row offsets, and the
+    fragment's table is their horizontal concatenation. Each schema
+    field decodes from the one file recording its ids, fields in no
+    file read NULL, and all files must agree on row count — a
+    disagreement cannot be zipped and refuses."""
+    import pyarrow as pa
+
+    data_dir = os.path.dirname(primary_path)
+    if columns is not None:
+        unknown = set(columns) - {lf.name for lf in top_fields}
+        if unknown:
+            raise UnsupportedLanceFeature(
+                f"projection names {sorted(unknown)} not in schema "
+                f"{[lf.name for lf in top_fields]}"
+            )
+    files = fragment.all_files()
+    owner = _resolve_file_owners(files, top_fields, fragment.path)
+    wanted = [
+        lf
+        for lf in top_fields
+        if columns is None or lf.name in set(columns)
+    ]
+    if not wanted:
+        raise UnsupportedLanceFeature("projection selected zero columns")
+    by_file: dict[int, list[LanceField]] = {}
+    for lf in wanted:
+        fi = owner[lf.fid]
+        if fi is not None:
+            by_file.setdefault(fi, []).append(lf)
+    parts: dict[str, object] = {}
+    n_rows = None
+    for fi, flds in sorted(by_file.items()):
+        f = files[fi]
+        fpath = (
+            primary_path if fi == 0 else os.path.join(data_dir, f.path)
+        )
+        synth = LanceFragment(
+            path=f.path,
+            field_ids=f.field_ids,
+            column_indices=f.column_indices,
+            physical_rows=fragment.physical_rows,
+        )
+        t = read_fragment_table(fpath, flds, synth)
+        if n_rows is None:
+            n_rows = t.num_rows
+        elif t.num_rows != n_rows:
+            raise UnsupportedLanceFeature(
+                f"{fragment.path}: data files disagree on row count "
+                f"({n_rows} vs {t.num_rows} in {f.path}) — their rows "
+                "cannot be zipped"
+            )
+        for name in t.column_names:
+            parts[name] = t.column(name)
+    if n_rows is None:
+        n_rows = fragment.physical_rows
+    if fragment.physical_rows and n_rows != fragment.physical_rows:
+        raise UnsupportedLanceFeature(
+            f"{fragment.path}: manifest says {fragment.physical_rows} "
+            f"physical rows, the data files carry {n_rows}"
+        )
+    names, arrays = [], []
+    for lf in wanted:
+        if lf.name in parts:
+            arr = parts[lf.name]
+        else:
+            if lf.logical == "struct":
+                raise UnsupportedLanceFeature(
+                    f"{fragment.path}: struct field {lf.name!r} added "
+                    "after this fragment — a NULL struct is "
+                    "indistinguishable from a struct of NULLs in the "
+                    "flat-struct subset"
+                )
+            arr = pa.nulls(n_rows, arrow_schema_of([lf]).field(0).type)
+        names.append(lf.name)
+        arrays.append(arr)
+    if columns is not None:
+        order = {n: i for i, n in enumerate(names)}
+        names = list(columns)
+        arrays = [arrays[order[n]] for n in names]
+    return pa.table(dict(zip(names, arrays)))
 
 
 def read_fragment_table(
@@ -544,8 +699,13 @@ def read_fragment_table(
     every other column are never decoded (their buffers aren't even
     range-checked) — the projection-pushdown the reference's
     LanceInputFormat forwards to the Lance scanner. Unknown names
-    refuse."""
+    refuse. A fragment with several DataFiles (Lance's add_columns
+    backfill shape) zips its files' rows via
+    :func:`_read_multifile_fragment`."""
     import pyarrow as pa
+
+    if fragment is not None and fragment.extra_files:
+        return _read_multifile_fragment(path, top_fields, fragment, columns)
 
     size = os.path.getsize(path)
     if size > 256 * 1024 * 1024:
@@ -1331,14 +1491,23 @@ def _encode_field(name: str, fid: int, parent: int, logical: str) -> bytes:
     )
 
 
-def _encode_fragment(fr: LanceFragment) -> bytes:
-    data_file = (
-        _enc_len(1, fr.path.encode())
-        + _enc_packed(2, fr.field_ids)
-        + _enc_packed(3, fr.column_indices)
+def _encode_data_file(path: str, field_ids, column_indices) -> bytes:
+    return (
+        _enc_len(1, path.encode())
+        + _enc_packed(2, field_ids)
+        + _enc_packed(3, column_indices)
         + _enc_int(5, 3)  # file minor version: the 2.0 encoding
     )
-    body = _enc_int(1, fr.frag_id) + _enc_len(2, data_file)
+
+
+def _encode_fragment(fr: LanceFragment) -> bytes:
+    body = _enc_int(1, fr.frag_id) + _enc_len(
+        2, _encode_data_file(fr.path, fr.field_ids, fr.column_indices)
+    )
+    for xf in fr.extra_files:
+        body += _enc_len(
+            2, _encode_data_file(xf.path, xf.field_ids, xf.column_indices)
+        )
     if fr.deletion is not None:
         d = fr.deletion
         body += _enc_len(
@@ -1928,43 +2097,71 @@ def _schema_fields_of_existing(fields: list[LanceField]) -> bytes:
 def _require_parallel_datafiles(
     fields: list[LanceField], frags: list[LanceFragment], root: str
 ) -> None:
-    """Schema evolution needs every CURRENT fragment's (fields,
-    column_indices) arrays parallel so the field-id map can place each
-    column after the schema changes. Struct-bearing fragments written
-    before struct headers carried a column index aren't — compaction
-    rewrites them in the parallel shape, so the fix is one OPTIMIZE
-    away, not a copy-out."""
+    """Schema evolution needs every CURRENT fragment readable through
+    the field-id map afterwards: non-empty DataFile ``fields`` (an
+    empty array can't be mapped once the schema moves) and a
+    (fields, column_indices) layout :func:`_file_column_map` can
+    place — simulated here against the current schema, the exact
+    mapping every post-evolution read will use. Struct-bearing
+    fragments written before struct headers carried a column index
+    fail the simulation — compaction rewrites them in the parallel
+    shape, so the fix is one OPTIMIZE away, not a copy-out."""
     for fr in frags:
-        if fr.field_ids and fr.column_indices and len(fr.field_ids) != len(
-            fr.column_indices
-        ):
+        if not fr.field_ids:
             raise UnsupportedLanceFeature(
-                f"{root}: fragment {fr.frag_id} ({fr.path}) predates "
-                "parallel column indices — run compaction (OPTIMIZE) "
-                "before evolving the schema"
+                f"{root}: fragment {fr.frag_id} ({fr.path}) records no "
+                "DataFile field ids — reads could not map it after a "
+                "schema change; run compaction (OPTIMIZE) before "
+                "evolving the schema"
             )
+        try:
+            if fr.extra_files:
+                # multi-datafile fragment: every file must map over
+                # the fields it owns (the exact per-file resolution
+                # _read_multifile_fragment performs at read time)
+                files = fr.all_files()
+                owner = _resolve_file_owners(files, fields, fr.path)
+                for fi, f in enumerate(files):
+                    owned = [lf for lf in fields if owner[lf.fid] == fi]
+                    if not f.field_ids:
+                        raise UnsupportedLanceFeature(
+                            f"data file {f.path} records no field ids"
+                        )
+                    if owned:
+                        _file_column_map(
+                            LanceFragment(
+                                path=f.path,
+                                field_ids=f.field_ids,
+                                column_indices=f.column_indices,
+                            ),
+                            owned,
+                            f.path,
+                        )
+            else:
+                _file_column_map(fr, fields, fr.path)
+        except UnsupportedLanceFeature as e:
+            raise UnsupportedLanceFeature(
+                f"{root}: fragment {fr.frag_id} would not survive "
+                f"schema evolution ({e}) — run compaction (OPTIMIZE) "
+                "before evolving the schema"
+            ) from e
 
 
-def add_column(root: str, name: str, arrow_type) -> int:
-    """ADD COLUMN as Lance does it: a METADATA-ONLY manifest commit —
-    the new field gets the next depth-first id, existing fragments
-    are untouched, and reads synthesize NULL for fragments that
-    pre-date the field (the field id is absent from their DataFile
-    ``fields`` array). Subsequent appends write all current columns.
-    Cite: Lance add_columns; the reference evolves schemas through
-    com.lancedb.lance.Dataset the same way."""
+def add_columns(root: str, cols: list[tuple[str, object]]) -> int:
+    """ADD COLUMN as Lance does it: ONE METADATA-ONLY manifest commit
+    for the whole column list — every new field gets the next
+    depth-first id, existing fragments are untouched, and reads
+    synthesize NULL for fragments that pre-date the fields (the field
+    ids are absent from their DataFile ``fields`` array). Subsequent
+    appends write all current columns. EVERY column validates before
+    ANY schema change is written, so a multi-column ALTER is
+    atomic-or-refused. Cite: Lance add_columns; the reference evolves
+    schemas through com.lancedb.lance.Dataset the same way."""
     import pyarrow as pa
 
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
     _require_parallel_datafiles(fields, frags, root)
-    if any(f.name == name for f in fields):
-        raise ValueError(f"column {name!r} already exists in {root}")
-    logical = _logical_of(pa, arrow_type)
-    if logical == "struct":
-        raise UnsupportedLanceFeature(
-            "ADD COLUMN of struct type is outside the subset"
-        )
     # a dropped column's id lives on inside the fragments' DataFile
     # arrays — reusing it would decode the old column's bytes as the
     # new one (Lance's manifest tracks max_field_id for exactly this);
@@ -1973,57 +2170,84 @@ def add_column(root: str, name: str, arrow_type) -> int:
     for fr in frags:
         used.update(fr.field_ids or ())
     next_id = max(used, default=-1) + 1
-    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
-    if logical == "list":
-        child_logical = _logical_of(pa, arrow_type.value_type)
-        if child_logical not in _PRIM:
+    taken = {f.name for f in fields}
+    new_fields: list[LanceField] = []
+    for name, arrow_type in cols:
+        if name in taken:
+            raise ValueError(f"column {name!r} already exists in {root}")
+        taken.add(name)
+        logical = _logical_of(pa, arrow_type)
+        if logical == "struct":
             raise UnsupportedLanceFeature(
-                f"list element type {arrow_type} outside the subset"
+                "ADD COLUMN of struct type is outside the subset"
             )
-        lf.children.append(
-            LanceField(
-                name="item", fid=next_id + 1, parent=next_id,
-                logical=child_logical,
+        lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
+        next_id += 1
+        if logical == "list":
+            child_logical = _logical_of(pa, arrow_type.value_type)
+            if child_logical not in _PRIM:
+                raise UnsupportedLanceFeature(
+                    f"list element type {arrow_type} outside the subset"
+                )
+            lf.children.append(
+                LanceField(
+                    name="item", fid=next_id, parent=lf.fid,
+                    logical=child_logical,
+                )
             )
-        )
+            next_id += 1
+        new_fields.append(lf)
     _write_manifest(
-        root, version + 1, _schema_fields_of_existing(fields + [lf]), frags
+        root, version + 1,
+        _schema_fields_of_existing(fields + new_fields), frags,
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
+def add_column(root: str, name: str, arrow_type) -> int:
+    return add_columns(root, [(name, arrow_type)])
+
+
+def drop_columns(root: str, names: list[str]) -> int:
+    """DROP COLUMN as Lance does it: ONE METADATA-ONLY manifest commit
+    removing the whole field list from the schema — data files keep
+    the columns' pages (old versions still time-travel to them), but
+    current-version reads never decode them (the field-id map skips
+    ids outside the schema). EVERY column validates (exists, not the
+    last column standing, not index-covered) before ANY schema change
+    is written, so a multi-column ALTER is atomic-or-refused."""
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _require_parallel_datafiles(fields, frags, root)
+    want = list(dict.fromkeys(names))
+    by_name = {f.name: f for f in fields}
+    missing = [n for n in want if n not in by_name]
+    if missing:
+        raise ValueError(f"no column {missing[0]!r} in {root}")
+    if len(want) >= len(fields):
+        raise UnsupportedLanceFeature(
+            f"cannot drop {want!r}: it would drop the only column(s) "
+            "left — at least one column must remain"
+        )
+    dropped = set(_depth_first_ids([by_name[n] for n in want]))
+    mpath = os.path.join(root, "_versions", f"{version}.manifest")
+    for ix in read_index_section(mpath):
+        if dropped & set(ix.field_ids):
+            raise UnsupportedLanceFeature(
+                f"a column in {want!r} is covered by index {ix.name!r} "
+                "— drop the index before the column"
+            )
+    new_fields = [f for f in fields if f.name not in set(want)]
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(new_fields), frags
     )
     _carry_index_section(root, version, version + 1)
     return version + 1
 
 
 def drop_column(root: str, name: str) -> int:
-    """DROP COLUMN as Lance does it: a METADATA-ONLY manifest commit
-    removing the field from the schema — data files keep the column's
-    pages (old versions still time-travel to it), but current-version
-    reads never decode them (the field-id map skips ids outside the
-    schema). Refuses when an index covers the column (drop the index
-    first) or when it is the only column."""
-    ds = LanceNativeDataset(root)
-    fields, frags, version = ds._manifest()
-    _require_parallel_datafiles(fields, frags, root)
-    hit = [f for f in fields if f.name == name]
-    if not hit:
-        raise ValueError(f"no column {name!r} in {root}")
-    if len(fields) == 1:
-        raise UnsupportedLanceFeature(
-            f"cannot drop {name!r}: it is the only column"
-        )
-    dropped = set(_depth_first_ids(hit))
-    mpath = os.path.join(root, "_versions", f"{version}.manifest")
-    for ix in read_index_section(mpath):
-        if dropped & set(ix.field_ids):
-            raise UnsupportedLanceFeature(
-                f"column {name!r} is covered by index {ix.name!r} — "
-                "drop the index before the column"
-            )
-    new_fields = [f for f in fields if f.name != name]
-    _write_manifest(
-        root, version + 1, _schema_fields_of_existing(new_fields), frags
-    )
-    _carry_index_section(root, version, version + 1)
-    return version + 1
+    return drop_columns(root, [name])
 
 
 def read_changes_distributed(
@@ -2089,6 +2313,19 @@ def read_changes_distributed(
                     rows.append(("insert", v, prev or 0, fr.path))
             else:
                 old = pfrags[fr.frag_id]
+                if [f.path for f in fr.all_files()] != [
+                    f.path for f in old.all_files()
+                ]:
+                    # an add_columns backfill appended a data file to
+                    # the fragment: every row's width changed with no
+                    # row-level insert/delete representation — emitting
+                    # nothing would silently desynchronize replicas
+                    raise UnsupportedLanceFeature(
+                        f"version {v} changes fragment {fr.frag_id}'s "
+                        "data-file list (a column backfill) — row-level "
+                        "change is undefined for width changes; "
+                        "re-bootstrap consumers from this version"
+                    )
                 nd, od = fr.deletion, old.deletion
                 if nd is not None and (
                     od is None or (nd.id, nd.read_version) != (od.id, od.read_version)
@@ -2230,6 +2467,8 @@ def vacuum_dataset(root: str, keep_versions: int = 1) -> list[str]:
         _fields, frags, _ = ds._manifest(v)
         for fr in frags:
             ref_data.add(fr.path)
+            for xf in fr.extra_files:  # add_columns backfill files
+                ref_data.add(xf.path)
             if fr.deletion is not None:
                 ref_del.add(os.path.basename(_deletion_path(root, fr)))
         for ix in read_index_section(
@@ -2347,7 +2586,10 @@ def compact_dataset(
         live = fr.physical_rows
         if fr.deletion is not None:
             live -= len(read_deletion_file(root, fr))
-        fbytes = os.path.getsize(os.path.join(root, "data", fr.path))
+        fbytes = sum(
+            os.path.getsize(os.path.join(root, "data", f.path))
+            for f in fr.all_files()
+        )
         infos.append((fr, live, fbytes))
     groups, cur, cr, cb = [], [], 0, 0
     for fr, live, fb in infos:
@@ -2361,17 +2603,24 @@ def compact_dataset(
         groups.append(cur)
 
     def _clean(fr):
-        # parallel (fields, column_indices) arrays are part of clean:
-        # legacy struct fragments must rewrite so schema evolution's
-        # field-id map can place their columns afterwards
-        parallel = not fr.field_ids or not fr.column_indices or len(
-            fr.field_ids
-        ) == len(fr.column_indices)
-        return (
-            fr.deletion is None
-            and (not fr.field_ids or fr.field_ids == expected_ids)
-            and parallel
-        )
+        # evolvability is part of clean: a fragment schema evolution's
+        # field-id map could not place afterwards (no recorded field
+        # ids, or a legacy struct layout the map can't reproduce) must
+        # rewrite — OPTIMIZE is the documented fix for the evolution
+        # guard's refusal, so it cannot itself skip such fragments
+        if not fr.field_ids or fr.field_ids != expected_ids:
+            return False
+        if fr.deletion is not None:
+            return False
+        if fr.extra_files:
+            # a multi-datafile fragment (add_columns backfill shape)
+            # consolidates into one file — that IS the compaction
+            return False
+        try:
+            _file_column_map(fr, fields, fr.path)
+        except UnsupportedLanceFeature:
+            return False
+        return True
 
     plan = [(g, not (len(g) == 1 and _clean(g[0]))) for g in groups]
     rewrites = [g for g, rw in plan if rw]

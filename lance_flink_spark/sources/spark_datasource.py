@@ -690,6 +690,19 @@ class LanceNativeChangesStreamReader(DataSourceStreamReader):
                         )
                 else:
                     old = pfrags[fr.frag_id]
+                    if [f.path for f in fr.all_files()] != [
+                        f.path for f in old.all_files()
+                    ]:
+                        # add_columns backfill: row width changed with
+                        # no row-level representation — refuse rather
+                        # than silently desynchronize the stream
+                        raise UnsupportedLanceFeature(
+                            f"version {v} changes fragment "
+                            f"{fr.frag_id}'s data-file list (a column "
+                            "backfill) — the changelog is undefined "
+                            "for width changes; restart the stream "
+                            "with a fresh checkpoint"
+                        )
                     nd, od = fr.deletion, old.deletion
                     if nd is not None and (
                         od is None

@@ -610,3 +610,32 @@ def test_cc_driver_gate_matches_distributed(spark):
         ).collect()
     }
     assert fast == slow and fast
+
+
+def test_provision_explode_never_executes_shuffle_fed_frames(spark):
+    """_provision_explode probes parallelism to re-provision starved
+    scans — but under AQE, df.rdd on a frame with an Exchange RUNS its
+    upstream stages, doubling the caller's work (round-14 extension
+    review). Shuffle-fed frames must pass through untouched (their
+    parallelism is spark.sql.shuffle.partitions already) and only
+    scan-shaped lineage may be probed/repartitioned."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.operators.dedup import _provision_explode
+
+    agg = (
+        spark.range(100)
+        .groupBy((F.col("id") % 3).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _provision_explode(agg) is agg  # untouched, unexecuted
+    joined = agg.join(spark.range(3).withColumnRenamed("id", "k"), "k")
+    assert _provision_explode(joined) is joined
+    # scan-shaped frames still provision up to the machine
+    scan = spark.range(10, numPartitions=1)
+    out = _provision_explode(scan)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert sorted(r["id"] for r in out.collect()) == list(range(10))

@@ -2723,3 +2723,399 @@ def test_drop_indexed_column_refuses_sidecar_binding(spark, tmp_path_str):
             "SELECT * FROM vector_search('tix', 'emb', "
             "ARRAY[0.1, 0.2, 0.3, 0.4], 3)"
         ).collect()
+
+
+class TestEvolutionGuardHardening:
+    """Round-14 extension review fixes: the evolution guard must
+    refuse every fragment the post-evolution field-id map could not
+    read (not just non-parallel lengths), OPTIMIZE must heal exactly
+    those fragments, cross-field column collisions refuse at read,
+    and multi-column ALTERs are atomic-or-refused ONE-commit."""
+
+    def _mk_struct(self, tmp_path_str, name):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import write_dataset
+
+        root = os.path.join(tmp_path_str, name)
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3], pa.int64()),
+                    "meta": pa.array(
+                        [{"w": 10}, {"w": 11}, {"w": 12}],
+                        pa.struct([("w", pa.int64())]),
+                    ),
+                }
+            ),
+        )
+        return root
+
+    def test_empty_column_indices_struct_refuses_then_heals(
+        self, tmp_path_str
+    ):
+        """A struct-bearing fragment with NO column_indices reads fine
+        unevolved (range fallback never engages) but would wedge after
+        ADD COLUMN — the guard must refuse BEFORE the commit, and
+        OPTIMIZE must rewrite it (the documented heal), not skip it as
+        clean."""
+        import pyarrow as pa
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            UnsupportedLanceFeature,
+            _schema_fields_of_existing,
+            _write_manifest,
+            add_column,
+            compact_dataset,
+        )
+
+        root = self._mk_struct(tmp_path_str, "eci")
+        nds = LanceNativeDataset(root)
+        fields, frags, v = nds._manifest()
+        frags[0].column_indices = []
+        _write_manifest(root, v + 1, _schema_fields_of_existing(fields), frags)
+        assert LanceNativeDataset(root).to_arrow().num_rows == 3
+        with pytest.raises(UnsupportedLanceFeature, match="OPTIMIZE"):
+            add_column(root, "x", pa.int64())
+        # pre-evolution OPTIMIZE must NOT treat it as clean
+        assert compact_dataset(root) > v + 1
+        add_column(root, "x", pa.int64())
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column("meta").to_pylist() == [
+            {"w": 10}, {"w": 11}, {"w": 12},
+        ]
+        assert got.column("x").to_pylist() == [None, None, None]
+
+    def test_empty_field_ids_refuses_then_heals(self, tmp_path_str):
+        """A fragment with NO DataFile field ids cannot be field-id
+        mapped after any schema change — evolution refuses, OPTIMIZE
+        rewrites it with full metadata, evolution then proceeds."""
+        import pyarrow as pa
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            UnsupportedLanceFeature,
+            _schema_fields_of_existing,
+            _write_manifest,
+            add_column,
+            compact_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, "efi")
+        from lance_flink_spark.sources.lance_native import write_dataset
+
+        write_dataset(
+            root,
+            __import__("pyarrow").table(
+                {"id": __import__("pyarrow").array([1, 2], "int64")}
+            ),
+        )
+        nds = LanceNativeDataset(root)
+        fields, frags, v = nds._manifest()
+        frags[0].field_ids = []
+        frags[0].column_indices = []
+        _write_manifest(root, v + 1, _schema_fields_of_existing(fields), frags)
+        assert LanceNativeDataset(root).to_arrow().num_rows == 2
+        with pytest.raises(UnsupportedLanceFeature, match="field ids"):
+            add_column(root, "x", pa.int64())
+        compact_dataset(root)
+        add_column(root, "x", pa.int64())
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column("id").to_pylist() == [1, 2]
+        assert got.column("x").to_pylist() == [None, None]
+
+    def test_cross_field_column_collision_refuses(self, tmp_path_str):
+        """Two DISTINCT top-level fields claiming the same file column
+        (unique fids, colliding column_indices) must refuse — one
+        field's bytes would silently decode as the other's."""
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            UnsupportedLanceFeature,
+            _schema_fields_of_existing,
+            _write_manifest,
+            write_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, "coll")
+        import pyarrow as pa
+
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "a": pa.array([1, 2], pa.int64()),
+                    "b": pa.array([3, 4], pa.int64()),
+                }
+            ),
+        )
+        nds = LanceNativeDataset(root)
+        fields, frags, v = nds._manifest()
+        # reorder so the evolved map path engages, then collide
+        frags[0].field_ids = [1, 0]
+        frags[0].column_indices = [0, 0]
+        _write_manifest(root, v + 1, _schema_fields_of_existing(fields), frags)
+        with pytest.raises(UnsupportedLanceFeature, match="ambiguously"):
+            LanceNativeDataset(root).to_arrow()
+
+    def test_multi_column_alter_is_atomic_one_commit(
+        self, spark, tmp_path_str
+    ):
+        """ALTER TABLE ... ADD/DROP of a column LIST commits exactly
+        ONE manifest version, and a refusal mid-list (struct ADD,
+        index-covered DROP) leaves NO column added or dropped."""
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            write_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, "atomic")
+        rng = np.random.default_rng(0)
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array(range(20), pa.int64()),
+                    "emb": pa.array(
+                        [rng.normal(size=4).tolist() for _ in range(20)],
+                        pa.large_list(pa.float32()),
+                    ),
+                    "extra": pa.array(["x"] * 20, pa.large_utf8()),
+                }
+            ),
+        )
+        eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "cat")))
+        eng.execute(
+            f"CREATE TABLE tat (id BIGINT) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        v0 = LanceNativeDataset(root)._manifests[-1]
+        eng.execute("ALTER TABLE tat ADD COLUMNS (x BIGINT, y DOUBLE)")
+        nds = LanceNativeDataset(root)
+        assert nds._manifests[-1] == v0 + 1  # ONE commit for both
+        assert {"x", "y"} <= {f.name for f in nds._manifest()[0]}
+        # refusal mid-list leaves nothing applied
+        with pytest.raises(Exception, match="struct"):
+            eng.execute(
+                "ALTER TABLE tat ADD COLUMNS (z BIGINT, s STRUCT<a: BIGINT>)"
+            )
+        names = {f.name for f in LanceNativeDataset(root)._manifest()[0]}
+        assert "z" not in names and "s" not in names
+        eng.execute(
+            "CREATE INDEX ON tat (emb) USING IVF_FLAT "
+            "WITH ('index.num-partitions'='2')"
+        )
+        with pytest.raises(ValueError, match="sidecar"):
+            eng.execute("ALTER TABLE tat DROP COLUMN extra, emb")
+        names = {f.name for f in LanceNativeDataset(root)._manifest()[0]}
+        assert "extra" in names and "emb" in names  # nothing dropped
+        v1 = LanceNativeDataset(root)._manifests[-1]
+        eng.execute("ALTER TABLE tat DROP COLUMN x, y")
+        nds = LanceNativeDataset(root)
+        assert nds._manifests[-1] == v1 + 1  # ONE commit for both
+        assert {"x", "y"} & {f.name for f in nds._manifest()[0]} == set()
+
+
+class TestMultiDataFileFragments:
+    """The spec's ``DataFragment.files`` list (round-14 extension):
+    Lance's zero-rewrite ``add_columns`` backfill appends a data file
+    holding only the new columns to each fragment; a fragment's table
+    is the horizontal zip of its files' rows. The reader resolves each
+    schema field to the ONE file that records its ids; maintenance
+    (vacuum / compaction / t$files / change feed) is multi-file-aware.
+    Cite: lance format table.proto ``DataFragment.files`` — before
+    this round the parser silently kept only the LAST file."""
+
+    def _mk_backfilled(self, tmp_path_str, name="mf"):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceDataFile,
+            LanceNativeDataset,
+            _encode_field,
+            _schema_fields_of_existing,
+            _write_manifest,
+            write_dataset,
+            write_fragment_file,
+        )
+
+        root = os.path.join(tmp_path_str, name)
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3], pa.int64()),
+                    "name": pa.array(["a", "b", "c"]),
+                }
+            ),
+        )
+        # hand-build the backfill: one extra data file carrying ONLY
+        # the new column's values at the same row offsets
+        extra = pa.table({"score": pa.array([0.5, 1.5, 2.5], pa.float64())})
+        fname = "backfill-0.lance"
+        write_fragment_file(os.path.join(root, "data", fname), extra)
+        nds = LanceNativeDataset(root)
+        fields, frags, v = nds._manifest()
+        frags[0].extra_files.append(LanceDataFile(fname, [2], [0]))
+        blob = _schema_fields_of_existing(fields) + _encode_field(
+            "score", 2, -1, "double"
+        )
+        _write_manifest(root, v + 1, blob, frags)
+        return root
+
+    def test_roundtrip_projection_and_encoding(self, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+        )
+
+        root = self._mk_backfilled(tmp_path_str)
+        nds = LanceNativeDataset(root)
+        # manifest encode→parse preserved the extra file
+        _f, frags, _v = nds._manifest()
+        assert len(frags[0].extra_files) == 1
+        got = nds.to_arrow()
+        assert got.column_names == ["id", "name", "score"]
+        assert got.column("score").to_pylist() == [0.5, 1.5, 2.5]
+        assert got.column("id").to_pylist() == [1, 2, 3]
+        # projection decodes only the owning file's pages
+        one = nds.to_arrow(columns=["score"])
+        assert one.column_names == ["score"]
+        assert one.column("score").to_pylist() == [0.5, 1.5, 2.5]
+        both = nds.to_arrow(columns=["score", "id"])
+        assert both.column_names == ["score", "id"]
+
+    def test_deletion_masks_apply_to_the_zip(self, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            delete_rows,
+        )
+
+        root = self._mk_backfilled(tmp_path_str)
+        delete_rows(root, [1])
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column("id").to_pylist() == [1, 3]
+        assert got.column("score").to_pylist() == [0.5, 2.5]
+
+    def test_compaction_consolidates_and_evolution_works(
+        self, tmp_path_str
+    ):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            add_column,
+            compact_dataset,
+        )
+
+        root = self._mk_backfilled(tmp_path_str)
+        # evolution on a multi-file fragment: guard resolves per file
+        add_column(root, "tag", pa.large_utf8())
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column("tag").to_pylist() == [None] * 3
+        assert got.column("score").to_pylist() == [0.5, 1.5, 2.5]
+        # compaction consolidates the zip into ONE data file
+        v = compact_dataset(root)
+        _f, frags, _ = LanceNativeDataset(root)._manifest(v)
+        assert all(not fr.extra_files for fr in frags)
+        after = LanceNativeDataset(root).to_arrow()
+        assert after.column("score").to_pylist() == [0.5, 1.5, 2.5]
+        assert after.column("id").to_pylist() == [1, 2, 3]
+
+    def test_vacuum_keeps_backfill_files(self, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            vacuum_dataset,
+        )
+
+        root = self._mk_backfilled(tmp_path_str)
+        vacuum_dataset(root, keep_versions=1)
+        got = LanceNativeDataset(root).to_arrow()
+        assert got.column("score").to_pylist() == [0.5, 1.5, 2.5]
+
+    def test_row_count_mismatch_refuses(self, tmp_path_str):
+        import pyarrow as pa
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceDataFile,
+            LanceNativeDataset,
+            UnsupportedLanceFeature,
+            _encode_field,
+            _schema_fields_of_existing,
+            _write_manifest,
+            write_dataset,
+            write_fragment_file,
+        )
+
+        root = os.path.join(tmp_path_str, "mm")
+        write_dataset(
+            root, pa.table({"id": pa.array([1, 2, 3], pa.int64())})
+        )
+        short = pa.table({"score": pa.array([9.0], pa.float64())})
+        write_fragment_file(os.path.join(root, "data", "short.lance"), short)
+        nds = LanceNativeDataset(root)
+        fields, frags, v = nds._manifest()
+        frags[0].extra_files.append(LanceDataFile("short.lance", [1], [0]))
+        blob = _schema_fields_of_existing(fields) + _encode_field(
+            "score", 1, -1, "double"
+        )
+        _write_manifest(root, v + 1, blob, frags)
+        with pytest.raises(UnsupportedLanceFeature, match="zip"):
+            LanceNativeDataset(root).to_arrow()
+
+    def test_double_claimed_field_refuses(self, tmp_path_str):
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceDataFile,
+            LanceNativeDataset,
+            UnsupportedLanceFeature,
+            _schema_fields_of_existing,
+            _write_manifest,
+        )
+
+        root = self._mk_backfilled(tmp_path_str, "dc")
+        nds = LanceNativeDataset(root)
+        fields, frags, v = nds._manifest()
+        # second file claims field 0, which the primary already has
+        frags[0].extra_files.append(
+            LanceDataFile(frags[0].extra_files[0].path, [0], [0])
+        )
+        _write_manifest(root, v + 1, _schema_fields_of_existing(fields), frags)
+        with pytest.raises(UnsupportedLanceFeature, match="ambiguously"):
+            LanceNativeDataset(root).to_arrow()
+
+    def test_change_feed_refuses_across_backfill(self, spark, tmp_path_str):
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            UnsupportedLanceFeature,
+            read_changes_distributed,
+        )
+
+        root = self._mk_backfilled(tmp_path_str, "cf")
+        with pytest.raises(UnsupportedLanceFeature, match="data-file list"):
+            read_changes_distributed(root, spark, 1).collect()
+
+    def test_distributed_read_zips_files(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            read_distributed,
+        )
+
+        root = self._mk_backfilled(tmp_path_str, "dr")
+        got = read_distributed(LanceNativeDataset(root), spark).collect()
+        assert sorted((r["id"], r["score"]) for r in got) == [
+            (1, 0.5), (2, 1.5), (3, 2.5),
+        ]
