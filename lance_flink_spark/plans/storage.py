@@ -705,3 +705,76 @@ def lance_native_struct_evolution(spark, sf_dir):
             F.sum("quality").cast("long").alias("sum_q"),
         )
     )
+
+
+@query(
+    "native_backfill",
+    extra=True,  # r14 extension: zero-rewrite ADD COLUMN ... AS (expr)
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(n_chars * 1.0 / (doc_id % 7 + 1) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS sum_score
+    FROM documents
+    WHERE doc_id % 11 <> 4
+    GROUP BY lang
+    """,
+)
+def native_backfill(spark, sf_dir):
+    """Zero-rewrite column backfill on native Lance (Lance's
+    ``add_columns(transforms)``, SQL ``ALTER TABLE ... ADD COLUMN x
+    DOUBLE AS (expr)``): documents write distributed, a deletion file
+    masks doc_id % 11 = 4 FIRST, then executors compute the expression
+    per fragment — only the referenced columns decoded,
+    Catalyst-evaluated — and each fragment gains ONE single-column
+    data file (table.proto ``DataFragment.files``); no existing file
+    is rewritten. The read zips the files' rows at physical offsets.
+    The oracle recomputes the expression relationally over the parquet
+    source: a mis-aligned backfill row, a value computed from a
+    deleted row served live, or a file zipped against the wrong
+    fragment breaks the hash. Cite: Lance add_columns;
+    LanceInputFormat one-split-per-fragment for the read."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_column_backfill,
+        delete_rows,
+        read_distributed,
+        write_dataset_distributed,
+    )
+
+    src = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+    )
+    root = os.path.join(
+        scratch_dir("lance_native_bf" + _tag(sf_dir)), "docs_bf"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(root, src)
+    nds = LanceNativeDataset(root)
+    # offsets-only collect, the SQL DELETE path's shape (4M-gated there)
+    doomed = [
+        r["__phys"]
+        for r in read_distributed(nds, spark, with_offsets=True)
+        .filter("doc_id % 11 = 4")
+        .select("__phys")
+        .collect()
+    ]
+    delete_rows(root, np.sort(doomed))
+    add_column_backfill(
+        root, "score", pa.float64(),
+        "n_chars * 1.0 / (doc_id % 7 + 1)", spark,
+    )
+    df = read_distributed(LanceNativeDataset(root), spark)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("score") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_score"),
+    )

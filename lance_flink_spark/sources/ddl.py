@@ -75,6 +75,15 @@ _ALTER_ADD = re.compile(
     r"\(?(?P<cols>(?:[^()]|\([^()]*\))+?)\)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_ADD_BACKFILL = re.compile(
+    # ALTER TABLE t ADD COLUMN x <type> AS (<expr>) — Lance's
+    # zero-rewrite add_columns(transforms): compute the column from
+    # the existing ones, one new per-fragment data file, no rewrite
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+(?P<type>\w+(?:\([^)]*\))?(?:\s*<[^>]*>)?)\s+"
+    r"AS\s*\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_DROP = re.compile(
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+(?:COLUMNS?\s+)?"
     r"\(?(?P<cols>[\w\s,]+?)\)?\s*$",
@@ -1330,6 +1339,33 @@ class SqlEngine:
         self._reregister_native(name)
         return None
 
+    def _alter_add_backfill_native(self, m: re.Match) -> None:
+        """``ALTER TABLE t ADD COLUMN x <type> AS (<expr>)`` on a
+        NATIVE Lance table: zero-rewrite column backfill — executors
+        compute the expression per fragment (Catalyst-evaluated, only
+        the referenced columns decoded) and write one single-column
+        data file per fragment; ONE manifest commit plates the field
+        (lance_native.add_column_backfill). Existing data files are
+        never rewritten. Reference parity: Lance add_columns with SQL
+        transforms through com.lancedb.lance.Dataset."""
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from lance_flink_spark.sources.lance_native import (
+            add_column_backfill,
+        )
+
+        name = m.group("name")
+        dt = T._parse_datatype_string(m.group("type"))
+        add_column_backfill(
+            self.native_tables[name].root,
+            m.group("col"),
+            to_arrow_type(dt),
+            m.group("expr"),
+            self.spark,
+        )
+        self._reregister_native(name)
+        return None
+
     def _alter_drop_native(self, m: re.Match) -> None:
         """``ALTER TABLE t DROP COLUMN(S) ...`` on a NATIVE Lance
         table: ONE metadata-only manifest commit removing the whole
@@ -1590,6 +1626,16 @@ class SqlEngine:
             return self._alter_drop_native(m)
         if m and self._in_catalog(m.group("name")):
             return self._alter_drop(m)
+        m = _ALTER_ADD_BACKFILL.match(sql)
+        if m and m.group("name") in self.native_tables:
+            return self._alter_add_backfill_native(m)
+        if m and self._in_catalog(m.group("name")):
+            raise ValueError(
+                f"ALTER TABLE ... ADD COLUMN ... AS (expr) backfills a "
+                f"NATIVE Lance table zero-rewrite; {m.group('name')!r} "
+                "is a parquet-backed catalog table — ADD the column, "
+                "then UPDATE it (a rewrite), or CTAS"
+            )
         m = _ALTER_ADD.match(sql)
         if m and m.group("name") in self.native_tables:
             return self._alter_add_native(m)

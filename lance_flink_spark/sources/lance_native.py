@@ -58,6 +58,7 @@ reference datasets are single-fragment.
 from __future__ import annotations
 
 import os
+import re
 import struct
 import uuid
 from dataclasses import dataclass, field as dc_field
@@ -2207,6 +2208,199 @@ def add_columns(root: str, cols: list[tuple[str, object]]) -> int:
 
 def add_column(root: str, name: str, arrow_type) -> int:
     return add_columns(root, [(name, arrow_type)])
+
+
+def add_column_backfill(
+    root: str, name: str, arrow_type, expr: str, spark
+) -> int:
+    """``ALTER TABLE t ADD COLUMN x <type> AS (<expr>)`` — Lance's
+    ZERO-REWRITE ``add_columns(transforms)``: each fragment gains ONE
+    new data file holding only the computed column at the fragment's
+    physical row offsets (table.proto ``DataFragment.files``); the
+    existing files are untouched and a single manifest commit plates
+    the new field. The compute is cluster-scale and Spark-first: one
+    task per fragment decodes ONLY the columns the expression
+    references (deleted offsets included — the new file must align at
+    physical positions; masked rows' values are never served),
+    Catalyst evaluates the expression JVM-side (whole-stage codegen,
+    no per-row Python), and the same task writes the single-column
+    'Lance File 2.0' file. Only (fragment, file name, rows)
+    name-plates return to the driver; uuid names make task retries
+    safe (orphans are never referenced; VACUUM reclaims). Cite: Lance
+    ``add_columns`` / the reference's com.lancedb.lance.Dataset
+    schema evolution."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import functions as F, types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _require_parallel_datafiles(fields, frags, root)
+    if any(f.name == name for f in fields):
+        raise ValueError(f"column {name!r} already exists in {root}")
+    logical = _logical_of(pa, arrow_type)
+    if logical == "struct":
+        raise UnsupportedLanceFeature(
+            "ADD COLUMN of struct type is outside the subset"
+        )
+    used = set(_depth_first_ids(fields))
+    for fr in frags:
+        for f in fr.all_files():
+            used.update(f.field_ids or ())
+    next_id = max(used, default=-1) + 1
+    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
+    if logical == "list":
+        child_logical = _logical_of(pa, arrow_type.value_type)
+        if child_logical not in _PRIM:
+            raise UnsupportedLanceFeature(
+                f"list element type {arrow_type} outside the subset"
+            )
+        lf.children.append(
+            LanceField(
+                name="item", fid=next_id + 1, parent=next_id,
+                logical=child_logical,
+            )
+        )
+    new_ids = _depth_first_ids([lf])
+    new_cols = _column_indices_of([lf])
+    target_spark_type = _spark_type_of(pa, arrow_type, T.TimestampNTZType())
+
+    # conservative column pruning: any schema name appearing as an
+    # identifier token in the expression is decoded; the analyzer
+    # below still catches truly unknown references
+    refs = [
+        f.name
+        for f in fields
+        if re.search(rf"(?<![\w.]){re.escape(f.name)}(?![\w.])", expr)
+    ]
+    full = arrow_schema_of(fields)
+    read_schema = [f for f in full if f.name in set(refs)]
+    probe = T.StructType(
+        [
+            T.StructField(
+                f.name, _spark_type_of(pa, f.type, T.TimestampNTZType()), True
+            )
+            for f in read_schema
+        ]
+    )
+    # analyze BEFORE any cluster work: unknown columns / type errors
+    # refuse here, not mid-job
+    spark.createDataFrame([], probe).select(
+        F.expr(expr).cast(target_spark_type).alias(name)
+    )
+
+    ship_package(spark)
+    tasks = spark.createDataFrame(
+        [(fr.path,) for fr in frags if fr.physical_rows], "frag_path string"
+    ).repartition(max(len(frags), 1))
+    ref_names = [f.name for f in read_schema]
+    decode_schema = T.StructType(
+        [T.StructField("__frag", T.StringType(), False)]
+        + list(probe.fields)
+    )
+
+    def _decode(batches):
+        eds = LanceNativeDataset(root)
+        efields, efrags, _ = eds._manifest(version)
+        by_path = {fr.path: fr for fr in efrags}
+        mapper = {
+            pa.int64(): pd.Int64Dtype(),
+            pa.int32(): pd.Int32Dtype(),
+            pa.float32(): pd.Float32Dtype(),
+            pa.float64(): pd.Float64Dtype(),
+        }.get
+        for pdf in batches:
+            for path in pdf["frag_path"]:
+                fr = by_path[path]
+                if ref_names:
+                    t = read_fragment_table(
+                        os.path.join(root, "data", fr.path), efields, fr,
+                        columns=ref_names,
+                    )
+                    out = t.to_pandas(types_mapper=mapper)
+                else:  # constant expression: no pages decoded at all
+                    out = pd.DataFrame(index=range(fr.physical_rows))
+                out.insert(0, "__frag", path)
+                yield out
+
+    computed = (
+        tasks.mapInPandas(_decode, schema=decode_schema)
+        .withColumn(name, F.expr(expr).cast(target_spark_type))
+        .select("__frag", name)
+    )
+    plate_schema = T.StructType(
+        [
+            T.StructField("frag_path", T.StringType(), False),
+            T.StructField("file", T.StringType(), False),
+            T.StructField("rows", T.LongType(), False),
+        ]
+    )
+
+    def _write(batches):
+        cur, vals = None, []
+
+        def _flush():
+            if cur is None:
+                return None
+            arr = pa.concat_arrays(vals) if len(vals) > 1 else vals[0]
+            fname = f"{uuid.uuid4().hex}-bf.lance"
+            write_fragment_file(
+                os.path.join(root, "data", fname),
+                pa.table({name: arr}),
+            )
+            return pd.DataFrame(
+                {"frag_path": [cur], "file": [fname], "rows": [len(arr)]}
+            )
+
+        for pdf in batches:
+            for frag, grp in pdf.groupby("__frag", sort=False):
+                if frag != cur:
+                    plate = _flush()
+                    if plate is not None:
+                        yield plate
+                    cur, vals = frag, []
+                vals.append(
+                    pa.Array.from_pandas(grp[name], type=arrow_type)
+                )
+        plate = _flush()
+        if plate is not None:
+            yield plate
+
+    plates = computed.mapInPandas(_write, schema=plate_schema).collect()
+    got = {p["frag_path"]: (p["file"], p["rows"]) for p in plates}
+    if len(got) != len(plates):
+        raise RuntimeError(
+            f"{root}: a fragment's backfill rows split across tasks — "
+            "orphaned files are unreferenced; VACUUM reclaims them"
+        )
+    new_frags = []
+    for fr in frags:
+        fr2 = LanceFragment(
+            path=fr.path,
+            frag_id=fr.frag_id,
+            field_ids=fr.field_ids,
+            column_indices=fr.column_indices,
+            physical_rows=fr.physical_rows,
+            deletion=fr.deletion,
+            extra_files=list(fr.extra_files),
+        )
+        if fr.physical_rows:
+            fname, rows = got.pop(fr.path)
+            if rows != fr.physical_rows:
+                raise RuntimeError(
+                    f"{root}: backfill of fragment {fr.frag_id} computed "
+                    f"{rows} rows, expected {fr.physical_rows} physical"
+                )
+            fr2.extra_files.append(LanceDataFile(fname, new_ids, new_cols))
+        new_frags.append(fr2)
+    _write_manifest(
+        root, version + 1,
+        _schema_fields_of_existing(fields + [lf]), new_frags,
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
 
 
 def drop_columns(root: str, names: list[str]) -> int:

@@ -3119,3 +3119,140 @@ class TestMultiDataFileFragments:
         assert sorted((r["id"], r["score"]) for r in got) == [
             (1, 0.5), (2, 1.5), (3, 2.5),
         ]
+
+
+class TestAddColumnBackfill:
+    """Zero-rewrite ADD COLUMN ... AS (expr) — Lance's
+    add_columns(transforms): executors compute the expression per
+    fragment and write one single-column data file; a single manifest
+    commit plates the field; existing files are untouched."""
+
+    def _mk(self, tmp_path_str, name="bf"):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            append_to_dataset,
+            write_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, name)
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3], pa.int64()),
+                    "b": pa.array([0.5, 1.5, 2.5], pa.float64()),
+                }
+            ),
+        )
+        append_to_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array([4, 5], pa.int64()),
+                    "b": pa.array([3.5, 4.5], pa.float64()),
+                }
+            ),
+        )
+        return root
+
+    def test_backfill_values_align_at_physical_offsets(
+        self, spark, tmp_path_str
+    ):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            add_column_backfill,
+            delete_rows,
+        )
+
+        root = self._mk(tmp_path_str)
+        # delete BEFORE the backfill: the new file still aligns at
+        # physical offsets, masked rows' values are never served
+        delete_rows(root, [1])
+        v = add_column_backfill(root, "c", pa.float64(), "id * 2.0 + b", spark)
+        nds = LanceNativeDataset(root)
+        got = nds.to_arrow()
+        assert sorted(
+            zip(got.column("id").to_pylist(), got.column("c").to_pylist())
+        ) == [(1, 2.5), (3, 8.5), (4, 11.5), (5, 14.5)]
+        _f, frags, _ = nds._manifest()
+        assert [len(fr.extra_files) for fr in frags] == [1, 1]
+        # existing files untouched; time travel pre-dates the column
+        assert nds.to_arrow(version=v - 1).column_names == ["id", "b"]
+
+    def test_backfill_validates_before_cluster_work(
+        self, spark, tmp_path_str
+    ):
+        import pyarrow as pa
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            add_column_backfill,
+        )
+
+        root = self._mk(tmp_path_str, "bfv")
+        with pytest.raises(Exception):  # analyzer: unknown column
+            add_column_backfill(root, "c", pa.float64(), "nope + 1", spark)
+        with pytest.raises(ValueError, match="already exists"):
+            add_column_backfill(root, "b", pa.float64(), "id", spark)
+        # neither refusal committed anything
+        assert len(LanceNativeDataset(root)._manifests) == 2
+
+    def test_sql_backfill_and_downstream_lifecycle(
+        self, spark, tmp_path_str
+    ):
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+        )
+
+        root = self._mk(tmp_path_str, "bfs")
+        eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "cat")))
+        eng.execute(
+            f"CREATE TABLE bft (id BIGINT) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        eng.execute(
+            "ALTER TABLE bft ADD COLUMN c DOUBLE AS (id * 10.0 + b)"
+        )
+        got = eng.execute(
+            "SELECT id, c FROM bft ORDER BY id"
+        ).collect()
+        assert [(r["id"], r["c"]) for r in got] == [
+            (1, 10.5), (2, 21.5), (3, 32.5), (4, 43.5), (5, 54.5),
+        ]
+        # constant backfill decodes no pages at all
+        eng.execute("ALTER TABLE bft ADD COLUMN tag STRING AS ('x')")
+        assert {
+            r["tag"] for r in eng.execute("SELECT tag FROM bft").collect()
+        } == {"x"}
+        # compaction consolidates the zip; values survive
+        eng.execute("OPTIMIZE bft")
+        nds = LanceNativeDataset(root)
+        _f, frags, _ = nds._manifest()
+        assert all(not fr.extra_files for fr in frags)
+        after = eng.execute("SELECT id, c, tag FROM bft ORDER BY id").collect()
+        assert [(r["id"], r["c"], r["tag"]) for r in after][:2] == [
+            (1, 10.5, "x"), (2, 21.5, "x"),
+        ]
+
+    def test_backfill_refuses_on_catalog_tables(self, spark, tmp_path_str):
+        import pytest
+
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+
+        eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "cat2")))
+        # parquet-backed catalog table: the statement refuses with the
+        # rewrite hint instead of silently adding an empty column
+        eng.execute(
+            f"CREATE TABLE pq (id BIGINT) WITH "
+            f"('path'='{os.path.join(tmp_path_str, 'pq')}')"
+        )
+        eng.execute("INSERT INTO pq VALUES (1)")
+        with pytest.raises(ValueError, match="zero-rewrite"):
+            eng.execute("ALTER TABLE pq ADD COLUMN c DOUBLE AS (id + 1)")
