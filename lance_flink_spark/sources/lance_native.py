@@ -2297,7 +2297,10 @@ def add_column_backfill(
     ).repartition(max(len(frags), 1))
     ref_names = [f.name for f in read_schema]
     decode_schema = T.StructType(
-        [T.StructField("__frag", T.StringType(), False)]
+        [
+            T.StructField("__frag", T.StringType(), False),
+            T.StructField("__pos", T.LongType(), False),
+        ]
         + list(probe.fields)
     )
 
@@ -2323,13 +2326,30 @@ def add_column_backfill(
                 else:  # constant expression: no pages decoded at all
                     out = pd.DataFrame(index=range(fr.physical_rows))
                 out.insert(0, "__frag", path)
+                out.insert(1, "__pos", np.arange(len(out), dtype="int64"))
                 yield out
 
     computed = (
         tasks.mapInPandas(_decode, schema=decode_schema)
         .withColumn(name, F.expr(expr).cast(target_spark_type))
-        .select("__frag", name)
+        .select("__frag", "__pos", name)
     )
+    # the write depends on each fragment's rows staying in ONE task:
+    # a window/aggregate/subquery expression injects an Exchange/Sort
+    # ABOVE the decode, scattering a fragment's rows across partitions
+    # — refuse at plan time with a usable message (the duplicate-plate
+    # check below is the runtime backstop). The plan tree prints root
+    # first, so everything before the decode's MapInPandas node is the
+    # post-decode pipeline; the task-distribution repartition sits
+    # BELOW it and is expected.
+    plan = computed._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("MapInPandas", 1)[0]
+    if any(k in head for k in ("Exchange", "Window", "Aggregate", "Sort")):
+        raise UnsupportedLanceFeature(
+            f"backfill expression {expr!r} is not row-local (it plans "
+            "an exchange — window/aggregate/subquery shapes): a "
+            "backfill computes each row's value from that row alone"
+        )
     plate_schema = T.StructType(
         [
             T.StructField("frag_path", T.StringType(), False),
@@ -2339,12 +2359,25 @@ def add_column_backfill(
     )
 
     def _write(batches):
-        cur, vals = None, []
+        cur, vals, pos = None, [], []
 
         def _flush():
             if cur is None:
                 return None
             arr = pa.concat_arrays(vals) if len(vals) > 1 else vals[0]
+            order = np.concatenate(pos)
+            if not np.array_equal(
+                order, np.arange(len(order), dtype="int64")
+            ):
+                # runtime backstop for row drift the plan guard missed
+                if not np.array_equal(
+                    np.sort(order), np.arange(len(order), dtype="int64")
+                ):
+                    raise RuntimeError(
+                        f"backfill rows for {cur} are not the fragment's "
+                        "physical positions — refusing to write"
+                    )
+                arr = arr.take(pa.array(np.argsort(order, kind="stable")))
             fname = f"{uuid.uuid4().hex}-bf.lance"
             write_fragment_file(
                 os.path.join(root, "data", fname),
@@ -2360,10 +2393,11 @@ def add_column_backfill(
                     plate = _flush()
                     if plate is not None:
                         yield plate
-                    cur, vals = frag, []
+                    cur, vals, pos = frag, [], []
                 vals.append(
                     pa.Array.from_pandas(grp[name], type=arrow_type)
                 )
+                pos.append(grp["__pos"].to_numpy(dtype="int64"))
         plate = _flush()
         if plate is not None:
             yield plate

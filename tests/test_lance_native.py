@@ -3256,3 +3256,37 @@ class TestAddColumnBackfill:
         eng.execute("INSERT INTO pq VALUES (1)")
         with pytest.raises(ValueError, match="zero-rewrite"):
             eng.execute("ALTER TABLE pq ADD COLUMN c DOUBLE AS (id + 1)")
+
+
+def test_backfill_refuses_non_row_local_expressions(spark, tmp_path_str):
+    """A window/aggregate expression plans an Exchange between the
+    per-fragment decode and the per-fragment write, scattering a
+    fragment's rows across tasks — the backfill refuses at PLAN time
+    (values computed from other rows could not align at physical
+    offsets)."""
+    import pyarrow as pa
+    import pytest
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        UnsupportedLanceFeature,
+        add_column_backfill,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "bfw")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "b": pa.array([0.5, 1.5, 2.5], pa.float64()),
+            }
+        ),
+    )
+    with pytest.raises(UnsupportedLanceFeature, match="row-local"):
+        add_column_backfill(
+            root, "c", pa.float64(),
+            "avg(b) OVER (ORDER BY id)", spark,
+        )
+    assert len(LanceNativeDataset(root)._manifests) == 1  # no commit
