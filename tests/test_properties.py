@@ -536,16 +536,21 @@ def test_fragment_file_roundtrip_property(tmp_path_factory, cols, n, page_rows, 
 @settings(max_examples=25, deadline=None)
 @given(
     ops=st.lists(
-        st.sampled_from(["append", "add", "drop", "delete", "compact"]),
+        st.sampled_from(
+            ["append", "add", "backfill", "drop", "delete", "compact"]
+        ),
         max_size=8,
     )
 )
 def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
-    """ANY interleaving of append / ADD COLUMN / DROP COLUMN / delete /
-    compact on a STRUCT-bearing native dataset matches a pure-Python
-    row model: physical offsets stay addressable across evolution,
-    pre-ADD fragments read NULL, dropped columns never leak back, and
-    compaction preserves surviving-row order."""
+    """ANY interleaving of append / ADD COLUMN / backfill (ADD COLUMN
+    ... AS expr — one extra data file per fragment, zipped at physical
+    offsets) / DROP COLUMN / delete / compact on a STRUCT-bearing
+    native dataset matches a pure-Python row model: physical offsets
+    stay addressable across evolution, pre-ADD fragments read NULL,
+    backfilled values align row-for-row even under deletions and
+    later compaction, dropped columns never leak back, and compaction
+    preserves surviving-row order."""
     import itertools
     import os
 
@@ -554,6 +559,7 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
     from lance_flink_spark.sources.lance_native import (
         LanceNativeDataset,
         add_column,
+        add_column_backfill,
         append_to_dataset,
         arrow_schema_of,
         compact_dataset,
@@ -627,6 +633,17 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
             for e in live:  # pre-ADD rows read NULL
                 e[0] = dict(e[0])
                 e[0][name] = None
+        elif op == "backfill":
+            if not addable:
+                continue
+            name = addable.pop(0)
+            add_column_backfill(
+                root, name, pa.float64(), "id * 3.0 + 1", _get_spark()
+            )
+            schema.append((name, "float64"))
+            for e in live:  # every physical row computes from its id
+                e[0] = dict(e[0])
+                e[0][name] = float(e[0]["id"] * 3 + 1)
         elif op == "drop":
             droppable = [n for n, _k in schema if n != "id"]
             if not droppable:
