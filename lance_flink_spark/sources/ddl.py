@@ -1023,6 +1023,14 @@ class SqlEngine:
                 {
                     "built_version": version,
                     "frag_ids": sorted(fr.frag_id for fr in frags),
+                    # identity, not just ids: OVERWRITE renumbers
+                    # fragments from 0, so an overwrite with the same
+                    # fragment COUNT would pass an id-only check and
+                    # serve the old data's offsets against new rows;
+                    # uuid file names make (id, path) rewrite-proof
+                    "frag_sig": sorted(
+                        [fr.frag_id, fr.path] for fr in frags
+                    ),
                 },
                 f,
             )
@@ -1064,7 +1072,20 @@ class SqlEngine:
                 f"current schema ({[f.name for f in fields]}) — its "
                 "sidecar index is orphaned; DROP INDEX to clean it up"
             )
-        if sorted(fr.frag_id for fr in frags) != meta["frag_ids"]:
+        # compare fragment IDENTITY (id, data-file path) when the
+        # binding carries it: ids alone are not rewrite-proof —
+        # OVERWRITE renumbers from 0, so a same-count overwrite would
+        # pass an id-only check and serve stale offsets as live rows.
+        # A column BACKFILL keeps (id, path) and relocates nothing, so
+        # the index correctly stays servable across it.
+        cur_sig = sorted([fr.frag_id, fr.path] for fr in frags)
+        bound_sig = meta.get("frag_sig")
+        drifted = (
+            cur_sig != bound_sig
+            if bound_sig is not None
+            else sorted(fr.frag_id for fr in frags) != meta["frag_ids"]
+        )
+        if drifted:
             warnings.warn(
                 f"native index on {col!r} is STALE (fragment set changed "
                 f"since version {meta['built_version']}) — rebuild with "

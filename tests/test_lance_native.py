@@ -3290,3 +3290,158 @@ def test_backfill_refuses_non_row_local_expressions(spark, tmp_path_str):
             "avg(b) OVER (ORDER BY id)", spark,
         )
     assert len(LanceNativeDataset(root)._manifests) == 1  # no commit
+
+
+def test_native_index_overwrite_and_backfill_drift(spark, tmp_path_str):
+    """Fragment IDENTITY, not ids: INSERT OVERWRITE renumbers
+    fragments from 0, so an overwrite with the SAME fragment count
+    passed the old id-only staleness check and would have served the
+    old data's offsets against new rows. The binding now carries
+    (frag_id, data-file path) pairs — uuid names make them
+    rewrite-proof — while a column BACKFILL (which relocates nothing)
+    correctly keeps the index servable."""
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "idxow")
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 4)).astype("float32")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(20), pa.int64()),
+                "emb": pa.array(
+                    [v.tolist() for v in vecs], pa.large_list(pa.float32())
+                ),
+            }
+        ),
+        max_rows_per_file=10,  # two fragments
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "cat")))
+    eng.execute(
+        f"CREATE TABLE dow (id BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute(
+        "CREATE INDEX ON dow (emb) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='2')"
+    )
+    q = vecs[7].tolist()
+    qsql = "ARRAY[" + ",".join(str(x) for x in q) + "]"
+    got = eng.execute(
+        f"SELECT * FROM vector_search('dow', 'emb', {qsql}, 1, 'L2')"
+    ).collect()
+    assert got[0]["id"] == 7
+    # a BACKFILL keeps every (frag_id, path): index still serves
+    eng.execute("ALTER TABLE dow ADD COLUMN d DOUBLE AS (id * 1.0)")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got2 = eng.execute(
+            f"SELECT * FROM vector_search('dow', 'emb', {qsql}, 1, 'L2')"
+        ).collect()
+    assert not any("STALE" in str(x.message) for x in w)
+    assert got2[0]["id"] == 7
+    # OVERWRITE with the SAME fragment count: ids coincide, paths
+    # don't — stale → warn + exact brute over the NEW rows
+    eng.execute("DROP INDEX ON dow (emb)")
+    eng.execute(
+        "CREATE INDEX ON dow (emb) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='2')"
+    )
+    rows = ", ".join(
+        f"({i + 100}, ARRAY[{i}.0, 0.0, 0.0, 0.0], {i}.0)"
+        for i in range(4)
+    )
+    eng.execute(f"INSERT OVERWRITE dow VALUES {rows}")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got3 = eng.execute(
+            "SELECT * FROM vector_search('dow', 'emb', "
+            "ARRAY[2.0, 0.0, 0.0, 0.0], 1, 'L2')"
+        ).collect()
+    assert any("STALE" in str(x.message) for x in w)
+    assert got3[0]["id"] == 102
+
+
+def test_native_index_id_coinciding_rewrite_refuses(spark, tmp_path_str):
+    """The exact hole the identity binding closes: a rewrite whose
+    fragment IDS coincide with the bound set (OVERWRITE renumbers from
+    0) but whose data-file PATHS differ must NOT serve — under the old
+    id-only check it did. Simulated by pointing the binding's frag_sig
+    at other paths while keeping ids and the legacy frag_ids field
+    current."""
+    import json
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "idxco")
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(10, 4)).astype("float32")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(10), pa.int64()),
+                "emb": pa.array(
+                    [v.tolist() for v in vecs], pa.large_list(pa.float32())
+                ),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "catco")))
+    eng.execute(
+        f"CREATE TABLE dco (id BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute(
+        "CREATE INDEX ON dco (emb) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='2')"
+    )
+    nds = LanceNativeDataset(root)
+    binding = os.path.join(
+        eng._native_index_dir(nds, "emb"), "_native_binding.json"
+    )
+    meta = json.load(open(binding))
+    assert meta["frag_sig"]  # identity recorded at build time
+    # same ids, different files — what a same-count OVERWRITE looks
+    # like from the binding's perspective
+    meta["frag_sig"] = [[fid, "rewritten.lance"] for fid, _p in meta["frag_sig"]]
+    json.dump(meta, open(binding, "w"))
+    q = vecs[3].tolist()
+    qsql = "ARRAY[" + ",".join(str(x) for x in q) + "]"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = eng.execute(
+            f"SELECT * FROM vector_search('dco', 'emb', {qsql}, 1, 'L2')"
+        ).collect()
+    assert any("STALE" in str(x.message) for x in w)
+    assert got[0]["id"] == 3  # brute fallback is still exact
+    # legacy binding without frag_sig: the id-only fallback still serves
+    del meta["frag_sig"]
+    meta["frag_ids"] = sorted(
+        fr.frag_id for fr in nds._manifest()[1]
+    )
+    json.dump(meta, open(binding, "w"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got2 = eng.execute(
+            f"SELECT * FROM vector_search('dco', 'emb', {qsql}, 1, 'L2')"
+        ).collect()
+    assert not any("STALE" in str(x.message) for x in w)
+    assert got2[0]["id"] == 3
