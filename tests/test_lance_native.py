@@ -3445,3 +3445,47 @@ def test_native_index_id_coinciding_rewrite_refuses(spark, tmp_path_str):
         ).collect()
     assert not any("STALE" in str(x.message) for x in w)
     assert got2[0]["id"] == 3
+
+
+def test_mutations_on_backfilled_table_keep_alignment(spark, tmp_path_str):
+    """UPDATE / MERGE on a multi-datafile (backfilled) table: the
+    mutation reads through the file zip (replacement rows carry the
+    backfilled column's values), tombstones mask the zip, and new
+    fragments are single-file full-schema."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "upbf")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "ucat")))
+    eng.execute(
+        f"CREATE TABLE ub (id BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("ALTER TABLE ub ADD COLUMN w DOUBLE AS (v * 2)")
+    eng.execute("UPDATE ub SET v = v + 100 WHERE id <= 2")
+    got = sorted(
+        (r["id"], r["v"], r["w"])
+        for r in eng.execute("SELECT * FROM ub").collect()
+    )
+    # w keeps the PRE-update backfill values (computed from original v)
+    assert got == [
+        (1, 110.0, 20.0), (2, 120.0, 40.0), (3, 30.0, 60.0), (4, 40.0, 80.0),
+    ]
+    eng.execute("MERGE INTO ub USING (SELECT 5 AS id, 50.0 AS v, 99.0 AS w) ON id")
+    got2 = sorted(
+        (r["id"], r["v"], r["w"])
+        for r in eng.execute("SELECT * FROM ub").collect()
+    )
+    assert got2 == got + [(5, 50.0, 99.0)]
