@@ -76,14 +76,54 @@ _ALTER_ADD = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_ADD_BACKFILL = re.compile(
-    # ALTER TABLE t ADD COLUMN x <type> AS (<expr>) — Lance's
-    # zero-rewrite add_columns(transforms): compute the column from
-    # the existing ones, one new per-fragment data file, no rewrite
-    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMN\s+"
-    r"(?P<col>\w+)\s+(?P<type>\w+(?:\([^)]*\))?(?:\s*<[^>]*>)?)\s+"
-    r"AS\s*\((?P<expr>.+)\)\s*$",
+    # ALTER TABLE t ADD COLUMN x <type> AS (<expr>) — or a COLUMNS
+    # list mixing computed and plain columns — Lance's zero-rewrite
+    # add_columns(transforms): compute the columns from the existing
+    # ones, ONE new per-fragment data file, ONE commit, no rewrite
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+(?:COLUMNS?\s+)?"
+    r"(?P<body>.*\bAS\s*\(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_BACKFILL_ITEM = re.compile(
+    r"(?P<col>\w+)\s+(?P<type>\w+(?:\([^)]*\))?(?:\s*<[^>]*>)?)"
+    r"(?:\s+AS\s*\((?P<expr>.+)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Remove ONE wrapping paren pair iff the opening paren's match is
+    the final character (so `(a AS (x)), b` is left alone)."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return s
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:-1].strip() if i == len(s) - 1 else s
+    return s
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside any ()/<> nesting — column lists whose
+    items carry parenthesized expressions or parameterized types."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
 _ALTER_DROP = re.compile(
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+(?:COLUMNS?\s+)?"
     r"\(?(?P<cols>[\w\s,]+?)\)?\s*$",
@@ -1361,28 +1401,39 @@ class SqlEngine:
         return None
 
     def _alter_add_backfill_native(self, m: re.Match) -> None:
-        """``ALTER TABLE t ADD COLUMN x <type> AS (<expr>)`` on a
-        NATIVE Lance table: zero-rewrite column backfill — executors
-        compute the expression per fragment (Catalyst-evaluated, only
-        the referenced columns decoded) and write one single-column
-        data file per fragment; ONE manifest commit plates the field
-        (lance_native.add_column_backfill). Existing data files are
-        never rewritten. Reference parity: Lance add_columns with SQL
-        transforms through com.lancedb.lance.Dataset."""
+        """``ALTER TABLE t ADD COLUMN x <type> AS (<expr>)`` — or an
+        ``ADD COLUMNS (...)`` list mixing computed and plain columns —
+        on a NATIVE Lance table: zero-rewrite column backfill.
+        Executors compute every expression per fragment in ONE decode
+        pass (Catalyst-evaluated, only the referenced columns read)
+        and write one data file per fragment carrying all the computed
+        columns; ONE manifest commit plates the fields
+        (lance_native.add_columns_backfill); plain columns in the list
+        ride the same commit file-less (reads NULL). Existing data
+        files are never rewritten. Reference parity: Lance add_columns
+        with SQL transforms through com.lancedb.lance.Dataset."""
         from pyspark.sql.pandas.types import to_arrow_type
 
         from lance_flink_spark.sources.lance_native import (
-            add_column_backfill,
+            add_columns_backfill,
         )
 
         name = m.group("name")
-        dt = T._parse_datatype_string(m.group("type"))
-        add_column_backfill(
-            self.native_tables[name].root,
-            m.group("col"),
-            to_arrow_type(dt),
-            m.group("expr"),
-            self.spark,
+        body = _strip_outer_parens(m.group("body"))
+        specs = []
+        for item in _split_top_commas(body):
+            mm = _BACKFILL_ITEM.match(_strip_comments(item))
+            if not mm:
+                raise ValueError(
+                    f"cannot parse ADD COLUMN item {item!r} — expected "
+                    "`name TYPE [AS (expr)]`"
+                )
+            dt = T._parse_datatype_string(mm.group("type"))
+            specs.append(
+                (mm.group("col"), to_arrow_type(dt), mm.group("expr"))
+            )
+        add_columns_backfill(
+            self.native_tables[name].root, specs, self.spark
         )
         self._reregister_native(name)
         return None

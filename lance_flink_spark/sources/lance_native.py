@@ -2213,22 +2213,31 @@ def add_column(root: str, name: str, arrow_type) -> int:
 def add_column_backfill(
     root: str, name: str, arrow_type, expr: str, spark
 ) -> int:
-    """``ALTER TABLE t ADD COLUMN x <type> AS (<expr>)`` — Lance's
-    ZERO-REWRITE ``add_columns(transforms)``: each fragment gains ONE
-    new data file holding only the computed column at the fragment's
-    physical row offsets (table.proto ``DataFragment.files``); the
-    existing files are untouched and a single manifest commit plates
-    the new field. The compute is cluster-scale and Spark-first: one
-    task per fragment decodes ONLY the columns the expression
-    references (deleted offsets included — the new file must align at
-    physical positions; masked rows' values are never served),
-    Catalyst evaluates the expression JVM-side (whole-stage codegen,
-    no per-row Python), and the same task writes the single-column
-    'Lance File 2.0' file. Only (fragment, file name, rows)
-    name-plates return to the driver; uuid names make task retries
-    safe (orphans are never referenced; VACUUM reclaims). Cite: Lance
-    ``add_columns`` / the reference's com.lancedb.lance.Dataset
-    schema evolution."""
+    return add_columns_backfill(root, [(name, arrow_type, expr)], spark)
+
+
+def add_columns_backfill(
+    root: str, specs: list[tuple[str, object, str | None]], spark
+) -> int:
+    """``ALTER TABLE t ADD COLUMNS (x <type> AS (<expr>), ...)`` —
+    Lance's ZERO-REWRITE ``add_columns(transforms)``, multi-column in
+    ONE commit: each fragment gains ONE new data file holding all the
+    computed columns at the fragment's physical row offsets
+    (table.proto ``DataFragment.files``); the existing files are
+    untouched and a single manifest commit plates the fields. Specs
+    with ``expr=None`` are plain ADDs riding the same commit (in no
+    file — reads NULL). The compute is cluster-scale and Spark-first:
+    one task per fragment decodes ONLY the columns the expressions
+    reference — ONCE for all of them (deleted offsets included — the
+    new file must align at physical positions; masked rows' values
+    are never served), Catalyst evaluates the expressions JVM-side
+    (whole-stage codegen, no per-row Python), and the same task
+    writes the new 'Lance File 2.0' file. Only (fragment, file name,
+    rows) name-plates return to the driver; uuid names make task
+    retries safe (orphans are never referenced; VACUUM reclaims).
+    Every spec validates BEFORE any cluster work or commit, so the
+    statement is atomic-or-refused. Cite: Lance ``add_columns`` / the
+    reference's com.lancedb.lance.Dataset schema evolution."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql import functions as F, types as T
@@ -2238,42 +2247,72 @@ def add_column_backfill(
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
     _require_parallel_datafiles(fields, frags, root)
-    if any(f.name == name for f in fields):
-        raise ValueError(f"column {name!r} already exists in {root}")
-    logical = _logical_of(pa, arrow_type)
-    if logical == "struct":
-        raise UnsupportedLanceFeature(
-            "ADD COLUMN of struct type is outside the subset"
-        )
     used = set(_depth_first_ids(fields))
     for fr in frags:
         for f in fr.all_files():
             used.update(f.field_ids or ())
     next_id = max(used, default=-1) + 1
-    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
-    if logical == "list":
-        child_logical = _logical_of(pa, arrow_type.value_type)
-        if child_logical not in _PRIM:
+    taken = {f.name for f in fields}
+    new_lfs: list[LanceField] = []
+    computed: list[tuple[LanceField, object, str]] = []
+    for name, arrow_type, expr in specs:
+        if name in taken:
+            raise ValueError(f"column {name!r} already exists in {root}")
+        taken.add(name)
+        logical = _logical_of(pa, arrow_type)
+        if logical == "struct":
             raise UnsupportedLanceFeature(
-                f"list element type {arrow_type} outside the subset"
+                "ADD COLUMN of struct type is outside the subset"
             )
-        lf.children.append(
-            LanceField(
-                name="item", fid=next_id + 1, parent=next_id,
-                logical=child_logical,
+        lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
+        next_id += 1
+        if logical == "list":
+            child_logical = _logical_of(pa, arrow_type.value_type)
+            if child_logical not in _PRIM:
+                raise UnsupportedLanceFeature(
+                    f"list element type {arrow_type} outside the subset"
+                )
+            lf.children.append(
+                LanceField(
+                    name="item", fid=next_id, parent=lf.fid,
+                    logical=child_logical,
+                )
             )
+            next_id += 1
+        new_lfs.append(lf)
+        if expr is not None:
+            computed.append((lf, arrow_type, expr))
+    if not computed:
+        # all plain ADDs: metadata-only, same as add_columns
+        _write_manifest(
+            root, version + 1,
+            _schema_fields_of_existing(fields + new_lfs), frags,
         )
-    new_ids = _depth_first_ids([lf])
-    new_cols = _column_indices_of([lf])
-    target_spark_type = _spark_type_of(pa, arrow_type, T.TimestampNTZType())
+        _carry_index_section(root, version, version + 1)
+        return version + 1
+    file_lfs = [lf for lf, _t, _e in computed]
+    new_ids = _depth_first_ids(file_lfs)
+    new_cols = _column_indices_of(file_lfs)
+    targets = [
+        (
+            lf.name,
+            _spark_type_of(pa, at, T.TimestampNTZType()),
+            expr,
+        )
+        for lf, at, expr in computed
+    ]
+    arrow_types = {lf.name: at for lf, at, _e in computed}
 
     # conservative column pruning: any schema name appearing as an
-    # identifier token in the expression is decoded; the analyzer
+    # identifier token in ANY expression is decoded; the analyzer
     # below still catches truly unknown references
     refs = [
         f.name
         for f in fields
-        if re.search(rf"(?<![\w.]){re.escape(f.name)}(?![\w.])", expr)
+        if any(
+            re.search(rf"(?<![\w.]){re.escape(f.name)}(?![\w.])", expr)
+            for _n, _t, expr in targets
+        )
     ]
     full = arrow_schema_of(fields)
     read_schema = [f for f in full if f.name in set(refs)]
@@ -2288,7 +2327,10 @@ def add_column_backfill(
     # analyze BEFORE any cluster work: unknown columns / type errors
     # refuse here, not mid-job
     spark.createDataFrame([], probe).select(
-        F.expr(expr).cast(target_spark_type).alias(name)
+        *[
+            F.expr(expr).cast(t).alias(n)
+            for n, t, expr in targets
+        ]
     )
 
     ship_package(spark)
@@ -2329,11 +2371,11 @@ def add_column_backfill(
                 out.insert(1, "__pos", np.arange(len(out), dtype="int64"))
                 yield out
 
-    computed = (
-        tasks.mapInPandas(_decode, schema=decode_schema)
-        .withColumn(name, F.expr(expr).cast(target_spark_type))
-        .select("__frag", "__pos", name)
-    )
+    out_frame = tasks.mapInPandas(_decode, schema=decode_schema)
+    for n, t, expr in targets:
+        out_frame = out_frame.withColumn(n, F.expr(expr).cast(t))
+    names = [n for n, _t, _e in targets]
+    out_frame = out_frame.select("__frag", "__pos", *names)
     # the write depends on each fragment's rows staying in ONE task:
     # a window/aggregate/subquery expression injects an Exchange/Sort
     # ABOVE the decode, scattering a fragment's rows across partitions
@@ -2342,13 +2384,14 @@ def add_column_backfill(
     # first, so everything before the decode's MapInPandas node is the
     # post-decode pipeline; the task-distribution repartition sits
     # BELOW it and is expected.
-    plan = computed._jdf.queryExecution().executedPlan().toString()
+    plan = out_frame._jdf.queryExecution().executedPlan().toString()
     head = plan.split("MapInPandas", 1)[0]
     if any(k in head for k in ("Exchange", "Window", "Aggregate", "Sort")):
         raise UnsupportedLanceFeature(
-            f"backfill expression {expr!r} is not row-local (it plans "
-            "an exchange — window/aggregate/subquery shapes): a "
-            "backfill computes each row's value from that row alone"
+            f"backfill expressions {[e for _n, _t, e in targets]!r} are "
+            "not row-local (they plan an exchange — window/aggregate/"
+            "subquery shapes): a backfill computes each row's value "
+            "from that row alone"
         )
     plate_schema = T.StructType(
         [
@@ -2359,12 +2402,15 @@ def add_column_backfill(
     )
 
     def _write(batches):
-        cur, vals, pos = None, [], []
+        cur, vals, pos = None, {n: [] for n in names}, []
 
         def _flush():
             if cur is None:
                 return None
-            arr = pa.concat_arrays(vals) if len(vals) > 1 else vals[0]
+            arrs = {
+                n: pa.concat_arrays(v) if len(v) > 1 else v[0]
+                for n, v in vals.items()
+            }
             order = np.concatenate(pos)
             if not np.array_equal(
                 order, np.arange(len(order), dtype="int64")
@@ -2377,14 +2423,19 @@ def add_column_backfill(
                         f"backfill rows for {cur} are not the fragment's "
                         "physical positions — refusing to write"
                     )
-                arr = arr.take(pa.array(np.argsort(order, kind="stable")))
+                ix = pa.array(np.argsort(order, kind="stable"))
+                arrs = {n: a.take(ix) for n, a in arrs.items()}
             fname = f"{uuid.uuid4().hex}-bf.lance"
             write_fragment_file(
                 os.path.join(root, "data", fname),
-                pa.table({name: arr}),
+                pa.table({n: arrs[n] for n in names}),
             )
             return pd.DataFrame(
-                {"frag_path": [cur], "file": [fname], "rows": [len(arr)]}
+                {
+                    "frag_path": [cur],
+                    "file": [fname],
+                    "rows": [len(order)],
+                }
             )
 
         for pdf in batches:
@@ -2393,16 +2444,18 @@ def add_column_backfill(
                     plate = _flush()
                     if plate is not None:
                         yield plate
-                    cur, vals, pos = frag, [], []
-                vals.append(
-                    pa.Array.from_pandas(grp[name], type=arrow_type)
-                )
+                    cur, pos = frag, []
+                    vals = {n: [] for n in names}
+                for n in names:
+                    vals[n].append(
+                        pa.Array.from_pandas(grp[n], type=arrow_types[n])
+                    )
                 pos.append(grp["__pos"].to_numpy(dtype="int64"))
         plate = _flush()
         if plate is not None:
             yield plate
 
-    plates = computed.mapInPandas(_write, schema=plate_schema).collect()
+    plates = out_frame.mapInPandas(_write, schema=plate_schema).collect()
     got = {p["frag_path"]: (p["file"], p["rows"]) for p in plates}
     if len(got) != len(plates):
         raise RuntimeError(
@@ -2431,7 +2484,7 @@ def add_column_backfill(
         new_frags.append(fr2)
     _write_manifest(
         root, version + 1,
-        _schema_fields_of_existing(fields + [lf]), new_frags,
+        _schema_fields_of_existing(fields + new_lfs), new_frags,
     )
     _carry_index_section(root, version, version + 1)
     return version + 1

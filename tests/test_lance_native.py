@@ -3489,3 +3489,58 @@ def test_mutations_on_backfilled_table_keep_alignment(spark, tmp_path_str):
         for r in eng.execute("SELECT * FROM ub").collect()
     )
     assert got2 == got + [(5, 50.0, 99.0)]
+
+
+def test_multi_column_backfill_one_commit(spark, tmp_path_str):
+    """ADD COLUMNS mixing computed and plain columns: ONE commit, ONE
+    extra data file per fragment carrying ALL the computed columns
+    (one decode pass), plain columns riding file-less (read NULL)."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "mcbf")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "mcat")))
+    eng.execute(
+        f"CREATE TABLE mc (id BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    v0 = LanceNativeDataset(root)._manifests[-1]
+    eng.execute(
+        "ALTER TABLE mc ADD COLUMNS (a DOUBLE AS (v * 2), plainc BIGINT, "
+        "b BIGINT AS (id + 100))"
+    )
+    nds = LanceNativeDataset(root)
+    assert nds._manifests[-1] == v0 + 1  # ONE commit for all three
+    _f, frags, _ = nds._manifest()
+    assert [len(fr.extra_files) for fr in frags] == [1]  # ONE file
+    got = sorted(
+        (r["id"], r["a"], r["plainc"], r["b"])
+        for r in eng.execute("SELECT id, a, plainc, b FROM mc").collect()
+    )
+    assert got == [
+        (1, 20.0, None, 101), (2, 40.0, None, 102), (3, 60.0, None, 103),
+    ]
+    # a refusal mid-list (duplicate name) commits NOTHING
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        eng.execute(
+            "ALTER TABLE mc ADD COLUMNS (x DOUBLE AS (v), a DOUBLE AS (v))"
+        )
+    names = {f.name for f in LanceNativeDataset(root)._manifest()[0]}
+    assert "x" not in names
