@@ -709,7 +709,8 @@ def lance_native_struct_evolution(spark, sf_dir):
 
 @query(
     "native_backfill",
-    extra=True,  # r14 extension: zero-rewrite ADD COLUMN ... AS (expr)
+    # r14 extension flagship, PRIMARY from day one: zero-rewrite
+    # ADD COLUMN ... AS (expr) — driver-graded hash evidence
     oracle="""
     SELECT lang,
            COUNT(*) AS n,
