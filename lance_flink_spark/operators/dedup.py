@@ -62,7 +62,13 @@ def _provision_explode(df: DataFrame) -> DataFrame:
     plan carries an Exchange (or a subquery) already re-provisions
     through spark.sql.shuffle.partitions — leave it alone; only
     scan-shaped lineage (no exchange → AQE never engages → ``.rdd``
-    is pure lineage construction, zero jobs) is probed."""
+    is pure lineage construction, zero jobs) is probed. Residual
+    (accepted): AQE may coalesce a shuffle-fed frame's tiny output
+    below cluster parallelism before the explode; the default
+    ``coalescePartitions.parallelismFirst=true`` floors the coalesce
+    at defaultParallelism, and A/B at sf0.1 shows no regression —
+    reintroducing the probe would re-execute callers' upstream
+    stages, a strictly worse trade."""
     target = df.sparkSession.sparkContext.defaultParallelism
     # executedPlan is built lazily — toString() renders the INITIAL
     # adaptive plan without materializing any stage. AQE wraps a plan

@@ -759,10 +759,14 @@ def native_backfill(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     write_dataset_distributed(root, src)
     nds = LanceNativeDataset(root)
-    # offsets-only collect, the SQL DELETE path's shape (4M-gated there)
+    # offsets-only collect, the SQL DELETE path's shape (4M-gated
+    # there); columns= pushes the projection into the page decode so
+    # lang/n_chars pages are never read for the offset resolution
     doomed = [
         r["__phys"]
-        for r in read_distributed(nds, spark, with_offsets=True)
+        for r in read_distributed(
+            nds, spark, with_offsets=True, columns=["doc_id"]
+        )
         .filter("doc_id % 11 = 4")
         .select("__phys")
         .collect()

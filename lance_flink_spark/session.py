@@ -55,7 +55,9 @@ def get_spark(
         )
         .config(
             "spark.sql.files.minPartitionNum",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(2 * cpus)),
+            os.environ.get(
+                "SPARK_GRAFT_MIN_PARTITION_NUM", str(2 * int(cpus))
+            ),
         )
         .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.sql.session.timeZone", "UTC")

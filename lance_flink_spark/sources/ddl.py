@@ -109,13 +109,17 @@ def _strip_outer_parens(s: str) -> str:
 
 
 def _split_top_commas(s: str) -> list[str]:
-    """Split on commas outside any ()/<> nesting — column lists whose
-    items carry parenthesized expressions or parameterized types."""
+    """Split on commas outside paren nesting — column lists whose
+    items carry parenthesized expressions or parameterized types.
+    Angle brackets are NOT tracked: `<`/`>` are comparison operators
+    inside backfill expressions (`a > b` would corrupt the depth), and
+    the subset's generic types (ARRAY<FLOAT>) carry no top-level
+    commas."""
     parts, depth, cur = [], 0, []
     for ch in s:
-        if ch in "(<":
+        if ch == "(":
             depth += 1
-        elif ch in ")>":
+        elif ch == ")":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur))

@@ -2164,12 +2164,14 @@ def add_columns(root: str, cols: list[tuple[str, object]]) -> int:
     fields, frags, version = ds._manifest()
     _require_parallel_datafiles(fields, frags, root)
     # a dropped column's id lives on inside the fragments' DataFile
-    # arrays — reusing it would decode the old column's bytes as the
-    # new one (Lance's manifest tracks max_field_id for exactly this);
-    # allocate past every id any current fragment still carries
+    # arrays — INCLUDING backfill extra files — reusing it would decode
+    # the old column's bytes as the new one (Lance's manifest tracks
+    # max_field_id for exactly this); allocate past every id any
+    # current fragment's any file still carries
     used = set(_depth_first_ids(fields))
     for fr in frags:
-        used.update(fr.field_ids or ())
+        for f in fr.all_files():
+            used.update(f.field_ids or ())
     next_id = max(used, default=-1) + 1
     taken = {f.name for f in fields}
     new_fields: list[LanceField] = []
@@ -2304,13 +2306,18 @@ def add_columns_backfill(
     arrow_types = {lf.name: at for lf, at, _e in computed}
 
     # conservative column pruning: any schema name appearing as an
-    # identifier token in ANY expression is decoded; the analyzer
-    # below still catches truly unknown references
+    # identifier token in ANY expression is decoded — CASE-INSENSITIVE,
+    # matching Spark SQL's resolver (a reference spelled N_CHARS must
+    # still decode n_chars); the analyzer below catches truly unknown
+    # references
     refs = [
         f.name
         for f in fields
         if any(
-            re.search(rf"(?<![\w.]){re.escape(f.name)}(?![\w.])", expr)
+            re.search(
+                rf"(?<![\w.]){re.escape(f.name)}(?![\w.])", expr,
+                re.IGNORECASE,
+            )
             for _n, _t, expr in targets
         )
     ]
@@ -2350,12 +2357,7 @@ def add_columns_backfill(
         eds = LanceNativeDataset(root)
         efields, efrags, _ = eds._manifest(version)
         by_path = {fr.path: fr for fr in efrags}
-        mapper = {
-            pa.int64(): pd.Int64Dtype(),
-            pa.int32(): pd.Int32Dtype(),
-            pa.float32(): pd.Float32Dtype(),
-            pa.float64(): pd.Float64Dtype(),
-        }.get
+        mapper = _pd_types_mapper(pa)
         for pdf in batches:
             for path in pdf["frag_path"]:
                 fr = by_path[path]
@@ -2386,7 +2388,15 @@ def add_columns_backfill(
     # BELOW it and is expected.
     plan = out_frame._jdf.queryExecution().executedPlan().toString()
     head = plan.split("MapInPandas", 1)[0]
-    if any(k in head for k in ("Exchange", "Window", "Aggregate", "Sort")):
+    # match operator NODE names (start of a tree line, after the
+    # drawing characters), not raw substrings — a string literal like
+    # 'Sorted' inside a Project's expression list must not trip this
+    if re.search(
+        r"(?m)^[\s|:+\-*()0-9]*"
+        r"(Exchange|Sort|Window|HashAggregate|SortAggregate"
+        r"|ObjectHashAggregate)\b",
+        head,
+    ):
         raise UnsupportedLanceFeature(
             f"backfill expressions {[e for _n, _t, e in targets]!r} are "
             "not row-local (they plan an exchange — window/aggregate/"
@@ -2637,12 +2647,7 @@ def read_changes_distributed(
     def _emit(batches):
         eds = LanceNativeDataset(root)
         efields, _ef, _ev = eds._manifest(to_v)
-        mapper = {
-            pa.int64(): pd.Int64Dtype(),
-            pa.int32(): pd.Int32Dtype(),
-            pa.float32(): pd.Float32Dtype(),
-            pa.float64(): pd.Float64Dtype(),
-        }.get
+        mapper = _pd_types_mapper(pa)
         for pdf in batches:
             for kind, v, prev, path in zip(
                 pdf["kind"], pdf["v"], pdf["prev"], pdf["frag_path"]
@@ -3133,6 +3138,24 @@ def _spark_type_of(pa, t, ntz_type):
     raise UnsupportedLanceFeature(f"no Spark mapping for {t}")
 
 
+
+def _pd_types_mapper(pa):
+    """Nullable EXTENSION dtypes for primitive columns crossing into
+    pandas: a null int64 must stay integral-null (object/NaN widening
+    would corrupt large ids) and a null float must stay null, not NaN;
+    lists/strings take the default object path (Spark's converter
+    rejects ArrowDtype null lists). One helper so the batch read, the
+    change feed, and the backfill decode can never drift apart."""
+    import pandas as pd
+
+    return {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.float32(): pd.Float32Dtype(),
+        pa.float64(): pd.Float64Dtype(),
+    }.get
+
+
 def read_distributed(
     ds: "LanceNativeDataset",
     spark,
@@ -3219,18 +3242,7 @@ def read_distributed(
                     dead = read_deletion_file(root, fr)
                     keep = np.setdiff1d(keep, dead)
                     t = t.take(keep)
-                # nullable EXTENSION dtypes for primitives: a null
-                # int64 must stay integral-null (object/NaN widening
-                # would corrupt large ids) and a null float must stay
-                # null, not NaN; lists/strings take the default object
-                # path (Spark's converter rejects ArrowDtype null
-                # lists)
-                mapper = {
-                    pa.int64(): pd.Int64Dtype(),
-                    pa.int32(): pd.Int32Dtype(),
-                    pa.float32(): pd.Float32Dtype(),
-                    pa.float64(): pd.Float64Dtype(),
-                }.get
+                mapper = _pd_types_mapper(pa)
                 out = t.to_pandas(types_mapper=mapper)
                 if with_offsets:
                     out["__phys"] = keep + int(fbase)

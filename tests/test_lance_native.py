@@ -3544,3 +3544,121 @@ def test_multi_column_backfill_one_commit(spark, tmp_path_str):
         )
     names = {f.name for f in LanceNativeDataset(root)._manifest()[0]}
     assert "x" not in names
+
+
+def test_dropped_backfill_column_id_never_reused(spark, tmp_path_str):
+    """Review fix (reproduced corruption): field-id allocation must
+    scan EVERY data file including backfill extras — backfill 'score',
+    DROP it, plain-ADD 'fresh': 'fresh' must get a FRESH id and read
+    NULL, never the dropped score's bytes out of the stale extra
+    file."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_column,
+        add_column_backfill,
+        drop_column,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "fidreuse")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "name": pa.array(["a", "b", "c"]),
+            }
+        ),
+    )
+    add_column_backfill(root, "score", pa.float64(), "id * 0.5", spark)
+    drop_column(root, "score")
+    add_column(root, "fresh", pa.float64())
+    got = LanceNativeDataset(root).to_arrow()
+    assert got.column("fresh").to_pylist() == [None, None, None]
+
+
+def test_backfill_case_insensitive_refs_and_literals(spark, tmp_path_str):
+    """Review fixes: a case-variant column reference (legal in Spark
+    SQL) must decode the column, and a string literal like 'Sorted'
+    in the expression must not trip the row-locality plan guard."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_columns_backfill,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "cibf")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "status": pa.array(["Sorted", "Raw"]),
+            }
+        ),
+    )
+    add_columns_backfill(
+        root,
+        [
+            ("dbl", pa.float64(), "ID * 2.0"),
+            ("flag", pa.int64(),
+             "CASE WHEN status = 'Sorted' THEN 1 ELSE 0 END"),
+        ],
+        spark,
+    )
+    got = LanceNativeDataset(root).to_arrow()
+    assert got.column("dbl").to_pylist() == [2.0, 4.0]
+    assert got.column("flag").to_pylist() == [1, 0]
+
+
+def test_backfill_list_splits_past_comparison_operators(
+    spark, tmp_path_str
+):
+    """Review fix (reproduced): '<'/'>' are comparison operators, not
+    brackets — a multi-column list whose expressions compare must
+    still split into its items."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import write_dataset
+
+    root = os.path.join(tmp_path_str, "cmpbf")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "a": pa.array([1, 5], pa.int64()),
+                "b": pa.array([3, 3], pa.int64()),
+            }
+        ),
+    )
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "ccat")))
+    eng.execute(
+        f"CREATE TABLE cmp (a BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute(
+        "ALTER TABLE cmp ADD COLUMNS (gt BIGINT AS "
+        "(CASE WHEN a > b THEN 1 ELSE 0 END), "
+        "lt BIGINT AS (CASE WHEN a < b THEN 1 ELSE 0 END))"
+    )
+    got = sorted(
+        (r["a"], r["gt"], r["lt"])
+        for r in eng.execute("SELECT a, gt, lt FROM cmp").collect()
+    )
+    assert got == [(1, 0, 1), (5, 1, 0)]
+
+
+def test_session_min_partition_num_is_numeric(spark):
+    """Review fix (reproduced): 2 * cpus on the env STRING was string
+    repetition ('3232'), silently shattering every scan into 64 KB
+    tasks."""
+    v = spark.conf.get("spark.sql.files.minPartitionNum")
+    assert v.isdigit() and 2 <= int(v) <= 4096
+    assert int(v) == 2 * spark.sparkContext.defaultParallelism or \
+        int(v) == int(os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", -1))
