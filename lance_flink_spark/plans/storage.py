@@ -783,3 +783,78 @@ def native_backfill(spark, sf_dir):
         .cast("long")
         .alias("sum_score"),
     )
+
+
+@query(
+    "native_merge_columns",
+    extra=True,  # r14 extension: Lance Dataset.merge — key-join attach
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           COUNT(nc2) AS n_matched,
+           CAST(SUM(nc2) AS BIGINT) AS sum_nc2
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, n_chars * 2 AS nc2
+        FROM documents WHERE doc_id % 3 = 0
+    ) s USING (doc_id)
+    WHERE d.doc_id % 11 <> 4
+    GROUP BY lang
+    """,
+)
+def native_merge_columns(spark, sf_dir):
+    """Zero-rewrite column MERGE on native Lance (Lance's
+    ``Dataset.merge``, SQL ``ALTER TABLE ... MERGE COLUMNS (q) ON
+    key``): documents write distributed, a deletion masks doc_id %
+    11 = 4 FIRST, then a derived frame (doc_id, nc2) joins in by key —
+    each fragment gains ONE data file zipped at physical offsets,
+    unmatched rows read NULL, nothing is rewritten. The oracle replays
+    the LEFT JOIN relationally over the parquet source: a mis-aligned
+    merge row, a value landing on a deleted offset's neighbor, or a
+    dropped unmatched-NULL breaks the hash. Cite: Lance Dataset.merge;
+    LanceInputFormat one-split-per-fragment for the read."""
+    import shutil
+
+    import numpy as np
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        delete_rows,
+        merge_columns,
+        read_distributed,
+        write_dataset_distributed,
+    )
+
+    src = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+    )
+    root = os.path.join(
+        scratch_dir("lance_native_mc" + _tag(sf_dir)), "docs_mc"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(root, src)
+    nds = LanceNativeDataset(root)
+    doomed = [
+        r["__phys"]
+        for r in read_distributed(
+            nds, spark, with_offsets=True, columns=["doc_id"]
+        )
+        .filter("doc_id % 11 = 4")
+        .select("__phys")
+        .collect()
+    ]
+    delete_rows(root, np.sort(doomed))
+    attach = (
+        table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 0")
+        .selectExpr("doc_id", "n_chars * 2 AS nc2")
+    )
+    merge_columns(root, attach, "doc_id", spark)
+    df = read_distributed(LanceNativeDataset(root), spark)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("nc2").alias("n_matched"),
+        F.sum("nc2").cast("long").alias("sum_nc2"),
+    )

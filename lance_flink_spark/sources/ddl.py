@@ -128,6 +128,14 @@ def _split_top_commas(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+_ALTER_MERGE_COLUMNS = re.compile(
+    # ALTER TABLE t MERGE COLUMNS (<query>) ON <key> — Lance's
+    # Dataset.merge: attach the query's non-key columns by key join,
+    # zero-rewrite (one new per-fragment data file)
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+MERGE\s+COLUMNS\s*"
+    r"\((?P<q>.+)\)\s*ON\s+(?P<on>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_DROP = re.compile(
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+(?:COLUMNS?\s+)?"
     r"\(?(?P<cols>[\w\s,]+?)\)?\s*$",
@@ -1404,6 +1412,23 @@ class SqlEngine:
         self._reregister_native(name)
         return None
 
+    def _alter_merge_columns_native(self, m: re.Match) -> None:
+        """``ALTER TABLE t MERGE COLUMNS (<query>) ON <key>`` on a
+        NATIVE Lance table: Lance's ``Dataset.merge`` — the query's
+        non-key columns attach by key join, zero-rewrite (per-fragment
+        data files zipped at physical offsets; unmatched rows read
+        NULL; duplicate source keys refuse). The query runs through
+        this engine (its views, time travel, TVFs all apply)."""
+        from lance_flink_spark.sources.lance_native import merge_columns
+
+        name = m.group("name")
+        src = self.execute(m.group("q"))
+        merge_columns(
+            self.native_tables[name].root, src, m.group("on"), self.spark
+        )
+        self._reregister_native(name)
+        return None
+
     def _alter_add_backfill_native(self, m: re.Match) -> None:
         """``ALTER TABLE t ADD COLUMN x <type> AS (<expr>)`` — or an
         ``ADD COLUMNS (...)`` list mixing computed and plain columns —
@@ -1702,6 +1727,15 @@ class SqlEngine:
             return self._alter_drop_native(m)
         if m and self._in_catalog(m.group("name")):
             return self._alter_drop(m)
+        m = _ALTER_MERGE_COLUMNS.match(sql)
+        if m and m.group("name") in self.native_tables:
+            return self._alter_merge_columns_native(m)
+        if m and self._in_catalog(m.group("name")):
+            raise ValueError(
+                "ALTER TABLE ... MERGE COLUMNS attaches columns to a "
+                f"NATIVE Lance table zero-rewrite; {m.group('name')!r} "
+                "is a parquet-backed catalog table — use a join + CTAS"
+            )
         m = _ALTER_ADD_BACKFILL.match(sql)
         if m and m.group("name") in self.native_tables:
             return self._alter_add_backfill_native(m)

@@ -2212,139 +2212,22 @@ def add_column(root: str, name: str, arrow_type) -> int:
     return add_columns(root, [(name, arrow_type)])
 
 
-def add_column_backfill(
-    root: str, name: str, arrow_type, expr: str, spark
-) -> int:
-    return add_columns_backfill(root, [(name, arrow_type, expr)], spark)
 
-
-def add_columns_backfill(
-    root: str, specs: list[tuple[str, object, str | None]], spark
-) -> int:
-    """``ALTER TABLE t ADD COLUMNS (x <type> AS (<expr>), ...)`` —
-    Lance's ZERO-REWRITE ``add_columns(transforms)``, multi-column in
-    ONE commit: each fragment gains ONE new data file holding all the
-    computed columns at the fragment's physical row offsets
-    (table.proto ``DataFragment.files``); the existing files are
-    untouched and a single manifest commit plates the fields. Specs
-    with ``expr=None`` are plain ADDs riding the same commit (in no
-    file — reads NULL). The compute is cluster-scale and Spark-first:
-    one task per fragment decodes ONLY the columns the expressions
-    reference — ONCE for all of them (deleted offsets included — the
-    new file must align at physical positions; masked rows' values
-    are never served), Catalyst evaluates the expressions JVM-side
-    (whole-stage codegen, no per-row Python), and the same task
-    writes the new 'Lance File 2.0' file. Only (fragment, file name,
-    rows) name-plates return to the driver; uuid names make task
-    retries safe (orphans are never referenced; VACUUM reclaims).
-    Every spec validates BEFORE any cluster work or commit, so the
-    statement is atomic-or-refused. Cite: Lance ``add_columns`` / the
-    reference's com.lancedb.lance.Dataset schema evolution."""
+def _decode_positions_frame(root, version, frags, ref_names, probe, spark):
+    """One executor task per fragment decodes ONLY ``ref_names``
+    (ALL physical rows, deleted offsets included) and tags each row
+    with (__frag, __pos) — the physical address every zero-rewrite
+    column attach (backfill, key merge) aligns its new file at."""
     import pandas as pd
     import pyarrow as pa
-    from pyspark.sql import functions as F, types as T
+    from pyspark.sql import types as T
 
     from lance_flink_spark.session import ship_package
-
-    ds = LanceNativeDataset(root)
-    fields, frags, version = ds._manifest()
-    _require_parallel_datafiles(fields, frags, root)
-    used = set(_depth_first_ids(fields))
-    for fr in frags:
-        for f in fr.all_files():
-            used.update(f.field_ids or ())
-    next_id = max(used, default=-1) + 1
-    taken = {f.name for f in fields}
-    new_lfs: list[LanceField] = []
-    computed: list[tuple[LanceField, object, str]] = []
-    for name, arrow_type, expr in specs:
-        if name in taken:
-            raise ValueError(f"column {name!r} already exists in {root}")
-        taken.add(name)
-        logical = _logical_of(pa, arrow_type)
-        if logical == "struct":
-            raise UnsupportedLanceFeature(
-                "ADD COLUMN of struct type is outside the subset"
-            )
-        lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
-        next_id += 1
-        if logical == "list":
-            child_logical = _logical_of(pa, arrow_type.value_type)
-            if child_logical not in _PRIM:
-                raise UnsupportedLanceFeature(
-                    f"list element type {arrow_type} outside the subset"
-                )
-            lf.children.append(
-                LanceField(
-                    name="item", fid=next_id, parent=lf.fid,
-                    logical=child_logical,
-                )
-            )
-            next_id += 1
-        new_lfs.append(lf)
-        if expr is not None:
-            computed.append((lf, arrow_type, expr))
-    if not computed:
-        # all plain ADDs: metadata-only, same as add_columns
-        _write_manifest(
-            root, version + 1,
-            _schema_fields_of_existing(fields + new_lfs), frags,
-        )
-        _carry_index_section(root, version, version + 1)
-        return version + 1
-    file_lfs = [lf for lf, _t, _e in computed]
-    new_ids = _depth_first_ids(file_lfs)
-    new_cols = _column_indices_of(file_lfs)
-    targets = [
-        (
-            lf.name,
-            _spark_type_of(pa, at, T.TimestampNTZType()),
-            expr,
-        )
-        for lf, at, expr in computed
-    ]
-    arrow_types = {lf.name: at for lf, at, _e in computed}
-
-    # conservative column pruning: any schema name appearing as an
-    # identifier token in ANY expression is decoded — CASE-INSENSITIVE,
-    # matching Spark SQL's resolver (a reference spelled N_CHARS must
-    # still decode n_chars); the analyzer below catches truly unknown
-    # references
-    refs = [
-        f.name
-        for f in fields
-        if any(
-            re.search(
-                rf"(?<![\w.]){re.escape(f.name)}(?![\w.])", expr,
-                re.IGNORECASE,
-            )
-            for _n, _t, expr in targets
-        )
-    ]
-    full = arrow_schema_of(fields)
-    read_schema = [f for f in full if f.name in set(refs)]
-    probe = T.StructType(
-        [
-            T.StructField(
-                f.name, _spark_type_of(pa, f.type, T.TimestampNTZType()), True
-            )
-            for f in read_schema
-        ]
-    )
-    # analyze BEFORE any cluster work: unknown columns / type errors
-    # refuse here, not mid-job
-    spark.createDataFrame([], probe).select(
-        *[
-            F.expr(expr).cast(t).alias(n)
-            for n, t, expr in targets
-        ]
-    )
 
     ship_package(spark)
     tasks = spark.createDataFrame(
         [(fr.path,) for fr in frags if fr.physical_rows], "frag_path string"
     ).repartition(max(len(frags), 1))
-    ref_names = [f.name for f in read_schema]
     decode_schema = T.StructType(
         [
             T.StructField("__frag", T.StringType(), False),
@@ -2354,6 +2237,8 @@ def add_columns_backfill(
     )
 
     def _decode(batches):
+        import numpy as np
+
         eds = LanceNativeDataset(root)
         efields, efrags, _ = eds._manifest(version)
         by_path = {fr.path: fr for fr in efrags}
@@ -2373,36 +2258,134 @@ def add_columns_backfill(
                 out.insert(1, "__pos", np.arange(len(out), dtype="int64"))
                 yield out
 
-    out_frame = tasks.mapInPandas(_decode, schema=decode_schema)
-    for n, t, expr in targets:
-        out_frame = out_frame.withColumn(n, F.expr(expr).cast(t))
-    names = [n for n, _t, _e in targets]
-    out_frame = out_frame.select("__frag", "__pos", *names)
-    # the write depends on each fragment's rows staying in ONE task:
-    # a window/aggregate/subquery expression injects an Exchange/Sort
-    # ABOVE the decode, scattering a fragment's rows across partitions
-    # — refuse at plan time with a usable message (the duplicate-plate
-    # check below is the runtime backstop). The plan tree prints root
-    # first, so everything before the decode's MapInPandas node is the
-    # post-decode pipeline; the task-distribution repartition sits
-    # BELOW it and is expected.
-    plan = out_frame._jdf.queryExecution().executedPlan().toString()
-    head = plan.split("MapInPandas", 1)[0]
-    # match operator NODE names (start of a tree line, after the
-    # drawing characters), not raw substrings — a string literal like
-    # 'Sorted' inside a Project's expression list must not trip this
-    if re.search(
-        r"(?m)^[\s|:+\-*()0-9]*"
-        r"(Exchange|Sort|Window|HashAggregate|SortAggregate"
-        r"|ObjectHashAggregate)\b",
-        head,
-    ):
-        raise UnsupportedLanceFeature(
-            f"backfill expressions {[e for _n, _t, e in targets]!r} are "
-            "not row-local (they plan an exchange — window/aggregate/"
-            "subquery shapes): a backfill computes each row's value "
-            "from that row alone"
+    return tasks.mapInPandas(_decode, schema=decode_schema)
+
+
+def merge_columns(root: str, src_df, on: str, spark) -> int:
+    """Lance's ``Dataset.merge(data, on)`` — attach NEW columns to a
+    native table by a KEY JOIN against another frame, ZERO-REWRITE:
+    every ``src_df`` column except the key becomes a new schema field,
+    values land by matching ``on``, unmatched rows read NULL, and each
+    fragment gains ONE new data file at its physical offsets
+    (table.proto ``DataFragment.files``) — no existing file is
+    rewritten. Spark-first shape: one task per fragment decodes ONLY
+    the key column (all physical rows, deleted offsets included), the
+    join runs as a normal Catalyst join (broadcast when ``src_df`` is
+    small), a hash repartition on the fragment plus an in-partition
+    (__frag, __pos) sort restores per-fragment contiguity, and the
+    shared writer validates each fragment got EXACTLY its physical
+    positions back. Duplicate keys in ``src_df`` refuse up front — a
+    1:N join would change the row count and cannot align. Cite: Lance
+    ``Dataset.merge`` / the reference's com.lancedb.lance.Dataset."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F, types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _require_parallel_datafiles(fields, frags, root)
+    if not any(f.name == on for f in fields):
+        raise ValueError(
+            f"merge key {on!r} is not a column of {root} "
+            f"({[f.name for f in fields]})"
         )
+    src_fields = [f for f in src_df.schema.fields if f.name != on]
+    if not src_fields:
+        raise ValueError(f"source frame carries only the key {on!r}")
+    if on not in src_df.columns:
+        raise ValueError(f"source frame has no key column {on!r}")
+    used = set(_depth_first_ids(fields))
+    for fr in frags:
+        for f in fr.all_files():
+            used.update(f.field_ids or ())
+    next_id = max(used, default=-1) + 1
+    taken = {f.name for f in fields}
+    new_lfs: list[LanceField] = []
+    arrow_types: dict[str, object] = {}
+    for f in src_fields:
+        if f.name in taken:
+            raise ValueError(
+                f"column {f.name!r} already exists in {root}"
+            )
+        at = to_arrow_type(f.dataType)
+        logical = _logical_of(pa, at)
+        if logical == "struct":
+            raise UnsupportedLanceFeature(
+                "merge of struct-typed columns is outside the subset"
+            )
+        lf = LanceField(
+            name=f.name, fid=next_id, parent=_TOP, logical=logical
+        )
+        next_id += 1
+        if logical == "list":
+            child_logical = _logical_of(pa, at.value_type)
+            if child_logical not in _PRIM:
+                raise UnsupportedLanceFeature(
+                    f"list element type {at} outside the subset"
+                )
+            lf.children.append(
+                LanceField(
+                    name="item", fid=next_id, parent=lf.fid,
+                    logical=child_logical,
+                )
+            )
+            next_id += 1
+        new_lfs.append(lf)
+        arrow_types[f.name] = at
+    # a duplicate key fans the left join out 1:N — the fragment's row
+    # count changes and positions cannot align; refuse up front with
+    # the real reason instead of the writer's alignment backstop
+    if src_df.groupBy(on).count().where(F.col("count") > 1).take(1):
+        raise ValueError(
+            f"source frame has duplicate {on!r} keys — merge_columns "
+            "needs at most one source row per key"
+        )
+    full = arrow_schema_of(fields)
+    key_field = next(f for f in full if f.name == on)
+    probe = T.StructType(
+        [
+            T.StructField(
+                on,
+                _spark_type_of(pa, key_field.type, T.TimestampNTZType()),
+                True,
+            )
+        ]
+    )
+    dec = _decode_positions_frame(root, version, frags, [on], probe, spark)
+    names = [f.name for f in src_fields]
+    out_frame = (
+        dec.join(src_df, on=on, how="left")
+        .select("__frag", "__pos", *names)
+        # the join scatters fragments across partitions; hash back by
+        # fragment and sort by position so the writer sees each
+        # fragment contiguous and in physical order
+        .repartition(F.col("__frag"))
+        .sortWithinPartitions("__frag", "__pos")
+    )
+    return _write_column_files_and_commit(
+        root, fields, frags, version, new_lfs, new_lfs, out_frame,
+        names, arrow_types,
+    )
+
+
+def _write_column_files_and_commit(
+    root, fields, frags, version, new_lfs, file_lfs, out_frame, names,
+    arrow_types,
+):
+    """Shared tail of every zero-rewrite column attach (expression
+    backfill, key merge): the writer task streams (__frag, __pos,
+    *names) rows — grouped per fragment, position-validated (a
+    complete 0..physical_rows-1 permutation or refuse;
+    reordered-but-complete restores order) — writes ONE 'Lance File
+    2.0' file per fragment carrying all the new columns, and the
+    driver commits ONE manifest plating the fields plus the
+    per-fragment DataFile entries."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    new_ids = _depth_first_ids(file_lfs)
+    new_cols = _column_indices_of(file_lfs)
     plate_schema = T.StructType(
         [
             T.StructField("frag_path", T.StringType(), False),
@@ -2498,6 +2481,171 @@ def add_columns_backfill(
     )
     _carry_index_section(root, version, version + 1)
     return version + 1
+
+
+
+def add_column_backfill(
+    root: str, name: str, arrow_type, expr: str, spark
+) -> int:
+    return add_columns_backfill(root, [(name, arrow_type, expr)], spark)
+
+
+def add_columns_backfill(
+    root: str, specs: list[tuple[str, object, str | None]], spark
+) -> int:
+    """``ALTER TABLE t ADD COLUMNS (x <type> AS (<expr>), ...)`` —
+    Lance's ZERO-REWRITE ``add_columns(transforms)``, multi-column in
+    ONE commit: each fragment gains ONE new data file holding all the
+    computed columns at the fragment's physical row offsets
+    (table.proto ``DataFragment.files``); the existing files are
+    untouched and a single manifest commit plates the fields. Specs
+    with ``expr=None`` are plain ADDs riding the same commit (in no
+    file — reads NULL). The compute is cluster-scale and Spark-first:
+    one task per fragment decodes ONLY the columns the expressions
+    reference — ONCE for all of them (deleted offsets included — the
+    new file must align at physical positions; masked rows' values
+    are never served), Catalyst evaluates the expressions JVM-side
+    (whole-stage codegen, no per-row Python), and the same task
+    writes the new 'Lance File 2.0' file. Only (fragment, file name,
+    rows) name-plates return to the driver; uuid names make task
+    retries safe (orphans are never referenced; VACUUM reclaims).
+    Every spec validates BEFORE any cluster work or commit, so the
+    statement is atomic-or-refused. Cite: Lance ``add_columns`` / the
+    reference's com.lancedb.lance.Dataset schema evolution."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import functions as F, types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _require_parallel_datafiles(fields, frags, root)
+    used = set(_depth_first_ids(fields))
+    for fr in frags:
+        for f in fr.all_files():
+            used.update(f.field_ids or ())
+    next_id = max(used, default=-1) + 1
+    taken = {f.name for f in fields}
+    new_lfs: list[LanceField] = []
+    computed: list[tuple[LanceField, object, str]] = []
+    for name, arrow_type, expr in specs:
+        if name in taken:
+            raise ValueError(f"column {name!r} already exists in {root}")
+        taken.add(name)
+        logical = _logical_of(pa, arrow_type)
+        if logical == "struct":
+            raise UnsupportedLanceFeature(
+                "ADD COLUMN of struct type is outside the subset"
+            )
+        lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
+        next_id += 1
+        if logical == "list":
+            child_logical = _logical_of(pa, arrow_type.value_type)
+            if child_logical not in _PRIM:
+                raise UnsupportedLanceFeature(
+                    f"list element type {arrow_type} outside the subset"
+                )
+            lf.children.append(
+                LanceField(
+                    name="item", fid=next_id, parent=lf.fid,
+                    logical=child_logical,
+                )
+            )
+            next_id += 1
+        new_lfs.append(lf)
+        if expr is not None:
+            computed.append((lf, arrow_type, expr))
+    if not computed:
+        # all plain ADDs: metadata-only, same as add_columns
+        _write_manifest(
+            root, version + 1,
+            _schema_fields_of_existing(fields + new_lfs), frags,
+        )
+        _carry_index_section(root, version, version + 1)
+        return version + 1
+    file_lfs = [lf for lf, _t, _e in computed]
+    targets = [
+        (
+            lf.name,
+            _spark_type_of(pa, at, T.TimestampNTZType()),
+            expr,
+        )
+        for lf, at, expr in computed
+    ]
+    arrow_types = {lf.name: at for lf, at, _e in computed}
+
+    # conservative column pruning: any schema name appearing as an
+    # identifier token in ANY expression is decoded — CASE-INSENSITIVE,
+    # matching Spark SQL's resolver (a reference spelled N_CHARS must
+    # still decode n_chars); the analyzer below catches truly unknown
+    # references
+    refs = [
+        f.name
+        for f in fields
+        if any(
+            re.search(
+                rf"(?<![\w.]){re.escape(f.name)}(?![\w.])", expr,
+                re.IGNORECASE,
+            )
+            for _n, _t, expr in targets
+        )
+    ]
+    full = arrow_schema_of(fields)
+    read_schema = [f for f in full if f.name in set(refs)]
+    probe = T.StructType(
+        [
+            T.StructField(
+                f.name, _spark_type_of(pa, f.type, T.TimestampNTZType()), True
+            )
+            for f in read_schema
+        ]
+    )
+    # analyze BEFORE any cluster work: unknown columns / type errors
+    # refuse here, not mid-job
+    spark.createDataFrame([], probe).select(
+        *[
+            F.expr(expr).cast(t).alias(n)
+            for n, t, expr in targets
+        ]
+    )
+
+    out_frame = _decode_positions_frame(
+        root, version, frags, [f.name for f in read_schema], probe, spark
+    )
+    for n, t, expr in targets:
+        out_frame = out_frame.withColumn(n, F.expr(expr).cast(t))
+    names = [n for n, _t, _e in targets]
+    out_frame = out_frame.select("__frag", "__pos", *names)
+    # the write depends on each fragment's rows staying in ONE task:
+    # a window/aggregate/subquery expression injects an Exchange/Sort
+    # ABOVE the decode, scattering a fragment's rows across partitions
+    # — refuse at plan time with a usable message (the duplicate-plate
+    # check below is the runtime backstop). The plan tree prints root
+    # first, so everything before the decode's MapInPandas node is the
+    # post-decode pipeline; the task-distribution repartition sits
+    # BELOW it and is expected.
+    plan = out_frame._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("MapInPandas", 1)[0]
+    # match operator NODE names (start of a tree line, after the
+    # drawing characters), not raw substrings — a string literal like
+    # 'Sorted' inside a Project's expression list must not trip this
+    if re.search(
+        r"(?m)^[\s|:+\-*()0-9]*"
+        r"(Exchange|Sort|Window|HashAggregate|SortAggregate"
+        r"|ObjectHashAggregate)\b",
+        head,
+    ):
+        raise UnsupportedLanceFeature(
+            f"backfill expressions {[e for _n, _t, e in targets]!r} are "
+            "not row-local (they plan an exchange — window/aggregate/"
+            "subquery shapes): a backfill computes each row's value "
+            "from that row alone"
+        )
+    return _write_column_files_and_commit(
+        root, fields, frags, version, new_lfs, file_lfs, out_frame,
+        names, arrow_types,
+    )
 
 
 def drop_columns(root: str, names: list[str]) -> int:

@@ -3662,3 +3662,134 @@ def test_session_min_partition_num_is_numeric(spark):
     assert v.isdigit() and 2 <= int(v) <= 4096
     assert int(v) == 2 * spark.sparkContext.defaultParallelism or \
         int(v) == int(os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", -1))
+
+
+class TestMergeColumns:
+    """Lance's Dataset.merge: attach new columns by key join,
+    zero-rewrite — per-fragment data files at physical offsets."""
+
+    def _mk(self, tmp_path_str, name="mg"):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import (
+            append_to_dataset,
+            write_dataset,
+        )
+
+        root = os.path.join(tmp_path_str, name)
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array([10.0, 20.0, 30.0], pa.float64()),
+                }
+            ),
+        )
+        append_to_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array([4, 5], pa.int64()),
+                    "v": pa.array([40.0, 50.0], pa.float64()),
+                }
+            ),
+        )
+        return root
+
+    def test_merge_aligns_under_deletes_and_missing_keys(
+        self, spark, tmp_path_str
+    ):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            delete_rows,
+            merge_columns,
+        )
+
+        root = self._mk(tmp_path_str)
+        delete_rows(root, [2])  # physical offset 2 = id 3
+        src = spark.createDataFrame(
+            [(1, "one", 1.5), (3, "three", 3.5), (5, "five", 5.5),
+             (99, "x", 0.0)],
+            "id long, label string, score double",
+        )
+        v = merge_columns(root, src, "id", spark)
+        got = LanceNativeDataset(root).to_arrow()
+        assert sorted(
+            zip(
+                got.column("id").to_pylist(),
+                got.column("label").to_pylist(),
+                got.column("score").to_pylist(),
+            )
+        ) == [
+            (1, "one", 1.5), (2, None, None), (4, None, None),
+            (5, "five", 5.5),
+        ]
+        # zero-rewrite: both fragments just gained one extra file
+        _f, frags, _ = LanceNativeDataset(root)._manifest()
+        assert [len(fr.extra_files) for fr in frags] == [1, 1]
+        # pre-merge version time-travels clean
+        assert LanceNativeDataset(root).to_arrow(version=v - 1)\
+            .column_names == ["id", "v"]
+
+    def test_merge_refusals(self, spark, tmp_path_str):
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            merge_columns,
+        )
+
+        root = self._mk(tmp_path_str, "mgr")
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "id long, label string"
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            merge_columns(root, dup, "id", spark)
+        clash = spark.createDataFrame([(1, 9.0)], "id long, v double")
+        with pytest.raises(ValueError, match="already exists"):
+            merge_columns(root, clash, "id", spark)
+        keyless = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="only the key"):
+            merge_columns(root, keyless, "id", spark)
+        with pytest.raises(ValueError, match="not a column"):
+            merge_columns(
+                root,
+                spark.createDataFrame([(1, 2.0)], "zz long, s double"),
+                "zz", spark,
+            )
+        # nothing committed by any refusal
+        assert len(LanceNativeDataset(root)._manifests) == 2
+
+    def test_sql_merge_columns_and_compaction(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+        )
+
+        root = self._mk(tmp_path_str, "mgs")
+        eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "gcat")))
+        eng.execute(
+            f"CREATE TABLE mg (id BIGINT) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        eng.execute(
+            "ALTER TABLE mg MERGE COLUMNS "
+            "(SELECT id, v * 10 AS v10 FROM mg WHERE id % 2 = 1) ON id"
+        )
+        got = sorted(
+            (r["id"], r["v10"])
+            for r in eng.execute("SELECT id, v10 FROM mg").collect()
+        )
+        assert got == [
+            (1, 100.0), (2, None), (3, 300.0), (4, None), (5, 500.0),
+        ]
+        eng.execute("OPTIMIZE mg")
+        after = sorted(
+            (r["id"], r["v10"])
+            for r in eng.execute("SELECT id, v10 FROM mg").collect()
+        )
+        assert after == got
+        _f, frags, _ = LanceNativeDataset(root)._manifest()
+        assert all(not fr.extra_files for fr in frags)
