@@ -537,7 +537,10 @@ def test_fragment_file_roundtrip_property(tmp_path_factory, cols, n, page_rows, 
 @given(
     ops=st.lists(
         st.sampled_from(
-            ["append", "add", "backfill", "drop", "delete", "compact"]
+            [
+                "append", "add", "backfill", "merge", "drop", "delete",
+                "compact",
+            ]
         ),
         max_size=8,
     )
@@ -644,6 +647,29 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
             for e in live:  # every physical row computes from its id
                 e[0] = dict(e[0])
                 e[0][name] = float(e[0]["id"] * 3 + 1)
+        elif op == "merge":
+            if not addable:
+                continue
+            name = addable.pop(0)
+            from lance_flink_spark.sources.lance_native import (
+                merge_columns,
+            )
+
+            chosen = {e[0]["id"] for e in live if e[0]["id"] % 2 == 0}
+            spark = _get_spark()
+            src = spark.createDataFrame(
+                [(i, float(i % 13)) for i in sorted(chosen)],
+                f"id long, {name} double",
+            )
+            merge_columns(root, src, "id", spark)
+            schema.append((name, "float64"))
+            for e in live:  # matched keys land, the rest read NULL
+                e[0] = dict(e[0])
+                e[0][name] = (
+                    float(e[0]["id"] % 13)
+                    if e[0]["id"] in chosen
+                    else None
+                )
         elif op == "drop":
             droppable = [n for n, _k in schema if n != "id"]
             if not droppable:
