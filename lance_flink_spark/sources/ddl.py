@@ -128,6 +128,11 @@ def _split_top_commas(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+_ALTER_RENAME_COL = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_MERGE_COLUMNS = re.compile(
     # ALTER TABLE t MERGE COLUMNS (<query>) ON <key> — Lance's
     # Dataset.merge: attach the query's non-key columns by key join,
@@ -1701,6 +1706,31 @@ class SqlEngine:
                     f"unsupported function class {m.group('cls')!r}"
                 )
             self.functions[m.group("name")] = m.group("cls")
+            return None
+        m = _ALTER_RENAME_COL.match(sql)
+        if m and m.group("name") in self.native_tables:
+            from lance_flink_spark.sources.lance_native import (
+                rename_column,
+            )
+
+            # a sidecar vector index binds by column NAME — a rename
+            # would orphan it and vector_search would brute silently
+            if os.path.isdir(
+                self._native_index_dir(
+                    self.native_tables[m.group("name")], m.group("old")
+                )
+            ):
+                raise ValueError(
+                    f"column {m.group('old')!r} is covered by a sidecar "
+                    f"vector index — DROP INDEX ON {m.group('name')} "
+                    f"({m.group('old')}) before renaming it"
+                )
+            rename_column(
+                self.native_tables[m.group("name")].root,
+                m.group("old"),
+                m.group("new"),
+            )
+            self._reregister_native(m.group("name"))
             return None
         m = _ALTER_RENAME.match(sql)
         if m:

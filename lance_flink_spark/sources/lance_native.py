@@ -2648,6 +2648,32 @@ def add_columns_backfill(
     )
 
 
+def rename_column(root: str, old: str, new: str) -> int:
+    """``ALTER TABLE t RENAME COLUMN old TO new`` — Lance's
+    ``alter_columns(rename)``: a METADATA-ONLY manifest commit. Field
+    IDS never change, so every data file (and every deletion file, and
+    the manifest IndexSection, which all address fields by id) stays
+    valid untouched; time travel to pre-rename versions shows the old
+    name. Top-level fields only in the flat subset; a column covered
+    by a SIDECAR vector index refuses (the sidecar binds by name —
+    DROP INDEX first)."""
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    by_name = {f.name: f for f in fields}
+    if old not in by_name:
+        raise ValueError(f"no column {old!r} in {root}")
+    if new in by_name:
+        raise ValueError(f"column {new!r} already exists in {root}")
+    if not re.fullmatch(r"\w+", new):
+        raise ValueError(f"invalid column name {new!r}")
+    by_name[old].name = new
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields), frags
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
 def drop_columns(root: str, names: list[str]) -> int:
     """DROP COLUMN as Lance does it: ONE METADATA-ONLY manifest commit
     removing the whole field list from the schema — data files keep

@@ -3793,3 +3793,84 @@ class TestMergeColumns:
         assert after == got
         _f, frags, _ = LanceNativeDataset(root)._manifest()
         assert all(not fr.extra_files for fr in frags)
+
+
+def test_rename_column_metadata_only(spark, tmp_path_str):
+    """RENAME COLUMN is a metadata-only commit — field ids never
+    change, so data files / deletion files keep decoding, appends
+    carry the new name onto the same ids, time travel shows the old
+    name, and an index-covered column refuses (the sidecar binds by
+    name)."""
+    import pyarrow as pa
+    import pytest
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        delete_rows,
+        rename_column,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "rn")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            }
+        ),
+    )
+    delete_rows(root, [1])
+    v = rename_column(root, "v", "value")
+    got = LanceNativeDataset(root).to_arrow()
+    assert got.column_names == ["id", "value"]
+    assert got.column("value").to_pylist() == [10.0, 30.0]
+    old = LanceNativeDataset(root).to_arrow(version=v - 1)
+    assert old.column_names == ["id", "v"]
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(root, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(root, "id", "value")
+    # SQL form + post-rename lifecycle (insert carries the new name)
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "rcat")))
+    eng.execute(
+        f"CREATE TABLE rn (id BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("ALTER TABLE rn RENAME COLUMN value TO score")
+    eng.execute("INSERT INTO rn VALUES (9, 90.0)")
+    got2 = sorted(
+        (r["id"], r["score"])
+        for r in eng.execute("SELECT id, score FROM rn").collect()
+    )
+    assert got2 == [(1, 10.0), (3, 30.0), (9, 90.0)]
+    # index-covered rename refuses
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    root2 = os.path.join(tmp_path_str, "rni")
+    write_dataset(
+        root2,
+        pa.table(
+            {
+                "id": pa.array(range(10), pa.int64()),
+                "emb": pa.array(
+                    [rng.normal(size=4).tolist() for _ in range(10)],
+                    pa.large_list(pa.float32()),
+                ),
+            }
+        ),
+    )
+    eng.execute(
+        f"CREATE TABLE rni (id BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root2}')"
+    )
+    eng.execute(
+        "CREATE INDEX ON rni (emb) USING IVF_FLAT "
+        "WITH ('index.num-partitions'='2')"
+    )
+    with pytest.raises(ValueError, match="sidecar"):
+        eng.execute("ALTER TABLE rni RENAME COLUMN emb TO vec")

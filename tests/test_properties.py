@@ -538,8 +538,8 @@ def test_fragment_file_roundtrip_property(tmp_path_factory, cols, n, page_rows, 
     ops=st.lists(
         st.sampled_from(
             [
-                "append", "add", "backfill", "merge", "drop", "delete",
-                "compact",
+                "append", "add", "backfill", "merge", "rename", "drop",
+                "delete", "compact",
             ]
         ),
         max_size=8,
@@ -670,6 +670,25 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
                     if e[0]["id"] in chosen
                     else None
                 )
+        elif op == "rename":
+            from lance_flink_spark.sources.lance_native import (
+                rename_column,
+            )
+
+            renameable = [n for n, _k in schema if n != "id"]
+            if not renameable:
+                continue
+            old_name = renameable[-1]
+            new_name = old_name + "_r"
+            rename_column(root, old_name, new_name)
+            schema = [
+                (new_name if n == old_name else n, k) for n, k in schema
+            ]
+            for e in live:
+                e[0] = {
+                    (new_name if k2 == old_name else k2): v2
+                    for k2, v2 in e[0].items()
+                }
         elif op == "drop":
             droppable = [n for n, _k in schema if n != "id"]
             if not droppable:
