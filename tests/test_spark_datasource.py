@@ -680,3 +680,38 @@ def test_write_mode_sequence_matches_model(ds_spark, tmp_path_str):
             .collect()
         )
         assert got == expect, f"version {v}"
+
+
+def test_v2_read_of_backfilled_multifile_dataset(ds_spark, tmp_path_str):
+    """spark.read.format('lance_native') over a dataset whose
+    fragments carry backfill extra files: the partition reader zips
+    the files at physical offsets and pushes filters/projection."""
+    import os
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        add_column_backfill,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "v2bf")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+            }
+        ),
+    )
+    add_column_backfill(root, "w", pa.float64(), "v * 3", ds_spark)
+    df = (
+        ds_spark.read.format("lance_native")
+        .load(root)
+        .where("id >= 2")
+        .select("id", "w")
+    )
+    assert sorted((r["id"], r["w"]) for r in df.collect()) == [
+        (2, 60.0), (3, 90.0), (4, 120.0),
+    ]
