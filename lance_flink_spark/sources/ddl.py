@@ -128,6 +128,14 @@ def _split_top_commas(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+_ALTER_CAST_COL = re.compile(
+    # ALTER TABLE t ALTER COLUMN x [SET DATA] TYPE <t> — Lance's
+    # alter_columns(cast): column-scoped rewrite, one commit
+    r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
+    r"(?P<type>\w+(?:\([^)]*\))?(?:\s*<[^>]*>)?)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RENAME_COL = re.compile(
     r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
@@ -1706,6 +1714,33 @@ class SqlEngine:
                     f"unsupported function class {m.group('cls')!r}"
                 )
             self.functions[m.group("name")] = m.group("cls")
+            return None
+        m = _ALTER_CAST_COL.match(sql)
+        if m and m.group("name") in self.native_tables:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            from lance_flink_spark.sources.lance_native import (
+                cast_column,
+            )
+
+            if os.path.isdir(
+                self._native_index_dir(
+                    self.native_tables[m.group("name")], m.group("col")
+                )
+            ):
+                raise ValueError(
+                    f"column {m.group('col')!r} is covered by a sidecar "
+                    f"vector index — DROP INDEX ON {m.group('name')} "
+                    f"({m.group('col')}) before casting it"
+                )
+            dt = T._parse_datatype_string(m.group("type"))
+            cast_column(
+                self.native_tables[m.group("name")].root,
+                m.group("col"),
+                to_arrow_type(dt),
+                self.spark,
+            )
+            self._reregister_native(m.group("name"))
             return None
         m = _ALTER_RENAME_COL.match(sql)
         if m and m.group("name") in self.native_tables:

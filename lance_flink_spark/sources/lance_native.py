@@ -2370,7 +2370,7 @@ def merge_columns(root: str, src_df, on: str, spark) -> int:
 
 def _write_column_files_and_commit(
     root, fields, frags, version, new_lfs, file_lfs, out_frame, names,
-    arrow_types,
+    arrow_types, replace_schema=False,
 ):
     """Shared tail of every zero-rewrite column attach (expression
     backfill, key merge): the writer task streams (__frag, __pos,
@@ -2477,7 +2477,12 @@ def _write_column_files_and_commit(
         new_frags.append(fr2)
     _write_manifest(
         root, version + 1,
-        _schema_fields_of_existing(fields + new_lfs), new_frags,
+        _schema_fields_of_existing(
+            # replace_schema: new_lfs IS the full field list (a cast
+            # replaced a field in place); otherwise new fields append
+            new_lfs if replace_schema else fields + new_lfs
+        ),
+        new_frags,
     )
     _carry_index_section(root, version, version + 1)
     return version + 1
@@ -2645,6 +2650,84 @@ def add_columns_backfill(
     return _write_column_files_and_commit(
         root, fields, frags, version, new_lfs, file_lfs, out_frame,
         names, arrow_types,
+    )
+
+
+def cast_column(root: str, name: str, arrow_type, spark) -> int:
+    """``ALTER TABLE t ALTER COLUMN x TYPE <t>`` — Lance's
+    ``alter_columns(cast)``: a COLUMN-SCOPED rewrite in one commit.
+    Executors decode only the column being cast (all physical rows),
+    Catalyst evaluates the cast, and each fragment gains ONE new data
+    file holding the cast values at its physical offsets; the schema
+    REPLACES the field in place (same name and position, a FRESH field
+    id — the old id stays in the old files, never decoded again, and
+    old versions time-travel to the old type). No other column's bytes
+    move. Spark cast semantics (non-ANSI: overflow → NULL). A
+    sidecar-index-covered column refuses — cast values would orphan
+    the index's vectors."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F, types as T
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _require_parallel_datafiles(fields, frags, root)
+    by_name = {f.name: f for f in fields}
+    if name not in by_name:
+        raise ValueError(f"no column {name!r} in {root}")
+    logical = _logical_of(pa, arrow_type)
+    if logical == "struct":
+        raise UnsupportedLanceFeature(
+            "ALTER COLUMN TYPE struct is outside the subset"
+        )
+    mpath = os.path.join(root, "_versions", f"{version}.manifest")
+    old_ids = set(_depth_first_ids([by_name[name]]))
+    for ix in read_index_section(mpath):
+        if old_ids & set(ix.field_ids):
+            raise UnsupportedLanceFeature(
+                f"column {name!r} is covered by index {ix.name!r} — "
+                "drop the index before casting it"
+            )
+    used = set(_depth_first_ids(fields))
+    for fr in frags:
+        for f in fr.all_files():
+            used.update(f.field_ids or ())
+    next_id = max(used, default=-1) + 1
+    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
+    if logical == "list":
+        child_logical = _logical_of(pa, arrow_type.value_type)
+        if child_logical not in _PRIM:
+            raise UnsupportedLanceFeature(
+                f"list element type {arrow_type} outside the subset"
+            )
+        lf.children.append(
+            LanceField(
+                name="item", fid=next_id + 1, parent=next_id,
+                logical=child_logical,
+            )
+        )
+    target_t = _spark_type_of(pa, arrow_type, T.TimestampNTZType())
+    full = arrow_schema_of(fields)
+    src_field = next(f for f in full if f.name == name)
+    probe = T.StructType(
+        [
+            T.StructField(
+                name,
+                _spark_type_of(pa, src_field.type, T.TimestampNTZType()),
+                True,
+            )
+        ]
+    )
+    # analyze the cast up front: an impossible cast refuses here
+    spark.createDataFrame([], probe).select(F.col(name).cast(target_t))
+    dec = _decode_positions_frame(root, version, frags, [name], probe, spark)
+    out_frame = dec.select(
+        "__frag", "__pos", F.col(name).cast(target_t).alias(name)
+    )
+    new_fields = [lf if f.name == name else f for f in fields]
+    return _write_column_files_and_commit(
+        root, fields, frags, version, new_fields, [lf], out_frame,
+        [name], {name: arrow_type},
+        replace_schema=True,
     )
 
 

@@ -3874,3 +3874,63 @@ def test_rename_column_metadata_only(spark, tmp_path_str):
     )
     with pytest.raises(ValueError, match="sidecar"):
         eng.execute("ALTER TABLE rni RENAME COLUMN emb TO vec")
+
+
+def test_alter_column_type_cast(spark, tmp_path_str):
+    """ALTER COLUMN x TYPE t (Lance alter_columns cast): a
+    column-scoped rewrite in one commit — each fragment gains one data
+    file of cast values at physical offsets, the schema replaces the
+    field in place with a FRESH id (the old id's pages are never
+    decoded again), other columns' bytes never move, old versions
+    time-travel to the old type, and deletions keep masking."""
+    import pyarrow as pa
+    import pytest
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        UnsupportedLanceFeature,
+        cast_column,
+        delete_rows,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "cast")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([10.9, 20.1, 30.5], pa.float64()),
+            }
+        ),
+    )
+    delete_rows(root, [1])
+    v = cast_column(root, "v", pa.int64(), spark)
+    got = LanceNativeDataset(root).to_arrow()
+    assert got.schema.field("v").type == pa.int64()
+    assert got.column("v").to_pylist() == [10, 30]  # Spark cast truncates
+    assert got.column("id").to_pylist() == [1, 3]
+    old = LanceNativeDataset(root).to_arrow(version=v - 1)
+    assert old.schema.field("v").type == pa.float64()
+    assert old.column("v").to_pylist() == [10.9, 30.5]
+    with pytest.raises(ValueError, match="no column"):
+        cast_column(root, "nope", pa.int64(), spark)
+    with pytest.raises(UnsupportedLanceFeature, match="struct"):
+        cast_column(
+            root, "v", pa.struct([("a", pa.int64())]), spark
+        )
+    # SQL spelling + post-cast INSERT carries the new type
+    eng = SqlEngine(spark, Catalog(os.path.join(tmp_path_str, "castcat")))
+    eng.execute(
+        f"CREATE TABLE ct (id BIGINT) "
+        f"WITH ('connector'='lance', 'path'='{root}')"
+    )
+    eng.execute("ALTER TABLE ct ALTER COLUMN v TYPE STRING")
+    eng.execute("INSERT INTO ct VALUES (9, 'ninety')")
+    got2 = sorted(
+        (r["id"], r["v"])
+        for r in eng.execute("SELECT id, v FROM ct").collect()
+    )
+    assert got2 == [(1, "10"), (3, "30"), (9, "ninety")]

@@ -538,8 +538,8 @@ def test_fragment_file_roundtrip_property(tmp_path_factory, cols, n, page_rows, 
     ops=st.lists(
         st.sampled_from(
             [
-                "append", "add", "backfill", "merge", "rename", "drop",
-                "delete", "compact",
+                "append", "add", "backfill", "merge", "rename", "cast",
+                "drop", "delete", "compact",
             ]
         ),
         max_size=8,
@@ -669,6 +669,24 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
                     float(e[0]["id"] % 13)
                     if e[0]["id"] in chosen
                     else None
+                )
+        elif op == "cast":
+            from lance_flink_spark.sources.lance_native import (
+                cast_column,
+            )
+
+            castable = [n for n, k in schema if k == "float64"]
+            if not castable:
+                continue
+            name = castable[0]
+            cast_column(root, name, pa.int64(), _get_spark())
+            schema = [
+                (n, "int64" if n == name else k) for n, k in schema
+            ]
+            for e in live:  # Spark cast truncates toward zero
+                e[0] = dict(e[0])
+                e[0][name] = (
+                    int(e[0][name]) if e[0][name] is not None else None
                 )
         elif op == "rename":
             from lance_flink_spark.sources.lance_native import (
