@@ -2294,6 +2294,12 @@ def merge_columns(root: str, src_df, on: str, spark) -> int:
         raise ValueError(f"source frame carries only the key {on!r}")
     if on not in src_df.columns:
         raise ValueError(f"source frame has no key column {on!r}")
+    bad = [f.name for f in src_fields if f.name.startswith("__")]
+    if bad:
+        raise ValueError(
+            f"source column names {bad!r} collide with the attach "
+            "plumbing's reserved __-prefix (__frag/__pos)"
+        )
     used = set(_depth_first_ids(fields))
     for fr in frags:
         for f in fr.all_files():
@@ -2537,6 +2543,11 @@ def add_columns_backfill(
     for name, arrow_type, expr in specs:
         if name in taken:
             raise ValueError(f"column {name!r} already exists in {root}")
+        if name.startswith("__"):
+            raise ValueError(
+                f"column name {name!r} collides with the attach "
+                "plumbing's reserved __-prefix (__frag/__pos)"
+            )
         taken.add(name)
         logical = _logical_of(pa, arrow_type)
         if logical == "struct":

@@ -3934,3 +3934,29 @@ def test_alter_column_type_cast(spark, tmp_path_str):
         for r in eng.execute("SELECT id, v FROM ct").collect()
     )
     assert got2 == [(1, "10"), (3, "30"), (9, "ninety")]
+
+
+def test_attach_family_refuses_reserved_names(spark, tmp_path_str):
+    """__-prefixed column names collide with the attach plumbing's
+    __frag/__pos address columns — refuse up front."""
+    import pyarrow as pa
+    import pytest
+
+    from lance_flink_spark.sources.lance_native import (
+        add_columns_backfill,
+        merge_columns,
+        write_dataset,
+    )
+
+    root = os.path.join(tmp_path_str, "resv")
+    write_dataset(root, pa.table({"id": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="reserved"):
+        add_columns_backfill(
+            root, [("__pos", pa.int64(), "id")], spark
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        merge_columns(
+            root,
+            spark.createDataFrame([(1, 2.0)], "id long, __frag double"),
+            "id", spark,
+        )
