@@ -1451,3 +1451,45 @@ def jpeg_features(content: bytes) -> list[float]:
         float(rgb[..., 2].mean()),
         float(gray.std()),
     ]
+
+
+def decode_image_auto(content: bytes) -> "np.ndarray":
+    """Magic-sniffing PIXEL decoder (the array-returning counterpart
+    of :func:`decode_auto`): PPM ('P6'), PNG (8-byte signature),
+    baseline/progressive JPEG (FFD8FF) → (h, w, channels) uint8.
+    Non-image blobs refuse — a perceptual hash over audio bytes would
+    be a silent lie."""
+    if content[:2] == b"P6":
+        return decode_ppm(content)
+    if content[:8] == _PNG_MAGIC:
+        return decode_png(content)
+    if content[:3] == _JPEG_MAGIC:
+        return decode_jpeg(content)
+    raise ValueError("not a decodable image (PPM/PNG/JPEG)")
+
+
+def dhash64(content: bytes) -> int:
+    """Perceptual DIFFERENCE hash over any decodable image blob:
+    grayscale → nearest-neighbor resample to 9 wide x 8 high → one bit
+    per horizontally adjacent pair (left brighter than right) — 64
+    bits, returned SIGNED so it rides Spark's BIGINT. Identical
+    pixels hash equal regardless of container bytes (PNG filter
+    choice, PPM vs PNG); small crops/recompressions flip few bits, so
+    hamming distance ranks near-duplicates. Public construction:
+    dHash (Krawetz)."""
+    img = decode_image_auto(content).astype(np.float64)
+    gray = img.mean(axis=2) if img.ndim == 3 else img
+    h, w = gray.shape
+    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+    xi = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = gray[yi][:, xi]
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def hamming64(a: int, b: int) -> int:
+    """Bit distance between two signed-64 dhash values."""
+    return int(bin(((a ^ b) + (1 << 64)) % (1 << 64)).count("1"))

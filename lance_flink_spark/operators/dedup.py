@@ -1064,3 +1064,138 @@ def cut_repeated_spans(
             .alias("n_tokens_cut"),
         )
     )
+
+
+def image_dhash_dedup(
+    blobs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact PERCEPTUAL image dedup: one mapInPandas pass hashes every
+    blob with :func:`~lance_flink_spark.functions.multimodal.dhash64`
+    (REAL PPM/PNG/JPEG pixel decoders — identical pixels hash equal
+    regardless of container bytes or PNG filter choice), then a plain
+    hash-groupBy. O(n) with a 64-bit shuffle key, never all-pairs —
+    the multimodal counterpart of :func:`exact_dedup`. Returns
+    (dhash, keep_id, n_copies)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, blobs.schema[id_col].dataType, True),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def _hash(batches):
+        from lance_flink_spark.functions.multimodal import dhash64
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": [
+                        dhash64(bytes(c)) for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return (
+        blobs.select(id_col, content_col)
+        .mapInPandas(_hash, schema=schema)
+        .groupBy("dhash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def image_near_dup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 6,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """NEAR-duplicate image pairs by banded dHash: the 64-bit hash
+    splits into ``bands`` equal bit-bands (LSH — two hashes within
+    hamming distance ``bands-1`` MUST share at least one intact band,
+    the pigeonhole guarantee; above that recall is probabilistic), a
+    self-join on (band index, band value) generates candidates, and
+    JVM-side ``bit_count(a XOR b)`` filters to the exact distance.
+    O(n·bucket), never all-pairs. Returns (id_a, id_b, hamming)."""
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, blobs.schema[id_col].dataType, True),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def _hash(batches):
+        from lance_flink_spark.functions.multimodal import dhash64
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": [
+                        dhash64(bytes(c)) for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    hs = blobs.select(id_col, content_col).mapInPandas(
+        _hash, schema=schema
+    )
+    banded = hs.select(
+        F.col(id_col),
+        F.col("dhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("dhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "dhash", "b.band", "b.val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("dhash").alias("ha"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("dhash").alias("hb"),
+        "band", "val",
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

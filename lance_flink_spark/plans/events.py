@@ -1081,3 +1081,66 @@ def streaming_sql_over(spark, sf_dir):
     return spark.table(t).select(
         "user_id", "event_id", "ts_us", "s", "c", "mx"
     )
+
+
+@query(
+    "image_dedup_dhash",
+    extra=True,  # r14 extension: perceptual image dedup over REAL codecs
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY doc_id % 17
+    """,
+)
+def image_dedup_dhash(spark, sf_dir):
+    """PERCEPTUAL image dedup end-to-end over REAL codecs (no stubs):
+    each document synthesizes a 16x16 RGB gradient image whose pixels
+    depend ONLY on doc_id % 17, PNG-encoded with a per-doc scanline
+    FILTER (doc_id % 4 — so byte-identical blobs never occur within a
+    group; only the PIXELS repeat), then
+    :func:`operators.dedup.image_dhash_dedup` decodes every blob
+    through the pure-Python PNG decoder, dHashes the pixels, and
+    groups. 17 pattern groups must come back exactly — a decoder that
+    looks at bytes instead of pixels, a hash collision between
+    patterns, or a filter-dependent decode breaks the row count or the
+    hash. The oracle replays the grouping relationally (MIN id + count
+    per pattern class). Public construction: dHash (Krawetz);
+    multimodal blobs ride binary columns exactly as the reference
+    stores them in Lance."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import numpy as np
+
+    from lance_flink_spark.operators.dedup import image_dhash_dedup
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches):
+        from lance_flink_spark.functions.multimodal import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                p = int(did) % 17
+                x = np.arange(16)[None, :]
+                y = np.arange(16)[:, None]
+                g = (x * 13 * (p + 1) + y * 29 * (p + 3)) % 251
+                arr = np.stack(
+                    [g, (g * 7 + p) % 251, (g * 3 + 2 * p) % 251], axis=2
+                ).astype(np.uint8)
+                blobs.append(encode_png(arr, filter_type=int(did) % 4))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    blobs = docs.mapInPandas(_synth, schema=out_schema)
+    return image_dhash_dedup(blobs).select("keep_id", "n_copies")

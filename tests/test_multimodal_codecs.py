@@ -404,3 +404,76 @@ class TestProgressiveJpeg:
         )
         rows = extract_features(blobs).collect()
         assert rows[0]["feature"] == pytest.approx(jpeg_features(blob))
+
+
+def test_dhash_pixel_invariance_and_distance():
+    """dHash is a function of PIXELS: the same image as PPM and as PNG
+    under all four scanline filters hashes identically; a lightly
+    perturbed image lands within a few bits; a different gradient is
+    far."""
+    import numpy as np
+
+    from lance_flink_spark.functions.multimodal import (
+        dhash64,
+        encode_png,
+        encode_ppm,
+        hamming64,
+    )
+
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+    g = (x * 13 + y * 7) % 251
+    arr = np.stack([g, g, g], axis=2).astype(np.uint8)
+    hashes = {dhash64(encode_ppm(arr))}
+    for ft in range(4):
+        hashes.add(dhash64(encode_png(arr, filter_type=ft)))
+    assert len(hashes) == 1
+    base = hashes.pop()
+    near = arr.copy()
+    near[0:2, 0:4] = 255  # a small hot block (downsample-visible)
+    d_near = hamming64(base, dhash64(encode_ppm(near)))
+    assert 0 < d_near <= 6
+    g2 = (x * 29 + y * 31 + 97) % 251
+    far = np.stack([g2, g2, g2], axis=2).astype(np.uint8)
+    assert hamming64(base, dhash64(encode_ppm(far))) > 10
+    # non-image bytes refuse instead of hashing garbage
+    import pytest
+
+    with pytest.raises(ValueError, match="decodable image"):
+        dhash64(b"RIFF....WAVE")
+
+
+def test_image_near_dup_pairs_banding(spark):
+    """Banded dHash LSH: near-identical images pair up (pigeonhole —
+    hamming <= bands-1 always shares an intact band), distinct
+    gradients don't, and the hamming column is exact (JVM bit_count)."""
+    import numpy as np
+
+    from lance_flink_spark.functions.multimodal import encode_ppm
+    from lance_flink_spark.operators.dedup import image_near_dup_pairs
+
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+
+    def img(slope, hot=False):
+        g = (x * slope + y * 7) % 251
+        arr = np.stack([g, g, g], axis=2).astype(np.uint8)
+        if hot:
+            arr[0:2, 0:4] = 255
+        return bytes(encode_ppm(arr))
+
+    rows = [
+        (1, img(13)),
+        (2, img(13, hot=True)),     # near-dup of 1
+        (3, img(13)),               # exact dup of 1
+        (4, img(101)),              # different image
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 3) in got and got[(1, 3)] == 0
+    assert (1, 2) in got and 0 < got[(1, 2)] <= 6
+    assert (2, 3) in got
+    assert not any(4 in pair for pair in got)
