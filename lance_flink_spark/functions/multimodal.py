@@ -1493,3 +1493,40 @@ def dhash64(content: bytes) -> int:
 def hamming64(a: int, b: int) -> int:
     """Bit distance between two signed-64 dhash values."""
     return int(bin(((a ^ b) + (1 << 64)) % (1 << 64)).count("1"))
+
+
+def audio_fp64(content: bytes) -> int:
+    """Spectral FINGERPRINT for PCM WAV blobs: mono mean → 16 equal
+    time windows → rFFT magnitude per window → the 4-bit dominant
+    band (16 equal frequency bands up to Nyquist) per window = 64
+    bits, SIGNED for Spark's BIGINT. Amplitude-invariant (band argmax
+    of magnitudes) and robust to small phase shifts (window-level
+    spectra), so re-levelled or slightly clipped copies of the same
+    recording fingerprint equal while different tones differ — the
+    audio counterpart of :func:`dhash64`. Public construction:
+    Shazam-style dominant-band landmarks, reduced to one band per
+    window."""
+    with _wave.open(_io.BytesIO(content), "rb") as f:
+        n = f.getnframes()
+        width = f.getsampwidth()
+        ch = f.getnchannels()
+        raw = f.readframes(n)
+    if width != 2:
+        raise ValueError(f"unsupported sample width {width}")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+    if ch > 1:
+        x = x[: (x.size // ch) * ch].reshape(-1, ch).mean(axis=1)
+    if x.size < 32:
+        raise ValueError("audio too short to fingerprint")
+    val = 0
+    win = x.size // 16
+    for w in range(16):
+        seg = x[w * win : (w + 1) * win]
+        mag = np.abs(np.fft.rfft(seg))
+        mag[0] = 0.0  # DC carries level, not pitch
+        # collapse the spectrum into 16 equal bands; argmax band is
+        # the window's 4-bit symbol
+        bands = np.array_split(mag, 16)
+        sym = int(np.argmax([b.sum() for b in bands]))
+        val = (val << 4) | sym
+    return val - (1 << 64) if val >= (1 << 63) else val

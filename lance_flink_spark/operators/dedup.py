@@ -1199,3 +1199,50 @@ def image_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def audio_fp_dedup(
+    blobs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact PERCEPTUAL audio dedup: one mapInPandas pass fingerprints
+    every WAV blob with
+    :func:`~lance_flink_spark.functions.multimodal.audio_fp64`
+    (amplitude-invariant dominant-band spectra — re-levelled copies of
+    one recording group together), then a hash-groupBy. O(n); the
+    audio counterpart of :func:`image_dhash_dedup`. Returns
+    (audio_fp, keep_id, n_copies)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, blobs.schema[id_col].dataType, True),
+            T.StructField("audio_fp", T.LongType(), True),
+        ]
+    )
+
+    def _fp(batches):
+        from lance_flink_spark.functions.multimodal import audio_fp64
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "audio_fp": [
+                        audio_fp64(bytes(c)) for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return (
+        blobs.select(id_col, content_col)
+        .mapInPandas(_fp, schema=schema)
+        .groupBy("audio_fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

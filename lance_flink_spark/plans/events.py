@@ -1144,3 +1144,74 @@ def image_dedup_dhash(spark, sf_dir):
 
     blobs = docs.mapInPandas(_synth, schema=out_schema)
     return image_dhash_dedup(blobs).select("keep_id", "n_copies")
+
+
+@query(
+    "audio_dedup_fp",
+    extra=True,  # r14 extension: perceptual audio dedup (real WAV+rFFT)
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY doc_id % 13
+    """,
+)
+def audio_dedup_fp(spark, sf_dir):
+    """PERCEPTUAL audio dedup end-to-end over the REAL WAV codec: each
+    document synthesizes a short PCM tone whose FREQUENCY depends only
+    on doc_id % 13 while its AMPLITUDE and PHASE vary per doc (so
+    byte-identical blobs never occur within a group; only the pitch
+    repeats), then :func:`operators.dedup.audio_fp_dedup` decodes
+    every blob (stdlib wave + rFFT dominant-band fingerprint) and
+    groups. 13 tone classes must come back exactly — a byte-hasher, an
+    amplitude-sensitive fingerprint, or a band collision breaks the
+    row count or the hash. The oracle replays the grouping
+    relationally."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.operators.dedup import audio_fp_dedup
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches):
+        sr = 4000
+        t = np.arange(sr // 4) / sr  # 250 ms
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                p = int(did) % 13
+                # band-CENTERED tones: windows are 250 samples → 16 Hz
+                # bins, 8-bin bands → centers at 128p+64 Hz (a tone on
+                # a band boundary would flip its argmax with phase —
+                # the quantization edge any perceptual hash has)
+                freq = 64.0 + 128.0 * p
+                amp = 0.2 + 0.05 * (int(did) % 7)  # per-doc level
+                phase = 0.1 * (int(did) % 11)  # per-doc phase
+                x = (
+                    amp * np.sin(2 * np.pi * freq * t + phase) * 32000
+                ).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(sr)
+                    f.writeframes(x.tobytes())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    blobs = docs.mapInPandas(_synth, schema=out_schema)
+    return audio_fp_dedup(blobs).select("keep_id", "n_copies")

@@ -477,3 +477,53 @@ def test_image_near_dup_pairs_banding(spark):
     assert (1, 2) in got and 0 < got[(1, 2)] <= 6
     assert (2, 3) in got
     assert not any(4 in pair for pair in got)
+
+
+def test_audio_fp_invariance(spark):
+    """audio_fp64 is a function of PITCH content: amplitude and phase
+    variants of one tone fingerprint equal, different band-centered
+    tones differ, stereo downmixes, and non-PCM refuses."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from lance_flink_spark.functions.multimodal import audio_fp64
+    from lance_flink_spark.operators.dedup import audio_fp_dedup
+
+    sr = 4000
+    t = np.arange(sr // 4) / sr
+
+    def blob(freq, amp=0.3, phase=0.0, ch=1):
+        x = (amp * np.sin(2 * np.pi * freq * t + phase) * 32000).astype(
+            np.int16
+        )
+        if ch == 2:
+            x = np.repeat(x, 2)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(ch)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    base = audio_fp64(blob(64 + 128 * 3))
+    assert audio_fp64(blob(64 + 128 * 3, amp=0.5, phase=0.7)) == base
+    assert audio_fp64(blob(64 + 128 * 3, ch=2)) == base  # stereo downmix
+    assert audio_fp64(blob(64 + 128 * 7)) != base
+    with pytest.raises(Exception):
+        audio_fp64(b"not audio at all")
+    # the operator groups amplitude variants of each tone
+    rows = [
+        (1, blob(64 + 128 * 2, amp=0.2)),
+        (2, blob(64 + 128 * 2, amp=0.4)),
+        (3, blob(64 + 128 * 5, amp=0.2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = sorted(
+        (r["keep_id"], r["n_copies"])
+        for r in audio_fp_dedup(df).collect()
+    )
+    assert got == [(1, 2), (3, 1)]
