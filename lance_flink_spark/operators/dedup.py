@@ -1066,6 +1066,40 @@ def cut_repeated_spans(
     )
 
 
+def _fingerprint_frame(
+    blobs: DataFrame, fp_fn, out_col: str, content_col: str, id_col: str
+) -> DataFrame:
+    """Shared scaffold of every perceptual-dedup operator: one
+    mapInPandas pass maps each blob's bytes through ``fp_fn`` (a
+    module-level codec fingerprint — pickled by reference, so
+    ship_package makes it importable on the workers) into a signed
+    64-bit column."""
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(blobs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, blobs.schema[id_col].dataType, True),
+            T.StructField(out_col, T.LongType(), True),
+        ]
+    )
+
+    def _fp(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [fp_fn(bytes(c)) for c in pdf[content_col]],
+                }
+            )
+
+    return blobs.select(id_col, content_col).mapInPandas(
+        _fp, schema=schema
+    )
+
+
 def image_dhash_dedup(
     blobs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1076,35 +1110,10 @@ def image_dhash_dedup(
     hash-groupBy. O(n) with a 64-bit shuffle key, never all-pairs —
     the multimodal counterpart of :func:`exact_dedup`. Returns
     (dhash, keep_id, n_copies)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from lance_flink_spark.session import ship_package
-
-    ship_package(blobs.sparkSession)
-    schema = T.StructType(
-        [
-            T.StructField(id_col, blobs.schema[id_col].dataType, True),
-            T.StructField("dhash", T.LongType(), True),
-        ]
-    )
-
-    def _hash(batches):
-        from lance_flink_spark.functions.multimodal import dhash64
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "dhash": [
-                        dhash64(bytes(c)) for c in pdf[content_col]
-                    ],
-                }
-            )
+    from lance_flink_spark.functions.multimodal import dhash64
 
     return (
-        blobs.select(id_col, content_col)
-        .mapInPandas(_hash, schema=schema)
+        _fingerprint_frame(blobs, dhash64, "dhash", content_col, id_col)
         .groupBy("dhash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -1131,35 +1140,9 @@ def image_near_dup_pairs(
         raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    import pandas as pd
-    from pyspark.sql import types as T
+    from lance_flink_spark.functions.multimodal import dhash64
 
-    from lance_flink_spark.session import ship_package
-
-    ship_package(blobs.sparkSession)
-    schema = T.StructType(
-        [
-            T.StructField(id_col, blobs.schema[id_col].dataType, True),
-            T.StructField("dhash", T.LongType(), True),
-        ]
-    )
-
-    def _hash(batches):
-        from lance_flink_spark.functions.multimodal import dhash64
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "dhash": [
-                        dhash64(bytes(c)) for c in pdf[content_col]
-                    ],
-                }
-            )
-
-    hs = blobs.select(id_col, content_col).mapInPandas(
-        _hash, schema=schema
-    )
+    hs = _fingerprint_frame(blobs, dhash64, "dhash", content_col, id_col)
     banded = hs.select(
         F.col(id_col),
         F.col("dhash"),
@@ -1211,35 +1194,12 @@ def audio_fp_dedup(
     one recording group together), then a hash-groupBy. O(n); the
     audio counterpart of :func:`image_dhash_dedup`. Returns
     (audio_fp, keep_id, n_copies)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from lance_flink_spark.session import ship_package
-
-    ship_package(blobs.sparkSession)
-    schema = T.StructType(
-        [
-            T.StructField(id_col, blobs.schema[id_col].dataType, True),
-            T.StructField("audio_fp", T.LongType(), True),
-        ]
-    )
-
-    def _fp(batches):
-        from lance_flink_spark.functions.multimodal import audio_fp64
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "audio_fp": [
-                        audio_fp64(bytes(c)) for c in pdf[content_col]
-                    ],
-                }
-            )
+    from lance_flink_spark.functions.multimodal import audio_fp64
 
     return (
-        blobs.select(id_col, content_col)
-        .mapInPandas(_fp, schema=schema)
+        _fingerprint_frame(
+            blobs, audio_fp64, "audio_fp", content_col, id_col
+        )
         .groupBy("audio_fp")
         .agg(
             F.min(id_col).alias("keep_id"),

@@ -1192,10 +1192,12 @@ def audio_dedup_fp(spark, sf_dir):
             blobs = []
             for did in pdf["doc_id"]:
                 p = int(did) % 13
-                # band-CENTERED tones: windows are 250 samples → 16 Hz
-                # bins, 8-bin bands → centers at 128p+64 Hz (a tone on
-                # a band boundary would flip its argmax with phase —
-                # the quantization edge any perceptual hash has)
+                # band-CENTERED tones: the 1000-sample clip splits
+                # into 16 windows of 62 samples → ~64.5 Hz rFFT bins,
+                # 2-bin bands spanning ~129 Hz — 64+128p Hz sits
+                # inside band p, away from its edges (a tone ON a band
+                # boundary would flip its argmax with phase — the
+                # quantization edge any perceptual hash has)
                 freq = 64.0 + 128.0 * p
                 amp = 0.2 + 0.05 * (int(did) % 7)  # per-doc level
                 phase = 0.1 * (int(did) % 11)  # per-doc phase

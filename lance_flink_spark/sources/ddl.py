@@ -1742,6 +1742,12 @@ class SqlEngine:
             )
             self._reregister_native(m.group("name"))
             return None
+        if m and self._in_catalog(m.group("name")):
+            raise ValueError(
+                "ALTER COLUMN ... TYPE is a NATIVE-table zero-rewrite "
+                f"cast; {m.group('name')!r} is a parquet-backed catalog "
+                "table — UPDATE into a new column or CTAS with the cast"
+            )
         m = _ALTER_RENAME_COL.match(sql)
         if m and m.group("name") in self.native_tables:
             from lance_flink_spark.sources.lance_native import (
@@ -1767,6 +1773,12 @@ class SqlEngine:
             )
             self._reregister_native(m.group("name"))
             return None
+        if m and self._in_catalog(m.group("name")):
+            raise ValueError(
+                "RENAME COLUMN is a NATIVE-table metadata commit; "
+                f"{m.group('name')!r} is a parquet-backed catalog table "
+                "— CTAS with the renamed projection"
+            )
         m = _ALTER_RENAME.match(sql)
         if m:
             self.catalog.rename_table(self.database, m.group("name"), m.group("new"))

@@ -2338,40 +2338,52 @@ def merge_columns(root: str, src_df, on: str, spark) -> int:
             next_id += 1
         new_lfs.append(lf)
         arrow_types[f.name] = at
-    # a duplicate key fans the left join out 1:N — the fragment's row
-    # count changes and positions cannot align; refuse up front with
-    # the real reason instead of the writer's alignment backstop
-    if src_df.groupBy(on).count().where(F.col("count") > 1).take(1):
-        raise ValueError(
-            f"source frame has duplicate {on!r} keys — merge_columns "
-            "needs at most one source row per key"
-        )
-    full = arrow_schema_of(fields)
-    key_field = next(f for f in full if f.name == on)
-    probe = T.StructType(
-        [
-            T.StructField(
-                on,
-                _spark_type_of(pa, key_field.type, T.TimestampNTZType()),
-                True,
+    # persist the source across its TWO consumers (the duplicate-key
+    # guard job and the join itself) — without it an expensive attach
+    # query would execute end-to-end twice
+    src_df = src_df.persist()
+    try:
+        # a duplicate key fans the left join out 1:N — the fragment's
+        # row count changes and positions cannot align; refuse up
+        # front with the real reason instead of the writer's
+        # alignment backstop
+        if src_df.groupBy(on).count().where(F.col("count") > 1).take(1):
+            raise ValueError(
+                f"source frame has duplicate {on!r} keys — "
+                "merge_columns needs at most one source row per key"
             )
-        ]
-    )
-    dec = _decode_positions_frame(root, version, frags, [on], probe, spark)
-    names = [f.name for f in src_fields]
-    out_frame = (
-        dec.join(src_df, on=on, how="left")
-        .select("__frag", "__pos", *names)
-        # the join scatters fragments across partitions; hash back by
-        # fragment and sort by position so the writer sees each
-        # fragment contiguous and in physical order
-        .repartition(F.col("__frag"))
-        .sortWithinPartitions("__frag", "__pos")
-    )
-    return _write_column_files_and_commit(
-        root, fields, frags, version, new_lfs, new_lfs, out_frame,
-        names, arrow_types,
-    )
+        full = arrow_schema_of(fields)
+        key_field = next(f for f in full if f.name == on)
+        probe = T.StructType(
+            [
+                T.StructField(
+                    on,
+                    _spark_type_of(
+                        pa, key_field.type, T.TimestampNTZType()
+                    ),
+                    True,
+                )
+            ]
+        )
+        dec = _decode_positions_frame(
+            root, version, frags, [on], probe, spark
+        )
+        names = [f.name for f in src_fields]
+        out_frame = (
+            dec.join(src_df, on=on, how="left")
+            .select("__frag", "__pos", *names)
+            # the join scatters fragments across partitions; hash back
+            # by fragment and sort by position so the writer sees each
+            # fragment contiguous and in physical order
+            .repartition(F.col("__frag"))
+            .sortWithinPartitions("__frag", "__pos")
+        )
+        return _write_column_files_and_commit(
+            root, fields, frags, version, new_lfs, new_lfs, out_frame,
+            names, arrow_types,
+        )
+    finally:
+        src_df.unpersist()
 
 
 def _write_column_files_and_commit(
@@ -2760,6 +2772,13 @@ def rename_column(root: str, old: str, new: str) -> int:
         raise ValueError(f"column {new!r} already exists in {root}")
     if not re.fullmatch(r"\w+", new):
         raise ValueError(f"invalid column name {new!r}")
+    if new.startswith("__"):
+        # same guard as the attach family: a __frag/__pos/__phys
+        # column would collide with the offset plumbing's columns
+        raise ValueError(
+            f"column name {new!r} collides with the attach plumbing's "
+            "reserved __-prefix"
+        )
     by_name[old].name = new
     _write_manifest(
         root, version + 1, _schema_fields_of_existing(fields), frags
