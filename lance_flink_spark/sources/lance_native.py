@@ -2261,6 +2261,101 @@ def _decode_positions_frame(root, version, frags, ref_names, probe, spark):
     return tasks.mapInPandas(_decode, schema=decode_schema)
 
 
+def add_column_backfill_udf(
+    root: str, name: str, arrow_type, ref_cols: list[str], fn, spark
+) -> int:
+    """Zero-rewrite ADD COLUMN computed by a PYTHON batch function —
+    Lance's ``add_columns(udf)`` counterpart for compute SQL can't
+    express (codec fingerprints, tokenizers): one task per fragment
+    decodes ONLY ``ref_cols`` (all physical rows), calls
+    ``fn(pandas.DataFrame) -> sequence`` per Arrow batch, and writes
+    the fragment's single-column file; one manifest commit plates the
+    field. ``fn`` must be row-local and deterministic-per-row (task
+    retries recompute it) and is pickled to the executors — module-
+    level functions ride ship_package. Example: backfill a perceptual
+    dHash column over a native table of image blobs without rewriting
+    a byte of them."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _require_parallel_datafiles(fields, frags, root)
+    if any(f.name == name for f in fields):
+        raise ValueError(f"column {name!r} already exists in {root}")
+    if name.startswith("__"):
+        raise ValueError(
+            f"column name {name!r} collides with the attach plumbing's "
+            "reserved __-prefix (__frag/__pos)"
+        )
+    have = {f.name for f in fields}
+    missing = [c for c in ref_cols if c not in have]
+    if missing:
+        raise ValueError(f"ref columns {missing!r} not in {root}")
+    logical = _logical_of(pa, arrow_type)
+    if logical == "struct":
+        raise UnsupportedLanceFeature(
+            "ADD COLUMN of struct type is outside the subset"
+        )
+    used = set(_depth_first_ids(fields))
+    for fr in frags:
+        for f in fr.all_files():
+            used.update(f.field_ids or ())
+    next_id = max(used, default=-1) + 1
+    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
+    if logical == "list":
+        child_logical = _logical_of(pa, arrow_type.value_type)
+        if child_logical not in _PRIM:
+            raise UnsupportedLanceFeature(
+                f"list element type {arrow_type} outside the subset"
+            )
+        lf.children.append(
+            LanceField(
+                name="item", fid=next_id + 1, parent=next_id,
+                logical=child_logical,
+            )
+        )
+    full = arrow_schema_of(fields)
+    spark_t = _spark_type_of(pa, arrow_type, T.TimestampNTZType())
+    probe = T.StructType(
+        [
+            T.StructField(
+                f.name, _spark_type_of(pa, f.type, T.TimestampNTZType()),
+                True,
+            )
+            for f in full
+            if f.name in set(ref_cols)
+        ]
+    )
+    dec = _decode_positions_frame(
+        root, version, frags, list(ref_cols), probe, spark
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__frag", T.StringType(), False),
+            T.StructField("__pos", T.LongType(), False),
+            T.StructField(name, spark_t, True),
+        ]
+    )
+
+    def _apply(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__frag": pdf["__frag"],
+                    "__pos": pdf["__pos"],
+                    name: list(fn(pdf[list(ref_cols)])),
+                }
+            )
+
+    out_frame = dec.mapInPandas(_apply, schema=out_schema)
+    return _write_column_files_and_commit(
+        root, fields, frags, version, [lf], [lf], out_frame,
+        [name], {name: arrow_type},
+    )
+
+
 def merge_columns(root: str, src_df, on: str, spark) -> int:
     """Lance's ``Dataset.merge(data, on)`` — attach NEW columns to a
     native table by a KEY JOIN against another frame, ZERO-REWRITE:

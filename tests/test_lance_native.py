@@ -3960,3 +3960,60 @@ def test_attach_family_refuses_reserved_names(spark, tmp_path_str):
             spark.createDataFrame([(1, 2.0)], "id long, __frag double"),
             "id", spark,
         )
+
+
+def test_udf_backfill_dhash_over_native_blobs(spark, tmp_path_str):
+    """The composition the zero-rewrite family exists for: a native
+    table of PNG blobs gains a perceptual dHash column computed by a
+    Python batch function on the executors — no blob is rewritten, the
+    hashes align at physical offsets under deletions, and a groupBy on
+    the new column finds the pixel-duplicates."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_flink_spark.functions.multimodal import encode_png
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_column_backfill_udf,
+        delete_rows,
+        write_dataset,
+    )
+
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+
+    def img(p, ft):
+        g = (x * 13 * (p + 1) + y * 7) % 251
+        return encode_png(
+            np.stack([g, g, g], axis=2).astype(np.uint8), filter_type=ft
+        )
+
+    # 6 blobs, 3 pixel-classes, varying PNG filters within a class
+    blobs = [img(i % 3, i % 4) for i in range(6)]
+    root = os.path.join(tmp_path_str, "udfbf")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array(range(6), pa.int64()),
+                "content": pa.array(blobs, pa.large_binary()),
+            }
+        ),
+    )
+    delete_rows(root, [4])  # id=4 (class 1)
+
+    def hash_batch(pdf):
+        from lance_flink_spark.functions.multimodal import dhash64
+
+        return [dhash64(bytes(c)) for c in pdf["content"]]
+
+    add_column_backfill_udf(
+        root, "dhash", pa.int64(), ["content"], hash_batch, spark
+    )
+    got = LanceNativeDataset(root).to_arrow()
+    by_class = {}
+    for i, h in zip(got.column("id").to_pylist(), got.column("dhash").to_pylist()):
+        by_class.setdefault(i % 3, set()).add(h)
+    assert all(len(v) == 1 for v in by_class.values())  # class → 1 hash
+    assert len({next(iter(v)) for v in by_class.values()}) == 3
+    assert 4 not in got.column("id").to_pylist()  # deletion still masks
