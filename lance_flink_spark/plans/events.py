@@ -1217,3 +1217,66 @@ def audio_dedup_fp(spark, sf_dir):
 
     blobs = docs.mapInPandas(_synth, schema=out_schema)
     return audio_fp_dedup(blobs).select("keep_id", "n_copies")
+
+
+@query(
+    "image_near_dup_pairs",
+    extra=True,  # r14 extension: the banded-LSH pair join, full oracle
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) a
+    JOIN (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) b
+      ON a.doc_id % 17 = b.doc_id % 17 AND a.doc_id < b.doc_id
+    """,
+)
+def image_near_dup_pairs_q(spark, sf_dir):
+    """The banded dHash LSH JOIN end-to-end with a full oracle: the
+    same doc_id%17 pixel patterns as `image_dedup_dhash` (PNG filter
+    varies per doc) over a doc_id%50 subsample — every same-pattern
+    pair must surface with hamming 0 and NO cross-pattern pair may
+    (the 17 gradients sit > max_hamming apart), which DuckDB replays
+    as a plain self-join on the pattern class. Exercises the band
+    explode, the (band, value) self-join, and the JVM bit_count
+    filter."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.operators.dedup import image_near_dup_pairs
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where("doc_id % 50 = 0")
+        .select("doc_id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches):
+        from lance_flink_spark.functions.multimodal import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                p = int(did) % 17
+                x = np.arange(16)[None, :]
+                y = np.arange(16)[:, None]
+                g = (x * 13 * (p + 1) + y * 29 * (p + 3)) % 251
+                arr = np.stack(
+                    [g, (g * 7 + p) % 251, (g * 3 + 2 * p) % 251], axis=2
+                ).astype(np.uint8)
+                blobs.append(encode_png(arr, filter_type=int(did) % 4))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    blobs = docs.mapInPandas(_synth, schema=out_schema)
+    return image_near_dup_pairs(blobs, max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
