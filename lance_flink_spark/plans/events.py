@@ -1085,7 +1085,8 @@ def streaming_sql_over(spark, sf_dir):
 
 @query(
     "image_dedup_dhash",
-    extra=True,  # r14 extension: perceptual image dedup over REAL codecs
+    # r14 extension flagship, PRIMARY: perceptual image dedup over the
+    # REAL codecs — driver-graded hash evidence
     oracle="""
     SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM documents
