@@ -461,6 +461,8 @@ def events_match_sequence(spark, sf_dir):
 
 @query(
     "streaming_match_sequence",
+    extra=True,  # r14-ext2 rotation out: hash-green since r9; the
+    # QUANTIFIED streaming MR flagship carries the driver evidence now
     oracle="""
     SELECT v.user_id, v.event_id AS start_event_id,
            epoch_us(v.ts) AS t0_us, epoch_us(c.ts) AS t1_us,

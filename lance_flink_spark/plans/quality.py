@@ -623,7 +623,8 @@ def range_lookup(spark, sf_dir):
 
 @query(
     "orders_price_deciles",
-    # r8 rotation: promoted to the driver registry (distributed NTILE evidence)
+    extra=True,  # r14-ext2 rotation out: hash-green r8-r13; the NTILE
+    # machinery keeps its property tests + this full-oracle extra
     oracle="""
     WITH t AS (
       SELECT o_orderkey,
