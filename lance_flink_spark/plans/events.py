@@ -1085,6 +1085,29 @@ def streaming_sql_over(spark, sf_dir):
     )
 
 
+def _pattern_png(did: int) -> bytes:
+    """The perceptual-dedup fixture image: a 16x16 RGB gradient whose
+    PIXELS depend only on ``did % 17`` while the PNG scanline FILTER
+    varies per doc (``did % 4``) — byte-identical blobs never occur
+    within a pattern group, only the pixels repeat. Shared by
+    `image_dedup_dhash` and `image_near_dup_pairs`, whose oracles both
+    assume the SAME patterns (measured min pairwise dHash distance:
+    17 bits)."""
+    import numpy as np
+
+    from lance_flink_spark.functions.multimodal import encode_png
+
+    p = did % 17
+    x = np.arange(16)[None, :]
+    y = np.arange(16)[:, None]
+    g = (x * 13 * (p + 1) + y * 29 * (p + 3)) % 251
+    arr = np.stack(
+        [g, (g * 7 + p) % 251, (g * 3 + 2 * p) % 251], axis=2
+    ).astype(np.uint8)
+    return encode_png(arr, filter_type=did % 4)
+
+
+
 @query(
     "image_dedup_dhash",
     # r14 extension flagship, PRIMARY: perceptual image dedup over the
@@ -1128,21 +1151,14 @@ def image_dedup_dhash(spark, sf_dir):
     )
 
     def _synth(batches):
-        from lance_flink_spark.functions.multimodal import encode_png
-
         for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                p = int(did) % 17
-                x = np.arange(16)[None, :]
-                y = np.arange(16)[:, None]
-                g = (x * 13 * (p + 1) + y * 29 * (p + 3)) % 251
-                arr = np.stack(
-                    [g, (g * 7 + p) % 251, (g * 3 + 2 * p) % 251], axis=2
-                ).astype(np.uint8)
-                blobs.append(encode_png(arr, filter_type=int(did) % 4))
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "content": blobs}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        _pattern_png(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
             )
 
     blobs = docs.mapInPandas(_synth, schema=out_schema)
@@ -1227,15 +1243,15 @@ def audio_dedup_fp(spark, sf_dir):
     extra=True,  # r14 extension: the banded-LSH pair join, full oracle
     oracle="""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) a
-    JOIN (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) b
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) a
+    JOIN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
       ON a.doc_id % 17 = b.doc_id % 17 AND a.doc_id < b.doc_id
     """,
 )
 def image_near_dup_pairs_q(spark, sf_dir):
     """The banded dHash LSH JOIN end-to-end with a full oracle: the
     same doc_id%17 pixel patterns as `image_dedup_dhash` (PNG filter
-    varies per doc) over a doc_id%50 subsample — every same-pattern
+    varies per doc) over a doc_id%10 subsample — every same-pattern
     pair must surface with hamming 0 and NO cross-pattern pair may
     (the 17 gradients sit > max_hamming apart), which DuckDB replays
     as a plain self-join on the pattern class. Exercises the band
@@ -1251,7 +1267,7 @@ def image_near_dup_pairs_q(spark, sf_dir):
     ship_package(spark)
     docs = (
         table(spark, sf_dir, "documents")
-        .where("doc_id % 50 = 0")
+        .where("doc_id % 10 = 0")
         .select("doc_id")
     )
     out_schema = T.StructType(
@@ -1262,21 +1278,14 @@ def image_near_dup_pairs_q(spark, sf_dir):
     )
 
     def _synth(batches):
-        from lance_flink_spark.functions.multimodal import encode_png
-
         for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                p = int(did) % 17
-                x = np.arange(16)[None, :]
-                y = np.arange(16)[:, None]
-                g = (x * 13 * (p + 1) + y * 29 * (p + 3)) % 251
-                arr = np.stack(
-                    [g, (g * 7 + p) % 251, (g * 3 + 2 * p) % 251], axis=2
-                ).astype(np.uint8)
-                blobs.append(encode_png(arr, filter_type=int(did) % 4))
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "content": blobs}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        _pattern_png(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
             )
 
     blobs = docs.mapInPandas(_synth, schema=out_schema)

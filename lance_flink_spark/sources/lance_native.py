@@ -2148,6 +2148,45 @@ def _require_parallel_datafiles(
             ) from e
 
 
+def _next_free_field_id(fields: list[LanceField], frags) -> int:
+    """First field id no CURRENT fragment's any data file still
+    carries — a dropped column's id lives on inside DataFile arrays
+    (backfill extras included) and reusing it would decode the old
+    column's bytes as the new one (Lance's max_field_id invariant)."""
+    used = set(_depth_first_ids(fields))
+    for fr in frags:
+        for f in fr.all_files():
+            used.update(f.field_ids or ())
+    return max(used, default=-1) + 1
+
+
+def _build_new_field(pa, name: str, arrow_type, fid: int):
+    """One new top-level LanceField (list 'item' child included) with
+    ids from ``fid``; returns (field, next free id). Struct-typed adds
+    refuse — a NULL struct is indistinguishable from a struct of NULLs
+    in the flat-struct subset."""
+    logical = _logical_of(pa, arrow_type)
+    if logical == "struct":
+        raise UnsupportedLanceFeature(
+            "ADD COLUMN of struct type is outside the subset"
+        )
+    lf = LanceField(name=name, fid=fid, parent=_TOP, logical=logical)
+    fid += 1
+    if logical == "list":
+        child_logical = _logical_of(pa, arrow_type.value_type)
+        if child_logical not in _PRIM:
+            raise UnsupportedLanceFeature(
+                f"list element type {arrow_type} outside the subset"
+            )
+        lf.children.append(
+            LanceField(
+                name="item", fid=fid, parent=lf.fid, logical=child_logical
+            )
+        )
+        fid += 1
+    return lf, fid
+
+
 def add_columns(root: str, cols: list[tuple[str, object]]) -> int:
     """ADD COLUMN as Lance does it: ONE METADATA-ONLY manifest commit
     for the whole column list — every new field gets the next
@@ -2163,42 +2202,14 @@ def add_columns(root: str, cols: list[tuple[str, object]]) -> int:
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
     _require_parallel_datafiles(fields, frags, root)
-    # a dropped column's id lives on inside the fragments' DataFile
-    # arrays — INCLUDING backfill extra files — reusing it would decode
-    # the old column's bytes as the new one (Lance's manifest tracks
-    # max_field_id for exactly this); allocate past every id any
-    # current fragment's any file still carries
-    used = set(_depth_first_ids(fields))
-    for fr in frags:
-        for f in fr.all_files():
-            used.update(f.field_ids or ())
-    next_id = max(used, default=-1) + 1
+    next_id = _next_free_field_id(fields, frags)
     taken = {f.name for f in fields}
     new_fields: list[LanceField] = []
     for name, arrow_type in cols:
         if name in taken:
             raise ValueError(f"column {name!r} already exists in {root}")
         taken.add(name)
-        logical = _logical_of(pa, arrow_type)
-        if logical == "struct":
-            raise UnsupportedLanceFeature(
-                "ADD COLUMN of struct type is outside the subset"
-            )
-        lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
-        next_id += 1
-        if logical == "list":
-            child_logical = _logical_of(pa, arrow_type.value_type)
-            if child_logical not in _PRIM:
-                raise UnsupportedLanceFeature(
-                    f"list element type {arrow_type} outside the subset"
-                )
-            lf.children.append(
-                LanceField(
-                    name="item", fid=next_id, parent=lf.fid,
-                    logical=child_logical,
-                )
-            )
-            next_id += 1
+        lf, next_id = _build_new_field(pa, name, arrow_type, next_id)
         new_fields.append(lf)
     _write_manifest(
         root, version + 1,
@@ -2293,29 +2304,9 @@ def add_column_backfill_udf(
     missing = [c for c in ref_cols if c not in have]
     if missing:
         raise ValueError(f"ref columns {missing!r} not in {root}")
-    logical = _logical_of(pa, arrow_type)
-    if logical == "struct":
-        raise UnsupportedLanceFeature(
-            "ADD COLUMN of struct type is outside the subset"
-        )
-    used = set(_depth_first_ids(fields))
-    for fr in frags:
-        for f in fr.all_files():
-            used.update(f.field_ids or ())
-    next_id = max(used, default=-1) + 1
-    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
-    if logical == "list":
-        child_logical = _logical_of(pa, arrow_type.value_type)
-        if child_logical not in _PRIM:
-            raise UnsupportedLanceFeature(
-                f"list element type {arrow_type} outside the subset"
-            )
-        lf.children.append(
-            LanceField(
-                name="item", fid=next_id + 1, parent=next_id,
-                logical=child_logical,
-            )
-        )
+    lf, _nid = _build_new_field(
+        pa, name, arrow_type, _next_free_field_id(fields, frags)
+    )
     full = arrow_schema_of(fields)
     spark_t = _spark_type_of(pa, arrow_type, T.TimestampNTZType())
     probe = T.StructType(
@@ -2340,16 +2331,29 @@ def add_column_backfill_udf(
     )
 
     def _apply(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "__frag": pdf["__frag"],
-                    "__pos": pdf["__pos"],
-                    name: list(fn(pdf[list(ref_cols)])),
-                }
+        # mapInArrow, not mapInPandas: Spark's default arrow→pandas
+        # conversion widens a null-bearing int64 ref column to float64
+        # (nulls become NaN, ids past 2^53 lose precision) — fn must
+        # see the same nullable EXTENSION dtypes every reader path
+        # serves (_pd_types_mapper)
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        out_at = to_arrow_type(spark_t)  # Spark's own arrow mapping
+        mapper = _pd_types_mapper(pa)
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
+            pdf = t.to_pandas(types_mapper=mapper)
+            vals = pa.array(list(fn(pdf[list(ref_cols)])), type=out_at)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("__frag").combine_chunks(),
+                    t.column("__pos").combine_chunks(),
+                    vals,
+                ],
+                names=["__frag", "__pos", name],
             )
 
-    out_frame = dec.mapInPandas(_apply, schema=out_schema)
+    out_frame = dec.mapInArrow(_apply, schema=out_schema)
     return _write_column_files_and_commit(
         root, fields, frags, version, [lf], [lf], out_frame,
         [name], {name: arrow_type},
@@ -2395,11 +2399,7 @@ def merge_columns(root: str, src_df, on: str, spark) -> int:
             f"source column names {bad!r} collide with the attach "
             "plumbing's reserved __-prefix (__frag/__pos)"
         )
-    used = set(_depth_first_ids(fields))
-    for fr in frags:
-        for f in fr.all_files():
-            used.update(f.field_ids or ())
-    next_id = max(used, default=-1) + 1
+    next_id = _next_free_field_id(fields, frags)
     taken = {f.name for f in fields}
     new_lfs: list[LanceField] = []
     arrow_types: dict[str, object] = {}
@@ -2409,28 +2409,7 @@ def merge_columns(root: str, src_df, on: str, spark) -> int:
                 f"column {f.name!r} already exists in {root}"
             )
         at = to_arrow_type(f.dataType)
-        logical = _logical_of(pa, at)
-        if logical == "struct":
-            raise UnsupportedLanceFeature(
-                "merge of struct-typed columns is outside the subset"
-            )
-        lf = LanceField(
-            name=f.name, fid=next_id, parent=_TOP, logical=logical
-        )
-        next_id += 1
-        if logical == "list":
-            child_logical = _logical_of(pa, at.value_type)
-            if child_logical not in _PRIM:
-                raise UnsupportedLanceFeature(
-                    f"list element type {at} outside the subset"
-                )
-            lf.children.append(
-                LanceField(
-                    name="item", fid=next_id, parent=lf.fid,
-                    logical=child_logical,
-                )
-            )
-            next_id += 1
+        lf, next_id = _build_new_field(pa, f.name, at, next_id)
         new_lfs.append(lf)
         arrow_types[f.name] = at
     # persist the source across its TWO consumers (the duplicate-key
@@ -2492,8 +2471,11 @@ def _write_column_files_and_commit(
     reordered-but-complete restores order) — writes ONE 'Lance File
     2.0' file per fragment carrying all the new columns, and the
     driver commits ONE manifest plating the fields plus the
-    per-fragment DataFile entries."""
-    import pandas as pd
+    per-fragment DataFile entries. The writer rides mapInARROW, not
+    mapInPandas: Spark's default arrow→pandas conversion widens a
+    null-bearing int64 column to float64 (nulls → NaN, values past
+    2^53 silently lose precision) — the computed values must reach
+    the file writer bit-exact."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -2514,7 +2496,9 @@ def _write_column_files_and_commit(
             if cur is None:
                 return None
             arrs = {
-                n: pa.concat_arrays(v) if len(v) > 1 else v[0]
+                n: (
+                    pa.concat_arrays(v) if len(v) > 1 else v[0]
+                ).cast(arrow_types[n])
                 for n, v in vals.items()
             }
             order = np.concatenate(pos)
@@ -2536,16 +2520,25 @@ def _write_column_files_and_commit(
                 os.path.join(root, "data", fname),
                 pa.table({n: arrs[n] for n in names}),
             )
-            return pd.DataFrame(
-                {
-                    "frag_path": [cur],
-                    "file": [fname],
-                    "rows": [len(order)],
-                }
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([cur], pa.string()),
+                    pa.array([fname], pa.string()),
+                    pa.array([len(order)], pa.int64()),
+                ],
+                names=["frag_path", "file", "rows"],
             )
 
-        for pdf in batches:
-            for frag, grp in pdf.groupby("__frag", sort=False):
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
+            frag_col = t.column("__frag").to_pylist()
+            pos_col = t.column("__pos").combine_chunks().to_numpy()
+            start = 0
+            n_rows = len(frag_col)
+            for i in range(1, n_rows + 1):
+                if i < n_rows and frag_col[i] == frag_col[start]:
+                    continue
+                frag = frag_col[start]
                 if frag != cur:
                     plate = _flush()
                     if plate is not None:
@@ -2554,14 +2547,17 @@ def _write_column_files_and_commit(
                     vals = {n: [] for n in names}
                 for n in names:
                     vals[n].append(
-                        pa.Array.from_pandas(grp[n], type=arrow_types[n])
+                        t.column(n).slice(start, i - start).combine_chunks()
                     )
-                pos.append(grp["__pos"].to_numpy(dtype="int64"))
+                pos.append(
+                    np.asarray(pos_col[start:i], dtype="int64")
+                )
+                start = i
         plate = _flush()
         if plate is not None:
             yield plate
 
-    plates = out_frame.mapInPandas(_write, schema=plate_schema).collect()
+    plates = out_frame.mapInArrow(_write, schema=plate_schema).collect()
     got = {p["frag_path"]: (p["file"], p["rows"]) for p in plates}
     if len(got) != len(plates):
         raise RuntimeError(
@@ -2639,11 +2635,7 @@ def add_columns_backfill(
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
     _require_parallel_datafiles(fields, frags, root)
-    used = set(_depth_first_ids(fields))
-    for fr in frags:
-        for f in fr.all_files():
-            used.update(f.field_ids or ())
-    next_id = max(used, default=-1) + 1
+    next_id = _next_free_field_id(fields, frags)
     taken = {f.name for f in fields}
     new_lfs: list[LanceField] = []
     computed: list[tuple[LanceField, object, str]] = []
@@ -2656,26 +2648,7 @@ def add_columns_backfill(
                 "plumbing's reserved __-prefix (__frag/__pos)"
             )
         taken.add(name)
-        logical = _logical_of(pa, arrow_type)
-        if logical == "struct":
-            raise UnsupportedLanceFeature(
-                "ADD COLUMN of struct type is outside the subset"
-            )
-        lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
-        next_id += 1
-        if logical == "list":
-            child_logical = _logical_of(pa, arrow_type.value_type)
-            if child_logical not in _PRIM:
-                raise UnsupportedLanceFeature(
-                    f"list element type {arrow_type} outside the subset"
-                )
-            lf.children.append(
-                LanceField(
-                    name="item", fid=next_id, parent=lf.fid,
-                    logical=child_logical,
-                )
-            )
-            next_id += 1
+        lf, next_id = _build_new_field(pa, name, arrow_type, next_id)
         new_lfs.append(lf)
         if expr is not None:
             computed.append((lf, arrow_type, expr))
@@ -2805,24 +2778,9 @@ def cast_column(root: str, name: str, arrow_type, spark) -> int:
                 f"column {name!r} is covered by index {ix.name!r} — "
                 "drop the index before casting it"
             )
-    used = set(_depth_first_ids(fields))
-    for fr in frags:
-        for f in fr.all_files():
-            used.update(f.field_ids or ())
-    next_id = max(used, default=-1) + 1
-    lf = LanceField(name=name, fid=next_id, parent=_TOP, logical=logical)
-    if logical == "list":
-        child_logical = _logical_of(pa, arrow_type.value_type)
-        if child_logical not in _PRIM:
-            raise UnsupportedLanceFeature(
-                f"list element type {arrow_type} outside the subset"
-            )
-        lf.children.append(
-            LanceField(
-                name="item", fid=next_id + 1, parent=next_id,
-                logical=child_logical,
-            )
-        )
+    lf, _nid = _build_new_field(
+        pa, name, arrow_type, _next_free_field_id(fields, frags)
+    )
     target_t = _spark_type_of(pa, arrow_type, T.TimestampNTZType())
     full = arrow_schema_of(fields)
     src_field = next(f for f in full if f.name == name)

@@ -4017,3 +4017,45 @@ def test_udf_backfill_dhash_over_native_blobs(spark, tmp_path_str):
     assert all(len(v) == 1 for v in by_class.values())  # class → 1 hash
     assert len({next(iter(v)) for v in by_class.values()}) == 3
     assert 4 not in got.column("id").to_pylist()  # deletion still masks
+
+
+def test_attach_preserves_nullable_big_int64(spark, tmp_path_str):
+    """Review fix: the attach pipeline must never cross a default
+    arrow→pandas boundary — a null-bearing int64 would widen to
+    float64 (nulls → NaN, values past 2^53 silently lose precision).
+    Both the Catalyst backfill and the Python-UDF backfill round-trip
+    2^53+1 and NULLs bit-exactly (mapInArrow writer + extension-dtype
+    frames)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        add_column_backfill,
+        add_column_backfill_udf,
+        write_dataset,
+    )
+
+    big = (1 << 53) + 1  # float64 rounds this to 2^53
+    root = os.path.join(tmp_path_str, "bigint")
+    write_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([big, None, big + 2], pa.int64()),
+            }
+        ),
+    )
+    add_column_backfill(root, "c", pa.int64(), "v + 1", spark)
+
+    def fn(pdf):
+        # extension dtype: null arrives as pd.NA, big ints intact
+        return [
+            None if x is pd.NA else int(x) * 2 for x in pdf["v"]
+        ]
+
+    add_column_backfill_udf(root, "d", pa.int64(), ["v"], fn, spark)
+    got = LanceNativeDataset(root).to_arrow()
+    assert got.column("c").to_pylist() == [big + 1, None, big + 3]
+    assert got.column("d").to_pylist() == [big * 2, None, (big + 2) * 2]
