@@ -538,8 +538,8 @@ def test_fragment_file_roundtrip_property(tmp_path_factory, cols, n, page_rows, 
     ops=st.lists(
         st.sampled_from(
             [
-                "append", "add", "backfill", "merge", "rename", "cast",
-                "drop", "delete", "compact",
+                "append", "add", "backfill", "udfbf", "merge", "rename",
+                "cast", "drop", "delete", "compact",
             ]
         ),
         max_size=8,
@@ -647,6 +647,24 @@ def test_native_evolution_sequence_matches_model(tmp_path_factory, ops):
             for e in live:  # every physical row computes from its id
                 e[0] = dict(e[0])
                 e[0][name] = float(e[0]["id"] * 3 + 1)
+        elif op == "udfbf":
+            if not addable:
+                continue
+            name = addable.pop(0)
+            from lance_flink_spark.sources.lance_native import (
+                add_column_backfill_udf,
+            )
+
+            def _fn(pdf):
+                return [float(int(x) * 5 + 1) for x in pdf["id"]]
+
+            add_column_backfill_udf(
+                root, name, pa.float64(), ["id"], _fn, _get_spark()
+            )
+            schema.append((name, "float64"))
+            for e in live:  # Python-batch compute from each row's id
+                e[0] = dict(e[0])
+                e[0][name] = float(e[0]["id"] * 5 + 1)
         elif op == "merge":
             if not addable:
                 continue
