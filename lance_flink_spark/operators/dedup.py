@@ -1206,3 +1206,61 @@ def audio_fp_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def audio_near_dup_pairs(
+    blobs: DataFrame,
+    max_mismatch: int = 4,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate audio pairs by windowed-symbol LSH: the
+    fingerprint's 16 window symbols ARE the bands — two clips
+    disagreeing in at most 15 windows always share one (pigeonhole),
+    so recall is guaranteed for any ``max_mismatch`` ≤ 15. Candidates
+    come from a (window, symbol) self-join and the exact mismatch
+    count is a JVM-side higher-order function over the nibbles —
+    never all-pairs, never per-row Python past the fingerprint.
+    Returns (id_a, id_b, n_mismatch) for clips that differ in at most
+    ``max_mismatch`` of their 16 windows (e.g. the same recording
+    with a re-pitched tail)."""
+    from lance_flink_spark.functions.multimodal import audio_fp64
+
+    fps = _fingerprint_frame(blobs, audio_fp64, "afp", content_col, id_col)
+    banded = fps.select(
+        F.col(id_col),
+        F.col("afp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("afp", i * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("val"),
+                    )
+                    for i in range(16)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "afp", "b.band", "b.val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("afp").alias("fa"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("afp").alias("fb"),
+        "band", "val",
+    )
+    mismatch = F.expr(
+        "aggregate(sequence(0, 15), 0, (acc, i) -> acc + CASE WHEN "
+        "(shiftrightunsigned(fa, i * 4) & 15) = "
+        "(shiftrightunsigned(fb, i * 4) & 15) THEN 0 ELSE 1 END)"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", mismatch.alias("n_mismatch"))
+        .distinct()
+        .where(F.col("n_mismatch") <= max_mismatch)
+    )

@@ -527,3 +527,51 @@ def test_audio_fp_invariance(spark):
         for r in audio_fp_dedup(df).collect()
     )
     assert got == [(1, 2), (3, 1)]
+
+
+def test_audio_near_dup_pairs_windowed_lsh(spark):
+    """Windowed-symbol LSH over audio fingerprints: a clip whose tail
+    re-pitches (a few windows differ) pairs with its original, exact
+    duplicates pair at 0 mismatches, and unrelated tones don't pair."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from lance_flink_spark.operators.dedup import audio_near_dup_pairs
+
+    sr = 4000
+    n = sr // 4
+
+    def blob(freq, tail_freq=None, amp=0.3):
+        t = np.arange(n) / sr
+        x = amp * np.sin(2 * np.pi * freq * t)
+        if tail_freq is not None:
+            cut = int(n * 0.8)  # last ~3 of 16 windows re-pitch
+            t2 = np.arange(n - cut) / sr
+            x[cut:] = amp * np.sin(2 * np.pi * tail_freq * t2)
+        pcm = (x * 32000).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    f0, f1, f2 = 64 + 128 * 2, 64 + 128 * 9, 64 + 128 * 14
+    rows = [
+        (1, blob(f0)),
+        (2, blob(f0, amp=0.5)),          # exact perceptual dup of 1
+        (3, blob(f0, tail_freq=f1)),      # near-dup: tail re-pitched
+        (4, blob(f2)),                    # unrelated tone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_mismatch"]
+        for r in audio_near_dup_pairs(df, max_mismatch=5).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got and 0 < got[(1, 3)] <= 5
+    assert (2, 3) in got
+    assert not any(4 in p for p in got)
