@@ -1122,6 +1122,63 @@ def image_dhash_dedup(
     )
 
 
+def _banded_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    bands: int,
+    distance,
+    out_col: str,
+    threshold: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared banded-LSH pair scaffold for the 64-bit perceptual
+    fingerprints: PERSIST the fingerprint frame (its Python codec pass
+    is the dominant cost — the self-join's two sides must not execute
+    it twice; release later via ``unpersist_all``, the same contract
+    as minhash_lsh_pairs), explode ``bands`` equal bit-bands,
+    self-join on (band, value), and apply ``distance(fa, fb)`` with
+    the threshold BEFORE the distinct so far pairs never reach the
+    dedup shuffle (the distance is JVM codegen — re-evaluating it per
+    shared band is free next to a shuffle row)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fps = fps.persist()
+    banded = fps.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(fp_col, i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, fp_col, "b.band", "b.val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("fa"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("fb"),
+        "band", "val",
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", distance(F.col("fa"), F.col("fb")).alias(out_col)
+        )
+        .where(F.col(out_col) <= threshold)
+        .distinct()
+    )
+
+
 def image_near_dup_pairs(
     blobs: DataFrame,
     max_hamming: int = 6,
@@ -1134,53 +1191,19 @@ def image_near_dup_pairs(
     hamming distance ``bands-1`` MUST share at least one intact band,
     the pigeonhole guarantee; above that recall is probabilistic), a
     self-join on (band index, band value) generates candidates, and
-    JVM-side ``bit_count(a XOR b)`` filters to the exact distance.
-    O(n·bucket), never all-pairs. Returns (id_a, id_b, hamming)."""
+    JVM-side ``bit_count(a XOR b)`` filters to the exact distance
+    BEFORE the dedup shuffle. O(n·bucket), never all-pairs; the
+    fingerprint pass runs ONCE (persisted — release with
+    ``unpersist_all``). Returns (id_a, id_b, hamming)."""
     if 64 % bands:
         raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
     from lance_flink_spark.functions.multimodal import dhash64
 
-    hs = _fingerprint_frame(blobs, dhash64, "dhash", content_col, id_col)
-    banded = hs.select(
-        F.col(id_col),
-        F.col("dhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("dhash", i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "dhash", "b.band", "b.val")
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("dhash").alias("ha"),
-        "band", "val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("dhash").alias("hb"),
-        "band", "val",
-    )
-    return (
-        a.join(b, ["band", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(
-                F.col("ha").bitwiseXOR(F.col("hb"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+    fps = _fingerprint_frame(blobs, dhash64, "dhash", content_col, id_col)
+    return _banded_pairs(
+        fps, "dhash", bands,
+        lambda fa, fb: F.bit_count(fa.bitwiseXOR(fb)),
+        "hamming", max_hamming, id_col,
     )
 
 
@@ -1219,48 +1242,23 @@ def audio_near_dup_pairs(
     disagreeing in at most 15 windows always share one (pigeonhole),
     so recall is guaranteed for any ``max_mismatch`` ≤ 15. Candidates
     come from a (window, symbol) self-join and the exact mismatch
-    count is a JVM-side higher-order function over the nibbles —
-    never all-pairs, never per-row Python past the fingerprint.
-    Returns (id_a, id_b, n_mismatch) for clips that differ in at most
+    count is a JVM-side higher-order function over the nibbles,
+    filtered BEFORE the dedup shuffle — never all-pairs, never per-row
+    Python past the (persisted, run-once) fingerprint. Returns
+    (id_a, id_b, n_mismatch) for clips that differ in at most
     ``max_mismatch`` of their 16 windows (e.g. the same recording
     with a re-pitched tail)."""
     from lance_flink_spark.functions.multimodal import audio_fp64
 
     fps = _fingerprint_frame(blobs, audio_fp64, "afp", content_col, id_col)
-    banded = fps.select(
-        F.col(id_col),
-        F.col("afp"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("afp", i * 4)
-                        .bitwiseAND(F.lit(15))
-                        .alias("val"),
-                    )
-                    for i in range(16)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "afp", "b.band", "b.val")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("afp").alias("fa"),
-        "band", "val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("afp").alias("fb"),
-        "band", "val",
-    )
-    mismatch = F.expr(
-        "aggregate(sequence(0, 15), 0, (acc, i) -> acc + CASE WHEN "
-        "(shiftrightunsigned(fa, i * 4) & 15) = "
-        "(shiftrightunsigned(fb, i * 4) & 15) THEN 0 ELSE 1 END)"
-    )
-    return (
-        a.join(b, ["band", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", mismatch.alias("n_mismatch"))
-        .distinct()
-        .where(F.col("n_mismatch") <= max_mismatch)
+
+    def _mismatch(fa, fb):
+        return F.expr(
+            "aggregate(sequence(0, 15), 0, (acc, i) -> acc + CASE WHEN "
+            "(shiftrightunsigned(fa, i * 4) & 15) = "
+            "(shiftrightunsigned(fb, i * 4) & 15) THEN 0 ELSE 1 END)"
+        )
+
+    return _banded_pairs(
+        fps, "afp", 16, _mismatch, "n_mismatch", max_mismatch, id_col
     )
