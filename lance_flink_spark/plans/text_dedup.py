@@ -1926,3 +1926,75 @@ def lm_perplexity_buckets(spark, sf_dir):
             "sum_logp_micro"
         ),
     )
+
+
+@query(
+    "fim_transform",
+    extra=True,  # r14 extension: fill-in-middle pretraining transform
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, text, LENGTH(text) AS L,
+               ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h2
+        FROM documents
+    ), cuts AS (
+        SELECT doc_id, text, L,
+               CASE WHEN L < 2 THEN 0 ELSE h1 % L END AS a,
+               CASE WHEN L < 2 THEN 0
+                    ELSE (h1 % L) + (h2 % (L - (h1 % L) + 1)) END AS b
+        FROM c
+    )
+    SELECT doc_id,
+           a AS n_prefix,
+           b - a AS n_middle,
+           L - b AS n_suffix,
+           md5('<PRE>' || substr(text, 1, CAST(a AS INT))
+               || '<SUF>' || substr(text, CAST(b AS INT) + 1)
+               || '<MID>' || substr(text, CAST(a AS INT) + 1,
+                                    CAST(b - a AS INT))) AS fp_psm
+    FROM cuts
+    """,
+)
+def fim_transform(spark, sf_dir):
+    """FILL-IN-MIDDLE pretraining transform (the PSM rearrangement
+    code-model pipelines apply to a fraction of documents — Bavarian
+    et al. 2022): two md5-seeded character cuts a ≤ b split each doc
+    into prefix/middle/suffix, and the document re-serializes as
+    <PRE>prefix<SUF>suffix<MID>middle. Deterministic from doc_id —
+    no RNG state — so DuckDB reproduces the exact cuts and the PSM
+    fingerprint; a 1-character drift in either engine's substring or
+    hash math breaks the hash. Pure Catalyst (md5/conv/substr), zero
+    Python; at 100 TB this is a map-only pass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    h1 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim:"), did)), 1, 8), 16, 10
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim2:"), did)), 1, 8), 16, 10
+    ).cast("long")
+    L = F.length("text")
+    a = F.when(L < 2, F.lit(0)).otherwise(h1 % L)
+    b = F.when(L < 2, F.lit(0)).otherwise(a + (h2 % (L - a + 1)))
+    c = d.select(
+        "doc_id", "text", L.alias("L"), a.alias("a"), b.alias("b")
+    )
+    text = F.col("text")
+    prefix = text.substr(F.lit(1), F.col("a"))
+    middle = text.substr(F.col("a") + 1, F.col("b") - F.col("a"))
+    suffix = text.substr(
+        F.col("b") + 1, F.col("L") - F.col("b")
+    )
+    return c.select(
+        "doc_id",
+        F.col("a").alias("n_prefix"),
+        (F.col("b") - F.col("a")).alias("n_middle"),
+        (F.col("L") - F.col("b")).alias("n_suffix"),
+        F.md5(
+            F.concat(
+                F.lit("<PRE>"), prefix,
+                F.lit("<SUF>"), suffix,
+                F.lit("<MID>"), middle,
+            )
+        ).alias("fp_psm"),
+    )
