@@ -1220,32 +1220,20 @@ class SqlEngine:
             )
         raise ValueError(f"table_changes: unknown table {tbl!r}")
 
-    def _gated_offsets(self, df, op: str) -> list[int]:
-        """Collect matched GLOBAL physical offsets for a native
-        mutation — offsets-only (one long per row) under the same 4M
-        driver gate every native offset-resolution path carries."""
-        ids = [
-            r["__phys"] for r in df.select("__phys").limit(4_000_001).collect()
-        ]
-        if len(ids) > 4_000_000:
-            raise ValueError(
-                f"native {op} resolves matched offsets driver-side; "
-                ">4M matched rows exceeds the gate — copy into a "
-                "parquet-backed table for bulk mutations"
-            )
-        return ids
-
     def _update_native(
         self, name: str, assignments: dict[str, str], pred: str | None
     ) -> None:
         """UPDATE a NATIVE Lance table — Lance's rewrite shape (delete
         + append of the changed rows) in ONE manifest commit
-        (lance_native.update_rows_distributed): matched offsets become
-        deletion files, the updated copies land as executor-written
-        fragments; unmatched rows are never rewritten. SET expressions
-        evaluate against the pre-update row, standard SQL semantics."""
+        (lance_native.mutate_rows_distributed): matched offsets are
+        resolved and their deletion files written INSIDE per-fragment
+        executor tasks, the updated copies land as executor-written
+        fragments; unmatched rows are never rewritten and no matched
+        row ever moves through the driver — there is no row gate on
+        this path. SET expressions evaluate against the pre-update
+        row, standard SQL semantics."""
         from lance_flink_spark.sources.lance_native import (
-            update_rows_distributed,
+            mutate_rows_distributed,
         )
 
         nds = self.native_tables[name]
@@ -1257,22 +1245,20 @@ class SqlEngine:
                     f"UPDATE SET target {c!r} is not a column of {name!r}"
                 )
         matched = df.filter(_rewrite_array_literals(pred)) if pred else df
-        offs = self._gated_offsets(matched, "UPDATE")
-        if offs:
-            updated = matched.select(
-                *[
-                    (
-                        F.expr(assignments[c]).cast(df.schema[c].dataType)
-                        if c in assignments
-                        else F.col(f"`{c}`")
-                    ).alias(c)
-                    for c in names
-                ]
-            )
-            update_rows_distributed(
-                nds.root, updated, offs,
-                expected_version=nds._manifests[-1],
-            )
+        updated = matched.select(
+            *[
+                (
+                    F.expr(assignments[c]).cast(df.schema[c].dataType)
+                    if c in assignments
+                    else F.col(f"`{c}`")
+                ).alias(c)
+                for c in names
+            ]
+        )
+        mutate_rows_distributed(
+            nds.root, matched.select("__phys"), updated,
+            expected_version=nds._manifests[-1],
+        )
         self._reregister_native(name)
         return None
 
@@ -1282,15 +1268,16 @@ class SqlEngine:
         """Conditional MERGE INTO a NATIVE Lance table (first matching
         WHEN clause wins per row, Delta semantics): one full-outer join
         classifies every row, matched UPDATE/DELETE rows tombstone by
-        physical offset, updated copies + admitted inserts land as
-        executor-written fragments — ONE manifest commit
-        (lance_native.update_rows_distributed), so no reader observes
-        the delete without the append. Duplicate source keys refuse
+        physical offset (deletion files written INSIDE per-fragment
+        executor tasks — no driver row gate), updated copies +
+        admitted inserts land as executor-written fragments — ONE
+        manifest commit (lance_native.mutate_rows_distributed), so no
+        reader observes the delete without the append. Duplicate source keys refuse
         (two clauses would fire on one target row,
         nondeterministically). The unconditional MERGE routes here as
         its two implicit clauses — Lance merge_insert."""
         from lance_flink_spark.sources.lance_native import (
-            update_rows_distributed,
+            mutate_rows_distributed,
         )
 
         nds = self.native_tables[name]
@@ -1325,11 +1312,12 @@ class SqlEngine:
             "__act", mact.otherwise(F.lit(-1)) if mact is not None else F.lit(-1)
         )
         touch = [k for k, cl in enumerate(clauses) if cl["matched"]]
-        offs = self._gated_offsets(
+        offs_df = (
             m.filter(F.col("__act").isin(touch)).select(
                 F.col("t.`__phys`").alias("__phys")
-            ),
-            "MERGE",
+            )
+            if touch
+            else None
         )
         appends = []
         for k, cl in enumerate(clauses):
@@ -1380,14 +1368,14 @@ class SqlEngine:
                         )
                     )
             # delete of a not-matched row: nothing to do
-        if not offs and not appends:
+        if offs_df is None and not appends:
             self._reregister_native(name)
             return None
-        app = appends[0] if appends else self._native_df(nds).limit(0)
+        app = appends[0] if appends else None
         for a in appends[1:]:
             app = app.unionByName(a)
-        update_rows_distributed(
-            nds.root, app, offs, expected_version=nds._manifests[-1]
+        mutate_rows_distributed(
+            nds.root, offs_df, app, expected_version=nds._manifests[-1]
         )
         self._reregister_native(name)
         return None
@@ -1579,10 +1567,14 @@ class SqlEngine:
     def _delete_native(self, name: str, pred: str | None) -> None:
         """DELETE FROM a NATIVE Lance table: the predicate evaluates
         over the decoded rows WITH their global physical offsets, and
-        the matched offsets land as per-fragment Arrow deletion files
-        + a manifest version (sources/lance_native.delete_rows) —
-        Lance's deletion-file mutation, no data file rewritten."""
-        from lance_flink_spark.sources.lance_native import delete_rows
+        the matched offsets become per-fragment Arrow deletion files
+        written INSIDE the per-fragment executor tasks + ONE manifest
+        version (sources/lance_native.mutate_rows_distributed) —
+        Lance's deletion-file mutation, no data file rewritten and no
+        matched row moved through the driver (no row gate)."""
+        from lance_flink_spark.sources.lance_native import (
+            mutate_rows_distributed,
+        )
 
         nds = self.native_tables[name]
         # prune the offset-resolution scan to the predicate's columns —
@@ -1597,18 +1589,10 @@ class SqlEngine:
         df = self._native_df(nds, with_offsets=True, columns=cols)
         if pred:
             df = df.filter(_rewrite_array_literals(pred))
-        ids = [
-            r["__phys"]
-            for r in df.select("__phys").limit(4_000_001).collect()
-        ]
-        if len(ids) > 4_000_000:
-            raise ValueError(
-                "native DELETE resolves matched offsets driver-side; "
-                ">4M matched rows exceeds the gate — copy into a "
-                "parquet-backed table for bulk mutations"
-            )
-        if ids:
-            delete_rows(nds.root, ids, expected_version=nds._manifests[-1])
+        mutate_rows_distributed(
+            nds.root, df.select("__phys"),
+            expected_version=nds._manifests[-1],
+        )
         self._reregister_native(name)
 
     def execute(self, sql: str) -> DataFrame | None:

@@ -47,7 +47,9 @@ Layout knowledge comes from the public Lance format specification
   buffer size matches exactly; ambiguous shapes still refuse.
 - Deletion files: ``_deletions/{frag_id}-{read_version}-{id}.arrow``
   is an Arrow IPC *file* with one int32/uint32 column of deleted
-  LOCAL row offsets; ``.bin`` roaring bitmaps refuse loudly.
+  LOCAL row offsets; ``.bin`` is a portable-serialized roaring bitmap
+  (array/bitmap/run containers per RoaringFormatSpec) — BOTH types
+  decode AND encode; only unknown container/file types refuse.
 
 Spark-first: fragments decode to Arrow tables and land via
 ``spark.createDataFrame`` — on a cluster, list the fragments and
@@ -64,6 +66,7 @@ import uuid
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
+import pandas as pd
 
 FOOTER = struct.Struct("<QQQIIHH4s")
 MAGIC = b"LANC"
@@ -75,9 +78,9 @@ _SUPPORTED_FILE_VERSIONS = {(0, 3), (2, 0)}
 
 class UnsupportedLanceFeature(NotImplementedError):
     """The dataset uses a Lance feature outside the documented subset
-    (non-value encodings, roaring-bitmap deletions, multi-page
-    list-offsets columns, exotic types). Refusing beats
-    silently-wrong rows."""
+    (non-value encodings, multi-page list-offsets columns, exotic
+    types, unknown deletion-file or roaring-container types).
+    Refusing beats silently-wrong rows."""
 
 
 # ---------- minimal protobuf (decode) ----------
@@ -2083,6 +2086,219 @@ def update_rows_distributed(
     return version + 1
 
 
+def resolve_deletions_distributed(
+    root: str,
+    spark,
+    offsets_df,
+    version: int,
+    *,
+    deletion_format: str = "arrow",
+):
+    """EXECUTOR-SIDE deletion-file writes for a DataFrame of matched
+    GLOBAL physical offsets (column ``__phys``) — the scale path for
+    predicate mutations: each matched offset is assigned to its
+    fragment with a vectorized searchsorted (Arrow-batched pandas
+    UDF over the fragment base-offset table), offsets are hashed to
+    ONE partition per fragment, and each task writes its fragments'
+    deletion files (unioned with any pre-existing mask) directly —
+    only a (fragment, deletion-id, count) name-plate comes back, so
+    matched-row count never bounds driver memory. Deletion files get
+    a RANDOM id (the Lance spec's deletion-file naming: fragment_id-
+    read_version-random_id), so a lost commit race or a speculative
+    task duplicate orphans a uniquely-named file (VACUUM reclaims)
+    instead of clobbering the winner's. Returns plate rows
+    (frag_ix, frag_id, del_id, file_type, num_deleted); the caller
+    stamps the manifest fragments and commits. Cite: the reference
+    deletes through com.lancedb.lance.Dataset's engine-side predicate
+    delete; LanceSink.java:60-108 is the same task-write /
+    coordinator-commit split for appends."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    ds = LanceNativeDataset(root)
+    _fields, frags, _v = ds._manifest(version)
+    bounds = np.cumsum(
+        [0] + [fr.physical_rows for fr in frags], dtype="int64"
+    )
+    total = int(bounds[-1])
+    fmt = deletion_format
+    if fmt not in ("arrow", "bitmap"):
+        raise ValueError(f"deletion_format {fmt!r} (arrow|bitmap)")
+
+    @F.pandas_udf("long")
+    def _frag_of(phys: pd.Series) -> pd.Series:
+        p = phys.to_numpy(dtype="int64")
+        if len(p) and (p.min() < 0 or p.max() >= total):
+            raise IndexError(
+                f"physical offset out of range [0, {total})"
+            )
+        return pd.Series(np.searchsorted(bounds, p, side="right") - 1)
+
+    def _write(batches):
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for fi, grp in pdf.groupby("__frag"):
+                acc.setdefault(int(fi), []).append(
+                    grp["__phys"].to_numpy(dtype="int64")
+                )
+        if not acc:
+            return
+        # re-open the manifest executor-side (tiny) — the task payload
+        # stays (root, version, format), no per-fragment shipping
+        eds = LanceNativeDataset(root)
+        _ef, efrags, _ = eds._manifest(version)
+        ebounds = np.cumsum(
+            [0] + [fr.physical_rows for fr in efrags], dtype="int64"
+        )
+        os.makedirs(os.path.join(root, "_deletions"), exist_ok=True)
+        out = {
+            "frag_ix": [], "frag_id": [], "del_id": [],
+            "file_type": [], "num_deleted": [],
+        }
+        for fi in sorted(acc):
+            fr = efrags[fi]
+            local = np.unique(np.concatenate(acc[fi])) - int(ebounds[fi])
+            if fr.deletion is not None:
+                local = np.union1d(local, read_deletion_file(root, fr))
+            del_id = uuid.uuid4().int & ((1 << 63) - 1)
+            fr.deletion = LanceDeletion(
+                read_version=version,
+                id=del_id,
+                file_type=1 if fmt == "bitmap" else 0,
+                num_deleted=len(local),
+            )
+            dpath = _deletion_path(root, fr)
+            tmp = dpath + f".tmp.{uuid.uuid4().hex[:8]}"
+            if fmt == "bitmap":
+                with open(tmp, "wb") as f:
+                    f.write(encode_roaring(local))
+            else:
+                import pyarrow as pa
+                import pyarrow.ipc as ipc
+
+                t = pa.table(
+                    {
+                        "row_id": pa.array(
+                            local.astype("int32"), type=pa.int32()
+                        )
+                    }
+                )
+                with ipc.new_file(tmp, t.schema) as w:
+                    w.write_table(t)
+            os.replace(tmp, dpath)
+            out["frag_ix"].append(fi)
+            out["frag_id"].append(fr.frag_id)
+            out["del_id"].append(del_id)
+            out["file_type"].append(fr.deletion.file_type)
+            out["num_deleted"].append(len(local))
+        yield pd.DataFrame(out)
+
+    tagged = offsets_df.select(
+        F.col("__phys").cast("long").alias("__phys")
+    ).withColumn("__frag", _frag_of("__phys"))
+    # ONE partition per fragment (hash on the fragment index): every
+    # fragment's offsets land in exactly one task, so each deletion
+    # file has exactly one writer — the partition count is pinned in
+    # tests/test_lance_native.py. Returned un-collected so the pin
+    # can inspect the plan; resolve_deletions_distributed collects.
+    plates_frame = tagged.repartition(max(len(frags), 1), "__frag").mapInPandas(
+        _write,
+        "frag_ix long, frag_id long, del_id long, "
+        "file_type int, num_deleted long",
+    )
+    # partition-count pin seam: one deletion task per fragment
+    # (tests/test_lance_native.py asserts this after each mutation)
+    resolve_deletions_distributed.last_num_partitions = (
+        plates_frame.rdd.getNumPartitions()
+    )
+    plates = plates_frame.collect()
+    if len({int(p["frag_ix"]) for p in plates}) != len(plates):
+        raise RuntimeError(
+            f"{root}: a fragment's matched offsets split across "
+            "deletion tasks — orphaned deletion files are "
+            "unreferenced; VACUUM reclaims them"
+        )
+    return plates
+
+
+def mutate_rows_distributed(
+    root: str,
+    offsets_df=None,
+    append_df=None,
+    *,
+    deletion_format: str = "arrow",
+    expected_version: int | None = None,
+) -> int:
+    """ONE-commit predicate mutation at CLUSTER scale — the ungated
+    sibling of :func:`update_rows_distributed`: matched offsets
+    arrive as a DataFrame (``__phys`` column) instead of a driver
+    list, deletion files are written INSIDE per-fragment executor
+    tasks (:func:`resolve_deletions_distributed`), replacement/insert
+    rows land as executor-written fragments, and the driver's only
+    job is the manifest commit from name-plates. DELETE passes only
+    ``offsets_df``; UPDATE/MERGE pass both; a no-match no-insert
+    statement returns the current version with no manifest churn.
+    There is NO row gate on this path — a 100M-row DELETE moves no
+    row through the driver. Cite: com.lancedb.lance.Dataset
+    update/merge_insert commit one transaction the same way."""
+    import pyarrow as pa
+
+    src = offsets_df if offsets_df is not None else append_df
+    if src is None:
+        raise ValueError("mutate_rows_distributed: nothing to do")
+    spark = src.sparkSession
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    _check_expected_version(root, version, expected_version)
+    new_frags = []
+    if append_df is not None:
+        nf, _blob = _schema_fields_of(pa, _df_arrow_schema(append_df))
+        if _norm_signature(_schema_signature(nf)) != _norm_signature(
+            _schema_signature(fields)
+        ):
+            raise UnsupportedLanceFeature(
+                "update schema mismatch: "
+                f"{_schema_signature(nf)} != {_schema_signature(fields)}"
+            )
+        new_frags = _write_fragments_distributed(
+            root, append_df, arrow_schema_of(fields)
+        )
+    plates = (
+        resolve_deletions_distributed(
+            root, spark, offsets_df, version,
+            deletion_format=deletion_format,
+        )
+        if offsets_df is not None
+        else []
+    )
+    if not plates and not new_frags:
+        return version  # nothing matched, nothing to insert
+    for p in plates:
+        fr = frags[int(p["frag_ix"])]
+        if fr.frag_id != int(p["frag_id"]):
+            raise RuntimeError(
+                f"{root}: deletion plate for fragment index "
+                f"{p['frag_ix']} names id {p['frag_id']}, manifest has "
+                f"{fr.frag_id} — manifest moved mid-mutation"
+            )
+        fr.deletion = LanceDeletion(
+            read_version=version,
+            id=int(p["del_id"]),
+            file_type=int(p["file_type"]),
+            num_deleted=int(p["num_deleted"]),
+        )
+    if new_frags:
+        start = max((fr.frag_id for fr in frags), default=-1) + 1
+        frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
+    _write_manifest(
+        root, version + 1, _schema_fields_of_existing(fields), frags
+    )
+    _carry_index_section(root, version, version + 1)
+    return version + 1
+
+
 def _schema_fields_of_existing(fields: list[LanceField]) -> bytes:
     blob = b""
     for f in fields:
@@ -2420,8 +2636,16 @@ def merge_columns(root: str, src_df, on: str, spark) -> int:
         # a duplicate key fans the left join out 1:N — the fragment's
         # row count changes and positions cannot align; refuse up
         # front with the real reason instead of the writer's
-        # alignment backstop
-        if src_df.groupBy(on).count().where(F.col("count") > 1).take(1):
+        # alignment backstop. NULL keys are exempt: they can never
+        # equal any target key, so however many NULL-key source rows
+        # exist, none of them lands — well-defined, not a duplicate.
+        if (
+            src_df.where(F.col(on).isNotNull())
+            .groupBy(on)
+            .count()
+            .where(F.col("count") > 1)
+            .take(1)
+        ):
             raise ValueError(
                 f"source frame has duplicate {on!r} keys — "
                 "merge_columns needs at most one source row per key"
@@ -2576,7 +2800,14 @@ def _write_column_files_and_commit(
             extra_files=list(fr.extra_files),
         )
         if fr.physical_rows:
-            fname, rows = got.pop(fr.path)
+            plate = got.pop(fr.path, None)
+            if plate is None:
+                raise RuntimeError(
+                    f"{root}: backfill produced no column file for "
+                    f"fragment {fr.frag_id} ({fr.path}) — its rows were "
+                    "lost upstream; nothing was committed"
+                )
+            fname, rows = plate
             if rows != fr.physical_rows:
                 raise RuntimeError(
                     f"{root}: backfill of fragment {fr.frag_id} computed "
@@ -2722,6 +2953,18 @@ def add_columns_backfill(
     # post-decode pipeline; the task-distribution repartition sits
     # BELOW it and is expected.
     plan = out_frame._jdf.queryExecution().executedPlan().toString()
+    if "MapInPandas" not in plan:
+        # the split below would silently treat the WHOLE plan as the
+        # post-decode pipeline — a Spark upgrade that renames the
+        # physical node would then refuse every backfill; fail with
+        # the real cause instead (tests/test_lance_native.py pins the
+        # node names so version drift surfaces as a test failure)
+        raise RuntimeError(
+            "row-locality guard: the decode's MapInPandas physical node "
+            "was not found in the executed plan — Spark renamed its "
+            "physical-plan node labels; update the guard in "
+            "add_columns_backfill"
+        )
     head = plan.split("MapInPandas", 1)[0]
     # match operator NODE names (start of a tree line, after the
     # drawing characters), not raw substrings — a string literal like

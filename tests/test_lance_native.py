@@ -4059,3 +4059,206 @@ def test_attach_preserves_nullable_big_int64(spark, tmp_path_str):
     got = LanceNativeDataset(root).to_arrow()
     assert got.column("c").to_pylist() == [big + 1, None, big + 3]
     assert got.column("d").to_pylist() == [big * 2, None, (big + 2) * 2]
+
+
+class TestDistributedMutations:
+    """Round 15: predicate mutations resolve matched offsets and write
+    deletion files INSIDE per-fragment executor tasks
+    (lance_native.mutate_rows_distributed) — no driver row gate, the
+    driver commits only the manifest from name-plates."""
+
+    def _mk(self, tmp, name="dm", rows=30, per_file=10):
+        import pyarrow as pa
+
+        from lance_flink_spark.sources.lance_native import write_dataset
+
+        root = os.path.join(tmp, name)
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array(range(rows), pa.int64()),
+                    "v": pa.array([float(i) for i in range(rows)]),
+                }
+            ),
+            max_rows_per_file=per_file,
+        )
+        return root
+
+    def test_delete_only_one_task_per_fragment(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            mutate_rows_distributed,
+            read_distributed,
+            resolve_deletions_distributed,
+        )
+
+        root = self._mk(tmp_path_str)  # 3 fragments
+        nds = LanceNativeDataset(root)
+        offs = (
+            read_distributed(nds, spark, with_offsets=True)
+            .filter("id % 3 = 0")
+            .select("__phys")
+        )
+        v = mutate_rows_distributed(root, offs)
+        assert v == 2
+        # one deletion task per fragment — the partition-count pin
+        assert resolve_deletions_distributed.last_num_partitions == 3
+        got = sorted(
+            r["id"]
+            for r in read_distributed(
+                LanceNativeDataset(root), spark
+            ).collect()
+        )
+        assert got == [i for i in range(30) if i % 3 != 0]
+        # every touched fragment got exactly one deletion file, named
+        # with a RANDOM id (not the version) per the Lance spec
+        _f, frags, _v = LanceNativeDataset(root)._manifest()
+        for fr in frags:
+            assert fr.deletion is not None
+            assert fr.deletion.num_deleted in (3, 4)
+            assert fr.deletion.id not in (0, 1, 2)  # random, not version
+
+    def test_update_shape_one_commit(self, spark, tmp_path_str):
+        from pyspark.sql import functions as F
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            mutate_rows_distributed,
+            read_distributed,
+        )
+
+        root = self._mk(tmp_path_str, "dmu")
+        nds = LanceNativeDataset(root)
+        full = read_distributed(nds, spark, with_offsets=True)
+        matched = full.filter("id >= 25")
+        updated = matched.select("id", (F.col("v") * 100).alias("v"))
+        v = mutate_rows_distributed(root, matched.select("__phys"), updated)
+        assert v == 2  # delete + append in ONE manifest version
+        got = {
+            r["id"]: r["v"]
+            for r in read_distributed(LanceNativeDataset(root), spark).collect()
+        }
+        assert len(got) == 30
+        assert got[25] == 2500.0 and got[24] == 24.0
+
+    def test_no_match_no_manifest_churn(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            mutate_rows_distributed,
+            read_distributed,
+        )
+
+        root = self._mk(tmp_path_str, "dmn")
+        nds = LanceNativeDataset(root)
+        offs = (
+            read_distributed(nds, spark, with_offsets=True)
+            .filter("id > 1000")
+            .select("__phys")
+        )
+        assert mutate_rows_distributed(root, offs) == 1
+        assert LanceNativeDataset(root).versions() == [1]
+
+    def test_out_of_range_offset_refuses(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            mutate_rows_distributed,
+        )
+
+        root = self._mk(tmp_path_str, "dmo")
+        bad = spark.createDataFrame([(99,)], "__phys long")
+        with pytest.raises(Exception, match="out of range"):
+            mutate_rows_distributed(root, bad)
+
+    def test_unions_existing_deletions(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            delete_rows,
+            mutate_rows_distributed,
+            read_distributed,
+        )
+
+        root = self._mk(tmp_path_str, "dmx")
+        delete_rows(root, [0, 1], deletion_format="bitmap")  # v2, driver path
+        nds = LanceNativeDataset(root)
+        offs = (
+            read_distributed(nds, spark, with_offsets=True)
+            .filter("id IN (2, 3)")
+            .select("__phys")
+        )
+        assert mutate_rows_distributed(root, offs) == 3
+        got = sorted(
+            r["id"]
+            for r in read_distributed(LanceNativeDataset(root), spark).collect()
+        )
+        assert got == list(range(4, 30))
+
+    def test_expected_version_conflict(self, spark, tmp_path_str):
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            NativeCommitConflict,
+            delete_rows,
+            mutate_rows_distributed,
+            read_distributed,
+        )
+
+        root = self._mk(tmp_path_str, "dmc")
+        nds = LanceNativeDataset(root)
+        offs = (
+            read_distributed(nds, spark, with_offsets=True)
+            .filter("id = 0")
+            .select("__phys")
+        )
+        delete_rows(root, [29])  # someone else commits v2
+        with pytest.raises(NativeCommitConflict):
+            mutate_rows_distributed(root, offs, expected_version=1)
+
+    def test_sql_delete_over_4m_rows_ungated(self, spark, tmp_path_str):
+        """The r13/r14 4M driver gate is GONE from predicate
+        mutations: a >4M-row native DELETE resolves every matched
+        offset executor-side and passes."""
+        from pyspark.sql import functions as F
+
+        from lance_flink_spark.sources.catalog import Catalog
+        from lance_flink_spark.sources.ddl import SqlEngine
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            write_dataset_distributed,
+        )
+
+        root = os.path.join(tmp_path_str, "big")
+        n = 4_400_000
+        df = (
+            spark.range(n)
+            .select(F.col("id"), (F.col("id") % 7).alias("g"))
+            .repartition(4)
+        )
+        write_dataset_distributed(root, df)
+        eng = SqlEngine(spark, Catalog(tmp_path_str + "/whbig"))
+        eng.execute(
+            f"CREATE TABLE big (id BIGINT, g BIGINT) "
+            f"WITH ('connector'='lance', 'path'='{root}')"
+        )
+        eng.execute("DELETE FROM big WHERE g < 6")  # ~3.77M... 
+        eng.execute("DELETE FROM big WHERE g = 6")  # total > 4M deleted
+        assert spark.table("big").count() == 0
+        _f, frags, _v = LanceNativeDataset(root)._manifest()
+        assert sum(fr.deletion.num_deleted for fr in frags) == n
+
+
+def test_backfill_plan_node_names_pin(spark, tmp_path_str):
+    """ADVICE r14: the backfill row-locality guard keys off physical
+    plan NODE names — pin that Spark still prints them (MapInPandas,
+    Exchange, Sort, HashAggregate), so a Spark-version rename shows
+    up as THIS failing test instead of blanket backfill refusals."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("g"))
+    agg = df.groupBy("g").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "Exchange" in plan
+    # sort on a derived column — Range's native ordering on `id`
+    # would let Catalyst elide a Sort over the raw sequence
+    srt = df.orderBy(F.col("g").desc())
+    assert "Sort" in srt._jdf.queryExecution().executedPlan().toString()
+    mip = df.mapInPandas(lambda it: it, df.schema)
+    assert "MapInPandas" in mip._jdf.queryExecution().executedPlan().toString()
