@@ -631,3 +631,66 @@ def native_index_exactness(spark, sf_dir):
     return eng.execute(
         f"SELECT * FROM vector_search('nidx_emb', 'embedding', {qsql}, 10, 'L2')"
     ).select("vec_id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "native_ivf_payload_exactness",
+    extra=True,  # r15: manifest-registered IVF_FLAT payload serves
+    oracle=f"""
+    SELECT vec_id, distance FROM (
+        SELECT e.vec_id,
+               ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 6) AS distance
+        FROM embeddings e, {_Q0} q
+        WHERE e.vec_id % 13 <> 5)
+    ORDER BY distance, vec_id LIMIT 10
+    """,
+)
+def native_ivf_payload_exactness(spark, sf_dir):
+    """Exactness twin for the `_indices` IVF_FLAT payload (§2 r15):
+    embeddings land as a native Lance dataset, build_ivf_flat_index
+    trains centroids, writes one payload file per inverted list under
+    ``_indices/{uuid}/`` plus the index.proto IVF message, and
+    REGISTERS the index in a new manifest version (the IndexSection
+    the reference's LanceIndexBuilder persists through the Lance
+    library). A SQL DELETE then grows deletion files WITHOUT a
+    rebuild; vector_search serves from the registered payload at
+    nprobes == num_partitions (IVF_FLAT is exact at full probes) with
+    the current deletion masks applied. The DuckDB oracle is brute
+    force over the live rows: a partition dropped by the build, a
+    mis-addressed row id, or a deleted row resurfacing breaks the
+    hash. Cite: LanceIndexBuilder.java:40-95; LanceVectorSearch.java
+    serves from the same registered index."""
+    import os
+    import shutil
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        write_dataset_distributed,
+    )
+    from lance_flink_spark.sources.native_index import (
+        build_ivf_flat_index,
+    )
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = scratch_dir("native_ivfp" + tag)
+    root = os.path.join(base, "emb")
+    shutil.rmtree(root, ignore_errors=True)
+    write_dataset_distributed(
+        root,
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        .repartition(4),
+    )
+    build_ivf_flat_index(root, "embedding", spark, num_partitions=8)
+    eng = SqlEngine(spark, Catalog(os.path.join(base, "whw")))
+    eng.execute(
+        f"CREATE TABLE nivf_emb (vec_id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}', "
+        f"'vector.nprobes'='8')"
+    )
+    eng.execute("DELETE FROM nivf_emb WHERE vec_id % 13 = 5")
+    qv = _query_vec(spark, sf_dir)
+    qsql = "ARRAY[" + ",".join(repr(float(x)) for x in qv) + "]"
+    return eng.execute(
+        f"SELECT * FROM vector_search('nivf_emb', 'embedding', {qsql}, 10, 'L2')"
+    ).select("vec_id", F.round("distance", 6).alias("distance"))

@@ -1191,6 +1191,107 @@ class SqlEngine:
             )
         return res.limit(k).drop("__phys")
 
+    def _manifest_index_search(self, nds, tbl, col, vec, k, metric):
+        """Serve vector_search from a MANIFEST-registered index (the
+        IndexSection the reference's LanceIndexBuilder persists via
+        com.lancedb.lance) when its payload is the IVF_FLAT subset
+        sources/native_index.py decodes. Staleness is rewrite-proof:
+        a drifted dataset_version serves only if the build-version
+        manifest's (frag_id, path) list equals the current one —
+        i.e. ONLY deletion files changed — with the current deletion
+        masks applied (over-fetch by the deleted count, Lance's
+        query-time DV model). PQ/HNSW payloads, library containers,
+        missing payloads, and fragment-set drift warn WHY and return
+        None → the caller brute-forces, exactly."""
+        import warnings
+
+        from lance_flink_spark.operators.similarity import knn
+        from lance_flink_spark.sources.lance_native import (
+            UnsupportedLanceFeature,
+            read_index_section,
+        )
+        from lance_flink_spark.sources.native_index import (
+            dead_offsets,
+            search_ivf_flat,
+        )
+
+        fields, frags, version = nds._manifest()
+        fld = next((f for f in fields if f.name == col), None)
+        if fld is None:
+            return None
+        col_ids = {fld.fid} | {c.fid for c in fld.children}
+        mpath = os.path.join(
+            nds.root, "_versions", f"{version}.manifest"
+        )
+        metas = [
+            m
+            for m in read_index_section(mpath)
+            if col_ids & set(m.field_ids)
+        ]
+        if not metas:
+            return None
+        meta = metas[-1]  # latest registration wins
+        if meta.dataset_version != version:
+            try:
+                _bf, bfrags, _bv = nds._manifest(meta.dataset_version)
+            except Exception:
+                bfrags = None
+            same_frags = bfrags is not None and sorted(
+                [fr.frag_id, fr.path] for fr in bfrags
+            ) == sorted([fr.frag_id, fr.path] for fr in frags)
+            if not same_frags:
+                warnings.warn(
+                    f"native index {meta.name or meta.uuid!r} on "
+                    f"{col!r} is STALE (fragment set changed since "
+                    f"version {meta.dataset_version}) — rebuild it; "
+                    "falling back to exact brute-force search",
+                    stacklevel=2,
+                )
+                return None
+        dead = dead_offsets(nds.root)
+        if len(dead) > 4_000_000:
+            warnings.warn(
+                "over 4M deletions since the index build — compact "
+                "and rebuild; falling back to exact brute-force search",
+                stacklevel=2,
+            )
+            return None
+        topts = self.options.get(tbl)
+        extra = dict((topts.extra or {}) if topts else {})
+        nprobes = int(extra.get("vector.nprobes", 20))
+        try:
+            hits = search_ivf_flat(
+                nds.root, meta, vec, k + len(dead),
+                nprobes=nprobes, metric=metric,
+            )
+        except UnsupportedLanceFeature as e:
+            warnings.warn(
+                f"native table {tbl!r} carries a library-built index "
+                f"{meta.name or meta.uuid!r} "
+                f"({meta.details_type or 'unknown type'}) on {col!r}, "
+                f"but its payload does not serve ({e}) — falling back "
+                "to exact brute-force search",
+                stacklevel=2,
+            )
+            return None
+        dead_set = {int(x) for x in dead}
+        ids = [rid for rid, _s in hits if rid not in dead_set]
+        if not ids:
+            return None
+        ids_df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], "__phys long"
+        )
+        # exact re-score of the fetched candidates through the same
+        # KNN contract as brute force — identical rounding, tie-break,
+        # and (distance, similarity) columns, so index-served results
+        # are comparable row-for-row
+        sub = (
+            self._native_df(nds, with_offsets=True)
+            .join(F.broadcast(ids_df), "__phys")
+            .drop("__phys")
+        )
+        return knn(sub, vec, k, vec_col=col, metric=metric)
+
     def _table_changes(self, m: re.Match):
         """Delta's ``table_changes('t', from [, to])`` TVF over a
         NATIVE table — the change feed (lance_native.
@@ -2620,48 +2721,29 @@ class SqlEngine:
         metric = (m.group("metric") or "L2").lower()
         flt = m.group("filter")
         if tbl in self.native_tables:
-            # native Lance table: exact brute KNN over the distributed
-            # scan. If the manifest carries a library-built index on
-            # this column, say WHY it doesn't serve: the payload under
-            # _indices/{uuid}/ is the Lance library's own binary
-            # format, outside the documented subset.
-            import os as _os
+            # native Lance table: manifest-registered IVF_FLAT indexes
+            # (the no-codebook payload this subset decodes) serve
+            # first; our sidecar index next; otherwise exact brute KNN
+            # over the distributed scan — with a warning saying WHY a
+            # registered index didn't serve (PQ/HNSW payloads, stale
+            # fragment sets).
             import warnings
 
             from lance_flink_spark.operators.similarity import knn
-            from lance_flink_spark.sources.lance_native import (
-                read_index_section,
-            )
 
             nds = self.native_tables[tbl]
-            # OUR sidecar index over the native table serves first
+            if flt is None:
+                served = self._manifest_index_search(
+                    nds, tbl, col, vec, k, metric
+                )
+                if served is not None:
+                    return served
+            # OUR sidecar index over the native table serves next
             # (exact pre-filter semantics force brute, like parquet)
             if flt is None:
                 served = self._native_index_search(nds, col, vec, k, metric)
                 if served is not None:
                     return served
-            fields, _frags, _v = nds._manifest()
-            col_ids = {f.fid for f in fields if f.name == col}
-            col_ids |= {
-                c.fid
-                for f in fields
-                if f.name == col
-                for c in f.children
-            }
-            mpath = _os.path.join(
-                nds.root, "_versions", f"{nds.versions()[-1]}.manifest"
-            )
-            for ix in read_index_section(mpath):
-                if col_ids & set(ix.field_ids):
-                    warnings.warn(
-                        f"native table {tbl!r} carries a library-built "
-                        f"index {ix.name or ix.uuid!r} "
-                        f"({ix.details_type or 'unknown type'}) on "
-                        f"{col!r}, but its payload format is outside "
-                        "the documented subset — falling back to "
-                        "exact brute-force search",
-                        stacklevel=2,
-                    )
             return knn(
                 self._native_df(self.native_tables[tbl]),
                 vec,
