@@ -71,9 +71,12 @@ import pandas as pd
 FOOTER = struct.Struct("<QQQIIHH4s")
 MAGIC = b"LANC"
 # "Lance File 2.0" is written as footer (major, minor) == (0, 3); the
-# literal (2, 0) also decodes identically. Anything else — legacy v1
-# (0, 1)/(0, 2) or the 2.1 structural encodings (2, 1) — refuses.
-_SUPPORTED_FILE_VERSIONS = {(0, 3), (2, 0)}
+# literal (2, 0) also decodes identically. (2, 1) is accepted for the
+# documented 2.1 READ subset — flat value pages plus the BITPACKED
+# integer encoding declared in page metadata (encodings.proto
+# Bitpacked); the structural 2.1 encodings (miniblock/fullzip) refuse
+# at page decode. Legacy v1 (0, 1)/(0, 2) refuses here.
+_SUPPORTED_FILE_VERSIONS = {(0, 3), (2, 0), (2, 1)}
 
 
 class UnsupportedLanceFeature(NotImplementedError):
@@ -368,12 +371,14 @@ def _column_indices_of(top_fields: list[LanceField]) -> list[int]:
 
 
 def _column_pages(blob: bytes, pos: int, size: int):
-    """[(buffer_offsets, buffer_sizes, rows)] for one column."""
+    """[(buffer_offsets, buffer_sizes, rows, encoding_bytes)] for one
+    column — encoding_bytes is page field 4's raw message (b'' when
+    absent, the flat 2.0 layout)."""
     pages = []
     for f, _wt, v in _fields(blob[pos : pos + size]):
         if f != 2:
             continue
-        offs, sizes, rows = [], [], 0
+        offs, sizes, rows, enc = [], [], 0, b""
         for pf, _w, pv in _fields(v):
             if pf == 1:
                 offs = _packed(pv)
@@ -381,8 +386,97 @@ def _column_pages(blob: bytes, pos: int, size: int):
                 sizes = _packed(pv)
             elif pf == 3:
                 rows = pv
-        pages.append((offs, sizes, rows))
+            elif pf == 4:
+                enc = pv
+        pages.append((offs, sizes, rows, enc))
     return pages
+
+
+def _page_encoding(enc: bytes):
+    """Classify a page's encoding message (field 4):
+
+    - absent, or field 1 with an EMPTY payload (this subset's flat
+      marker) → ``('flat', None)``;
+    - field 2 whose payload is all-varint {compressed_bits_per_value=1,
+      uncompressed_bits_per_value=3, signed=4} (the public
+      encodings.proto Bitpacked numbering) →
+      ``('bitpacked', (cbits, ubits, signed))``;
+    - anything else → ``('opaque', None)``: the library's real
+      metadata here is an Any-wrapped lance.encodings.ArrayEncoding
+      whose inner numbering is version-specific — reference-written
+      2.0 files carry it on plain flat pages, so an opaque encoding
+      DECODES AS FLAT and the buffer-shape check stays the loud
+      backstop (a true miniblock/fullzip page's buffers can't match the
+      flat layout and refuse there)."""
+    if not enc:
+        return "flat", None
+    try:
+        fields = list(_fields(enc))
+    except Exception:
+        return "opaque", None
+    if len(fields) == 1 and fields[0][0] == 1 and fields[0][2] == b"":
+        return "flat", None
+    if len(fields) == 1 and fields[0][0] == 2 and fields[0][1] == 2:
+        cbits, ubits, signed = 0, 64, False
+        try:
+            inner = list(_fields(fields[0][2]))
+        except Exception:
+            return "opaque", None
+        if not inner or any(wt != 0 for _f, wt, _v in inner):
+            return "opaque", None
+        for bf, _bw, bv in inner:
+            if bf == 1:
+                cbits = int(bv)
+            elif bf == 3:
+                ubits = int(bv)
+            elif bf == 4:
+                signed = bool(bv)
+            else:
+                return "opaque", None
+        if not (1 <= cbits <= 64):
+            raise UnsupportedLanceFeature(
+                f"bitpacked page declares {cbits} bits per value"
+            )
+        return "bitpacked", (cbits, ubits, signed)
+    return "opaque", None
+
+
+def _bitpack(vals: np.ndarray, bits: int) -> bytes:
+    """LSB-first fixed-width bitpacking: value i occupies bits
+    [i*bits, (i+1)*bits) of the buffer (bit j = byte j//8, bit j%8 —
+    numpy's bitorder='little')."""
+    u = vals.astype("<u8", copy=False)
+    shifts = np.arange(bits, dtype="u8")
+    mat = ((u[:, None] >> shifts[None, :]) & 1).astype("u1")
+    return np.packbits(mat.ravel(), bitorder="little").tobytes()
+
+
+def _bitunpack(
+    buf: bytes, rows: int, bits: int, signed: bool, np_dtype: str
+) -> np.ndarray:
+    """Inverse of :func:`_bitpack`; ``signed`` sign-extends from the
+    packed width (two's complement)."""
+    need = (rows * bits + 7) // 8
+    if len(buf) != need:
+        raise UnsupportedLanceFeature(
+            f"bitpacked buffer is {len(buf)} bytes, expected {need} "
+            f"for {rows} rows x {bits} bits"
+        )
+    flat = np.unpackbits(
+        np.frombuffer(buf, dtype="u1"), bitorder="little"
+    )[: rows * bits]
+    mat = flat.reshape(rows, bits).astype("u8")
+    weights = np.left_shift(np.uint64(1), np.arange(bits, dtype="u8"))
+    u = (mat * weights[None, :]).sum(axis=1, dtype="u8")
+    if signed and bits < 64:
+        half = np.uint64(1) << np.uint64(bits - 1)
+        full = np.int64(1) << np.int64(bits) if bits < 64 else 0
+        out = u.astype("i8")
+        out[u >= half] -= full
+        return out.astype(np_dtype)
+    if signed:
+        return u.view("i8").astype(np_dtype)
+    return u.astype(np_dtype)
 
 
 _PRIM = {
@@ -454,15 +548,44 @@ def _varlen_page(blob, offs, sizes, rows):
 
 def _prim_array(pa, blob, pages, pa_type, width):
     """Decode a primitive column (possibly nullable, possibly
-    multi-page) to one pyarrow array."""
+    multi-page) to one pyarrow array. Flat value pages and the 2.1
+    bitpacked integer encoding both decode; other encodings refuse
+    in :func:`_page_encoding`."""
     parts = []
-    for offs, sizes, rows in pages:
-        validity, bufs = _split_validity(
-            blob, offs, sizes, rows, [rows * width]
-        )
+    for offs, sizes, rows, enc in pages:
+        kind, info = _page_encoding(enc)
+        if kind == "bitpacked":
+            cbits, ubits, signed = info
+            if ubits != width * 8 or pa_type not in (
+                pa.int64(),
+                pa.int32(),
+            ):
+                raise UnsupportedLanceFeature(
+                    f"bitpacked page declares {ubits} uncompressed "
+                    f"bits for a {width * 8}-bit {pa_type} column — "
+                    "only int32/int64 bitpacking is in the subset"
+                )
+            expect = [(rows * cbits + 7) // 8]
+        else:
+            expect = [rows * width]
+        validity, bufs = _split_validity(blob, offs, sizes, rows, expect)
         off, size = bufs[0]
-        parts.append(
-            pa.Array.from_buffers(
+        if kind == "bitpacked":
+            cbits, _ubits, signed = info
+            vals = _bitunpack(
+                blob[off : off + size], rows, cbits, signed,
+                "<i8" if width == 8 else "<i4",
+            )
+            arr = pa.Array.from_buffers(
+                pa_type,
+                rows,
+                [
+                    pa.py_buffer(validity) if validity is not None else None,
+                    pa.py_buffer(vals.tobytes()),
+                ],
+            )
+        else:
+            arr = pa.Array.from_buffers(
                 pa_type,
                 rows,
                 [
@@ -470,7 +593,7 @@ def _prim_array(pa, blob, pages, pa_type, width):
                     pa.py_buffer(blob[off : off + size]),
                 ],
             )
-        )
+        parts.append(arr)
     return pa.concat_arrays(parts) if len(parts) != 1 else parts[0]
 
 
@@ -734,9 +857,9 @@ def read_fragment_table(
         raise UnsupportedLanceFeature(f"bad magic {magic!r} in {path}")
     if (major, minor) not in _SUPPORTED_FILE_VERSIONS:
         raise UnsupportedLanceFeature(
-            f"{path}: file version {major}.{minor} — only 'Lance File "
-            "2.0' (footer 0.3) decodes; legacy v1 and 2.1+ structural "
-            "encodings need the Lance library"
+            f"{path}: file version {major}.{minor} — 'Lance File 2.0' "
+            "(footer 0.3) and the 2.1 flat/bitpacked read subset "
+            "decode; legacy v1 needs the Lance library"
         )
     expected_ids = _depth_first_ids(top_fields)
     col_start = None  # field-id-mapped path: top fid -> file column|None
@@ -803,7 +926,12 @@ def read_fragment_table(
             # page and concat; 'binary' is the multimodal payload type
             vtype = pa.large_utf8() if lf.logical == "string" else pa.large_binary()
             parts = []
-            for offs, sizes, rows in col_pages[ci]:
+            for offs, sizes, rows, enc in col_pages[ci]:
+                if _page_encoding(enc)[0] == "bitpacked":
+                    raise UnsupportedLanceFeature(
+                        f"varlen column {lf.name!r}: bitpacked pages "
+                        "are integer-only"
+                    )
                 validity, arro, (doff, dsz) = _varlen_page(
                     blob, offs, sizes, rows
                 )
@@ -826,7 +954,14 @@ def read_fragment_table(
                 pa.concat_arrays(parts) if len(parts) != 1 else parts[0]
             ), ci + 1
         if lf.logical == "list" and len(lf.children) == 1 and lf.children[0].logical in _PRIM:
-            offs, sizes, rows = _single_page(col_pages[ci], "list-offsets")
+            offs, sizes, rows, enc = _single_page(
+                col_pages[ci], "list-offsets"
+            )
+            if _page_encoding(enc)[0] == "bitpacked":
+                raise UnsupportedLanceFeature(
+                    f"list column {lf.name!r}: bitpacked offset pages "
+                    "are outside the subset"
+                )
             validity, bufs = _split_validity(blob, offs, sizes, rows, [rows * 8])
             (eoff, _esz) = bufs[0]
             arro, ends = _offsets_with_zero(blob, eoff, rows)
@@ -1421,17 +1556,29 @@ def _logical_of(pa, t) -> str:
     raise UnsupportedLanceFeature(f"cannot encode arrow type {t}")
 
 
-def write_fragment_file(path: str, table, max_rows_per_page: int | None = None) -> None:
+def write_fragment_file(
+    path: str,
+    table,
+    max_rows_per_page: int | None = None,
+    *,
+    file_version: tuple[int, int] = (0, 3),
+    bitpack_ints: bool = False,
+) -> None:
     """Emit one 'Lance File 2.0' data file (footer version 0.3, the
     2.0 encoding) with every column as flat value page(s) — the exact
     layout :func:`read_fragment_table` decodes. ``max_rows_per_page``
     splits primitive/timestamp/string columns into multiple pages
     (list columns stay single-page: the offsets↔child alignment needs
-    one offsets page)."""
+    one offsets page). ``bitpack_ints`` (with ``file_version=(2, 1)``
+    — see :func:`write_fragment_file_21`) bitpacks TOP-LEVEL
+    int32/int64 value pages to each page's minimal fixed width and
+    declares it in page metadata — the 2.1 fixture writer for the
+    read subset."""
     import pyarrow as pa
 
-    # per depth-first column: a list of pages (buffers, row count)
-    columns: list[list[tuple[list[bytes], int]]] = []
+    # per depth-first column: a list of pages
+    # (buffers, row count, encoding bytes)
+    columns: list[list[tuple[list[bytes], int, bytes]]] = []
     for name in table.column_names:
         ca = table.column(name)
         arr = (
@@ -1440,13 +1587,33 @@ def write_fragment_file(path: str, table, max_rows_per_page: int | None = None) 
             else pa.array([], type=ca.type)
         )
         logical = _logical_of(pa, arr.type)
-        columns.extend(_column_buffers(pa, arr, logical, max_rows_per_page))
+        for ci, pages in enumerate(
+            _column_buffers(pa, arr, logical, max_rows_per_page)
+        ):
+            out_pages = []
+            for bufs, col_rows in pages:
+                enc = b""
+                if (
+                    bitpack_ints
+                    and ci == 0
+                    and logical in ("int64", "int32")
+                    and col_rows
+                ):
+                    width = _PRIM[logical][1]
+                    vals = np.frombuffer(
+                        bufs[-1], dtype=_PRIM[logical][0]
+                    )
+                    bufs, enc = _bitpacked_page(
+                        bufs, vals, col_rows, width
+                    )
+                out_pages.append((bufs, col_rows, enc))
+            columns.append(out_pages)
 
     blob = bytearray()
     col_metas: list[bytes] = []
     for pages in columns:
         meta = b""
-        for bufs, col_rows in pages:
+        for bufs, col_rows, enc in pages:
             offs, sizes = [], []
             for b in bufs:
                 offs.append(len(blob))
@@ -1457,6 +1624,8 @@ def write_fragment_file(path: str, table, max_rows_per_page: int | None = None) 
                 + _enc_packed(2, sizes)
                 + _enc_int(3, col_rows)
             )
+            if enc:
+                page += _enc_len(4, enc)
             meta += _enc_len(2, page)
         col_metas.append(meta)
 
@@ -1469,11 +1638,52 @@ def write_fragment_file(path: str, table, max_rows_per_page: int | None = None) 
     for pos, sz in meta_pos:
         blob += struct.pack("<QQ", pos, sz)
     gbos = len(blob)  # zero global buffers
-    blob += FOOTER.pack(cms, cmos, gbos, 0, len(columns), 0, 3, MAGIC)
+    blob += FOOTER.pack(
+        cms, cmos, gbos, 0, len(columns),
+        file_version[0], file_version[1], MAGIC,
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(bytes(blob))
     os.replace(tmp, path)
+
+
+def _bitpacked_page(bufs, vals: np.ndarray, rows: int, width: int):
+    """Transform one flat int page into its bitpacked form: minimal
+    fixed width over the page's values (sign-extended two's
+    complement when negatives are present), the validity bitmap —
+    when one leads the buffer list — untouched. Returns
+    (new buffers, encoding message bytes)."""
+    vmin = int(vals.min())
+    vmax = int(vals.max())
+    if vmin >= 0:
+        bits, signed = max(1, vmax.bit_length()), False
+    else:
+        bits = 1 + max(vmax.bit_length(), (-vmin - 1).bit_length())
+        signed = True
+    bits = min(bits, 64)
+    packed = _bitpack(vals, bits)
+    enc = _enc_len(
+        2,
+        _enc_int(1, bits)
+        + _enc_int(3, width * 8)
+        + (_enc_int(4, 1) if signed else b""),
+    )
+    return bufs[:-1] + [packed], enc
+
+
+def write_fragment_file_21(
+    path: str, table, max_rows_per_page: int | None = None
+) -> None:
+    """2.1 fixture writer: footer version (2, 1) with TOP-LEVEL
+    int32/int64 columns bitpacked per page (the encoding the 2.1 read
+    subset decodes); every other column stays flat. Exists so tests
+    can synthesize 2.1 files and prove bit-exact decode — production
+    2.1 files carry structural encodings this reader refuses."""
+    write_fragment_file(
+        path, table, max_rows_per_page,
+        file_version=(2, 1), bitpack_ints=True,
+    )
 
 
 # ---------- manifest (encode) ----------
