@@ -26,6 +26,23 @@ def main() -> None:
     # query, not session startup
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
+    # CALIBRATION (r15, adjudicability): one pinned machine-speed probe
+    # — a fixed spark.range sort+agg whose plan never changes across
+    # rounds — so cross-round comparisons can separate code movement
+    # from machine drift (r13→r14 looked like a regression until the
+    # judge re-ran r13 code on the day's machine). Runs AFTER warmup,
+    # min of 3 like every query.
+    cal = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "id", "id % 997 AS k"
+        ).groupBy("k").count().orderBy("k").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        cal.append(time.time() - t0)
+    calibration = round(min(cal), 3)
+
     # Each query runs one UNTIMED cold pass (first-touch costs the plan
     # doesn't own: OS page cache for its input files, JIT/codegen of its
     # operator shapes — r6 recorded dedup_ngram_jaccard at 5.09s cold vs
@@ -63,6 +80,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
+        "machine": _machine_fingerprint(),
     }
     # Per-query deltas vs the previous round go to a SIDE file, not the
     # stdout line: the driver captures only the tail of stdout and parses
@@ -82,11 +101,49 @@ def main() -> None:
                 os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DELTAS.json"),
                 "w",
             ) as f:
-                json.dump({"prev_round": rnd, "sf": out["sf"], "deltas_vs_prev": deltas}, f, indent=1)
+                json.dump(
+                    {
+                        "prev_round": rnd,
+                        "sf": out["sf"],
+                        # this run's calibration; compare with the
+                        # prev round's BENCH calibration_sec (absent
+                        # before r15) before reading deltas as code
+                        # movement
+                        "calibration_sec": out["calibration_sec"],
+                        "deltas_vs_prev": deltas,
+                    },
+                    f,
+                    indent=1,
+                )
         except Exception:  # noqa: BLE001 - deltas are diagnostics, never fail the bench
             pass
     line = json.dumps(out, separators=(",", ":"))
     print(line)
+
+
+def _machine_fingerprint() -> dict:
+    """Identify the machine a bench ran on: cpu model, core count, and
+    the 1-minute loadavg at bench end. Small fixed-size dict — the
+    stdout contract line must stay parseable (the driver truncates
+    oversized tails)."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.lower().startswith("model name"):
+                    model = ln.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    return {
+        "cpu": model[:64],
+        "cores": os.cpu_count() or 0,
+        "load1": load1,
+    }
 
 
 def _drop_persisted(spark) -> None:

@@ -45,6 +45,7 @@ def agg_global(spark, sf_dir):
 
 @query(
     "agg_groupby",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS cnt,

@@ -611,6 +611,7 @@ def sql_session_tvf(spark, sf_dir):
 
 @query(
     "sql_hop_tvf",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     # r14 rotation: back to primary for fresh driver hash evidence
     oracle="""
     SELECT ws AS window_start_s, COUNT(*) AS n,
@@ -1167,7 +1168,6 @@ def image_dedup_dhash(spark, sf_dir):
 
 @query(
     "audio_dedup_fp",
-    extra=True,  # r14 extension: perceptual audio dedup (real WAV+rFFT)
     oracle="""
     SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM documents
@@ -1240,7 +1240,6 @@ def audio_dedup_fp(spark, sf_dir):
 
 @query(
     "image_near_dup_pairs",
-    extra=True,  # r14 extension: the banded-LSH pair join, full oracle
     oracle="""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
     FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) a

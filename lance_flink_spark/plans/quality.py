@@ -663,6 +663,7 @@ def orders_price_deciles(spark, sf_dir):
 
 @query(
     "classifier_quality_filter",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     # r12 rotation: the #234 classifier flagship gets driver-grade evidence
     oracle="""
     WITH tok AS (

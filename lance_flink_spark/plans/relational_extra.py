@@ -248,6 +248,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 @query(
     "profile_lineitem",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle=" UNION ALL ".join(
         f"""
         SELECT '{c}' AS column_name, COUNT(*) AS n,
@@ -1106,7 +1107,6 @@ def streaming_cdc_upsert(spark, sf_dir):
 
 @query(
     "streaming_native_upsert",
-    extra=True,  # r14: the keyed-changelog sink landing in NATIVE Lance
     oracle="""
     SELECT user_id, event_type, ts_us, event_id, value_cents FROM (
         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

@@ -306,7 +306,6 @@ def lance_native_distributed(spark, sf_dir):
 
 @query(
     "lance_datasource_roundtrip",
-    extra=True,  # r14: the V2 Python DataSource surface, full oracle
     oracle="""
     SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_nc
     FROM documents
@@ -355,7 +354,6 @@ def lance_datasource_roundtrip(spark, sf_dir):
 
 @query(
     "lance_native_evolution",
-    extra=True,  # r14: ADD/DROP COLUMN + compaction on native Lance
     oracle="""
     WITH all_rows AS (
         SELECT doc_id, n_chars, CAST(NULL AS DOUBLE) AS quality
@@ -452,7 +450,6 @@ def lance_native_evolution(spark, sf_dir):
 
 @query(
     "lance_native_update_merge",
-    extra=True,  # r14: one-commit UPDATE/MERGE on native Lance tables
     oracle="""
     WITH upd AS (
         SELECT doc_id, lang,
@@ -609,7 +606,6 @@ def lance_native_changes(spark, sf_dir):
 
 @query(
     "lance_native_struct_evolution",
-    extra=True,  # r14: schema evolution on STRUCT-bearing datasets
     oracle="""
     WITH all_rows AS (
         SELECT doc_id, n_chars AS w, LENGTH(source) AS h,
@@ -787,7 +783,6 @@ def native_backfill(spark, sf_dir):
 
 @query(
     "native_merge_columns",
-    extra=True,  # r14 extension: Lance Dataset.merge — key-join attach
     oracle="""
     SELECT lang,
            COUNT(*) AS n,

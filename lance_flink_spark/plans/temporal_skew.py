@@ -13,6 +13,7 @@ from lance_flink_spark.registry import query, table
 
 @query(
     "events_asof_join",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle="""
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
          p AS (SELECT event_id AS p_id, user_id, ts, value FROM events

@@ -60,6 +60,7 @@ _EN_HITS_ARR = "len(list_filter(arr, x -> x IN ({lst})))".format(
 
 @query(
     "text_features",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle=f"""
     WITH base AS (
         SELECT doc_id, text, {_TOKS} AS arr,
@@ -372,6 +373,7 @@ def embeddings_normalize(spark, sf_dir):
 
 @query(
     "stratified_cap",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle="""
     SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id
     FROM (
@@ -609,6 +611,7 @@ _RH_BLK = " + ".join(
 
 @query(
     "dedup_embedding",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle=f"""
     WITH aug AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1930,7 +1933,6 @@ def lm_perplexity_buckets(spark, sf_dir):
 
 @query(
     "fim_transform",
-    extra=True,  # r14 extension: fill-in-middle pretraining transform
     oracle="""
     WITH c AS (
         SELECT doc_id, text, LENGTH(text) AS L,

@@ -151,6 +151,7 @@ def knn_filtered(spark, sf_dir):
 
 @query(
     "knn_join",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle="""
     SELECT query_id, neighbor_id, distance, rn FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -189,6 +190,7 @@ def _ivf_flat(spark, sf_dir) -> IVFIndex:
 
 @query(
     "ivf_flat_search",
+    extra=True,  # r15 rotation: demoted, full oracle still checked in extras
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,
@@ -635,7 +637,6 @@ def native_index_exactness(spark, sf_dir):
 
 @query(
     "native_ivf_payload_exactness",
-    extra=True,  # r15: manifest-registered IVF_FLAT payload serves
     oracle=f"""
     SELECT vec_id, distance FROM (
         SELECT e.vec_id,

@@ -275,9 +275,10 @@ class UpsertNativeSink:
     """foreachBatch sink folding a keyed changelog into a NATIVE Lance
     dataset — :class:`UpsertDatasetSink`'s contract on the native
     format (round 14): each micro-batch lands as ONE manifest commit
-    through ``lance_native.update_rows_distributed`` (deletion files
-    tombstone replaced/retracted rows, executor-written fragments
-    carry the new images). With the changelog-mode native stream
+    through ``lance_native.mutate_rows_distributed`` (deletion files
+    written INSIDE per-fragment executor tasks tombstone replaced/
+    retracted rows, executor-written fragments carry the new images —
+    no driver row gate on the batch). With the changelog-mode native stream
     source on the other side this closes the FULLY-native replication
     loop: native table → readChanges stream → keyed upsert → native
     replica.
@@ -386,8 +387,8 @@ class UpsertNativeSink:
 
         from lance_flink_spark.sources.lance_native import (
             LanceNativeDataset,
+            mutate_rows_distributed,
             read_distributed,
-            update_rows_distributed,
             write_dataset_distributed,
         )
 
@@ -407,42 +408,50 @@ class UpsertNativeSink:
         cols = [c for c in t.columns if c != "__phys"]
         tsch = {f.name: f.dataType for f in t.schema.fields}
         s = filtered.alias("s")
+        # persist the matched frame (bounded by the micro-batch's key
+        # matches): its three consumers — tombstone offsets, updated
+        # images, matched-key anti-join build side — would otherwise
+        # each re-decode the whole replica
         m = t.join(
             s, F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"), "inner"
-        )
-        guard = (
-            F.expr(_seq_guard(self.seq_cols)) if self.seq_cols else F.lit(True)
-        )
-        sdel = F.col(f"s.`{self.op_col}`").isin(list(self.delete_ops))
-        # every matched row whose change wins its guard is tombstoned —
-        # replaced (upsert) or gone (delete); losers keep the old row
-        offs = [
-            r["__phys"]
-            for r in m.filter(guard)
-            .select(F.col("t.`__phys`").alias("__phys"))
-            .limit(4_000_001)
-            .collect()
-        ]
-        if len(offs) > 4_000_000:
-            raise ValueError(
-                "native upsert batch matched >4M rows — the offset "
-                "resolution is driver-side; split the batch"
+        ).persist()
+        try:
+            guard = (
+                F.expr(_seq_guard(self.seq_cols))
+                if self.seq_cols
+                else F.lit(True)
             )
-        updates = m.filter(guard & ~sdel).select(
-            *[F.col(f"s.`{c}`").cast(tsch[c]).alias(c) for c in cols]
-        )
-        mk = m.select(F.col(f"s.`{self.key}`").alias(self.key)).distinct()
-        inserts = (
-            filtered.join(F.broadcast(mk), self.key, "left_anti")
-            .filter(~F.col(self.op_col).isin(list(self.delete_ops)))
-            .select(*[F.col(f"`{c}`").cast(tsch[c]).alias(c) for c in cols])
-        )
-        return update_rows_distributed(
-            self.root,
-            updates.unionByName(inserts),
-            offs,
-            expected_version=nds._manifests[-1],
-        )
+            sdel = F.col(f"s.`{self.op_col}`").isin(list(self.delete_ops))
+            # every matched row whose change wins its guard is
+            # tombstoned — replaced (upsert) or gone (delete); losers
+            # keep the old row. Offsets stay a DataFrame: deletion
+            # files are written inside per-fragment tasks
+            # (mutate_rows_distributed), so there is NO driver row
+            # gate on the batch size (r15 — the old path collected
+            # offsets under a 4M gate)
+            winners = m.filter(guard)
+            offs_df = winners.select(F.col("t.`__phys`").alias("__phys"))
+            updates = winners.filter(~sdel).select(
+                *[F.col(f"s.`{c}`").cast(tsch[c]).alias(c) for c in cols]
+            )
+            mk = m.select(
+                F.col(f"s.`{self.key}`").alias(self.key)
+            ).distinct()
+            inserts = (
+                filtered.join(F.broadcast(mk), self.key, "left_anti")
+                .filter(~F.col(self.op_col).isin(list(self.delete_ops)))
+                .select(
+                    *[F.col(f"`{c}`").cast(tsch[c]).alias(c) for c in cols]
+                )
+            )
+            return mutate_rows_distributed(
+                self.root,
+                offs_df,
+                updates.unionByName(inserts),
+                expected_version=nds._manifests[-1],
+            )
+        finally:
+            m.unpersist()
 
     def attach(self, sdf: DataFrame, checkpoint: str):
         """``stream.writeStream.foreachBatch(sink.write_batch)`` with
