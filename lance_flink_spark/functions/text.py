@@ -262,3 +262,48 @@ def gopher_rules(text: Column) -> dict[str, Column]:
         "rule_stopwords": r_stop,
         "passes_gopher": r_count & r_wordlen & r_diversity & r_stop,
     }
+
+
+def fim_rearrange(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "fim_text",
+):
+    """FILL-IN-MIDDLE pretraining transform (Bavarian et al. 2022's
+    PSM rearrangement): two md5-seeded character cuts a ≤ b —
+    deterministic from the row's ``id_col``, no RNG state, so any
+    engine reproduces the exact cuts — split each document into
+    prefix/middle/suffix and the row gains ``out_col`` =
+    ``<PRE>prefix<SUF>suffix<MID>middle`` plus the three span lengths.
+    Pure Catalyst (md5/conv/substr): a map-only pass at any scale.
+    Shared by the fim_transform registry query and the SQL
+    ``fim_transform('t', 'id', 'text')`` table function."""
+    did = F.col(id_col).cast("string")
+    h1 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim:"), did)), 1, 8), 16, 10
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim2:"), did)), 1, 8), 16, 10
+    ).cast("long")
+    L = F.length(text_col)
+    a = F.when(L < 2, F.lit(0)).otherwise(h1 % L)
+    b = F.when(L < 2, F.lit(0)).otherwise(a + (h2 % (L - a + 1)))
+    c = df.select(
+        id_col, text_col, L.alias("__L"), a.alias("__a"), b.alias("__b")
+    )
+    text = F.col(text_col)
+    prefix = text.substr(F.lit(1), F.col("__a"))
+    middle = text.substr(F.col("__a") + 1, F.col("__b") - F.col("__a"))
+    suffix = text.substr(F.col("__b") + 1, F.col("__L") - F.col("__b"))
+    return c.select(
+        id_col,
+        F.col("__a").alias("n_prefix"),
+        (F.col("__b") - F.col("__a")).alias("n_middle"),
+        (F.col("__L") - F.col("__b")).alias("n_suffix"),
+        F.concat(
+            F.lit("<PRE>"), prefix,
+            F.lit("<SUF>"), suffix,
+            F.lit("<MID>"), middle,
+        ).alias(out_col),
+    )

@@ -1291,3 +1291,64 @@ def image_near_dup_pairs_q(spark, sf_dir):
     return image_near_dup_pairs(blobs, max_hamming=6).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "sql_perceptual_hash_tvf",
+    extra=True,  # r15: SQL surface for the perceptual-hash pass
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY doc_id % 17
+    """,
+)
+def sql_perceptual_hash_tvf(spark, sf_dir):
+    """`image_dedup_dhash`'s pipeline reached FROM SQL (r15): the same
+    per-pattern PNG blobs land in a view, the
+    ``perceptual_hash('v', 'content', 'doc_id')`` table function runs
+    the Arrow-batched decode+dHash pass, and plain SQL groups the
+    hashes — the Python-batch compute the ALTER TABLE AS (expr)
+    backfill can't express, now dialect-reachable. Oracle replays the
+    grouping relationally (pixels depend only on doc_id % 17)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        _pattern_png(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs.mapInPandas(_synth, schema=out_schema).createOrReplaceTempView(
+        "phash_blobs"
+    )
+    eng = SqlEngine(
+        spark, Catalog(scratch_dir("phash_tvf" + sf_dir.replace("/", "_")))
+    )
+    hashed = eng.execute(
+        "SELECT * FROM perceptual_hash('phash_blobs', 'content', 'doc_id')"
+    )
+    hashed.createOrReplaceTempView("phash_out")
+    return spark.sql(
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+        "FROM phash_out GROUP BY dhash"
+    )

@@ -1966,37 +1966,68 @@ def fim_transform(spark, sf_dir):
     no RNG state — so DuckDB reproduces the exact cuts and the PSM
     fingerprint; a 1-character drift in either engine's substring or
     hash math breaks the hash. Pure Catalyst (md5/conv/substr), zero
-    Python; at 100 TB this is a map-only pass."""
+    Python; at 100 TB this is a map-only pass. The transform itself
+    lives in functions.text.fim_rearrange (shared with the SQL
+    ``fim_transform('t', 'id', 'text')`` table function)."""
+    from lance_flink_spark.functions.text import fim_rearrange
+
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    did = F.col("doc_id").cast("string")
-    h1 = F.conv(
-        F.substring(F.md5(F.concat(F.lit("fim:"), did)), 1, 8), 16, 10
-    ).cast("long")
-    h2 = F.conv(
-        F.substring(F.md5(F.concat(F.lit("fim2:"), did)), 1, 8), 16, 10
-    ).cast("long")
-    L = F.length("text")
-    a = F.when(L < 2, F.lit(0)).otherwise(h1 % L)
-    b = F.when(L < 2, F.lit(0)).otherwise(a + (h2 % (L - a + 1)))
-    c = d.select(
-        "doc_id", "text", L.alias("L"), a.alias("a"), b.alias("b")
+    out = fim_rearrange(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_prefix", "n_middle", "n_suffix",
+        F.md5(F.col("fim_text")).alias("fp_psm"),
     )
-    text = F.col("text")
-    prefix = text.substr(F.lit(1), F.col("a"))
-    middle = text.substr(F.col("a") + 1, F.col("b") - F.col("a"))
-    suffix = text.substr(
-        F.col("b") + 1, F.col("L") - F.col("b")
+
+
+@query(
+    "sql_fim_transform",
+    extra=True,  # r15: SQL surface for the FIM transform
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, text, LENGTH(text) AS L,
+               ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h2
+        FROM documents
+    ), cuts AS (
+        SELECT doc_id, text, L,
+               CASE WHEN L < 2 THEN 0 ELSE h1 % L END AS a,
+               CASE WHEN L < 2 THEN 0
+                    ELSE (h1 % L) + (h2 % (L - (h1 % L) + 1)) END AS b
+        FROM c
     )
-    return c.select(
-        "doc_id",
-        F.col("a").alias("n_prefix"),
-        (F.col("b") - F.col("a")).alias("n_middle"),
-        (F.col("L") - F.col("b")).alias("n_suffix"),
-        F.md5(
-            F.concat(
-                F.lit("<PRE>"), prefix,
-                F.lit("<SUF>"), suffix,
-                F.lit("<MID>"), middle,
-            )
-        ).alias("fp_psm"),
+    SELECT doc_id,
+           a AS n_prefix,
+           b - a AS n_middle,
+           L - b AS n_suffix,
+           md5('<PRE>' || substr(text, 1, CAST(a AS INT))
+               || '<SUF>' || substr(text, CAST(b AS INT) + 1)
+               || '<MID>' || substr(text, CAST(a AS INT) + 1,
+                                    CAST(b - a AS INT))) AS fp_psm
+    FROM cuts
+    """,
+)
+def sql_fim_transform(spark, sf_dir):
+    """The FIM/PSM transform reached FROM SQL (r15): documents land in
+    a view, the ``fim_transform('v', 'doc_id', 'text')`` table
+    function emits the rearranged text, and the fingerprint is plain
+    SQL md5 over its output — byte-identical to the `fim_transform`
+    registry query's Catalyst path and to the DuckDB oracle's
+    substring math."""
+    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("fim_docs")
+    eng = SqlEngine(
+        spark, Catalog(scratch_dir("fim_tvf" + sf_dir.replace("/", "_")))
+    )
+    out = eng.execute(
+        "SELECT * FROM fim_transform('fim_docs', 'doc_id', 'text')"
+    )
+    out.createOrReplaceTempView("fim_out")
+    return spark.sql(
+        "SELECT doc_id, n_prefix, n_middle, n_suffix, "
+        "md5(fim_text) AS fp_psm FROM fim_out"
     )

@@ -357,6 +357,22 @@ _TABLE_CHANGES = re.compile(
     r"(?P<frm>\d+)(?:\s*,\s*(?P<to>\d+))?\s*\)\s*$",
     re.IGNORECASE,
 )
+_FIM_TVF = re.compile(
+    # training-transform TVF: the PSM fill-in-middle rearrangement as
+    # a table function (functions.text.fim_rearrange) — SELECT * FROM
+    # fim_transform('t', 'id_col', 'text_col')
+    r"SELECT\s+\*\s+FROM\s+fim_transform\s*\(\s*'(?P<tbl>[^']+)'\s*,\s*"
+    r"'(?P<id>[^']+)'\s*,\s*'(?P<txt>[^']+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+_PHASH_TVF = re.compile(
+    # perceptual-hash TVF over a binary media column — SELECT * FROM
+    # perceptual_hash('t', 'content_col', 'id_col'[, 'image'|'audio'])
+    r"SELECT\s+\*\s+FROM\s+perceptual_hash\s*\(\s*'(?P<tbl>[^']+)'\s*,\s*"
+    r"'(?P<col>[^']+)'\s*,\s*'(?P<id>[^']+)'"
+    r"(?:\s*,\s*'(?P<mode>image|audio)')?\s*\)\s*$",
+    re.IGNORECASE,
+)
 # Flink event-time temporal table join (docs "Temporal Joins"):
 #   SELECT ... FROM fact f JOIN dim FOR SYSTEM_TIME AS OF f.ts AS d
 #   ON f.k = d.k [...]
@@ -1292,6 +1308,53 @@ class SqlEngine:
         )
         return knn(sub, vec, k, vec_col=col, metric=metric)
 
+    def _tvf_relation(self, tbl: str):
+        """Resolve a TVF's table argument: native tables and catalog
+        tables are registered as views, and a caller-registered temp
+        view works the same — unknown names fail with the usual
+        TABLE_OR_VIEW_NOT_FOUND."""
+        return self.spark.table(tbl)
+
+    def _fim_tvf(self, m: re.Match):
+        """``fim_transform('t', 'id', 'text')`` — the fill-in-middle
+        PSM rearrangement (functions.text.fim_rearrange) as a SQL
+        table function: (id, n_prefix, n_middle, n_suffix, fim_text).
+        Deterministic md5-seeded cuts; pure Catalyst, map-only."""
+        from lance_flink_spark.functions.text import fim_rearrange
+
+        return fim_rearrange(
+            self._tvf_relation(m.group("tbl")),
+            id_col=m.group("id"),
+            text_col=m.group("txt"),
+        )
+
+    def _phash_tvf(self, m: re.Match):
+        """``perceptual_hash('t', 'content', 'id'[, 'image'|'audio'])``
+        — the perceptual fingerprint pass as a SQL table function:
+        (id, dhash|audio_fp). 'image' (default) decodes PPM/PNG/JPEG
+        pixels and dHashes them; 'audio' fingerprints WAV spectra.
+        One Arrow-batched mapInPandas pass (operators.dedup's shared
+        scaffold) — the backfill-ish Python-batch compute the ALTER
+        TABLE AS (expr) surface can't express, reachable from SQL."""
+        from lance_flink_spark.operators.dedup import _fingerprint_frame
+
+        mode = (m.group("mode") or "image").lower()
+        if mode == "audio":
+            from lance_flink_spark.functions.multimodal import audio_fp64
+
+            fn, out = audio_fp64, "audio_fp"
+        else:
+            from lance_flink_spark.functions.multimodal import dhash64
+
+            fn, out = dhash64, "dhash"
+        return _fingerprint_frame(
+            self._tvf_relation(m.group("tbl")),
+            fn,
+            out,
+            m.group("col"),
+            m.group("id"),
+        )
+
     def _table_changes(self, m: re.Match):
         """Delta's ``table_changes('t', from [, to])`` TVF over a
         NATIVE table — the change feed (lance_native.
@@ -1715,6 +1778,12 @@ class SqlEngine:
         m = _TABLE_CHANGES.match(sql)
         if m:
             return self._table_changes(m)
+        m = _FIM_TVF.match(sql)
+        if m:
+            return self._fim_tvf(m)
+        m = _PHASH_TVF.match(sql)
+        if m:
+            return self._phash_tvf(m)
         m = _COPY_INTO.match(sql)
         if m and self._in_catalog(m.group("name")):
             return self._copy_into(m)

@@ -1676,3 +1676,65 @@ def test_sql_index_is_dv_aware(engine, spark):
     ).collect()
     assert len(after) == 5
     assert not ({r["vec_id"] for r in after} & set(dead))
+
+
+def test_fim_transform_tvf(engine, spark):
+    """r15: the fill-in-middle PSM rearrangement as a SQL table
+    function — deterministic cuts, correct span arithmetic, and the
+    serialized <PRE>/<SUF>/<MID> shape."""
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("fim_in")
+    rows = {
+        r["doc_id"]: r
+        for r in engine.execute(
+            "SELECT * FROM fim_transform('fim_in', 'doc_id', 'text')"
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    r = rows[1]
+    assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == 11
+    t = r["fim_text"]
+    assert t.startswith("<PRE>") and "<SUF>" in t and "<MID>" in t
+    pre = t[5 : t.index("<SUF>")]
+    suf = t[t.index("<SUF>") + 5 : t.index("<MID>")]
+    mid = t[t.index("<MID>") + 5 :]
+    assert pre + mid + suf == "hello world"
+    # degenerate docs (len < 2): whole text becomes the suffix
+    assert rows[2]["fim_text"] == "<PRE><SUF>x<MID>"
+    assert rows[3]["fim_text"] == "<PRE><SUF><MID>"
+
+
+def test_perceptual_hash_tvf(engine, spark):
+    """r15: perceptual_hash('t', 'content', 'id') runs the real-codec
+    dHash pass from SQL; pixel-identical PNGs with different scanline
+    filters hash equal, different patterns differ."""
+    from lance_flink_spark.functions.multimodal import encode_png
+
+    import numpy as np
+
+    a = np.zeros((16, 16, 3), dtype=np.uint8)
+    a[:, :8] = 255  # left-white pattern
+    b = np.zeros((16, 16, 3), dtype=np.uint8)
+    b[:8, :] = 255  # top-white pattern
+    blobs = [
+        (1, bytearray(encode_png(a, filter_type=0))),
+        (2, bytearray(encode_png(a, filter_type=2))),  # same pixels
+        (3, bytearray(encode_png(b, filter_type=1))),
+    ]
+    spark.createDataFrame(
+        blobs, "doc_id long, content binary"
+    ).createOrReplaceTempView("ph_in")
+    rows = {
+        r["doc_id"]: r["dhash"]
+        for r in engine.execute(
+            "SELECT * FROM perceptual_hash('ph_in', 'content', 'doc_id')"
+        ).collect()
+    }
+    assert rows[1] == rows[2] != rows[3]
+    # unknown table → the usual analyzer error, not a silent None
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|not found"):
+        engine.execute(
+            "SELECT * FROM perceptual_hash('nope', 'content', 'doc_id')"
+        )
