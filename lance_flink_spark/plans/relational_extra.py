@@ -302,6 +302,62 @@ def streaming_exactly_once(spark, sf_dir):
     )
 
 
+
+def _changelog_spool(spark, sf_dir):
+    """Shared fixture for the streaming upsert flagships: the events
+    changelog (purchases retract, the rest upserts) staged as FOUR
+    mtime-ordered time-range batch dirs for maxFilesPerTrigger=1
+    replay. Deterministic from the events table, so it is built ONCE
+    per sf_dir and REUSED across queries and bench repeat passes —
+    rebuilding it every pass cost each upsert query 3-5s of pure
+    fixture overhead (min/max job + partitioned write) that measured
+    nothing about the operator. Returns (src_dir, schema)."""
+    import shutil
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = scratch_dir("chlog_spool" + tag)
+    src = os.path.join(base, "src")
+    marker = os.path.join(base, "_SPOOL_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
+        ev = table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("long")
+            .alias("value_cents"),
+            F.when(F.col("event_type") == "purchase", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+        )
+        # per-key arrival order across micro-batches matches event
+        # time, the upsert-kafka delivery contract; the seq guard
+        # still protects intra-batch folds
+        lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        span = hi - lo + 1
+        # ONE partitioned write stages all four time-range batch dirs
+        (
+            ev.withColumn(
+                "b", ((F.col("ts_us") - lo) * 4 / span).cast("int")
+            )
+            .repartition("b")
+            .write.partitionBy("b")
+            .parquet(src)
+        )
+        for i in range(4):
+            pdir = os.path.join(src, f"b={i}")
+            t = 1_700_000_000 + i * 100
+            for r, _d, files in os.walk(pdir):
+                for f in files:
+                    os.utime(os.path.join(r, f), (t, t))
+            os.utime(pdir, (t, t))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return src, spark.read.parquet(os.path.join(src, "b=0")).schema
+
+
 @query(
     "streaming_upsert",
     # r12 rotation: the #225 keyed-changelog sink gets driver-grade evidence
@@ -335,41 +391,7 @@ def streaming_upsert(spark, sf_dir):
     root = scratch_dir("upsert" + tag)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        "event_id",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
-        F.when(F.col("event_type") == "purchase", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("_op"),
-    )
-    # stage 4 time-range batch files (mtime-ordered): per-key arrival
-    # order across micro-batches matches event time, the upsert-kafka
-    # delivery contract; the seq guard still protects intra-batch folds
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    span = hi - lo + 1
-    src = os.path.join(root, "src")
-    # ONE partitioned write stages all four time-range batch dirs
-    # (4 sequential filtered writes = 4 scans + 4 jobs before the
-    # stream even starts); mtimes set per partition dir afterwards
-    (
-        ev.withColumn(
-            "b", ((F.col("ts_us") - lo) * 4 / span).cast("int")
-        )
-        .repartition("b")
-        .write.partitionBy("b")
-        .parquet(src)
-    )
-    for i in range(4):
-        p = os.path.join(src, f"b={i}")
-        t = 1_700_000_000 + i * 100
-        for r, _d, files in os.walk(p):
-            for f in files:
-                os.utime(os.path.join(r, f), (t, t))
-        os.utime(p, (t, t))
-    schema = spark.read.parquet(os.path.join(src, "b=0")).schema
+    src, schema = _changelog_spool(spark, sf_dir)
     sink = UpsertDatasetSink(
         os.path.join(root, "t"), key="user_id", seq_cols=["ts_us", "event_id"]
     )
@@ -1141,33 +1163,7 @@ def streaming_native_upsert(spark, sf_dir):
     root = scratch_dir("nupsert" + tag)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        "event_id",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
-        F.when(F.col("event_type") == "purchase", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("_op"),
-    )
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    span = hi - lo + 1
-    src = os.path.join(root, "src")
-    (
-        ev.withColumn("b", ((F.col("ts_us") - lo) * 4 / span).cast("int"))
-        .repartition("b")
-        .write.partitionBy("b")
-        .parquet(src)
-    )
-    for i in range(4):
-        p = os.path.join(src, f"b={i}")
-        t = 1_700_000_000 + i * 100
-        for r, _d, files in os.walk(p):
-            for f in files:
-                os.utime(os.path.join(r, f), (t, t))
-        os.utime(p, (t, t))
-    schema = spark.read.parquet(os.path.join(src, "b=0")).schema
+    src, schema = _changelog_spool(spark, sf_dir)
     sink = UpsertNativeSink(
         os.path.join(root, "t"), key="user_id", seq_cols=["ts_us", "event_id"]
     )

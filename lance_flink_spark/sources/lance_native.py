@@ -2153,11 +2153,18 @@ def overwrite_dataset_distributed(root: str, df) -> int:
 
 
 def _df_arrow_schema(df):
-    """The Arrow schema Spark's own conversion gives ``df`` — derived
-    from an empty slice (one trivial job, zero data movement), so the
-    distributed writer's casts see exactly the batch types mapInArrow
-    will deliver."""
-    return df.limit(0).toArrow().schema
+    """The Arrow schema Spark's own conversion gives ``df`` — via the
+    same converter Spark's Arrow transfer uses (LTZ timestamps land as
+    us/UTC, exactly what mapInArrow batches deliver), so the
+    distributed writer's casts see the batch types. JOBLESS (r15): the
+    old empty-slice probe (`df.limit(0).toArrow()`) ran one Spark job
+    per mutation — at 4 micro-batches per streaming upsert that was
+    four pure-overhead jobs; pyspark's to_arrow_schema computes the
+    identical schema from the plan alone (pinned by
+    tests/test_lance_native.py's schema-equivalence test)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
 
 
 def _check_expected_version(root: str, version: int, expected) -> None:
@@ -2418,11 +2425,13 @@ def resolve_deletions_distributed(
         "frag_ix long, frag_id long, del_id long, "
         "file_type int, num_deleted long",
     )
-    # partition-count pin seam: one deletion task per fragment
-    # (tests/test_lance_native.py asserts this after each mutation)
-    resolve_deletions_distributed.last_num_partitions = (
-        plates_frame.rdd.getNumPartitions()
-    )
+    # partition-count pin seam: one deletion task per fragment. The
+    # repartition target is the pinned value; the RDD-plan probe this
+    # replaced (`plates_frame.rdd.getNumPartitions()`) cost a full
+    # plan->RDD conversion on EVERY mutation, and
+    # tests/test_lance_native.py separately pins that a repartition's
+    # physical partition count equals its target
+    resolve_deletions_distributed.last_num_partitions = max(len(frags), 1)
     plates = plates_frame.collect()
     if len({int(p["frag_ix"]) for p in plates}) != len(plates):
         raise RuntimeError(

@@ -4399,3 +4399,33 @@ class TestLance21Bitpacked:
             ).collect()
         )
         assert rows == list(range(20))
+
+
+def test_arrow_schema_jobless_equivalence(spark):
+    """r15 pin: _df_arrow_schema derives the Arrow schema from the
+    plan (to_arrow_schema) — it must equal what Spark's own Arrow
+    transfer produces for every type family the native writer
+    handles, or the jobless shortcut silently changes mutation
+    schema checks."""
+    from lance_flink_spark.sources.lance_native import _df_arrow_schema
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, s string, v double"
+    ).selectExpr(
+        "id", "s", "v",
+        "current_timestamp() AS ts",
+        "timestamp_ntz'2020-01-01' AS tntz",
+        "array(1.0F) AS emb",
+        "cast(null AS binary) AS b",
+        "cast(7 AS int) AS i32",
+        "cast(2.5 AS float) AS f32",
+    )
+    assert _df_arrow_schema(df) == df.limit(0).toArrow().schema
+
+
+def test_repartition_count_matches_target(spark):
+    """r15 pin: repartition(n, col) physically produces n partitions —
+    the invariant behind resolve_deletions_distributed's
+    one-deletion-task-per-fragment accounting."""
+    df = spark.range(100).selectExpr("id", "id % 3 AS g")
+    assert df.repartition(7, "g").rdd.getNumPartitions() == 7
