@@ -853,3 +853,62 @@ def native_merge_columns(spark, sf_dir):
         F.count("nc2").alias("n_matched"),
         F.sum("nc2").cast("long").alias("sum_nc2"),
     )
+
+
+@query(
+    "lance_21_bitpacked",
+    extra=True,  # r15: 2.1 read-subset evidence with a full oracle
+    oracle="""
+    SELECT l_linenumber, COUNT(*) AS n,
+           CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+    FROM lineitem WHERE l_orderkey % 17 = 0 GROUP BY l_linenumber
+    """,
+)
+def lance_21_bitpacked(spark, sf_dir):
+    """Lance 2.1 BITPACKED read subset end-to-end (§2 #285): a bounded
+    deterministic lineitem slice (one order in 17 — the fixture stays
+    driver-writable at any SF) lands in a native dataset whose
+    fragment files are rewritten as footer-(2,1) files with every
+    int64 page bitpacked at its minimal width, then the DISTRIBUTED
+    native read decodes them and a plain aggregate must match DuckDB
+    over the original parquet — a single mis-unpacked bit in any page
+    flips a SUM. Cite: public encodings.proto Bitpacked; the
+    structural 2.1 encodings stay a loud refusal (SURVEY §6)."""
+    import shutil
+
+    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        read_distributed,
+        write_dataset,
+        write_fragment_file_21,
+    )
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    root = os.path.join(scratch_dir("l21" + tag), "ds")
+    shutil.rmtree(root, ignore_errors=True)
+    t = (
+        table(spark, sf_dir, "lineitem")
+        .filter("l_orderkey % 17 = 0")
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .toArrow()
+    )
+    ds = write_dataset(root, t, max_rows_per_file=16384)
+    _f, frags, _v = ds._manifest()
+    # rewrite every fragment file as 2.1 bitpacked (same rows, same
+    # manifest — only the page encoding changes)
+    off = 0
+    for fr in frags:
+        write_fragment_file_21(
+            os.path.join(root, "data", fr.path),
+            t.slice(off, fr.physical_rows),
+            max_rows_per_page=4096,
+        )
+        off += fr.physical_rows
+    out = read_distributed(LanceNativeDataset(root), spark)
+    return out.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").alias("sum_ok"),
+        F.sum("l_partkey").alias("sum_pk"),
+    ).select("l_linenumber", "n", "sum_pk", "sum_ok")

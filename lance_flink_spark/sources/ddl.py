@@ -1090,6 +1090,33 @@ class SqlEngine:
             )
         opts = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("opts") or ""))
         nds = self.native_tables[name]
+        if opts.get("index.payload") == "native":
+            # r15: build the MANIFEST-REGISTERED `_indices/{uuid}/`
+            # IVF_FLAT payload (sources/native_index.py) instead of
+            # the parquet sidecar — the index the reference stack
+            # would see and serve; vector_search routes through it
+            # via _manifest_index_search
+            if using != "IVF_FLAT":
+                raise ValueError(
+                    "index.payload='native' supports USING IVF_FLAT "
+                    "only — PQ/HNSW payloads are the Lance library's "
+                    "binary formats (SURVEY §6)"
+                )
+            from lance_flink_spark.sources.native_index import (
+                build_ivf_flat_index,
+            )
+
+            uid = build_ivf_flat_index(
+                nds.root, col, self.spark,
+                num_partitions=int(opts.get("index.num-partitions", 16)),
+            )
+            self._reregister_native(name)
+            nds2 = self.native_tables[name]
+            return self.spark.createDataFrame(
+                [(name, col, "IVF_FLAT_NATIVE", int(nds2.versions()[-1]), uid)],
+                "table string, column string, using string, "
+                "version long, uuid string",
+            )
         df = self._native_df(nds, with_offsets=True)
         idx_dir = self._native_index_dir(nds, col)
         build_index_from_options(

@@ -251,3 +251,42 @@ def test_nprobes_limits_probed_partitions(spark, tmp_path_str):
     # one partition only: fewer rows than the dataset
     assert 0 < len(hits) < 128
     assert hits[0][0] == 10  # the query's own row still tops the list
+
+
+def test_sql_create_native_payload_index(spark, tmp_path_str):
+    """r15: CREATE INDEX ... WITH ('index.payload'='native') builds
+    the manifest-registered `_indices` IVF_FLAT payload from SQL and
+    vector_search serves from it; PQ payload build refuses."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    root, vecs = _mk_dataset(tmp_path_str, "nsql")
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/whs"))
+    eng.execute(
+        f"CREATE TABLE nsql (id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}', "
+        f"'vector.nprobes'='4')"
+    )
+    r = eng.execute(
+        "CREATE INDEX ON nsql (embedding) USING IVF_FLAT "
+        "WITH ('index.payload'='native', 'index.num-partitions'='4')"
+    ).first()
+    assert r["using"] == "IVF_FLAT_NATIVE" and r["version"] == 2
+    assert os.path.exists(
+        os.path.join(root, "_indices", r["uuid"], "ivf.pb")
+    )
+    q = vecs[7].astype("f8")
+    qsql = ", ".join(f"{float(x)!r}" for x in q)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = eng.execute(
+            f"SELECT * FROM vector_search('nsql', 'embedding', "
+            f"ARRAY[{qsql}], 3, 'L2')"
+        ).collect()
+    assert not any("brute-force" in str(x.message) for x in w)
+    assert got[0]["id"] == 7 and got[0]["distance"] == 0.0
+    with pytest.raises(ValueError, match="IVF_FLAT only"):
+        eng.execute(
+            "CREATE INDEX ON nsql (embedding) USING IVF_PQ "
+            "WITH ('index.payload'='native')"
+        )
