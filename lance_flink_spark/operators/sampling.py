@@ -154,3 +154,91 @@ def seeded_shuffle(
         .withColumn("pos_in_shard", F.expr(f"(ord - 1) div {n_shards}"))
         .drop("__h", "__hn")
     )
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    domain_col: str = "lang",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """TEMPERATURE-scaled data-mixing plan (the multilingual /
+    multi-domain α-sampling of Conneau & Lample 2019 — public): each
+    domain's share of the ``budget`` tokens is
+    ``q_d ∝ tokens_d^alpha`` (alpha < 1 upweights small domains,
+    alpha = 1 keeps natural proportions), giving a per-domain REPEAT
+    factor ``budget * q_d / tokens_d`` — > 1 means multi-epoch
+    upsampling, < 1 downsampling. The repeat is quantized to integer
+    PER-MILLE (``r_pm``) so the plan — and everything derived from it
+    — is engine-exact: every other column is an integer, and the one
+    float boundary downstream (the fractional-epoch hash gate)
+    compares exactly-representable doubles.
+
+    One tiny shuffle (groupBy over #domains keys) + a single-row
+    broadcast cross join for the normalizer; the plan frame holds one
+    row per domain."""
+    stats = df.groupBy(domain_col).agg(
+        F.sum(weight_col).cast("long").alias("tokens")
+    )
+    z = stats.agg(
+        F.sum(F.pow(F.col("tokens").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        )
+    )
+    q = F.pow(F.col("tokens").cast("double"), F.lit(alpha)) / F.col("__z")
+    repeat = F.lit(float(budget)) * q / F.col("tokens").cast("double")
+    return (
+        stats.crossJoin(F.broadcast(z))
+        .select(
+            domain_col,
+            "tokens",
+            F.floor(repeat * 1000 + F.lit(0.5)).cast("long").alias("r_pm"),
+        )
+        .orderBy(domain_col)
+    )
+
+
+def apply_temperature_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Materialize a :func:`temperature_mixture_plan`: every row gains
+    ``floor(r_pm/1000)`` full copies (``copy`` = epoch index) plus one
+    candidate copy admitted iff the row's md5-uniform falls under the
+    fractional per-mille — deterministic by key, no RNG state, so the
+    exact multiset reproduces on any engine or cluster size. The plan
+    joins by BROADCAST (one row per domain); the explode is row-local
+    — at 100 TB this is a map-only pass whose output size is the
+    token budget, with no shuffle at all."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**12))
+    )
+    nfull = (F.col("r_pm") / 1000).cast("long")
+    frac_pm = F.col("r_pm") % 1000
+    return (
+        df.join(F.broadcast(plan.select(domain_col, "r_pm")), domain_col)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(0).cast("long"), nfull))
+        )
+        .filter(
+            (F.col("copy") < nfull) | (u * 1000 < frac_pm.cast("double"))
+        )
+        .drop("r_pm")
+    )

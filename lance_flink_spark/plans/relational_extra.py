@@ -1062,58 +1062,79 @@ def streaming_cdc_upsert(spark, sf_dir):
     from lance_flink_spark.streaming.upsert import UpsertDatasetSink
 
     tag = sf_dir.rstrip("/").replace("/", "_")
+    # the SOURCE history + its spooled change feed are deterministic
+    # from the events table — build ONCE per sf and reuse across bench
+    # passes (the 3-commit history + pump cost ~3s of fixture overhead
+    # per pass); the replica + checkpoint below stay per-run fresh
+    base = scratch_dir("cdc_stream_src" + tag)
+    marker = os.path.join(base, "_SRC_OK")
+    src = Dataset(os.path.join(base, "src"))
+    if not os.path.exists(marker):
+        shutil.rmtree(os.path.join(base, "src"), ignore_errors=True)
+        shutil.rmtree(os.path.join(base, "spool"), ignore_errors=True)
+        ev = table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("long")
+            .alias("value_cents"),
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+
+        def newest(df):
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+
+        # SOURCE table history: each half spans the full time range,
+        # so the merge genuinely exercises the newer-wins guard in
+        # both directions
+        src.write(
+            newest(ev.filter("event_id % 2 = 0")).coalesce(4), mode="append"
+        )
+        guard = (
+            "(s.ts_us > t.ts_us) OR "
+            "(s.ts_us = t.ts_us AND s.event_id >= t.event_id)"
+        )
+        src.merge_when(
+            spark,
+            newest(ev.filter("event_id % 2 = 1")),
+            on="user_id",
+            clauses=[
+                {
+                    "matched": True,
+                    "cond": guard,
+                    "action": "update",
+                    "sets": {
+                        c: f"s.`{c}`"
+                        for c in (
+                            "event_type", "ts_us", "event_id", "value_cents"
+                        )
+                    },
+                },
+                {"matched": False, "cond": None, "action": "insert"},
+            ],
+            dv=True,
+            assume_unique_keys=True,
+            new_fragment_partitions=4,
+        )
+        src.delete_where(spark, "event_type = 'purchase'", dv=True)
+        ChangeFeedStream(
+            src, os.path.join(base, "spool"), key="user_id"
+        ).pump(spark)
+        with open(marker, "w") as f:
+            f.write("ok")
     root = scratch_dir("cdc_stream" + tag)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
-    ev = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        "event_id",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc()
-    )
-
-    def newest(df):
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .drop("__rn")
-        )
-
-    # SOURCE table history: each half spans the full time range, so the
-    # merge genuinely exercises the newer-wins guard in both directions
-    src = Dataset(os.path.join(root, "src"))
-    src.write(newest(ev.filter("event_id % 2 = 0")).coalesce(4), mode="append")
-    guard = (
-        "(s.ts_us > t.ts_us) OR (s.ts_us = t.ts_us AND s.event_id >= t.event_id)"
-    )
-    src.merge_when(
-        spark,
-        newest(ev.filter("event_id % 2 = 1")),
-        on="user_id",
-        clauses=[
-            {
-                "matched": True,
-                "cond": guard,
-                "action": "update",
-                "sets": {
-                    c: f"s.`{c}`"
-                    for c in ("event_type", "ts_us", "event_id", "value_cents")
-                },
-            },
-            {"matched": False, "cond": None, "action": "insert"},
-        ],
-        dv=True,
-        assume_unique_keys=True,
-        new_fragment_partitions=4,
-    )
-    src.delete_where(spark, "event_type = 'purchase'", dv=True)
     # CDC → stream → keyed upsert sink → replica
-    feed = ChangeFeedStream(src, os.path.join(root, "spool"), key="user_id")
-    feed.pump(spark)
+    feed = ChangeFeedStream(src, os.path.join(base, "spool"), key="user_id")
     sink = UpsertDatasetSink(
         os.path.join(root, "replica"),
         key="user_id",

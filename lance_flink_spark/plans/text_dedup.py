@@ -2031,3 +2031,93 @@ def sql_fim_transform(spark, sf_dir):
         "SELECT doc_id, n_prefix, n_middle, n_suffix, "
         "md5(fim_text) AS fp_psm FROM fim_out"
     )
+
+
+@query(
+    "mixture_plan_temperature",
+    extra=True,  # r15: training-mix planning, integer-exact plan
+    oracle="""
+    WITH s AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    ), tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS b FROM s),
+    z AS (SELECT SUM(POWER(CAST(tokens AS DOUBLE), 0.5)) AS z FROM s)
+    SELECT lang, tokens,
+           CAST(FLOOR(tot.b * (POWER(CAST(tokens AS DOUBLE), 0.5) / z.z)
+                      / CAST(tokens AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             AS r_pm
+    FROM s, tot, z ORDER BY lang
+    """,
+)
+def mixture_plan_temperature(spark, sf_dir):
+    """TEMPERATURE data-mixing plan (§2 r15 — the α-sampling step of
+    multilingual/multi-domain pretraining, Conneau & Lample 2019):
+    per-language token mass → q_d ∝ tokens^0.5 → per-mille repeat
+    factor at a budget equal to the corpus size (so small languages
+    upsample past 1.0 and the majority downsamples — both branches of
+    the plan exercised). All-integer output; the one float boundary
+    is quantized per-mille, Spark and DuckDB agreeing through
+    identical association order."""
+    from lance_flink_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    d = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    budget = d.agg(F.sum("n_chars").cast("long")).collect()[0][0]
+    return temperature_mixture_plan(
+        d, budget=int(budget), alpha=0.5, domain_col="lang",
+        weight_col="n_chars",
+    )
+
+
+@query(
+    "mixture_materialize_temperature",
+    extra=True,  # r15: the mixing plan APPLIED — exact multiset
+    oracle="""
+    WITH s AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    ), tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS b FROM s),
+    z AS (SELECT SUM(POWER(CAST(tokens AS DOUBLE), 0.5)) AS z FROM s),
+    p AS (
+      SELECT lang, tokens,
+             CAST(FLOOR(tot.b * (POWER(CAST(tokens AS DOUBLE), 0.5) / z.z)
+                        / CAST(tokens AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+               AS r_pm
+      FROM s, tot, z
+    ), d AS (
+      SELECT doc_id, dd.lang, r_pm FROM documents dd JOIN p USING (lang)
+    ), e AS (
+      SELECT doc_id, lang, r_pm,
+             UNNEST(range(r_pm // 1000 + 1)) AS copy
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy FROM e
+    WHERE copy < r_pm // 1000
+       OR (CAST(CONCAT('0x', substr(md5(CONCAT('mix:', doc_id)), 1, 12))
+                AS BIGINT) / POWER(16, 12)) * 1000
+          < CAST(r_pm % 1000 AS DOUBLE)
+    """,
+)
+def mixture_materialize_temperature(spark, sf_dir):
+    """The temperature mixing plan MATERIALIZED (§2 r15): every doc
+    gains floor(r_pm/1000) full epochs plus a fractional epoch
+    admitted by its md5-uniform — the exact output multiset
+    (doc_id, lang, copy) must match DuckDB row-for-row, so a drifted
+    repeat factor, a mis-gated fractional copy, or a hash mismatch
+    breaks the hash. Map-only after one broadcast plan join: no
+    shuffle touches the corpus; output size == the token budget."""
+    from lance_flink_spark.operators.sampling import (
+        apply_temperature_mixture,
+        temperature_mixture_plan,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    budget = d.agg(F.sum("n_chars").cast("long")).collect()[0][0]
+    plan = temperature_mixture_plan(
+        d, budget=int(budget), alpha=0.5, domain_col="lang",
+        weight_col="n_chars",
+    )
+    return apply_temperature_mixture(
+        d, plan, domain_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "copy")

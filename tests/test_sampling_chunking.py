@@ -126,3 +126,48 @@ def test_seeded_shuffle_deterministic_balanced_distributed(spark):
     # the global order never funnels through one task
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_temperature_mixture(spark):
+    """r15: α-sampling plan + materialization — upsampled small
+    domains get full epoch copies, the majority downsamples, the
+    multiset is deterministic, and the apply path is map-only (no
+    shuffle after the broadcast plan join)."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.operators.sampling import (
+        apply_temperature_mixture,
+        temperature_mixture_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", 100) for i in range(100)],
+        "doc_id long, lang string, n_chars long",
+    )
+    plan = temperature_mixture_plan(
+        df, budget=10_000, alpha=0.5, domain_col="lang",
+        weight_col="n_chars",
+    )
+    rows = {r["lang"]: r for r in plan.collect()}
+    # alpha=0.5 shifts mass to the small domain: repeat > 1 there,
+    # < 1 for the big one; total planned tokens ~= budget
+    assert rows["small"]["r_pm"] > 1000 > rows["big"]["r_pm"]
+    planned = sum(r["tokens"] * r["r_pm"] / 1000 for r in rows.values())
+    assert abs(planned - 10_000) < 200
+    out = apply_temperature_mixture(df, plan)
+    got = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy").alias("mx")
+    )
+    g = {r["lang"]: r for r in got.collect()}
+    assert g["small"]["mx"] >= 1  # upsampling produced epoch copies
+    assert g["big"]["mx"] == 0
+    assert g["big"]["n"] < 90  # downsampled
+    # deterministic: the exact multiset reproduces
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, apply_temperature_mixture(df, plan).collect()))
+    assert a == b
+    # map-only apply: no Exchange above the broadcast join
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_str or "BroadcastNestedLoop" in plan_str
+    head = plan_str.split("Generate", 1)[0]
+    assert "Exchange hashpartitioning" not in head
