@@ -1324,12 +1324,36 @@ class SqlEngine:
         ids_df = self.spark.createDataFrame(
             [(int(i),) for i in ids], "__phys long"
         )
-        # exact re-score of the fetched candidates through the same
-        # KNN contract as brute force — identical rounding, tie-break,
-        # and (distance, similarity) columns, so index-served results
-        # are comparable row-for-row
+        # row-address fetch prunes to the fragments holding the hits
+        # (searchsorted over the fragment base offsets — at 100 TB a
+        # k-row fetch decodes ≤ k fragments, never the table) and
+        # exact re-scores the candidates through the same KNN contract
+        # as brute force — identical rounding, tie-break, and
+        # (distance, similarity) columns, so index-served results are
+        # comparable row-for-row
+        import numpy as np
+
+        from lance_flink_spark.sources.lance_native import (
+            read_distributed,
+        )
+
+        bounds = np.cumsum(
+            [0] + [fr.physical_rows for fr in frags], dtype="int64"
+        )
+        hit_frags = sorted(
+            set(
+                int(i)
+                for i in np.searchsorted(
+                    bounds, np.asarray(ids, dtype="int64"), side="right"
+                )
+                - 1
+            )
+        )
         sub = (
-            self._native_df(nds, with_offsets=True)
+            read_distributed(
+                nds, self.spark, with_offsets=True,
+                frag_indices=hit_frags,
+            )
             .join(F.broadcast(ids_df), "__phys")
             .drop("__phys")
         )

@@ -3964,6 +3964,7 @@ def read_distributed(
     version: int | None = None,
     with_offsets: bool = False,
     columns: list[str] | None = None,
+    frag_indices: list[int] | None = None,
 ):
     """Cluster-scale native read: ONE executor task per fragment
     decodes its .lance file (deletion mask applied locally) and emits
@@ -4021,10 +4022,21 @@ def read_distributed(
     for fr in frags:
         bases.append(base)
         base += fr.physical_rows
+    pairs = list(zip(frags, bases))
+    if frag_indices is not None:
+        # fragment pruning (r15): a row-address fetch (index-served
+        # vector_search) knows which fragments hold its hits — decode
+        # ONLY those; every other fragment's pages are never read
+        keep = sorted(set(int(i) for i in frag_indices))
+        if keep and (keep[0] < 0 or keep[-1] >= len(frags)):
+            raise IndexError(
+                f"fragment index out of range [0, {len(frags)})"
+            )
+        pairs = [pairs[i] for i in keep]
     tasks = spark.createDataFrame(
-        [(fr.path, b) for fr, b in zip(frags, bases)],
+        [(fr.path, b) for fr, b in pairs],
         "frag_path string, base long",
-    ).repartition(max(len(frags), 1))
+    ).repartition(max(len(pairs), 1))
 
     def _decode(batches):
         # re-open the manifest executor-side (tiny); fragment lookup by

@@ -290,3 +290,42 @@ def test_sql_create_native_payload_index(spark, tmp_path_str):
             "CREATE INDEX ON nsql (embedding) USING IVF_PQ "
             "WITH ('index.payload'='native')"
         )
+
+
+def test_fetch_prunes_to_hit_fragments(spark, tmp_path_str):
+    """r15: the index-served row fetch decodes ONLY the fragments
+    holding the hits — proven by corrupting every other fragment's
+    data file; the search must still serve (a full-scan fetch would
+    crash on the corrupted pages)."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+    )
+    from lance_flink_spark.sources.native_index import (
+        build_ivf_flat_index,
+    )
+
+    root, vecs = _mk_dataset(tmp_path_str, "nixfp", rows=64, per_file=16)
+    build_ivf_flat_index(root, "embedding", spark, num_partitions=4)
+    q = vecs[3].astype("f8")  # row 3 lives in fragment 0
+    brute = np.argsort(((vecs.astype("f8") - q) ** 2).sum(axis=1))[:2]
+    _f, frags, _v = LanceNativeDataset(root)._manifest()
+    hit_frag_ixs = {int(i) // 16 for i in brute}
+    for ix, fr in enumerate(frags):
+        if ix not in hit_frag_ixs:
+            p = os.path.join(root, "data", fr.path)
+            with open(p, "r+b") as f:
+                f.write(b"\xff" * 64)  # clobber the data pages
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/whfp"))
+    eng.execute(
+        f"CREATE TABLE nixfp (id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}', "
+        f"'vector.nprobes'='4')"
+    )
+    qsql = ", ".join(f"{float(x)!r}" for x in q)
+    got = eng.execute(
+        f"SELECT * FROM vector_search('nixfp', 'embedding', "
+        f"ARRAY[{qsql}], 2, 'L2')"
+    ).collect()
+    assert [r["id"] for r in got] == [int(i) for i in brute]
