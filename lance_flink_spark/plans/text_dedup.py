@@ -2121,3 +2121,80 @@ def mixture_materialize_temperature(spark, sf_dir):
     return apply_temperature_mixture(
         d, plan, domain_col="lang", key_col="doc_id"
     ).select("doc_id", "lang", "copy")
+
+
+@query(
+    "streaming_near_dedup",
+    extra=True,  # r15: near-dedup at ingest (streaming x MinHash)
+    oracle=f"""
+    WITH sigs AS ({_SIGS}),
+    bt AS (SELECT doc_id, doc_id % 4 AS batch FROM documents),
+    s AS (SELECT g.doc_id, bt.batch, g.i, g.sig
+          FROM sigs g JOIN bt ON g.doc_id = bt.doc_id),
+    pairs AS (
+        SELECT a.doc_id AS d, e.doc_id AS o, COUNT(*) AS nm
+        FROM s a JOIN s e
+          ON a.i = e.i AND a.sig = e.sig
+         AND (e.batch < a.batch
+              OR (e.batch = a.batch AND e.doc_id < a.doc_id))
+        GROUP BY 1, 2)
+    SELECT bt.doc_id, bt.batch FROM bt
+    WHERE bt.doc_id NOT IN (SELECT d FROM pairs WHERE nm >= 8)
+    """,
+)
+def streaming_near_dedup(spark, sf_dir):
+    """NEAR-dedup AT INGEST (§2 r15 — streaming × MinHash): documents
+    replay as four mtime-ordered micro-batches through
+    streaming/dedup.py::NearDedupIngest — each batch's 16-component
+    signatures check a persistent store of every previously-seen doc,
+    near-dups (≥ 8 shared components, est. jaccard ≥ 0.5) drop, and
+    the whole batch's signatures append to the store so chains
+    collapse to the first-seen member. The oracle replays the exact
+    admission rule relationally (earlier-batch OR smaller-in-batch-id
+    match drops a doc) — a signature drift, a store row lost between
+    batches, or an in-batch tie broken the wrong way breaks the
+    hash."""
+    import os
+    import shutil
+
+    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.streaming.dedup import NearDedupIngest
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    base = scratch_dir("neardd" + tag)
+    src = os.path.join(base, "src")
+    marker = os.path.join(base, "_SPOOL_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 4).alias("b")
+        )
+        d.repartition("b").write.partitionBy("b").parquet(src)
+        for i in range(4):
+            pdir = os.path.join(src, f"b={i}")
+            t = 1_700_000_000 + i * 100
+            for r, _dd, files in os.walk(pdir):
+                for f in files:
+                    os.utime(os.path.join(r, f), (t, t))
+            os.utime(pdir, (t, t))
+        with open(marker, "w") as f:
+            f.write("ok")
+    root = os.path.join(base, "run")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    schema = spark.read.parquet(os.path.join(src, "b=0")).schema
+    sink = NearDedupIngest(root)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    q = (
+        sink.attach(sdf, os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.admitted(spark).select(
+        "doc_id", (F.col("doc_id") % 4).alias("batch")
+    )

@@ -13,6 +13,7 @@ unbounded state in any engine; route that through batch
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def stream_dedup(
@@ -128,3 +129,129 @@ def stream_latest_by_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class NearDedupIngest:
+    """NEAR-duplicate dedup AT INGEST — the streaming face of the
+    MinHash family (operators/dedup.py): each micro-batch's documents
+    check their 16 md5-derived signature components against a
+    persistent SIGNATURE STORE of every previously-seen document; a
+    batch document matching ≥ ``min_matches`` components of ANY
+    earlier document (or of a smaller-id document in its own batch)
+    is dropped as a near-dup, survivors append to the admitted
+    output, and the WHOLE batch's signatures append to the store —
+    so later chains ("B dups A, C dups B") still collapse to the
+    first-seen member. Deterministic: signatures are md5-derived (no
+    RNG), in-batch ties resolve keep-min-id, and a batchId marker
+    makes replayed batches no-ops.
+
+    Scale shape: the history check is a bucket join on
+    (component, sig) — batch×store BUCKETS, never rows; the store
+    grows by one signature row set per seen doc (append-only parquet,
+    16 longs per doc) and ``max_bucket`` caps degenerate buckets
+    exactly as in minhash_lsh_pairs. Reference parity: Flink's
+    dedup-at-ingest jobs keep the same signature state in RocksDB;
+    parquet-backed state is the batch-replayable equivalent."""
+
+    def __init__(
+        self,
+        root: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 16,
+        min_matches: int = 8,
+        max_bucket: int | None = None,
+    ):
+        self.root = root.rstrip("/")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.min_matches = min_matches
+        self.max_bucket = max_bucket
+
+    def _store(self):
+        import os
+
+        return os.path.join(self.root, "sig_store")
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from lance_flink_spark.operators.dedup import minhash_signatures
+
+        spark = df.sparkSession
+        marker = os.path.join(
+            self.root, "_stream_commits", f"neardedup-{int(batch_id)}"
+        )
+        if os.path.exists(marker):
+            return  # replayed batch
+        bs = minhash_signatures(
+            df, self.text_col, self.id_col, self.k
+        ).persist()
+        try:
+            idc = self.id_col
+            dropped = None
+            if os.path.isdir(self._store()):
+                hist = spark.read.parquet(self._store()).select(
+                    F.col(idc).alias("__hist_id"), "i", "sig"
+                )
+                if self.max_bucket is not None:
+                    hot = (
+                        hist.groupBy("i", "sig")
+                        .agg(F.count(F.lit(1)).alias("bsz"))
+                        .filter(F.col("bsz") > self.max_bucket)
+                        .select("i", "sig")
+                    )
+                    hist = hist.join(
+                        F.broadcast(hot), ["i", "sig"], "left_anti"
+                    )
+                dropped = (
+                    bs.join(hist, ["i", "sig"])
+                    .groupBy(idc, "__hist_id")
+                    .agg(F.count(F.lit(1)).alias("nm"))
+                    .filter(F.col("nm") >= self.min_matches)
+                    .select(idc)
+                    .distinct()
+                )
+            # in-batch: the larger id of any matching pair drops —
+            # chains resolve to the batch's first (smallest-id) member
+            a = bs.select(F.col(idc).alias("__a"), "i", "sig")
+            inb = (
+                a.join(
+                    bs.withColumnRenamed(idc, "__b"), ["i", "sig"]
+                )
+                .filter(F.col("__a") < F.col("__b"))
+                .groupBy("__a", "__b")
+                .agg(F.count(F.lit(1)).alias("nm"))
+                .filter(F.col("nm") >= self.min_matches)
+                .select(F.col("__b").alias(idc))
+                .distinct()
+            )
+            dropped = inb if dropped is None else dropped.unionByName(inb)
+            admitted = df.join(
+                dropped.distinct(), self.id_col, "left_anti"
+            )
+            admitted.write.mode("append").parquet(
+                os.path.join(self.root, "admitted")
+            )
+            # the WHOLE batch's signatures enter the store (seen, not
+            # just admitted): later members of a cluster must match
+            # the history even when their match was itself dropped
+            bs.write.mode("append").parquet(self._store())
+        finally:
+            bs.unpersist()
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def attach(self, sdf: DataFrame, checkpoint: str):
+        return (
+            sdf.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )
+
+    def admitted(self, spark) -> DataFrame:
+        import os
+
+        return spark.read.parquet(os.path.join(self.root, "admitted"))

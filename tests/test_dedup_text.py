@@ -639,3 +639,31 @@ def test_provision_explode_never_executes_shuffle_fed_frames(spark):
         == spark.sparkContext.defaultParallelism
     )
     assert sorted(r["id"] for r in out.collect()) == list(range(10))
+
+
+def test_near_dedup_ingest_chains_and_replay(spark, tmp_path):
+    """r15 NearDedupIngest: cross-batch chains collapse to the
+    first-seen member (B dups A dropped; C dups B still dropped
+    because SEEN signatures — not just admitted — enter the store),
+    and a replayed batch is a no-op (idempotency marker)."""
+    from lance_flink_spark.streaming.dedup import NearDedupIngest
+
+    root = str(tmp_path / "ndd")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows0 = [(1, base), (2, "totally different words " * 3)]
+    rows1 = [(3, base + " lambda")]       # dups doc 1 → dropped
+    rows2 = [(4, base + " lambda mu")]    # dups doc 3 (dropped) → still dropped
+    sink = NearDedupIngest(root, min_matches=8)
+    for i, rows in enumerate([rows0, rows1, rows2]):
+        sink.write_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), i
+        )
+    got = sorted(r["doc_id"] for r in sink.admitted(spark).collect())
+    assert got == [1, 2]
+    # replayed batch: marker short-circuits, nothing duplicates
+    sink.write_batch(
+        spark.createDataFrame(rows0, "doc_id long, text string"), 0
+    )
+    assert sorted(
+        r["doc_id"] for r in sink.admitted(spark).collect()
+    ) == [1, 2]
