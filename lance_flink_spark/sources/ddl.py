@@ -1286,8 +1286,10 @@ class SqlEngine:
                 warnings.warn(
                     f"native index {meta.name or meta.uuid!r} on "
                     f"{col!r} is STALE (fragment set changed since "
-                    f"version {meta.dataset_version}) — rebuild it; "
-                    "falling back to exact brute-force search",
+                    f"version {meta.dataset_version}) — "
+                    "update_ivf_flat_index folds appended fragments "
+                    "in; replaced fragments need a rebuild; falling "
+                    "back to exact brute-force search",
                     stacklevel=2,
                 )
                 return None

@@ -396,3 +396,146 @@ def dead_offsets(root: str, version: int | None = None) -> np.ndarray:
     return (
         np.concatenate(out) if out else np.array([], dtype="int64")
     )
+
+
+def update_ivf_flat_index(root: str, column: str, spark) -> int:
+    """Incremental index maintenance — Lance's ``optimize_indices``
+    shape: rows of fragments APPENDED since the index build are
+    assigned to the EXISTING centroids (no retrain) and appended to
+    their partitions' payload files; the manifest gains a version
+    whose IndexSection covers the new fragments, so ``vector_search``
+    keeps serving through appends instead of falling back to brute
+    force. Work ∝ new-fragment bytes + touched partition files —
+    never the whole index: each task merges one partition's file.
+    Refuses when no index exists on ``column`` or when covered
+    fragments were REPLACED (compaction/overwrite re-addresses rows —
+    rebuild with build_ivf_flat_index). Returns the new manifest
+    version."""
+    from pyspark.sql import functions as F
+
+    from lance_flink_spark.session import ship_package
+
+    ship_package(spark)
+    ds = LanceNativeDataset(root)
+    fields, frags, version = ds._manifest()
+    fld = next((f for f in fields if f.name == column), None)
+    if fld is None:
+        raise ValueError(f"{root}: no column {column!r}")
+    mpath = os.path.join(root, "_versions", f"{version}.manifest")
+    metas = read_index_section(mpath)
+    mine = [m for m in metas if fld.fid in m.field_ids]
+    if not mine:
+        raise ValueError(
+            f"{root}: no registered index on {column!r} — build one "
+            "with build_ivf_flat_index"
+        )
+    meta = mine[-1]
+    covered = set(meta.fragment_ids or [])
+    current = {fr.frag_id for fr in frags}
+    if not covered <= current:
+        raise UnsupportedLanceFeature(
+            f"index {meta.name!r}: covered fragments "
+            f"{sorted(covered - current)} were replaced "
+            "(compaction/overwrite re-addresses rows) — rebuild with "
+            "build_ivf_flat_index"
+        )
+    new_ixs = [
+        ix for ix, fr in enumerate(frags) if fr.frag_id not in covered
+    ]
+    idir = _require_ivf_flat_payload(root, meta)
+    dim_probe = 1  # resolved from centroids below
+    raw = open(os.path.join(idir, "ivf.pb"), "rb").read()
+    # dimension from the flattened centroid count and any part file is
+    # ambiguous; derive from the column's first live vector instead
+    if not new_ixs:
+        return version  # nothing new: index already covers the table
+    df = read_distributed(
+        ds, spark, with_offsets=True, columns=[column],
+        frag_indices=new_ixs,
+    )
+    first = df.select(column).first()
+    if first is None:
+        return version  # appended fragments hold no live rows
+    dim_probe = len(first[0])
+    cents, offsets, lengths = read_ivf_pb(
+        os.path.join(idir, "ivf.pb"), dim_probe
+    )
+    P = len(cents)
+    cb = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype("f8")
+        c = cb.value
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    def _merge(batches):
+        import pyarrow as pa
+
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for pi, grp in pdf.groupby("__part"):
+                acc.setdefault(int(pi), []).append(grp)
+        if not acc:
+            return
+        out = {"part": [], "added": []}
+        for pi in sorted(acc):
+            g = pd.concat(acc[pi], ignore_index=True)
+            add = pa.table(
+                {
+                    "__row_id": pa.array(
+                        g["__phys"].astype("int64"), pa.int64()
+                    ),
+                    "__vector": pa.array(
+                        [np.asarray(v, dtype="f4") for v in g[column]],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+            ppath = os.path.join(idir, f"part_{pi}.idx")
+            if os.path.exists(ppath):
+                old = read_fragment_table(ppath, _part_schema(), None)
+                # the decoder serves large_list/large_string for
+                # varlen columns; conform the fresh rows to it
+                add = pa.concat_tables(
+                    [old, add.cast(old.schema)]
+                ).combine_chunks()
+            write_fragment_file(ppath, add)
+            out["part"].append(pi)
+            out["added"].append(len(g))
+        yield pd.DataFrame(out)
+
+    plates = (
+        df.withColumn("__part", _assign(F.col(column)))
+        .repartition(P, "__part")
+        .mapInPandas(_merge, "part long, added long")
+        .collect()
+    )
+    for p in plates:
+        lengths[int(p["part"])] += int(p["added"])
+    offsets, run = [], 0
+    for n in lengths:
+        offsets.append(run)
+        run += n
+    write_ivf_pb(os.path.join(idir, "ivf.pb"), cents, offsets, lengths)
+    from lance_flink_spark.sources.lance_native import (
+        _write_manifest as _wm,
+    )
+
+    meta2 = LanceIndexMeta(
+        uuid=meta.uuid,
+        name=meta.name,
+        field_ids=list(meta.field_ids),
+        dataset_version=version + 1,
+        fragment_ids=sorted(fr.frag_id for fr in frags),
+        details_type=meta.details_type,
+    )
+    others = [m for m in metas if m is not meta]
+    _wm(root, version + 1, _schema_fields_of_existing(fields), frags)
+    write_index_section(root, version + 1, others + [meta2])
+    return version + 1

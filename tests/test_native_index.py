@@ -329,3 +329,70 @@ def test_fetch_prunes_to_hit_fragments(spark, tmp_path_str):
         f"ARRAY[{qsql}], 2, 'L2')"
     ).collect()
     assert [r["id"] for r in got] == [int(i) for i in brute]
+
+
+def test_incremental_index_update_serves_appends(spark, tmp_path_str):
+    """r15: update_ivf_flat_index assigns appended fragments' rows to
+    the EXISTING centroids and extends the payload + IndexSection —
+    vector_search serves again (no brute fallback) and equals brute
+    force over the grown table at full probes."""
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        append_to_dataset,
+        compact_dataset,
+        read_index_section,
+    )
+    from lance_flink_spark.sources.native_index import (
+        build_ivf_flat_index,
+        update_ivf_flat_index,
+    )
+
+    root, vecs = _mk_dataset(tmp_path_str, "nixu")
+    build_ivf_flat_index(root, "embedding", spark, num_partitions=4)  # v2
+    extra = np.stack([vecs[3] + 0.01, vecs[9] + 0.01]).astype("f4")
+    append_to_dataset(
+        root,
+        pa.table(
+            {
+                "id": pa.array([100, 101], pa.int64()),
+                "embedding": pa.array(
+                    [v for v in extra], pa.list_(pa.float32())
+                ),
+            }
+        ),
+    )  # v3: index stale by fragment drift
+    v = update_ivf_flat_index(root, "embedding", spark)
+    assert v == 4
+    meta = read_index_section(
+        os.path.join(root, "_versions", "4.manifest")
+    )[0]
+    assert meta.dataset_version == 4
+    all_vecs = np.concatenate([vecs.astype("f8"), extra.astype("f8")])
+    ids = list(range(64)) + [100, 101]
+    q = vecs[3].astype("f8")
+    brute = np.argsort(((all_vecs - q) ** 2).sum(axis=1))[:4]
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/whu"))
+    eng.execute(
+        f"CREATE TABLE nixu (id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}', "
+        f"'vector.nprobes'='4')"
+    )
+    qsql = ", ".join(f"{float(x)!r}" for x in q)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = eng.execute(
+            f"SELECT * FROM vector_search('nixu', 'embedding', "
+            f"ARRAY[{qsql}], 4, 'L2')"
+        ).collect()
+    assert not any("brute-force" in str(x.message) for x in w)
+    assert [r["id"] for r in got] == [ids[i] for i in brute]
+    # idempotent: nothing new → same version, no commit
+    assert update_ivf_flat_index(root, "embedding", spark) == 4
+    # replaced fragments (compaction) refuse with a rebuild hint
+    compact_dataset(root)
+    with pytest.raises(UnsupportedLanceFeature, match="rebuild"):
+        update_ivf_flat_index(root, "embedding", spark)
