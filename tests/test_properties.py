@@ -913,3 +913,108 @@ def test_native_changelog_folds_to_live_rows(tmp_path_factory, ops):
         zip(live.column("id").to_pylist(), live.column("v").to_pylist())
     )
     assert folded == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=200,
+    ),
+)
+def test_bitpack_roundtrip_random(vals):
+    """r15: the 2.1 bitpack codec round-trips arbitrary int64 pages at
+    the writer's own minimal-width choice (signed and unsigned), the
+    same pairing write_fragment_file_21 uses."""
+    import numpy as np
+
+    from lance_flink_spark.sources.lance_native import (
+        _bitpack,
+        _bitunpack,
+    )
+
+    a = np.array(vals, dtype="<i8")
+    vmin, vmax = int(a.min()), int(a.max())
+    if vmin >= 0:
+        bits, signed = max(1, vmax.bit_length()), False
+    else:
+        bits = 1 + max(vmax.bit_length(), (-vmin - 1).bit_length())
+        signed = True
+    bits = min(bits, 64)
+    got = _bitunpack(_bitpack(a, bits), len(a), bits, signed, "<i8")
+    assert got.tolist() == a.tolist()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.integers(min_value=5, max_value=60),
+    per_file=st.integers(min_value=3, max_value=20),
+    dels=st.lists(st.integers(0, 59), max_size=25),
+    upd_mod=st.integers(min_value=2, max_value=7),
+)
+def test_distributed_mutations_match_row_model(rows, per_file, dels, upd_mod):
+    """r15: mutate_rows_distributed (per-fragment task-side deletion
+    files) vs a pure-Python row model on random delete/update
+    sequences — delete a random offset set, then update a residue
+    class of the SURVIVORS; the final table must equal the model
+    exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from lance_flink_spark.sources.lance_native import (
+        LanceNativeDataset,
+        mutate_rows_distributed,
+        read_distributed,
+        write_dataset,
+    )
+
+    spark = _get_spark()
+    dels = sorted({d for d in dels if d < rows})
+    tmp = tempfile.mkdtemp(prefix="dmut")
+    try:
+        root = os.path.join(tmp, "ds")
+        write_dataset(
+            root,
+            pa.table(
+                {
+                    "id": pa.array(range(rows), pa.int64()),
+                    "v": pa.array([float(i) for i in range(rows)]),
+                }
+            ),
+            max_rows_per_file=per_file,
+        )
+        # model state: id -> v (physical offset == id at version 1)
+        model = {i: float(i) for i in range(rows)}
+        for d in dels:
+            model.pop(d, None)
+        nds = LanceNativeDataset(root)
+        if dels:
+            offs = spark.createDataFrame(
+                [(int(d),) for d in dels], "__phys long"
+            )
+            mutate_rows_distributed(root, offs)
+        # UPDATE survivors in a residue class: v -> v * 10
+        full = read_distributed(
+            LanceNativeDataset(root), spark, with_offsets=True
+        )
+        matched = full.filter(F.col("id") % upd_mod == 0)
+        updated = matched.select("id", (F.col("v") * 10).alias("v"))
+        mutate_rows_distributed(
+            root, matched.select("__phys"), updated
+        )
+        for i in list(model):
+            if i % upd_mod == 0:
+                model[i] = model[i] * 10
+        got = {
+            r["id"]: r["v"]
+            for r in read_distributed(
+                LanceNativeDataset(root), spark
+            ).collect()
+        }
+        assert got == model
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
