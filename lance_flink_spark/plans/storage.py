@@ -28,6 +28,7 @@ import os
 from pyspark.sql import functions as F
 
 from lance_flink_spark.registry import query, scratch_dir, table
+from lance_flink_spark.registry import cached_native_fixture
 
 _DB = "storage_demo"
 _BUCKETS = 8
@@ -282,8 +283,11 @@ def lance_native_distributed(spark, sf_dir):
     root = os.path.join(
         scratch_dir("lance_native_dist" + _tag(sf_dir)), "docs_dist"
     )
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(root, src)
+    cached_native_fixture(
+        "lance_native_dist" + _tag(sf_dir),
+        root,
+        lambda t: write_dataset_distributed(t, src),
+    )
     nds = LanceNativeDataset(root)
     # offsets of the doomed rows come from the DISTRIBUTED read (the
     # SQL DELETE path's shape); the collect is offsets-only and gated
@@ -410,8 +414,11 @@ def lance_native_evolution(spark, sf_dir):
     root = os.path.join(
         scratch_dir("lance_native_evo" + _tag(sf_dir)), "docs_evo"
     )
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)
+    cached_native_fixture(
+        "lance_native_evo" + _tag(sf_dir),
+        root,
+        lambda t: write_dataset_distributed(t, src, max_rows_per_file=1 << 14),
+    )
     add_column(root, "quality", pa.float64())
     append_to_dataset_distributed(
         root,
@@ -498,13 +505,21 @@ def lance_native_update_merge(spark, sf_dir):
         write_dataset_distributed,
     )
 
-    src = table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "lang", "n_chars"
-    ).repartition(4)
+    from lance_flink_spark.registry import cached_native_fixture
+
     base = scratch_dir("lance_native_um" + _tag(sf_dir))
     root = os.path.join(base, "docs_um")
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)
+    cached_native_fixture(
+        "um" + _tag(sf_dir),
+        root,
+        lambda t: write_dataset_distributed(
+            t,
+            table(spark, sf_dir, "documents")
+            .selectExpr("doc_id", "lang", "n_chars")
+            .repartition(4),
+            max_rows_per_file=1 << 14,
+        ),
+    )
     table(spark, sf_dir, "documents").createOrReplaceTempView("um_docs_src")
     eng = SqlEngine(spark, Catalog(os.path.join(base, "whw")))
     eng.execute(
@@ -576,8 +591,13 @@ def lance_native_changes(spark, sf_dir):
     root = os.path.join(
         scratch_dir("lance_native_cdc" + _tag(sf_dir)), "docs_cdc"
     )
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)  # v1
+    cached_native_fixture(
+        "lance_native_cdc" + _tag(sf_dir),
+        root,
+        lambda t: write_dataset_distributed(
+            t, src, max_rows_per_file=1 << 14
+        ),
+    )  # v1
     offs = [
         r["__phys"]
         for r in read_distributed(
@@ -664,8 +684,11 @@ def lance_native_struct_evolution(spark, sf_dir):
     root = os.path.join(
         scratch_dir("lance_native_sevo" + _tag(sf_dir)), "docs_sevo"
     )
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(root, src, max_rows_per_file=1 << 14)
+    cached_native_fixture(
+        "lance_native_sevo" + _tag(sf_dir),
+        root,
+        lambda t: write_dataset_distributed(t, src, max_rows_per_file=1 << 14),
+    )
     add_column(root, "quality", pa.float64())
     append_to_dataset_distributed(
         root,
@@ -752,8 +775,11 @@ def native_backfill(spark, sf_dir):
     root = os.path.join(
         scratch_dir("lance_native_bf" + _tag(sf_dir)), "docs_bf"
     )
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(root, src)
+    cached_native_fixture(
+        "lance_native_bf" + _tag(sf_dir),
+        root,
+        lambda t: write_dataset_distributed(t, src),
+    )
     nds = LanceNativeDataset(root)
     # offsets-only collect, the SQL DELETE path's shape (4M-gated
     # there); columns= pushes the projection into the page decode so
@@ -828,8 +854,11 @@ def native_merge_columns(spark, sf_dir):
     root = os.path.join(
         scratch_dir("lance_native_mc" + _tag(sf_dir)), "docs_mc"
     )
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(root, src)
+    cached_native_fixture(
+        "lance_native_mc" + _tag(sf_dir),
+        root,
+        lambda t: write_dataset_distributed(t, src),
+    )
     nds = LanceNativeDataset(root)
     doomed = [
         r["__phys"]
@@ -886,26 +915,32 @@ def lance_21_bitpacked(spark, sf_dir):
     )
 
     tag = sf_dir.rstrip("/").replace("/", "_")
-    root = os.path.join(scratch_dir("l21" + tag), "ds")
-    shutil.rmtree(root, ignore_errors=True)
-    t = (
-        table(spark, sf_dir, "lineitem")
-        .filter("l_orderkey % 17 = 0")
-        .select("l_orderkey", "l_partkey", "l_linenumber")
-        .toArrow()
-    )
-    ds = write_dataset(root, t, max_rows_per_file=16384)
-    _f, frags, _v = ds._manifest()
-    # rewrite every fragment file as 2.1 bitpacked (same rows, same
-    # manifest — only the page encoding changes)
-    off = 0
-    for fr in frags:
-        write_fragment_file_21(
-            os.path.join(root, "data", fr.path),
-            t.slice(off, fr.physical_rows),
-            max_rows_per_page=4096,
+    base = scratch_dir("l21" + tag)
+    root = os.path.join(base, "ds")
+    marker = os.path.join(base, "_FIXTURE_OK")
+    if not os.path.exists(marker):
+        # read-only fixture: build once per sf, reuse across passes
+        shutil.rmtree(root, ignore_errors=True)
+        t = (
+            table(spark, sf_dir, "lineitem")
+            .filter("l_orderkey % 17 = 0")
+            .select("l_orderkey", "l_partkey", "l_linenumber")
+            .toArrow()
         )
-        off += fr.physical_rows
+        ds = write_dataset(root, t, max_rows_per_file=16384)
+        _f, frags, _v = ds._manifest()
+        # rewrite every fragment file as 2.1 bitpacked (same rows,
+        # same manifest — only the page encoding changes)
+        off = 0
+        for fr in frags:
+            write_fragment_file_21(
+                os.path.join(root, "data", fr.path),
+                t.slice(off, fr.physical_rows),
+                max_rows_per_page=4096,
+            )
+            off += fr.physical_rows
+        with open(marker, "w") as f:
+            f.write("ok")
     out = read_distributed(LanceNativeDataset(root), spark)
     return out.groupBy("l_linenumber").agg(
         F.count(F.lit(1)).alias("n"),

@@ -608,14 +608,20 @@ def native_index_exactness(spark, sf_dir):
         write_dataset_distributed,
     )
 
+    from lance_flink_spark.registry import cached_native_fixture
+
     tag = sf_dir.rstrip("/").replace("/", "_")
     base = scratch_dir("native_idx" + tag)
     root = os.path.join(base, "emb")
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(
+    cached_native_fixture(
+        "native_idx_emb" + tag,
         root,
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        .repartition(4),
+        lambda t: write_dataset_distributed(
+            t,
+            table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .repartition(4),
+        ),
     )
     eng = SqlEngine(spark, Catalog(os.path.join(base, "whw")))
     eng.execute(
@@ -673,16 +679,22 @@ def native_ivf_payload_exactness(spark, sf_dir):
         build_ivf_flat_index,
     )
 
+    from lance_flink_spark.registry import cached_native_fixture
+
     tag = sf_dir.rstrip("/").replace("/", "_")
     base = scratch_dir("native_ivfp" + tag)
     root = os.path.join(base, "emb")
-    shutil.rmtree(root, ignore_errors=True)
-    write_dataset_distributed(
-        root,
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        .repartition(4),
-    )
-    build_ivf_flat_index(root, "embedding", spark, num_partitions=8)
+
+    def _build(t):
+        write_dataset_distributed(
+            t,
+            table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .repartition(4),
+        )
+        build_ivf_flat_index(t, "embedding", spark, num_partitions=8)
+
+    cached_native_fixture("native_ivfp_emb" + tag, root, _build)
     eng = SqlEngine(spark, Catalog(os.path.join(base, "whw")))
     eng.execute(
         f"CREATE TABLE nivf_emb (vec_id BIGINT, embedding ARRAY<FLOAT>) "

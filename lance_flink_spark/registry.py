@@ -154,3 +154,31 @@ def scratch_dir(*parts: str) -> str:
     p = os.path.join(root, ".scratch", *parts)
     os.makedirs(p, exist_ok=True)
     return p
+
+
+def cached_native_fixture(name: str, dest: str, build_fn) -> None:
+    """Template-cached MUTABLE fixture: ``build_fn(template_dir)``
+    builds a deterministic dataset ONCE per (name, scratch lifetime);
+    every call then file-copies the template to ``dest`` so the query
+    mutates a fresh copy. Turns a per-bench-pass Spark fixture job
+    (write_dataset_distributed + commits, 1-3s each) into a
+    millisecond copytree — the measured wall is the OPERATOR, not the
+    fixture. The template must be deterministic (every registry
+    fixture is: sources are the benchmark tables, ids are stable).
+    Templates survive in .scratch across sessions: when CHANGING a
+    build_fn, bump ``name`` (e.g. a _v2 suffix) or the stale template
+    keeps serving — `rm -rf .scratch` is the blanket reset."""
+    import os
+    import shutil
+
+    base = scratch_dir("tmpl_" + name)
+    marker = os.path.join(base, "_TEMPLATE_OK")
+    tdir = os.path.join(base, "t")
+    if not os.path.exists(marker):
+        shutil.rmtree(tdir, ignore_errors=True)
+        build_fn(tdir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    shutil.copytree(tdir, dest)
