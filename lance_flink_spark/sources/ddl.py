@@ -338,7 +338,8 @@ _ANALYZE = re.compile(
 )
 _OPTIMIZE = re.compile(
     r"OPTIMIZE\s+(?P<name>[\w.]+)"
-    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[^)]+)\)|\s+(?P<binpack>BINPACK))?\s*$",
+    r"(?:\s+ZORDER\s+BY\s+\((?P<cols>[^)]+)\)|\s+(?P<binpack>BINPACK)"
+    r"|\s+(?P<indexes>INDEXES))?\s*$",
     re.IGNORECASE,
 )
 _VACUUM = re.compile(
@@ -1717,7 +1718,12 @@ class SqlEngine:
         compaction (lance_native.compact_dataset) — consecutive small
         fragments merge, deletion files materialize away, dropped
         columns' bytes are reclaimed; rewrites run one-task-per-bin on
-        the executors, the driver commits the manifest. ZORDER is the
+        the executors, the driver commits the manifest.
+        ``OPTIMIZE t INDEXES`` (r15) is Lance's optimize_indices:
+        every manifest-registered IVF_FLAT index folds in the
+        fragments appended since its build
+        (native_index.update_ivf_flat_index) — no retrain, touched
+        partition files merge in one task each. ZORDER is the
         parquet-backed Dataset's clustering machinery — refuse."""
         from lance_flink_spark.sources.lance_native import compact_dataset
 
@@ -1728,6 +1734,33 @@ class SqlEngine:
                 "native Lance tables is outside the subset — copy into "
                 "a parquet-backed table for clustered rewrites"
             )
+        if m.group("indexes"):
+            from lance_flink_spark.sources.lance_native import (
+                read_index_section,
+            )
+            from lance_flink_spark.sources.native_index import (
+                update_ivf_flat_index,
+            )
+
+            nds = self.native_tables[name]
+            fields, _frags, version = nds._manifest()
+            by_id = {f.fid: f.name for f in fields}
+            mpath = os.path.join(
+                nds.root, "_versions", f"{version}.manifest"
+            )
+            metas = read_index_section(mpath)
+            if not metas:
+                raise ValueError(
+                    f"OPTIMIZE {name} INDEXES: no registered indexes"
+                )
+            for ix in metas:
+                col = next(
+                    (by_id[i] for i in ix.field_ids if i in by_id), None
+                )
+                if col is not None:
+                    update_ivf_flat_index(nds.root, col, self.spark)
+            self._reregister_native(name)
+            return None
         compact_dataset(self.native_tables[name].root, self.spark)
         self._reregister_native(name)
         return None

@@ -396,3 +396,34 @@ def test_incremental_index_update_serves_appends(spark, tmp_path_str):
     compact_dataset(root)
     with pytest.raises(UnsupportedLanceFeature, match="rebuild"):
         update_ivf_flat_index(root, "embedding", spark)
+
+
+def test_sql_optimize_indexes(spark, tmp_path_str):
+    """r15: OPTIMIZE t INDEXES folds appended fragments into every
+    registered index from SQL — serving resumes without a rebuild."""
+    from lance_flink_spark.sources.catalog import Catalog
+    from lance_flink_spark.sources.ddl import SqlEngine
+
+    root, vecs = _mk_dataset(tmp_path_str, "nopt")
+    eng = SqlEngine(spark, Catalog(tmp_path_str + "/who"))
+    eng.execute(
+        f"CREATE TABLE nopt (id BIGINT, embedding ARRAY<FLOAT>) "
+        f"WITH ('connector'='lance', 'path'='{root}', "
+        f"'vector.nprobes'='4')"
+    )
+    eng.execute(
+        "CREATE INDEX ON nopt (embedding) USING IVF_FLAT "
+        "WITH ('index.payload'='native', 'index.num-partitions'='4')"
+    )
+    eng.execute(
+        "INSERT INTO nopt VALUES (500, ARRAY[9.0, 9.0, 9.0, 9.0])"
+    )
+    eng.execute("OPTIMIZE nopt INDEXES")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = eng.execute(
+            "SELECT * FROM vector_search('nopt', 'embedding', "
+            "ARRAY[9.0, 9.0, 9.0, 9.0], 1, 'L2')"
+        ).collect()
+    assert not any("brute-force" in str(x.message) for x in w)
+    assert got[0]["id"] == 500  # the appended row serves FROM the index
