@@ -56,8 +56,15 @@ def main() -> None:
     # to repeat: every run_to_memory uses a fresh uuid checkpoint, so
     # each run re-executes the full pipeline, never a checkpoint no-op.
     n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
+    # Diagnostic subset filter (r15): comma-separated query names. UNSET
+    # in driver runs — the default benches the full registry unchanged.
+    # Exists so a targeted optimization can be re-measured in ~30s
+    # instead of a ~15min full pass.
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
     times: dict[str, float] = {}
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             samples = []
             for i in range(1 + n_runs):
