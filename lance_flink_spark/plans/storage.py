@@ -906,7 +906,7 @@ def lance_21_bitpacked(spark, sf_dir):
     structural 2.1 encodings stay a loud refusal (SURVEY §6)."""
     import shutil
 
-    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.registry import fixture_once, scratch_dir
     from lance_flink_spark.sources.lance_native import (
         LanceNativeDataset,
         read_distributed,
@@ -917,9 +917,10 @@ def lance_21_bitpacked(spark, sf_dir):
     tag = sf_dir.rstrip("/").replace("/", "_")
     base = scratch_dir("l21" + tag)
     root = os.path.join(base, "ds")
-    marker = os.path.join(base, "_FIXTURE_OK")
-    if not os.path.exists(marker):
-        # read-only fixture: build once per sf, reuse across passes
+    if fixture_once(base):
+        # read-only fixture: built once per (process, sf), reused
+        # across passes — a fresh invocation always rebuilds from
+        # the parquet (fixture_once)
         shutil.rmtree(root, ignore_errors=True)
         t = (
             table(spark, sf_dir, "lineitem")
@@ -939,8 +940,6 @@ def lance_21_bitpacked(spark, sf_dir):
                 max_rows_per_page=4096,
             )
             off += fr.physical_rows
-        with open(marker, "w") as f:
-            f.write("ok")
     out = read_distributed(LanceNativeDataset(root), spark)
     return out.groupBy("l_linenumber").agg(
         F.count(F.lit(1)).alias("n"),

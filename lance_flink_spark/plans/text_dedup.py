@@ -2157,14 +2157,15 @@ def streaming_near_dedup(spark, sf_dir):
     import os
     import shutil
 
-    from lance_flink_spark.registry import scratch_dir
+    from lance_flink_spark.registry import fixture_once, scratch_dir
     from lance_flink_spark.streaming.dedup import NearDedupIngest
 
     tag = sf_dir.rstrip("/").replace("/", "_")
     base = scratch_dir("neardd" + tag)
     src = os.path.join(base, "src")
-    marker = os.path.join(base, "_SPOOL_OK")
-    if not os.path.exists(marker):
+    # deterministic spool: built once per (process, sf) — a fresh
+    # invocation always rebuilds from the parquet (fixture_once)
+    if fixture_once(base):
         shutil.rmtree(src, ignore_errors=True)
         d = table(spark, sf_dir, "documents").select(
             "doc_id", "text", (F.col("doc_id") % 4).alias("b")
@@ -2177,8 +2178,6 @@ def streaming_near_dedup(spark, sf_dir):
                 for f in files:
                     os.utime(os.path.join(r, f), (t, t))
             os.utime(pdir, (t, t))
-        with open(marker, "w") as f:
-            f.write("ok")
     root = os.path.join(base, "run")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)

@@ -156,29 +156,45 @@ def scratch_dir(*parts: str) -> str:
     return p
 
 
+_FIXTURES_BUILT: set[str] = set()
+
+
+def fixture_once(key: str) -> bool:
+    """True exactly once per (process, key) — callers rebuild their
+    deterministic fixture then; later calls in the SAME process reuse
+    the on-disk result. Deliberately PROCESS-scoped, never an on-disk
+    marker: a fresh bench/oracle invocation always recomputes every
+    fixture from the parquet inputs (nothing derived from the test
+    data persists across runs), while repeat passes within one
+    invocation skip the rebuild — the bench's untimed cold pass
+    absorbs the first build, so timed passes measure the operator,
+    not the fixture."""
+    if key in _FIXTURES_BUILT:
+        return False
+    _FIXTURES_BUILT.add(key)
+    return True
+
+
 def cached_native_fixture(name: str, dest: str, build_fn) -> None:
     """Template-cached MUTABLE fixture: ``build_fn(template_dir)``
-    builds a deterministic dataset ONCE per (name, scratch lifetime);
-    every call then file-copies the template to ``dest`` so the query
+    builds a deterministic dataset ONCE per (name, process); every
+    call then file-copies the template to ``dest`` so the query
     mutates a fresh copy. Turns a per-bench-pass Spark fixture job
     (write_dataset_distributed + commits, 1-3s each) into a
     millisecond copytree — the measured wall is the OPERATOR, not the
     fixture. The template must be deterministic (every registry
     fixture is: sources are the benchmark tables, ids are stable).
-    Templates survive in .scratch across sessions: when CHANGING a
-    build_fn, bump ``name`` (e.g. a _v2 suffix) or the stale template
-    keeps serving — `rm -rf .scratch` is the blanket reset."""
+    The once-guard is process-scoped (``fixture_once``): a new
+    invocation always rebuilds from the parquet inputs, so a changed
+    build_fn can never serve a stale template across sessions."""
     import os
     import shutil
 
     base = scratch_dir("tmpl_" + name)
-    marker = os.path.join(base, "_TEMPLATE_OK")
     tdir = os.path.join(base, "t")
-    if not os.path.exists(marker):
+    if fixture_once("tmpl_" + name):
         shutil.rmtree(tdir, ignore_errors=True)
         build_fn(tdir)
-        with open(marker, "w") as f:
-            f.write("ok")
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     shutil.copytree(tdir, dest)
