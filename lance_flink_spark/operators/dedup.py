@@ -1073,7 +1073,11 @@ def _fingerprint_frame(
     mapInPandas pass maps each blob's bytes through ``fp_fn`` (a
     module-level codec fingerprint — pickled by reference, so
     ship_package makes it importable on the workers) into a signed
-    64-bit column."""
+    64-bit column. BYTE-identical blobs within a task decode once: a
+    bounded per-task memo short-circuits repeats — the exact-duplicate
+    case is the very workload a dedup operator sees, and the decode
+    (PNG/JPEG inflate, WAV rFFT) dwarfs a dict probe. Capped so a
+    task's memory stays bounded regardless of corpus size."""
     from pyspark.sql import types as T
 
     from lance_flink_spark.session import ship_package
@@ -1087,13 +1091,18 @@ def _fingerprint_frame(
     )
 
     def _fp(batches):
+        memo: dict[bytes, int] = {}
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    out_col: [fp_fn(bytes(c)) for c in pdf[content_col]],
-                }
-            )
+            out = []
+            for c in pdf[content_col]:
+                b = bytes(c)
+                v = memo.get(b)
+                if v is None:
+                    v = fp_fn(b)
+                    if len(memo) < 65536:
+                        memo[b] = v
+                out.append(v)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: out})
 
     return blobs.select(id_col, content_col).mapInPandas(
         _fp, schema=schema

@@ -4,6 +4,8 @@ windows, stateful streaming, JSON extraction, multimodal metadata
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import functions as F
 
 from lance_flink_spark.functions.multimodal import extract_metadata, to_binary_docs
@@ -1093,19 +1095,24 @@ def _pattern_png(did: int) -> bytes:
     within a pattern group, only the pixels repeat. Shared by
     `image_dedup_dhash` and `image_near_dup_pairs`, whose oracles both
     assume the SAME patterns (measured min pairwise dHash distance:
-    17 bits)."""
+    17 bits). Only (did % 17, did % 4) reaches the bytes, so the 68
+    distinct encodes memoize per worker process."""
+    return _pattern_png_cached(did % 17, did % 4)
+
+
+@functools.lru_cache(maxsize=None)
+def _pattern_png_cached(p: int, filter_type: int) -> bytes:
     import numpy as np
 
     from lance_flink_spark.functions.multimodal import encode_png
 
-    p = did % 17
     x = np.arange(16)[None, :]
     y = np.arange(16)[:, None]
     g = (x * 13 * (p + 1) + y * 29 * (p + 3)) % 251
     arr = np.stack(
         [g, (g * 7 + p) % 251, (g * 3 + 2 * p) % 251], axis=2
     ).astype(np.uint8)
-    return encode_png(arr, filter_type=did % 4)
+    return encode_png(arr, filter_type=filter_type)
 
 
 
@@ -1207,29 +1214,39 @@ def audio_dedup_fp(spark, sf_dir):
     def _synth(batches):
         sr = 4000
         t = np.arange(sr // 4) / sr  # 250 ms
+        # only (did%13, did%7, did%11) reaches the bytes — the 1,001
+        # distinct WAV encodes memoize per task
+        memo: dict[tuple, bytes] = {}
+
+        def _tone(p: int, a: int, ph: int) -> bytes:
+            # band-CENTERED tones: the 1000-sample clip splits
+            # into 16 windows of 62 samples → ~64.5 Hz rFFT bins,
+            # 2-bin bands spanning ~129 Hz — 64+128p Hz sits
+            # inside band p, away from its edges (a tone ON a band
+            # boundary would flip its argmax with phase — the
+            # quantization edge any perceptual hash has)
+            freq = 64.0 + 128.0 * p
+            amp = 0.2 + 0.05 * a  # per-doc level
+            phase = 0.1 * ph  # per-doc phase
+            x = (
+                amp * np.sin(2 * np.pi * freq * t + phase) * 32000
+            ).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(sr)
+                f.writeframes(x.tobytes())
+            return buf.getvalue()
+
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
-                p = int(did) % 13
-                # band-CENTERED tones: the 1000-sample clip splits
-                # into 16 windows of 62 samples → ~64.5 Hz rFFT bins,
-                # 2-bin bands spanning ~129 Hz — 64+128p Hz sits
-                # inside band p, away from its edges (a tone ON a band
-                # boundary would flip its argmax with phase — the
-                # quantization edge any perceptual hash has)
-                freq = 64.0 + 128.0 * p
-                amp = 0.2 + 0.05 * (int(did) % 7)  # per-doc level
-                phase = 0.1 * (int(did) % 11)  # per-doc phase
-                x = (
-                    amp * np.sin(2 * np.pi * freq * t + phase) * 32000
-                ).astype(np.int16)
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as f:
-                    f.setnchannels(1)
-                    f.setsampwidth(2)
-                    f.setframerate(sr)
-                    f.writeframes(x.tobytes())
-                blobs.append(buf.getvalue())
+                k = (int(did) % 13, int(did) % 7, int(did) % 11)
+                b = memo.get(k)
+                if b is None:
+                    memo[k] = b = _tone(*k)
+                blobs.append(b)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": blobs}
             )

@@ -9,6 +9,7 @@ callers override to ~2-3x total cluster cores at real scale.
 from __future__ import annotations
 
 import os
+import threading as _threading
 
 from pyspark.sql import SparkSession
 
@@ -33,6 +34,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory target size when coalescing instead of
+        # keeping ~1 partition per core: a micro-batch/small shuffle
+        # collapses to the few tasks its bytes justify (a 1,200-row
+        # frame stops fanning out to 32 tasks of pure scheduling
+        # overhead), while a 100 TB shuffle still yields thousands of
+        # partitions from the same size rule — the scale-adaptive
+        # setting Spark's own AQE docs recommend for production
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -69,6 +85,10 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SHIP_LOCK = _threading.Lock()
+_SHIPPED: set = set()
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``lance_flink_spark`` importable on executor Python workers.
 
@@ -76,25 +96,37 @@ def ship_package(spark: SparkSession) -> None:
     applyInPandasWithState are pickled BY REFERENCE, so workers must
     import this package — which fails when the driver's cwd isn't the
     repo root (e.g. the verification harness). Zip the package once per
-    session and addPyFile it; idempotent via a session marker."""
+    application and addPyFile it. The once-guard is a PROCESS-global
+    set under a lock, NOT a Spark local property: local properties are
+    thread-local, so overlapped driver work (concurrent fragment-write
+    / deletion-resolve actions, pre-commit side-writes) re-entered
+    addPyFile from pool threads and raced CPython's
+    ``importlib.invalidate_caches`` (KeyError in zipimport cache
+    invalidation)."""
     sc = spark.sparkContext
-    marker = "lance_flink_spark.pkg_shipped"
-    if sc.getLocalProperty(marker):
+    app = sc.applicationId
+    if app in _SHIPPED:
         return
-    import zipfile
+    with _SHIP_LOCK:
+        if app in _SHIPPED:
+            return
+        import zipfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out_dir = os.path.join(os.path.dirname(pkg_dir), ".scratch")
-    os.makedirs(out_dir, exist_ok=True)
-    zip_path = os.path.join(out_dir, "lance_flink_spark_pkg.zip")
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
-    sc.addPyFile(zip_path)
-    sc.setLocalProperty(marker, "1")
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        out_dir = os.path.join(os.path.dirname(pkg_dir), ".scratch")
+        os.makedirs(out_dir, exist_ok=True)
+        zip_path = os.path.join(out_dir, "lance_flink_spark_pkg.zip")
+        with zipfile.ZipFile(zip_path, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(
+                            full,
+                            os.path.relpath(full, os.path.dirname(pkg_dir)),
+                        )
+        sc.addPyFile(zip_path)
+        _SHIPPED.add(app)
 
 
 def unpersist_all(spark: SparkSession, blocking: bool = False) -> int:

@@ -2449,6 +2449,7 @@ def mutate_rows_distributed(
     *,
     deletion_format: str = "arrow",
     expected_version: int | None = None,
+    pre_commit=None,
 ) -> int:
     """ONE-commit predicate mutation at CLUSTER scale — the ungated
     sibling of :func:`update_rows_distributed`: matched offsets
@@ -2460,9 +2461,17 @@ def mutate_rows_distributed(
     ``offsets_df``; UPDATE/MERGE pass both; a no-match no-insert
     statement returns the current version with no manifest churn.
     There is NO row gate on this path — a 100M-row DELETE moves no
-    row through the driver. Cite: com.lancedb.lance.Dataset
-    update/merge_insert commit one transaction the same way."""
+    row through the driver. The fragment-write and deletion-resolve
+    actions are INDEPENDENT (tasks write distinct files; only the
+    driver-side manifest swap below joins them), so they run
+    concurrently — the statement's wall is max(writes, deletes), not
+    the sum. ``pre_commit`` (when given) runs after both actions and
+    immediately before the manifest write — the durability barrier a
+    caller's overlapped side-write (e.g. a retraction log) joins.
+    Cite: com.lancedb.lance.Dataset update/merge_insert commit one
+    transaction the same way."""
     import pyarrow as pa
+    from concurrent.futures import ThreadPoolExecutor
 
     src = offsets_df if offsets_df is not None else append_df
     if src is None:
@@ -2471,7 +2480,6 @@ def mutate_rows_distributed(
     ds = LanceNativeDataset(root)
     fields, frags, version = ds._manifest()
     _check_expected_version(root, version, expected_version)
-    new_frags = []
     if append_df is not None:
         nf, _blob = _schema_fields_of(pa, _df_arrow_schema(append_df))
         if _norm_signature(_schema_signature(nf)) != _norm_signature(
@@ -2481,18 +2489,29 @@ def mutate_rows_distributed(
                 "update schema mismatch: "
                 f"{_schema_signature(nf)} != {_schema_signature(fields)}"
             )
-        new_frags = _write_fragments_distributed(
-            root, append_df, arrow_schema_of(fields)
+    with ThreadPoolExecutor(2) as pool:
+        f_app = (
+            pool.submit(
+                _write_fragments_distributed,
+                root, append_df, arrow_schema_of(fields),
+            )
+            if append_df is not None
+            else None
         )
-    plates = (
-        resolve_deletions_distributed(
-            root, spark, offsets_df, version,
-            deletion_format=deletion_format,
+        f_del = (
+            pool.submit(
+                resolve_deletions_distributed,
+                root, spark, offsets_df, version,
+                deletion_format=deletion_format,
+            )
+            if offsets_df is not None
+            else None
         )
-        if offsets_df is not None
-        else []
-    )
+        new_frags = f_app.result() if f_app is not None else []
+        plates = f_del.result() if f_del is not None else []
     if not plates and not new_frags:
+        if pre_commit is not None:
+            pre_commit()
         return version  # nothing matched, nothing to insert
     for p in plates:
         fr = frags[int(p["frag_ix"])]
@@ -2511,6 +2530,8 @@ def mutate_rows_distributed(
     if new_frags:
         start = max((fr.frag_id for fr in frags), default=-1) + 1
         frags = frags + _finish_fragments(pa, root, fields, new_frags, start)
+    if pre_commit is not None:
+        pre_commit()  # overlapped side-writes must be durable first
     _write_manifest(
         root, version + 1, _schema_fields_of_existing(fields), frags
     )

@@ -302,12 +302,14 @@ class UpsertNativeSink:
         op_col: str = "_op",
         seq_cols: list[str] | None = None,
         delete_ops: tuple[str, ...] = ("D", "-D", "delete"),
+        files_per_batch: int = 8,
     ):
         self.root = root.rstrip("/")
         self.key = key
         self.op_col = op_col
         self.seq_cols = list(seq_cols or [])
         self.delete_ops = tuple(delete_ops)
+        self.files_per_batch = int(files_per_batch)
         self.retractions = Dataset(self.root + "_retractions")
 
     # -- the fold / retraction-memory trio mirrors UpsertDatasetSink --
@@ -364,6 +366,7 @@ class UpsertNativeSink:
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """foreachBatch hook — idempotent via the batchId marker."""
         import os
+        from concurrent.futures import ThreadPoolExecutor
 
         spark = df.sparkSession
         tag = f"upsert-{int(batch_id)}"
@@ -372,17 +375,26 @@ class UpsertNativeSink:
             return  # replayed batch
         folded = self._fold_batch(df).persist()
         try:
-            self._log_retractions(folded, tag)
+            # the staleness filter depends only on PRIOR batches' log
+            # entries (folded keeps one row per key — a key retracted
+            # THIS batch has its delete row as that one row, which the
+            # >= filter keeps regardless), so the filter reads the log
+            # BEFORE this batch's write and the log write overlaps the
+            # mutation's Spark jobs; the pre_commit barrier joins it
+            # before the manifest swap, preserving log-before-visible-
+            # mutation crash safety exactly (the parquet sink's shape)
             filtered = self._drop_pre_retraction(spark, folded)
             self._probe_unique(filtered, "micro-batch")
-            v = self._apply(spark, filtered)
+            with ThreadPoolExecutor(1) as pool:
+                log_fut = pool.submit(self._log_retractions, folded, tag)
+                v = self._apply(spark, filtered, pre_commit=log_fut.result)
         finally:
             folded.unpersist()
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write(str(v))
 
-    def _apply(self, spark, filtered: DataFrame) -> int:
+    def _apply(self, spark, filtered: DataFrame, pre_commit=None) -> int:
         import os
 
         from lance_flink_spark.sources.lance_native import (
@@ -395,25 +407,52 @@ class UpsertNativeSink:
         is_del = F.col(self.op_col).isin(list(self.delete_ops))
         if not os.path.isdir(os.path.join(self.root, "_versions")):
             # bootstrap: surviving upserts become the initial fragments
+            # (log durability first — this path has no pre-manifest hook).
+            # coalesce to files_per_batch: a micro-batch inherits the
+            # shuffle-partition count, and one FRAGMENT per partition
+            # explodes the table into row-count-~30 fragments that every
+            # later read/delete-resolve pays one task each for
+            # (guide §6 small-files; the parquet sink's knob)
+            if pre_commit is not None:
+                pre_commit()
             write_dataset_distributed(
-                self.root, filtered.filter(~is_del).drop(self.op_col)
+                self.root,
+                filtered.filter(~is_del)
+                .drop(self.op_col)
+                .coalesce(self.files_per_batch),
             )
             return 1
         nds = LanceNativeDataset(self.root)
         # matched rows from an INNER join (broadcast-able: a micro-
         # batch is small next to the table — a full_outer would
         # shuffle the whole replica every batch); unmatched target
-        # rows are untouched by definition
-        t = read_distributed(nds, spark, with_offsets=True).alias("t")
-        cols = [c for c in t.columns if c != "__phys"]
-        tsch = {f.name: f.dataType for f in t.schema.fields}
+        # rows are untouched by definition. The full-width frame is
+        # LAZY — only its driver-side schema is used; the join decodes
+        # just key + seq_cols (+ __phys): updated images come from the
+        # SOURCE side, so the other target pages are never read
+        # (projection into the per-fragment decode, guide §4/§6)
+        full = read_distributed(nds, spark, with_offsets=True)
+        cols = [c for c in full.columns if c != "__phys"]
+        tsch = {f.name: f.dataType for f in full.schema.fields}
+        need = [self.key] + [c for c in self.seq_cols if c != self.key]
+        t = read_distributed(
+            nds, spark, with_offsets=True, columns=need
+        ).alias("t")
         s = filtered.alias("s")
         # persist the matched frame (bounded by the micro-batch's key
         # matches): its three consumers — tombstone offsets, updated
         # images, matched-key anti-join build side — would otherwise
         # each re-decode the whole replica
+        # broadcast the BATCH side explicitly: both join inputs are
+        # opaque to the optimizer (mapInPandas decode vs a stream
+        # micro-batch), so without the hint this falls to a
+        # sort-merge join that shuffles the whole replica decode; a
+        # micro-batch is trigger-size-bounded, so the broadcast is
+        # the same contract as the F.broadcast(mk) below (guide §3)
         m = t.join(
-            s, F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"), "inner"
+            F.broadcast(s),
+            F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"),
+            "inner",
         ).persist()
         try:
             guard = (
@@ -447,8 +486,13 @@ class UpsertNativeSink:
             return mutate_rows_distributed(
                 self.root,
                 offs_df,
-                updates.unionByName(inserts),
+                # same small-files guard as the bootstrap: the
+                # replacement/insert images of one micro-batch belong
+                # in files_per_batch fragments, not one per shuffle
+                # partition
+                updates.unionByName(inserts).coalesce(self.files_per_batch),
                 expected_version=nds._manifests[-1],
+                pre_commit=pre_commit,
             )
         finally:
             m.unpersist()

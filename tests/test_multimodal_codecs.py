@@ -529,6 +529,56 @@ def test_audio_fp_invariance(spark):
     assert got == [(1, 2), (3, 1)]
 
 
+def test_audio_fp_matches_per_window_reference():
+    """The batched-rFFT fingerprint (r15) is BIT-identical to the
+    original per-window loop — one flipped symbol would regroup a
+    dedup, so the equivalence is pinned over fixture-shaped tones,
+    noise, and lengths not divisible by 16 (incl. the empty-band
+    n=32 edge where array_split pads with empty bands)."""
+    import numpy as np
+
+    from lance_flink_spark.functions.multimodal import audio_fp64
+
+    def reference(x: np.ndarray) -> int:
+        val = 0
+        win = x.size // 16
+        for w in range(16):
+            seg = x[w * win : (w + 1) * win]
+            mag = np.abs(np.fft.rfft(seg))
+            mag[0] = 0.0
+            bands = np.array_split(mag, 16)
+            sym = int(np.argmax([b.sum() for b in bands]))
+            val = (val << 4) | sym
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    def wav(x16: np.ndarray) -> bytes:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(4000)
+            f.writeframes(x16.tobytes())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(7)
+    sr = 4000
+    t = np.arange(sr // 4) / sr
+    cases = [
+        (0.2 + 0.05 * (d % 7))
+        * np.sin(2 * np.pi * (64.0 + 128.0 * (d % 13)) * t + 0.1 * (d % 11))
+        * 32000
+        for d in range(60)
+    ]
+    for n in (1000, 999, 1024, 555, 32, 47):
+        cases += [rng.integers(-32768, 32767, size=n) for _ in range(10)]
+    for x in cases:
+        x16 = np.asarray(x).astype(np.int16)
+        assert audio_fp64(wav(x16)) == reference(x16.astype(np.float64))
+
+
 def test_audio_near_dup_pairs_windowed_lsh(spark):
     """Windowed-symbol LSH over audio fingerprints: a clip whose tail
     re-pitches (a few windows differ) pairs with its original, exact
