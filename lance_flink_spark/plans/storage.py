@@ -268,6 +268,7 @@ def lance_native_distributed(spark, sf_dir):
         delete_rows,
         read_distributed,
         write_dataset_distributed,
+        mutate_rows_distributed,
     )
 
     src = (
@@ -289,17 +290,19 @@ def lance_native_distributed(spark, sf_dir):
         lambda t: write_dataset_distributed(t, src),
     )
     nds = LanceNativeDataset(root)
-    # offsets of the doomed rows come from the DISTRIBUTED read (the
-    # SQL DELETE path's shape); the collect is offsets-only and gated
-    # at the SQL surface by the same 4M contract as _delete_native
-    offs = [
-        r["__phys"]
-        for r in read_distributed(nds, spark, with_offsets=True)
+    # offsets of the doomed rows stay a DataFrame end to end: the
+    # per-fragment tasks write the deletion files and only name-plates
+    # reach the driver (mutate_rows_distributed) — no offsets collect,
+    # no driver row bound; columns= prunes the decode to the predicate
+    # column (guide §5/§6)
+    offs_df = (
+        read_distributed(nds, spark, with_offsets=True, columns=["doc_id"])
         .filter("doc_id % 7 = 2")
         .select("__phys")
-        .collect()
-    ]
-    delete_rows(root, offs, deletion_format="bitmap")
+    )
+    mutate_rows_distributed(
+        root, offs_df, deletion_format="bitmap", offsets_aligned=True
+    )
     df = read_distributed(LanceNativeDataset(root), spark)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
@@ -404,6 +407,7 @@ def lance_native_evolution(spark, sf_dir):
         drop_column,
         read_distributed,
         write_dataset_distributed,
+        mutate_rows_distributed,
     )
 
     import pyarrow as pa
@@ -431,16 +435,17 @@ def lance_native_evolution(spark, sf_dir):
             "CAST(n_chars AS DOUBLE) AS quality",
         ),
     )
-    offs = [
-        r["__phys"]
-        for r in read_distributed(
-            LanceNativeDataset(root), spark, with_offsets=True
+    offs_df = (
+        read_distributed(
+            LanceNativeDataset(root), spark,
+            with_offsets=True, columns=["doc_id"],
         )
         .filter("doc_id % 7 = 3")
         .select("__phys")
-        .collect()
-    ]
-    delete_rows(root, offs, deletion_format="bitmap")
+    )
+    mutate_rows_distributed(
+        root, offs_df, deletion_format="bitmap", offsets_aligned=True
+    )
     drop_column(root, "lang")
     compact_dataset(root, spark)
     df = read_distributed(LanceNativeDataset(root), spark)
@@ -583,6 +588,7 @@ def lance_native_changes(spark, sf_dir):
         read_changes_distributed,
         read_distributed,
         write_dataset_distributed,
+        mutate_rows_distributed,
     )
 
     src = table(spark, sf_dir, "documents").selectExpr(
@@ -598,16 +604,17 @@ def lance_native_changes(spark, sf_dir):
             t, src, max_rows_per_file=1 << 14
         ),
     )  # v1
-    offs = [
-        r["__phys"]
-        for r in read_distributed(
-            LanceNativeDataset(root), spark, with_offsets=True
+    offs_df = (
+        read_distributed(
+            LanceNativeDataset(root), spark,
+            with_offsets=True, columns=["doc_id"],
         )
         .filter("doc_id % 5 = 0")
         .select("__phys")
-        .collect()
-    ]
-    delete_rows(root, offs, deletion_format="bitmap")  # v2
+    )
+    mutate_rows_distributed(
+        root, offs_df, deletion_format="bitmap", offsets_aligned=True
+    )  # v2
     append_to_dataset_distributed(
         root,
         table(spark, sf_dir, "documents")
@@ -672,6 +679,7 @@ def lance_native_struct_evolution(spark, sf_dir):
         drop_column,
         read_distributed,
         write_dataset_distributed,
+        mutate_rows_distributed,
     )
 
     import pyarrow as pa
@@ -701,17 +709,17 @@ def lance_native_struct_evolution(spark, sf_dir):
             "CAST(n_chars % 97 AS DOUBLE) AS quality",
         ),
     )
-    offs = [
-        r["__phys"]
-        for r in read_distributed(
+    offs_df = (
+        read_distributed(
             LanceNativeDataset(root), spark,
             with_offsets=True, columns=["doc_id"],
         )
         .filter("doc_id % 11 = 6")
         .select("__phys")
-        .collect()
-    ]
-    delete_rows(root, offs, deletion_format="bitmap")
+    )
+    mutate_rows_distributed(
+        root, offs_df, deletion_format="bitmap", offsets_aligned=True
+    )
     drop_column(root, "lang")
     df = read_distributed(LanceNativeDataset(root), spark)
     return (
@@ -765,6 +773,7 @@ def native_backfill(spark, sf_dir):
         delete_rows,
         read_distributed,
         write_dataset_distributed,
+        mutate_rows_distributed,
     )
 
     src = (
@@ -781,19 +790,18 @@ def native_backfill(spark, sf_dir):
         lambda t: write_dataset_distributed(t, src),
     )
     nds = LanceNativeDataset(root)
-    # offsets-only collect, the SQL DELETE path's shape (4M-gated
-    # there); columns= pushes the projection into the page decode so
-    # lang/n_chars pages are never read for the offset resolution
-    doomed = [
-        r["__phys"]
-        for r in read_distributed(
+    # offsets stay a DataFrame: per-fragment tasks write the deletion
+    # files, only name-plates reach the driver; columns= pushes the
+    # projection into the page decode so lang/n_chars pages are never
+    # read for the offset resolution
+    doomed_df = (
+        read_distributed(
             nds, spark, with_offsets=True, columns=["doc_id"]
         )
         .filter("doc_id % 11 = 4")
         .select("__phys")
-        .collect()
-    ]
-    delete_rows(root, np.sort(doomed))
+    )
+    mutate_rows_distributed(root, doomed_df, offsets_aligned=True)
     add_column_backfill(
         root, "score", pa.float64(),
         "n_chars * 1.0 / (doc_id % 7 + 1)", spark,
@@ -844,6 +852,7 @@ def native_merge_columns(spark, sf_dir):
         merge_columns,
         read_distributed,
         write_dataset_distributed,
+        mutate_rows_distributed,
     )
 
     src = (
@@ -860,16 +869,14 @@ def native_merge_columns(spark, sf_dir):
         lambda t: write_dataset_distributed(t, src),
     )
     nds = LanceNativeDataset(root)
-    doomed = [
-        r["__phys"]
-        for r in read_distributed(
+    doomed_df = (
+        read_distributed(
             nds, spark, with_offsets=True, columns=["doc_id"]
         )
         .filter("doc_id % 11 = 4")
         .select("__phys")
-        .collect()
-    ]
-    delete_rows(root, np.sort(doomed))
+    )
+    mutate_rows_distributed(root, doomed_df, offsets_aligned=True)
     attach = (
         table(spark, sf_dir, "documents")
         .filter("doc_id % 3 = 0")

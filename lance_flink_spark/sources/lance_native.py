@@ -2310,6 +2310,7 @@ def resolve_deletions_distributed(
     version: int,
     *,
     deletion_format: str = "arrow",
+    fragment_aligned: bool = False,
 ):
     """EXECUTOR-SIDE deletion-file writes for a DataFrame of matched
     GLOBAL physical offsets (column ``__phys``) — the scale path for
@@ -2325,10 +2326,21 @@ def resolve_deletions_distributed(
     task duplicate orphans a uniquely-named file (VACUUM reclaims)
     instead of clobbering the winner's. Returns plate rows
     (frag_ix, frag_id, del_id, file_type, num_deleted); the caller
-    stamps the manifest fragments and commits. Cite: the reference
-    deletes through com.lancedb.lance.Dataset's engine-side predicate
-    delete; LanceSink.java:60-108 is the same task-write /
-    coordinator-commit split for appends."""
+    stamps the manifest fragments and commits.
+
+    ``fragment_aligned=True`` removes the tag+shuffle outright (guide
+    §2.1): when ``offsets_df`` derives from a per-fragment
+    ``read_distributed`` through NARROW ops only (filter / project /
+    broadcast join — every mutation site in this engine), partition i
+    already holds exactly fragment i's offsets, so each task writes
+    its own fragment's deletion files directly — at 100 TB that skips
+    shuffling every matched offset. Misuse is loud, not corrupting:
+    offsets of one fragment split across tasks produce two uniquely-
+    named deletion files and the duplicate-plate probe below refuses
+    before any manifest commit. Cite: the reference deletes through
+    com.lancedb.lance.Dataset's engine-side predicate delete;
+    LanceSink.java:60-108 is the same task-write / coordinator-commit
+    split for appends."""
     from pyspark.sql import functions as F
 
     from lance_flink_spark.session import ship_package
@@ -2356,6 +2368,17 @@ def resolve_deletions_distributed(
     def _write(batches):
         acc: dict[int, list] = {}
         for pdf in batches:
+            if "__frag" not in pdf.columns:
+                # aligned path: derive the fragment in-task from the
+                # closure's bounds (same searchsorted, same range check)
+                p = pdf["__phys"].to_numpy(dtype="int64")
+                if len(p) and (p.min() < 0 or p.max() >= total):
+                    raise IndexError(
+                        f"physical offset out of range [0, {total})"
+                    )
+                pdf = pdf.assign(
+                    __frag=np.searchsorted(bounds, p, side="right") - 1
+                )
             for fi, grp in pdf.groupby("__frag"):
                 acc.setdefault(int(fi), []).append(
                     grp["__phys"].to_numpy(dtype="int64")
@@ -2412,19 +2435,28 @@ def resolve_deletions_distributed(
             out["num_deleted"].append(len(local))
         yield pd.DataFrame(out)
 
-    tagged = offsets_df.select(
-        F.col("__phys").cast("long").alias("__phys")
-    ).withColumn("__frag", _frag_of("__phys"))
-    # ONE partition per fragment (hash on the fragment index): every
-    # fragment's offsets land in exactly one task, so each deletion
-    # file has exactly one writer — the partition count is pinned in
-    # tests/test_lance_native.py. Returned un-collected so the pin
-    # can inspect the plan; resolve_deletions_distributed collects.
-    plates_frame = tagged.repartition(max(len(frags), 1), "__frag").mapInPandas(
-        _write,
+    plate_schema = (
         "frag_ix long, frag_id long, del_id long, "
-        "file_type int, num_deleted long",
+        "file_type int, num_deleted long"
     )
+    if fragment_aligned:
+        # offsets already sit one-fragment-per-partition (docstring):
+        # write in place, no tagging stage, no shuffle
+        plates_frame = offsets_df.select(
+            F.col("__phys").cast("long").alias("__phys")
+        ).mapInPandas(_write, plate_schema)
+    else:
+        tagged = offsets_df.select(
+            F.col("__phys").cast("long").alias("__phys")
+        ).withColumn("__frag", _frag_of("__phys"))
+        # ONE partition per fragment (hash on the fragment index): every
+        # fragment's offsets land in exactly one task, so each deletion
+        # file has exactly one writer — the partition count is pinned in
+        # tests/test_lance_native.py. Returned un-collected so the pin
+        # can inspect the plan; resolve_deletions_distributed collects.
+        plates_frame = tagged.repartition(
+            max(len(frags), 1), "__frag"
+        ).mapInPandas(_write, plate_schema)
     # partition-count pin seam: one deletion task per fragment. The
     # repartition target is the pinned value; the RDD-plan probe this
     # replaced (`plates_frame.rdd.getNumPartitions()`) cost a full
@@ -2450,6 +2482,7 @@ def mutate_rows_distributed(
     deletion_format: str = "arrow",
     expected_version: int | None = None,
     pre_commit=None,
+    offsets_aligned: bool = False,
 ) -> int:
     """ONE-commit predicate mutation at CLUSTER scale — the ungated
     sibling of :func:`update_rows_distributed`: matched offsets
@@ -2468,6 +2501,11 @@ def mutate_rows_distributed(
     the sum. ``pre_commit`` (when given) runs after both actions and
     immediately before the manifest write — the durability barrier a
     caller's overlapped side-write (e.g. a retraction log) joins.
+    ``offsets_aligned=True``: the caller vouches ``offsets_df`` is
+    still partitioned one-fragment-per-partition (a per-fragment read
+    through narrow ops) and the deletion resolve skips its shuffle —
+    see :func:`resolve_deletions_distributed`; misuse refuses loudly
+    before any commit.
     Cite: com.lancedb.lance.Dataset update/merge_insert commit one
     transaction the same way."""
     import pyarrow as pa
@@ -2503,6 +2541,7 @@ def mutate_rows_distributed(
                 resolve_deletions_distributed,
                 root, spark, offsets_df, version,
                 deletion_format=deletion_format,
+                fragment_aligned=offsets_aligned,
             )
             if offsets_df is not None
             else None

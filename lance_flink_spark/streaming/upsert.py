@@ -493,6 +493,11 @@ class UpsertNativeSink:
                 updates.unionByName(inserts).coalesce(self.files_per_batch),
                 expected_version=nds._manifests[-1],
                 pre_commit=pre_commit,
+                # offs_df = per-fragment read -> broadcast join ->
+                # filter -> select: narrow ops only, so partition i
+                # still holds exactly fragment i's offsets — the
+                # deletion resolve skips its shuffle
+                offsets_aligned=True,
             )
         finally:
             m.unpersist()

@@ -4085,6 +4085,67 @@ class TestDistributedMutations:
         )
         return root
 
+    def test_aligned_delete_skips_shuffle_same_result(
+        self, spark, tmp_path_str
+    ):
+        """r15: offsets from a per-fragment read through narrow ops
+        stay one-fragment-per-partition, so offsets_aligned=True writes
+        deletion files without the tag+repartition stage — and the
+        result is identical to the shuffled path."""
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            mutate_rows_distributed,
+            read_distributed,
+        )
+
+        root = self._mk(tmp_path_str, name="dma")  # 3 fragments
+        nds = LanceNativeDataset(root)
+        offs = (
+            read_distributed(nds, spark, with_offsets=True)
+            .filter("id % 3 = 0")
+            .select("__phys")
+        )
+        v = mutate_rows_distributed(root, offs, offsets_aligned=True)
+        assert v == 2
+        got = sorted(
+            r["id"]
+            for r in read_distributed(
+                LanceNativeDataset(root), spark
+            ).collect()
+        )
+        assert got == [i for i in range(30) if i % 3 != 0]
+        _f, frags, _v = LanceNativeDataset(root)._manifest()
+        assert all(fr.deletion is not None for fr in frags)
+
+    def test_aligned_delete_misuse_refuses_before_commit(
+        self, spark, tmp_path_str
+    ):
+        """A shuffled offsets frame splits one fragment's offsets
+        across tasks: the duplicate-plate probe must refuse BEFORE any
+        manifest commit (orphaned uniquely-named files only)."""
+        import pytest
+
+        from lance_flink_spark.sources.lance_native import (
+            LanceNativeDataset,
+            mutate_rows_distributed,
+            read_distributed,
+        )
+
+        root = self._mk(tmp_path_str, name="dmm")  # 3 fragments
+        nds = LanceNativeDataset(root)
+        offs = (
+            read_distributed(nds, spark, with_offsets=True)
+            .filter("id % 3 = 0")
+            .select("__phys")
+            .repartition(8)  # breaks the alignment contract
+        )
+        with pytest.raises(RuntimeError, match="split across"):
+            mutate_rows_distributed(root, offs, offsets_aligned=True)
+        # no commit happened: table unchanged, still version 1
+        _f, frags, v = LanceNativeDataset(root)._manifest()
+        assert v == 1
+        assert all(fr.deletion is None for fr in frags)
+
     def test_delete_only_one_task_per_fragment(self, spark, tmp_path_str):
         from lance_flink_spark.sources.lance_native import (
             LanceNativeDataset,
