@@ -738,9 +738,24 @@ def resolve_duplicate_clusters(
                     parent[hi] = lo
         finally:
             e.unpersist()
-        return spark.createDataFrame(
-            [(x, find(x)) for x in sorted(nodes)], "doc_id long, keep_id long"
+        # BROADCAST hint: this frame is provably driver-bounded (its
+        # rows were just held in driver memory under the edge gate),
+        # but it reaches Catalyst as an ExistingRDD with NO size
+        # statistics, so joins against the corpus fall to SortMergeJoin
+        # and shuffle the corpus side (guide §3.1). The hint is only
+        # attached on THIS path — the distributed label-propagation
+        # result below can be arbitrarily large and stays unhinted.
+        # ``_driver_bounded`` lets callers extend the same certainty to
+        # frames THEY derive from this one (cluster-count-sized picks
+        # like a per-cluster canonical), which the hint itself does not
+        # survive a join/window to.
+        out = F.broadcast(
+            spark.createDataFrame(
+                [(x, find(x)) for x in sorted(nodes)], "doc_id long, keep_id long"
+            )
         )
+        out._driver_bounded = True  # noqa: SLF001 - advisory flag, same process
+        return out
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

@@ -1536,6 +1536,13 @@ def dedup_canonical(spark, sf_dir):
     best = ranked.filter(F.col("rn") == 1).select(
         "keep_id", F.col("doc_id").alias("canonical_id")
     )
+    # one row per duplicate cluster; when the cluster map came from the
+    # gated driver union-find path (resolve_duplicate_clusters), best is
+    # bounded by the same gate — hint it so the final assembly joins
+    # stay broadcast (otherwise the corpus re-shuffles on keep_id).
+    # On the distributed-CC path the flag is absent and AQE decides.
+    if getattr(clusters, "_driver_bounded", False):
+        best = F.broadcast(best)
     return (
         docs.select("doc_id")
         .join(clusters, "doc_id", "left")
@@ -1741,13 +1748,21 @@ def text_trigram_logprob(spark, sf_dir):
         train.select(F.explode(F.expr(tri)).alias("tg"))
         .groupBy("tg").agg(F.count(F.lit(1)).alias("ct"))
     )
+    # bc and uc each feed TWO broadcast builds below, and every
+    # broadcast subtree re-scans and re-tokenizes the train half —
+    # persist the vocab-bounded count tables so train is read once per
+    # table, not once per join (6 → 3 train passes, guide §2.3/§5;
+    # bench-level unpersist_all releases the blocks)
     bc = (
         train.select(F.explode(F.expr(bi)).alias("bg"))
         .groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+        .persist()
     )
     tok = train.select(F.explode("arr").alias("token")).filter(F.col("token") != "")
-    uc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
-    n = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    uc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu")).persist()
+    # N = Σ unigram counts — derived from the persisted table instead
+    # of a fourth tokenize pass over train
+    n = uc.agg(F.coalesce(F.sum("cu"), F.lit(0)).alias("n_tok"))
     pos = docs.filter("doc_id % 2 = 1").select(
         "doc_id", F.explode(F.expr(tri)).alias("tg")
     ).withColumns(
@@ -1872,8 +1887,12 @@ def lm_perplexity_buckets(spark, sf_dir):
     tok = train.select("lang", F.explode("arr").alias("token")).filter(
         F.col("token") != ""
     )
-    uc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cu"))
-    nl = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    # uc feeds TWO broadcast builds and nl is its per-lang rollup —
+    # persist the vocab-bounded table and derive nl from it so train is
+    # tokenized twice (bc + uc), not four times (guide §2.3/§5; the
+    # bench's unpersist_all releases the blocks)
+    uc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cu")).persist()
+    nl = uc.groupBy("lang").agg(F.sum("cu").alias("n_tok"))
     pos = (
         docs.filter("doc_id % 2 = 1")
         .select("doc_id", "lang", F.explode(F.expr(bi)).alias("bg"))
