@@ -2731,9 +2731,9 @@ def _decode_positions_frame(root, version, frags, ref_names, probe, spark):
     from lance_flink_spark.session import ship_package
 
     ship_package(spark)
-    tasks = spark.createDataFrame(
-        [(fr.path,) for fr in frags if fr.physical_rows], "frag_path string"
-    ).repartition(max(len(frags), 1))
+    tasks, tbc = _task_frame(
+        spark, [fr.path for fr in frags if fr.physical_rows]
+    )
     decode_schema = T.StructType(
         [
             T.StructField("__frag", T.StringType(), False),
@@ -2750,7 +2750,8 @@ def _decode_positions_frame(root, version, frags, ref_names, probe, spark):
         by_path = {fr.path: fr for fr in efrags}
         mapper = _pd_types_mapper(pa)
         for pdf in batches:
-            for path in pdf["frag_path"]:
+            for i in pdf["id"]:
+                path = tbc.value[int(i)]
                 fr = by_path[path]
                 if ref_names:
                     t = read_fragment_table(
@@ -3501,19 +3502,15 @@ def read_changes_distributed(
             T.StructField("_commit_version", T.LongType(), False),
         ]
     )
-    tasks = spark.createDataFrame(
-        rows or [],
-        "kind string, v long, prev long, frag_path string",
-    ).repartition(max(len(rows), 1))
+    tasks, tbc = _task_frame(spark, rows or [])
 
     def _emit(batches):
         eds = LanceNativeDataset(root)
         efields, _ef, _ev = eds._manifest(to_v)
         mapper = _pd_types_mapper(pa)
         for pdf in batches:
-            for kind, v, prev, path in zip(
-                pdf["kind"], pdf["v"], pdf["prev"], pdf["frag_path"]
-            ):
+            for i in pdf["id"]:
+                kind, v, prev, path = tbc.value[int(i)]
                 _f, frags, _ = eds._manifest(int(v))
                 fr = next(f for f in frags if f.path == path)
                 t = read_fragment_table(
@@ -3682,9 +3679,7 @@ def _rewrite_groups_distributed(root, version, groups, spark):
 
     ship_package(spark)
     rows = [(i, json.dumps([fr.path for fr in g])) for i, g in enumerate(groups)]
-    tasks = spark.createDataFrame(
-        rows, "gid int, paths string"
-    ).repartition(max(len(rows), 1))
+    tasks, tbc = _task_frame(spark, rows)
 
     def _do(batches):
         import json as _json
@@ -3695,7 +3690,8 @@ def _rewrite_groups_distributed(root, version, groups, spark):
         efields, efrags, _ = eds._manifest(version)
         by_path = {fr.path: fr for fr in efrags}
         for pdf in batches:
-            for gid, pjson in zip(pdf["gid"], pdf["paths"]):
+            for i in pdf["id"]:
+                gid, pjson = tbc.value[int(i)]
                 members = [by_path[p] for p in _json.loads(pjson)]
                 name, n = _rewrite_group(root, efields, members)
                 yield pd.DataFrame(
@@ -4001,6 +3997,24 @@ def _spark_type_of(pa, t, ntz_type):
 
 
 
+def _task_frame(spark, payloads):
+    """One-executor-task-per-payload frame WITHOUT a shuffle or a
+    Python-RDD scan (r15, guide §2.4/§4): ``spark.range`` with one row
+    per partition is a pure-JVM scan, and the actual payloads ride a
+    broadcast the task function indexes by row id. The previous shape —
+    ``createDataFrame(payloads).repartition(n)`` — paid a Python-RDD
+    conversion stage (every local-data frame is a pickled-row scan), a
+    round-robin Exchange, AND an extra scheduled stage, ~0.3-0.6 s of
+    fixed overhead per distributed native call at any scale. Returns
+    (frame, broadcast); callers read ``bc.value[int(i)]`` per row id.
+    Partition i holds exactly row i — the fragment-aligned contract the
+    deletion-resolve fast path asserts — and len(payloads)==0 yields an
+    empty 1-partition frame (same as the old max(n,1) repartition)."""
+    n = max(len(payloads), 1)
+    bc = spark.sparkContext.broadcast(list(payloads))
+    return spark.range(0, len(payloads), 1, n), bc
+
+
 def _pd_types_mapper(pa):
     """Nullable EXTENSION dtypes for primitive columns crossing into
     pandas: a null int64 must stay integral-null (object/NaN widening
@@ -4093,10 +4107,7 @@ def read_distributed(
                 f"fragment index out of range [0, {len(frags)})"
             )
         pairs = [pairs[i] for i in keep]
-    tasks = spark.createDataFrame(
-        [(fr.path, b) for fr, b in pairs],
-        "frag_path string, base long",
-    ).repartition(max(len(pairs), 1))
+    tasks, tbc = _task_frame(spark, [(fr.path, b) for fr, b in pairs])
 
     def _decode(batches):
         # re-open the manifest executor-side (tiny); fragment lookup by
@@ -4105,7 +4116,8 @@ def read_distributed(
         efields, efrags, _ = eds._manifest(v)
         by_path = {fr.path: fr for fr in efrags}
         for pdf in batches:
-            for path, fbase in zip(pdf["frag_path"], pdf["base"]):
+            for i in pdf["id"]:
+                path, fbase = tbc.value[int(i)]
                 fr = by_path[path]
                 t = read_fragment_table(
                     os.path.join(root, "data", fr.path), efields, fr,
