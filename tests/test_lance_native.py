@@ -861,7 +861,7 @@ def test_varlen_page_shape_validated_independently():
 def test_sql_native_read_is_distributed(spark, tmp_path_str):
     """VERDICT r13 (the one `weak` item): the native-table SQL surface
     must route through read_distributed — one executor task per
-    fragment, MapInPandas in the plan, NO driver materialization of
+    fragment, MapInArrow in the plan, NO driver materialization of
     the data pages. Pins partition count == fragment count for plain
     SELECT, time travel, and the post-DELETE re-registration."""
     import pyarrow as pa
@@ -888,7 +888,9 @@ def test_sql_native_read_is_distributed(spark, tmp_path_str):
     )
     df = spark.table("natd")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    # Arrow-native distributed read (r15): the per-fragment decode
+    # yields RecordBatches straight from the pyarrow table
+    assert "MapInArrow" in plan
     assert df.rdd.getNumPartitions() == 3  # one task per fragment
     assert sorted(r["id"] for r in df.collect()) == list(range(30))
 
@@ -896,7 +898,7 @@ def test_sql_native_read_is_distributed(spark, tmp_path_str):
     # re-registered view stays distributed
     eng.execute("DELETE FROM natd WHERE id < 5")
     df2 = spark.table("natd")
-    assert "MapInPandas" in df2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in df2._jdf.queryExecution().executedPlan().toString()
     assert df2.count() == 25
 
     # time travel pins a version-specific distributed view
