@@ -199,14 +199,24 @@ class MaterializedAggregate:
                 # no extremum, and skipping the rescan branch entirely
                 # saves a source scan + aggregate inside the state write
                 # (the branch is unioned lazily, so without the probe it
-                # executes even when it contributes zero rows)
-                any_rescan = (
-                    merged.filter(F.col("__rescan")).limit(1).count() > 0
-                )
-                if any_rescan:
+                # executes even when it contributes zero rows). Counting
+                # (vs the former limit(1)) costs the same one job on the
+                # persisted group-sized frame and feeds the broadcast
+                # gate below.
+                n_rescan = merged.filter(F.col("__rescan")).count()
+                if n_rescan:
                     rescan_keys = merged.filter(F.col("__rescan")).select(
                         *self.group_cols
                     )
+                    # one row per extremum-hit group; derived from the
+                    # persisted merge, so Catalyst has no size estimate
+                    # and plans a SortMergeJoin that shuffles the WHOLE
+                    # source on a group-cardinality key (measured: the
+                    # matview bench's rescan refresh shuffled 150k rows
+                    # on a 5-value key, skew included). Broadcast under
+                    # an exact row gate instead (guide §3.1).
+                    if n_rescan <= 4_000_000:
+                        rescan_keys = F.broadcast(rescan_keys)
                     # per-group rescan: ONLY the groups whose extremum
                     # was retracted. The semi-join must land BELOW the
                     # aggregate (filter source rows, then groupBy) —
