@@ -707,7 +707,10 @@ def streaming_over_agg(spark, sf_dir):
     lost at eviction, or a peer-ts row missing from a frame all break
     the hash. Values are quantized to cents so the running sums are
     integer-exact."""
-    from lance_flink_spark.streaming.over_agg import over_range_sum
+    from lance_flink_spark.streaming.over_agg import (
+        over_range_sum,
+        default_key_shards,
+    )
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
     # UNWATERMARKED: the operator attaches its own shifted watermark
@@ -724,6 +727,9 @@ def streaming_over_agg(spark, sf_dir):
         id_col="event_id",
         value_col="vc",
         preceding_ms=30 * 60 * 1000,
+        # integral key -> sharded grouping: one Python/state round per
+        # shard instead of per key (over_agg.py r15; env-parameterised)
+        key_shards=default_key_shards(),
     )
     t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select("user_id", "event_id", "ts_us", "range_sum")
@@ -749,7 +755,10 @@ def streaming_over_rows(spark, sf_dir):
     frames so the oracle is deterministic. Same watermark-complete
     emission contract as streaming_over_agg — the emitted set must
     equal the batch ROWS-frame window row for row."""
-    from lance_flink_spark.streaming.over_agg import over_rows_sum
+    from lance_flink_spark.streaming.over_agg import (
+        over_rows_sum,
+        default_key_shards,
+    )
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
     events = stream_events(spark, sf_dir, watermark=None).select(
@@ -765,6 +774,9 @@ def streaming_over_rows(spark, sf_dir):
         id_col="event_id",
         value_col="vc",
         n_preceding=5,
+        # integral key -> sharded grouping: one Python/state round per
+        # shard instead of per key (over_agg.py r15; env-parameterised)
+        key_shards=default_key_shards(),
     )
     t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select("user_id", "event_id", "ts_us", "rows_sum")
@@ -837,7 +849,10 @@ def streaming_over_multi(spark, sf_dir):
     five-aggregate RANGE-frame window is the oracle; a wrong sparse-
     table overlap, a head-frame COUNT off by one, or float drift in
     AVG breaks the hash."""
-    from lance_flink_spark.streaming.over_agg import over_range_multi
+    from lance_flink_spark.streaming.over_agg import (
+        over_range_multi,
+        default_key_shards,
+    )
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
     events = stream_events(spark, sf_dir, watermark=None).select(
@@ -853,6 +868,9 @@ def streaming_over_multi(spark, sf_dir):
         id_col="event_id",
         value_col="vc",
         preceding_ms=30 * 60 * 1000,
+        # integral key -> sharded grouping: one Python/state round per
+        # shard instead of per key (over_agg.py r15; env-parameterised)
+        key_shards=default_key_shards(),
     )
     t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select(
@@ -1015,7 +1033,10 @@ def streaming_lag(spark, sf_dir):
     window is the oracle — an eviction that dropped a needed
     predecessor raises loudly instead of mis-emitting, and a NULL in
     the wrong place breaks the hash."""
-    from lance_flink_spark.streaming.over_agg import over_rows_lag
+    from lance_flink_spark.streaming.over_agg import (
+        over_rows_lag,
+        default_key_shards,
+    )
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
     events = stream_events(spark, sf_dir, watermark=None).select(
@@ -1031,6 +1052,9 @@ def streaming_lag(spark, sf_dir):
         id_col="event_id",
         value_col="vc",
         n_lag=2,
+        # integral key -> sharded grouping: one Python/state round per
+        # shard instead of per key (over_agg.py r15; env-parameterised)
+        key_shards=default_key_shards(),
     )
     t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select("user_id", "event_id", "ts_us", "lag_v")

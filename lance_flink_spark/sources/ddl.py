@@ -2412,6 +2412,22 @@ class SqlEngine:
             df = df.filter(_rewrite_array_literals(pred))
         return df.select(*proj)
 
+    @staticmethod
+    def _over_shards(src, key: str) -> int | None:
+        """Sharded grouping for the streaming OVER lowering: one
+        Python/state round per shard instead of per key (over_agg.py
+        r15) whenever the key column is integral — the packed shard
+        state stores keys as int64; other key types keep the exact
+        per-key path."""
+        from pyspark.sql import types as T
+
+        from lance_flink_spark.streaming.over_agg import default_key_shards
+
+        dt = src.schema[key].dataType
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return default_key_shards()
+        return None
+
     def _try_stream_over(self, m: re.Match) -> DataFrame | None:
         """Lower a bounded-preceding OVER statement onto the streaming
         stateful operators when (and only when) the FROM table is a
@@ -2500,6 +2516,7 @@ class SqlEngine:
             out = over_rows_lag(
                 src, key_col=key, ts_col=ts, id_col=id_col,
                 value_col=val, n_lag=n,
+                key_shards=self._over_shards(src, key),
             )
             return out.select(
                 F.col(key), F.col("event_id").alias(id_col), "ts_us",
@@ -2540,6 +2557,7 @@ class SqlEngine:
             out = over_range_multi(
                 src, key_col=key, ts_col=ts, id_col=id_col,
                 value_col=val, preceding_ms=ms,
+                key_shards=self._over_shards(src, key),
             )
         else:
             from lance_flink_spark.streaming.over_agg import over_rows_multi
@@ -2547,6 +2565,7 @@ class SqlEngine:
             out = over_rows_multi(
                 src, key_col=key, ts_col=ts, id_col=id_col,
                 value_col=val, n_preceding=int(bound.strip()),
+                key_shards=self._over_shards(src, key),
             )
         sel = [F.col(key), F.col("event_id").alias(id_col), F.col("ts_us")]
         for agg, _v, alias in aggs:

@@ -109,12 +109,393 @@ def _with_shifted_watermark(keyed, ts_col: str, delay: str):
     """Attach the +1 ms shifted watermark column (module docstring).
     The input must not already carry a watermark — two event-time
     columns would make Spark take the MINIMUM, reintroducing the
-    at-the-watermark ambiguity this shift removes."""
+    at-the-watermark ambiguity this shift removes.
+
+    The raw ``ts_col`` is DROPPED after the watermark attaches: the
+    stateful operators read only the integer ``__ts_us`` twin, and the
+    per-GROUP Arrow->pandas conversion inside applyInPandasWithState
+    pays per column — timestamp columns worst of all (tz-aware dtype
+    path). Only ``__wm_ts`` must survive; the analyzer rejects
+    dropping the watermarked column itself (guide §4: pass only the
+    columns the function needs)."""
     from pyspark.sql import functions as F
 
+    return (
+        keyed.withColumn(
+            _WM_COL, F.col(ts_col) + F.expr("INTERVAL 1 MILLISECOND")
+        )
+        .withWatermark(_WM_COL, delay)
+        .drop(ts_col)
+    )
+
+
+# ---------- per-key kernels (r15) ----------
+#
+# The emit/evict math of every OVER operator lives in a KERNEL shared
+# by BOTH grouping modes: per-key groupBy (the original shape, kept for
+# non-integral keys and as the semantics reference the tests pin) and
+# the sharded mode below, where one applyInPandasWithState group holds
+# MANY keys and the kernel runs per key inside the shard invocation.
+# Contract: kernel(ts, ids, vs, done, wm_us, ...) -> (out | None, ts,
+# ids, vs, done[, extra]) where ``out`` is a dict of numpy column
+# arrays for the emitted rows (no key column — the caller adds it).
+
+
+def _kern_range_sum(ts, ids, vs, done, wm_us, rng_us):
+    order = np.argsort(ts, kind="stable")
+    ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+    emit = (~done) & (ts < wm_us)
+    out = None
+    if emit.any():
+        csum = np.concatenate([[0], np.cumsum(vs)])
+        hi = np.searchsorted(ts, ts[emit], side="right")
+        lo = np.searchsorted(ts, ts[emit] - rng_us, side="left")
+        out = {
+            "event_id": ids[emit],
+            "ts_us": ts[emit],
+            "range_sum": csum[hi] - csum[lo],
+        }
+        done = done | emit
+    keep = (ts >= wm_us - rng_us) | ~done
+    return out, ts[keep], ids[keep], vs[keep], done[keep]
+
+
+def _kern_rows_sum(ts, ids, vs, done, wm_us, n_prec):
+    order = np.lexsort((ids, ts))
+    ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+    emit = (~done) & (ts < wm_us)
+    out = None
+    if emit.any():
+        csum = np.concatenate([[0], np.cumsum(vs)])
+        pos = np.flatnonzero(emit)
+        lo = np.maximum(pos + 1 - (n_prec + 1), 0)
+        out = {
+            "event_id": ids[emit],
+            "ts_us": ts[emit],
+            "rows_sum": csum[pos + 1] - csum[lo],
+        }
+        done = done | emit
+    cut = int(np.searchsorted(ts, wm_us, side="left"))
+    idx = np.arange(len(ts))
+    keep = (~done) | (idx >= cut - n_prec)
+    return out, ts[keep], ids[keep], vs[keep], done[keep]
+
+
+def _kern_range_multi(ts, ids, vs, done, wm_us, rng_us):
+    order = np.argsort(ts, kind="stable")
+    ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+    emit = (~done) & (ts < wm_us)
+    out = None
+    if emit.any():
+        hi = np.searchsorted(ts, ts[emit], side="right")
+        lo = np.searchsorted(ts, ts[emit] - rng_us, side="left")
+        out = _multi_dict(ids, ts, vs, emit, lo, hi)
+        done = done | emit
+    keep = (ts >= wm_us - rng_us) | ~done
+    return out, ts[keep], ids[keep], vs[keep], done[keep]
+
+
+def _kern_rows_multi(ts, ids, vs, done, wm_us, n_prec):
+    order = np.lexsort((ids, ts))
+    ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+    emit = (~done) & (ts < wm_us)
+    out = None
+    if emit.any():
+        pos = np.flatnonzero(emit)
+        lo = np.maximum(pos + 1 - (n_prec + 1), 0)
+        out = _multi_dict(ids, ts, vs, emit, lo, pos + 1)
+        done = done | emit
+    cut = int(np.searchsorted(ts, wm_us, side="left"))
+    idx = np.arange(len(ts))
+    keep = (~done) | (idx >= cut - n_prec)
+    return out, ts[keep], ids[keep], vs[keep], done[keep]
+
+
+def _kern_lag(ts, ids, vs, done, wm_us, n, evicted, key_repr):
+    order = np.lexsort((ids, ts))
+    ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
+    emit = (~done) & (ts < wm_us)
+    out = None
+    if emit.any():
+        pos = np.flatnonzero(emit)
+        src = pos - n
+        if ((src < 0) & (src >= -evicted)).any():
+            # the eviction rule retains every predecessor a future
+            # emit needs — a missing one means corrupted state, and
+            # a silently-wrong LAG would be worse than a crash
+            raise RuntimeError(
+                f"lag predecessor evicted (key={key_repr}, "
+                f"evicted={evicted}, min src={int(src.min())})"
+            )
+        lag = np.where(src >= 0, vs[np.maximum(src, 0)], 0)
+        out = {
+            "event_id": ids[emit],
+            "ts_us": ts[emit],
+            # src < 0 ⇔ within n of the TRUE stream head ⇔ NULL
+            "__lag_vals": lag,
+            "__lag_null": src < 0,
+        }
+        done = done | emit
+    cut = int(np.searchsorted(ts, wm_us, side="left"))
+    idx = np.arange(len(ts))
+    keep = (~done) | (idx >= cut - n)
+    evicted += int((~keep).sum())
+    return out, ts[keep], ids[keep], vs[keep], done[keep], evicted
+
+
+# ---------- sharded grouping (r15) ----------
+#
+# applyInPandasWithState pays a fixed per-GROUP protocol cost (state
+# row construct/serialize, per-column Arrow<->pandas slices): measured
+# ~15 ms per key invocation at sf0.1, which at 1,500 keys x 2
+# micro-batches dominated every OVER fixture — and at open-web key
+# cardinalities it dominates asymptotically. ``key_shards=N`` groups by
+# ``pmod(xxhash64(key), N)`` instead of by key: ONE state row and ONE
+# Python invocation per shard, with the per-key kernels above applied
+# inside the shard loop. Exact per-key semantics are preserved:
+#
+# - per-key emission horizon: state carries a per-row ``hwm`` (shared
+#   by the key's rows), so late-drop behaves per key, not per shard;
+# - per-key INVOCATION gating: a key is processed only when per-key
+#   grouping would have invoked it — it has arrivals this batch, or its
+#   (recomputed) event-time timer fired. Keys not invoked carry their
+#   rows AND horizon unchanged, so stragglers above an untouched key's
+#   horizon still emit with full frames;
+# - the shard timer is the MIN over member keys' per-key timer values
+#   (same ``_timer_ms`` formula), re-armed each invocation; a shard
+#   firing for one key skips the others via the invocation gate.
+#
+# Keys must be integral (they are packed into the state row); callers
+# with non-integral keys keep ``key_shards=None`` — the per-key path.
+# Shard count is a parallelism knob, not a semantics knob: size it to
+# ~8-16x the stateful-operator partition count (the fixtures use 256
+# at state_partitions=16; a cluster raises both together).
+
+_SHARD_STATE = (
+    "keys binary, ts binary, ids binary, vs binary, done binary, "
+    "hwm binary, extra binary"
+)
+
+
+def default_key_shards() -> int:
+    """Shard count for integral-keyed OVER streams. Parameterised for
+    deployment scale (``SPARK_GRAFT_OVER_KEY_SHARDS``): size to ~4x
+    the stateful-operator partition count so every state task works a
+    few shards (interleaved A/B at sf0.1, 16 state partitions: 64
+    shards 2.67s vs 256 shards 3.14s vs per-key 3.31s for
+    streaming_over_rows) — a cluster at P partitions wants ~4*P. More
+    shards = per-invocation protocol overhead returns; fewer = larger
+    state rows and coarser skew spreading."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_OVER_KEY_SHARDS", "64"))
+
+
+def _shard_update_fn(kernel, kargs, assemble, has_extra):
+    """Build the applyInPandasWithState function for sharded mode."""
+
+    def _update(
+        shard: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            keys = np.frombuffer(st[0], "<i8")
+            ts = np.frombuffer(st[1], "<i8")
+            ids = np.frombuffer(st[2], "<i8")
+            vs = np.frombuffer(st[3], "<i8")
+            done = np.frombuffer(st[4], np.uint8).astype(bool)
+            hwmr = np.frombuffer(st[5], "<i8")
+            extra = np.frombuffer(st[6], "<i8")
+        else:
+            keys = ts = ids = vs = hwmr = extra = np.empty(0, np.int64)
+            done = np.empty(0, bool)
+        aks, ats, aids, avs = [], [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            aks.append(pdf["__k"].to_numpy(np.int64))
+            ats.append(pdf["__ts_us"].to_numpy(np.int64))
+            aids.append(pdf["__id"].to_numpy(np.int64))
+            avs.append(pdf["__v"].to_numpy(np.int64))
+        ak = np.concatenate(aks) if aks else np.empty(0, np.int64)
+        at = np.concatenate(ats) if ats else np.empty(0, np.int64)
+        ai = np.concatenate(aids) if aids else np.empty(0, np.int64)
+        av = np.concatenate(avs) if avs else np.empty(0, np.int64)
+        wm = state.getCurrentWatermarkMs() * 1000
+        wm_ms = wm // 1000
+        if len(keys):
+            o = np.argsort(keys, kind="stable")
+            keys, ts, ids, vs, done, hwmr, extra = (
+                keys[o], ts[o], ids[o], vs[o], done[o], hwmr[o], extra[o]
+            )
+        if len(ak):
+            o = np.argsort(ak, kind="stable")
+            ak, at, ai, av = ak[o], at[o], ai[o], av[o]
+        union = np.union1d(keys, ak) if len(ak) else np.unique(keys)
+        nk, nts, nids, nvs, nd, nh, nx = [], [], [], [], [], [], []
+        outs = []
+        for k in union:
+            k = int(k)
+            s0 = int(np.searchsorted(keys, k, "left"))
+            s1 = int(np.searchsorted(keys, k, "right"))
+            a0 = int(np.searchsorted(ak, k, "left"))
+            a1 = int(np.searchsorted(ak, k, "right"))
+            k_hwm = int(hwmr[s0]) if s1 > s0 else 0
+            k_ext = int(extra[s0]) if s1 > s0 else 0
+            kts, kids, kvs, kdone = (
+                ts[s0:s1], ids[s0:s1], vs[s0:s1], done[s0:s1]
+            )
+            fired = False
+            if s1 > s0:
+                pend = kts[~kdone]
+                if len(pend):
+                    fired = wm_ms > _timer_ms(int(pend.min()), k_hwm)
+            if a1 == a0 and not fired:
+                # per-key grouping would not have invoked this key:
+                # rows, horizon and timer carry over untouched
+                nk.append(np.full(s1 - s0, k, np.int64))
+                nts.append(kts); nids.append(kids); nvs.append(kvs)
+                nd.append(kdone)
+                nh.append(hwmr[s0:s1]); nx.append(extra[s0:s1])
+                continue
+            if a1 > a0:
+                a_ts = at[a0:a1]
+                keep = a_ts >= k_hwm  # _load_state's late-drop, per key
+                kts = np.concatenate([kts, a_ts[keep]])
+                kids = np.concatenate([kids, ai[a0:a1][keep]])
+                kvs = np.concatenate([kvs, av[a0:a1][keep]])
+                kdone = np.concatenate(
+                    [kdone, np.zeros(int(keep.sum()), bool)]
+                )
+            wm_us_k = max(wm, k_hwm)
+            if has_extra:
+                res, kts, kids, kvs, kdone, k_ext = kernel(
+                    kts, kids, kvs, kdone, wm_us_k, *kargs, k_ext, k
+                )
+            else:
+                res, kts, kids, kvs, kdone = kernel(
+                    kts, kids, kvs, kdone, wm_us_k, *kargs
+                )
+            if res is not None:
+                outs.append((k, res))
+            if len(kts):
+                m = len(kts)
+                nk.append(np.full(m, k, np.int64))
+                nts.append(kts); nids.append(kids); nvs.append(kvs)
+                nd.append(kdone)
+                nh.append(np.full(m, wm_us_k, np.int64))
+                nx.append(np.full(m, k_ext, np.int64))
+        if nk:
+            cat = np.concatenate
+            state.update((
+                cat(nk).astype("<i8").tobytes(),
+                cat(nts).astype("<i8").tobytes(),
+                cat(nids).astype("<i8").tobytes(),
+                cat(nvs).astype("<i8").tobytes(),
+                cat(nd).astype(np.uint8).tobytes(),
+                cat(nh).astype("<i8").tobytes(),
+                cat(nx).astype("<i8").tobytes(),
+            ))
+            timer = None
+            for arr_ts, arr_done, arr_h in zip(nts, nd, nh):
+                p = arr_ts[~arr_done]
+                if len(p):
+                    t_k = _timer_ms(int(p.min()), int(arr_h[0]))
+                    timer = t_k if timer is None else min(timer, t_k)
+            if timer is not None:
+                # re-arming is shard-wide, so the min may sit AT the
+                # current watermark (a member key's standing per-key
+                # timer could legally be there); clamp exactly like
+                # _timer_ms does for a key invoked at this watermark
+                state.setTimeoutTimestamp(max(timer, wm_ms + 1))
+        else:
+            state.remove()
+        if outs:
+            yield assemble(outs)
+
+    return _update
+
+
+def _shard_keyed(events, key_col, ts_col, id_col, value_col, delay, n_shards):
+    """Project + shifted-watermark + shard column for sharded mode."""
+    from pyspark.sql import functions as F
+
+    keyed = _with_shifted_watermark(
+        events.select(
+            F.col(key_col).alias("__k"),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(id_col).alias("__id"),
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(ts_col).alias(ts_col),
+        ),
+        ts_col,
+        delay,
+    )
+    # deterministic shard key (guide §2.5: never rand-derived)
     return keyed.withColumn(
-        _WM_COL, F.col(ts_col) + F.expr("INTERVAL 1 MILLISECOND")
-    ).withWatermark(_WM_COL, delay)
+        "__s", F.pmod(F.xxhash64("__k"), F.lit(int(n_shards)))
+    )
+
+
+def _assemble_simple(value_name):
+    """Output assembler for single-value kernels (range/rows sum)."""
+
+    def assemble(outs):
+        return pd.DataFrame(
+            {
+                "key": np.concatenate(
+                    [np.full(len(r["event_id"]), k, np.int64) for k, r in outs]
+                ),
+                "event_id": np.concatenate([r["event_id"] for _, r in outs]),
+                "ts_us": np.concatenate([r["ts_us"] for _, r in outs]),
+                value_name: np.concatenate([r[value_name] for _, r in outs]),
+            }
+        )
+
+    return assemble
+
+
+def _assemble_multi(outs):
+    cols = {
+        "key": np.concatenate(
+            [np.full(len(r["event_id"]), k, np.int64) for k, r in outs]
+        )
+    }
+    for name in (
+        "event_id", "ts_us", "over_cnt", "over_sum", "over_min",
+        "over_max", "over_avg",
+    ):
+        cols[name] = np.concatenate([r[name] for _, r in outs])
+    return pd.DataFrame(cols)
+
+
+def _assemble_lag(outs):
+    vals = np.concatenate([r["__lag_vals"] for _, r in outs])
+    nulls = np.concatenate([r["__lag_null"] for _, r in outs])
+    return pd.DataFrame(
+        {
+            "key": np.concatenate(
+                [np.full(len(r["event_id"]), k, np.int64) for k, r in outs]
+            ),
+            "event_id": np.concatenate([r["event_id"] for _, r in outs]),
+            "ts_us": np.concatenate([r["ts_us"] for _, r in outs]),
+            "lag_v": pd.array(
+                [int(v) if not m else None for v, m in zip(vals, nulls)],
+                dtype="Int64",
+            ),
+        }
+    )
+
+
+def _require_integral_key(events, key_col):
+    from pyspark.sql import types as T
+
+    dt = events.schema[key_col].dataType
+    if not isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        raise ValueError(
+            f"key_shards requires an integral key column; {key_col} is {dt}. "
+            "Use key_shards=None (per-key grouping) for other key types."
+        )
 
 
 def _load_state(state, pdfs):
@@ -152,6 +533,7 @@ def over_range_sum(
     value_col: str = "vc",
     preceding_ms: int = 30 * 60 * 1000,
     delay: str = "0 seconds",
+    key_shards: int | None = None,
 ) -> DataFrame:
     """Per-row trailing-range sum over a stream. ``events`` needs
     key/ts/id/value columns and must be UNWATERMARKED — the operator
@@ -172,39 +554,14 @@ def over_range_sum(
     ) -> Iterator[pd.DataFrame]:
         ts, ids, vs, done, hwm = _load_state(state, pdfs)
         wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
-        order = np.argsort(ts, kind="stable")
-        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
-        # STRICT: the shifted watermark promises no more rows ≤ any
-        # already-seen ts strictly below it (module docstring)
-        emit = (~done) & (ts < wm_us)
-        if emit.any():
-            # trailing-range sums via one prefix-sum over the sorted
-            # buffer: frame(r) = rows with ts in [r.ts − range, r.ts]
-            # — complete, because every row ≤ wm has arrived
-            csum = np.concatenate([[0], np.cumsum(vs)])
-            hi = np.searchsorted(ts, ts[emit], side="right")
-            lo = np.searchsorted(ts, ts[emit] - rng_us, side="left")
-            sums = csum[hi] - csum[lo]
-            out = pd.DataFrame(
-                {
-                    "key": key[0],
-                    "event_id": ids[emit],
-                    "ts_us": ts[emit],
-                    "range_sum": sums,
-                }
-            )
-            done = done | emit
-        else:
-            # nothing settled for this key this batch: yield NOTHING —
-            # 1500 keys x an empty pandas frame through Arrow per
-            # micro-batch was measurable fixture cost (r14)
-            out = None
-        # evict rows no future frame can reference
-        keep = ts >= wm_us - rng_us
-        # pending rows must never be evicted (late watermark math aside,
-        # done rows are the only safe drops below the horizon)
-        keep |= ~done
-        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        # STRICT emission + trailing-range frames + eviction live in
+        # the kernel (shared with the sharded driver); nothing settled
+        # this batch yields NOTHING — 1500 keys x an empty pandas frame
+        # through Arrow per micro-batch was measurable fixture cost
+        res, ts, ids, vs, done = _kern_range_sum(
+            ts, ids, vs, done, wm_us, rng_us
+        )
+        out = pd.DataFrame({"key": key[0], **res}) if res is not None else None
         if len(ts):
             state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
@@ -217,6 +574,22 @@ def over_range_sum(
         if out is not None:
             yield out
 
+    out_struct = "key long, event_id long, ts_us long, range_sum long"
+    if key_shards:
+        _require_integral_key(events, key_col)
+        keyed = _shard_keyed(
+            events, key_col, ts_col, id_col, value_col, delay, key_shards
+        )
+        out = keyed.groupBy("__s").applyInPandasWithState(
+            _shard_update_fn(
+                _kern_range_sum, (rng_us,), _assemble_simple("range_sum"), False
+            ),
+            outputStructType=out_struct,
+            stateStructType=_SHARD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return out.withColumnRenamed("key", key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -230,7 +603,7 @@ def over_range_sum(
     )
     out = keyed.groupBy("__k").applyInPandasWithState(
         _update,
-        outputStructType="key long, event_id long, ts_us long, range_sum long",
+        outputStructType=out_struct,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
@@ -246,6 +619,7 @@ def over_rows_sum(
     value_col: str = "vc",
     n_preceding: int = 5,
     delay: str = "0 seconds",
+    key_shards: int | None = None,
 ) -> DataFrame:
     """ROWS-frame twin (Flink's RowTimeRowsBoundedPrecedingFunction):
     per-row sum over the key's last ``n_preceding`` rows plus itself in
@@ -268,32 +642,12 @@ def over_rows_sum(
     ) -> Iterator[pd.DataFrame]:
         ts, ids, vs, done, hwm = _load_state(state, pdfs)
         wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
-        order = np.lexsort((ids, ts))  # (ts, id) total order
-        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
-        emit = (~done) & (ts < wm_us)  # strict — see over_range_sum
-        if emit.any():
-            csum = np.concatenate([[0], np.cumsum(vs)])
-            pos = np.flatnonzero(emit)
-            lo = np.maximum(pos + 1 - (n_prec + 1), 0)
-            sums = csum[pos + 1] - csum[lo]
-            out = pd.DataFrame(
-                {
-                    "key": key[0],
-                    "event_id": ids[emit],
-                    "ts_us": ts[emit],
-                    "rows_sum": sums,
-                }
-            )
-            done = done | emit
-        else:
-            out = None  # yield nothing (see over_range_sum)
-        # the earliest possible FUTURE row (ts at/above the watermark)
-        # sorts at the first position holding ts >= wm; done rows more
-        # than n_prec slots before that can never re-enter a frame
-        cut = int(np.searchsorted(ts, wm_us, side="left"))
-        idx = np.arange(len(ts))
-        keep = (~done) | (idx >= cut - n_prec)
-        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        # (ts, id) total order + strict emission + head-aware eviction
+        # live in the kernel (shared with the sharded driver)
+        res, ts, ids, vs, done = _kern_rows_sum(
+            ts, ids, vs, done, wm_us, n_prec
+        )
+        out = pd.DataFrame({"key": key[0], **res}) if res is not None else None
         if len(ts):
             state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
@@ -306,6 +660,19 @@ def over_rows_sum(
         if out is not None:
             yield out
 
+    if key_shards:
+        _require_integral_key(events, key_col)
+        skeyed = _shard_keyed(
+            events, key_col, ts_col, id_col, value_col, delay, key_shards
+        )
+        sout = skeyed.groupBy("__s").applyInPandasWithState(
+            _shard_update_fn(_kern_rows_sum, (n_prec,), _assemble_simple("rows_sum"), False),
+            outputStructType="key long, event_id long, ts_us long, rows_sum long",
+            stateStructType=_SHARD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return sout.withColumnRenamed("key", key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -377,23 +744,29 @@ def _range_reduce(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray, ufunc):
     return res
 
 
-def _multi_frame(key, ids, ts, vs, emit, lo, hi) -> pd.DataFrame:
-    """Assemble the five-aggregate output for emitted rows whose
-    frames are the sorted-buffer slices [lo, hi)."""
+def _multi_dict(ids, ts, vs, emit, lo, hi) -> dict:
+    """Five-aggregate output columns for emitted rows whose frames are
+    the sorted-buffer slices [lo, hi) — keyless dict form shared by the
+    per-key and sharded drivers."""
     csum = np.concatenate([[0], np.cumsum(vs)])
     cnt = (hi - lo).astype(np.int64)
     sums = csum[hi] - csum[lo]
+    return {
+        "event_id": ids[emit],
+        "ts_us": ts[emit],
+        "over_cnt": cnt,
+        "over_sum": sums,
+        "over_min": _range_reduce(vs, lo, hi, np.minimum),
+        "over_max": _range_reduce(vs, lo, hi, np.maximum),
+        "over_avg": sums / cnt,
+    }
+
+
+def _multi_frame(key, ids, ts, vs, emit, lo, hi) -> pd.DataFrame:
+    """Assemble the five-aggregate output for emitted rows whose
+    frames are the sorted-buffer slices [lo, hi)."""
     return pd.DataFrame(
-        {
-            "key": key[0],
-            "event_id": ids[emit],
-            "ts_us": ts[emit],
-            "over_cnt": cnt,
-            "over_sum": sums,
-            "over_min": _range_reduce(vs, lo, hi, np.minimum),
-            "over_max": _range_reduce(vs, lo, hi, np.maximum),
-            "over_avg": sums / cnt,
-        }
+        {"key": key[0], **_multi_dict(ids, ts, vs, emit, lo, hi)}
     )
 
 
@@ -405,6 +778,7 @@ def over_range_multi(
     value_col: str = "vc",
     preceding_ms: int = 30 * 60 * 1000,
     delay: str = "0 seconds",
+    key_shards: int | None = None,
 ) -> DataFrame:
     """Multi-aggregate trailing-RANGE OVER on a stream — Flink's
     RowTimeRangeBoundedPrecedingFunction serves arbitrary aggregate
@@ -425,18 +799,10 @@ def over_range_multi(
     ) -> Iterator[pd.DataFrame]:
         ts, ids, vs, done, hwm = _load_state(state, pdfs)
         wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
-        order = np.argsort(ts, kind="stable")
-        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
-        emit = (~done) & (ts < wm_us)
-        if emit.any():
-            hi = np.searchsorted(ts, ts[emit], side="right")
-            lo = np.searchsorted(ts, ts[emit] - rng_us, side="left")
-            out = _multi_frame(key, ids, ts, vs, emit, lo, hi)
-            done = done | emit
-        else:
-            out = None  # yield nothing (see over_range_sum)
-        keep = (ts >= wm_us - rng_us) | ~done
-        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        res, ts, ids, vs, done = _kern_range_multi(
+            ts, ids, vs, done, wm_us, rng_us
+        )
+        out = pd.DataFrame({"key": key[0], **res}) if res is not None else None
         if len(ts):
             state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
@@ -447,6 +813,19 @@ def over_range_multi(
         if out is not None:
             yield out
 
+    if key_shards:
+        _require_integral_key(events, key_col)
+        skeyed = _shard_keyed(
+            events, key_col, ts_col, id_col, value_col, delay, key_shards
+        )
+        sout = skeyed.groupBy("__s").applyInPandasWithState(
+            _shard_update_fn(_kern_range_multi, (rng_us,), _assemble_multi, False),
+            outputStructType=_MULTI_OUT,
+            stateStructType=_SHARD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return sout.withColumnRenamed("key", key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -476,6 +855,7 @@ def over_rows_multi(
     value_col: str = "vc",
     n_preceding: int = 5,
     delay: str = "0 seconds",
+    key_shards: int | None = None,
 ) -> DataFrame:
     """Multi-aggregate ROWS-frame twin (COUNT/SUM/MIN/MAX/AVG over the
     key's last ``n_preceding`` rows plus itself in (ts, id) order) —
@@ -493,20 +873,10 @@ def over_rows_multi(
     ) -> Iterator[pd.DataFrame]:
         ts, ids, vs, done, hwm = _load_state(state, pdfs)
         wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
-        order = np.lexsort((ids, ts))
-        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
-        emit = (~done) & (ts < wm_us)
-        if emit.any():
-            pos = np.flatnonzero(emit)
-            lo = np.maximum(pos + 1 - (n_prec + 1), 0)
-            out = _multi_frame(key, ids, ts, vs, emit, lo, pos + 1)
-            done = done | emit
-        else:
-            out = None  # yield nothing (see over_range_sum)
-        cut = int(np.searchsorted(ts, wm_us, side="left"))
-        idx = np.arange(len(ts))
-        keep = (~done) | (idx >= cut - n_prec)
-        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        res, ts, ids, vs, done = _kern_rows_multi(
+            ts, ids, vs, done, wm_us, n_prec
+        )
+        out = pd.DataFrame({"key": key[0], **res}) if res is not None else None
         if len(ts):
             state.update(_packed_state(ts, ids, vs, done, wm_us))
             pending = ts[~done]
@@ -517,6 +887,19 @@ def over_rows_multi(
         if out is not None:
             yield out
 
+    if key_shards:
+        _require_integral_key(events, key_col)
+        skeyed = _shard_keyed(
+            events, key_col, ts_col, id_col, value_col, delay, key_shards
+        )
+        sout = skeyed.groupBy("__s").applyInPandasWithState(
+            _shard_update_fn(_kern_rows_multi, (n_prec,), _assemble_multi, False),
+            outputStructType=_MULTI_OUT,
+            stateStructType=_SHARD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return sout.withColumnRenamed("key", key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -548,6 +931,24 @@ _LAG_STATE = (
 )
 
 
+def _lag_frame(key_val, res: dict) -> pd.DataFrame:
+    """Assemble the nullable-LAG output frame from the kernel dict."""
+    return pd.DataFrame(
+        {
+            "key": key_val,
+            "event_id": res["event_id"],
+            "ts_us": res["ts_us"],
+            "lag_v": pd.array(
+                [
+                    int(v) if not isnull else None
+                    for v, isnull in zip(res["__lag_vals"], res["__lag_null"])
+                ],
+                dtype="Int64",
+            ),
+        }
+    )
+
+
 def over_rows_lag(
     events: DataFrame,
     key_col: str = "user_id",
@@ -556,6 +957,7 @@ def over_rows_lag(
     value_col: str = "vc",
     n_lag: int = 1,
     delay: str = "0 seconds",
+    key_shards: int | None = None,
 ) -> DataFrame:
     """Streaming ``LAG(value, n) OVER (PARTITION BY key ORDER BY ts,
     id)`` — Flink SQL supports exactly LAG (not LEAD) in streaming
@@ -600,48 +1002,10 @@ def over_rows_lag(
             vs = np.concatenate([vs, pdf["__v"].to_numpy(np.int64)[keep]])
             done = np.concatenate([done, np.zeros(int(keep.sum()), bool)])
         wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
-        order = np.lexsort((ids, ts))
-        ts, ids, vs, done = ts[order], ids[order], vs[order], done[order]
-        emit = (~done) & (ts < wm_us)
-        if emit.any():
-            pos = np.flatnonzero(emit)
-            src = pos - n
-            if ((src < 0) & (src >= -evicted)).any():
-                # the eviction rule retains every predecessor a future
-                # emit needs — a missing one means corrupted state, and
-                # a silently-wrong LAG would be worse than a crash
-                raise RuntimeError(
-                    f"lag predecessor evicted (key={key[0]}, "
-                    f"evicted={evicted}, min src={int(src.min())})"
-                )
-            lag = np.where(src >= 0, vs[np.maximum(src, 0)], 0)
-            out = pd.DataFrame(
-                {
-                    "key": key[0],
-                    "event_id": ids[emit],
-                    "ts_us": ts[emit],
-                    # src < 0 ⇔ within n of the TRUE stream head ⇔ NULL
-                    "lag_v": pd.array(
-                        [int(v) if s >= 0 else None for v, s in zip(lag, src)],
-                        dtype="Int64",
-                    ),
-                }
-            )
-            done = done | emit
-        else:
-            out = pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "event_id": pd.Series([], dtype="int64"),
-                    "ts_us": pd.Series([], dtype="int64"),
-                    "lag_v": pd.array([], dtype="Int64"),
-                }
-            )
-        cut = int(np.searchsorted(ts, wm_us, side="left"))
-        idx = np.arange(len(ts))
-        keep = (~done) | (idx >= cut - n)
-        evicted += int((~keep).sum())
-        ts, ids, vs, done = ts[keep], ids[keep], vs[keep], done[keep]
+        res, ts, ids, vs, done, evicted = _kern_lag(
+            ts, ids, vs, done, wm_us, n, evicted, key[0]
+        )
+        out = _lag_frame(key[0], res) if res is not None else None
         if len(ts):
             state.update(
                 _packed_state(ts, ids, vs, done, wm_us) + (int(evicted),)
@@ -654,6 +1018,19 @@ def over_rows_lag(
         if out is not None:
             yield out
 
+    if key_shards:
+        _require_integral_key(events, key_col)
+        skeyed = _shard_keyed(
+            events, key_col, ts_col, id_col, value_col, delay, key_shards
+        )
+        sout = skeyed.groupBy("__s").applyInPandasWithState(
+            _shard_update_fn(_kern_lag, (n,), _assemble_lag, True),
+            outputStructType="key long, event_id long, ts_us long, lag_v long",
+            stateStructType=_SHARD_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return sout.withColumnRenamed("key", key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),

@@ -491,3 +491,102 @@ class TestStreamingSqlOverDialect:
         )
         assert not out.isStreaming  # Spark SQL served it natively
         assert {r["event_id"]: r["s"] for r in out.collect()} == {10: 5, 11: 12}
+
+
+# ---------- r15: sharded grouping equivalence ----------
+
+
+def _stream_op(spark, tmp_path_str, batches, op, sub, **kw):
+    src = os.path.join(tmp_path_str, "src_" + sub)
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, event_id long, ts timestamp, vc long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.05)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = op(
+        sdf, key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="vc", **kw
+    )
+    from lance_flink_spark.streaming.pipeline import run_to_memory
+
+    t = run_to_memory(out, mode="append", state_partitions=4)
+    return sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+
+
+def test_sharded_equals_per_key_including_stragglers(spark, tmp_path_str):
+    """key_shards groups MANY keys into one state row; emitted rows
+    must equal per-key grouping exactly — including the per-key
+    emission-horizon semantics: key 10's sealed horizon must not leak
+    onto key 20 sharing its shard, so key 20's straggler (late by the
+    watermark's late filter in BOTH modes — Spark's stateful-operator
+    watermark predicate drops sub-watermark input rows before the
+    function), and the shard timer fires key 20's flush in a batch
+    where only key 10 has data. key_shards=1 forces every key into ONE
+    shard — the maximal-collision case."""
+    b1 = [
+        Row(user_id=10, event_id=1, ts=_ts(0), vc=1),
+        Row(user_id=10, event_id=2, ts=_ts(20), vc=2),
+        Row(user_id=20, event_id=3, ts=_ts(1), vc=5),
+    ]
+    # watermark advances to minute 20 (+1ms): key 10 seals through 20;
+    # key 20 has no arrivals and nothing emittable beyond its buffer
+    b2 = [Row(user_id=10, event_id=4, ts=_ts(25), vc=4)]
+    b3 = [
+        # stragglers below the watermark: Spark's late filter drops
+        # them before the operator in BOTH grouping modes
+        Row(user_id=10, event_id=9, ts=_ts(1), vc=100),
+        Row(user_id=20, event_id=8, ts=_ts(3), vc=7),
+        Row(user_id=10, event_id=5, ts=_ts(26), vc=8),
+    ]
+    from lance_flink_spark.streaming.over_agg import (
+        over_range_sum as _rs,
+    )
+
+    per_key = _stream_op(
+        spark, tmp_path_str, [b1, b2, b3], _rs, "pk", preceding_ms=RANGE_MS
+    )
+    sharded = _stream_op(
+        spark, tmp_path_str, [b1, b2, b3], _rs, "sh",
+        preceding_ms=RANGE_MS, key_shards=1,
+    )
+    assert sharded == per_key
+    got = {(k, i): v for k, i, _t, v in sharded}
+    assert (10, 9) not in got and (20, 8) not in got  # late rows dropped
+    assert got[(20, 3)] == 5           # key 20 flushed by the shard timer
+    assert got[(10, 4)] == 6           # 2 + 4 (minute 25 frame covers 20,25)
+    assert got[(10, 5)] == 14          # 2 + 4 + 8 (frame 16..26)
+
+
+def test_sharded_lag_equals_per_key(spark, tmp_path_str):
+    """LAG in sharded mode: per-key predecessor chains and stream-head
+    NULLs must be untouched by shard co-residency (evicted counters are
+    per key inside the shard state)."""
+    b1 = [
+        Row(user_id=10, event_id=1, ts=_ts(0), vc=1),
+        Row(user_id=20, event_id=2, ts=_ts(1), vc=5),
+        Row(user_id=10, event_id=3, ts=_ts(2), vc=2),
+    ]
+    b2 = [
+        Row(user_id=10, event_id=4, ts=_ts(10), vc=3),
+        Row(user_id=20, event_id=5, ts=_ts(11), vc=6),
+    ]
+    b3 = [Row(user_id=10, event_id=6, ts=_ts(30), vc=9)]
+    from lance_flink_spark.streaming.over_agg import over_rows_lag as _lg
+
+    per_key = _stream_op(
+        spark, tmp_path_str, [b1, b2, b3], _lg, "lpk", n_lag=1
+    )
+    sharded = _stream_op(
+        spark, tmp_path_str, [b1, b2, b3], _lg, "lsh", n_lag=1, key_shards=1
+    )
+    assert sharded == per_key
+    got = {(k, i): v for k, i, _t, v in sharded}
+    assert got[(10, 1)] is None and got[(20, 2)] is None  # stream heads
+    assert got[(10, 3)] == 1 and got[(10, 4)] == 2 and got[(20, 5)] == 5
