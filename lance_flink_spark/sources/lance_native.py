@@ -3998,21 +3998,33 @@ def _spark_type_of(pa, t, ntz_type):
 
 
 def _task_frame(spark, payloads):
-    """One-executor-task-per-payload frame WITHOUT a shuffle or a
-    Python-RDD scan (r15, guide §2.4/§4): ``spark.range`` with one row
-    per partition is a pure-JVM scan, and the actual payloads ride a
+    """One-executor-task-per-payload frame WITHOUT a shuffle (r15,
+    guide §2.4/§4): ``parallelize(n slices)`` pins one index row per
+    partition deterministically, and the actual payloads ride a
     broadcast the task function indexes by row id. The previous shape —
-    ``createDataFrame(payloads).repartition(n)`` — paid a Python-RDD
-    conversion stage (every local-data frame is a pickled-row scan), a
-    round-robin Exchange, AND an extra scheduled stage, ~0.3-0.6 s of
-    fixed overhead per distributed native call at any scale. Returns
-    (frame, broadcast); callers read ``bc.value[int(i)]`` per row id.
-    Partition i holds exactly row i — the fragment-aligned contract the
-    deletion-resolve fast path asserts — and len(payloads)==0 yields an
-    empty 1-partition frame (same as the old max(n,1) repartition)."""
+    ``createDataFrame(payloads).repartition(n)`` — paid a round-robin
+    Exchange AND an extra scheduled stage, ~0.3-0.6 s of fixed overhead
+    per distributed native call at any scale; the index scan here stays
+    NARROW and pipelines into the decode stage.
+
+    Deliberately an ExistingRDD, NOT ``spark.range``: Range carries an
+    exact (tiny) size estimate that would propagate through the decode
+    mapInArrow and make the planner auto-broadcast a native TABLE
+    because its task list looks like a few dozen bytes — at scale that
+    is a planned-in OOM (pinned by tests/test_analyze_bcast.py). The
+    RDD scan keeps Catalyst's conservative default estimate, so only
+    the explicit size-gated hints ever broadcast a native read.
+
+    Returns (frame, broadcast); callers read ``bc.value[int(i)]`` per
+    row id. Partition i holds exactly row i — the fragment-aligned
+    contract the deletion-resolve fast path asserts — and
+    len(payloads)==0 yields an empty 1-partition frame."""
     n = max(len(payloads), 1)
     bc = spark.sparkContext.broadcast(list(payloads))
-    return spark.range(0, len(payloads), 1, n), bc
+    rdd = spark.sparkContext.parallelize(
+        [(i,) for i in range(len(payloads))], n
+    )
+    return spark.createDataFrame(rdd, "id long"), bc
 
 
 def _pd_types_mapper(pa):
