@@ -4019,8 +4019,14 @@ def _task_frame(spark, payloads):
     row id. Partition i holds exactly row i — the fragment-aligned
     contract the deletion-resolve fast path asserts — and
     len(payloads)==0 yields an empty 1-partition frame."""
+    from lance_flink_spark.session import track_broadcast
+
     n = max(len(payloads), 1)
     bc = spark.sparkContext.broadcast(list(payloads))
+    # released (executor copies) at the caller's next unpersist_all —
+    # a long-running driver otherwise accumulates block-manager entries
+    # per distributed call until Python GC notices (r15 advice)
+    track_broadcast(bc)
     rdd = spark.sparkContext.parallelize(
         [(i,) for i in range(len(payloads))], n
     )

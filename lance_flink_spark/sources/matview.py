@@ -199,11 +199,32 @@ class MaterializedAggregate:
                 # no extremum, and skipping the rescan branch entirely
                 # saves a source scan + aggregate inside the state write
                 # (the branch is unioned lazily, so without the probe it
-                # executes even when it contributes zero rows). Counting
-                # (vs the former limit(1)) costs the same one job on the
-                # persisted group-sized frame and feeds the broadcast
-                # gate below.
-                n_rescan = merged.filter(F.col("__rescan")).count()
+                # executes even when it contributes zero rows). The one
+                # job on the persisted group-sized frame now yields the
+                # exact row count AND an exact key-byte total, so the
+                # broadcast gate below is byte-aware (r15 advice: 4M
+                # rows of wide string keys replicated everywhere is an
+                # OOM, not a win) — F.broadcast bypasses AQE's size
+                # checks, so the gate must do its own byte accounting.
+                key_bytes = sum(
+                    (
+                        F.coalesce(
+                            F.octet_length(F.col(c).cast("string")), F.lit(0)
+                        )
+                        + F.lit(16)  # per-column object/offset overhead
+                        for c in self.group_cols
+                    ),
+                    F.lit(0),
+                )
+                probe = (
+                    merged.filter(F.col("__rescan"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(key_bytes).alias("b"),
+                    )
+                    .collect()[0]
+                )
+                n_rescan = int(probe["n"])
                 if n_rescan:
                     rescan_keys = merged.filter(F.col("__rescan")).select(
                         *self.group_cols
@@ -214,8 +235,11 @@ class MaterializedAggregate:
                     # source on a group-cardinality key (measured: the
                     # matview bench's rescan refresh shuffled 150k rows
                     # on a 5-value key, skew included). Broadcast under
-                    # an exact row gate instead (guide §3.1).
-                    if n_rescan <= 4_000_000:
+                    # an exact byte gate instead (guide §3.1: a few
+                    # hundred MB is the sane ceiling for an executor-
+                    # replicated hash relation); bigger key sets fall
+                    # back to the AQE-planned join.
+                    if int(probe["b"] or 0) <= 64 * 1024 * 1024:
                         rescan_keys = F.broadcast(rescan_keys)
                     # per-group rescan: ONLY the groups whose extremum
                     # was retracted. The semi-join must land BELOW the

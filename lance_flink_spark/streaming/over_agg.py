@@ -276,6 +276,17 @@ _SHARD_STATE = (
     "hwm binary, extra binary"
 )
 
+# NULL partition keys form ONE partition in SQL OVER semantics (and in
+# the per-key path, where the group key tuple simply carries None). The
+# packed shard state stores keys as int64, which cannot hold NULL — and
+# a NULL long reaching pandas widens the column to float64, silently
+# corrupting large ids before it crashes ``to_numpy(np.int64)``. So the
+# sentinel mapping happens in CATALYST, before the Python boundary:
+# NULL -> INT64_MIN on the way in (``_shard_keyed``), INT64_MIN -> NULL
+# on the way out (``_shard_unsentinel``). A real key equal to the
+# sentinel raises loudly at row level instead of aliasing with NULL.
+_NULL_KEY = -(1 << 63)
+
 
 def default_key_shards() -> int:
     """Shard count for integral-keyed OVER streams. Parameterised for
@@ -420,9 +431,26 @@ def _shard_keyed(events, key_col, ts_col, id_col, value_col, delay, n_shards):
     """Project + shifted-watermark + shard column for sharded mode."""
     from pyspark.sql import functions as F
 
+    # NULL keys -> _NULL_KEY sentinel (one partition, SQL semantics);
+    # a genuine key at the sentinel value raises instead of aliasing.
+    # The inner WHEN is NULL for NULL input, so coalesce supplies the
+    # sentinel; raise_error only evaluates on an actual collision.
+    key_expr = F.coalesce(
+        F.when(
+            F.col(key_col) == F.lit(_NULL_KEY),
+            F.raise_error(
+                F.lit(
+                    "key_shards: key value -2^63 is reserved as the "
+                    "NULL-key sentinel; use key_shards=None (per-key "
+                    "grouping) for key domains that include INT64_MIN"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(key_col).cast("long")),
+        F.lit(_NULL_KEY),
+    )
     keyed = _with_shifted_watermark(
         events.select(
-            F.col(key_col).alias("__k"),
+            key_expr.alias("__k"),
             F.unix_micros(F.col(ts_col)).alias("__ts_us"),
             F.col(id_col).alias("__id"),
             F.col(value_col).cast("long").alias("__v"),
@@ -435,6 +463,19 @@ def _shard_keyed(events, key_col, ts_col, id_col, value_col, delay, n_shards):
     return keyed.withColumn(
         "__s", F.pmod(F.xxhash64("__k"), F.lit(int(n_shards)))
     )
+
+
+def _shard_unsentinel(out, key_col):
+    """Map the sharded path's NULL-key sentinel back to a SQL NULL in
+    the emitted key column (inverse of ``_shard_keyed``'s mapping)."""
+    from pyspark.sql import functions as F
+
+    return out.withColumn(
+        "key",
+        F.when(F.col("key") == F.lit(_NULL_KEY), F.lit(None)).otherwise(
+            F.col("key")
+        ),
+    ).withColumnRenamed("key", key_col)
 
 
 def _assemble_simple(value_name):
@@ -589,7 +630,7 @@ def over_range_sum(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        return out.withColumnRenamed("key", key_col)
+        return _shard_unsentinel(out, key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -672,7 +713,7 @@ def over_rows_sum(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        return sout.withColumnRenamed("key", key_col)
+        return _shard_unsentinel(sout, key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -825,7 +866,7 @@ def over_range_multi(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        return sout.withColumnRenamed("key", key_col)
+        return _shard_unsentinel(sout, key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -899,7 +940,7 @@ def over_rows_multi(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        return sout.withColumnRenamed("key", key_col)
+        return _shard_unsentinel(sout, key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -1030,7 +1071,7 @@ def over_rows_lag(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        return sout.withColumnRenamed("key", key_col)
+        return _shard_unsentinel(sout, key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),

@@ -517,7 +517,10 @@ def _stream_op(spark, tmp_path_str, batches, op, sub, **kw):
     from lance_flink_spark.streaming.pipeline import run_to_memory
 
     t = run_to_memory(out, mode="append", state_partitions=4)
-    return sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    return sorted(
+        (tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect()),
+        key=lambda t: tuple((x is None, x) for x in t),  # NULL-key rows sort
+    )
 
 
 def test_sharded_equals_per_key_including_stragglers(spark, tmp_path_str):
@@ -590,3 +593,35 @@ def test_sharded_lag_equals_per_key(spark, tmp_path_str):
     got = {(k, i): v for k, i, _t, v in sharded}
     assert got[(10, 1)] is None and got[(20, 2)] is None  # stream heads
     assert got[(10, 3)] == 1 and got[(10, 4)] == 2 and got[(20, 5)] == 5
+
+
+def test_sharded_null_keys_equal_per_key(spark, tmp_path_str):
+    """NULL partition keys (r15 advice): the sharded path must treat
+    NULL as ONE partition — exactly like the per-key path and batch
+    SQL — not crash converting a nulled int64 pandas column. The
+    sentinel mapping happens in Catalyst both ways, so the emitted key
+    column carries real NULLs."""
+    b1 = [
+        Row(user_id=None, event_id=1, ts=_ts(0), vc=1),
+        Row(user_id=10, event_id=2, ts=_ts(1), vc=5),
+        Row(user_id=None, event_id=3, ts=_ts(2), vc=2),
+    ]
+    b2 = [
+        Row(user_id=None, event_id=4, ts=_ts(10), vc=3),
+        Row(user_id=10, event_id=5, ts=_ts(11), vc=6),
+    ]
+    b3 = [Row(user_id=10, event_id=6, ts=_ts(30), vc=9)]
+    from lance_flink_spark.streaming.over_agg import over_rows_sum as _rsum
+
+    per_key = _stream_op(
+        spark, tmp_path_str, [b1, b2, b3], _rsum, "npk", n_preceding=1
+    )
+    sharded = _stream_op(
+        spark, tmp_path_str, [b1, b2, b3], _rsum, "nsh",
+        n_preceding=1, key_shards=1,
+    )
+    assert sharded == per_key
+    got = {(k, i): v for k, i, _t, v in sharded}
+    # NULL keys form one partition: id 3's frame covers ids 1+3, id 4's 3+4
+    assert got[(None, 3)] == 3 and got[(None, 4)] == 5
+    assert got[(10, 5)] == 11  # real key unaffected by NULL co-residents
