@@ -992,6 +992,7 @@ def streaming_match_quantified(spark, sf_dir):
     blocked anchor emitted early, a lost cross-micro-batch buffer, or
     a skipped-past row re-entering all break the hash."""
     from lance_flink_spark.streaming.cep import stream_match_pattern
+    from lance_flink_spark.streaming.over_agg import default_key_shards
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
     events = stream_events(spark, sf_dir, watermark=None).select(
@@ -1005,6 +1006,9 @@ def streaming_match_quantified(spark, sf_dir):
         ts_col="ts",
         id_col="event_id",
         type_col="event_type",
+        # integral key -> sharded grouping: one Python/state round per
+        # shard instead of per key (cep.py r16; env-parameterised)
+        key_shards=default_key_shards(),
     )
     t = run_to_memory(out, mode="append", state_partitions=16)
     return spark.table(t).select(

@@ -1912,7 +1912,7 @@ def append_to_dataset(root: str, table) -> int:
     return version + 1
 
 
-def _write_fragments_distributed(
+def _fragment_plates_frame(
     root: str,
     df,
     target_schema,
@@ -2004,14 +2004,40 @@ def _write_fragments_distributed(
         if rows:
             yield _flush()
 
-    plates = df.mapInArrow(
+    return df.mapInArrow(
         _task, "part_id long, seq long, path string, rows long"
-    ).collect()
-    plates.sort(key=lambda r: (r["part_id"], r["seq"]))
+    )
+
+
+def _fragments_from_plates(plates) -> list["LanceFragment"]:
+    """Deterministic (partition, flush-sequence) fragment order from
+    collected fragment-write plates."""
+    plates = sorted(plates, key=lambda r: (r["part_id"], r["seq"]))
     return [
         LanceFragment(path=r["path"], physical_rows=int(r["rows"]))
         for r in plates
     ]
+
+
+def _write_fragments_distributed(
+    root: str,
+    df,
+    target_schema,
+    *,
+    max_rows_per_file: int = 1 << 20,
+    max_bytes_per_file: int = 192 * 1024 * 1024,
+):
+    """Collecting form of :func:`_fragment_plates_frame` (docstring
+    there) — one Spark job; mutation paths that ALSO resolve deletions
+    instead union both plate frames into a single job
+    (:func:`mutate_rows_distributed`)."""
+    return _fragments_from_plates(
+        _fragment_plates_frame(
+            root, df, target_schema,
+            max_rows_per_file=max_rows_per_file,
+            max_bytes_per_file=max_bytes_per_file,
+        ).collect()
+    )
 
 
 def _finish_fragments(
@@ -2341,6 +2367,45 @@ def resolve_deletions_distributed(
     com.lancedb.lance.Dataset's engine-side predicate delete;
     LanceSink.java:60-108 is the same task-write / coordinator-commit
     split for appends."""
+    plates_frame, n_parts = _deletion_plates_frame(
+        root, spark, offsets_df, version,
+        deletion_format=deletion_format,
+        fragment_aligned=fragment_aligned,
+    )
+    # partition-count pin seam: one deletion task per fragment. The
+    # repartition target is the pinned value; the RDD-plan probe this
+    # replaced (`plates_frame.rdd.getNumPartitions()`) cost a full
+    # plan->RDD conversion on EVERY mutation, and
+    # tests/test_lance_native.py separately pins that a repartition's
+    # physical partition count equals its target
+    resolve_deletions_distributed.last_num_partitions = n_parts
+    plates = plates_frame.collect()
+    _probe_deletion_plates(root, plates)
+    return plates
+
+
+def _probe_deletion_plates(root: str, plates) -> None:
+    if len({int(p["frag_ix"]) for p in plates}) != len(plates):
+        raise RuntimeError(
+            f"{root}: a fragment's matched offsets split across "
+            "deletion tasks — orphaned deletion files are "
+            "unreferenced; VACUUM reclaims them"
+        )
+
+
+def _deletion_plates_frame(
+    root: str,
+    spark,
+    offsets_df,
+    version: int,
+    *,
+    deletion_format: str = "arrow",
+    fragment_aligned: bool = False,
+):
+    """(plates frame, one-task-per-fragment partition count) for
+    :func:`resolve_deletions_distributed` (docstring/semantics there)
+    WITHOUT collecting — so a mutation that also writes fragments can
+    union both plate frames into ONE Spark job."""
     from pyspark.sql import functions as F
 
     from lance_flink_spark.session import ship_package
@@ -2457,21 +2522,7 @@ def resolve_deletions_distributed(
         plates_frame = tagged.repartition(
             max(len(frags), 1), "__frag"
         ).mapInPandas(_write, plate_schema)
-    # partition-count pin seam: one deletion task per fragment. The
-    # repartition target is the pinned value; the RDD-plan probe this
-    # replaced (`plates_frame.rdd.getNumPartitions()`) cost a full
-    # plan->RDD conversion on EVERY mutation, and
-    # tests/test_lance_native.py separately pins that a repartition's
-    # physical partition count equals its target
-    resolve_deletions_distributed.last_num_partitions = max(len(frags), 1)
-    plates = plates_frame.collect()
-    if len({int(p["frag_ix"]) for p in plates}) != len(plates):
-        raise RuntimeError(
-            f"{root}: a fragment's matched offsets split across "
-            "deletion tasks — orphaned deletion files are "
-            "unreferenced; VACUUM reclaims them"
-        )
-    return plates
+    return plates_frame, max(len(frags), 1)
 
 
 def mutate_rows_distributed(
@@ -2509,7 +2560,6 @@ def mutate_rows_distributed(
     Cite: com.lancedb.lance.Dataset update/merge_insert commit one
     transaction the same way."""
     import pyarrow as pa
-    from concurrent.futures import ThreadPoolExecutor
 
     src = offsets_df if offsets_df is not None else append_df
     if src is None:
@@ -2527,27 +2577,46 @@ def mutate_rows_distributed(
                 "update schema mismatch: "
                 f"{_schema_signature(nf)} != {_schema_signature(fields)}"
             )
-    with ThreadPoolExecutor(2) as pool:
-        f_app = (
-            pool.submit(
-                _write_fragments_distributed,
-                root, append_df, arrow_schema_of(fields),
-            )
-            if append_df is not None
-            else None
+    if append_df is not None and offsets_df is not None:
+        # ONE Spark job for both actions (r16): the fragment-write and
+        # deletion-resolve plate frames are independent subtrees, so a
+        # tagged unionByName gives one collect whose stages the
+        # scheduler still runs concurrently — the former two-futures
+        # shape paid a second job submission + AQE planning round +
+        # collect round trip per micro-batch (~0.3 s driver floor each
+        # on this box), serialized through the driver's GIL/py4j lane.
+        from pyspark.sql import functions as F
+
+        a_frame = _fragment_plates_frame(
+            root, append_df, arrow_schema_of(fields)
+        ).withColumn("__kind", F.lit("a"))
+        d_frame, n_parts = _deletion_plates_frame(
+            root, spark, offsets_df, version,
+            deletion_format=deletion_format,
+            fragment_aligned=offsets_aligned,
         )
-        f_del = (
-            pool.submit(
-                resolve_deletions_distributed,
-                root, spark, offsets_df, version,
-                deletion_format=deletion_format,
-                fragment_aligned=offsets_aligned,
-            )
-            if offsets_df is not None
-            else None
+        resolve_deletions_distributed.last_num_partitions = n_parts
+        rows = a_frame.unionByName(
+            d_frame.withColumn("__kind", F.lit("d")),
+            allowMissingColumns=True,
+        ).collect()
+        new_frags = _fragments_from_plates(
+            [r for r in rows if r["__kind"] == "a"]
         )
-        new_frags = f_app.result() if f_app is not None else []
-        plates = f_del.result() if f_del is not None else []
+        plates = [r for r in rows if r["__kind"] == "d"]
+        _probe_deletion_plates(root, plates)
+    elif append_df is not None:
+        new_frags = _write_fragments_distributed(
+            root, append_df, arrow_schema_of(fields)
+        )
+        plates = []
+    else:
+        new_frags = []
+        plates = resolve_deletions_distributed(
+            root, spark, offsets_df, version,
+            deletion_format=deletion_format,
+            fragment_aligned=offsets_aligned,
+        )
     if not plates and not new_frags:
         if pre_commit is not None:
             pre_commit()
@@ -4050,6 +4119,44 @@ def _pd_types_mapper(pa):
     }.get
 
 
+def spark_read_schema(spark, fields, columns=None, with_offsets=False):
+    """The exact Spark schema :func:`read_distributed` serves for
+    ``fields`` — computable WITHOUT building the read plan. Schema-only
+    callers (e.g. the upsert sink conforming batch images to the
+    table's types) previously constructed a full distributed-read
+    DataFrame per micro-batch just to ask for ``.schema``: a task
+    frame, a broadcast and an analyzed mapInArrow plan of driver-side
+    work whose result is this pure function of the manifest."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    ntz_type = (
+        T.TimestampNTZType()
+        if spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
+        == "TIMESTAMP_NTZ"
+        else T.TimestampType()
+    )
+    probe_schema = []
+    for f in arrow_schema_of(fields):
+        if columns is not None and f.name not in columns:
+            continue
+        probe_schema.append((f.name, _spark_type_of(pa, f.type, ntz_type)))
+    if columns is not None:  # caller's projection order
+        by_name = dict(probe_schema)
+        unknown = [n for n in columns if n not in by_name]
+        if unknown:
+            raise UnsupportedLanceFeature(
+                f"projection names {unknown} not in schema "
+                f"{[f.name for f in fields]}"
+            )
+        probe_schema = [(n, by_name[n]) for n in columns]
+    if with_offsets:
+        probe_schema.append(("__phys", T.LongType()))
+    return T.StructType(
+        [T.StructField(n, t, True) for n, t in probe_schema]
+    )
+
+
 def read_distributed(
     ds: "LanceNativeDataset",
     spark,
@@ -4084,31 +4191,8 @@ def read_distributed(
     fields, frags, _v = ds._manifest(version)
     v = version if version is not None else ds._manifests[-1]
     root = ds.root
-    # the downcast schema read() serves (plain string / list)
-    ntz_type = (
-        T.TimestampNTZType()
-        if spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ")
-        == "TIMESTAMP_NTZ"
-        else T.TimestampType()
-    )
-    probe_schema = []
-    for f in arrow_schema_of(fields):
-        if columns is not None and f.name not in columns:
-            continue
-        probe_schema.append((f.name, _spark_type_of(pa, f.type, ntz_type)))
-    if columns is not None:  # caller's projection order
-        by_name = dict(probe_schema)
-        unknown = [n for n in columns if n not in by_name]
-        if unknown:
-            raise UnsupportedLanceFeature(
-                f"projection names {unknown} not in schema "
-                f"{[f.name for f in fields]}"
-            )
-        probe_schema = [(n, by_name[n]) for n in columns]
-    if with_offsets:
-        probe_schema.append(("__phys", T.LongType()))
-    out_schema = T.StructType(
-        [T.StructField(n, t, True) for n, t in probe_schema]
+    out_schema = spark_read_schema(
+        spark, fields, columns=columns, with_offsets=with_offsets
     )
     bases, base = [], 0
     for fr in frags:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -373,6 +374,203 @@ def _try_match_quant(ts, sym, pos, n_settled, alts, within_us, wm_us):
     return ("fail",)
 
 
+def _kern_quant(ts, eid, sym, hwm, wm, alts, first_syms, within_us):
+    """Per-key settled-prefix scan shared by BOTH grouping modes of
+    :func:`stream_match_pattern` (the over_agg kernel pattern): merged
+    (unsorted) buffers in, emitted matches + surviving suffix + new
+    horizon + the key's next event-time timer out. ``wm`` is the raw
+    watermark in µs; the kernel applies the per-key horizon max
+    exactly as the per-key path always did."""
+    from lance_flink_spark.streaming.over_agg import _timer_ms
+
+    wm_us = max(wm, hwm)
+    order = np.lexsort((eid, ts))
+    ts, eid, sym = ts[order], eid[order], sym[order]
+    n_settled = int(np.searchsorted(ts, wm_us, side="left"))
+    pos = 0
+    out = {"start_event_id": [], "t0_us": [], "t_last_us": [], "n_rows": []}
+    blocked_t0 = None
+    while pos < n_settled:
+        if sym[pos] not in first_syms:
+            pos += 1
+            continue
+        res = _try_match_quant(ts, sym, pos, n_settled, alts, within_us, wm_us)
+        if res[0] == "blocked":
+            blocked_t0 = int(ts[pos])
+            break
+        if res[0] == "match":
+            end = res[1]
+            out["start_event_id"].append(int(eid[pos]))
+            out["t0_us"].append(int(ts[pos]))
+            out["t_last_us"].append(int(ts[end - 1]))
+            out["n_rows"].append(int(res[2]))
+            pos = end
+        else:
+            pos += 1
+    # rows the scan moved past are gone forever (sequential
+    # semantics); the horizon pins what was scanned
+    hwm = int(ts[pos]) if pos < len(ts) else max(hwm, wm_us)
+    ts, eid, sym = ts[pos:], eid[pos:], sym[pos:]
+    timer = None
+    if len(ts):
+        candidates = []
+        pend = ts[ts >= wm_us]
+        if len(pend):
+            candidates.append(_timer_ms(int(pend.min()), wm_us))
+        if blocked_t0 is not None:
+            # the within-timeout that definitively resolves the
+            # blocked anchor even if no further rows arrive
+            candidates.append(
+                max((blocked_t0 + within_us) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        elif not len(pend):
+            # settled-but-unscanned rows (below a blocked anchor
+            # cleared elsewhere) — revisit on the next wm move
+            candidates.append(wm_us // 1000 + 1)
+        if candidates:
+            timer = min(candidates)
+    return (
+        (out if out["start_event_id"] else None), ts, eid, sym, hwm, timer
+    )
+
+
+# sharded grouping (r16 — over_agg's r15 economics applied to CEP):
+# one applyInPandasWithState group per SHARD, the kernel above run per
+# key inside it. Per-event parallel arrays carry each key's rows; the
+# key's horizon and its per-key timer value ride per-row (first index
+# per key read back), so invocation gating — a key is processed only
+# when per-key grouping would have invoked it (arrivals, or its stored
+# timer fired) — and late-drop stay exactly per key.
+_SHARD_QUANT_STATE = (
+    "keys binary, ts binary, eid binary, sym binary, hwm binary, "
+    "timer binary"
+)
+
+
+def _shard_quant_update(alts, first_syms, within_us):
+    def _update(
+        shard: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            keys = np.frombuffer(st[0], "<i8")
+            ts = np.frombuffer(st[1], "<i8")
+            eid = np.frombuffer(st[2], "<i8")
+            sym = np.frombuffer(st[3], "<i8")
+            hwmr = np.frombuffer(st[4], "<i8")
+            timr = np.frombuffer(st[5], "<i8")
+        else:
+            keys = ts = eid = sym = hwmr = timr = np.empty(0, np.int64)
+        aks, ats, aids, asym = [], [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            aks.append(pdf["__k"].to_numpy(np.int64))
+            ats.append(pdf["__ts_us"].to_numpy(np.int64))
+            aids.append(pdf["__id"].to_numpy(np.int64))
+            asym.append(pdf["__sym"].to_numpy(np.int64))
+        ak = np.concatenate(aks) if aks else np.empty(0, np.int64)
+        at = np.concatenate(ats) if ats else np.empty(0, np.int64)
+        ai = np.concatenate(aids) if aids else np.empty(0, np.int64)
+        ay = np.concatenate(asym) if asym else np.empty(0, np.int64)
+        wm = state.getCurrentWatermarkMs() * 1000
+        wm_ms = wm // 1000
+        if len(keys):
+            o = np.argsort(keys, kind="stable")
+            keys, ts, eid, sym, hwmr, timr = (
+                keys[o], ts[o], eid[o], sym[o], hwmr[o], timr[o]
+            )
+        if len(ak):
+            o = np.argsort(ak, kind="stable")
+            ak, at, ai, ay = ak[o], at[o], ai[o], ay[o]
+        union = np.union1d(keys, ak) if len(ak) else np.unique(keys)
+        nk, nts, neid, nsym, nh, ntm = [], [], [], [], [], []
+        outs = []
+        for k in union:
+            k = int(k)
+            s0 = int(np.searchsorted(keys, k, "left"))
+            s1 = int(np.searchsorted(keys, k, "right"))
+            a0 = int(np.searchsorted(ak, k, "left"))
+            a1 = int(np.searchsorted(ak, k, "right"))
+            k_hwm = int(hwmr[s0]) if s1 > s0 else 0
+            kts, keid, ksym = ts[s0:s1], eid[s0:s1], sym[s0:s1]
+            fired = s1 > s0 and wm_ms > int(timr[s0])
+            if a1 == a0 and not fired:
+                # per-key grouping would not have invoked this key:
+                # rows, horizon and timer carry over untouched
+                nk.append(np.full(s1 - s0, k, np.int64))
+                nts.append(kts); neid.append(keid); nsym.append(ksym)
+                nh.append(hwmr[s0:s1]); ntm.append(timr[s0:s1])
+                continue
+            if a1 > a0:
+                a_ts = at[a0:a1]
+                keep = a_ts >= k_hwm  # the per-key late-drop
+                kts = np.concatenate([kts, a_ts[keep]])
+                keid = np.concatenate([keid, ai[a0:a1][keep]])
+                ksym = np.concatenate([ksym, ay[a0:a1][keep]])
+            res, kts, keid, ksym, k_hwm, k_tmr = _kern_quant(
+                kts, keid, ksym, k_hwm, wm, alts, first_syms, within_us
+            )
+            if res is not None:
+                outs.append((k, res))
+            if len(kts):
+                m = len(kts)
+                nk.append(np.full(m, k, np.int64))
+                nts.append(kts); neid.append(keid); nsym.append(ksym)
+                nh.append(np.full(m, k_hwm, np.int64))
+                # rows remain => the kernel always produced a timer
+                ntm.append(np.full(m, int(k_tmr), np.int64))
+        if nk:
+            cat = np.concatenate
+            state.update((
+                cat(nk).astype("<i8").tobytes(),
+                cat(nts).astype("<i8").tobytes(),
+                cat(neid).astype("<i8").tobytes(),
+                cat(nsym).astype("<i8").tobytes(),
+                cat(nh).astype("<i8").tobytes(),
+                cat(ntm).astype("<i8").tobytes(),
+            ))
+            # shard timer = min over member keys' per-key timers; the
+            # min may sit AT the current watermark (a standing timer of
+            # a non-invoked key), so clamp ahead exactly like over_agg
+            timer = min(int(arr[0]) for arr in ntm)
+            state.setTimeoutTimestamp(max(timer, wm_ms + 1))
+        else:
+            state.remove()
+        if outs:
+            yield pd.DataFrame(
+                {
+                    "key": np.concatenate(
+                        [
+                            np.full(len(r["start_event_id"]), k, np.int64)
+                            for k, r in outs
+                        ]
+                    ),
+                    "start_event_id": np.concatenate(
+                        [r["start_event_id"] for _, r in outs]
+                    ).astype(np.int64),
+                    "t0_us": np.concatenate(
+                        [r["t0_us"] for _, r in outs]
+                    ).astype(np.int64),
+                    "t_last_us": np.concatenate(
+                        [r["t_last_us"] for _, r in outs]
+                    ).astype(np.int64),
+                    "n_rows": np.concatenate(
+                        [r["n_rows"] for _, r in outs]
+                    ).astype(np.int64),
+                    "duration_us": np.concatenate(
+                        [
+                            np.asarray(r["t_last_us"], np.int64)
+                            - np.asarray(r["t0_us"], np.int64)
+                            for _, r in outs
+                        ]
+                    ),
+                }
+            )
+
+    return _update
+
+
 def stream_match_pattern(
     events: DataFrame,
     pattern: list[str],
@@ -382,6 +580,7 @@ def stream_match_pattern(
     id_col: str = "event_id",
     type_col: str = "event_type",
     delay: str = "0 seconds",
+    key_shards: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators/cep.match_pattern`` — quantified
     MATCH_RECOGNIZE in the SQL-standard STRICT-contiguity dialect
@@ -465,63 +664,54 @@ def stream_match_pattern(
             ts = np.concatenate([ts, nts[keep]])
             eid = np.concatenate([eid, pdf["__id"].to_numpy(np.int64)[keep]])
             sym = np.concatenate([sym, pdf["__sym"].to_numpy(np.int64)[keep]])
-        wm_us = max(state.getCurrentWatermarkMs() * 1000, hwm)
-        order = np.lexsort((eid, ts))
-        ts, eid, sym = ts[order], eid[order], sym[order]
-        n_settled = int(np.searchsorted(ts, wm_us, side="left"))
-        pos = 0
-        out = {
-            "key": [], "start_event_id": [], "t0_us": [], "t_last_us": [],
-            "n_rows": [],
-        }
-        blocked_t0 = None
-        while pos < n_settled:
-            if sym[pos] not in first_syms:
-                pos += 1
-                continue
-            res = _try_match_quant(ts, sym, pos, n_settled, alts, within_us, wm_us)
-            if res[0] == "blocked":
-                blocked_t0 = int(ts[pos])
-                break
-            if res[0] == "match":
-                end = res[1]
-                out["key"].append(key[0])
-                out["start_event_id"].append(int(eid[pos]))
-                out["t0_us"].append(int(ts[pos]))
-                out["t_last_us"].append(int(ts[end - 1]))
-                out["n_rows"].append(int(res[2]))
-                pos = end
-            else:
-                pos += 1
-        # rows the scan moved past are gone forever (sequential
-        # semantics); the horizon pins what was scanned
-        hwm = int(ts[pos]) if pos < len(ts) else max(hwm, wm_us)
-        ts, eid, sym = ts[pos:], eid[pos:], sym[pos:]
+        wm = state.getCurrentWatermarkMs() * 1000
+        out, ts, eid, sym, hwm, timer = _kern_quant(
+            ts, eid, sym, hwm, wm, alts, first_syms, within_us
+        )
         if len(ts):
             state.update((ts.tolist(), eid.tolist(), sym.tolist(), int(hwm)))
-            candidates = []
-            pend = ts[ts >= wm_us]
-            if len(pend):
-                candidates.append(_timer_ms(int(pend.min()), wm_us))
-            if blocked_t0 is not None:
-                # the within-timeout that definitively resolves the
-                # blocked anchor even if no further rows arrive
-                candidates.append(
-                    max((blocked_t0 + within_us) // 1000 + 1, wm_us // 1000 + 1)
-                )
-            elif len(ts) and not len(pend):
-                # settled-but-unscanned rows (below a blocked anchor
-                # cleared elsewhere) — revisit on the next wm move
-                candidates.append(wm_us // 1000 + 1)
-            if candidates:
-                state.setTimeoutTimestamp(min(candidates))
+            if timer is not None:
+                state.setTimeoutTimestamp(timer)
         else:
             state.remove()
-        if out["key"]:
-            df = pd.DataFrame(out)
+        if out is not None:
+            df = pd.DataFrame({"key": key[0], **out})
             df["duration_us"] = df["t_last_us"] - df["t0_us"]
             yield df
 
+    out_struct = (
+        "key long, start_event_id long, t0_us long, t_last_us long, "
+        "n_rows long, duration_us long"
+    )
+    if key_shards:
+        from lance_flink_spark.streaming.over_agg import (
+            _require_integral_key,
+            _shard_unsentinel,
+            shard_key_expr,
+        )
+
+        _require_integral_key(events, key_col)
+        keyed = _with_shifted_watermark(
+            events.select(
+                shard_key_expr(key_col).alias("__k"),
+                F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+                F.col(id_col).alias("__id"),
+                sym_expr.alias("__sym"),
+                F.col(ts_col).alias(ts_col),
+            ),
+            ts_col,
+            delay,
+        ).withColumn(
+            "__s", F.pmod(F.xxhash64("__k"), F.lit(int(key_shards)))
+        )
+        sout = keyed.groupBy("__s").applyInPandasWithState(
+            _shard_quant_update(alts, first_syms, within_us),
+            outputStructType=out_struct,
+            stateStructType=_SHARD_QUANT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return _shard_unsentinel(sout, key_col)
     keyed = _with_shifted_watermark(
         events.select(
             F.col(key_col).alias("__k"),
@@ -535,10 +725,7 @@ def stream_match_pattern(
     )
     out = keyed.groupBy("__k").applyInPandasWithState(
         update,
-        outputStructType=(
-            "key long, start_event_id long, t0_us long, t_last_us long, "
-            "n_rows long, duration_us long"
-        ),
+        outputStructType=out_struct,
         stateStructType=_QUANT_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

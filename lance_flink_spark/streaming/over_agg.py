@@ -427,15 +427,15 @@ def _shard_update_fn(kernel, kargs, assemble, has_extra):
     return _update
 
 
-def _shard_keyed(events, key_col, ts_col, id_col, value_col, delay, n_shards):
-    """Project + shifted-watermark + shard column for sharded mode."""
+def shard_key_expr(key_col: str):
+    """NULL-safe int64 key expression for sharded grouping: NULL keys
+    -> the ``_NULL_KEY`` sentinel (one partition, SQL semantics); a
+    genuine key at the sentinel value raises instead of aliasing. The
+    inner WHEN is NULL for NULL input, so coalesce supplies the
+    sentinel; raise_error only evaluates on an actual collision."""
     from pyspark.sql import functions as F
 
-    # NULL keys -> _NULL_KEY sentinel (one partition, SQL semantics);
-    # a genuine key at the sentinel value raises instead of aliasing.
-    # The inner WHEN is NULL for NULL input, so coalesce supplies the
-    # sentinel; raise_error only evaluates on an actual collision.
-    key_expr = F.coalesce(
+    return F.coalesce(
         F.when(
             F.col(key_col) == F.lit(_NULL_KEY),
             F.raise_error(
@@ -448,9 +448,15 @@ def _shard_keyed(events, key_col, ts_col, id_col, value_col, delay, n_shards):
         ).otherwise(F.col(key_col).cast("long")),
         F.lit(_NULL_KEY),
     )
+
+
+def _shard_keyed(events, key_col, ts_col, id_col, value_col, delay, n_shards):
+    """Project + shifted-watermark + shard column for sharded mode."""
+    from pyspark.sql import functions as F
+
     keyed = _with_shifted_watermark(
         events.select(
-            key_expr.alias("__k"),
+            shard_key_expr(key_col).alias("__k"),
             F.unix_micros(F.col(ts_col)).alias("__ts_us"),
             F.col(id_col).alias("__id"),
             F.col(value_col).cast("long").alias("__v"),

@@ -401,6 +401,7 @@ class UpsertNativeSink:
             LanceNativeDataset,
             mutate_rows_distributed,
             read_distributed,
+            spark_read_schema,
             write_dataset_distributed,
         )
 
@@ -426,14 +427,18 @@ class UpsertNativeSink:
         # matched rows from an INNER join (broadcast-able: a micro-
         # batch is small next to the table — a full_outer would
         # shuffle the whole replica every batch); unmatched target
-        # rows are untouched by definition. The full-width frame is
-        # LAZY — only its driver-side schema is used; the join decodes
-        # just key + seq_cols (+ __phys): updated images come from the
-        # SOURCE side, so the other target pages are never read
-        # (projection into the per-fragment decode, guide §4/§6)
-        full = read_distributed(nds, spark, with_offsets=True)
-        cols = [c for c in full.columns if c != "__phys"]
-        tsch = {f.name: f.dataType for f in full.schema.fields}
+        # rows are untouched by definition. The table schema comes
+        # straight from the manifest (spark_read_schema) — building a
+        # full distributed-read plan per micro-batch just for
+        # ``.schema`` paid a task frame + broadcast + plan analysis of
+        # driver time; the join decodes just key + seq_cols (+ __phys):
+        # updated images come from the SOURCE side, so the other
+        # target pages are never read (projection into the
+        # per-fragment decode, guide §4/§6)
+        tfields, _tfr, _tv = nds._manifest()
+        tschema = spark_read_schema(spark, tfields)
+        cols = [f.name for f in tschema.fields]
+        tsch = {f.name: f.dataType for f in tschema.fields}
         need = [self.key] + [c for c in self.seq_cols if c != self.key]
         t = read_distributed(
             nds, spark, with_offsets=True, columns=need
@@ -454,6 +459,15 @@ class UpsertNativeSink:
             F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"),
             "inner",
         ).persist()
+        # materialize the cache BEFORE fanning out: the three consumers
+        # run in concurrent jobs (fragment write ∥ deletion resolve,
+        # plus the matched-key broadcast build), and concurrent first
+        # touches of an unmaterialized cache serialize on the block
+        # locks while each job's tasks re-run or wait out the full
+        # replica decode — measured as 3-4 decode-weight stages per
+        # micro-batch instead of one. One count() pays the decode
+        # exactly once; every downstream job is then a cache read.
+        m.count()
         try:
             guard = (
                 F.expr(_seq_guard(self.seq_cols))

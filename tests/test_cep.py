@@ -704,14 +704,17 @@ class TestStreamMatchPattern:
     greedy trailing quantifiers. Corpus-scale hash gate:
     streaming_match_quantified."""
 
-    def _drain(self, spark, tmp_path_str, batches, pattern, within="1 hour"):
+    def _drain(
+        self, spark, tmp_path_str, batches, pattern, within="1 hour",
+        key_shards=None, sub="smp_src", with_key=False,
+    ):
         import os
         import time
 
         from lance_flink_spark.streaming.cep import stream_match_pattern
         from lance_flink_spark.streaming.pipeline import run_to_memory
 
-        src = os.path.join(tmp_path_str, "smp_src")
+        src = os.path.join(tmp_path_str, sub)
         os.makedirs(src, exist_ok=True)
         schema = "user_id long, event_id long, ts timestamp, event_type string"
         for i, rows in enumerate(batches):
@@ -724,11 +727,23 @@ class TestStreamMatchPattern:
             .option("maxFilesPerTrigger", 1)
             .parquet(src + "/*")
         )
-        out = stream_match_pattern(sdf, pattern, within=within)
+        out = stream_match_pattern(
+            sdf, pattern, within=within, key_shards=key_shards
+        )
         t = run_to_memory(out, mode="append", state_partitions=4)
+        rows = spark.sql(f"SELECT * FROM {t}").collect()
+        if with_key:
+            return sorted(
+                (
+                    (r["user_id"] is None, r["user_id"]),
+                    r["start_event_id"], r["n_rows"],
+                    r["t_last_us"] - r["t0_us"],
+                )
+                for r in rows
+            )
         return sorted(
             (r["start_event_id"], r["n_rows"], r["t_last_us"] - r["t0_us"])
-            for r in spark.sql(f"SELECT * FROM {t}").collect()
+            for r in rows
         )
 
     def test_match_spans_micro_batches(self, spark, tmp_path_str):
@@ -991,3 +1006,71 @@ class TestRepeatedPatternVariable:
         # the self-overlapping shape rather than mis-matching
         with pytest.raises(ValueError):
             eng.execute(sql.format(skip="AFTER MATCH SKIP PAST LAST ROW"))
+
+
+class TestStreamMatchPatternSharded:
+    """r16: sharded grouping for the streaming quantified matcher —
+    one state row / one Python invocation per SHARD, the per-key scan
+    kernel run per key inside it. The per-key path is the semantics
+    reference: outputs must be IDENTICAL, including per-key horizons,
+    within-timeout flushes of blocked anchors, and NULL keys."""
+
+    def _mk(self, u, i, m, e):
+        import datetime
+
+        return {
+            "user_id": u, "event_id": i,
+            "ts": datetime.datetime(2024, 1, 1, 0, m), "event_type": e,
+        }
+
+    def test_sharded_equals_per_key_blocked_and_multi_key(
+        self, spark, tmp_path_str
+    ):
+        mk = self._mk
+        batches = [
+            # key 1 completes a chain across batches; key 2's anchor
+            # stays blocked at the settled boundary until the within
+            # timer (shared shard timer must fire it); key 3 matches
+            # in one batch
+            [mk(1, 1, 0, "view"), mk(1, 2, 1, "view"), mk(2, 3, 2, "view")],
+            [mk(1, 4, 3, "click"), mk(1, 5, 4, "purchase"),
+             mk(3, 6, 5, "view"), mk(3, 7, 6, "click"),
+             mk(3, 8, 7, "purchase")],
+            # watermark mover (key 9 never matches)
+            [mk(9, 99, 59, "error")],
+        ]
+        drain = TestStreamMatchPattern._drain
+        per_key = drain(
+            self, spark, tmp_path_str, batches,
+            ["view+", "click", "purchase"], within="10 minutes",
+            sub="pk", with_key=True,
+        )
+        sharded = drain(
+            self, spark, tmp_path_str, batches,
+            ["view+", "click", "purchase"], within="10 minutes",
+            key_shards=1, sub="sh", with_key=True,  # max collision
+        )
+        assert sharded == per_key
+        assert [(k[1], s) for k, s, _n, _d in sharded] == [(1, 1), (3, 6)]
+
+    def test_sharded_null_keys_equal_per_key(self, spark, tmp_path_str):
+        mk = self._mk
+        batches = [
+            [mk(None, 1, 0, "view"), mk(None, 2, 1, "click"),
+             mk(None, 3, 2, "purchase"), mk(5, 4, 3, "view")],
+            [mk(5, 5, 4, "click"), mk(5, 6, 5, "purchase")],
+            [mk(9, 99, 59, "error")],
+        ]
+        drain = TestStreamMatchPattern._drain
+        per_key = drain(
+            self, spark, tmp_path_str, batches,
+            ["view+", "click", "purchase"], sub="npk", with_key=True,
+        )
+        sharded = drain(
+            self, spark, tmp_path_str, batches,
+            ["view+", "click", "purchase"], key_shards=1, sub="nsh",
+            with_key=True,
+        )
+        assert sharded == per_key
+        # the NULL-key chain matched AS ONE PARTITION and emits key NULL
+        assert [(k[1], s) for k, s, _n, _d in sharded] == [(5, 4), (None, 1)]
