@@ -548,6 +548,7 @@ def streaming_latest_by_key(spark, sf_dir):
     oracle as events_latest_by_key (#162's streaming twin)."""
     from lance_flink_spark.operators.changelog import latest_by_key
     from lance_flink_spark.streaming.dedup import stream_latest_by_key
+    from lance_flink_spark.streaming.over_agg import default_key_shards
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
     events = stream_events(spark, sf_dir, watermark="1 hour").select(
@@ -558,7 +559,10 @@ def streaming_latest_by_key(spark, sf_dir):
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
     )
     out = stream_latest_by_key(
-        events, ["user_id", "event_type"], "ts_us", "event_id"
+        events, ["user_id", "event_type"], "ts_us", "event_id",
+        # sharded grouping: one Python/state round per shard instead of
+        # per (user, type) group (streaming/dedup.py r16)
+        key_shards=default_key_shards(),
     )
     t = run_to_memory(out, mode="update", state_partitions=16)
     return latest_by_key(
@@ -663,6 +667,7 @@ def streaming_earliest_by_key(spark, sf_dir):
     state == the batch ROW_NUMBER ASC oracle."""
     from lance_flink_spark.operators.changelog import earliest_by_key
     from lance_flink_spark.streaming.dedup import stream_latest_by_key
+    from lance_flink_spark.streaming.over_agg import default_key_shards
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
 
     events = stream_events(spark, sf_dir, watermark="1 hour").select(
@@ -673,7 +678,8 @@ def streaming_earliest_by_key(spark, sf_dir):
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
     )
     out = stream_latest_by_key(
-        events, ["user_id", "event_type"], "ts_us", "event_id", keep="first"
+        events, ["user_id", "event_type"], "ts_us", "event_id", keep="first",
+        key_shards=default_key_shards(),
     )
     t = run_to_memory(out, mode="update", state_partitions=16)
     return earliest_by_key(

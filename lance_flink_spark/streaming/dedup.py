@@ -43,6 +43,7 @@ def stream_latest_by_key(
     keep: str = "last",
     allowed_lateness: str | None = None,
     ts_col: str = "ts",
+    key_shards: int | None = None,
 ) -> DataFrame:
     """Flink deduplication, keep-LAST mode (ORDER BY ... DESC): the
     current winner per key, revised as later rows arrive — Flink's
@@ -57,6 +58,19 @@ def stream_latest_by_key(
     a deterministic (event-time) winner, unlike
     dropDuplicatesWithinWatermark's arrival-order first; batch dual
     ``earliest_by_key``.
+
+    ``key_shards=N`` (r16 — over_agg's r15 sharded-grouping economics):
+    group by ``pmod(xxhash64(keys), N)`` instead of by key — ONE state
+    row and ONE Python invocation per shard, the same winner logic run
+    per key inside it. applyInPandasWithState pays ~12-15 ms of
+    protocol per GROUP per micro-batch, so at real key cardinalities
+    the per-key form is protocol-bound. This operator has no timers
+    and arbitrary key/payload types, so the shard state is simply the
+    pickled {key tuple: winner row} map — NULL keys need no sentinel
+    (they stay data, never a packed int64) — and EXACT semantics are
+    free: a key is touched only when it has arrivals, emission still
+    fires only when its winner CHANGED this batch. Size N to ~4x the
+    stateful-operator partition count, scaled with the cluster.
 
     ``allowed_lateness`` is the explicit Flink-style lateness knob:
     when given, it (re)sets the watermark on ``ts_col`` to that delay
@@ -90,6 +104,13 @@ def stream_latest_by_key(
     enforce_lateness = allowed_lateness is not None
     tsi = payload.index(ts_col) if enforce_lateness else -1
 
+    def _better(row, best):
+        if best is None:
+            return True
+        if keep_last:
+            return (row[oi], row[ti]) > (best[oi], best[ti])
+        return (row[oi], row[ti]) < (best[oi], best[ti])
+
     def update(key, pdfs, state: GroupState):
         best = list(state.get) if state.exists else None
         changed = False
@@ -103,16 +124,7 @@ def stream_latest_by_key(
                 sub = sub[t_us.to_numpy() >= wm_us]  # drop late rows
             for row in sub.itertuples(index=False):
                 row = list(row)
-                better = (
-                    best is None
-                    or ((row[oi], row[ti]) > (best[oi], best[ti]))
-                    if keep_last
-                    else (
-                        best is None
-                        or ((row[oi], row[ti]) < (best[oi], best[ti]))
-                    )
-                )
-                if better:
+                if _better(row, best):
                     best = row
                     changed = True
         if best is not None:
@@ -121,6 +133,59 @@ def stream_latest_by_key(
             yield pd.DataFrame(
                 [list(key) + best], columns=list(keys) + payload
             )
+
+    if key_shards:
+        nk = len(keys)
+
+        def supdate(shard, pdfs, state: GroupState):
+            import pickle
+
+            winners = pickle.loads(state.get[0]) if state.exists else {}
+            changed: dict = {}
+            wm_us = (
+                state.getCurrentWatermarkMs() * 1000
+                if enforce_lateness
+                else 0
+            )
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                sub = pdf[list(keys) + payload]
+                if enforce_lateness and wm_us:
+                    t_us = (
+                        pdf[ts_col].astype("datetime64[us]").astype("int64")
+                    )
+                    sub = sub[t_us.to_numpy() >= wm_us]  # drop late rows
+                for row in sub.itertuples(index=False):
+                    row = list(row)
+                    kt, pay = tuple(row[:nk]), row[nk:]
+                    if _better(pay, winners.get(kt)):
+                        winners[kt] = pay
+                        changed[kt] = pay
+            if winners:
+                state.update((pickle.dumps(winners, protocol=4),))
+            else:
+                state.remove()
+            if changed:
+                yield pd.DataFrame(
+                    [list(k) + list(v) for k, v in changed.items()],
+                    columns=list(keys) + payload,
+                )
+
+        sharded = sdf.withColumn(
+            "__s",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]),
+                F.lit(int(key_shards)),
+            ),
+        )
+        return sharded.groupBy("__s").applyInPandasWithState(
+            supdate,
+            outputStructType=out_struct,
+            stateStructType="blob binary",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
 
     return sdf.groupBy(*keys).applyInPandasWithState(
         update,

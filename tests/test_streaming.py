@@ -497,3 +497,61 @@ def test_stream_window_join_types(spark, tmp_path_str):
     t3 = run_to_memory(anti, mode="append", state_partitions=4)
     got3 = {(r["k"], r["l_tag"]) for r in spark.sql(f"SELECT * FROM {t3}").collect()}
     assert got3 == {(1, "L2")}
+
+
+def test_stream_latest_by_key_sharded_equals_per_key(spark, tmp_path_str):
+    """r16 sharded grouping for keep-last dedup: one state row per
+    SHARD (pickled winner map), same emit-only-on-change contract —
+    emissions must equal the per-key path exactly, including the
+    suppressed losing update and NULL keys (which stay data, no
+    sentinel)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.streaming.dedup import stream_latest_by_key
+
+    src = tmp_path_str + "/src_sh"
+    os.makedirs(src)
+    b0 = [Row(k="a", seq=1, tb=1, v="a1"), Row(k=None, seq=5, tb=1, v="n5")]
+    b1 = [Row(k="a", seq=9, tb=1, v="a9"),   # newer -> wins
+          Row(k=None, seq=2, tb=1, v="n2")]  # older -> no change, no emit
+    b2 = [Row(k=None, seq=5, tb=2, v="n5b")]  # tie on seq -> tb decides
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(
+            rows, "k string, seq bigint, tb bigint, v string"
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    def run(tag, shards):
+        sdf = (
+            spark.readStream.schema("k string, seq bigint, tb bigint, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = stream_latest_by_key(
+            sdf, ["k"], "seq", "tb", key_shards=shards
+        )
+        q = (
+            out.writeStream.format("memory").queryName(f"klsh_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", tmp_path_str + f"/ckpt_{tag}")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (tuple(r) for r in spark.table(f"klsh_{tag}").collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    per_key = run("pk", None)
+    sharded = run("sh", 1)  # max collision: every key in one shard
+    assert sharded == per_key
+    # the losing updates must not have been emitted in either mode
+    assert not any(r[1] == 2 for r in sharded)
+    # final winners (max emission per key) match the batch dual
+    final = {}
+    for r in sharded:
+        cur = final.get(r[0])
+        if cur is None or (r[1], r[2]) > (cur[1], cur[2]):
+            final[r[0]] = r
+    assert {k: r[3] for k, r in final.items()} == {"a": "a9", None: "n5b"}
