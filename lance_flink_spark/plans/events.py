@@ -147,11 +147,12 @@ def streaming_stateful_counters(spark, sf_dir):
     (KeyedProcessFunction parity). The single-file source yields one
     micro-batch, so the update-mode output IS the final state — equal
     to the batch aggregate (oracle)."""
+    from lance_flink_spark.streaming.over_agg import default_key_shards
     from lance_flink_spark.streaming.pipeline import run_to_memory, stream_events
     from lance_flink_spark.streaming.stateful import running_user_counters
 
     events = stream_events(spark, sf_dir, watermark="1 hour")
-    out = running_user_counters(events)
+    out = running_user_counters(events, key_shards=default_key_shards())
     t = run_to_memory(out, mode="update", state_partitions=16)
     return (
         spark.table(t)

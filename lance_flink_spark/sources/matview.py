@@ -181,10 +181,23 @@ class MaterializedAggregate:
                 needs_rescan = (
                     F.col("p_min").isNotNull() & (min_hit | max_hit)
                 )
+                # localCheckpoint, not persist (r16): ``merged`` is
+                # GROUP-sized but its lineage is the whole CDF plan
+                # (one union piece per changed version, each with its
+                # own parquet relations). Every consumer — the probe,
+                # the folded state write, the rescan branch — was
+                # re-ANALYZING that plan (~0.9-1.1 s of driver gap per
+                # refresh, profiled) and the state-write tasks shipped
+                # it as a fat task binary (~6.8 s of task-deser over
+                # one 42-task write stage). The eager checkpoint pays
+                # the one materialization job the probe ran anyway and
+                # truncates the lineage to the pinned group-sized
+                # blocks. Same non-fault-tolerant contract read_changes
+                # itself uses for long histories (checkpoint_every).
                 merged = (
                     combined.filter(F.col("__cnt_new") > 0)
                     .withColumn("__rescan", needs_rescan)
-                    .persist()
+                    .localCheckpoint(eager=True)
                 )
                 folded = merged.filter(~F.coalesce(F.col("__rescan"), F.lit(False))).select(
                     *self.group_cols,

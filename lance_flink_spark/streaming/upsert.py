@@ -454,20 +454,19 @@ class UpsertNativeSink:
         # sort-merge join that shuffles the whole replica decode; a
         # micro-batch is trigger-size-bounded, so the broadcast is
         # the same contract as the F.broadcast(mk) below (guide §3)
+        # localCheckpoint, not persist (r16): the consumers run in
+        # concurrent jobs (fragment write ∥ deletion resolve, plus the
+        # matched-key broadcast build), and concurrent first touches
+        # of an unmaterialized cache were re-running the full replica
+        # key decode 3-4x per micro-batch. The eager checkpoint pays
+        # the decode exactly once AND truncates the lineage, so the
+        # downstream jobs neither re-analyze the mapInArrow decode
+        # plan nor ship it in their task binaries.
         m = t.join(
             F.broadcast(s),
             F.col(f"t.`{self.key}`") == F.col(f"s.`{self.key}`"),
             "inner",
-        ).persist()
-        # materialize the cache BEFORE fanning out: the three consumers
-        # run in concurrent jobs (fragment write ∥ deletion resolve,
-        # plus the matched-key broadcast build), and concurrent first
-        # touches of an unmaterialized cache serialize on the block
-        # locks while each job's tasks re-run or wait out the full
-        # replica decode — measured as 3-4 decode-weight stages per
-        # micro-batch instead of one. One count() pays the decode
-        # exactly once; every downstream job is then a cache read.
-        m.count()
+        ).localCheckpoint(eager=True)
         try:
             guard = (
                 F.expr(_seq_guard(self.seq_cols))

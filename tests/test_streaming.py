@@ -555,3 +555,52 @@ def test_stream_latest_by_key_sharded_equals_per_key(spark, tmp_path_str):
         if cur is None or (r[1], r[2]) > (cur[1], cur[2]):
             final[r[0]] = r
     assert {k: r[3] for k, r in final.items()} == {"a": "a9", None: "n5b"}
+
+
+def test_running_counters_sharded_equals_per_key(spark, tmp_path_str):
+    """r16 sharded counters: per-shard pickled map, but emissions must
+    equal per-key grouping exactly — running totals across batches,
+    last_ts = the BATCH max (not running max), only arriving users
+    emitted per batch."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from lance_flink_spark.streaming.stateful import running_user_counters
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    src = tmp_path_str + "/src_cnt"
+    os.makedirs(src)
+    b0 = [Row(user_id=1, ts=t0, value=1.5),
+          Row(user_id=2, ts=t0 + dt.timedelta(minutes=1), value=2.0)]
+    b1 = [Row(user_id=1, ts=t0 + dt.timedelta(minutes=2), value=0.25),
+          Row(user_id=1, ts=t0 + dt.timedelta(minutes=3), value=0.25)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    def run(tag, shards):
+        sdf = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+            .withWatermark("ts", "1 hour")
+        )
+        out = running_user_counters(sdf, key_shards=shards)
+        q = (
+            out.writeStream.format("memory").queryName(f"cnt_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", tmp_path_str + f"/ckpt_cnt_{tag}")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in spark.table(f"cnt_{tag}").collect())
+
+    per_key = run("pk", None)
+    sharded = run("sh", 1)
+    assert sharded == per_key
+    # user 1 emitted twice (both batches) with RUNNING totals; user 2 once
+    u1 = [r for r in sharded if r[0] == 1]
+    assert [(r[1], r[2]) for r in u1] == [(1, 1.5), (3, 2.0)]
