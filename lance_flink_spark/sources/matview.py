@@ -35,7 +35,7 @@ recompute)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from lance_flink_spark.sources import fsio
@@ -194,9 +194,35 @@ class MaterializedAggregate:
                 # truncates the lineage to the pinned group-sized
                 # blocks. Same non-fault-tolerant contract read_changes
                 # itself uses for long histories (checkpoint_every).
+                #
+                # The rescan probe rides the SAME job as Observation
+                # metrics (r16): count + exact key bytes of the
+                # extremum-hit groups accumulate while the checkpoint
+                # materializes, so the gate below costs zero extra
+                # jobs (it was one probe job per refresh).
+                key_bytes = sum(
+                    (
+                        F.coalesce(
+                            F.octet_length(F.col(c).cast("string")), F.lit(0)
+                        )
+                        + F.lit(16)  # per-column object/offset overhead
+                        for c in self.group_cols
+                    ),
+                    F.lit(0),
+                )
+                probe_obs = Observation()
                 merged = (
                     combined.filter(F.col("__cnt_new") > 0)
                     .withColumn("__rescan", needs_rescan)
+                    .observe(
+                        probe_obs,
+                        F.sum(
+                            F.when(F.col("__rescan"), 1).otherwise(0)
+                        ).alias("n"),
+                        F.sum(
+                            F.when(F.col("__rescan"), key_bytes).otherwise(0)
+                        ).alias("b"),
+                    )
                     .localCheckpoint(eager=True)
                 )
                 folded = merged.filter(~F.coalesce(F.col("__rescan"), F.lit(False))).select(
@@ -208,36 +234,19 @@ class MaterializedAggregate:
                     F.least(F.col("p_min"), F.col("i_min")).alias("min_v"),
                     F.greatest(F.col("p_max"), F.col("i_max")).alias("max_v"),
                 )
-                # probe the persisted merge ONCE: most refreshes retract
-                # no extremum, and skipping the rescan branch entirely
+                # the probe decides the rescan branch: most refreshes
+                # retract no extremum, and skipping the branch entirely
                 # saves a source scan + aggregate inside the state write
                 # (the branch is unioned lazily, so without the probe it
-                # executes even when it contributes zero rows). The one
-                # job on the persisted group-sized frame now yields the
-                # exact row count AND an exact key-byte total, so the
-                # broadcast gate below is byte-aware (r15 advice: 4M
-                # rows of wide string keys replicated everywhere is an
-                # OOM, not a win) — F.broadcast bypasses AQE's size
-                # checks, so the gate must do its own byte accounting.
-                key_bytes = sum(
-                    (
-                        F.coalesce(
-                            F.octet_length(F.col(c).cast("string")), F.lit(0)
-                        )
-                        + F.lit(16)  # per-column object/offset overhead
-                        for c in self.group_cols
-                    ),
-                    F.lit(0),
-                )
-                probe = (
-                    merged.filter(F.col("__rescan"))
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(key_bytes).alias("b"),
-                    )
-                    .collect()[0]
-                )
-                n_rescan = int(probe["n"])
+                # executes even when it contributes zero rows). The
+                # metrics yield the exact row count AND an exact
+                # key-byte total, so the broadcast gate below is
+                # byte-aware (r15 advice: 4M rows of wide string keys
+                # replicated everywhere is an OOM, not a win) —
+                # F.broadcast bypasses AQE's size checks, so the gate
+                # must do its own byte accounting.
+                probe = probe_obs.get
+                n_rescan = int(probe["n"] or 0)
                 if n_rescan:
                     rescan_keys = merged.filter(F.col("__rescan")).select(
                         *self.group_cols
